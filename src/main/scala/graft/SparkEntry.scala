@@ -1,13 +1,62 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator claimed in SURVEY.md §2 appears in [[queries]]; where the
+  * semantics are ANSI-SQL-expressible the matching DuckDB oracle is in
+  * [[oracleSql]] (column names aligned — the driver sorts columns by name
+  * and hashes values).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalQueries.regionRevenue(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational / operator surface (SURVEY §2.3, 2.6–2.9)
+    "q_pricing_summary" -> (RelationalQueries.pricingSummary _),
+    "q_region_revenue" -> (RelationalQueries.regionRevenue _),
+    "q_segment_revenue" -> (RelationalQueries.segmentRevenue _),
+    "q_scan_prune" -> (RelationalQueries.scanPrune _),
+    "q_top_orders" -> (RelationalQueries.topOrders _),
+    "q_set_ops" -> (RelationalQueries.setOps _),
+    "q_bit_or" -> (RelationalQueries.bitOrSizes _),
+    "q_running_offsets" -> (RelationalQueries.runningOffsets _),
+    "q_user_day_stats" -> (RelationalQueries.userDayStats _),
+    "q_interval_join" -> (RelationalQueries.intervalJoin _),
+    "q_semi_anti_join" -> (RelationalQueries.semiAntiJoin _),
+    // signal processing on tables (SURVEY §2.4–2.5)
+    "q_threshold_events" -> ((s: SparkSession, d: String) =>
+      SignalQueries.thresholdEvents(s, d)),
+    // LLM-data-pipeline ops
+    "q_dedup_exact" -> (TextQueries.dedupExact _),
+    "q_text_stats" -> (TextQueries.textStats _),
+    "q_corpus_profile" -> (TextQueries.corpusProfile _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_pricing_summary" -> RelationalQueries.pricingSummarySql,
+    "q_region_revenue" -> RelationalQueries.regionRevenueSql,
+    "q_segment_revenue" -> RelationalQueries.segmentRevenueSql,
+    "q_scan_prune" -> RelationalQueries.scanPruneSql,
+    "q_top_orders" -> RelationalQueries.topOrdersSql,
+    "q_set_ops" -> RelationalQueries.setOpsSql,
+    "q_bit_or" -> RelationalQueries.bitOrSizesSql,
+    "q_running_offsets" -> RelationalQueries.runningOffsetsSql,
+    "q_user_day_stats" -> RelationalQueries.userDayStatsSql,
+    "q_interval_join" -> RelationalQueries.intervalJoinSql,
+    "q_semi_anti_join" -> RelationalQueries.semiAntiJoinSql,
+    "q_threshold_events" -> SignalQueries.thresholdEventsSql,
+    "q_dedup_exact" -> TextQueries.dedupExactSql,
+    "q_text_stats" -> TextQueries.textStatsSql,
+    "q_corpus_profile" -> TextQueries.corpusProfileSql
+  )
 }

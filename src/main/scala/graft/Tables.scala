@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the harness-provided parquet star schema (TESTDATA.md).
+  *
+  * `events.ts` is written as parquet TIMESTAMP(NANOS); Spark reads it via
+  * the nanos-as-long legacy switch (set in [[Sessions]]) so we normalise it
+  * here: `ts` stays a microsecond TimestampType for SQL parity with the
+  * DuckDB oracle (both truncate ns → µs) and `ts_ns` keeps full precision,
+  * mirroring the reference's ns-since-epoch log timestamps
+  * (`/root/reference/streaming-types/src/frame_metadata.rs:7-14`).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts_ns", col("ts"))
+        // integer division — a double division here loses precision at
+        // 1.7e18 ns and shifts timestamps by ±hundreds of ns
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
+
+/** Session factory with the settings every entry point shares: local
+  * parallelism sized to the harness (32 threads), shuffle partitions
+  * matched to cores (not the 200 default), AQE on for runtime re-planning
+  * (skew joins, partition coalescing — the knobs that matter at cluster
+  * scale), UTC for oracle parity, and nanosecond-timestamp reads enabled.
+  */
+object Sessions {
+  def local(appName: String, cpus: String): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

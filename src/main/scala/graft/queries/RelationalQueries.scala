@@ -1,0 +1,284 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational query inventory over the harness star schema.
+  *
+  * Each query has a DuckDB-equivalent oracle (SparkEntry.oracleSql) — the
+  * correctness gate. Design rules for oracle parity:
+  *   - alias every computed column identically in Spark and SQL;
+  *   - round double aggregates to a fixed scale (sum order differs between
+  *     engines, so raw f64 sums are not bit-identical);
+  *   - never ORDER BY a computed double when a LIMIT follows — top-k only
+  *     on stored values with a unique tiebreak.
+  *
+  * Scale notes are inline: what each plan does on a real cluster at 100 TB.
+  */
+object RelationalQueries {
+
+  /** TPC-H Q1-style pricing summary (§2.6 A-class). Scale: single shuffle
+    * on a tiny group-by key space; partial aggregation map-side; the
+    * shipdate filter and 6-column projection push to the parquet scan.
+    */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus"""
+
+  /** Multi-way join + aggregation: revenue per nation for one region
+    * (TPC-H Q5 shape; §2.7 J4/J5). Scale: region/nation are broadcast
+    * (hinted); customer⋈orders⋈lineitem shuffle on their keys with AQE
+    * free to re-plan; the region filter prunes before the big joins.
+    */
+  def regionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(s, dir)
+    val orders = Tables.orders(s, dir)
+    val lineitem = Tables.lineitem(s, dir)
+    val nation = Tables.nation(s, dir)
+    val region = Tables.region(s, dir)
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        // round to 4dp: the addends are exact 4-decimal products, so sums
+        // sit on the 4dp grid, never on a half-way rounding boundary —
+        // 2dp rounding hits exact .xx50 ties where engines disagree
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val regionRevenueSql: String =
+    """SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name, n_name"""
+
+  /** Segment revenue by order (TPC-H Q3 shape, no top-k so doubles stay
+    * hash-safe after rounding).
+    */
+  def segmentRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < to_timestamp(lit("1996-01-01")))
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+
+  val segmentRevenueSql: String =
+    """SELECT o_orderkey, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+       GROUP BY o_orderkey, o_orderpriority"""
+
+  /** Projection + predicate scan (§2.3 P-class). Scale: both the filter and
+    * the 2-column read schema reach the parquet reader (PushedFilters /
+    * ReadSchema) — verified in the plan spec.
+    */
+  def scanPrune(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .filter(
+        col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+          col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+
+  val scanPruneSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         AND l_discount > 0.05"""
+
+  /** Top-k on stored (not computed) values with unique tiebreak (§2.8 O4):
+    * exact doubles compare identically across engines. Scale: TakeOrdered
+    * — per-partition top-k then driver merge, no full sort.
+    */
+  def topOrders(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(25)
+
+  val topOrdersSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 25"""
+
+  /** Set operations (§2.8): customers active in 1995 INTERSECT 1996,
+    * EXCEPT those in the BUILDING segment.
+    */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    def activeIn(year: Int): DataFrame =
+      orders
+        .filter(
+          col("o_orderdate") >= to_timestamp(lit(f"$year-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit(f"${year + 1}-01-01")))
+        .select(col("o_custkey"))
+    val building =
+      Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("o_custkey"))
+    activeIn(1995).intersect(activeIn(1996)).except(building)
+  }
+
+  val setOpsSql: String =
+    """SELECT o_custkey FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+       INTERSECT
+       SELECT o_custkey FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       EXCEPT
+       SELECT c_custkey AS o_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"""
+
+  /** Bitwise-OR aggregation (§2.8 O6 — veto-flag union analog). */
+  def bitOrSizes(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .part(s, dir)
+      .groupBy(col("p_brand"))
+      .agg(expr("bit_or(p_size)").as("size_mask"), count(lit(1)).as("n_parts"))
+
+  val bitOrSizesSql: String =
+    "SELECT p_brand, bit_or(p_size) AS size_mask, count(*) AS n_parts FROM part GROUP BY p_brand"
+
+  /** Running event offset per key (§2.6 A3 — the NeXus `event_index`
+    * semantics: running totals over an ordered frame sequence). Scale: one
+    * shuffle on user_id; within-partition ordered scan, no global sort.
+    */
+  def runningOffsets(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        col("ts"),
+        col("event_id"),
+        coalesce(sum(lit(1)).over(w), lit(0)).as("event_index"),
+        round(coalesce(sum(col("value")).over(w), lit(0.0)), 4).as("value_before"))
+  }
+
+  val runningOffsetsSql: String =
+    """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+       coalesce(count(*) OVER w, 0) AS event_index,
+       round(coalesce(sum(value) OVER w, 0), 4) AS value_before
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"""
+
+  /** Per-key per-day stats (§2.6 A5 — the live diagnostics aggregation
+    * shape: counts, first/last timestamps, extrema per digitiser).
+    */
+  def userDayStats(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"),
+        round(sum(col("value")), 4).as("sum_value"),
+        max(col("value")).as("max_value"))
+
+  val userDayStatsSql: String =
+    """SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+       count(*) AS n_events,
+       min(CAST(ts AS TIMESTAMP)) AS first_ts,
+       max(CAST(ts AS TIMESTAMP)) AS last_ts,
+       round(sum(value), 4) AS sum_value,
+       max(value) AS max_value
+       FROM events GROUP BY 1, 2"""
+
+  /** Interval join (§2.7 J1 — "event belongs to the run whose window
+    * contains it"): signup events open a 24 h run window; all of the
+    * user's events inside the window join to it. Scale: the equi-key
+    * (user_id) carries the shuffle; the range predicate is evaluated
+    * post-match, so this stays a hash/sort-merge join, never a cartesian.
+    */
+  def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    val runs = events
+      .filter(col("event_type") === "signup")
+      .select(
+        col("event_id").as("run_id"),
+        col("user_id").as("run_user"),
+        col("ts").as("run_start"))
+    events
+      .join(
+        runs,
+        col("user_id") === col("run_user") &&
+          col("ts") >= col("run_start") &&
+          col("ts") < col("run_start") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("run_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+  }
+
+  val intervalJoinSql: String =
+    """SELECT s.event_id AS run_id, count(*) AS n_events,
+       round(sum(e.value), 4) AS sum_value
+       FROM (SELECT * FROM events WHERE event_type = 'signup') s
+       JOIN events e ON e.user_id = s.user_id
+        AND CAST(e.ts AS TIMESTAMP) >= CAST(s.ts AS TIMESTAMP)
+        AND CAST(e.ts AS TIMESTAMP) < CAST(s.ts AS TIMESTAMP) + INTERVAL 24 HOURS
+       GROUP BY s.event_id"""
+
+  /** Semi/anti join surface (§2.7): customers with ≥1 order but no
+    * high-value order.
+    */
+  def semiAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(s, dir)
+    val orders = Tables.orders(s, dir)
+    val big = orders.filter(col("o_totalprice") > 400000.0)
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  val semiAntiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+       WHERE c_custkey IN (SELECT o_custkey FROM orders)
+         AND c_custkey NOT IN
+           (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)"""
+}

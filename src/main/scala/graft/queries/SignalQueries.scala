@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.Tables
+import graft.dsp.{DetectorFn, ThresholdDetector}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Signal-processing operators lifted onto the harness tables, so the
+  * detector FSMs get an independently-checkable oracle: with duration=1 and
+  * cool_off=0 the fixed-threshold discriminator
+  * (`/root/reference/trace-to-events/src/pulse_detection/detectors/threshold_detector.rs:44-118`)
+  * is equivalent to a gaps-and-islands SQL query — each maximal run of
+  * samples above threshold emits (start, max) if it is closed by a later
+  * sample, or if it reaches end-of-trace with ≥ 2 samples (the `finish()`
+  * flush needs the latch sample at crossing+1).
+  */
+/** Row shape for the per-user value series ([[SignalQueries.thresholdEvents]]).
+  * Top-level so the Catalyst-generated deserializer can reach it.
+  */
+case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
+
+object SignalQueries {
+
+  /** Treat each user's value series (ordered by ts, event_id) as a trace
+    * and run the fixed-threshold FSM over it. Scale: one shuffle on the
+    * group key; per-key state is bounded by trace length (the reference's
+    * per-channel model), so this distributes exactly like the trace
+    * pipeline — no driver-side collection.
+    */
+  def thresholdEvents(s: SparkSession, dir: String, threshold: Double = 150.0): DataFrame = {
+    import s.implicits._
+    implicit val tsOrdering: Ordering[java.sql.Timestamp] =
+      (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
+    Tables
+      .events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroups { (uid: Long, it: Iterator[Ev]) =>
+        val trace = it.toArray.sortBy(e => (e.ts, e.event_id))
+        val samples = trace.iterator.zipWithIndex.map { case (e, i) => (i.toDouble, e.value) }
+        DetectorFn
+          .over(samples, new ThresholdDetector(threshold, 1, 0))
+          .map(ev => (uid, trace(ev.time.toInt).ts, ev.pulseHeight))
+      }
+      .toDF("user_id", "event_time", "pulse_height")
+  }
+
+  /** Gaps-and-islands oracle for [[thresholdEvents]] at duration=1,
+    * cool_off=0 (see scaladoc above for the end-of-trace rule).
+    */
+  val thresholdEventsSql: String =
+    """WITH ordered AS (
+         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                count(*) OVER (PARTITION BY user_id) AS n_rows
+         FROM events
+       ), flagged AS (
+         SELECT *, rn - row_number()
+                     OVER (PARTITION BY user_id, (value > 150.0) ORDER BY rn) AS grp
+         FROM ordered
+       ), islands AS (
+         SELECT user_id, min(ts) AS event_time, max(value) AS pulse_height,
+                count(*) AS n, max(rn) AS last_rn, max(n_rows) AS n_rows
+         FROM flagged WHERE value > 150.0
+         GROUP BY user_id, grp
+       )
+       SELECT user_id, event_time, pulse_height FROM islands
+       WHERE last_rn < n_rows OR n >= 2"""
+}
