@@ -33,6 +33,15 @@ object SparkEntry {
     // signal processing on tables (SURVEY §2.4–2.5)
     "q_threshold_events" -> ((s: SparkSession, d: String) =>
       SignalQueries.thresholdEvents(s, d)),
+    // DAQ pipeline: generator → event formation → frame assembly → NeXus
+    // tables (SURVEY §2.1 S7, §2.4–2.6, §1.4; FSMs are not SQL-expressible
+    // → rows-only driver check, semantics locked in DspSpec/PipelineSpec)
+    "q_trace_to_events" -> (PipelineQueries.traceToEvents _),
+    "q_trace_to_events_differential" -> (PipelineQueries.traceToEventsDifferential _),
+    "q_trace_to_events_advanced" -> (PipelineQueries.traceToEventsAdvanced _),
+    "q_frame_assembly" -> (PipelineQueries.frameAssembly _),
+    "q_nexus_frame_table" -> (PipelineQueries.nexusFrameTable _),
+    "q_nexus_event_table" -> (PipelineQueries.nexusEventTable _),
     // LLM-data-pipeline ops
     "q_dedup_exact" -> (TextQueries.dedupExact _),
     "q_text_stats" -> (TextQueries.textStats _),

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.schemas.{RunStart, RunStop}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Run lifecycle (batch form): build the run dimension from pl72/6s4t
+  * control messages and interval-join data streams to it (SURVEY §2.7
+  * J1–J3, `/root/reference/nexus-writer/src/run_engine/engine.rs:190-309`).
+  *
+  * Reference semantics replicated:
+  *   - a RunStop applies to the latest run with a matching name and no
+  *     stop yet (`engine.rs:290-309`); stop_time == 0 means "stop NOW" —
+  *     in batch, the stop message's own timestamp;
+  *   - a new RunStart aborts an unstopped predecessor (`engine.rs:199-204`):
+  *     the predecessor's effective end becomes the successor's start;
+  *   - J1 (frames): run with `collect_from < ts` and (`no stop` or
+  *     `ts < collect_until`), first such run in start order
+  *     (`run_parameters.rs:156-178`);
+  *   - J2 (logs/alarms): any run not ending before ts — ts may precede the
+  *     start (`run_parameters.rs:170-178`), earliest-starting match wins.
+  *
+  * Scale: runs are a tiny dimension (one row per run) — the joins
+  * broadcast it, so assignment is map-side against 100 TB of frames.
+  */
+object RunAssignment {
+
+  /** Pair starts with stops into run intervals [collect_from_ns,
+    * collect_until_ns (nullable)), applying latest-match stop pairing and
+    * abort-on-restart.
+    */
+  def runs(spark: SparkSession, starts: Dataset[RunStart], stops: Dataset[RunStop]): DataFrame = {
+    val st = starts
+      .withColumnRenamed("runName", "run_name")
+      .withColumn("collect_from_ns", col("startTimeMs") * 1000000L)
+    val sp = stops
+      .groupBy(col("runName"))
+      // latest stop wins if duplicated; 0 = "stop NOW" handled by caller
+      .agg(max(col("stopTimeMs")).as("stopTimeMs"))
+      .withColumn("stop_ns", col("stopTimeMs") * 1000000L)
+    val nextStart = Window.orderBy(col("collect_from_ns"))
+    st.join(sp, st("run_name") === sp("runName"), "left")
+      .select(
+        col("run_name"),
+        col("instrumentName").as("instrument_name"),
+        col("nPeriods").as("n_periods"),
+        col("collect_from_ns"),
+        col("stop_ns"))
+      // abort semantics: an unstopped run ends where its successor starts
+      .withColumn("next_start_ns", lead(col("collect_from_ns"), 1).over(nextStart))
+      .withColumn("collect_until_ns", coalesce(col("stop_ns"), col("next_start_ns")))
+      .drop("stop_ns", "next_start_ns")
+  }
+
+  /** J1: attach frames (any DataFrame with a `metadata.timestampNs`) to
+    * their run; unmatched frames are dropped, as the reference drops
+    * frames with no open run (`engine.rs:214-238`).
+    */
+  def assignFrames(frames: DataFrame, runs: DataFrame): DataFrame = {
+    val joined = frames.join(
+      broadcast(runs),
+      col("collect_from_ns") < col("metadata.timestampNs") &&
+        (col("collect_until_ns").isNull ||
+          col("metadata.timestampNs") < col("collect_until_ns")),
+      "inner")
+    // first match in run start order (reference scans the cache in order)
+    val w = Window
+      .partitionBy(col("metadata.timestampNs"), col("metadata.frameNumber"))
+      .orderBy(col("collect_from_ns"))
+    joined
+      .withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") === 1)
+      .drop("_rank")
+      .withColumnRenamed("collect_from_ns", "run_start_ns")
+      .drop("collect_until_ns")
+  }
+
+  /** J2: attach logs/alarms (any DataFrame with a `timestampNs` column) to
+    * the earliest run not ending before the log timestamp — logs may
+    * precede the run start (`engine.rs:240-288`).
+    */
+  def assignLogs(logs: DataFrame, runs: DataFrame): DataFrame = {
+    val joined = logs.join(
+      broadcast(runs),
+      col("collect_until_ns").isNull || col("timestampNs") < col("collect_until_ns"),
+      "inner")
+    val w = Window.partitionBy(col("timestampNs"), col("sourceName"))
+      .orderBy(col("collect_from_ns"))
+    joined
+      .withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") === 1)
+      .drop("_rank", "collect_until_ns")
+      .withColumnRenamed("collect_from_ns", "run_start_ns")
+  }
+}

@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.dsp.{AdvancedMuon, DetectorSettings, DifferentialThreshold, FixedThreshold}
+import graft.operators.{EventFormation, FrameAssembly, NexusTables, RunAssignment}
+import graft.schemas.{RunStart, RunStop}
+import graft.sources.TraceGenerator
+import graft.sources.TraceGenerator.GeneratorConfig
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The DAQ pipeline as declared queries: deterministic generated dat2
+  * traces (simulator parity, seed fixed) through event formation, frame
+  * assembly, and the NeXus table layout. These operators have no ANSI-SQL
+  * oracle (sequential FSMs, SURVEY §7.4) — the driver records rows>0; the
+  * semantics are locked by DspSpec/PipelineSpec reference vectors.
+  */
+object PipelineQueries {
+
+  /** Fixed fixture: 32 frames × 4 digitisers × 8 channels × 500 bins —
+    * the reference simulator's default shape (BASELINE.md).
+    */
+  private def cfg = GeneratorConfig(nFrames = 32, nDigitizers = 4)
+
+  private val expected = Seq(0, 1, 2, 3)
+
+  def traceToEvents(s: SparkSession, dir: String): DataFrame =
+    EventFormation
+      .formEvents(
+        TraceGenerator.traces(s, cfg),
+        DetectorSettings(FixedThreshold(threshold = 100.0), baseline = 50.0))
+      .toDF()
+      .select(
+        col("digitizerId"),
+        col("metadata.frameNumber").as("frame_number"),
+        size(col("time")).as("n_events"),
+        col("time"),
+        col("voltage"),
+        col("channel"))
+
+  def traceToEventsDifferential(s: SparkSession, dir: String): DataFrame =
+    EventFormation
+      .formEvents(
+        TraceGenerator.traces(s, cfg),
+        DetectorSettings(
+          DifferentialThreshold(threshold = 30.0, constantMultiple = Some(1.0)),
+          baseline = 50.0))
+      .toDF()
+      .select(
+        col("digitizerId"),
+        col("metadata.frameNumber").as("frame_number"),
+        size(col("time")).as("n_events"))
+
+  def traceToEventsAdvanced(s: SparkSession, dir: String): DataFrame =
+    EventFormation
+      .formEvents(
+        TraceGenerator.traces(s, cfg.copy(nFrames = 8)),
+        DetectorSettings(
+          AdvancedMuon(
+            muonOnset = 2.0,
+            muonFall = -2.0,
+            muonTermination = -0.5,
+            duration = 0.0,
+            baselineLength = Some(20),
+            smoothingWindowSize = Some(3)),
+          baseline = 0.0))
+      .toDF()
+      .select(
+        col("digitizerId"),
+        col("metadata.frameNumber").as("frame_number"),
+        size(col("time")).as("n_events"))
+
+  def frameAssembly(s: SparkSession, dir: String): DataFrame = {
+    val dev2 = EventFormation.formEvents(
+      TraceGenerator.traces(s, cfg),
+      DetectorSettings(FixedThreshold(threshold = 100.0), baseline = 50.0))
+    FrameAssembly
+      .assemble(dev2, expected)
+      .select(
+        col("metadata.frameNumber").as("frame_number"),
+        col("metadata.vetoFlags").as("veto_flags"),
+        col("complete"),
+        col("digitizersPresent"),
+        size(col("time")).as("n_events"))
+  }
+
+  /** Full slice (SURVEY §7.2): traces → events → frames → run-attached
+    * NXevent_data frame table with running `event_index`.
+    */
+  def nexusFrameTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dev2 = EventFormation.formEvents(
+      TraceGenerator.traces(s, cfg),
+      DetectorSettings(FixedThreshold(threshold = 100.0), baseline = 50.0))
+    val aev2 = FrameAssembly.assemble(dev2, expected)
+    val base = cfg.startTimestampNs
+    val starts = Seq(
+      RunStart("run_1", (base - 1000000L) / 1000000L, "muon"),
+      RunStart("run_2", (base + 16 * cfg.frameIntervalNs) / 1000000L, "muon")).toDS()
+    val stops = Seq(RunStop("run_2", (base + 40 * cfg.frameIntervalNs) / 1000000L)).toDS()
+    val runs = RunAssignment.runs(s, starts, stops)
+    NexusTables.frameTable(RunAssignment.assignFrames(aev2, runs))
+  }
+
+  def nexusEventTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dev2 = EventFormation.formEvents(
+      TraceGenerator.traces(s, cfg.copy(nFrames = 16)),
+      DetectorSettings(FixedThreshold(threshold = 100.0), baseline = 50.0))
+    val aev2 = FrameAssembly.assemble(dev2, expected)
+    val starts = Seq(RunStart("run_1", (cfg.startTimestampNs - 1000000L) / 1000000L, "muon")).toDS()
+    val stops = Seq.empty[RunStop].toDS()
+    val runs = RunAssignment.runs(s, starts, stops)
+    NexusTables.eventTable(RunAssignment.assignFrames(aev2, runs))
+  }
+}
