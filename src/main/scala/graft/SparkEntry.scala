@@ -45,7 +45,16 @@ object SparkEntry {
     // LLM-data-pipeline ops
     "q_dedup_exact" -> (TextQueries.dedupExact _),
     "q_text_stats" -> (TextQueries.textStats _),
-    "q_corpus_profile" -> (TextQueries.corpusProfile _)
+    "q_corpus_profile" -> (TextQueries.corpusProfile _),
+    "q_minhash_pairs" -> ((s: SparkSession, d: String) => DedupQueries.minhashPairs(s, d)),
+    "q_simhash_docs" -> (DedupQueries.simhashDocs _),
+    "q_simhash_pairs" -> ((s: SparkSession, d: String) => DedupQueries.simhashPairs(s, d)),
+    "q_ngram_jaccard" -> (DedupQueries.ngramJaccard _),
+    "q_fingerprints" -> (DedupQueries.fingerprints _),
+    "q_language_id" -> (DedupQueries.languageId _),
+    "q_token_counts" -> (DedupQueries.tokenCounts _),
+    "q_cosine_topk" -> ((s: SparkSession, d: String) => VectorQueries.cosineTopK(s, d)),
+    "q_lsh_ann" -> ((s: SparkSession, d: String) => VectorQueries.lshAnn(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -66,6 +75,10 @@ object SparkEntry {
     "q_threshold_events" -> SignalQueries.thresholdEventsSql,
     "q_dedup_exact" -> TextQueries.dedupExactSql,
     "q_text_stats" -> TextQueries.textStatsSql,
-    "q_corpus_profile" -> TextQueries.corpusProfileSql
+    "q_corpus_profile" -> TextQueries.corpusProfileSql,
+    "q_ngram_jaccard" -> DedupQueries.ngramJaccardSql,
+    "q_language_id" -> DedupQueries.languageIdSql,
+    "q_token_counts" -> DedupQueries.tokenCountsSql,
+    "q_cosine_topk" -> VectorQueries.cosineTopKSql
   )
 }

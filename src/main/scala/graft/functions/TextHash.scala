@@ -1,0 +1,136 @@
+package graft.functions
+
+/** Pure-Scala text hashing / sketching primitives for the dedup and
+  * fingerprinting operators (LLM-data-pipeline surface): shingling,
+  * MinHash signatures, banded LSH keys, SimHash, and winnowed rolling-hash
+  * document fingerprints. Spark-free for unit testability; the query layer
+  * lifts them as UDFs (arrays in, arrays out — one pass per document).
+  */
+object TextHash {
+
+  /** splitmix64 finaliser — the avalanche mix used throughout. */
+  def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** 64-bit string hash (FNV-1a core + splitmix finaliser, seedable). */
+  def hash64(s: String, seed: Long = 0L): Long = {
+    var h = 0xcbf29ce484222325L ^ seed
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    mix64(h)
+  }
+
+  /** Whitespace word tokens. */
+  def tokens(text: String): Array[String] =
+    text.split("\\s+").filter(_.nonEmpty)
+
+  /** Word n-gram shingles (n=1 → the distinct word set). */
+  def shingles(text: String, n: Int): Array[String] = {
+    val t = tokens(text)
+    if (n <= 1) t.distinct
+    else if (t.length < n) Array(t.mkString(" "))
+    else Array.tabulate(t.length - n + 1)(i => t.slice(i, i + n).mkString(" ")).distinct
+  }
+
+  /** MinHash signature: `numPerms` permutations simulated as seeded
+    * re-mixes of one base hash; entry i = min over shingles of
+    * mix(hash(shingle) ^ seed_i). Standard estimator: Jaccard ≈ fraction
+    * of equal signature positions.
+    */
+  def minhashSignature(shingleSet: Array[String], numPerms: Int, seed: Long = 42L): Array[Long] = {
+    val base = shingleSet.map(hash64(_))
+    Array.tabulate(numPerms) { i =>
+      val permSeed = mix64(seed + i)
+      var min = Long.MaxValue
+      var j = 0
+      while (j < base.length) {
+        val h = mix64(base(j) ^ permSeed)
+        if (h < min) min = h
+        j += 1
+      }
+      if (base.isEmpty) 0L else min
+    }
+  }
+
+  /** Estimated Jaccard similarity from two MinHash signatures. */
+  def estimatedJaccard(a: Array[Long], b: Array[Long]): Double = {
+    var eq = 0
+    var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    if (a.length == 0) 0.0 else eq.toDouble / a.length
+  }
+
+  /** LSH band keys: signature split into `bands` equal bands, each band
+    * hashed to one long. Two documents sharing any band key are
+    * candidates (standard banding scheme: P(candidate) = 1-(1-s^r)^b).
+    */
+  def bandKeys(signature: Array[Long], bands: Int): Array[Long] = {
+    val r = signature.length / bands
+    Array.tabulate(bands) { b =>
+      var h = 0xcbf29ce484222325L ^ b.toLong
+      var i = b * r
+      while (i < (b + 1) * r) {
+        h = mix64(h ^ signature(i))
+        i += 1
+      }
+      h
+    }
+  }
+
+  /** 64-bit SimHash over word tokens (term-frequency weighted). */
+  def simhash64(text: String): Long = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    tokens(text).foreach(t => counts.update(t, counts.getOrElse(t, 0) + 1))
+    val acc = new Array[Int](64)
+    counts.foreach { case (tok, w) =>
+      val h = hash64(tok)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += w else acc(b) -= w
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Winnowed document fingerprint (the MOSS scheme): rolling hashes of
+    * character k-grams, then the minimum in every window of `w`
+    * consecutive hashes (rightmost min on ties), deduplicated. Robust to
+    * local edits — shared fingerprints locate shared passages.
+    */
+  def winnow(text: String, k: Int = 8, w: Int = 4): Array[Long] = {
+    if (text.length < k) return Array(hash64(text))
+    val n = text.length - k + 1
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) { hashes(i) = hash64(text.substring(i, i + k)); i += 1 }
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    var win = 0
+    val last = math.max(0, n - w)
+    while (win <= last) {
+      var minIdx = win
+      var j = win
+      val end = math.min(win + w, n)
+      while (j < end) {
+        if (hashes(j) <= hashes(minIdx)) minIdx = j
+        j += 1
+      }
+      out += hashes(minIdx)
+      win += 1
+    }
+    out.toArray
+  }
+}

@@ -1,0 +1,214 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextHash
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over `documents` — MinHash+LSH, SimHash, and
+  * exact n-gram Jaccard (LLM-data-pipeline dedup surface).
+  *
+  * Scale design: both sketch paths follow the canonical
+  * shingle→sketch→band→bucket-join shape — the corpus is scanned once to
+  * compute sketches (narrow), then shuffled once on band keys; candidate
+  * pairs are generated per bucket, never by an all-pairs product. The
+  * exact-Jaccard query is the verification kernel (and the oracle-checked
+  * one, since it is pure set algebra expressible in SQL).
+  */
+object DedupQueries {
+
+  /** MinHash signatures + banded-LSH candidate pairs with their estimated
+    * Jaccard. Word-unigram shingles (n configurable via [[TextHash.shingles]]);
+    * 128 permutations in 8 bands × 16 rows — steep S-curve centred near
+    * j≈0.85 so buckets stay small (the corpus's median pair similarity is
+    * ~0.6; banding at 16 bands × 8 rows made nearly every pair a
+    * candidate, an all-pairs blowup at scale).
+    */
+  def minhashPairs(s: SparkSession, dir: String, minSim: Double = 0.7): DataFrame = {
+    val numPerms = 128
+    val bands = 8
+    val sigUdf = udf { (text: String) =>
+      TextHash.minhashSignature(TextHash.shingles(text, 1), numPerms)
+    }
+    val bandUdf = udf { (sig: Seq[Long]) => TextHash.bandKeys(sig.toArray, bands) }
+    val estUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+      TextHash.estimatedJaccard(a.toArray, b.toArray)
+    }
+    val docs = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), sigUdf(col("text")).as("sig"))
+      .withColumn("band", explode(bandUdf(col("sig"))))
+    val a = docs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("band"))
+    a.join(b, Seq("band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("est_jaccard", estUdf(col("sig_a"), col("sig_b")))
+      .filter(col("est_jaccard") >= minSim)
+      .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** Per-document 64-bit SimHash plus its 4 × 16-bit segments — the
+    * pigeonhole keys for Hamming-distance joins (near-dups within distance
+    * d < 4·16 must share ≥1 segment).
+    */
+  def simhashDocs(s: SparkSession, dir: String): DataFrame = {
+    val shUdf = udf { (text: String) => TextHash.simhash64(text) }
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), shUdf(col("text")).as("simhash"))
+      .select(
+        col("doc_id"),
+        col("simhash"),
+        col("simhash").bitwiseAND(lit(0xffffL)).as("seg0"),
+        shiftright(col("simhash"), 16).bitwiseAND(lit(0xffffL)).as("seg1"),
+        shiftright(col("simhash"), 32).bitwiseAND(lit(0xffffL)).as("seg2"),
+        shiftright(col("simhash"), 48).bitwiseAND(lit(0xffffL)).as("seg3"))
+  }
+
+  /** SimHash near-dup candidates: pigeonhole join on any equal segment,
+    * exact Hamming filter. Threshold is generous (word-salad corpus has no
+    * true near-dups); the machinery is what matters.
+    */
+  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 26): DataFrame = {
+    val hamUdf = udf { (a: Long, b: Long) => TextHash.hamming(a, b) }
+    val docs = simhashDocs(s, dir)
+    val segs = (0 to 3).map { i =>
+      docs.select(
+        col("doc_id"),
+        col("simhash"),
+        concat(lit(s"$i:"), col(s"seg$i")).as("seg_key"))
+    }.reduce(_ union _)
+    val a = segs.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("seg_key"))
+    val b = segs.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"), col("seg_key"))
+    a.join(b, Seq("seg_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", hamUdf(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Exact word-set Jaccard between all document pairs of one language
+    * among `doc_id < 80` — the verification kernel for the sketch paths,
+    * oracle-checked (pure set algebra).
+    */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(s, dir)
+      .filter(col("doc_id") < 80)
+      .select(col("doc_id"), col("lang"), explode(array_distinct(split(col("text"), " ", -1))).as("w"))
+    val sizes = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_words"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("w"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("w"))
+    val common = a
+      .join(b, Seq("w"))
+      .filter(col("doc_a") < col("doc_b") && col("lang") === col("lang_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_words", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_words", "n_b"), "doc_b")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("n_common"),
+        round(col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+  }
+
+  val ngramJaccardSql: String =
+    """WITH words AS (
+         SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS w
+         FROM documents WHERE doc_id < 80
+       ), sizes AS (
+         SELECT doc_id, count(*) AS n_words FROM words GROUP BY doc_id
+       ), common AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+          AND a.lang = b.lang
+         GROUP BY 1, 2
+       )
+       SELECT doc_a, doc_b, n_common,
+              round(CAST(n_common AS DOUBLE) / (sa.n_words + sb.n_words - n_common), 6) AS jaccard
+       FROM common
+       JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE round(CAST(n_common AS DOUBLE) / (sa.n_words + sb.n_words - n_common), 6) >= 0.2"""
+
+  /** Winnowed rolling-hash document fingerprints (MOSS scheme) — summary
+    * per document; shared fingerprints locate shared passages.
+    */
+  def fingerprints(s: SparkSession, dir: String): DataFrame = {
+    val fpUdf = udf { (text: String) => TextHash.winnow(text) }
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), fpUdf(col("text")).as("fps"))
+      .select(
+        col("doc_id"),
+        size(col("fps")).as("n_fingerprints"),
+        array_min(col("fps")).as("min_fp"),
+        array_max(col("fps")).as("max_fp"))
+  }
+
+  /** Language-ID heuristic: stopword-marker counts per candidate language
+    * (occurrence counting via the length-difference trick — identical
+    * semantics in Spark and DuckDB), argmax with deterministic tiebreak.
+    */
+  def languageId(s: SparkSession, dir: String): DataFrame = {
+    def occurrences(marker: String) =
+      ((length(col("text")) - length(regexp_replace(col("text"), lit(marker), lit("")))) /
+        marker.length).cast("long")
+    val enScore = (occurrences(" the ") + occurrences(" a ")).as("score_en")
+    val deScore = (occurrences(" der ") + occurrences(" und ")).as("score_de")
+    val frScore = (occurrences(" le ") + occurrences(" et ")).as("score_fr")
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("lang"), enScore, deScore, frScore)
+      .withColumn(
+        "detected",
+        when(col("score_en") >= col("score_de") && col("score_en") >= col("score_fr") &&
+          col("score_en") > 0, "en")
+          .when(col("score_de") >= col("score_fr") && col("score_de") > 0, "de")
+          .when(col("score_fr") > 0, "fr")
+          .otherwise("unknown"))
+  }
+
+  val languageIdSql: String =
+    """WITH scored AS (
+         SELECT doc_id, lang,
+           CAST((length(text) - length(replace(text, ' the ', ''))) // 5
+              + (length(text) - length(replace(text, ' a ', ''))) // 3 AS BIGINT) AS score_en,
+           CAST((length(text) - length(replace(text, ' der ', ''))) // 5
+              + (length(text) - length(replace(text, ' und ', ''))) // 5 AS BIGINT) AS score_de,
+           CAST((length(text) - length(replace(text, ' le ', ''))) // 4
+              + (length(text) - length(replace(text, ' et ', ''))) // 4 AS BIGINT) AS score_fr
+         FROM documents)
+       SELECT doc_id, lang, score_en, score_de, score_fr,
+         CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en > 0 THEN 'en'
+              WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
+              WHEN score_fr > 0 THEN 'fr'
+              ELSE 'unknown' END AS detected
+       FROM scored"""
+
+  /** Regex token counting (whitespace words vs a BPE-ish split into word /
+    * digit / punctuation units) — oracle-checked; same regex semantics for
+    * this ASCII class in Java and RE2.
+    */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), "\\s+", -1)).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("long")
+          .as("bpe_ish_tokens"))
+
+  val tokenCountsSql: String =
+    """SELECT doc_id,
+       len(regexp_split_to_array(text, '\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_ish_tokens
+       FROM documents"""
+}

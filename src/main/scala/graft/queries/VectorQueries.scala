@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextHash
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]` column) —
+  * the LLM-pipeline ANN surface.
+  *
+  * Two paths, as a real 100 TB pipeline needs both:
+  *   - [[cosineTopK]]: exact brute-force top-k — the baseline and the
+  *     per-bucket kernel. All arithmetic is a sequential left-fold over
+  *     doubles, which DuckDB's `list_dot_product` matches bit-for-bit, so
+  *     this has an exact oracle.
+  *   - [[lshAnn]]: random-hyperplane LSH buckets — the scale path: one
+  *     shuffle on (bucket, band), candidates only within buckets, never a
+  *     cross join against the full corpus.
+  */
+object VectorQueries {
+
+  /** Exact top-k neighbors by dot product (embeddings are ~unit-norm, so
+    * this is cosine ranking) for query vectors `vec_id < nQueries`.
+    * Scale: queries broadcast; one narrow pass over the corpus computes
+    * all similarities; per-partition top-k via the rank window is bounded
+    * by nQueries × corpus-partition size.
+    */
+  def cosineTopK(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10): DataFrame = {
+    val e = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+    val q = e
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val sims = e
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn(
+        "sim_raw",
+        aggregate(zip_with(col("emb"), col("qemb"), _ * _), lit(0.0), _ + _))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim_raw").desc, col("vec_id"))
+    sims
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        round(col("sim_raw"), 6).as("sim"),
+        col("rank"))
+  }
+
+  val cosineTopKSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 8),
+       sims AS (SELECT query_id, vec_id AS neighbor_id,
+                       list_dot_product(emb, qemb) AS sim_raw
+                FROM e, q WHERE vec_id <> query_id),
+       ranked AS (SELECT *, row_number() OVER
+                    (PARTITION BY query_id ORDER BY sim_raw DESC, neighbor_id) AS rank
+                  FROM sims)
+       SELECT query_id, neighbor_id, round(sim_raw, 6) AS sim, rank
+       FROM ranked WHERE rank <= 10"""
+
+  /** Deterministic random hyperplanes (seeded, computed identically on
+    * every executor).
+    */
+  private def hyperplanes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new scala.util.Random(TextHash.mix64(seed))
+    Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Approximate NN via sign-pattern buckets of `nPlanes` random
+    * hyperplanes, with `bands` sub-signatures so near neighbors collide in
+    * ≥1 band. Candidates are ranked exactly within buckets.
+    * Scale: the corpus shuffles once on (band, bucket-key); bucket sizes
+    * concentrate around corpus/2^(nPlanes/bands) — tune nPlanes per SF.
+    */
+  def lshAnn(
+      s: SparkSession,
+      dir: String,
+      nQueries: Int = 8,
+      k: Int = 10,
+      nPlanes: Int = 16,
+      bands: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val planesB = s.sparkContext.broadcast(hyperplanes(64, nPlanes, seed))
+    val signs = udf { (emb: Seq[Float]) =>
+      val planes = planesB.value
+      val perBand = planes.length / bands
+      Array.tabulate(bands) { b =>
+        var key = 0L
+        var p = b * perBand
+        while (p < (b + 1) * perBand) {
+          var dot = 0.0
+          val plane = planes(p)
+          var i = 0
+          while (i < plane.length && i < emb.length) { dot += plane(i) * emb(i); i += 1 }
+          key = (key << 1) | (if (dot >= 0.0) 1L else 0L)
+          p += 1
+        }
+        (b.toLong << 32) | key
+      }
+    }
+    val e = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), explode(signs(col("embedding"))).as("bucket"))
+    val q = e
+      .filter(col("vec_id") < nQueries)
+      .select(
+        col("vec_id").as("query_id"),
+        col("embedding").as("qemb"),
+        col("bucket").as("qbucket"))
+    val candidates = e
+      .join(q, col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn(
+        "sim",
+        aggregate(
+          zip_with(col("embedding"), col("qemb"), (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0),
+          _ + _))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    candidates
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+class TextHashSpec extends AnyFunSuite {
+
+  private def jaccard(a: Set[String], b: Set[String]): Double =
+    if (a.isEmpty && b.isEmpty) 0.0 else (a & b).size.toDouble / (a | b).size
+
+  test("minhash estimates Jaccard within ±0.1 at 128 perms") {
+    val rng = new Random(7)
+    val vocab = (0 until 200).map(i => s"w$i")
+    for (_ <- 0 until 20) {
+      val base = rng.shuffle(vocab).take(80).toSet
+      val keep = base.filter(_ => rng.nextDouble() < 0.7)
+      val other = keep ++ rng.shuffle(vocab).take(30).toSet
+      val trueJ = jaccard(base, other)
+      val sa = TextHash.minhashSignature(base.toArray, 128)
+      val sb = TextHash.minhashSignature(other.toArray, 128)
+      val est = TextHash.estimatedJaccard(sa, sb)
+      assert(math.abs(est - trueJ) < 0.12, s"est=$est true=$trueJ")
+    }
+  }
+
+  test("identical sets agree on every minhash position; banding collides") {
+    val sh = TextHash.shingles("spark scan filter join agg sort", 1)
+    val s1 = TextHash.minhashSignature(sh, 128)
+    val s2 = TextHash.minhashSignature(sh.reverse, 128)
+    assert(s1.toSeq === s2.toSeq)
+    assert(TextHash.bandKeys(s1, 16).toSeq === TextHash.bandKeys(s2, 16).toSeq)
+  }
+
+  test("simhash: similar documents have small hamming distance") {
+    val base = (0 until 100).map(i => s"tok${i % 37}").mkString(" ")
+    val nearDup = base + " extra token tail"
+    val unrelated = (0 until 100).map(i => s"other${i}").mkString(" ")
+    val h1 = TextHash.simhash64(base)
+    val h2 = TextHash.simhash64(nearDup)
+    val h3 = TextHash.simhash64(unrelated)
+    assert(TextHash.hamming(h1, h2) < 12)
+    assert(TextHash.hamming(h1, h3) > 20)
+  }
+
+  test("winnow: shared passages share fingerprints, edits preserve most") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "PREFIX " + a + " SUFFIX"
+    val fa = TextHash.winnow(a).toSet
+    val fb = TextHash.winnow(b).toSet
+    assert((fa & fb).size.toDouble / fa.size > 0.7)
+    assert(TextHash.winnow("ab").nonEmpty) // shorter than k
+  }
+
+  test("shingles: n-grams and unigram distinctness") {
+    assert(TextHash.shingles("a b c d", 2).toSeq === Seq("a b", "b c", "c d"))
+    assert(TextHash.shingles("a b a b", 1).toSeq === Seq("a", "b"))
+    assert(TextHash.shingles("a", 3).toSeq === Seq("a"))
+  }
+}
