@@ -42,6 +42,7 @@ object SparkEntry {
     "q_frame_assembly" -> (PipelineQueries.frameAssembly _),
     "q_nexus_frame_table" -> (PipelineQueries.nexusFrameTable _),
     "q_nexus_event_table" -> (PipelineQueries.nexusEventTable _),
+    "q_stream_frame_assembly" -> (StreamingQueries.streamFrameAssembly _),
     // LLM-data-pipeline ops
     "q_dedup_exact" -> (TextQueries.dedupExact _),
     "q_text_stats" -> (TextQueries.textStats _),

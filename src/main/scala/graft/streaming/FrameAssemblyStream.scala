@@ -1,0 +1,105 @@
+package graft.streaming
+
+import graft.schemas._
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming frame assembly — the faithful rendering of the reference's
+  * digitiser-aggregator cache (SURVEY §2.6 A2,
+  * `/root/reference/digitiser-aggregator/src/frame/cache.rs:49-142`):
+  *
+  *   - state is keyed by the veto-flag-free frame identity;
+  *   - a frame dispatches EARLY when all expected digitisers have
+  *     contributed (`partial.rs:56-60`), or on TTL expiry measured from
+  *     the first message (`partial.rs:30-31`) — `ProcessingTimeTimeout`
+  *     is exactly the reference's poll-loop expiry;
+  *   - duplicate digitisers are rejected (`cache.rs:71-74`);
+  *   - messages for an already-dispatched frame are rejected
+  *     (`cache.rs:55-63`) — a tombstone state lingers one TTL to absorb
+  *     them, mirroring the reference's monotone-dispatch late rejection;
+  *   - veto flags OR together; `digitizers_present` is sorted; concat is
+  *     in ascending digitiser order (batch-deterministic equivalent of
+  *     the reference's arrival order).
+  *
+  * Scale: state per in-flight frame only (bounded by TTL × frame rate);
+  * one shuffle on the frame key — identical topology to the batch
+  * operator, plus state cleanup by timeout.
+  */
+object FrameAssemblyStream {
+
+  /** Per-frame mutable state: one SoA contribution per digitiser. */
+  final case class FrameState(
+      contributions: Map[Int, (Array[Long], Array[Int], Array[Long])],
+      vetoFlags: Int,
+      dispatched: Boolean)
+
+  def assemble(
+      dev2: Dataset[EventListMessage],
+      expectedDigitizers: Seq[Int],
+      ttlMs: Long = 500L): Dataset[AssembledFrame] = {
+    val expected = expectedDigitizers.sorted
+    implicit val keyEnc = Encoders.product[FrameKey]
+    implicit val stateEnc = Encoders.kryo[FrameState]
+    implicit val outEnc = Encoders.product[AssembledFrame]
+
+    def emit(key: FrameKey, st: FrameState): AssembledFrame = {
+      val present = st.contributions.keys.toArray.sorted
+      val times = Array.newBuilder[Long]
+      val volts = Array.newBuilder[Int]
+      val chans = Array.newBuilder[Long]
+      present.foreach { did =>
+        val (t, v, c) = st.contributions(did)
+        times ++= t; volts ++= v; chans ++= c
+      }
+      AssembledFrame(
+        metadata = FrameMetadata(key.timestampNs, key.periodNumber, key.protonsPerPulse,
+          key.running, key.frameNumber, st.vetoFlags),
+        time = times.result(),
+        voltage = volts.result(),
+        channel = chans.result(),
+        complete = present.toSeq == expected,
+        digitizersPresent = present)
+    }
+
+    dev2
+      .groupByKey(m => FrameKey.of(m.metadata))
+      .flatMapGroupsWithState[FrameState, AssembledFrame](
+        OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        (key: FrameKey, msgs: Iterator[EventListMessage], state: GroupState[FrameState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            // TTL expiry: dispatch incomplete frame (or clear tombstone)
+            if (st.dispatched) Iterator.empty else Iterator.single(emit(key, st))
+          } else {
+            var st = state.getOption.getOrElse(FrameState(Map.empty, 0, dispatched = false))
+            if (st.dispatched) {
+              // late message after dispatch → reject (cache.rs:55-63)
+              state.update(st)
+              Iterator.empty
+            } else {
+              msgs.foreach { m =>
+                if (!st.contributions.contains(m.digitizerId)) {
+                  st = st.copy(
+                    contributions =
+                      st.contributions + (m.digitizerId -> ((m.time, m.voltage, m.channel))),
+                    vetoFlags = st.vetoFlags | m.metadata.vetoFlags)
+                } // duplicate digitiser → rejected (cache.rs:71-74)
+              }
+              if (st.contributions.keys.toSeq.sorted == expected) {
+                val out = emit(key, st)
+                // tombstone absorbs late repeats for one more TTL
+                state.update(st.copy(dispatched = true))
+                state.setTimeoutDuration(ttlMs)
+                Iterator.single(out)
+              } else {
+                state.update(st)
+                state.setTimeoutDuration(ttlMs)
+                Iterator.empty
+              }
+            }
+          }
+      }
+  }
+}

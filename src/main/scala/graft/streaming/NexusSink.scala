@@ -1,0 +1,117 @@
+package graft.streaming
+
+import graft.operators.{NexusTables, RunAssignment}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** NeXus-layout run-file sink (SURVEY §2.2 K4–K6) — the Parquet mirror of
+  * the reference's per-run HDF5 files
+  * (`/root/reference/nexus-writer/src/nexus_structure/entry/mod.rs:66-106`):
+  * one directory per run under `local/`, holding `events/` and `frames/`
+  * tables (§1.4 layout, running `event_index` included); completed runs
+  * (stop seen + linger elapsed) move atomically to `completed/`
+  * (`run_engine/run/mod.rs:116-139`).
+  *
+  * Batch-by-batch operation inside `foreachBatch`: the run catalog is
+  * driver-side state fed by control messages — the same design as the
+  * reference's in-memory run cache. Crash resume (K6) rebuilds the
+  * catalog by scanning `local/` (`run_engine/engine.rs:144-173`); event
+  * data re-appended after a restart is deduplicated by `(run, batch_id)`
+  * subdirectories, making the sink idempotent per micro-batch.
+  *
+  * Scale: the per-run layout is written with one `partitionBy(run_name)`
+  * append — executors write partition dirs directly, the driver never
+  * touches row data; `event_index` windows are per run (bounded).
+  */
+final class NexusSink(outputDir: String) extends Serializable {
+
+  private val local = Paths.get(outputDir, "local")
+  private val completed = Paths.get(outputDir, "completed")
+  Files.createDirectories(local)
+  Files.createDirectories(completed)
+
+  /** Write one micro-batch of run-assigned assembled frames (aev2 layout +
+    * `run_name`/`run_start_ns` columns). `batchId` keys the append for
+    * idempotent restart.
+    */
+  def writeBatch(assignedFrames: DataFrame, batchId: Long): Unit = {
+    val events = NexusTables
+      .eventTable(assignedFrames)
+      .withColumn("batch_id", lit(batchId))
+    val frames = NexusTables
+      .frameTable(assignedFrames)
+      .withColumn("batch_id", lit(batchId))
+    events.write
+      .mode(SaveMode.Append)
+      .partitionBy("run_name", "batch_id")
+      .parquet(local.resolve("events").toString)
+    frames.write
+      .mode(SaveMode.Append)
+      .partitionBy("run_name", "batch_id")
+      .parquet(local.resolve("frames").toString)
+  }
+
+  /** Move finished runs' partitions local/ → completed/ (K5). A run is
+    * finished when its stop time plus `lingerMs` is in the past (late
+    * frames within the linger window still append,
+    * `nexus-writer/src/run_engine/engine.rs:329-356`).
+    */
+  def finalizeRuns(runs: Seq[(String, Option[Long])], nowNs: Long, lingerMs: Long = 2000L): Seq[String] =
+    runs.collect {
+      case (runName, Some(untilNs)) if untilNs + lingerMs * 1000000L < nowNs =>
+        Seq("events", "frames").foreach { table =>
+          val src = local.resolve(table).resolve(s"run_name=$runName")
+          if (Files.exists(src)) {
+            val dst = completed.resolve(table).resolve(s"run_name=$runName")
+            Files.createDirectories(dst.getParent)
+            if (!Files.exists(dst)) Files.move(src, dst)
+            else mergeMove(src, dst)
+          }
+        }
+        runName
+    }
+
+  private def mergeMove(src: Path, dst: Path): Unit = {
+    Files.list(src).iterator().asScala.foreach { child =>
+      val target = dst.resolve(child.getFileName)
+      if (Files.exists(target)) mergeMove(child, target)
+      else Files.move(child, target)
+    }
+    Files.deleteIfExists(src)
+  }
+
+  /** K6 crash resume: run names with data already on disk under local/. */
+  def resumeRunNames(): Seq[String] = {
+    val eventsDir = local.resolve("events")
+    if (!Files.exists(eventsDir)) Seq.empty
+    else
+      Files
+        .list(eventsDir)
+        .iterator()
+        .asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("run_name="))
+        .map(_.stripPrefix("run_name="))
+        .toSeq
+        .sorted
+  }
+}
+
+object NexusSink {
+
+  /** Wire an assembled-frame stream through run assignment into the sink:
+    * `stream.writeStream.foreachBatch(NexusSink.pipe(sink, runs))`.
+    * `runsProvider` supplies the current run catalog per batch (control
+    * topic accumulated so far) — the reference's engine cache equivalent.
+    */
+  def pipe(sink: NexusSink, runsProvider: SparkSession => DataFrame)(
+      batch: DataFrame,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val assigned = RunAssignment.assignFrames(batch, runsProvider(spark))
+    sink.writeBatch(assigned, batchId)
+  }
+}

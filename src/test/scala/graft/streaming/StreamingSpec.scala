@@ -1,0 +1,157 @@
+package graft.streaming
+
+import graft.schemas._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Streaming semantics locked to the reference's cache tests
+  * (`digitiser-aggregator/src/frame/cache.rs:150-387`): early dispatch on
+  * completeness, TTL dispatch of incomplete frames, late-message rejection
+  * after dispatch; plus run-lifecycle transitions and the NeXus sink
+  * layout/finalisation/resume.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def meta(frame: Long, veto: Int = 0) =
+    FrameMetadata(1700000000000000000L + frame * 20000000L, 0L, 4, true, frame, veto)
+
+  private def msg(did: Int, frame: Long, veto: Int = 0) =
+    EventListMessage(did, meta(frame, veto),
+      Array(1L, 2L), Array(did * 10, did * 10 + 1), Array(did * 8L, did * 8L))
+
+  /** Poll the memory sink until `pred` holds — `processAllAvailable` never
+    * returns under ProcessingTimeTimeout (the stateful operator always
+    * reports another batch may be needed, so the engine never quiesces).
+    */
+  private def awaitTable(name: String, timeoutMs: Long = 20000L)(
+      pred: Array[org.apache.spark.sql.Row] => Boolean): Array[org.apache.spark.sql.Row] = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var rows = spark.table(name).collect()
+    while (!pred(rows) && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100L)
+      rows = spark.table(name).collect()
+    }
+    rows
+  }
+
+  test("stream frame assembly: completeness dispatch, TTL dispatch, late rejection") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventListMessage]
+    val out = FrameAssemblyStream.assemble(input.toDS(), Seq(0, 1), ttlMs = 300L)
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val query = out.writeStream
+      .format("memory")
+      .queryName("assembled")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      // frame 0: both digitisers → dispatches complete immediately
+      input.addData(msg(0, 0), msg(1, 0, veto = 2))
+      // frame 1: only digitiser 0 → waits for TTL
+      input.addData(msg(0, 1))
+      val afterFirst = awaitTable("assembled")(_.length >= 1)
+      assert(afterFirst.length === 1)
+      val f0 = afterFirst.head
+      assert(f0.getAs[org.apache.spark.sql.Row]("metadata").getAs[Long]("frameNumber") === 0L)
+      assert(f0.getAs[Boolean]("complete"))
+      assert(f0.getAs[org.apache.spark.sql.Row]("metadata").getAs[Int]("vetoFlags") === 2)
+      assert(f0.getAs[scala.collection.Seq[Long]]("time").length === 4)
+
+      // late message for dispatched frame 0 → rejected by tombstone;
+      // frame 1 dispatches incomplete once its TTL expires
+      input.addData(msg(1, 0))
+      val frames = awaitTable("assembled")(_.exists(
+        _.getAs[org.apache.spark.sql.Row]("metadata").getAs[Long]("frameNumber") == 1L))
+      val f1 = frames.find(_.getAs[org.apache.spark.sql.Row]("metadata").getAs[Long]("frameNumber") == 1L)
+      assert(f1.isDefined, s"frame 1 should dispatch incomplete after TTL; got ${frames.length} frames")
+      assert(!f1.get.getAs[Boolean]("complete"))
+      assert(f1.get.getAs[scala.collection.Seq[Int]]("digitizersPresent") === Seq(0))
+      // frame 0 was not re-emitted by the late message
+      assert(frames.count(_.getAs[org.apache.spark.sql.Row]("metadata")
+        .getAs[Long]("frameNumber") == 0L) === 1)
+    } finally query.stop()
+  }
+
+  test("run lifecycle stream: start/stop pairing, invalid stop rejected") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ControlMessage]
+    val out = RunStream.runIntervals(input.toDS())
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val query = out.writeStream
+      .format("memory")
+      .queryName("runs")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.addData(ControlMessage("start", "run_x", 1000L, "muon"))
+      query.processAllAvailable()
+      assert(spark.table("runs").collect().map(r =>
+        (r.getString(0), r.getLong(1), Option(r.get(2)))).toSet ===
+        Set(("run_x", 1000000000L, None)))
+
+      // stop before start → rejected; valid stop → closes
+      input.addData(ControlMessage("stop", "run_x", 500L, "muon"))
+      query.processAllAvailable()
+      assert(spark.table("runs").count() === 1)
+      input.addData(ControlMessage("stop", "run_x", 3000L, "muon"))
+      query.processAllAvailable()
+      val rows = spark.table("runs").collect()
+      assert(rows.length === 2)
+      assert(rows.map(r => Option(r.get(2))).toSet.contains(Some(3000000000L)))
+
+      // stop with no open run → rejected
+      input.addData(ControlMessage("stop", "run_y", 4000L, "muon"))
+      query.processAllAvailable()
+      assert(spark.table("runs").count() === 2)
+    } finally query.stop()
+  }
+
+  test("nexus sink: per-run layout, linger finalisation, crash resume") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("nexus").toString
+    val sink = new NexusSink(outDir)
+    val aev2 = Seq(
+      AssembledFrame(meta(0), Array(5L, 6L), Array(100, 200), Array(0L, 1L), true, Array(0, 1)),
+      AssembledFrame(meta(1), Array(7L), Array(300), Array(2L), true, Array(0, 1))).toDS()
+    val assigned = aev2
+      .withColumn("run_name", lit("run_a"))
+      .withColumn("run_start_ns", lit(meta(0).timestampNs - 1L))
+    sink.writeBatch(assigned, batchId = 0L)
+    sink.writeBatch(assigned.withColumn("run_name", lit("run_b")), batchId = 1L)
+
+    val events = spark.read.parquet(s"$outDir/local/events")
+    assert(events.filter(col("run_name") === "run_a").count() === 3)
+    val frames = spark.read.parquet(s"$outDir/local/frames")
+    assert(frames.filter(col("run_name") === "run_a")
+      .orderBy("event_time_zero").collect().map(_.getAs[Long]("event_index")).toSeq === Seq(0L, 2L))
+
+    assert(sink.resumeRunNames() === Seq("run_a", "run_b"))
+
+    // run_a stopped long ago → finalised; run_b still open → stays local
+    val nowNs = meta(1).timestampNs + 10000000000L
+    val moved = sink.finalizeRuns(
+      Seq("run_a" -> Some(meta(1).timestampNs + 1L), "run_b" -> None), nowNs)
+    assert(moved === Seq("run_a"))
+    assert(Files.exists(java.nio.file.Paths.get(s"$outDir/completed/events/run_name=run_a")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$outDir/local/events/run_name=run_a")))
+    assert(sink.resumeRunNames() === Seq("run_b"))
+    assert(spark.read.parquet(s"$outDir/completed/events").count() === 3)
+  }
+}
