@@ -43,6 +43,14 @@ object SparkEntry {
     "q_nexus_frame_table" -> (PipelineQueries.nexusFrameTable _),
     "q_nexus_event_table" -> (PipelineQueries.nexusEventTable _),
     "q_stream_frame_assembly" -> (StreamingQueries.streamFrameAssembly _),
+    // log streams, scalar functions, diagnostics (SURVEY §2.3, 2.6, 2.7, 2.9)
+    "q_json_props" -> (LogQueries.jsonProps _),
+    "q_selog_expand" -> (LogQueries.selogExpand _),
+    "q_alarm_severity" -> (LogQueries.alarmSeverity _),
+    "q_gps_round_trip" -> (LogQueries.gpsRoundTrip _),
+    "q_spectrum_map" -> (LogQueries.spectrumMap _),
+    "q_trace_event_attach" -> (LogQueries.traceEventAttach _),
+    "q_digitiser_stats" -> (LogQueries.digitiserStats _),
     // LLM-data-pipeline ops
     "q_dedup_exact" -> (TextQueries.dedupExact _),
     "q_text_stats" -> (TextQueries.textStats _),
@@ -55,7 +63,10 @@ object SparkEntry {
     "q_language_id" -> (DedupQueries.languageId _),
     "q_token_counts" -> (DedupQueries.tokenCounts _),
     "q_cosine_topk" -> ((s: SparkSession, d: String) => VectorQueries.cosineTopK(s, d)),
-    "q_lsh_ann" -> ((s: SparkSession, d: String) => VectorQueries.lshAnn(s, d))
+    "q_lsh_ann" -> ((s: SparkSession, d: String) => VectorQueries.lshAnn(s, d)),
+    // multimodal binary columns (decode step stubbed; plumbing real)
+    "q_media_features" -> (MultimodalQueries.mediaFeatures _),
+    "q_media_resize" -> ((s: SparkSession, d: String) => MultimodalQueries.mediaResize(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -80,6 +91,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> DedupQueries.ngramJaccardSql,
     "q_language_id" -> DedupQueries.languageIdSql,
     "q_token_counts" -> DedupQueries.tokenCountsSql,
-    "q_cosine_topk" -> VectorQueries.cosineTopKSql
+    "q_cosine_topk" -> VectorQueries.cosineTopKSql,
+    "q_json_props" -> LogQueries.jsonPropsSql
   )
 }

@@ -38,8 +38,20 @@ object DedupQueries {
       .documents(s, dir)
       .select(col("doc_id"), sigUdf(col("text")).as("sig"))
       .withColumn("band", explode(bandUdf(col("sig"))))
-    val a = docs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("band"))
+    // Cap bucket size: a bucket of n docs yields n²/2 candidate pairs, so
+    // degenerate mega-buckets (hash regions where "everything resembles
+    // everything") turn the bucket join quadratic. Skipping them is the
+    // standard LSH-at-scale mitigation — near-dup detection inside such a
+    // clique carries no information anyway.
+    val maxBucket = 64
+    val smallBuckets = docs
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+      .select(col("band"))
+    val pruned = docs.join(smallBuckets, Seq("band"))
+    val a = pruned.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band"))
+    val b = pruned.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("band"))
     a.join(b, Seq("band"))
       .filter(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")

@@ -1,0 +1,204 @@
+package graft.queries
+
+import graft.Tables
+import graft.dsp.{DetectorSettings, FixedThreshold}
+import graft.functions.{GpsTime, TimeFunctions}
+import graft.operators.EventFormation
+import graft.schemas._
+import graft.sources.TraceGenerator
+import graft.sources.TraceGenerator.GeneratorConfig
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Log-stream, scalar-function, and diagnostics operators (SURVEY §2.3
+  * P9/P10, §2.6 A5/A6, §2.7 J4/J5, §2.9 F1/F10/F12). Log fixtures are
+  * generated deterministically (no harness log tables exist); the JSON
+  * operator runs over the events table and carries a DuckDB oracle.
+  */
+object LogQueries {
+
+  /** F12: JSON property extraction over the events stream — oracle-checked. */
+  def jsonProps(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .select(
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("value"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+
+  val jsonPropsSql: String =
+    """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+       FROM events GROUP BY 1"""
+
+  private def runStartNs = 1700000000000000000L
+
+  /** Deterministic se00 fixture mirroring the schema's two timestamp
+    * modes (`schemas/ecs_se00_data.fbs:31-43`).
+    */
+  private def selogFixture(s: SparkSession) = {
+    import s.implicits._
+    (0 until 64).map { i =>
+      val packetTs = runStartNs + i.toLong * 1000000000L
+      val explicit = i % 2 == 0
+      SampleEnvLog(
+        name = if (i % 3 == 0) s"IN:MUSR:CS:SB:temp_$i" else s"pressure_$i",
+        channel = i % 8,
+        packetTimestampNs = packetTs,
+        timeDelta = if (explicit) 0.0 else 250000.0, // ns between samples
+        timestampLocation = "Start",
+        values = Array.tabulate(16)(j => math.sin(i + j * 0.1) * 10),
+        timestamps =
+          if (explicit) Array.tabulate(16)(j => packetTs + j.toLong * 300000L)
+          else Array.empty[Long],
+        messageCounter = i.toLong)
+    }.toDS()
+  }
+
+  /** se00 sample-environment expansion (P9 + P10 +
+    * `nexus-writer/src/nexus/logs/se00.rs:71-105`): per-sample timestamps
+    * from the explicit array when present, else packet_timestamp +
+    * i×time_delta; names prefix-stripped; times rebased to seconds from
+    * run start. One narrow posexplode — no shuffle.
+    */
+  def selogExpand(s: SparkSession, dir: String): DataFrame = {
+    val strip = udf { (name: String) => TimeFunctions.removePrefixes(name) }
+    selogFixture(s)
+      .select(
+        strip(col("name")).as("name"),
+        col("channel"),
+        col("packetTimestampNs"),
+        col("timeDelta"),
+        col("timestamps"),
+        posexplode(col("values")).as(Seq("sample_idx", "value")))
+      .withColumn(
+        "ts_ns",
+        when(size(col("timestamps")) > 0, expr("timestamps[sample_idx]"))
+          .otherwise(col("packetTimestampNs") +
+            (col("sample_idx").cast("double") * col("timeDelta")).cast("long")))
+      .select(
+        col("name"),
+        col("channel"),
+        col("sample_idx"),
+        round((col("ts_ns") - lit(runStartNs)).cast("double") / 1e9, 9).as("time_sec"),
+        round(col("value"), 6).as("value"))
+  }
+
+  /** al00 alarm normalisation (F10 severity mapping +
+    * `schemas/ecs_al00_alarm.fbs:5-17`).
+    */
+  def alarmSeverity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val alarms = (0 until 32).map { i =>
+      Alarm(
+        sourceName = s"IN:MUSR:CS:SB:block_${i % 4}",
+        timestampNs = runStartNs + i.toLong * 500000000L,
+        severity = Seq("OK", "MINOR", "MAJOR", "INVALID")(i % 4),
+        message = s"alarm $i")
+    }.toDS()
+    val strip = udf { (name: String) => TimeFunctions.removePrefixes(name) }
+    alarms
+      .select(
+        strip(col("sourceName")).as("source"),
+        col("severity"),
+        when(col("severity") === "OK", 0)
+          .when(col("severity") === "MINOR", 1)
+          .when(col("severity") === "MAJOR", 2)
+          .otherwise(3)
+          .as("severity_code"),
+        round((col("timestampNs") - lit(runStartNs)).cast("double") / 1e9, 9)
+          .as("time_sec"))
+  }
+
+  /** F1: GpsTime ↔ epoch-ns round trip over a generated component grid. */
+  def gpsRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gps = udf { (ns: Long) =>
+      val g = TimeFunctions.epochNsToGps(ns)
+      (g.year, g.day, g.hour, g.minute, g.second, g.millisecond, g.microsecond, g.nanosecond)
+    }
+    val back = udf { (y: Int, d: Int, h: Int, m: Int, sec: Int, ms: Int, us: Int, ns: Int) =>
+      TimeFunctions.gpsToEpochNs(GpsTime(y, d, h, m, sec, ms, us, ns))
+    }
+    s.range(0, 1000)
+      .select((lit(runStartNs) + col("id") * 86400123456789L).as("ts_ns"))
+      .withColumn("g", gps(col("ts_ns")))
+      .select(
+        col("ts_ns"),
+        col("g._1").as("year"),
+        col("g._2").as("day"),
+        col("g._3").as("hour"),
+        back(col("g._1"), col("g._2"), col("g._3"), col("g._4"), col("g._5"),
+          col("g._6"), col("g._7"), col("g._8")).as("round_trip_ns"))
+      .withColumn("ok", col("ts_ns") === col("round_trip_ns"))
+  }
+
+  /** J5: detector-spectrum map as a broadcast dimension joined to event
+    * channels (`schemas/ecs_df12_det_spec_map.fbs:6-10`).
+    */
+  def spectrumMap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mapping = (0 until 32).map(i => SpectrumMapping(spectrum = 1000 + i, detectorId = i)).toDS()
+    val dev2 = EventFormation.formEvents(
+      TraceGenerator.traces(s, GeneratorConfig(nFrames = 8, nDigitizers = 4)),
+      DetectorSettings(FixedThreshold(threshold = 100.0), baseline = 50.0))
+    dev2
+      .select(col("digitizerId"), explode(col("channel")).as("detectorId"))
+      .join(broadcast(mapping), Seq("detectorId"))
+      .groupBy(col("spectrum"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  /** J4: trace ↔ event-list attach on (digitiser id, frame timestamp) —
+    * the trace-viewer dragnet join
+    * (`trace-viewer/src/finder/task/dragnet.rs:93-130`).
+    */
+  def traceEventAttach(s: SparkSession, dir: String): DataFrame = {
+    val cfg = GeneratorConfig(nFrames = 8, nDigitizers = 4)
+    val traces = TraceGenerator.traces(s, cfg)
+    val dev2 = EventFormation.formEvents(
+      traces, DetectorSettings(FixedThreshold(threshold = 100.0), baseline = 50.0))
+    traces
+      .select(
+        col("digitizerId"),
+        col("metadata.timestampNs").as("ts_ns"),
+        size(col("channels")).as("n_channels"))
+      .join(
+        dev2.select(
+          col("digitizerId"),
+          col("metadata.timestampNs").as("ts_ns"),
+          size(col("time")).as("n_events")),
+        Seq("digitizerId", "ts_ns"))
+      .orderBy(col("ts_ns"), col("digitizerId"))
+  }
+
+  /** A5: per-digitiser live diagnostics (the `daq-trace` TUI aggregation,
+    * `diagnostics/src/daq_trace/data.rs:46-120`): message count,
+    * first/last timestamps, frame span, channel/sample counts, intensity
+    * extrema.
+    */
+  def digitiserStats(s: SparkSession, dir: String): DataFrame = {
+    val traces = TraceGenerator.traces(s, GeneratorConfig(nFrames = 16, nDigitizers = 4))
+    traces
+      .select(
+        col("digitizerId"),
+        col("metadata.timestampNs").as("ts_ns"),
+        col("metadata.frameNumber").as("frame"),
+        size(col("channels")).as("n_channels"),
+        expr("aggregate(channels, 0, (acc, c) -> acc + size(c.voltage))").as("n_samples"),
+        expr("array_max(transform(channels, c -> array_max(c.voltage)))").as("max_intensity"),
+        expr("array_min(transform(channels, c -> array_min(c.voltage)))").as("min_intensity"))
+      .groupBy(col("digitizerId"))
+      .agg(
+        count(lit(1)).as("n_messages"),
+        min(col("ts_ns")).as("first_ts_ns"),
+        max(col("ts_ns")).as("last_ts_ns"),
+        min(col("frame")).as("first_frame"),
+        max(col("frame")).as("last_frame"),
+        max(col("n_channels")).as("n_channels"),
+        max(col("n_samples")).as("samples_per_msg"),
+        max(col("max_intensity")).as("max_intensity"),
+        min(col("min_intensity")).as("min_intensity"))
+  }
+}

@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextHash
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (LLM-data-pipeline surface): image/audio
+  * payloads as opaque `BinaryType` columns with typed metadata, processed
+  * in batches via `mapPartitions`.
+  *
+  * The Spark side — schema, binary column handling, per-partition batch
+  * processing, metadata propagation — is real and tested. The actual
+  * media codecs are STUBBED (no image/audio libraries in this
+  * environment): `decodeStub` parses the deterministic 16-byte header
+  * (magic, width, height, format) that the fixture synthesiser writes and
+  * derives "pixel statistics" from the payload bytes. Swapping the stub
+  * body for a real decoder keeps every data-flow contract identical.
+  */
+object MultimodalQueries {
+
+  /** Deterministic fake media payload: 16-byte header (magic `GRFT`,
+    * width, height, format code) + content bytes derived from the doc
+    * text. Stands in for real image bytes.
+    */
+  private def synthMedia(docId: Long, text: String): Array[Byte] = {
+    val width = 64 + (TextHash.mix64(docId) & 0x3f).toInt * 8
+    val height = 64 + (TextHash.mix64(docId + 7) & 0x3f).toInt * 4
+    val format = (docId % 3).toInt // 0=rgb8, 1=gray8, 2=rgba8
+    val header = java.nio.ByteBuffer.allocate(16)
+    header.put('G'.toByte).put('R'.toByte).put('F'.toByte).put('T'.toByte)
+    header.putInt(width).putInt(height).putInt(format)
+    val content = new Array[Byte](256)
+    var h = TextHash.hash64(text)
+    var i = 0
+    while (i < content.length) {
+      h = TextHash.mix64(h + i)
+      content(i) = (h & 0xff).toByte
+      i += 1
+    }
+    header.array() ++ content
+  }
+
+  /** The media table: binary payload + typed metadata columns. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    val synth = udf { (docId: Long, text: String) => synthMedia(docId, text) }
+    Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        synth(col("doc_id"), col("text")).as("media"),
+        lit("image/grft").as("mime"))
+  }
+
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("format", StringType),
+    StructField("n_bytes", IntegerType),
+    StructField("mean_byte", DoubleType),
+    StructField("feature", ArrayType(FloatType))))
+
+  /** STUB decode: real header parse; "pixel statistics" and the feature
+    * vector are deterministic functions of the payload bytes standing in
+    * for a real decode → embed step.
+    */
+  private def decodeStub(docId: Long, media: Array[Byte]): Row = {
+    val buf = java.nio.ByteBuffer.wrap(media)
+    require(buf.get() == 'G' && buf.get() == 'R' && buf.get() == 'F' && buf.get() == 'T',
+      s"bad magic for doc $docId")
+    val width = buf.getInt
+    val height = buf.getInt
+    val format = buf.getInt match {
+      case 0 => "rgb8"
+      case 1 => "gray8"
+      case _ => "rgba8"
+    }
+    val content = media.drop(16)
+    val mean = content.map(b => (b & 0xff).toDouble).sum / content.length
+    val feature = Array.tabulate(8) { i =>
+      (content.slice(i * 32, (i + 1) * 32).map(b => (b & 0xff).toLong).sum % 1000L) / 1000.0f
+    }
+    Row(docId, width, height, format, media.length, mean, feature.toSeq)
+  }
+
+  /** Decode + feature-extract in partition batches — the distributed
+    * shape real media pipelines use (one decoder instance per partition,
+    * rows streamed through it; no per-row setup cost, no shuffle).
+    */
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = mediaTable(s, dir)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featureSchema)
+    media
+      .select(col("doc_id"), col("media"))
+      .mapPartitions { rows =>
+        // per-partition decoder setup would go here (codec init, model load)
+        rows.map(r => decodeStub(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }(enc)
+  }
+
+  /** STUB resize: metadata-level transform demonstrating payload-preserving
+    * column surgery (a real implementation re-encodes `media`).
+    */
+  def mediaResize(s: SparkSession, dir: String, maxDim: Int = 128): DataFrame =
+    mediaFeatures(s, dir)
+      .withColumn("scale",
+        least(lit(1.0), lit(maxDim) / greatest(col("width"), col("height"))))
+      .select(
+        col("doc_id"),
+        col("width"),
+        col("height"),
+        (col("width") * col("scale")).cast("int").as("out_width"),
+        (col("height") * col("scale")).cast("int").as("out_height"),
+        col("format"))
+}
