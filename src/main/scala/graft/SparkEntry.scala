@@ -30,6 +30,8 @@ object SparkEntry {
     "q_user_day_stats" -> (RelationalQueries.userDayStats _),
     "q_interval_join" -> (RelationalQueries.intervalJoin _),
     "q_semi_anti_join" -> (RelationalQueries.semiAntiJoin _),
+    "q_time_travel" -> (RelationalQueries.timeTravel _),
+    "q_period_list" -> (RelationalQueries.periodList _),
     // signal processing on tables (SURVEY §2.4–2.5)
     "q_threshold_events" -> ((s: SparkSession, d: String) =>
       SignalQueries.thresholdEvents(s, d)),
@@ -84,6 +86,8 @@ object SparkEntry {
     "q_user_day_stats" -> RelationalQueries.userDayStatsSql,
     "q_interval_join" -> RelationalQueries.intervalJoinSql,
     "q_semi_anti_join" -> RelationalQueries.semiAntiJoinSql,
+    "q_time_travel" -> RelationalQueries.timeTravelSql,
+    "q_period_list" -> RelationalQueries.periodListSql,
     "q_threshold_events" -> SignalQueries.thresholdEventsSql,
     "q_dedup_exact" -> TextQueries.dedupExactSql,
     "q_text_stats" -> TextQueries.textStatsSql,

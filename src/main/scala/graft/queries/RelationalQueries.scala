@@ -263,6 +263,49 @@ object RelationalQueries {
         AND CAST(e.ts AS TIMESTAMP) < CAST(s.ts AS TIMESTAMP) + INTERVAL 24 HOURS
        GROUP BY s.event_id"""
 
+  /** Time-travel scan (§2.8 O4/O5 — the Kafka offsets-by-timestamp
+    * "dragnet" search rendered on a batch table): bounded time window +
+    * predicate + deterministic limit. Scale: the timestamp filter pushes
+    * to the scan (partition pruning on a date-partitioned layout) and the
+    * limit plans as TakeOrdered.
+    */
+  def timeTravel(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .filter(
+        col("ts") >= to_timestamp(lit("2024-01-10")) &&
+          col("ts") < to_timestamp(lit("2024-01-11")) &&
+          col("event_type") === "error")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .orderBy(col("ts"), col("event_id"))
+      .limit(50)
+
+  val timeTravelSql: String =
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events
+       WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+         AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-11 00:00:00'
+         AND event_type = 'error'
+       ORDER BY ts, event_id LIMIT 50"""
+
+  /** Period-list accumulation (§2.6 A4 — distinct periods seen per run):
+    * distinct activity days per event type.
+    */
+  def periodList(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(date_trunc("day", col("ts"))).as("n_periods"),
+        min(date_trunc("day", col("ts"))).as("first_period"),
+        max(date_trunc("day", col("ts"))).as("last_period"))
+
+  val periodListSql: String =
+    """SELECT event_type,
+       count(DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP))) AS n_periods,
+       min(date_trunc('day', CAST(ts AS TIMESTAMP))) AS first_period,
+       max(date_trunc('day', CAST(ts AS TIMESTAMP))) AS last_period
+       FROM events GROUP BY event_type"""
+
   /** Semi/anti join surface (§2.7): customers with ≥1 order but no
     * high-value order.
     */

@@ -27,6 +27,7 @@ object VectorQueries {
     * by nQueries × corpus-partition size.
     */
   def cosineTopK(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10): DataFrame = {
+    graft.plans.VecDot.register(s)
     val e = Tables
       .embeddings(s, dir)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
@@ -35,9 +36,8 @@ object VectorQueries {
       .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
     val sims = e
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn(
-        "sim_raw",
-        aggregate(zip_with(col("emb"), col("qemb"), _ * _), lit(0.0), _ + _))
+      // native codegen'd expression — no intermediate product array
+      .withColumn("sim_raw", expr("vec_dot(emb, qemb)"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim_raw").desc, col("vec_id"))
     sims
       .withColumn("rank", row_number().over(w).cast("long"))

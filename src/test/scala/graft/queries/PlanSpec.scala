@@ -1,0 +1,80 @@
+package graft.queries
+
+import graft.dsp.{DetectorSettings, FixedThreshold}
+import graft.operators.EventFormation
+import graft.sources.TraceGenerator
+import graft.sources.TraceGenerator.GeneratorConfig
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality lock: these assertions encode the physical-plan properties
+  * the queries are designed around (pushdown, broadcast strategy, top-k
+  * pushdown, shuffle counts). A regression here means a 100 TB run just
+  * got slower even though results stay correct.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("scan-prune pushes filters and prunes columns at the parquet scan") {
+    val p = plan(RelationalQueries.scanPrune(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    // read schema carries only the 5 referenced columns, not all 11
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_discount:double,l_shipdate:timestam"))
+    assert(!p.contains("l_extendedprice"))
+  }
+
+  test("region revenue joins broadcast; single aggregation shuffle") {
+    val p = plan(RelationalQueries.regionRevenue(spark, dir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1)
+  }
+
+  test("stored-value top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan(RelationalQueries.topOrders(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"))
+  }
+
+  test("interval join keeps the equi-key hash join with the range as residual") {
+    val p = plan(RelationalQueries.intervalJoin(spark, dir))
+    assert(p.contains("BroadcastHashJoin [user_id"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("cosine top-k benefits from window group-limit pushdown") {
+    val p = plan(VectorQueries.cosineTopK(spark, dir))
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("event formation is shuffle-free (narrow map over messages)") {
+    val traces = TraceGenerator.traces(spark, GeneratorConfig(nFrames = 2, nDigitizers = 2))
+    val p = plan(
+      EventFormation
+        .formEvents(traces, DetectorSettings(FixedThreshold(100.0), baseline = 50.0))
+        .toDF())
+    assert(!p.contains("Exchange"))
+  }
+
+  test("frame assembly shuffles at most twice (dedup + keyed aggregation)") {
+    import spark.implicits._
+    val traces = TraceGenerator.traces(spark, GeneratorConfig(nFrames = 2, nDigitizers = 2))
+    val dev2 = EventFormation.formEvents(traces, DetectorSettings(FixedThreshold(100.0), baseline = 50.0))
+    val p = plan(graft.operators.FrameAssembly.assemble(dev2, Seq(0, 1)))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.sources
+
+import graft.dsp.{DetectorSettings, FixedThreshold}
+import graft.operators.EventFormation
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class TraceFileSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def fixture: Seq[(Long, Array[Array[Int]])] =
+    (0 until 10).map { i =>
+      val ts = 1700000000000000000L + i * 20000000L
+      val channels = Array.tabulate(2)(c =>
+        Array.tabulate(32)(j => 50 + ((i * 31 + c * 7 + j * 13) % 400)))
+      (ts, channels)
+    }
+
+  test("binary trace file round-trips header and events with random access") {
+    val path = Files.createTempDirectory("tracefile").resolve("run.gtf").toString
+    TraceFile.write(path, sampleTimeNs = 1.0, events = fixture)
+    val header = TraceFile.readHeader(path)
+    assert(header.nChannels === 2)
+    assert(header.nSamples === 32)
+    assert(header.nEvents === 10)
+    assert(header.sampleTimeNs === 1.0)
+    // random access: read event 7 directly, compare to source
+    val (ts7, ch7) = TraceFile.readEvent(path, header, 7)
+    assert(ts7 === fixture(7)._1)
+    assert(ch7.map(_.toSeq).toSeq === fixture(7)._2.map(_.toSeq).toSeq)
+  }
+
+  test("distributed load feeds event formation") {
+    val path = Files.createTempDirectory("tracefile").resolve("run.gtf").toString
+    TraceFile.write(path, sampleTimeNs = 1.0, events = fixture)
+    val traces = TraceFile.load(spark, path, digitizerId = 3)
+    assert(traces.count() === 10)
+    val dev2 = EventFormation
+      .formEvents(traces, DetectorSettings(FixedThreshold(threshold = 100.0), baseline = 50.0))
+      .collect()
+    assert(dev2.length === 10)
+    assert(dev2.forall(_.digitizerId === 3))
+    assert(dev2.map(_.time.length).sum > 0)
+  }
+
+  test("vec_dot expression: interpreted and codegen paths agree with the HOF chain") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.plans.VecDot.register(spark)
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.1, -0.2), Array(0.3, 0.4)),
+      (Array.empty[Double], Array.empty[Double])).toDF("a", "b")
+    val got = df
+      .select(
+        expr("vec_dot(a, b)").as("vd"),
+        aggregate(zip_with(col("a"), col("b"), _ * _), lit(0.0), _ + _).as("hof"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    // null propagation
+    val n = spark.sql("SELECT vec_dot(NULL, array(1.0d)) AS v").collect()
+    assert(n.head.isNullAt(0))
+  }
+}
