@@ -45,6 +45,7 @@ object SparkEntry {
     "q_nexus_frame_table" -> (PipelineQueries.nexusFrameTable _),
     "q_nexus_event_table" -> (PipelineQueries.nexusEventTable _),
     "q_stream_frame_assembly" -> (StreamingQueries.streamFrameAssembly _),
+    "q_stream_windowed_counts" -> (StreamingQueries.streamWindowedCounts _),
     // log streams, scalar functions, diagnostics (SURVEY §2.3, 2.6, 2.7, 2.9)
     "q_json_props" -> (LogQueries.jsonProps _),
     "q_selog_expand" -> (LogQueries.selogExpand _),
@@ -96,6 +97,7 @@ object SparkEntry {
     "q_language_id" -> DedupQueries.languageIdSql,
     "q_token_counts" -> DedupQueries.tokenCountsSql,
     "q_cosine_topk" -> VectorQueries.cosineTopKSql,
-    "q_json_props" -> LogQueries.jsonPropsSql
+    "q_json_props" -> LogQueries.jsonPropsSql,
+    "q_stream_windowed_counts" -> StreamingQueries.streamWindowedCountsSql
   )
 }

@@ -20,6 +20,45 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingQueries {
 
+  /** Watermarked tumbling-window aggregation over the events table read
+    * as a FILE STREAM (SURVEY §2.10): the harness parquet drives a real
+    * incremental query; since the batch and streaming results coincide
+    * once the stream drains, this one is oracle-checked against DuckDB.
+    * Scale: per-window partial aggregation, state bounded by the
+    * watermark horizon.
+    */
+  def streamWindowedCounts(s: SparkSession, dir: String): DataFrame = {
+    // raw file schema: ts arrives as ns-since-epoch long (nanosAsLong)
+    val raw = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream
+      .schema(raw)
+      // the file source wants a directory; glob down to the events table
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").as("day"), col("event_type"), col("n"), col("sum_value"))
+    val name = s"win_counts_${System.nanoTime()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_win_ckpt").toString
+    val query = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(name)
+  }
+
+  val streamWindowedCountsSql: String =
+    """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+       FROM events GROUP BY 1, 2"""
+
   def streamFrameAssembly(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
