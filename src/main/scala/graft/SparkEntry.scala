@@ -49,6 +49,7 @@ object SparkEntry {
     // log streams, scalar functions, diagnostics (SURVEY §2.3, 2.6, 2.7, 2.9)
     "q_json_props" -> (LogQueries.jsonProps _),
     "q_selog_expand" -> (LogQueries.selogExpand _),
+    "q_runlog_typed" -> (LogQueries.runlogTyped _),
     "q_alarm_severity" -> (LogQueries.alarmSeverity _),
     "q_gps_round_trip" -> (LogQueries.gpsRoundTrip _),
     "q_spectrum_map" -> (LogQueries.spectrumMap _),

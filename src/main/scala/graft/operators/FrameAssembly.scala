@@ -31,8 +31,15 @@ import graft.schemas.EventListMessage
 object FrameAssembly {
 
   /** Batch assembly. Input may contain duplicate (frame, digitiser)
-    * messages; the first by (digitizerId, payload-hash) order wins, like
-    * the reference's first-arrival-wins dedup.
+    * messages; the smallest payload struct per digitiser wins
+    * (deterministic stand-in for the reference's first-arrival-wins —
+    * batch input has no arrival order).
+    *
+    * ONE shuffle total: duplicate rejection happens inside the collected
+    * array (sort, then drop entries whose digitiser id equals their
+    * predecessor's) instead of a separate dropDuplicates, which would add
+    * a second full-data exchange — at 100 TB that second shuffle is the
+    * difference between one pass and two over the event stream.
     */
   def assemble(dev2: Dataset[EventListMessage], expectedDigitizers: Seq[Int]): DataFrame = {
     val expected = expectedDigitizers.sorted
@@ -43,17 +50,24 @@ object FrameAssembly {
       col("metadata.running"),
       col("metadata.frameNumber"))
     dev2
-      .withColumn("frame_key", struct(keyCols: _*))
-      .dropDuplicates("frame_key", "digitizerId")
-      .drop("frame_key")
       .groupBy(keyCols: _*)
       .agg(
         sort_array(collect_list(struct(
           col("digitizerId"),
           col("time"),
           col("voltage"),
-          col("channel")))).as("per_dig"),
+          col("channel")))).as("per_dig_all"),
         expr("bit_or(metadata.vetoFlags)").as("vetoFlags"))
+      // duplicate-digitiser rejection (cache.rs:71-74): keep the first
+      // entry of each id in the sorted array
+      .withColumn(
+        "per_dig",
+        filter(
+          col("per_dig_all"),
+          (x, i) =>
+            i === lit(0) ||
+              element_at(col("per_dig_all"), i).getField("digitizerId") =!=
+                x.getField("digitizerId")))
       .select(
         struct(
           col("timestampNs"),

@@ -85,6 +85,54 @@ object LogQueries {
         round(col("value"), 6).as("value"))
   }
 
+  /** f144 run-log union dispatch (`schemas/ecs_f144_logdata.fbs:27-54`):
+    * the 20-variant value union is modelled as a type tag plus widened
+    * numeric columns; like the reference sink, the concrete type per
+    * source is resolved from the FIRST sample and later samples are
+    * appended under it (`nexus-writer/src/nexus/logs/f114.rs:25-59`).
+    * Scalars and arrays coexist (arrays via per-sample explode).
+    */
+  def runlogTyped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("Byte", "Short", "Int", "Long", "Float", "Double", "ArrayFloat", "ArrayDouble")
+    val logs = (0 until 64).map { i =>
+      val t = types(i % types.length)
+      LogData(
+        sourceName = s"IN:MUSR:CS:SB:pv_${i % 8}",
+        timestampNs = runStartNs + i.toLong * 100000000L,
+        valueType = t,
+        value = if (t.startsWith("Array")) 0.0 else i.toDouble / 3.0,
+        arrayValue =
+          if (t.startsWith("Array")) Array.tabulate(4)(j => i + j * 0.25) else Array.empty)
+    }.toDS()
+    val strip = udf { (name: String) => TimeFunctions.removePrefixes(name) }
+    // generators can't sit inside when/otherwise — split the union by tag
+    val scalars = logs
+      .filter(!col("valueType").startsWith("Array"))
+      .select(
+        strip(col("sourceName")).as("source"),
+        col("valueType"),
+        col("timestampNs"),
+        col("value").as("sample"))
+    val arrays = logs
+      .filter(col("valueType").startsWith("Array"))
+      .select(
+        strip(col("sourceName")).as("source"),
+        col("valueType"),
+        col("timestampNs"),
+        explode(col("arrayValue")).as("sample"))
+    val perSample = scalars.union(arrays)
+    val resolved = perSample
+      .groupBy(col("source"))
+      .agg(
+        min_by(col("valueType"), col("timestampNs")).as("resolved_type"),
+        count(lit(1)).as("n_samples"),
+        round(avg(col("sample")), 6).as("mean_value"),
+        round((max(col("timestampNs")) - lit(runStartNs)).cast("double") / 1e9, 9)
+          .as("last_time_sec"))
+    resolved
+  }
+
   /** al00 alarm normalisation (F10 severity mapping +
     * `schemas/ecs_al00_alarm.fbs:5-17`).
     */

@@ -131,6 +131,43 @@ object TraceFile {
       }
   }
 
+  /** Bisect by timestamp (SURVEY §2.8 O4/O5 — the trace-viewer's
+    * offset-space binary search, `trace-viewer/src/finder/task/binary_by_timestamp.rs:13-72`):
+    * binary-search the fixed-stride records for the target timestamp,
+    * step back `backstep` events, then scan forward collecting up to
+    * `limit` events whose timestamp is within `forwardDistanceNs`.
+    * Requires records in timestamp order (capture order), like the
+    * reference requires ordered Kafka offsets.
+    */
+  def findByTimestamp(
+      path: String,
+      targetTs: Long,
+      backstep: Int = 4,
+      limit: Int = 8,
+      forwardDistanceNs: Long = Long.MaxValue): Seq[(Int, Long, Array[Array[Int]])] = {
+    val header = readHeader(path)
+    if (header.nEvents == 0) return Seq.empty
+    var lo = 0
+    var hi = header.nEvents - 1
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (readEvent(path, header, mid)._1 < targetTs) lo = mid + 1 else hi = mid
+    }
+    val start = math.max(0, lo - backstep)
+    // saturating bound — targetTs + MaxValue must not wrap negative
+    val horizon =
+      if (forwardDistanceNs > Long.MaxValue - targetTs) Long.MaxValue
+      else targetTs + forwardDistanceNs
+    Iterator
+      .range(start, header.nEvents)
+      .map(i => (i, readEvent(path, header, i)))
+      .dropWhile(_._2._1 < targetTs)
+      .takeWhile(_._2._1 <= horizon)
+      .take(limit)
+      .map { case (i, (ts, ch)) => (i, ts, ch) }
+      .toSeq
+  }
+
   private def writeString(out: DataOutputStream, s: String): Unit = {
     val bytes = s.getBytes("UTF-8")
     out.writeInt(bytes.length)

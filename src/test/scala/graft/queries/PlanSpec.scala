@@ -70,11 +70,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"))
   }
 
-  test("frame assembly shuffles at most twice (dedup + keyed aggregation)") {
+  test("frame assembly is a single keyed shuffle (dedup inside the aggregation)") {
     import spark.implicits._
     val traces = TraceGenerator.traces(spark, GeneratorConfig(nFrames = 2, nDigitizers = 2))
     val dev2 = EventFormation.formEvents(traces, DetectorSettings(FixedThreshold(100.0), baseline = 50.0))
     val p = plan(graft.operators.FrameAssembly.assemble(dev2, Seq(0, 1)))
-    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1)
   }
 }

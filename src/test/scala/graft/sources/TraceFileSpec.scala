@@ -51,6 +51,22 @@ class TraceFileSpec extends AnyFunSuite {
     assert(dev2.map(_.time.length).sum > 0)
   }
 
+  test("bisect by timestamp: backstep + forward scan with limit (O4/O5)") {
+    val path = Files.createTempDirectory("tracefile").resolve("run.gtf").toString
+    TraceFile.write(path, sampleTimeNs = 1.0, events = fixture)
+    // target between events 4 and 5 → bisect lands on 5, backstep 2 → start 3
+    val target = fixture(4)._1 + 1L
+    val hits = TraceFile.findByTimestamp(path, target, backstep = 2, limit = 3)
+    assert(hits.map(_._1) === Seq(5, 6, 7)) // dropWhile skips pre-target
+    assert(hits.forall(_._2 >= target))
+    // bounded forward distance truncates the scan
+    val bounded = TraceFile.findByTimestamp(path, target, backstep = 2, limit = 10,
+      forwardDistanceNs = 40000000L)
+    assert(bounded.map(_._1) === Seq(5, 6))
+    // target beyond all events → empty
+    assert(TraceFile.findByTimestamp(path, fixture.last._1 + 1L) === Seq.empty)
+  }
+
   test("vec_dot expression: interpreted and codegen paths agree with the HOF chain") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
