@@ -68,6 +68,9 @@ object SparkEntry {
     "q_token_counts" -> (DedupQueries.tokenCounts _),
     "q_cosine_topk" -> ((s: SparkSession, d: String) => VectorQueries.cosineTopK(s, d)),
     "q_lsh_ann" -> ((s: SparkSession, d: String) => VectorQueries.lshAnn(s, d)),
+    "q_ivf_ann" -> ((s: SparkSession, d: String) => VectorQueries.ivfAnn(s, d)),
+    "q_sessionize" -> (RelationalQueries.sessionize _),
+    "q_rollup_revenue" -> (RelationalQueries.rollupRevenue _),
     // multimodal binary columns (decode step stubbed; plumbing real)
     "q_media_features" -> (MultimodalQueries.mediaFeatures _),
     "q_media_resize" -> ((s: SparkSession, d: String) => MultimodalQueries.mediaResize(s, d))
@@ -99,6 +102,8 @@ object SparkEntry {
     "q_token_counts" -> DedupQueries.tokenCountsSql,
     "q_cosine_topk" -> VectorQueries.cosineTopKSql,
     "q_json_props" -> LogQueries.jsonPropsSql,
-    "q_stream_windowed_counts" -> StreamingQueries.streamWindowedCountsSql
+    "q_stream_windowed_counts" -> StreamingQueries.streamWindowedCountsSql,
+    "q_sessionize" -> RelationalQueries.sessionizeSql,
+    "q_rollup_revenue" -> RelationalQueries.rollupRevenueSql
   )
 }

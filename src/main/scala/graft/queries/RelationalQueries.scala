@@ -306,6 +306,73 @@ object RelationalQueries {
        max(date_trunc('day', CAST(ts AS TIMESTAMP))) AS last_period
        FROM events GROUP BY event_type"""
 
+  /** Gap-based sessionization — the analytics rendering of the run/frame
+    * "session with TTL" semantics (§2.10): a new session starts when a
+    * user's inter-event gap exceeds 30 minutes. Pure window functions, so
+    * it carries an exact oracle; one shuffle on user_id.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables
+      .events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn(
+        "new_session",
+        // µs integer arithmetic on both engines — second-cast truncation
+        // disagrees with DuckDB's epoch() on sub-second boundaries
+        (col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L).cast("int"))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+  }
+
+  val sessionizeSql: String =
+    """WITH marked AS (
+         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+                CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                       OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ), numbered AS (
+         SELECT *, CAST(sum(new_session) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+         FROM marked
+       )
+       SELECT user_id, session_seq, min(ts) AS session_start,
+              max(ts) AS session_end, count(*) AS n_events,
+              round(sum(value), 4) AS sum_value
+       FROM numbered GROUP BY user_id, session_seq"""
+
+  /** Hierarchical ROLLUP aggregation (region → nation → grand total) —
+    * grouping-set surface with the null-filled subtotal rows both engines
+    * share.
+    */
+  def rollupRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(s, dir)
+      .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 4).as("sum_bal"))
+
+  val rollupRevenueSql: String =
+    """SELECT r_name, n_name, count(*) AS n_customers,
+       round(sum(c_acctbal), 4) AS sum_bal
+       FROM customer
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY ROLLUP (r_name, n_name)"""
+
   /** Semi/anti join surface (§2.7): customers with ≥1 order but no
     * high-value order.
     */

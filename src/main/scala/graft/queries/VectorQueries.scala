@@ -61,6 +61,110 @@ object VectorQueries {
        SELECT query_id, neighbor_id, round(sim_raw, 6) AS sim, rank
        FROM ranked WHERE rank <= 10"""
 
+  /** IVF (inverted-file) approximate NN — the other standard scale path:
+    * a coarse k-means quantiser partitions the corpus into `nLists`
+    * cells; each query probes its `nProbe` nearest centroids and ranks
+    * exactly within those cells only.
+    *
+    * Scale design: centroids are trained on a bounded sample (driver-side
+    * Lloyd iterations over ≤ 2k vectors, seeded — at 100 TB you train on
+    * a sample regardless), then broadcast; assignment is one narrow pass;
+    * the candidate join shuffles on cell id, touching `nProbe/nLists` of
+    * the corpus per query instead of all of it.
+    */
+  def ivfAnn(
+      s: SparkSession,
+      dir: String,
+      nQueries: Int = 8,
+      k: Int = 10,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    graft.plans.VecDot.register(s)
+    val sample = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .limit(2000)
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray.map(_.toDouble))
+    val dim = sample.headOption.map(_.length).getOrElse(0)
+    val rng = new scala.util.Random(graft.functions.TextHash.mix64(seed))
+    var centroids = Array.fill(nLists)(sample(rng.nextInt(sample.length)).clone())
+    for (_ <- 0 until 8) { // Lloyd iterations on the sample
+      val sums = Array.fill(nLists)(new Array[Double](dim))
+      val counts = new Array[Int](nLists)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(nLists) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    val centB = s.sparkContext.broadcast(centroids)
+    val assignUdf = udf { (emb: Seq[Float]) =>
+      nearestCentroid(emb.toArray.map(_.toDouble), centB.value)
+    }
+    val probeUdf = udf { (emb: Seq[Float]) =>
+      val v = emb.toArray.map(_.toDouble)
+      centB.value.indices
+        .sortBy(c => -dot(v, centB.value(c)))
+        .take(nProbe)
+        .toArray
+    }
+    val e = Tables
+      .embeddings(s, dir)
+      .select(
+        col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("emb"),
+        assignUdf(col("embedding")).as("cell"))
+    val q = Tables
+      .embeddings(s, dir)
+      .filter(col("vec_id") < nQueries)
+      .select(
+        col("vec_id").as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qemb"),
+        explode(probeUdf(col("embedding"))).as("cell"))
+    val candidates = e
+      .join(q, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", expr("vec_dot(emb, qemb)"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    candidates
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private def nearestCentroid(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      var d = 0.0
+      var i = 0
+      while (i < v.length) {
+        val diff = v(i) - centroids(c)(i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Deterministic random hyperplanes (seeded, computed identically on
     * every executor).
     */
