@@ -101,6 +101,22 @@ object PipelineQueries {
     NexusTables.frameTable(RunAssignment.assignFrames(aev2, runs))
   }
 
+  /** End-to-end pipeline throughput unit for the benchmark: 256 messages
+    * × 8 channels × 2000 bins (4.1M samples) through detection, assembly,
+    * and the NeXus frame table. The timed count forces the whole chain.
+    */
+  def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val big = GeneratorConfig(nFrames = 64, nDigitizers = 4, timeBins = 2000)
+    val dev2 = EventFormation.formEvents(
+      TraceGenerator.traces(s, big),
+      DetectorSettings(FixedThreshold(threshold = 100.0), baseline = 50.0))
+    val aev2 = FrameAssembly.assemble(dev2, expected)
+    aev2
+      .withColumn("run_name", lit("bench_run"))
+      .withColumn("run_start_ns", lit(big.startTimestampNs - 1L))
+      .transform(NexusTables.frameTable)
+  }
+
   def nexusEventTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dev2 = EventFormation.formEvents(

@@ -44,12 +44,17 @@ final class NexusSink(outputDir: String) extends Serializable {
     val frames = NexusTables
       .frameTable(assignedFrames)
       .withColumn("batch_id", lit(batchId))
+    // dynamic partition OVERWRITE, not append: replaying a micro-batch
+    // after restart must replace its (run_name, batch_id) partitions —
+    // a blind append would duplicate every row of the replayed batch
     events.write
-      .mode(SaveMode.Append)
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("run_name", "batch_id")
       .parquet(local.resolve("events").toString)
     frames.write
-      .mode(SaveMode.Append)
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("run_name", "batch_id")
       .parquet(local.resolve("frames").toString)
   }

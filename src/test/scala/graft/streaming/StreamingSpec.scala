@@ -123,6 +123,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("end-to-end streaming job: traces → events → frames → run-assigned sink") {
+    import graft.dsp.{DetectorSettings, FixedThreshold}
+    import graft.schemas.{ChannelTrace, TraceMessage}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = Files.createTempDirectory("e2e").toString
+    val sink = new NexusSink(outDir)
+    val runs = Seq(("run_e2e", meta(0).timestampNs - 1L, null.asInstanceOf[java.lang.Long]))
+      .toDF("run_name", "collect_from_ns", "collect_until_ns")
+
+    val trace = Array(0, 1, 2, 1, 0, 1, 2, 1, 8, 0, 2, 8, 3, 1, 2)
+    def traceMsg(did: Int, frame: Long) =
+      TraceMessage(did, meta(frame), 1000000000L, Array(
+        ChannelTrace(did * 8L, trace), ChannelTrace(did * 8L + 1, trace)))
+
+    val input = MemoryStream[TraceMessage]
+    val query = PipelineJobs.traceToNexus(
+      input.toDS(),
+      DetectorSettings(FixedThreshold(5.0, 1, 0)),
+      expectedDigitizers = Seq(0, 1),
+      sink = sink,
+      runsProvider = _ => runs,
+      ttlMs = 200L,
+      checkpoint = Files.createTempDirectory("ckpt").toString)
+    try {
+      input.addData(traceMsg(0, 0), traceMsg(1, 0), traceMsg(0, 1), traceMsg(1, 1))
+      val deadline = System.currentTimeMillis() + 20000L
+      def eventCount: Long =
+        try spark.read.parquet(s"$outDir/local/events").count()
+        catch { case _: Throwable => 0L }
+      while (eventCount < 16 && System.currentTimeMillis() < deadline) Thread.sleep(200L)
+      // 2 frames × 2 digitisers × 2 channels × 2 events (t=8,11 fixture)
+      assert(eventCount === 16)
+      val frames = spark.read.parquet(s"$outDir/local/frames")
+      assert(frames.count() === 2)
+      assert(frames.select("run_name").distinct().collect().map(_.getString(0)).toSeq === Seq("run_e2e"))
+    } finally query.stop()
+  }
+
   test("nexus sink: per-run layout, linger finalisation, crash resume") {
     import spark.implicits._
     val outDir = Files.createTempDirectory("nexus").toString
@@ -143,6 +182,11 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("event_time_zero").collect().map(_.getAs[Long]("event_index")).toSeq === Seq(0L, 2L))
 
     assert(sink.resumeRunNames() === Seq("run_a", "run_b"))
+
+    // restart idempotence: replaying a batch id replaces its partitions
+    sink.writeBatch(assigned, batchId = 0L)
+    assert(spark.read.parquet(s"$outDir/local/events")
+      .filter(col("run_name") === "run_a").count() === 3)
 
     // run_a stopped long ago → finalised; run_b still open → stays local
     val nowNs = meta(1).timestampNs + 10000000000L
