@@ -35,6 +35,9 @@ object SparkEntry {
     // signal processing on tables (SURVEY §2.4–2.5)
     "q_threshold_events" -> ((s: SparkSession, d: String) =>
       SignalQueries.thresholdEvents(s, d)),
+    "q_percentiles" -> (RelationalQueries.percentiles _),
+    "q_threshold_events_expr" -> ((s: SparkSession, d: String) =>
+      SignalQueries.thresholdEventsExpr(s, d)),
     // DAQ pipeline: generator → event formation → frame assembly → NeXus
     // tables (SURVEY §2.1 S7, §2.4–2.6, §1.4; FSMs are not SQL-expressible
     // → rows-only driver check, semantics locked in DspSpec/PipelineSpec)
@@ -95,6 +98,8 @@ object SparkEntry {
     "q_time_travel" -> RelationalQueries.timeTravelSql,
     "q_period_list" -> RelationalQueries.periodListSql,
     "q_threshold_events" -> SignalQueries.thresholdEventsSql,
+    "q_percentiles" -> RelationalQueries.percentilesSql,
+    "q_threshold_events_expr" -> SignalQueries.thresholdEventsSql,
     "q_dedup_exact" -> TextQueries.dedupExactSql,
     "q_text_stats" -> TextQueries.textStatsSql,
     "q_corpus_profile" -> TextQueries.corpusProfileSql,

@@ -170,6 +170,28 @@ object RelationalQueries {
        EXCEPT
        SELECT c_custkey AS o_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"""
 
+  /** Exact interpolated percentiles per group (diagnostics-style
+    * distribution stats). Both engines implement the same continuous
+    * quantile definition, so this carries an exact oracle.
+    */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"),
+        count(lit(1)).as("n"))
+
+  val percentilesSql: String =
+    """SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       count(*) AS n
+       FROM events GROUP BY event_type"""
+
   /** Bitwise-OR aggregation (§2.8 O6 — veto-flag union analog). */
   def bitOrSizes(s: SparkSession, dir: String): DataFrame =
     Tables

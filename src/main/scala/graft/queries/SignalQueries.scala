@@ -46,6 +46,32 @@ object SignalQueries {
       .toDF("user_id", "event_time", "pulse_height")
   }
 
+  /** The same detection as [[thresholdEvents]] but through the Catalyst
+    * expression path ([[graft.plans.DetectPulses]]): per-user traces stay
+    * in Tungsten rows (collect_list → sorted struct array), the FSM reads
+    * the sample array directly, and event indices map back to timestamps
+    * with array indexing — no Dataset encoders anywhere. Shares the
+    * gaps-and-islands oracle (identical semantics by construction).
+    */
+  def thresholdEventsExpr(s: SparkSession, dir: String, threshold: Double = 150.0): DataFrame = {
+    graft.plans.DetectPulses.register(s)
+    Tables
+      .events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+        .as("trace"))
+      .select(
+        col("user_id"),
+        col("trace"),
+        explode(expr(s"detect_pulses(transform(trace, t -> t.value), ${threshold}D, 1, 0)"))
+          .as("pulse"))
+      .select(
+        col("user_id"),
+        expr("trace[cast(pulse.time AS int)].ts").as("event_time"),
+        col("pulse.height").as("pulse_height"))
+  }
+
   /** Gaps-and-islands oracle for [[thresholdEvents]] at duration=1,
     * cool_off=0 (see scaladoc above for the end-of-trace rule).
     */
