@@ -70,6 +70,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"))
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    val wh = java.nio.file.Files.createTempDirectory("warehouse").toString
+    val s2 = spark.newSession()
+    // warehouse.dir is static; explicit per-table paths avoid needing it
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    val li = RelationalQueries.scanPrune(s2, dir)
+    val orders = graft.Tables.orders(s2, dir)
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/li_b").saveAsTable("li_b")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+    val joined = s2.table("li_b")
+      .join(s2.table("orders_b"), org.apache.spark.sql.functions.col("l_orderkey") ===
+        org.apache.spark.sql.functions.col("o_orderkey"))
+    val p = joined.queryExecution.executedPlan.toString
+    // both sides pre-bucketed on the join key → no Exchange anywhere
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(joined.count() > 0)
+    s2.sql("DROP TABLE li_b")
+    s2.sql("DROP TABLE orders_b")
+  }
+
   test("frame assembly is a single keyed shuffle (dedup inside the aggregation)") {
     import spark.implicits._
     val traces = TraceGenerator.traces(spark, GeneratorConfig(nFrames = 2, nDigitizers = 2))
