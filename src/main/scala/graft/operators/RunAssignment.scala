@@ -35,21 +35,42 @@ object RunAssignment {
       .withColumnRenamed("runName", "run_name")
       .withColumn("collect_from_ns", col("startTimeMs") * 1000000L)
     val sp = stops
-      .groupBy(col("runName"))
-      // latest stop wins if duplicated; 0 = "stop NOW" handled by caller
-      .agg(max(col("stopTimeMs")).as("stopTimeMs"))
-      .withColumn("stop_ns", col("stopTimeMs") * 1000000L)
+      .select(col("runName").as("run_name"), (col("stopTimeMs") * 1000000L).as("stop_ns"))
+    // Reference pairing (engine.rs:290-309): a stop applies to the LATEST
+    // run started at-or-before it with a matching name — never to an
+    // earlier generation of a reused name — and must be strictly after
+    // that start (run_parameters.rs:105-116). Pair each stop with its
+    // latest preceding start, then close each start at its earliest
+    // paired stop.
+    val latestStart = Window
+      .partitionBy(col("run_name"), col("stop_ns"))
+      .orderBy(col("collect_from_ns").desc)
+    val paired = sp
+      .join(st.select(col("run_name"), col("collect_from_ns")), Seq("run_name"))
+      .filter(col("stop_ns") > col("collect_from_ns"))
+      .withColumn("_rn", row_number().over(latestStart))
+      .filter(col("_rn") === 1)
+      .groupBy(col("run_name"), col("collect_from_ns"))
+      .agg(min(col("stop_ns")).as("stop_ns"))
     val nextStart = Window.orderBy(col("collect_from_ns"))
-    st.join(sp, st("run_name") === sp("runName"), "left")
+    st.join(paired, Seq("run_name", "collect_from_ns"), "left")
       .select(
         col("run_name"),
         col("instrumentName").as("instrument_name"),
         col("nPeriods").as("n_periods"),
         col("collect_from_ns"),
         col("stop_ns"))
-      // abort semantics: an unstopped run ends where its successor starts
       .withColumn("next_start_ns", lead(col("collect_from_ns"), 1).over(nextStart))
-      .withColumn("collect_until_ns", coalesce(col("stop_ns"), col("next_start_ns")))
+      // abort semantics (engine.rs:199-204): a successor's start caps the
+      // run even when a (late) stop postdates it — otherwise intervals
+      // would overlap and frames after a same-name restart would attach
+      // to the wrong generation.
+      .withColumn(
+        "collect_until_ns",
+        when(
+          col("stop_ns").isNotNull && col("next_start_ns").isNotNull,
+          least(col("stop_ns"), col("next_start_ns")))
+          .otherwise(coalesce(col("stop_ns"), col("next_start_ns"))))
       .drop("stop_ns", "next_start_ns")
   }
 

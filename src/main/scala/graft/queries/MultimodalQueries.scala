@@ -90,7 +90,7 @@ object MultimodalQueries {
     * shape real media pipelines use (one decoder instance per partition,
     * rows streamed through it; no per-row setup cost, no shuffle).
     */
-  def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
+  def mediaFeaturesRaw(s: SparkSession, dir: String): DataFrame = {
     val media = mediaTable(s, dir)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featureSchema)
     media
@@ -100,6 +100,17 @@ object MultimodalQueries {
         rows.map(r => decodeStub(r.getLong(0), r.getAs[Array[Byte]](1)))
       }(enc)
   }
+
+  /** Harness-facing projection: the feature vector reduced to a scalar
+    * digest (the driver compare can't hash array cells). Downstream
+    * consumers use [[mediaFeaturesRaw]] for the full `Array[Float]`.
+    */
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame =
+    mediaFeaturesRaw(s, dir)
+      .withColumn(
+        "feature_sum",
+        round(aggregate(col("feature"), lit(0.0), (a, x) => a + x.cast("double")), 6))
+      .drop("feature")
 
   /** STUB resize: metadata-level transform demonstrating payload-preserving
     * column surgery (a real implementation re-encodes `media`).

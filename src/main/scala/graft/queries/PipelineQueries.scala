@@ -29,13 +29,20 @@ object PipelineQueries {
         TraceGenerator.traces(s, cfg),
         DetectorSettings(FixedThreshold(threshold = 100.0), baseline = 50.0))
       .toDF()
+      // scalar rows (one per event): the harness compare can't hash
+      // array cells, and the SoA triple is exactly an exploded zip
       .select(
         col("digitizerId"),
         col("metadata.frameNumber").as("frame_number"),
         size(col("time")).as("n_events"),
-        col("time"),
-        col("voltage"),
-        col("channel"))
+        explode(arrays_zip(col("time"), col("voltage"), col("channel"))).as("ev"))
+      .select(
+        col("digitizerId"),
+        col("frame_number"),
+        col("n_events"),
+        col("ev.time").as("event_time"),
+        col("ev.voltage").as("event_voltage"),
+        col("ev.channel").as("event_channel"))
 
   def traceToEventsDifferential(s: SparkSession, dir: String): DataFrame =
     EventFormation
@@ -79,7 +86,8 @@ object PipelineQueries {
         col("metadata.frameNumber").as("frame_number"),
         col("metadata.vetoFlags").as("veto_flags"),
         col("complete"),
-        col("digitizersPresent"),
+        array_join(transform(col("digitizersPresent"), _.cast("string")), ",")
+          .as("digitizers_present"),
         size(col("time")).as("n_events"))
   }
 

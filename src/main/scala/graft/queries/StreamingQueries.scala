@@ -94,7 +94,8 @@ object StreamingQueries {
       .select(
         col("metadata.frameNumber").as("frame_number"),
         col("complete"),
-        col("digitizersPresent"),
+        array_join(transform(col("digitizersPresent"), _.cast("string")), ",")
+          .as("digitizers_present"),
         size(col("time")).as("n_events"))
   }
 }

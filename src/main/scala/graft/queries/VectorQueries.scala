@@ -108,10 +108,13 @@ object VectorQueries {
     val assignUdf = udf { (emb: Seq[Float]) =>
       nearestCentroid(emb.toArray.map(_.toDouble), centB.value)
     }
+    // probe with the SAME metric as assignment (L2) — ranking cells by
+    // dot product against non-normalized centroids orders them
+    // differently and silently costs recall
     val probeUdf = udf { (emb: Seq[Float]) =>
       val v = emb.toArray.map(_.toDouble)
       centB.value.indices
-        .sortBy(c => -dot(v, centB.value(c)))
+        .sortBy(c => l2sq(v, centB.value(c)))
         .take(nProbe)
         .toArray
     }
@@ -139,11 +142,11 @@ object VectorQueries {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("sim"), 6).as("sim"), col("rank"))
   }
 
-  private def dot(a: Array[Double], b: Array[Double]): Double = {
+  private def l2sq(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i) * b(i); i += 1 }
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
     s
   }
 

@@ -75,8 +75,12 @@ object FrameAssemblyStream {
           } else {
             var st = state.getOption.getOrElse(FrameState(Map.empty, 0, dispatched = false))
             if (st.dispatched) {
-              // late message after dispatch → reject (cache.rs:55-63)
+              // late message after dispatch → reject (cache.rs:55-63).
+              // Spark clears the timeout on every invocation of this
+              // function, so the tombstone's TTL must be RE-armed here or
+              // it would never expire (permanent state-store leak).
               state.update(st)
+              state.setTimeoutDuration(ttlMs)
               Iterator.empty
             } else {
               msgs.foreach { m =>

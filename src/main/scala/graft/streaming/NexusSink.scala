@@ -37,12 +37,57 @@ final class NexusSink(outputDir: String) extends Serializable {
     * `run_name`/`run_start_ns` columns). `batchId` keys the append for
     * idempotent restart.
     */
+  /** Driver-side running event count per run — the reference's in-memory
+    * run cache (`run_engine/engine.rs:144-173`). `event_index` is defined
+    * as cumulative across the whole run file (`event_data.rs:196`), so
+    * each batch's frame table gets the run's prior total as a base
+    * offset. Initialized lazily from partitions already on disk, counting
+    * only `batch_id <` the current batch — a replayed batch therefore
+    * reconstructs the same offsets it wrote originally.
+    */
+  private val eventBase = scala.collection.mutable.Map.empty[String, Long]
+
+  private def onDiskEventCounts(
+      spark: SparkSession,
+      runNames: Set[String],
+      beforeBatchId: Long): Map[String, Long] = {
+    val eventsDir = local.resolve("events")
+    if (!Files.exists(eventsDir)) Map.empty
+    else
+      scala.util
+        .Try {
+          spark.read
+            .parquet(eventsDir.toString)
+            .filter(col("batch_id") < beforeBatchId &&
+              col("run_name").isin(runNames.toSeq: _*))
+            .groupBy(col("run_name"))
+            .count()
+            .collect()
+            .map(r => r.getString(0) -> r.getLong(1))
+            .toMap
+        }
+        .getOrElse(Map.empty) // empty dir: nothing persisted yet
+  }
+
   def writeBatch(assignedFrames: DataFrame, batchId: Long): Unit = {
+    val spark = assignedFrames.sparkSession
+    val cached = assignedFrames.persist()
+    val batchCounts: Map[String, Long] = cached
+      .groupBy(col("run_name"))
+      .agg(sum(size(col("time")).cast("long")).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val newRuns = batchCounts.keySet.diff(eventBase.keySet)
+    if (newRuns.nonEmpty) {
+      val onDisk = onDiskEventCounts(spark, newRuns, batchId)
+      newRuns.foreach(r => eventBase(r) = onDisk.getOrElse(r, 0L))
+    }
     val events = NexusTables
-      .eventTable(assignedFrames)
+      .eventTable(cached)
       .withColumn("batch_id", lit(batchId))
     val frames = NexusTables
-      .frameTable(assignedFrames)
+      .frameTable(cached, eventBase.toMap)
       .withColumn("batch_id", lit(batchId))
     // dynamic partition OVERWRITE, not append: replaying a micro-batch
     // after restart must replace its (run_name, batch_id) partitions —
@@ -57,6 +102,8 @@ final class NexusSink(outputDir: String) extends Serializable {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("run_name", "batch_id")
       .parquet(local.resolve("frames").toString)
+    batchCounts.foreach { case (r, n) => eventBase(r) = eventBase(r) + n }
+    cached.unpersist()
   }
 
   /** Move finished runs' partitions local/ → completed/ (K5). A run is

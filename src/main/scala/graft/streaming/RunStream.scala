@@ -12,7 +12,12 @@ final case class ControlMessage(
     kind: String, // "start" | "stop"
     runName: String,
     timeMs: Long,
-    instrumentName: String)
+    instrumentName: String,
+    // Ingest wall-clock stamped when the message entered the stream.
+    // "stop NOW" (timeMs == 0) resolves to THIS, never to operator
+    // wall-clock: a checkpoint-recovery replay re-executes the batch with
+    // identical input, so recovered state matches the original exactly.
+    ingestTimeMs: Long = 0L)
 
 /** Current interval for one run; `collectUntilNs` None while open. */
 final case class RunInterval(
@@ -24,9 +29,10 @@ final case class RunInterval(
   * `/root/reference/nexus-writer/src/run_engine/engine.rs:190-309`):
   * start opens the interval; a stop pairs with the open run of the same
   * name and must be strictly after the start (`run_parameters.rs:94-127`);
-  * `stop_time == 0` means "stop NOW" — resolved to the stop message's own
-  * arrival wall-clock, as the reference does. Emits the updated interval
-  * on every accepted transition (Update output).
+  * `stop_time == 0` means "stop NOW" — resolved to the ingest timestamp
+  * carried on the message (the reference uses arrival wall-clock; stamping
+  * it at ingest keeps checkpoint-recovery replays deterministic). Emits
+  * the updated interval on every accepted transition (Update output).
   *
   * Cross-run abort-on-restart is a global (cross-key) rule and is applied
   * where runs are collected per micro-batch ([[graft.operators.RunAssignment.runs]]).
@@ -57,9 +63,8 @@ object RunStream {
                 st = Some(RunState(m.timeMs, None))
                 changed = true
               case ("stop", Some(RunState(start, None))) =>
-                val effective =
-                  if (m.timeMs == 0L) System.currentTimeMillis() // "stop NOW"
-                  else m.timeMs
+                // "stop NOW" → the batch-stable ingest stamp (replay-safe)
+                val effective = if (m.timeMs == 0L) m.ingestTimeMs else m.timeMs
                 if (effective > start) {
                   st = Some(RunState(start, Some(effective)))
                   changed = true
