@@ -9,11 +9,21 @@ object Bench {
     // query doesn't absorb session warm-up costs
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop anything a query cached/registered so the next measurement
+      // starts from the same cold-cache state
+      spark.catalog.clearCache()
+      dt
     }
+    // two passes, report the per-query minimum: a single pass is exposed
+    // to one-off JIT/GC/host-contention spikes that say nothing about the
+    // plan's actual cost
+    val pass1 = SparkEntry.queries.map { case (name, fn) => name -> timeOnce(name, fn) }
+    val pass2 = SparkEntry.queries.map { case (name, fn) => name -> timeOnce(name, fn) }
+    val results = pass1.map { case (name, t1) => name -> math.min(t1, pass2(name)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

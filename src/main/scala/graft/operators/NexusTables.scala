@@ -35,16 +35,26 @@ object NexusTables {
     * micro-batches (`event_data.rs:196` defines event_index as cumulative
     * across the whole run file, not per append).
     */
-  def frameTable(assignedFrames: DataFrame, baseOffsets: Map[String, Long]): DataFrame = {
+  def frameTable(assignedFrames: DataFrame, baseOffsets: Map[(String, Long), Long]): DataFrame = {
+    // a run's identity is (run_name, run_start_ns): generations of a
+    // reused name each restart their own event_index at 0
     val w = Window
-      .partitionBy(col("run_name"))
+      .partitionBy(col("run_name"), col("run_start_ns"))
       .orderBy(col("metadata.timestampNs"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val base =
       if (baseOffsets.isEmpty) lit(0L)
-      else coalesce(element_at(typedLit(baseOffsets), col("run_name")), lit(0L))
+      else {
+        val byKey = baseOffsets.map { case ((n, s), v) => s"$n@$s" -> v }
+        coalesce(
+          element_at(
+            typedLit(byKey),
+            concat(col("run_name"), lit("@"), col("run_start_ns").cast("string"))),
+          lit(0L))
+      }
     assignedFrames.select(
       col("run_name"),
+      col("run_start_ns"),
       (col("metadata.timestampNs") - col("run_start_ns")).as("event_time_zero"),
       (coalesce(sum(size(col("time")).cast("long")).over(w), lit(0L)) + base)
         .as("event_index"),
@@ -60,10 +70,12 @@ object NexusTables {
     assignedFrames
       .select(
         col("run_name"),
+        col("run_start_ns"),
         col("metadata.timestampNs").as("frame_ts_ns"),
         explode(arrays_zip(col("time"), col("voltage"), col("channel"))).as("ev"))
       .select(
         col("run_name"),
+        col("run_start_ns"),
         col("frame_ts_ns"),
         col("ev.voltage").cast("double").as("pulse_height"),
         col("ev.channel").as("event_id"),

@@ -11,8 +11,12 @@ import org.apache.spark.sql.functions._
   *
   * Reference semantics replicated:
   *   - a RunStop applies to the latest run with a matching name and no
-  *     stop yet (`engine.rs:290-309`); stop_time == 0 means "stop NOW" —
-  *     in batch, the stop message's own timestamp;
+  *     stop yet (`engine.rs:290-309`); stop_time == 0 means "stop NOW"
+  *     and MUST be pre-resolved by the caller to a concrete timestamp
+  *     (e.g. via [[resolveStopNow]], or the stream path's ingest-time
+  *     resolution in [[graft.streaming.RunStream]]) — an unresolved
+  *     0-stop fails the strict `stop_ns > collect_from_ns` pairing
+  *     filter below and is dropped, leaving the run open;
   *   - a new RunStart aborts an unstopped predecessor (`engine.rs:199-204`):
   *     the predecessor's effective end becomes the successor's start;
   *   - J1 (frames): run with `collect_from < ts` and (`no stop` or
@@ -26,9 +30,18 @@ import org.apache.spark.sql.functions._
   */
 object RunAssignment {
 
+  /** Resolve "stop NOW" markers (stopTimeMs == 0,
+    * `run_parameters.rs:94-127`) to a caller-supplied wall-clock before
+    * pairing — [[runs]] drops unresolved 0-stops by design.
+    */
+  def resolveStopNow(stops: Dataset[RunStop], nowMs: Long): Dataset[RunStop] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[RunStop]
+    stops.map(s => if (s.stopTimeMs == 0L) s.copy(stopTimeMs = nowMs) else s)
+  }
+
   /** Pair starts with stops into run intervals [collect_from_ns,
     * collect_until_ns (nullable)), applying latest-match stop pairing and
-    * abort-on-restart.
+    * abort-on-restart. 0-stops must be pre-resolved ([[resolveStopNow]]).
     */
   def runs(spark: SparkSession, starts: Dataset[RunStart], stops: Dataset[RunStop]): DataFrame = {
     val st = starts

@@ -30,12 +30,15 @@ object PipelineQueries {
         DetectorSettings(FixedThreshold(threshold = 100.0), baseline = 50.0))
       .toDF()
       // scalar rows (one per event): the harness compare can't hash
-      // array cells, and the SoA triple is exactly an exploded zip
+      // array cells, and the SoA triple is exactly an exploded zip;
+      // explode_outer keeps zero-event frames visible as n_events == 0
+      // rows (null event columns) — the reference's per-frame surface
+      // still shows empty frames
       .select(
         col("digitizerId"),
         col("metadata.frameNumber").as("frame_number"),
         size(col("time")).as("n_events"),
-        explode(arrays_zip(col("time"), col("voltage"), col("channel"))).as("ev"))
+        explode_outer(arrays_zip(col("time"), col("voltage"), col("channel"))).as("ev"))
       .select(
         col("digitizerId"),
         col("frame_number"),

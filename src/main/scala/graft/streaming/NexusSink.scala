@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.{NexusTables, RunAssignment}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{AnalysisException, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import java.nio.file.{Files, Path, Paths}
@@ -10,21 +10,27 @@ import scala.jdk.CollectionConverters._
 /** NeXus-layout run-file sink (SURVEY §2.2 K4–K6) — the Parquet mirror of
   * the reference's per-run HDF5 files
   * (`/root/reference/nexus-writer/src/nexus_structure/entry/mod.rs:66-106`):
-  * one directory per run under `local/`, holding `events/` and `frames/`
-  * tables (§1.4 layout, running `event_index` included); completed runs
-  * (stop seen + linger elapsed) move atomically to `completed/`
+  * one directory per run GENERATION under `local/` — a run's identity is
+  * `(run_name, run_start_ns)`, because run names may be reused by a
+  * restarted run (the reference keys its cache the same way: a new
+  * RunStart supersedes the old generation, `run_engine/engine.rs:199-204`)
+  * — holding `events/` and `frames/` tables (§1.4 layout, running
+  * `event_index` included); completed generations (stop seen + linger
+  * elapsed) move atomically to `completed/`
   * (`run_engine/run/mod.rs:116-139`).
   *
   * Batch-by-batch operation inside `foreachBatch`: the run catalog is
   * driver-side state fed by control messages — the same design as the
   * reference's in-memory run cache. Crash resume (K6) rebuilds the
   * catalog by scanning `local/` (`run_engine/engine.rs:144-173`); event
-  * data re-appended after a restart is deduplicated by `(run, batch_id)`
-  * subdirectories, making the sink idempotent per micro-batch.
+  * data re-appended after a restart is deduplicated by
+  * `(run, batch_id)` subdirectories, making the sink idempotent per
+  * micro-batch.
   *
-  * Scale: the per-run layout is written with one `partitionBy(run_name)`
-  * append — executors write partition dirs directly, the driver never
-  * touches row data; `event_index` windows are per run (bounded).
+  * Scale: the per-run layout is written with one
+  * `partitionBy(run_name, run_start_ns, batch_id)` append — executors
+  * write partition dirs directly, the driver never touches row data;
+  * `event_index` windows are per run generation (bounded).
   */
 final class NexusSink(outputDir: String) extends Serializable {
 
@@ -33,50 +39,57 @@ final class NexusSink(outputDir: String) extends Serializable {
   Files.createDirectories(local)
   Files.createDirectories(completed)
 
+  /** Driver-side running event count per run generation — the reference's
+    * in-memory run cache (`run_engine/engine.rs:144-173`). `event_index`
+    * is defined as cumulative across the whole run file
+    * (`event_data.rs:196`), so each batch's frame table gets the
+    * generation's prior total as a base offset. Keyed by
+    * `(run_name, run_start_ns)` so a restarted run reusing a name starts
+    * its own file at 0 instead of inheriting the finished generation's
+    * count. Initialized lazily from partitions already on disk, counting
+    * only `batch_id <` the current batch — a replayed batch therefore
+    * reconstructs the same offsets it wrote originally.
+    */
+  private val eventBase = scala.collection.mutable.Map.empty[(String, Long), Long]
+
+  private def onDiskEventCounts(
+      spark: SparkSession,
+      runKeys: Set[(String, Long)],
+      beforeBatchId: Long): Map[(String, Long), Long] = {
+    val eventsDir = local.resolve("events")
+    if (!Files.exists(eventsDir)) Map.empty
+    else
+      try {
+        spark.read
+          .parquet(eventsDir.toString)
+          .filter(col("batch_id") < beforeBatchId &&
+            col("run_name").isin(runKeys.map(_._1).toSeq: _*))
+          .groupBy(col("run_name"), col("run_start_ns"))
+          .count()
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+          .toMap
+      } catch {
+        // only the expected "directory exists but holds no data files yet"
+        // case (schema cannot be inferred) initializes to empty — a
+        // genuine IO/corruption error must fail the batch so the engine
+        // replays it, not silently zero the run's base offset forever
+        case _: AnalysisException => Map.empty
+      }
+  }
+
   /** Write one micro-batch of run-assigned assembled frames (aev2 layout +
     * `run_name`/`run_start_ns` columns). `batchId` keys the append for
     * idempotent restart.
     */
-  /** Driver-side running event count per run — the reference's in-memory
-    * run cache (`run_engine/engine.rs:144-173`). `event_index` is defined
-    * as cumulative across the whole run file (`event_data.rs:196`), so
-    * each batch's frame table gets the run's prior total as a base
-    * offset. Initialized lazily from partitions already on disk, counting
-    * only `batch_id <` the current batch — a replayed batch therefore
-    * reconstructs the same offsets it wrote originally.
-    */
-  private val eventBase = scala.collection.mutable.Map.empty[String, Long]
-
-  private def onDiskEventCounts(
-      spark: SparkSession,
-      runNames: Set[String],
-      beforeBatchId: Long): Map[String, Long] = {
-    val eventsDir = local.resolve("events")
-    if (!Files.exists(eventsDir)) Map.empty
-    else
-      scala.util
-        .Try {
-          spark.read
-            .parquet(eventsDir.toString)
-            .filter(col("batch_id") < beforeBatchId &&
-              col("run_name").isin(runNames.toSeq: _*))
-            .groupBy(col("run_name"))
-            .count()
-            .collect()
-            .map(r => r.getString(0) -> r.getLong(1))
-            .toMap
-        }
-        .getOrElse(Map.empty) // empty dir: nothing persisted yet
-  }
-
   def writeBatch(assignedFrames: DataFrame, batchId: Long): Unit = {
     val spark = assignedFrames.sparkSession
     val cached = assignedFrames.persist()
-    val batchCounts: Map[String, Long] = cached
-      .groupBy(col("run_name"))
+    val batchCounts: Map[(String, Long), Long] = cached
+      .groupBy(col("run_name"), col("run_start_ns"))
       .agg(sum(size(col("time")).cast("long")).as("n"))
       .collect()
-      .map(r => r.getString(0) -> r.getLong(1))
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
       .toMap
     val newRuns = batchCounts.keySet.diff(eventBase.keySet)
     if (newRuns.nonEmpty) {
@@ -90,39 +103,53 @@ final class NexusSink(outputDir: String) extends Serializable {
       .frameTable(cached, eventBase.toMap)
       .withColumn("batch_id", lit(batchId))
     // dynamic partition OVERWRITE, not append: replaying a micro-batch
-    // after restart must replace its (run_name, batch_id) partitions —
-    // a blind append would duplicate every row of the replayed batch
+    // after restart must replace its (run, batch_id) partitions — a
+    // blind append would duplicate every row of the replayed batch
     events.write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("run_name", "batch_id")
+      .partitionBy("run_name", "run_start_ns", "batch_id")
       .parquet(local.resolve("events").toString)
     frames.write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("run_name", "batch_id")
+      .partitionBy("run_name", "run_start_ns", "batch_id")
       .parquet(local.resolve("frames").toString)
     batchCounts.foreach { case (r, n) => eventBase(r) = eventBase(r) + n }
     cached.unpersist()
   }
 
-  /** Move finished runs' partitions local/ → completed/ (K5). A run is
-    * finished when its stop time plus `lingerMs` is in the past (late
-    * frames within the linger window still append,
-    * `nexus-writer/src/run_engine/engine.rs:329-356`).
+  /** Move finished generations' partitions local/ → completed/ (K5). A
+    * run is finished when its stop time plus `lingerMs` is in the past
+    * (late frames within the linger window still append,
+    * `nexus-writer/src/run_engine/engine.rs:329-356`). Finalized
+    * generations are dropped from the in-memory offset cache so a later
+    * run reusing the name re-initializes from its own (empty) partitions.
     */
-  def finalizeRuns(runs: Seq[(String, Option[Long])], nowNs: Long, lingerMs: Long = 2000L): Seq[String] =
+  def finalizeRuns(
+      runs: Seq[(String, Long, Option[Long])],
+      nowNs: Long,
+      lingerMs: Long = 2000L): Seq[String] =
     runs.collect {
-      case (runName, Some(untilNs)) if untilNs + lingerMs * 1000000L < nowNs =>
+      case (runName, startNs, Some(untilNs)) if untilNs + lingerMs * 1000000L < nowNs =>
         Seq("events", "frames").foreach { table =>
-          val src = local.resolve(table).resolve(s"run_name=$runName")
+          val parent = local.resolve(table).resolve(s"run_name=$runName")
+          val src = parent.resolve(s"run_start_ns=$startNs")
           if (Files.exists(src)) {
-            val dst = completed.resolve(table).resolve(s"run_name=$runName")
+            val dst = completed
+              .resolve(table)
+              .resolve(s"run_name=$runName")
+              .resolve(s"run_start_ns=$startNs")
             Files.createDirectories(dst.getParent)
             if (!Files.exists(dst)) Files.move(src, dst)
             else mergeMove(src, dst)
+            // drop the name-level dir once its last generation moved so
+            // resume no longer reports the run as locally open
+            if (Files.exists(parent) && !Files.list(parent).iterator().hasNext)
+              Files.delete(parent)
           }
         }
+        eventBase.remove((runName, startNs))
         runName
     }
 

@@ -13,10 +13,13 @@ final case class ControlMessage(
     runName: String,
     timeMs: Long,
     instrumentName: String,
-    // Ingest wall-clock stamped when the message entered the stream.
-    // "stop NOW" (timeMs == 0) resolves to THIS, never to operator
-    // wall-clock: a checkpoint-recovery replay re-executes the batch with
-    // identical input, so recovered state matches the original exactly.
+    // Ingest wall-clock stamped when the message entered the stream
+    // (e.g. `current_timestamp` at source read). "stop NOW" (timeMs == 0)
+    // resolves to THIS when present; when no ingest path stamped it
+    // (left 0), the operator falls back to the micro-batch processing
+    // timestamp, which Spark checkpoints per batch — either way a
+    // checkpoint-recovery replay re-executes with identical input and
+    // recovered state matches the original exactly.
     ingestTimeMs: Long = 0L)
 
 /** Current interval for one run; `collectUntilNs` None while open. */
@@ -30,8 +33,9 @@ final case class RunInterval(
   * start opens the interval; a stop pairs with the open run of the same
   * name and must be strictly after the start (`run_parameters.rs:94-127`);
   * `stop_time == 0` means "stop NOW" — resolved to the ingest timestamp
-  * carried on the message (the reference uses arrival wall-clock; stamping
-  * it at ingest keeps checkpoint-recovery replays deterministic). Emits
+  * carried on the message, falling back to the checkpointed micro-batch
+  * processing time when no ingest path stamped one (the reference uses
+  * arrival wall-clock; both choices keep replays deterministic). Emits
   * the updated interval on every accepted transition (Update output).
   *
   * Cross-run abort-on-restart is a global (cross-key) rule and is applied
@@ -63,8 +67,14 @@ object RunStream {
                 st = Some(RunState(m.timeMs, None))
                 changed = true
               case ("stop", Some(RunState(start, None))) =>
-                // "stop NOW" → the batch-stable ingest stamp (replay-safe)
-                val effective = if (m.timeMs == 0L) m.ingestTimeMs else m.timeMs
+                // "stop NOW" → the ingest stamp when the source provided
+                // one, else the micro-batch processing timestamp (both are
+                // replay-stable: input replays identically, and the batch
+                // timestamp is checkpointed)
+                val effective =
+                  if (m.timeMs != 0L) m.timeMs
+                  else if (m.ingestTimeMs != 0L) m.ingestTimeMs
+                  else state.getCurrentProcessingTimeMs()
                 if (effective > start) {
                   st = Some(RunState(start, Some(effective)))
                   changed = true

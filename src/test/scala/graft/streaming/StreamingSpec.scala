@@ -190,12 +190,76 @@ class StreamingSpec extends AnyFunSuite {
 
     // run_a stopped long ago → finalised; run_b still open → stays local
     val nowNs = meta(1).timestampNs + 10000000000L
+    val startNs = meta(0).timestampNs - 1L
     val moved = sink.finalizeRuns(
-      Seq("run_a" -> Some(meta(1).timestampNs + 1L), "run_b" -> None), nowNs)
+      Seq(
+        ("run_a", startNs, Some(meta(1).timestampNs + 1L)),
+        ("run_b", startNs, None)),
+      nowNs)
     assert(moved === Seq("run_a"))
     assert(Files.exists(java.nio.file.Paths.get(s"$outDir/completed/events/run_name=run_a")))
     assert(!Files.exists(java.nio.file.Paths.get(s"$outDir/local/events/run_name=run_a")))
     assert(sink.resumeRunNames() === Seq("run_b"))
     assert(spark.read.parquet(s"$outDir/completed/events").count() === 3)
+  }
+
+  test("run lifecycle stream: 'stop NOW' (time 0, no ingest stamp) still closes the run") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ControlMessage]
+    val out = RunStream.runIntervals(input.toDS())
+    val ckpt = Files.createTempDirectory("ckpt_now").toString
+    val query = out.writeStream
+      .format("memory")
+      .queryName("runs_now")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      // start long in the past so the processing-time fallback is > start
+      input.addData(ControlMessage("start", "run_now", 1000L, "muon"))
+      query.processAllAvailable()
+      input.addData(ControlMessage("stop", "run_now", 0L, "muon"))
+      query.processAllAvailable()
+      val closed = spark.table("runs_now").collect()
+        .filter(r => Option(r.get(2)).isDefined)
+      assert(closed.length === 1, "0-stop must resolve (processing-time fallback) and close the run")
+      assert(closed.head.getLong(2) > 1000L * 1000000L)
+    } finally query.stop()
+  }
+
+  test("nexus sink: a restarted run reusing a name starts its own generation at event_index 0") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("nexus_gen").toString
+    val sink = new NexusSink(outDir)
+    val aev2 = Seq(
+      AssembledFrame(meta(0), Array(5L, 6L), Array(100, 200), Array(0L, 1L), true, Array(0, 1)),
+      AssembledFrame(meta(1), Array(7L), Array(300), Array(2L), true, Array(0, 1))).toDS()
+    val gen1Start = meta(0).timestampNs - 1L
+    val gen2Start = meta(1).timestampNs + 500L
+    val gen1 = aev2
+      .withColumn("run_name", lit("run_r"))
+      .withColumn("run_start_ns", lit(gen1Start))
+    sink.writeBatch(gen1, batchId = 0L)
+
+    // finalize generation 1, then restart the same name
+    val nowNs = meta(1).timestampNs + 10000000000L
+    val moved = sink.finalizeRuns(
+      Seq(("run_r", gen1Start, Some(meta(1).timestampNs + 1L))), nowNs)
+    assert(moved === Seq("run_r"))
+    assert(sink.resumeRunNames() === Seq.empty)
+
+    val gen2 = aev2
+      .withColumn("run_name", lit("run_r"))
+      .withColumn("run_start_ns", lit(gen2Start))
+    sink.writeBatch(gen2, batchId = 1L)
+    // the new generation's frame offsets restart at 0, not at gen1's 3
+    val frames = spark.read.parquet(s"$outDir/local/frames")
+      .filter(col("run_start_ns") === gen2Start)
+      .orderBy("event_time_zero").collect()
+    assert(frames.map(_.getAs[Long]("event_index")).toSeq === Seq(0L, 2L))
+    // gen1 rows stay in completed/, untouched by the restart
+    assert(spark.read.parquet(s"$outDir/completed/events").count() === 3)
+    assert(spark.read.parquet(s"$outDir/local/events").count() === 3)
   }
 }
