@@ -110,6 +110,17 @@ object SparkEntry {
     "q_json_props" -> LogQueries.jsonPropsSql,
     "q_stream_windowed_counts" -> StreamingQueries.streamWindowedCountsSql,
     "q_sessionize" -> RelationalQueries.sessionizeSql,
-    "q_rollup_revenue" -> RelationalQueries.rollupRevenueSql
+    "q_rollup_revenue" -> RelationalQueries.rollupRevenueSql,
+    // sketch ops: DuckDB re-derives every hash from the text (mod-prime
+    // universal family — see TextHash scaladoc)
+    "q_minhash_pairs" -> DedupQueries.minhashPairsSql,
+    "q_simhash_docs" -> DedupQueries.simhashDocsSql,
+    "q_simhash_pairs" -> DedupQueries.simhashPairsSql,
+    "q_fingerprints" -> DedupQueries.fingerprintsSql,
+    // log-stream fixtures regenerated in SQL with range()
+    "q_selog_expand" -> LogQueries.selogExpandSql,
+    "q_runlog_typed" -> LogQueries.runlogTypedSql,
+    "q_alarm_severity" -> LogQueries.alarmSeveritySql,
+    "q_gps_round_trip" -> LogQueries.gpsRoundTripSql
   )
 }

@@ -5,8 +5,38 @@ package graft.functions
   * MinHash signatures, banded LSH keys, SimHash, and winnowed rolling-hash
   * document fingerprints. Spark-free for unit testability; the query layer
   * lifts them as UDFs (arrays in, arrays out — one pass per document).
+  *
+  * The sketch primitives hash with the classic mod-prime universal family
+  * `h ↦ (a·h + b) mod P` over a polynomial base hash, P = 2³¹−1
+  * (Mersenne). Two reasons: (1) it is the textbook MinHash construction
+  * (Broder's permutation family); (2) every intermediate fits a signed
+  * 64-bit integer (a·h < 2⁶²), so the arithmetic is reproducible
+  * bit-for-bit in ANSI SQL — the DuckDB oracle re-derives the sketches
+  * independently rather than trusting the engine under test.
   */
 object TextHash {
+
+  /** 2³¹ − 1. Modulus for the SQL-reproducible sketch hashes. */
+  val P: Long = 2147483647L
+
+  /** Polynomial base hash mod [[P]] over UTF-16 code units
+    * (Rabin–Karp; the +1 keeps NUL and prefix strings distinct).
+    */
+  def polyHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * 31L + s.charAt(i) + 1L) % P; i += 1 }
+    h
+  }
+
+  /** Member `i` of the universal hash family applied to a base hash:
+    * `(a_i·h + b_i) mod P`, a_i ∈ [1, P−1] so the map is a bijection.
+    */
+  def permHash(h: Long, i: Long): Long = {
+    val a = 1L + ((i * 1103515245L + 12345L) % (P - 1L))
+    val b = (i * 2654435761L + 1013904223L) % P
+    (a * h + b) % P
+  }
 
   /** splitmix64 finaliser — the avalanche mix used throughout. */
   def mix64(x0: Long): Long = {
@@ -40,19 +70,17 @@ object TextHash {
     else Array.tabulate(t.length - n + 1)(i => t.slice(i, i + n).mkString(" ")).distinct
   }
 
-  /** MinHash signature: `numPerms` permutations simulated as seeded
-    * re-mixes of one base hash; entry i = min over shingles of
-    * mix(hash(shingle) ^ seed_i). Standard estimator: Jaccard ≈ fraction
-    * of equal signature positions.
+  /** MinHash signature: entry i = min over shingles of
+    * [[permHash]](polyHash(shingle), i). Standard estimator: Jaccard ≈
+    * fraction of equal signature positions.
     */
-  def minhashSignature(shingleSet: Array[String], numPerms: Int, seed: Long = 42L): Array[Long] = {
-    val base = shingleSet.map(hash64(_))
+  def minhashSignature(shingleSet: Array[String], numPerms: Int): Array[Long] = {
+    val base = shingleSet.map(polyHash)
     Array.tabulate(numPerms) { i =>
-      val permSeed = mix64(seed + i)
       var min = Long.MaxValue
       var j = 0
       while (j < base.length) {
-        val h = mix64(base(j) ^ permSeed)
+        val h = permHash(base(j), i.toLong)
         if (h < min) min = h
         j += 1
       }
@@ -75,32 +103,36 @@ object TextHash {
   def bandKeys(signature: Array[Long], bands: Int): Array[Long] = {
     val r = signature.length / bands
     Array.tabulate(bands) { b =>
-      var h = 0xcbf29ce484222325L ^ b.toLong
+      var h = (b + 1).toLong
       var i = b * r
       while (i < (b + 1) * r) {
-        h = mix64(h ^ signature(i))
+        h = (h * 1000003L + signature(i)) % P
         i += 1
       }
       h
     }
   }
 
-  /** 64-bit SimHash over word tokens (term-frequency weighted). */
-  def simhash64(text: String): Long = {
+  /** 32-bit SimHash over word tokens (term-frequency weighted). Each bit
+    * position draws its per-token ±1 from an independent member of the
+    * universal family ([[permHash]] index 1000+b), not from the bits of a
+    * single hash — and stays SQL-reproducible.
+    */
+  def simhash32(text: String): Long = {
     val counts = scala.collection.mutable.HashMap.empty[String, Int]
     tokens(text).foreach(t => counts.update(t, counts.getOrElse(t, 0) + 1))
-    val acc = new Array[Int](64)
+    val acc = new Array[Int](32)
     counts.foreach { case (tok, w) =>
-      val h = hash64(tok)
+      val h = polyHash(tok)
       var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) acc(b) += w else acc(b) -= w
+      while (b < 32) {
+        if (permHash(h, 1000L + b) % 2L == 1L) acc(b) += w else acc(b) -= w
         b += 1
       }
     }
     var out = 0L
     var b = 0
-    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    while (b < 32) { if (acc(b) > 0) out |= (1L << b); b += 1 }
     out
   }
 
@@ -112,11 +144,11 @@ object TextHash {
     * local edits — shared fingerprints locate shared passages.
     */
   def winnow(text: String, k: Int = 8, w: Int = 4): Array[Long] = {
-    if (text.length < k) return Array(hash64(text))
+    if (text.length < k) return Array(polyHash(text))
     val n = text.length - k + 1
     val hashes = new Array[Long](n)
     var i = 0
-    while (i < n) { hashes(i) = hash64(text.substring(i, i + k)); i += 1 }
+    while (i < n) { hashes(i) = polyHash(text.substring(i, i + k)); i += 1 }
     val out = scala.collection.mutable.LinkedHashSet.empty[Long]
     var win = 0
     val last = math.max(0, n - w)

@@ -60,30 +60,78 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
-  /** Per-document 64-bit SimHash plus its 4 × 16-bit segments — the
-    * pigeonhole keys for Hamming-distance joins (near-dups within distance
-    * d < 4·16 must share ≥1 segment).
+  /** Shared oracle fragment: per-document word base hashes (polynomial
+    * fold mod P over chars, +1 per char — [[TextHash.polyHash]]) and the
+    * 128-entry MinHash signature via the universal family
+    * ([[TextHash.permHash]]). Pure integer arithmetic < 2⁶².
+    */
+  private val P = TextHash.P
+  private val sigSql: String =
+    s"""words AS (
+         SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents
+       ), hs AS (
+         SELECT doc_id,
+           [list_reduce(list_prepend(0::BIGINT, [unicode(c)::BIGINT FOR c IN string_split(w, '')]),
+                        (acc, c) -> (acc*31 + c + 1) % $P) FOR w IN ws] AS whs
+         FROM words
+       ), sigs AS (
+         SELECT doc_id,
+           [list_min([((1 + ((i*1103515245 + 12345) % ${P - 1})) * h
+                       + (i*2654435761 + 1013904223) % $P) % $P FOR h IN whs])
+            FOR i IN range(128)] AS sig
+         FROM hs
+       )"""
+
+  /** DuckDB re-derivation of [[minhashPairs]]: same signatures, band
+    * keys, ≤64 bucket cap, candidate join, and estimate threshold.
+    */
+  val minhashPairsSql: String =
+    s"""WITH $sigSql, bands AS (
+         SELECT doc_id, sig, unnest(
+           [list_reduce(list_prepend((b+1)::BIGINT, sig[b*16+1 : b*16+16]),
+                        (acc, v) -> (acc*1000003 + v) % $P) FOR b IN range(8)]) AS band
+         FROM sigs
+       ), small AS (
+         SELECT band FROM bands GROUP BY band HAVING count(*) <= 64
+       ), pruned AS (
+         SELECT bands.* FROM bands JOIN small USING (band)
+       ), cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+         FROM pruned a JOIN pruned b USING (band)
+         WHERE a.doc_id < b.doc_id
+       ), est AS (
+         SELECT doc_a, doc_b,
+           list_sum([CASE WHEN sig_a[i+1] = sig_b[i+1] THEN 1 ELSE 0 END
+                     FOR i IN range(128)])::DOUBLE / 128 AS e
+         FROM cand
+       )
+       SELECT doc_a, doc_b, round(e, 4) AS est_jaccard FROM est WHERE e >= 0.7"""
+
+  /** Per-document 32-bit SimHash plus its 4 × 8-bit segments — the
+    * pigeonhole keys for Hamming-distance joins (near-dups within
+    * distance d ≤ 3 must share ≥1 segment). Oracle-checked: the DuckDB
+    * side re-derives every hash from the text.
     */
   def simhashDocs(s: SparkSession, dir: String): DataFrame = {
-    val shUdf = udf { (text: String) => TextHash.simhash64(text) }
+    val shUdf = udf { (text: String) => TextHash.simhash32(text) }
     Tables
       .documents(s, dir)
       .select(col("doc_id"), shUdf(col("text")).as("simhash"))
       .select(
         col("doc_id"),
         col("simhash"),
-        col("simhash").bitwiseAND(lit(0xffffL)).as("seg0"),
-        shiftright(col("simhash"), 16).bitwiseAND(lit(0xffffL)).as("seg1"),
-        shiftright(col("simhash"), 32).bitwiseAND(lit(0xffffL)).as("seg2"),
-        shiftright(col("simhash"), 48).bitwiseAND(lit(0xffffL)).as("seg3"))
+        col("simhash").bitwiseAND(lit(0xffL)).as("seg0"),
+        shiftright(col("simhash"), 8).bitwiseAND(lit(0xffL)).as("seg1"),
+        shiftright(col("simhash"), 16).bitwiseAND(lit(0xffL)).as("seg2"),
+        shiftright(col("simhash"), 24).bitwiseAND(lit(0xffL)).as("seg3"))
   }
 
   /** SimHash near-dup candidates: pigeonhole join on any equal segment,
-    * exact Hamming filter. Threshold is generous (word-salad corpus has no
-    * true near-dups); the machinery is what matters.
+    * exact Hamming filter (word-salad corpus has no true near-dups; the
+    * machinery is what matters). Oracle-checked.
     */
-  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 26): DataFrame = {
-    val hamUdf = udf { (a: Long, b: Long) => TextHash.hamming(a, b) }
+  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 4): DataFrame = {
+    val hamUdf = udf { (a: Long, b: Long) => TextHash.hamming(a, b).toLong }
     val docs = simhashDocs(s, dir)
     val segs = (0 to 3).map { i =>
       docs.select(
@@ -100,6 +148,63 @@ object DedupQueries {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** Shared oracle fragment: per-document 32-bit SimHash — token counts,
+    * one universal-family draw per bit position (index 1000+b), majority
+    * vote per bit ([[TextHash.simhash32]]).
+    */
+  private val simhashSql: String =
+    s"""toks AS (
+         SELECT doc_id, w, count(*)::BIGINT AS cnt
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         GROUP BY doc_id, w
+       ), th AS (
+         SELECT doc_id, cnt,
+           list_reduce(list_prepend(0::BIGINT, [unicode(c)::BIGINT FOR c IN string_split(w, '')]),
+                       (acc, c) -> (acc*31 + c + 1) % $P) AS h
+         FROM toks
+       ), bits AS (
+         SELECT doc_id, b.b AS bit_pos,
+           sum(CASE WHEN ((1 + (((1000+b.b)*1103515245 + 12345) % ${P - 1})) * h
+                          + ((1000+b.b)*2654435761 + 1013904223) % $P) % $P % 2 = 1
+                    THEN cnt ELSE -cnt END) AS acc
+         FROM th, (SELECT unnest(range(32)) AS b) b
+         GROUP BY doc_id, b.b
+       ), sh AS (
+         SELECT doc_id,
+           sum(CASE WHEN acc > 0 THEN (1::BIGINT << bit_pos) ELSE 0 END)::BIGINT AS simhash
+         FROM bits GROUP BY doc_id
+       )"""
+
+  /** DuckDB re-derivation of [[simhashDocs]]. */
+  val simhashDocsSql: String =
+    s"""WITH $simhashSql
+       SELECT doc_id, simhash,
+              simhash % 256 AS seg0,
+              (simhash // 256) % 256 AS seg1,
+              (simhash // 65536) % 256 AS seg2,
+              (simhash // 16777216) % 256 AS seg3
+       FROM sh"""
+
+  /** DuckDB re-derivation of [[simhashPairs]] (segment pigeonhole join +
+    * exact Hamming ≤ 4 via bit_count of xor).
+    */
+  val simhashPairsSql: String =
+    s"""WITH $simhashSql, segs AS (
+         SELECT doc_id, simhash, unnest([
+           '0:' || (simhash % 256),
+           '1:' || ((simhash // 256) % 256),
+           '2:' || ((simhash // 65536) % 256),
+           '3:' || ((simhash // 16777216) % 256)]) AS seg_key
+         FROM sh
+       ), cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.simhash AS sh_a, b.simhash AS sh_b
+         FROM segs a JOIN segs b USING (seg_key)
+         WHERE a.doc_id < b.doc_id
+       )
+       SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
+       FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 4"""
 
   /** Exact word-set Jaccard between all document pairs of one language
     * among `doc_id < 80` — the verification kernel for the sketch paths,
@@ -159,9 +264,45 @@ object DedupQueries {
       .select(col("doc_id"), fpUdf(col("text")).as("fps"))
       .select(
         col("doc_id"),
-        size(col("fps")).as("n_fingerprints"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
         array_min(col("fps")).as("min_fp"),
         array_max(col("fps")).as("max_fp"))
+  }
+
+  /** DuckDB re-derivation of [[fingerprints]]: the k=8 char-gram hash is
+    * the polynomial fold unrolled to 8 terms (31^j mod P constants), the
+    * w=4 winnow is a ROWS window-min, fingerprints are the distinct
+    * window minima (the rightmost-min tie rule selects a position, never
+    * a different value, so it cannot affect the distinct value set).
+    */
+  val fingerprintsSql: String = {
+    val P = TextHash.P
+    val pow = Array.iterate(1L, 8)(p => p * 31L % P).reverse
+    val terms = (0 until 8)
+      .map(j => s"(unicode(text[i+$j:i+$j])::BIGINT + 1) * ${pow(j)}")
+      .mkString(" + ")
+    s"""WITH pos AS (
+         SELECT doc_id, text, unnest(range(1, greatest(length(text) - 8 + 1, 1) + 1)) AS i
+         FROM documents
+       ), h AS (
+         SELECT doc_id, i, length(text) AS len,
+           CASE WHEN length(text) < 8
+             THEN list_reduce(
+                    list_prepend(0::BIGINT, [unicode(c)::BIGINT FOR c IN string_split(text, '')]),
+                    (acc, c) -> (acc*31 + c + 1) % $P)
+             ELSE ($terms) % $P END AS fp
+         FROM pos
+       ), wins AS (
+         SELECT doc_id, i,
+           min(fp) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+           len
+         FROM h
+         QUALIFY i <= greatest(len - 8 + 1 - 4, 0) + 1
+       )
+       SELECT doc_id, count(DISTINCT wmin)::BIGINT AS n_fingerprints,
+              min(wmin) AS min_fp, max(wmin) AS max_fp
+       FROM wins GROUP BY doc_id"""
   }
 
   /** Language-ID heuristic: stopword-marker counts per candidate language

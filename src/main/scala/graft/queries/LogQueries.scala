@@ -48,7 +48,9 @@ object LogQueries {
         packetTimestampNs = packetTs,
         timeDelta = if (explicit) 0.0 else 250000.0, // ns between samples
         timestampLocation = "Start",
-        values = Array.tabulate(16)(j => math.sin(i + j * 0.1) * 10),
+        // exact dyadic rationals: bit-identical in any IEEE-754 engine,
+        // so the DuckDB oracle can regenerate the fixture
+        values = Array.tabulate(16)(j => ((i * 37 + j * 11) % 200) / 8.0 - 12.5),
         timestamps =
           if (explicit) Array.tabulate(16)(j => packetTs + j.toLong * 300000L)
           else Array.empty[Long],
@@ -84,6 +86,20 @@ object LogQueries {
         round((col("ts_ns") - lit(runStartNs)).cast("double") / 1e9, 9).as("time_sec"),
         round(col("value"), 6).as("value"))
   }
+
+  /** DuckDB oracle for [[selogExpand]]: regenerates the deterministic
+    * fixture with `range()` and re-applies the se00 expansion rules in
+    * SQL — an independent recomputation, not a dump of the Spark result.
+    */
+  val selogExpandSql: String =
+    """SELECT CASE WHEN i % 3 = 0 THEN 'temp_' || i ELSE 'pressure_' || i END AS name,
+              (i % 8)::INT AS channel,
+              j::INT AS sample_idx,
+              round((i * 1000000000
+                     + CASE WHEN i % 2 = 0 THEN j * 300000 ELSE j * 250000 END)::DOUBLE
+                    / 1e9, 9) AS time_sec,
+              round(((i*37 + j*11) % 200) / 8.0 - 12.5, 6) AS value
+       FROM range(64) t(i), range(16) s(j)"""
 
   /** f144 run-log union dispatch (`schemas/ecs_f144_logdata.fbs:27-54`):
     * the 20-variant value union is modelled as a type tag plus widened
@@ -133,6 +149,29 @@ object LogQueries {
     resolved
   }
 
+  /** DuckDB oracle for [[runlogTyped]]: fixture regenerated with
+    * `range()`; type-per-source is single-valued by construction so
+    * `min(valueType)` equals the first-sample resolution.
+    */
+  val runlogTypedSql: String =
+    """WITH samples AS (
+         SELECT 'pv_' || (i % 8) AS source,
+                ['Byte','Short','Int','Long','Float','Double','ArrayFloat','ArrayDouble'][(i % 8) + 1] AS valueType,
+                (1700000000000000000 + i * 100000000)::BIGINT AS ts,
+                i / 3.0 AS sample
+         FROM range(64) t(i) WHERE i % 8 < 6
+         UNION ALL
+         SELECT 'pv_' || (i % 8),
+                ['Byte','Short','Int','Long','Float','Double','ArrayFloat','ArrayDouble'][(i % 8) + 1],
+                (1700000000000000000 + i * 100000000)::BIGINT,
+                i + j * 0.25
+         FROM range(64) t(i), range(4) s(j) WHERE i % 8 >= 6
+       )
+       SELECT source, min(valueType) AS resolved_type, count(*) AS n_samples,
+              round(avg(sample), 6) AS mean_value,
+              round((max(ts) - 1700000000000000000)::DOUBLE / 1e9, 9) AS last_time_sec
+       FROM samples GROUP BY source"""
+
   /** al00 alarm normalisation (F10 severity mapping +
     * `schemas/ecs_al00_alarm.fbs:5-17`).
     */
@@ -159,6 +198,14 @@ object LogQueries {
           .as("time_sec"))
   }
 
+  /** DuckDB oracle for [[alarmSeverity]]: fixture regenerated in SQL. */
+  val alarmSeveritySql: String =
+    """SELECT 'block_' || (i % 4) AS source,
+              ['OK','MINOR','MAJOR','INVALID'][(i % 4) + 1] AS severity,
+              (i % 4)::INT AS severity_code,
+              round((i * 500000000)::DOUBLE / 1e9, 9) AS time_sec
+       FROM range(32) t(i)"""
+
   /** F1: GpsTime ↔ epoch-ns round trip over a generated component grid. */
   def gpsRoundTrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -181,6 +228,23 @@ object LogQueries {
           col("g._6"), col("g._7"), col("g._8")).as("round_trip_ns"))
       .withColumn("ok", col("ts_ns") === col("round_trip_ns"))
   }
+
+  /** DuckDB oracle for [[gpsRoundTrip]]: the calendar decomposition is
+    * recomputed with DuckDB's own date functions (year/dayofyear/hour of
+    * the µs-truncated timestamp — sub-second GPS components don't affect
+    * them), and `round_trip_ns = ts_ns` asserts the inverse conversion
+    * is exact.
+    */
+  val gpsRoundTripSql: String =
+    """SELECT ts_ns,
+              (year(t) - 2000)::INT AS year,
+              dayofyear(t)::INT AS day,
+              hour(t)::INT AS hour,
+              ts_ns AS round_trip_ns,
+              true AS ok
+       FROM (SELECT (1700000000000000000 + i * 86400123456789)::BIGINT AS ts_ns,
+                    make_timestamp((1700000000000000000 + i * 86400123456789) // 1000) AS t
+             FROM range(1000) r(i))"""
 
   /** J5: detector-spectrum map as a broadcast dimension joined to event
     * channels (`schemas/ecs_df12_det_spec_map.fbs:6-10`).

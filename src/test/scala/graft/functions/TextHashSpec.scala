@@ -36,11 +36,11 @@ class TextHashSpec extends AnyFunSuite {
     val base = (0 until 100).map(i => s"tok${i % 37}").mkString(" ")
     val nearDup = base + " extra token tail"
     val unrelated = (0 until 100).map(i => s"other${i}").mkString(" ")
-    val h1 = TextHash.simhash64(base)
-    val h2 = TextHash.simhash64(nearDup)
-    val h3 = TextHash.simhash64(unrelated)
-    assert(TextHash.hamming(h1, h2) < 12)
-    assert(TextHash.hamming(h1, h3) > 20)
+    val h1 = TextHash.simhash32(base)
+    val h2 = TextHash.simhash32(nearDup)
+    val h3 = TextHash.simhash32(unrelated)
+    assert(TextHash.hamming(h1, h2) < 6)
+    assert(TextHash.hamming(h1, h3) > 10)
   }
 
   test("winnow: shared passages share fingerprints, edits preserve most") {
