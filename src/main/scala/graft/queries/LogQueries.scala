@@ -35,7 +35,8 @@ object LogQueries {
   private def runStartNs = 1700000000000000000L
 
   /** Deterministic se00 fixture mirroring the schema's two timestamp
-    * modes (`schemas/ecs_se00_data.fbs:31-43`).
+    * modes and all three timestamp locations
+    * (`schemas/ecs_se00_data.fbs:5,31-43`).
     */
   private def selogFixture(s: SparkSession) = {
     import s.implicits._
@@ -47,7 +48,7 @@ object LogQueries {
         channel = i % 8,
         packetTimestampNs = packetTs,
         timeDelta = if (explicit) 0.0 else 250000.0, // ns between samples
-        timestampLocation = "Start",
+        timestampLocation = Seq("Start", "Middle", "End")(i % 3),
         // exact dyadic rationals: bit-identical in any IEEE-754 engine,
         // so the DuckDB oracle can regenerate the fixture
         values = Array.tabulate(16)(j => ((i * 37 + j * 11) % 200) / 8.0 - 12.5),
@@ -72,6 +73,7 @@ object LogQueries {
         col("channel"),
         col("packetTimestampNs"),
         col("timeDelta"),
+        col("timestampLocation"),
         col("timestamps"),
         posexplode(col("values")).as(Seq("sample_idx", "value")))
       .withColumn(
@@ -79,11 +81,26 @@ object LogQueries {
         when(size(col("timestamps")) > 0, expr("timestamps[sample_idx]"))
           .otherwise(col("packetTimestampNs") +
             (col("sample_idx").cast("double") * col("timeDelta")).cast("long")))
+      // timestamp_location (ecs_se00_data.fbs:5,38-40): under
+      // oversampling the per-sample timestamp marks the Start, Middle,
+      // or End of the window of summed raw samples; the window start is
+      // recovered by shifting back 0, delta/2, or delta. Only meaningful
+      // with a positive time_delta (explicit-timestamp packets set it
+      // <= 0 per the schema contract).
+      .withColumn(
+        "window_shift_ns",
+        when(col("timeDelta") <= 0.0, lit(0L))
+          .when(col("timestampLocation") === "Middle", (col("timeDelta") / 2).cast("long"))
+          .when(col("timestampLocation") === "End", col("timeDelta").cast("long"))
+          .otherwise(lit(0L)))
       .select(
         col("name"),
         col("channel"),
         col("sample_idx"),
+        col("timestampLocation").as("location"),
         round((col("ts_ns") - lit(runStartNs)).cast("double") / 1e9, 9).as("time_sec"),
+        round((col("ts_ns") - col("window_shift_ns") - lit(runStartNs)).cast("double") / 1e9, 9)
+          .as("window_start_sec"),
         round(col("value"), 6).as("value"))
   }
 
@@ -92,34 +109,87 @@ object LogQueries {
     * SQL — an independent recomputation, not a dump of the Spark result.
     */
   val selogExpandSql: String =
-    """SELECT CASE WHEN i % 3 = 0 THEN 'temp_' || i ELSE 'pressure_' || i END AS name,
+    """WITH g AS (
+         SELECT i, j,
+                ['Start','Middle','End'][(i % 3) + 1] AS location,
+                (i * 1000000000
+                 + CASE WHEN i % 2 = 0 THEN j * 300000 ELSE j * 250000 END)::BIGINT AS rel_ns,
+                CASE WHEN i % 2 = 0 THEN 0
+                     WHEN i % 3 = 1 THEN 125000
+                     WHEN i % 3 = 2 THEN 250000
+                     ELSE 0 END::BIGINT AS shift_ns
+         FROM range(64) t(i), range(16) s(j)
+       )
+       SELECT CASE WHEN i % 3 = 0 THEN 'temp_' || i ELSE 'pressure_' || i END AS name,
               (i % 8)::INT AS channel,
               j::INT AS sample_idx,
-              round((i * 1000000000
-                     + CASE WHEN i % 2 = 0 THEN j * 300000 ELSE j * 250000 END)::DOUBLE
-                    / 1e9, 9) AS time_sec,
+              location,
+              round(rel_ns::DOUBLE / 1e9, 9) AS time_sec,
+              round((rel_ns - shift_ns)::DOUBLE / 1e9, 9) AS window_start_sec,
               round(((i*37 + j*11) % 200) / 8.0 - 12.5, 6) AS value
-       FROM range(64) t(i), range(16) s(j)"""
+       FROM g"""
+
+  /** The f144 value union's 20 variants in wire order
+    * (`schemas/ecs_f144_logdata.fbs:5-46`).
+    */
+  private val f144Types = Seq(
+    "Byte", "UByte", "Short", "UShort", "Int", "UInt", "Long", "ULong",
+    "Float", "Double",
+    "ArrayByte", "ArrayUByte", "ArrayShort", "ArrayUShort", "ArrayInt",
+    "ArrayUInt", "ArrayLong", "ArrayULong", "ArrayFloat", "ArrayDouble")
+
+  /** The reference's variant → HDF5 type-descriptor mapping
+    * (`nexus-writer/src/nexus/logs/f114.rs:35-56`).
+    */
+  private val f144BaseDescr = Map(
+    "Byte" -> "Integer(U1)", "UByte" -> "Unsigned(U1)",
+    "Short" -> "Integer(U2)", "UShort" -> "Unsigned(U2)",
+    "Int" -> "Integer(U4)", "UInt" -> "Unsigned(U4)",
+    "Long" -> "Integer(U8)", "ULong" -> "Unsigned(U8)",
+    "Float" -> "Float(U4)", "Double" -> "Float(U8)")
+
+  private def f144Descriptor(t: String): String =
+    if (t.startsWith("Array")) s"VarLenArray(${f144BaseDescr(t.stripPrefix("Array"))})"
+    else f144BaseDescr(t)
+
+  /** Deterministic in-range sample for scalar base type `b` (0..9 in
+    * union order) — integer/dyadic arithmetic only, so the DuckDB oracle
+    * regenerates identical doubles.
+    */
+  private def f144Sample(b: Int, n: Long): Double = b match {
+    case 0 => (n * 13 % 200 - 100).toDouble // Byte
+    case 1 => (n * 13 % 250).toDouble // UByte
+    case 2 => (n * 523 % 60000 - 30000).toDouble // Short
+    case 3 => (n * 523 % 60000).toDouble // UShort
+    case 4 => (n * 48611 % 2000000000L - 1000000000L).toDouble // Int
+    case 5 => (n * 48611 % 4000000000L).toDouble // UInt
+    case 6 => (n * 1103515245L).toDouble // Long
+    case 7 => (n * 2654435761L).toDouble // ULong
+    case 8 => (n * 13 % 1000) / 4.0 // Float (quarter-exact in f32)
+    case _ => n / 8.0 // Double
+  }
 
   /** f144 run-log union dispatch (`schemas/ecs_f144_logdata.fbs:27-54`):
-    * the 20-variant value union is modelled as a type tag plus widened
-    * numeric columns; like the reference sink, the concrete type per
-    * source is resolved from the FIRST sample and later samples are
-    * appended under it (`nexus-writer/src/nexus/logs/f114.rs:25-59`).
-    * Scalars and arrays coexist (arrays via per-sample explode).
+    * all 20 union variants are modelled as a type tag plus a widened
+    * numeric lane; like the reference sink, the concrete type per source
+    * is resolved from the FIRST sample, later samples append under it,
+    * and the HDF5 type descriptor it would open is reported
+    * (`nexus-writer/src/nexus/logs/f114.rs:25-59`). Scalars and arrays
+    * coexist (arrays via per-sample explode).
     */
   def runlogTyped(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val types = Seq("Byte", "Short", "Int", "Long", "Float", "Double", "ArrayFloat", "ArrayDouble")
-    val logs = (0 until 64).map { i =>
-      val t = types(i % types.length)
+    val logs = (0 until 80).map { i =>
+      val t = f144Types(i % 20)
+      val isArray = i % 20 >= 10
       LogData(
-        sourceName = s"IN:MUSR:CS:SB:pv_${i % 8}",
+        sourceName = s"IN:MUSR:CS:SB:pv_${i % 20}",
         timestampNs = runStartNs + i.toLong * 100000000L,
         valueType = t,
-        value = if (t.startsWith("Array")) 0.0 else i.toDouble / 3.0,
+        value = if (isArray) 0.0 else f144Sample(i % 10, i.toLong),
         arrayValue =
-          if (t.startsWith("Array")) Array.tabulate(4)(j => i + j * 0.25) else Array.empty)
+          if (isArray) Array.tabulate(4)(j => f144Sample(i % 10, i.toLong + j * 7L))
+          else Array.empty)
     }.toDS()
     val strip = udf { (name: String) => TimeFunctions.removePrefixes(name) }
     // generators can't sit inside when/otherwise — split the union by tag
@@ -138,7 +208,8 @@ object LogQueries {
         col("timestampNs"),
         explode(col("arrayValue")).as("sample"))
     val perSample = scalars.union(arrays)
-    val resolved = perSample
+    val descrByType = typedLit(f144Types.map(t => t -> f144Descriptor(t)).toMap)
+    perSample
       .groupBy(col("source"))
       .agg(
         min_by(col("valueType"), col("timestampNs")).as("resolved_type"),
@@ -146,31 +217,49 @@ object LogQueries {
         round(avg(col("sample")), 6).as("mean_value"),
         round((max(col("timestampNs")) - lit(runStartNs)).cast("double") / 1e9, 9)
           .as("last_time_sec"))
-    resolved
+      .withColumn("type_descriptor", element_at(descrByType, col("resolved_type")))
   }
 
   /** DuckDB oracle for [[runlogTyped]]: fixture regenerated with
     * `range()`; type-per-source is single-valued by construction so
     * `min(valueType)` equals the first-sample resolution.
     */
-  val runlogTypedSql: String =
-    """WITH samples AS (
-         SELECT 'pv_' || (i % 8) AS source,
-                ['Byte','Short','Int','Long','Float','Double','ArrayFloat','ArrayDouble'][(i % 8) + 1] AS valueType,
+  val runlogTypedSql: String = {
+    def sample(n: String) =
+      s"""CASE (i % 10)
+            WHEN 0 THEN (($n)*13 % 200 - 100)::DOUBLE
+            WHEN 1 THEN (($n)*13 % 250)::DOUBLE
+            WHEN 2 THEN (($n)*523 % 60000 - 30000)::DOUBLE
+            WHEN 3 THEN (($n)*523 % 60000)::DOUBLE
+            WHEN 4 THEN (($n)*48611 % 2000000000 - 1000000000)::DOUBLE
+            WHEN 5 THEN (($n)*48611 % 4000000000)::DOUBLE
+            WHEN 6 THEN (($n)*1103515245)::DOUBLE
+            WHEN 7 THEN (($n)*2654435761)::DOUBLE
+            WHEN 8 THEN (($n)*13 % 1000) / 4.0
+            ELSE ($n) / 8.0 END"""
+    val typeRows = f144Types.zipWithIndex
+      .map { case (t, k) => s"($k, '$t', '${f144Descriptor(t)}')" }
+      .mkString(",\n           ")
+    s"""WITH types(k, t, descr) AS (
+         VALUES $typeRows
+       ), samples AS (
+         SELECT i % 20 AS k,
                 (1700000000000000000 + i * 100000000)::BIGINT AS ts,
-                i / 3.0 AS sample
-         FROM range(64) t(i) WHERE i % 8 < 6
+                ${sample("i")} AS sample
+         FROM range(80) r(i) WHERE i % 20 < 10
          UNION ALL
-         SELECT 'pv_' || (i % 8),
-                ['Byte','Short','Int','Long','Float','Double','ArrayFloat','ArrayDouble'][(i % 8) + 1],
+         SELECT i % 20,
                 (1700000000000000000 + i * 100000000)::BIGINT,
-                i + j * 0.25
-         FROM range(64) t(i), range(4) s(j) WHERE i % 8 >= 6
+                ${sample("i + j*7")}
+         FROM range(80) r(i), range(4) s(j) WHERE i % 20 >= 10
        )
-       SELECT source, min(valueType) AS resolved_type, count(*) AS n_samples,
+       SELECT 'pv_' || k AS source, t AS resolved_type, descr AS type_descriptor,
+              count(*) AS n_samples,
               round(avg(sample), 6) AS mean_value,
               round((max(ts) - 1700000000000000000)::DOUBLE / 1e9, 9) AS last_time_sec
-       FROM samples GROUP BY source"""
+       FROM samples JOIN types USING (k)
+       GROUP BY k, t, descr"""
+  }
 
   /** al00 alarm normalisation (F10 severity mapping +
     * `schemas/ecs_al00_alarm.fbs:5-17`).
