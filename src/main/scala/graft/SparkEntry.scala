@@ -71,6 +71,7 @@ object SparkEntry {
     "q_language_id" -> (DedupQueries.languageId _),
     "q_token_counts" -> (DedupQueries.tokenCounts _),
     "q_cosine_topk" -> ((s: SparkSession, d: String) => VectorQueries.cosineTopK(s, d)),
+    "q_dedup_embedding" -> ((s: SparkSession, d: String) => VectorQueries.dedupEmbedding(s, d)),
     "q_lsh_ann" -> ((s: SparkSession, d: String) => VectorQueries.lshAnn(s, d)),
     "q_ivf_ann" -> ((s: SparkSession, d: String) => VectorQueries.ivfAnn(s, d)),
     "q_sessionize" -> (RelationalQueries.sessionize _),
@@ -107,6 +108,7 @@ object SparkEntry {
     "q_language_id" -> DedupQueries.languageIdSql,
     "q_token_counts" -> DedupQueries.tokenCountsSql,
     "q_cosine_topk" -> VectorQueries.cosineTopKSql,
+    "q_dedup_embedding" -> VectorQueries.dedupEmbeddingSql,
     "q_json_props" -> LogQueries.jsonPropsSql,
     "q_stream_windowed_counts" -> StreamingQueries.streamWindowedCountsSql,
     "q_sessionize" -> RelationalQueries.sessionizeSql,

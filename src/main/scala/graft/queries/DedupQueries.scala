@@ -139,8 +139,19 @@ object DedupQueries {
         col("simhash"),
         concat(lit(s"$i:"), col(s"seg$i")).as("seg_key"))
     }.reduce(_ union _)
-    val a = segs.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("seg_key"))
-    val b = segs.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"), col("seg_key"))
+    // same mega-bucket cap as the MinHash path: a segment value shared
+    // by n docs contributes n²/2 candidates, so degenerate buckets turn
+    // the pigeonhole join quadratic at corpus scale (never triggers at
+    // test SF — mirrored in the oracle)
+    val maxBucket = 4096
+    val smallSegs = segs
+      .groupBy(col("seg_key"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket)
+      .select(col("seg_key"))
+    val pruned = segs.join(smallSegs, Seq("seg_key"))
+    val a = pruned.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("seg_key"))
+    val b = pruned.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"), col("seg_key"))
     a.join(b, Seq("seg_key"))
       .filter(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
@@ -190,13 +201,17 @@ object DedupQueries {
     * exact Hamming ≤ 4 via bit_count of xor).
     */
   val simhashPairsSql: String =
-    s"""WITH $simhashSql, segs AS (
+    s"""WITH $simhashSql, segs0 AS (
          SELECT doc_id, simhash, unnest([
            '0:' || (simhash % 256),
            '1:' || ((simhash // 256) % 256),
            '2:' || ((simhash // 65536) % 256),
            '3:' || ((simhash // 16777216) % 256)]) AS seg_key
          FROM sh
+       ), small AS (
+         SELECT seg_key FROM segs0 GROUP BY seg_key HAVING count(*) <= 4096
+       ), segs AS (
+         SELECT segs0.* FROM segs0 JOIN small USING (seg_key)
        ), cand AS (
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 a.simhash AS sh_a, b.simhash AS sh_b

@@ -61,6 +61,35 @@ object VectorQueries {
        SELECT query_id, neighbor_id, round(sim_raw, 6) AS sim, rank
        FROM ranked WHERE rank <= 10"""
 
+  /** Embedding-cosine near-duplicate pairs: every (a, b), a < b, whose
+    * dot-product similarity reaches `minSim` — the exact kernel of
+    * embedding-based dedup. At 100 TB this kernel runs *inside* LSH or
+    * IVF buckets ([[lshAnn]]/[[ivfAnn]] provide the bucketing) instead
+    * of across the corpus; the full self-join here is the verification
+    * oracle at test scale, kept exact so DuckDB reproduces it
+    * bit-for-bit (`vec_dot` ↔ `list_dot_product`, both sequential
+    * left-folds).
+    */
+  def dedupEmbedding(s: SparkSession, dir: String, minSim: Double = 0.4): DataFrame = {
+    graft.plans.VecDot.register(s)
+    val e = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+    val a = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim_raw", expr("vec_dot(emb_a, emb_b)"))
+      .filter(col("sim_raw") >= minSim)
+      .select(col("vec_a"), col("vec_b"), round(col("sim_raw"), 6).as("sim"))
+  }
+
+  val dedupEmbeddingSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              round(list_dot_product(a.emb, b.emb), 6) AS sim
+       FROM e a JOIN e b ON a.vec_id < b.vec_id
+       WHERE list_dot_product(a.emb, b.emb) >= 0.4"""
+
   /** IVF (inverted-file) approximate NN — the other standard scale path:
     * a coarse k-means quantiser partitions the corpus into `nLists`
     * cells; each query probes its `nProbe` nearest centroids and ranks
