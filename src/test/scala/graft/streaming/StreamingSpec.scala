@@ -162,6 +162,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("end-to-end restart: new sink + same checkpoint resumes event_index from disk, no duplicates") {
+    import graft.dsp.{DetectorSettings, FixedThreshold}
+    import graft.schemas.{ChannelTrace, TraceMessage}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = Files.createTempDirectory("restart").toString
+    val ckpt = Files.createTempDirectory("restart_ckpt").toString
+    val runs = Seq(("run_rs", meta(0).timestampNs - 1L, null.asInstanceOf[java.lang.Long]))
+      .toDF("run_name", "collect_from_ns", "collect_until_ns")
+    val trace = Array(0, 1, 2, 1, 0, 1, 2, 1, 8, 0, 2, 8, 3, 1, 2)
+    def traceMsg(did: Int, frame: Long) =
+      TraceMessage(did, meta(frame), 1000000000L, Array(
+        ChannelTrace(did * 8L, trace), ChannelTrace(did * 8L + 1, trace)))
+    def eventCount: Long =
+      try spark.read.parquet(s"$outDir/local/events").count()
+      catch { case _: Throwable => 0L }
+    def await(target: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 20000L
+      while (eventCount < target && System.currentTimeMillis() < deadline) Thread.sleep(200L)
+    }
+
+    val input = MemoryStream[TraceMessage]
+    def startJob(sink: NexusSink) = PipelineJobs.traceToNexus(
+      input.toDS(),
+      DetectorSettings(FixedThreshold(5.0, 1, 0)),
+      expectedDigitizers = Seq(0, 1),
+      sink = sink,
+      runsProvider = _ => runs,
+      ttlMs = 200L,
+      checkpoint = ckpt)
+
+    val q1 = startJob(new NexusSink(outDir))
+    try {
+      input.addData(traceMsg(0, 0), traceMsg(1, 0), traceMsg(0, 1), traceMsg(1, 1))
+      await(16)
+      assert(eventCount === 16)
+    } finally q1.stop()
+
+    // process restart: fresh sink instance (empty in-memory offset
+    // cache), same checkpoint — K6 recovery must rebuild the base
+    // offset from the partitions on disk
+    val q2 = startJob(new NexusSink(outDir))
+    try {
+      input.addData(traceMsg(0, 2), traceMsg(1, 2), traceMsg(0, 3), traceMsg(1, 3))
+      await(32)
+      assert(eventCount === 32, "restart must append new frames exactly once")
+      val frames = spark.read.parquet(s"$outDir/local/frames")
+        .orderBy("event_time_zero").collect()
+      assert(frames.length === 4)
+      // cumulative across the restart: 8 events per assembled frame
+      assert(frames.map(_.getAs[Long]("event_index")).toSeq === Seq(0L, 8L, 16L, 24L))
+    } finally q2.stop()
+  }
+
   test("nexus sink: per-run layout, linger finalisation, crash resume") {
     import spark.implicits._
     val outDir = Files.createTempDirectory("nexus").toString
