@@ -75,6 +75,7 @@ object SparkEntry {
     "q_lsh_ann" -> ((s: SparkSession, d: String) => VectorQueries.lshAnn(s, d)),
     "q_ivf_ann" -> ((s: SparkSession, d: String) => VectorQueries.ivfAnn(s, d)),
     "q_sessionize" -> (RelationalQueries.sessionize _),
+    "q_asof_join" -> (RelationalQueries.asofJoin _),
     "q_rollup_revenue" -> (RelationalQueries.rollupRevenue _),
     // multimodal binary columns (decode step stubbed; plumbing real)
     "q_media_features" -> (MultimodalQueries.mediaFeatures _),
@@ -112,6 +113,7 @@ object SparkEntry {
     "q_json_props" -> LogQueries.jsonPropsSql,
     "q_stream_windowed_counts" -> StreamingQueries.streamWindowedCountsSql,
     "q_sessionize" -> RelationalQueries.sessionizeSql,
+    "q_asof_join" -> RelationalQueries.asofJoinSql,
     "q_rollup_revenue" -> RelationalQueries.rollupRevenueSql,
     // sketch ops: DuckDB re-derives every hash from the text (mod-prime
     // universal family — see TextHash scaladoc)

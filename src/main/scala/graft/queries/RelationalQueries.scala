@@ -356,6 +356,76 @@ object RelationalQueries {
         round(sum(col("value")), 4).as("sum_value"))
   }
 
+  /** As-of join — the canonical operator Spark lacks natively (SURVEY
+    * §2.8 O4's timestamp search generalised to a join): every click
+    * event is paired with the same user's latest purchase at-or-before
+    * it, the DAQ shape being "attach the most recent slow-control
+    * reading to each detector event". Scalable rendering: the union +
+    * ordered-window trick — both sides interleave in ONE window
+    * partitioned by the key and ordered by time (build side sorting
+    * before probe side on ties, so at-or-before is inclusive), and
+    * `last(_, ignoreNulls)` carries the most recent build row forward.
+    * One shuffle on user_id, no nested loop, no per-key driver logic —
+    * survives any key cardinality. DuckDB validates with its native
+    * ASOF JOIN.
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    // dedupe equal-timestamp purchases deterministically so both engines
+    // agree on which row an as-of match selects
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("purchase_value"))
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val unioned = clicks
+      .select(
+        col("user_id"),
+        col("ts"),
+        lit(1).as("is_click"),
+        col("event_id"),
+        col("value"),
+        lit(null).cast("timestamp_ntz").as("purchase_ts"),
+        lit(null).cast("double").as("purchase_value"))
+      .unionByName(purchases.select(
+        col("user_id"),
+        col("ts"),
+        lit(0).as("is_click"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("double").as("value"),
+        col("ts").as("purchase_ts"),
+        col("purchase_value")))
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_click"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    unioned
+      .withColumn("last_purchase_ts", last(col("purchase_ts"), ignoreNulls = true).over(w))
+      .withColumn("last_purchase_value", last(col("purchase_value"), ignoreNulls = true).over(w))
+      .filter(col("is_click") === 1)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts"),
+        col("value"),
+        col("last_purchase_ts"),
+        col("last_purchase_value"))
+  }
+
+  val asofJoinSql: String =
+    """WITH p AS (
+         SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, max(value) AS purchase_value
+         FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+       ), c AS (
+         SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+         FROM events WHERE event_type = 'click'
+       )
+       SELECT c.event_id, c.user_id, c.ts, c.value,
+              p.pts AS last_purchase_ts, p.purchase_value AS last_purchase_value
+       FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.pts"""
+
   val sessionizeSql: String =
     """WITH marked AS (
          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
