@@ -1,0 +1,44 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point (SURVEY §2.11): registers the
+  * library's native Catalyst expressions at session build time, so a
+  * cluster deployment enables them with
+  *
+  * {{{
+  * spark.sql.extensions=graft.plans.GraftExtensions
+  * }}}
+  *
+  * (or `.withExtensions(new GraftExtensions)`) and every session — SQL,
+  * thrift, notebook — sees `vec_dot` / `detect_pulses` without any
+  * driver-side `register()` call. The per-session
+  * `VecDot.register`/`DetectPulses.register` helpers remain for embedded
+  * use; this is the idiomatic injection path Spark provides for
+  * libraries.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    val vecDot: Seq[Expression] => Expression = exprs => VecDot(exprs(0), exprs(1))
+    val detect: Seq[Expression] => Expression =
+      exprs => DetectPulses(exprs(0), exprs(1), exprs(2), exprs(3))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("vec_dot"),
+        info("vec_dot", "vec_dot(a, b) - sequential-fold dot product of two double arrays"),
+        vecDot))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("detect_pulses"),
+        info(
+          "detect_pulses",
+          "detect_pulses(samples, threshold, duration, cool_off) - threshold FSM over a trace"),
+        detect))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `spark.sql.extensions` deployment path: a session built with
+  * [[GraftExtensions]] must expose the native expressions to plain SQL
+  * with no driver-side register() call.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("GraftExtensions injects vec_dot and detect_pulses at session build") {
+    // spark.sql.extensions is a STATIC conf read from the SparkContext
+    // at session build — a context created by an earlier suite would
+    // silently skip injection, so this test needs its own context.
+    SparkSession.getDefaultSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession
+      .builder()
+      .master("local[2]")
+      .appName("extensions-spec")
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val dot = spark
+        .sql("SELECT vec_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+        .head()
+        .getDouble(0)
+      assert(dot === 32.0)
+
+      val pulses = spark
+        .sql("""SELECT detect_pulses(array(0.0d, 0.0d, 9.0d, 9.0d, 0.0d), 5.0d, 1, 0) AS p""")
+        .head()
+        .getSeq[org.apache.spark.sql.Row](0)
+      assert(pulses.nonEmpty)
+      assert(pulses.head.getDouble(0) === 2.0) // onset index of the pulse
+
+      // DESCRIBE FUNCTION resolves through the injected ExpressionInfo
+      val desc = spark.sql("DESCRIBE FUNCTION vec_dot").collect().mkString
+      assert(desc.contains("vec_dot"))
+    } finally {
+      // release this test's dedicated context; later suites' lazy
+      // getOrCreate sessions build a fresh one
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}
