@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.dsp.{AdvancedMuon, DetectorSettings, DifferentialThreshold, FixedThreshold}
 import graft.operators.{EventFormation, FrameAssembly, NexusTables, RunAssignment}
-import graft.schemas.{RunStart, RunStop}
+import graft.schemas.{EventListMessage, RunStart, RunStop}
 import graft.sources.TraceGenerator
 import graft.sources.TraceGenerator.GeneratorConfig
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -22,6 +22,9 @@ object PipelineQueries {
   private def cfg = GeneratorConfig(nFrames = 32, nDigitizers = 4)
 
   private val expected = Seq(0, 1, 2, 3)
+
+  private def dev2Encoder(s: SparkSession) =
+    org.apache.spark.sql.Encoders.product[EventListMessage]
 
   def traceToEvents(s: SparkSession, dir: String): DataFrame =
     EventFormation
@@ -115,12 +118,24 @@ object PipelineQueries {
   /** End-to-end pipeline throughput unit for the benchmark: 256 messages
     * × 8 channels × 2000 bins (4.1M samples) through detection, assembly,
     * and the NeXus frame table. The timed count forces the whole chain.
+    * The dev2 stage carries `observe()` metrics — the Spark rendering of
+    * the reference's events-found / message counters (SURVEY §2.6 A6,
+    * §2.3 P5; `trace-to-events/src/processing.rs:60-68`): collected
+    * map-side with no extra pass or shuffle, surfaced through
+    * `QueryExecution.observedMetrics` / `Observation`.
     */
   def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
     val big = GeneratorConfig(nFrames = 64, nDigitizers = 4, timeBins = 2000)
-    val dev2 = EventFormation.formEvents(
-      TraceGenerator.traces(s, big),
-      DetectorSettings(FixedThreshold(threshold = 100.0), baseline = 50.0))
+    val dev2 = EventFormation
+      .formEvents(
+        TraceGenerator.traces(s, big),
+        DetectorSettings(FixedThreshold(threshold = 100.0), baseline = 50.0))
+      .toDF()
+      .observe(
+        "event_formation",
+        count(lit(1)).as("n_messages"),
+        sum(size(col("time")).cast("long")).as("n_events"))
+      .as(dev2Encoder(s))
     val aev2 = FrameAssembly.assemble(dev2, expected)
     aev2
       .withColumn("run_name", lit("bench_run"))

@@ -184,4 +184,23 @@ class PipelineSpec extends AnyFunSuite {
       r.getAs[Long]("timestampNs") -> r.getAs[String]("run_name")).toMap
     assert(logGot === Map(500000000L -> "run_a", 4000000000L -> "run_c"))
   }
+
+  test("observe() metrics: events-found counters collected map-side (A6/P5)") {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions._
+    val cfg = GeneratorConfig(nFrames = 4, nDigitizers = 2)
+    val dev2 = EventFormation.formEvents(
+      TraceGenerator.traces(spark, cfg),
+      DetectorSettings(FixedThreshold(threshold = 100.0), baseline = 50.0))
+    val obs = Observation("a6_metrics")
+    val observed = dev2.toDF().observe(
+      obs,
+      count(lit(1)).as("n_messages"),
+      sum(size(col("time")).cast("long")).as("n_events"))
+    val directEvents = observed.select(sum(size(col("time")).cast("long"))).head().getLong(0)
+    val row = obs.get
+    assert(row("n_messages") === 8L) // 4 frames × 2 digitisers
+    assert(row("n_events") === directEvents)
+    assert(directEvents > 0L)
+  }
 }
