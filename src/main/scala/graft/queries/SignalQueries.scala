@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.dsp.{DetectorFn, ThresholdDetector}
+import graft.dsp.{DetectorFn, DifferentialThresholdDetector, ThresholdDetector}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -71,6 +71,78 @@ object SignalQueries {
         expr("trace[cast(pulse.time AS int)].ts").as("event_time"),
         col("pulse.height").as("pulse_height"))
   }
+
+  /** The D2 differential-threshold FSM
+    * (`pulse_detection/detectors/differential_threshold_detector.rs:46-130`)
+    * over each user's value series: derivative dv = v − lag(v) (the W3
+    * finite-difference warm-up drops each trace's first sample), arm on
+    * the first dv > threshold of a positive-derivative run, disarm at the
+    * first dv ≤ 0, emit (arm time, max value from arm through the
+    * disarming sample). At duration=1 / cool_off=0 this is gaps-and-
+    * islands over dv > 0 — independently recomputable in SQL, giving D2
+    * the same oracle treatment as D1.
+    */
+  def thresholdEventsDifferential(
+      s: SparkSession,
+      dir: String,
+      threshold: Double = 120.0): DataFrame = {
+    import s.implicits._
+    implicit val tsOrdering: Ordering[java.sql.Timestamp] =
+      (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
+    Tables
+      .events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroups { (uid: Long, it: Iterator[Ev]) =>
+        val trace = it.toArray.sortBy(e => (e.ts, e.event_id))
+        val samples = (1 until trace.length).iterator.map { i =>
+          (i.toDouble, Array(trace(i).value, trace(i).value - trace(i - 1).value))
+        }
+        DetectorFn
+          .over(samples, new DifferentialThresholdDetector(threshold, 1, 0, None))
+          .map(ev => (uid, trace(ev.time.toInt).ts, ev.pulseHeight))
+      }
+      .toDF("user_id", "event_time", "pulse_height")
+  }
+
+  /** Gaps-and-islands oracle for [[thresholdEventsDifferential]]: islands
+    * of dv > 0 containing an arming sample (dv > threshold); the
+    * disarming sample's value participates in the pulse height; an
+    * island reaching end-of-trace emits only if ≥ 1 sample followed the
+    * arm (the duration latch).
+    */
+  val thresholdEventsDifferentialSql: String =
+    """WITH ordered AS (
+         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         FROM events
+       ), derived AS (
+         SELECT user_id, ts, value, rn,
+                value - lag(value) OVER (PARTITION BY user_id ORDER BY rn) AS dv,
+                max(rn) OVER (PARTITION BY user_id) AS max_rn
+         FROM ordered
+       ), pos AS (
+         SELECT *, rn - row_number()
+                     OVER (PARTITION BY user_id, (dv > 0.0) ORDER BY rn) AS grp
+         FROM derived WHERE rn >= 2
+       ), islands AS (
+         SELECT user_id, grp,
+                min(CASE WHEN dv > 120.0 THEN rn END) AS a,
+                max(rn) AS e, max(max_rn) AS max_rn
+         FROM pos WHERE dv > 0.0
+         GROUP BY user_id, grp
+         HAVING min(CASE WHEN dv > 120.0 THEN rn END) IS NOT NULL
+       ), emit AS (
+         SELECT user_id, a, least(e + 1, max_rn) AS hi
+         FROM islands WHERE e < max_rn OR e >= a + 1
+       )
+       SELECT e.user_id,
+              min(CASE WHEN o.rn = e.a THEN o.ts END) AS event_time,
+              max(o.value) AS pulse_height
+       FROM emit e JOIN derived o
+         ON o.user_id = e.user_id AND o.rn BETWEEN e.a AND e.hi
+       GROUP BY e.user_id, e.a, e.hi"""
 
   /** Gaps-and-islands oracle for [[thresholdEvents]] at duration=1,
     * cool_off=0 (see scaladoc above for the end-of-trace rule).
