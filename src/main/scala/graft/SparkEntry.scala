@@ -50,6 +50,7 @@ object SparkEntry {
     "q_nexus_frame_table" -> (PipelineQueries.nexusFrameTable _),
     "q_nexus_event_table" -> (PipelineQueries.nexusEventTable _),
     "q_pipeline_e2e" -> (PipelineQueries.pipelineE2e _),
+    "q_trace_file_scan" -> (PipelineQueries.traceFileScan _),
     "q_stream_frame_assembly" -> (StreamingQueries.streamFrameAssembly _),
     "q_stream_windowed_counts" -> (StreamingQueries.streamWindowedCounts _),
     // log streams, scalar functions, diagnostics (SURVEY §2.3, 2.6, 2.7, 2.9)

@@ -143,6 +143,41 @@ object PipelineQueries {
       .transform(NexusTables.frameTable)
   }
 
+  /** S6 through the `spark.read` surface: a deterministic binary trace
+    * file (written once to the JVM temp dir, atomic move) scanned via
+    * the DataSource V2 connector — split planning from the header,
+    * column pruning into the record reads — then reduced to per-file
+    * stats. Rows-only check; the byte-level semantics are locked by
+    * TraceFileSpec.
+    */
+  def traceFileScan(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Paths
+      .get(System.getProperty("java.io.tmpdir"), "graft_trace_scan.gtf")
+    if (!java.nio.file.Files.exists(path)) {
+      val tmp = java.nio.file.Files.createTempFile("graft_trace_scan", ".part")
+      val events = (0 until 64).map { i =>
+        val ts = 1700000000000000000L + i.toLong * 20000000L
+        (ts, Array.tabulate(4)(c =>
+          Array.tabulate(500)(j => 50 + ((i * 31 + c * 7 + j * 13) % 400))))
+      }
+      graft.sources.TraceFile.write(tmp.toString, sampleTimeNs = 1.0, events = events)
+      try
+        java.nio.file.Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () } // concurrent writer won
+    }
+    s.read
+      .format("trace-file")
+      .load(path.toString)
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("timestamp_ns")).as("first_ts_ns"),
+        max(col("timestamp_ns")).as("last_ts_ns"),
+        max(col("sample_rate")).as("sample_rate"),
+        sum(expr(
+          "aggregate(channels, 0L, (acc, c) -> acc + aggregate(c.voltage, 0L, (a, v) -> a + v))"))
+          .as("total_voltage"))
+  }
+
   def nexusEventTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dev2 = EventFormation.formEvents(

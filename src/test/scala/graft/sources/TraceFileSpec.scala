@@ -38,6 +38,37 @@ class TraceFileSpec extends AnyFunSuite {
     assert(ch7.map(_.toSeq).toSeq === fixture(7)._2.map(_.toSeq).toSeq)
   }
 
+  test("DataSource V2: spark.read.format(trace-file) with split planning and column pruning") {
+    import org.apache.spark.sql.functions._
+    val path = Files.createTempDirectory("tracefile_v2").resolve("run.gtf").toString
+    TraceFile.write(path, sampleTimeNs = 1.0, events = fixture)
+
+    val df = spark.read.format("trace-file").load(path)
+    assert(df.count() === 10)
+    // values agree with the typed reader
+    val full = df.orderBy("event_index").collect()
+    assert(full.map(_.getAs[Long]("timestamp_ns")).toSeq === fixture.map(_._1))
+    val ch0 = full(3)
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("channels")
+      .head
+      .getAs[scala.collection.Seq[Int]]("voltage")
+    assert(ch0.toSeq === fixture(3)._2.head.toSeq)
+
+    // column pruning reaches the scan: a timestamp-only projection's
+    // batch scan must not output the channels column (the reader then
+    // reads 8 bytes per record instead of the payload)
+    val pruned = df.select(col("timestamp_ns"))
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.output.map(_.name) === Seq("timestamp_ns"))
+    assert(pruned.collect().map(_.getLong(0)).toSeq.sorted === fixture.map(_._1))
+
+    // sample_rate derived from the header
+    assert(df.select(max(col("sample_rate"))).head().getLong(0) === 1000000000L)
+  }
+
   test("distributed load feeds event formation") {
     val path = Files.createTempDirectory("tracefile").resolve("run.gtf").toString
     TraceFile.write(path, sampleTimeNs = 1.0, events = fixture)
