@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -76,32 +77,90 @@ private[sources] class TraceFileTable(path: String) extends Table with SupportsR
 
 private[sources] class TraceFileScanBuilder(path: String)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = TraceFileSource.schema
+  private var tsLower: Option[Long] = None
+  private var tsUpper: Option[Long] = None
+  private var pushed: Array[sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve source column order regardless of projection order
     required = StructType(
       TraceFileSource.schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = new TraceFileScan(path, required)
+  /** Timestamp-range predicates prune the planned event range via the O4
+    * bisect (records are in capture/timestamp order — the same contract
+    * the reference's offset search relies on). Pushdown is INEXACT: the
+    * bounds narrow the scan, and every filter is also returned as a
+    * residual so Spark re-applies it — correct even on an unsorted file.
+    */
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    def widen(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case _ => None
+    }
+    filters.foreach {
+      case sources.GreaterThan("timestamp_ns", v) =>
+        widen(v).foreach(l => { tsLower = Some(tsLower.fold(l)(math.max(_, l))); pushed :+= sources.GreaterThan("timestamp_ns", v) })
+      case sources.GreaterThanOrEqual("timestamp_ns", v) =>
+        widen(v).foreach(l => { tsLower = Some(tsLower.fold(l)(math.max(_, l))); pushed :+= sources.GreaterThanOrEqual("timestamp_ns", v) })
+      case sources.LessThan("timestamp_ns", v) =>
+        widen(v).foreach(l => { tsUpper = Some(tsUpper.fold(l)(math.min(_, l))); pushed :+= sources.LessThan("timestamp_ns", v) })
+      case sources.LessThanOrEqual("timestamp_ns", v) =>
+        widen(v).foreach(l => { tsUpper = Some(tsUpper.fold(l)(math.min(_, l))); pushed :+= sources.LessThanOrEqual("timestamp_ns", v) })
+      case sources.EqualTo("timestamp_ns", v) =>
+        widen(v).foreach { l =>
+          tsLower = Some(tsLower.fold(l)(math.max(_, l)))
+          tsUpper = Some(tsUpper.fold(l)(math.min(_, l)))
+          pushed :+= sources.EqualTo("timestamp_ns", v)
+        }
+      case _ => ()
+    }
+    filters // all residual: the range prune is advisory, Spark re-filters
+  }
+
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def build(): Scan = new TraceFileScan(path, required, tsLower, tsUpper)
 }
 
-private[sources] class TraceFileScan(path: String, required: StructType) extends Scan with Batch {
+private[sources] class TraceFileScan(
+    path: String,
+    required: StructType,
+    tsLower: Option[Long] = None,
+    tsUpper: Option[Long] = None)
+    extends Scan
+    with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"TraceFileScan(path=$path, columns=${required.fieldNames.mkString(",")})"
+    s"TraceFileScan(path=$path, columns=${required.fieldNames.mkString(",")}," +
+      s" tsRange=[${tsLower.getOrElse("-inf")}, ${tsUpper.getOrElse("+inf")}])"
+
+  /** First index with timestamp ≥ target (file in capture order). */
+  private def bisect(header: TraceFile.Header, target: Long): Long = {
+    var lo = 0L
+    var hi = header.nEvents.toLong
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (TraceFile.readEvent(path, header, mid.toInt)._1 < target) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val header = TraceFile.readHeader(path)
+    // timestamp bounds → event-range prune, O(log n) 8-byte probes on
+    // the driver (conservative: >= lower, <= upper; residual filter
+    // handles strictness)
+    val lo = tsLower.map(bisect(header, _)).getOrElse(0L)
+    val hi = tsUpper.map(u => bisect(header, u + 1L)).getOrElse(header.nEvents.toLong)
     // target ~16 MiB of payload per split, at least one event each
     val perSplit = math.max(1L, (16L << 20) / math.max(1L, header.eventBytes))
-    (0L until header.nEvents.toLong by perSplit).map { start =>
-      TraceFilePartition(
-        path,
-        start,
-        math.min(start + perSplit, header.nEvents.toLong)): InputPartition
+    (lo until hi by perSplit).map { start =>
+      TraceFilePartition(path, start, math.min(start + perSplit, hi)): InputPartition
     }.toArray
   }
 

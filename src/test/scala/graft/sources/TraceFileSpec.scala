@@ -67,6 +67,24 @@ class TraceFileSpec extends AnyFunSuite {
 
     // sample_rate derived from the header
     assert(df.select(max(col("sample_rate"))).head().getLong(0) === 1000000000L)
+
+    // timestamp-range pushdown prunes the PLANNED event range via bisect:
+    // a filter selecting events 4..7 must plan exactly 4 records
+    val midLo = fixture(4)._1
+    val midHi = fixture(7)._1
+    val filtered = df.filter(col("timestamp_ns") >= midLo && col("timestamp_ns") <= midHi)
+    assert(filtered.count() === 4)
+    assert(filtered.select(min(col("event_index"))).head().getLong(0) === 4L)
+    val fScan = filtered.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }.head
+    val planned = fScan.scan
+      .asInstanceOf[TraceFileScan]
+      .planInputPartitions()
+      .map(_.asInstanceOf[TraceFilePartition])
+    assert(planned.map(p => p.end - p.start).sum === 4L,
+      s"bisect prune should plan 4 events, planned ${planned.toSeq}")
+    assert(planned.head.start === 4L)
   }
 
   test("distributed load feeds event formation") {
