@@ -91,6 +91,10 @@ final class NexusSink(outputDir: String) extends Serializable {
       .collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
       .toMap
+    // empty micro-batch (the lifecycle job's finalization poll): nothing
+    // to write, and dynamic overwrite of zero partitions is a no-op —
+    // skip the write jobs entirely
+    if (batchCounts.isEmpty) { cached.unpersist(); return }
     val newRuns = batchCounts.keySet.diff(eventBase.keySet)
     if (newRuns.nonEmpty) {
       val onDisk = onDiskEventCounts(spark, newRuns, batchId)

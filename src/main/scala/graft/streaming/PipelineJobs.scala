@@ -24,7 +24,60 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * key with state bounded by TTL × frame rate; stage 3 broadcasts the
   * run dimension and writes partition dirs directly from executors.
   */
+/** Driver-side run catalog — the Spark rendering of the reference
+  * engine's in-memory run cache (`run_engine/engine.rs:144-173`): the
+  * control stream folds its [[RunInterval]] updates in (runs are a tiny
+  * dimension — one entry per run generation), the data stream broadcasts
+  * a snapshot per micro-batch, and the sink finalizes generations whose
+  * stop + linger has passed. Thread-safe: the control and data streams
+  * run as separate queries.
+  */
+final class RunCatalog extends Serializable {
+  private val runs =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Option[Long]]()
+
+  def update(intervals: Iterator[RunInterval]): Unit =
+    intervals.foreach(r => runs.put((r.runName, r.collectFromNs), r.collectUntilNs))
+
+  /** Snapshot as the run dimension RunAssignment broadcasts. */
+  def snapshot(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = runs.asScala.toSeq.map { case ((name, from), until) =>
+      (name, from, until.map(java.lang.Long.valueOf).orNull)
+    }
+    import spark.implicits._
+    rows.toDF("run_name", "collect_from_ns", "collect_until_ns")
+  }
+
+  /** (name, start, stop) triples for the sink's linger finalization. */
+  def entries: Seq[(String, Long, Option[Long])] = {
+    import scala.jdk.CollectionConverters._
+    runs.asScala.toSeq.map { case ((name, from), until) => (name, from, until) }
+  }
+
+  def remove(runName: String, startNs: Long): Unit = runs.remove((runName, startNs))
+}
+
 object PipelineJobs {
+
+  /** Control-plane query: fold the run-lifecycle stream into `catalog`.
+    * Update output — every accepted start/stop transition lands in the
+    * catalog within one micro-batch.
+    */
+  def controlToCatalog(
+      control: Dataset[graft.streaming.ControlMessage],
+      catalog: RunCatalog,
+      checkpoint: String): StreamingQuery =
+    RunStream
+      .runIntervals(control)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[RunInterval], _: Long) =>
+        // one entry per run transition — driver-side fold is the point
+        catalog.update(batch.collect().iterator)
+      }
+      .start()
 
   def traceToNexus(
       traces: Dataset[TraceMessage],
@@ -45,6 +98,46 @@ object PipelineJobs {
         val spark = batch.sparkSession
         val assigned = RunAssignment.assignFrames(batch.toDF(), runsProvider(spark))
         sink.writeBatch(assigned, batchId)
+      }
+      .start()
+  }
+
+  /** The reference nexus-writer's full behavior in one job pair
+    * (SURVEY §3.3): run assignment against the live control-fed
+    * [[RunCatalog]] AND linger finalization per micro-batch — stopped
+    * generations whose linger window has passed move local/ →
+    * completed/ and leave the catalog, exactly the engine's poll loop
+    * (`run_engine/engine.rs:329-356`). The frame-assembly timeout keeps
+    * micro-batches firing, so finalization polls even with no new data
+    * (the reference polls on `--cache-poll-interval-ms` the same way).
+    */
+  def traceToNexusWithLifecycle(
+      traces: Dataset[TraceMessage],
+      settings: DetectorSettings,
+      expectedDigitizers: Seq[Int],
+      sink: NexusSink,
+      catalog: RunCatalog,
+      ttlMs: Long = 500L,
+      checkpoint: String,
+      triggerMs: Long = 100L,
+      lingerMs: Long = 2000L,
+      nowNs: () => Long = () => System.currentTimeMillis() * 1000000L): StreamingQuery = {
+    val dev2 = EventFormation.formEvents(traces, settings)
+    val aev2 = FrameAssemblyStream.assemble(dev2, expectedDigitizers, ttlMs)
+    aev2.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
+      .foreachBatch { (batch: Dataset[graft.schemas.AssembledFrame], batchId: Long) =>
+        val spark = batch.sparkSession
+        val assigned = RunAssignment.assignFrames(batch.toDF(), catalog.snapshot(spark))
+        sink.writeBatch(assigned, batchId)
+        val now = nowNs()
+        val closable = catalog.entries.collect {
+          case (n, s, Some(u)) if u + lingerMs * 1000000L < now => (n, s, Option(u))
+        }
+        sink.finalizeRuns(closable, now, lingerMs)
+        closable.foreach { case (n, s, _) => catalog.remove(n, s) }
       }
       .start()
   }

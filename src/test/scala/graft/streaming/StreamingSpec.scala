@@ -216,6 +216,67 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("full DAQ chain: control stream drives run catalog, sink, and linger finalisation") {
+    import graft.dsp.{DetectorSettings, FixedThreshold}
+    import graft.schemas.{ChannelTrace, TraceMessage}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = Files.createTempDirectory("chain").toString
+    val sink = new NexusSink(outDir)
+    val catalog = new RunCatalog
+
+    val startMs = (meta(0).timestampNs - 1000000L) / 1000000L
+    val stopMs = (meta(3).timestampNs + 1000000L) / 1000000L
+
+    val control = MemoryStream[ControlMessage]
+    val controlQuery = PipelineJobs.controlToCatalog(
+      control.toDS(), catalog, Files.createTempDirectory("chain_ctl_ckpt").toString)
+
+    val trace = Array(0, 1, 2, 1, 0, 1, 2, 1, 8, 0, 2, 8, 3, 1, 2)
+    def traceMsg(did: Int, frame: Long) =
+      TraceMessage(did, meta(frame), 1000000000L, Array(
+        ChannelTrace(did * 8L, trace), ChannelTrace(did * 8L + 1, trace)))
+
+    val input = MemoryStream[TraceMessage]
+    // deterministic "now": far past the stop's linger window, so the
+    // finalisation poll closes the run as soon as the stop is seen
+    val fixedNow = meta(3).timestampNs + 60L * 1000000000L
+    val dataQuery = PipelineJobs.traceToNexusWithLifecycle(
+      input.toDS(),
+      DetectorSettings(FixedThreshold(5.0, 1, 0)),
+      expectedDigitizers = Seq(0, 1),
+      sink = sink,
+      catalog = catalog,
+      ttlMs = 200L,
+      checkpoint = Files.createTempDirectory("chain_ckpt").toString,
+      lingerMs = 1000L,
+      nowNs = () => fixedNow)
+    try {
+      // open the run, then feed its frames
+      control.addData(ControlMessage("start", "run_chain", startMs, "muon"))
+      controlQuery.processAllAvailable()
+      assert(catalog.entries === Seq(("run_chain", startMs * 1000000L, None)))
+
+      input.addData(traceMsg(0, 0), traceMsg(1, 0), traceMsg(0, 1), traceMsg(1, 1))
+      def countAt(dir: String): Long =
+        try spark.read.parquet(dir).count() catch { case _: Throwable => 0L }
+      val deadline = System.currentTimeMillis() + 20000L
+      while (countAt(s"$outDir/local/events") < 16 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200L)
+      assert(countAt(s"$outDir/local/events") === 16)
+
+      // stop the run; the data query's finalisation poll must move it
+      control.addData(ControlMessage("stop", "run_chain", stopMs, "muon"))
+      controlQuery.processAllAvailable()
+      val deadline2 = System.currentTimeMillis() + 20000L
+      while (countAt(s"$outDir/completed/events") < 16 && System.currentTimeMillis() < deadline2)
+        Thread.sleep(200L)
+      assert(countAt(s"$outDir/completed/events") === 16)
+      assert(!Files.exists(java.nio.file.Paths.get(s"$outDir/local/events/run_name=run_chain")))
+      assert(catalog.entries.isEmpty, "finalised generation must leave the catalog")
+    } finally { dataQuery.stop(); controlQuery.stop() }
+  }
+
   test("nexus sink: per-run layout, linger finalisation, crash resume") {
     import spark.implicits._
     val outDir = Files.createTempDirectory("nexus").toString
