@@ -140,32 +140,56 @@ private[sources] class TraceFileScan(
       s" tsRange=[${tsLower.getOrElse("-inf")}, ${tsUpper.getOrElse("+inf")}])"
 
   /** First index with timestamp ≥ target (file in capture order). */
-  private def bisect(header: TraceFile.Header, target: Long): Long = {
+  private def bisect(file: String, header: TraceFile.Header, target: Long): Long = {
     var lo = 0L
     var hi = header.nEvents.toLong
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
-      if (TraceFile.readEvent(path, header, mid.toInt)._1 < target) lo = mid + 1 else hi = mid
+      if (TraceFile.readEvent(file, header, mid.toInt)._1 < target) lo = mid + 1 else hi = mid
     }
     lo
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val header = TraceFile.readHeader(path)
-    // timestamp bounds → event-range prune, O(log n) 8-byte probes on
-    // the driver (conservative: >= lower, <= upper; residual filter
-    // handles strictness)
-    val lo = tsLower.map(bisect(header, _)).getOrElse(0L)
-    val hi = tsUpper.map(u => bisect(header, u + 1L)).getOrElse(header.nEvents.toLong)
-    // target ~16 MiB of payload per split, at least one event each
-    val perSplit = math.max(1L, (16L << 20) / math.max(1L, header.eventBytes))
-    (lo until hi by perSplit).map { start =>
-      TraceFilePartition(path, start, math.min(start + perSplit, hi)): InputPartition
+    // a capture deployment produces a DIRECTORY of trace files — plan
+    // per file (headers are a few hundred bytes each on the driver)
+    TraceFileScan.resolveFiles(path).flatMap { file =>
+      val header = TraceFile.readHeader(file)
+      // timestamp bounds → event-range prune, O(log n) 8-byte probes on
+      // the driver (conservative: >= lower, <= upper; residual filter
+      // handles strictness)
+      val lo = tsLower.map(bisect(file, header, _)).getOrElse(0L)
+      val hi = tsUpper.map(u => bisect(file, header, u + 1L)).getOrElse(header.nEvents.toLong)
+      // target ~16 MiB of payload per split, at least one event each
+      val perSplit = math.max(1L, (16L << 20) / math.max(1L, header.eventBytes))
+      (lo until hi by perSplit).map { start =>
+        TraceFilePartition(file, start, math.min(start + perSplit, hi)): InputPartition
+      }
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new TraceFileReaderFactory(required.fieldNames)
+}
+
+private[sources] object TraceFileScan {
+  /** A file path as-is; a directory expands to its `.gtf` files sorted
+    * by name (capture tools name files in time order).
+    */
+  def resolveFiles(path: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files
+        .list(p)
+        .iterator()
+        .asScala
+        .filter(_.getFileName.toString.endsWith(".gtf"))
+        .map(_.toString)
+        .toSeq
+        .sorted
+    } else Seq(path)
+  }
 }
 
 private[sources] final case class TraceFilePartition(path: String, start: Long, end: Long)

@@ -87,6 +87,19 @@ class TraceFileSpec extends AnyFunSuite {
     assert(planned.head.start === 4L)
   }
 
+  test("DataSource V2: a directory of trace files plans per file") {
+    val dir = Files.createTempDirectory("tracefile_dir")
+    TraceFile.write(dir.resolve("a.gtf").toString, 1.0, fixture)
+    // second capture file 1 s later
+    val later = fixture.map { case (ts, ch) => (ts + 1000000000L, ch) }
+    TraceFile.write(dir.resolve("b.gtf").toString, 1.0, later)
+    val df = spark.read.format("trace-file").load(dir.toString)
+    assert(df.count() === 20)
+    // range filter spanning only the second file prunes the first
+    val onlyB = df.filter(org.apache.spark.sql.functions.col("timestamp_ns") >= later.head._1)
+    assert(onlyB.count() === 10)
+  }
+
   test("distributed load feeds event formation") {
     val path = Files.createTempDirectory("tracefile").resolve("run.gtf").toString
     TraceFile.write(path, sampleTimeNs = 1.0, events = fixture)
