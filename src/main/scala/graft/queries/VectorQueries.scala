@@ -107,7 +107,10 @@ object VectorQueries {
       nQueries: Int = 8,
       k: Int = 10,
       nLists: Int = 16,
-      nProbe: Int = 4,
+      // 6/16 lists probed → ~0.71 recall@10 on the harness's
+      // near-orthogonal corpus (VectorSpec locks the floor); clustered
+      // real-world embeddings reach higher recall at lower probe ratios
+      nProbe: Int = 6,
       seed: Long = 42L): DataFrame = {
     graft.plans.VecDot.register(s)
     val sample = Tables
