@@ -82,7 +82,9 @@ object SparkEntry {
     "q_rollup_revenue" -> (RelationalQueries.rollupRevenue _),
     // multimodal binary columns (decode step stubbed; plumbing real)
     "q_media_features" -> (MultimodalQueries.mediaFeatures _),
-    "q_media_resize" -> ((s: SparkSession, d: String) => MultimodalQueries.mediaResize(s, d))
+    "q_media_resize" -> ((s: SparkSession, d: String) => MultimodalQueries.mediaResize(s, d)),
+    "q_media_frame_sample" -> ((s: SparkSession, d: String) =>
+      MultimodalQueries.mediaFrameSample(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

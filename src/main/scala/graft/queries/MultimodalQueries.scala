@@ -112,6 +112,40 @@ object MultimodalQueries {
         round(aggregate(col("feature"), lit(0.0), (a, x) => a + x.cast("double")), 6))
       .drop("feature")
 
+  /** STUB frame-sample: the payload is treated as a rolled "video" — the
+    * 16-byte header followed by fixed 32-byte frames; every `stride`-th
+    * frame becomes its own output row. This is the one-binary-to-
+    * many-rows shape real video pipelines use: the decoder iterates
+    * INSIDE one partition pass (one decoder instance per partition, rows
+    * streamed through it), the row explosion happens executor-side, and
+    * the per-frame schema is typed. A real codec replaces the fixed
+    * split; every Spark contract stays identical.
+    */
+  def mediaFrameSample(s: SparkSession, dir: String, stride: Int = 4): DataFrame = {
+    val frameSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_index", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("mean_byte", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(frameSchema)
+    val frameBytes = 32
+    mediaTable(s, dir)
+      .select(col("doc_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val docId = r.getLong(0)
+          val body = r.getAs[Array[Byte]](1).drop(16)
+          val nFrames = body.length / frameBytes
+          (0 until nFrames by stride).iterator.map { f =>
+            var sum = 0.0
+            var i = f * frameBytes
+            while (i < (f + 1) * frameBytes) { sum += (body(i) & 0xff); i += 1 }
+            Row(docId, f, nFrames, sum / frameBytes)
+          }
+        }
+      }(enc)
+  }
+
   /** STUB resize: metadata-level transform demonstrating payload-preserving
     * column surgery (a real implementation re-encodes `media`).
     */
