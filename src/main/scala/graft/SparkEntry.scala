@@ -78,6 +78,7 @@ object SparkEntry {
     "q_lsh_ann" -> ((s: SparkSession, d: String) => VectorQueries.lshAnn(s, d)),
     "q_ivf_ann" -> ((s: SparkSession, d: String) => VectorQueries.ivfAnn(s, d)),
     "q_sessionize" -> (RelationalQueries.sessionize _),
+    "q_session_window" -> (RelationalQueries.sessionWindow _),
     "q_asof_join" -> (RelationalQueries.asofJoin _),
     "q_rollup_revenue" -> (RelationalQueries.rollupRevenue _),
     // multimodal binary columns (decode step stubbed; plumbing real)
@@ -119,6 +120,7 @@ object SparkEntry {
     "q_json_props" -> LogQueries.jsonPropsSql,
     "q_stream_windowed_counts" -> StreamingQueries.streamWindowedCountsSql,
     "q_sessionize" -> RelationalQueries.sessionizeSql,
+    "q_session_window" -> RelationalQueries.sessionWindowSql,
     "q_asof_join" -> RelationalQueries.asofJoinSql,
     "q_rollup_revenue" -> RelationalQueries.rollupRevenueSql,
     // sketch ops: DuckDB re-derives every hash from the text (mod-prime

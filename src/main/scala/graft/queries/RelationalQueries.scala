@@ -356,6 +356,44 @@ object RelationalQueries {
         round(sum(col("value")), 4).as("sum_value"))
   }
 
+  /** The same sessionisation as [[sessionize]] through Spark's NATIVE
+    * `session_window` operator — the engine merges per-event gap windows
+    * itself (batch here; the identical expression works under
+    * Structured Streaming with state-store-backed merging). The oracle
+    * recomputes sessions with gaps-and-islands and appends the gap to
+    * the last event, which is how `session_window` defines `end`.
+    */
+  def sessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        col("user_id"),
+        col("w.start").as("session_start"),
+        col("w.end").as("session_end"),
+        col("n_events"),
+        col("sum_value"))
+
+  val sessionWindowSql: String =
+    """WITH marked AS (
+         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                       OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) >= 1800000000
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       ), numbered AS (
+         SELECT *, sum(new_session) OVER
+                  (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         FROM marked
+       )
+       SELECT user_id, min(ts) AS session_start,
+              max(ts) + INTERVAL 30 MINUTE AS session_end,
+              count(*) AS n_events, round(sum(value), 4) AS sum_value
+       FROM numbered GROUP BY user_id, session_seq"""
+
   /** As-of join — the canonical operator Spark lacks natively (SURVEY
     * §2.8 O4's timestamp search generalised to a join): every click
     * event is paired with the same user's latest purchase at-or-before
