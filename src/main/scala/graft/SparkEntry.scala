@@ -53,6 +53,7 @@ object SparkEntry {
     "q_trace_file_scan" -> (PipelineQueries.traceFileScan _),
     "q_stream_frame_assembly" -> (StreamingQueries.streamFrameAssembly _),
     "q_stream_windowed_counts" -> (StreamingQueries.streamWindowedCounts _),
+    "q_stream_dedup" -> (StreamingQueries.streamDedup _),
     // log streams, scalar functions, diagnostics (SURVEY §2.3, 2.6, 2.7, 2.9)
     "q_json_props" -> (LogQueries.jsonProps _),
     "q_selog_expand" -> (LogQueries.selogExpand _),
@@ -119,6 +120,7 @@ object SparkEntry {
     "q_dedup_embedding" -> VectorQueries.dedupEmbeddingSql,
     "q_json_props" -> LogQueries.jsonPropsSql,
     "q_stream_windowed_counts" -> StreamingQueries.streamWindowedCountsSql,
+    "q_stream_dedup" -> StreamingQueries.streamDedupSql,
     "q_sessionize" -> RelationalQueries.sessionizeSql,
     "q_session_window" -> RelationalQueries.sessionWindowSql,
     "q_asof_join" -> RelationalQueries.asofJoinSql,

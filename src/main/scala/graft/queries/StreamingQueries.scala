@@ -59,6 +59,43 @@ object StreamingQueries {
        count(*) AS n, round(sum(value), 4) AS sum_value
        FROM events GROUP BY 1, 2"""
 
+  /** Streaming exact deduplication (the streams side of the dedup
+    * surface): the events file stream unioned with itself — every event
+    * arrives twice — then `dropDuplicatesWithinWatermark` on the key
+    * restores exactly-once per event before a windible aggregation.
+    * State is bounded by the watermark horizon (the unbounded-state
+    * `dropDuplicates` variant exists for replay-stable keys); the final
+    * counts equal the batch per-type counts, so this is oracle-checked.
+    */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet").schema
+    def src = s.readStream
+      .schema(raw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val doubled = src.unionByName(src)
+    val deduped = doubled
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val name = s"stream_dedup_${System.nanoTime()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dedup_ckpt").toString
+    val query = deduped.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+    s.table(name)
+  }
+
+  val streamDedupSql: String =
+    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+
   def streamFrameAssembly(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
