@@ -99,4 +99,32 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(graft.operators.FrameAssembly.assemble(dev2, Seq(0, 1)))
     assert("Exchange hashpartitioning".r.findAllIn(p).length === 1)
   }
+
+  test("as-of join: union + ordered window, never a nested loop") {
+    val p = plan(RelationalQueries.asofJoin(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin")) // it isn't a join node at all
+    assert(p.contains("Window"))
+    // shuffles: the purchase pre-aggregation + the per-key window — the
+    // probe side is never joined row-by-row against the build side
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 3)
+  }
+
+  test("session_window sessionisation runs in the engine's session aggregation") {
+    val p = plan(RelationalQueries.sessionWindow(spark, dir))
+    assert(p.toLowerCase.contains("session"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("trace-file DSv2 scan plans with pruned output columns") {
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files.createTempDirectory("plan_gtf").resolve("t.gtf").toString
+    graft.sources.TraceFile.write(path, 1.0,
+      (0 until 4).map(i => (1000L + i, Array.fill(1)(Array.fill(8)(i)))))
+    val df = spark.read.format("trace-file").load(path).select(col("timestamp_ns"))
+    val p = plan(df)
+    assert(p.contains("BatchScan"))
+    assert(!p.contains("channels"), "pruned column must not appear in the scan output")
+  }
 }
