@@ -72,11 +72,20 @@ object DedupQueries {
     * fold mod P over chars, +1 per char — [[TextHash.polyHash]]) and the
     * 128-entry MinHash signature via the universal family
     * ([[TextHash.permHash]]). Pure integer arithmetic < 2⁶².
+    *
+    * Tokenization parity contract: Scala splits on `\s+` over UTF-16
+    * units, the SQL splits on a single space (empty tokens filtered) over
+    * code points — identical for single-spaced BMP text, which the
+    * harness corpus satisfies (verified `[a-z0-9 ]+`, no runs of
+    * spaces). Text with tabs/newlines/astral chars would need the
+    * tokenizers aligned first.
     */
   private val P = TextHash.P
   private val sigSql: String =
     s"""words AS (
-         SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents
+         SELECT doc_id,
+                list_distinct(list_filter(string_split(text, ' '), w -> w <> '')) AS ws
+         FROM documents
        ), hs AS (
          SELECT doc_id,
            [list_reduce(list_prepend(0::BIGINT, [unicode(c)::BIGINT FOR c IN string_split(w, '')]),
@@ -184,6 +193,7 @@ object DedupQueries {
     s"""toks AS (
          SELECT doc_id, w, count(*)::BIGINT AS cnt
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE w <> ''
          GROUP BY doc_id, w
        ), th AS (
          SELECT doc_id, cnt,
@@ -214,7 +224,8 @@ object DedupQueries {
        FROM sh"""
 
   /** DuckDB re-derivation of [[simhashPairs]] (segment pigeonhole join +
-    * exact Hamming ≤ 4 via bit_count of xor).
+    * exact Hamming ≤ 2 via bit_count of xor — keep the literal in sync
+    * with the query's maxHamming default).
     */
   val simhashPairsSql: String =
     s"""WITH $simhashSql, segs0 AS (

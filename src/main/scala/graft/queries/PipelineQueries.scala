@@ -151,19 +151,30 @@ object PipelineQueries {
     * TraceFileSpec.
     */
   def traceFileScan(s: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Paths
-      .get(System.getProperty("java.io.tmpdir"), "graft_trace_scan.gtf")
-    if (!java.nio.file.Files.exists(path)) {
+    // fixture shape — also the cache key: changing any of these renames
+    // the file, so a stale cache from an older build can't be read
+    val (nEvents, nChannels, nSamples) = (64, 4, 500)
+    val path = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_trace_scan_${nEvents}x${nChannels}x${nSamples}_v1.gtf")
+    def headerMatches: Boolean =
+      try {
+        val h = graft.sources.TraceFile.readHeader(path.toString)
+        h.nEvents == nEvents && h.nChannels == nChannels && h.nSamples == nSamples
+      } catch { case _: Throwable => false } // foreign/corrupt file → rewrite
+    if (!java.nio.file.Files.exists(path) || !headerMatches) {
       val tmp = java.nio.file.Files.createTempFile("graft_trace_scan", ".part")
-      val events = (0 until 64).map { i =>
+      val events = (0 until nEvents).map { i =>
         val ts = 1700000000000000000L + i.toLong * 20000000L
-        (ts, Array.tabulate(4)(c =>
-          Array.tabulate(500)(j => 50 + ((i * 31 + c * 7 + j * 13) % 400))))
+        (ts, Array.tabulate(nChannels)(c =>
+          Array.tabulate(nSamples)(j => 50 + ((i * 31 + c * 7 + j * 13) % 400))))
       }
       graft.sources.TraceFile.write(tmp.toString, sampleTimeNs = 1.0, events = events)
-      try
-        java.nio.file.Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () } // concurrent writer won
+      java.nio.file.Files.move(
+        tmp,
+        path,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     s.read
       .format("trace-file")

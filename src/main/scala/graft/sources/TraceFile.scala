@@ -39,8 +39,18 @@ object TraceFile {
 
   private val Magic = 0x47524654 // "GRFT"
 
-  /** Write a trace file: header + `events` fixed-size records. */
+  /** Write a trace file: header + `events` fixed-size records. Records
+    * MUST be in non-decreasing timestamp order — capture order equals
+    * time order, the same invariant the reference's offset search relies
+    * on, and the one the DSv2 connector's bisect pruning assumes.
+    * Enforced here so every file this engine produces upholds it.
+    */
   def write(path: String, sampleTimeNs: Double, events: Seq[(Long, Array[Array[Int]])]): Unit = {
+    events.iterator.map(_._1).sliding(2).foreach { w =>
+      if (w.length == 2)
+        require(w(0) <= w(1),
+          s"trace-file records must be timestamp-ordered (got ${w(0)} then ${w(1)})")
+    }
     val out = new DataOutputStream(
       new java.io.BufferedOutputStream(Files.newOutputStream(Paths.get(path))))
     try {
@@ -79,6 +89,24 @@ object TraceFile {
       val nEvents = in.readInt(); pos += 4
       Header(version, description, nChannels, voltsScale, sampleTimeNs, nSamples, nEvents, pos)
     } finally in.close()
+  }
+
+  /** Read only one event's 8-byte timestamp — the bisect probe. */
+  def readTimestamp(path: String, header: Header, index: Long): Long = {
+    require(index >= 0 && index < header.nEvents, s"event $index out of range")
+    val ch = Files.newByteChannel(Paths.get(path))
+    try {
+      ch.position(header.headerBytes + index * header.eventBytes)
+      val buf = java.nio.ByteBuffer.allocate(8)
+      var read = 0
+      while (read < 8) {
+        val n = ch.read(buf)
+        if (n < 0) throw new EOFException(s"truncated event $index in $path")
+        read += n
+      }
+      buf.flip()
+      buf.getLong
+    } finally ch.close()
   }
 
   /** Read one event by index — O(1) seek (`loader.rs:101-135` semantics). */
@@ -151,7 +179,7 @@ object TraceFile {
     var hi = header.nEvents - 1
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
-      if (readEvent(path, header, mid)._1 < targetTs) lo = mid + 1 else hi = mid
+      if (readTimestamp(path, header, mid) < targetTs) lo = mid + 1 else hi = mid
     }
     val start = math.max(0, lo - backstep)
     // saturating bound — targetTs + MaxValue must not wrap negative

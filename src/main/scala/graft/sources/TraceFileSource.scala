@@ -139,13 +139,19 @@ private[sources] class TraceFileScan(
     s"TraceFileScan(path=$path, columns=${required.fieldNames.mkString(",")}," +
       s" tsRange=[${tsLower.getOrElse("-inf")}, ${tsUpper.getOrElse("+inf")}])"
 
-  /** First index with timestamp ≥ target (file in capture order). */
+  /** First index with timestamp ≥ target. Probes read ONLY the 8-byte
+    * timestamp — planning latency is log(n) × 8 B, independent of
+    * payload size. Requires the format's timestamp-order invariant
+    * (enforced by [[TraceFile.write]]); the residual filters keep
+    * results correct, though a foreign unsorted file may under-scan —
+    * the same trust a parquet reader puts in writer-produced stats.
+    */
   private def bisect(file: String, header: TraceFile.Header, target: Long): Long = {
     var lo = 0L
     var hi = header.nEvents.toLong
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
-      if (TraceFile.readEvent(file, header, mid.toInt)._1 < target) lo = mid + 1 else hi = mid
+      if (TraceFile.readTimestamp(file, header, mid) < target) lo = mid + 1 else hi = mid
     }
     lo
   }
@@ -180,14 +186,15 @@ private[sources] object TraceFileScan {
     val p = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.isDirectory(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files
-        .list(p)
+      val stream = java.nio.file.Files.list(p)
+      try stream
         .iterator()
         .asScala
         .filter(_.getFileName.toString.endsWith(".gtf"))
         .map(_.toString)
         .toSeq
         .sorted
+      finally stream.close()
     } else Seq(path)
   }
 }

@@ -149,8 +149,11 @@ final class NexusSink(outputDir: String) extends Serializable {
             else mergeMove(src, dst)
             // drop the name-level dir once its last generation moved so
             // resume no longer reports the run as locally open
-            if (Files.exists(parent) && !Files.list(parent).iterator().hasNext)
-              Files.delete(parent)
+            if (Files.exists(parent)) {
+              val children = Files.list(parent)
+              val empty = try !children.iterator().hasNext finally children.close()
+              if (empty) Files.delete(parent)
+            }
           }
         }
         eventBase.remove((runName, startNs))
@@ -170,9 +173,9 @@ final class NexusSink(outputDir: String) extends Serializable {
   def resumeRunNames(): Seq[String] = {
     val eventsDir = local.resolve("events")
     if (!Files.exists(eventsDir)) Seq.empty
-    else
-      Files
-        .list(eventsDir)
+    else {
+      val stream = Files.list(eventsDir)
+      try stream
         .iterator()
         .asScala
         .map(_.getFileName.toString)
@@ -180,6 +183,40 @@ final class NexusSink(outputDir: String) extends Serializable {
         .map(_.stripPrefix("run_name="))
         .toSeq
         .sorted
+      finally stream.close()
+    }
+  }
+
+  /** K6 crash resume, generation-level: every (run_name, run_start_ns)
+    * with data still under local/ — the runs a restarted engine must
+    * reopen (the reference re-extracts run parameters from the partial
+    * file and resumes it as an open run with a RunResume warning,
+    * `run_engine/run/mod.rs:82-103`). Stop times are not recoverable
+    * from the layout (a stopped-and-finalized run has already left
+    * local/), so resumed generations are open by definition.
+    */
+  def resumeRunGenerations(): Seq[(String, Long)] = {
+    val eventsDir = local.resolve("events")
+    if (!Files.exists(eventsDir)) Seq.empty
+    else {
+      val names = Files.list(eventsDir)
+      try names.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("run_name="))
+        .flatMap { nameDir =>
+          val name = nameDir.getFileName.toString.stripPrefix("run_name=")
+          val gens = Files.list(nameDir)
+          try gens
+            .iterator()
+            .asScala
+            .map(_.getFileName.toString)
+            .filter(_.startsWith("run_start_ns="))
+            .map(g => name -> g.stripPrefix("run_start_ns=").toLong)
+            .toSeq
+          finally gens.close()
+        }
+        .sorted
+      finally names.close()
+    }
   }
 }
 

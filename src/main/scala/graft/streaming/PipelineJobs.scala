@@ -56,6 +56,19 @@ final class RunCatalog extends Serializable {
   }
 
   def remove(runName: String, startNs: Long): Unit = runs.remove((runName, startNs))
+
+  /** K6: rebuild the catalog from a sink's on-disk layout after a driver
+    * restart — the in-memory cache is process state, but the run files
+    * are not: every generation still under local/ resumes as an OPEN run
+    * (the reference's RunResume path; a stop that arrived before the
+    * crash either finalized the run out of local/ already or will be
+    * re-delivered by the control topic). Call before starting the
+    * lifecycle query.
+    */
+  def resumeFrom(sink: NexusSink): Unit =
+    sink.resumeRunGenerations().foreach { case (name, start) =>
+      runs.putIfAbsent((name, start), None)
+    }
 }
 
 object PipelineJobs {

@@ -30,8 +30,11 @@ final case class RunInterval(
 
 /** Run-lifecycle state machine per run name (SURVEY §2.7 J3,
   * `/root/reference/nexus-writer/src/run_engine/engine.rs:190-309`):
-  * start opens the interval; a stop pairs with the open run of the same
-  * name and must be strictly after the start (`run_parameters.rs:94-127`);
+  * start opens the interval; a start over a still-open run ABORTS the
+  * predecessor — its effective end becomes the successor's start — and
+  * opens the new generation (`engine.rs:199-204`); a stop pairs with the
+  * open run of the same name and must be strictly after the start
+  * (`run_parameters.rs:94-127`);
   * `stop_time == 0` means "stop NOW" — resolved to the ingest timestamp
   * carried on the message, falling back to the checkpointed micro-batch
   * processing time when no ingest path stamped one (the reference uses
@@ -56,16 +59,25 @@ object RunStream {
         GroupStateTimeout.NoTimeout) {
         (runName: String, msgs: Iterator[ControlMessage], state: GroupState[RunState]) =>
           var st = state.getOption
-          var changed = false
+          val out = scala.collection.mutable.ListBuffer.empty[RunInterval]
+          def interval(s: RunState): RunInterval =
+            RunInterval(runName, s.startMs * 1000000L, s.stopMs.map(_ * 1000000L))
           msgs.toSeq.sortBy(m => (m.timeMs, m.kind)).foreach { m =>
             (m.kind, st) match {
               case ("start", None) =>
                 st = Some(RunState(m.timeMs, None))
-                changed = true
+                out += interval(st.get)
               case ("start", Some(RunState(_, Some(_)))) =>
                 // previous run of this name finished; new generation
                 st = Some(RunState(m.timeMs, None))
-                changed = true
+                out += interval(st.get)
+              case ("start", Some(RunState(prevStart, None))) if m.timeMs > prevStart =>
+                // abort-on-restart (engine.rs:199-204): the unstopped
+                // predecessor's effective end becomes the successor's
+                // start — emit the capped old generation AND the new one
+                out += interval(RunState(prevStart, Some(m.timeMs)))
+                st = Some(RunState(m.timeMs, None))
+                out += interval(st.get)
               case ("stop", Some(RunState(start, None))) =>
                 // "stop NOW" → the ingest stamp when the source provided
                 // one, else the micro-batch processing timestamp (both are
@@ -77,19 +89,14 @@ object RunStream {
                   else state.getCurrentProcessingTimeMs()
                 if (effective > start) {
                   st = Some(RunState(start, Some(effective)))
-                  changed = true
+                  out += interval(st.get)
                 } // stop ≤ start → rejected (run_parameters.rs:105-116)
-              case _ => // stop with no open run, or duplicate start → rejected
+              case _ => // stop with no open run, or non-later duplicate start → rejected
             }
           }
           st.foreach(state.update)
-          if (changed)
-            Iterator.single(
-              RunInterval(
-                runName,
-                st.get.startMs * 1000000L,
-                st.get.stopMs.map(_ * 1000000L)))
-          else Iterator.empty
+          // last emission wins per (name, start) downstream — dedupe here
+          out.toList.distinct.iterator
       }
   }
 }

@@ -318,6 +318,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$outDir/completed/events").count() === 3)
   }
 
+  test("run lifecycle stream: abort-on-restart caps the open generation (engine.rs:199-204)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ControlMessage]
+    val out = RunStream.runIntervals(input.toDS())
+    val ckpt = Files.createTempDirectory("ckpt_abort").toString
+    val query = out.writeStream
+      .format("memory")
+      .queryName("runs_abort")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.addData(ControlMessage("start", "run_ab", 1000L, "muon"))
+      query.processAllAvailable()
+      // restart while open: predecessor capped at the successor's start
+      input.addData(ControlMessage("start", "run_ab", 5000L, "muon"))
+      query.processAllAvailable()
+      val rows = spark.table("runs_abort").collect()
+        .map(r => (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))
+      assert(rows.contains((1000000000L, Some(5000000000L))), s"old gen must be capped: ${rows.toSeq}")
+      assert(rows.contains((5000000000L, None)), s"new gen must open: ${rows.toSeq}")
+      // a stop now closes the NEW generation, not the aborted one
+      input.addData(ControlMessage("stop", "run_ab", 8000L, "muon"))
+      query.processAllAvailable()
+      assert(spark.table("runs_abort").collect()
+        .map(r => (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))
+        .contains((5000000000L, Some(8000000000L))))
+    } finally query.stop()
+  }
+
+  test("run catalog resumes open generations from the sink layout (K6)") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("resume_cat").toString
+    val sink = new NexusSink(outDir)
+    val aev2 = Seq(
+      AssembledFrame(meta(0), Array(5L), Array(100), Array(0L), true, Array(0))).toDS()
+    val startNs = meta(0).timestampNs - 1L
+    sink.writeBatch(
+      aev2.withColumn("run_name", lit("run_res")).withColumn("run_start_ns", lit(startNs)),
+      batchId = 0L)
+
+    // driver restart: fresh catalog rebuilt from disk
+    val catalog = new RunCatalog
+    catalog.resumeFrom(new NexusSink(outDir))
+    assert(catalog.entries === Seq(("run_res", startNs, None)))
+    // a re-delivered stop then closes the resumed generation
+    catalog.update(Iterator(RunInterval("run_res", startNs, Some(meta(0).timestampNs + 1L))))
+    assert(catalog.entries.head._3.isDefined)
+  }
+
   test("run lifecycle stream: 'stop NOW' (time 0, no ingest stamp) still closes the run") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
