@@ -165,7 +165,12 @@ private[sources] class TraceFileScan(
       // the driver (conservative: >= lower, <= upper; residual filter
       // handles strictness)
       val lo = tsLower.map(bisect(file, header, _)).getOrElse(0L)
-      val hi = tsUpper.map(u => bisect(file, header, u + 1L)).getOrElse(header.nEvents.toLong)
+      // saturate: u + 1 for u == MaxValue would wrap negative and plan
+      // zero partitions for a filter that matches everything
+      val hi = tsUpper
+        .map(u =>
+          if (u == Long.MaxValue) header.nEvents.toLong else bisect(file, header, u + 1L))
+        .getOrElse(header.nEvents.toLong)
       // target ~16 MiB of payload per split, at least one event each
       val perSplit = math.max(1L, (16L << 20) / math.max(1L, header.eventBytes))
       (lo until hi by perSplit).map { start =>

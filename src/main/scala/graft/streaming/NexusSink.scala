@@ -36,8 +36,19 @@ final class NexusSink(outputDir: String) extends Serializable {
 
   private val local = Paths.get(outputDir, "local")
   private val completed = Paths.get(outputDir, "completed")
+  // generation stop markers (underscore-free name: lives OUTSIDE the
+  // partition dirs so Spark readers never see it)
+  private val runsMeta = Paths.get(outputDir, "local", "runs_meta")
   Files.createDirectories(local)
   Files.createDirectories(completed)
+
+  private def listChildren(p: Path): Seq[Path] =
+    if (!Files.exists(p)) Seq.empty
+    else {
+      val stream = Files.list(p)
+      try stream.iterator().asScala.toSeq
+      finally stream.close()
+    }
 
   /** Driver-side running event count per run generation — the reference's
     * in-memory run cache (`run_engine/engine.rs:144-173`). `event_index`
@@ -149,19 +160,28 @@ final class NexusSink(outputDir: String) extends Serializable {
             else mergeMove(src, dst)
             // drop the name-level dir once its last generation moved so
             // resume no longer reports the run as locally open
-            if (Files.exists(parent)) {
-              val children = Files.list(parent)
-              val empty = try !children.iterator().hasNext finally children.close()
-              if (empty) Files.delete(parent)
-            }
+            if (listChildren(parent).isEmpty && Files.exists(parent)) Files.delete(parent)
           }
         }
+        Files.deleteIfExists(runsMeta.resolve(s"$runName@$startNs.stop"))
         eventBase.remove((runName, startNs))
         runName
     }
 
+  /** Persist a generation's stop time beside the data (K6 durability):
+    * the stop transition lives in the control checkpoint, which is NOT
+    * replayed after restart — without this marker a crash inside the
+    * linger window would resume the stopped generation as open forever.
+    * Idempotent; removed when the generation finalizes.
+    */
+  def markStopped(runName: String, startNs: Long, stopNs: Long): Unit = {
+    Files.createDirectories(runsMeta)
+    val f = runsMeta.resolve(s"$runName@$startNs.stop")
+    if (!Files.exists(f)) Files.writeString(f, stopNs.toString)
+  }
+
   private def mergeMove(src: Path, dst: Path): Unit = {
-    Files.list(src).iterator().asScala.foreach { child =>
+    listChildren(src).foreach { child =>
       val target = dst.resolve(child.getFileName)
       if (Files.exists(target)) mergeMove(child, target)
       else Files.move(child, target)
@@ -169,54 +189,47 @@ final class NexusSink(outputDir: String) extends Serializable {
     Files.deleteIfExists(src)
   }
 
-  /** K6 crash resume: run names with data already on disk under local/. */
-  def resumeRunNames(): Seq[String] = {
-    val eventsDir = local.resolve("events")
-    if (!Files.exists(eventsDir)) Seq.empty
-    else {
-      val stream = Files.list(eventsDir)
-      try stream
-        .iterator()
-        .asScala
-        .map(_.getFileName.toString)
-        .filter(_.startsWith("run_name="))
-        .map(_.stripPrefix("run_name="))
-        .toSeq
-        .sorted
-      finally stream.close()
-    }
-  }
+  /** K6 crash resume: run names with data still on disk under local/. */
+  def resumeRunNames(): Seq[String] =
+    resumeRunGenerations().map(_._1).distinct.sorted
 
-  /** K6 crash resume, generation-level: every (run_name, run_start_ns)
-    * with data still under local/ — the runs a restarted engine must
-    * reopen (the reference re-extracts run parameters from the partial
-    * file and resumes it as an open run with a RunResume warning,
-    * `run_engine/run/mod.rs:82-103`). Stop times are not recoverable
-    * from the layout (a stopped-and-finalized run has already left
-    * local/), so resumed generations are open by definition.
+  /** K6 crash resume, generation-level: every (run_name, run_start_ns,
+    * stop_ns?) with data still under local/ — the runs a restarted
+    * engine must reopen (the reference re-extracts run parameters from
+    * the partial file and resumes with a RunResume warning,
+    * `run_engine/run/mod.rs:82-103`). Both the events/ and frames/
+    * layouts are scanned (a generation whose frames all carried zero
+    * events has no events/ partition); the stop comes from the
+    * [[markStopped]] marker when the crash happened inside the linger
+    * window. Foreign / non-partition directories are skipped, never
+    * fatal.
     */
-  def resumeRunGenerations(): Seq[(String, Long)] = {
-    val eventsDir = local.resolve("events")
-    if (!Files.exists(eventsDir)) Seq.empty
-    else {
-      val names = Files.list(eventsDir)
-      try names.iterator().asScala.toSeq
-        .filter(_.getFileName.toString.startsWith("run_name="))
-        .flatMap { nameDir =>
-          val name = nameDir.getFileName.toString.stripPrefix("run_name=")
-          val gens = Files.list(nameDir)
-          try gens
-            .iterator()
-            .asScala
-            .map(_.getFileName.toString)
-            .filter(_.startsWith("run_start_ns="))
-            .map(g => name -> g.stripPrefix("run_start_ns=").toLong)
-            .toSeq
-          finally gens.close()
-        }
-        .sorted
-      finally names.close()
-    }
+  def resumeRunGenerations(): Seq[(String, Long, Option[Long])] = {
+    val gens = Seq("events", "frames")
+      .flatMap { table =>
+        listChildren(local.resolve(table))
+          .filter(_.getFileName.toString.startsWith("run_name="))
+          .flatMap { nameDir =>
+            val name = nameDir.getFileName.toString.stripPrefix("run_name=")
+            listChildren(nameDir).flatMap { g =>
+              val dir = g.getFileName.toString
+              if (dir.startsWith("run_start_ns="))
+                scala.util.Try(dir.stripPrefix("run_start_ns=").toLong).toOption.map(name -> _)
+              else None
+            }
+          }
+      }
+      .distinct
+    gens
+      .map { case (name, start) =>
+        val marker = runsMeta.resolve(s"$name@$start.stop")
+        val stop =
+          if (Files.exists(marker))
+            scala.util.Try(Files.readString(marker).trim.toLong).toOption
+          else None
+        (name, start, stop)
+      }
+      .sortBy(t => (t._1, t._2))
   }
 }
 

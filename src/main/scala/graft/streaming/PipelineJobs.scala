@@ -59,15 +59,16 @@ final class RunCatalog extends Serializable {
 
   /** K6: rebuild the catalog from a sink's on-disk layout after a driver
     * restart — the in-memory cache is process state, but the run files
-    * are not: every generation still under local/ resumes as an OPEN run
-    * (the reference's RunResume path; a stop that arrived before the
-    * crash either finalized the run out of local/ already or will be
-    * re-delivered by the control topic). Call before starting the
-    * lifecycle query.
+    * are not (the reference's RunResume path). Generations resume open,
+    * except those whose stop was durably marked ([[NexusSink.markStopped]])
+    * before the crash — those resume closed so the lifecycle job can
+    * still finalize them (the stop transition itself lives in the
+    * control checkpoint and is never replayed). Call before starting the
+    * lifecycle query; live control updates overwrite resumed entries.
     */
   def resumeFrom(sink: NexusSink): Unit =
-    sink.resumeRunGenerations().foreach { case (name, start) =>
-      runs.putIfAbsent((name, start), None)
+    sink.resumeRunGenerations().foreach { case (name, start, stop) =>
+      runs.putIfAbsent((name, start), stop)
     }
 }
 
@@ -146,6 +147,13 @@ object PipelineJobs {
         val assigned = RunAssignment.assignFrames(batch.toDF(), catalog.snapshot(spark))
         sink.writeBatch(assigned, batchId)
         val now = nowNs()
+        // durably mark every stopped generation FIRST: a crash inside
+        // the linger window must not lose the stop (the control
+        // checkpoint won't replay it)
+        catalog.entries.foreach {
+          case (n, s, Some(u)) => sink.markStopped(n, s, u)
+          case _ => ()
+        }
         val closable = catalog.entries.collect {
           case (n, s, Some(u)) if u + lingerMs * 1000000L < now => (n, s, Option(u))
         }

@@ -62,13 +62,21 @@ object RunStream {
           val out = scala.collection.mutable.ListBuffer.empty[RunInterval]
           def interval(s: RunState): RunInterval =
             RunInterval(runName, s.startMs * 1000000L, s.stopMs.map(_ * 1000000L))
-          msgs.toSeq.sortBy(m => (m.timeMs, m.kind)).foreach { m =>
+          // "stop NOW" (timeMs == 0) means "after everything already
+          // ingested" — sort it to the END of the batch, not before the
+          // very start it is meant to close
+          msgs.toSeq
+            .sortBy(m =>
+              (if (m.kind == "stop" && m.timeMs == 0L) Long.MaxValue else m.timeMs, m.kind))
+            .foreach { m =>
             (m.kind, st) match {
               case ("start", None) =>
                 st = Some(RunState(m.timeMs, None))
                 out += interval(st.get)
-              case ("start", Some(RunState(_, Some(_)))) =>
-                // previous run of this name finished; new generation
+              case ("start", Some(RunState(_, Some(prevStop)))) if m.timeMs >= prevStop =>
+                // previous run of this name finished; new generation.
+                // The time guard rejects an at-least-once REDELIVERY of
+                // an old start, which must not resurrect the closed run.
                 st = Some(RunState(m.timeMs, None))
                 out += interval(st.get)
               case ("start", Some(RunState(prevStart, None))) if m.timeMs > prevStart =>

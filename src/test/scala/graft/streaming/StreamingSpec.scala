@@ -367,6 +367,54 @@ class StreamingSpec extends AnyFunSuite {
     // a re-delivered stop then closes the resumed generation
     catalog.update(Iterator(RunInterval("run_res", startNs, Some(meta(0).timestampNs + 1L))))
     assert(catalog.entries.head._3.isDefined)
+
+    // crash INSIDE the linger window: the stop was durably marked, so a
+    // restarted catalog resumes the generation CLOSED and can finalize
+    val stopNs = meta(0).timestampNs + 1L
+    sink.markStopped("run_res", startNs, stopNs)
+    val catalog2 = new RunCatalog
+    catalog2.resumeFrom(new NexusSink(outDir))
+    assert(catalog2.entries === Seq(("run_res", startNs, Some(stopNs))))
+
+    // finalizing clears the marker; the generation leaves local/ for good
+    val moved = sink.finalizeRuns(
+      Seq(("run_res", startNs, Some(stopNs))), stopNs + 10000000000L)
+    assert(moved === Seq("run_res"))
+    val catalog3 = new RunCatalog
+    catalog3.resumeFrom(new NexusSink(outDir))
+    assert(catalog3.entries.isEmpty)
+  }
+
+  test("run lifecycle stream: start and 'stop NOW' in the SAME batch close the run") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ControlMessage]
+    val out = RunStream.runIntervals(input.toDS())
+    val ckpt = Files.createTempDirectory("ckpt_now2").toString
+    val query = out.writeStream
+      .format("memory")
+      .queryName("runs_now2")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      // catch-up backlog delivered in one micro-batch: the 0-stop must
+      // sort AFTER the start it closes, not before it
+      input.addData(
+        ControlMessage("start", "run_same", 1000L, "muon"),
+        ControlMessage("stop", "run_same", 0L, "muon"))
+      query.processAllAvailable()
+      val closed = spark.table("runs_now2").collect().filter(r => Option(r.get(2)).isDefined)
+      assert(closed.length === 1, "same-batch stop NOW must close the run")
+
+      // redelivered stale start must NOT resurrect the closed run: the
+      // only (start=1000, open) emission is the original pre-stop one
+      input.addData(ControlMessage("start", "run_same", 1000L, "muon"))
+      query.processAllAvailable()
+      val openEmissions = spark.table("runs_now2").collect()
+        .count(r => r.getLong(1) == 1000000000L && Option(r.get(2)).isEmpty)
+      assert(openEmissions === 1, "stale start redelivery must not emit a reopened interval")
+    } finally query.stop()
   }
 
   test("run lifecycle stream: 'stop NOW' (time 0, no ingest stamp) still closes the run") {
