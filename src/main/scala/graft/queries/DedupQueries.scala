@@ -38,8 +38,12 @@ object DedupQueries {
     // the bucket-size count and both join legs; recomputing the UDF per
     // consumer would triple the corpus scan. At 100 TB this is the
     // persisted sketch artifact a real pipeline writes out.
+    // token-less documents (empty/space-only text) have no shingle set —
+    // excluded on BOTH sides (the SQL's NULL-vs-zero-signature semantics
+    // would otherwise diverge from Scala's all-zero signature)
     val docs = Tables
       .documents(s, dir)
+      .filter(length(regexp_replace(col("text"), lit(" "), lit(""))) > 0)
       .select(col("doc_id"), sigUdf(col("text")).as("sig"))
       .withColumn("band", explode(bandUdf(col("sig"))))
       .persist()
@@ -86,6 +90,7 @@ object DedupQueries {
          SELECT doc_id,
                 list_distinct(list_filter(string_split(text, ' '), w -> w <> '')) AS ws
          FROM documents
+         WHERE length(replace(text, ' ', '')) > 0
        ), hs AS (
          SELECT doc_id,
            [list_reduce(list_prepend(0::BIGINT, [unicode(c)::BIGINT FOR c IN string_split(w, '')]),
@@ -133,6 +138,8 @@ object DedupQueries {
     val shUdf = udf { (text: String) => TextHash.simhash32(text) }
     Tables
       .documents(s, dir)
+      // token-less docs excluded on both sides (see minhashPairs)
+      .filter(length(regexp_replace(col("text"), lit(" "), lit(""))) > 0)
       .select(col("doc_id"), shUdf(col("text")).as("simhash"))
       .select(
         col("doc_id"),
@@ -192,7 +199,8 @@ object DedupQueries {
   private val simhashSql: String =
     s"""toks AS (
          SELECT doc_id, w, count(*)::BIGINT AS cnt
-         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents WHERE length(replace(text, ' ', '')) > 0)
          WHERE w <> ''
          GROUP BY doc_id, w
        ), th AS (

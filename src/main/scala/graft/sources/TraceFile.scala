@@ -93,20 +93,29 @@ object TraceFile {
 
   /** Read only one event's 8-byte timestamp — the bisect probe. */
   def readTimestamp(path: String, header: Header, index: Long): Long = {
-    require(index >= 0 && index < header.nEvents, s"event $index out of range")
     val ch = Files.newByteChannel(Paths.get(path))
-    try {
-      ch.position(header.headerBytes + index * header.eventBytes)
-      val buf = java.nio.ByteBuffer.allocate(8)
-      var read = 0
-      while (read < 8) {
-        val n = ch.read(buf)
-        if (n < 0) throw new EOFException(s"truncated event $index in $path")
-        read += n
-      }
-      buf.flip()
-      buf.getLong
-    } finally ch.close()
+    try readTimestamp(ch, header, index)
+    finally ch.close()
+  }
+
+  /** As above over an already-open channel, so a bisect pays one file
+    * open total instead of one per probe.
+    */
+  def readTimestamp(
+      ch: java.nio.channels.SeekableByteChannel,
+      header: Header,
+      index: Long): Long = {
+    require(index >= 0 && index < header.nEvents, s"event $index out of range")
+    ch.position(header.headerBytes + index * header.eventBytes)
+    val buf = java.nio.ByteBuffer.allocate(8)
+    var read = 0
+    while (read < 8) {
+      val n = ch.read(buf)
+      if (n < 0) throw new EOFException(s"truncated event $index")
+      read += n
+    }
+    buf.flip()
+    buf.getLong
   }
 
   /** Read one event by index — O(1) seek (`loader.rs:101-135` semantics). */

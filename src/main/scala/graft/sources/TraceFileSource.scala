@@ -147,13 +147,16 @@ private[sources] class TraceFileScan(
     * the same trust a parquet reader puts in writer-produced stats.
     */
   private def bisect(file: String, header: TraceFile.Header, target: Long): Long = {
-    var lo = 0L
-    var hi = header.nEvents.toLong
-    while (lo < hi) {
-      val mid = (lo + hi) >>> 1
-      if (TraceFile.readTimestamp(file, header, mid) < target) lo = mid + 1 else hi = mid
-    }
-    lo
+    val ch = java.nio.file.Files.newByteChannel(java.nio.file.Paths.get(file))
+    try {
+      var lo = 0L
+      var hi = header.nEvents.toLong
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (TraceFile.readTimestamp(ch, header, mid) < target) lo = mid + 1 else hi = mid
+      }
+      lo
+    } finally ch.close()
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -229,19 +232,29 @@ private[sources] class TraceFilePartitionReader(
   private val needChannels = columns.contains("channels")
   private val needTimestamp = columns.contains("timestamp_ns")
   private val ch = java.nio.file.Files.newByteChannel(java.nio.file.Paths.get(partition.path))
+  // one reusable buffer; full-payload reads are SEQUENTIAL (records are
+  // contiguous — position once, then stream), timestamp-only reads seek
+  // per record but still reuse the 8-byte buffer
+  private val want = if (needChannels) header.eventBytes.toInt else 8
+  private val buf = java.nio.ByteBuffer.allocate(math.max(want, 8))
+  private var positioned = false
   private var index = partition.start
   private var row: InternalRow = _
 
   override def next(): Boolean = {
     if (index >= partition.end) return false
-    val base = header.headerBytes + index * header.eventBytes
-    val payload = header.eventBytes.toInt - 8
     var ts = 0L
     var channels: GenericArrayData = null
     if (needTimestamp || needChannels) {
-      ch.position(base)
-      val want = if (needChannels) 8 + payload else 8
-      val buf = java.nio.ByteBuffer.allocate(want)
+      if (needChannels) {
+        if (!positioned) {
+          ch.position(header.headerBytes + index * header.eventBytes)
+          positioned = true
+        } // sequential from here on
+      } else {
+        ch.position(header.headerBytes + index * header.eventBytes)
+      }
+      buf.clear().limit(want)
       var read = 0
       while (read < want) {
         val n = ch.read(buf)

@@ -75,7 +75,9 @@ final class NexusSink(outputDir: String) extends Serializable {
           .parquet(eventsDir.toString)
           .filter(col("batch_id") < beforeBatchId &&
             col("run_name").isin(runKeys.map(_._1).toSeq: _*))
-          .groupBy(col("run_name"), col("run_start_ns"))
+          // partition-column inference types small values as INT — cast
+          // so getLong never hits a ClassCastException on read-back
+          .groupBy(col("run_name"), col("run_start_ns").cast("long").as("run_start_ns"))
           .count()
           .collect()
           .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
@@ -140,11 +142,14 @@ final class NexusSink(outputDir: String) extends Serializable {
     * `nexus-writer/src/run_engine/engine.rs:329-356`). Finalized
     * generations are dropped from the in-memory offset cache so a later
     * run reusing the name re-initializes from its own (empty) partitions.
+    * Returns the finalized (run_name, run_start_ns) keys — the caller
+    * drives its own bookkeeping off this, so the linger predicate lives
+    * in exactly one place.
     */
   def finalizeRuns(
       runs: Seq[(String, Long, Option[Long])],
       nowNs: Long,
-      lingerMs: Long = 2000L): Seq[String] =
+      lingerMs: Long = 2000L): Seq[(String, Long)] =
     runs.collect {
       case (runName, startNs, Some(untilNs)) if untilNs + lingerMs * 1000000L < nowNs =>
         Seq("events", "frames").foreach { table =>
@@ -165,7 +170,7 @@ final class NexusSink(outputDir: String) extends Serializable {
         }
         Files.deleteIfExists(runsMeta.resolve(s"$runName@$startNs.stop"))
         eventBase.remove((runName, startNs))
-        runName
+        (runName, startNs)
     }
 
   /** Persist a generation's stop time beside the data (K6 durability):

@@ -76,12 +76,16 @@ object PipelineJobs {
 
   /** Control-plane query: fold the run-lifecycle stream into `catalog`.
     * Update output — every accepted start/stop transition lands in the
-    * catalog within one micro-batch.
+    * catalog within one micro-batch. When a sink is supplied, stop
+    * transitions are durably marked HERE, in the same batch that commits
+    * them — a crash between this commit and the data query's next
+    * trigger must not lose the stop (the checkpoint never replays it).
     */
   def controlToCatalog(
       control: Dataset[graft.streaming.ControlMessage],
       catalog: RunCatalog,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String,
+      stopSink: Option[NexusSink] = None): StreamingQuery =
     RunStream
       .runIntervals(control)
       .writeStream
@@ -89,7 +93,10 @@ object PipelineJobs {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[RunInterval], _: Long) =>
         // one entry per run transition — driver-side fold is the point
-        catalog.update(batch.collect().iterator)
+        val intervals = batch.collect()
+        catalog.update(intervals.iterator)
+        for (sink <- stopSink; r <- intervals; stop <- r.collectUntilNs)
+          sink.markStopped(r.runName, r.collectFromNs, stop)
       }
       .start()
 
@@ -147,18 +154,18 @@ object PipelineJobs {
         val assigned = RunAssignment.assignFrames(batch.toDF(), catalog.snapshot(spark))
         sink.writeBatch(assigned, batchId)
         val now = nowNs()
-        // durably mark every stopped generation FIRST: a crash inside
-        // the linger window must not lose the stop (the control
-        // checkpoint won't replay it)
+        // durably mark every stopped generation (idempotent; the
+        // control query also marks at stop-commit time when wired with
+        // a sink — this is the belt to that suspender)
         catalog.entries.foreach {
           case (n, s, Some(u)) => sink.markStopped(n, s, u)
           case _ => ()
         }
-        val closable = catalog.entries.collect {
-          case (n, s, Some(u)) if u + lingerMs * 1000000L < now => (n, s, Option(u))
-        }
-        sink.finalizeRuns(closable, now, lingerMs)
-        closable.foreach { case (n, s, _) => catalog.remove(n, s) }
+        // the linger predicate lives in finalizeRuns alone; the catalog
+        // is updated from what it actually finalized
+        sink
+          .finalizeRuns(catalog.entries, now, lingerMs)
+          .foreach { case (n, s) => catalog.remove(n, s) }
       }
       .start()
   }

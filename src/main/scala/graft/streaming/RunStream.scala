@@ -73,10 +73,13 @@ object RunStream {
               case ("start", None) =>
                 st = Some(RunState(m.timeMs, None))
                 out += interval(st.get)
-              case ("start", Some(RunState(_, Some(prevStop)))) if m.timeMs >= prevStop =>
+              case ("start", Some(RunState(prevStart, Some(_)))) if m.timeMs != prevStart =>
                 // previous run of this name finished; new generation.
-                // The time guard rejects an at-least-once REDELIVERY of
-                // an old start, which must not resurrect the closed run.
+                // Only an EXACT redelivery (same start timestamp as the
+                // closed generation) is rejected — comparing against the
+                // stop time would mix time bases when the stop was
+                // resolved from processing time, and the reference
+                // accepts any genuinely new start after a finished run.
                 st = Some(RunState(m.timeMs, None))
                 out += interval(st.get)
               case ("start", Some(RunState(prevStart, None))) if m.timeMs > prevStart =>

@@ -230,7 +230,8 @@ class StreamingSpec extends AnyFunSuite {
 
     val control = MemoryStream[ControlMessage]
     val controlQuery = PipelineJobs.controlToCatalog(
-      control.toDS(), catalog, Files.createTempDirectory("chain_ctl_ckpt").toString)
+      control.toDS(), catalog, Files.createTempDirectory("chain_ctl_ckpt").toString,
+      stopSink = Some(sink))
 
     val trace = Array(0, 1, 2, 1, 0, 1, 2, 1, 8, 0, 2, 8, 3, 1, 2)
     def traceMsg(did: Int, frame: Long) =
@@ -311,7 +312,7 @@ class StreamingSpec extends AnyFunSuite {
         ("run_a", startNs, Some(meta(1).timestampNs + 1L)),
         ("run_b", startNs, None)),
       nowNs)
-    assert(moved === Seq("run_a"))
+    assert(moved === Seq(("run_a", startNs)))
     assert(Files.exists(java.nio.file.Paths.get(s"$outDir/completed/events/run_name=run_a")))
     assert(!Files.exists(java.nio.file.Paths.get(s"$outDir/local/events/run_name=run_a")))
     assert(sink.resumeRunNames() === Seq("run_b"))
@@ -379,7 +380,7 @@ class StreamingSpec extends AnyFunSuite {
     // finalizing clears the marker; the generation leaves local/ for good
     val moved = sink.finalizeRuns(
       Seq(("run_res", startNs, Some(stopNs))), stopNs + 10000000000L)
-    assert(moved === Seq("run_res"))
+    assert(moved === Seq(("run_res", startNs)))
     val catalog3 = new RunCatalog
     catalog3.resumeFrom(new NexusSink(outDir))
     assert(catalog3.entries.isEmpty)
@@ -460,7 +461,7 @@ class StreamingSpec extends AnyFunSuite {
     val nowNs = meta(1).timestampNs + 10000000000L
     val moved = sink.finalizeRuns(
       Seq(("run_r", gen1Start, Some(meta(1).timestampNs + 1L))), nowNs)
-    assert(moved === Seq("run_r"))
+    assert(moved === Seq(("run_r", gen1Start)))
     assert(sink.resumeRunNames() === Seq.empty)
 
     val gen2 = aev2
