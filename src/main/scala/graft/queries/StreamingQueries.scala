@@ -67,7 +67,13 @@ object StreamingQueries {
     * `dropDuplicates` variant exists for replay-stable keys); the final
     * counts equal the batch per-type counts, so this is oracle-checked.
     */
-  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+  def streamDedup(s0: SparkSession, dir: String): DataFrame = {
+    // stateful operators open one state store per shuffle partition per
+    // micro-batch; for this bounded drain the store-commit overhead
+    // dominates, so run in a session clone with fewer partitions (a
+    // production deployment sizes this to key cardinality instead)
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     val raw = s.read.parquet(s"$dir/events.parquet").schema
     def src = s.readStream
       .schema(raw)
