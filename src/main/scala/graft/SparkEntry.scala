@@ -40,6 +40,8 @@ object SparkEntry {
       SignalQueries.thresholdEventsExpr(s, d)),
     "q_threshold_events_differential" -> ((s: SparkSession, d: String) =>
       SignalQueries.thresholdEventsDifferential(s, d)),
+    "q_threshold_events_differential_expr" -> ((s: SparkSession, d: String) =>
+      SignalQueries.thresholdEventsDifferentialExpr(s, d)),
     // DAQ pipeline: generator → event formation → frame assembly → NeXus
     // tables (SURVEY §2.1 S7, §2.4–2.6, §1.4; FSMs are not SQL-expressible
     // → rows-only driver check, semantics locked in DspSpec/PipelineSpec)
@@ -110,6 +112,7 @@ object SparkEntry {
     "q_percentiles" -> RelationalQueries.percentilesSql,
     "q_threshold_events_expr" -> SignalQueries.thresholdEventsSql,
     "q_threshold_events_differential" -> SignalQueries.thresholdEventsDifferentialSql,
+    "q_threshold_events_differential_expr" -> SignalQueries.thresholdEventsDifferentialSql,
     "q_dedup_exact" -> TextQueries.dedupExactSql,
     "q_text_stats" -> TextQueries.textStatsSql,
     "q_corpus_profile" -> TextQueries.corpusProfileSql,

@@ -1,0 +1,86 @@
+package graft.plans
+
+import graft.dsp.{DetectorFn, DifferentialThresholdDetector}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+
+/** The differential-threshold discriminator FSM (SURVEY §2.5 D2,
+  * `pulse_detection/detectors/differential_threshold_detector.rs:46-130`)
+  * as a Catalyst expression:
+  * `detect_pulses_differential(samples, threshold, duration, cool_off)`
+  * → `array<struct<time: double, height: double>>`.
+  *
+  * The finite-difference front end (W3 at N=2) is fused into the scan:
+  * the expression reads the raw trace from Tungsten `ArrayData` once and
+  * feeds the FSM `[v_i, v_i − v_{i−1}]` pairs starting from index 1 (the
+  * window's warm-up sample), so no intermediate derivative array is ever
+  * materialised. Event times are RAW trace indices. Same dsp core as the
+  * typed path — one implementation, two execution skins
+  * ([[graft.queries.SignalQueries.thresholdEventsDifferential]] shares
+  * its gaps-and-islands oracle).
+  */
+case class DetectPulsesDifferential(
+    samples: Expression,
+    threshold: Expression,
+    duration: Expression,
+    coolOff: Expression)
+    extends QuaternaryExpression
+    with CodegenFallback {
+
+  override def first: Expression = samples
+  override def second: Expression = threshold
+  override def third: Expression = duration
+  override def fourth: Expression = coolOff
+
+  override def dataType: DataType = DetectPulses.outputType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val okSamples = samples.dataType match {
+      case ArrayType(DoubleType, _) | NullType => true
+      case _ => false
+    }
+    if (okSamples && threshold.dataType == DoubleType &&
+      duration.dataType == IntegerType && coolOff.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        "detect_pulses_differential(array<double>, double, int, int) — got " +
+          Seq(samples, threshold, duration, coolOff).map(_.dataType.simpleString).mkString(", "))
+  }
+
+  override protected def nullSafeEval(s: Any, th: Any, dur: Any, cool: Any): Any = {
+    val trace = s.asInstanceOf[ArrayData].toDoubleArray()
+    val detector = new DifferentialThresholdDetector(
+      th.asInstanceOf[Double],
+      dur.asInstanceOf[Int],
+      cool.asInstanceOf[Int],
+      constantMultiple = None)
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    val samplesIt = (1 until trace.length).iterator.map { i =>
+      (i.toDouble, Array(trace(i), trace(i) - trace(i - 1)))
+    }
+    DetectorFn.over(samplesIt, detector).foreach(e => out += InternalRow(e.time, e.pulseHeight))
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression,
+      newSecond: Expression,
+      newThird: Expression,
+      newFourth: Expression): DetectPulsesDifferential =
+    copy(samples = newFirst, threshold = newSecond, duration = newThird, coolOff = newFourth)
+}
+
+object DetectPulsesDifferential {
+  /** Register `detect_pulses_differential` in the session registry. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "detect_pulses_differential",
+      exprs => DetectPulsesDifferential(exprs(0), exprs(1), exprs(2), exprs(3)),
+      "scala_udf")
+}

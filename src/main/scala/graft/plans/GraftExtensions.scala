@@ -28,6 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     val vecDot: Seq[Expression] => Expression = exprs => VecDot(exprs(0), exprs(1))
     val detect: Seq[Expression] => Expression =
       exprs => DetectPulses(exprs(0), exprs(1), exprs(2), exprs(3))
+    val detectDiff: Seq[Expression] => Expression =
+      exprs => DetectPulsesDifferential(exprs(0), exprs(1), exprs(2), exprs(3))
     ext.injectFunction(
       (
         FunctionIdentifier("vec_dot"),
@@ -40,5 +42,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "detect_pulses",
           "detect_pulses(samples, threshold, duration, cool_off) - threshold FSM over a trace"),
         detect))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("detect_pulses_differential"),
+        info(
+          "detect_pulses_differential",
+          "detect_pulses_differential(samples, threshold, duration, cool_off) - derivative-threshold FSM over a trace"),
+        detectDiff))
   }
 }

@@ -106,6 +106,36 @@ object SignalQueries {
       .toDF("user_id", "event_time", "pulse_height")
   }
 
+  /** [[thresholdEventsDifferential]] through the Catalyst expression path
+    * ([[graft.plans.DetectPulsesDifferential]]): traces stay in Tungsten
+    * rows, the derivative is fused into the expression's scan, and event
+    * times (raw indices) map back to timestamps by array indexing.
+    * Shares the differential gaps-and-islands oracle — identical
+    * semantics by construction.
+    */
+  def thresholdEventsDifferentialExpr(
+      s: SparkSession,
+      dir: String,
+      threshold: Double = 120.0): DataFrame = {
+    graft.plans.DetectPulsesDifferential.register(s)
+    Tables
+      .events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+        .as("trace"))
+      .select(
+        col("user_id"),
+        col("trace"),
+        explode(expr(
+          s"detect_pulses_differential(transform(trace, t -> t.value), ${threshold}D, 1, 0)"))
+          .as("pulse"))
+      .select(
+        col("user_id"),
+        expr("trace[cast(pulse.time AS int)].ts").as("event_time"),
+        col("pulse.height").as("pulse_height"))
+  }
+
   /** Gaps-and-islands oracle for [[thresholdEventsDifferential]]: islands
     * of dv > 0 containing an arming sample (dv > threshold); the
     * disarming sample's value participates in the pulse height; an

@@ -38,6 +38,15 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(pulses.nonEmpty)
       assert(pulses.head.getDouble(0) === 2.0) // onset index of the pulse
 
+      // the differential FSM fuses the derivative into its scan: signal
+      // [0,0,9,9,0] has dv=[0,9,0,-9]; dv=9>5 arms at raw index 2
+      val diff = spark
+        .sql("""SELECT detect_pulses_differential(array(0.0d, 0.0d, 9.0d, 9.0d, 0.0d), 5.0d, 1, 0) AS p""")
+        .head()
+        .getSeq[org.apache.spark.sql.Row](0)
+      assert(diff.nonEmpty)
+      assert(diff.head.getDouble(0) === 2.0)
+
       // DESCRIBE FUNCTION resolves through the injected ExpressionInfo
       val desc = spark.sql("DESCRIBE FUNCTION vec_dot").collect().mkString
       assert(desc.contains("vec_dot"))
