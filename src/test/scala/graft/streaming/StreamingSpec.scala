@@ -386,6 +386,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(catalog3.entries.isEmpty)
   }
 
+  test("sink recovery tolerates int-sized run_start_ns partition values") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("nexus_small_ns").toString
+    val sink1 = new NexusSink(outDir)
+    val aev2 = Seq(
+      AssembledFrame(meta(0), Array(5L, 6L), Array(100, 200), Array(0L, 1L), true, Array(0))).toDS()
+    // a start at feed-ms 1 → run_start_ns = 1e6, which parquet partition
+    // inference types as INT — recovery must cast, not ClassCastException
+    val smallStart = 1000000L
+    val assigned = aev2
+      .withColumn("run_name", lit("run_small"))
+      .withColumn("run_start_ns", lit(smallStart))
+    sink1.writeBatch(assigned, batchId = 0L)
+
+    // fresh sink: the unseen key forces the on-disk recovery read
+    val sink2 = new NexusSink(outDir)
+    sink2.writeBatch(assigned, batchId = 1L)
+    val frames = spark.read.parquet(s"$outDir/local/frames")
+      .orderBy("batch_id").collect()
+    assert(frames.map(_.getAs[Long]("event_index")).toSeq === Seq(0L, 2L),
+      "batch 1 must continue from batch 0's on-disk count")
+    assert(sink2.resumeRunGenerations() === Seq(("run_small", smallStart, None)))
+  }
+
   test("run lifecycle stream: start and 'stop NOW' in the SAME batch close the run") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
