@@ -29,29 +29,9 @@ case class DetectPulsesDifferential(
     threshold: Expression,
     duration: Expression,
     coolOff: Expression)
-    extends QuaternaryExpression
-    with CodegenFallback {
+    extends DetectorExpression {
 
-  override def first: Expression = samples
-  override def second: Expression = threshold
-  override def third: Expression = duration
-  override def fourth: Expression = coolOff
-
-  override def dataType: DataType = DetectPulses.outputType
-
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val okSamples = samples.dataType match {
-      case ArrayType(DoubleType, _) | NullType => true
-      case _ => false
-    }
-    if (okSamples && threshold.dataType == DoubleType &&
-      duration.dataType == IntegerType && coolOff.dataType == IntegerType)
-      TypeCheckResult.TypeCheckSuccess
-    else
-      TypeCheckResult.TypeCheckFailure(
-        "detect_pulses_differential(array<double>, double, int, int) — got " +
-          Seq(samples, threshold, duration, coolOff).map(_.dataType.simpleString).mkString(", "))
-  }
+  override protected def fnName: String = "detect_pulses_differential"
 
   override protected def nullSafeEval(s: Any, th: Any, dur: Any, cool: Any): Any = {
     val trace = s.asInstanceOf[ArrayData].toDoubleArray()
