@@ -73,6 +73,7 @@ object SparkEntry {
     "q_simhash_docs" -> (DedupQueries.simhashDocs _),
     "q_simhash_pairs" -> ((s: SparkSession, d: String) => DedupQueries.simhashPairs(s, d)),
     "q_ngram_jaccard" -> (DedupQueries.ngramJaccard _),
+    "q_bigram_jaccard" -> (DedupQueries.bigramJaccard _),
     "q_fingerprints" -> (DedupQueries.fingerprints _),
     "q_language_id" -> (DedupQueries.languageId _),
     "q_token_counts" -> (DedupQueries.tokenCounts _),
@@ -117,6 +118,7 @@ object SparkEntry {
     "q_text_stats" -> TextQueries.textStatsSql,
     "q_corpus_profile" -> TextQueries.corpusProfileSql,
     "q_ngram_jaccard" -> DedupQueries.ngramJaccardSql,
+    "q_bigram_jaccard" -> DedupQueries.bigramJaccardSql,
     "q_language_id" -> DedupQueries.languageIdSql,
     "q_token_counts" -> DedupQueries.tokenCountsSql,
     "q_cosine_topk" -> VectorQueries.cosineTopKSql,

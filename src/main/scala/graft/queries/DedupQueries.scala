@@ -304,6 +304,60 @@ object DedupQueries {
        JOIN sizes sb ON sb.doc_id = doc_b
        WHERE round(CAST(n_common AS DOUBLE) / (sa.n_words + sb.n_words - n_common), 6) >= 0.2"""
 
+  /** Exact BIGRAM-shingle Jaccard among `doc_id < 60` — word-order
+    * sensitivity that the unigram set ([[ngramJaccard]]) cannot see:
+    * permuted documents share all unigrams but few bigrams. Pure set
+    * algebra end to end, oracle-checked.
+    */
+  def bigramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(s, dir)
+      .filter(col("doc_id") < 60)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("ws"))
+      .select(
+        col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(0, size(ws) - 2), i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))")))
+          .as("sh"))
+    val sizes = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh"))
+    val common = a
+      .join(b, Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "n_b"), "doc_b")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("n_common"),
+        round(col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.05)
+  }
+
+  val bigramJaccardSql: String =
+    """WITH shingled AS (
+         SELECT doc_id,
+                unnest(list_distinct([ws[i+1] || ' ' || ws[i+2] FOR i IN range(len(ws) - 1)])) AS sh
+         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 60)
+       ), sizes AS (
+         SELECT doc_id, count(*) AS n_shingles FROM shingled GROUP BY doc_id
+       ), common AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         FROM shingled a JOIN shingled b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+       )
+       SELECT doc_a, doc_b, n_common,
+              round(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+       FROM common
+       JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE round(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.05"""
+
   /** Winnowed rolling-hash document fingerprints (MOSS scheme) — summary
     * per document; shared fingerprints locate shared passages.
     */
