@@ -61,6 +61,7 @@ object SparkEntry {
     "q_selog_expand" -> (LogQueries.selogExpand _),
     "q_runlog_typed" -> (LogQueries.runlogTyped _),
     "q_alarm_severity" -> (LogQueries.alarmSeverity _),
+    "q_nexus_runlog_table" -> (LogQueries.nexusRunlogTable _),
     "q_gps_round_trip" -> (LogQueries.gpsRoundTrip _),
     "q_spectrum_map" -> (LogQueries.spectrumMap _),
     "q_trace_event_attach" -> (LogQueries.traceEventAttach _),
@@ -140,6 +141,7 @@ object SparkEntry {
     "q_selog_expand" -> LogQueries.selogExpandSql,
     "q_runlog_typed" -> LogQueries.runlogTypedSql,
     "q_alarm_severity" -> LogQueries.alarmSeveritySql,
+    "q_nexus_runlog_table" -> LogQueries.nexusRunlogTableSql,
     "q_gps_round_trip" -> LogQueries.gpsRoundTripSql
   )
 }

@@ -177,9 +177,13 @@ object LogQueries {
     * (`nexus-writer/src/nexus/logs/f114.rs:25-59`). Scalars and arrays
     * coexist (arrays via per-sample explode).
     */
-  def runlogTyped(s: SparkSession, dir: String): DataFrame = {
+  /** Deterministic f144 fixture: 80 messages cycling all 20 union
+    * variants, 100 ms apart — shared by [[runlogTyped]] and
+    * [[nexusRunlogTable]], regenerated in SQL by both oracles.
+    */
+  private def runlogFixture(s: SparkSession) = {
     import s.implicits._
-    val logs = (0 until 80).map { i =>
+    (0 until 80).map { i =>
       val t = f144Types(i % 20)
       val isArray = i % 20 >= 10
       LogData(
@@ -191,6 +195,11 @@ object LogQueries {
           if (isArray) Array.tabulate(4)(j => f144Sample(i % 10, i.toLong + j * 7L))
           else Array.empty)
     }.toDS()
+  }
+
+  def runlogTyped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val logs = runlogFixture(s)
     val strip = udf { (name: String) => TimeFunctions.removePrefixes(name) }
     // generators can't sit inside when/otherwise — split the union by tag
     val scalars = logs
@@ -224,19 +233,22 @@ object LogQueries {
     * `range()`; type-per-source is single-valued by construction so
     * `min(valueType)` equals the first-sample resolution.
     */
+  /** SQL twin of [[f144Sample]] for the fixture-regenerating oracles. */
+  private def runlogSampleSql(n: String) =
+    s"""CASE (i % 10)
+          WHEN 0 THEN (($n)*13 % 200 - 100)::DOUBLE
+          WHEN 1 THEN (($n)*13 % 250)::DOUBLE
+          WHEN 2 THEN (($n)*523 % 60000 - 30000)::DOUBLE
+          WHEN 3 THEN (($n)*523 % 60000)::DOUBLE
+          WHEN 4 THEN (($n)*48611 % 2000000000 - 1000000000)::DOUBLE
+          WHEN 5 THEN (($n)*48611 % 4000000000)::DOUBLE
+          WHEN 6 THEN (($n)*1103515245)::DOUBLE
+          WHEN 7 THEN (($n)*2654435761)::DOUBLE
+          WHEN 8 THEN (($n)*13 % 1000) / 4.0
+          ELSE ($n) / 8.0 END"""
+
   val runlogTypedSql: String = {
-    def sample(n: String) =
-      s"""CASE (i % 10)
-            WHEN 0 THEN (($n)*13 % 200 - 100)::DOUBLE
-            WHEN 1 THEN (($n)*13 % 250)::DOUBLE
-            WHEN 2 THEN (($n)*523 % 60000 - 30000)::DOUBLE
-            WHEN 3 THEN (($n)*523 % 60000)::DOUBLE
-            WHEN 4 THEN (($n)*48611 % 2000000000 - 1000000000)::DOUBLE
-            WHEN 5 THEN (($n)*48611 % 4000000000)::DOUBLE
-            WHEN 6 THEN (($n)*1103515245)::DOUBLE
-            WHEN 7 THEN (($n)*2654435761)::DOUBLE
-            WHEN 8 THEN (($n)*13 % 1000) / 4.0
-            ELSE ($n) / 8.0 END"""
+    def sample(n: String) = runlogSampleSql(n)
     val typeRows = f144Types.zipWithIndex
       .map { case (t, k) => s"($k, '$t', '${f144Descriptor(t)}')" }
       .mkString(",\n           ")
@@ -259,6 +271,75 @@ object LogQueries {
               round((max(ts) - 1700000000000000000)::DOUBLE / 1e9, 9) AS last_time_sec
        FROM samples JOIN types USING (k)
        GROUP BY k, t, descr"""
+  }
+
+  /** K4 log-table path end-to-end in batch form: the f144 fixture is
+    * run-assigned ([[graft.operators.RunAssignment.assignLogs]] against a
+    * two-generation run dimension), expanded per-sample
+    * ([[graft.operators.LogTables.runlogTable]]), written through a real
+    * [[graft.streaming.NexusSink]] `runlog/` partitioned layout, and read
+    * back — the oracle re-derives fixture, run assignment, and expansion
+    * in SQL.
+    */
+  def nexusRunlogTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val logs = runlogFixture(s)
+    // run_1 [t0, t0+4s) stopped, run_2 [t0+4s, open) — ms-exact values
+    val starts = Seq(
+      RunStart("run_1", runStartNs / 1000000L, "muon"),
+      RunStart("run_2", runStartNs / 1000000L + 4000L, "muon")).toDS()
+    val stops = Seq(RunStop("run_1", runStartNs / 1000000L + 4000L)).toDS()
+    val runs = graft.operators.RunAssignment.runs(s, starts, stops)
+    val assigned = graft.operators.RunAssignment.assignLogs(logs.toDF(), runs)
+    val out = java.nio.file.Files.createTempDirectory("graft_runlog_sink")
+    val sink = new graft.streaming.NexusSink(out.toString)
+    sink.writeLogBatch(graft.operators.LogTables.runlogTable(assigned), "runlog", 0L)
+    s.read
+      .parquet(out.resolve("local").resolve("runlog").toString)
+      .select(
+        col("run_name"),
+        // partition-column inference types small values as INT
+        col("run_start_ns").cast("long").as("run_start_ns"),
+        col("source"),
+        col("value_type"),
+        col("time_ns"),
+        col("time_sec"),
+        col("value"))
+  }
+
+  /** DuckDB oracle for [[nexusRunlogTable]]: fixture regenerated with
+    * `range()`, J2 assignment applied as the closed-form CASE the
+    * two-run interval fixture reduces to (earliest run not ending before
+    * the message timestamp).
+    */
+  val nexusRunlogTableSql: String = {
+    val typeRows = f144Types.zipWithIndex
+      .map { case (t, k) => s"($k, '$t')" }
+      .mkString(",\n           ")
+    s"""WITH types(k, t) AS (
+         VALUES $typeRows
+       ), samples AS (
+         SELECT i, i % 20 AS k,
+                (1700000000000000000 + i * 100000000)::BIGINT AS time_ns,
+                ${runlogSampleSql("i")} AS value
+         FROM range(80) r(i) WHERE i % 20 < 10
+         UNION ALL
+         SELECT i, i % 20,
+                (1700000000000000000 + i * 100000000)::BIGINT,
+                ${runlogSampleSql("i + j*7")}
+         FROM range(80) r(i), range(4) s(j) WHERE i % 20 >= 10
+       ), assigned AS (
+         SELECT *,
+                CASE WHEN i < 40 THEN 'run_1' ELSE 'run_2' END AS run_name,
+                (CASE WHEN i < 40 THEN 1700000000000000000
+                      ELSE 1700000004000000000 END)::BIGINT AS run_start_ns
+         FROM samples
+       )
+       SELECT run_name, run_start_ns, 'pv_' || k AS source, t AS value_type,
+              time_ns,
+              round((time_ns - run_start_ns)::DOUBLE / 1e9, 9) AS time_sec,
+              value
+       FROM assigned JOIN types USING (k)"""
   }
 
   /** al00 alarm normalisation (F10 severity mapping +

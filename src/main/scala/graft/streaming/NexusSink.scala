@@ -15,9 +15,12 @@ import scala.jdk.CollectionConverters._
   * restarted run (the reference keys its cache the same way: a new
   * RunStart supersedes the old generation, `run_engine/engine.rs:199-204`)
   * — holding `events/` and `frames/` tables (§1.4 layout, running
-  * `event_index` included); completed generations (stop seen + linger
-  * elapsed) move atomically to `completed/`
-  * (`run_engine/run/mod.rs:116-139`).
+  * `event_index` included) plus the run's log context as `runlog/`,
+  * `selog/`, `alarm/` tables (the reference file's log groups,
+  * `nexus_structure/entry/mod.rs:66-106`); completed generations (stop
+  * seen + linger elapsed) move atomically to `completed/`
+  * (`run_engine/run/mod.rs:116-139`), and the archiver tier
+  * ([[flushToArchive]]) drains `completed/` → `archive/`.
   *
   * Batch-by-batch operation inside `foreachBatch`: the run catalog is
   * driver-side state fed by control messages — the same design as the
@@ -36,11 +39,20 @@ final class NexusSink(outputDir: String) extends Serializable {
 
   private val local = Paths.get(outputDir, "local")
   private val completed = Paths.get(outputDir, "completed")
+  private val archive = Paths.get(outputDir, "archive")
   // generation stop markers (underscore-free name: lives OUTSIDE the
   // partition dirs so Spark readers never see it)
   private val runsMeta = Paths.get(outputDir, "local", "runs_meta")
   Files.createDirectories(local)
   Files.createDirectories(completed)
+
+  /** Per-run tables in the layout — the parquet mirror of the reference
+    * run file's groups: event data + frame list
+    * (`nexus_structure/entry/event_data.rs`) and the runlog/selog/alarm
+    * log groups (`nexus_structure/entry/mod.rs:66-106`).
+    */
+  private val tables = Seq("events", "frames", "runlog", "selog", "alarm")
+  private val logTables = Set("runlog", "selog", "alarm")
 
   private def listChildren(p: Path): Seq[Path] =
     if (!Files.exists(p)) Seq.empty
@@ -136,6 +148,28 @@ final class NexusSink(outputDir: String) extends Serializable {
     cached.unpersist()
   }
 
+  /** Write one micro-batch of run-assigned, per-sample-expanded log rows
+    * ([[graft.operators.LogTables]] output) into a per-run log table —
+    * the reference's log/alarm append into the open run file
+    * (`nexus-writer/src/nexus/logs/f114.rs:25-59`, `se00.rs:71-105`).
+    * Same idempotence contract as [[writeBatch]]: dynamic overwrite of
+    * the `(run_name, run_start_ns, batch_id)` partitions a replayed
+    * micro-batch rewrites.
+    */
+  def writeLogBatch(assignedLogs: DataFrame, table: String, batchId: Long): Unit = {
+    require(logTables.contains(table), s"unknown log table: $table")
+    // empty micro-batch (lifecycle poll) → dynamic overwrite of zero
+    // partitions is a no-op; skip the write job entirely
+    if (assignedLogs.isEmpty) return
+    assignedLogs
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("run_name", "run_start_ns", "batch_id")
+      .parquet(local.resolve(table).toString)
+  }
+
   /** Move finished generations' partitions local/ → completed/ (K5). A
     * run is finished when its stop time plus `lingerMs` is in the past
     * (late frames within the linger window still append,
@@ -152,7 +186,7 @@ final class NexusSink(outputDir: String) extends Serializable {
       lingerMs: Long = 2000L): Seq[(String, Long)] =
     runs.collect {
       case (runName, startNs, Some(untilNs)) if untilNs + lingerMs * 1000000L < nowNs =>
-        Seq("events", "frames").foreach { table =>
+        tables.foreach { table =>
           val parent = local.resolve(table).resolve(s"run_name=$runName")
           val src = parent.resolve(s"run_start_ns=$startNs")
           if (Files.exists(src)) {
@@ -172,6 +206,52 @@ final class NexusSink(outputDir: String) extends Serializable {
         eventBase.remove((runName, startNs))
         (runName, startNs)
     }
+
+  /** K5 second half — the archiver tier
+    * (`nexus-writer/src/flush_to_archive.rs:1-118`, polled every 60 s by
+    * `main.rs:101-103`): move every finished generation currently under
+    * `completed/` to `archive/`. Failure-tolerant like the reference
+    * (a failed move logs and leaves the generation in `completed/` for
+    * the next poll — it never takes the pipeline down); moves are the
+    * same directory-level atomic move + merge fallback as finalization.
+    * Returns the `(run_name, run_start_ns)` generations fully archived
+    * this poll.
+    */
+  def flushToArchive(): Seq[(String, Long)] = {
+    val moved = scala.collection.mutable.LinkedHashSet.empty[(String, Long)]
+    val failed = scala.collection.mutable.Set.empty[(String, Long)]
+    tables.foreach { table =>
+      listChildren(completed.resolve(table))
+        .filter(_.getFileName.toString.startsWith("run_name="))
+        .foreach { nameDir =>
+          val name = nameDir.getFileName.toString.stripPrefix("run_name=")
+          listChildren(nameDir)
+            .filter(_.getFileName.toString.startsWith("run_start_ns="))
+            .foreach { src =>
+              scala.util
+                .Try(src.getFileName.toString.stripPrefix("run_start_ns=").toLong)
+                .foreach { start =>
+                  try {
+                    val dst = archive
+                      .resolve(table)
+                      .resolve(s"run_name=$name")
+                      .resolve(s"run_start_ns=$start")
+                    Files.createDirectories(dst.getParent)
+                    if (!Files.exists(dst)) Files.move(src, dst)
+                    else mergeMove(src, dst)
+                    if (listChildren(nameDir).isEmpty && Files.exists(nameDir))
+                      Files.delete(nameDir)
+                    moved += ((name, start))
+                  } catch {
+                    // reference behavior: warn and retry next interval
+                    case _: java.io.IOException => failed += ((name, start))
+                  }
+                }
+            }
+        }
+    }
+    (moved -- failed).toSeq
+  }
 
   /** Persist a generation's stop time beside the data (K6 durability):
     * the stop transition lives in the control checkpoint, which is NOT
@@ -210,7 +290,7 @@ final class NexusSink(outputDir: String) extends Serializable {
     * fatal.
     */
   def resumeRunGenerations(): Seq[(String, Long, Option[Long])] = {
-    val gens = Seq("events", "frames")
+    val gens = tables
       .flatMap { table =>
         listChildren(local.resolve(table))
           .filter(_.getFileName.toString.startsWith("run_name="))

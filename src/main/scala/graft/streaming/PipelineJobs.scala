@@ -1,9 +1,10 @@
 package graft.streaming
 
 import graft.dsp.DetectorSettings
-import graft.operators.{EventFormation, RunAssignment}
-import graft.schemas.TraceMessage
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.operators.{EventFormation, LogTables, RunAssignment}
+import graft.schemas.{Alarm, LogData, SampleEnvLog, TraceMessage}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** End-to-end streaming DAQ job: the reference's three components chained
@@ -100,6 +101,71 @@ object PipelineJobs {
       }
       .start()
 
+  /** Log-plane query: route one log/alarm stream into the sink's per-run
+    * log tables — the reference's f144/se00/al00 message handling
+    * (`nexus-writer/src/run_engine/engine.rs:240-288`): each message is
+    * assigned to its run by message timestamp against the live catalog,
+    * then appended per-sample ([[LogTables]]). Messages with no matching
+    * run are dropped, as the reference discards them with a warning —
+    * start the control query first so the catalog is warm.
+    */
+  private def logStream(
+      rows: DataFrame,
+      table: String,
+      expand: DataFrame => DataFrame,
+      sink: NexusSink,
+      catalog: RunCatalog,
+      checkpoint: String,
+      triggerMs: Long): StreamingQuery =
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val assigned =
+          RunAssignment.assignLogs(batch.toDF(), catalog.snapshot(batch.sparkSession))
+        sink.writeLogBatch(expand(assigned), table, batchId)
+      }
+      .start()
+
+  /** f144 run-log stream → `runlog/` per-run table. */
+  def runlogToNexus(
+      logs: Dataset[LogData],
+      sink: NexusSink,
+      catalog: RunCatalog,
+      checkpoint: String,
+      triggerMs: Long = 100L): StreamingQuery =
+    logStream(logs.toDF(), "runlog", LogTables.runlogTable, sink, catalog, checkpoint, triggerMs)
+
+  /** se00 sample-environment stream → `selog/` per-run table (assigned on
+    * the packet timestamp, like the reference routes the whole message).
+    */
+  def selogToNexus(
+      logs: Dataset[SampleEnvLog],
+      sink: NexusSink,
+      catalog: RunCatalog,
+      checkpoint: String,
+      triggerMs: Long = 100L): StreamingQuery =
+    logStream(
+      logs.toDF()
+        .withColumn("sourceName", col("name"))
+        .withColumn("timestampNs", col("packetTimestampNs")),
+      "selog",
+      LogTables.selogTable,
+      sink,
+      catalog,
+      checkpoint,
+      triggerMs)
+
+  /** al00 alarm stream → `alarm/` per-run table. */
+  def alarmsToNexus(
+      alarms: Dataset[Alarm],
+      sink: NexusSink,
+      catalog: RunCatalog,
+      checkpoint: String,
+      triggerMs: Long = 100L): StreamingQuery =
+    logStream(alarms.toDF(), "alarm", LogTables.alarmTable, sink, catalog, checkpoint, triggerMs)
+
   def traceToNexus(
       traces: Dataset[TraceMessage],
       settings: DetectorSettings,
@@ -142,9 +208,13 @@ object PipelineJobs {
       checkpoint: String,
       triggerMs: Long = 100L,
       lingerMs: Long = 2000L,
-      nowNs: () => Long = () => System.currentTimeMillis() * 1000000L): StreamingQuery = {
+      nowNs: () => Long = () => System.currentTimeMillis() * 1000000L,
+      // archiver poll interval (`nexus-writer/src/main.rs:101-103`: 60 s
+      // default); 0 disables the completed/ → archive/ tier
+      archiveIntervalMs: Long = 0L): StreamingQuery = {
     val dev2 = EventFormation.formEvents(traces, settings)
     val aev2 = FrameAssemblyStream.assemble(dev2, expectedDigitizers, ttlMs)
+    var lastArchiveNs = Option.empty[Long]
     aev2.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -166,6 +236,14 @@ object PipelineJobs {
         sink
           .finalizeRuns(catalog.entries, now, lingerMs)
           .foreach { case (n, s) => catalog.remove(n, s) }
+        // archiver tier poll (flush_to_archive.rs): interval-gated so a
+        // fast trigger doesn't hammer the filesystem scan
+        if (archiveIntervalMs > 0L &&
+          lastArchiveNs.forall(l => now - l >= archiveIntervalMs * 1000000L)) {
+          lastArchiveNs = Some(now)
+          sink.flushToArchive()
+        }
+        ()
       }
       .start()
   }

@@ -501,4 +501,141 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$outDir/completed/events").count() === 3)
     assert(spark.read.parquet(s"$outDir/local/events").count() === 3)
   }
+
+  test("full DAQ chain: per-run log tables (runlog/selog/alarm) written, finalized, archived") {
+    import graft.dsp.{DetectorSettings, FixedThreshold}
+    import graft.schemas.{ChannelTrace, TraceMessage}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = Files.createTempDirectory("chain_logs").toString
+    val sink = new NexusSink(outDir)
+    val catalog = new RunCatalog
+
+    val startMs = (meta(0).timestampNs - 1000000L) / 1000000L
+    val stopMs = (meta(3).timestampNs + 1000000L) / 1000000L
+
+    val control = MemoryStream[ControlMessage]
+    val controlQuery = PipelineJobs.controlToCatalog(
+      control.toDS(), catalog, Files.createTempDirectory("cl_ctl_ckpt").toString,
+      stopSink = Some(sink))
+
+    val runlogIn = MemoryStream[LogData]
+    val selogIn = MemoryStream[SampleEnvLog]
+    val alarmIn = MemoryStream[Alarm]
+    val runlogQuery = PipelineJobs.runlogToNexus(
+      runlogIn.toDS(), sink, catalog, Files.createTempDirectory("cl_rl_ckpt").toString)
+    val selogQuery = PipelineJobs.selogToNexus(
+      selogIn.toDS(), sink, catalog, Files.createTempDirectory("cl_se_ckpt").toString)
+    val alarmQuery = PipelineJobs.alarmsToNexus(
+      alarmIn.toDS(), sink, catalog, Files.createTempDirectory("cl_al_ckpt").toString)
+
+    val trace = Array(0, 1, 2, 1, 0, 1, 2, 1, 8, 0, 2, 8, 3, 1, 2)
+    def traceMsg(did: Int, frame: Long) =
+      TraceMessage(did, meta(frame), 1000000000L, Array(
+        ChannelTrace(did * 8L, trace), ChannelTrace(did * 8L + 1, trace)))
+    val input = MemoryStream[TraceMessage]
+    // real wall-clock "now": the 2023-epoch fixture stop lingered out long
+    // ago, and an ADVANCING clock lets the interval-gated archive poll
+    // fire on a later trigger than the one that finalized the run
+    val dataQuery = PipelineJobs.traceToNexusWithLifecycle(
+      input.toDS(),
+      DetectorSettings(FixedThreshold(5.0, 1, 0)),
+      expectedDigitizers = Seq(0, 1),
+      sink = sink,
+      catalog = catalog,
+      ttlMs = 200L,
+      checkpoint = Files.createTempDirectory("cl_ckpt").toString,
+      lingerMs = 1000L,
+      archiveIntervalMs = 1L)
+    def countAt(dir: String): Long =
+      try spark.read.parquet(dir).count() catch { case _: Throwable => 0L }
+    def await(what: String)(pred: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 30000L
+      while (!pred && System.currentTimeMillis() < deadline) Thread.sleep(200L)
+      assert(pred, s"timed out waiting for $what")
+    }
+    try {
+      control.addData(ControlMessage("start", "run_logs", startMs, "muon"))
+      controlQuery.processAllAvailable()
+      assert(catalog.entries === Seq(("run_logs", startMs * 1000000L, None)))
+
+      // in-run log traffic: f144 scalar + array, one se00 packet, one alarm
+      val t0 = meta(0).timestampNs
+      runlogIn.addData(
+        LogData("IN:MUSR:CS:SB:temp", t0 + 1000L, "Double", 1.5, Array.empty),
+        LogData("counts", t0 + 2000L, "ArrayInt", 0.0, Array(1.0, 2.0, 3.0)))
+      selogIn.addData(SampleEnvLog(
+        "IN:MUSR:CS:SB:field", 3, t0 + 5000L, 250000.0, "Middle",
+        Array(0.25, 0.5, 0.75, 1.0), Array.empty[Long], 7L))
+      alarmIn.addData(Alarm("IN:MUSR:CS:SB:hv", t0 + 9000L, "MAJOR", "over-voltage"))
+      input.addData(traceMsg(0, 0), traceMsg(1, 0))
+
+      await("local log tables") {
+        countAt(s"$outDir/local/runlog") >= 4 &&
+        countAt(s"$outDir/local/selog") >= 4 &&
+        countAt(s"$outDir/local/alarm") >= 1
+      }
+      // typed read-back: per-sample expansion under the run's identity
+      val rl = spark.read.parquet(s"$outDir/local/runlog").collect()
+      assert(rl.forall(_.getAs[String]("run_name") == "run_logs"))
+      assert(rl.count(_.getAs[String]("value_type") == "ArrayInt") === 3)
+      assert(rl.filter(_.getAs[String]("source") == "temp")
+        .map(_.getAs[Double]("value")).toSeq === Seq(1.5))
+      val se = spark.read.parquet(s"$outDir/local/selog")
+        .orderBy("sample_idx").collect()
+      assert(se.map(_.getAs[Double]("value")).toSeq === Seq(0.25, 0.5, 0.75, 1.0))
+      // Middle location + 250 µs delta: sample i stamps packet_ts + i×delta
+      assert(se.map(_.getAs[Long]("time_ns")).toSeq ===
+        Seq(t0 + 5000L, t0 + 255000L, t0 + 505000L, t0 + 755000L))
+      val al = spark.read.parquet(s"$outDir/local/alarm").collect()
+      assert(al.map(r => (r.getAs[String]("source"), r.getAs[Int]("severity_code"))).toSeq ===
+        Seq(("hv", 2)))
+
+      // stop: finalization moves ALL five tables, the archiver drains them
+      control.addData(ControlMessage("stop", "run_logs", stopMs, "muon"))
+      controlQuery.processAllAvailable()
+      await("archive tier") {
+        countAt(s"$outDir/archive/runlog") >= 4 &&
+        countAt(s"$outDir/archive/selog") >= 4 &&
+        countAt(s"$outDir/archive/alarm") >= 1 &&
+        countAt(s"$outDir/archive/events") > 0
+      }
+      assert(!Files.exists(java.nio.file.Paths.get(s"$outDir/local/runlog/run_name=run_logs")))
+      assert(!Files.exists(java.nio.file.Paths.get(s"$outDir/completed/runlog/run_name=run_logs")))
+      assert(catalog.entries.isEmpty)
+    } finally {
+      dataQuery.stop(); controlQuery.stop()
+      runlogQuery.stop(); selogQuery.stop(); alarmQuery.stop()
+    }
+  }
+
+  test("archiver tier: flushToArchive drains completed/, merge-tolerant and idempotent") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("archive_unit").toString
+    val sink = new NexusSink(outDir)
+    val aev2 = Seq(
+      AssembledFrame(meta(0), Array(5L), Array(100), Array(0L), true, Array(0))).toDS()
+    val startNs = meta(0).timestampNs - 1L
+    sink.writeBatch(
+      aev2.withColumn("run_name", lit("run_arc")).withColumn("run_start_ns", lit(startNs)),
+      batchId = 0L)
+    // nothing completed yet → archive pass is a no-op
+    assert(sink.flushToArchive() === Seq.empty)
+    sink.finalizeRuns(Seq(("run_arc", startNs, Some(meta(0).timestampNs + 1L))),
+      meta(0).timestampNs + 10000000000L)
+    assert(sink.flushToArchive() === Seq(("run_arc", startNs)))
+    assert(spark.read.parquet(s"$outDir/archive/events").count() === 1)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$outDir/completed/events/run_name=run_arc")))
+    // a second generation of the same name archives into the same
+    // name-level dir (merge path), and the pass is idempotent when empty
+    sink.writeBatch(
+      aev2.withColumn("run_name", lit("run_arc"))
+        .withColumn("run_start_ns", lit(startNs + 1000L)),
+      batchId = 1L)
+    sink.finalizeRuns(Seq(("run_arc", startNs + 1000L, Some(meta(0).timestampNs + 2L))),
+      meta(0).timestampNs + 10000000000L)
+    assert(sink.flushToArchive() === Seq(("run_arc", startNs + 1000L)))
+    assert(spark.read.parquet(s"$outDir/archive/events").count() === 2)
+    assert(sink.flushToArchive() === Seq.empty)
+  }
 }
