@@ -23,6 +23,13 @@ object DedupQueries {
     * j≈0.85 so buckets stay small (the corpus's median pair similarity is
     * ~0.6; banding at 16 bands × 8 rows made nearly every pair a
     * candidate, an all-pairs blowup at scale).
+    *
+    * STORAGE CONTRACT: the returned plan reads a `persist()`ed sketch
+    * table (see below) that stays pinned for the session after the
+    * result materializes — callers that keep the session alive (notebook
+    * / library use) should `spark.catalog.clearCache()` once done, as
+    * Verify/Bench do between queries. Unpersisting eagerly here would
+    * recompute the sketch per consumer instead.
     */
   def minhashPairs(s: SparkSession, dir: String, minSim: Double = 0.7): DataFrame = {
     val numPerms = 128
@@ -156,6 +163,10 @@ object DedupQueries {
     * the result a near-dup set rather than half the corpus — the
     * word-salad fixture is densely mid-similar, so looser thresholds
     * explode quadratically. Oracle-checked.
+    *
+    * STORAGE CONTRACT: same as [[minhashPairs]] — the persisted segment
+    * table stays pinned after materialization; long-lived callers should
+    * `spark.catalog.clearCache()` when done.
     */
   def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 2): DataFrame = {
     val docs = simhashDocs(s, dir)

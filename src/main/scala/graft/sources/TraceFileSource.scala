@@ -45,9 +45,22 @@ class TraceFileSource extends TableProvider with DataSourceRegister {
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val path = Option(properties.get("path"))
-      .getOrElse(throw new IllegalArgumentException("trace-file source requires a path"))
-    new TraceFileTable(path)
+    // `load(p)` arrives as the 'path' property; `load(p1, p2, ...)` as a
+    // 'paths' JSON array — accept both (each entry may be a file or a
+    // directory of .gtf files)
+    val multi = Option(properties.get("paths")).map { json =>
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(json, classOf[Array[String]])
+        .toSeq
+    }
+    val single = Option(properties.get("path")).map(Seq(_))
+    val paths = (multi, single) match {
+      case (Some(m), Some(s)) => m ++ s
+      case (m, s) =>
+        m.orElse(s).getOrElse(
+          throw new IllegalArgumentException("trace-file source requires a path"))
+    }
+    new TraceFileTable(paths)
   }
 }
 
@@ -66,16 +79,16 @@ object TraceFileSource {
       nullable = false)))
 }
 
-private[sources] class TraceFileTable(path: String) extends Table with SupportsRead {
-  override def name(): String = s"trace-file($path)"
+private[sources] class TraceFileTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"trace-file(${paths.mkString(",")})"
   override def schema(): StructType = TraceFileSource.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TraceFileScanBuilder(path)
+    new TraceFileScanBuilder(paths)
 }
 
-private[sources] class TraceFileScanBuilder(path: String)
+private[sources] class TraceFileScanBuilder(paths: Seq[String])
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -123,11 +136,11 @@ private[sources] class TraceFileScanBuilder(path: String)
 
   override def pushedFilters(): Array[sources.Filter] = pushed
 
-  override def build(): Scan = new TraceFileScan(path, required, tsLower, tsUpper)
+  override def build(): Scan = new TraceFileScan(paths, required, tsLower, tsUpper)
 }
 
 private[sources] class TraceFileScan(
-    path: String,
+    paths: Seq[String],
     required: StructType,
     tsLower: Option[Long] = None,
     tsUpper: Option[Long] = None)
@@ -136,7 +149,7 @@ private[sources] class TraceFileScan(
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"TraceFileScan(path=$path, columns=${required.fieldNames.mkString(",")}," +
+    s"TraceFileScan(paths=${paths.mkString(",")}, columns=${required.fieldNames.mkString(",")}," +
       s" tsRange=[${tsLower.getOrElse("-inf")}, ${tsUpper.getOrElse("+inf")}])"
 
   /** First index with timestamp ≥ target. Probes read ONLY the 8-byte
@@ -162,7 +175,7 @@ private[sources] class TraceFileScan(
   override def planInputPartitions(): Array[InputPartition] = {
     // a capture deployment produces a DIRECTORY of trace files — plan
     // per file (headers are a few hundred bytes each on the driver)
-    TraceFileScan.resolveFiles(path).flatMap { file =>
+    paths.flatMap(TraceFileScan.resolveFiles).flatMap { file =>
       val header = TraceFile.readHeader(file)
       // timestamp bounds → event-range prune, O(log n) 8-byte probes on
       // the driver (conservative: >= lower, <= upper; residual filter

@@ -73,13 +73,17 @@ object RunStream {
               case ("start", None) =>
                 st = Some(RunState(m.timeMs, None))
                 out += interval(st.get)
-              case ("start", Some(RunState(prevStart, Some(_)))) if m.timeMs != prevStart =>
+              case ("start", Some(RunState(prevStart, Some(_)))) if m.timeMs > prevStart =>
                 // previous run of this name finished; new generation.
-                // Only an EXACT redelivery (same start timestamp as the
-                // closed generation) is rejected — comparing against the
-                // stop time would mix time bases when the stop was
-                // resolved from processing time, and the reference
-                // accepts any genuinely new start after a finished run.
+                // Generation starts are MONOTONE per name (mirrors the
+                // abort-on-restart guard below): an at-least-once
+                // redelivery of the closed generation's own start — or of
+                // any OLDER start — must not resurrect a finalized
+                // generation (the sink would recreate its local/
+                // partitions with event_index restarting at 0 and later
+                // merge conflicting rows into completed/). The stop time
+                // is deliberately not compared: it may sit on the
+                // processing-time base when resolved from "stop NOW".
                 st = Some(RunState(m.timeMs, None))
                 out += interval(st.get)
               case ("start", Some(RunState(prevStart, None))) if m.timeMs > prevStart =>

@@ -100,6 +100,19 @@ class TraceFileSpec extends AnyFunSuite {
     assert(onlyB.count() === 10)
   }
 
+  test("DataSource V2: multi-path load(p1, p2) reads every path (Spark passes a 'paths' JSON array)") {
+    val dir = Files.createTempDirectory("tracefile_multi")
+    TraceFile.write(dir.resolve("a.gtf").toString, 1.0, fixture)
+    val later = fixture.map { case (ts, ch) => (ts + 1000000000L, ch) }
+    TraceFile.write(dir.resolve("b.gtf").toString, 1.0, later)
+    val df = spark.read.format("trace-file")
+      .load(dir.resolve("a.gtf").toString, dir.resolve("b.gtf").toString)
+    assert(df.count() === 20)
+    // a path entry may itself be a directory
+    val mixed = spark.read.format("trace-file").load(dir.toString)
+    assert(mixed.count() === 20)
+  }
+
   test("distributed load feeds event formation") {
     val path = Files.createTempDirectory("tracefile").resolve("run.gtf").toString
     TraceFile.write(path, sampleTimeNs = 1.0, events = fixture)

@@ -439,6 +439,13 @@ class StreamingSpec extends AnyFunSuite {
       val openEmissions = spark.table("runs_now2").collect()
         .count(r => r.getLong(1) == 1000000000L && Option(r.get(2)).isEmpty)
       assert(openEmissions === 1, "stale start redelivery must not emit a reopened interval")
+
+      // generation starts are monotone per name: a start EARLIER than the
+      // closed generation's is equally stale and must not open a new one
+      input.addData(ControlMessage("start", "run_same", 500L, "muon"))
+      query.processAllAvailable()
+      assert(!spark.table("runs_now2").collect().exists(_.getLong(1) == 500000000L),
+        "pre-dated start redelivery must not resurrect a finalized name")
     } finally query.stop()
   }
 
