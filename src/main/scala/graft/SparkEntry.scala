@@ -48,10 +48,12 @@ object SparkEntry {
     "q_trace_to_events" -> (PipelineQueries.traceToEvents _),
     "q_trace_to_events_differential" -> (PipelineQueries.traceToEventsDifferential _),
     "q_trace_to_events_advanced" -> (PipelineQueries.traceToEventsAdvanced _),
+    "q_trace_to_events_advanced_expr" -> (PipelineQueries.traceToEventsAdvancedExpr _),
     "q_frame_assembly" -> (PipelineQueries.frameAssembly _),
     "q_nexus_frame_table" -> (PipelineQueries.nexusFrameTable _),
     "q_nexus_event_table" -> (PipelineQueries.nexusEventTable _),
     "q_pipeline_e2e" -> (PipelineQueries.pipelineE2e _),
+    "q_sim_schedule" -> (PipelineQueries.simSchedule _),
     "q_trace_file_scan" -> (PipelineQueries.traceFileScan _),
     "q_stream_frame_assembly" -> (StreamingQueries.streamFrameAssembly _),
     "q_stream_windowed_counts" -> (StreamingQueries.streamWindowedCounts _),
@@ -142,6 +144,7 @@ object SparkEntry {
     "q_runlog_typed" -> LogQueries.runlogTypedSql,
     "q_alarm_severity" -> LogQueries.alarmSeveritySql,
     "q_nexus_runlog_table" -> LogQueries.nexusRunlogTableSql,
+    "q_frame_assembly" -> PipelineQueries.frameAssemblySql,
     "q_gps_round_trip" -> LogQueries.gpsRoundTripSql
   )
 }

@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => DetectPulses(exprs(0), exprs(1), exprs(2), exprs(3))
     val detectDiff: Seq[Expression] => Expression =
       exprs => DetectPulsesDifferential(exprs(0), exprs(1), exprs(2), exprs(3))
+    val detectAdv: Seq[Expression] => Expression =
+      exprs =>
+        DetectPulsesAdvanced(
+          exprs(0), exprs(1), exprs(2), exprs(3), exprs(4), exprs(5), exprs(6))
     ext.injectFunction(
       (
         FunctionIdentifier("vec_dot"),
@@ -49,5 +53,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "detect_pulses_differential",
           "detect_pulses_differential(samples, threshold, duration, cool_off) - derivative-threshold FSM over a trace"),
         detectDiff))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("detect_pulses_advanced"),
+        info(
+          "detect_pulses_advanced",
+          "detect_pulses_advanced(samples, onset, fall, termination, duration, " +
+            "baseline_length, smoothing_size) - three-phase muon FSM over a trace"),
+        detectAdv))
   }
 }

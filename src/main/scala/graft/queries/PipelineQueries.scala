@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.dsp.{AdvancedMuon, DetectorSettings, DifferentialThreshold, FixedThreshold}
 import graft.operators.{EventFormation, FrameAssembly, NexusTables, RunAssignment}
-import graft.schemas.{EventListMessage, RunStart, RunStop}
+import graft.schemas.{EventListMessage, FrameMetadata, RunStart, RunStop}
 import graft.sources.TraceGenerator
 import graft.sources.TraceGenerator.GeneratorConfig
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -82,10 +82,82 @@ object PipelineQueries {
         col("metadata.frameNumber").as("frame_number"),
         size(col("time")).as("n_events"))
 
+  /** [[traceToEventsAdvanced]] through the Catalyst expression path
+    * ([[graft.plans.DetectPulsesAdvanced]]): traces stay in Tungsten rows,
+    * the W1/W2/W3 window chain is fused into the expression's scan, and
+    * the per-channel pulse counts aggregate back to the per-message shape
+    * of the typed path — identical output by construction (locked in
+    * PlanSpec against the typed query on this fixture).
+    */
+  def traceToEventsAdvancedExpr(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.DetectPulsesAdvanced.register(s)
+    TraceGenerator
+      .traces(s, cfg.copy(nFrames = 8))
+      .toDF()
+      .select(
+        col("digitizerId"),
+        col("metadata.frameNumber").as("frame_number"),
+        explode(col("channels")).as("ch"))
+      .select(
+        col("digitizerId"),
+        col("frame_number"),
+        expr(
+          "size(detect_pulses_advanced(transform(ch.voltage, v -> cast(v AS double)), " +
+            "2.0D, -2.0D, -0.5D, 0.0D, 20, 3))").as("n_ch_events"))
+      .groupBy(col("digitizerId"), col("frame_number"))
+      .agg(sum(col("n_ch_events")).cast("int").as("n_events"))
+  }
+
+  /** A2 frame assembly, oracle-checkable: a deterministic dev2 fixture
+    * (32 frames × 4 digitisers, arithmetic event lists — no FSM in the
+    * input path, so DuckDB regenerates it with `range()`) exercises every
+    * assembly rule: veto-flag OR across digitisers, duplicate-digitiser
+    * rejection (frames f%8==0 carry a lexicographically-larger duplicate
+    * for digitiser 0 — the smaller original wins), incomplete frames
+    * (f%5==0 is missing digitiser 3), and ORDER-SENSITIVE concatenation
+    * (position-weighted checksums over the assembled SoA arrays — a
+    * correct set in the wrong order fails the hash).
+    */
   def frameAssembly(s: SparkSession, dir: String): DataFrame = {
-    val dev2 = EventFormation.formEvents(
-      TraceGenerator.traces(s, cfg),
-      DetectorSettings(FixedThreshold(threshold = 100.0), baseline = 50.0))
+    import s.implicits._
+    val base = cfg.startTimestampNs
+    def events(f: Int, d: Int): (Array[Long], Array[Int], Array[Long]) = {
+      val n = (f * 3 + d * 5) % 7
+      (
+        Array.tabulate(n)(j => ((f * 97 + d * 31 + j * 13) % 1000).toLong),
+        Array.tabulate(n)(j => (f * 53 + d * 17 + j * 11) % 500),
+        Array.tabulate(n)(j => (d * 8 + (j % 8)).toLong))
+    }
+    val dev2 = (for {
+      f <- 0 until 32
+      d <- 0 until 4
+      if !(f % 5 == 0 && d == 3) // incomplete frames
+    } yield {
+      val m = FrameMetadata(
+        timestampNs = base + f.toLong * cfg.frameIntervalNs,
+        periodNumber = (f % 4).toLong,
+        protonsPerPulse = 4,
+        running = true,
+        frameNumber = f.toLong,
+        vetoFlags = (f * 7 + d) % 16)
+      val (t, v, c) = events(f, d)
+      EventListMessage(d, m, t, v, c)
+    }).flatMap { msg =>
+      // duplicate-digitiser redelivery: payload sorts AFTER the original
+      // (+500 on every time, one extra trailing event), same veto flags
+      if (msg.metadata.frameNumber % 8 == 0 && msg.digitizerId == 0)
+        Seq(
+          msg,
+          msg.copy(
+            time = msg.time.map(_ + 500L) :+ 1999L,
+            voltage = msg.voltage :+ 1,
+            channel = msg.channel :+ 7L))
+      else Seq(msg)
+    }.toDS()
+    def weighted(arr: String, elem: String) =
+      expr(
+        s"aggregate($arr, named_struct('acc', 0L, 'k', 1L), " +
+          s"(s, x) -> named_struct('acc', s.acc + s.k * $elem, 'k', s.k + 1L), s -> s.acc)")
     FrameAssembly
       .assemble(dev2, expected)
       .select(
@@ -94,8 +166,51 @@ object PipelineQueries {
         col("complete"),
         array_join(transform(col("digitizersPresent"), _.cast("string")), ",")
           .as("digitizers_present"),
-        size(col("time")).as("n_events"))
+        size(col("time")).as("n_events"),
+        weighted("time", "x").as("time_checksum"),
+        weighted("voltage", "cast(x AS bigint)").as("voltage_checksum"),
+        weighted("channel", "x").as("channel_checksum"))
   }
+
+  /** DuckDB oracle for [[frameAssembly]]: regenerates the winning message
+    * set (duplicates excluded by construction — the original sorts first)
+    * and re-derives veto OR, presence, completeness, and the
+    * position-weighted checksums with the assembled order made explicit
+    * as `row_number() OVER (PARTITION BY frame ORDER BY digitiser, j)`.
+    */
+  val frameAssemblySql: String =
+    """WITH msgs AS (
+         SELECT f::INT AS f, d::INT AS d, ((f*3 + d*5) % 7)::INT AS n
+         FROM range(32) rf(f), range(4) rd(d)
+         WHERE NOT (f % 5 = 0 AND d = 3)
+       ), ev AS (
+         SELECT f, d, j,
+                ((f*97 + d*31 + j*13) % 1000)::BIGINT AS t,
+                ((f*53 + d*17 + j*11) % 500)::BIGINT AS v,
+                (d*8 + (j % 8))::BIGINT AS c
+         FROM msgs, range(7) rj(j) WHERE j < n
+       ), pos AS (
+         SELECT f, t, v, c,
+                row_number() OVER (PARTITION BY f ORDER BY d, j) AS k
+         FROM ev
+       ), chk AS (
+         SELECT f, sum(k * t)::BIGINT AS time_checksum,
+                   sum(k * v)::BIGINT AS voltage_checksum,
+                   sum(k * c)::BIGINT AS channel_checksum
+         FROM pos GROUP BY f
+       ), meta AS (
+         SELECT f, bit_or((f*7 + d) % 16)::INT AS veto_flags,
+                string_agg(d, ',' ORDER BY d) AS digitizers_present,
+                (count(*) = 4) AS complete,
+                sum(n)::INT AS n_events
+         FROM msgs GROUP BY f
+       )
+       SELECT m.f::BIGINT AS frame_number, m.veto_flags, m.complete,
+              m.digitizers_present, m.n_events,
+              coalesce(c.time_checksum, 0) AS time_checksum,
+              coalesce(c.voltage_checksum, 0) AS voltage_checksum,
+              coalesce(c.channel_checksum, 0) AS channel_checksum
+       FROM meta m LEFT JOIN chk c USING (f)"""
 
   /** Full slice (SURVEY §7.2): traces → events → frames → run-attached
     * NXevent_data frame table with running `event_index`.
@@ -187,6 +302,39 @@ object PipelineQueries {
         sum(expr(
           "aggregate(channels, 0L, (acc, c) -> acc + aggregate(c.voltage, 0L, (a, v) -> a + v))"))
           .as("total_voltage"))
+  }
+
+  /** S7 scripted simulation on the query surface: a declarative
+    * [[graft.sources.ActionSchedule]] scenario (period flip + veto change
+    * mid-run) compiled to traces and run through event formation —
+    * scheduled metadata must surface in the per-message output.
+    * Rows-only (the FSM detection has no SQL oracle; schedule semantics
+    * are locked in ActionScheduleSpec/StreamingSpec).
+    */
+  def simSchedule(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ActionSchedule
+    import graft.sources.ActionSchedule._
+    val simCfg = GeneratorConfig(nFrames = 16, nDigitizers = 4)
+    val scenario = Seq(
+      SendRunStart("run_sim"),
+      WaitMs(1),
+      FrameLoop(nFrames = 8, digitizers = 0 until 4),
+      SetPeriod(1L),
+      SetVetoFlags(2),
+      FrameLoop(nFrames = 8, digitizers = 0 until 4),
+      SendRunStop("run_sim"))
+    val compiled = ActionSchedule.compile(scenario, simCfg)
+    EventFormation
+      .formEvents(
+        ActionSchedule.traces(s, simCfg, compiled),
+        DetectorSettings(FixedThreshold(threshold = 100.0), baseline = 50.0))
+      .toDF()
+      .select(
+        col("digitizerId"),
+        col("metadata.frameNumber").as("frame_number"),
+        col("metadata.periodNumber").as("period_number"),
+        col("metadata.vetoFlags").as("veto_flags"),
+        size(col("time")).as("n_events"))
   }
 
   def nexusEventTable(s: SparkSession, dir: String): DataFrame = {

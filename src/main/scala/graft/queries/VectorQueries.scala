@@ -23,8 +23,12 @@ object VectorQueries {
   /** Exact top-k neighbors by dot product (embeddings are ~unit-norm, so
     * this is cosine ranking) for query vectors `vec_id < nQueries`.
     * Scale: queries broadcast; one narrow pass over the corpus computes
-    * all similarities; per-partition top-k via the rank window is bounded
-    * by nQueries × corpus-partition size.
+    * all similarities; the rank window does NOT funnel the full
+    * similarity table into nQueries partitions — Spark plans a
+    * `WindowGroupLimit(Partial)` below the exchange, cutting every corpus
+    * partition to its per-query top-k map-side, so the window shuffle
+    * carries ≤ nQueries × k rows per input partition (ordering locked in
+    * PlanSpec).
     */
   def cosineTopK(s: SparkSession, dir: String, nQueries: Int = 8, k: Int = 10): DataFrame = {
     graft.plans.VecDot.register(s)

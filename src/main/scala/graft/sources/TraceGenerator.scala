@@ -77,7 +77,16 @@ object TraceGenerator {
       startTimestampNs: Long = 1700000000000000000L,
       seed: Long = 42L)
 
-  /** splitmix64 finaliser — decorrelates sequential seeds. */
+  /** splitmix64 finaliser — decorrelates sequential seeds. Shared with
+    * [[ActionSchedule.traces]] so scheduled and free-running generation
+    * produce identical traces for the same (seed, frame, digitiser).
+    */
+  private[sources] def mixSeed(x: Long): Long = mix64(x)
+
+  /** Channel synthesis, shared with [[ActionSchedule.traces]]. */
+  private[sources] def synthChannelFor(rng: Random, cfg: GeneratorConfig): Array[Int] =
+    synthChannel(rng, cfg)
+
   private def mix64(x0: Long): Long = {
     var x = x0 + 0x9e3779b97f4a7c15L
     x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L

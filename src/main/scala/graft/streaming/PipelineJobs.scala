@@ -75,6 +75,22 @@ final class RunCatalog extends Serializable {
 
 object PipelineJobs {
 
+  /** Spark 4.1's foreachBatch state-commit validation false-positives on
+    * EMPTY micro-batches: the batch planner prunes a stateful operator
+    * whose input is empty (provably-empty output under NoTimeout), so the
+    * per-partition commits the coordinator expects never happen —
+    * `StateStoreCommitValidationFailed` then TERMINATES the query. That
+    * is fatal by design for these jobs, whose empty batches ARE the
+    * finalization/archive poll. Every foreachBatch body here processes
+    * its whole batch (driver collect of the tiny run dimension, or full
+    * partitioned writes), so the misbehavior this validation hunts for —
+    * `show()`/`limit()` partial consumption — is structurally absent;
+    * disable it on the owning session before starting the query.
+    */
+  private def allowEmptyBatches(ds: Dataset[_]): Unit =
+    ds.sparkSession.conf
+      .set("spark.sql.streaming.stateStore.commitValidation.enabled", "false")
+
   /** Control-plane query: fold the run-lifecycle stream into `catalog`.
     * Update output — every accepted start/stop transition lands in the
     * catalog within one micro-batch. When a sink is supplied, stop
@@ -86,7 +102,8 @@ object PipelineJobs {
       control: Dataset[graft.streaming.ControlMessage],
       catalog: RunCatalog,
       checkpoint: String,
-      stopSink: Option[NexusSink] = None): StreamingQuery =
+      stopSink: Option[NexusSink] = None): StreamingQuery = {
+    allowEmptyBatches(control)
     RunStream
       .runIntervals(control)
       .writeStream
@@ -100,6 +117,7 @@ object PipelineJobs {
           sink.markStopped(r.runName, r.collectFromNs, stop)
       }
       .start()
+  }
 
   /** Log-plane query: route one log/alarm stream into the sink's per-run
     * log tables — the reference's f144/se00/al00 message handling
@@ -175,6 +193,7 @@ object PipelineJobs {
       ttlMs: Long = 500L,
       checkpoint: String,
       triggerMs: Long = 100L): StreamingQuery = {
+    allowEmptyBatches(traces)
     val dev2 = EventFormation.formEvents(traces, settings)
     val aev2 = FrameAssemblyStream.assemble(dev2, expectedDigitizers, ttlMs)
     aev2.writeStream
@@ -212,6 +231,7 @@ object PipelineJobs {
       // archiver poll interval (`nexus-writer/src/main.rs:101-103`: 60 s
       // default); 0 disables the completed/ → archive/ tier
       archiveIntervalMs: Long = 0L): StreamingQuery = {
+    allowEmptyBatches(traces)
     val dev2 = EventFormation.formEvents(traces, settings)
     val aev2 = FrameAssemblyStream.assemble(dev2, expectedDigitizers, ttlMs)
     var lastArchiveNs = Option.empty[Long]

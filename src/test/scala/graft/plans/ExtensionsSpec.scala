@@ -47,6 +47,16 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(diff.nonEmpty)
       assert(diff.head.getDouble(0) === 2.0)
 
+      // advanced FSM: a clean rise-fall ramp produces one assembled pulse
+      // (onset/fall/termination on the derivative, zero-length warm-ups)
+      val adv = spark
+        .sql("""SELECT detect_pulses_advanced(
+                  array(0.0d, 0.0d, 5.0d, 10.0d, 5.0d, 0.0d, 0.0d, 0.0d),
+                  2.0d, -2.0d, -0.5d, 0.0d, 0, 1) AS p""")
+        .head()
+        .getSeq[org.apache.spark.sql.Row](0)
+      assert(adv.nonEmpty)
+
       // DESCRIBE FUNCTION resolves through the injected ExpressionInfo
       val desc = spark.sql("DESCRIBE FUNCTION vec_dot").collect().mkString
       assert(desc.contains("vec_dot"))

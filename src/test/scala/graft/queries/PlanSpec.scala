@@ -56,9 +56,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("cosine top-k benefits from window group-limit pushdown") {
+  test("cosine top-k pre-reduces per corpus partition BEFORE the window exchange") {
     val p = plan(VectorQueries.cosineTopK(spark, dir))
+    // Spark's WindowGroupLimit runs in Partial mode map-side: each corpus
+    // partition is cut to its per-query top-k before the shuffle, so the
+    // window exchange carries ≤ nQueries × k rows per input partition —
+    // never the full similarity table. Lock the ordering, not just the
+    // node's presence.
+    val partial = p.indexOf("row_number(), 10, Partial")
+    val exchange = p.indexOf("Exchange hashpartitioning")
     assert(p.contains("WindowGroupLimit"))
+    assert(partial >= 0 && exchange >= 0 && exchange < partial,
+      s"Partial WindowGroupLimit must sit BELOW (after in text) the exchange; got plan:\n${p.take(1200)}")
   }
 
   test("event formation is shuffle-free (narrow map over messages)") {
@@ -115,6 +124,15 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(RelationalQueries.sessionWindow(spark, dir))
     assert(p.toLowerCase.contains("session"), p.take(1500))
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("advanced detector: expression path matches the typed-Dataset path row for row") {
+    val typed = PipelineQueries.traceToEventsAdvanced(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    val viaExpr = PipelineQueries.traceToEventsAdvancedExpr(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaExpr === typed)
+    assert(viaExpr.exists(_._3 > 0), "fixture must produce at least one pulse")
   }
 
   test("trace-file DSv2 scan plans with pruned output columns") {

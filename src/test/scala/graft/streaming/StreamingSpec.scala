@@ -616,6 +616,95 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("scripted scenario: one ActionSchedule value drives the full DAQ chain to archive") {
+    import graft.dsp.{DetectorSettings, FixedThreshold}
+    import graft.schemas.TraceMessage
+    import graft.sources.ActionSchedule
+    import graft.sources.ActionSchedule._
+    import graft.sources.TraceGenerator.GeneratorConfig
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // the whole "start → frames → logs/alarm mid-run → stop" lifecycle as
+    // ONE declarative value (actions.rs:83-137 analog)
+    val cfg = GeneratorConfig(nFrames = 2, nDigitizers = 2, timeBins = 64)
+    val scenario = Seq(
+      Comment("scripted lifecycle"),
+      SendRunStart("run_sched"),
+      WaitMs(1),
+      SetVetoFlags(4),
+      FrameLoop(nFrames = 2, digitizers = Seq(0, 1)),
+      SendRunLog("IN:MUSR:CS:SB:temp", "Double", 1.5),
+      SendAlarm("hv", "MAJOR", "over-voltage"),
+      WaitMs(100),
+      SendRunStop("run_sched"))
+    val compiled = ActionSchedule.compile(scenario, cfg)
+
+    val outDir = Files.createTempDirectory("sched_chain").toString
+    val sink = new NexusSink(outDir)
+    val catalog = new RunCatalog
+    val control = MemoryStream[ControlMessage]
+    val controlQuery = PipelineJobs.controlToCatalog(
+      control.toDS(), catalog, Files.createTempDirectory("sc_ctl_ckpt").toString,
+      stopSink = Some(sink))
+    val runlogIn = MemoryStream[LogData]
+    val alarmIn = MemoryStream[Alarm]
+    val runlogQuery = PipelineJobs.runlogToNexus(
+      runlogIn.toDS(), sink, catalog, Files.createTempDirectory("sc_rl_ckpt").toString)
+    val alarmQuery = PipelineJobs.alarmsToNexus(
+      alarmIn.toDS(), sink, catalog, Files.createTempDirectory("sc_al_ckpt").toString)
+    val input = MemoryStream[TraceMessage]
+    val dataQuery = PipelineJobs.traceToNexusWithLifecycle(
+      input.toDS(),
+      DetectorSettings(FixedThreshold(5.0, 1, 0)),
+      expectedDigitizers = Seq(0, 1),
+      sink = sink,
+      catalog = catalog,
+      ttlMs = 200L,
+      checkpoint = Files.createTempDirectory("sc_ckpt").toString,
+      lingerMs = 500L,
+      archiveIntervalMs = 1L)
+    def countAt(dir: String): Long =
+      try spark.read.parquet(dir).count() catch { case _: Throwable => 0L }
+    def await(what: String)(pred: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 30000L
+      while (!pred && System.currentTimeMillis() < deadline) Thread.sleep(200L)
+      assert(pred, s"timed out waiting for $what")
+    }
+    try {
+      // the compiled scenario IS the feed: starts first (catalog warm),
+      // then in-run traffic, then the stop
+      val (starts, stops) = compiled.control.partition(_.kind == "start")
+      control.addData(starts)
+      controlQuery.processAllAvailable()
+      assert(catalog.entries.map(_._1) === Seq("run_sched"))
+
+      input.addData(ActionSchedule.traces(spark, cfg, compiled).collect().toIndexedSeq)
+      runlogIn.addData(compiled.runlog)
+      alarmIn.addData(compiled.alarms)
+      await("frames + logs in local/") {
+        countAt(s"$outDir/local/frames") >= 2 &&
+        countAt(s"$outDir/local/runlog") >= 1 &&
+        countAt(s"$outDir/local/alarm") >= 1
+      }
+      // scheduled metadata reached the sink: every frame carries the
+      // SetVetoFlags(4) state
+      val frames = spark.read.parquet(s"$outDir/local/frames").collect()
+      assert(frames.forall(_.getAs[Int]("veto_flags") === 4))
+
+      control.addData(stops)
+      controlQuery.processAllAvailable()
+      await("archived scripted run") {
+        countAt(s"$outDir/archive/frames") >= 2 &&
+        countAt(s"$outDir/archive/runlog") >= 1 &&
+        countAt(s"$outDir/archive/alarm") >= 1
+      }
+      assert(catalog.entries.isEmpty)
+    } finally {
+      dataQuery.stop(); controlQuery.stop(); runlogQuery.stop(); alarmQuery.stop()
+    }
+  }
+
   test("archiver tier: flushToArchive drains completed/, merge-tolerant and idempotent") {
     import spark.implicits._
     val outDir = Files.createTempDirectory("archive_unit").toString
