@@ -293,7 +293,9 @@ object LogQueries {
     val assigned = graft.operators.RunAssignment.assignLogs(logs.toDF(), runs)
     val out = java.nio.file.Files.createTempDirectory("graft_runlog_sink")
     val sink = new graft.streaming.NexusSink(out.toString)
-    sink.writeLogBatch(graft.operators.LogTables.runlogTable(assigned), "runlog", 0L)
+    // the 200-row fixture otherwise fans out over every shuffle partition
+    // and pays 32 write tasks for 2 partition dirs — layout-only change
+    sink.writeLogBatch(graft.operators.LogTables.runlogTable(assigned).coalesce(1), "runlog", 0L)
     s.read
       .parquet(out.resolve("local").resolve("runlog").toString)
       .select(

@@ -705,6 +705,103 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("restart at scale: 1k-source se00/f144 log tables stay complete, event_index continuous") {
+    import graft.dsp.{DetectorSettings, FixedThreshold}
+    import graft.schemas.{ChannelTrace, TraceMessage}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = Files.createTempDirectory("restart_scale").toString
+    val dataCkpt = Files.createTempDirectory("rs_data_ckpt").toString
+    val rlCkpt = Files.createTempDirectory("rs_rl_ckpt").toString
+    val seCkpt = Files.createTempDirectory("rs_se_ckpt").toString
+
+    val t0 = meta(0).timestampNs
+    val startMs = (t0 - 1000000L) / 1000000L
+    // 1200 f144 sources + 1000 se00 sources, all inside the run
+    def runlogMsg(i: Int) =
+      LogData(s"pv_$i", t0 + i.toLong * 1000L, "Double", i / 8.0, Array.empty)
+    def selogMsg(i: Int) =
+      SampleEnvLog(s"se_$i", i % 8, t0 + i.toLong * 1000L, 250000.0, "Start",
+        Array(i / 4.0, i / 2.0), Array.empty[Long], i.toLong)
+    val trace = Array(0, 1, 2, 1, 0, 1, 2, 1, 8, 0, 2, 8, 3, 1, 2)
+    def traceMsg(did: Int, frame: Long) =
+      TraceMessage(did, meta(frame), 1000000000L, Array(
+        ChannelTrace(did * 8L, trace), ChannelTrace(did * 8L + 1, trace)))
+
+    val control = MemoryStream[ControlMessage]
+    val runlogIn = MemoryStream[LogData]
+    val selogIn = MemoryStream[SampleEnvLog]
+    val input = MemoryStream[TraceMessage]
+    def countAt(dir: String): Long =
+      try spark.read.parquet(dir).count() catch { case _: Throwable => 0L }
+    def await(what: String)(pred: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 40000L
+      while (!pred && System.currentTimeMillis() < deadline) Thread.sleep(200L)
+      assert(pred, s"timed out waiting for $what")
+    }
+
+    def startJobs(sink: NexusSink, catalog: RunCatalog, ctlCkpt: String) = (
+      PipelineJobs.controlToCatalog(control.toDS(), catalog, ctlCkpt, stopSink = Some(sink)),
+      PipelineJobs.runlogToNexus(runlogIn.toDS(), sink, catalog, rlCkpt),
+      PipelineJobs.selogToNexus(selogIn.toDS(), sink, catalog, seCkpt),
+      PipelineJobs.traceToNexusWithLifecycle(
+        input.toDS(),
+        DetectorSettings(FixedThreshold(5.0, 1, 0)),
+        expectedDigitizers = Seq(0, 1),
+        sink = sink,
+        catalog = catalog,
+        ttlMs = 200L,
+        checkpoint = dataCkpt,
+        lingerMs = 120000L)) // linger far out: the run must NOT finalize mid-test
+
+    // ---- phase 1: half the traffic, then a crash (new sink + catalog)
+    val catalog1 = new RunCatalog
+    val (c1, r1, s1, d1) = startJobs(
+      new NexusSink(outDir), catalog1, Files.createTempDirectory("rs_ctl1").toString)
+    try {
+      control.addData(ControlMessage("start", "run_big", startMs, "muon"))
+      c1.processAllAvailable()
+      runlogIn.addData((0 until 600).map(runlogMsg))
+      selogIn.addData((0 until 500).map(selogMsg))
+      input.addData(traceMsg(0, 0), traceMsg(1, 0), traceMsg(0, 1), traceMsg(1, 1))
+      await("phase-1 tables") {
+        countAt(s"$outDir/local/runlog") >= 600 &&
+        countAt(s"$outDir/local/selog") >= 1000 && // 500 packets × 2 samples
+        countAt(s"$outDir/local/events") >= 16
+      }
+    } finally { d1.stop(); c1.stop(); r1.stop(); s1.stop() }
+
+    // ---- phase 2: fresh sink + catalog resumed from disk, same
+    // checkpoints; the rest of the traffic, then the stop
+    val sink2 = new NexusSink(outDir)
+    val catalog2 = new RunCatalog
+    catalog2.resumeFrom(sink2)
+    assert(catalog2.entries.map(_._1) === Seq("run_big"), "resume must find the open run")
+    val (c2, r2, s2, d2) = startJobs(
+      sink2, catalog2, Files.createTempDirectory("rs_ctl2").toString)
+    try {
+      runlogIn.addData((600 until 1200).map(runlogMsg))
+      selogIn.addData((500 until 1000).map(selogMsg))
+      input.addData(traceMsg(0, 2), traceMsg(1, 2), traceMsg(0, 3), traceMsg(1, 3))
+      await("phase-2 tables") {
+        countAt(s"$outDir/local/runlog") >= 1200 &&
+        countAt(s"$outDir/local/selog") >= 2000 &&
+        countAt(s"$outDir/local/events") >= 32
+      }
+      // completeness: every source exactly once, no replays, no gaps
+      val rl = spark.read.parquet(s"$outDir/local/runlog")
+      assert(rl.count() === 1200)
+      assert(rl.select("source").distinct().count() === 1200)
+      val se = spark.read.parquet(s"$outDir/local/selog")
+      assert(se.count() === 2000)
+      assert(se.select("source").distinct().count() === 1000)
+      // event_index continuity across the restart (8 events per frame)
+      val frames = spark.read.parquet(s"$outDir/local/frames")
+        .orderBy("event_time_zero").collect()
+      assert(frames.map(_.getAs[Long]("event_index")).toSeq === Seq(0L, 8L, 16L, 24L))
+    } finally { d2.stop(); c2.stop(); r2.stop(); s2.stop() }
+  }
+
   test("archiver tier: flushToArchive drains completed/, merge-tolerant and idempotent") {
     import spark.implicits._
     val outDir = Files.createTempDirectory("archive_unit").toString
