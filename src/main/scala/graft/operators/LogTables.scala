@@ -23,7 +23,20 @@ import org.apache.spark.sql.functions._
   */
 object LogTables {
 
-  private def strip = udf { (name: String) => TimeFunctions.removePrefixes(name) }
+  /** P9 prefix strip as a column function — the single definition shared
+    * by the sink tables and the batch/oracle queries.
+    */
+  private[graft] def strip = udf { (name: String) => TimeFunctions.removePrefixes(name) }
+
+  /** F10 severity enum → code, shared with
+    * [[graft.queries.LogQueries.alarmSeverity]] so the streaming alarm
+    * table and the oracle query cannot drift.
+    */
+  private[graft] def severityCode(severity: org.apache.spark.sql.Column) =
+    when(severity === "OK", 0)
+      .when(severity === "MINOR", 1)
+      .when(severity === "MAJOR", 2)
+      .otherwise(3)
 
   private def relSec(tsNs: org.apache.spark.sql.Column) =
     round((tsNs - col("run_start_ns")).cast("double") / 1e9, 9)
@@ -92,11 +105,7 @@ object LogTables {
     assigned.select(
       strip(col("sourceName")).as("source"),
       col("severity"),
-      when(col("severity") === "OK", 0)
-        .when(col("severity") === "MINOR", 1)
-        .when(col("severity") === "MAJOR", 2)
-        .otherwise(3)
-        .as("severity_code"),
+      severityCode(col("severity")).as("severity_code"),
       col("message"),
       col("timestampNs").as("time_ns"),
       relSec(col("timestampNs")).as("time_sec"),

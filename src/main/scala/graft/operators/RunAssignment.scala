@@ -115,16 +115,21 @@ object RunAssignment {
     * precede the run start (`engine.rs:240-288`).
     */
   def assignLogs(logs: DataFrame, runs: DataFrame): DataFrame = {
-    val joined = logs.join(
+    // per-ROW identity for the first-match window: two distinct messages
+    // sharing (timestamp, source) — e.g. a multi-channel device snapshot
+    // stamping every channel's packet identically — are separate
+    // messages and must each keep their run; keying the window on
+    // payload columns would silently collapse them to one
+    val withId = logs.withColumn("_log_id", monotonically_increasing_id())
+    val joined = withId.join(
       broadcast(runs),
       col("collect_until_ns").isNull || col("timestampNs") < col("collect_until_ns"),
       "inner")
-    val w = Window.partitionBy(col("timestampNs"), col("sourceName"))
-      .orderBy(col("collect_from_ns"))
+    val w = Window.partitionBy(col("_log_id")).orderBy(col("collect_from_ns"))
     joined
       .withColumn("_rank", row_number().over(w))
       .filter(col("_rank") === 1)
-      .drop("_rank", "collect_until_ns")
+      .drop("_rank", "_log_id", "collect_until_ns")
       .withColumnRenamed("collect_from_ns", "run_start_ns")
   }
 }

@@ -65,15 +65,19 @@ case class DetectPulsesAdvanced(
   }
 
   override def eval(input: InternalRow): Any = {
-    val s = samples.eval(input)
-    if (s == null) return null
+    // null-safe like the quaternary base's nullSafeEval: ANY null child →
+    // NULL result (null.asInstanceOf[Double] would silently unbox to 0.0
+    // and run the FSM with garbage thresholds)
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val Seq(s, onV, faV, teV, duV, blV, smV) = vals
     val trace = s.asInstanceOf[ArrayData].toDoubleArray()
-    val on = onset.eval(input).asInstanceOf[Double]
-    val fa = fall.eval(input).asInstanceOf[Double]
-    val te = termination.eval(input).asInstanceOf[Double]
-    val du = duration.eval(input).asInstanceOf[Double]
-    val bl = baselineLength.eval(input).asInstanceOf[Int]
-    val sm = smoothingSize.eval(input).asInstanceOf[Int]
+    val on = onV.asInstanceOf[Double]
+    val fa = faV.asInstanceOf[Double]
+    val te = teV.asInstanceOf[Double]
+    val du = duV.asInstanceOf[Double]
+    val bl = blV.asInstanceOf[Int]
+    val sm = smV.asInstanceOf[Int]
     // the typed path's window→detector→assembler chain, verbatim
     // (ChannelEvents.findChannelEvents AdvancedMuon branch) — one
     // implementation, two execution skins

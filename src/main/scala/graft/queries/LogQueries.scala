@@ -66,7 +66,7 @@ object LogQueries {
     * run start. One narrow posexplode — no shuffle.
     */
   def selogExpand(s: SparkSession, dir: String): DataFrame = {
-    val strip = udf { (name: String) => TimeFunctions.removePrefixes(name) }
+    val strip = graft.operators.LogTables.strip
     selogFixture(s)
       .select(
         strip(col("name")).as("name"),
@@ -200,7 +200,7 @@ object LogQueries {
   def runlogTyped(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val logs = runlogFixture(s)
-    val strip = udf { (name: String) => TimeFunctions.removePrefixes(name) }
+    val strip = graft.operators.LogTables.strip
     // generators can't sit inside when/otherwise — split the union by tag
     val scalars = logs
       .filter(!col("valueType").startsWith("Array"))
@@ -356,16 +356,12 @@ object LogQueries {
         severity = Seq("OK", "MINOR", "MAJOR", "INVALID")(i % 4),
         message = s"alarm $i")
     }.toDS()
-    val strip = udf { (name: String) => TimeFunctions.removePrefixes(name) }
+    val strip = graft.operators.LogTables.strip
     alarms
       .select(
         strip(col("sourceName")).as("source"),
         col("severity"),
-        when(col("severity") === "OK", 0)
-          .when(col("severity") === "MINOR", 1)
-          .when(col("severity") === "MAJOR", 2)
-          .otherwise(3)
-          .as("severity_code"),
+        graft.operators.LogTables.severityCode(col("severity")).as("severity_code"),
         round((col("timestampNs") - lit(runStartNs)).cast("double") / 1e9, 9)
           .as("time_sec"))
   }

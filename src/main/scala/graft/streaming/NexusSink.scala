@@ -75,6 +75,22 @@ final class NexusSink(outputDir: String) extends Serializable {
     */
   private val eventBase = scala.collection.mutable.Map.empty[(String, Long), Long]
 
+  /** Serializes the log-plane writes against finalization/archival moves
+    * — all driver-side calls on this sink instance (the data query's
+    * foreachBatch thread vs the three log queries' threads).
+    */
+  private val moveLock = new Object
+
+  /** Generations already moved out of `local/` this process — late log
+    * batches for them are discarded under [[moveLock]] (the reference's
+    * closed-run late-message discard). One small tuple per finalized run;
+    * bounded like the reference's own run bookkeeping (runs are a tiny
+    * dimension), and a fresh process starts empty — safe, because with
+    * the lock no stray `local/` directories exist for finalized runs, so
+    * the resume scan cannot resurrect them.
+    */
+  private val finalizedGens = scala.collection.mutable.Set.empty[(String, Long)]
+
   private def onDiskEventCounts(
       spark: SparkSession,
       runKeys: Set[(String, Long)],
@@ -155,19 +171,47 @@ final class NexusSink(outputDir: String) extends Serializable {
     * Same idempotence contract as [[writeBatch]]: dynamic overwrite of
     * the `(run_name, run_start_ns, batch_id)` partitions a replayed
     * micro-batch rewrites.
+    *
+    * Synchronized against [[finalizeRuns]]: the log planes run as
+    * independent streaming queries, so without coordination an in-flight
+    * log write could land in `local/` AFTER the run's directories moved
+    * to `completed/` — stranding rows no finalize pass would ever pick
+    * up, and resurrecting the finalized generation on the next resume
+    * scan. Inside the lock, rows for generations already finalized are
+    * dropped, mirroring the reference's late-message discard once the
+    * run file has closed (`run_engine/engine.rs:329-356`).
     */
   def writeLogBatch(assignedLogs: DataFrame, table: String, batchId: Long): Unit = {
     require(logTables.contains(table), s"unknown log table: $table")
-    // empty micro-batch (lifecycle poll) → dynamic overwrite of zero
-    // partitions is a no-op; skip the write job entirely
-    if (assignedLogs.isEmpty) return
-    assignedLogs
-      .withColumn("batch_id", lit(batchId))
-      .write
-      .mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("run_name", "run_start_ns", "batch_id")
-      .parquet(local.resolve(table).toString)
+    // one evaluation of the assignment+explode lineage for the key scan
+    // AND the write — not one job each (same pattern as writeBatch)
+    val cached = assignedLogs.persist()
+    try {
+      val gens = cached
+        .select(col("run_name"), col("run_start_ns").cast("long"))
+        .distinct()
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      // empty micro-batch (trigger with no data) → nothing to write
+      if (gens.isEmpty) return
+      moveLock.synchronized {
+        val live = gens.filterNot(finalizedGens.contains)
+        if (live.isEmpty) return
+        val liveRows =
+          if (live.length == gens.length) cached
+          else
+            cached.filter(
+              concat_ws("@", col("run_name"), col("run_start_ns").cast("long"))
+                .isin(live.map { case (n, s) => s"$n@$s" }: _*))
+        liveRows
+          .withColumn("batch_id", lit(batchId))
+          .write
+          .mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("run_name", "run_start_ns", "batch_id")
+          .parquet(local.resolve(table).toString)
+      }
+    } finally cached.unpersist()
   }
 
   /** Move finished generations' partitions local/ → completed/ (K5). A
@@ -183,9 +227,10 @@ final class NexusSink(outputDir: String) extends Serializable {
   def finalizeRuns(
       runs: Seq[(String, Long, Option[Long])],
       nowNs: Long,
-      lingerMs: Long = 2000L): Seq[(String, Long)] =
+      lingerMs: Long = 2000L): Seq[(String, Long)] = moveLock.synchronized {
     runs.collect {
       case (runName, startNs, Some(untilNs)) if untilNs + lingerMs * 1000000L < nowNs =>
+        finalizedGens += ((runName, startNs))
         tables.foreach { table =>
           val parent = local.resolve(table).resolve(s"run_name=$runName")
           val src = parent.resolve(s"run_start_ns=$startNs")
@@ -206,6 +251,7 @@ final class NexusSink(outputDir: String) extends Serializable {
         eventBase.remove((runName, startNs))
         (runName, startNs)
     }
+  }
 
   /** K5 second half — the archiver tier
     * (`nexus-writer/src/flush_to_archive.rs:1-118`, polled every 60 s by
@@ -217,7 +263,7 @@ final class NexusSink(outputDir: String) extends Serializable {
     * Returns the `(run_name, run_start_ns)` generations fully archived
     * this poll.
     */
-  def flushToArchive(): Seq[(String, Long)] = {
+  def flushToArchive(): Seq[(String, Long)] = moveLock.synchronized {
     val moved = scala.collection.mutable.LinkedHashSet.empty[(String, Long)]
     val failed = scala.collection.mutable.Set.empty[(String, Long)]
     tables.foreach { table =>
@@ -282,9 +328,11 @@ final class NexusSink(outputDir: String) extends Serializable {
     * stop_ns?) with data still under local/ — the runs a restarted
     * engine must reopen (the reference re-extracts run parameters from
     * the partial file and resumes with a RunResume warning,
-    * `run_engine/run/mod.rs:82-103`). Both the events/ and frames/
-    * layouts are scanned (a generation whose frames all carried zero
-    * events has no events/ partition); the stop comes from the
+    * `run_engine/run/mod.rs:82-103`). ALL five table layouts are scanned
+    * — events/, frames/, and the log tables (a generation whose frames
+    * all carried zero events has no events/ partition, and one that saw
+    * only log traffic before the crash has only log partitions); the
+    * stop comes from the
     * [[markStopped]] marker when the crash happened inside the linger
     * window. Foreign / non-partition directories are skipped, never
     * fatal.

@@ -86,6 +86,15 @@ object PipelineJobs {
     * partitioned writes), so the misbehavior this validation hunts for —
     * `show()`/`limit()` partial consumption — is structurally absent;
     * disable it on the owning session before starting the query.
+    *
+    * BLAST RADIUS: the conf is session-wide (Spark offers no per-query
+    * scope for it) and is NOT restored — restoring after start would
+    * re-arm the validator against this very job's later empty batches.
+    * An application that wants the guard for its own unrelated
+    * foreachBatch queries should run these jobs on a session clone
+    * (`spark.newSession()` — build the source streams there), the same
+    * isolation pattern [[graft.queries.StreamingQueries]] uses for
+    * shuffle-partition overrides.
     */
   private def allowEmptyBatches(ds: Dataset[_]): Unit =
     ds.sparkSession.conf

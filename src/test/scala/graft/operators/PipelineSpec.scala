@@ -183,6 +183,15 @@ class PipelineSpec extends AnyFunSuite {
     val logGot = RunAssignment.assignLogs(logs, runs).collect().map(r =>
       r.getAs[Long]("timestampNs") -> r.getAs[String]("run_name")).toMap
     assert(logGot === Map(500000000L -> "run_a", 4000000000L -> "run_c"))
+
+    // distinct messages sharing (timestamp, source) — a multi-channel
+    // device snapshot — each keep their row: the first-match window keys
+    // on per-row identity, not payload columns
+    val twin = Seq(("field", 1500000000L, 0), ("field", 1500000000L, 1))
+      .toDF("sourceName", "timestampNs", "channel")
+    val twinGot = RunAssignment.assignLogs(twin, runs).collect()
+    assert(twinGot.length === 2, "same-(ts,source) messages must not collapse")
+    assert(twinGot.map(_.getAs[Int]("channel")).sorted.toSeq === Seq(0, 1))
   }
 
   test("observe() metrics: events-found counters collected map-side (A6/P5)") {

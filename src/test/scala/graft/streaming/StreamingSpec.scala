@@ -802,6 +802,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally { d2.stop(); c2.stop(); r2.stop(); s2.stop() }
   }
 
+  test("late log batch for a finalized generation is discarded, not stranded in local/") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("late_log").toString
+    val sink = new NexusSink(outDir)
+    val aev2 = Seq(
+      AssembledFrame(meta(0), Array(5L), Array(100), Array(0L), true, Array(0))).toDS()
+    val startNs = meta(0).timestampNs - 1L
+    sink.writeBatch(
+      aev2.withColumn("run_name", lit("run_late")).withColumn("run_start_ns", lit(startNs)),
+      batchId = 0L)
+    sink.finalizeRuns(Seq(("run_late", startNs, Some(meta(0).timestampNs + 1L))),
+      meta(0).timestampNs + 10000000000L)
+    // the race shape: a log micro-batch assigned BEFORE the finalize
+    // commits its write AFTER — rows must be dropped (the reference's
+    // closed-run late-message discard), never recreate local/ dirs that
+    // the resume scan would resurrect as an open run
+    val lateRows = Seq(("temp", "Double", meta(0).timestampNs, 0.0, 1.5, "run_late", startNs))
+      .toDF("source", "value_type", "time_ns", "time_sec", "value", "run_name", "run_start_ns")
+    sink.writeLogBatch(lateRows, "runlog", 7L)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$outDir/local/runlog")))
+    assert(sink.resumeRunGenerations() === Seq.empty)
+    // a log batch for a LIVE generation still writes
+    val liveRows = lateRows
+      .withColumn("run_name", lit("run_live"))
+      .withColumn("run_start_ns", lit(startNs + 5L))
+    sink.writeLogBatch(liveRows, "runlog", 8L)
+    assert(spark.read.parquet(s"$outDir/local/runlog").count() === 1)
+  }
+
   test("archiver tier: flushToArchive drains completed/, merge-tolerant and idempotent") {
     import spark.implicits._
     val outDir = Files.createTempDirectory("archive_unit").toString
