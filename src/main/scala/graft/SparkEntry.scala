@@ -145,6 +145,8 @@ object SparkEntry {
     "q_alarm_severity" -> LogQueries.alarmSeveritySql,
     "q_nexus_runlog_table" -> LogQueries.nexusRunlogTableSql,
     "q_frame_assembly" -> PipelineQueries.frameAssemblySql,
+    "q_nexus_frame_table" -> PipelineQueries.nexusFrameTableSql,
+    "q_nexus_event_table" -> PipelineQueries.nexusEventTableSql,
     "q_gps_round_trip" -> LogQueries.gpsRoundTripSql
   )
 }

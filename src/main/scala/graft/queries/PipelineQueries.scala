@@ -118,7 +118,17 @@ object PipelineQueries {
     * (position-weighted checksums over the assembled SoA arrays — a
     * correct set in the wrong order fails the hash).
     */
-  def frameAssembly(s: SparkSession, dir: String): DataFrame = {
+  /** The arithmetic dev2 fixture shared by [[frameAssembly]],
+    * [[nexusFrameTable]] and [[nexusEventTable]]: 32 frames × 4
+    * digitisers with closed-form event lists (no FSM anywhere in the
+    * input path, so a DuckDB oracle regenerates it from `range()`),
+    * incomplete frames at f%5==0 (digitiser 3 missing), and
+    * duplicate-digitiser redeliveries at (f%8==0, d==0) whose payload
+    * sorts AFTER the original (+500 on every time, one extra trailing
+    * event, same veto flags) — the original must win assembly.
+    */
+  private[queries] def arithmeticDev2(
+      s: SparkSession): org.apache.spark.sql.Dataset[EventListMessage] = {
     import s.implicits._
     val base = cfg.startTimestampNs
     def events(f: Int, d: Int): (Array[Long], Array[Int], Array[Long]) = {
@@ -128,7 +138,7 @@ object PipelineQueries {
         Array.tabulate(n)(j => (f * 53 + d * 17 + j * 11) % 500),
         Array.tabulate(n)(j => (d * 8 + (j % 8)).toLong))
     }
-    val dev2 = (for {
+    (for {
       f <- 0 until 32
       d <- 0 until 4
       if !(f % 5 == 0 && d == 3) // incomplete frames
@@ -143,8 +153,6 @@ object PipelineQueries {
       val (t, v, c) = events(f, d)
       EventListMessage(d, m, t, v, c)
     }).flatMap { msg =>
-      // duplicate-digitiser redelivery: payload sorts AFTER the original
-      // (+500 on every time, one extra trailing event), same veto flags
       if (msg.metadata.frameNumber % 8 == 0 && msg.digitizerId == 0)
         Seq(
           msg,
@@ -154,6 +162,10 @@ object PipelineQueries {
             channel = msg.channel :+ 7L))
       else Seq(msg)
     }.toDS()
+  }
+
+  def frameAssembly(s: SparkSession, dir: String): DataFrame = {
+    val dev2 = arithmeticDev2(s)
     def weighted(arr: String, elem: String) =
       expr(
         s"aggregate($arr, named_struct('acc', 0L, 'k', 1L), " +
@@ -212,15 +224,19 @@ object PipelineQueries {
               coalesce(c.channel_checksum, 0) AS channel_checksum
        FROM meta m LEFT JOIN chk c USING (f)"""
 
-  /** Full slice (SURVEY §7.2): traces → events → frames → run-attached
-    * NXevent_data frame table with running `event_index`.
+  /** Full slice (SURVEY §7.2): assembled frames → run-attached
+    * NXevent_data frame table with running `event_index` (A3), on the
+    * [[arithmeticDev2]] fixture so DuckDB re-derives run pairing,
+    * abort-on-restart capping, strict interval boundaries, and the
+    * cumulative event offsets. The run boundaries land EXACTLY on frame
+    * 16's timestamp: run_1's abort cap excludes it (`ts < until` strict)
+    * and run_2's start excludes it too (`from < ts` strict) — the frame
+    * attaches to no run and is dropped, the reference's own no-open-run
+    * behavior (`engine.rs:214-238`).
     */
   def nexusFrameTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dev2 = EventFormation.formEvents(
-      TraceGenerator.traces(s, cfg),
-      DetectorSettings(FixedThreshold(threshold = 100.0), baseline = 50.0))
-    val aev2 = FrameAssembly.assemble(dev2, expected)
+    val aev2 = FrameAssembly.assemble(arithmeticDev2(s), expected)
     val base = cfg.startTimestampNs
     val starts = Seq(
       RunStart("run_1", (base - 1000000L) / 1000000L, "muon"),
@@ -229,6 +245,45 @@ object PipelineQueries {
     val runs = RunAssignment.runs(s, starts, stops)
     NexusTables.frameTable(RunAssignment.assignFrames(aev2, runs))
   }
+
+  /** DuckDB oracle for [[nexusFrameTable]]: regenerates the winning
+    * message set, re-derives per-frame veto OR / completeness / event
+    * counts, applies the run intervals (run_1 aborted at run_2's start;
+    * both boundaries strict, so frame 16 at exactly the boundary is
+    * dropped), and recomputes `event_index` as the windowed cumulative
+    * event count per run. Interval constants are spelled out from the
+    * fixture arithmetic: base 1.7e18 ns, frame interval 2e7 ns.
+    */
+  val nexusFrameTableSql: String =
+    """WITH msgs AS (
+         SELECT f::INT AS f, d::INT AS d, ((f*3 + d*5) % 7)::BIGINT AS n
+         FROM range(32) rf(f), range(4) rd(d)
+         WHERE NOT (f % 5 = 0 AND d = 3)
+       ), frames AS (
+         SELECT f, 1700000000000000000 + f*20000000 AS ts,
+                bit_or((f*7 + d) % 16)::INT AS veto_flags,
+                (count(*) = 4) AS frame_complete,
+                sum(n)::BIGINT AS n_events
+         FROM msgs GROUP BY f
+       ), runs(run_name, run_start_ns, until_ns) AS (
+         VALUES ('run_1', 1699999999999000000, 1700000000320000000),
+                ('run_2', 1700000000320000000, 1700000000800000000)
+       ), assigned AS (
+         SELECT r.run_name, r.run_start_ns, fr.*
+         FROM frames fr JOIN runs r
+           ON r.run_start_ns < fr.ts AND fr.ts < r.until_ns
+       ), idx AS (
+         SELECT *, coalesce(sum(n_events) OVER (
+                     PARTITION BY run_name, run_start_ns ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ei
+         FROM assigned
+       )
+       SELECT run_name, run_start_ns::BIGINT AS run_start_ns,
+              (ts - run_start_ns)::BIGINT AS event_time_zero,
+              ei::BIGINT AS event_index,
+              (f % 4)::BIGINT AS period_number, f::BIGINT AS frame_number,
+              frame_complete, TRUE AS running, veto_flags
+       FROM idx"""
 
   /** End-to-end pipeline throughput unit for the benchmark: 256 messages
     * × 8 channels × 2000 bins (4.1M samples) through detection, assembly,
@@ -337,15 +392,40 @@ object PipelineQueries {
         size(col("time")).as("n_events"))
   }
 
+  /** Per-event NXevent_data table on the [[arithmeticDev2]] fixture: one
+    * open run covers every frame, so the oracle is the fixture's event
+    * multiset with run columns attached — duplicate redeliveries must NOT
+    * leak extra events through assembly.
+    */
   def nexusEventTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dev2 = EventFormation.formEvents(
-      TraceGenerator.traces(s, cfg.copy(nFrames = 16)),
-      DetectorSettings(FixedThreshold(threshold = 100.0), baseline = 50.0))
-    val aev2 = FrameAssembly.assemble(dev2, expected)
+    val aev2 = FrameAssembly.assemble(arithmeticDev2(s), expected)
     val starts = Seq(RunStart("run_1", (cfg.startTimestampNs - 1000000L) / 1000000L, "muon")).toDS()
     val stops = Seq.empty[RunStop].toDS()
     val runs = RunAssignment.runs(s, starts, stops)
     NexusTables.eventTable(RunAssignment.assignFrames(aev2, runs))
   }
+
+  /** DuckDB oracle for [[nexusEventTable]]: the fixture's winning event
+    * multiset (duplicates excluded by construction) with the single open
+    * run's identity attached.
+    */
+  val nexusEventTableSql: String =
+    """WITH msgs AS (
+         SELECT f::INT AS f, d::INT AS d, ((f*3 + d*5) % 7)::INT AS n
+         FROM range(32) rf(f), range(4) rd(d)
+         WHERE NOT (f % 5 = 0 AND d = 3)
+       ), ev AS (
+         SELECT f, d, j,
+                ((f*97 + d*31 + j*13) % 1000)::BIGINT AS t,
+                ((f*53 + d*17 + j*11) % 500)::BIGINT AS v,
+                (d*8 + (j % 8))::BIGINT AS c
+         FROM msgs, range(7) rj(j) WHERE j < n
+       )
+       SELECT 'run_1' AS run_name,
+              1699999999999000000::BIGINT AS run_start_ns,
+              (1700000000000000000 + f*20000000)::BIGINT AS frame_ts_ns,
+              v::DOUBLE AS pulse_height, c::BIGINT AS event_id,
+              t::BIGINT AS event_time_offset
+       FROM ev"""
 }
