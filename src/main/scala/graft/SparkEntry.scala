@@ -147,6 +147,12 @@ object SparkEntry {
     "q_frame_assembly" -> PipelineQueries.frameAssemblySql,
     "q_nexus_frame_table" -> PipelineQueries.nexusFrameTableSql,
     "q_nexus_event_table" -> PipelineQueries.nexusEventTableSql,
+    "q_trace_file_scan" -> PipelineQueries.traceFileScanSql,
+    // trace→event FSM chain over the closed-form TraceFixtures grid:
+    // DuckDB re-derives the detector output with gaps-and-islands
+    "q_spectrum_map" -> LogQueries.spectrumMapSql,
+    "q_trace_event_attach" -> LogQueries.traceEventAttachSql,
+    "q_digitiser_stats" -> LogQueries.digitiserStatsSql,
     "q_gps_round_trip" -> LogQueries.gpsRoundTripSql
   )
 }

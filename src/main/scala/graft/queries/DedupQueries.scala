@@ -172,7 +172,9 @@ object DedupQueries {
     val docs = simhashDocs(s, dir)
     // one scan + one sketch evaluation per document, exploded into the 4
     // pigeonhole keys (a 4-way union would recompute the sketch per leg);
-    // persisted because the bucket count and both join legs consume it
+    // persisted because the bucket count and both join legs consume it.
+    // Same STORAGE CONTRACT as minhashPairs: the cache stays pinned for
+    // the session — library callers clearCache() when done.
     val segs = docs.select(
       col("doc_id"),
       col("simhash"),

@@ -415,13 +415,17 @@ object LogQueries {
              FROM range(1000) r(i))"""
 
   /** J5: detector-spectrum map as a broadcast dimension joined to event
-    * channels (`schemas/ecs_df12_det_spec_map.fbs:6-10`).
+    * channels (`schemas/ecs_df12_det_spec_map.fbs:6-10`). Runs the REAL
+    * trace→event FSM chain over the closed-form [[TraceFixtures]] grid,
+    * so the DuckDB oracle re-derives the per-spectrum event counts with
+    * gaps-and-islands — the detection FSM, channel-id fan-out, and the
+    * broadcast dimension join are all hash-checked end-to-end.
     */
   def spectrumMap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val mapping = (0 until 32).map(i => SpectrumMapping(spectrum = 1000 + i, detectorId = i)).toDS()
     val dev2 = EventFormation.formEvents(
-      TraceGenerator.traces(s, GeneratorConfig(nFrames = 8, nDigitizers = 4)),
+      TraceFixtures.arithmeticTraces(s, nFrames = 8, nDigitizers = 4),
       DetectorSettings(FixedThreshold(threshold = 100.0), baseline = 50.0))
     dev2
       .select(col("digitizerId"), explode(col("channel")).as("detectorId"))
@@ -430,13 +434,21 @@ object LogQueries {
       .agg(count(lit(1)).as("n_events"))
   }
 
+  /** DuckDB oracle for [[spectrumMap]]: islands per (d, c) summed over
+    * frames, keyed by spectrum = 1000 + detector id (d*8 + c).
+    */
+  val spectrumMapSql: String =
+    TraceFixtures.islandsSql(nFrames = 8, nDigitizers = 4) +
+      """
+       SELECT (1000 + d*8 + c)::INT AS spectrum, count(*) AS n_events
+       FROM islands GROUP BY 1"""
+
   /** J4: trace ↔ event-list attach on (digitiser id, frame timestamp) —
     * the trace-viewer dragnet join
     * (`trace-viewer/src/finder/task/dragnet.rs:93-130`).
     */
   def traceEventAttach(s: SparkSession, dir: String): DataFrame = {
-    val cfg = GeneratorConfig(nFrames = 8, nDigitizers = 4)
-    val traces = TraceGenerator.traces(s, cfg)
+    val traces = TraceFixtures.arithmeticTraces(s, nFrames = 8, nDigitizers = 4)
     val dev2 = EventFormation.formEvents(
       traces, DetectorSettings(FixedThreshold(threshold = 100.0), baseline = 50.0))
     traces
@@ -453,13 +465,25 @@ object LogQueries {
       .orderBy(col("ts_ns"), col("digitizerId"))
   }
 
+  /** DuckDB oracle for [[traceEventAttach]]: per-message island totals on
+    * the [[TraceFixtures]] grid — the attach join is 1:1 on
+    * (digitiser, frame ts), so the oracle is one row per (f, d).
+    */
+  val traceEventAttachSql: String =
+    TraceFixtures.islandsSql(nFrames = 8, nDigitizers = 4) +
+      """
+       SELECT d::INT AS "digitizerId",
+              (1700000000000000000 + f*20000000)::BIGINT AS ts_ns,
+              8::INT AS n_channels, count(*)::INT AS n_events
+       FROM islands GROUP BY f, d"""
+
   /** A5: per-digitiser live diagnostics (the `daq-trace` TUI aggregation,
     * `diagnostics/src/daq_trace/data.rs:46-120`): message count,
     * first/last timestamps, frame span, channel/sample counts, intensity
     * extrema.
     */
   def digitiserStats(s: SparkSession, dir: String): DataFrame = {
-    val traces = TraceGenerator.traces(s, GeneratorConfig(nFrames = 16, nDigitizers = 4))
+    val traces = TraceFixtures.arithmeticTraces(s, nFrames = 16, nDigitizers = 4)
     traces
       .select(
         col("digitizerId"),
@@ -481,4 +505,22 @@ object LogQueries {
         max(col("max_intensity")).as("max_intensity"),
         min(col("min_intensity")).as("min_intensity"))
   }
+
+  /** DuckDB oracle for [[digitiserStats]]: the per-digitiser aggregates
+    * re-derived from the [[TraceFixtures]] arithmetic (16 frames × 4
+    * digitisers × 8 channels × 500 samples).
+    */
+  val digitiserStatsSql: String =
+    """WITH samp AS (
+         SELECT d, ((f*31 + d*13 + c*7 + j*11) % 400) AS v
+         FROM range(16) rf(f), range(4) rd(d), range(8) rc(c), range(500) rj(j)
+       )
+       SELECT d::INT AS "digitizerId", 16::BIGINT AS n_messages,
+              1700000000000000000::BIGINT AS first_ts_ns,
+              (1700000000000000000 + 15*20000000)::BIGINT AS last_ts_ns,
+              0::BIGINT AS first_frame, 15::BIGINT AS last_frame,
+              8::INT AS n_channels, 4000::INT AS samples_per_msg,
+              (50 + max(v))::INT AS max_intensity,
+              (50 + min(v))::INT AS min_intensity
+       FROM samp GROUP BY d"""
 }

@@ -359,6 +359,24 @@ object PipelineQueries {
           .as("total_voltage"))
   }
 
+  /** DuckDB oracle for [[traceFileScan]]: the fixture is closed-form
+    * (64 events × 4 channels × 500 samples, voltage
+    * `50 + ((i*31 + c*7 + j*13) % 400)`), so every aggregate the
+    * connector read must produce — count, timestamp extrema, sample
+    * rate (`round(1e9 / sampleTimeNs)` with sampleTimeNs = 1.0), and
+    * the full voltage sum — is re-derived from `range()`. This
+    * hash-checks the DSv2 byte path end-to-end: header decode, split
+    * planning, record layout, and the u16 sample reads.
+    */
+  val traceFileScanSql: String =
+    """SELECT 64::BIGINT AS n_events,
+              1700000000000000000::BIGINT AS first_ts_ns,
+              (1700000000000000000 + 63*20000000)::BIGINT AS last_ts_ns,
+              1000000000::BIGINT AS sample_rate,
+              (SELECT sum(50 + ((i*31 + c*7 + j*13) % 400))
+               FROM range(64) ri(i), range(4) rc(c), range(500) rj(j))::BIGINT
+                AS total_voltage"""
+
   /** S7 scripted simulation on the query surface: a declarative
     * [[graft.sources.ActionSchedule]] scenario (period flip + veto change
     * mid-run) compiled to traces and run through event formation —
