@@ -129,6 +129,7 @@ object SparkEntry {
     "q_json_props" -> LogQueries.jsonPropsSql,
     "q_stream_windowed_counts" -> StreamingQueries.streamWindowedCountsSql,
     "q_stream_dedup" -> StreamingQueries.streamDedupSql,
+    "q_stream_frame_assembly" -> StreamingQueries.streamFrameAssemblySql,
     "q_sessionize" -> RelationalQueries.sessionizeSql,
     "q_session_window" -> RelationalQueries.sessionWindowSql,
     "q_asof_join" -> RelationalQueries.asofJoinSql,

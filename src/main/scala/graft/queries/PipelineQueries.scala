@@ -127,9 +127,7 @@ object PipelineQueries {
     * sorts AFTER the original (+500 on every time, one extra trailing
     * event, same veto flags) — the original must win assembly.
     */
-  private[queries] def arithmeticDev2(
-      s: SparkSession): org.apache.spark.sql.Dataset[EventListMessage] = {
-    import s.implicits._
+  private[queries] def arithmeticDev2Messages: (Seq[EventListMessage], Seq[EventListMessage]) = {
     val base = cfg.startTimestampNs
     def events(f: Int, d: Int): (Array[Long], Array[Int], Array[Long]) = {
       val n = (f * 3 + d * 5) % 7
@@ -138,7 +136,7 @@ object PipelineQueries {
         Array.tabulate(n)(j => (f * 53 + d * 17 + j * 11) % 500),
         Array.tabulate(n)(j => (d * 8 + (j % 8)).toLong))
     }
-    (for {
+    val originals = for {
       f <- 0 until 32
       d <- 0 until 4
       if !(f % 5 == 0 && d == 3) // incomplete frames
@@ -152,24 +150,37 @@ object PipelineQueries {
         vetoFlags = (f * 7 + d) % 16)
       val (t, v, c) = events(f, d)
       EventListMessage(d, m, t, v, c)
-    }).flatMap { msg =>
-      if (msg.metadata.frameNumber % 8 == 0 && msg.digitizerId == 0)
-        Seq(
-          msg,
-          msg.copy(
-            time = msg.time.map(_ + 500L) :+ 1999L,
-            voltage = msg.voltage :+ 1,
-            channel = msg.channel :+ 7L))
-      else Seq(msg)
-    }.toDS()
+    }
+    val duplicates = originals
+      .filter(m => m.metadata.frameNumber % 8 == 0 && m.digitizerId == 0)
+      .map(msg =>
+        msg.copy(
+          time = msg.time.map(_ + 500L) :+ 1999L,
+          voltage = msg.voltage :+ 1,
+          channel = msg.channel :+ 7L))
+    (originals, duplicates)
   }
+
+  private[queries] def arithmeticDev2(
+      s: SparkSession): org.apache.spark.sql.Dataset[EventListMessage] = {
+    import s.implicits._
+    val (originals, duplicates) = arithmeticDev2Messages
+    (originals ++ duplicates).toDS()
+  }
+
+  /** Position-weighted array checksum (`sum((i+1) * arr[i])`): makes the
+    * driver's order-insensitive row hash sensitive to the ORDER of the
+    * assembled SoA arrays — shared by the batch and streaming assembly
+    * oracles.
+    */
+  private[queries] def weightedChecksum(arr: String, elem: String) =
+    expr(
+      s"aggregate($arr, named_struct('acc', 0L, 'k', 1L), " +
+        s"(s, x) -> named_struct('acc', s.acc + s.k * $elem, 'k', s.k + 1L), s -> s.acc)")
 
   def frameAssembly(s: SparkSession, dir: String): DataFrame = {
     val dev2 = arithmeticDev2(s)
-    def weighted(arr: String, elem: String) =
-      expr(
-        s"aggregate($arr, named_struct('acc', 0L, 'k', 1L), " +
-          s"(s, x) -> named_struct('acc', s.acc + s.k * $elem, 'k', s.k + 1L), s -> s.acc)")
+    def weighted(arr: String, elem: String) = weightedChecksum(arr, elem)
     FrameAssembly
       .assemble(dev2, expected)
       .select(

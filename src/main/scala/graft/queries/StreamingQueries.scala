@@ -1,10 +1,6 @@
 package graft.queries
 
-import graft.dsp.{DetectorSettings, FixedThreshold}
-import graft.operators.EventFormation
 import graft.schemas.EventListMessage
-import graft.sources.TraceGenerator
-import graft.sources.TraceGenerator.GeneratorConfig
 import graft.streaming.FrameAssemblyStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -102,15 +98,22 @@ object StreamingQueries {
   val streamDedupSql: String =
     "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
 
+  /** A2 on the REAL streaming engine (state store, flatMapGroupsWithState,
+    * processing-time TTL), oracle-checked: the closed-form
+    * [[PipelineQueries.arithmeticDev2Messages]] fixture is fed
+    * digitiser-by-digitiser (duplicate redeliveries in a LATER batch than
+    * their originals, so the state-based first-wins rejection picks the
+    * same winner as the batch assembler's payload-order rule), complete
+    * frames dispatch incrementally, incomplete frames (f%5==0) flush on
+    * TTL expiry, and the result must hash-match the SAME DuckDB oracle as
+    * the batch [[PipelineQueries.frameAssembly]] — streaming/batch parity
+    * is the checked property.
+    */
   def streamFrameAssembly(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
-    val cfg = GeneratorConfig(nFrames = 8, nDigitizers = 4, timeBins = 200)
-    val dev2: Array[EventListMessage] = EventFormation
-      .formEvents(
-        TraceGenerator.traces(s, cfg),
-        DetectorSettings(FixedThreshold(threshold = 100.0), baseline = 50.0))
-      .collect()
+    val (originals, duplicates) = PipelineQueries.arithmeticDev2Messages
+    val nFrames = 32
 
     val input = MemoryStream[EventListMessage]
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
@@ -126,19 +129,30 @@ object StreamingQueries {
       .start()
     try {
       // feed digitiser-by-digitiser so frames complete incrementally
-      dev2.groupBy(_.digitizerId).toSeq.sortBy(_._1).foreach { case (_, msgs) =>
-        input.addData(msgs.toSeq)
+      originals.groupBy(_.digitizerId).toSeq.sortBy(_._1).foreach { case (_, msgs) =>
+        input.addData(msgs)
       }
+      input.addData(duplicates) // late redeliveries → state/tombstone reject
       val deadline = System.currentTimeMillis() + 60000L
-      while (s.table(name).count() < cfg.nFrames && System.currentTimeMillis() < deadline)
+      while (s.table(name).count() < nFrames && System.currentTimeMillis() < deadline)
         Thread.sleep(100L)
     } finally query.stop()
+    def weighted(arr: String, elem: String) = PipelineQueries.weightedChecksum(arr, elem)
     s.table(name)
       .select(
         col("metadata.frameNumber").as("frame_number"),
+        col("metadata.vetoFlags").as("veto_flags"),
         col("complete"),
         array_join(transform(col("digitizersPresent"), _.cast("string")), ",")
           .as("digitizers_present"),
-        size(col("time")).as("n_events"))
+        size(col("time")).as("n_events"),
+        weighted("time", "x").as("time_checksum"),
+        weighted("voltage", "cast(x AS bigint)").as("voltage_checksum"),
+        weighted("channel", "x").as("channel_checksum"))
   }
+
+  /** Oracle for [[streamFrameAssembly]]: literally the batch assembly
+    * oracle — the streaming path must produce the identical frame set.
+    */
+  val streamFrameAssemblySql: String = PipelineQueries.frameAssemblySql
 }
