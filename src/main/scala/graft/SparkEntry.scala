@@ -87,6 +87,7 @@ object SparkEntry {
     "q_sessionize" -> (RelationalQueries.sessionize _),
     "q_session_window" -> (RelationalQueries.sessionWindow _),
     "q_asof_join" -> (RelationalQueries.asofJoin _),
+    "q_asof_join_custom" -> (RelationalQueries.asofJoinCustom _),
     "q_rollup_revenue" -> (RelationalQueries.rollupRevenue _),
     // multimodal binary columns (decode step stubbed; plumbing real)
     "q_media_features" -> (MultimodalQueries.mediaFeatures _),
@@ -133,6 +134,8 @@ object SparkEntry {
     "q_sessionize" -> RelationalQueries.sessionizeSql,
     "q_session_window" -> RelationalQueries.sessionWindowSql,
     "q_asof_join" -> RelationalQueries.asofJoinSql,
+    // the custom-operator path must match the identical oracle
+    "q_asof_join_custom" -> RelationalQueries.asofJoinSql,
     "q_rollup_revenue" -> RelationalQueries.rollupRevenueSql,
     // sketch ops: DuckDB re-derives every hash from the text (mod-prime
     // universal family — see TextHash scaladoc)

@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension (§2.11 tier c): custom logical node +
+    // strategy + exec for the as-of join
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     val vecDot: Seq[Expression] => Expression = exprs => VecDot(exprs(0), exprs(1))
     val detect: Seq[Expression] => Expression =
       exprs => DetectPulses(exprs(0), exprs(1), exprs(2), exprs(3))

@@ -452,6 +452,42 @@ object RelationalQueries {
         col("last_purchase_value"))
   }
 
+  /** [[asofJoin]] through the custom whole-operator path
+    * ([[graft.plans.AsOfJoin]]): custom logical node → custom strategy →
+    * co-partitioned merge exec. Must hash-match the SAME DuckDB
+    * `ASOF LEFT JOIN` oracle as the composed union+window variant — the
+    * two engines' plans differ completely, the results may not.
+    */
+  def asofJoinCustom(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("purchase_value"))
+      .select(
+        col("user_id").as("p_user_id"),
+        col("ts").as("p_ts"),
+        col("purchase_value"))
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    graft.plans.AsOfJoin
+      .join(
+        clicks,
+        purchases,
+        leftKeys = Seq("user_id"),
+        rightKeys = Seq("p_user_id"),
+        leftTs = "ts",
+        rightTs = "p_ts")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts"),
+        col("value"),
+        col("p_ts").as("last_purchase_ts"),
+        col("purchase_value").as("last_purchase_value"))
+  }
+
   val asofJoinSql: String =
     """WITH p AS (
          SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, max(value) AS purchase_value
