@@ -48,10 +48,15 @@ final class NexusSink(outputDir: String) extends Serializable {
 
   /** Per-run tables in the layout — the parquet mirror of the reference
     * run file's groups: event data + frame list
-    * (`nexus_structure/entry/event_data.rs`) and the runlog/selog/alarm
-    * log groups (`nexus_structure/entry/mod.rs:66-106`).
+    * (`nexus_structure/entry/event_data.rs`), the runlog/selog/alarm
+    * log groups (`nexus_structure/entry/mod.rs:66-106`), and the periods
+    * group (`nexus_structure/entry/period.rs:23-55` — the reference
+    * accumulates the run's period list from frame metadata via
+    * `UpdatePeriodList`; here each batch appends per-period frame/event
+    * counts and readers aggregate, so `SELECT DISTINCT period_number`
+    * reproduces the labels list).
     */
-  private val tables = Seq("events", "frames", "runlog", "selog", "alarm")
+  private val tables = Seq("events", "frames", "periods", "runlog", "selog", "alarm")
   private val logTables = Set("runlog", "selog", "alarm")
 
   private def listChildren(p: Path): Seq[Path] =
@@ -160,6 +165,23 @@ final class NexusSink(outputDir: String) extends Serializable {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("run_name", "run_start_ns", "batch_id")
       .parquet(local.resolve("frames").toString)
+    // periods group: per-period accumulation from frame metadata
+    // (period.rs:23-55, UpdatePeriodList) — tiny (one row per period per
+    // batch), aggregated at read time
+    cached
+      .groupBy(
+        col("run_name"),
+        col("run_start_ns"),
+        col("metadata.periodNumber").as("period_number"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(size(col("time")).cast("long")).as("n_events"))
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("run_name", "run_start_ns", "batch_id")
+      .parquet(local.resolve("periods").toString)
     batchCounts.foreach { case (r, n) => eventBase(r) = eventBase(r) + n }
     cached.unpersist()
   }

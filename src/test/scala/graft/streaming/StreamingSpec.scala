@@ -605,8 +605,13 @@ class StreamingSpec extends AnyFunSuite {
         countAt(s"$outDir/archive/runlog") >= 4 &&
         countAt(s"$outDir/archive/selog") >= 4 &&
         countAt(s"$outDir/archive/alarm") >= 1 &&
-        countAt(s"$outDir/archive/events") > 0
+        countAt(s"$outDir/archive/events") > 0 &&
+        countAt(s"$outDir/archive/periods") > 0
       }
+      // the periods group mirrors the reference's accumulated period list
+      val periodList = spark.read.parquet(s"$outDir/archive/periods")
+        .select("period_number").distinct().collect().map(_.getLong(0)).sorted
+      assert(periodList.nonEmpty)
       assert(!Files.exists(java.nio.file.Paths.get(s"$outDir/local/runlog/run_name=run_logs")))
       assert(!Files.exists(java.nio.file.Paths.get(s"$outDir/completed/runlog/run_name=run_logs")))
       assert(catalog.entries.isEmpty)
