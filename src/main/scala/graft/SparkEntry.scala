@@ -52,6 +52,7 @@ object SparkEntry {
     "q_frame_assembly" -> (PipelineQueries.frameAssembly _),
     "q_nexus_frame_table" -> (PipelineQueries.nexusFrameTable _),
     "q_nexus_event_table" -> (PipelineQueries.nexusEventTable _),
+    "q_wire_roundtrip" -> (PipelineQueries.wireRoundtrip _),
     "q_pipeline_e2e" -> (PipelineQueries.pipelineE2e _),
     "q_sim_schedule" -> (PipelineQueries.simSchedule _),
     "q_trace_file_scan" -> (PipelineQueries.traceFileScan _),
@@ -152,6 +153,7 @@ object SparkEntry {
     "q_nexus_frame_table" -> PipelineQueries.nexusFrameTableSql,
     "q_nexus_event_table" -> PipelineQueries.nexusEventTableSql,
     "q_trace_file_scan" -> PipelineQueries.traceFileScanSql,
+    "q_wire_roundtrip" -> PipelineQueries.wireRoundtripSql,
     // trace→event FSM chain over the closed-form TraceFixtures grid:
     // DuckDB re-derives the detector output with gaps-and-islands
     "q_spectrum_map" -> LogQueries.spectrumMapSql,

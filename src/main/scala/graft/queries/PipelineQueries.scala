@@ -296,6 +296,69 @@ object PipelineQueries {
               frame_complete, TRUE AS running, veto_flags
        FROM idx"""
 
+  /** K3/S2 wire codec on the query surface: the [[arithmeticDev2Messages]]
+    * originals encode to FlatBuffers dev2 buffers
+    * ([[graft.schemas.WireCodecs]], hand-rolled from the public wire
+    * spec), pass the identifier check, decode back, and aggregate to
+    * per-message event stats — the DuckDB oracle re-derives every value
+    * (including the GpsTime-codec'd frame timestamp) from `range()`, so
+    * a single wrong byte anywhere in the encode/decode path flips the
+    * hash. Both hops are narrow maps: at 100 TB this is the same
+    * per-partition decode loop the Kafka consumer stage runs.
+    */
+  def wireRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (originals, _) = arithmeticDev2Messages
+    s.createDataset(originals)
+      .map(m => graft.schemas.WireCodecs.encodeDev2(m))
+      .map { bytes =>
+        require(graft.schemas.WireCodecs.hasIdentifier(bytes, "dev2"))
+        graft.schemas.WireCodecs.decodeDev2(bytes)
+      }
+      .toDF()
+      .select(
+        col("digitizerId").as("digitizer_id"),
+        col("metadata.frameNumber").as("frame_number"),
+        col("metadata.timestampNs").as("ts_ns"),
+        col("metadata.periodNumber").as("period_number"),
+        col("metadata.vetoFlags").as("veto_flags"),
+        size(col("time")).as("n_events"),
+        weightedChecksum("time", "x").as("time_checksum"),
+        weightedChecksum("voltage", "cast(x AS bigint)").as("voltage_checksum"),
+        weightedChecksum("channel", "x").as("channel_checksum"))
+  }
+
+  /** DuckDB oracle for [[wireRoundtrip]]: the fixture's per-message
+    * metadata and position-weighted event checksums, straight from the
+    * closed forms.
+    */
+  val wireRoundtripSql: String =
+    """WITH msgs AS (
+         SELECT f::INT AS f, d::INT AS d, ((f*3 + d*5) % 7)::INT AS n
+         FROM range(32) rf(f), range(4) rd(d)
+         WHERE NOT (f % 5 = 0 AND d = 3)
+       ), ev AS (
+         SELECT f, d, j,
+                ((f*97 + d*31 + j*13) % 1000)::BIGINT AS t,
+                ((f*53 + d*17 + j*11) % 500)::BIGINT AS v,
+                (d*8 + (j % 8))::BIGINT AS c
+         FROM msgs, range(7) rj(j) WHERE j < n
+       ), chk AS (
+         SELECT f, d, sum((j+1) * t)::BIGINT AS tc,
+                      sum((j+1) * v)::BIGINT AS vc,
+                      sum((j+1) * c)::BIGINT AS cc
+         FROM ev GROUP BY f, d
+       )
+       SELECT d AS digitizer_id, f::BIGINT AS frame_number,
+              (1700000000000000000 + f*20000000)::BIGINT AS ts_ns,
+              (f % 4)::BIGINT AS period_number,
+              ((f*7 + d) % 16)::INT AS veto_flags,
+              n AS n_events,
+              coalesce(tc, 0) AS time_checksum,
+              coalesce(vc, 0) AS voltage_checksum,
+              coalesce(cc, 0) AS channel_checksum
+       FROM msgs LEFT JOIN chk USING (f, d)"""
+
   /** End-to-end pipeline throughput unit for the benchmark: 256 messages
     * × 8 channels × 2000 bins (4.1M samples) through detection, assembly,
     * and the NeXus frame table. The timed count forces the whole chain.

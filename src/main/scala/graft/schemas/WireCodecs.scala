@@ -1,0 +1,205 @@
+package graft.schemas
+
+import graft.functions.{FlatBufBuilder, FlatBufReader, GpsTime, TimeFunctions}
+
+/** FlatBuffers wire codecs for the pipeline's message schemas (K3 +
+  * S2/S3 decode): dat2 traces (`schemas/dat2_digitizer_analog_trace_v2
+  * .fbs`), dev2 event lists (`schemas/dev2_digitizer_event_v2.fbs`),
+  * aev2 assembled frames (`schemas/aev2_frame_assembled_event_v2.fbs`),
+  * each with the embedded `FrameMetadataV2` table and inline `GpsTime`
+  * struct (`schemas/frame_metadata_v2.fbs`). Field ids follow schema
+  * declaration order; timestamps convert through the [[TimeFunctions]]
+  * GpsTime codec (exact ns round trip, locked by q_gps_round_trip).
+  *
+  * Unsigned mapping at the Scala boundary mirrors the wire types the
+  * engine already uses internally: u32 → Long, u16 → Int, u8 → Int/Byte.
+  */
+object WireCodecs {
+
+  val Dev2Id = "dev2"
+  val Dat2Id = "dat2"
+  val Aev2Id = "aev2"
+
+  /** S2 identifier check (`common/src/lib.rs` message dispatch): cheap
+    * 4-byte probe without decoding.
+    */
+  def hasIdentifier(bytes: Array[Byte], id: String): Boolean =
+    bytes.length >= 8 &&
+      bytes(4) == id.charAt(0).toByte && bytes(5) == id.charAt(1).toByte &&
+      bytes(6) == id.charAt(2).toByte && bytes(7) == id.charAt(3).toByte
+
+  // ---- FrameMetadataV2 (table) + GpsTime (inline struct, 14 B) ----
+
+  private def writeMetadata(b: FlatBufBuilder, m: FrameMetadata): Int = {
+    val g = TimeFunctions.epochNsToGps(m.timestampNs)
+    b.startTable(6)
+    b.slotShort(5, (m.vetoFlags & 0xffff).toShort)
+    b.slotInt(4, (m.frameNumber & 0xffffffffL).toInt)
+    b.slotBool(3, m.running)
+    b.slotByte(2, (m.protonsPerPulse & 0xff).toByte)
+    b.slotLong(1, m.periodNumber)
+    // GpsTime struct layout: year u8 @0, day u16 @2, hour/minute/second
+    // u8 @4/5/6, millisecond u16 @8, microsecond u16 @10, nanosecond u16
+    // @12 — written back-to-front (grow-down)
+    b.prepStruct(2, 14)
+    b.pushShort(g.nanosecond.toShort)
+    b.pushShort(g.microsecond.toShort)
+    b.pushShort(g.millisecond.toShort)
+    b.pushByte(0) // pad @7
+    b.pushByte(g.second.toByte)
+    b.pushByte(g.minute.toByte)
+    b.pushByte(g.hour.toByte)
+    b.pushShort(g.day.toShort)
+    b.pushByte(0) // pad @1
+    b.pushByte(g.year.toByte)
+    b.slotStructHere(0)
+    b.endTable()
+  }
+
+  private def readMetadata(r: FlatBufReader, tablePos: Int): FrameMetadata = {
+    val tsPos = r.fieldPos(tablePos, 0)
+    require(tsPos >= 0, "FrameMetadataV2.timestamp is required")
+    val gps = GpsTime(
+      year = r.u8(tsPos),
+      day = r.u16(tsPos + 2),
+      hour = r.u8(tsPos + 4),
+      minute = r.u8(tsPos + 5),
+      second = r.u8(tsPos + 6),
+      millisecond = r.u16(tsPos + 8),
+      microsecond = r.u16(tsPos + 10),
+      nanosecond = r.u16(tsPos + 12))
+    def scalarLong(id: Int, dflt: Long)(read: Int => Long): Long = {
+      val p = r.fieldPos(tablePos, id)
+      if (p < 0) dflt else read(p)
+    }
+    FrameMetadata(
+      timestampNs = TimeFunctions.gpsToEpochNs(gps),
+      periodNumber = scalarLong(1, 0L)(r.u64),
+      protonsPerPulse = scalarLong(2, 0L)(p => r.u8(p).toLong).toInt,
+      running = { val p = r.fieldPos(tablePos, 3); p >= 0 && r.bool(p) },
+      frameNumber = scalarLong(4, 0L)(r.u32),
+      vetoFlags = scalarLong(5, 0L)(p => r.u16(p).toLong).toInt)
+  }
+
+  // ---- dev2: DigitizerEventListMessage ----
+
+  def encodeDev2(m: EventListMessage): Array[Byte] = {
+    val b = FlatBufBuilder.threadLocal()
+    val timeOff = b.createUIntVector(m.time)
+    val voltOff = b.createUShortVector(m.voltage)
+    val chanOff = b.createUIntVector(m.channel)
+    val metaOff = writeMetadata(b, m.metadata)
+    b.startTable(5)
+    b.slotUOffset(4, chanOff)
+    b.slotUOffset(3, voltOff)
+    b.slotUOffset(2, timeOff)
+    b.slotUOffset(1, metaOff)
+    b.slotByte(0, (m.digitizerId & 0xff).toByte)
+    b.finish(b.endTable(), Dev2Id)
+  }
+
+  def decodeDev2(bytes: Array[Byte]): EventListMessage = {
+    require(hasIdentifier(bytes, Dev2Id), s"not a $Dev2Id buffer")
+    val r = new FlatBufReader(bytes)
+    val t = r.rootTable
+    val metaPos = r.fieldPos(t, 1)
+    require(metaPos >= 0, "metadata is required")
+    def vecU32(id: Int): Array[Long] = {
+      val p = r.fieldPos(t, id); if (p < 0) Array.emptyLongArray else r.u32Vector(p)
+    }
+    def vecU16(id: Int): Array[Int] = {
+      val p = r.fieldPos(t, id); if (p < 0) Array.emptyIntArray else r.u16Vector(p)
+    }
+    EventListMessage(
+      digitizerId = { val p = r.fieldPos(t, 0); if (p < 0) 0 else r.u8(p) },
+      metadata = readMetadata(r, r.indirect(metaPos)),
+      time = vecU32(2),
+      voltage = vecU16(3),
+      channel = vecU32(4))
+  }
+
+  // ---- dat2: DigitizerAnalogTraceMessage ----
+
+  def encodeDat2(m: TraceMessage): Array[Byte] = {
+    val b = FlatBufBuilder.threadLocal()
+    val channelOffs = m.channels.map { ct =>
+      val voltOff = b.createUShortVector(ct.voltage)
+      b.startTable(2)
+      b.slotUOffset(1, voltOff)
+      b.slotInt(0, (ct.channel & 0xffffffffL).toInt)
+      b.endTable()
+    }
+    val chansVec = b.createOffsetVector(channelOffs)
+    val metaOff = writeMetadata(b, m.metadata)
+    b.startTable(4)
+    b.slotUOffset(3, chansVec)
+    b.slotLong(2, m.sampleRate)
+    b.slotUOffset(1, metaOff)
+    b.slotByte(0, (m.digitizerId & 0xff).toByte)
+    b.finish(b.endTable(), Dat2Id)
+  }
+
+  def decodeDat2(bytes: Array[Byte]): TraceMessage = {
+    require(hasIdentifier(bytes, Dat2Id), s"not a $Dat2Id buffer")
+    val r = new FlatBufReader(bytes)
+    val t = r.rootTable
+    val metaPos = r.fieldPos(t, 1)
+    require(metaPos >= 0, "metadata is required")
+    val channels: Array[ChannelTrace] = {
+      val p = r.fieldPos(t, 3)
+      if (p < 0) Array.empty
+      else {
+        val vec = r.indirect(p)
+        val n = r.vectorLength(vec)
+        Array.tabulate(n) { i =>
+          val ct = r.indirect(r.vectorElems(vec) + i * 4)
+          val chan = { val cp = r.fieldPos(ct, 0); if (cp < 0) 0L else r.u32(cp) }
+          val volts = { val vp = r.fieldPos(ct, 1); if (vp < 0) Array.emptyIntArray else r.u16Vector(vp) }
+          ChannelTrace(chan, volts)
+        }
+      }
+    }
+    TraceMessage(
+      digitizerId = { val p = r.fieldPos(t, 0); if (p < 0) 0 else r.u8(p) },
+      metadata = readMetadata(r, r.indirect(metaPos)),
+      sampleRate = { val p = r.fieldPos(t, 2); if (p < 0) 0L else r.u64(p) },
+      channels = channels)
+  }
+
+  // ---- aev2: FrameAssembledEventListMessage ----
+
+  def encodeAev2(m: AssembledFrame): Array[Byte] = {
+    val b = FlatBufBuilder.threadLocal()
+    val timeOff = b.createUIntVector(m.time)
+    val voltOff = b.createUShortVector(m.voltage)
+    val chanOff = b.createUIntVector(m.channel)
+    val presentOff = b.createUByteVector(m.digitizersPresent)
+    val metaOff = writeMetadata(b, m.metadata)
+    b.startTable(6)
+    b.slotUOffset(5, presentOff)
+    b.slotBool(4, m.complete)
+    b.slotUOffset(3, chanOff)
+    b.slotUOffset(2, voltOff)
+    b.slotUOffset(1, timeOff)
+    b.slotUOffset(0, metaOff)
+    b.finish(b.endTable(), Aev2Id)
+  }
+
+  def decodeAev2(bytes: Array[Byte]): AssembledFrame = {
+    require(hasIdentifier(bytes, Aev2Id), s"not a $Aev2Id buffer")
+    val r = new FlatBufReader(bytes)
+    val t = r.rootTable
+    val metaPos = r.fieldPos(t, 0)
+    require(metaPos >= 0, "metadata is required")
+    def vecU32(id: Int): Array[Long] = {
+      val p = r.fieldPos(t, id); if (p < 0) Array.emptyLongArray else r.u32Vector(p)
+    }
+    AssembledFrame(
+      metadata = readMetadata(r, r.indirect(metaPos)),
+      time = vecU32(1),
+      voltage = { val p = r.fieldPos(t, 2); if (p < 0) Array.emptyIntArray else r.u16Vector(p) },
+      channel = vecU32(3),
+      complete = { val p = r.fieldPos(t, 4); p >= 0 && r.bool(p) },
+      digitizersPresent = { val p = r.fieldPos(t, 5); if (p < 0) Array.emptyIntArray else r.u8Vector(p) })
+  }
+}

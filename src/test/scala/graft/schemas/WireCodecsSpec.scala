@@ -1,0 +1,137 @@
+package graft.schemas
+
+import graft.functions.FlatBufReader
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Wire-level lock for the hand-rolled FlatBuffers codecs: golden byte
+  * structure (root uoffset, file identifier, vtable navigation, struct
+  * layout) asserted against the PUBLIC format spec, plus seeded
+  * round-trip properties for all three schemas. A conformant external
+  * reader sees exactly these bytes, so the structural assertions are the
+  * cross-implementation compatibility check available offline.
+  */
+class WireCodecsSpec extends AnyFunSuite {
+
+  private def meta(ts: Long = 1700000000000000000L) = FrameMetadata(
+    timestampNs = ts,
+    periodNumber = 3L,
+    protonsPerPulse = 4,
+    running = true,
+    frameNumber = 7L,
+    vetoFlags = 5)
+
+  test("dev2 golden structure: identifier, root table, vtable-addressed fields") {
+    val msg = EventListMessage(
+      digitizerId = 9,
+      metadata = meta(),
+      time = Array(1L, 2L, 4294967295L), // u32 max survives
+      voltage = Array(100, 65535),
+      channel = Array(72L))
+    val bytes = WireCodecs.encodeDev2(msg)
+
+    // file identifier at bytes 4..8 (format spec)
+    assert(new String(bytes.slice(4, 8), "US-ASCII") === "dev2")
+    assert(WireCodecs.hasIdentifier(bytes, "dev2"))
+    assert(!WireCodecs.hasIdentifier(bytes, "dat2"))
+
+    // navigate by hand with the reader primitives
+    val r = new FlatBufReader(bytes)
+    val root = r.rootTable
+    assert(root >= 8 && root < bytes.length)
+    // vtable soffset points backward to a sane vtable
+    val vt = root - r.i32(root)
+    assert(vt >= 0 && vt < bytes.length)
+    assert((r.u16(vt) - 4) / 2 === 5, "vtable declares 5 field slots")
+    // field 0: digitizer_id scalar
+    assert(r.u8(r.fieldPos(root, 0)) === 9)
+    // field 2: time vector with u32 semantics
+    val timePos = r.fieldPos(root, 2)
+    val timeVec = r.indirect(timePos)
+    assert(r.vectorLength(timeVec) === 3)
+    assert(r.u32(r.vectorElems(timeVec) + 8) === 4294967295L)
+  }
+
+  test("GpsTime struct layout inside FrameMetadataV2 matches the .fbs field offsets") {
+    val bytes = WireCodecs.encodeDev2(
+      EventListMessage(1, meta(), Array.emptyLongArray, Array.emptyIntArray, Array.emptyLongArray))
+    val r = new FlatBufReader(bytes)
+    val metaTable = r.indirect(r.fieldPos(r.rootTable, 1))
+    val g = graft.functions.TimeFunctions.epochNsToGps(1700000000000000000L)
+    val s = r.fieldPos(metaTable, 0) // struct is inline at its field position
+    assert(r.u8(s) === g.year)
+    assert(r.u16(s + 2) === g.day)
+    assert(r.u8(s + 4) === g.hour)
+    assert(r.u8(s + 5) === g.minute)
+    assert(r.u8(s + 6) === g.second)
+    assert(r.u16(s + 8) === g.millisecond)
+    assert(r.u16(s + 10) === g.microsecond)
+    assert(r.u16(s + 12) === g.nanosecond)
+    // scalar fields land at 2/4/8-aligned absolute positions
+    assert(r.fieldPos(metaTable, 1) % 8 === 0, "u64 period_number aligned")
+    assert(s % 2 === 0, "GpsTime struct 2-aligned")
+  }
+
+  test("round trip: dev2/dat2/aev2 over seeded random messages") {
+    val rnd = new scala.util.Random(20260812L)
+    def randMeta() = FrameMetadata(
+      timestampNs = 1700000000000000000L + rnd.nextLong(1000000000000L),
+      periodNumber = rnd.nextLong(1 << 20),
+      protonsPerPulse = rnd.nextInt(256),
+      running = rnd.nextBoolean(),
+      frameNumber = rnd.nextLong(1L << 32),
+      vetoFlags = rnd.nextInt(1 << 16))
+    (0 until 200).foreach { _ =>
+      val n = rnd.nextInt(20)
+      val dev2 = EventListMessage(
+        digitizerId = rnd.nextInt(256),
+        metadata = randMeta(),
+        time = Array.fill(n)(rnd.nextLong(1L << 32)),
+        voltage = Array.fill(n)(rnd.nextInt(1 << 16)),
+        channel = Array.fill(n)(rnd.nextLong(1L << 32)))
+      val back = WireCodecs.decodeDev2(WireCodecs.encodeDev2(dev2))
+      assert(back.digitizerId === dev2.digitizerId)
+      assert(back.metadata === dev2.metadata)
+      assert(back.time.toSeq === dev2.time.toSeq)
+      assert(back.voltage.toSeq === dev2.voltage.toSeq)
+      assert(back.channel.toSeq === dev2.channel.toSeq)
+
+      val dat2 = TraceMessage(
+        digitizerId = rnd.nextInt(256),
+        metadata = randMeta(),
+        sampleRate = 1000000000L,
+        channels = Array.tabulate(rnd.nextInt(8))(c =>
+          ChannelTrace(c.toLong, Array.fill(rnd.nextInt(50))(rnd.nextInt(1 << 16)))))
+      val backT = WireCodecs.decodeDat2(WireCodecs.encodeDat2(dat2))
+      assert(backT.digitizerId === dat2.digitizerId)
+      assert(backT.metadata === dat2.metadata)
+      assert(backT.sampleRate === dat2.sampleRate)
+      assert(backT.channels.length === dat2.channels.length)
+      backT.channels.zip(dat2.channels).foreach { case (a, b) =>
+        assert(a.channel === b.channel)
+        assert(a.voltage.toSeq === b.voltage.toSeq)
+      }
+
+      val aev2 = AssembledFrame(
+        metadata = randMeta(),
+        time = Array.fill(n)(rnd.nextLong(1L << 32)),
+        voltage = Array.fill(n)(rnd.nextInt(1 << 16)),
+        channel = Array.fill(n)(rnd.nextLong(1L << 32)),
+        complete = rnd.nextBoolean(),
+        digitizersPresent = Array.tabulate(rnd.nextInt(5))(identity))
+      val backA = WireCodecs.decodeAev2(WireCodecs.encodeAev2(aev2))
+      assert(backA.metadata === aev2.metadata)
+      assert(backA.time.toSeq === aev2.time.toSeq)
+      assert(backA.complete === aev2.complete)
+      assert(backA.digitizersPresent.toSeq === aev2.digitizersPresent.toSeq)
+    }
+  }
+
+  test("decode rejects wrong identifier; empty vectors and zero scalars survive") {
+    val m = EventListMessage(0, meta(), Array.emptyLongArray, Array.emptyIntArray, Array.emptyLongArray)
+    val bytes = WireCodecs.encodeDev2(m)
+    intercept[IllegalArgumentException](WireCodecs.decodeDat2(bytes))
+    val back = WireCodecs.decodeDev2(bytes)
+    assert(back.time.isEmpty && back.voltage.isEmpty && back.channel.isEmpty)
+    assert(back.digitizerId === 0)
+  }
+}
