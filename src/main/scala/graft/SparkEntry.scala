@@ -154,6 +154,10 @@ object SparkEntry {
     "q_nexus_event_table" -> PipelineQueries.nexusEventTableSql,
     "q_trace_file_scan" -> PipelineQueries.traceFileScanSql,
     "q_wire_roundtrip" -> PipelineQueries.wireRoundtripSql,
+    // multimodal plumbing on the closed-form synthetic payload
+    "q_media_features" -> MultimodalQueries.mediaFeaturesSql,
+    "q_media_frame_sample" -> MultimodalQueries.mediaFrameSampleSql,
+    "q_media_resize" -> MultimodalQueries.mediaResizeSql,
     // trace→event FSM chain over the closed-form TraceFixtures grid:
     // DuckDB re-derives the detector output with gaps-and-islands
     "q_spectrum_map" -> LogQueries.spectrumMapSql,

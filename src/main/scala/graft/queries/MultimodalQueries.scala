@@ -1,7 +1,6 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.TextHash
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -21,22 +20,24 @@ import org.apache.spark.sql.types._
 object MultimodalQueries {
 
   /** Deterministic fake media payload: 16-byte header (magic `GRFT`,
-    * width, height, format code) + content bytes derived from the doc
-    * text. Stands in for real image bytes.
+    * width, height, format code) + 256 content bytes. Stands in for real
+    * image bytes. All fields are CLOSED-FORM in `doc_id`
+    * (`content(i) = (doc_id*31 + i*17 + 7) mod 256`), so the DuckDB
+    * oracles re-derive the whole decode → feature → resize chain from
+    * `range()` — the stub's "pixels" are synthetic either way, and exact
+    * arithmetic buys end-to-end verification of the plumbing.
     */
-  private def synthMedia(docId: Long, text: String): Array[Byte] = {
-    val width = 64 + (TextHash.mix64(docId) & 0x3f).toInt * 8
-    val height = 64 + (TextHash.mix64(docId + 7) & 0x3f).toInt * 4
+  private def synthMedia(docId: Long): Array[Byte] = {
+    val width = 64 + (docId % 64).toInt * 8
+    val height = 64 + ((docId * 7 + 3) % 64).toInt * 4
     val format = (docId % 3).toInt // 0=rgb8, 1=gray8, 2=rgba8
     val header = java.nio.ByteBuffer.allocate(16)
     header.put('G'.toByte).put('R'.toByte).put('F'.toByte).put('T'.toByte)
     header.putInt(width).putInt(height).putInt(format)
     val content = new Array[Byte](256)
-    var h = TextHash.hash64(text)
     var i = 0
     while (i < content.length) {
-      h = TextHash.mix64(h + i)
-      content(i) = (h & 0xff).toByte
+      content(i) = ((docId * 31 + i * 17 + 7) % 256).toByte
       i += 1
     }
     header.array() ++ content
@@ -44,13 +45,13 @@ object MultimodalQueries {
 
   /** The media table: binary payload + typed metadata columns. */
   def mediaTable(s: SparkSession, dir: String): DataFrame = {
-    val synth = udf { (docId: Long, text: String) => synthMedia(docId, text) }
+    val synth = udf { (docId: Long) => synthMedia(docId) }
     Tables
       .documents(s, dir)
       .select(
         col("doc_id"),
         col("source"),
-        synth(col("doc_id"), col("text")).as("media"),
+        synth(col("doc_id")).as("media"),
         lit("image/grft").as("mime"))
   }
 
@@ -80,8 +81,10 @@ object MultimodalQueries {
     }
     val content = media.drop(16)
     val mean = content.map(b => (b & 0xff).toDouble).sum / content.length
+    // exact dyadic (n/1024): float32 and double representations are both
+    // exact, so the oracle's double arithmetic matches bit for bit
     val feature = Array.tabulate(8) { i =>
-      (content.slice(i * 32, (i + 1) * 32).map(b => (b & 0xff).toLong).sum % 1000L) / 1000.0f
+      (content.slice(i * 32, (i + 1) * 32).map(b => (b & 0xff).toLong).sum % 1024L) / 1024.0f
     }
     Row(docId, width, height, format, media.length, mean, feature.toSeq)
   }
@@ -111,6 +114,31 @@ object MultimodalQueries {
         "feature_sum",
         round(aggregate(col("feature"), lit(0.0), (a, x) => a + x.cast("double")), 6))
       .drop("feature")
+
+  /** DuckDB oracle for [[mediaFeatures]]: header fields, byte mean
+    * (exact: /256), and the dyadic feature digest re-derived from the
+    * closed-form payload — the synth → binary → mapPartitions decode →
+    * feature chain is hash-checked end to end.
+    */
+  val mediaFeaturesSql: String =
+    """WITH b AS (
+         SELECT doc_id, i, ((doc_id*31 + i*17 + 7) % 256) AS v
+         FROM documents, range(256) r(i)
+       ), agg AS (
+         SELECT doc_id, sum(v)/256.0 AS mean_byte FROM b GROUP BY doc_id
+       ), sl AS (
+         SELECT doc_id, (i // 32) AS k, sum(v) AS s FROM b GROUP BY doc_id, (i // 32)
+       ), feat AS (
+         SELECT doc_id, round(sum((s % 1024)/1024.0), 6) AS feature_sum
+         FROM sl GROUP BY doc_id
+       )
+       SELECT d.doc_id,
+              (64 + (d.doc_id % 64)*8)::INT AS width,
+              (64 + ((d.doc_id*7 + 3) % 64)*4)::INT AS height,
+              CASE (d.doc_id % 3) WHEN 0 THEN 'rgb8' WHEN 1 THEN 'gray8'
+                ELSE 'rgba8' END AS format,
+              272::INT AS n_bytes, a.mean_byte, f.feature_sum
+       FROM documents d JOIN agg a USING (doc_id) JOIN feat f USING (doc_id)"""
 
   /** STUB frame-sample: the payload is treated as a rolled "video" — the
     * 16-byte header followed by fixed 32-byte frames; every `stride`-th
@@ -146,6 +174,21 @@ object MultimodalQueries {
       }(enc)
   }
 
+  /** DuckDB oracle for [[mediaFrameSample]]: every 4th 32-byte frame's
+    * exact mean (/32) from the closed-form payload.
+    */
+  val mediaFrameSampleSql: String =
+    """WITH b AS (
+         SELECT doc_id, i, ((doc_id*31 + i*17 + 7) % 256) AS v
+         FROM documents, range(256) r(i)
+       ), fr AS (
+         SELECT doc_id, (i // 32) AS f, sum(v) AS s
+         FROM b GROUP BY doc_id, (i // 32)
+       )
+       SELECT doc_id, f::INT AS frame_index, 8::INT AS n_frames,
+              s/32.0 AS mean_byte
+       FROM fr WHERE f % 4 = 0"""
+
   /** STUB resize: metadata-level transform demonstrating payload-preserving
     * column surgery (a real implementation re-encodes `media`).
     */
@@ -160,4 +203,23 @@ object MultimodalQueries {
         (col("width") * col("scale")).cast("int").as("out_width"),
         (col("height") * col("scale")).cast("int").as("out_height"),
         col("format"))
+
+  /** DuckDB oracle for [[mediaResize]]: identical IEEE double op order
+    * (one division, one multiply, floor — Spark's double→int cast
+    * truncates, so the SQL floors explicitly).
+    */
+  val mediaResizeSql: String =
+    """WITH d AS (
+         SELECT doc_id,
+                (64 + (doc_id % 64)*8)::INT AS width,
+                (64 + ((doc_id*7 + 3) % 64)*4)::INT AS height,
+                CASE (doc_id % 3) WHEN 0 THEN 'rgb8' WHEN 1 THEN 'gray8'
+                  ELSE 'rgba8' END AS format
+         FROM documents
+       )
+       SELECT doc_id, width, height,
+              floor(width * least(1.0, 128.0/greatest(width, height)))::INT AS out_width,
+              floor(height * least(1.0, 128.0/greatest(width, height)))::INT AS out_height,
+              format
+       FROM d"""
 }
