@@ -65,6 +65,10 @@ object RunAssignment {
       .filter(col("_rn") === 1)
       .groupBy(col("run_name"), col("collect_from_ns"))
       .agg(min(col("stop_ns")).as("stop_ns"))
+    // global (no-partition) window — deliberate: the run dimension is one
+    // row per run transition (a facility records thousands of runs, not
+    // billions), so the single-partition sort is bounded and the lead()
+    // needs total start order for abort-on-restart capping
     val nextStart = Window.orderBy(col("collect_from_ns"))
     st.join(paired, Seq("run_name", "collect_from_ns"), "left")
       .select(

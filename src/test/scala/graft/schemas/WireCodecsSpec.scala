@@ -126,6 +126,69 @@ class WireCodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("wire ingest: identifier router drops foreign/malformed, metrics count them, " +
+    "survivors drive the streaming assembler") {
+    val spark = org.apache.spark.sql.SparkSession
+      .builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+
+    val valid = (0 until 4).map(d =>
+      EventListMessage(d, meta(), Array(1L, 2L), Array(10, 20), Array(d * 8L, d * 8L + 1)))
+    val dat2Buf = WireCodecs.encodeDat2(
+      TraceMessage(1, meta(), 1000000000L, Array(ChannelTrace(0L, Array(1, 2, 3)))))
+    val garbage = Array[Byte](1, 2, 3) // too short for an identifier
+    val corrupt = {
+      val b = WireCodecs.encodeDev2(valid.head)
+      // valid identifier, destroyed root offset → decode throws → malformed
+      b(0) = 0x7f.toByte; b(1) = 0x7f.toByte; b(2) = 0x7f.toByte; b(3) = 0x7f.toByte
+      b
+    }
+    val raw = (valid.map(WireCodecs.encodeDev2) ++ Seq(dat2Buf, garbage, corrupt)).toDS()
+
+    // batch path: the named observe() metrics capture the drop taxonomy
+    // map-side (read back through queryExecution after the action)
+    val decoded = graft.streaming.WireIngest.dev2FromBinary(raw)
+    val out = decoded.collect()
+    assert(out.map(_.digitizerId).sorted.toSeq === Seq(0, 1, 2, 3))
+    assert(out.forall(_.time.toSeq == Seq(1L, 2L)))
+    val m = decoded.queryExecution.observedMetrics("wire_ingest")
+    assert(m.getAs[Long]("n_messages") === 7L)
+    assert(m.getAs[Long]("n_ok") === 4L)
+    assert(m.getAs[Long]("n_foreign") === 2L) // dat2 + short garbage
+    assert(m.getAs[Long]("n_malformed") === 1L)
+
+    // streaming path: same transform on a MemoryStream feeds the real
+    // stateful assembler
+    implicit val sqlCtx = spark.sqlContext
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Array[Byte]]
+    val assembled = graft.streaming.FrameAssemblyStream
+      .assemble(graft.streaming.WireIngest.dev2FromBinary(input.toDS()), Seq(0, 1, 2, 3))
+    val name = s"wire_frames_${System.nanoTime()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("wire_ckpt").toString
+    val q = assembled.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      input.addData(valid.map(WireCodecs.encodeDev2) ++ Seq(dat2Buf, garbage, corrupt))
+      val deadline = System.currentTimeMillis() + 30000L
+      while (spark.table(name).count() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100L)
+    } finally q.stop()
+    val frames = spark.table(name).collect()
+    assert(frames.length === 1)
+    assert(frames.head.getAs[Boolean]("complete"))
+    assert(frames.head.getAs[Seq[Long]]("time").length === 8)
+  }
+
   test("decode rejects wrong identifier; empty vectors and zero scalars survive") {
     val m = EventListMessage(0, meta(), Array.emptyLongArray, Array.emptyIntArray, Array.emptyLongArray)
     val bytes = WireCodecs.encodeDev2(m)
