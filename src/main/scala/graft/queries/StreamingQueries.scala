@@ -119,7 +119,10 @@ object StreamingQueries {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
     val name = s"stream_frames_${System.nanoTime()}"
     val query = FrameAssemblyStream
-      .assemble(input.toDS(), Seq(0, 1, 2, 3), ttlMs = 2000L)
+      // TTL sized to the feed: every contribution is available before the
+      // first trigger fires, so the countdown only has to outlast one
+      // micro-batch, not a real digitiser skew window
+      .assemble(input.toDS(), Seq(0, 1, 2, 3), ttlMs = 1200L)
       .writeStream
       .format("memory")
       .queryName(name)
@@ -128,12 +131,17 @@ object StreamingQueries {
       .trigger(Trigger.ProcessingTime("100 milliseconds"))
       .start()
     try {
+      val deadline = System.currentTimeMillis() + 60000L
       // feed digitiser-by-digitiser so frames complete incrementally
       originals.groupBy(_.digitizerId).toSeq.sortBy(_._1).foreach { case (_, msgs) =>
         input.addData(msgs)
       }
+      // wait for the first dispatch so the originals are durably in state
+      // BEFORE the redeliveries arrive: rejection is then the state /
+      // tombstone check, deterministic regardless of intra-batch row order
+      while (s.table(name).count() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50L)
       input.addData(duplicates) // late redeliveries → state/tombstone reject
-      val deadline = System.currentTimeMillis() + 60000L
       while (s.table(name).count() < nFrames && System.currentTimeMillis() < deadline)
         Thread.sleep(100L)
     } finally query.stop()
