@@ -217,6 +217,39 @@ object PipelineJobs {
       .start()
   }
 
+  /** K1 with REAL wire bytes: the digitiser-aggregator's producer side —
+    * assembled frames encode to aev2 FlatBuffers buffers
+    * ([[graft.schemas.WireCodecs.encodeAev2]],
+    * `digitiser-aggregator/src/data/event.rs:128-157`) and append to a
+    * binary "topic": a parquet dir of `value: binary` rows, the offline
+    * stand-in for the Frame Events topic (swap the sink format for
+    * `kafka` + a `topic` option on a cluster with a broker; the encode
+    * stage is the part the engine owns and is broker-agnostic).
+    */
+  def framesToWireTopic(
+      traces: Dataset[TraceMessage],
+      settings: DetectorSettings,
+      expectedDigitizers: Seq[Int],
+      topicDir: String,
+      checkpoint: String,
+      ttlMs: Long = 500L,
+      triggerMs: Long = 100L): StreamingQuery = {
+    allowEmptyBatches(traces)
+    val dev2 = EventFormation.formEvents(traces, settings)
+    val aev2 = FrameAssemblyStream.assemble(dev2, expectedDigitizers, ttlMs)
+    aev2
+      .map(f => graft.schemas.WireCodecs.encodeAev2(f))(
+        org.apache.spark.sql.Encoders.BINARY)
+      .toDF("value")
+      .writeStream
+      .format("parquet")
+      .outputMode("append")
+      .option("path", topicDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
+      .start()
+  }
+
   /** The reference nexus-writer's full behavior in one job pair
     * (SURVEY §3.3): run assignment against the live control-fed
     * [[RunCatalog]] AND linger finalization per micro-batch — stopped

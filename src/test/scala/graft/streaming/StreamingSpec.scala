@@ -162,6 +162,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("producer side: assembled frames stream to a binary topic as aev2 wire buffers (K1)") {
+    import graft.dsp.{DetectorSettings, FixedThreshold}
+    import graft.schemas.{ChannelTrace, TraceMessage, WireCodecs}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val topicDir = Files.createTempDirectory("wire_topic").toString
+    val trace = Array(0, 1, 2, 1, 0, 1, 2, 1, 8, 0, 2, 8, 3, 1, 2)
+    def traceMsg(did: Int, frame: Long) =
+      TraceMessage(did, meta(frame), 1000000000L, Array(
+        ChannelTrace(did * 8L, trace), ChannelTrace(did * 8L + 1, trace)))
+    val input = MemoryStream[TraceMessage]
+    val query = PipelineJobs.framesToWireTopic(
+      input.toDS(),
+      DetectorSettings(FixedThreshold(5.0, 1, 0)),
+      expectedDigitizers = Seq(0, 1),
+      topicDir = topicDir,
+      checkpoint = Files.createTempDirectory("wire_ckpt").toString,
+      ttlMs = 200L)
+    try {
+      input.addData(traceMsg(0, 0), traceMsg(1, 0), traceMsg(0, 1), traceMsg(1, 1))
+      val deadline = System.currentTimeMillis() + 20000L
+      def topicCount: Long =
+        try spark.read.parquet(topicDir).count()
+        catch { case _: Throwable => 0L }
+      while (topicCount < 2 && System.currentTimeMillis() < deadline) Thread.sleep(200L)
+      assert(topicCount === 2)
+      // the buffers on the topic are real aev2 wire messages
+      val frames = spark.read.parquet(topicDir).collect()
+        .map(r => WireCodecs.decodeAev2(r.getAs[Array[Byte]]("value")))
+        .sortBy(_.metadata.frameNumber)
+      assert(frames.forall(f => WireCodecs.hasIdentifier(WireCodecs.encodeAev2(f), "aev2")))
+      assert(frames.map(_.metadata.frameNumber).toSeq === Seq(0L, 1L))
+      assert(frames.forall(_.complete))
+      assert(frames.forall(_.digitizersPresent.toSeq == Seq(0, 1)))
+      // 2 digitisers × 2 channels × 2 events per channel (t=8,11 fixture)
+      assert(frames.forall(_.time.length === 8))
+    } finally query.stop()
+  }
+
   test("end-to-end restart: new sink + same checkpoint resumes event_index from disk, no duplicates") {
     import graft.dsp.{DetectorSettings, FixedThreshold}
     import graft.schemas.{ChannelTrace, TraceMessage}
