@@ -255,9 +255,25 @@ final class FlatBufReader(bytes: Array[Byte]) {
   def vectorLength(vecPos: Int): Int = bb.getInt(vecPos)
   def vectorElems(vecPos: Int): Int = vecPos + 4
 
+  /** Validate a vector length against the buffer size BEFORE allocating:
+    * a corrupt length field must fail as a catchable decode error (the
+    * ingest router's "malformed" bucket), never as an executor-killing
+    * multi-GB allocation.
+    */
+  private def boundedLength(vecPos: Int, elemSize: Int): Int = {
+    val n = bb.getInt(vecPos)
+    require(
+      n >= 0 && vecPos + 4 + n.toLong * elemSize <= bytes.length,
+      s"vector length $n (elem $elemSize B) exceeds buffer (${bytes.length} B)")
+    n
+  }
+
+  /** Bounds-checked element count for a vector of uoffsets (tables). */
+  def offsetVectorLength(vecPos: Int): Int = boundedLength(vecPos, 4)
+
   def u16Vector(fieldPos: Int): Array[Int] = {
     val v = indirect(fieldPos)
-    val n = vectorLength(v)
+    val n = boundedLength(v, 2)
     val out = new Array[Int](n)
     var i = 0
     while (i < n) { out(i) = u16(vectorElems(v) + i * 2); i += 1 }
@@ -266,7 +282,7 @@ final class FlatBufReader(bytes: Array[Byte]) {
 
   def u32Vector(fieldPos: Int): Array[Long] = {
     val v = indirect(fieldPos)
-    val n = vectorLength(v)
+    val n = boundedLength(v, 4)
     val out = new Array[Long](n)
     var i = 0
     while (i < n) { out(i) = u32(vectorElems(v) + i * 4); i += 1 }
@@ -275,7 +291,7 @@ final class FlatBufReader(bytes: Array[Byte]) {
 
   def u8Vector(fieldPos: Int): Array[Int] = {
     val v = indirect(fieldPos)
-    val n = vectorLength(v)
+    val n = boundedLength(v, 1)
     val out = new Array[Int](n)
     var i = 0
     while (i < n) { out(i) = u8(vectorElems(v) + i); i += 1 }

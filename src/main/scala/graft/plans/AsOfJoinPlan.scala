@@ -123,15 +123,17 @@ case class AsOfJoinExec(
         def next(): InternalRow = {
           val lRow = lIter.next()
           val lKey = lKeyProj(lRow)
-          if (lKey.anyNull) {
-            // SQL equality: null keys never match
+          val lTsRow = lTsProj(lRow).copy() // rTsProj below reuses its buffer per call
+          if (lKey.anyNull || lTsRow.isNullAt(0)) {
+            // SQL semantics: null keys never equal, and `lTs >= rTs` is
+            // never true for null lTs — no match, and no right-side
+            // consumption (later same-key left rows may still need rHead)
             outProj(joined(lRow, nullRight))
           } else {
             if (candidate != null && keyOrd.compare(candidateKey, lKey) != 0) {
               candidate = null
               candidateKey = null
             }
-            val lTsRow = lTsProj(lRow).copy() // rTsProj below reuses its buffer per call
             var done = false
             while (!done && rHead != null) {
               val rKey = rKeyProj(rHead)
@@ -139,10 +141,16 @@ case class AsOfJoinExec(
               else {
                 val c = keyOrd.compare(rKey, lKey)
                 if (c < 0) advanceRight()
-                else if (c == 0 && tsOrd.compare(rTsProj(rHead), lTsRow) <= 0) {
-                  candidate = rHead.copy()
-                  candidateKey = lKey.copy()
-                  advanceRight()
+                else if (c == 0) {
+                  val rTsRow = rTsProj(rHead)
+                  // null rTs sorts first within the key (NULLS FIRST) and
+                  // never satisfies `lTs >= rTs` — skip, don't latch
+                  if (rTsRow.isNullAt(0)) advanceRight()
+                  else if (tsOrd.compare(rTsRow, lTsRow) <= 0) {
+                    candidate = rHead.copy()
+                    candidateKey = lKey.copy()
+                    advanceRight()
+                  } else done = true
                 } else done = true
               }
             }

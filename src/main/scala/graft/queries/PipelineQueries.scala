@@ -180,7 +180,6 @@ object PipelineQueries {
 
   def frameAssembly(s: SparkSession, dir: String): DataFrame = {
     val dev2 = arithmeticDev2(s)
-    def weighted(arr: String, elem: String) = weightedChecksum(arr, elem)
     FrameAssembly
       .assemble(dev2, expected)
       .select(
@@ -190,9 +189,9 @@ object PipelineQueries {
         array_join(transform(col("digitizersPresent"), _.cast("string")), ",")
           .as("digitizers_present"),
         size(col("time")).as("n_events"),
-        weighted("time", "x").as("time_checksum"),
-        weighted("voltage", "cast(x AS bigint)").as("voltage_checksum"),
-        weighted("channel", "x").as("channel_checksum"))
+        weightedChecksum("time", "x").as("time_checksum"),
+        weightedChecksum("voltage", "cast(x AS bigint)").as("voltage_checksum"),
+        weightedChecksum("channel", "x").as("channel_checksum"))
   }
 
   /** DuckDB oracle for [[frameAssembly]]: regenerates the winning message

@@ -21,10 +21,11 @@ object WireCodecs {
   val Aev2Id = "aev2"
 
   /** S2 identifier check (`common/src/lib.rs` message dispatch): cheap
-    * 4-byte probe without decoding.
+    * 4-byte probe without decoding. Null-safe: a null payload (Kafka
+    * tombstone) is simply not this message type.
     */
   def hasIdentifier(bytes: Array[Byte], id: String): Boolean =
-    bytes.length >= 8 &&
+    bytes != null && bytes.length >= 8 &&
       bytes(4) == id.charAt(0).toByte && bytes(5) == id.charAt(1).toByte &&
       bytes(6) == id.charAt(2).toByte && bytes(7) == id.charAt(3).toByte
 
@@ -150,7 +151,7 @@ object WireCodecs {
       if (p < 0) Array.empty
       else {
         val vec = r.indirect(p)
-        val n = r.vectorLength(vec)
+        val n = r.offsetVectorLength(vec)
         Array.tabulate(n) { i =>
           val ct = r.indirect(r.vectorElems(vec) + i * 4)
           val chan = { val cp = r.fieldPos(ct, 0); if (cp < 0) 0L else r.u32(cp) }

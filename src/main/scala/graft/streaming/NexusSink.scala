@@ -350,7 +350,7 @@ final class NexusSink(outputDir: String) extends Serializable {
     * stop_ns?) with data still under local/ — the runs a restarted
     * engine must reopen (the reference re-extracts run parameters from
     * the partial file and resumes with a RunResume warning,
-    * `run_engine/run/mod.rs:82-103`). ALL five table layouts are scanned
+    * `run_engine/run/mod.rs:82-103`). ALL table layouts (events/frames/periods and the log planes) are scanned
     * — events/, frames/, and the log tables (a generation whose frames
     * all carried zero events has no events/ partition, and one that saw
     * only log traffic before the crash has only log partitions); the

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.schemas.{EventListMessage, TraceMessage, WireCodecs}
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 
 /** S1/S4/S5 over REAL wire bytes: the reference consumer's loop — peek
@@ -11,60 +11,57 @@ import org.apache.spark.sql.functions._
   * stream transform. Works identically on a batch Dataset, a
   * MemoryStream, a file stream, or a Kafka `value` column (the
   * environment has no broker; the transform is the part the engine
-  * owns).
+  * owns). Null payloads (Kafka tombstone records) and undersized buffers
+  * count as foreign; buffers with the right identifier that fail to
+  * parse count as malformed — nothing throws, nothing kills the stream.
   *
   * Scale: one narrow map — identifier probe is 4 bytes, decode touches
   * each buffer once, the status taxonomy rides `observe()` so the
   * dropped-message counters (P5/A6) cost no extra pass or shuffle.
+  * Observed metric columns are uniform across codecs (`n_messages` /
+  * `n_ok` / `n_foreign` / `n_malformed`), so monitoring treats every
+  * ingest stream the same.
   */
 object WireIngest {
 
-  /** Route + decode dev2 event-list buffers; foreign identifiers and
-    * malformed buffers are dropped and surface in the `wire_ingest`
-    * observed metrics (`n_messages` / `n_ok` / `n_foreign` /
-    * `n_malformed`).
-    */
-  def dev2FromBinary(raw: Dataset[Array[Byte]]): Dataset[EventListMessage] = {
-    implicit val enc = Encoders.product[(EventListMessage, String)]
-    implicit val outEnc = Encoders.product[EventListMessage]
+  private def routed[T <: Product](
+      raw: Dataset[Array[Byte]],
+      id: String,
+      observeName: String,
+      decode: Array[Byte] => T)(implicit enc: Encoder[T], pairEnc: Encoder[(T, String)]): Dataset[T] =
     raw
       .map { bytes =>
-        if (!WireCodecs.hasIdentifier(bytes, WireCodecs.Dev2Id)) (null: EventListMessage, "foreign")
+        if (!WireCodecs.hasIdentifier(bytes, id)) (null.asInstanceOf[T], "foreign")
         else
-          try (WireCodecs.decodeDev2(bytes), "ok")
-          catch { case scala.util.control.NonFatal(_) => (null: EventListMessage, "malformed") }
+          try (decode(bytes), "ok")
+          catch { case scala.util.control.NonFatal(_) => (null.asInstanceOf[T], "malformed") }
       }
       .toDF("msg", "status")
       .observe(
-        "wire_ingest",
+        observeName,
         count(lit(1)).as("n_messages"),
         count(when(col("status") === "ok", 1)).as("n_ok"),
         count(when(col("status") === "foreign", 1)).as("n_foreign"),
         count(when(col("status") === "malformed", 1)).as("n_malformed"))
       .filter(col("status") === "ok")
       .select("msg.*")
-      .as[EventListMessage]
+      .as[T]
+
+  /** Route + decode dev2 event-list buffers; drops surface in the
+    * `wire_ingest` observed metrics.
+    */
+  def dev2FromBinary(raw: Dataset[Array[Byte]]): Dataset[EventListMessage] = {
+    implicit val enc = Encoders.product[EventListMessage]
+    implicit val pairEnc = Encoders.product[(EventListMessage, String)]
+    routed(raw, WireCodecs.Dev2Id, "wire_ingest", WireCodecs.decodeDev2)
   }
 
-  /** Same router for dat2 trace buffers (the trace-to-events input side). */
+  /** Same router for dat2 trace buffers (the trace-to-events input side);
+    * metrics under `wire_ingest_dat2`.
+    */
   def dat2FromBinary(raw: Dataset[Array[Byte]]): Dataset[TraceMessage] = {
-    implicit val enc = Encoders.product[(TraceMessage, String)]
-    implicit val outEnc = Encoders.product[TraceMessage]
-    raw
-      .map { bytes =>
-        if (!WireCodecs.hasIdentifier(bytes, WireCodecs.Dat2Id)) (null: TraceMessage, "foreign")
-        else
-          try (WireCodecs.decodeDat2(bytes), "ok")
-          catch { case scala.util.control.NonFatal(_) => (null: TraceMessage, "malformed") }
-      }
-      .toDF("msg", "status")
-      .observe(
-        "wire_ingest_dat2",
-        count(lit(1)).as("n_messages"),
-        count(when(col("status") === "ok", 1)).as("n_ok"),
-        count(when(col("status") =!= "ok", 1)).as("n_dropped"))
-      .filter(col("status") === "ok")
-      .select("msg.*")
-      .as[TraceMessage]
+    implicit val enc = Encoders.product[TraceMessage]
+    implicit val pairEnc = Encoders.product[(TraceMessage, String)]
+    routed(raw, WireCodecs.Dat2Id, "wire_ingest_dat2", WireCodecs.decodeDat2)
   }
 }

@@ -22,23 +22,26 @@ class AsOfJoinSpec extends AnyFunSuite {
 
   private def fixture = {
     import spark.implicits._
-    val left = Seq[(java.lang.Long, Long, String)](
+    val left = Seq[(java.lang.Long, java.lang.Long, String)](
       (1L, 10L, "l1"),
       (1L, 20L, "l2"),
       (1L, 5L, "l3"),
       (2L, 10L, "l4"),
       (null, 10L, "l5"),
-      (3L, 10L, "l6")).toDF("k", "ts", "lv")
-    val right = Seq[(java.lang.Long, Long, String)](
+      (3L, 10L, "l6"),
+      (1L, null, "l7"),
+      (4L, 10L, "l8")).toDF("k", "ts", "lv")
+    val right = Seq[(java.lang.Long, java.lang.Long, String)](
       (1L, 5L, "a"),
       (1L, 10L, "b"),
       (1L, 15L, "c"),
       (2L, 50L, "d"),
-      (null, 1L, "e")).toDF("rk", "rts", "rv")
+      (null, 1L, "e"),
+      (4L, null, "f")).toDF("rk", "rts", "rv")
     (left, right)
   }
 
-  test("as-of semantics: inclusive ts, last match wins, no-match nulls, null keys skip") {
+  test("as-of semantics: inclusive ts, last match wins, no-match nulls, null keys/ts skip") {
     val (left, right) = fixture
     val out = AsOfJoin
       .join(left, right, Seq("k"), Seq("rk"), "ts", "rts")
@@ -51,7 +54,9 @@ class AsOfJoinSpec extends AnyFunSuite {
       "l3" -> "a", // only rts 5 <= 5
       "l4" -> null, // right key 2 exists but rts 50 > 10
       "l5" -> null, // null key never matches (even though right has null key)
-      "l6" -> null)) // no right key 3
+      "l6" -> null, // no right key 3
+      "l7" -> null, // null left ts: `ts >= rts` is never true in SQL
+      "l8" -> null)) // right key 4 exists but its rts is null
   }
 
   test("plans as the custom exec behind hash-clustered exchanges") {

@@ -147,7 +147,20 @@ class WireCodecsSpec extends AnyFunSuite {
       b(0) = 0x7f.toByte; b(1) = 0x7f.toByte; b(2) = 0x7f.toByte; b(3) = 0x7f.toByte
       b
     }
-    val raw = (valid.map(WireCodecs.encodeDev2) ++ Seq(dat2Buf, garbage, corrupt)).toDS()
+    val lengthBomb = {
+      // valid identifier and structure, then a vector length field forged
+      // to ~2^31 — must land in "malformed" as a caught decode error, not
+      // attempt a multi-GB allocation
+      val b = WireCodecs.encodeDev2(
+        EventListMessage(0, meta(), Array(1L, 2L, 3L), Array(1, 2, 3), Array(1L, 2L, 3L)))
+      val r = new FlatBufReader(b)
+      val vec = r.indirect(r.fieldPos(r.rootTable, 2))
+      val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(vec, Int.MaxValue)
+      b
+    }
+    val raw = (valid.map(WireCodecs.encodeDev2) ++
+      Seq(dat2Buf, garbage, corrupt, null, lengthBomb)).toDS()
 
     // batch path: the named observe() metrics capture the drop taxonomy
     // map-side (read back through queryExecution after the action)
@@ -156,10 +169,10 @@ class WireCodecsSpec extends AnyFunSuite {
     assert(out.map(_.digitizerId).sorted.toSeq === Seq(0, 1, 2, 3))
     assert(out.forall(_.time.toSeq == Seq(1L, 2L)))
     val m = decoded.queryExecution.observedMetrics("wire_ingest")
-    assert(m.getAs[Long]("n_messages") === 7L)
+    assert(m.getAs[Long]("n_messages") === 9L)
     assert(m.getAs[Long]("n_ok") === 4L)
-    assert(m.getAs[Long]("n_foreign") === 2L) // dat2 + short garbage
-    assert(m.getAs[Long]("n_malformed") === 1L)
+    assert(m.getAs[Long]("n_foreign") === 3L) // dat2 + short garbage + null payload
+    assert(m.getAs[Long]("n_malformed") === 2L) // corrupt root + length bomb
 
     // streaming path: same transform on a MemoryStream feeds the real
     // stateful assembler

@@ -637,7 +637,7 @@ class StreamingSpec extends AnyFunSuite {
       assert(al.map(r => (r.getAs[String]("source"), r.getAs[Int]("severity_code"))).toSeq ===
         Seq(("hv", 2)))
 
-      // stop: finalization moves ALL five tables, the archiver drains them
+      // stop: finalization moves ALL per-run tables, the archiver drains them
       control.addData(ControlMessage("stop", "run_logs", stopMs, "muon"))
       controlQuery.processAllAvailable()
       await("archive tier") {
