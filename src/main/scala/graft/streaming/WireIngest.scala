@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.schemas.{EventListMessage, TraceMessage, WireCodecs}
+import graft.schemas.{AssembledFrame, EventListMessage, TraceMessage, WireCodecs}
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 
@@ -63,5 +63,16 @@ object WireIngest {
     implicit val enc = Encoders.product[TraceMessage]
     implicit val pairEnc = Encoders.product[(TraceMessage, String)]
     routed(raw, WireCodecs.Dat2Id, "wire_ingest_dat2", WireCodecs.decodeDat2)
+  }
+
+  /** Same router for aev2 assembled-frame buffers — the nexus-writer's
+    * consumer side of the Frame Events topic
+    * (`nexus-writer/src/main.rs` frame-assembled subscription); metrics
+    * under `wire_ingest_aev2`.
+    */
+  def aev2FromBinary(raw: Dataset[Array[Byte]]): Dataset[AssembledFrame] = {
+    implicit val enc = Encoders.product[AssembledFrame]
+    implicit val pairEnc = Encoders.product[(AssembledFrame, String)]
+    routed(raw, WireCodecs.Aev2Id, "wire_ingest_aev2", WireCodecs.decodeAev2)
   }
 }

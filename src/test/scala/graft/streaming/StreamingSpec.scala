@@ -198,6 +198,22 @@ class StreamingSpec extends AnyFunSuite {
       assert(frames.forall(_.digitizersPresent.toSeq == Seq(0, 1)))
       // 2 digitisers × 2 channels × 2 events per channel (t=8,11 fixture)
       assert(frames.forall(_.time.length === 8))
+
+      // consumer side (the nexus-writer topology): read the SAME topic
+      // back through the identifier router and drive the run sink —
+      // traces → frames → wire bytes → decode → run assignment → NeXus
+      // layout, end to end over the real wire format
+      val outDir = Files.createTempDirectory("wire_sink").toString
+      val sink = new NexusSink(outDir)
+      val runs = Seq(("run_wire", meta(0).timestampNs - 1L, null.asInstanceOf[java.lang.Long]))
+        .toDF("run_name", "collect_from_ns", "collect_until_ns")
+      val decoded = WireIngest.aev2FromBinary(
+        spark.read.parquet(topicDir).select("value").as[Array[Byte]])
+      sink.writeBatch(graft.operators.RunAssignment.assignFrames(decoded.toDF(), runs), 0L)
+      val sunkFrames = spark.read.parquet(s"$outDir/local/frames")
+      assert(sunkFrames.count() === 2)
+      assert(spark.read.parquet(s"$outDir/local/events").count() === 16)
+      assert(sunkFrames.select("run_name").distinct().head().getString(0) === "run_wire")
     } finally query.stop()
   }
 
