@@ -196,6 +196,15 @@ object AsOfJoin {
       rightKeys: Seq[String],
       leftTs: String,
       rightTs: String): DataFrame = {
+    // ambiguity is an error, as DataFrame.col would make it: resolution
+    // below is find-by-name, so internally duplicated names (legal after
+    // a Spark join) must not silently bind to the first occurrence
+    require(
+      left.columns.distinct.length == left.columns.length,
+      s"left side has duplicate column names: ${left.columns.mkString(", ")}")
+    require(
+      right.columns.distinct.length == right.columns.length,
+      s"right side has duplicate column names: ${right.columns.mkString(", ")}")
     require(
       left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       s"as-of join requires disjoint column names; both sides have " +

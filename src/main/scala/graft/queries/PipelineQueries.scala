@@ -194,13 +194,12 @@ object PipelineQueries {
         weightedChecksum("channel", "x").as("channel_checksum"))
   }
 
-  /** DuckDB oracle for [[frameAssembly]]: regenerates the winning message
-    * set (duplicates excluded by construction — the original sorts first)
-    * and re-derives veto OR, presence, completeness, and the
-    * position-weighted checksums with the assembled order made explicit
-    * as `row_number() OVER (PARTITION BY frame ORDER BY digitiser, j)`.
+  /** Shared DuckDB CTE prefix regenerating the [[arithmeticDev2Messages]]
+    * ORIGINALS — `msgs(f, d, n)` and the event grid `ev(f, d, j, t, v, c)`
+    * — used by every oracle over this fixture, so a fixture change has
+    * exactly one SQL mirror.
     */
-  val frameAssemblySql: String =
+  private val arithmeticDev2Sql: String =
     """WITH msgs AS (
          SELECT f::INT AS f, d::INT AS d, ((f*3 + d*5) % 7)::INT AS n
          FROM range(32) rf(f), range(4) rd(d)
@@ -211,7 +210,16 @@ object PipelineQueries {
                 ((f*53 + d*17 + j*11) % 500)::BIGINT AS v,
                 (d*8 + (j % 8))::BIGINT AS c
          FROM msgs, range(7) rj(j) WHERE j < n
-       ), pos AS (
+       )"""
+
+  /** DuckDB oracle for [[frameAssembly]]: regenerates the winning message
+    * set (duplicates excluded by construction — the original sorts first)
+    * and re-derives veto OR, presence, completeness, and the
+    * position-weighted checksums with the assembled order made explicit
+    * as `row_number() OVER (PARTITION BY frame ORDER BY digitiser, j)`.
+    */
+  val frameAssemblySql: String =
+    arithmeticDev2Sql + """, pos AS (
          SELECT f, t, v, c,
                 row_number() OVER (PARTITION BY f ORDER BY d, j) AS k
          FROM ev
@@ -265,11 +273,7 @@ object PipelineQueries {
     * fixture arithmetic: base 1.7e18 ns, frame interval 2e7 ns.
     */
   val nexusFrameTableSql: String =
-    """WITH msgs AS (
-         SELECT f::INT AS f, d::INT AS d, ((f*3 + d*5) % 7)::BIGINT AS n
-         FROM range(32) rf(f), range(4) rd(d)
-         WHERE NOT (f % 5 = 0 AND d = 3)
-       ), frames AS (
+    arithmeticDev2Sql + """, frames AS (
          SELECT f, 1700000000000000000 + f*20000000 AS ts,
                 bit_or((f*7 + d) % 16)::INT AS veto_flags,
                 (count(*) = 4) AS frame_complete,
@@ -332,17 +336,7 @@ object PipelineQueries {
     * closed forms.
     */
   val wireRoundtripSql: String =
-    """WITH msgs AS (
-         SELECT f::INT AS f, d::INT AS d, ((f*3 + d*5) % 7)::INT AS n
-         FROM range(32) rf(f), range(4) rd(d)
-         WHERE NOT (f % 5 = 0 AND d = 3)
-       ), ev AS (
-         SELECT f, d, j,
-                ((f*97 + d*31 + j*13) % 1000)::BIGINT AS t,
-                ((f*53 + d*17 + j*11) % 500)::BIGINT AS v,
-                (d*8 + (j % 8))::BIGINT AS c
-         FROM msgs, range(7) rj(j) WHERE j < n
-       ), chk AS (
+    arithmeticDev2Sql + """, chk AS (
          SELECT f, d, sum((j+1) * t)::BIGINT AS tc,
                       sum((j+1) * v)::BIGINT AS vc,
                       sum((j+1) * c)::BIGINT AS cc
@@ -502,17 +496,7 @@ object PipelineQueries {
     * run's identity attached.
     */
   val nexusEventTableSql: String =
-    """WITH msgs AS (
-         SELECT f::INT AS f, d::INT AS d, ((f*3 + d*5) % 7)::INT AS n
-         FROM range(32) rf(f), range(4) rd(d)
-         WHERE NOT (f % 5 = 0 AND d = 3)
-       ), ev AS (
-         SELECT f, d, j,
-                ((f*97 + d*31 + j*13) % 1000)::BIGINT AS t,
-                ((f*53 + d*17 + j*11) % 500)::BIGINT AS v,
-                (d*8 + (j % 8))::BIGINT AS c
-         FROM msgs, range(7) rj(j) WHERE j < n
-       )
+    arithmeticDev2Sql + """
        SELECT 'run_1' AS run_name,
               1699999999999000000::BIGINT AS run_start_ns,
               (1700000000000000000 + f*20000000)::BIGINT AS frame_ts_ns,

@@ -135,10 +135,12 @@ object StreamingQueries {
       .start()
     try {
       val deadline = System.currentTimeMillis() + 60000L
-      // feed digitiser-by-digitiser so frames complete incrementally
-      originals.groupBy(_.digitizerId).toSeq.sortBy(_._1).foreach { case (_, msgs) =>
-        input.addData(msgs)
-      }
+      // ONE addData → one micro-batch carries every contribution: a
+      // frame is complete-dispatched or TTL-flushed from that single
+      // batch's state, so no scheduling stall can split a frame's
+      // digitisers across the TTL horizon (incremental completion across
+      // batches is StreamingSpec's dedicated test, not this oracle's)
+      input.addData(originals)
       while (s.table(name).count() < nFrames && System.currentTimeMillis() < deadline)
         Thread.sleep(100L)
     } finally query.stop()

@@ -31,8 +31,30 @@ object WireCodecs {
 
   // ---- FrameMetadataV2 (table) + GpsTime (inline struct, 14 B) ----
 
+  /** Encode-side range check: a value outside its wire type must FAIL,
+    * not silently truncate — the reference's `TryFrom` conversions error
+    * the same way. (Decode needs no mirror: bytes can't be out of
+    * range.)
+    */
+  private def checkU(name: String, v: Long, max: Long): Unit =
+    require(v >= 0 && v <= max, s"$name=$v outside wire range [0, $max]")
+
+  private def checkUArr(name: String, vs: Array[Long], max: Long): Unit = {
+    var i = 0
+    while (i < vs.length) { checkU(name, vs(i), max); i += 1 }
+  }
+
+  private val U8 = 255L
+  private val U16 = 65535L
+  private val U32 = 4294967295L
+
   private def writeMetadata(b: FlatBufBuilder, m: FrameMetadata): Int = {
     val g = TimeFunctions.epochNsToGps(m.timestampNs)
+    checkU("gps_year (timestamp before 2000 or after 2255?)", g.year.toLong, U8)
+    checkU("period_number", m.periodNumber, Long.MaxValue)
+    checkU("protons_per_pulse", m.protonsPerPulse.toLong, U8)
+    checkU("frame_number", m.frameNumber, U32)
+    checkU("veto_flags", m.vetoFlags.toLong, U16)
     b.startTable(6)
     b.slotShort(5, (m.vetoFlags & 0xffff).toShort)
     b.slotInt(4, (m.frameNumber & 0xffffffffL).toInt)
@@ -85,6 +107,11 @@ object WireCodecs {
   // ---- dev2: DigitizerEventListMessage ----
 
   def encodeDev2(m: EventListMessage): Array[Byte] = {
+    checkU("digitizer_id", m.digitizerId.toLong, U8)
+    checkUArr("time", m.time, U32)
+    var i = 0
+    while (i < m.voltage.length) { checkU("voltage", m.voltage(i).toLong, U16); i += 1 }
+    checkUArr("channel", m.channel, U32)
     val b = FlatBufBuilder.threadLocal()
     val timeOff = b.createUIntVector(m.time)
     val voltOff = b.createUShortVector(m.voltage)
@@ -122,8 +149,13 @@ object WireCodecs {
   // ---- dat2: DigitizerAnalogTraceMessage ----
 
   def encodeDat2(m: TraceMessage): Array[Byte] = {
+    checkU("digitizer_id", m.digitizerId.toLong, U8)
+    checkU("sample_rate", m.sampleRate, Long.MaxValue)
     val b = FlatBufBuilder.threadLocal()
     val channelOffs = m.channels.map { ct =>
+      checkU("channel", ct.channel, U32)
+      var i = 0
+      while (i < ct.voltage.length) { checkU("voltage", ct.voltage(i).toLong, U16); i += 1 }
       val voltOff = b.createUShortVector(ct.voltage)
       b.startTable(2)
       b.slotUOffset(1, voltOff)
@@ -170,6 +202,14 @@ object WireCodecs {
   // ---- aev2: FrameAssembledEventListMessage ----
 
   def encodeAev2(m: AssembledFrame): Array[Byte] = {
+    checkUArr("time", m.time, U32)
+    var i = 0
+    while (i < m.voltage.length) { checkU("voltage", m.voltage(i).toLong, U16); i += 1 }
+    checkUArr("channel", m.channel, U32)
+    i = 0
+    while (i < m.digitizersPresent.length) {
+      checkU("digitizers_present", m.digitizersPresent(i).toLong, U8); i += 1
+    }
     val b = FlatBufBuilder.threadLocal()
     val timeOff = b.createUIntVector(m.time)
     val voltOff = b.createUShortVector(m.voltage)

@@ -20,7 +20,9 @@ import org.apache.spark.sql.functions._
   * dropped-message counters (P5/A6) cost no extra pass or shuffle.
   * Observed metric columns are uniform across codecs (`n_messages` /
   * `n_ok` / `n_foreign` / `n_malformed`), so monitoring treats every
-  * ingest stream the same.
+  * ingest stream the same; `observeName` is a parameter because Spark
+  * rejects duplicate observation names within one query — a topology
+  * routing two sources through the same codec names each leg.
   */
 object WireIngest {
 
@@ -50,19 +52,23 @@ object WireIngest {
   /** Route + decode dev2 event-list buffers; drops surface in the
     * `wire_ingest` observed metrics.
     */
-  def dev2FromBinary(raw: Dataset[Array[Byte]]): Dataset[EventListMessage] = {
+  def dev2FromBinary(
+      raw: Dataset[Array[Byte]],
+      observeName: String = "wire_ingest"): Dataset[EventListMessage] = {
     implicit val enc = Encoders.product[EventListMessage]
     implicit val pairEnc = Encoders.product[(EventListMessage, String)]
-    routed(raw, WireCodecs.Dev2Id, "wire_ingest", WireCodecs.decodeDev2)
+    routed(raw, WireCodecs.Dev2Id, observeName, WireCodecs.decodeDev2)
   }
 
   /** Same router for dat2 trace buffers (the trace-to-events input side);
     * metrics under `wire_ingest_dat2`.
     */
-  def dat2FromBinary(raw: Dataset[Array[Byte]]): Dataset[TraceMessage] = {
+  def dat2FromBinary(
+      raw: Dataset[Array[Byte]],
+      observeName: String = "wire_ingest_dat2"): Dataset[TraceMessage] = {
     implicit val enc = Encoders.product[TraceMessage]
     implicit val pairEnc = Encoders.product[(TraceMessage, String)]
-    routed(raw, WireCodecs.Dat2Id, "wire_ingest_dat2", WireCodecs.decodeDat2)
+    routed(raw, WireCodecs.Dat2Id, observeName, WireCodecs.decodeDat2)
   }
 
   /** Same router for aev2 assembled-frame buffers — the nexus-writer's
@@ -70,9 +76,11 @@ object WireIngest {
     * (`nexus-writer/src/main.rs` frame-assembled subscription); metrics
     * under `wire_ingest_aev2`.
     */
-  def aev2FromBinary(raw: Dataset[Array[Byte]]): Dataset[AssembledFrame] = {
+  def aev2FromBinary(
+      raw: Dataset[Array[Byte]],
+      observeName: String = "wire_ingest_aev2"): Dataset[AssembledFrame] = {
     implicit val enc = Encoders.product[AssembledFrame]
     implicit val pairEnc = Encoders.product[(AssembledFrame, String)]
-    routed(raw, WireCodecs.Aev2Id, "wire_ingest_aev2", WireCodecs.decodeAev2)
+    routed(raw, WireCodecs.Aev2Id, observeName, WireCodecs.decodeAev2)
   }
 }

@@ -202,6 +202,21 @@ class WireCodecsSpec extends AnyFunSuite {
     assert(frames.head.getAs[Seq[Long]]("time").length === 8)
   }
 
+  test("encode fails closed on out-of-range values (no silent truncation)") {
+    val ok = EventListMessage(1, meta(), Array(1L), Array(1), Array(1L))
+    // pre-2000 timestamp → GpsTime year out of u8
+    intercept[IllegalArgumentException](
+      WireCodecs.encodeDev2(ok.copy(metadata = meta(ts = 0L))))
+    intercept[IllegalArgumentException](WireCodecs.encodeDev2(ok.copy(digitizerId = 256)))
+    intercept[IllegalArgumentException](WireCodecs.encodeDev2(ok.copy(voltage = Array(65536))))
+    intercept[IllegalArgumentException](WireCodecs.encodeDev2(ok.copy(time = Array(1L << 32))))
+    intercept[IllegalArgumentException](
+      WireCodecs.encodeDev2(ok.copy(metadata = ok.metadata.copy(frameNumber = 1L << 32))))
+    intercept[IllegalArgumentException](
+      WireCodecs.encodeAev2(AssembledFrame(
+        meta(), Array(1L), Array(1), Array(1L), complete = true, digitizersPresent = Array(300))))
+  }
+
   test("decode rejects wrong identifier; empty vectors and zero scalars survive") {
     val m = EventListMessage(0, meta(), Array.emptyLongArray, Array.emptyIntArray, Array.emptyLongArray)
     val bytes = WireCodecs.encodeDev2(m)
