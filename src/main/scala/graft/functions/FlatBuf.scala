@@ -131,6 +131,17 @@ final class FlatBufBuilder(initialCapacity: Int = 1024) {
     offset
   }
 
+  /** UTF-8 string: `uint32` length + bytes + NUL terminator. */
+  def createString(s: String): Int = {
+    val utf8 = s.getBytes("UTF-8")
+    prep(4, utf8.length + 1)
+    putByte(0) // NUL terminator (spec: for C-string interop)
+    var i = utf8.length - 1
+    while (i >= 0) { putByte(utf8(i)); i -= 1 }
+    putInt(utf8.length)
+    offset
+  }
+
   /** Vector of table references (from-end offsets from endTable). */
   def createOffsetVector(offsets: Array[Int]): Int = {
     prep(4, offsets.length * 4)
@@ -270,6 +281,13 @@ final class FlatBufReader(bytes: Array[Byte]) {
 
   /** Bounds-checked element count for a vector of uoffsets (tables). */
   def offsetVectorLength(vecPos: Int): Int = boundedLength(vecPos, 4)
+
+  /** UTF-8 string at a uoffset field position (length bounds-checked). */
+  def string(fieldPos: Int): String = {
+    val v = indirect(fieldPos)
+    val n = boundedLength(v, 1)
+    new String(bytes, v + 4, n, "UTF-8")
+  }
 
   def u16Vector(fieldPos: Int): Array[Int] = {
     val v = indirect(fieldPos)

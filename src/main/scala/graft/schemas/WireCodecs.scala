@@ -19,6 +19,9 @@ object WireCodecs {
   val Dev2Id = "dev2"
   val Dat2Id = "dat2"
   val Aev2Id = "aev2"
+  val Pl72Id = "pl72"
+  val Run6s4tId = "6s4t"
+  val Al00Id = "al00"
 
   /** S2 identifier check (`common/src/lib.rs` message dispatch): cheap
     * 4-byte probe without decoding. Null-safe: a null payload (Kafka
@@ -197,6 +200,87 @@ object WireCodecs {
       metadata = readMetadata(r, r.indirect(metaPos)),
       sampleRate = { val p = r.fieldPos(t, 2); if (p < 0) 0L else r.u64(p) },
       channels = channels)
+  }
+
+  // ---- control plane: pl72 RunStart / 6s4t RunStop / al00 Alarm ----
+  // (the engine's typed model is the documented consumed subset — absent
+  // optional fields decode to defaults, extra producer fields are simply
+  // not written; field ids follow .fbs declaration order)
+
+  def encodePl72(m: RunStart): Array[Byte] = {
+    checkU("start_time", m.startTimeMs, Long.MaxValue)
+    checkU("n_periods", m.nPeriods, U32)
+    val b = FlatBufBuilder.threadLocal()
+    val nameOff = b.createString(m.runName)
+    val instrOff = b.createString(m.instrumentName)
+    b.startTable(13)
+    b.slotInt(9, (m.nPeriods & 0xffffffffL).toInt)
+    b.slotUOffset(3, instrOff)
+    b.slotUOffset(2, nameOff)
+    b.slotLong(0, m.startTimeMs)
+    b.finish(b.endTable(), Pl72Id)
+  }
+
+  def decodePl72(bytes: Array[Byte]): RunStart = {
+    require(hasIdentifier(bytes, Pl72Id), s"not a $Pl72Id buffer")
+    val r = new FlatBufReader(bytes)
+    val t = r.rootTable
+    def str(id: Int): String = {
+      val p = r.fieldPos(t, id); if (p < 0) "" else r.string(p)
+    }
+    RunStart(
+      runName = str(2),
+      startTimeMs = { val p = r.fieldPos(t, 0); if (p < 0) 0L else r.u64(p) },
+      instrumentName = str(3),
+      nPeriods = { val p = r.fieldPos(t, 9); if (p < 0) 1L else r.u32(p) })
+  }
+
+  def encode6s4t(m: RunStop): Array[Byte] = {
+    checkU("stop_time", m.stopTimeMs, Long.MaxValue)
+    val b = FlatBufBuilder.threadLocal()
+    val nameOff = b.createString(m.runName)
+    b.startTable(5)
+    b.slotUOffset(1, nameOff)
+    b.slotLong(0, m.stopTimeMs)
+    b.finish(b.endTable(), Run6s4tId)
+  }
+
+  def decode6s4t(bytes: Array[Byte]): RunStop = {
+    require(hasIdentifier(bytes, Run6s4tId), s"not a $Run6s4tId buffer")
+    val r = new FlatBufReader(bytes)
+    val t = r.rootTable
+    RunStop(
+      runName = { val p = r.fieldPos(t, 1); if (p < 0) "" else r.string(p) },
+      stopTimeMs = { val p = r.fieldPos(t, 0); if (p < 0) 0L else r.u64(p) })
+  }
+
+  private val severities = Array("OK", "MINOR", "MAJOR", "INVALID")
+
+  def encodeAl00(m: Alarm): Array[Byte] = {
+    val sev = severities.indexOf(m.severity)
+    require(sev >= 0, s"unknown severity ${m.severity} (one of ${severities.mkString(", ")})")
+    val b = FlatBufBuilder.threadLocal()
+    val srcOff = b.createString(m.sourceName)
+    val msgOff = b.createString(m.message)
+    b.startTable(4)
+    b.slotUOffset(3, msgOff)
+    b.slotShort(2, sev.toShort)
+    b.slotLong(1, m.timestampNs)
+    b.slotUOffset(0, srcOff)
+    b.finish(b.endTable(), Al00Id)
+  }
+
+  def decodeAl00(bytes: Array[Byte]): Alarm = {
+    require(hasIdentifier(bytes, Al00Id), s"not a $Al00Id buffer")
+    val r = new FlatBufReader(bytes)
+    val t = r.rootTable
+    val sevCode = { val p = r.fieldPos(t, 2); if (p < 0) 0 else r.u16(p) }
+    require(sevCode < severities.length, s"severity enum $sevCode out of range")
+    Alarm(
+      sourceName = { val p = r.fieldPos(t, 0); if (p < 0) "" else r.string(p) },
+      timestampNs = { val p = r.fieldPos(t, 1); if (p < 0) 0L else r.u64(p) },
+      severity = severities(sevCode),
+      message = { val p = r.fieldPos(t, 3); if (p < 0) "" else r.string(p) })
   }
 
   // ---- aev2: FrameAssembledEventListMessage ----

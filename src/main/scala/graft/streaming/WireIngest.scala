@@ -71,6 +71,46 @@ object WireIngest {
     routed(raw, WireCodecs.Dat2Id, observeName, WireCodecs.decodeDat2)
   }
 
+  /** The control topic (S5): pl72 RunStart and 6s4t RunStop share one
+    * topic in the reference, discriminated by buffer identifier
+    * (`nexus-writer/src/message_handlers.rs:108-127`) — this router maps
+    * both to [[ControlMessage]]; anything else counts as foreign.
+    * `ingestTimeMs` is stamped at decode (the wall clock the "stop NOW"
+    * resolution needs).
+    */
+  def controlFromBinary(
+      raw: Dataset[Array[Byte]],
+      observeName: String = "wire_ingest_control"): Dataset[ControlMessage] = {
+    implicit val enc = Encoders.product[ControlMessage]
+    implicit val pairEnc = Encoders.product[(ControlMessage, String)]
+    raw
+      .map { bytes =>
+        try {
+          if (WireCodecs.hasIdentifier(bytes, WireCodecs.Pl72Id)) {
+            val s = WireCodecs.decodePl72(bytes)
+            (ControlMessage("start", s.runName, s.startTimeMs, s.instrumentName,
+              System.currentTimeMillis()), "ok")
+          } else if (WireCodecs.hasIdentifier(bytes, WireCodecs.Run6s4tId)) {
+            val s = WireCodecs.decode6s4t(bytes)
+            (ControlMessage("stop", s.runName, s.stopTimeMs, "",
+              System.currentTimeMillis()), "ok")
+          } else (null: ControlMessage, "foreign")
+        } catch {
+          case scala.util.control.NonFatal(_) => (null: ControlMessage, "malformed")
+        }
+      }
+      .toDF("msg", "status")
+      .observe(
+        observeName,
+        count(lit(1)).as("n_messages"),
+        count(when(col("status") === "ok", 1)).as("n_ok"),
+        count(when(col("status") === "foreign", 1)).as("n_foreign"),
+        count(when(col("status") === "malformed", 1)).as("n_malformed"))
+      .filter(col("status") === "ok")
+      .select("msg.*")
+      .as[ControlMessage]
+  }
+
   /** Same router for aev2 assembled-frame buffers — the nexus-writer's
     * consumer side of the Frame Events topic
     * (`nexus-writer/src/main.rs` frame-assembled subscription); metrics

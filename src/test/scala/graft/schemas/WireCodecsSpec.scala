@@ -202,6 +202,43 @@ class WireCodecsSpec extends AnyFunSuite {
     assert(frames.head.getAs[Seq[Long]]("time").length === 8)
   }
 
+  test("control plane: pl72/6s4t/al00 round trips, subset decode, identifier routing") {
+    val start = RunStart("run_42", 1700000000123L, "MUSR", nPeriods = 4L)
+    val stop = RunStop("run_42", 1700000999456L)
+    val alarm = Alarm("IN:MUSR:CS:SB:hv", 1700000000000000007L, "MAJOR", "over-voltage")
+
+    val sb = WireCodecs.encodePl72(start)
+    assert(new String(sb.slice(4, 8), "US-ASCII") === "pl72")
+    assert(WireCodecs.decodePl72(sb) === start)
+
+    val tb = WireCodecs.encode6s4t(stop)
+    assert(WireCodecs.decode6s4t(tb) === stop)
+    // stop NOW (time 0) survives the wire: scalar fields are always
+    // written, so 0 is not conflated with "absent"
+    assert(WireCodecs.decode6s4t(WireCodecs.encode6s4t(RunStop("r", 0L))).stopTimeMs === 0L)
+
+    val ab = WireCodecs.encodeAl00(alarm)
+    assert(WireCodecs.decodeAl00(ab) === alarm)
+    intercept[IllegalArgumentException](WireCodecs.encodeAl00(alarm.copy(severity = "PANIC")))
+
+    // the control router discriminates start/stop on one topic and
+    // rejects everything else — the reference's message_handlers dispatch
+    val spark = org.apache.spark.sql.SparkSession
+      .builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    val msgs = graft.streaming.WireIngest
+      .controlFromBinary(Seq(sb, tb, ab, Array[Byte](9, 9)).toDS())
+      .collect()
+      .sortBy(_.kind)
+    assert(msgs.map(m => (m.kind, m.runName, m.timeMs)).toSeq ===
+      Seq(("start", "run_42", 1700000000123L), ("stop", "run_42", 1700000999456L)))
+    assert(msgs.forall(_.ingestTimeMs > 0L))
+  }
+
   test("encode fails closed on out-of-range values (no silent truncation)") {
     val ok = EventListMessage(1, meta(), Array(1L), Array(1), Array(1L))
     // pre-2000 timestamp → GpsTime year out of u8
