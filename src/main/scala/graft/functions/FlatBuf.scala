@@ -96,6 +96,8 @@ final class FlatBufBuilder(initialCapacity: Int = 1024) {
   def pushShort(v: Short): Unit = { prep(2, 0); putShort(v) }
   def pushInt(v: Int): Unit = { prep(4, 0); putInt(v) }
   def pushLong(v: Long): Unit = { prep(8, 0); putLong(v) }
+  def pushFloat(v: Float): Unit = { prep(4, 0); putInt(java.lang.Float.floatToIntBits(v)) }
+  def pushDouble(v: Double): Unit = { prep(8, 0); putLong(java.lang.Double.doubleToLongBits(v)) }
 
   /** Write a uoffset field value pointing at from-end offset `off`. */
   private def pushUOffset(off: Int): Unit = {
@@ -127,6 +129,33 @@ final class FlatBufBuilder(initialCapacity: Int = 1024) {
     prep(4, values.length)
     var i = values.length - 1
     while (i >= 0) { putByte((values(i) & 0xff).toByte); i -= 1 }
+    putInt(values.length)
+    offset
+  }
+
+  /** Vector of i64/u64 values (raw 8-byte bits). */
+  def createLongVector(values: Array[Long]): Int = {
+    prep(4, values.length * 8)
+    var i = values.length - 1
+    while (i >= 0) { putLong(values(i)); i -= 1 }
+    putInt(values.length)
+    offset
+  }
+
+  /** Vector of f32 values. */
+  def createFloatVector(values: Array[Float]): Int = {
+    prep(4, values.length * 4)
+    var i = values.length - 1
+    while (i >= 0) { putInt(java.lang.Float.floatToIntBits(values(i))); i -= 1 }
+    putInt(values.length)
+    offset
+  }
+
+  /** Vector of f64 values. */
+  def createDoubleVector(values: Array[Double]): Int = {
+    prep(8, values.length * 8)
+    var i = values.length - 1
+    while (i >= 0) { putLong(java.lang.Double.doubleToLongBits(values(i))); i -= 1 }
     putInt(values.length)
     offset
   }
@@ -164,6 +193,8 @@ final class FlatBufBuilder(initialCapacity: Int = 1024) {
   def slotShort(id: Int, v: Short): Unit = { pushShort(v); vtableSlots(id) = offset }
   def slotInt(id: Int, v: Int): Unit = { pushInt(v); vtableSlots(id) = offset }
   def slotLong(id: Int, v: Long): Unit = { pushLong(v); vtableSlots(id) = offset }
+  def slotFloat(id: Int, v: Float): Unit = { pushFloat(v); vtableSlots(id) = offset }
+  def slotDouble(id: Int, v: Double): Unit = { pushDouble(v); vtableSlots(id) = offset }
   def slotBool(id: Int, v: Boolean): Unit = slotByte(id, if (v) 1 else 0)
   def slotUOffset(id: Int, target: Int): Unit = { pushUOffset(target); vtableSlots(id) = offset }
 
@@ -256,8 +287,12 @@ final class FlatBufReader(bytes: Array[Byte]) {
   def u8(pos: Int): Int = bb.get(pos) & 0xff
   def u16(pos: Int): Int = bb.getShort(pos) & 0xffff
   def u32(pos: Int): Long = bb.getInt(pos) & 0xffffffffL
+  def i8(pos: Int): Int = bb.get(pos).toInt
+  def i16(pos: Int): Int = bb.getShort(pos).toInt
   def i32(pos: Int): Int = bb.getInt(pos)
   def u64(pos: Int): Long = bb.getLong(pos)
+  def f32(pos: Int): Float = bb.getFloat(pos)
+  def f64(pos: Int): Double = bb.getDouble(pos)
   def bool(pos: Int): Boolean = bb.get(pos) != 0
 
   /** Follow a uoffset field to its target's absolute position. */
@@ -313,6 +348,20 @@ final class FlatBufReader(bytes: Array[Byte]) {
     val out = new Array[Int](n)
     var i = 0
     while (i < n) { out(i) = u8(vectorElems(v) + i); i += 1 }
+    out
+  }
+
+  /** Generic bounds-checked element read: `elemSize` in {1,2,4,8},
+    * `read(absolutePos)` per element.
+    */
+  def readVector[T: scala.reflect.ClassTag](
+      fieldPos: Int,
+      elemSize: Int)(read: Int => T): Array[T] = {
+    val v = indirect(fieldPos)
+    val n = boundedLength(v, elemSize)
+    val out = new Array[T](n)
+    var i = 0
+    while (i < n) { out(i) = read(vectorElems(v) + i * elemSize); i += 1 }
     out
   }
 }

@@ -22,6 +22,8 @@ object WireCodecs {
   val Pl72Id = "pl72"
   val Run6s4tId = "6s4t"
   val Al00Id = "al00"
+  val F144Id = "f144"
+  val Se00Id = "se00"
 
   /** S2 identifier check (`common/src/lib.rs` message dispatch): cheap
     * 4-byte probe without decoding. Null-safe: a null payload (Kafka
@@ -281,6 +283,209 @@ object WireCodecs {
       timestampNs = { val p = r.fieldPos(t, 1); if (p < 0) 0L else r.u64(p) },
       severity = severities(sevCode),
       message = { val p = r.fieldPos(t, 3); if (p < 0) "" else r.string(p) })
+  }
+
+  // ---- f144 LogData: 20-member scalar/array value union ----
+  // Union wire rules (format spec): the union field occupies TWO slots —
+  // a hidden `value_type` utype (u8, member index + 1; 0 = NONE) at the
+  // field id before the value's uoffset. Member tables each hold one
+  // `value` field at id 0. The typed model stores (valueType name,
+  // widened double[s]); encode narrows with fail-closed exactness/range
+  // checks, decode widens — the same resolution the reference sink
+  // applies at first append (`nexus-writer/src/nexus/logs/f114.rs:35-57`).
+
+  private val f144Members = Vector(
+    "Byte", "UByte", "Short", "UShort", "Int", "UInt", "Long", "ULong",
+    "Float", "Double",
+    "ArrayByte", "ArrayUByte", "ArrayShort", "ArrayUShort", "ArrayInt",
+    "ArrayUInt", "ArrayLong", "ArrayULong", "ArrayFloat", "ArrayDouble")
+
+  private def wholeIn(member: String, v: Double, min: Long, max: Long): Long = {
+    val lv = v.toLong
+    require(
+      lv.toDouble == v && lv >= min && lv <= max,
+      s"$v is not a whole number in [$min, $max] for $member")
+    lv
+  }
+
+  private def floatExact(member: String, v: Double): Float = {
+    require(v.toFloat.toDouble == v || v.isNaN, s"$v is not float-exact for $member")
+    v.toFloat
+  }
+
+  private def unsignedToDouble(l: Long): Double =
+    if (l >= 0) l.toDouble else ((l >>> 1).toDouble * 2.0 + (l & 1L))
+
+  /** Write one union member table; returns its from-end offset. For
+    * array members the vector must be created BEFORE the table — handled
+    * here since each member is self-contained.
+    */
+  private def writeF144Member(b: FlatBufBuilder, tag: Int, v: Double, arr: Array[Double]): Int = {
+    val name = f144Members(tag - 1)
+    def bits8(x: Double, min: Long, max: Long) = (wholeIn(name, x, min, max) & 0xff).toInt
+    def bits16(x: Double, min: Long, max: Long) = (wholeIn(name, x, min, max) & 0xffff).toInt
+    def bits32(x: Double, min: Long, max: Long) = wholeIn(name, x, min, max) & 0xffffffffL
+    def bits64(x: Double, signed: Boolean) = {
+      val lv = x.toLong
+      require(lv.toDouble == x && (signed || x >= 0), s"$x out of range for $name")
+      lv
+    }
+    // array members: vector first, then the one-field table
+    val vecOff = tag match {
+      case 11 => b.createUByteVector(arr.map(bits8(_, -128, 127)))
+      case 12 => b.createUByteVector(arr.map(bits8(_, 0, 255)))
+      case 13 => b.createUShortVector(arr.map(bits16(_, -32768, 32767)))
+      case 14 => b.createUShortVector(arr.map(bits16(_, 0, 65535)))
+      case 15 => b.createUIntVector(arr.map(bits32(_, Int.MinValue, Int.MaxValue)))
+      case 16 => b.createUIntVector(arr.map(bits32(_, 0, U32)))
+      case 17 => b.createLongVector(arr.map(bits64(_, signed = true)))
+      case 18 => b.createLongVector(arr.map(bits64(_, signed = false)))
+      case 19 => b.createFloatVector(arr.map(floatExact(name, _)))
+      case 20 => b.createDoubleVector(arr)
+      case _ => -1
+    }
+    b.startTable(1)
+    tag match {
+      case 1 => b.slotByte(0, wholeIn(name, v, -128, 127).toByte)
+      case 2 => b.slotByte(0, wholeIn(name, v, 0, 255).toByte)
+      case 3 => b.slotShort(0, wholeIn(name, v, -32768, 32767).toShort)
+      case 4 => b.slotShort(0, wholeIn(name, v, 0, 65535).toShort)
+      case 5 => b.slotInt(0, wholeIn(name, v, Int.MinValue, Int.MaxValue).toInt)
+      case 6 => b.slotInt(0, (wholeIn(name, v, 0, U32) & 0xffffffffL).toInt)
+      case 7 => b.slotLong(0, bits64(v, signed = true))
+      case 8 => b.slotLong(0, bits64(v, signed = false))
+      case 9 => b.slotFloat(0, floatExact(name, v))
+      case 10 => b.slotDouble(0, v)
+      case _ => b.slotUOffset(0, vecOff)
+    }
+    b.endTable()
+  }
+
+  private def readF144Member(r: FlatBufReader, tag: Int, member: Int): (Double, Array[Double]) = {
+    val p = r.fieldPos(member, 0)
+    def scalar(read: Int => Double, dflt: Double = 0.0): (Double, Array[Double]) =
+      (if (p < 0) dflt else read(p), Array.empty[Double])
+    def array(elemSize: Int)(read: Int => Double): (Double, Array[Double]) =
+      (0.0, if (p < 0) Array.empty[Double] else r.readVector(p, elemSize)(read))
+    tag match {
+      case 1 => scalar(r.i8(_).toDouble)
+      case 2 => scalar(r.u8(_).toDouble)
+      case 3 => scalar(r.i16(_).toDouble)
+      case 4 => scalar(r.u16(_).toDouble)
+      case 5 => scalar(r.i32(_).toDouble)
+      case 6 => scalar(r.u32(_).toDouble)
+      case 7 => scalar(r.u64(_).toDouble)
+      case 8 => scalar(p => unsignedToDouble(r.u64(p)))
+      case 9 => scalar(r.f32(_).toDouble)
+      case 10 => scalar(r.f64(_))
+      case 11 => array(1)(r.i8(_).toDouble)
+      case 12 => array(1)(r.u8(_).toDouble)
+      case 13 => array(2)(r.i16(_).toDouble)
+      case 14 => array(2)(r.u16(_).toDouble)
+      case 15 => array(4)(r.i32(_).toDouble)
+      case 16 => array(4)(r.u32(_).toDouble)
+      case 17 => array(8)(r.u64(_).toDouble)
+      case 18 => array(8)(p => unsignedToDouble(r.u64(p)))
+      case 19 => array(4)(r.f32(_).toDouble)
+      case 20 => array(8)(r.f64(_))
+      case t => throw new IllegalArgumentException(s"f144 union tag $t out of range")
+    }
+  }
+
+  def encodeF144(m: LogData): Array[Byte] = {
+    val tag = f144Members.indexOf(m.valueType) + 1
+    require(tag > 0, s"unknown f144 value type ${m.valueType}")
+    val b = FlatBufBuilder.threadLocal()
+    val memberOff = writeF144Member(b, tag, m.value, m.arrayValue)
+    val nameOff = b.createString(m.sourceName)
+    b.startTable(4)
+    b.slotUOffset(3, memberOff)
+    b.slotByte(2, tag.toByte)
+    b.slotLong(1, m.timestampNs)
+    b.slotUOffset(0, nameOff)
+    b.finish(b.endTable(), F144Id)
+  }
+
+  def decodeF144(bytes: Array[Byte]): LogData = {
+    require(hasIdentifier(bytes, F144Id), s"not a $F144Id buffer")
+    val r = new FlatBufReader(bytes)
+    val t = r.rootTable
+    val tag = { val p = r.fieldPos(t, 2); if (p < 0) 0 else r.u8(p) }
+    require(tag >= 1 && tag <= 20, s"f144 union tag $tag out of range")
+    val memberPos = r.fieldPos(t, 3)
+    require(memberPos >= 0, "f144 value is required")
+    val (v, arr) = readF144Member(r, tag, r.indirect(memberPos))
+    LogData(
+      sourceName = { val p = r.fieldPos(t, 0); if (p < 0) "" else r.string(p) },
+      timestampNs = { val p = r.fieldPos(t, 1); if (p < 0) 0L else r.u64(p) },
+      valueType = f144Members(tag - 1),
+      value = v,
+      arrayValue = arr)
+  }
+
+  // ---- se00 SampleEnvironmentData: 10-member array union ----
+
+  private val se00Locations = Array("Unknown", "Start", "Middle", "End")
+
+  /** Encode emits the DoubleArray member (tag 9) — the typed model holds
+    * widened doubles, and any conformant consumer resolves the union per
+    * message; decode accepts all ten members.
+    */
+  def encodeSe00(m: SampleEnvLog): Array[Byte] = {
+    val loc = se00Locations.indexOf(m.timestampLocation)
+    require(loc >= 0, s"unknown timestamp_location ${m.timestampLocation}")
+    val b = FlatBufBuilder.threadLocal()
+    val valuesOff = b.createDoubleVector(m.values)
+    val member = { b.startTable(1); b.slotUOffset(0, valuesOff); b.endTable() }
+    val tsOff = if (m.timestamps.nonEmpty) b.createLongVector(m.timestamps) else -1
+    val nameOff = b.createString(m.name)
+    b.startTable(9)
+    b.slotLong(8, m.messageCounter)
+    if (tsOff >= 0) b.slotUOffset(7, tsOff)
+    b.slotUOffset(6, member)
+    b.slotByte(5, 9) // DoubleArray
+    b.slotByte(4, loc.toByte)
+    b.slotDouble(3, m.timeDelta)
+    b.slotLong(2, m.packetTimestampNs)
+    b.slotInt(1, m.channel)
+    b.slotUOffset(0, nameOff)
+    b.finish(b.endTable(), Se00Id)
+  }
+
+  def decodeSe00(bytes: Array[Byte]): SampleEnvLog = {
+    require(hasIdentifier(bytes, Se00Id), s"not a $Se00Id buffer")
+    val r = new FlatBufReader(bytes)
+    val t = r.rootTable
+    val tag = { val p = r.fieldPos(t, 5); if (p < 0) 0 else r.u8(p) }
+    require(tag >= 1 && tag <= 10, s"se00 union tag $tag out of range")
+    val memberPos = r.fieldPos(t, 6)
+    require(memberPos >= 0, "se00 values is required")
+    val member = r.indirect(memberPos)
+    val p0 = r.fieldPos(member, 0)
+    require(p0 >= 0, "se00 member value is required")
+    val values: Array[Double] = tag match {
+      case 1 => r.readVector(p0, 1)(r.i8(_).toDouble)
+      case 2 => r.readVector(p0, 1)(r.u8(_).toDouble)
+      case 3 => r.readVector(p0, 2)(r.i16(_).toDouble)
+      case 4 => r.readVector(p0, 2)(r.u16(_).toDouble)
+      case 5 => r.readVector(p0, 4)(r.i32(_).toDouble)
+      case 6 => r.readVector(p0, 4)(r.u32(_).toDouble)
+      case 7 => r.readVector(p0, 8)(r.u64(_).toDouble)
+      case 8 => r.readVector(p0, 8)(p => unsignedToDouble(r.u64(p)))
+      case 9 => r.readVector(p0, 8)(r.f64(_))
+      case 10 => r.readVector(p0, 4)(r.f32(_).toDouble)
+    }
+    val loc = { val p = r.fieldPos(t, 4); if (p < 0) 0 else r.i8(p) }
+    require(loc >= 0 && loc < se00Locations.length, s"se00 location $loc out of range")
+    SampleEnvLog(
+      name = { val p = r.fieldPos(t, 0); if (p < 0) "" else r.string(p) },
+      channel = { val p = r.fieldPos(t, 1); if (p < 0) 0 else r.i32(p) },
+      packetTimestampNs = { val p = r.fieldPos(t, 2); if (p < 0) 0L else r.u64(p) },
+      timeDelta = { val p = r.fieldPos(t, 3); if (p < 0) 0.0 else r.f64(p) },
+      timestampLocation = se00Locations(loc),
+      values = values,
+      timestamps = { val p = r.fieldPos(t, 7); if (p < 0) Array.emptyLongArray else r.readVector(p, 8)(r.u64) },
+      messageCounter = { val p = r.fieldPos(t, 8); if (p < 0) 0L else r.u64(p) })
   }
 
   // ---- aev2: FrameAssembledEventListMessage ----

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.schemas.{AssembledFrame, EventListMessage, TraceMessage, WireCodecs}
+import graft.schemas.{AssembledFrame, EventListMessage, LogData, SampleEnvLog, TraceMessage, WireCodecs}
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 
@@ -122,5 +122,27 @@ object WireIngest {
     implicit val enc = Encoders.product[AssembledFrame]
     implicit val pairEnc = Encoders.product[(AssembledFrame, String)]
     routed(raw, WireCodecs.Aev2Id, observeName, WireCodecs.decodeAev2)
+  }
+
+  /** f144 run-log topic (all 20 value-union variants widen into the typed
+    * [[LogData]] model); metrics under `wire_ingest_f144`.
+    */
+  def f144FromBinary(
+      raw: Dataset[Array[Byte]],
+      observeName: String = "wire_ingest_f144"): Dataset[LogData] = {
+    implicit val enc = Encoders.product[LogData]
+    implicit val pairEnc = Encoders.product[(LogData, String)]
+    routed(raw, WireCodecs.F144Id, observeName, WireCodecs.decodeF144)
+  }
+
+  /** se00 sample-environment topic (10 array-union members widen to
+    * doubles); metrics under `wire_ingest_se00`.
+    */
+  def se00FromBinary(
+      raw: Dataset[Array[Byte]],
+      observeName: String = "wire_ingest_se00"): Dataset[SampleEnvLog] = {
+    implicit val enc = Encoders.product[SampleEnvLog]
+    implicit val pairEnc = Encoders.product[(SampleEnvLog, String)]
+    routed(raw, WireCodecs.Se00Id, observeName, WireCodecs.decodeSe00)
   }
 }

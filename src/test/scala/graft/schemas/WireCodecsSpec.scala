@@ -239,6 +239,71 @@ class WireCodecsSpec extends AnyFunSuite {
     assert(msgs.forall(_.ingestTimeMs > 0L))
   }
 
+  test("f144/se00 unions: all 20 log variants round-trip; foreign member decode widens") {
+    val types = Seq(
+      "Byte", "UByte", "Short", "UShort", "Int", "UInt", "Long", "ULong",
+      "Float", "Double",
+      "ArrayByte", "ArrayUByte", "ArrayShort", "ArrayUShort", "ArrayInt",
+      "ArrayUInt", "ArrayLong", "ArrayULong", "ArrayFloat", "ArrayDouble")
+    types.zipWithIndex.foreach { case (t, i) =>
+      val isArray = i >= 10
+      val sample = (j: Int) => (i * 7 + j * 3 + 1).toDouble // whole, in every range
+      val m = LogData(
+        sourceName = s"pv_$t",
+        timestampNs = 1700000000000000000L + i,
+        valueType = t,
+        value = if (isArray) 0.0 else sample(0),
+        arrayValue = if (isArray) Array.tabulate(3)(sample) else Array.empty)
+      val bytes = WireCodecs.encodeF144(m)
+      assert(new String(bytes.slice(4, 8), "US-ASCII") === "f144")
+      val back = WireCodecs.decodeF144(bytes)
+      assert(back.sourceName === m.sourceName)
+      assert(back.valueType === t)
+      assert(back.value === m.value)
+      assert(back.arrayValue.toSeq === m.arrayValue.toSeq)
+    }
+    // fractional value into an integer member → fail closed
+    intercept[IllegalArgumentException](WireCodecs.encodeF144(
+      LogData("pv", 1L, "Int", 1.5, Array.empty)))
+    // Double keeps full precision (no float narrowing)
+    val d = LogData("pv", 1L, "Double", math.Pi, Array.empty)
+    assert(WireCodecs.decodeF144(WireCodecs.encodeF144(d)).value === math.Pi)
+
+    val se = SampleEnvLog(
+      name = "se_dev",
+      channel = 3,
+      packetTimestampNs = 1700000000000000005L,
+      timeDelta = 250000.0,
+      timestampLocation = "Middle",
+      values = Array(1.5, -2.25, 3.0),
+      timestamps = Array(10L, 20L, 30L),
+      messageCounter = 42L)
+    val seb = WireCodecs.encodeSe00(se)
+    assert(new String(seb.slice(4, 8), "US-ASCII") === "se00")
+    val seBack = WireCodecs.decodeSe00(seb)
+    assert(seBack === se.copy(values = seBack.values, timestamps = seBack.timestamps))
+    assert(seBack.values.toSeq === se.values.toSeq)
+    assert(seBack.timestamps.toSeq === se.timestamps.toSeq)
+    // empty timestamps encode as absent and decode back empty
+    val noTs = WireCodecs.decodeSe00(WireCodecs.encodeSe00(se.copy(timestamps = Array.empty)))
+    assert(noTs.timestamps.isEmpty)
+
+    // a producer sending a non-double member (Int16Array) decodes widened
+    val b = new graft.functions.FlatBufBuilder()
+    val vec = b.createUShortVector(Array(7, 65535 & -9 /* -9 as u16 bits */))
+    val member = { b.startTable(1); b.slotUOffset(0, vec); b.endTable() }
+    val nameOff = b.createString("se_i16")
+    b.startTable(9)
+    b.slotUOffset(6, member)
+    b.slotByte(5, 3) // Int16Array
+    b.slotUOffset(0, nameOff)
+    val foreign = b.finish(b.endTable(), "se00")
+    val fBack = WireCodecs.decodeSe00(foreign)
+    assert(fBack.name === "se_i16")
+    assert(fBack.values.toSeq === Seq(7.0, -9.0))
+    assert(fBack.timestampLocation === "Unknown")
+  }
+
   test("encode fails closed on out-of-range values (no silent truncation)") {
     val ok = EventListMessage(1, meta(), Array(1L), Array(1), Array(1L))
     // pre-2000 timestamp → GpsTime year out of u8
