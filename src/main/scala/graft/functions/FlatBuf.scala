@@ -133,9 +133,14 @@ final class FlatBufBuilder(initialCapacity: Int = 1024) {
     offset
   }
 
-  /** Vector of i64/u64 values (raw 8-byte bits). */
+  /** Vector of i64/u64 values (raw 8-byte bits). Elements must be
+    * 8-ALIGNED per the spec (the length prefix sits in the 4 bytes just
+    * below them) — aligned-access readers and the official verifier
+    * reject 4-aligned 8-byte elements even though unaligned readers like
+    * [[FlatBufReader]] would not notice.
+    */
   def createLongVector(values: Array[Long]): Int = {
-    prep(4, values.length * 8)
+    prep(8, values.length * 8)
     var i = values.length - 1
     while (i >= 0) { putLong(values(i)); i -= 1 }
     putInt(values.length)

@@ -316,6 +316,34 @@ object WireCodecs {
   private def unsignedToDouble(l: Long): Double =
     if (l >= 0) l.toDouble else ((l >>> 1).toDouble * 2.0 + (l & 1L))
 
+  private val Two63 = 9.223372036854776e18 // 2^63, exactly representable
+  private val Two64 = 1.8446744073709552e19 // 2^64
+
+  /** Whole-double → i64/u64 bits, fail closed. The subtle corner:
+    * `x.toLong` SATURATES, and `Long.MaxValue.toDouble` rounds back to
+    * exactly 2^63 — so a naive `lv.toDouble == x` check silently writes
+    * `Long.MaxValue` for x == 2^63. Bounds are therefore explicit, and
+    * the u64 upper half [2^63, 2^64) is reconstructed via exact halving
+    * (doubles there have ulp ≥ 2048, so every representable value is
+    * even and x/2 is exact) — keeping encode(decode(bits)) total over
+    * the full u64 range [[unsignedToDouble]] can produce.
+    */
+  private def longBits64(member: String, x: Double, signed: Boolean): Long =
+    if (signed) {
+      require(
+        x >= Long.MinValue.toDouble && x < Two63 && x.toLong.toDouble == x,
+        s"$x is not a whole number in i64 range for $member")
+      x.toLong
+    } else if (x < Two63) {
+      require(x >= 0 && x.toLong.toDouble == x, s"$x is not a whole number in u64 range for $member")
+      x.toLong
+    } else {
+      require(x < Two64, s"$x out of u64 range for $member")
+      val half = x / 2.0
+      require(half.toLong.toDouble == half, s"$x is not a whole number for $member")
+      half.toLong << 1
+    }
+
   /** Write one union member table; returns its from-end offset. For
     * array members the vector must be created BEFORE the table — handled
     * here since each member is self-contained.
@@ -325,11 +353,7 @@ object WireCodecs {
     def bits8(x: Double, min: Long, max: Long) = (wholeIn(name, x, min, max) & 0xff).toInt
     def bits16(x: Double, min: Long, max: Long) = (wholeIn(name, x, min, max) & 0xffff).toInt
     def bits32(x: Double, min: Long, max: Long) = wholeIn(name, x, min, max) & 0xffffffffL
-    def bits64(x: Double, signed: Boolean) = {
-      val lv = x.toLong
-      require(lv.toDouble == x && (signed || x >= 0), s"$x out of range for $name")
-      lv
-    }
+    def bits64(x: Double, signed: Boolean) = longBits64(name, x, signed)
     // array members: vector first, then the one-field table
     val vecOff = tag match {
       case 11 => b.createUByteVector(arr.map(bits8(_, -128, 127)))
@@ -361,12 +385,38 @@ object WireCodecs {
     b.endTable()
   }
 
+  /** Shared widening element readers — ONE (elemSize, reader) mapping for
+    * both schemas' array unions; each schema supplies its own member
+    * ORDER list so the per-schema tag assignment stays explicit.
+    */
+  private def readArrayMember(r: FlatBufReader, p: Int, kind: String): Array[Double] =
+    kind match {
+      case "i8" => r.readVector(p, 1)(r.i8(_).toDouble)
+      case "u8" => r.readVector(p, 1)(r.u8(_).toDouble)
+      case "i16" => r.readVector(p, 2)(r.i16(_).toDouble)
+      case "u16" => r.readVector(p, 2)(r.u16(_).toDouble)
+      case "i32" => r.readVector(p, 4)(r.i32(_).toDouble)
+      case "u32" => r.readVector(p, 4)(r.u32(_).toDouble)
+      case "i64" => r.readVector(p, 8)(r.u64(_).toDouble)
+      case "u64" => r.readVector(p, 8)(pos => unsignedToDouble(r.u64(pos)))
+      case "f32" => r.readVector(p, 4)(r.f32(_).toDouble)
+      case "f64" => r.readVector(p, 8)(r.f64(_))
+    }
+
+  /** f144 union member kinds in tag order 11..20 (array half). */
+  private val f144ArrayKinds =
+    Vector("i8", "u8", "i16", "u16", "i32", "u32", "i64", "u64", "f32", "f64")
+
+  /** se00 union member kinds in tag order 1..10 — note Double(9) before
+    * Float(10), the reverse of f144's tail.
+    */
+  private val se00ArrayKinds =
+    Vector("i8", "u8", "i16", "u16", "i32", "u32", "i64", "u64", "f64", "f32")
+
   private def readF144Member(r: FlatBufReader, tag: Int, member: Int): (Double, Array[Double]) = {
     val p = r.fieldPos(member, 0)
     def scalar(read: Int => Double, dflt: Double = 0.0): (Double, Array[Double]) =
       (if (p < 0) dflt else read(p), Array.empty[Double])
-    def array(elemSize: Int)(read: Int => Double): (Double, Array[Double]) =
-      (0.0, if (p < 0) Array.empty[Double] else r.readVector(p, elemSize)(read))
     tag match {
       case 1 => scalar(r.i8(_).toDouble)
       case 2 => scalar(r.u8(_).toDouble)
@@ -378,16 +428,10 @@ object WireCodecs {
       case 8 => scalar(p => unsignedToDouble(r.u64(p)))
       case 9 => scalar(r.f32(_).toDouble)
       case 10 => scalar(r.f64(_))
-      case 11 => array(1)(r.i8(_).toDouble)
-      case 12 => array(1)(r.u8(_).toDouble)
-      case 13 => array(2)(r.i16(_).toDouble)
-      case 14 => array(2)(r.u16(_).toDouble)
-      case 15 => array(4)(r.i32(_).toDouble)
-      case 16 => array(4)(r.u32(_).toDouble)
-      case 17 => array(8)(r.u64(_).toDouble)
-      case 18 => array(8)(p => unsignedToDouble(r.u64(p)))
-      case 19 => array(4)(r.f32(_).toDouble)
-      case 20 => array(8)(r.f64(_))
+      case t if t >= 11 && t <= 20 =>
+        (0.0,
+          if (p < 0) Array.empty[Double]
+          else readArrayMember(r, p, f144ArrayKinds(t - 11)))
       case t => throw new IllegalArgumentException(s"f144 union tag $t out of range")
     }
   }
@@ -463,18 +507,7 @@ object WireCodecs {
     val member = r.indirect(memberPos)
     val p0 = r.fieldPos(member, 0)
     require(p0 >= 0, "se00 member value is required")
-    val values: Array[Double] = tag match {
-      case 1 => r.readVector(p0, 1)(r.i8(_).toDouble)
-      case 2 => r.readVector(p0, 1)(r.u8(_).toDouble)
-      case 3 => r.readVector(p0, 2)(r.i16(_).toDouble)
-      case 4 => r.readVector(p0, 2)(r.u16(_).toDouble)
-      case 5 => r.readVector(p0, 4)(r.i32(_).toDouble)
-      case 6 => r.readVector(p0, 4)(r.u32(_).toDouble)
-      case 7 => r.readVector(p0, 8)(r.u64(_).toDouble)
-      case 8 => r.readVector(p0, 8)(p => unsignedToDouble(r.u64(p)))
-      case 9 => r.readVector(p0, 8)(r.f64(_))
-      case 10 => r.readVector(p0, 4)(r.f32(_).toDouble)
-    }
+    val values: Array[Double] = readArrayMember(r, p0, se00ArrayKinds(tag - 1))
     val loc = { val p = r.fieldPos(t, 4); if (p < 0) 0 else r.i8(p) }
     require(loc >= 0 && loc < se00Locations.length, s"se00 location $loc out of range")
     SampleEnvLog(

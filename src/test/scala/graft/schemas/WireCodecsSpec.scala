@@ -269,6 +269,19 @@ class WireCodecsSpec extends AnyFunSuite {
     val d = LogData("pv", 1L, "Double", math.Pi, Array.empty)
     assert(WireCodecs.decodeF144(WireCodecs.encodeF144(d)).value === math.Pi)
 
+    // u64 corners: 2^63 saturation aliasing must FAIL for signed Long but
+    // encode correctly for ULong; the upper u64 half round-trips exactly
+    val two63 = 9.223372036854776e18
+    intercept[IllegalArgumentException](WireCodecs.encodeF144(
+      LogData("pv", 1L, "Long", two63, Array.empty)))
+    assert(WireCodecs.decodeF144(WireCodecs.encodeF144(
+      LogData("pv", 1L, "ULong", two63, Array.empty))).value === two63)
+    val upper = 1.8446744073709550e19 // 2^64 - 2048, representable
+    assert(WireCodecs.decodeF144(WireCodecs.encodeF144(
+      LogData("pv", 1L, "ULong", upper, Array.empty))).value === upper)
+    intercept[IllegalArgumentException](WireCodecs.encodeF144(
+      LogData("pv", 1L, "ULong", 1.8446744073709552e19, Array.empty))) // == 2^64
+
     val se = SampleEnvLog(
       name = "se_dev",
       channel = 3,
@@ -280,6 +293,15 @@ class WireCodecsSpec extends AnyFunSuite {
       messageCounter = 42L)
     val seb = WireCodecs.encodeSe00(se)
     assert(new String(seb.slice(4, 8), "US-ASCII") === "se00")
+    // spec conformance: 8-byte vector elements (timestamps i64, values
+    // f64) must land 8-ALIGNED — aligned-access readers and the official
+    // verifier reject 4-aligned 64-bit elements
+    val seReader = new FlatBufReader(seb)
+    val tsVec = seReader.indirect(seReader.fieldPos(seReader.rootTable, 7))
+    assert((tsVec + 4) % 8 === 0, "timestamps elements 8-aligned")
+    val valVec = seReader.indirect(
+      seReader.fieldPos(seReader.indirect(seReader.fieldPos(seReader.rootTable, 6)), 0))
+    assert((valVec + 4) % 8 === 0, "values elements 8-aligned")
     val seBack = WireCodecs.decodeSe00(seb)
     assert(seBack === se.copy(values = seBack.values, timestamps = seBack.timestamps))
     assert(seBack.values.toSeq === se.values.toSeq)
