@@ -108,24 +108,18 @@ object PipelineQueries {
       .agg(sum(col("n_ch_events")).cast("int").as("n_events"))
   }
 
-  /** A2 frame assembly, oracle-checkable: a deterministic dev2 fixture
-    * (32 frames × 4 digitisers, arithmetic event lists — no FSM in the
-    * input path, so DuckDB regenerates it with `range()`) exercises every
-    * assembly rule: veto-flag OR across digitisers, duplicate-digitiser
-    * rejection (frames f%8==0 carry a lexicographically-larger duplicate
-    * for digitiser 0 — the smaller original wins), incomplete frames
-    * (f%5==0 is missing digitiser 3), and ORDER-SENSITIVE concatenation
-    * (position-weighted checksums over the assembled SoA arrays — a
-    * correct set in the wrong order fails the hash).
-    */
   /** The arithmetic dev2 fixture shared by [[frameAssembly]],
-    * [[nexusFrameTable]] and [[nexusEventTable]]: 32 frames × 4
-    * digitisers with closed-form event lists (no FSM anywhere in the
-    * input path, so a DuckDB oracle regenerates it from `range()`),
-    * incomplete frames at f%5==0 (digitiser 3 missing), and
-    * duplicate-digitiser redeliveries at (f%8==0, d==0) whose payload
-    * sorts AFTER the original (+500 on every time, one extra trailing
-    * event, same veto flags) — the original must win assembly.
+    * [[streamFrameAssembly]], [[nexusFrameTable]], [[nexusEventTable]]
+    * and [[wireRoundtrip]]: 32 frames × 4 digitisers with closed-form
+    * event lists (no FSM anywhere in the input path, so a DuckDB oracle
+    * regenerates it from `range()` — see [[arithmeticDev2Sql]]).
+    * Exercises every assembly rule: veto-flag OR across digitisers,
+    * incomplete frames at f%5==0 (digitiser 3 missing), ORDER-SENSITIVE
+    * concatenation (position-weighted checksums — a correct set in the
+    * wrong order fails the hash), and duplicate-digitiser redeliveries
+    * at (f%8==0, d==0) whose payload sorts AFTER the original (+500 on
+    * every time, one extra trailing event, same veto flags) — the
+    * original must win batch assembly.
     */
   private[queries] def arithmeticDev2Messages: (Seq[EventListMessage], Seq[EventListMessage]) = {
     val base = cfg.startTimestampNs
