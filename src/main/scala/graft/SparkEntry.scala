@@ -53,7 +53,9 @@ object SparkEntry {
     "q_nexus_frame_table" -> (PipelineQueries.nexusFrameTable _),
     "q_nexus_event_table" -> (PipelineQueries.nexusEventTable _),
     "q_wire_roundtrip" -> (PipelineQueries.wireRoundtrip _),
+    "q_wire_runstart" -> (PipelineQueries.wireRunStart _),
     "q_pipeline_e2e" -> (PipelineQueries.pipelineE2e _),
+    "q_wire_e2e" -> (PipelineQueries.wireE2e _),
     "q_sim_schedule" -> (PipelineQueries.simSchedule _),
     "q_trace_file_scan" -> (PipelineQueries.traceFileScan _),
     "q_stream_frame_assembly" -> (StreamingQueries.streamFrameAssembly _),
@@ -153,7 +155,9 @@ object SparkEntry {
     "q_nexus_frame_table" -> PipelineQueries.nexusFrameTableSql,
     "q_nexus_event_table" -> PipelineQueries.nexusEventTableSql,
     "q_trace_file_scan" -> PipelineQueries.traceFileScanSql,
+    "q_trace_to_events" -> PipelineQueries.traceToEventsSql,
     "q_wire_roundtrip" -> PipelineQueries.wireRoundtripSql,
+    "q_wire_runstart" -> PipelineQueries.wireRunStartSql,
     // multimodal plumbing on the closed-form synthetic payload
     "q_media_features" -> MultimodalQueries.mediaFeaturesSql,
     "q_media_frame_sample" -> MultimodalQueries.mediaFrameSampleSql,

@@ -64,13 +64,32 @@ case class DetectPulsesAdvanced(
           children.map(_.dataType.simpleString).mkString(", "))
   }
 
+  // the six scalar params are foldable literals at every call site — fold
+  // them ONCE instead of allocating children.map(_.eval) per row on the
+  // hottest scan; @transient lazy so the cache rebuilds after the
+  // expression ships to executors
+  @transient private lazy val paramExprs: Array[Expression] =
+    Array(onset, fall, termination, duration, baselineLength, smoothingSize)
+  @transient private lazy val foldedParams: Array[Any] =
+    paramExprs.map(e => if (e.foldable) e.eval(InternalRow.empty) else null)
+
+  private def param(i: Int, input: InternalRow): Any =
+    if (paramExprs(i).foldable) foldedParams(i) else paramExprs(i).eval(input)
+
   override def eval(input: InternalRow): Any = {
     // null-safe like the quaternary base's nullSafeEval: ANY null child →
     // NULL result (null.asInstanceOf[Double] would silently unbox to 0.0
     // and run the FSM with garbage thresholds)
-    val vals = children.map(_.eval(input))
-    if (vals.exists(_ == null)) return null
-    val Seq(s, onV, faV, teV, duV, blV, smV) = vals
+    val s = samples.eval(input)
+    if (s == null) return null
+    val onV = param(0, input)
+    val faV = param(1, input)
+    val teV = param(2, input)
+    val duV = param(3, input)
+    val blV = param(4, input)
+    val smV = param(5, input)
+    if (onV == null || faV == null || teV == null || duV == null || blV == null || smV == null)
+      return null
     val trace = s.asInstanceOf[ArrayData].toDoubleArray()
     val on = onV.asInstanceOf[Double]
     val fa = faV.asInstanceOf[Double]

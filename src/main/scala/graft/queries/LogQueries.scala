@@ -419,11 +419,22 @@ object LogQueries {
     * trace→event FSM chain over the closed-form [[TraceFixtures]] grid,
     * so the DuckDB oracle re-derives the per-spectrum event counts with
     * gaps-and-islands — the detection FSM, channel-id fan-out, and the
-    * broadcast dimension join are all hash-checked end-to-end.
+    * broadcast dimension join are all hash-checked end-to-end. The
+    * mapping itself arrives the way the reference receives it: embedded
+    * as a df12 table inside a pl72 RunStart and extracted from the WIRE
+    * BYTES (`ecs_pl72_run_start.fbs:25`), so the nested-table codec sits
+    * on this oracle's hash path too.
     */
   def spectrumMap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val mapping = (0 until 32).map(i => SpectrumMapping(spectrum = 1000 + i, detectorId = i)).toDS()
+    val wire = graft.schemas.WireCodecs.encodePl72(RunStart(
+      "run_map", 1700000000000L, "muon",
+      detectorSpectrumMap = Some(graft.schemas.SpectraDetectorMap(
+        spectrum = (0 until 32).map(1000 + _),
+        detectorId = 0 until 32,
+        nSpectra = 32))))
+    val mapping = graft.schemas.WireCodecs.decodePl72(wire)
+      .detectorSpectrumMap.get.mappings.toDS()
     val dev2 = EventFormation.formEvents(
       TraceFixtures.arithmeticTraces(s, nFrames = 8, nDigitizers = 4),
       DetectorSettings(FixedThreshold(threshold = 100.0), baseline = 50.0))

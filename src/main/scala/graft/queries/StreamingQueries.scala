@@ -23,7 +23,13 @@ object StreamingQueries {
     * Scale: per-window partial aggregation, state bounded by the
     * watermark horizon.
     */
-  def streamWindowedCounts(s: SparkSession, dir: String): DataFrame = {
+  def streamWindowedCounts(s0: SparkSession, dir: String): DataFrame = {
+    // stateful operators open one state store per shuffle partition per
+    // micro-batch; for this bounded drain the store-commit overhead
+    // dominates, so run in a session clone with fewer partitions (a
+    // production deployment sizes this to window×key cardinality instead)
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     // raw file schema: ts arrives as ns-since-epoch long (nanosAsLong)
     val raw = s.read.parquet(s"$dir/events.parquet").schema
     val stream = s.readStream
@@ -112,7 +118,12 @@ object StreamingQueries {
     * real behavior but not a deterministic hash — P6 stream rejection is
     * locked by StreamingSpec's dedicated late-rejection test instead.
     */
-  def streamFrameAssembly(s: SparkSession, dir: String): DataFrame = {
+  def streamFrameAssembly(s0: SparkSession, dir: String): DataFrame = {
+    // same state-store mitigation as the other bounded drains: each of
+    // the ~TTL/trigger micro-batches commits one state store per shuffle
+    // partition, so fewer partitions = far fewer empty-store commits
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val (originals, _) = PipelineQueries.arithmeticDev2Messages
@@ -122,10 +133,12 @@ object StreamingQueries {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
     val name = s"stream_frames_${System.nanoTime()}"
     val query = FrameAssemblyStream
-      // TTL sized to the feed: every contribution is available before the
-      // first trigger fires, so the countdown only has to outlast one
-      // micro-batch, not a real digitiser skew window
-      .assemble(input.toDS(), Seq(0, 1, 2, 3), ttlMs = 1200L)
+      // TTL sized to the feed: the single addData batch carries every
+      // contribution, so a frame is either complete-dispatched from that
+      // batch or a permanent partial — the countdown only has to reach
+      // the next trigger, not a real digitiser skew window (the dead wait
+      // for the f%5==0 partials is TTL + one trigger period)
+      .assemble(input.toDS(), Seq(0, 1, 2, 3), ttlMs = 300L)
       .writeStream
       .format("memory")
       .queryName(name)

@@ -66,14 +66,39 @@ final case class AssembledFrame(
     complete: Boolean,
     digitizersPresent: Array[Int])
 
-/** pl72 run start (`schemas/ecs_pl72_run_start.fbs:14-31`; subset that the
-  * engine consumes — `nexus_structure` JSON passes through opaquely).
+/** df12 detector-spectrum mapping as carried inside a pl72 RunStart
+  * (`schemas/ecs_df12_det_spec_map.fbs:6-10`): two parallel `[int]`
+  * vectors plus the declared spectrum count. Seq (not Array) so the case
+  * class keeps structural equality — round-trip specs compare whole
+  * messages.
+  */
+final case class SpectraDetectorMap(
+    spectrum: Seq[Int],
+    detectorId: Seq[Int],
+    nSpectra: Int) {
+
+  /** The broadcast-dimension rendering consumed by the J5 join. */
+  def mappings: Seq[SpectrumMapping] =
+    spectrum.lazyZip(detectorId).map((s, d) => SpectrumMapping(s, d))
+}
+
+/** pl72 run start (`schemas/ecs_pl72_run_start.fbs:14-31`). The file-writer
+  * contract fields are all carried: `nexus_structure` JSON passes through
+  * opaquely, the optional df12 `detector_spectrum_map` feeds the J5
+  * broadcast join. `broker`/`service_id`/`metadata` (unused by both
+  * reference consumers the engine models) decode to defaults and are not
+  * written.
   */
 final case class RunStart(
     runName: String,
     startTimeMs: Long,
     instrumentName: String,
-    nPeriods: Long = 1L)
+    nPeriods: Long = 1L,
+    nexusStructure: String = "",
+    jobId: String = "",
+    filename: String = "",
+    controlTopic: String = "",
+    detectorSpectrumMap: Option[SpectraDetectorMap] = None)
 
 /** 6s4t run stop (`schemas/ecs_6s4t_run_stop.fbs:12-18`); stopTimeMs == 0
   * means "stop NOW".
@@ -92,7 +117,11 @@ final case class LogData(
     value: Double,
     arrayValue: Array[Double])
 
-/** se00 sample-environment log (`schemas/ecs_se00_data.fbs:31-43`). */
+/** se00 sample-environment log (`schemas/ecs_se00_data.fbs:31-43`).
+  * `valuesType` names the 10-way ValueUnion member the samples arrived as
+  * (`Int8Array`…`FloatArray`); values are widened to doubles in the typed
+  * model and narrowed back — fail-closed — on encode.
+  */
 final case class SampleEnvLog(
     name: String,
     channel: Int,
@@ -101,7 +130,8 @@ final case class SampleEnvLog(
     timestampLocation: String,
     values: Array[Double],
     timestamps: Array[Long],
-    messageCounter: Long)
+    messageCounter: Long,
+    valuesType: String = "DoubleArray")
 
 /** al00 alarm (`schemas/ecs_al00_alarm.fbs:12-17`). */
 final case class Alarm(

@@ -209,14 +209,44 @@ object WireCodecs {
   // optional fields decode to defaults, extra producer fields are simply
   // not written; field ids follow .fbs declaration order)
 
+  /** pl72 field ids in `.fbs` declaration order: start_time 0, stop_time 1,
+    * run_name 2, instrument_name 3, nexus_structure 4, job_id 5, broker 6,
+    * service_id 7, filename 8, n_periods 9, detector_spectrum_map 10,
+    * metadata 11, control_topic 12. Optional strings are written only when
+    * non-empty (absent field decodes to the same default), matching how
+    * the reference producers omit fields their consumer ignores.
+    */
   def encodePl72(m: RunStart): Array[Byte] = {
     checkU("start_time", m.startTimeMs, Long.MaxValue)
     checkU("n_periods", m.nPeriods, U32)
     val b = FlatBufBuilder.threadLocal()
+    // nested df12 SpectraDetectorMapping table: child vectors first
+    val mapOff = m.detectorSpectrumMap.map { sm =>
+      require(
+        sm.spectrum.length == sm.detectorId.length,
+        s"df12 spectrum (${sm.spectrum.length}) and detector_id (${sm.detectorId.length}) must be parallel")
+      val specOff = b.createUIntVector(sm.spectrum.map(_.toLong & 0xffffffffL).toArray)
+      val detOff = b.createUIntVector(sm.detectorId.map(_.toLong & 0xffffffffL).toArray)
+      b.startTable(3)
+      b.slotInt(2, sm.nSpectra)
+      b.slotUOffset(1, detOff)
+      b.slotUOffset(0, specOff)
+      b.endTable()
+    }
+    def optString(v: String): Int = if (v.nonEmpty) b.createString(v) else -1
+    val ctlOff = optString(m.controlTopic)
+    val fileOff = optString(m.filename)
+    val jobOff = optString(m.jobId)
+    val nexusOff = optString(m.nexusStructure)
     val nameOff = b.createString(m.runName)
     val instrOff = b.createString(m.instrumentName)
     b.startTable(13)
+    if (ctlOff >= 0) b.slotUOffset(12, ctlOff)
+    mapOff.foreach(b.slotUOffset(10, _))
     b.slotInt(9, (m.nPeriods & 0xffffffffL).toInt)
+    if (fileOff >= 0) b.slotUOffset(8, fileOff)
+    if (jobOff >= 0) b.slotUOffset(5, jobOff)
+    if (nexusOff >= 0) b.slotUOffset(4, nexusOff)
     b.slotUOffset(3, instrOff)
     b.slotUOffset(2, nameOff)
     b.slotLong(0, m.startTimeMs)
@@ -230,11 +260,31 @@ object WireCodecs {
     def str(id: Int): String = {
       val p = r.fieldPos(t, id); if (p < 0) "" else r.string(p)
     }
+    val detSpecMap = {
+      val p = r.fieldPos(t, 10)
+      if (p < 0) None
+      else {
+        val mt = r.indirect(p)
+        def intVec(id: Int): Seq[Int] = {
+          val vp = r.fieldPos(mt, id)
+          if (vp < 0) Nil else scala.collection.immutable.ArraySeq.unsafeWrapArray(r.readVector(vp, 4)(r.i32))
+        }
+        Some(SpectraDetectorMap(
+          spectrum = intVec(0),
+          detectorId = intVec(1),
+          nSpectra = { val np = r.fieldPos(mt, 2); if (np < 0) 0 else r.i32(np) }))
+      }
+    }
     RunStart(
       runName = str(2),
       startTimeMs = { val p = r.fieldPos(t, 0); if (p < 0) 0L else r.u64(p) },
       instrumentName = str(3),
-      nPeriods = { val p = r.fieldPos(t, 9); if (p < 0) 1L else r.u32(p) })
+      nPeriods = { val p = r.fieldPos(t, 9); if (p < 0) 1L else r.u32(p) },
+      nexusStructure = str(4),
+      jobId = str(5),
+      filename = str(8),
+      controlTopic = str(12),
+      detectorSpectrumMap = detSpecMap)
   }
 
   def encode6s4t(m: RunStop): Array[Byte] = {
@@ -344,30 +394,39 @@ object WireCodecs {
       half.toLong << 1
     }
 
+  /** Narrow a widened double array back to its wire element type and
+    * write the vector — the shared encode half of [[readArrayMember]],
+    * used by both schemas' array unions (fail-closed: a value the target
+    * type can't hold exactly is an error, never a truncation).
+    */
+  private def createNarrowedVector(
+      b: FlatBufBuilder,
+      kind: String,
+      name: String,
+      arr: Array[Double]): Int =
+    kind match {
+      case "i8" => b.createUByteVector(arr.map(x => (wholeIn(name, x, -128, 127) & 0xff).toInt))
+      case "u8" => b.createUByteVector(arr.map(x => (wholeIn(name, x, 0, 255) & 0xff).toInt))
+      case "i16" => b.createUShortVector(arr.map(x => (wholeIn(name, x, -32768, 32767) & 0xffff).toInt))
+      case "u16" => b.createUShortVector(arr.map(x => (wholeIn(name, x, 0, 65535) & 0xffff).toInt))
+      case "i32" => b.createUIntVector(arr.map(x => wholeIn(name, x, Int.MinValue, Int.MaxValue) & 0xffffffffL))
+      case "u32" => b.createUIntVector(arr.map(x => wholeIn(name, x, 0, U32) & 0xffffffffL))
+      case "i64" => b.createLongVector(arr.map(longBits64(name, _, signed = true)))
+      case "u64" => b.createLongVector(arr.map(longBits64(name, _, signed = false)))
+      case "f32" => b.createFloatVector(arr.map(floatExact(name, _)))
+      case "f64" => b.createDoubleVector(arr)
+    }
+
   /** Write one union member table; returns its from-end offset. For
     * array members the vector must be created BEFORE the table — handled
     * here since each member is self-contained.
     */
   private def writeF144Member(b: FlatBufBuilder, tag: Int, v: Double, arr: Array[Double]): Int = {
     val name = f144Members(tag - 1)
-    def bits8(x: Double, min: Long, max: Long) = (wholeIn(name, x, min, max) & 0xff).toInt
-    def bits16(x: Double, min: Long, max: Long) = (wholeIn(name, x, min, max) & 0xffff).toInt
-    def bits32(x: Double, min: Long, max: Long) = wholeIn(name, x, min, max) & 0xffffffffL
     def bits64(x: Double, signed: Boolean) = longBits64(name, x, signed)
     // array members: vector first, then the one-field table
-    val vecOff = tag match {
-      case 11 => b.createUByteVector(arr.map(bits8(_, -128, 127)))
-      case 12 => b.createUByteVector(arr.map(bits8(_, 0, 255)))
-      case 13 => b.createUShortVector(arr.map(bits16(_, -32768, 32767)))
-      case 14 => b.createUShortVector(arr.map(bits16(_, 0, 65535)))
-      case 15 => b.createUIntVector(arr.map(bits32(_, Int.MinValue, Int.MaxValue)))
-      case 16 => b.createUIntVector(arr.map(bits32(_, 0, U32)))
-      case 17 => b.createLongVector(arr.map(bits64(_, signed = true)))
-      case 18 => b.createLongVector(arr.map(bits64(_, signed = false)))
-      case 19 => b.createFloatVector(arr.map(floatExact(name, _)))
-      case 20 => b.createDoubleVector(arr)
-      case _ => -1
-    }
+    val vecOff =
+      if (tag >= 11) createNarrowedVector(b, f144ArrayKinds(tag - 11), name, arr) else -1
     b.startTable(1)
     tag match {
       case 1 => b.slotByte(0, wholeIn(name, v, -128, 127).toByte)
@@ -471,15 +530,26 @@ object WireCodecs {
 
   private val se00Locations = Array("Unknown", "Start", "Middle", "End")
 
-  /** Encode emits the DoubleArray member (tag 9) — the typed model holds
-    * widened doubles, and any conformant consumer resolves the union per
-    * message; decode accepts all ten members.
+  /** se00 ValueUnion member names in tag order 1..10
+    * (`schemas/ecs_se00_data.fbs:17-28`) — note DoubleArray(9) before
+    * FloatArray(10), the reverse of f144's tail.
+    */
+  private val se00Members = Vector(
+    "Int8Array", "UInt8Array", "Int16Array", "UInt16Array", "Int32Array",
+    "UInt32Array", "Int64Array", "UInt64Array", "DoubleArray", "FloatArray")
+
+  /** Encode emits the member named by `valuesType`, narrowing the widened
+    * doubles with the same fail-closed checks as f144's 20-member encode;
+    * decode accepts all ten members and records which one arrived, so
+    * decode∘encode = id over the full union.
     */
   def encodeSe00(m: SampleEnvLog): Array[Byte] = {
     val loc = se00Locations.indexOf(m.timestampLocation)
     require(loc >= 0, s"unknown timestamp_location ${m.timestampLocation}")
+    val tag = se00Members.indexOf(m.valuesType) + 1
+    require(tag > 0, s"unknown se00 values type ${m.valuesType} (one of ${se00Members.mkString(", ")})")
     val b = FlatBufBuilder.threadLocal()
-    val valuesOff = b.createDoubleVector(m.values)
+    val valuesOff = createNarrowedVector(b, se00ArrayKinds(tag - 1), m.valuesType, m.values)
     val member = { b.startTable(1); b.slotUOffset(0, valuesOff); b.endTable() }
     val tsOff = if (m.timestamps.nonEmpty) b.createLongVector(m.timestamps) else -1
     val nameOff = b.createString(m.name)
@@ -487,7 +557,7 @@ object WireCodecs {
     b.slotLong(8, m.messageCounter)
     if (tsOff >= 0) b.slotUOffset(7, tsOff)
     b.slotUOffset(6, member)
-    b.slotByte(5, 9) // DoubleArray
+    b.slotByte(5, tag.toByte)
     b.slotByte(4, loc.toByte)
     b.slotDouble(3, m.timeDelta)
     b.slotLong(2, m.packetTimestampNs)
@@ -518,7 +588,8 @@ object WireCodecs {
       timestampLocation = se00Locations(loc),
       values = values,
       timestamps = { val p = r.fieldPos(t, 7); if (p < 0) Array.emptyLongArray else r.readVector(p, 8)(r.u64) },
-      messageCounter = { val p = r.fieldPos(t, 8); if (p < 0) 0L else r.u64(p) })
+      messageCounter = { val p = r.fieldPos(t, 8); if (p < 0) 0L else r.u64(p) },
+      valuesType = se00Members(tag - 1))
   }
 
   // ---- aev2: FrameAssembledEventListMessage ----

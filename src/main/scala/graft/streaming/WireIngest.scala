@@ -71,34 +71,24 @@ object WireIngest {
     routed(raw, WireCodecs.Dat2Id, observeName, WireCodecs.decodeDat2)
   }
 
-  /** The control topic (S5): pl72 RunStart and 6s4t RunStop share one
-    * topic in the reference, discriminated by buffer identifier
-    * (`nexus-writer/src/message_handlers.rs:108-127`) — this router maps
-    * both to [[ControlMessage]]; anything else counts as foreign.
-    * `ingestTimeMs` is stamped at decode (the wall clock the "stop NOW"
-    * resolution needs).
-    */
-  def controlFromBinary(
-      raw: Dataset[Array[Byte]],
-      observeName: String = "wire_ingest_control"): Dataset[ControlMessage] = {
+  private def decodeControl(bytes: Array[Byte], ingestMs: Long): (ControlMessage, String) =
+    try {
+      if (WireCodecs.hasIdentifier(bytes, WireCodecs.Pl72Id)) {
+        val s = WireCodecs.decodePl72(bytes)
+        (ControlMessage("start", s.runName, s.startTimeMs, s.instrumentName, ingestMs), "ok")
+      } else if (WireCodecs.hasIdentifier(bytes, WireCodecs.Run6s4tId)) {
+        val s = WireCodecs.decode6s4t(bytes)
+        (ControlMessage("stop", s.runName, s.stopTimeMs, "", ingestMs), "ok")
+      } else (null: ControlMessage, "foreign")
+    } catch {
+      case scala.util.control.NonFatal(_) => (null: ControlMessage, "malformed")
+    }
+
+  private def controlObserved(
+      decoded: Dataset[(ControlMessage, String)],
+      observeName: String): Dataset[ControlMessage] = {
     implicit val enc = Encoders.product[ControlMessage]
-    implicit val pairEnc = Encoders.product[(ControlMessage, String)]
-    raw
-      .map { bytes =>
-        try {
-          if (WireCodecs.hasIdentifier(bytes, WireCodecs.Pl72Id)) {
-            val s = WireCodecs.decodePl72(bytes)
-            (ControlMessage("start", s.runName, s.startTimeMs, s.instrumentName,
-              System.currentTimeMillis()), "ok")
-          } else if (WireCodecs.hasIdentifier(bytes, WireCodecs.Run6s4tId)) {
-            val s = WireCodecs.decode6s4t(bytes)
-            (ControlMessage("stop", s.runName, s.stopTimeMs, "",
-              System.currentTimeMillis()), "ok")
-          } else (null: ControlMessage, "foreign")
-        } catch {
-          case scala.util.control.NonFatal(_) => (null: ControlMessage, "malformed")
-        }
-      }
+    decoded
       .toDF("msg", "status")
       .observe(
         observeName,
@@ -109,6 +99,40 @@ object WireIngest {
       .filter(col("status") === "ok")
       .select("msg.*")
       .as[ControlMessage]
+  }
+
+  /** The control topic (S5): pl72 RunStart and 6s4t RunStop share one
+    * topic in the reference, discriminated by buffer identifier
+    * (`nexus-writer/src/message_handlers.rs:108-127`) — this router maps
+    * both to [[ControlMessage]]; anything else counts as foreign.
+    * `ingestTimeMs` (the base "stop NOW" resolves against) comes from the
+    * injectable `clock`, defaulting to the decode-time wall clock — which
+    * is NOT replay-deterministic: a checkpoint recovery that re-decodes a
+    * stop-NOW message stamps a new wall time. Deployments with a record
+    * timestamp (Kafka's broker/ingest timestamp) should prefer
+    * [[controlFromBinaryTimestamped]], which is replay-stable because the
+    * timestamp is part of the replayed record; tests inject a fixed clock
+    * here for determinism.
+    */
+  def controlFromBinary(
+      raw: Dataset[Array[Byte]],
+      observeName: String = "wire_ingest_control",
+      clock: () => Long = () => System.currentTimeMillis()): Dataset[ControlMessage] = {
+    implicit val pairEnc = Encoders.product[(ControlMessage, String)]
+    controlObserved(raw.map(bytes => decodeControl(bytes, clock())), observeName)
+  }
+
+  /** [[controlFromBinary]] over `(payload, recordTimestampMs)` pairs —
+    * the Kafka shape (`value` + broker `timestamp`). The record timestamp
+    * replays identically from the checkpointed offsets, so "stop NOW"
+    * resolution is deterministic under recovery — the preferred wiring
+    * when the transport supplies a timestamp.
+    */
+  def controlFromBinaryTimestamped(
+      raw: Dataset[(Array[Byte], Long)],
+      observeName: String = "wire_ingest_control"): Dataset[ControlMessage] = {
+    implicit val pairEnc = Encoders.product[(ControlMessage, String)]
+    controlObserved(raw.map { case (bytes, ts) => decodeControl(bytes, ts) }, observeName)
   }
 
   /** Same router for aev2 assembled-frame buffers — the nexus-writer's

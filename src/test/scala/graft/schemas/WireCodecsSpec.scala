@@ -211,6 +211,32 @@ class WireCodecsSpec extends AnyFunSuite {
     assert(new String(sb.slice(4, 8), "US-ASCII") === "pl72")
     assert(WireCodecs.decodePl72(sb) === start)
 
+    // full file-writer contract: nexus_structure JSON, job_id, filename,
+    // control_topic, and the embedded df12 detector-spectrum map all
+    // round-trip; absent-field decode (the subset message above) already
+    // proved the defaults
+    val full = start.copy(
+      nexusStructure = """{"children":[{"name":"entry","type":"group"}]}""",
+      jobId = "7a6b1f2e-0c4d-4e58-9b1a-3f2d5c8e0a44",
+      filename = "run_42.nxs",
+      controlTopic = "MUSR_runInfo",
+      detectorSpectrumMap = Some(SpectraDetectorMap(
+        spectrum = (0 until 16).map(1000 + _),
+        detectorId = 0 until 16,
+        nSpectra = 16)))
+    val fb = WireCodecs.encodePl72(full)
+    assert(WireCodecs.decodePl72(fb) === full)
+    // negative spectrum numbers are legal [int] values — no u32 clamping
+    val neg = full.copy(detectorSpectrumMap =
+      Some(SpectraDetectorMap(Seq(-1, 5), Seq(3, -7), 2)))
+    assert(WireCodecs.decodePl72(WireCodecs.encodePl72(neg)) === neg)
+    // mismatched parallel vectors fail closed
+    intercept[IllegalArgumentException](WireCodecs.encodePl72(full.copy(
+      detectorSpectrumMap = Some(SpectraDetectorMap(Seq(1), Seq(1, 2), 2)))))
+    // the J5 dimension rendering zips the parallel vectors
+    assert(full.detectorSpectrumMap.get.mappings.take(2) ===
+      Seq(SpectrumMapping(1000, 0), SpectrumMapping(1001, 1)))
+
     val tb = WireCodecs.encode6s4t(stop)
     assert(WireCodecs.decode6s4t(tb) === stop)
     // stop NOW (time 0) survives the wire: scalar fields are always
@@ -324,6 +350,42 @@ class WireCodecsSpec extends AnyFunSuite {
     assert(fBack.name === "se_i16")
     assert(fBack.values.toSeq === Seq(7.0, -9.0))
     assert(fBack.timestampLocation === "Unknown")
+    assert(fBack.valuesType === "Int16Array")
+  }
+
+  test("se00 encode covers all ten union members: decode∘encode = id per member") {
+    val se = SampleEnvLog(
+      name = "se_dev", channel = 1, packetTimestampNs = 1700000000000000005L,
+      timeDelta = 1000.0, timestampLocation = "Start",
+      values = Array.empty, timestamps = Array.empty, messageCounter = 7L)
+    // representative vectors per member: whole values at each type's edges
+    // (or float-exact fractions for the real members)
+    val cases = Seq(
+      "Int8Array" -> Array(-128.0, 0.0, 127.0),
+      "UInt8Array" -> Array(0.0, 255.0),
+      "Int16Array" -> Array(-32768.0, 9.0, 32767.0),
+      "UInt16Array" -> Array(0.0, 65535.0),
+      "Int32Array" -> Array(Int.MinValue.toDouble, 3.0, Int.MaxValue.toDouble),
+      "UInt32Array" -> Array(0.0, 4294967295.0),
+      "Int64Array" -> Array(-9.007199254740992e15, 11.0, 9.007199254740992e15),
+      "UInt64Array" -> Array(0.0, 9.223372036854776e18, 1.8446744073709550e19),
+      "DoubleArray" -> Array(math.Pi, -2.25),
+      "FloatArray" -> Array(1.5, -0.125))
+    cases.foreach { case (t, vs) =>
+      val back = WireCodecs.decodeSe00(WireCodecs.encodeSe00(se.copy(values = vs, valuesType = t)))
+      assert(back.valuesType === t, t)
+      assert(back.values.toSeq === vs.toSeq, t)
+    }
+    // fail-closed narrowing, symmetric with f144: fractional into an int
+    // member, out-of-range into a narrow member, float-inexact into f32
+    intercept[IllegalArgumentException](
+      WireCodecs.encodeSe00(se.copy(values = Array(1.5), valuesType = "Int32Array")))
+    intercept[IllegalArgumentException](
+      WireCodecs.encodeSe00(se.copy(values = Array(256.0), valuesType = "UInt8Array")))
+    intercept[IllegalArgumentException](
+      WireCodecs.encodeSe00(se.copy(values = Array(math.Pi), valuesType = "FloatArray")))
+    intercept[IllegalArgumentException](
+      WireCodecs.encodeSe00(se.copy(values = Array(1.0), valuesType = "Int128Array")))
   }
 
   test("encode fails closed on out-of-range values (no silent truncation)") {

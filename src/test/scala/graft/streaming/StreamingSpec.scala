@@ -529,6 +529,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("wire control: 'stop NOW' on an injected clock resolves deterministically; " +
+    "record timestamps make the Kafka shape replay-stable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.schemas.{RunStart => WStart, RunStop => WStop, WireCodecs}
+    val startBytes = WireCodecs.encodePl72(WStart("run_wire", 1000L, "muon"))
+    val stopNowBytes = WireCodecs.encode6s4t(WStop("run_wire", 0L))
+
+    // injected clock: the wire-fed stream resolves stop-NOW to EXACTLY
+    // this stamp — no wall-clock nondeterminism in the closed interval
+    val injectedMs = 777777L
+    val input = MemoryStream[Array[Byte]]
+    val out = RunStream.runIntervals(
+      WireIngest.controlFromBinary(input.toDS(), clock = () => injectedMs))
+    val ckpt = Files.createTempDirectory("ckpt_wire_now").toString
+    val query = out.writeStream
+      .format("memory")
+      .queryName("runs_wire_now")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.addData(startBytes, stopNowBytes)
+      query.processAllAvailable()
+      val closed = spark.table("runs_wire_now").collect().filter(r => Option(r.get(2)).isDefined)
+      assert(closed.length === 1)
+      assert(closed.head.getLong(2) === injectedMs * 1000000L,
+        "stop NOW must resolve to the injected clock, exactly")
+    } finally query.stop()
+
+    // Kafka shape: (value, broker timestamp) — the stamp rides the record,
+    // so a checkpoint replay re-derives the identical resolution
+    val stamped = WireIngest.controlFromBinaryTimestamped(
+      Seq((startBytes, 111L), (stopNowBytes, 222L)).toDS()).collect().sortBy(_.kind)
+    assert(stamped.map(m => (m.kind, m.ingestTimeMs)).toSeq ===
+      Seq(("start", 111L), ("stop", 222L)))
+  }
+
   test("nexus sink: a restarted run reusing a name starts its own generation at event_index 0") {
     import spark.implicits._
     val outDir = Files.createTempDirectory("nexus_gen").toString
