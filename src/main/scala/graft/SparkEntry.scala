@@ -156,6 +156,7 @@ object SparkEntry {
     "q_nexus_event_table" -> PipelineQueries.nexusEventTableSql,
     "q_trace_file_scan" -> PipelineQueries.traceFileScanSql,
     "q_trace_to_events" -> PipelineQueries.traceToEventsSql,
+    "q_trace_to_events_differential" -> PipelineQueries.traceToEventsDifferentialSql,
     "q_wire_roundtrip" -> PipelineQueries.wireRoundtripSql,
     "q_wire_runstart" -> PipelineQueries.wireRunStartSql,
     // multimodal plumbing on the closed-form synthetic payload

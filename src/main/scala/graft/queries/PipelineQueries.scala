@@ -72,18 +72,71 @@ object PipelineQueries {
               i.h::INT AS event_voltage, (i.d*8 + i.c)::BIGINT AS event_channel
        FROM islands i JOIN msg m ON i.f = m.f AND i.d = m.d"""
 
+  /** D2 full chain with a DuckDB oracle, same treatment as
+    * [[traceToEvents]]: the differential FSM (arm on dv > threshold,
+    * disarm at dv ≤ 0, height = max value from arm through the disarming
+    * sample, end-of-trace latch rule) over the closed-form fixture — the
+    * SQL mirror is [[graft.queries.SignalQueries.thresholdEventsDifferentialSql]]'s
+    * derivation re-rooted on the regenerated sample grid. The fixture's
+    * derivative is 11 within each ramp (so threshold 5 arms every
+    * positive run — island boundaries, heights, counts and the latch
+    * rule are the checked surface; partial arming is D2's table-query
+    * oracle's job, where the data has varied slopes).
+    */
   def traceToEventsDifferential(s: SparkSession, dir: String): DataFrame =
     EventFormation
       .formEvents(
-        TraceGenerator.traces(s, cfg),
-        DetectorSettings(
-          DifferentialThreshold(threshold = 30.0, constantMultiple = Some(1.0)),
-          baseline = 50.0))
+        TraceFixtures.arithmeticTraces(s, nFrames = 16, nDigitizers = 4),
+        DetectorSettings(DifferentialThreshold(threshold = 5.0), baseline = 50.0))
       .toDF()
       .select(
         col("digitizerId"),
         col("metadata.frameNumber").as("frame_number"),
-        size(col("time")).as("n_events"))
+        size(col("time")).as("n_events"),
+        explode_outer(arrays_zip(col("time"), col("voltage"), col("channel"))).as("ev"))
+      .select(
+        col("digitizerId"),
+        col("frame_number"),
+        col("n_events"),
+        col("ev.time").as("event_time"),
+        col("ev.voltage").as("event_voltage"),
+        col("ev.channel").as("event_channel"))
+
+  /** DuckDB oracle for [[traceToEventsDifferential]] (gaps-and-islands
+    * over dv > 0 with the arming/latch rules, per (f, d, c) trace).
+    */
+  val traceToEventsDifferentialSql: String =
+    """WITH samp AS (
+         SELECT f, d, c, j, ((f*31 + d*13 + c*7 + j*11) % 400) AS v
+         FROM range(16) rf(f), range(4) rd(d), range(8) rc(c), range(500) rj(j)
+       ), derived AS (
+         SELECT f, d, c, j, v,
+                v - lag(v) OVER (PARTITION BY f, d, c ORDER BY j) AS dv
+         FROM samp
+       ), pos AS (
+         SELECT *, j - row_number()
+                     OVER (PARTITION BY f, d, c, (dv > 0) ORDER BY j) AS grp
+         FROM derived WHERE j >= 1
+       ), islands AS (
+         SELECT f, d, c, grp,
+                min(CASE WHEN dv > 5 THEN j END) AS a,
+                max(j) AS e
+         FROM pos WHERE dv > 0
+         GROUP BY f, d, c, grp
+         HAVING min(CASE WHEN dv > 5 THEN j END) IS NOT NULL
+       ), emit AS (
+         SELECT f, d, c, a, least(e + 1, 499) AS hi
+         FROM islands WHERE e < 499 OR e >= a + 1
+       ), ev AS (
+         SELECT e.f, e.d, e.c, e.a AS t, max(o.v) AS h
+         FROM emit e JOIN derived o
+           ON o.f = e.f AND o.d = e.d AND o.c = e.c AND o.j BETWEEN e.a AND e.hi
+         GROUP BY e.f, e.d, e.c, e.a, e.hi
+       ), msg AS (SELECT f, d, count(*)::INT AS n FROM ev GROUP BY f, d)
+       SELECT ev.d::INT AS "digitizerId", ev.f::BIGINT AS frame_number,
+              m.n AS n_events, ev.t::BIGINT AS event_time,
+              ev.h::INT AS event_voltage, (ev.d*8 + ev.c)::BIGINT AS event_channel
+       FROM ev JOIN msg m ON ev.f = m.f AND ev.d = m.d"""
 
   def traceToEventsAdvanced(s: SparkSession, dir: String): DataFrame =
     EventFormation

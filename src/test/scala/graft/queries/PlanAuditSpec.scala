@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan locks for the scale-critical queries: the properties
+  * that make these plans survive a 100× scale-up — dimension joins
+  * BROADCAST (no all-to-all shuffle of the fact side), filters and
+  * column pruning PUSHED into the parquet scan, and no accidental
+  * cartesian products — are asserted on the executed plan string, so a
+  * refactor that silently degrades a plan (a lost broadcast hint, a
+  * filter that stops folding into the scan, a join that collapses to a
+  * cross product) fails the suite, not just the benchmark.
+  *
+  * Deliberate exceptions are asserted too: q_cosine_topk's
+  * BroadcastNestedLoopJoin is the documented exact-baseline kernel
+  * (small broadcast query set × one corpus pass) — the assert pins that
+  * it stays the broadcast-side build, never a shuffled cartesian.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = graft.Sessions.local("plan-audit", "4")
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    // execute so AQE finalizes: broadcast decisions and WholeStageCodegen
+    // stages only appear in the final adaptive plan
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_region_revenue: dimension chain broadcasts; fact scan pruned to 3 columns") {
+    val p = plan("q_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    // lineitem contributes exactly the join key + the two measure columns
+    assert(
+      p.contains("struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"),
+      "lineitem scan must be pruned to orderkey/extendedprice/discount")
+    // WholeStageCodegen stages print as "*(n)" operator prefixes in the
+    // final adaptive plan
+    assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(p).isDefined,
+      "aggregation chain must stay codegen'd")
+  }
+
+  test("q_scan_prune: range + equality predicates reach the parquet scan") {
+    val p = plan("q_scan_prune")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate range must push down")
+    assert(!p.contains("l_comment"), "untouched wide columns must not be read")
+  }
+
+  test("q_time_travel: timestamp bound and type filter push down") {
+    val p = plan("q_time_travel")
+    assert(p.contains("EqualTo(event_type,error)"), p.take(2000))
+    assert(p.contains("PushedFilters: [IsNotNull("))
+  }
+
+  test("q_interval_join: runs dimension broadcasts with the range predicate inline") {
+    val p = plan("q_interval_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_spectrum_map: wire-decoded df12 dimension joins as a broadcast") {
+    val p = plan("q_spectrum_map")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_minhash_pairs: banded candidate join is keyed, never cartesian") {
+    val p = plan("q_minhash_pairs")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the pair join is equi-keyed on the band; the similarity threshold
+    // rides the join as a post-condition, not a cross-product filter
+    assert(p.contains("Join [band") || p.contains("BroadcastHashJoin [band") ||
+      p.contains("SortMergeJoin [band") || p.contains("ShuffledHashJoin [band"),
+      "candidate join must be keyed on the LSH band")
+  }
+
+  test("q_cosine_topk: documented exact kernel = broadcast queries, one corpus pass") {
+    val p = plan("q_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"), p.take(2000))
+    // corpus scan reads only id + embedding
+    assert(p.contains("struct<vec_id:bigint,embedding:array<float>>"))
+  }
+}
