@@ -269,6 +269,111 @@ object DedupQueries {
        SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
        FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 2"""
 
+  /** Near-dup CLUSTERING — the step a dedup pipeline runs after the pair
+    * sketch: candidate pairs ([[simhashPairs]]) become an undirected
+    * graph, connected components are computed distributed, and each
+    * component elects one canonical survivor (its minimum doc id) — the
+    * "which copies do we drop" answer, not just "which pairs look alike".
+    *
+    * Algorithm: iterative min-label propagation PLUS pointer jumping
+    * (`comp ← comp(comp)`) each round, so convergence is O(log n)
+    * rounds even on chain-shaped near-dup graphs (plain propagation is
+    * O(diameter) — a 1M-doc chain would need 1M rounds). Each round is
+    * two keyed joins + one aggregation; the round's labeling is
+    * CHECKPOINTED (`localCheckpoint`), not merely persisted — iterative
+    * plans that only cache still accumulate one round of lineage per
+    * iteration and Catalyst re-analysis goes super-linear (measured:
+    * persist-only made 10 rounds take minutes; checkpointing makes them
+    * seconds). The driver sees only one scalar per round (the
+    * changed-label count — control plane, not row data). On a cluster,
+    * swap localCheckpoint for reliable `checkpoint` (HDFS-backed) so a
+    * lost executor does not lose the labeling; the round structure is
+    * unchanged.
+    *
+    * Oracle: DuckDB re-derives the pairs (same SQL as q_simhash_pairs)
+    * and computes components with a recursive transitive-closure CTE —
+    * feasible at oracle scale, which is exactly why the engine side
+    * must NOT do it that way (closure is quadratic per component).
+    */
+  def dedupClusters(s: SparkSession, dir: String, maxIters: Int = 25): DataFrame = {
+    val pairs = simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    edges.count()
+    var labels = edges
+      .select(col("doc_a").as("doc_id"))
+      .distinct()
+      .withColumn("comp", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      // step 1: neighbor-min — comp(v) ← min(comp(v), min over neighbors)
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("comp").as("comp_b")), Seq("doc_b"))
+        .groupBy(col("doc_a"))
+        .agg(min(col("comp_b")).as("nmin"))
+        .select(col("doc_a").as("doc_id"), col("nmin"))
+      val propagated = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+      // step 2: pointer jump — comp(v) ← comp(comp(v)); comp values are
+      // themselves doc ids (invariant: comp(v) ≤ v), so the self-join
+      // resolves one indirection level and halves tree depth per round
+      val updated = propagated
+        .join(
+          propagated.select(col("doc_id").as("comp"), col("comp").as("comp2")),
+          Seq("comp"),
+          "left")
+        .select(col("doc_id"), least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
+        .localCheckpoint() // truncate lineage: one round of plan, not i rounds
+      changed = updated
+        .join(labels.select(col("doc_id"), col("comp").as("prev")), Seq("doc_id"))
+        .filter(col("comp") < col("prev"))
+        .count()
+      labels = updated
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(
+      col("doc_id"),
+      col("comp").as("component"),
+      (col("doc_id") === col("comp")).as("keep"))
+  }
+
+  /** DuckDB oracle for [[dedupClusters]]: the q_simhash_pairs derivation,
+    * then components via recursive transitive closure, canonical = the
+    * component's minimum doc id.
+    */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $simhashSql, segs0 AS (
+         SELECT doc_id, simhash, unnest([
+           '0:' || (simhash % 256),
+           '1:' || ((simhash // 256) % 256),
+           '2:' || ((simhash // 65536) % 256),
+           '3:' || ((simhash // 16777216) % 256)]) AS seg_key
+         FROM sh
+       ), small AS (
+         SELECT seg_key FROM segs0 GROUP BY seg_key HAVING count(*) <= 4096
+       ), segs AS (
+         SELECT segs0.* FROM segs0 JOIN small USING (seg_key)
+       ), cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM segs a JOIN segs b USING (seg_key)
+         WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 2
+       ), e AS (
+         SELECT doc_a AS a, doc_b AS b FROM cand
+         UNION SELECT doc_b, doc_a FROM cand
+       ), reach(a, b) AS (
+         SELECT a, b FROM e
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+       )
+       SELECT a AS doc_id, least(a, min(b)) AS component,
+              (a = least(a, min(b))) AS keep
+       FROM reach GROUP BY a"""
+
   /** Exact word-set Jaccard between all document pairs of one language
     * among `doc_id < 80` — the verification kernel for the sketch paths,
     * oracle-checked (pure set algebra).

@@ -8,11 +8,15 @@ import graft.sources.TraceGenerator.GeneratorConfig
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** The DAQ pipeline as declared queries: deterministic generated dat2
-  * traces (simulator parity, seed fixed) through event formation, frame
-  * assembly, and the NeXus table layout. These operators have no ANSI-SQL
-  * oracle (sequential FSMs, SURVEY §7.4) — the driver records rows>0; the
-  * semantics are locked by DspSpec/PipelineSpec reference vectors.
+/** The DAQ pipeline as declared queries: dat2 traces through event
+  * formation, frame assembly, and the NeXus table layout. Queries on the
+  * closed-form fixtures ([[TraceFixtures]], [[arithmeticDev2Messages]])
+  * carry exact DuckDB oracles — including the full D1/D2 trace→event
+  * chains via gaps-and-islands SQL; the free-running NOISE generator
+  * chain (advanced FSM, e2e bench units, scripted simulation) has no
+  * faithful ANSI-SQL mirror, so those record rows>0 with semantics
+  * locked by DspSpec/PipelineSpec/PlanSpec reference vectors instead
+  * (SURVEY §7.4).
   */
 object PipelineQueries {
 
