@@ -296,6 +296,10 @@ object DedupQueries {
     * must NOT do it that way (closure is quadratic per component).
     */
   def dedupClusters(s: SparkSession, dir: String, maxIters: Int = 25): DataFrame = {
+    // loop shuffles are tiny (one narrow row per paired document) — AQE
+    // coalesces them; the measured cost per round is job scheduling +
+    // checkpoint I/O, not shuffle width, so no partition override here
+    // (the pairs stage wants the full default parallelism anyway)
     val pairs = simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -315,9 +319,13 @@ object DedupQueries {
         .groupBy(col("doc_a"))
         .agg(min(col("comp_b")).as("nmin"))
         .select(col("doc_a").as("doc_id"), col("nmin"))
+      // persisted: it feeds BOTH sides of the pointer-jump self-join —
+      // unpersisted, the whole neighbor-min subtree executes twice per
+      // round (ReuseExchange dedups only the shuffles)
       val propagated = labels
         .join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .persist()
       // step 2: pointer jump — comp(v) ← comp(comp(v)); comp values are
       // themselves doc ids (invariant: comp(v) ≤ v), so the self-join
       // resolves one indirection level and halves tree depth per round
@@ -332,10 +340,20 @@ object DedupQueries {
         .join(labels.select(col("doc_id"), col("comp").as("prev")), Seq("doc_id"))
         .filter(col("comp") < col("prev"))
         .count()
+      propagated.unpersist()
       labels = updated
       i += 1
     }
     edges.unpersist()
+    // fail closed, never silently wrong: a non-converged labeling would
+    // split one real component into several, each electing its own
+    // "canonical" survivor. Rounds grow ~log₂(component diameter), so
+    // hitting the cap means the graph needs a larger maxIters, not a
+    // quietly truncated answer.
+    require(
+      changed == 0,
+      s"connected components did not converge in $maxIters rounds " +
+        s"($changed labels still changing) — raise maxIters for this graph")
     labels.select(
       col("doc_id"),
       col("comp").as("component"),

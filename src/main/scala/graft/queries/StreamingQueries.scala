@@ -16,6 +16,18 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingQueries {
 
+  /** Stateful operators open one state store per shuffle partition per
+    * micro-batch; for these BOUNDED drains the store-commit overhead
+    * dominates, so they run in a session clone with few partitions (a
+    * production deployment sizes this to state-key cardinality instead).
+    * One definition so every bounded-drain query stays tuned together.
+    */
+  private def boundedDrainSession(s0: SparkSession): SparkSession = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s
+  }
+
   /** Watermarked tumbling-window aggregation over the events table read
     * as a FILE STREAM (SURVEY §2.10): the harness parquet drives a real
     * incremental query; since the batch and streaming results coincide
@@ -24,12 +36,7 @@ object StreamingQueries {
     * watermark horizon.
     */
   def streamWindowedCounts(s0: SparkSession, dir: String): DataFrame = {
-    // stateful operators open one state store per shuffle partition per
-    // micro-batch; for this bounded drain the store-commit overhead
-    // dominates, so run in a session clone with fewer partitions (a
-    // production deployment sizes this to window×key cardinality instead)
-    val s = s0.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val s = boundedDrainSession(s0)
     // raw file schema: ts arrives as ns-since-epoch long (nanosAsLong)
     val raw = s.read.parquet(s"$dir/events.parquet").schema
     val stream = s.readStream
@@ -70,12 +77,7 @@ object StreamingQueries {
     * counts equal the batch per-type counts, so this is oracle-checked.
     */
   def streamDedup(s0: SparkSession, dir: String): DataFrame = {
-    // stateful operators open one state store per shuffle partition per
-    // micro-batch; for this bounded drain the store-commit overhead
-    // dominates, so run in a session clone with fewer partitions (a
-    // production deployment sizes this to key cardinality instead)
-    val s = s0.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val s = boundedDrainSession(s0)
     val raw = s.read.parquet(s"$dir/events.parquet").schema
     def src = s.readStream
       .schema(raw)
@@ -119,11 +121,7 @@ object StreamingQueries {
     * locked by StreamingSpec's dedicated late-rejection test instead.
     */
   def streamFrameAssembly(s0: SparkSession, dir: String): DataFrame = {
-    // same state-store mitigation as the other bounded drains: each of
-    // the ~TTL/trigger micro-batches commits one state store per shuffle
-    // partition, so fewer partitions = far fewer empty-store commits
-    val s = s0.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val s = boundedDrainSession(s0)
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val (originals, _) = PipelineQueries.arithmeticDev2Messages

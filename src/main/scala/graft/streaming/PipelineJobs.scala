@@ -237,10 +237,11 @@ object PipelineJobs {
     allowEmptyBatches(traces)
     val dev2 = EventFormation.formEvents(traces, settings)
     val aev2 = FrameAssemblyStream.assemble(dev2, expectedDigitizers, ttlMs)
-    aev2
-      .map(f => graft.schemas.WireCodecs.encodeAev2(f))(
-        org.apache.spark.sql.Encoders.BINARY)
-      .toDF("value")
+    // ONE definition of the producer's wire-encode stage, shared with the
+    // Kafka writer so the parquet stand-in and a broker deployment can
+    // never drift
+    KafkaWiring
+      .frameWireBytes(aev2)
       .writeStream
       .format("parquet")
       .outputMode("append")
