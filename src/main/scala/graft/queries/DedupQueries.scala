@@ -275,20 +275,9 @@ object DedupQueries {
     * component elects one canonical survivor (its minimum doc id) — the
     * "which copies do we drop" answer, not just "which pairs look alike".
     *
-    * Algorithm: iterative min-label propagation PLUS pointer jumping
-    * (`comp ← comp(comp)`) each round, so convergence is O(log n)
-    * rounds even on chain-shaped near-dup graphs (plain propagation is
-    * O(diameter) — a 1M-doc chain would need 1M rounds). Each round is
-    * two keyed joins + one aggregation; the round's labeling is
-    * CHECKPOINTED (`localCheckpoint`), not merely persisted — iterative
-    * plans that only cache still accumulate one round of lineage per
-    * iteration and Catalyst re-analysis goes super-linear (measured:
-    * persist-only made 10 rounds take minutes; checkpointing makes them
-    * seconds). The driver sees only one scalar per round (the
-    * changed-label count — control plane, not row data). On a cluster,
-    * swap localCheckpoint for reliable `checkpoint` (HDFS-backed) so a
-    * lost executor does not lose the labeling; the round structure is
-    * unchanged.
+    * Algorithm and scale design: [[graft.operators.ConnectedComponents]]
+    * (min-label propagation + pointer jumping, O(log n) rounds,
+    * per-round checkpoint, fail-closed on non-convergence).
     *
     * Oracle: DuckDB re-derives the pairs (same SQL as q_simhash_pairs)
     * and computes components with a recursive transitive-closure CTE —
@@ -296,68 +285,14 @@ object DedupQueries {
     * must NOT do it that way (closure is quadratic per component).
     */
   def dedupClusters(s: SparkSession, dir: String, maxIters: Int = 25): DataFrame = {
-    // loop shuffles are tiny (one narrow row per paired document) — AQE
-    // coalesces them; the measured cost per round is job scheduling +
-    // checkpoint I/O, not shuffle width, so no partition override here
-    // (the pairs stage wants the full default parallelism anyway)
-    val pairs = simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist()
-    edges.count()
-    var labels = edges
-      .select(col("doc_a").as("doc_id"))
-      .distinct()
-      .withColumn("comp", col("doc_id"))
-      .localCheckpoint()
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIters) {
-      // step 1: neighbor-min — comp(v) ← min(comp(v), min over neighbors)
-      val neighborMin = edges
-        .join(labels.select(col("doc_id").as("doc_b"), col("comp").as("comp_b")), Seq("doc_b"))
-        .groupBy(col("doc_a"))
-        .agg(min(col("comp_b")).as("nmin"))
-        .select(col("doc_a").as("doc_id"), col("nmin"))
-      // persisted: it feeds BOTH sides of the pointer-jump self-join —
-      // unpersisted, the whole neighbor-min subtree executes twice per
-      // round (ReuseExchange dedups only the shuffles)
-      val propagated = labels
-        .join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-        .persist()
-      // step 2: pointer jump — comp(v) ← comp(comp(v)); comp values are
-      // themselves doc ids (invariant: comp(v) ≤ v), so the self-join
-      // resolves one indirection level and halves tree depth per round
-      val updated = propagated
-        .join(
-          propagated.select(col("doc_id").as("comp"), col("comp").as("comp2")),
-          Seq("comp"),
-          "left")
-        .select(col("doc_id"), least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
-        .localCheckpoint() // truncate lineage: one round of plan, not i rounds
-      changed = updated
-        .join(labels.select(col("doc_id"), col("comp").as("prev")), Seq("doc_id"))
-        .filter(col("comp") < col("prev"))
-        .count()
-      propagated.unpersist()
-      labels = updated
-      i += 1
-    }
-    edges.unpersist()
-    // fail closed, never silently wrong: a non-converged labeling would
-    // split one real component into several, each electing its own
-    // "canonical" survivor. Rounds grow ~log₂(component diameter), so
-    // hitting the cap means the graph needs a larger maxIters, not a
-    // quietly truncated answer.
-    require(
-      changed == 0,
-      s"connected components did not converge in $maxIters rounds " +
-        s"($changed labels still changing) — raise maxIters for this graph")
-    labels.select(
-      col("doc_id"),
-      col("comp").as("component"),
-      (col("doc_id") === col("comp")).as("keep"))
+    val pairs = simhashPairs(s, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    graft.operators.ConnectedComponents
+      .components(pairs, maxIters)
+      .select(
+        col("id").as("doc_id"),
+        col("component"),
+        (col("id") === col("component")).as("keep"))
   }
 
   /** DuckDB oracle for [[dedupClusters]]: the q_simhash_pairs derivation,

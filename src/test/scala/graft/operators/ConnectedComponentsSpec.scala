@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Direct lock for the component operator on adversarial graph shapes —
+  * the dedup-cluster oracle only sees the near-dup graph the corpus
+  * happens to produce; these fixtures pin the shapes that break naive
+  * implementations (chains for round counts, multiple components for
+  * label leakage, the convergence guard for silent truncation).
+  */
+class ConnectedComponentsSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = SparkSession
+      .builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def comps(edges: Seq[(Long, Long)], maxIters: Int = 25): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents
+      .components(edges.toDF("src", "dst"), maxIters)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+  }
+
+  test("two cliques and a bridge-less pair: labels never leak across components") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), // clique {1,2,3}
+      (10L, 11L), (11L, 12L), // path {10,11,12}
+      (20L, 21L)) // pair {20,21}
+    assert(comps(edges) === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("chain graph: pointer jumping converges in O(log n) rounds, worst-case orientation") {
+    // a 64-node chain rooted at the FAR end (min id last) is the
+    // adversarial case for plain propagation (64 rounds); with pointer
+    // jumping ~log2(64)+c rounds suffice — assert it converges well
+    // under the default cap AND produces the single right component
+    val n = 64L
+    val edges = (0L until n - 1).map(i => (n - 1 - i, n - 2 - i)) // (63,62),(62,61),…
+    val got = comps(edges, maxIters = 10)
+    assert(got.size === n.toInt)
+    assert(got.values.toSet === Set(0L))
+  }
+
+  test("non-convergence fails closed, not silently truncated") {
+    val edges = (0L until 32L).map(i => (i, i + 1))
+    val e = intercept[IllegalArgumentException](comps(edges, maxIters = 1))
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("self-loops and duplicate edges are harmless") {
+    val edges = Seq((5L, 5L), (5L, 6L), (6L, 5L), (5L, 6L))
+    assert(comps(edges) === Map(5L -> 5L, 6L -> 5L))
+  }
+}
