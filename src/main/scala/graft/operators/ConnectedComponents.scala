@@ -31,13 +31,33 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** One default for every caller (the dedup surface forwards it) so
+    * the operator owns the convergence budget.
+    */
+  val DefaultMaxIters: Int = 25
+
+  /** Free the block-manager storage behind a `localCheckpoint`'d frame.
+    * `Dataset.unpersist` only reaches cache-manager entries — a
+    * checkpoint's internal RDD is not one — so without this, every
+    * superseded round labeling would sit in executor storage until
+    * nondeterministic driver GC lets ContextCleaner reap it.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** @param edges  undirected edge list with two Long columns named
     *               `src` and `dst` (each edge listed once; both
     *               directions are derived internally)
     * @return one row per vertex appearing in `edges`: `(id, component)`
-    *         where `component` is the minimum vertex id reachable
+    *         where `component` is the minimum vertex id reachable.
+    *         The result is checkpointed; storage is released when the
+    *         session's ContextCleaner reaps it after the caller drops it.
     */
-  def components(edges: DataFrame, maxIters: Int = 25): DataFrame = {
+  def components(edges: DataFrame, maxIters: Int = DefaultMaxIters): DataFrame = {
     // loop shuffles are tiny (one narrow row per vertex) — AQE coalesces
     // them; the measured cost per round is job scheduling + checkpoint
     // I/O, not shuffle width, so no partition override here
@@ -45,51 +65,62 @@ object ConnectedComponents {
       .select(col("src").as("a"), col("dst").as("b"))
       .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
       .persist()
-    directed.count()
-    var labels = directed
-      .select(col("a").as("id"))
-      .distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIters) {
-      // step 1: neighbor-min — comp(v) ← min(comp(v), min over neighbors)
-      val neighborMin = directed
-        .join(labels.select(col("id").as("b"), col("comp").as("comp_b")), Seq("b"))
-        .groupBy(col("a"))
-        .agg(min(col("comp_b")).as("nmin"))
-        .select(col("a").as("id"), col("nmin"))
-      // persisted: it feeds BOTH sides of the pointer-jump self-join —
-      // unpersisted, the whole neighbor-min subtree executes twice per
-      // round (ReuseExchange dedups only the shuffles)
-      val propagated = labels
-        .join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-        .persist()
-      // step 2: pointer jump — comp(v) ← comp(comp(v)); comp values are
-      // themselves vertex ids (invariant: comp(v) ≤ v), so the self-join
-      // resolves one indirection level and halves tree depth per round
-      val updated = propagated
-        .join(
-          propagated.select(col("id").as("comp"), col("comp").as("comp2")),
-          Seq("comp"),
-          "left")
-        .select(col("id"), least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
-        .localCheckpoint() // truncate lineage: one round of plan, not i rounds
-      changed = updated
-        .join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
-        .filter(col("comp") < col("prev"))
-        .count()
-      propagated.unpersist()
-      labels = updated
-      i += 1
+    var propagated: DataFrame = null
+    // try/finally so a mid-loop failure (or the non-convergence throw
+    // below) cannot leak persisted blocks into a long-lived session
+    try {
+      directed.count()
+      var labels = directed
+        .select(col("a").as("id"))
+        .distinct()
+        .withColumn("comp", col("id"))
+        .localCheckpoint()
+      var changed = 1L
+      var i = 0
+      while (changed > 0 && i < maxIters) {
+        // step 1: neighbor-min — comp(v) ← min(comp(v), min of neighbors)
+        val neighborMin = directed
+          .join(labels.select(col("id").as("b"), col("comp").as("comp_b")), Seq("b"))
+          .groupBy(col("a"))
+          .agg(min(col("comp_b")).as("nmin"))
+          .select(col("a").as("id"), col("nmin"))
+        // persisted: it feeds BOTH sides of the pointer-jump self-join —
+        // unpersisted, the whole neighbor-min subtree executes twice per
+        // round (ReuseExchange dedups only the shuffles)
+        propagated = labels
+          .join(neighborMin, Seq("id"), "left")
+          .select(col("id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+          .persist()
+        // step 2: pointer jump — comp(v) ← comp(comp(v)); comp values are
+        // themselves vertex ids (invariant: comp(v) ≤ v), so the self-join
+        // resolves one indirection level and halves tree depth per round
+        val updated = propagated
+          .join(
+            propagated.select(col("id").as("comp"), col("comp").as("comp2")),
+            Seq("comp"),
+            "left")
+          .select(col("id"), least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
+          .localCheckpoint() // truncate lineage: one round of plan, not i rounds
+        changed = updated
+          .join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
+          .filter(col("comp") < col("prev"))
+          .count()
+        propagated.unpersist()
+        propagated = null
+        // the superseded labeling's checkpoint blocks are dead now —
+        // free them eagerly so storage holds 2 labelings, not maxIters
+        freeCheckpoint(labels)
+        labels = updated
+        i += 1
+      }
+      require(
+        changed == 0,
+        s"connected components did not converge in $maxIters rounds " +
+          s"($changed labels still changing) — raise maxIters for this graph")
+      labels.select(col("id"), col("comp").as("component"))
+    } finally {
+      if (propagated != null) propagated.unpersist()
+      directed.unpersist()
     }
-    directed.unpersist()
-    require(
-      changed == 0,
-      s"connected components did not converge in $maxIters rounds " +
-        s"($changed labels still changing) — raise maxIters for this graph")
-    labels.select(col("id"), col("comp").as("component"))
   }
 }

@@ -284,7 +284,10 @@ object DedupQueries {
     * feasible at oracle scale, which is exactly why the engine side
     * must NOT do it that way (closure is quadratic per component).
     */
-  def dedupClusters(s: SparkSession, dir: String, maxIters: Int = 25): DataFrame = {
+  def dedupClusters(
+      s: SparkSession,
+      dir: String,
+      maxIters: Int = graft.operators.ConnectedComponents.DefaultMaxIters): DataFrame = {
     val pairs = simhashPairs(s, dir)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     graft.operators.ConnectedComponents
