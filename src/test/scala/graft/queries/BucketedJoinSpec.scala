@@ -12,9 +12,17 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BucketedJoinSpec extends AnyFunSuite {
 
-  private lazy val spark = {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("fact-fact join on bucketed layout runs shuffle-free; unbucketed control shuffles") {
+    // isolated session, stopped at the end: this suite DISABLES
+    // broadcast joins, and getOrCreate-applied confs leak into the
+    // shared session other suites' plan asserts depend on (suites run
+    // sequentially in the forked test JVM, so stop/create is safe —
+    // same pattern as ExtensionsSpec)
+    SparkSession.getDefaultSession.foreach(_.stop())
     val wh = java.nio.file.Files.createTempDirectory("graft_warehouse").toString
-    val s = SparkSession
+    val spark = SparkSession
       .builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -24,13 +32,13 @@ class BucketedJoinSpec extends AnyFunSuite {
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    s.sparkContext.setLogLevel("ERROR")
-    s
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      runScenario(spark)
+    } finally spark.stop()
   }
 
-  private val dir = "/root/testdata/sf0.001"
-
-  test("fact-fact join on bucketed layout runs shuffle-free; unbucketed control shuffles") {
+  private def runScenario(spark: SparkSession): Unit = {
     val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_quantity")
     val orders = spark.read.parquet(s"$dir/orders.parquet")

@@ -18,6 +18,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class SkewJoinSpec extends AnyFunSuite {
 
   test("AQE splits the skewed shuffle partition (skew=true in the final plan)") {
+    // isolated session (this suite lowers skew thresholds and disables
+    // broadcast): stop any shared session first so getOrCreate cannot
+    // hand back one with foreign confs, and stop ours at the end —
+    // suites run sequentially in the forked test JVM
+    SparkSession.getDefaultSession.foreach(_.stop())
     val spark = SparkSession
       .builder()
       .master("local[4]")
