@@ -79,6 +79,7 @@ object SparkEntry {
     "q_simhash_docs" -> (DedupQueries.simhashDocs _),
     "q_simhash_pairs" -> ((s: SparkSession, d: String) => DedupQueries.simhashPairs(s, d)),
     "q_dedup_clusters" -> ((s: SparkSession, d: String) => DedupQueries.dedupClusters(s, d)),
+    "q_corpus_curation" -> (DedupQueries.corpusCuration _),
     "q_ngram_jaccard" -> (DedupQueries.ngramJaccard _),
     "q_bigram_jaccard" -> (DedupQueries.bigramJaccard _),
     "q_fingerprints" -> (DedupQueries.fingerprints _),
@@ -147,6 +148,7 @@ object SparkEntry {
     "q_simhash_docs" -> DedupQueries.simhashDocsSql,
     "q_simhash_pairs" -> DedupQueries.simhashPairsSql,
     "q_dedup_clusters" -> DedupQueries.dedupClustersSql,
+    "q_corpus_curation" -> DedupQueries.corpusCurationSql,
     "q_fingerprints" -> DedupQueries.fingerprintsSql,
     // log-stream fixtures regenerated in SQL with range()
     "q_selog_expand" -> LogQueries.selogExpandSql,

@@ -298,12 +298,13 @@ object DedupQueries {
         (col("id") === col("component")).as("keep"))
   }
 
-  /** DuckDB oracle for [[dedupClusters]]: the q_simhash_pairs derivation,
-    * then components via recursive transitive closure, canonical = the
-    * component's minimum doc id.
+  /** Shared CTE chain ending in `comp(doc_id, component)` — the cluster
+    * labeling by recursive transitive closure over the simhash pair
+    * graph. Reused by the curation oracle so the cluster derivation has
+    * exactly one SQL mirror.
     */
-  val dedupClustersSql: String =
-    s"""WITH RECURSIVE $simhashSql, segs0 AS (
+  private[queries] val clusterCtesSql: String =
+    s"""$simhashSql, segs0 AS (
          SELECT doc_id, simhash, unnest([
            '0:' || (simhash % 256),
            '1:' || ((simhash // 256) % 256),
@@ -325,10 +326,91 @@ object DedupQueries {
          SELECT a, b FROM e
          UNION
          SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+       ), comp AS (
+         SELECT a AS doc_id, least(a, min(b)) AS component
+         FROM reach GROUP BY a
+       )"""
+
+  /** DuckDB oracle for [[dedupClusters]]: [[clusterCtesSql]] + the
+    * canonical-survivor projection.
+    */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $clusterCtesSql
+       SELECT doc_id, component, (doc_id = component) AS keep FROM comp"""
+
+  /** The END-TO-END curation decision a training-data pipeline actually
+    * ships: per document, combine (a) exact-dup survivorship (min doc id
+    * per content hash), (b) near-dup survivorship (canonical member of
+    * its [[dedupClusters]] component; docs outside the pair graph keep
+    * by default), (c) a token-count quality band, and (d) language-ID
+    * confidence — into one `curated` verdict with the per-rule votes
+    * kept visible (the reason codes an auditor needs, not just the
+    * final boolean).
+    *
+    * Scale: every stage is per-document narrow or a single keyed
+    * shuffle already audited on its own query (q_dedup_exact,
+    * q_dedup_clusters, q_text_stats, q_language_id); the composition
+    * adds only doc_id equi-joins, with the tiny cluster labeling on
+    * the build side. The oracle assembles the SAME shared SQL
+    * fragments, so the composed decision cannot drift from the
+    * per-stage oracles.
+    */
+  def corpusCuration(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // (a) exact survivor: min doc id per content hash, window over the
+    // hash groups (one shuffle on a uniform key)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text").cast("binary")))
+    val exact = docs.select(
+      col("doc_id"),
+      col("lang"),
+      (col("doc_id") === min(col("doc_id")).over(w)).as("exact_keep"))
+    // (b) near-dup survivor from the cluster labeling
+    val nd = dedupClusters(s, dir).select(col("doc_id"), col("keep").as("nd_keep"))
+    // (c) quality band on token count
+    val stats = graft.queries.TextQueries.textStats(s, dir).select(col("doc_id"), col("n_tokens"))
+    // (d) language confidence
+    val lang = languageId(s, dir).select(col("doc_id"), col("detected"))
+    exact
+      .join(nd, Seq("doc_id"), "left")
+      .join(stats, Seq("doc_id"))
+      .join(lang, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("detected"),
+        col("n_tokens"),
+        col("exact_keep"),
+        coalesce(col("nd_keep"), lit(true)).as("neardup_keep"),
+        col("n_tokens").between(50, 400).as("quality_keep"),
+        (col("detected") =!= "unknown").as("lang_keep"))
+      .withColumn(
+        "curated",
+        col("exact_keep") && col("neardup_keep") && col("quality_keep") && col("lang_keep"))
+  }
+
+  /** DuckDB oracle for [[corpusCuration]]: the shared cluster and
+    * language CTEs plus the exact-hash window and the token band.
+    * Lazy: [[langScoredCteSql]] is declared further down the file, and
+    * a strict val here would interpolate its pre-init null.
+    */
+  lazy val corpusCurationSql: String =
+    s"""WITH RECURSIVE $clusterCtesSql, $langScoredCteSql, ex AS (
+         SELECT doc_id, lang,
+                doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS exact_keep,
+                len(string_split(text, ' '))::BIGINT AS n_tokens
+         FROM documents
        )
-       SELECT a AS doc_id, least(a, min(b)) AS component,
-              (a = least(a, min(b))) AS keep
-       FROM reach GROUP BY a"""
+       SELECT ex.doc_id, ex.lang, l.detected, ex.n_tokens,
+              ex.exact_keep,
+              coalesce(c.doc_id = c.component, TRUE) AS neardup_keep,
+              (ex.n_tokens BETWEEN 50 AND 400) AS quality_keep,
+              (l.detected <> 'unknown') AS lang_keep,
+              ex.exact_keep AND coalesce(c.doc_id = c.component, TRUE)
+                AND (ex.n_tokens BETWEEN 50 AND 400)
+                AND (l.detected <> 'unknown') AS curated
+       FROM ex
+       LEFT JOIN comp c ON c.doc_id = ex.doc_id
+       JOIN lang_scored l ON l.doc_id = ex.doc_id"""
 
   /** Exact word-set Jaccard between all document pairs of one language
     * among `doc_id < 80` — the verification kernel for the sketch paths,
@@ -506,22 +588,30 @@ object DedupQueries {
           .otherwise("unknown"))
   }
 
+  /** Shared CTE `lang_scored(doc_id, lang, score_*, detected)` — the
+    * language-ID derivation, reused by the curation oracle.
+    */
+  private[queries] val langScoredCteSql: String =
+    """lang_scored AS (
+         SELECT doc_id, lang, score_en, score_de, score_fr,
+           CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en > 0 THEN 'en'
+                WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
+                WHEN score_fr > 0 THEN 'fr'
+                ELSE 'unknown' END AS detected
+         FROM (
+           SELECT doc_id, lang,
+             CAST((length(text) - length(replace(text, ' the ', ''))) // 5
+                + (length(text) - length(replace(text, ' a ', ''))) // 3 AS BIGINT) AS score_en,
+             CAST((length(text) - length(replace(text, ' der ', ''))) // 5
+                + (length(text) - length(replace(text, ' und ', ''))) // 5 AS BIGINT) AS score_de,
+             CAST((length(text) - length(replace(text, ' le ', ''))) // 4
+                + (length(text) - length(replace(text, ' et ', ''))) // 4 AS BIGINT) AS score_fr
+           FROM documents))"""
+
   val languageIdSql: String =
-    """WITH scored AS (
-         SELECT doc_id, lang,
-           CAST((length(text) - length(replace(text, ' the ', ''))) // 5
-              + (length(text) - length(replace(text, ' a ', ''))) // 3 AS BIGINT) AS score_en,
-           CAST((length(text) - length(replace(text, ' der ', ''))) // 5
-              + (length(text) - length(replace(text, ' und ', ''))) // 5 AS BIGINT) AS score_de,
-           CAST((length(text) - length(replace(text, ' le ', ''))) // 4
-              + (length(text) - length(replace(text, ' et ', ''))) // 4 AS BIGINT) AS score_fr
-         FROM documents)
-       SELECT doc_id, lang, score_en, score_de, score_fr,
-         CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en > 0 THEN 'en'
-              WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
-              WHEN score_fr > 0 THEN 'fr'
-              ELSE 'unknown' END AS detected
-       FROM scored"""
+    s"""WITH $langScoredCteSql
+       SELECT doc_id, lang, score_en, score_de, score_fr, detected
+       FROM lang_scored"""
 
   /** Regex token counting (whitespace words vs a BPE-ish split into word /
     * digit / punctuation units) — oracle-checked; same regex semantics for
