@@ -353,6 +353,47 @@ class WireCodecsSpec extends AnyFunSuite {
     assert(fBack.valuesType === "Int16Array")
   }
 
+  test("pl72 golden structure: file-writer fields at their .fbs slot ids, df12 nested table") {
+    // navigate the buffer by hand with reader primitives — the
+    // cross-implementation check that a conformant external reader sees
+    // the df12 mapping at field id 10 with its two [int] vectors and
+    // n_spectra, and the strings at their declared slots
+    val full = RunStart(
+      "run_g", 1700000000999L, "MUSR", nPeriods = 2L,
+      nexusStructure = """{"k":1}""",
+      jobId = "job-g",
+      filename = "run_g.nxs",
+      controlTopic = "MUSR_runInfo",
+      detectorSpectrumMap = Some(SpectraDetectorMap(Seq(1001, 1002, 1003), Seq(11, 12, 13), 3)))
+    val b = WireCodecs.encodePl72(full)
+    val r = new FlatBufReader(b)
+    val t = r.rootTable
+    // scalar + string fields at .fbs declaration-order ids
+    assert(r.u64(r.fieldPos(t, 0)) === 1700000000999L) // start_time
+    assert(r.string(r.fieldPos(t, 2)) === "run_g") // run_name
+    assert(r.string(r.fieldPos(t, 3)) === "MUSR") // instrument_name
+    assert(r.string(r.fieldPos(t, 4)) === """{"k":1}""") // nexus_structure
+    assert(r.string(r.fieldPos(t, 5)) === "job-g") // job_id
+    assert(r.fieldPos(t, 6) === -1, "broker never written")
+    assert(r.fieldPos(t, 7) === -1, "service_id never written")
+    assert(r.string(r.fieldPos(t, 8)) === "run_g.nxs") // filename
+    assert(r.u32(r.fieldPos(t, 9)) === 2L) // n_periods
+    assert(r.string(r.fieldPos(t, 12)) === "MUSR_runInfo") // control_topic
+    // field 10: nested df12 SpectraDetectorMapping table
+    val mt = r.indirect(r.fieldPos(t, 10))
+    val specVec = r.indirect(r.fieldPos(mt, 0))
+    assert(r.vectorLength(specVec) === 3)
+    assert(r.i32(r.vectorElems(specVec) + 4) === 1002) // spectrum[1]
+    val detVec = r.indirect(r.fieldPos(mt, 1))
+    assert(r.i32(r.vectorElems(detVec) + 8) === 13) // detector_id[2]
+    assert(r.i32(r.fieldPos(mt, 2)) === 3) // n_spectra
+    // a subset message omits every optional field (absent ≠ empty write)
+    val subset = WireCodecs.encodePl72(RunStart("r", 1L, "i"))
+    val rs = new FlatBufReader(subset)
+    Seq(4, 5, 8, 10, 12).foreach(id =>
+      assert(rs.fieldPos(rs.rootTable, id) === -1, s"optional field $id must be absent"))
+  }
+
   test("se00 encode covers all ten union members: decode∘encode = id per member") {
     val se = SampleEnvLog(
       name = "se_dev", channel = 1, packetTimestampNs = 1700000000000000005L,
