@@ -338,6 +338,52 @@ object DedupQueries {
     s"""WITH RECURSIVE $clusterCtesSql
        SELECT doc_id, component, (doc_id = component) AS keep FROM comp"""
 
+  /** Stopword-marker occurrence count as a column expression (the
+    * length-difference trick — identical semantics in Spark and DuckDB),
+    * shared by [[languageId]] and [[corpusCuration]].
+    */
+  private def occurrencesCol(marker: String) =
+    ((length(col("text")) - length(regexp_replace(col("text"), lit(marker), lit("")))) /
+      marker.length).cast("long")
+
+  private def scoreEnCol = occurrencesCol(" the ") + occurrencesCol(" a ")
+  private def scoreDeCol = occurrencesCol(" der ") + occurrencesCol(" und ")
+  private def scoreFrCol = occurrencesCol(" le ") + occurrencesCol(" et ")
+
+  /** Language verdict from score COLUMNS already in scope (argmax with
+    * deterministic tiebreak) — one definition for both query paths.
+    */
+  private def detectedCol(
+      en: org.apache.spark.sql.Column,
+      de: org.apache.spark.sql.Column,
+      fr: org.apache.spark.sql.Column) =
+    when(en >= de && en >= fr && en > 0, "en")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("unknown")
+
+  /** Shared CTE `lang_scored(doc_id, lang, score_*, detected)` — the
+    * language-ID derivation, reused by the curation oracle. Declared
+    * BEFORE every val that interpolates it: a strict val referencing a
+    * later-declared fragment silently captures its pre-init null.
+    */
+  private[queries] val langScoredCteSql: String =
+    """lang_scored AS (
+         SELECT doc_id, lang, score_en, score_de, score_fr,
+           CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en > 0 THEN 'en'
+                WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
+                WHEN score_fr > 0 THEN 'fr'
+                ELSE 'unknown' END AS detected
+         FROM (
+           SELECT doc_id, lang,
+             CAST((length(text) - length(replace(text, ' the ', ''))) // 5
+                + (length(text) - length(replace(text, ' a ', ''))) // 3 AS BIGINT) AS score_en,
+             CAST((length(text) - length(replace(text, ' der ', ''))) // 5
+                + (length(text) - length(replace(text, ' und ', ''))) // 5 AS BIGINT) AS score_de,
+             CAST((length(text) - length(replace(text, ' le ', ''))) // 4
+                + (length(text) - length(replace(text, ' et ', ''))) // 4 AS BIGINT) AS score_fr
+           FROM documents))"""
+
   /** The END-TO-END curation decision a training-data pipeline actually
     * ships: per document, combine (a) exact-dup survivorship (min doc id
     * per content hash), (b) near-dup survivorship (canonical member of
@@ -347,33 +393,34 @@ object DedupQueries {
     * kept visible (the reason codes an auditor needs, not just the
     * final boolean).
     *
-    * Scale: every stage is per-document narrow or a single keyed
-    * shuffle already audited on its own query (q_dedup_exact,
-    * q_dedup_clusters, q_text_stats, q_language_id); the composition
-    * adds only doc_id equi-joins, with the tiny cluster labeling on
-    * the build side. The oracle assembles the SAME shared SQL
-    * fragments, so the composed decision cannot drift from the
-    * per-stage oracles.
+    * Scale: ONE corpus scan computes every per-row signal (token count,
+    * language scores, content hash) — the exact-survivor window is the
+    * only full-corpus shuffle, and the cluster labeling joins as a tiny
+    * left side. The per-rule semantics stay shared with their
+    * stand-alone queries at the EXPRESSION level ([[occurrencesCol]]/
+    * [[detectedCol]], [[TextQueries.nTokensSqlExpr]], the cluster and
+    * language CTE fragments), so the composed decision and the
+    * per-stage oracles move together.
     */
   def corpusCuration(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    // (a) exact survivor: min doc id per content hash, window over the
-    // hash groups (one shuffle on a uniform key)
+    // per-row signals in one pass over documents
+    val en = scoreEnCol
+    val de = scoreDeCol
+    val fr = scoreFrCol
     val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text").cast("binary")))
-    val exact = docs.select(
-      col("doc_id"),
-      col("lang"),
-      (col("doc_id") === min(col("doc_id")).over(w)).as("exact_keep"))
-    // (b) near-dup survivor from the cluster labeling
+    val base = Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        (col("doc_id") === min(col("doc_id")).over(w)).as("exact_keep"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"),
+        detectedCol(en, de, fr).as("detected"))
+    // near-dup survivor from the cluster labeling (docs outside the
+    // pair graph keep by default)
     val nd = dedupClusters(s, dir).select(col("doc_id"), col("keep").as("nd_keep"))
-    // (c) quality band on token count
-    val stats = graft.queries.TextQueries.textStats(s, dir).select(col("doc_id"), col("n_tokens"))
-    // (d) language confidence
-    val lang = languageId(s, dir).select(col("doc_id"), col("detected"))
-    exact
+    base
       .join(nd, Seq("doc_id"), "left")
-      .join(stats, Seq("doc_id"))
-      .join(lang, Seq("doc_id"))
       .select(
         col("doc_id"),
         col("lang"),
@@ -389,15 +436,14 @@ object DedupQueries {
   }
 
   /** DuckDB oracle for [[corpusCuration]]: the shared cluster and
-    * language CTEs plus the exact-hash window and the token band.
-    * Lazy: [[langScoredCteSql]] is declared further down the file, and
-    * a strict val here would interpolate its pre-init null.
+    * language CTEs plus the exact-hash window and the token band (token
+    * expression shared with the text-stats oracle).
     */
-  lazy val corpusCurationSql: String =
+  val corpusCurationSql: String =
     s"""WITH RECURSIVE $clusterCtesSql, $langScoredCteSql, ex AS (
          SELECT doc_id, lang,
                 doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS exact_keep,
-                len(string_split(text, ' '))::BIGINT AS n_tokens
+                ${TextQueries.nTokensSqlExpr}::BIGINT AS n_tokens
          FROM documents
        )
        SELECT ex.doc_id, ex.lang, l.detected, ex.n_tokens,
@@ -566,47 +612,22 @@ object DedupQueries {
   }
 
   /** Language-ID heuristic: stopword-marker counts per candidate language
-    * (occurrence counting via the length-difference trick — identical
-    * semantics in Spark and DuckDB), argmax with deterministic tiebreak.
+    * ([[occurrencesCol]] — identical semantics in Spark and DuckDB),
+    * argmax with deterministic tiebreak ([[detectedCol]], shared with the
+    * curation verdict).
     */
-  def languageId(s: SparkSession, dir: String): DataFrame = {
-    def occurrences(marker: String) =
-      ((length(col("text")) - length(regexp_replace(col("text"), lit(marker), lit("")))) /
-        marker.length).cast("long")
-    val enScore = (occurrences(" the ") + occurrences(" a ")).as("score_en")
-    val deScore = (occurrences(" der ") + occurrences(" und ")).as("score_de")
-    val frScore = (occurrences(" le ") + occurrences(" et ")).as("score_fr")
+  def languageId(s: SparkSession, dir: String): DataFrame =
     Tables
       .documents(s, dir)
-      .select(col("doc_id"), col("lang"), enScore, deScore, frScore)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        scoreEnCol.as("score_en"),
+        scoreDeCol.as("score_de"),
+        scoreFrCol.as("score_fr"))
       .withColumn(
         "detected",
-        when(col("score_en") >= col("score_de") && col("score_en") >= col("score_fr") &&
-          col("score_en") > 0, "en")
-          .when(col("score_de") >= col("score_fr") && col("score_de") > 0, "de")
-          .when(col("score_fr") > 0, "fr")
-          .otherwise("unknown"))
-  }
-
-  /** Shared CTE `lang_scored(doc_id, lang, score_*, detected)` — the
-    * language-ID derivation, reused by the curation oracle.
-    */
-  private[queries] val langScoredCteSql: String =
-    """lang_scored AS (
-         SELECT doc_id, lang, score_en, score_de, score_fr,
-           CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en > 0 THEN 'en'
-                WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
-                WHEN score_fr > 0 THEN 'fr'
-                ELSE 'unknown' END AS detected
-         FROM (
-           SELECT doc_id, lang,
-             CAST((length(text) - length(replace(text, ' the ', ''))) // 5
-                + (length(text) - length(replace(text, ' a ', ''))) // 3 AS BIGINT) AS score_en,
-             CAST((length(text) - length(replace(text, ' der ', ''))) // 5
-                + (length(text) - length(replace(text, ' und ', ''))) // 5 AS BIGINT) AS score_de,
-             CAST((length(text) - length(replace(text, ' le ', ''))) // 4
-                + (length(text) - length(replace(text, ' et ', ''))) // 4 AS BIGINT) AS score_fr
-           FROM documents))"""
+        detectedCol(col("score_en"), col("score_de"), col("score_fr")))
 
   val languageIdSql: String =
     s"""WITH $langScoredCteSql

@@ -48,16 +48,22 @@ object TextQueries {
         round((length(col("text")).cast("double") / toks), 4).as("avg_token_span"))
   }
 
+  /** The SQL mirror of the whitespace tokenizer's count — ONE definition
+    * shared by [[textStatsSql]] and the curation oracle, so a tokenizer
+    * change has a single SQL reflection.
+    */
+  private[queries] val nTokensSqlExpr: String = "len(string_split(text, ' '))"
+
   /** DuckDB oracle. Note `replace` vs Spark's `regexp_replace`: both do
     * non-overlapping left-to-right replacement of the literal ` the `, so
     * counts agree.
     */
   val textStatsSql: String =
-    """SELECT doc_id, lang,
+    s"""SELECT doc_id, lang,
        length(text) AS n_chars,
-       len(string_split(text, ' ')) AS n_tokens,
+       $nTokensSqlExpr AS n_tokens,
        CAST((length(text) - length(replace(text, ' the ', ''))) // 5 AS BIGINT) AS the_count,
-       round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_token_span
+       round(CAST(length(text) AS DOUBLE) / $nTokensSqlExpr, 4) AS avg_token_span
        FROM documents"""
 
   /** Corpus language/source profile: count + mean length per (lang,
