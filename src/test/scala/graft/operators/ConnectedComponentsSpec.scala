@@ -64,4 +64,25 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val edges = Seq((5L, 5L), (5L, 6L), (6L, 5L), (5L, 6L))
     assert(comps(edges) === Map(5L -> 5L, 6L -> 5L))
   }
+
+  test("seeded random graphs match a local union-find") {
+    // independent reference implementation: union-by-min keeps every
+    // set's root at its minimum id, so find(v) IS the expected component
+    val rnd = new scala.util.Random(20260812L)
+    (0 until 5).foreach { trial =>
+      val n = 60 + rnd.nextInt(60)
+      val m = 20 + rnd.nextInt(120)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val ra = find(a.toInt)
+        val rb = find(b.toInt)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = verts.map(v => v -> find(v.toInt).toLong).toMap
+      assert(comps(edges) === expected, s"trial $trial (n=$n, m=$m)")
+    }
+  }
 }
