@@ -54,6 +54,7 @@ object SparkEntry {
     "q_nexus_event_table" -> (PipelineQueries.nexusEventTable _),
     "q_wire_roundtrip" -> (PipelineQueries.wireRoundtrip _),
     "q_wire_runstart" -> (PipelineQueries.wireRunStart _),
+    "q_run_intervals" -> (PipelineQueries.runIntervals _),
     "q_pipeline_e2e" -> (PipelineQueries.pipelineE2e _),
     "q_wire_e2e" -> (PipelineQueries.wireE2e _),
     "q_sim_schedule" -> (PipelineQueries.simSchedule _),
@@ -163,6 +164,7 @@ object SparkEntry {
     "q_trace_to_events_differential" -> PipelineQueries.traceToEventsDifferentialSql,
     "q_wire_roundtrip" -> PipelineQueries.wireRoundtripSql,
     "q_wire_runstart" -> PipelineQueries.wireRunStartSql,
+    "q_run_intervals" -> PipelineQueries.runIntervalsSql,
     // multimodal plumbing on the closed-form synthetic payload
     "q_media_features" -> MultimodalQueries.mediaFeaturesSql,
     "q_media_frame_sample" -> MultimodalQueries.mediaFrameSampleSql,

@@ -538,6 +538,68 @@ object PipelineQueries {
       .transform(NexusTables.frameTable)
   }
 
+  /** J3 directly on the query surface: run-stop pairing + abort-on-
+    * restart over a closed-form control schedule that exercises every
+    * rule at once — latest-generation stop pairing on a reused name,
+    * earliest-stop-wins when a name gets two stops, a stop BEFORE its
+    * start rejected (strict pairing), a stop with no matching start
+    * dropped, the global cross-name abort cap (one active run per
+    * instrument, the reference's single-writer model), and an open
+    * final run (null collect_until). The DuckDB oracle re-derives the
+    * intervals with the same declarative rules over VALUES.
+    */
+  def runIntervals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val B = 1700000000000L
+    val starts = Seq(
+      RunStart("alpha", B, "muon"),
+      RunStart("beta", B + 10000L, "muon"),
+      RunStart("alpha", B + 20000L, "muon"), // reused name: new generation
+      RunStart("gamma", B + 30000L, "muon"),
+      RunStart("delta", B + 40000L, "muon")).toDS()
+    val stops = Seq(
+      RunStop("beta", B + 15000L),
+      RunStop("beta", B + 17000L), // second stop: earliest wins
+      RunStop("alpha", B + 25000L), // pairs with generation 2, never gen 1
+      RunStop("gamma", B + 5000L), // precedes gamma's start: rejected
+      RunStop("epsilon", B + 99000L)).toDS() // no such run: dropped
+    RunAssignment.runs(s, starts, stops)
+  }
+
+  /** DuckDB oracle for [[runIntervals]]. */
+  val runIntervalsSql: String =
+    """WITH starts(run_name, start_ms) AS (
+         VALUES ('alpha', 1700000000000), ('beta', 1700000010000),
+                ('alpha', 1700000020000), ('gamma', 1700000030000),
+                ('delta', 1700000040000)
+       ), stops(run_name, stop_ms) AS (
+         VALUES ('beta', 1700000015000), ('beta', 1700000017000),
+                ('alpha', 1700000025000), ('gamma', 1700000005000),
+                ('epsilon', 1700000099000)
+       ), paired AS (
+         -- each stop pairs with the LATEST same-name start strictly
+         -- before it; each start closes at its EARLIEST paired stop
+         SELECT run_name, start_ms, min(stop_ms) AS stop_ms
+         FROM (
+           SELECT s.run_name, s.stop_ms, max(t.start_ms) AS start_ms
+           FROM stops s JOIN starts t
+             ON t.run_name = s.run_name AND s.stop_ms > t.start_ms
+           GROUP BY s.run_name, s.stop_ms)
+         GROUP BY run_name, start_ms
+       ), iv AS (
+         SELECT t.run_name, t.start_ms, p.stop_ms,
+                lead(t.start_ms) OVER (ORDER BY t.start_ms) AS next_ms
+         FROM starts t LEFT JOIN paired p
+           ON p.run_name = t.run_name AND p.start_ms = t.start_ms
+       )
+       SELECT run_name, 'muon' AS instrument_name, 1::BIGINT AS n_periods,
+              (start_ms * 1000000)::BIGINT AS collect_from_ns,
+              (CASE WHEN stop_ms IS NOT NULL AND next_ms IS NOT NULL
+                    THEN least(stop_ms, next_ms)
+                    ELSE coalesce(stop_ms, next_ms) END * 1000000)::BIGINT
+                AS collect_until_ns
+       FROM iv"""
+
   /** S6 through the `spark.read` surface: a deterministic binary trace
     * file (written once to the JVM temp dir, atomic move) scanned via
     * the DataSource V2 connector — split planning from the header,
