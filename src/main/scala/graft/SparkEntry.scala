@@ -86,6 +86,11 @@ object SparkEntry {
     "q_fingerprints" -> (DedupQueries.fingerprints _),
     "q_language_id" -> (DedupQueries.languageId _),
     "q_token_counts" -> (DedupQueries.tokenCounts _),
+    "q_repetition_stats" -> (CurationQueries.repetitionStats _),
+    "q_boilerplate_ngrams" -> (CurationQueries.boilerplateNgrams _),
+    "q_hash_split" -> (CurationQueries.hashSplit _),
+    "q_tfidf_terms" -> (CurationQueries.tfidfTerms _),
+    "q_lang_mixture" -> (CurationQueries.langMixture _),
     "q_cosine_topk" -> ((s: SparkSession, d: String) => VectorQueries.cosineTopK(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => VectorQueries.dedupEmbedding(s, d)),
     "q_lsh_ann" -> ((s: SparkSession, d: String) => VectorQueries.lshAnn(s, d)),
@@ -131,6 +136,11 @@ object SparkEntry {
     "q_bigram_jaccard" -> DedupQueries.bigramJaccardSql,
     "q_language_id" -> DedupQueries.languageIdSql,
     "q_token_counts" -> DedupQueries.tokenCountsSql,
+    "q_repetition_stats" -> CurationQueries.repetitionStatsSql,
+    "q_boilerplate_ngrams" -> CurationQueries.boilerplateNgramsSql,
+    "q_hash_split" -> CurationQueries.hashSplitSql,
+    "q_tfidf_terms" -> CurationQueries.tfidfTermsSql,
+    "q_lang_mixture" -> CurationQueries.langMixtureSql,
     "q_cosine_topk" -> VectorQueries.cosineTopKSql,
     "q_dedup_embedding" -> VectorQueries.dedupEmbeddingSql,
     "q_json_props" -> LogQueries.jsonPropsSql,

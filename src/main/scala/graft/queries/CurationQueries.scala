@@ -1,0 +1,267 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for large-scale training-data pipelines:
+  * repetition/quality statistics (Gopher-style), corpus-level boilerplate
+  * n-gram detection, deterministic hash-based train/val/test splitting,
+  * TF-IDF salient-term extraction, and balanced per-language mixture
+  * sampling. Each query has an exact DuckDB oracle (the hash functions and
+  * n-gram constructions are re-derived from the text in ANSI SQL).
+  *
+  * Scale design: the per-document statistics are zero-shuffle higher-order
+  * -function scans (whole-stage codegen'd, no explode → no row blow-up);
+  * the corpus-level operators shuffle only on bounded-cardinality keys
+  * (n-gram, term, language) with map-side partial aggregation.
+  */
+object CurationQueries {
+
+  /** One shared tokenizer (whitespace) — the SQL mirror lives in
+    * [[TextQueries.nTokensSqlExpr]]'s family; here we need the list
+    * itself, `string_split(text, ' ')`.
+    */
+  private def toks = split(col("text"), " ", -1)
+
+  /** k-gram array via index arithmetic over the token list — a pure
+    * column expression (`transform` over `sequence`), no explode. Spark
+    * `slice` is 1-based and length-bounded exactly like DuckDB's
+    * inclusive `w[i:i+k-1]` slice, so both engines enumerate the same
+    * n-grams in the same order.
+    */
+  private def gramsExpr(k: Int): String =
+    s"transform(sequence(1, size(w) - ${k - 1}), i -> concat_ws(' ', slice(w, i, $k)))"
+
+  private def gramsSql(k: Int): String =
+    s"array_to_string(w[i:i+${k - 1}], ' ')"
+
+  // --------------------------------------------------------------------
+  // q_repetition_stats — per-document repetition metrics, zero shuffle
+  // --------------------------------------------------------------------
+
+  /** Gopher-style repetition statistics per document, adapted to the
+    * newline-free synthetic corpus: distinct-token ratio, the fraction of
+    * bigram slots covered by the single most-repeated bigram, and the
+    * duplicate-trigram fraction. Everything is computed inside ONE narrow
+    * projection: the max-multiplicity bigram is found by sorting the
+    * bigram array and scanning runs with `aggregate` — no explode, no
+    * groupBy, no shuffle. At 100 TB this is a pure map over the corpus.
+    */
+  def repetitionStats(s: SparkSession, dir: String): DataFrame = {
+    // longest run in the sorted bigram array = max bigram multiplicity
+    val maxRun =
+      """aggregate(
+           array_sort(g2),
+           named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
+           (acc, x) -> named_struct(
+             'prev', x,
+             'run',  CASE WHEN x <=> acc.prev THEN acc.run + 1L ELSE 1L END,
+             'best', greatest(acc.best,
+                       CASE WHEN x <=> acc.prev THEN acc.run + 1L ELSE 1L END)),
+           acc -> acc.best)"""
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), toks.as("w"))
+      .withColumn("g2", expr(gramsExpr(2)))
+      .withColumn("g3", expr(gramsExpr(3)))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        round(size(array_distinct(col("w"))).cast("double") / size(col("w")), 4)
+          .as("distinct_ratio"),
+        round(expr(maxRun).cast("double") / size(col("g2")), 4)
+          .as("top_bigram_frac"),
+        round(
+          (size(col("g3")) - size(array_distinct(col("g3")))).cast("double") /
+            size(col("g3")),
+          4).as("dup_trigram_frac"))
+  }
+
+  /** DuckDB oracle: the same statistics derived the relational way —
+    * explode the n-grams and GROUP BY — proving the run-scan shortcut
+    * computes the true max multiplicity.
+    */
+  val repetitionStatsSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        g2 AS (SELECT doc_id, ${gramsSql(2)} g
+               FROM t, unnest(generate_series(1, len(w) - 1)) AS s(i)),
+        top2 AS (SELECT doc_id, max(c) best FROM
+                   (SELECT doc_id, g, count(*) c FROM g2 GROUP BY 1, 2)
+                 GROUP BY 1),
+        g3 AS (SELECT doc_id, ${gramsSql(3)} g
+               FROM t, unnest(generate_series(1, len(w) - 2)) AS s(i)),
+        d3 AS (SELECT doc_id, count(*) n3, count(DISTINCT g) nd3 FROM g3 GROUP BY 1)
+        SELECT t.doc_id,
+          CAST(len(w) AS BIGINT) AS n_tokens,
+          round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4) AS distinct_ratio,
+          round(CAST(top2.best AS DOUBLE) / (len(w) - 1), 4) AS top_bigram_frac,
+          round(CAST(d3.n3 - d3.nd3 AS DOUBLE) / d3.n3, 4) AS dup_trigram_frac
+        FROM t JOIN top2 USING (doc_id) JOIN d3 USING (doc_id)"""
+
+  // --------------------------------------------------------------------
+  // q_boilerplate_ngrams — corpus-level boilerplate detection
+  // --------------------------------------------------------------------
+
+  /** Corpus-level boilerplate coverage: a 4-gram is boilerplate when it
+    * occurs in ≥ [[BoilerplateMinDocs]] distinct documents (the shared
+    * header/footer signature of web corpora); each document reports what
+    * fraction of its 4-gram slots are boilerplate. Plan: one narrow
+    * explode → ONE shuffle keyed on the gram (uniform hash keys,
+    * map-side partial agg) to build the boilerplate dimension → one join
+    * back (AQE broadcasts it when small) → one groupBy on doc_id. No
+    * all-pairs stage anywhere, so the plan survives 100×.
+    */
+  val BoilerplateMinDocs = 3
+
+  def boilerplateNgrams(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), explode(expr(gramsExpr(4))).as("g"))
+    val boiler = grams
+      .groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_with"))
+      .filter(col("n_docs_with") >= BoilerplateMinDocs)
+      .select(col("g"), lit(1).as("is_boiler"))
+    grams
+      .join(boiler, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count(col("is_boiler")).as("n_boiler"))
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        col("n_boiler"),
+        round(col("n_boiler").cast("double") / col("n_grams"), 4).as("boiler_frac"))
+  }
+
+  val boilerplateNgramsSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        grams AS (SELECT doc_id, ${gramsSql(4)} g
+                  FROM t, unnest(generate_series(1, len(w) - 3)) AS s(i)),
+        boiler AS (SELECT g FROM
+                     (SELECT g, count(DISTINCT doc_id) n FROM grams GROUP BY 1)
+                   WHERE n >= $BoilerplateMinDocs)
+        SELECT doc_id,
+          count(*) AS n_grams,
+          count(b.g) AS n_boiler,
+          round(CAST(count(b.g) AS DOUBLE) / count(*), 4) AS boiler_frac
+        FROM grams LEFT JOIN boiler b USING (g)
+        GROUP BY doc_id"""
+
+  // --------------------------------------------------------------------
+  // q_hash_split — deterministic stratified train/val/test assignment
+  // --------------------------------------------------------------------
+
+  /** Deterministic dataset splitting: bucket = md5(doc_id) mod 10 →
+    * 8/1/1 train/val/test. Content-independent, seedless, and stable
+    * under re-runs and re-partitioning — the property a 100 TB pipeline
+    * needs so that split membership never changes when the corpus is
+    * re-processed. Reported per (lang, split) so stratification skew is
+    * visible. The only shuffle is the tiny (lang, split) rollup.
+    */
+  def hashSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      expr("cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 4), 16, 10) as long) % 10")
+    Tables
+      .documents(s, dir)
+      .withColumn(
+        "split",
+        when(bucket <= 7, "train").when(bucket === 8, "val").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+  }
+
+  val hashSplitSql: String =
+    """WITH b AS (SELECT *,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10
+           AS bucket FROM documents)
+       SELECT lang,
+         CASE WHEN bucket <= 7 THEN 'train'
+              WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+         count(*) AS n_docs, min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+       FROM b GROUP BY 1, 2"""
+
+  // --------------------------------------------------------------------
+  // q_tfidf_terms — salient-term extraction per document
+  // --------------------------------------------------------------------
+
+  /** Top-3 salient terms per document ranked by term frequency with
+    * document-frequency and lexicographic tie-breaks (integer-only
+    * ranking — no transcendental idf in the hash-checked output; tf and
+    * df are reported so any idf weighting is a client-side map). Plan:
+    * tf = groupBy(doc, term) [shuffle 1, key cardinality ≈ corpus
+    * tokens]; df = groupBy(term) over the tf table [shuffle 2, key
+    * cardinality = vocabulary]; df is broadcast back (vocabulary ≪
+    * corpus); final per-doc rank window shuffles on doc_id.
+    */
+  def tfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(broadcast(df), Seq("term"))
+      .withColumn("trank", row_number().over(w).cast("long"))
+      .filter(col("trank") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("trank"))
+  }
+
+  val tfidfTermsSql: String =
+    """WITH tok AS (SELECT doc_id, t.term FROM documents,
+                    unnest(string_split(text, ' ')) AS t(term)),
+        tf AS (SELECT doc_id, term, count(*) tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+        ranked AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                     row_number() OVER (PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS trank
+                   FROM tf JOIN df USING (term))
+        SELECT doc_id, term, tf, df, trank FROM ranked WHERE trank <= 3"""
+
+  // --------------------------------------------------------------------
+  // q_lang_mixture — balanced per-language downsample
+  // --------------------------------------------------------------------
+
+  /** Balanced language mixture: downsample every language to the size of
+    * the smallest one, choosing documents by deterministic md5 order (a
+    * seedless uniform draw that is stable across runs and partitionings).
+    * The target size is a scalar aggregate broadcast to the filter; the
+    * per-language rank is one window shuffle on `lang`. This is the
+    * domain-mixture primitive of training-data curation: swap the
+    * min-count target for externally supplied per-domain quotas and the
+    * plan is unchanged.
+    */
+  def langMixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val target = docs
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .agg(min(col("c")).as("target"))
+    val order = expr("md5(cast(cast(doc_id as string) as binary))")
+    val w = Window.partitionBy(col("lang")).orderBy(order, col("doc_id"))
+    docs
+      .withColumn("pick_rank", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(target))
+      .filter(col("pick_rank") <= col("target"))
+      .select(col("doc_id"), col("lang"), col("pick_rank"))
+  }
+
+  val langMixtureSql: String =
+    """WITH ranked AS (SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick_rank
+         FROM documents)
+       SELECT doc_id, lang, pick_rank FROM ranked
+       WHERE pick_rank <= (SELECT min(c) FROM
+         (SELECT count(*) c FROM documents GROUP BY lang) t)"""
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics locks for the corpus-curation operators: each test pins a
+  * property a DuckDB hash-match alone would not explain well (the oracle
+  * proves equality, these prove the *intent* on hand-built corpora), plus
+  * plan shape asserts for the zero-shuffle claims.
+  */
+class CurationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Run a curation query on an in-memory documents table by temp-view
+    * substitution: Tables.documents reads parquet, so for hand-built
+    * corpora we write a tiny parquet dir.
+    */
+  private def withDocs(rows: Seq[(Long, String, String, String, Long)])(
+      f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("curation_docs").toString
+    import spark.implicits._
+    rows
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    try f(dir)
+    finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("repetition stats: constructed repetition is measured exactly") {
+    // doc 1: "a b a b a b" — 6 tokens, 2 distinct, bigrams are
+    // [a b, b a, a b, b a, a b] → top bigram multiplicity 3 of 5 slots;
+    // trigrams [aba, bab, aba, bab] → 4 slots, 2 distinct → dup frac 0.5
+    // doc 2: all-distinct tokens → ratios 1.0 / (1/n-1) / 0.0
+    withDocs(
+      Seq(
+        (1L, "a b a b a b", "en", "s", 11L),
+        (2L, "p q r s t u", "en", "s", 11L))) { dir =>
+      val out = CurationQueries
+        .repetitionStats(spark, dir)
+        .collect()
+        .map(r => r.getLong(0) -> r)
+        .toMap
+      val d1 = out(1L)
+      assert(d1.getLong(1) == 6L)
+      assert(d1.getDouble(2) == (2.0 / 6 * 10000).round / 10000.0)
+      assert(d1.getDouble(3) == 0.6) // 3/5
+      assert(d1.getDouble(4) == 0.5) // (4-2)/4
+      val d2 = out(2L)
+      assert(d2.getDouble(2) == 1.0)
+      assert(d2.getDouble(3) == 0.2) // every bigram unique: 1/5
+      assert(d2.getDouble(4) == 0.0)
+    }
+  }
+
+  test("repetition stats plan is a zero-shuffle narrow scan") {
+    val plan = CurationQueries
+      .repetitionStats(spark, sf)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(!plan.contains("Exchange"), s"expected no shuffle, got:\n$plan")
+  }
+
+  test("boilerplate: a 4-gram shared by 3 docs is flagged, coverage exact") {
+    val shared = "x1 x2 x3 x4" // the boilerplate 4-gram
+    withDocs(
+      Seq(
+        (1L, s"$shared a b c", "en", "s", 0L), // 7 tokens → 4 slots, 1 boiler
+        (2L, s"d $shared e", "en", "s", 0L), // 6 tokens → 3 slots, 1 boiler
+        (3L, s"f g $shared", "en", "s", 0L), // 6 tokens → 3 slots, 1 boiler
+        (4L, "h i j k l m", "en", "s", 0L) // no boilerplate
+      )) { dir =>
+      val out = CurationQueries
+        .boilerplateNgrams(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      assert(out(1L) == ((4L, 1L, 0.25)))
+      assert(out(2L) == ((3L, 1L, 0.3333)))
+      assert(out(3L) == ((3L, 1L, 0.3333)))
+      assert(out(4L) == ((3L, 0L, 0.0)))
+    }
+  }
+
+  test("hash split: assignment is deterministic, content-independent, 8/1/1-ish") {
+    val a = CurationQueries.hashSplit(spark, sf).collect()
+    val b = CurationQueries.hashSplit(spark, sf).collect()
+    assert(a.toSet == b.toSet) // stable across runs
+    val bySplit = a.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum)
+    val total = bySplit.values.sum.toDouble
+    // 16-bit md5 prefix mod 10: expect ~80/10/10 with generous slack at
+    // tiny corpus sizes
+    assert(bySplit("train") / total > 0.6)
+    assert(bySplit.getOrElse("val", 0L) / total < 0.25)
+    assert(bySplit.getOrElse("test", 0L) / total < 0.25)
+  }
+
+  test("tf-idf terms: exactly top-3 per doc, ordered by tf desc with tie-breaks") {
+    withDocs(
+      Seq(
+        // tf: a=3, b=2, c=1, d=1 → top3 = a, b, then c vs d tie on tf →
+        // df tie too (both once in corpus) → term asc picks c
+        (1L, "a a a b b c d", "en", "s", 0L))) { dir =>
+      val out = CurationQueries
+        .tfidfTerms(spark, dir)
+        .collect()
+        .sortBy(_.getLong(4))
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(4)))
+      assert(out.toSeq == Seq(("a", 3L, 1L), ("b", 2L, 2L), ("c", 1L, 3L)))
+    }
+  }
+
+  test("lang mixture: every language downsampled to the minimum count") {
+    val out = CurationQueries.langMixture(spark, sf).collect()
+    val byLang = out.groupBy(_.getString(1)).view.mapValues(_.length)
+    assert(byLang.values.toSet.size == 1, s"unbalanced: ${byLang.toMap}")
+    // rank sequence per language is 1..target with no gaps
+    val target = byLang.values.head
+    out.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to target.toLong))
+    }
+    // deterministic: same selection on a second run
+    assert(CurationQueries.langMixture(spark, sf).collect().toSet == out.toSet)
+  }
+}
