@@ -70,10 +70,14 @@ object ConnectedComponents {
     // below) cannot leak persisted blocks into a long-lived session
     try {
       directed.count()
+      // initial labeling folds the first neighbor-min step into the
+      // vertex-dedup shuffle: comp₀(v) = min(v, min neighbor) — the
+      // distinct() this replaces was a groupBy on the same key doing no
+      // useful work, so round 1 comes free
       var labels = directed
-        .select(col("a").as("id"))
-        .distinct()
-        .withColumn("comp", col("id"))
+        .groupBy(col("a"))
+        .agg(min(col("b")).as("nmin"))
+        .select(col("a").as("id"), least(col("a"), col("nmin")).as("comp"))
         .localCheckpoint()
       var changed = 1L
       var i = 0
@@ -86,10 +90,16 @@ object ConnectedComponents {
           .select(col("a").as("id"), col("nmin"))
         // persisted: it feeds BOTH sides of the pointer-jump self-join —
         // unpersisted, the whole neighbor-min subtree executes twice per
-        // round (ReuseExchange dedups only the shuffles)
+        // round (ReuseExchange dedups only the shuffles). The round's
+        // starting label rides along as `prev` so convergence detection
+        // needs no join back to `labels` — it becomes a narrow scan of
+        // the checkpointed blocks instead of a shuffle join per round.
         propagated = labels
           .join(neighborMin, Seq("id"), "left")
-          .select(col("id"), least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+          .select(
+            col("id"),
+            least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
+            col("comp").as("prev"))
           .persist()
         // step 2: pointer jump — comp(v) ← comp(comp(v)); comp values are
         // themselves vertex ids (invariant: comp(v) ≤ v), so the self-join
@@ -99,12 +109,12 @@ object ConnectedComponents {
             propagated.select(col("id").as("comp"), col("comp").as("comp2")),
             Seq("comp"),
             "left")
-          .select(col("id"), least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"))
+          .select(
+            col("id"),
+            least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"),
+            col("prev"))
           .localCheckpoint() // truncate lineage: one round of plan, not i rounds
-        changed = updated
-          .join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
-          .filter(col("comp") < col("prev"))
-          .count()
+        changed = updated.filter(col("comp") < col("prev")).count()
         propagated.unpersist()
         propagated = null
         // the superseded labeling's checkpoint blocks are dead now —
