@@ -229,6 +229,105 @@ object CurationQueries {
         SELECT doc_id, term, tf, df, trank FROM ranked WHERE trank <= 3"""
 
   // --------------------------------------------------------------------
+  // q_substring_dedup — duplicated-span coverage across the corpus
+  // --------------------------------------------------------------------
+
+  /** Substring-level deduplication (the train-data technique of removing
+    * repeated spans rather than whole documents): every
+    * [[SubstringSpanTokens]]-token span that occurred earlier in the
+    * corpus — in a lower doc_id, or earlier in the same document — is a
+    * duplicate occurrence; per document, overlapping duplicate spans are
+    * merged (gaps-and-islands) and the covered token count reported.
+    *
+    * Scale: shingling is a narrow `inline` explode (≈ n_tokens rows per
+    * doc, same blow-up every shingle sketch pays). First-occurrence is a
+    * `min(struct(doc_id, pos))` groupBy — partial aggregation collapses
+    * hot shingles map-side, so a boilerplate 5-gram appearing 10⁹ times
+    * does NOT funnel one reducer (a row_number window would); the join
+    * back on the shingle key is skew-handled by AQE. Span merging is one
+    * window per doc_id — bounded by document length.
+    */
+  val SubstringSpanTokens = 5
+
+  def substringDedup(s: SparkSession, dir: String): DataFrame = {
+    val L = SubstringSpanTokens
+    val docs = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"), col("w"))
+    val occ = docs.select(
+      col("doc_id"),
+      expr(s"""inline(transform(sequence(1, size(w) - ${L - 1}),
+                i -> struct(cast(i as long) AS pos,
+                            concat_ws(' ', slice(w, i, $L)) AS gram)))"""))
+    val firsts = occ
+      .groupBy(col("gram"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val dups = occ
+      .join(firsts, Seq("gram"))
+      .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
+      .select(col("doc_id"), col("pos"))
+    // merge overlapping [pos, pos+L-1] spans per doc: island starts when
+    // this span begins past the running max end of all earlier spans
+    val wPrev = Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val covered = dups
+      .withColumn("prev_max_end", max(col("pos") + (L - 1)).over(wPrev))
+      .withColumn(
+        "new_island",
+        when(col("prev_max_end").isNull || col("pos") > col("prev_max_end"), 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("new_island")).over(wRun))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("pos")) - min(col("pos")) + L).as("cov"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cov")).cast("long").as("dup_tokens"))
+    docs
+      .join(covered, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"), 4)
+          .as("dup_frac"))
+  }
+
+  /** DuckDB oracle: first occurrence re-derived with a row_number window
+    * (fine at oracle scale; the engine avoids it for skew), identical
+    * islands arithmetic.
+    */
+  val substringDedupSql: String = {
+    val L = SubstringSpanTokens
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        occ AS (SELECT doc_id, CAST(i AS BIGINT) pos, ${gramsSql(L)} gram
+                FROM t, unnest(generate_series(1, len(w) - ${L - 1})) AS s(i)),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) rn
+                   FROM occ),
+        dups AS (SELECT doc_id, pos FROM ranked WHERE rn > 1),
+        marked AS (SELECT doc_id, pos,
+                     max(pos + ${L - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) prev_max_end
+                   FROM dups),
+        flagged AS (SELECT doc_id, pos,
+                      CASE WHEN prev_max_end IS NULL OR pos > prev_max_end
+                           THEN 1 ELSE 0 END new_island FROM marked),
+        islands AS (SELECT doc_id, pos,
+                      sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) island
+                    FROM flagged),
+        cov AS (SELECT doc_id, island, max(pos) - min(pos) + $L cov
+                FROM islands GROUP BY 1, 2),
+        per_doc AS (SELECT doc_id, CAST(sum(cov) AS BIGINT) dup_tokens FROM cov GROUP BY 1)
+        SELECT t.doc_id,
+          CAST(len(w) AS BIGINT) AS n_tokens,
+          coalesce(per_doc.dup_tokens, 0) AS dup_tokens,
+          round(CAST(coalesce(per_doc.dup_tokens, 0) AS DOUBLE) / len(w), 4) AS dup_frac
+        FROM t LEFT JOIN per_doc USING (doc_id)"""
+  }
+
+  // --------------------------------------------------------------------
   // q_lang_mixture — balanced per-language downsample
   // --------------------------------------------------------------------
 

@@ -122,6 +122,46 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("substring dedup: repeated spans merge into covered islands, first occurrence exempt") {
+    // doc 1 carries the original span; doc 2 repeats it twice with an
+    // overlap-free gap; doc 3 has no 5-token overlap with anything.
+    // Span = 5 tokens (SubstringSpanTokens).
+    val span = "s1 s2 s3 s4 s5"
+    withDocs(
+      Seq(
+        (1L, s"$span a b c d e", "en", "s", 0L), // first occurrence — no dups
+        // positions 1..5 and 7..11 duplicate `span` (pos 1 exactly, pos 7
+        // after 'z1'): spans [1,5] and [7,11] → two islands, 10 tokens
+        (2L, s"$span z1 $span", "en", "s", 0L),
+        (3L, "t1 t2 t3 t4 t5 t6", "en", "s", 0L))) { dir =>
+      val out = CurationQueries
+        .substringDedup(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      assert(out(1L) == ((10L, 0L, 0.0)))
+      assert(out(2L) == ((11L, 10L, 0.9091)))
+      assert(out(3L) == ((6L, 0L, 0.0)))
+    }
+  }
+
+  test("substring dedup: overlapping duplicate spans merge, not double-count") {
+    // doc 2 = doc 1's 6-token prefix → duplicate 5-gram occurrences at
+    // pos 1 and 2 overlap: [1,5] ∪ [2,6] = [1,6] → 6 covered tokens
+    withDocs(
+      Seq(
+        (1L, "u1 u2 u3 u4 u5 u6 x y", "en", "s", 0L),
+        (2L, "u1 u2 u3 u4 u5 u6", "en", "s", 0L))) { dir =>
+      val out = CurationQueries
+        .substringDedup(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(2), r.getDouble(3))))
+        .toMap
+      assert(out(1L) == ((0L, 0.0)))
+      assert(out(2L) == ((6L, 1.0)))
+    }
+  }
+
   test("lang mixture: every language downsampled to the minimum count") {
     val out = CurationQueries.langMixture(spark, sf).collect()
     val byLang = out.groupBy(_.getString(1)).view.mapValues(_.length)
