@@ -321,6 +321,125 @@ final class NexusSink(outputDir: String) extends Serializable {
     (moved -- failed).toSeq
   }
 
+  /** Compact every finalized generation currently under `completed/`:
+    * collapse the per-micro-batch `batch_id=N` partition directories —
+    * one small file per batch per table is the classic streaming-sink
+    * small-files problem; a year of 1 s micro-batches is 3×10⁷ files per
+    * table before a single byte of data demands it — into one
+    * `batch_id=<maxBatch>` partition holding ⌈rows / targetRowsPerFile⌉
+    * right-sized files. The partition DIRECTORY SHAPE is preserved
+    * (still `run_name=/run_start_ns=/batch_id=`), so partition
+    * discovery, schema, and every reader are unaffected; only the batch
+    * granularity collapses, which is safe exactly because a finalized
+    * generation is immutable — `batch_id` exists for live replay
+    * idempotence ([[writeBatch]]) and carries no meaning after the stop
+    * marker cleared.
+    *
+    * Crash safety without a transaction log: the rewrite lands in a
+    * dot-prefixed scratch dir (invisible to Spark readers), then the
+    * swap parks the old batch dirs in `.compact_old` before promoting
+    * the new file set; [[recoverInterruptedCompaction]] runs first and
+    * restores any generation a previous process died mid-swap on. The
+    * spark jobs run OUTSIDE [[moveLock]] (reads of `completed/` never
+    * race the sink's writers, which only touch `local/`); only the
+    * directory swap and the archiver share the lock.
+    */
+  def compactCompleted(
+      spark: SparkSession,
+      targetRowsPerFile: Long = 4000000L): Seq[NexusSink.CompactionStat] = {
+    val stats = scala.collection.mutable.ArrayBuffer.empty[NexusSink.CompactionStat]
+    tables.foreach { table =>
+      listChildren(completed.resolve(table))
+        .filter(_.getFileName.toString.startsWith("run_name="))
+        .foreach { nameDir =>
+          val name = nameDir.getFileName.toString.stripPrefix("run_name=")
+          listChildren(nameDir)
+            .filter(_.getFileName.toString.startsWith("run_start_ns="))
+            .foreach { genDir =>
+              scala.util
+                .Try(genDir.getFileName.toString.stripPrefix("run_start_ns=").toLong)
+                .foreach { start =>
+                  recoverInterruptedCompaction(genDir)
+                  val before = parquetFilesUnder(genDir)
+                  val batchDirs = listChildren(genDir)
+                    .filter(_.getFileName.toString.startsWith("batch_id="))
+                  if (before.length > 1 && batchDirs.nonEmpty) {
+                    val maxBatch = batchDirs
+                      .flatMap(d =>
+                        scala.util
+                          .Try(d.getFileName.toString.stripPrefix("batch_id=").toLong)
+                          .toOption)
+                      .max
+                    val df = spark.read.parquet(genDir.toString)
+                    val rows = df.count()
+                    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
+                    val tmp = genDir.resolve(".compact_tmp")
+                    if (Files.exists(tmp)) deleteRecursively(tmp)
+                    df.drop("batch_id")
+                      .coalesce(nFiles.toInt)
+                      .write
+                      .mode(SaveMode.Overwrite)
+                      .parquet(tmp.toString)
+                    moveLock.synchronized {
+                      val old = genDir.resolve(".compact_old")
+                      Files.createDirectories(old)
+                      batchDirs.foreach(d => Files.move(d, old.resolve(d.getFileName)))
+                      val target = genDir.resolve(s"batch_id=$maxBatch")
+                      Files.createDirectories(target)
+                      listChildren(tmp)
+                        .filter(_.getFileName.toString.startsWith("part-"))
+                        .foreach(f => Files.move(f, target.resolve(f.getFileName)))
+                      deleteRecursively(tmp)
+                      deleteRecursively(old)
+                    }
+                    stats += NexusSink.CompactionStat(
+                      table,
+                      name,
+                      start,
+                      before.length,
+                      parquetFilesUnder(genDir).length)
+                  }
+                }
+            }
+        }
+    }
+    stats.toSeq
+  }
+
+  /** Restore a generation whose previous compaction died mid-swap: if
+    * `.compact_old` still exists, the promote step may not have
+    * completed — move any parked batch dirs that are not already back
+    * in place, then drop the scratch dirs. Idempotent; called before
+    * every compaction of the generation.
+    */
+  private def recoverInterruptedCompaction(genDir: Path): Unit = moveLock.synchronized {
+    val old = genDir.resolve(".compact_old")
+    if (Files.exists(old)) {
+      listChildren(old).foreach { parked =>
+        val back = genDir.resolve(parked.getFileName)
+        if (!Files.exists(back)) Files.move(parked, back)
+        else deleteRecursively(parked)
+      }
+      deleteRecursively(old)
+    }
+    val tmp = genDir.resolve(".compact_tmp")
+    if (Files.exists(tmp)) deleteRecursively(tmp)
+  }
+
+  private def parquetFilesUnder(p: Path): Seq[Path] =
+    listChildren(p).flatMap { c =>
+      val n = c.getFileName.toString
+      if (n.startsWith(".") || n.startsWith("_")) Seq.empty
+      else if (Files.isDirectory(c)) parquetFilesUnder(c)
+      else if (n.endsWith(".parquet")) Seq(c)
+      else Seq.empty
+    }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) listChildren(p).foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+
   /** Persist a generation's stop time beside the data (K6 durability):
     * the stop transition lives in the control checkpoint, which is NOT
     * replayed after restart — without this marker a crash inside the
@@ -389,6 +508,14 @@ final class NexusSink(outputDir: String) extends Serializable {
 }
 
 object NexusSink {
+
+  /** One generation×table compaction outcome (file counts pre/post). */
+  final case class CompactionStat(
+      table: String,
+      runName: String,
+      runStartNs: Long,
+      filesBefore: Int,
+      filesAfter: Int)
 
   /** Wire an assembled-frame stream through run assignment into the sink:
     * `stream.writeStream.foreachBatch(NexusSink.pipe(sink, runs))`.
