@@ -328,6 +328,61 @@ object CurationQueries {
   }
 
   // --------------------------------------------------------------------
+  // q_sequence_pack — concat-and-chunk into fixed training sequences
+  // --------------------------------------------------------------------
+
+  /** Sequence packing: concatenate documents and chunk the token stream
+    * into fixed [[PackSeqTokens]]-token training sequences, packed
+    * independently per shard (the production layout — global packing
+    * would serialize the corpus through one partition; per-shard packing
+    * is embarrassingly parallel and what a 1000-file training dataset
+    * actually looks like). Shard assignment is the same deterministic
+    * md5 bucketing as [[hashSplit]]; within a shard, documents pack in
+    * doc_id order. Output: each document's token offset and the
+    * first/last sequence it lands in (a doc may straddle a boundary).
+    *
+    * Scale: one running-sum window per shard key; shard count is the
+    * parallelism knob ([[PackShards]] here; a cluster uses O(10³)).
+    */
+  val PackSeqTokens = 256
+  val PackShards = 8
+
+  def sequencePack(s: SparkSession, dir: String): DataFrame = {
+    val bucket = expr(
+      s"cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 4), 16, 10) as long) % $PackShards")
+    val w = Window
+      .partitionBy(col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .withColumn("shard", bucket)
+      .withColumn("cum_end", sum(col("n_tokens")).over(w))
+      .select(
+        col("doc_id"),
+        col("shard"),
+        col("n_tokens"),
+        (col("cum_end") - col("n_tokens")).as("start_off"),
+        expr(s"(cum_end - n_tokens) div $PackSeqTokens").as("first_seq"),
+        expr(s"(cum_end - 1) div $PackSeqTokens").as("last_seq"))
+  }
+
+  val sequencePackSql: String =
+    s"""WITH b AS (SELECT doc_id, len(string_split(text, ' ')) n_tokens,
+          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+            % $PackShards AS shard
+        FROM documents),
+        c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_end FROM b)
+        SELECT doc_id, shard, CAST(n_tokens AS BIGINT) n_tokens,
+          CAST(cum_end - n_tokens AS BIGINT) AS start_off,
+          CAST((cum_end - n_tokens) // $PackSeqTokens AS BIGINT) AS first_seq,
+          CAST((cum_end - 1) // $PackSeqTokens AS BIGINT) AS last_seq
+        FROM c"""
+
+  // --------------------------------------------------------------------
   // q_lang_mixture — balanced per-language downsample
   // --------------------------------------------------------------------
 

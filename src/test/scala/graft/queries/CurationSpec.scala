@@ -162,6 +162,28 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing: offsets contiguous per shard, boundary straddles exact") {
+    val out = CurationQueries.sequencePack(spark, sf).collect()
+    val L = CurationQueries.PackSeqTokens
+    out.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      // within a shard (ordered by doc_id) each doc starts where the
+      // previous ended — the packed stream has no holes and no overlaps
+      val ordered = rows.sortBy(_.getLong(0))
+      ordered.foldLeft(0L) { (expectedStart, r) =>
+        assert(r.getLong(3) == expectedStart, s"gap at doc ${r.getLong(0)}")
+        expectedStart + r.getLong(2)
+      }
+      ordered.foreach { r =>
+        val (n, start, first, last) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+        assert(first == start / L)
+        assert(last == (start + n - 1) / L)
+        assert(first <= last)
+      }
+    }
+    // determinism
+    assert(CurationQueries.sequencePack(spark, sf).collect().toSet == out.toSet)
+  }
+
   test("lang mixture: every language downsampled to the minimum count") {
     val out = CurationQueries.langMixture(spark, sf).collect()
     val byLang = out.groupBy(_.getString(1)).view.mapValues(_.length)

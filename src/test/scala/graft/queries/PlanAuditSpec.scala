@@ -88,4 +88,31 @@ class PlanAuditSpec extends AnyFunSuite {
     // corpus scan reads only id + embedding
     assert(p.contains("struct<vec_id:bigint,embedding:array<float>>"))
   }
+
+  test("q_tfidf_terms: document-frequency dimension broadcasts; scan pruned to id+text") {
+    val p = plan("q_tfidf_terms")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    assert(
+      p.contains("struct<doc_id:bigint,text:string>"),
+      "documents scan must be pruned to doc_id/text")
+  }
+
+  test("q_substring_dedup: first-occurrence is a partial-agg groupBy, no window on the shingle") {
+    val df = graft.SparkEntry.queries("q_substring_dedup")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the skew-safe property: min(struct(doc,pos)) per gram is an
+    // Aggregate (map-side partial combine), and the only Window operators
+    // run per doc_id (bounded groups), never per gram. The aggregate sits
+    // on the broadcast build side — collapsed to a QueryStage reference
+    // in the adaptive plan string — so it is asserted on the optimized
+    // logical plan; the window absence on the physical one.
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert("""Aggregate \[gram""".r.findFirstIn(opt).isDefined, opt.take(3000))
+    assert(
+      !"""windowspecdefinition\(gram""".r.findFirstIn(p).isDefined,
+      "no row_number window keyed on the shingle (skew funnel)")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
