@@ -93,6 +93,7 @@ object SparkEntry {
     "q_lang_mixture" -> (CurationQueries.langMixture _),
     "q_substring_dedup" -> (CurationQueries.substringDedup _),
     "q_sequence_pack" -> (CurationQueries.sequencePack _),
+    "q_decontaminate" -> (CurationQueries.decontaminate _),
     "q_cosine_topk" -> ((s: SparkSession, d: String) => VectorQueries.cosineTopK(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => VectorQueries.dedupEmbedding(s, d)),
     "q_lsh_ann" -> ((s: SparkSession, d: String) => VectorQueries.lshAnn(s, d)),
@@ -145,6 +146,7 @@ object SparkEntry {
     "q_lang_mixture" -> CurationQueries.langMixtureSql,
     "q_substring_dedup" -> CurationQueries.substringDedupSql,
     "q_sequence_pack" -> CurationQueries.sequencePackSql,
+    "q_decontaminate" -> CurationQueries.decontaminateSql,
     "q_cosine_topk" -> VectorQueries.cosineTopKSql,
     "q_dedup_embedding" -> VectorQueries.dedupEmbeddingSql,
     "q_json_props" -> LogQueries.jsonPropsSql,

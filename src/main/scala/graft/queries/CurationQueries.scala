@@ -328,6 +328,68 @@ object CurationQueries {
   }
 
   // --------------------------------------------------------------------
+  // q_decontaminate — eval-set n-gram overlap scan
+  // --------------------------------------------------------------------
+
+  /** Benchmark decontamination: flag every training document sharing an
+    * [[DecontGramTokens]]-token n-gram with the held-out evaluation set
+    * (the standard n-gram-overlap rule for keeping eval answers out of
+    * training data). The harness corpus has no separate benchmark table,
+    * so the eval set is the deterministic `doc_id % 50 == 0` slice —
+    * swap in a real benchmark table and the plan is unchanged.
+    *
+    * Scale: eval n-grams are a benchmark-sized dimension (thousands of
+    * grams even for a large suite) — built once, broadcast; the corpus
+    * side is one narrow shingle explode + broadcast probe + per-doc
+    * aggregation. No shuffle touches the corpus-sized gram stream except
+    * the final doc_id rollup.
+    */
+  val DecontGramTokens = 8
+
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val L = DecontGramTokens
+    val grams = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), explode(expr(gramsExpr(L))).as("gram"))
+    val evalGrams = grams
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("gram"))
+      .distinct()
+      .select(col("gram"), lit(1).as("hit"))
+    grams
+      .filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count(col("hit")).as("n_hits"),
+        countDistinct(when(col("hit").isNotNull, col("gram"))).as("n_distinct_hits"))
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        col("n_hits"),
+        col("n_distinct_hits"),
+        (col("n_hits") > 0).as("contaminated"))
+  }
+
+  val decontaminateSql: String = {
+    val L = DecontGramTokens
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        g AS (SELECT doc_id, ${gramsSql(L)} gram
+              FROM t, unnest(generate_series(1, len(w) - ${L - 1})) AS s(i)),
+        ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+        SELECT g.doc_id,
+          count(*) AS n_grams,
+          count(ev.gram) AS n_hits,
+          count(DISTINCT ev.gram) AS n_distinct_hits,
+          count(ev.gram) > 0 AS contaminated
+        FROM g LEFT JOIN ev USING (gram)
+        WHERE g.doc_id % 50 != 0
+        GROUP BY g.doc_id"""
+  }
+
+  // --------------------------------------------------------------------
   // q_sequence_pack — concat-and-chunk into fixed training sequences
   // --------------------------------------------------------------------
 

@@ -162,6 +162,26 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination: only docs sharing an 8-gram with the eval slice are flagged") {
+    val evalSpan = "e1 e2 e3 e4 e5 e6 e7 e8"
+    withDocs(
+      Seq(
+        (0L, s"$evalSpan tail0 tail1", "en", "s", 0L), // eval (id % 50 == 0)
+        (1L, s"lead $evalSpan", "en", "s", 0L), // training, contaminated
+        (2L, "c1 c2 c3 c4 c5 c6 c7 c8 c9", "en", "s", 0L), // training, clean
+        (50L, "f1 f2 f3 f4 f5 f6 f7 f8", "en", "s", 0L) // eval again
+      )) { dir =>
+      val out = CurationQueries
+        .decontaminate(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3), r.getBoolean(4))))
+        .toMap
+      assert(out.keySet == Set(1L, 2L), "eval docs must not appear in the output")
+      assert(out(1L) == ((1L, 1L, true)))
+      assert(out(2L) == ((0L, 0L, false)))
+    }
+  }
+
   test("sequence packing: offsets contiguous per shard, boundary straddles exact") {
     val out = CurationQueries.sequencePack(spark, sf).collect()
     val L = CurationQueries.PackSeqTokens
