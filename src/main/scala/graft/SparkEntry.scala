@@ -94,6 +94,8 @@ object SparkEntry {
     "q_substring_dedup" -> (CurationQueries.substringDedup _),
     "q_sequence_pack" -> (CurationQueries.sequencePack _),
     "q_decontaminate" -> (CurationQueries.decontaminate _),
+    "q_quality_score" -> (CurationQueries.qualityScore _),
+    "q_top_ngrams" -> (CurationQueries.topNgrams _),
     "q_cosine_topk" -> ((s: SparkSession, d: String) => VectorQueries.cosineTopK(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => VectorQueries.dedupEmbedding(s, d)),
     "q_lsh_ann" -> ((s: SparkSession, d: String) => VectorQueries.lshAnn(s, d)),
@@ -147,6 +149,8 @@ object SparkEntry {
     "q_substring_dedup" -> CurationQueries.substringDedupSql,
     "q_sequence_pack" -> CurationQueries.sequencePackSql,
     "q_decontaminate" -> CurationQueries.decontaminateSql,
+    "q_quality_score" -> CurationQueries.qualityScoreSql,
+    "q_top_ngrams" -> CurationQueries.topNgramsSql,
     "q_cosine_topk" -> VectorQueries.cosineTopKSql,
     "q_dedup_embedding" -> VectorQueries.dedupEmbeddingSql,
     "q_json_props" -> LogQueries.jsonPropsSql,

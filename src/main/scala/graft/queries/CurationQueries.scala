@@ -328,6 +328,88 @@ object CurationQueries {
   }
 
   // --------------------------------------------------------------------
+  // q_quality_score — linear quality model over narrow text features
+  // --------------------------------------------------------------------
+
+  /** Model-based quality filtering plumbing: a fixed linear model over
+    * three single-pass text features (distinct-token ratio, mean word
+    * length, stopword density), banded into keep tiers. The weights are
+    * powers of two, so every multiply is EXACT in IEEE arithmetic and
+    * the score is bit-identical across engines — the property that lets
+    * the DuckDB oracle hash-match a float-scored model. Swapping in
+    * learned weights (or a real classifier via a scoring UDF) keeps the
+    * same one-narrow-scan plan: features never leave the projection.
+    */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val nTokens = size(split(col("text"), " ", -1)).cast("long")
+    val distinctRatio =
+      size(array_distinct(split(col("text"), " ", -1))).cast("double") / nTokens
+    val meanWordLen =
+      (length(col("text")) - nTokens + 1).cast("double") / nTokens
+    val theCount =
+      ((length(col("text")) - length(regexp_replace(col("text"), " the ", ""))) / 5)
+        .cast("long")
+    val stopDensity = theCount.cast("double") / nTokens
+    val logit =
+      lit(2.0) * distinctRatio + lit(0.25) * meanWordLen - lit(0.5) * stopDensity - lit(1.0)
+    Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        round(logit, 4).as("score"),
+        when(logit >= 0.75, "high")
+          .when(logit >= 0.25, "mid")
+          .otherwise("low")
+          .as("band"))
+  }
+
+  /** DuckDB mirror — the logit expression is written in the SAME
+    * left-to-right order so the doubles agree bitwise.
+    */
+  val qualityScoreSql: String = {
+    val n = TextQueries.nTokensSqlExpr
+    val logit =
+      s"""(2.0 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / $n)
+          + 0.25 * (CAST(length(text) - $n + 1 AS DOUBLE) / $n)
+          - 0.5 * (CAST((length(text) - length(replace(text, ' the ', ''))) // 5 AS DOUBLE) / $n)
+          - 1.0)"""
+    s"""SELECT doc_id, round($logit, 4) AS score,
+        CASE WHEN $logit >= 0.75 THEN 'high'
+             WHEN $logit >= 0.25 THEN 'mid' ELSE 'low' END AS band
+        FROM documents"""
+  }
+
+  // --------------------------------------------------------------------
+  // q_top_ngrams — corpus-wide frequent n-gram statistics
+  // --------------------------------------------------------------------
+
+  /** Corpus-level top-20 4-grams by occurrence (doc counts alongside) —
+    * the corpus statistics view of the Gopher "top n-gram fraction"
+    * signal, and the inspection table behind [[boilerplateNgrams]]'s
+    * threshold. One shuffle on the gram (map-side partial agg), then a
+    * 20-row total order — the sort input is already collapsed to
+    * distinct grams, never the corpus stream. Deterministic tie-break by
+    * gram text.
+    */
+  def topNgrams(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), explode(expr(gramsExpr(4))).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("gram").asc)
+      .limit(20)
+
+  val topNgramsSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        g AS (SELECT doc_id, ${gramsSql(4)} gram
+              FROM t, unnest(generate_series(1, len(w) - 3)) AS s(i))
+        SELECT gram, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+        FROM g GROUP BY gram
+        ORDER BY n_occ DESC, gram ASC LIMIT 20"""
+
+  // --------------------------------------------------------------------
   // q_decontaminate — eval-set n-gram overlap scan
   // --------------------------------------------------------------------
 

@@ -162,6 +162,35 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("quality score: exact on a constructed doc; bands split the corpus") {
+    // "a b the c" → 4 tokens, 4 distinct, 9 chars, one " the " hit
+    // f1 = 1.0, f2 = (9-4+1)/4 = 1.5, f3 = 1/4
+    // logit = 2*1 + 0.25*1.5 - 0.5*0.25 - 1 = 1.25
+    withDocs(Seq((1L, "a b the c", "en", "s", 0L))) { dir =>
+      val r = CurationQueries.qualityScore(spark, dir).collect().head
+      assert(r.getDouble(1) == 1.25)
+      assert(r.getString(2) == "high")
+    }
+    val bands = CurationQueries
+      .qualityScore(spark, sf)
+      .groupBy("band")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(bands.values.sum == nDocs) // every doc lands in exactly one band
+  }
+
+  test("top n-grams: deterministic order, bounded output, doc counts consistent") {
+    val out = CurationQueries.topNgrams(spark, sf).collect()
+    assert(out.length <= 20)
+    // sorted by n_occ desc then gram asc; n_docs never exceeds n_occ
+    val occ = out.map(r => (r.getLong(1), r.getString(0)))
+    assert(occ.sortBy { case (n, g) => (-n, g) }.toSeq == occ.toSeq)
+    out.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
   test("decontamination: only docs sharing an 8-gram with the eval slice are flagged") {
     val evalSpan = "e1 e2 e3 e4 e5 e6 e7 e8"
     withDocs(
