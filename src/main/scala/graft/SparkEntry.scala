@@ -59,6 +59,7 @@ object SparkEntry {
     "q_wire_e2e" -> (PipelineQueries.wireE2e _),
     "q_sim_schedule" -> (PipelineQueries.simSchedule _),
     "q_trace_file_scan" -> (PipelineQueries.traceFileScan _),
+    "q_trace_file_roundtrip" -> (PipelineQueries.traceFileRoundtrip _),
     "q_stream_frame_assembly" -> (StreamingQueries.streamFrameAssembly _),
     "q_stream_windowed_counts" -> (StreamingQueries.streamWindowedCounts _),
     "q_stream_dedup" -> (StreamingQueries.streamDedup _),
@@ -180,6 +181,7 @@ object SparkEntry {
     "q_nexus_frame_table" -> PipelineQueries.nexusFrameTableSql,
     "q_nexus_event_table" -> PipelineQueries.nexusEventTableSql,
     "q_trace_file_scan" -> PipelineQueries.traceFileScanSql,
+    "q_trace_file_roundtrip" -> PipelineQueries.traceFileRoundtripSql,
     "q_trace_to_events" -> PipelineQueries.traceToEventsSql,
     "q_trace_to_events_differential" -> PipelineQueries.traceToEventsDifferentialSql,
     "q_wire_roundtrip" -> PipelineQueries.wireRoundtripSql,

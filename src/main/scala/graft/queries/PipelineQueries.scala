@@ -664,6 +664,56 @@ object PipelineQueries {
                FROM range(64) ri(i), range(4) rc(c), range(500) rj(j))::BIGINT
                 AS total_voltage"""
 
+  /** S6 write side — the DSv2 round trip: a closed-form event grid is
+    * written through `df.write.format("trace-file")` (distributed: 4
+    * range partitions, each task streaming its slice into one `.gtf`
+    * via the incremental writer, driver commit renaming the temps) and
+    * read back through the connector. Per-event position-weighted
+    * checksums make any byte-level slip — wrong stride, wrong channel
+    * order, truncated sample, mis-patched event count — fail the hash
+    * against the `range()`-re-derived oracle.
+    */
+  def traceFileRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_trace_roundtrip_v1")
+    val grid = s
+      .range(0, 64)
+      .select(
+        (lit(1700000000000000000L) + col("id") * 20000000L).as("timestamp_ns"),
+        lit(1000000000L).as("sample_rate"),
+        expr("""transform(sequence(0, 3), c -> named_struct(
+                 'channel', cast(c as bigint),
+                 'voltage', transform(sequence(0, 249),
+                   j -> cast(50 + ((id*37 + c*11 + j*17) % 400) as int))))""")
+          .as("channels"))
+    grid
+      .repartitionByRange(4, col("timestamp_ns"))
+      .sortWithinPartitions("timestamp_ns")
+      .write
+      .format("trace-file")
+      .mode("overwrite")
+      .save(out.toString)
+    s.read
+      .format("trace-file")
+      .load(out.toString)
+      .select(
+        col("timestamp_ns"),
+        expr("""aggregate(channels, 0L, (acc, ch) -> acc +
+                 aggregate(zip_with(ch.voltage, sequence(0, size(ch.voltage) - 1),
+                   (v, j) -> cast(v as bigint) * ((ch.channel + 1) * 1000 + j)),
+                   0L, (a, x) -> a + x))""").as("checksum"))
+  }
+
+  /** DuckDB oracle for [[traceFileRoundtrip]] — the grid re-derived from
+    * `range()` with the same position weights.
+    */
+  val traceFileRoundtripSql: String =
+    """SELECT (1700000000000000000 + i*20000000)::BIGINT AS timestamp_ns,
+              (SELECT sum((50 + ((i*37 + c*11 + j*17) % 400)) * ((c+1)*1000 + j))
+               FROM range(4) rc(c), range(250) rj(j))::BIGINT AS checksum
+       FROM range(64) ri(i)"""
+
   /** S7 scripted simulation on the query surface: a declarative
     * [[graft.sources.ActionSchedule]] scenario (period flip + veto change
     * mid-run) compiled to traces and run through event formation —

@@ -73,6 +73,83 @@ object TraceFile {
     } finally out.close()
   }
 
+  /** Streaming single-file writer for executor-side use (the DSv2 write
+    * path): records arrive one at a time, so buffering a whole partition
+    * the way [[write]]'s `Seq` signature implies is not an option. The
+    * header needs the record shape (channel/sample counts) and the final
+    * event count; the shape comes from the FIRST record (lazy header
+    * write), and `nEvents` — the last 4 header bytes — is patched in
+    * place on [[close]] (a seekable-filesystem operation; an
+    * object-store deployment stages locally and uploads on commit, which
+    * is what the DSv2 tmp-rename commit does anyway).
+    *
+    * Enforces the format's two invariants fail-closed: non-decreasing
+    * timestamps (the bisect-pruning contract) and a uniform record
+    * shape (fixed-stride seeks).
+    */
+  final class IncrementalWriter(path: String, sampleTimeNs: Double) {
+    private var out: DataOutputStream = _
+    private var nChannels = -1
+    private var nSamples = -1
+    private var headerBytes = -1L
+    private var nEvents = 0
+    private var lastTs = Long.MinValue
+
+    private def writeHeader(): Unit = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val h = new DataOutputStream(bos)
+      h.writeInt(Magic)
+      writeString(h, "graft-1")
+      writeString(h, "synthetic trace capture")
+      h.writeInt(math.max(nChannels, 0))
+      (0 until math.max(nChannels, 0)).foreach(_ => h.writeDouble(1.0))
+      h.writeDouble(sampleTimeNs)
+      h.writeInt(math.max(nSamples, 0))
+      h.writeInt(0) // patched on close
+      h.flush()
+      headerBytes = bos.size().toLong
+      out = new DataOutputStream(
+        new java.io.BufferedOutputStream(Files.newOutputStream(Paths.get(path))))
+      out.write(bos.toByteArray)
+    }
+
+    def append(ts: Long, channels: Array[Array[Int]]): Unit = {
+      require(
+        ts >= lastTs,
+        s"trace-file records must be timestamp-ordered (got $lastTs then $ts) — " +
+          "sortWithinPartitions(\"timestamp_ns\") before writing")
+      lastTs = ts
+      if (out == null) {
+        nChannels = channels.length
+        nSamples = if (channels.nonEmpty) channels(0).length else 0
+        writeHeader()
+      }
+      require(
+        channels.length == nChannels && channels.forall(_.length == nSamples),
+        s"trace-file records must share one shape (${nChannels}ch × ${nSamples}s); " +
+          s"got ${channels.length}ch × ${channels.headOption.map(_.length).getOrElse(0)}s")
+      out.writeLong(ts)
+      channels.foreach(_.foreach(v => out.writeShort(v & 0xffff)))
+      nEvents += 1
+    }
+
+    /** Flush, patch `nEvents` into the header, return the event count. */
+    def close(): Int = {
+      if (out == null) writeHeader() // empty file: header describes 0 events
+      out.close()
+      val ch = Files.newByteChannel(
+        Paths.get(path),
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        ch.position(headerBytes - 4)
+        val buf = java.nio.ByteBuffer.allocate(4).putInt(nEvents)
+        buf.flip()
+        while (buf.hasRemaining) ch.write(buf)
+      } finally ch.close()
+      nEvents
+    }
+  }
+
   def readHeader(path: String): Header = {
     val in = new DataInputStream(
       new java.io.BufferedInputStream(Files.newInputStream(Paths.get(path))))

@@ -5,9 +5,10 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -41,6 +42,14 @@ class TraceFileSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     TraceFileSource.schema
 
+  /** Writes carry the query's own schema (`event_index` is derived on
+    * READ from the record position — a writing frame doesn't have it);
+    * external metadata lets Spark validate the incoming frame against
+    * itself, and [[TraceFileBatchWrite]] enforces the columns the format
+    * actually needs.
+    */
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
@@ -60,7 +69,7 @@ class TraceFileSource extends TableProvider with DataSourceRegister {
         m.orElse(s).getOrElse(
           throw new IllegalArgumentException("trace-file source requires a path"))
     }
-    new TraceFileTable(paths)
+    new TraceFileTable(paths, Option(schema).getOrElse(TraceFileSource.schema))
   }
 }
 
@@ -79,13 +88,22 @@ object TraceFileSource {
       nullable = false)))
 }
 
-private[sources] class TraceFileTable(paths: Seq[String]) extends Table with SupportsRead {
+private[sources] class TraceFileTable(paths: Seq[String], tableSchema: StructType)
+    extends Table
+    with SupportsRead
+    with SupportsWrite {
   override def name(): String = s"trace-file(${paths.mkString(",")})"
-  override def schema(): StructType = TraceFileSource.schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TraceFileScanBuilder(paths)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(
+      paths.length == 1,
+      s"trace-file writes target exactly one directory, got: ${paths.mkString(",")}")
+    new TraceFileWriteBuilder(paths.head, info)
+  }
 }
 
 private[sources] class TraceFileScanBuilder(paths: Seq[String])
@@ -297,4 +315,142 @@ private[sources] class TraceFilePartitionReader(
   override def get(): InternalRow = row
 
   override def close(): Unit = ch.close()
+}
+
+/** Write side of the connector (`df.write.format("trace-file").save(dir)`):
+  * one `.gtf` file per non-empty input partition, streamed through
+  * [[TraceFile.IncrementalWriter]] — a task never buffers its partition.
+  *
+  * Commit protocol: tasks write dot-prefixed temp files (invisible to the
+  * reader's `.gtf` glob); the DRIVER's job commit renames every committed
+  * temp to its final name — and, for overwrite, deletes the previous
+  * `.gtf` set first — so a failed job leaves the target either untouched
+  * or fully replaced, never interleaved. Aborted tasks delete their temps.
+  *
+  * Input contract (fail-closed in the task): `timestamp_ns` non-decreasing
+  * within each partition (`sortWithinPartitions("timestamp_ns")`), uniform
+  * channel/sample shape — the format's fixed-stride + bisect invariants.
+  * `sample_time_ns` comes from the writer option of that name (default:
+  * derived from a `sample_rate` column when present, else 1.0).
+  */
+private[sources] class TraceFileWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder
+    with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new TraceFileBatchWrite(path, info.schema(), info.options(), doTruncate)
+  }
+}
+
+private[sources] final case class TraceFileCommit(tmpPath: String, finalPath: String)
+    extends WriterCommitMessage
+
+private[sources] class TraceFileBatchWrite(
+    path: String,
+    schema: StructType,
+    options: CaseInsensitiveStringMap,
+    truncate: Boolean)
+    extends BatchWrite {
+
+  require(
+    schema.fieldNames.contains("timestamp_ns") && schema.fieldNames.contains("channels"),
+    s"trace-file writes need timestamp_ns and channels columns, got: ${schema.fieldNames.mkString(",")}")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    val sampleTimeNs =
+      Option(options.get("sample_time_ns")).map(_.toDouble)
+    new TraceFileWriterFactory(path, schema, sampleTimeNs)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    if (truncate) {
+      val dir = java.nio.file.Paths.get(path)
+      val stream = java.nio.file.Files.list(dir)
+      try {
+        stream
+          .iterator()
+          .asScala
+          .filter(_.getFileName.toString.endsWith(".gtf"))
+          .foreach(java.nio.file.Files.delete)
+      } finally stream.close()
+    }
+    messages.foreach {
+      case TraceFileCommit(tmp, fin) =>
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp),
+          java.nio.file.Paths.get(fin),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      case _ => ()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case TraceFileCommit(tmp, _) =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp))
+      case _ => ()
+    }
+}
+
+private[sources] class TraceFileWriterFactory(
+    path: String,
+    schema: StructType,
+    sampleTimeNs: Option[Double])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new TraceFileDataWriter(path, schema, sampleTimeNs, partitionId, taskId)
+}
+
+private[sources] class TraceFileDataWriter(
+    path: String,
+    schema: StructType,
+    sampleTimeNsOpt: Option[Double],
+    partitionId: Int,
+    taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val tsIdx = schema.fieldIndex("timestamp_ns")
+  private val chIdx = schema.fieldIndex("channels")
+  private val srIdx =
+    if (schema.fieldNames.contains("sample_rate")) Some(schema.fieldIndex("sample_rate")) else None
+
+  private val finalName = f"part-$partitionId%05d-$taskId.gtf"
+  private val tmpPath = s"$path/.$finalName.tmp"
+  private var writer: TraceFile.IncrementalWriter = _
+  private var wrote = false
+
+  override def write(row: InternalRow): Unit = {
+    if (writer == null) {
+      val stns = sampleTimeNsOpt.getOrElse(
+        srIdx.map(i => 1e9 / row.getLong(i)).getOrElse(1.0))
+      writer = new TraceFile.IncrementalWriter(tmpPath, stns)
+    }
+    val arr = row.getArray(chIdx)
+    val channels = Array.tabulate(arr.numElements()) { i =>
+      arr.getStruct(i, 2).getArray(1).toIntArray()
+    }
+    writer.append(row.getLong(tsIdx), channels)
+    wrote = true
+  }
+
+  override def commit(): WriterCommitMessage = {
+    // empty partition → no file at all (a 0-event header is noise in a
+    // capture directory)
+    if (!wrote) {
+      if (writer != null) { writer.close(); java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmpPath)) }
+      return TraceFileCommit("", "")
+    }
+    writer.close()
+    TraceFileCommit(tmpPath, s"$path/$finalName")
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) writer.close()
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmpPath))
+  }
+
+  override def close(): Unit = ()
 }

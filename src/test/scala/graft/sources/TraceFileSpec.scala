@@ -142,6 +142,67 @@ class TraceFileSpec extends AnyFunSuite {
     assert(TraceFile.findByTimestamp(path, fixture.last._1 + 1L) === Seq.empty)
   }
 
+  test("DataSource V2 write: distributed round trip, overwrite truncates, tmp invisible") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("gtf_write").toString
+    def grid(n: Int, seed: Int) = spark
+      .range(0, n)
+      .select(
+        (lit(1000000L) + col("id") * 10L).as("timestamp_ns"),
+        lit(1000000000L).as("sample_rate"),
+        expr(s"""transform(sequence(0, 1), c -> named_struct(
+                  'channel', cast(c as bigint),
+                  'voltage', transform(sequence(0, 3),
+                    j -> cast((id*7 + c*3 + j + $seed) % 100 as int))))""").as("channels"))
+    grid(20, 0)
+      .repartitionByRange(3, col("timestamp_ns"))
+      .sortWithinPartitions("timestamp_ns")
+      .write
+      .format("trace-file")
+      .mode("overwrite")
+      .save(dir)
+    val back = spark.read.format("trace-file").load(dir)
+    assert(back.count() == 20)
+    // content identical: every (ts, voltage grid) value survives
+    val vsum = back
+      .select(expr(
+        "aggregate(channels, 0L, (acc, ch) -> acc + aggregate(ch.voltage, 0L, (a, v) -> a + v))"))
+      .collect()
+      .map(_.getLong(0))
+      .sum
+    val expected = (0 until 20).map(i => (0 until 2).map(c => (0 until 4).map(j => (i * 7 + c * 3 + j) % 100).sum).sum).sum
+    assert(vsum == expected)
+
+    // overwrite replaces the previous file set entirely (different seed)
+    grid(10, 1).coalesce(1).sortWithinPartitions("timestamp_ns")
+      .write.format("trace-file").mode("overwrite").save(dir)
+    assert(spark.read.format("trace-file").load(dir).count() == 10)
+    // no stray temps or stale parts
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.getFileName.toString).toSeq
+    assert(files.forall(f => f.endsWith(".gtf")), files.toString)
+    assert(files.size == 1)
+  }
+
+  test("DataSource V2 write: unsorted partition fails closed with the sort hint") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("gtf_unsorted").toString
+    val df = spark
+      .range(0, 5)
+      .select(
+        (lit(100L) - col("id")).as("timestamp_ns"), // decreasing — violates the invariant
+        expr("""transform(sequence(0, 0), c -> named_struct(
+                 'channel', cast(c as bigint),
+                 'voltage', array(1, 2)))""").as("channels"))
+    val e = intercept[Exception] {
+      df.coalesce(1).write.format("trace-file").mode("overwrite").save(dir)
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else t.getMessage +: causes(t.getCause)
+    assert(causes(e).exists(m => m != null && m.contains("sortWithinPartitions")), e.getMessage)
+  }
+
   test("vec_dot expression: interpreted and codegen paths agree with the HOF chain") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
