@@ -29,10 +29,26 @@ object CurationQueries {
     * column expression (`transform` over `sequence`), no explode. Spark
     * `slice` is 1-based and length-bounded exactly like DuckDB's
     * inclusive `w[i:i+k-1]` slice, so both engines enumerate the same
-    * n-grams in the same order.
+    * n-grams in the same order. Documents shorter than k tokens yield
+    * an EMPTY array — guarded explicitly, because Spark's
+    * `sequence(1, 0)` infers a DESCENDING step and `slice(w, 0, k)`
+    * then throws, where DuckDB's `generate_series(1, 0)` is simply
+    * empty.
     */
   private def gramsExpr(k: Int): String =
-    s"transform(sequence(1, size(w) - ${k - 1}), i -> concat_ws(' ', slice(w, i, $k)))"
+    s"""CASE WHEN size(w) >= $k
+        THEN transform(sequence(1, size(w) - ${k - 1}), i -> concat_ws(' ', slice(w, i, $k)))
+        ELSE cast(array() as array<string>) END"""
+
+  /** The deterministic md5 bucket shared by [[hashSplit]] and
+    * [[sequencePack]] — ONE definition per engine so split and shard
+    * assignment stay aligned by construction.
+    */
+  private def md5BucketExpr(mod: Int): String =
+    s"cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 4), 16, 10) as long) % $mod"
+
+  private def md5BucketSql(mod: Int): String =
+    s"CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % $mod"
 
   private def gramsSql(k: Int): String =
     s"array_to_string(w[i:i+${k - 1}], ' ')"
@@ -164,8 +180,7 @@ object CurationQueries {
     * visible. The only shuffle is the tiny (lang, split) rollup.
     */
   def hashSplit(s: SparkSession, dir: String): DataFrame = {
-    val bucket =
-      expr("cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 4), 16, 10) as long) % 10")
+    val bucket = expr(md5BucketExpr(10))
     Tables
       .documents(s, dir)
       .withColumn(
@@ -179,9 +194,7 @@ object CurationQueries {
   }
 
   val hashSplitSql: String =
-    """WITH b AS (SELECT *,
-         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10
-           AS bucket FROM documents)
+    s"""WITH b AS (SELECT *, ${md5BucketSql(10)} AS bucket FROM documents)
        SELECT lang,
          CASE WHEN bucket <= 7 THEN 'train'
               WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
@@ -255,11 +268,15 @@ object CurationQueries {
       .documents(s, dir)
       .select(col("doc_id"), toks.as("w"))
       .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"), col("w"))
+    // same short-doc guard as gramsExpr: sequence(1, size-k+1) descends
+    // through 0 when size < k and slice(w, 0, k) throws
     val occ = docs.select(
       col("doc_id"),
-      expr(s"""inline(transform(sequence(1, size(w) - ${L - 1}),
-                i -> struct(cast(i as long) AS pos,
-                            concat_ws(' ', slice(w, i, $L)) AS gram)))"""))
+      expr(s"""inline(CASE WHEN size(w) >= $L
+                 THEN transform(sequence(1, size(w) - ${L - 1}),
+                   i -> struct(cast(i as long) AS pos,
+                               concat_ws(' ', slice(w, i, $L)) AS gram))
+                 ELSE cast(array() as array<struct<pos: bigint, gram: string>>) END)"""))
     val firsts = occ
       .groupBy(col("gram"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
@@ -492,8 +509,7 @@ object CurationQueries {
   val PackShards = 8
 
   def sequencePack(s: SparkSession, dir: String): DataFrame = {
-    val bucket = expr(
-      s"cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 4), 16, 10) as long) % $PackShards")
+    val bucket = expr(md5BucketExpr(PackShards))
     val w = Window
       .partitionBy(col("shard"))
       .orderBy(col("doc_id"))
@@ -515,8 +531,7 @@ object CurationQueries {
 
   val sequencePackSql: String =
     s"""WITH b AS (SELECT doc_id, len(string_split(text, ' ')) n_tokens,
-          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
-            % $PackShards AS shard
+          ${md5BucketSql(PackShards)} AS shard
         FROM documents),
         c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_end FROM b)

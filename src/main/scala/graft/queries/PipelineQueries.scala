@@ -674,9 +674,13 @@ object PipelineQueries {
     * against the `range()`-re-derived oracle.
     */
   def traceFileRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    // per-application directory: two concurrent sessions running the
+    // query must not interleave their commits on one path (re-runs
+    // WITHIN a session reuse the dir via overwrite, which is the point —
+    // the second bench pass exercises truncate)
     val out = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft_trace_roundtrip_v1")
+      s"graft_trace_roundtrip_${s.sparkContext.applicationId}")
     val grid = s
       .range(0, 64)
       .select(

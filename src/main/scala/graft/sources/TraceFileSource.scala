@@ -96,8 +96,17 @@ private[sources] class TraceFileTable(paths: Seq[String], tableSchema: StructTyp
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // supportsExternalMetadata exists for the WRITE side (the incoming
+    // frame's own schema); reads always produce the canonical schema, so
+    // a user-specified read schema would be silently ignored — reject it
+    // up front instead
+    require(
+      tableSchema == TraceFileSource.schema,
+      "trace-file reads do not support a user-specified schema; " +
+        "omit .schema(...) — the source reports its own")
     new TraceFileScanBuilder(paths)
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(
       paths.length == 1,
@@ -378,7 +387,8 @@ private[sources] class TraceFileBatchWrite(
       } finally stream.close()
     }
     messages.foreach {
-      case TraceFileCommit(tmp, fin) =>
+      // empty-partition sentinel (tmpPath == "") carries no file
+      case TraceFileCommit(tmp, fin) if tmp.nonEmpty =>
         java.nio.file.Files.move(
           java.nio.file.Paths.get(tmp),
           java.nio.file.Paths.get(fin),
@@ -389,7 +399,7 @@ private[sources] class TraceFileBatchWrite(
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case TraceFileCommit(tmp, _) =>
+      case TraceFileCommit(tmp, _) if tmp.nonEmpty =>
         java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp))
       case _ => ()
     }
@@ -416,6 +426,16 @@ private[sources] class TraceFileDataWriter(
   private val chIdx = schema.fieldIndex("channels")
   private val srIdx =
     if (schema.fieldNames.contains("sample_rate")) Some(schema.fieldIndex("sample_rate")) else None
+  // the channels struct carries the query's own field ORDER (external
+  // metadata) — resolve ordinals by name, never assume (channel, voltage)
+  private val chStruct = schema(chIdx).dataType match {
+    case ArrayType(st: StructType, _) => st
+    case other =>
+      throw new IllegalArgumentException(
+        s"trace-file writes need channels: array<struct<channel,voltage>>, got $other")
+  }
+  private val chFieldIdx = chStruct.fieldIndex("channel")
+  private val voltFieldIdx = chStruct.fieldIndex("voltage")
 
   private val finalName = f"part-$partitionId%05d-$taskId.gtf"
   private val tmpPath = s"$path/.$finalName.tmp"
@@ -430,7 +450,16 @@ private[sources] class TraceFileDataWriter(
     }
     val arr = row.getArray(chIdx)
     val channels = Array.tabulate(arr.numElements()) { i =>
-      arr.getStruct(i, 2).getArray(1).toIntArray()
+      val st = arr.getStruct(i, chStruct.length)
+      // the format stores traces positionally; the reader re-derives
+      // channel = position, so an out-of-order channels array would be
+      // silently relabeled on read-back — fail closed instead
+      val ch = st.getLong(chFieldIdx)
+      require(
+        ch == i,
+        s"channels must be listed in channel order (channel $ch at position $i) — " +
+          "sort the channels array before writing")
+      st.getArray(voltFieldIdx).toIntArray()
     }
     writer.append(row.getLong(tsIdx), channels)
     wrote = true

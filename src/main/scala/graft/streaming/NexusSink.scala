@@ -336,13 +336,27 @@ final class NexusSink(outputDir: String) extends Serializable {
     * marker cleared.
     *
     * Crash safety without a transaction log: the rewrite lands in a
-    * dot-prefixed scratch dir (invisible to Spark readers), then the
-    * swap parks the old batch dirs in `.compact_old` before promoting
-    * the new file set; [[recoverInterruptedCompaction]] runs first and
-    * restores any generation a previous process died mid-swap on. The
-    * spark jobs run OUTSIDE [[moveLock]] (reads of `completed/` never
-    * race the sink's writers, which only touch `local/`); only the
-    * directory swap and the archiver share the lock.
+    * dot-prefixed scratch dir (invisible to Spark readers); the swap
+    * then (1) parks every old batch dir in `.compact_old`, (2) drops a
+    * `PARKED` marker recording that the park phase COMPLETED, (3)
+    * promotes the scratch dir to `batch_id=<maxBatch>` with ONE atomic
+    * rename, (4) deletes the parked originals. Every crash point is
+    * unambiguous to [[recoverInterruptedCompaction]]: no marker → the
+    * park was partial → restore; marker but no batch dir → promote never
+    * happened → restore; marker and a batch dir → promote succeeded →
+    * drop the parked copies. A `.compacted` marker makes the pass
+    * idempotent — a maintenance loop re-invoking compaction does not
+    * re-read and re-write an already-compacted generation forever.
+    *
+    * The spark jobs run OUTSIDE [[moveLock]] (reads of `completed/`
+    * never race the sink's writers, which only touch `local/`); the
+    * directory swap shares the lock with the archiver, and re-checks
+    * the generation is still present — an archiver poll may have moved
+    * it to `archive/` between the rewrite and the swap, in which case
+    * the compaction of that generation is simply skipped (its scratch
+    * dir travels along dot-prefixed and is cleaned by the next
+    * compaction pass of the archive side, or ignored forever — readers
+    * never see dot dirs).
     */
   def compactCompleted(
       spark: SparkSession,
@@ -363,7 +377,8 @@ final class NexusSink(outputDir: String) extends Serializable {
                   val before = parquetFilesUnder(genDir)
                   val batchDirs = listChildren(genDir)
                     .filter(_.getFileName.toString.startsWith("batch_id="))
-                  if (before.length > 1 && batchDirs.nonEmpty) {
+                  val alreadyCompacted = Files.exists(genDir.resolve(".compacted"))
+                  if (before.length > 1 && batchDirs.nonEmpty && !alreadyCompacted) {
                     val maxBatch = batchDirs
                       .flatMap(d =>
                         scala.util
@@ -380,24 +395,32 @@ final class NexusSink(outputDir: String) extends Serializable {
                       .write
                       .mode(SaveMode.Overwrite)
                       .parquet(tmp.toString)
-                    moveLock.synchronized {
-                      val old = genDir.resolve(".compact_old")
-                      Files.createDirectories(old)
-                      batchDirs.foreach(d => Files.move(d, old.resolve(d.getFileName)))
-                      val target = genDir.resolve(s"batch_id=$maxBatch")
-                      Files.createDirectories(target)
-                      listChildren(tmp)
-                        .filter(_.getFileName.toString.startsWith("part-"))
-                        .foreach(f => Files.move(f, target.resolve(f.getFileName)))
-                      deleteRecursively(tmp)
-                      deleteRecursively(old)
+                    val swapped = moveLock.synchronized {
+                      // the archiver may have moved the generation away
+                      // while the rewrite ran — skip, never resurrect
+                      if (!Files.exists(genDir) || !Files.exists(tmp)) false
+                      else {
+                        val old = genDir.resolve(".compact_old")
+                        Files.createDirectories(old)
+                        listChildren(genDir)
+                          .filter(_.getFileName.toString.startsWith("batch_id="))
+                          .foreach(d => Files.move(d, old.resolve(d.getFileName)))
+                        Files.writeString(old.resolve("PARKED"), "")
+                        // ONE atomic rename — recovery never sees a
+                        // half-promoted target
+                        Files.move(tmp, genDir.resolve(s"batch_id=$maxBatch"))
+                        deleteRecursively(old)
+                        Files.writeString(genDir.resolve(".compacted"), "")
+                        true
+                      }
                     }
-                    stats += NexusSink.CompactionStat(
-                      table,
-                      name,
-                      start,
-                      before.length,
-                      parquetFilesUnder(genDir).length)
+                    if (swapped)
+                      stats += NexusSink.CompactionStat(
+                        table,
+                        name,
+                        start,
+                        before.length,
+                        parquetFilesUnder(genDir).length)
                   }
                 }
             }
@@ -406,21 +429,33 @@ final class NexusSink(outputDir: String) extends Serializable {
     stats.toSeq
   }
 
-  /** Restore a generation whose previous compaction died mid-swap: if
-    * `.compact_old` still exists, the promote step may not have
-    * completed — move any parked batch dirs that are not already back
-    * in place, then drop the scratch dirs. Idempotent; called before
-    * every compaction of the generation.
+  /** Resolve a generation a previous process died on mid-swap, using the
+    * `PARKED` marker to disambiguate every crash point (see
+    * [[compactCompleted]]): partial park or parked-but-not-promoted →
+    * restore the originals; promoted → drop the parked copies.
+    * Idempotent; called under [[moveLock]] before every compaction of
+    * the generation.
     */
   private def recoverInterruptedCompaction(genDir: Path): Unit = moveLock.synchronized {
     val old = genDir.resolve(".compact_old")
     if (Files.exists(old)) {
-      listChildren(old).foreach { parked =>
-        val back = genDir.resolve(parked.getFileName)
-        if (!Files.exists(back)) Files.move(parked, back)
-        else deleteRecursively(parked)
+      val parkCompleted = Files.exists(old.resolve("PARKED"))
+      val promoted = listChildren(genDir)
+        .exists(_.getFileName.toString.startsWith("batch_id="))
+      if (parkCompleted && promoted) {
+        // crash between promote and cleanup — parked copies are dead
+        deleteRecursively(old)
+      } else {
+        // park partial, or parked but never promoted — restore
+        listChildren(old)
+          .filter(_.getFileName.toString.startsWith("batch_id="))
+          .foreach { parked =>
+            val back = genDir.resolve(parked.getFileName)
+            if (!Files.exists(back)) Files.move(parked, back)
+            else deleteRecursively(parked) // partial park re-listed the dir
+          }
+        deleteRecursively(old)
       }
-      deleteRecursively(old)
     }
     val tmp = genDir.resolve(".compact_tmp")
     if (Files.exists(tmp)) deleteRecursively(tmp)

@@ -162,6 +162,30 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("short documents (< k tokens) don't crash the gram queries and match empty-gram semantics") {
+    // Spark sequence(1, 0) infers a DESCENDING step and slice(w, 0, k)
+    // throws — the gram expressions guard with an empty array, matching
+    // DuckDB's empty generate_series. 2 tokens < every k in use (3,4,5,8).
+    withDocs(
+      Seq(
+        (1L, "only two", "en", "s", 0L),
+        (2L, "a proper document with quite a few more tokens in it", "en", "s", 0L))) { dir =>
+      // gram-free doc: no 4-gram slots → absent from boilerplate output
+      val boiler = CurationQueries.boilerplateNgrams(spark, dir).collect()
+      assert(boiler.map(_.getLong(0)).toSet == Set(2L))
+      // substring dedup keeps ALL docs (left join): zero coverage
+      val sub = CurationQueries.substringDedup(spark, dir).collect()
+      assert(sub.map(_.getLong(0)).toSet == Set(1L, 2L))
+      assert(sub.find(_.getLong(0) == 1L).get.getLong(2) == 0L)
+      // decontamination: doc 1 has no 8-grams → no gram rows → absent
+      // (a doc with no spans can't be contaminated; oracle agrees)
+      val dec = CurationQueries.decontaminate(spark, dir).collect()
+      assert(dec.map(_.getLong(0)).toSet == Set(2L))
+      // top-ngrams only sees the long doc's grams
+      assert(CurationQueries.topNgrams(spark, dir).collect().nonEmpty)
+    }
+  }
+
   test("quality score: exact on a constructed doc; bands split the corpus") {
     // "a b the c" → 4 tokens, 4 distinct, 9 chars, one " the " hit
     // f1 = 1.0, f2 = (9-4+1)/4 = 1.5, f3 = 1/4

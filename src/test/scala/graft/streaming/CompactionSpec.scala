@@ -149,6 +149,42 @@ class CompactionSpec extends AnyFunSuite {
     assert(beforeNoBatch.count() == before.length)
   }
 
+  test("crash after promote: recovery drops parked copies, no duplication") {
+    val (sink, outDir, startNs) = buildSink(nBatches = 3)
+    val evDir = Paths.get(s"$outDir/completed/events/run_name=run_c/run_start_ns=$startNs")
+    val rows = spark.read.parquet(evDir.toString).count()
+
+    // simulate the exact post-promote crash window: originals parked
+    // with the PARKED marker, compacted data promoted, cleanup never ran
+    import scala.jdk.CollectionConverters._
+    val old = evDir.resolve(".compact_old")
+    Files.createDirectories(old)
+    val batchDirs = Files.list(evDir).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("batch_id="))
+    // "promote": copy batch 0's data as the stand-in compacted set, park
+    // the originals
+    val promoted = evDir.resolve("batch_id=99")
+    Files.createDirectories(promoted)
+    Files.list(batchDirs.head).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach(f => Files.copy(f, promoted.resolve(f.getFileName)))
+    batchDirs.foreach(d => Files.move(d, old.resolve(d.getFileName)))
+    Files.writeString(old.resolve("PARKED"), "")
+
+    // recovery (first thing compactCompleted does) must keep ONLY the
+    // promoted set — restoring the parked originals next to it would
+    // duplicate every row
+    sink.compactCompleted(spark)
+    assert(!Files.exists(old))
+    val after = spark.read.parquet(evDir.toString)
+    // only the promoted stand-in (batch 0's 3 events) — restoring the
+    // parked originals next to it would have yielded 9 + 3 rows
+    assert(after.count() == 3, s"expected only the promoted batch, got ${after.count()} rows")
+    assert(
+      after.select("batch_id").distinct().collect().map(_.getInt(0)).toSeq == Seq(99))
+    assert(rows == 9) // sanity: original generation had 3 batches x 3 events
+  }
+
   test("archiver moves compacted generations intact") {
     val (sink, outDir, startNs) = buildSink(nBatches = 4)
     sink.compactCompleted(spark)
