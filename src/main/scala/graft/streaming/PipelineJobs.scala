@@ -273,7 +273,11 @@ object PipelineJobs {
       nowNs: () => Long = () => System.currentTimeMillis() * 1000000L,
       // archiver poll interval (`nexus-writer/src/main.rs:101-103`: 60 s
       // default); 0 disables the completed/ → archive/ tier
-      archiveIntervalMs: Long = 0L): StreamingQuery = {
+      archiveIntervalMs: Long = 0L,
+      // compact finalized generations before each archive poll (the
+      // small-files maintenance tier — see NexusSink.compactCompleted);
+      // off by default to keep the archive path pure moves
+      compactBeforeArchive: Boolean = false): StreamingQuery = {
     allowEmptyBatches(traces)
     val dev2 = EventFormation.formEvents(traces, settings)
     val aev2 = FrameAssemblyStream.assemble(dev2, expectedDigitizers, ttlMs)
@@ -304,6 +308,9 @@ object PipelineJobs {
         if (archiveIntervalMs > 0L &&
           lastArchiveNs.forall(l => now - l >= archiveIntervalMs * 1000000L)) {
           lastArchiveNs = Some(now)
+          // compaction first, so generations land in archive/ as few
+          // right-sized files instead of one file per micro-batch
+          if (compactBeforeArchive) sink.compactCompleted(spark)
           sink.flushToArchive()
         }
         ()

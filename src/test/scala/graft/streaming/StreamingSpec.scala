@@ -646,7 +646,9 @@ class StreamingSpec extends AnyFunSuite {
       ttlMs = 200L,
       checkpoint = Files.createTempDirectory("cl_ckpt").toString,
       lingerMs = 1000L,
-      archiveIntervalMs = 1L)
+      archiveIntervalMs = 1L,
+      // maintenance tier on: generations must reach archive/ compacted
+      compactBeforeArchive = true)
     def countAt(dir: String): Long =
       try spark.read.parquet(dir).count() catch { case _: Throwable => 0L }
     def await(what: String)(pred: => Boolean): Unit = {
