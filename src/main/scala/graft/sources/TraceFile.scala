@@ -46,31 +46,11 @@ object TraceFile {
     * Enforced here so every file this engine produces upholds it.
     */
   def write(path: String, sampleTimeNs: Double, events: Seq[(Long, Array[Array[Int]])]): Unit = {
-    events.iterator.map(_._1).sliding(2).foreach { w =>
-      if (w.length == 2)
-        require(w(0) <= w(1),
-          s"trace-file records must be timestamp-ordered (got ${w(0)} then ${w(1)})")
-    }
-    val out = new DataOutputStream(
-      new java.io.BufferedOutputStream(Files.newOutputStream(Paths.get(path))))
-    try {
-      val nChannels = events.headOption.map(_._2.length).getOrElse(0)
-      val nSamples = events.headOption.map(_._2.headOption.map(_.length).getOrElse(0)).getOrElse(0)
-      out.writeInt(Magic)
-      writeString(out, "graft-1")
-      writeString(out, "synthetic trace capture")
-      out.writeInt(nChannels)
-      (0 until nChannels).foreach(_ => out.writeDouble(1.0)) // volts scale
-      out.writeDouble(sampleTimeNs)
-      out.writeInt(nSamples)
-      out.writeInt(events.length)
-      events.foreach { case (ts, channels) =>
-        out.writeLong(ts)
-        channels.foreach { samples =>
-          samples.foreach(v => out.writeShort(v & 0xffff))
-        }
-      }
-    } finally out.close()
+    // one encoder: the streaming writer owns the byte layout (order and
+    // shape checks included); this Seq facade just drives it
+    val w = new IncrementalWriter(path, sampleTimeNs)
+    events.foreach { case (ts, channels) => w.append(ts, channels) }
+    w.close()
   }
 
   /** Streaming single-file writer for executor-side use (the DSv2 write
@@ -129,7 +109,12 @@ object TraceFile {
         s"trace-file records must share one shape (${nChannels}ch × ${nSamples}s); " +
           s"got ${channels.length}ch × ${channels.headOption.map(_.length).getOrElse(0)}s")
       out.writeLong(ts)
-      channels.foreach(_.foreach(v => out.writeShort(v & 0xffff)))
+      channels.foreach(_.foreach { v =>
+        require(
+          v >= 0 && v <= 0xffff,
+          s"trace-file samples are u16 (0..65535); got $v — scale or clamp before writing")
+        out.writeShort(v)
+      })
       nEvents += 1
     }
 

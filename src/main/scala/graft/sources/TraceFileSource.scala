@@ -366,6 +366,28 @@ private[sources] class TraceFileBatchWrite(
   require(
     schema.fieldNames.contains("timestamp_ns") && schema.fieldNames.contains("channels"),
     s"trace-file writes need timestamp_ns and channels columns, got: ${schema.fieldNames.mkString(",")}")
+  // types too — a mistyped frame would otherwise be reinterpreted into
+  // silently corrupt bytes by the ordinal-based InternalRow getters
+  require(
+    schema(schema.fieldIndex("timestamp_ns")).dataType == LongType,
+    s"timestamp_ns must be BIGINT, got ${schema(schema.fieldIndex("timestamp_ns")).dataType}")
+  schema(schema.fieldIndex("channels")).dataType match {
+    // nullability is irrelevant to the byte layout — match element types
+    case ArrayType(st: StructType, _)
+        if st.fieldNames.contains("channel") && st.fieldNames.contains("voltage") &&
+          st(st.fieldIndex("channel")).dataType == LongType &&
+          (st(st.fieldIndex("voltage")).dataType match {
+            case ArrayType(IntegerType, _) => true
+            case _ => false
+          }) => ()
+    case other =>
+      throw new IllegalArgumentException(
+        s"channels must be array<struct<channel: bigint, voltage: array<int>>>, got $other")
+  }
+  require(
+    !schema.fieldNames.contains("sample_rate") ||
+      schema(schema.fieldIndex("sample_rate")).dataType == LongType,
+    "sample_rate must be BIGINT when present")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
@@ -374,27 +396,34 @@ private[sources] class TraceFileBatchWrite(
     new TraceFileWriterFactory(path, schema, sampleTimeNs)
   }
 
+  /** Job commit: promote the new files FIRST, then (for truncate) delete
+    * the superseded set, then sweep stale temps. A driver crash
+    * mid-commit can briefly leave BOTH file sets visible — duplication a
+    * re-run resolves — but never an empty directory: data is not lost in
+    * any crash window. The sweep also clears `.part-*.tmp` leftovers
+    * from jobs that died before abort ran (the directory has a single
+    * writer by contract, so any temp not in this commit is stale).
+    */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    if (truncate) {
-      val dir = java.nio.file.Paths.get(path)
-      val stream = java.nio.file.Files.list(dir)
-      try {
-        stream
-          .iterator()
-          .asScala
-          .filter(_.getFileName.toString.endsWith(".gtf"))
-          .foreach(java.nio.file.Files.delete)
-      } finally stream.close()
-    }
-    messages.foreach {
+    val dir = java.nio.file.Paths.get(path)
+    val committed = messages.collect {
       // empty-partition sentinel (tmpPath == "") carries no file
       case TraceFileCommit(tmp, fin) if tmp.nonEmpty =>
         java.nio.file.Files.move(
           java.nio.file.Paths.get(tmp),
           java.nio.file.Paths.get(fin),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      case _ => ()
-    }
+        java.nio.file.Paths.get(fin).getFileName.toString
+    }.toSet
+    val stream = java.nio.file.Files.list(dir)
+    try {
+      stream.iterator().asScala.foreach { f =>
+        val name = f.getFileName.toString
+        val superseded = truncate && name.endsWith(".gtf") && !committed.contains(name)
+        val staleTmp = name.startsWith(".part-") && name.endsWith(".tmp")
+        if (superseded || staleTmp) java.nio.file.Files.deleteIfExists(f)
+      }
+    } finally stream.close()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -477,7 +506,10 @@ private[sources] class TraceFileDataWriter(
   }
 
   override def abort(): Unit = {
-    if (writer != null) writer.close()
+    // close() flushes and patches the header of a file we are about to
+    // delete — and under the disk-full conditions that abort tasks it is
+    // the call most likely to throw, which would skip the cleanup
+    if (writer != null) try writer.close() catch { case _: java.io.IOException => () }
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmpPath))
   }
 

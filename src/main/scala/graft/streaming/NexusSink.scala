@@ -300,6 +300,12 @@ final class NexusSink(outputDir: String) extends Serializable {
                 .Try(src.getFileName.toString.stripPrefix("run_start_ns=").toLong)
                 .foreach { start =>
                   try {
+                    // a crash between compaction's park and promote
+                    // leaves the generation's rows hidden in
+                    // .compact_old; archiving that as-is would ship an
+                    // empty-reading generation — resolve it first
+                    // (reentrant under this lock)
+                    recoverInterruptedCompaction(src)
                     val dst = archive
                       .resolve(table)
                       .resolve(s"run_name=$name")
@@ -395,23 +401,34 @@ final class NexusSink(outputDir: String) extends Serializable {
                       .write
                       .mode(SaveMode.Overwrite)
                       .parquet(tmp.toString)
+                    val snapshot = batchDirs.map(_.getFileName.toString).toSet
                     val swapped = moveLock.synchronized {
                       // the archiver may have moved the generation away
                       // while the rewrite ran — skip, never resurrect
                       if (!Files.exists(genDir) || !Files.exists(tmp)) false
                       else {
-                        val old = genDir.resolve(".compact_old")
-                        Files.createDirectories(old)
-                        listChildren(genDir)
+                        val current = listChildren(genDir)
                           .filter(_.getFileName.toString.startsWith("batch_id="))
-                          .foreach(d => Files.move(d, old.resolve(d.getFileName)))
-                        Files.writeString(old.resolve("PARKED"), "")
-                        // ONE atomic rename — recovery never sees a
-                        // half-promoted target
-                        Files.move(tmp, genDir.resolve(s"batch_id=$maxBatch"))
-                        deleteRecursively(old)
-                        Files.writeString(genDir.resolve(".compacted"), "")
-                        true
+                        // a replayed batch may have merge-moved INTO the
+                        // generation while the rewrite ran (finalizeRuns
+                        // under this same lock) — the rewrite didn't see
+                        // it, so parking it would destroy its rows.
+                        // Abort the swap; the next pass re-reads.
+                        if (current.map(_.getFileName.toString).toSet != snapshot) {
+                          deleteRecursively(tmp)
+                          false
+                        } else {
+                          val old = genDir.resolve(".compact_old")
+                          Files.createDirectories(old)
+                          current.foreach(d => Files.move(d, old.resolve(d.getFileName)))
+                          Files.writeString(old.resolve("PARKED"), "")
+                          // ONE atomic rename — recovery never sees a
+                          // half-promoted target
+                          Files.move(tmp, genDir.resolve(s"batch_id=$maxBatch"))
+                          dropCompactOld(old)
+                          Files.writeString(genDir.resolve(".compacted"), "")
+                          true
+                        }
                       }
                     }
                     if (swapped)
@@ -444,7 +461,7 @@ final class NexusSink(outputDir: String) extends Serializable {
         .exists(_.getFileName.toString.startsWith("batch_id="))
       if (parkCompleted && promoted) {
         // crash between promote and cleanup — parked copies are dead
-        deleteRecursively(old)
+        dropCompactOld(old)
       } else {
         // park partial, or parked but never promoted — restore
         listChildren(old)
@@ -459,6 +476,20 @@ final class NexusSink(outputDir: String) extends Serializable {
     }
     val tmp = genDir.resolve(".compact_tmp")
     if (Files.exists(tmp)) deleteRecursively(tmp)
+  }
+
+  /** Delete a `.compact_old` dir in marker-last order: the parked batch
+    * dirs go first and `PARKED` very last, so a crash mid-delete can
+    * never produce the "no marker but parked dirs remain" state that
+    * recovery would misread as a partial park and restore next to the
+    * promoted data (duplicating rows).
+    */
+  private def dropCompactOld(old: Path): Unit = {
+    listChildren(old)
+      .filter(_.getFileName.toString != "PARKED")
+      .foreach(deleteRecursively)
+    Files.deleteIfExists(old.resolve("PARKED"))
+    Files.deleteIfExists(old)
   }
 
   private def parquetFilesUnder(p: Path): Seq[Path] =

@@ -309,8 +309,13 @@ object PipelineJobs {
           lastArchiveNs.forall(l => now - l >= archiveIntervalMs * 1000000L)) {
           lastArchiveNs = Some(now)
           // compaction first, so generations land in archive/ as few
-          // right-sized files instead of one file per micro-batch
-          if (compactBeforeArchive) sink.compactCompleted(spark)
+          // right-sized files instead of one file per micro-batch; a
+          // maintenance failure must not take the pipeline down (same
+          // stance as flushToArchive's per-generation tolerance) — the
+          // swap is crash-safe, so the next poll simply retries
+          if (compactBeforeArchive)
+            try sink.compactCompleted(spark)
+            catch { case scala.util.control.NonFatal(_) => () }
           sink.flushToArchive()
         }
         ()
