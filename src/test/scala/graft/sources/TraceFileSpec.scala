@@ -185,6 +185,62 @@ class TraceFileSpec extends AnyFunSuite {
     assert(files.size == 1)
   }
 
+  test("DataSource V2 write: mistyped frames and out-of-range samples fail closed") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("gtf_badtype").toString
+    // voltage typed bigint → rejected up front (ordinal getters would
+    // otherwise write corrupt bytes)
+    val badType = spark
+      .range(0, 2)
+      .select(
+        col("id").as("timestamp_ns"),
+        expr("""transform(sequence(0, 0), c -> named_struct(
+                 'channel', cast(c as bigint),
+                 'voltage', array(cast(1 as bigint))))""").as("channels"))
+    val e1 = intercept[Exception] {
+      badType.coalesce(1).write.format("trace-file").mode("overwrite").save(dir)
+    }
+    def causes(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
+    assert(causes(e1).exists(m => m != null && m.contains("array<int>")), e1.getMessage)
+
+    // out-of-range sample (u16) → rejected in the task, not masked
+    val badRange = spark
+      .range(0, 2)
+      .select(
+        col("id").as("timestamp_ns"),
+        expr("""transform(sequence(0, 0), c -> named_struct(
+                 'channel', cast(c as bigint),
+                 'voltage', array(70000)))""").as("channels"))
+    val e2 = intercept[Exception] {
+      badRange.coalesce(1).write.format("trace-file").mode("overwrite").save(dir)
+    }
+    assert(causes(e2).exists(m => m != null && m.contains("u16")), e2.getMessage)
+
+    // out-of-order channels array → rejected (reader would relabel)
+    val badOrder = spark
+      .range(0, 2)
+      .select(
+        col("id").as("timestamp_ns"),
+        expr("""transform(sequence(0, 1), c -> named_struct(
+                 'channel', cast(1 - c as bigint),
+                 'voltage', array(1)))""").as("channels"))
+    val e3 = intercept[Exception] {
+      badOrder.coalesce(1).write.format("trace-file").mode("overwrite").save(dir)
+    }
+    assert(causes(e3).exists(m => m != null && m.contains("channel order")), e3.getMessage)
+
+    // user-specified read schema → fail fast, not silently ignored
+    val e4 = intercept[Exception] {
+      spark.read
+        .schema("timestamp_ns LONG")
+        .format("trace-file")
+        .load(dir)
+        .collect()
+    }
+    assert(e4.getMessage.contains("user-specified schema"), e4.getMessage)
+  }
+
   test("DataSource V2 write: unsorted partition fails closed with the sort hint") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("gtf_unsorted").toString
