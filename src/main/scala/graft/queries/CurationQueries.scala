@@ -548,11 +548,29 @@ object CurationQueries {
   /** Balanced language mixture: downsample every language to the size of
     * the smallest one, choosing documents by deterministic md5 order (a
     * seedless uniform draw that is stable across runs and partitionings).
-    * The target size is a scalar aggregate broadcast to the filter; the
-    * per-language rank is one window shuffle on `lang`. This is the
-    * domain-mixture primitive of training-data curation: swap the
+    * The target size is a scalar aggregate broadcast to the filter. This
+    * is the domain-mixture primitive of training-data curation: swap the
     * min-count target for externally supplied per-domain quotas and the
     * plan is unchanged.
+    *
+    * Scale: language is a skewed LOW-cardinality key — a naive
+    * `row_number() OVER (PARTITION BY lang ORDER BY md5)` funnels every
+    * language's documents through ONE reducer (a multi-TB external sort
+    * per task at 100 TB). Instead the rank is computed two-level, exploiting
+    * that md5 hex strings order lexicographically and therefore a PREFIX
+    * of the hash is an order-consistent bucket key:
+    *
+    *   1. rank within (lang, first-2-hex-chars bucket) — 256 buckets per
+    *      language, each partition sorts 1/256th of a language;
+    *   2. per-bucket counts (a map-side partial aggregate, ≤ langs×256
+    *      rows) turned into running offsets by a window over the TINY
+    *      count table;
+    *   3. global per-lang rank = bucket offset + local rank, broadcast
+    *      joined back.
+    *
+    * Same semantics bit-for-bit (the oracle is unchanged); no
+    * single-partition-per-language sort anywhere — locked by
+    * PlanAuditSpec.
     */
   def langMixture(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -560,10 +578,27 @@ object CurationQueries {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("c"))
       .agg(min(col("c")).as("target"))
-    val order = expr("md5(cast(cast(doc_id as string) as binary))")
-    val w = Window.partitionBy(col("lang")).orderBy(order, col("doc_id"))
-    docs
-      .withColumn("pick_rank", row_number().over(w).cast("long"))
+    val bucketed = docs
+      .withColumn("ord", expr("md5(cast(cast(doc_id as string) as binary))"))
+      .withColumn("bucket", substring(col("ord"), 1, 2))
+    // local rank inside each (lang, md5-prefix) bucket: 256× the
+    // parallelism of a per-lang sort, order-consistent with global md5
+    // order because the bucket IS the ordering prefix
+    val wLocal = Window
+      .partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("ord"), col("doc_id"))
+    val ranked = bucketed
+      .withColumn("local_rank", row_number().over(wLocal).cast("long"))
+    // running bucket offsets over the tiny (lang × bucket) count table
+    val wOff = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+    val offsets = bucketed
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("bc"))
+      .withColumn("off", sum(col("bc")).over(wOff) - col("bc"))
+      .select(col("lang"), col("bucket"), col("off"))
+    ranked
+      .join(broadcast(offsets), Seq("lang", "bucket"))
+      .withColumn("pick_rank", col("off") + col("local_rank"))
       .crossJoin(broadcast(target))
       .filter(col("pick_rank") <= col("target"))
       .select(col("doc_id"), col("lang"), col("pick_rank"))

@@ -98,6 +98,24 @@ class PlanAuditSpec extends AnyFunSuite {
       "documents scan must be pruned to doc_id/text")
   }
 
+  test("q_lang_mixture: no single-partition-per-language sort (rank is bucket-salted)") {
+    val df = graft.SparkEntry.queries("q_lang_mixture")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the skew-safe property: the ONLY row_number over the full corpus is
+    // partitioned by (lang, bucket) — 256 md5-prefix buckets per language —
+    // never by lang alone (which would total-order each language through
+    // one reducer). The sole lang-alone window allowed is the running-sum
+    // over the tiny (lang × bucket) count table.
+    val rankSpecs = """row_number\(\) windowspecdefinition\(lang#\d+(, \w+#\d+)?,"""
+      .r.findAllIn(p).toList
+    assert(rankSpecs.nonEmpty, s"expected the salted rank window\n${p.take(3000)}")
+    assert(
+      rankSpecs.forall(_.contains("bucket")),
+      s"row_number must be salted with the md5-prefix bucket: $rankSpecs")
+    assert(p.contains("BroadcastHashJoin"), "offset join-back must broadcast")
+  }
+
   test("q_substring_dedup: first-occurrence is a partial-agg groupBy, no window on the shingle") {
     val df = graft.SparkEntry.queries("q_substring_dedup")(spark, dir)
     df.collect()
