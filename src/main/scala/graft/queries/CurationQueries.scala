@@ -128,14 +128,26 @@ object CurationQueries {
     * map-side partial agg) to build the boilerplate dimension → one join
     * back (AQE broadcasts it when small) → one groupBy on doc_id. No
     * all-pairs stage anywhere, so the plan survives 100×.
+    *
+    * STORAGE CONTRACT: the gram stream feeds BOTH the boilerplate-
+    * dimension build and the probe join. The narrow (doc_id, tokens)
+    * projection is `persist()`ed — NOT the exploded grams: the token
+    * array is ~1× corpus size where the 4-gram stream is ~4× (each token
+    * appears in four grams), and re-exploding from the cache is a
+    * codegen'd map while materializing the gram cache is a measured
+    * 1.5× slowdown. `documents` is scanned and tokenized ONCE
+    * (plan-audit-locked). Session owners `clearCache()` when done, as
+    * Verify/Bench do between queries; a production pipeline would write
+    * the gram dimension out as its own artifact instead.
     */
   val BoilerplateMinDocs = 3
 
   def boilerplateNgrams(s: SparkSession, dir: String): DataFrame = {
-    val grams = Tables
+    val tokens = Tables
       .documents(s, dir)
       .select(col("doc_id"), toks.as("w"))
-      .select(col("doc_id"), explode(expr(gramsExpr(4))).as("g"))
+      .persist()
+    val grams = tokens.select(col("doc_id"), explode(expr(gramsExpr(4))).as("g"))
     val boiler = grams
       .groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("n_docs_with"))
@@ -442,14 +454,22 @@ object CurationQueries {
     * side is one narrow shingle explode + broadcast probe + per-doc
     * aggregation. No shuffle touches the corpus-sized gram stream except
     * the final doc_id rollup.
+    *
+    * STORAGE CONTRACT: the gram stream feeds both the eval-set dimension
+    * and the training-side probe — the narrow (doc_id, tokens) projection
+    * is `persist()`ed so `documents` is scanned and tokenized once (same
+    * contract and same cache-the-tokens-not-the-explode rationale as
+    * [[boilerplateNgrams]]; callers `clearCache()` when done).
     */
   val DecontGramTokens = 8
 
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val L = DecontGramTokens
-    val grams = Tables
+    val tokens = Tables
       .documents(s, dir)
       .select(col("doc_id"), toks.as("w"))
+      .persist()
+    val grams = tokens
       .select(col("doc_id"), explode(expr(gramsExpr(L))).as("gram"))
     val evalGrams = grams
       .filter(col("doc_id") % 50 === 0)

@@ -98,6 +98,25 @@ class PlanAuditSpec extends AnyFunSuite {
       "documents scan must be pruned to doc_id/text")
   }
 
+  test("q_boilerplate_ngrams / q_decontaminate: documents scanned once via the persisted gram stream") {
+    for (name <- Seq("q_boilerplate_ngrams", "q_decontaminate")) {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // both consumers of the exploded gram stream (dimension build and
+      // probe) must read the persisted cache: every FileScan of documents
+      // in the plan text is the one printed INSIDE an InMemoryRelation —
+      // scans == relations means no uncached second scan survives
+      val scans = "FileScan parquet".r.findAllIn(p).size
+      val cached = "InMemoryRelation".r.findAllIn(p).size
+      assert(cached > 0, s"$name: gram stream must be persisted\n${p.take(2000)}")
+      assert(scans == cached,
+        s"$name: found a FileScan outside the persisted gram cache " +
+          s"($scans scans vs $cached cached relations)")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q_lang_mixture: no single-partition-per-language sort (rank is bucket-salted)") {
     val df = graft.SparkEntry.queries("q_lang_mixture")(spark, dir)
     df.collect()
