@@ -43,8 +43,9 @@ object SparkEntry {
     "q_threshold_events_differential_expr" -> ((s: SparkSession, d: String) =>
       SignalQueries.thresholdEventsDifferentialExpr(s, d)),
     // DAQ pipeline: generator → event formation → frame assembly → NeXus
-    // tables (SURVEY §2.1 S7, §2.4–2.6, §1.4; FSMs are not SQL-expressible
-    // → rows-only driver check, semantics locked in DspSpec/PipelineSpec)
+    // tables (SURVEY §2.1 S7, §2.4–2.6, §1.4; every detector FSM chain is
+    // oracle-backed on the closed-form fixtures — gaps-and-islands SQL
+    // for D1/D2, a recursive phase-walk for D3)
     "q_trace_to_events" -> (PipelineQueries.traceToEvents _),
     "q_trace_to_events_differential" -> (PipelineQueries.traceToEventsDifferential _),
     "q_trace_to_events_advanced" -> (PipelineQueries.traceToEventsAdvanced _),
@@ -184,6 +185,8 @@ object SparkEntry {
     "q_trace_file_roundtrip" -> PipelineQueries.traceFileRoundtripSql,
     "q_trace_to_events" -> PipelineQueries.traceToEventsSql,
     "q_trace_to_events_differential" -> PipelineQueries.traceToEventsDifferentialSql,
+    "q_trace_to_events_advanced" -> PipelineQueries.traceToEventsAdvancedSql,
+    "q_trace_to_events_advanced_expr" -> PipelineQueries.traceToEventsAdvancedSql,
     "q_wire_roundtrip" -> PipelineQueries.wireRoundtripSql,
     "q_wire_runstart" -> PipelineQueries.wireRunStartSql,
     "q_run_intervals" -> PipelineQueries.runIntervalsSql,

@@ -6,14 +6,16 @@ import graft.schemas.{EventListMessage, FrameMetadata, RunStart, RunStop}
 import graft.sources.TraceGenerator
 import graft.sources.TraceGenerator.GeneratorConfig
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The DAQ pipeline as declared queries: dat2 traces through event
   * formation, frame assembly, and the NeXus table layout. Queries on the
   * closed-form fixtures ([[TraceFixtures]], [[arithmeticDev2Messages]])
-  * carry exact DuckDB oracles — including the full D1/D2 trace→event
-  * chains via gaps-and-islands SQL; the free-running NOISE generator
-  * chain (advanced FSM, e2e bench units, scripted simulation) has no
+  * carry exact DuckDB oracles — including the full D1/D2/D3 trace→event
+  * chains (gaps-and-islands SQL for the threshold FSMs, a recursive
+  * phase-walk CTE for the advanced muon FSM); the free-running NOISE
+  * generator chain (e2e bench units, scripted simulation) has no
   * faithful ANSI-SQL mirror, so those record rows>0 with semantics
   * locked by DspSpec/PipelineSpec/PlanSpec reference vectors instead
   * (SURVEY §7.4).
@@ -142,36 +144,61 @@ object PipelineQueries {
               ev.h::INT AS event_voltage, (ev.d*8 + ev.c)::BIGINT AS event_channel
        FROM ev JOIN msg m ON ev.f = m.f AND ev.d = m.d"""
 
+  /** D3/D4 full chain with a DuckDB oracle: the three-phase advanced
+    * muon FSM (onset/fall/termination derivative crossings, latest-tie
+    * superlative tracking, assembler degradient correction) over the
+    * closed-form [[TraceFixtures]] grid, through the W2 smoothing
+    * (size 3) and W3 finite-difference windows. With `duration = 0` the
+    * sustain latch reduces to "the current mode's condition holds on the
+    * current derivative" (the reduction reproduces
+    * `advanced_muon_detector.rs:319-408`'s test vector exactly — see
+    * DspSpec), so [[traceToEventsAdvancedSql]] re-derives every phase
+    * transition with a recursive walk CTE and every superlative /
+    * corrected peak with span aggregates. Cross-engine bit-exactness
+    * holds because the smoothed means are exact integer sums through one
+    * IEEE division and every downstream op is the same IEEE expression
+    * tree in both engines. The EWMA baseline (W1) stays OUT of this
+    * chain (float-recursive — not expressible cross-engine-exact in
+    * SQL); it is locked by DspSpec reference vectors instead.
+    */
   def traceToEventsAdvanced(s: SparkSession, dir: String): DataFrame =
     EventFormation
       .formEvents(
-        TraceGenerator.traces(s, cfg.copy(nFrames = 8)),
+        TraceFixtures.arithmeticTraces(s, nFrames = 8, nDigitizers = 4),
         DetectorSettings(
           AdvancedMuon(
             muonOnset = 2.0,
             muonFall = -2.0,
             muonTermination = -0.5,
             duration = 0.0,
-            baselineLength = Some(20),
+            baselineLength = None,
             smoothingWindowSize = Some(3)),
           baseline = 0.0))
       .toDF()
       .select(
         col("digitizerId"),
         col("metadata.frameNumber").as("frame_number"),
-        size(col("time")).as("n_events"))
+        size(col("time")).as("n_events"),
+        explode_outer(arrays_zip(col("time"), col("voltage"), col("channel"))).as("ev"))
+      .select(
+        col("digitizerId"),
+        col("frame_number"),
+        col("n_events"),
+        col("ev.time").as("event_time"),
+        col("ev.voltage").as("event_voltage"),
+        col("ev.channel").as("event_channel"))
 
   /** [[traceToEventsAdvanced]] through the Catalyst expression path
     * ([[graft.plans.DetectPulsesAdvanced]]): traces stay in Tungsten rows,
-    * the W1/W2/W3 window chain is fused into the expression's scan, and
-    * the per-channel pulse counts aggregate back to the per-message shape
-    * of the typed path — identical output by construction (locked in
-    * PlanSpec against the typed query on this fixture).
+    * the W2/W3 window chain is fused into the expression's scan, and the
+    * typed path's saturating wire casts (u32 time, u16 intensity) are
+    * applied as SQL expressions — same oracle, same rows.
     */
   def traceToEventsAdvancedExpr(s: SparkSession, dir: String): DataFrame = {
     graft.plans.DetectPulsesAdvanced.register(s)
-    TraceGenerator
-      .traces(s, cfg.copy(nFrames = 8))
+    val w = Window.partitionBy(col("digitizerId"), col("frame_number"))
+    TraceFixtures
+      .arithmeticTraces(s, nFrames = 8, nDigitizers = 4)
       .toDF()
       .select(
         col("digitizerId"),
@@ -180,12 +207,120 @@ object PipelineQueries {
       .select(
         col("digitizerId"),
         col("frame_number"),
-        expr(
-          "size(detect_pulses_advanced(transform(ch.voltage, v -> cast(v AS double)), " +
-            "2.0D, -2.0D, -0.5D, 0.0D, 20, 3))").as("n_ch_events"))
-      .groupBy(col("digitizerId"), col("frame_number"))
-      .agg(sum(col("n_ch_events")).cast("int").as("n_events"))
+        col("ch.channel").as("event_channel"),
+        explode(
+          expr(
+            "detect_pulses_advanced(transform(ch.voltage, v -> cast(v AS double)), " +
+              "2.0D, -2.0D, -0.5D, 0.0D, 0, 3)")).as("p"))
+      .select(
+        col("digitizerId"),
+        col("frame_number"),
+        col("event_channel"),
+        expr("cast(least(greatest(p.time, 0D), 4294967295D) as bigint)")
+          .as("event_time"),
+        expr("cast(least(greatest(p.height, 0D), 65535D) as int)")
+          .as("event_voltage"))
+      .withColumn("n_events", count(lit(1)).over(w).cast("int"))
+      .select(
+        col("digitizerId"),
+        col("frame_number"),
+        col("n_events"),
+        col("event_time"),
+        col("event_voltage"),
+        col("event_channel"))
   }
+
+  /** DuckDB oracle for BOTH advanced-chain queries. Regenerates the
+    * fixture grid, the smoothed means (`(v[j-2]+v[j-1]+v[j])/3` at
+    * centred time `j-1`) and the finite differences, then walks the
+    * three-phase FSM with a RECURSIVE CTE: from each phase boundary the
+    * next boundary is the first later sample whose derivative satisfies
+    * the current mode's threshold (the exact duration=0 semantics —
+    * see [[traceToEventsAdvanced]]). Superlatives are span aggregates
+    * with LATEST-tie argmax/argmin (`max(k) FILTER (value = extreme)` —
+    * the FSM's `>=`/`<=` update rule); the assembler's degradient
+    * correction and the saturating u16 cast are replicated verbatim.
+    */
+  val traceToEventsAdvancedSql: String =
+    """WITH RECURSIVE samp AS (
+         SELECT f, d, c, j, CAST(50 + ((f*31 + d*13 + c*7 + j*11) % 400) AS DOUBLE) AS v
+         FROM range(8) rf(f), range(4) rd(d), range(8) rc(c), range(500) rj(j)
+       ), sm AS (
+         SELECT f, d, c, j - 1 AS k,
+                (lag(v, 2) OVER w + lag(v, 1) OVER w + v) / 3.0 AS m
+         FROM samp WINDOW w AS (PARTITION BY f, d, c ORDER BY j)
+         QUALIFY j >= 2
+       ), der AS (
+         SELECT f, d, c, k, m,
+                m - lag(m) OVER (PARTITION BY f, d, c ORDER BY k) AS dm
+         FROM sm QUALIFY k >= 2
+       ), walk AS (
+         SELECT f, d, c, CAST(0 AS BIGINT) AS seq, CAST(1 AS BIGINT) AS k, 0 AS mode
+         FROM range(8) rf(f), range(4) rd(d), range(8) rc(c)
+         UNION ALL
+         SELECT f, d, c, seq + 1, nk, (mode + 1) % 3 FROM (
+           SELECT w.f, w.d, w.c, w.seq, w.mode,
+                  (SELECT min(s.k) FROM der s
+                    WHERE s.f = w.f AND s.d = w.d AND s.c = w.c AND s.k > w.k
+                      AND ((w.mode = 0 AND s.dm >= 2.0)
+                        OR (w.mode = 1 AND s.dm <= -2.0)
+                        OR (w.mode = 2 AND s.dm >= -0.5))) AS nk
+           FROM walk w) t WHERE nk IS NOT NULL
+       ), pulses AS (
+         SELECT f, d, c, (seq - 1) // 3 AS pulse,
+                max(CASE WHEN (seq - 1) % 3 = 0 THEN k END) AS k1,
+                max(CASE WHEN (seq - 1) % 3 = 1 THEN k END) AS k2,
+                max(CASE WHEN (seq - 1) % 3 = 2 THEN k END) AS k3
+         FROM walk WHERE seq >= 1
+         GROUP BY 1, 2, 3, 4 HAVING count(*) = 3
+       ), rise AS (
+         SELECT p.f, p.d, p.c, p.pulse, p.k1, p.k2, p.k3,
+                any_value(s1.m) AS start_val,
+                max(s.m) AS peak_val, max(s.dm) AS sr_max
+         FROM pulses p
+         JOIN der s1 ON s1.f = p.f AND s1.d = p.d AND s1.c = p.c AND s1.k = p.k1
+         JOIN der s ON s.f = p.f AND s.d = p.d AND s.c = p.c
+                   AND s.k BETWEEN p.k1 AND p.k2
+         GROUP BY p.f, p.d, p.c, p.pulse, p.k1, p.k2, p.k3
+       ), rise2 AS (
+         SELECT r.f, r.d, r.c, r.pulse, r.k1, r.k2, r.k3,
+                r.start_val, r.peak_val,
+                max(s.k) FILTER (s.m = r.peak_val) AS t_p,
+                max(s.k) FILTER (s.dm = r.sr_max) AS t_sr
+         FROM rise r
+         JOIN der s ON s.f = r.f AND s.d = r.d AND s.c = r.c
+                   AND s.k BETWEEN r.k1 AND r.k2
+         GROUP BY r.f, r.d, r.c, r.pulse, r.k1, r.k2, r.k3, r.start_val, r.peak_val
+       ), fall AS (
+         SELECT r.f, r.d, r.c, r.pulse, r.k1, r.k2, r.k3,
+                r.start_val, r.peak_val, r.t_p, r.t_sr,
+                min(s.m) AS nadir_val
+         FROM rise2 r
+         JOIN der s ON s.f = r.f AND s.d = r.d AND s.c = r.c
+                   AND s.k BETWEEN r.k2 AND r.k3
+         GROUP BY r.f, r.d, r.c, r.pulse, r.k1, r.k2, r.k3,
+                  r.start_val, r.peak_val, r.t_p, r.t_sr
+       ), fall2 AS (
+         SELECT fl.f, fl.d, fl.c, fl.k1, fl.start_val, fl.peak_val,
+                fl.t_p, fl.t_sr,
+                max(s.k) FILTER (s.m = fl.nadir_val) AS t_n
+         FROM fall fl
+         JOIN der s ON s.f = fl.f AND s.d = fl.d AND s.c = fl.c
+                   AND s.k BETWEEN fl.k2 AND fl.k3
+         GROUP BY fl.f, fl.d, fl.c, fl.k1, fl.start_val, fl.peak_val,
+                  fl.t_p, fl.t_sr
+       ), ev AS (
+         SELECT f, d, c, CAST(t_sr AS BIGINT) AS t,
+                CAST(trunc(least(greatest(
+                  peak_val - (peak_val - start_val) *
+                    (CAST(t_p - k1 AS DOUBLE) / CAST(t_n - k1 AS DOUBLE)),
+                  0.0), 65535.0)) AS INT) AS h
+         FROM fall2
+       ), msg AS (SELECT f, d, count(*)::INT AS n FROM ev GROUP BY f, d)
+       SELECT e.d::INT AS "digitizerId", e.f::BIGINT AS frame_number,
+              m.n AS n_events, e.t AS event_time,
+              e.h AS event_voltage, (e.d*8 + e.c)::BIGINT AS event_channel
+       FROM ev e JOIN msg m ON e.f = m.f AND e.d = m.d"""
 
   /** The arithmetic dev2 fixture shared by [[frameAssembly]],
     * [[streamFrameAssembly]], [[nexusFrameTable]], [[nexusEventTable]]
