@@ -187,6 +187,7 @@ object SparkEntry {
     "q_trace_to_events_differential" -> PipelineQueries.traceToEventsDifferentialSql,
     "q_trace_to_events_advanced" -> PipelineQueries.traceToEventsAdvancedSql,
     "q_trace_to_events_advanced_expr" -> PipelineQueries.traceToEventsAdvancedSql,
+    "q_sim_schedule" -> PipelineQueries.simScheduleSql,
     "q_wire_roundtrip" -> PipelineQueries.wireRoundtripSql,
     "q_wire_runstart" -> PipelineQueries.wireRunStartSql,
     "q_run_intervals" -> PipelineQueries.runIntervalsSql,

@@ -38,8 +38,8 @@ object PipelineQueries {
     * generator default), so gaps-and-islands SQL re-derives every event's
     * time, intensity, and channel plus the per-message counts. The
     * free-running NOISE generator chain stays exercised (and benchmarked)
-    * by q_pipeline_e2e / q_wire_e2e / q_sim_schedule; its determinism is
-    * locked by PipelineSpec.
+    * by q_pipeline_e2e / q_wire_e2e; its determinism is locked by
+    * PipelineSpec.
     */
   def traceToEvents(s: SparkSession, dir: String): DataFrame =
     EventFormation
@@ -853,38 +853,124 @@ object PipelineQueries {
                FROM range(4) rc(c), range(250) rj(j))::BIGINT AS checksum
        FROM range(64) ri(i)"""
 
-  /** S7 scripted simulation on the query surface: a declarative
-    * [[graft.sources.ActionSchedule]] scenario (period flip + veto change
-    * mid-run) compiled to traces and run through event formation —
-    * scheduled metadata must surface in the per-message output.
-    * Rows-only (the FSM detection has no SQL oracle; schedule semantics
-    * are locked in ActionScheduleSpec/StreamingSpec).
+  /** One row of the flattened compiled-scenario table ([[simSchedule]]):
+    * `stream` discriminates which compiled stream the row came from, and
+    * the shared columns carry that stream's fields (control: t_ns =
+    * timeMs·10⁶ with the stop-NOW 0 marker preserved, msg = instrument,
+    * extra = ingest ms; runlog/selog: num = value/timeDelta, arr_sum =
+    * Σ(i+1)·valueᵢ position-weighted checksum, extra = channel; alarm:
+    * kind = severity, msg = message; frame: num = protons, arr_sum =
+    * period, extra = veto flags, kind = running|paused).
+    */
+  final case class SimScheduleRow(
+      stream: String,
+      seq: Long,
+      t_ns: Long,
+      name: String,
+      kind: String,
+      msg: Option[String],
+      num: Option[Double],
+      arr_sum: Option[Double],
+      extra: Option[Long])
+
+  /** S7 scripted simulation on the query surface, ORACLE-BACKED: a
+    * scenario touching EVERY [[graft.sources.ActionSchedule.Action]] kind
+    * (run start/stop + stop-NOW, run log, sample-env log, alarm, all four
+    * metadata mutations, two frame loops, waits, comment) is compiled and
+    * its five message streams flattened into one discriminated table.
+    * The schedule walk is a pure fold over a virtual clock, so the DuckDB
+    * oracle regenerates every row literally — frame loops via `range()` —
+    * the q_wire_runstart treatment. The distributed trace RENDERING of
+    * the frame specs (EWMA noise — not SQL-replicable) stays locked by
+    * ActionScheduleSpec's generator bit-identity property and exercised
+    * end-to-end by q_pipeline_e2e.
     */
   def simSchedule(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.ActionSchedule
     import graft.sources.ActionSchedule._
+    import s.implicits._
     val simCfg = GeneratorConfig(nFrames = 16, nDigitizers = 4)
     val scenario = Seq(
+      Comment("oracle scenario: every action kind, deterministic clock"),
       SendRunStart("run_sim"),
       WaitMs(1),
+      SendRunLog("temp_a", "f64", 1.5),
       FrameLoop(nFrames = 8, digitizers = 0 until 4),
+      SendSampleEnv("pressure", 3, Array(1.0, 2.0, 3.0), 16.0, "Middle"),
       SetPeriod(1L),
       SetVetoFlags(2),
+      SetProtonsPerPulse(8),
+      SetRunning(false),
+      SendAlarm("hv_psu", "HIGH", "overvoltage"),
       FrameLoop(nFrames = 8, digitizers = 0 until 4),
-      SendRunStop("run_sim"))
-    val compiled = ActionSchedule.compile(scenario, simCfg)
-    EventFormation
-      .formEvents(
-        ActionSchedule.traces(s, simCfg, compiled),
-        DetectorSettings(FixedThreshold(threshold = 100.0), baseline = 50.0))
-      .toDF()
-      .select(
-        col("digitizerId"),
-        col("metadata.frameNumber").as("frame_number"),
-        col("metadata.periodNumber").as("period_number"),
-        col("metadata.vetoFlags").as("veto_flags"),
-        size(col("time")).as("n_events"))
+      WaitMs(2),
+      SendRunLog("temp_a", "f64_array", 0.0, Array(0.5, 1.5, 2.5)),
+      SendSampleEnv("pressure", 3, Array(4.0, 5.0), 0.0, "End"),
+      SendRunStop("run_sim"),
+      SendRunStart("run_sim_2"),
+      WaitMs(1),
+      SendRunStop("run_sim_2", stopNow = true))
+    val cp = ActionSchedule.compile(scenario, simCfg)
+    // position-weighted checksum: values are exactly-representable halves,
+    // so the sum is exact in both engines regardless of addition order
+    def wsum(a: Array[Double]): Option[Double] =
+      if (a.isEmpty) None
+      else Some(a.iterator.zipWithIndex.map { case (v, i) => v * (i + 1) }.sum)
+    val rows =
+      cp.control.zipWithIndex.map { case (m, i) =>
+        SimScheduleRow("control", i.toLong, m.timeMs * 1000000L, m.runName,
+          m.kind, Some(m.instrumentName).filter(_.nonEmpty), None, None,
+          Some(m.ingestTimeMs))
+      } ++
+        cp.runlog.zipWithIndex.map { case (m, i) =>
+          SimScheduleRow("runlog", i.toLong, m.timestampNs, m.sourceName,
+            m.valueType, None, Some(m.value), wsum(m.arrayValue), None)
+        } ++
+        cp.selog.map { m =>
+          SimScheduleRow("selog", m.messageCounter, m.packetTimestampNs,
+            m.name, m.timestampLocation, None, Some(m.timeDelta),
+            wsum(m.values), Some(m.channel.toLong))
+        } ++
+        cp.alarms.zipWithIndex.map { case (m, i) =>
+          SimScheduleRow("alarm", i.toLong, m.timestampNs, m.sourceName,
+            m.severity, Some(m.message), None, None, None)
+        } ++
+        cp.frameSpecs.zipWithIndex.map { case (fs, i) =>
+          SimScheduleRow("frame", i.toLong, fs.timestampNs,
+            s"dig_${fs.digitizerId}",
+            if (fs.running) "running" else "paused", None,
+            Some(fs.protonsPerPulse.toDouble), Some(fs.periodNumber.toDouble),
+            Some(fs.vetoFlags.toLong))
+        }
+    rows.toDS().toDF()
   }
+
+  /** DuckDB oracle for [[simSchedule]]: the scenario's clock walked by
+    * hand — scalar rows as literals, the two frame loops as `range()`
+    * cross products (first loop starts at 1.7e18 + 1 ms, second at
+    * + 161 ms after eight 20 ms frames; the mutations between the loops
+    * flip period/protons/running/veto for the second block only).
+    */
+  val simScheduleSql: String =
+    """SELECT * FROM (VALUES
+         ('control', 0::BIGINT, 1700000000000000000::BIGINT, 'run_sim', 'start', 'muon', NULL::DOUBLE, NULL::DOUBLE, 0::BIGINT),
+         ('control', 1, 1700000000323000000, 'run_sim', 'stop', NULL, NULL, NULL, 0),
+         ('control', 2, 1700000000323000000, 'run_sim_2', 'start', 'muon', NULL, NULL, 0),
+         ('control', 3, 0, 'run_sim_2', 'stop', NULL, NULL, NULL, 1700000000324),
+         ('runlog', 0, 1700000000001000000, 'temp_a', 'f64', NULL, 1.5, NULL, NULL),
+         ('runlog', 1, 1700000000323000000, 'temp_a', 'f64_array', NULL, 0.0, 11.0, NULL),
+         ('selog', 1, 1700000000161000000, 'pressure', 'Middle', NULL, 16.0, 14.0, 3),
+         ('selog', 2, 1700000000323000000, 'pressure', 'End', NULL, 0.0, 14.0, 3),
+         ('alarm', 0, 1700000000161000000, 'hv_psu', 'HIGH', 'overvoltage', NULL, NULL, NULL)
+       ) t(stream, seq, t_ns, name, kind, msg, num, arr_sum, extra)
+       UNION ALL
+       SELECT 'frame', f*4 + d, 1700000000001000000 + f*20000000,
+              'dig_' || d, 'running', NULL, 4.0, 0.0, 0
+       FROM range(8) rf(f), range(4) rd(d)
+       UNION ALL
+       SELECT 'frame', 32 + f*4 + d, 1700000000161000000 + f*20000000,
+              'dig_' || d, 'paused', NULL, 8.0, 1.0, 2
+       FROM range(8) rf(f), range(4) rd(d)"""
 
   /** Per-event NXevent_data table on the [[arithmeticDev2]] fixture: one
     * open run covers every frame, so the oracle is the fixture's event
