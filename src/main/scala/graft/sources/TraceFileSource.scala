@@ -340,7 +340,16 @@ private[sources] class TraceFilePartitionReader(
   * within each partition (`sortWithinPartitions("timestamp_ns")`), uniform
   * channel/sample shape — the format's fixed-stride + bisect invariants.
   * `sample_time_ns` comes from the writer option of that name (default:
-  * derived from a `sample_rate` column when present, else 1.0).
+  * derived from a `sample_rate` column when present — which must then be
+  * a positive value in the first row of each partition, fail-closed —
+  * else 1.0).
+  *
+  * DEPLOYMENT contract: driver and executors must share the target
+  * filesystem (local mode, NFS, or any shared mount) — the commit
+  * protocol promotes executor-written temps with driver-local renames.
+  * This is verified, not assumed: the driver drops a visibility probe
+  * next to the temps and every task fails fast when it cannot see it,
+  * instead of the job "succeeding" with nothing promoted.
   */
 private[sources] class TraceFileWriteBuilder(path: String, info: LogicalWriteInfo)
     extends WriteBuilder
@@ -349,7 +358,7 @@ private[sources] class TraceFileWriteBuilder(path: String, info: LogicalWriteInf
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new TraceFileBatchWrite(path, info.schema(), info.options(), doTruncate)
+      new TraceFileBatchWrite(path, info.schema(), info.options(), doTruncate, info.queryId())
   }
 }
 
@@ -360,8 +369,11 @@ private[sources] class TraceFileBatchWrite(
     path: String,
     schema: StructType,
     options: CaseInsensitiveStringMap,
-    truncate: Boolean)
+    truncate: Boolean,
+    queryId: String)
     extends BatchWrite {
+
+  private val probeName = s".graft-fs-probe-$queryId"
 
   require(
     schema.fieldNames.contains("timestamp_ns") && schema.fieldNames.contains("channels"),
@@ -391,9 +403,16 @@ private[sources] class TraceFileBatchWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    // shared-filesystem visibility probe: the commit below promotes
+    // executor-written temps with DRIVER-local renames, which on a
+    // cluster with executor-local disks would silently promote nothing.
+    // Every task checks this driver-written marker and fails fast with
+    // the deployment contract instead (ADVICE r5).
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path).resolve(probeName), "")
     val sampleTimeNs =
       Option(options.get("sample_time_ns")).map(_.toDouble)
-    new TraceFileWriterFactory(path, schema, sampleTimeNs)
+    new TraceFileWriterFactory(path, schema, sampleTimeNs, queryId, probeName)
   }
 
   /** Job commit: promote the new files FIRST, then (for truncate) delete
@@ -409,10 +428,24 @@ private[sources] class TraceFileBatchWrite(
     val committed = messages.collect {
       // empty-partition sentinel (tmpPath == "") carries no file
       case TraceFileCommit(tmp, fin) if tmp.nonEmpty =>
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(tmp),
-          java.nio.file.Paths.get(fin),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val src = java.nio.file.Paths.get(tmp)
+        // the probe check in the task should make this unreachable, but
+        // a temp that vanished between task and job commit must fail the
+        // job loudly, never "succeed" with files missing
+        require(
+          java.nio.file.Files.exists(src),
+          s"committed temp $tmp is not visible to the driver — trace-file " +
+            "writes require a filesystem shared between driver and executors")
+        if (truncate)
+          java.nio.file.Files.move(
+            src,
+            java.nio.file.Paths.get(fin),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        else
+          // non-truncate commits never clobber: file names carry the
+          // queryId, so a collision means something is wrong — throws
+          // FileAlreadyExistsException instead of destroying data
+          java.nio.file.Files.move(src, java.nio.file.Paths.get(fin))
         java.nio.file.Paths.get(fin).getFileName.toString
     }.toSet
     val stream = java.nio.file.Files.list(dir)
@@ -421,26 +454,34 @@ private[sources] class TraceFileBatchWrite(
         val name = f.getFileName.toString
         val superseded = truncate && name.endsWith(".gtf") && !committed.contains(name)
         val staleTmp = name.startsWith(".part-") && name.endsWith(".tmp")
-        if (superseded || staleTmp) java.nio.file.Files.deleteIfExists(f)
+        // this job's probe, plus any left by a crashed earlier job (the
+        // directory has a single writer by contract)
+        val probe = name.startsWith(".graft-fs-probe-")
+        if (superseded || staleTmp || probe) java.nio.file.Files.deleteIfExists(f)
       }
     } finally stream.close()
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
     messages.foreach {
       case TraceFileCommit(tmp, _) if tmp.nonEmpty =>
         java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp))
       case _ => ()
     }
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(path).resolve(probeName))
+  }
 }
 
 private[sources] class TraceFileWriterFactory(
     path: String,
     schema: StructType,
-    sampleTimeNs: Option[Double])
+    sampleTimeNs: Option[Double],
+    queryId: String,
+    probeName: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new TraceFileDataWriter(path, schema, sampleTimeNs, partitionId, taskId)
+    new TraceFileDataWriter(path, schema, sampleTimeNs, partitionId, taskId, queryId, probeName)
 }
 
 private[sources] class TraceFileDataWriter(
@@ -448,8 +489,20 @@ private[sources] class TraceFileDataWriter(
     schema: StructType,
     sampleTimeNsOpt: Option[Double],
     partitionId: Int,
-    taskId: Long)
+    taskId: Long,
+    queryId: String,
+    probeName: String)
     extends DataWriter[InternalRow] {
+
+  // the driver dropped this marker in createBatchWriterFactory; a task
+  // that cannot see it is writing to a DIFFERENT filesystem than the one
+  // the driver will promote temps on — fail the job now, not silently
+  // after "success" (ADVICE r5)
+  require(
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path).resolve(probeName)),
+    s"target $path is not visible from this executor — trace-file writes " +
+      "require a filesystem shared between driver and executors (local " +
+      "mode or a shared mount such as NFS/object-store gateway)")
 
   private val tsIdx = schema.fieldIndex("timestamp_ns")
   private val chIdx = schema.fieldIndex("channels")
@@ -466,7 +519,11 @@ private[sources] class TraceFileDataWriter(
   private val chFieldIdx = chStruct.fieldIndex("channel")
   private val voltFieldIdx = chStruct.fieldIndex("voltage")
 
-  private val finalName = f"part-$partitionId%05d-$taskId.gtf"
+  // job-unique names: taskId restarts from 0 in every new SparkContext,
+  // so partitionId+taskId alone would regenerate the same names across
+  // applications and mode("append") would clobber earlier files via the
+  // commit rename (ADVICE r5) — the queryId disambiguates per write job
+  private val finalName = f"part-$partitionId%05d-$taskId-$queryId.gtf"
   private val tmpPath = s"$path/.$finalName.tmp"
   private var writer: TraceFile.IncrementalWriter = _
   private var wrote = false
@@ -474,7 +531,17 @@ private[sources] class TraceFileDataWriter(
   override def write(row: InternalRow): Unit = {
     if (writer == null) {
       val stns = sampleTimeNsOpt.getOrElse(
-        srIdx.map(i => 1e9 / row.getLong(i)).getOrElse(1.0))
+        srIdx.map { i =>
+          // fail closed like every other shape guard: a null/zero rate
+          // would silently write Infinity as the header's sample_time_ns
+          // (InternalRow.getLong(null) unboxes to 0)
+          require(
+            !row.isNullAt(i) && row.getLong(i) > 0,
+            "sample_rate must be a positive BIGINT when used to derive " +
+              "sample_time_ns — set the sample_time_ns writer option " +
+              "explicitly when the column is absent or unreliable")
+          1e9 / row.getLong(i)
+        }.getOrElse(1.0))
       writer = new TraceFile.IncrementalWriter(tmpPath, stns)
     }
     val arr = row.getArray(chIdx)

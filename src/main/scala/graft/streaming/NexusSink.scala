@@ -86,6 +86,17 @@ final class NexusSink(outputDir: String) extends Serializable {
     */
   private val moveLock = new Object
 
+  /** Per-attempt compaction scratch naming (ADVICE r5): each rewrite
+    * works in `.compact_tmp-<n>` and registers the path here while in
+    * flight, so [[recoverInterruptedCompaction]] — which any archiver
+    * poll may run concurrently — sweeps only scratch dirs it KNOWS are
+    * dead (crash leftovers from a previous process, or aborted attempts
+    * of this one).
+    */
+  private val scratchCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val liveScratch =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Path]()
+
   /** Generations already moved out of `local/` this process — late log
     * batches for them are discarded under [[moveLock]] (the reference's
     * closed-run late-message discard). One small tuple per finalized run;
@@ -394,43 +405,53 @@ final class NexusSink(outputDir: String) extends Serializable {
                     val df = spark.read.parquet(genDir.toString)
                     val rows = df.count()
                     val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
-                    val tmp = genDir.resolve(".compact_tmp")
-                    if (Files.exists(tmp)) deleteRecursively(tmp)
-                    df.drop("batch_id")
-                      .coalesce(nFiles.toInt)
-                      .write
-                      .mode(SaveMode.Overwrite)
-                      .parquet(tmp.toString)
-                    val snapshot = batchDirs.map(_.getFileName.toString).toSet
-                    val swapped = moveLock.synchronized {
-                      // the archiver may have moved the generation away
-                      // while the rewrite ran — skip, never resurrect
-                      if (!Files.exists(genDir) || !Files.exists(tmp)) false
-                      else {
-                        val current = listChildren(genDir)
-                          .filter(_.getFileName.toString.startsWith("batch_id="))
-                        // a replayed batch may have merge-moved INTO the
-                        // generation while the rewrite ran (finalizeRuns
-                        // under this same lock) — the rewrite didn't see
-                        // it, so parking it would destroy its rows.
-                        // Abort the swap; the next pass re-reads.
-                        if (current.map(_.getFileName.toString).toSet != snapshot) {
-                          deleteRecursively(tmp)
-                          false
-                        } else {
-                          val old = genDir.resolve(".compact_old")
-                          Files.createDirectories(old)
-                          current.foreach(d => Files.move(d, old.resolve(d.getFileName)))
-                          Files.writeString(old.resolve("PARKED"), "")
-                          // ONE atomic rename — recovery never sees a
-                          // half-promoted target
-                          Files.move(tmp, genDir.resolve(s"batch_id=$maxBatch"))
-                          dropCompactOld(old)
-                          Files.writeString(genDir.resolve(".compacted"), "")
-                          true
+                    // per-attempt unique scratch name, registered as live
+                    // for the rewrite's duration: recovery sweeps only
+                    // scratch dirs NOT in the live set, so a concurrent
+                    // archiver poll's recovery pass can never delete this
+                    // attempt's scratch mid-rewrite (after a crash the
+                    // fresh process's live set is empty — all leftovers
+                    // sweep as before)
+                    val tmp = genDir.resolve(
+                      s".compact_tmp-${scratchCounter.incrementAndGet()}")
+                    liveScratch.add(tmp)
+                    val swapped = try {
+                      df.drop("batch_id")
+                        .coalesce(nFiles.toInt)
+                        .write
+                        .mode(SaveMode.Overwrite)
+                        .parquet(tmp.toString)
+                      val snapshot = batchDirs.map(_.getFileName.toString).toSet
+                      moveLock.synchronized {
+                        // the archiver may have moved the generation away
+                        // while the rewrite ran — skip, never resurrect
+                        if (!Files.exists(genDir) || !Files.exists(tmp)) false
+                        else {
+                          val current = listChildren(genDir)
+                            .filter(_.getFileName.toString.startsWith("batch_id="))
+                          // a replayed batch may have merge-moved INTO the
+                          // generation while the rewrite ran (finalizeRuns
+                          // under this same lock) — the rewrite didn't see
+                          // it, so parking it would destroy its rows.
+                          // Abort the swap; the next pass re-reads.
+                          if (current.map(_.getFileName.toString).toSet != snapshot) {
+                            deleteRecursively(tmp)
+                            false
+                          } else {
+                            val old = genDir.resolve(".compact_old")
+                            Files.createDirectories(old)
+                            current.foreach(d => Files.move(d, old.resolve(d.getFileName)))
+                            Files.writeString(old.resolve("PARKED"), "")
+                            // ONE atomic rename — recovery never sees a
+                            // half-promoted target
+                            Files.move(tmp, genDir.resolve(s"batch_id=$maxBatch"))
+                            dropCompactOld(old)
+                            Files.writeString(genDir.resolve(".compacted"), "")
+                            true
+                          }
                         }
                       }
-                    }
+                    } finally liveScratch.remove(tmp)
                     if (swapped)
                       stats += NexusSink.CompactionStat(
                         table,
@@ -474,8 +495,13 @@ final class NexusSink(outputDir: String) extends Serializable {
         deleteRecursively(old)
       }
     }
-    val tmp = genDir.resolve(".compact_tmp")
-    if (Files.exists(tmp)) deleteRecursively(tmp)
+    // sweep dead scratch dirs only: an attempt still in liveScratch is a
+    // rewrite in flight on another thread of THIS process — deleting it
+    // here would fail that compaction for nothing (ADVICE r5)
+    listChildren(genDir)
+      .filter(_.getFileName.toString.startsWith(".compact_tmp"))
+      .filterNot(liveScratch.contains)
+      .foreach(deleteRecursively)
   }
 
   /** Delete a `.compact_old` dir in marker-last order: the parked batch

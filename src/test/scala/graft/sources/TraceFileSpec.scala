@@ -185,6 +185,56 @@ class TraceFileSpec extends AnyFunSuite {
     assert(files.size == 1)
   }
 
+  test("DataSource V2 write: append adds job-unique files, never clobbers; probe cleaned") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("gtf_append").toString
+    def grid(n: Int, base: Long) = spark
+      .range(0, n)
+      .select(
+        (lit(base) + col("id") * 10L).as("timestamp_ns"),
+        lit(1000000000L).as("sample_rate"),
+        expr("""transform(sequence(0, 1), c -> named_struct(
+                 'channel', cast(c as bigint),
+                 'voltage', transform(sequence(0, 3), j -> cast(1 as int))))""").as("channels"))
+    grid(6, 1000L).coalesce(1).sortWithinPartitions("timestamp_ns")
+      .write.format("trace-file").mode("overwrite").save(dir)
+    grid(4, 9000L).coalesce(1).sortWithinPartitions("timestamp_ns")
+      .write.format("trace-file").mode("append").save(dir)
+    // both file sets live side by side: file names carry the write job's
+    // queryId, so a second application's taskId=0 cannot regenerate (and
+    // the commit rename cannot clobber) the first job's names
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.getFileName.toString).toSeq
+    assert(files.size == 2 && files.forall(_.endsWith(".gtf")), files.toString)
+    assert(files.distinct.size == 2)
+    assert(spark.read.format("trace-file").load(dir).count() == 10)
+  }
+
+  test("DataSource V2 write: null/zero sample_rate fails closed, not Infinity header") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("gtf_badrate").toString
+    val zeroRate = spark
+      .range(0, 2)
+      .select(
+        col("id").as("timestamp_ns"),
+        lit(0L).as("sample_rate"),
+        expr("""transform(sequence(0, 0), c -> named_struct(
+                 'channel', cast(c as bigint),
+                 'voltage', array(cast(1 as int))))""").as("channels"))
+    val e = intercept[Exception] {
+      zeroRate.coalesce(1).write.format("trace-file").mode("overwrite").save(dir)
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("sample_rate must be a positive")), msgs.toString)
+    // the explicit option bypasses the column entirely
+    zeroRate.drop("sample_rate").coalesce(1).sortWithinPartitions("timestamp_ns")
+      .write.format("trace-file").option("sample_time_ns", "2.0")
+      .mode("overwrite").save(dir)
+    assert(spark.read.format("trace-file").load(dir).count() == 2)
+  }
+
   test("DataSource V2 write: mistyped frames and out-of-range samples fail closed") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("gtf_badtype").toString

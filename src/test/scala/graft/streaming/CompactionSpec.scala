@@ -145,7 +145,10 @@ class CompactionSpec extends AnyFunSuite {
     val beforeNoBatch = spark.read.parquet(evDir.toString) // already compacted now
     assert(after.length == before.length)
     assert(!Files.exists(old))
-    assert(!Files.exists(evDir.resolve(".compact_tmp")))
+    import scala.jdk.CollectionConverters._
+    assert(!Files.list(evDir).iterator().asScala
+      .exists(_.getFileName.toString.startsWith(".compact_tmp")),
+      "no compaction scratch dir may survive")
     assert(beforeNoBatch.count() == before.length)
   }
 
