@@ -28,6 +28,22 @@ object StreamingQueries {
     s
   }
 
+  /** Remove a bounded drain's scratch checkpoint once the query stops —
+    * repeated bench/verify runs must not accumulate dirs in /tmp. The
+    * memory-sink table holds the RESULT; the checkpoint has no value
+    * after stop.
+    */
+  private def dropCheckpoint(ckpt: String): Unit = {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    val root = Path.of(ckpt)
+    if (Files.exists(root)) {
+      val all = Files.walk(root)
+      try all.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally all.close()
+    }
+  }
+
   /** Watermarked tumbling-window aggregation over the events table read
     * as a FILE STREAM (SURVEY §2.10): the harness parquet drives a real
     * incremental query; since the batch and streaming results coincide
@@ -59,7 +75,10 @@ object StreamingQueries {
       .option("checkpointLocation", ckpt)
       .start()
     try query.processAllAvailable()
-    finally query.stop()
+    finally {
+      query.stop()
+      dropCheckpoint(ckpt)
+    }
     s.table(name)
   }
 
@@ -99,7 +118,10 @@ object StreamingQueries {
       .option("checkpointLocation", ckpt)
       .start()
     try query.processAllAvailable()
-    finally query.stop()
+    finally {
+      query.stop()
+      dropCheckpoint(ckpt)
+    }
     s.table(name)
   }
 
@@ -154,7 +176,10 @@ object StreamingQueries {
       input.addData(originals)
       while (s.table(name).count() < nFrames && System.currentTimeMillis() < deadline)
         Thread.sleep(100L)
-    } finally query.stop()
+    } finally {
+      query.stop()
+      dropCheckpoint(ckpt)
+    }
     s.table(name)
       .select(
         col("metadata.frameNumber").as("frame_number"),
