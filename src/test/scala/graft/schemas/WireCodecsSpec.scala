@@ -429,6 +429,116 @@ class WireCodecsSpec extends AnyFunSuite {
       WireCodecs.encodeSe00(se.copy(values = Array(1.0), valuesType = "Int128Array")))
   }
 
+  test("property: decode∘encode = id over EVERY f144 and se00 union tag, adversarial values") {
+    // deterministic adversarial generation (seeded, like
+    // AdvancedPropertySpec): per element kind, draw whole values across
+    // the FULL wire range with edge emphasis — including the i64/u64
+    // corners where Double.toLong saturates and the u64 upper half where
+    // doubles are only even — and raw-bits doubles/floats (±0, ±Inf,
+    // subnormals; NaN excluded as it breaks == reflexivity, not codec).
+    val rng = new scala.util.Random(20260813L)
+    val Two63 = 9.223372036854776e18
+    def intKind(min: Long, max: Long): () => Double = { () =>
+      val edges = Seq(min, max, 0L, min + 1, max - 1).filter(v => v >= min && v <= max)
+      val v =
+        if (rng.nextInt(3) == 0) edges(rng.nextInt(edges.size))
+        else min + math.abs(rng.nextLong() % (max - min + 1))
+      v.toDouble
+    }
+    val longGen: () => Double = { () =>
+      var d = 0.0
+      do d = rng.nextLong().toDouble while (!(d < Two63 && d.toLong.toDouble == d))
+      d
+    }
+    val ulongGen: () => Double = { () =>
+      val l = rng.nextLong()
+      if (l >= 0) l.toDouble else (l >>> 1).toDouble * 2.0 + (l & 1L)
+    }
+    val floatGen: () => Double = { () =>
+      var f = 0.0f
+      do f = java.lang.Float.intBitsToFloat(rng.nextInt()) while (f.isNaN)
+      f.toDouble
+    }
+    val doubleGen: () => Double = { () =>
+      var d = 0.0
+      do d = java.lang.Double.longBitsToDouble(rng.nextLong()) while (d.isNaN)
+      d
+    }
+    val elemGen: Map[String, () => Double] = Map(
+      "Byte" -> intKind(-128L, 127L),
+      "UByte" -> intKind(0L, 255L),
+      "Short" -> intKind(-32768L, 32767L),
+      "UShort" -> intKind(0L, 65535L),
+      "Int" -> intKind(Int.MinValue.toLong, Int.MaxValue.toLong),
+      "UInt" -> intKind(0L, 4294967295L),
+      "Long" -> longGen,
+      "ULong" -> ulongGen,
+      "Float" -> floatGen,
+      "Double" -> doubleGen)
+    val rounds = 200
+
+    // all 20 f144 tags: 10 scalars + 10 array members
+    val f144Scalars = elemGen.keys.toSeq.sorted
+    f144Scalars.foreach { kind =>
+      (0 until rounds).foreach { i =>
+        val m = LogData(s"pv_$kind", 1700000000000000000L + i, kind, elemGen(kind)(), Array.empty)
+        val back = WireCodecs.decodeF144(WireCodecs.encodeF144(m))
+        assert(back.valueType === kind)
+        assert(back.value === m.value, s"$kind value ${m.value}")
+        assert(back.sourceName === m.sourceName)
+        assert(back.timestampNs === m.timestampNs)
+      }
+      (0 until rounds).foreach { i =>
+        val vs = Array.fill(rng.nextInt(9))(elemGen(kind)())
+        val m = LogData(s"pv_arr_$kind", 1700000000000000000L + i, s"Array$kind", 0.0, vs)
+        val back = WireCodecs.decodeF144(WireCodecs.encodeF144(m))
+        assert(back.valueType === s"Array$kind")
+        assert(
+          back.arrayValue.toSeq.map(java.lang.Double.doubleToRawLongBits) ===
+            vs.toSeq.map(java.lang.Double.doubleToRawLongBits),
+          s"Array$kind ${vs.mkString(",")}")
+      }
+    }
+
+    // all 10 se00 tags (element kinds named Int8Array..FloatArray)
+    val se00Kinds = Seq(
+      "Int8Array" -> "Byte", "UInt8Array" -> "UByte",
+      "Int16Array" -> "Short", "UInt16Array" -> "UShort",
+      "Int32Array" -> "Int", "UInt32Array" -> "UInt",
+      "Int64Array" -> "Long", "UInt64Array" -> "ULong",
+      "DoubleArray" -> "Double", "FloatArray" -> "Float")
+    se00Kinds.foreach { case (tag, kind) =>
+      (0 until rounds).foreach { i =>
+        val vs = Array.fill(rng.nextInt(9))(elemGen(kind)())
+        val ts = Array.fill(rng.nextInt(4))(rng.nextLong())
+        val m = SampleEnvLog(
+          name = s"se_$tag",
+          channel = rng.nextInt(1 << 16),
+          packetTimestampNs = 1700000000000000000L + i,
+          timeDelta = doubleGen(),
+          timestampLocation = Seq("Unknown", "Start", "Middle", "End")(rng.nextInt(4)),
+          values = vs,
+          timestamps = ts,
+          messageCounter = rng.nextLong(),
+          valuesType = tag)
+        val back = WireCodecs.decodeSe00(WireCodecs.encodeSe00(m))
+        assert(back.valuesType === tag)
+        assert(
+          back.values.toSeq.map(java.lang.Double.doubleToRawLongBits) ===
+            vs.toSeq.map(java.lang.Double.doubleToRawLongBits),
+          s"$tag ${vs.mkString(",")}")
+        assert(back.timestamps.toSeq === ts.toSeq)
+        assert(back.name === m.name)
+        assert(back.channel === m.channel)
+        assert(
+          java.lang.Double.doubleToRawLongBits(back.timeDelta) ===
+            java.lang.Double.doubleToRawLongBits(m.timeDelta))
+        assert(back.timestampLocation === m.timestampLocation)
+        assert(back.messageCounter === m.messageCounter)
+      }
+    }
+  }
+
   test("encode fails closed on out-of-range values (no silent truncation)") {
     val ok = EventListMessage(1, meta(), Array(1L), Array(1), Array(1L))
     // pre-2000 timestamp → GpsTime year out of u8
