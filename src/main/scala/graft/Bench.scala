@@ -20,8 +20,11 @@ object Bench {
     }
     // two passes, report the per-query minimum: a single pass is exposed
     // to one-off JIT/GC/host-contention spikes that say nothing about the
-    // plan's actual cost
+    // plan's actual cost. The cluster-labeling memo resets at the pass
+    // boundary so each pass measures one real CC run + one in-session
+    // reuse, not a second pass riding the first's labeling.
     val pass1 = SparkEntry.queries.map { case (name, fn) => name -> timeOnce(name, fn) }
+    graft.queries.DedupQueries.clearClusterMemo(spark)
     val pass2 = SparkEntry.queries.map { case (name, fn) => name -> timeOnce(name, fn) }
     val results = pass1.map { case (name, t1) => name -> math.min(t1, pass2(name)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

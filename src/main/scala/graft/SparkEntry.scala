@@ -93,6 +93,10 @@ object SparkEntry {
     "q_hash_split" -> (CurationQueries.hashSplit _),
     "q_tfidf_terms" -> (CurationQueries.tfidfTerms _),
     "q_lang_mixture" -> (CurationQueries.langMixture _),
+    "q_domain_mixture" -> (CurationQueries.domainMixture _),
+    "q_source_profile" -> (CurationQueries.sourceProfile _),
+    "q_length_histogram" -> (CurationQueries.lengthHistogram _),
+    "q_ngram_novelty" -> (CurationQueries.ngramNovelty _),
     "q_substring_dedup" -> (CurationQueries.substringDedup _),
     "q_sequence_pack" -> (CurationQueries.sequencePack _),
     "q_decontaminate" -> (CurationQueries.decontaminate _),
@@ -148,6 +152,10 @@ object SparkEntry {
     "q_hash_split" -> CurationQueries.hashSplitSql,
     "q_tfidf_terms" -> CurationQueries.tfidfTermsSql,
     "q_lang_mixture" -> CurationQueries.langMixtureSql,
+    "q_domain_mixture" -> CurationQueries.domainMixtureSql,
+    "q_source_profile" -> CurationQueries.sourceProfileSql,
+    "q_length_histogram" -> CurationQueries.lengthHistogramSql,
+    "q_ngram_novelty" -> CurationQueries.ngramNoveltySql,
     "q_substring_dedup" -> CurationQueries.substringDedupSql,
     "q_sequence_pack" -> CurationQueries.sequencePackSql,
     "q_decontaminate" -> CurationQueries.decontaminateSql,

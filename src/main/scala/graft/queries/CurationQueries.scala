@@ -632,4 +632,188 @@ object CurationQueries {
        SELECT doc_id, lang, pick_rank FROM ranked
        WHERE pick_rank <= (SELECT min(c) FROM
          (SELECT count(*) c FROM documents GROUP BY lang) t)"""
+
+  // --------------------------------------------------------------------
+  // q_domain_mixture — temperature (α) sampling weights per language
+  // --------------------------------------------------------------------
+
+  /** The OTHER half of domain mixing ([[langMixture]] picks documents;
+    * this computes the WEIGHTS): α-temperature sampling over language
+    * token mass — `q_i ∝ p_i^α` with α = 0.5, the standard multilingual
+    * rebalancing rule. Output per language: document/token counts, the
+    * natural mass `p`, the tempered share `q`, and `boost = q/p` (the
+    * up/down-sampling factor a sampler applies).
+    *
+    * Cross-engine determinism: token totals are exact BIGINTs; `p` is
+    * one IEEE division; `sqrt` is correctly rounded in both engines. The
+    * ONE order-sensitive step — the normalizer Σ√p over languages — is
+    * computed as a SORTED left fold over the collected per-language
+    * array (`aggregate(array_sort(collect_list(…)), 0, +)` ≡ DuckDB
+    * `list_reduce(list_sort(list(…)), +)`; the zero seed is exact), so
+    * both engines add in the identical order. The per-language table is
+    * O(languages) — the fold is a scalar broadcast, not a data-plane
+    * pattern.
+    */
+  def domainMixture(s: SparkSession, dir: String): DataFrame = {
+    val perLang = Tables
+      .documents(s, dir)
+      .select(col("lang"), size(toks).cast("long").as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("lang_tokens"))
+    val tot = perLang.agg(sum(col("lang_tokens")).as("total_tokens"))
+    val withP = perLang
+      .crossJoin(broadcast(tot))
+      .withColumn("p", col("lang_tokens").cast("double") / col("total_tokens").cast("double"))
+      .withColumn("sq", sqrt(col("p")))
+    val denom = withP.agg(
+      expr("aggregate(array_sort(collect_list(sq)), 0D, (a, x) -> a + x)").as("denom"))
+    withP
+      .crossJoin(broadcast(denom))
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("lang_tokens"),
+        col("p"),
+        (col("sq") / col("denom")).as("q"),
+        (col("sq") / col("denom") / col("p")).as("boost"))
+  }
+
+  val domainMixtureSql: String =
+    """WITH per_lang AS (
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
+         FROM documents GROUP BY lang
+       ), withp AS (
+         SELECT *, CAST(lang_tokens AS DOUBLE) /
+                   CAST((SELECT sum(lang_tokens) FROM per_lang) AS DOUBLE) AS p
+         FROM per_lang
+       ), withsq AS (SELECT *, sqrt(p) AS sq FROM withp),
+       d AS (SELECT list_reduce(list_sort(list(sq)), (a, b) -> a + b) AS denom FROM withsq)
+       SELECT lang, n_docs, lang_tokens, p,
+              sq / d.denom AS q,
+              sq / d.denom / p AS boost
+       FROM withsq, d"""
+
+  // --------------------------------------------------------------------
+  // q_source_profile — per-domain corpus report
+  // --------------------------------------------------------------------
+
+  /** The per-domain report a curation pipeline publishes before mixing:
+    * document count, language spread, exact-duplicate count (docs minus
+    * distinct content hashes), token mass, and mean document length.
+    * One shuffle on the bounded `source` key with map-side partial
+    * aggregation; the mean is a single division of exact integers.
+    */
+  def sourceProfile(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(
+        col("source"),
+        col("lang"),
+        md5(col("text").cast("binary")).as("h"),
+        size(toks).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("h"))).as("dup_docs"),
+        sum(col("n_tokens")).as("tok_total"),
+        (sum(col("n_tokens")).cast("double") / count(lit(1)).cast("double"))
+          .as("tok_avg"))
+
+  val sourceProfileSql: String =
+    """SELECT source, count(*) AS n_docs,
+              count(DISTINCT lang) AS n_langs,
+              count(*) - count(DISTINCT md5(text)) AS dup_docs,
+              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_total,
+              CAST(sum(len(string_split(text, ' '))) AS DOUBLE) /
+                CAST(count(*) AS DOUBLE) AS tok_avg
+       FROM documents GROUP BY source"""
+
+  // --------------------------------------------------------------------
+  // q_length_histogram — integer-bucketed token-length distribution
+  // --------------------------------------------------------------------
+
+  /** Token-length histogram per language over power-of-two buckets —
+    * the length-distribution view used to pick packing sequence lengths
+    * and spot truncation cliffs. Buckets are integer CASE comparisons
+    * (no float log), so the bucketing is trivially identical across
+    * engines; one shuffle on (lang, bucket) with partial aggregation.
+    */
+  def lengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val n = size(toks).cast("long")
+    val bucket = when(n < 64, "0-63")
+      .when(n < 128, "64-127")
+      .when(n < 256, "128-255")
+      .when(n < 512, "256-511")
+      .otherwise("512+")
+    Tables
+      .documents(s, dir)
+      .select(col("lang"), n.as("n_tokens"), bucket.as("bucket"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+  }
+
+  val lengthHistogramSql: String =
+    """WITH t AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents)
+       SELECT lang,
+              CASE WHEN n < 64 THEN '0-63' WHEN n < 128 THEN '64-127'
+                   WHEN n < 256 THEN '128-255' WHEN n < 512 THEN '256-511'
+                   ELSE '512+' END AS bucket,
+              count(*) AS n_docs, min(n) AS min_tokens, max(n) AS max_tokens
+       FROM t GROUP BY 1, 2"""
+
+  // --------------------------------------------------------------------
+  // q_ngram_novelty — novelty vs the corpus prefix (doc_id order)
+  // --------------------------------------------------------------------
+
+  /** Per-document novelty against everything EARLIER in the corpus: the
+    * fraction of a document's 4-gram slots whose gram first appears in
+    * this document (global first occurrence = min doc_id). The
+    * dedup-aware data-ordering signal: a document of recycled grams
+    * scores near 0, fresh text near 1.
+    *
+    * Scale: same shape as [[boilerplateNgrams]] — persist the token
+    * projection (documents scanned once), ONE gram-keyed shuffle with a
+    * map-side `min` partial aggregate (hot grams never funnel one
+    * reducer), AQE broadcast join-back, one doc rollup. The novelty
+    * fraction is a single division.
+    */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), toks.as("w"))
+      .persist()
+    val grams = tokens.select(col("doc_id"), explode(expr(gramsExpr(4))).as("g"))
+    val firstDoc = grams
+      .groupBy(col("g"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams
+      .join(firstDoc, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams").cast("double"))
+          .as("novelty_frac"))
+  }
+
+  val ngramNoveltySql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        grams AS (SELECT doc_id, ${gramsSql(4)} g
+                  FROM t, unnest(generate_series(1, len(w) - 3)) AS s(i)),
+        fd AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+        SELECT doc_id, count(*) AS n_grams,
+               count(CASE WHEN first_doc = doc_id THEN 1 END) AS n_novel,
+               CAST(count(CASE WHEN first_doc = doc_id THEN 1 END) AS DOUBLE) /
+                 CAST(count(*) AS DOUBLE) AS novelty_frac
+        FROM grams JOIN fd USING (g)
+        GROUP BY doc_id"""
 }

@@ -299,6 +299,14 @@ object DedupQueries {
       SparkSession,
       scala.collection.concurrent.TrieMap[(String, Int), DataFrame]]())
 
+  /** Drop this session's memoized labelings. Bench calls it at pass
+    * boundaries so each timed pass measures one real CC run plus one
+    * reuse (the production shape) instead of the second pass riding the
+    * first pass's labeling; the checkpoint blocks are reaped by the
+    * ContextCleaner once unreferenced.
+    */
+  def clearClusterMemo(s: SparkSession): Unit = clusterMemo.remove(s)
+
   def dedupClusters(
       s: SparkSession,
       dir: String,

@@ -269,4 +269,81 @@ class CurationSpec extends AnyFunSuite {
     // deterministic: same selection on a second run
     assert(CurationQueries.langMixture(spark, sf).collect().toSet == out.toSet)
   }
+
+  test("domain mixture: α=0.5 tempering boosts the minority, shares sum to 1") {
+    // lang masses 4:16 tokens → p = 0.2/0.8; q ∝ √p → √.2/(√.2+√.8) = 1/3
+    withDocs(
+      Seq(
+        (1L, "a b c d", "de", "s", 0L),
+        (2L, "a b c d e f g h a b c d e f g h", "en", "s", 0L))) { dir =>
+      val out = CurationQueries
+        .domainMixture(spark, dir)
+        .collect()
+        .map(r => r.getString(0) -> r)
+        .toMap
+      val de = out("de"); val en = out("en")
+      assert(de.getAs[Long]("lang_tokens") == 4L && en.getAs[Long]("lang_tokens") == 16L)
+      assert(de.getAs[Double]("p") == 0.2 && en.getAs[Double]("p") == 0.8)
+      assert(math.abs(de.getAs[Double]("q") - 1.0 / 3) < 1e-12)
+      assert(math.abs(de.getAs[Double]("q") + en.getAs[Double]("q") - 1.0) < 1e-12)
+      // tempering boosts the minority above its natural share, trims the
+      // majority below
+      assert(de.getAs[Double]("boost") > 1.0 && en.getAs[Double]("boost") < 1.0)
+    }
+  }
+
+  test("source profile: duplicate content counted, language spread exact") {
+    withDocs(
+      Seq(
+        (1L, "same text here", "en", "sA", 0L),
+        (2L, "same text here", "de", "sA", 0L), // exact dup of 1
+        (3L, "other words entirely", "en", "sA", 0L),
+        (4L, "solo doc", "fr", "sB", 0L))) { dir =>
+      val out = CurationQueries
+        .sourceProfile(spark, dir)
+        .collect()
+        .map(r => r.getString(0) -> r)
+        .toMap
+      val a = out("sA")
+      assert(a.getAs[Long]("n_docs") == 3L)
+      assert(a.getAs[Long]("n_langs") == 2L)
+      assert(a.getAs[Long]("dup_docs") == 1L)
+      assert(a.getAs[Long]("tok_total") == 9L)
+      assert(a.getAs[Double]("tok_avg") == 3.0)
+      assert(out("sB").getAs[Long]("dup_docs") == 0L)
+    }
+  }
+
+  test("length histogram: boundary tokens land in the integer-exact bucket") {
+    def doc(id: Long, n: Int) = (id, Seq.fill(n)("w").mkString(" "), "en", "s", 0L)
+    withDocs(Seq(doc(1, 63), doc(2, 64), doc(3, 127), doc(4, 128), doc(5, 512))) { dir =>
+      val out = CurationQueries
+        .lengthHistogram(spark, dir)
+        .collect()
+        .map(r => r.getString(1) -> r.getAs[Long]("n_docs"))
+        .toMap
+      assert(out == Map("0-63" -> 1L, "64-127" -> 2L, "128-255" -> 1L, "512+" -> 1L))
+    }
+  }
+
+  test("ngram novelty: recycled text scores 0, fresh text 1, partial overlap exact") {
+    val base = "n1 n2 n3 n4 n5" // 5 tokens → 2 gram slots
+    withDocs(
+      Seq(
+        (1L, base, "en", "s", 0L), // first occurrence of both grams
+        (2L, base, "en", "s", 0L), // 100% recycled
+        (3L, s"$base f1 f2 f3", "en", "s", 0L))) { dir =>
+      // doc 3: 8 tokens → 5 slots; the 2 grams inside `base` are old,
+      // the 3 slots crossing into f1..f3 are new
+      val out = CurationQueries
+        .ngramNovelty(spark, dir)
+        .collect()
+        .map(r => r.getLong(0) -> r)
+        .toMap
+      assert(out(1L).getAs[Double]("novelty_frac") == 1.0)
+      assert(out(2L).getAs[Double]("novelty_frac") == 0.0)
+      assert(out(3L).getAs[Long]("n_grams") == 5L)
+      assert(out(3L).getAs[Long]("n_novel") == 3L)
+    }
+  }
 }
