@@ -655,11 +655,17 @@ object CurationQueries {
     * pattern.
     */
   def domainMixture(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the O(languages) aggregate feeds the total, the
+    // normalizer fold, and the final projection — unpersisted, each
+    // consumer would rescan and retokenize the WHOLE corpus for a
+    // 4-row table (3 corpus passes at 100 TB). Same clearCache()
+    // session contract as the sketch tables.
     val perLang = Tables
       .documents(s, dir)
       .select(col("lang"), size(toks).cast("long").as("n_tokens"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("lang_tokens"))
+      .persist()
     val tot = perLang.agg(sum(col("lang_tokens")).as("total_tokens"))
     val withP = perLang
       .crossJoin(broadcast(tot))

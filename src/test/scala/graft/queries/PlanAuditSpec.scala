@@ -98,21 +98,47 @@ class PlanAuditSpec extends AnyFunSuite {
       "documents scan must be pruned to doc_id/text")
   }
 
-  test("q_boilerplate_ngrams / q_decontaminate: documents scanned once via the persisted gram stream") {
-    for (name <- Seq("q_boilerplate_ngrams", "q_decontaminate")) {
+  /** Count FileScans reachable in the EXECUTED plan tree without passing
+    * through an InMemoryTableScan — i.e. scans NOT served by a persisted
+    * relation. (The plan STRING can't answer this: adaptive plans print
+    * each cached relation's child plan once per reference.)
+    */
+  private def uncachedFileScans(root: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution._
+    var n = 0
+    def walk(x: SparkPlan): Unit = x match {
+      case a: adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: adaptive.QueryStageExec => walk(s.plan)
+      case _: columnar.InMemoryTableScanExec => () // cached — stop here
+      case _: FileSourceScanExec => n += 1
+      case other =>
+        other.children.foreach(walk)
+        other.subqueries.foreach(walk)
+    }
+    walk(root)
+    n
+  }
+
+  test("q_boilerplate_ngrams / q_decontaminate / q_ngram_novelty / q_domain_mixture: documents scanned once") {
+    for (
+      name <- Seq(
+        "q_boilerplate_ngrams",
+        "q_decontaminate",
+        "q_ngram_novelty",
+        "q_domain_mixture")
+    ) {
       val df = graft.SparkEntry.queries(name)(spark, dir)
       df.collect()
+      // every consumer of the shared projection (dimension build, probe,
+      // normalizer) must read the persisted cache: exactly ZERO file
+      // scans may sit outside an InMemoryTableScan, and the cache itself
+      // must exist (one FileScan inside it feeds everything)
       val p = df.queryExecution.executedPlan.toString
-      // both consumers of the exploded gram stream (dimension build and
-      // probe) must read the persisted cache: every FileScan of documents
-      // in the plan text is the one printed INSIDE an InMemoryRelation —
-      // scans == relations means no uncached second scan survives
-      val scans = "FileScan parquet".r.findAllIn(p).size
-      val cached = "InMemoryRelation".r.findAllIn(p).size
-      assert(cached > 0, s"$name: gram stream must be persisted\n${p.take(2000)}")
-      assert(scans == cached,
-        s"$name: found a FileScan outside the persisted gram cache " +
-          s"($scans scans vs $cached cached relations)")
+      assert(p.contains("InMemoryRelation"), s"$name: shared projection must be persisted")
+      val uncached = uncachedFileScans(df.queryExecution.executedPlan)
+      assert(uncached == 0,
+        s"$name: $uncached FileScan(s) outside the persisted cache — " +
+          "a consumer is rescanning documents")
       spark.catalog.clearCache()
     }
   }
