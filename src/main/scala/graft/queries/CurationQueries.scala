@@ -593,14 +593,24 @@ object CurationQueries {
     * PlanAuditSpec.
     */
   def langMixture(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val target = docs
+    // persisted: the bucketed projection feeds the rank window, the
+    // bucket-offset table AND the quota target — unpersisted, each
+    // consumer rescans documents and re-md5s every doc_id (the window
+    // and partial-agg exchanges differ, so ReuseExchange cannot dedup
+    // them). Same clearCache() session contract as the sketch tables;
+    // plan-audit-locked to one FileScan.
+    val bucketed = Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        expr("md5(cast(cast(doc_id as string) as binary))").as("ord"))
+      .withColumn("bucket", substring(col("ord"), 1, 2))
+      .persist()
+    val target = bucketed
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("c"))
       .agg(min(col("c")).as("target"))
-    val bucketed = docs
-      .withColumn("ord", expr("md5(cast(cast(doc_id as string) as binary))"))
-      .withColumn("bucket", substring(col("ord"), 1, 2))
     // local rank inside each (lang, md5-prefix) bucket: 256× the
     // parallelism of a per-lang sort, order-consistent with global md5
     // order because the bucket IS the ordering prefix
@@ -782,11 +792,17 @@ object CurationQueries {
     * dedup-aware data-ordering signal: a document of recycled grams
     * scores near 0, fresh text near 1.
     *
-    * Scale: same shape as [[boilerplateNgrams]] — persist the token
-    * projection (documents scanned once), ONE gram-keyed shuffle with a
-    * map-side `min` partial aggregate (hot grams never funnel one
-    * reducer), AQE broadcast join-back, one doc rollup. The novelty
-    * fraction is a single division.
+    * Scale: persisted token projection (documents scanned once,
+    * plan-audit-locked); the gram stream is FIRST collapsed to
+    * (gram, doc, occurrence-count) rows — a map-side partial aggregate,
+    * so hot grams shrink before any network hop — then the first-doc
+    * dimension is a second partial `min` over those pairs. UNLIKE
+    * boilerplate's filtered dimension, first-doc has one row per
+    * DISTINCT corpus gram and cannot broadcast at scale, so the
+    * join-back is a gram-keyed shuffle join over the deduped (gram,
+    * doc) pairs — per-gram row counts are bounded by the gram's
+    * DOCUMENT frequency (not its slot count), and AQE skew-split
+    * handles a pathological gram beyond that.
     */
   def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
     val tokens = Tables
@@ -794,15 +810,21 @@ object CurationQueries {
       .select(col("doc_id"), toks.as("w"))
       .persist()
     val grams = tokens.select(col("doc_id"), explode(expr(gramsExpr(4))).as("g"))
-    val firstDoc = grams
+    // slot counts per (gram, doc): the map-side combine that keeps a
+    // boilerplate gram occurring 10⁹ times from shipping 10⁹ probe rows
+    val perDocGram = grams
+      .groupBy(col("g"), col("doc_id"))
+      .agg(count(lit(1)).as("occ"))
+    val firstDoc = perDocGram
       .groupBy(col("g"))
       .agg(min(col("doc_id")).as("first_doc"))
-    grams
+    perDocGram
       .join(firstDoc, Seq("g"))
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_grams"),
-        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+        sum(col("occ")).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), col("occ")).otherwise(0L))
+          .as("n_novel"))
       .select(
         col("doc_id"),
         col("n_grams"),

@@ -284,40 +284,50 @@ object DedupQueries {
     * feasible at oracle scale, which is exactly why the engine side
     * must NOT do it that way (closure is quadratic per component).
     */
-  /** Per-session memo of the cluster labeling: [[corpusCuration]] embeds
+  /** Single-slot memo of the cluster labeling: [[corpusCuration]] embeds
     * [[dedupClusters]]' verdict, and recomputing the whole CC loop for
     * the composed query doubled the most expensive work in the inventory
     * (VERDICT r5 #5). The labeling is deterministic in (dir, maxIters)
     * over immutable fixture parquet, and it is CHECKPOINTED — reuse is a
     * narrow scan of materialized blocks, immune to `clearCache()`
-    * between queries. Weak session keys so a dropped session frees its
-    * labelings; within one session the memo pins the checkpoint RDDs
-    * alive (ContextCleaner reaps them with the session).
+    * between queries.
+    *
+    * Lifetime: the memo holds AT MOST ONE session's labelings (the most
+    * recent caller); a different session's first call replaces the slot,
+    * releasing the previous session's DataFrames to the GC. A weak-keyed
+    * map would NOT work here — the memoized DataFrames strongly
+    * reference their own SparkSession, and a WeakHashMap value that
+    * (indirectly) refers to its key is never reclaimed — so the bound is
+    * enforced by construction instead: the retained graph is one
+    * session's labelings, worst case, and [[clearClusterMemo]] empties
+    * even that.
     */
-  private val clusterMemo = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[
-      SparkSession,
-      scala.collection.concurrent.TrieMap[(String, Int), DataFrame]]())
+  private val clusterMemo = new java.util.concurrent.atomic.AtomicReference[
+    (SparkSession, scala.collection.concurrent.TrieMap[(String, Int), DataFrame])]()
 
-  /** Drop this session's memoized labelings. Bench calls it at pass
-    * boundaries so each timed pass measures one real CC run plus one
-    * reuse (the production shape) instead of the second pass riding the
-    * first pass's labeling; the checkpoint blocks are reaped by the
+  /** Drop the memoized labelings. Bench calls it at pass boundaries so
+    * each timed pass measures one real CC run plus one reuse (the
+    * production shape) instead of the second pass riding the first
+    * pass's labeling; the checkpoint blocks are reaped by the
     * ContextCleaner once unreferenced.
     */
-  def clearClusterMemo(s: SparkSession): Unit = clusterMemo.remove(s)
+  def clearClusterMemo(s: SparkSession): Unit = {
+    val cur = clusterMemo.get()
+    if (cur != null && (cur._1 eq s)) clusterMemo.compareAndSet(cur, null)
+  }
 
   def dedupClusters(
       s: SparkSession,
       dir: String,
       maxIters: Int = graft.operators.ConnectedComponents.DefaultMaxIters): DataFrame = {
-    val perSession = {
-      var m = clusterMemo.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty
-        clusterMemo.put(s, m)
+    val perSession = clusterMemo.synchronized {
+      val cur = clusterMemo.get()
+      if (cur != null && (cur._1 eq s)) cur._2
+      else {
+        val m = scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
+        clusterMemo.set((s, m))
+        m
       }
-      m
     }
     perSession.getOrElseUpdate(
       (dir, maxIters), {

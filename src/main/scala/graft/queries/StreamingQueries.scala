@@ -33,16 +33,19 @@ object StreamingQueries {
     * memory-sink table holds the RESULT; the checkpoint has no value
     * after stop.
     */
-  private def dropCheckpoint(ckpt: String): Unit = {
-    import java.nio.file.{Files, Path}
-    import scala.jdk.CollectionConverters._
-    val root = Path.of(ckpt)
-    if (Files.exists(root)) {
-      val all = Files.walk(root)
-      try all.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally all.close()
-    }
-  }
+  private def dropCheckpoint(ckpt: String): Unit =
+    // best-effort: a deletion failure must never mask the query's own
+    // error propagating through the enclosing finally
+    try {
+      import java.nio.file.{Files, Path}
+      import scala.jdk.CollectionConverters._
+      val root = Path.of(ckpt)
+      if (Files.exists(root)) {
+        val all = Files.walk(root)
+        try all.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally all.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Watermarked tumbling-window aggregation over the events table read
     * as a FILE STREAM (SURVEY §2.10): the harness parquet drives a real
@@ -76,8 +79,8 @@ object StreamingQueries {
       .start()
     try query.processAllAvailable()
     finally {
-      query.stop()
-      dropCheckpoint(ckpt)
+      try query.stop()
+      finally dropCheckpoint(ckpt)
     }
     s.table(name)
   }
@@ -119,8 +122,8 @@ object StreamingQueries {
       .start()
     try query.processAllAvailable()
     finally {
-      query.stop()
-      dropCheckpoint(ckpt)
+      try query.stop()
+      finally dropCheckpoint(ckpt)
     }
     s.table(name)
   }
@@ -177,8 +180,8 @@ object StreamingQueries {
       while (s.table(name).count() < nFrames && System.currentTimeMillis() < deadline)
         Thread.sleep(100L)
     } finally {
-      query.stop()
-      dropCheckpoint(ckpt)
+      try query.stop()
+      finally dropCheckpoint(ckpt)
     }
     s.table(name)
       .select(

@@ -16,8 +16,10 @@ import scala.util.Random
   * tracking with later-sample tie wins, crossing clock reset when the
   * test stops holding. If the two implementations agree on thousands of
   * random traces across random parameter draws, a regression in either
-  * is caught without an SQL oracle (the chain is not gaps-and-islands
-  * expressible — that is WHY q_trace_to_events_advanced is rows-only).
+  * is caught for ARBITRARY durations and thresholds — complementing
+  * q_trace_to_events_advanced's DuckDB oracle, which hash-checks the
+  * full chain but only at duration = 0 (the recursive phase-walk CTE
+  * in PipelineQueries.traceToEventsAdvancedSql).
   */
 class AdvancedPropertySpec extends AnyFunSuite {
 

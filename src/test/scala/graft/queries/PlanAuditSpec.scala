@@ -125,7 +125,8 @@ class PlanAuditSpec extends AnyFunSuite {
         "q_boilerplate_ngrams",
         "q_decontaminate",
         "q_ngram_novelty",
-        "q_domain_mixture")
+        "q_domain_mixture",
+        "q_lang_mixture")
     ) {
       val df = graft.SparkEntry.queries(name)(spark, dir)
       df.collect()
