@@ -20,12 +20,17 @@ object Bench {
     }
     // two passes, report the per-query minimum: a single pass is exposed
     // to one-off JIT/GC/host-contention spikes that say nothing about the
-    // plan's actual cost. The cluster-labeling memo resets at the pass
-    // boundary so each pass measures one real CC run + one in-session
-    // reuse, not a second pass riding the first's labeling.
-    val pass1 = SparkEntry.queries.map { case (name, fn) => name -> timeOnce(name, fn) }
+    // plan's actual cost. Queries run in SORTED name order — a plain
+    // Map's hash order could silently reassign which of the
+    // cluster-labeling pair pays the CC run after any key rename. The
+    // memo resets at the pass boundary so each pass measures one real CC
+    // run + one in-session reuse: deterministically, q_corpus_curation
+    // (alphabetically first of the pair) carries the loop's cost in the
+    // bench JSON and q_dedup_clusters shows the reuse.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pass1 = ordered.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
     graft.queries.DedupQueries.clearClusterMemo(spark)
-    val pass2 = SparkEntry.queries.map { case (name, fn) => name -> timeOnce(name, fn) }
+    val pass2 = ordered.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
     val results = pass1.map { case (name, t1) => name -> math.min(t1, pass2(name)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -7,9 +7,15 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional third arg: comma-separated query names (fast iteration on
-    // a single oracle); default = all
+    // a single oracle); default = all. Unknown names fail closed — a
+    // typo that silently selected nothing would leave a previous run's
+    // parquet in outDir to be re-validated as fresh.
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local("graft-verify", cpus)
     new java.io.File(outDir).mkdirs()

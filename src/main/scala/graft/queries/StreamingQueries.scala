@@ -34,18 +34,10 @@ object StreamingQueries {
     * after stop.
     */
   private def dropCheckpoint(ckpt: String): Unit =
-    // best-effort: a deletion failure must never mask the query's own
-    // error propagating through the enclosing finally
-    try {
-      import java.nio.file.{Files, Path}
-      import scala.jdk.CollectionConverters._
-      val root = Path.of(ckpt)
-      if (Files.exists(root)) {
-        val all = Files.walk(root)
-        try all.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-        finally all.close()
-      }
-    } catch { case scala.util.control.NonFatal(_) => () }
+    // deleteQuietly IS the contract here: best-effort, a deletion
+    // failure must never mask the query's own error propagating through
+    // the enclosing finally
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
 
   /** Watermarked tumbling-window aggregation over the events table read
     * as a FILE STREAM (SURVEY §2.10): the harness parquet drives a real

@@ -453,11 +453,19 @@ private[sources] class TraceFileBatchWrite(
       stream.iterator().asScala.foreach { f =>
         val name = f.getFileName.toString
         val superseded = truncate && name.endsWith(".gtf") && !committed.contains(name)
-        val staleTmp = name.startsWith(".part-") && name.endsWith(".tmp")
-        // this job's probe, plus any left by a crashed earlier job (the
-        // directory has a single writer by contract)
+        // sweep scope is mode-dependent: truncate owns the whole
+        // directory (it just replaced every .gtf), so it clears ALL
+        // stale temps and probes; append sweeps only THIS job's
+        // artifacts — a concurrent append's live temps and probe carry a
+        // different queryId and deleting them would fail that job with a
+        // phantom "filesystem not shared" diagnosis. Foreign leftovers
+        // from crashed append jobs stay (dot-prefixed — invisible to the
+        // reader) until the next truncate write clears them.
+        val tmp = name.startsWith(".part-") && name.endsWith(".tmp")
         val probe = name.startsWith(".graft-fs-probe-")
-        if (superseded || staleTmp || probe) java.nio.file.Files.deleteIfExists(f)
+        val mine = name.contains(queryId)
+        if (superseded || ((tmp || probe) && (truncate || mine)))
+          java.nio.file.Files.deleteIfExists(f)
       }
     } finally stream.close()
   }

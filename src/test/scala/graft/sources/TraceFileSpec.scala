@@ -16,6 +16,16 @@ class TraceFileSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  /** Directory listing that closes its stream (the discipline main code
+    * keeps in NexusSink.listChildren).
+    */
+  private def fileNames(dir: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try st.iterator().asScala.map(_.getFileName.toString).toSeq
+    finally st.close()
+  }
+
   private def fixture: Seq[(Long, Array[Array[Int]])] =
     (0 until 10).map { i =>
       val ts = 1700000000000000000L + i * 20000000L
@@ -178,9 +188,7 @@ class TraceFileSpec extends AnyFunSuite {
       .write.format("trace-file").mode("overwrite").save(dir)
     assert(spark.read.format("trace-file").load(dir).count() == 10)
     // no stray temps or stale parts
-    import scala.jdk.CollectionConverters._
-    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      .iterator().asScala.map(_.getFileName.toString).toSeq
+    val files = fileNames(dir)
     assert(files.forall(f => f.endsWith(".gtf")), files.toString)
     assert(files.size == 1)
   }
@@ -203,9 +211,7 @@ class TraceFileSpec extends AnyFunSuite {
     // both file sets live side by side: file names carry the write job's
     // queryId, so a second application's taskId=0 cannot regenerate (and
     // the commit rename cannot clobber) the first job's names
-    import scala.jdk.CollectionConverters._
-    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      .iterator().asScala.map(_.getFileName.toString).toSeq
+    val files = fileNames(dir)
     assert(files.size == 2 && files.forall(_.endsWith(".gtf")), files.toString)
     assert(files.distinct.size == 2)
     assert(spark.read.format("trace-file").load(dir).count() == 10)

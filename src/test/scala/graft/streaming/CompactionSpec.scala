@@ -146,8 +146,12 @@ class CompactionSpec extends AnyFunSuite {
     assert(after.length == before.length)
     assert(!Files.exists(old))
     import scala.jdk.CollectionConverters._
-    assert(!Files.list(evDir).iterator().asScala
-      .exists(_.getFileName.toString.startsWith(".compact_tmp")),
+    val children = {
+      val st = Files.list(evDir)
+      try st.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally st.close()
+    }
+    assert(!children.exists(_.startsWith(".compact_tmp")),
       "no compaction scratch dir may survive")
     assert(beforeNoBatch.count() == before.length)
   }

@@ -68,8 +68,15 @@ class KafkaIntegrationSpec extends AnyFunSuite {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination(120000L)
-    finally q.stop()
+    try {
+      // a false return = the 120 s deadline fired with the drain still
+      // running — fail HERE with the real diagnosis, not downstream on a
+      // confusing partial row count
+      assert(q.awaitTermination(120000L), s"$name did not drain within 120 s")
+    } finally {
+      try q.stop()
+      finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
     name
   }
 
@@ -147,8 +154,11 @@ class KafkaIntegrationSpec extends AnyFunSuite {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination(120000L)
-    finally q.stop()
+    try assert(q.awaitTermination(120000L), "producer did not drain within 120 s")
+    finally {
+      try q.stop()
+      finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
     // read the topic back raw (batch) and decode through the ingest router
     implicit val binEnc = Encoders.BINARY
     val raw = spark.read
