@@ -28,6 +28,7 @@ object SparkEntry {
     "q_bit_or" -> (RelationalQueries.bitOrSizes _),
     "q_running_offsets" -> (RelationalQueries.runningOffsets _),
     "q_user_day_stats" -> (RelationalQueries.userDayStats _),
+    "q_retention_cohorts" -> (RelationalQueries.retentionCohorts _),
     "q_interval_join" -> (RelationalQueries.intervalJoin _),
     "q_semi_anti_join" -> (RelationalQueries.semiAntiJoin _),
     "q_time_travel" -> (RelationalQueries.timeTravel _),
@@ -131,6 +132,7 @@ object SparkEntry {
     "q_bit_or" -> RelationalQueries.bitOrSizesSql,
     "q_running_offsets" -> RelationalQueries.runningOffsetsSql,
     "q_user_day_stats" -> RelationalQueries.userDayStatsSql,
+    "q_retention_cohorts" -> RelationalQueries.retentionCohortsSql,
     "q_interval_join" -> RelationalQueries.intervalJoinSql,
     "q_semi_anti_join" -> RelationalQueries.semiAntiJoinSql,
     "q_time_travel" -> RelationalQueries.timeTravelSql,

@@ -252,6 +252,53 @@ object RelationalQueries {
        max(value) AS max_value
        FROM events GROUP BY 1, 2"""
 
+  /** Cohort retention — the product-analytics staple the diagnostics
+    * surface otherwise lacks: users cohorted by FIRST-seen day, then for
+    * every (cohort_day, day_offset) the distinct users still active that
+    * many days later, with the cohort size and retention rate attached.
+    *
+    * Scale: the first-seen reduction is one uniform user_id shuffle with
+    * map-side partial `min`; the join back is equi-keyed on user_id
+    * (never a range scan); the (cohort × offset) rollup is tiny and the
+    * cohort-size dimension (≤ days observed) broadcasts. The rate is a
+    * single integer-over-integer division — deterministic cross-engine.
+    */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val sizes = cohorts
+      .groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
+    ev.join(cohorts, Seq("user_id"))
+      .groupBy(
+        col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .join(broadcast(sizes), Seq("cohort_day"))
+      .select(
+        col("cohort_day"),
+        col("day_offset"),
+        col("n_users"),
+        col("cohort_size"),
+        (col("n_users").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+  }
+
+  val retentionCohortsSql: String =
+    """WITH e AS (SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+                  FROM events),
+       c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+       sz AS (SELECT cohort_day, count(*) AS cohort_size FROM c GROUP BY 1),
+       r AS (SELECT c.cohort_day,
+                    CAST(date_diff('day', c.cohort_day, e.day) AS BIGINT) AS day_offset,
+                    count(DISTINCT e.user_id) AS n_users
+             FROM e JOIN c USING (user_id) GROUP BY 1, 2)
+       SELECT r.cohort_day, r.day_offset, r.n_users, sz.cohort_size,
+              CAST(r.n_users AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE) AS retention
+       FROM r JOIN sz USING (cohort_day)"""
+
   /** Interval join (§2.7 J1 — "event belongs to the run whose window
     * contains it"): signup events open a 24 h run window; all of the
     * user's events inside the window join to it. Scale: the equi-key
