@@ -144,6 +144,12 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_retention_cohorts: cohort-size dimension broadcasts; no cartesian") {
+    val p = plan("q_retention_cohorts")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_lang_mixture: no single-partition-per-language sort (rank is bucket-salted)") {
     val df = graft.SparkEntry.queries("q_lang_mixture")(spark, dir)
     df.collect()
