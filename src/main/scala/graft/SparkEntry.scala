@@ -29,6 +29,7 @@ object SparkEntry {
     "q_running_offsets" -> (RelationalQueries.runningOffsets _),
     "q_user_day_stats" -> (RelationalQueries.userDayStats _),
     "q_retention_cohorts" -> (RelationalQueries.retentionCohorts _),
+    "q_funnel_steps" -> (RelationalQueries.funnelSteps _),
     "q_interval_join" -> (RelationalQueries.intervalJoin _),
     "q_semi_anti_join" -> (RelationalQueries.semiAntiJoin _),
     "q_time_travel" -> (RelationalQueries.timeTravel _),
@@ -133,6 +134,7 @@ object SparkEntry {
     "q_running_offsets" -> RelationalQueries.runningOffsetsSql,
     "q_user_day_stats" -> RelationalQueries.userDayStatsSql,
     "q_retention_cohorts" -> RelationalQueries.retentionCohortsSql,
+    "q_funnel_steps" -> RelationalQueries.funnelStepsSql,
     "q_interval_join" -> RelationalQueries.intervalJoinSql,
     "q_semi_anti_join" -> RelationalQueries.semiAntiJoinSql,
     "q_time_travel" -> RelationalQueries.timeTravelSql,

@@ -286,6 +286,90 @@ object RelationalQueries {
           .as("retention"))
   }
 
+  /** Ordered funnel conversion (view → click → purchase): a user
+    * converts at step k when each step's FIRST occurrence strictly
+    * follows the previous step's first occurrence — the standard
+    * product-analytics funnel with step ordering enforced, not mere
+    * co-occurrence. Output: one row per step with distinct converted
+    * users and the conversion rate off step 1.
+    *
+    * Scale: ONE user_id shuffle computes the three first-occurrence
+    * timestamps as conditional `min`s in a single aggregate (map-side
+    * partials); the funnel logic is then a narrow projection and the
+    * step rollup is 3 rows. No joins at all. Rates are single
+    * divisions — deterministic cross-engine.
+    */
+  def funnelSteps(s: SparkSession, dir: String): DataFrame = {
+    val firsts = Tables
+      .events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      .select(
+        col("user_id"),
+        col("t_view").isNotNull.as("s1"),
+        (col("t_view").isNotNull && col("t_click") > col("t_view")).as("s2"),
+        (col("t_view").isNotNull && col("t_click") > col("t_view") &&
+          col("t_purchase") > col("t_click")).as("s3"))
+    // ONE aggregate row fans out to the three step rows via an exploded
+    // struct array — never re-select from the aggregate (that would
+    // re-run the corpus scan per step)
+    firsts
+      .agg(
+        count(when(col("s1"), 1)).as("n1"),
+        count(when(col("s2"), 1)).as("n2"),
+        count(when(col("s3"), 1)).as("n3"))
+      .select(
+        explode(
+          array(
+            struct(
+              lit(1L).as("step"),
+              lit("view").as("step_name"),
+              col("n1").as("n_users")),
+            struct(
+              lit(2L).as("step"),
+              lit("click_after_view").as("step_name"),
+              col("n2").as("n_users")),
+            struct(
+              lit(3L).as("step"),
+              lit("purchase_after_click").as("step_name"),
+              col("n3").as("n_users")))).as("r"),
+        col("n1"))
+      .select(
+        col("r.step").as("step"),
+        col("r.step_name").as("step_name"),
+        col("r.n_users").as("n_users"),
+        (col("r.n_users").cast("double") / col("n1").cast("double"))
+          .as("conversion"))
+  }
+
+  val funnelStepsSql: String =
+    """WITH f AS (
+         SELECT user_id,
+                min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+                min(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+                min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+         FROM events GROUP BY user_id
+       ), s AS (
+         SELECT t_view IS NOT NULL AS s1,
+                t_view IS NOT NULL AND t_click > t_view AS s2,
+                t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click AS s3
+         FROM f
+       ), c AS (
+         SELECT count(CASE WHEN s1 THEN 1 END) AS n1,
+                count(CASE WHEN s2 THEN 1 END) AS n2,
+                count(CASE WHEN s3 THEN 1 END) AS n3
+         FROM s
+       )
+       SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, n1 AS n_users,
+              CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS conversion FROM c
+       UNION ALL
+       SELECT 2, 'click_after_view', n2, CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM c
+       UNION ALL
+       SELECT 3, 'purchase_after_click', n3, CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM c"""
+
   val retentionCohortsSql: String =
     """WITH e AS (SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
                   FROM events),
