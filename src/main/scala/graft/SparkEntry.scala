@@ -120,10 +120,22 @@ object SparkEntry {
       MultimodalQueries.mediaFrameSample(s, d))
   )
 
+  /** Set by [[Verify]] before dumping [[oracleSql]]. Oracles whose SQL
+    * must inline data-dependent constants (the IVF centroids) need the
+    * session + data dir to re-derive them; absent a context those
+    * entries are omitted and the driver falls back to a rows-only check.
+    */
+  @volatile var verifyContext: Option[(SparkSession, String)] = None
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = staticOracleSql ++
+    verifyContext.map { case (s, dir) =>
+      "q_ivf_ann" -> VectorQueries.ivfAnnSql(VectorQueries.trainCentroids(s, dir))
+    }
+
+  private def staticOracleSql: Map[String, String] = Map(
     "q_pricing_summary" -> RelationalQueries.pricingSummarySql,
     "q_region_revenue" -> RelationalQueries.regionRevenueSql,
     "q_segment_revenue" -> RelationalQueries.segmentRevenueSql,
@@ -167,6 +179,7 @@ object SparkEntry {
     "q_top_ngrams" -> CurationQueries.topNgramsSql,
     "q_cosine_topk" -> VectorQueries.cosineTopKSql,
     "q_dedup_embedding" -> VectorQueries.dedupEmbeddingSql,
+    "q_lsh_ann" -> VectorQueries.lshAnnSql,
     "q_json_props" -> LogQueries.jsonPropsSql,
     "q_stream_windowed_counts" -> StreamingQueries.streamWindowedCountsSql,
     "q_stream_dedup" -> StreamingQueries.streamDedupSql,

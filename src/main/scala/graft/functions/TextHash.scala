@@ -38,6 +38,29 @@ object TextHash {
     (a * h + b) % P
   }
 
+  /** Lower 64 bits of the MD5 digest under DuckDB's `md5_number_lower`
+    * convention: digest bytes 8..15 interpreted little-endian. This is
+    * the cross-engine common ground for deriving identical pseudo-random
+    * constants (LSH hyperplane components) in Spark and the DuckDB
+    * oracle — both sides hash the same string and get the same 64 bits.
+    */
+  def md5Lower64(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var u = 0L
+    var j = 0
+    while (j < 8) { u |= (d(8 + j) & 0xffL) << (8 * j); j += 1 }
+    u
+  }
+
+  /** A double in [−1, 1) derived from [[md5Lower64]] using only the top
+    * 53 bits, so the integer→double conversion is exact (no rounding to
+    * diverge between engines); every later op is correctly-rounded IEEE
+    * arithmetic both here and in DuckDB.
+    */
+  def md5Unit(s: String): Double =
+    ((md5Lower64(s) >>> 11).toDouble / 9007199254740992.0) * 2.0 - 1.0
+
   /** splitmix64 finaliser — the avalanche mix used throughout. */
   def mix64(x0: Long): Long = {
     var x = x0 + 0x9e3779b97f4a7c15L

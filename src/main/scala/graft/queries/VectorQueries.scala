@@ -105,22 +105,24 @@ object VectorQueries {
     * the candidate join shuffles on cell id, touching `nProbe/nLists` of
     * the corpus per query instead of all of it.
     */
-  def ivfAnn(
+  /** Deterministic coarse-quantiser training: Lloyd iterations over a
+    * bounded, vec_id-ordered sample (at 100 TB you train on a sample
+    * regardless — the `orderBy.limit` plans as TakeOrderedAndProject, one
+    * narrow pass). Fully deterministic given (data, seed), so the DuckDB
+    * oracle can receive the trained centroids as inlined literals
+    * ([[ivfAnnSql]]) and re-derive assignment/probing/ranking exactly.
+    */
+  def trainCentroids(
       s: SparkSession,
       dir: String,
-      nQueries: Int = 8,
-      k: Int = 10,
       nLists: Int = 16,
-      // 6/16 lists probed → ~0.71 recall@10 on the harness's
-      // near-orthogonal corpus (VectorSpec locks the floor); clustered
-      // real-world embeddings reach higher recall at lower probe ratios
-      nProbe: Int = 6,
-      seed: Long = 42L): DataFrame = {
-    graft.plans.VecDot.register(s)
+      seed: Long = 42L,
+      sampleN: Int = 2000): Array[Array[Double]] = {
     val sample = Tables
       .embeddings(s, dir)
       .select(col("vec_id"), col("embedding"))
-      .limit(2000)
+      .orderBy(col("vec_id"))
+      .limit(sampleN)
       .collect()
       .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray.map(_.toDouble))
     val dim = sample.headOption.map(_.length).getOrElse(0)
@@ -140,6 +142,22 @@ object VectorQueries {
         else sums(c).map(_ / counts(c))
       }
     }
+    centroids
+  }
+
+  def ivfAnn(
+      s: SparkSession,
+      dir: String,
+      nQueries: Int = 8,
+      k: Int = 10,
+      nLists: Int = 16,
+      // 6/16 lists probed → ~0.71 recall@10 on the harness's
+      // near-orthogonal corpus (VectorSpec locks the floor); clustered
+      // real-world embeddings reach higher recall at lower probe ratios
+      nProbe: Int = 6,
+      seed: Long = 42L): DataFrame = {
+    graft.plans.VecDot.register(s)
+    val centroids = trainCentroids(s, dir, nLists, seed)
     val centB = s.sparkContext.broadcast(centroids)
     val assignUdf = udf { (emb: Seq[Float]) =>
       nearestCentroid(emb.toArray.map(_.toDouble), centB.value)
@@ -204,13 +222,19 @@ object VectorQueries {
     best
   }
 
-  /** Deterministic random hyperplanes (seeded, computed identically on
-    * every executor).
+  /** Deterministic random hyperplanes. Components come from
+    * [[TextHash.md5Unit]] — md5 of `"graftlsh:seed:plane:dim"` mapped to
+    * a double in [−1, 1) using only exactly-representable arithmetic —
+    * rather than a JVM RNG, so the DuckDB oracle re-derives the very same
+    * planes from `md5_number_lower` and the bucket assignment (sign of a
+    * sequential-fold dot product, which DuckDB's `list_dot_product`
+    * matches bit-for-bit) is cross-engine exact. Uniform-cube directions
+    * are a valid sign-LSH family; recall floors re-locked in VectorSpec.
     */
-  private def hyperplanes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Double]] = {
-    val rng = new scala.util.Random(TextHash.mix64(seed))
-    Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
-  }
+  private def hyperplanes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(nPlanes) { p =>
+      Array.tabulate(dim)(i => TextHash.md5Unit(s"graftlsh:$seed:$p:$i"))
+    }
 
   /** Approximate NN via sign-pattern buckets of `nPlanes` random
     * hyperplanes, with `bands` sub-signatures so near neighbors collide in
@@ -226,8 +250,9 @@ object VectorQueries {
       nPlanes: Int = 16,
       bands: Int = 4,
       seed: Long = 42L): DataFrame = {
+    graft.plans.VecDot.register(s)
     val planesB = s.sparkContext.broadcast(hyperplanes(64, nPlanes, seed))
-    val signs = udf { (emb: Seq[Float]) =>
+    val signs = udf { (emb: Seq[Double]) =>
       val planes = planesB.value
       val perBand = planes.length / bands
       Array.tabulate(bands) { b =>
@@ -246,26 +271,126 @@ object VectorQueries {
     }
     val e = Tables
       .embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"), explode(signs(col("embedding"))).as("bucket"))
+      .select(
+        col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("emb"),
+        explode(signs(transform(col("embedding"), _.cast("double")))).as("bucket"))
     val q = e
       .filter(col("vec_id") < nQueries)
       .select(
         col("vec_id").as("query_id"),
-        col("embedding").as("qemb"),
+        col("emb").as("qemb"),
         col("bucket").as("qbucket"))
     val candidates = e
       .join(q, col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
       .dropDuplicates("query_id", "vec_id")
-      .withColumn(
-        "sim",
-        aggregate(
-          zip_with(col("embedding"), col("qemb"), (a, b) => a.cast("double") * b.cast("double")),
-          lit(0.0),
-          _ + _))
+      // same proven-exact sequential-fold kernel as cosineTopK, so the
+      // DuckDB oracle's list_dot_product reproduces the ranking key
+      // bit-for-bit
+      .withColumn("sim", expr("vec_dot(emb, qemb)"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
     candidates
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
+  /** Exact DuckDB oracle for [[lshAnn]]: re-derives the hyperplanes from
+    * `md5_number_lower` (the same 53-bit construction as
+    * [[TextHash.md5Unit]]), the band keys from the sign of
+    * `list_dot_product` (bit-identical to the executor fold), and the
+    * candidate ranking from the same dot-product key — so the
+    * *approximate* operator still has an exact, independent oracle.
+    */
+  val lshAnnSql: String =
+    """WITH plane_comp AS (
+         SELECT p, i,
+                ((md5_number_lower('graftlsh:42:' || p || ':' || i) >> 11)::DOUBLE
+                  / 9007199254740992.0) * 2 - 1 AS comp
+         FROM generate_series(0, 15) gp(p) CROSS JOIN generate_series(0, 63) gi(i)
+       ),
+       planes AS (SELECT p, list(comp ORDER BY i) AS plane FROM plane_comp GROUP BY p),
+       emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       band_keys AS (
+         SELECT e.vec_id, pl.p // 4 AS b,
+                SUM(CASE WHEN list_dot_product(pl.plane, e.emb) >= 0
+                    THEN 1 << CAST(3 - (pl.p % 4) AS INTEGER) ELSE 0 END) AS bkey
+         FROM emb e CROSS JOIN planes pl
+         GROUP BY e.vec_id, pl.p // 4
+       ),
+       buckets AS (SELECT vec_id, b * 4294967296 + bkey AS bucket FROM band_keys),
+       cand AS (
+         SELECT DISTINCT q.vec_id AS query_id, e.vec_id
+         FROM buckets e JOIN buckets q
+           ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+         WHERE q.vec_id < 8
+       ),
+       sims AS (
+         SELECT c.query_id, c.vec_id AS neighbor_id,
+                list_dot_product(a.emb, b.emb) AS sim
+         FROM cand c
+         JOIN emb a ON c.vec_id = a.vec_id
+         JOIN emb b ON c.query_id = b.vec_id
+       ),
+       ranked AS (
+         SELECT *, row_number() OVER
+           (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         FROM sims
+       )
+       SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
+       FROM ranked WHERE rank <= 10"""
+
+  /** Exact DuckDB oracle for [[ivfAnn]], parameterized by the trained
+    * centroids ([[trainCentroids]] is deterministic, so inlining them as
+    * literals — shortest-round-trip doubles parse back to identical
+    * bits — makes assignment, probing, and ranking cross-engine exact;
+    * generated at Verify time because the centroids depend on the data
+    * directory under test).
+    */
+  def ivfAnnSql(
+      centroids: Array[Array[Double]],
+      nQueries: Int = 8,
+      k: Int = 10,
+      nProbe: Int = 6): String = {
+    val rows = centroids.zipWithIndex
+      .map { case (c, idx) =>
+        s"($idx, [${c.map(java.lang.Double.toString).mkString(", ")}]::DOUBLE[])"
+      }
+      .mkString(", ")
+    s"""WITH cent(cell, carr) AS (VALUES $rows),
+       emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       dists AS (
+         SELECT vec_id, cell, list_dot_product(df, df) AS dist
+         FROM (SELECT e.vec_id, c.cell,
+                      list_transform(generate_series(1, 64),
+                                     i -> e.emb[i] - c.carr[i]) AS df
+               FROM emb e CROSS JOIN cent c) d
+       ),
+       assign AS (
+         SELECT vec_id, cell FROM dists
+         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1
+       ),
+       probe AS (
+         SELECT vec_id AS query_id, cell FROM dists WHERE vec_id < $nQueries
+         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) <= $nProbe
+       ),
+       cand AS (
+         SELECT p.query_id, a.vec_id
+         FROM assign a JOIN probe p ON a.cell = p.cell AND a.vec_id <> p.query_id
+       ),
+       sims AS (
+         SELECT c.query_id, c.vec_id AS neighbor_id,
+                list_dot_product(a.emb, q.emb) AS sim
+         FROM cand c
+         JOIN emb a ON c.vec_id = a.vec_id
+         JOIN emb q ON c.query_id = q.vec_id
+       ),
+       ranked AS (
+         SELECT *, row_number() OVER
+           (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         FROM sims
+       )
+       SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
+       FROM ranked WHERE rank <= $k"""
   }
 }

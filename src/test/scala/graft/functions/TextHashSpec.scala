@@ -57,4 +57,16 @@ class TextHashSpec extends AnyFunSuite {
     assert(TextHash.shingles("a b a b", 1).toSeq === Seq("a", "b"))
     assert(TextHash.shingles("a", 3).toSeq === Seq("a"))
   }
+
+  test("md5Lower64 matches DuckDB's md5_number_lower convention") {
+    // pinned against `SELECT md5_number_lower('abc')` in DuckDB — the
+    // LSH oracle depends on both engines deriving the same 64 bits
+    // (digest bytes 8..15, little-endian)
+    assert(TextHash.md5Lower64("abc") === 8250560606382298838L)
+    // and the [−1, 1) unit mapping uses only exact arithmetic: top 53
+    // bits, a power-of-two division, an exact *2 and −1
+    val u = TextHash.md5Unit("abc")
+    assert(u >= -1.0 && u < 1.0)
+    assert(u === ((8250560606382298838L >>> 11).toDouble / 9007199254740992.0) * 2.0 - 1.0)
+  }
 }
