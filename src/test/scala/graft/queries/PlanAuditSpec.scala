@@ -144,6 +144,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_pii_scrub: pure map stage — zero shuffles, scan pruned to doc_id/text") {
+    val df = graft.SparkEntry.queries("q_pii_scrub")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"PII scrub must not shuffle\n${p.take(2000)}")
+    assert(
+      p.contains("struct<doc_id:bigint,text:string>"),
+      "documents scan must be pruned to doc_id/text")
+  }
+
   test("q_retention_cohorts: cohort-size dimension broadcasts; no cartesian") {
     val p = plan("q_retention_cohorts")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
