@@ -107,6 +107,7 @@ object SparkEntry {
     "q_cosine_topk" -> ((s: SparkSession, d: String) => VectorQueries.cosineTopK(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => VectorQueries.dedupEmbedding(s, d)),
     "q_pii_scrub" -> (PiiQueries.piiScrub _),
+    "q_media_dedup" -> ((s: SparkSession, d: String) => DedupQueries.mediaDedup(s, d)),
     "q_lsh_ann" -> ((s: SparkSession, d: String) => VectorQueries.lshAnn(s, d)),
     "q_ivf_ann" -> ((s: SparkSession, d: String) => VectorQueries.ivfAnn(s, d)),
     "q_sessionize" -> (RelationalQueries.sessionize _),
@@ -182,6 +183,7 @@ object SparkEntry {
     "q_dedup_embedding" -> VectorQueries.dedupEmbeddingSql,
     "q_lsh_ann" -> VectorQueries.lshAnnSql,
     "q_pii_scrub" -> PiiQueries.piiScrubSql,
+    "q_media_dedup" -> DedupQueries.mediaDedupSql,
     "q_json_props" -> LogQueries.jsonPropsSql,
     "q_stream_windowed_counts" -> StreamingQueries.streamWindowedCountsSql,
     "q_stream_dedup" -> StreamingQueries.streamDedupSql,

@@ -205,6 +205,95 @@ object DedupQueries {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** Perceptual-hash near-dup pairs for the MEDIA column — connects the
+    * multimodal and dedup surfaces: each payload's 56-bit dHash
+    * ([[MultimodalQueries.dhash56]]: bytes → 8×8 integer block sums →
+    * row-gradient bits) goes through the same pigeonhole machinery as
+    * [[simhashPairs]], with 4 × 14-bit segments so every pair within
+    * Hamming distance 3 shares ≥ 1 segment (full recall at the default
+    * threshold). Exact Hamming via codegen'd bit_count(xor), filtered
+    * BEFORE the pair dedup; mega-bucket cap mirrored in the oracle.
+    * Oracle-exact end to end: the payload, the perturbation, the block
+    * sums, and the gradient bits are all integer closed forms DuckDB
+    * re-derives from `range(256)`.
+    */
+  def mediaDedup(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val hUdf = udf { (docId: Long, media: Array[Byte]) =>
+      MultimodalQueries.dhash56(docId, media)
+    }
+    val hashes = MultimodalQueries
+      .mediaTable(s, dir)
+      .select(col("doc_id"), hUdf(col("doc_id"), col("media")).as("phash"))
+    // one hash evaluation per payload, exploded into the 4 pigeonhole
+    // keys; persisted because the bucket count and both join legs
+    // consume it (same STORAGE CONTRACT as minhashPairs/simhashPairs)
+    val segs = hashes
+      .select(
+        col("doc_id"),
+        col("phash"),
+        explode(array((0 to 3).map(i =>
+          concat(lit(s"$i:"), shiftright(col("phash"), 14 * i).bitwiseAND(lit(0x3fffL)))): _*))
+          .as("seg_key"))
+      .persist()
+    val maxBucket = 4096
+    val smallSegs = segs
+      .groupBy(col("seg_key"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket)
+      .select(col("seg_key"))
+    val pruned = segs.join(smallSegs, Seq("seg_key"))
+    val a = pruned.select(col("doc_id").as("doc_a"), col("phash").as("ph_a"), col("seg_key"))
+    val b = pruned.select(col("doc_id").as("doc_b"), col("phash").as("ph_b"), col("seg_key"))
+    a.join(b, Seq("seg_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("bit_count(ph_a ^ ph_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** DuckDB oracle for [[mediaDedup]]: the whole chain — closed-form
+    * payload, re-encode perturbation, 8×8 block sums, gradient bits,
+    * segment pigeonhole, capped join, Hamming filter — in integer SQL.
+    */
+  val mediaDedupSql: String =
+    """WITH b AS (
+         SELECT doc_id, i, ((doc_id*31 + i*17 + 7) % 256) AS v
+         FROM documents, range(256) r(i)
+       ), pert AS (
+         SELECT doc_id, i,
+                CASE WHEN i = (doc_id*13 + doc_id // 256) % 256
+                     THEN (v + (doc_id // 3) % 251) % 256 ELSE v END AS v
+         FROM b
+       ), blocks AS (
+         SELECT doc_id, (i // 16) // 2 AS r, (i % 16) // 2 AS j, sum(v) AS m
+         FROM pert GROUP BY doc_id, (i // 16) // 2, (i % 16) // 2
+       ), bits AS (
+         SELECT l.doc_id, l.r, l.j, CASE WHEN l.m < n.m THEN 1 ELSE 0 END AS bit
+         FROM blocks l JOIN blocks n
+           ON l.doc_id = n.doc_id AND l.r = n.r AND n.j = l.j + 1
+         WHERE l.j < 7
+       ), hashes AS (
+         SELECT doc_id,
+                SUM(bit * (1::BIGINT << CAST(l.r*7 + l.j AS INTEGER)))::BIGINT AS phash
+         FROM bits l GROUP BY doc_id
+       ), segs AS (
+         SELECT doc_id, phash, s.s AS seg_idx,
+                (phash >> CAST(14*s.s AS INTEGER)) & 16383 AS seg
+         FROM hashes, (SELECT unnest(range(4)) AS s) s
+       ), scount AS (
+         SELECT seg_idx, seg FROM segs GROUP BY seg_idx, seg HAVING count(*) <= 4096
+       ), pruned AS (
+         SELECT g.* FROM segs g JOIN scount USING (seg_idx, seg)
+       ), cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         a.phash AS ph_a, b.phash AS ph_b
+         FROM pruned a JOIN pruned b
+           ON a.seg_idx = b.seg_idx AND a.seg = b.seg AND a.doc_id < b.doc_id
+       )
+       SELECT doc_a, doc_b, bit_count(xor(ph_a, ph_b))::BIGINT AS hamming
+       FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3"""
+
   /** Shared oracle fragment: per-document 32-bit SimHash — token counts,
     * one universal-family draw per bit position (index 1000+b), majority
     * vote per bit ([[TextHash.simhash32]]).

@@ -189,6 +189,45 @@ object MultimodalQueries {
               s/32.0 AS mean_byte
        FROM fr WHERE f % 4 = 0"""
 
+  /** 56-bit perceptual dHash of the media payload, computed the way a
+    * real image pipeline would: bytes → downsample → gradient bits. The
+    * 256 content bytes are read as a 16×16 grid, averaged into 8×8
+    * blocks (kept as integer 2×2-block SUMS — no division, so every
+    * step is exact in both engines), then hashed as the classic dHash
+    * row-gradient: bit(r,j) = block(r,j) < block(r,j+1), 7 comparisons
+    * × 8 rows = 56 bits (fits a positive BIGINT in the oracle).
+    *
+    * Because the synthetic payload is closed-form in doc_id mod 256,
+    * payload-identical documents exist but byte-level *near*-dups do
+    * not — so, as with the PII fixture, a deterministic "re-encode"
+    * perturbation nudges one byte (position and delta shift with
+    * doc_id ÷ 256) before hashing: payload-equal pairs become hamming
+    * 0–4 apart, exercising the near-dup path, and the oracle re-derives
+    * the identical variant.
+    */
+  private[graft] def dhash56(docId: Long, media: Array[Byte]): Long = {
+    val content = new Array[Int](256)
+    var i = 0
+    while (i < 256) { content(i) = media(16 + i) & 0xff; i += 1 }
+    val pos = (docId * 13 + docId / 256) % 256
+    val delta = (docId / 3) % 251
+    content(pos.toInt) = ((content(pos.toInt) + delta) % 256).toInt
+    def block(r: Int, j: Int): Int =
+      content(2 * r * 16 + 2 * j) + content(2 * r * 16 + 2 * j + 1) +
+        content((2 * r + 1) * 16 + 2 * j) + content((2 * r + 1) * 16 + 2 * j + 1)
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      var j = 0
+      while (j < 7) {
+        if (block(r, j) < block(r, j + 1)) hash |= 1L << (r * 7 + j)
+        j += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
   /** STUB resize: metadata-level transform demonstrating payload-preserving
     * column surgery (a real implementation re-encodes `media`).
     */

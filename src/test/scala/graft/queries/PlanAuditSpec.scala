@@ -144,6 +144,20 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_media_dedup: pigeonhole candidate join is keyed on the segment, never cartesian") {
+    val df = graft.SparkEntry.queries("q_media_dedup")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "hamming join must stay equi-keyed")
+    assert(
+      p.contains("Join [seg_key") || p.contains("HashJoin [seg_key") ||
+        p.contains("SortMergeJoin [seg_key"),
+      "candidate join must be keyed on the pigeonhole segment")
+    assert(p.contains("InMemoryRelation"), "hash+segment projection must be persisted")
+    spark.catalog.clearCache()
+  }
+
   test("q_pii_scrub: pure map stage — zero shuffles, scan pruned to doc_id/text") {
     val df = graft.SparkEntry.queries("q_pii_scrub")(spark, dir)
     df.collect()
