@@ -808,13 +808,20 @@ object CurationQueries {
     val tokens = Tables
       .documents(s, dir)
       .select(col("doc_id"), toks.as("w"))
-      .persist()
     val grams = tokens.select(col("doc_id"), explode(expr(gramsExpr(4))).as("g"))
     // slot counts per (gram, doc): the map-side combine that keeps a
-    // boilerplate gram occurring 10⁹ times from shipping 10⁹ probe rows
+    // boilerplate gram occurring 10⁹ times from shipping 10⁹ probe rows.
+    // PERSISTED — not the token projection: both the first-doc dimension
+    // and the join probe consume this aggregate, and caching it means
+    // the scan + explode + partial agg (the heavy work) run exactly
+    // once. It is also the smallest cacheable point: one row per
+    // distinct (gram, doc), strictly smaller than raw grams and smaller
+    // than tokens × expansion. Same STORAGE CONTRACT as the sketch
+    // tables: callers clearCache() when done.
     val perDocGram = grams
       .groupBy(col("g"), col("doc_id"))
       .agg(count(lit(1)).as("occ"))
+      .persist()
     val firstDoc = perDocGram
       .groupBy(col("g"))
       .agg(min(col("doc_id")).as("first_doc"))

@@ -264,9 +264,14 @@ object RelationalQueries {
     * single integer-over-integer division — deterministic cross-engine.
     */
   def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the cohort reduction AND the join probe both consume
+    // this 2-column projection — caching it reads events once
+    // (plan-audit-locked). Same STORAGE CONTRACT as the sketch tables:
+    // callers clearCache() when done.
     val ev = Tables
       .events(s, dir)
       .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .persist()
     val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
     val sizes = cohorts
       .groupBy(col("cohort_day"))
