@@ -119,21 +119,48 @@ object RunAssignment {
     * precede the run start (`engine.rs:240-288`).
     */
   def assignLogs(logs: DataFrame, runs: DataFrame): DataFrame = {
-    // per-ROW identity for the first-match window: two distinct messages
-    // sharing (timestamp, source) — e.g. a multi-channel device snapshot
-    // stamping every channel's packet identically — are separate
-    // messages and must each keep their run; keying the window on
-    // payload columns would silently collapse them to one
-    val withId = logs.withColumn("_log_id", monotonically_increasing_id())
-    val joined = withId.join(
-      broadcast(runs),
-      col("collect_until_ns").isNull || col("timestampNs") < col("collect_until_ns"),
-      "inner")
-    val w = Window.partitionBy(col("_log_id")).orderBy(col("collect_from_ns"))
-    joined
-      .withColumn("_rank", row_number().over(w))
-      .filter(col("_rank") === 1)
-      .drop("_rank", "_log_id", "collect_until_ns")
-      .withColumnRenamed("collect_from_ns", "run_start_ns")
+    // The run dimension is control-plane-bounded (one row per run
+    // transition — thousands, never billions; the global sort in
+    // [[runs]] already rests on this), so instead of a broadcast
+    // non-equi join + per-row first-match window — which costs a full
+    // shuffle of the log stream for the window alone — the sorted
+    // intervals are collected once and inlined as an array literal:
+    // assignment becomes `filter(runs, until ⊘ ts)[0]`, a codegen'd
+    // zero-shuffle map over the stream. First match in start order ≡
+    // the earliest run not ending before the log timestamp (logs may
+    // precede their run's start). Distinct messages sharing
+    // (timestamp, source) trivially each keep their row — there is no
+    // join to multiply them and no window key to collapse them.
+    val schema = runs.schema
+    val keep = schema.fields.filterNot(_.name == "collect_until_ns")
+    val rows = runs.collect().sortBy(_.getAs[Long]("collect_from_ns"))
+    if (rows.isEmpty) {
+      // inner-join semantics: no runs → no assignable logs
+      return keep
+        .foldLeft(logs) { (df, f) =>
+          val name = if (f.name == "collect_from_ns") "run_start_ns" else f.name
+          df.withColumn(name, lit(null).cast(f.dataType))
+        }
+        .filter(lit(false))
+    }
+    val runArr = array(rows.map { r =>
+      struct(schema.fields.map { f =>
+        val v = r.get(schema.fieldIndex(f.name))
+        (if (v == null) lit(null).cast(f.dataType) else lit(v)).as(f.name)
+      }: _*)
+    }: _*)
+    val hit = get(
+      filter(
+        runArr,
+        x =>
+          x.getField("collect_until_ns").isNull ||
+            col("timestampNs") < x.getField("collect_until_ns")),
+      lit(0))
+    keep
+      .foldLeft(logs.withColumn("_run", hit).filter(col("_run").isNotNull)) { (df, f) =>
+        val name = if (f.name == "collect_from_ns") "run_start_ns" else f.name
+        df.withColumn(name, col("_run").getField(f.name))
+      }
+      .drop("_run")
   }
 }
