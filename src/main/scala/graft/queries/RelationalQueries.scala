@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -304,49 +304,58 @@ object RelationalQueries {
     * step rollup is 3 rows. No joins at all. Rates are single
     * divisions — deterministic cross-engine.
     */
-  def funnelSteps(s: SparkSession, dir: String): DataFrame = {
+  def funnelSteps(s: SparkSession, dir: String): DataFrame =
+    funnel(
+      s,
+      dir,
+      Seq(
+        "view" -> (col("event_type") === "view"),
+        "click_after_view" -> (col("event_type") === "click"),
+        "purchase_after_click" -> (col("event_type") === "purchase")))
+
+  /** N-step parameterized funnel — the reusable primitive behind
+    * [[funnelSteps]]: `steps` is an ordered list of (name, predicate)
+    * pairs; a user converts at step k when each step's FIRST matching
+    * event strictly follows the previous step's first match. Same
+    * one-shuffle shape at any N: a single user_id aggregate computes
+    * every step's conditional `min(ts)` (map-side partials), the chain
+    * check is a narrow projection, and ONE global aggregate row fans out
+    * into the N step rows via an exploded struct array — adding steps
+    * widens expressions, never adds shuffles or scans.
+    */
+  def funnel(s: SparkSession, dir: String, steps: Seq[(String, Column)]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val n = steps.length
+    val firstAggs = steps.zipWithIndex.map { case ((_, pred), i) =>
+      min(when(pred, col("ts"))).as(s"_t$i")
+    }
     val firsts = Tables
       .events(s, dir)
       .groupBy(col("user_id"))
-      .agg(
-        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
-        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
-        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
-      .select(
-        col("user_id"),
-        col("t_view").isNotNull.as("s1"),
-        (col("t_view").isNotNull && col("t_click") > col("t_view")).as("s2"),
-        (col("t_view").isNotNull && col("t_click") > col("t_view") &&
-          col("t_purchase") > col("t_click")).as("s3"))
-    // ONE aggregate row fans out to the three step rows via an exploded
-    // struct array — never re-select from the aggregate (that would
-    // re-run the corpus scan per step)
+      .agg(firstAggs.head, firstAggs.tail: _*)
+    val flags = (0 until n).map { k =>
+      (1 to k)
+        .foldLeft(col("_t0").isNotNull) { (acc, i) =>
+          acc && col(s"_t$i") > col(s"_t${i - 1}")
+        }
+        .as(s"_s$k")
+    }
+    val counts = (0 until n).map(k => count(when(col(s"_s$k"), 1)).as(s"_n$k"))
+    val stepRows = steps.zipWithIndex.map { case ((name, _), k) =>
+      struct(
+        lit((k + 1).toLong).as("step"),
+        lit(name).as("step_name"),
+        col(s"_n$k").as("n_users"))
+    }
     firsts
-      .agg(
-        count(when(col("s1"), 1)).as("n1"),
-        count(when(col("s2"), 1)).as("n2"),
-        count(when(col("s3"), 1)).as("n3"))
-      .select(
-        explode(
-          array(
-            struct(
-              lit(1L).as("step"),
-              lit("view").as("step_name"),
-              col("n1").as("n_users")),
-            struct(
-              lit(2L).as("step"),
-              lit("click_after_view").as("step_name"),
-              col("n2").as("n_users")),
-            struct(
-              lit(3L).as("step"),
-              lit("purchase_after_click").as("step_name"),
-              col("n3").as("n_users")))).as("r"),
-        col("n1"))
+      .select(flags: _*)
+      .agg(counts.head, counts.tail: _*)
+      .select(explode(array(stepRows: _*)).as("r"), col("_n0"))
       .select(
         col("r.step").as("step"),
         col("r.step_name").as("step_name"),
         col("r.n_users").as("n_users"),
-        (col("r.n_users").cast("double") / col("n1").cast("double"))
+        (col("r.n_users").cast("double") / col("_n0").cast("double"))
           .as("conversion"))
   }
 
