@@ -46,6 +46,41 @@ object Tables {
   * scale), UTC for oracle parity, and nanosecond-timestamp reads enabled.
   */
 object Sessions {
+
+  /** Spark's bundled RocksDB state store provider (rocksdbjni ships with
+    * the distribution). The default HDFS-backed store keeps every
+    * operator's keyed state on the JVM heap — fine for bounded test
+    * drains, a scale-killer for 100 TB keyed state (dedup keys, session
+    * windows): state competes with execution memory and full snapshots
+    * rewrite per checkpoint. RocksDB spills state to local disk with
+    * incremental changelog checkpointing.
+    */
+  val RocksDBProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Session-level opt-in: `graft.stateStore = rocksdb`. Read by
+    * [[stateStoreConfigure]] on the session (or clone) that runs the
+    * stateful stream; also honored from the `GRAFT_STATE_STORE` env var
+    * so deployments flip it without code.
+    */
+  val StateStoreKey = "graft.stateStore"
+
+  /** Apply the opted-in state store provider to `s` (a fresh session or
+    * clone). No-op under the default; idempotent.
+    */
+  def stateStoreConfigure(s: SparkSession): SparkSession = {
+    val choice = s.conf
+      .getOption(StateStoreKey)
+      .orElse(sys.env.get("GRAFT_STATE_STORE"))
+    if (choice.exists(_.equalsIgnoreCase("rocksdb"))) {
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDBProvider)
+      // bounded local state + changelog checkpoint: the config pair that
+      // makes checkpoint cost proportional to the delta, not the state
+      s.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    }
+    s
+  }
+
   def local(appName: String, cpus: String): SparkSession = {
     val spark = SparkSession
       .builder()

@@ -25,7 +25,12 @@ object StreamingQueries {
   private def boundedDrainSession(s0: SparkSession): SparkSession = {
     val s = s0.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    s
+    // newSession() drops runtime conf — carry the caller's state-store
+    // choice across the clone, then apply it (RocksDB when opted in;
+    // see Sessions.stateStoreConfigure and SCALE.md §Streaming)
+    s0.conf.getOption(graft.Sessions.StateStoreKey)
+      .foreach(s.conf.set(graft.Sessions.StateStoreKey, _))
+    graft.Sessions.stateStoreConfigure(s)
   }
 
   /** Remove a bounded drain's scratch checkpoint once the query stops —
