@@ -179,7 +179,13 @@ object PipelineQueries {
         col("digitizerId"),
         col("metadata.frameNumber").as("frame_number"),
         size(col("time")).as("n_events"),
-        explode_outer(arrays_zip(col("time"), col("voltage"), col("channel"))).as("ev"))
+        // INNER explode, unlike the threshold chains above: this query's
+        // oracle joins ev↔msg inner and the expr twin's explode emits
+        // nothing for an empty message — explode_outer here would
+        // surface a null-field row the other two never produce (latent
+        // parity break, masked only while the sawtooth fixture pulses on
+        // every message)
+        explode(arrays_zip(col("time"), col("voltage"), col("channel"))).as("ev"))
       .select(
         col("digitizerId"),
         col("frame_number"),

@@ -35,7 +35,8 @@ import scala.jdk.CollectionConverters._
   * write partition dirs directly, the driver never touches row data;
   * `event_index` windows are per run generation (bounded).
   */
-final class NexusSink(outputDir: String) extends Serializable {
+final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
+    extends Serializable {
 
   private val local = Paths.get(outputDir, "local")
   private val completed = Paths.get(outputDir, "completed")
@@ -96,6 +97,23 @@ final class NexusSink(outputDir: String) extends Serializable {
   private val scratchCounter = new java.util.concurrent.atomic.AtomicLong(0L)
   private val liveScratch =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Path]()
+
+  /** Per-INSTANCE nonce in scratch names (ADVICE r6): liveScratch
+    * protects an attempt only from THIS instance's recovery sweeps — a
+    * second NexusSink on the same outputDir has its own counter and
+    * (empty) live set, so without the nonce it could both collide on
+    * `.compact_tmp-<n>` and sweep the first instance's in-flight scratch
+    * as a dead leftover. With it, names are globally unique and the
+    * sweep deletes only (a) this instance's own dead attempts and
+    * (b) foreign scratch older than `scratchStaleMs` — a live rewrite's
+    * scratch is freshly modified, a crashed process's leftover goes
+    * stale and is reclaimed. NOTE the compaction tier's correctness
+    * contract is still one sink per outputDir (moveLock is
+    * instance-scoped); the nonce+TTL sweep just makes an accidental
+    * violation non-destructive.
+    */
+  private val scratchNonce: String =
+    java.util.UUID.randomUUID().toString.take(8)
 
   /** Generations already moved out of `local/` this process — late log
     * batches for them are discarded under [[moveLock]] (the reference's
@@ -413,7 +431,7 @@ final class NexusSink(outputDir: String) extends Serializable {
                     // fresh process's live set is empty — all leftovers
                     // sweep as before)
                     val tmp = genDir.resolve(
-                      s".compact_tmp-${scratchCounter.incrementAndGet()}")
+                      s".compact_tmp-$scratchNonce-${scratchCounter.incrementAndGet()}")
                     liveScratch.add(tmp)
                     val swapped = try {
                       df.drop("batch_id")
@@ -496,11 +514,17 @@ final class NexusSink(outputDir: String) extends Serializable {
       }
     }
     // sweep dead scratch dirs only: an attempt still in liveScratch is a
-    // rewrite in flight on another thread of THIS process — deleting it
-    // here would fail that compaction for nothing (ADVICE r5)
+    // rewrite in flight on another thread of THIS process (ADVICE r5);
+    // an attempt with a FOREIGN nonce may be in flight in another
+    // process — reclaim it only once stale (ADVICE r6)
+    val now = System.currentTimeMillis()
     listChildren(genDir)
       .filter(_.getFileName.toString.startsWith(".compact_tmp"))
       .filterNot(liveScratch.contains)
+      .filter { p =>
+        p.getFileName.toString.startsWith(s".compact_tmp-$scratchNonce-") ||
+          now - Files.getLastModifiedTime(p).toMillis > scratchStaleMs
+      }
       .foreach(deleteRecursively)
   }
 

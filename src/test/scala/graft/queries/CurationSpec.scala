@@ -305,6 +305,18 @@ class CurationSpec extends AnyFunSuite {
         val key = (r.getLong(0), r.getString(1))
         assert(naive(key) == r.getLong(2), s"rank mismatch at $key")
       }
+      // completeness (ADVICE r6): rank equality over EMITTED rows can't
+      // see rows silently dropped by the offsets join-back — assert the
+      // emitted set is exactly the per-language 1..target prefix, so
+      // count = n_langs × min per-lang count and no rank is missing
+      val perLangCounts = naive.keys.groupBy(_._2).view.mapValues(_.size).toMap
+      val targetN = perLangCounts.values.min
+      assert(out.length === perLangCounts.size * targetN,
+        s"emitted ${out.length}, expected ${perLangCounts.size} langs × $targetN")
+      out.groupBy(_.getString(1)).foreach { case (lang, rows) =>
+        assert(rows.map(_.getLong(2)).sorted.toSeq === (1L to targetN.toLong),
+          s"$lang: emitted ranks are not the exact 1..$targetN prefix")
+      }
       spark.catalog.clearCache()
     }
   }

@@ -201,4 +201,34 @@ class CompactionSpec extends AnyFunSuite {
     assert(files(arDir).length == 1)
     assert(spark.read.parquet(arDir).count() == 4 * 3) // 4 batches × 3 events
   }
+
+  test("foreign-instance scratch survives the sweep until stale (ADVICE r6)") {
+    // a FRESH scratch dir with another instance's nonce may be a rewrite
+    // in flight in another process: the recovery sweep must leave it
+    // alone under the default TTL and reclaim it once presumed dead
+    val (sink, outDir, startNs) = buildSink(nBatches = 2)
+    val genDir = Paths.get(s"$outDir/completed/events/run_name=run_c/run_start_ns=$startNs")
+    val foreign = genDir.resolve(".compact_tmp-deadbeef-7")
+    Files.createDirectories(foreign)
+    Files.writeString(foreign.resolve("part-wip.parquet"), "in flight")
+    sink.compactCompleted(spark)
+    assert(Files.exists(foreign),
+      "fresh foreign scratch (possibly live in another process) must survive")
+    // compaction of the generation itself still succeeded around it
+    // (dot-prefixed scratch is invisible to readers)
+    assert(spark.read.parquet(genDir.toString).drop("batch_id").count() == 2 * 3)
+
+    // a second generation with a STALE foreign leftover: TTL-0 sink
+    // presumes it dead and reclaims it
+    val (sink2, outDir2, startNs2) = {
+      val (s2, o2, n2) = buildSink(nBatches = 2)
+      (new NexusSink(o2, scratchStaleMs = 0L), o2, n2)
+    }
+    val genDir2 = Paths.get(s"$outDir2/completed/events/run_name=run_c/run_start_ns=$startNs2")
+    val stale = genDir2.resolve(".compact_tmp-cafecafe-3")
+    Files.createDirectories(stale)
+    Files.writeString(stale.resolve("part-dead.parquet"), "leftover")
+    sink2.compactCompleted(spark)
+    assert(!Files.exists(stale), "stale foreign scratch must be reclaimed")
+  }
 }
