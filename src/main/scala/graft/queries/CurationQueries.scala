@@ -805,23 +805,27 @@ object CurationQueries {
     * handles a pathological gram beyond that.
     */
   def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    // MEASURED trade (r7 A/B at sf0.1, min-of-3 warm: tokens-persisted
+    // 1.34–1.94 s vs perDocGram-persisted 1.75–2.21 s): caching the
+    // collapsed (gram, doc, occ) aggregate instead of the token
+    // projection is SLOWER, not faster — n-grams are mostly unique per
+    // document, so the "collapse" has nearly one string-keyed row per
+    // gram slot and materializing it costs more than re-running the
+    // codegen'd explode from the compact token cache. Same conclusion
+    // as r5's single-scan work: the token projection is the right
+    // persist point. Both consumers still read one file scan
+    // (plan-audit-locked); the per-consumer recompute is the explode +
+    // map-side partial agg only.
     val tokens = Tables
       .documents(s, dir)
       .select(col("doc_id"), toks.as("w"))
+      .persist()
     val grams = tokens.select(col("doc_id"), explode(expr(gramsExpr(4))).as("g"))
     // slot counts per (gram, doc): the map-side combine that keeps a
-    // boilerplate gram occurring 10⁹ times from shipping 10⁹ probe rows.
-    // PERSISTED — not the token projection: both the first-doc dimension
-    // and the join probe consume this aggregate, and caching it means
-    // the scan + explode + partial agg (the heavy work) run exactly
-    // once. It is also the smallest cacheable point: one row per
-    // distinct (gram, doc), strictly smaller than raw grams and smaller
-    // than tokens × expansion. Same STORAGE CONTRACT as the sketch
-    // tables: callers clearCache() when done.
+    // boilerplate gram occurring 10⁹ times from shipping 10⁹ probe rows
     val perDocGram = grams
       .groupBy(col("g"), col("doc_id"))
       .agg(count(lit(1)).as("occ"))
-      .persist()
     val firstDoc = perDocGram
       .groupBy(col("g"))
       .agg(min(col("doc_id")).as("first_doc"))

@@ -168,28 +168,6 @@ class PlanAuditSpec extends AnyFunSuite {
       "documents scan must be pruned to doc_id/text")
   }
 
-  test("q_ngram_novelty: heavy gram collapse runs once — no explode outside the cache") {
-    val df = graft.SparkEntry.queries("q_ngram_novelty")(spark, dir)
-    df.collect()
-    import org.apache.spark.sql.execution._
-    var generates = 0
-    def walk(x: SparkPlan): Unit = x match {
-      case a: adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan)
-      case s: adaptive.QueryStageExec => walk(s.plan)
-      case _: columnar.InMemoryTableScanExec => () // cached — stop here
-      case g: GenerateExec => generates += 1; g.children.foreach(walk)
-      case other =>
-        other.children.foreach(walk)
-        other.subqueries.foreach(walk)
-    }
-    walk(df.queryExecution.executedPlan)
-    // the persisted point is the COLLAPSED (gram, doc, occ) aggregate:
-    // scan + explode + partial agg all live inside the cache, so both
-    // consumers (first-doc dimension, join probe) replay none of it
-    assert(generates == 0, "gram explode must sit inside the persisted collapse")
-    spark.catalog.clearCache()
-  }
-
   test("q_retention_cohorts: cohort-size dimension broadcasts; events scanned once") {
     val df = graft.SparkEntry.queries("q_retention_cohorts")(spark, dir)
     df.collect()

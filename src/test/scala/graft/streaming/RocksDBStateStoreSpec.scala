@@ -63,19 +63,41 @@ class RocksDBStateStoreSpec extends AnyFunSuite {
   }
 
   test("streamDedup result is identical under RocksDB (conf carried across the drain clone)") {
-    val dir = "/root/testdata/sf0.001"
-    val base = graft.queries.StreamingQueries
-      .streamDedup(spark, dir)
-      .collect()
-      .map(r => r.getString(0) -> r.getLong(1))
-      .toMap
+    // self-written fixture with a plain-long ts column: the test must
+    // not depend on which suite created the SparkContext (the harness
+    // parquet's TIMESTAMP(NANOS) needs a context-creation-time conf)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rocksdb_events").toString
+    (0L until 200L)
+      // event_type keyed on event_id so in-file replays (i and i+150)
+      // agree — the dedup winner's type is then deterministic
+      .map(i => (i % 150, s"type_${(i % 150) % 4}", 1700000000000000000L + i * 1000000L, i.toDouble))
+      .toDF("event_id", "event_type", "ts", "value")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/_stage")
+    // the drain's pathGlobFilter expects a FLAT events.parquet file (the
+    // harness layout), not a directory
+    val part = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "_stage"))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+      } finally st.close()
+    }
+    java.nio.file.Files.move(part, java.nio.file.Paths.get(dir, "events.parquet"))
+    def run(s0: org.apache.spark.sql.SparkSession): Map[String, Long] =
+      graft.queries.StreamingQueries
+        .streamDedup(s0, dir)
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .toMap
+    val base = run(spark)
     val s = spark.newSession()
     s.conf.set(graft.Sessions.StateStoreKey, "rocksdb")
-    val rocks = graft.queries.StreamingQueries
-      .streamDedup(s, dir)
-      .collect()
-      .map(r => r.getString(0) -> r.getLong(1))
-      .toMap
+    val rocks = run(s)
     assert(rocks === base)
+    assert(rocks.values.sum === 150L, "dedup must collapse the doubled stream to unique ids")
   }
 }
