@@ -96,22 +96,45 @@ object RunAssignment {
     * frames with no open run (`engine.rs:214-238`).
     */
   def assignFrames(frames: DataFrame, runs: DataFrame): DataFrame = {
-    val joined = frames.join(
-      broadcast(runs),
-      col("collect_from_ns") < col("metadata.timestampNs") &&
-        (col("collect_until_ns").isNull ||
-          col("metadata.timestampNs") < col("collect_until_ns")),
-      "inner")
-    // first match in run start order (reference scans the cache in order)
-    val w = Window
-      .partitionBy(col("metadata.timestampNs"), col("metadata.frameNumber"))
-      .orderBy(col("collect_from_ns"))
-    joined
-      .withColumn("_rank", row_number().over(w))
-      .filter(col("_rank") === 1)
-      .drop("_rank")
-      .withColumnRenamed("collect_from_ns", "run_start_ns")
-      .drop("collect_until_ns")
+    // Same bounded-dimension rewrite as [[assignLogs]]: the broadcast
+    // non-equi join + per-(ts, frame) first-match window cost a full
+    // shuffle of the frame stream; inlining the sorted run intervals as
+    // an array literal makes assignment a codegen'd zero-shuffle map.
+    // First match in start order ≡ the earliest run whose half-open
+    // window contains the frame timestamp (strictly after start, unlike
+    // logs — reference scans the cache in order).
+    val schema = runs.schema
+    val keep = schema.fields.filterNot(_.name == "collect_until_ns")
+    val rows = runs.collect().sortBy(_.getAs[Long]("collect_from_ns"))
+    if (rows.isEmpty) {
+      return keep
+        .foldLeft(frames) { (df, f) =>
+          val name = if (f.name == "collect_from_ns") "run_start_ns" else f.name
+          df.withColumn(name, lit(null).cast(f.dataType))
+        }
+        .filter(lit(false))
+    }
+    val runArr = array(rows.map { r =>
+      struct(schema.fields.map { f =>
+        val v = r.get(schema.fieldIndex(f.name))
+        (if (v == null) lit(null).cast(f.dataType) else lit(v)).as(f.name)
+      }: _*)
+    }: _*)
+    val ts = col("metadata.timestampNs")
+    val hit = get(
+      filter(
+        runArr,
+        x =>
+          x.getField("collect_from_ns") < ts &&
+            (x.getField("collect_until_ns").isNull ||
+              ts < x.getField("collect_until_ns"))),
+      lit(0))
+    keep
+      .foldLeft(frames.withColumn("_run", hit).filter(col("_run").isNotNull)) { (df, f) =>
+        val name = if (f.name == "collect_from_ns") "run_start_ns" else f.name
+        df.withColumn(name, col("_run").getField(f.name))
+      }
+      .drop("_run")
   }
 
   /** J2: attach logs/alarms (any DataFrame with a `timestampNs` column) to
