@@ -122,20 +122,22 @@ object SparkEntry {
       MultimodalQueries.mediaFrameSample(s, d))
   )
 
-  /** Set by [[Verify]] before dumping [[oracleSql]]. Oracles whose SQL
-    * must inline data-dependent constants (the IVF centroids) need the
-    * session + data dir to re-derive them; absent a context those
-    * entries are omitted and the driver falls back to a rows-only check.
+  /** Oracles whose SQL must inline data-dependent constants (the IVF
+    * centroids) are derived ONCE here, at the moment [[Verify]] provides
+    * the session + data dir, and memoized as plain strings — later
+    * [[oracleSql]] evaluations never re-run Spark work and stay valid
+    * after the session stops. Absent a call, those entries are omitted
+    * and the driver falls back to a rows-only check.
     */
-  @volatile var verifyContext: Option[(SparkSession, String)] = None
+  @volatile private var dynamicOracleSql: Map[String, String] = Map.empty
+  def deriveDataOracles(s: SparkSession, dir: String): Unit =
+    dynamicOracleSql = Map(
+      "q_ivf_ann" -> VectorQueries.ivfAnnSql(VectorQueries.trainCentroids(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = staticOracleSql ++
-    verifyContext.map { case (s, dir) =>
-      "q_ivf_ann" -> VectorQueries.ivfAnnSql(VectorQueries.trainCentroids(s, dir))
-    }
+  def oracleSql: Map[String, String] = staticOracleSql ++ dynamicOracleSql
 
   private def staticOracleSql: Map[String, String] = Map(
     "q_pricing_summary" -> RelationalQueries.pricingSummarySql,

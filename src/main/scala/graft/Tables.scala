@@ -93,6 +93,10 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark
+    // every session built here honors the state-store opt-in, so the
+    // PRODUCTION streams (PipelineJobs, NexusSink maintenance) get
+    // RocksDB from GRAFT_STATE_STORE alone — not only the bounded test
+    // drains (which re-apply it across their clones)
+    stateStoreConfigure(spark)
   }
 }

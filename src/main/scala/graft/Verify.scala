@@ -18,8 +18,9 @@ object Verify {
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local("graft-verify", cpus)
-    // enables data-dependent oracles (IVF centroid inlining) in oracleSql
-    SparkEntry.verifyContext = Some((spark, sfDir))
+    // derive data-dependent oracles (IVF centroid inlining) once, up
+    // front — memoized strings, no Spark work at dump time
+    SparkEntry.deriveDataOracles(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n))

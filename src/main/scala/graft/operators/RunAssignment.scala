@@ -1,9 +1,10 @@
 package graft.operators
 
 import graft.schemas.{RunStart, RunStop}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructField
 
 /** Run lifecycle (batch form): build the run dimension from pl72/6s4t
   * control messages and interval-join data streams to it (SURVEY §2.7
@@ -91,99 +92,72 @@ object RunAssignment {
       .drop("stop_ns", "next_start_ns")
   }
 
-  /** J1: attach frames (any DataFrame with a `metadata.timestampNs`) to
-    * their run; unmatched frames are dropped, as the reference drops
-    * frames with no open run (`engine.rs:214-238`).
+  /** Shared machinery for J1/J2: the run dimension is
+    * control-plane-bounded (one row per run transition — thousands,
+    * never billions; the global sort in [[runs]] already rests on
+    * this), so instead of a broadcast non-equi join + per-row
+    * first-match window — a full shuffle of the data stream for the
+    * window alone — the sorted intervals are collected once and
+    * inlined as an array literal: assignment is `filter(runs,
+    * accept)[0]`, a codegen'd zero-shuffle map. First match in start
+    * order ≡ the earliest accepted run. Distinct rows sharing a
+    * timestamp trivially each keep their row — no join to multiply
+    * them, no window key to collapse them. Unmatched rows drop
+    * (inner-join semantics).
     */
-  def assignFrames(frames: DataFrame, runs: DataFrame): DataFrame = {
-    // Same bounded-dimension rewrite as [[assignLogs]]: the broadcast
-    // non-equi join + per-(ts, frame) first-match window cost a full
-    // shuffle of the frame stream; inlining the sorted run intervals as
-    // an array literal makes assignment a codegen'd zero-shuffle map.
-    // First match in start order ≡ the earliest run whose half-open
-    // window contains the frame timestamp (strictly after start, unlike
-    // logs — reference scans the cache in order).
+  private def firstMatchAssign(
+      input: DataFrame,
+      runs: DataFrame,
+      accept: Column => Column): DataFrame = {
     val schema = runs.schema
     val keep = schema.fields.filterNot(_.name == "collect_until_ns")
+    def spliceRunCols(df: DataFrame, value: StructField => Column): DataFrame =
+      keep.foldLeft(df) { (d, f) =>
+        val name = if (f.name == "collect_from_ns") "run_start_ns" else f.name
+        d.withColumn(name, value(f))
+      }
     val rows = runs.collect().sortBy(_.getAs[Long]("collect_from_ns"))
-    if (rows.isEmpty) {
-      return keep
-        .foldLeft(frames) { (df, f) =>
-          val name = if (f.name == "collect_from_ns") "run_start_ns" else f.name
-          df.withColumn(name, lit(null).cast(f.dataType))
-        }
-        .filter(lit(false))
-    }
+    if (rows.isEmpty)
+      return spliceRunCols(input, f => lit(null).cast(f.dataType)).filter(lit(false))
     val runArr = array(rows.map { r =>
       struct(schema.fields.map { f =>
         val v = r.get(schema.fieldIndex(f.name))
         (if (v == null) lit(null).cast(f.dataType) else lit(v)).as(f.name)
       }: _*)
     }: _*)
-    val ts = col("metadata.timestampNs")
-    val hit = get(
-      filter(
-        runArr,
-        x =>
-          x.getField("collect_from_ns") < ts &&
-            (x.getField("collect_until_ns").isNull ||
-              ts < x.getField("collect_until_ns"))),
-      lit(0))
-    keep
-      .foldLeft(frames.withColumn("_run", hit).filter(col("_run").isNotNull)) { (df, f) =>
-        val name = if (f.name == "collect_from_ns") "run_start_ns" else f.name
-        df.withColumn(name, col("_run").getField(f.name))
-      }
+    val hit = get(filter(runArr, accept), lit(0))
+    spliceRunCols(
+      input.withColumn("_run", hit).filter(col("_run").isNotNull),
+      f => col("_run").getField(f.name))
       .drop("_run")
   }
 
-  /** J2: attach logs/alarms (any DataFrame with a `timestampNs` column) to
-    * the earliest run not ending before the log timestamp — logs may
+  /** J1: attach frames (any DataFrame with a `metadata.timestampNs`) to
+    * their run; unmatched frames are dropped, as the reference drops
+    * frames with no open run (`engine.rs:214-238`). The frame rule is
+    * the half-open window with a STRICT lower bound: strictly after
+    * start, before end when one exists.
+    */
+  def assignFrames(frames: DataFrame, runs: DataFrame): DataFrame = {
+    val ts = col("metadata.timestampNs")
+    firstMatchAssign(
+      frames,
+      runs,
+      x =>
+        x.getField("collect_from_ns") < ts &&
+          (x.getField("collect_until_ns").isNull ||
+            ts < x.getField("collect_until_ns")))
+  }
+
+  /** J2: attach logs/alarms (any DataFrame with a `timestampNs` column)
+    * to the earliest run not ending before the log timestamp — logs may
     * precede the run start (`engine.rs:240-288`).
     */
-  def assignLogs(logs: DataFrame, runs: DataFrame): DataFrame = {
-    // The run dimension is control-plane-bounded (one row per run
-    // transition — thousands, never billions; the global sort in
-    // [[runs]] already rests on this), so instead of a broadcast
-    // non-equi join + per-row first-match window — which costs a full
-    // shuffle of the log stream for the window alone — the sorted
-    // intervals are collected once and inlined as an array literal:
-    // assignment becomes `filter(runs, until ⊘ ts)[0]`, a codegen'd
-    // zero-shuffle map over the stream. First match in start order ≡
-    // the earliest run not ending before the log timestamp (logs may
-    // precede their run's start). Distinct messages sharing
-    // (timestamp, source) trivially each keep their row — there is no
-    // join to multiply them and no window key to collapse them.
-    val schema = runs.schema
-    val keep = schema.fields.filterNot(_.name == "collect_until_ns")
-    val rows = runs.collect().sortBy(_.getAs[Long]("collect_from_ns"))
-    if (rows.isEmpty) {
-      // inner-join semantics: no runs → no assignable logs
-      return keep
-        .foldLeft(logs) { (df, f) =>
-          val name = if (f.name == "collect_from_ns") "run_start_ns" else f.name
-          df.withColumn(name, lit(null).cast(f.dataType))
-        }
-        .filter(lit(false))
-    }
-    val runArr = array(rows.map { r =>
-      struct(schema.fields.map { f =>
-        val v = r.get(schema.fieldIndex(f.name))
-        (if (v == null) lit(null).cast(f.dataType) else lit(v)).as(f.name)
-      }: _*)
-    }: _*)
-    val hit = get(
-      filter(
-        runArr,
-        x =>
-          x.getField("collect_until_ns").isNull ||
-            col("timestampNs") < x.getField("collect_until_ns")),
-      lit(0))
-    keep
-      .foldLeft(logs.withColumn("_run", hit).filter(col("_run").isNotNull)) { (df, f) =>
-        val name = if (f.name == "collect_from_ns") "run_start_ns" else f.name
-        df.withColumn(name, col("_run").getField(f.name))
-      }
-      .drop("_run")
-  }
+  def assignLogs(logs: DataFrame, runs: DataFrame): DataFrame =
+    firstMatchAssign(
+      logs,
+      runs,
+      x =>
+        x.getField("collect_until_ns").isNull ||
+          col("timestampNs") < x.getField("collect_until_ns"))
 }

@@ -181,7 +181,7 @@ object LogQueries {
     * variants, 100 ms apart — shared by [[runlogTyped]] and
     * [[nexusRunlogTable]], regenerated in SQL by both oracles.
     */
-  private[queries] def runlogFixture(s: SparkSession) = {
+  private def runlogFixture(s: SparkSession) = {
     import s.implicits._
     (0 until 80).map { i =>
       val t = f144Types(i % 20)

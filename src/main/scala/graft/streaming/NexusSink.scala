@@ -523,7 +523,10 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
       .filterNot(liveScratch.contains)
       .filter { p =>
         p.getFileName.toString.startsWith(s".compact_tmp-$scratchNonce-") ||
-          now - Files.getLastModifiedTime(p).toMillis > scratchStaleMs
+          // vanished between list and probe: the foreign instance
+          // finished and removed it — nothing to sweep, never an abort
+          (try now - Files.getLastModifiedTime(p).toMillis >= scratchStaleMs
+          catch { case _: java.io.IOException => false })
       }
       .foreach(deleteRecursively)
   }
