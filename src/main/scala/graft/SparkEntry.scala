@@ -93,6 +93,7 @@ object SparkEntry {
     "q_repetition_stats" -> (CurationQueries.repetitionStats _),
     "q_boilerplate_ngrams" -> (CurationQueries.boilerplateNgrams _),
     "q_hash_split" -> (CurationQueries.hashSplit _),
+    "q_stratified_sample" -> (CurationQueries.stratifiedSample _),
     "q_tfidf_terms" -> (CurationQueries.tfidfTerms _),
     "q_lang_mixture" -> (CurationQueries.langMixture _),
     "q_domain_mixture" -> (CurationQueries.domainMixture _),
@@ -170,6 +171,7 @@ object SparkEntry {
     "q_repetition_stats" -> CurationQueries.repetitionStatsSql,
     "q_boilerplate_ngrams" -> CurationQueries.boilerplateNgramsSql,
     "q_hash_split" -> CurationQueries.hashSplitSql,
+    "q_stratified_sample" -> CurationQueries.stratifiedSampleSql,
     "q_tfidf_terms" -> CurationQueries.tfidfTermsSql,
     "q_lang_mixture" -> CurationQueries.langMixtureSql,
     "q_domain_mixture" -> CurationQueries.domainMixtureSql,

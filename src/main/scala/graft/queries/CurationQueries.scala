@@ -214,6 +214,41 @@ object CurationQueries {
        FROM b GROUP BY 1, 2"""
 
   // --------------------------------------------------------------------
+  // q_stratified_sample — per-source deterministic downsampling
+  // --------------------------------------------------------------------
+
+  /** Stratified sampling with per-source keep rates — the mixture
+    * downsampler a training-data pipeline runs to rebalance sources
+    * WITHOUT any shuffle: sampling is a pure filter. The keep decision
+    * compares the document's md5 4-hex-digit prefix (lowercase in both
+    * engines) LEXICOGRAPHICALLY against the source's threshold string —
+    * string comparison needs no hex parsing, so the predicate is
+    * byte-identical cross-engine. Rates cycle deterministically with
+    * the source index (20/40/60/80% of 0x10000 → thresholds
+    * 3333/6666/9999/cccc); the hash keys on doc_id, so the sample is
+    * stable under re-runs and independent of row order — at 100 TB this
+    * is one codegen'd map stage that pipelines into the scan, and
+    * changing the mixture means changing literals, not the plan.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val srcIdx = substring(col("source"), 4, 8).cast("int")
+    val threshold = element_at(
+      array(lit("3333"), lit("6666"), lit("9999"), lit("cccc")),
+      (srcIdx % 4) + 1)
+    Tables
+      .documents(s, dir)
+      .filter(
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4) < threshold)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+  }
+
+  val stratifiedSampleSql: String =
+    """SELECT doc_id, source, lang, n_chars
+       FROM documents
+       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+             (['3333', '6666', '9999', 'cccc'])[(CAST(substr(source, 4) AS INTEGER) % 4) + 1]"""
+
+  // --------------------------------------------------------------------
   // q_tfidf_terms — salient-term extraction per document
   // --------------------------------------------------------------------
 

@@ -158,6 +158,14 @@ class PlanAuditSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q_stratified_sample: sampling is a pure filter — zero shuffles, no text read") {
+    val df = graft.SparkEntry.queries("q_stratified_sample")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"stratified sampling must not shuffle\n${p.take(2000)}")
+    assert(!p.contains("text:string"), "sampling must not read the text column")
+  }
+
   test("q_pii_scrub: pure map stage — zero shuffles, scan pruned to doc_id/text") {
     val df = graft.SparkEntry.queries("q_pii_scrub")(spark, dir)
     df.collect()
