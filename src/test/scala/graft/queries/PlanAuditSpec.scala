@@ -82,6 +82,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "candidate join must be keyed on the LSH band")
   }
 
+  test("q_lsh_ann / q_ivf_ann: candidate joins are keyed (bucket / cell), never cartesian") {
+    for (name <- Seq("q_lsh_ann", "q_ivf_ann")) {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name\n${p.take(2000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name: ANN candidate join must stay equi-keyed, not degrade to the exact kernel")
+    }
+  }
+
   test("q_cosine_topk: documented exact kernel = broadcast queries, one corpus pass") {
     val p = plan("q_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin BuildRight"), p.take(2000))
