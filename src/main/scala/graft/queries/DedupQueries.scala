@@ -226,13 +226,18 @@ object DedupQueries {
       .select(col("doc_id"), hUdf(col("doc_id"), col("media")).as("phash"))
     // one hash evaluation per payload, exploded into the 4 pigeonhole
     // keys; persisted because the bucket count and both join legs
-    // consume it (same STORAGE CONTRACT as minhashPairs/simhashPairs)
+    // consume it (same STORAGE CONTRACT as minhashPairs/simhashPairs).
+    // The key is a PACKED LONG (segment index in the high bits) — the
+    // persist, the bucket-count shuffle, and both join legs all carry
+    // it, and a long hashes/compares without the per-row string
+    // allocation a concat key pays
     val segs = hashes
       .select(
         col("doc_id"),
         col("phash"),
         explode(array((0 to 3).map(i =>
-          concat(lit(s"$i:"), shiftright(col("phash"), 14 * i).bitwiseAND(lit(0x3fffL)))): _*))
+          (shiftright(col("phash"), 14 * i).bitwiseAND(lit(0x3fffL)) + lit(i.toLong << 32))
+            .as(s"k$i")): _*))
           .as("seg_key"))
       .persist()
     val maxBucket = 4096
