@@ -94,6 +94,7 @@ object SparkEntry {
     "q_boilerplate_ngrams" -> (CurationQueries.boilerplateNgrams _),
     "q_hash_split" -> (CurationQueries.hashSplit _),
     "q_stratified_sample" -> (CurationQueries.stratifiedSample _),
+    "q_text_normalize" -> (CurationQueries.textNormalize _),
     "q_tfidf_terms" -> (CurationQueries.tfidfTerms _),
     "q_lang_mixture" -> (CurationQueries.langMixture _),
     "q_domain_mixture" -> (CurationQueries.domainMixture _),
@@ -172,6 +173,7 @@ object SparkEntry {
     "q_boilerplate_ngrams" -> CurationQueries.boilerplateNgramsSql,
     "q_hash_split" -> CurationQueries.hashSplitSql,
     "q_stratified_sample" -> CurationQueries.stratifiedSampleSql,
+    "q_text_normalize" -> CurationQueries.textNormalizeSql,
     "q_tfidf_terms" -> CurationQueries.tfidfTermsSql,
     "q_lang_mixture" -> CurationQueries.langMixtureSql,
     "q_domain_mixture" -> CurationQueries.domainMixtureSql,

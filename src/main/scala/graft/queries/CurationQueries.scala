@@ -214,6 +214,56 @@ object CurationQueries {
        FROM b GROUP BY 1, 2"""
 
   // --------------------------------------------------------------------
+  // q_text_normalize — canonicalization before hashing/dedup
+  // --------------------------------------------------------------------
+
+  /** Text canonicalization — the step every dedup/fingerprint pipeline
+    * runs FIRST so cosmetic variation (case, runs of whitespace, stray
+    * punctuation) doesn't defeat exact-hash dedup: lowercase, strip
+    * non-alphanumeric characters (keeping spaces), collapse whitespace
+    * runs, trim. Reported with before/after lengths and a `changed`
+    * flag so the downstream can measure how much normalization bit.
+    * Pure codegen'd map stage — zero shuffles, zero UDFs; the regexes
+    * are in the Java∩RE2 dialect so the oracle runs the same rules.
+    *
+    * The synthetic corpus is already clean, so (as with the PII
+    * fixture) deterministic dirt is injected keyed on doc_id — case
+    * mangling on 3∣id, punctuation + double spaces on 5∣id — so every
+    * rule fires on real rows and no-op rows stay present.
+    */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      when(col("doc_id") % 3 === 0, upper(col("text"))).otherwise(col("text")),
+      when(col("doc_id") % 5 === 0, lit("  -- [END]!!  ")).otherwise(lit("")))
+    val norm = trim(
+      regexp_replace(regexp_replace(lower(raw), lit("[^a-z0-9 ]"), lit("")), lit(" +"), lit(" ")))
+    Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        length(raw).cast("long").as("raw_len"),
+        norm.as("norm_text"),
+        length(norm).cast("long").as("norm_len"),
+        (norm =!= raw).as("changed"))
+  }
+
+  val textNormalizeSql: String =
+    """WITH raw AS (
+         SELECT doc_id,
+                (CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END) ||
+                (CASE WHEN doc_id % 5 = 0 THEN '  -- [END]!!  ' ELSE '' END) AS text
+         FROM documents
+       )
+       SELECT doc_id, length(text)::BIGINT AS raw_len,
+              trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                  ' +', ' ', 'g')) AS norm_text,
+              length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                         ' +', ' ', 'g')))::BIGINT AS norm_len,
+              trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                  ' +', ' ', 'g')) <> text AS changed
+       FROM raw"""
+
+  // --------------------------------------------------------------------
   // q_stratified_sample — per-source deterministic downsampling
   // --------------------------------------------------------------------
 
