@@ -109,6 +109,9 @@ object SparkEntry {
     "q_cosine_topk" -> ((s: SparkSession, d: String) => VectorQueries.cosineTopK(s, d)),
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => VectorQueries.dedupEmbedding(s, d)),
     "q_pii_scrub" -> (PiiQueries.piiScrub _),
+    "q_bm25_search" -> ((s: SparkSession, d: String) => SearchQueries.bm25Search(s, d)),
+    "q_vocab_growth" -> ((s: SparkSession, d: String) => SearchQueries.vocabGrowth(s, d)),
+    "q_weighted_sample" -> ((s: SparkSession, d: String) => SearchQueries.weightedSample(s, d)),
     "q_media_dedup" -> ((s: SparkSession, d: String) => DedupQueries.mediaDedup(s, d)),
     "q_lsh_ann" -> ((s: SparkSession, d: String) => VectorQueries.lshAnn(s, d)),
     "q_ivf_ann" -> ((s: SparkSession, d: String) => VectorQueries.ivfAnn(s, d)),
@@ -189,6 +192,9 @@ object SparkEntry {
     "q_dedup_embedding" -> VectorQueries.dedupEmbeddingSql,
     "q_lsh_ann" -> VectorQueries.lshAnnSql,
     "q_pii_scrub" -> PiiQueries.piiScrubSql,
+    "q_bm25_search" -> SearchQueries.bm25SearchSql,
+    "q_vocab_growth" -> SearchQueries.vocabGrowthSql,
+    "q_weighted_sample" -> SearchQueries.weightedSampleSql,
     "q_media_dedup" -> DedupQueries.mediaDedupSql,
     "q_json_props" -> LogQueries.jsonPropsSql,
     "q_stream_windowed_counts" -> StreamingQueries.streamWindowedCountsSql,

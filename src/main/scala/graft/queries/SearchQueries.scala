@@ -1,0 +1,241 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked retrieval and corpus-sampling operators over the `documents`
+  * table — the search-side companions to the curation surface
+  * ([[CurationQueries]]): BM25 scoring, vocabulary-growth profiling
+  * (Heaps-law curve), and weighted reservoir sampling.
+  *
+  * Cross-engine float discipline (same rules as the rest of the repo):
+  * every floating-point expression is written as the SAME explicit tree
+  * in the Spark code and the DuckDB oracle — only correctly-rounded IEEE
+  * ops (+,-,*,/) plus one `ln` per term whose ≤1-ulp engine difference is
+  * absorbed by `round(_, 4)`; sums over query terms are fixed left-to-
+  * right expression chains, never aggregations, so no ordering
+  * nondeterminism exists to begin with.
+  */
+object SearchQueries {
+
+  /** The fixed conjunctive query for [[bm25Search]] — common corpus terms
+    * with distinct document frequencies.
+    */
+  val Bm25QueryTerms: Seq[String] = Seq("table", "join", "stream", "window")
+
+  private def toks = split(col("text"), " ", -1)
+
+  // --------------------------------------------------------------------
+  // q_bm25_search — BM25 ranked retrieval
+  // --------------------------------------------------------------------
+
+  /** BM25 (k1=1.2, b=0.75) document ranking for [[Bm25QueryTerms]],
+    * top-`topK` by (rounded score, doc_id).
+    *
+    * Scale: tf per term is an in-row `filter(...)` over the token array —
+    * zero shuffle, pipelined into the scan. The corpus statistics
+    * (N, Σdl, per-term df) are ONE tiny aggregate broadcast back
+    * (a handful of longs, the classic broadcast-scalar pattern), so the
+    * whole query is scan → map → top-k. The top-k plans as
+    * `TakeOrderedAndProject` (per-partition heaps, no full sort, no full-
+    * corpus window); the rank column is assigned AFTER the truncation, so
+    * the only total-order window ever sees ≤ topK rows.
+    *
+    * idf = ln((N − df + ½)/(df + ½) + 1) (the Lucene/BM25+ positive
+    * variant); avgdl is computed as exact-integer Σdl and N divided once,
+    * so both engines see bit-identical inputs to the one `ln`.
+    */
+  def bm25Search(s: SparkSession, dir: String, topK: Int = 50): DataFrame = {
+    val tfCols = Bm25QueryTerms.map { t =>
+      size(filter(toks, x => x === lit(t))).cast("long").as(s"tf_$t")
+    }
+    val base = Tables
+      .documents(s, dir)
+      .select(col("doc_id") +: size(toks).cast("long").as("dl") +: tfCols: _*)
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl") +:
+        Bm25QueryTerms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+    val joined = base.crossJoin(broadcast(stats))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    def termScore(t: String): Column = {
+      val tf = col(s"tf_$t").cast("double")
+      val idf = log(
+        ((col("n_docs") - col(s"df_$t")).cast("double") + lit(0.5)) /
+          (col(s"df_$t").cast("double") + lit(0.5)) + lit(1.0))
+      idf * (tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+    }
+    val score = Bm25QueryTerms.map(termScore).reduce(_ + _)
+    val top = joined
+      .withColumn("bm25", round(score, 4))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+    // rank over the already-truncated topK rows only (bounded window)
+    top
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      .select(
+        col("doc_id") +: col("dl") +:
+          Bm25QueryTerms.map(t => col(s"tf_$t")) :+ col("bm25") :+ col("rank"): _*)
+  }
+
+  val bm25SearchSql: String = {
+    val tfDefs = Bm25QueryTerms
+      .map(t => s"len(list_filter(w, x -> x = '$t'))::BIGINT AS tf_$t")
+      .mkString(",\n                  ")
+    val dfDefs = Bm25QueryTerms
+      .map(t => s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t")
+      .mkString(", ")
+    val termScores = Bm25QueryTerms.map { t =>
+      s"""ln((CAST(n_docs - df_$t AS DOUBLE) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5) + 1.0)
+          * (CAST(tf_$t AS DOUBLE) * 2.2)
+          / (CAST(tf_$t AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+               / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"""
+    }
+    val tfOut = Bm25QueryTerms.map(t => s"tf_$t").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        t AS (SELECT doc_id, len(w)::BIGINT AS dl,
+                  $tfDefs
+              FROM d),
+        st AS (SELECT count(*) AS n_docs, SUM(dl) AS sum_dl, $dfDefs FROM t),
+        scored AS (SELECT doc_id, dl, $tfOut,
+                     round(${termScores.mkString("\n                   + ")}, 4) AS bm25
+                   FROM t CROSS JOIN st)
+        SELECT doc_id, dl, $tfOut, bm25,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        FROM scored
+        QUALIFY row_number() OVER (ORDER BY bm25 DESC, doc_id) <= 50"""
+  }
+
+  // --------------------------------------------------------------------
+  // q_vocab_growth — Heaps-law vocabulary growth curve
+  // --------------------------------------------------------------------
+
+  /** Vocabulary growth (Heaps' law) profile: the corpus in doc_id order is
+    * cut into `nBuckets` equal-width id ranges; per bucket, the number of
+    * NEW vocabulary terms (tokens whose first corpus occurrence — lowest
+    * doc_id — falls in that bucket) and the token volume, plus running
+    * totals. The curve's flattening is the standard "is more data still
+    * adding vocabulary?" curation diagnostic.
+    *
+    * Scale: one shuffle keyed on token for the first-occurrence
+    * `min(doc_id)` (partial-agg collapses hot tokens map-side — no
+    * window on the token key), one bounded-key bucket aggregate, and the
+    * running sums run over exactly `nBuckets` rows — the total-order
+    * window is over the bounded bucket table, never the corpus.
+    */
+  def vocabGrowth(s: SparkSession, dir: String, nBuckets: Int = 20): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), toks.as("w"))
+    val nid = d.agg((max(col("doc_id")) + 1).as("n_ids"))
+    val db = d
+      .crossJoin(broadcast(nid))
+      .select(
+        expr(s"(doc_id * $nBuckets) div n_ids").as("bucket"),
+        size(col("w")).cast("long").as("dl"))
+    val tb = db
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
+    val firstDoc = d
+      .select(explode(col("w")).as("term"), col("doc_id"))
+      .groupBy(col("term"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val nv = firstDoc
+      .crossJoin(broadcast(nid))
+      .select(expr(s"(first_doc * $nBuckets) div n_ids").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("new_terms"))
+    val w = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tb.join(nv, Seq("bucket"), "left")
+      .select(
+        col("bucket"),
+        col("n_docs"),
+        col("n_tokens"),
+        coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_vocab", sum(col("new_terms")).over(w))
+  }
+
+  val vocabGrowthSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       nid AS (SELECT max(doc_id) + 1 AS n_ids FROM documents),
+       db AS (SELECT (doc_id * 20) // n_ids AS bucket, len(w)::BIGINT AS dl
+              FROM d CROSS JOIN nid),
+       tb AS (SELECT bucket, count(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS n_tokens
+              FROM db GROUP BY 1),
+       fd AS (SELECT t.term, min(doc_id) AS first_doc
+              FROM d, unnest(w) AS t(term) GROUP BY 1),
+       nv AS (SELECT (first_doc * 20) // n_ids AS bucket, count(*) AS new_terms
+              FROM fd CROSS JOIN nid GROUP BY 1)
+       SELECT tb.bucket, n_docs, n_tokens,
+              COALESCE(new_terms, 0) AS new_terms,
+              CAST(SUM(n_tokens) OVER (ORDER BY tb.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS cum_tokens,
+              CAST(SUM(COALESCE(new_terms, 0)) OVER (ORDER BY tb.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS cum_vocab
+       FROM tb LEFT JOIN nv ON tb.bucket = nv.bucket"""
+
+  // --------------------------------------------------------------------
+  // q_weighted_sample — Efraimidis–Spirakis weighted sampling
+  // --------------------------------------------------------------------
+
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis A-ES): each document draws a reproducible
+    * uniform u ∈ (0, 1] from the md5 of its doc_id and gets priority
+    * key = ln(u) / weight (weight = n_chars); the `k` largest keys are
+    * the sample. Longer documents are proportionally more likely to be
+    * kept — the standard size-weighted corpus subsampling primitive.
+    *
+    * Cross-engine determinism: u is built from md5 digest bytes 8..14
+    * little-endian (the low 56 bits of DuckDB's `md5_number_lower`,
+    * convention pinned in TextHashSpec) shifted to 52 bits, so both
+    * engines compute ln on bit-identical inputs; the selection is a
+    * top-k comparison where a ≤1-ulp ln difference would need two keys
+    * within 2 ulp AT the k-th boundary to matter.
+    *
+    * Scale: the key is a pure per-row expression (zero shuffle) and the
+    * top-k plans as `TakeOrderedAndProject` — per-partition heaps of k
+    * rows, no full sort. The hash keys on doc_id, so the sample is
+    * stable under re-partitioning and re-runs.
+    */
+  def weightedSample(s: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val h = md5(concat(lit("graftws:"), col("doc_id").cast("string")).cast("binary"))
+    // digest bytes 14,13,...,8 (hex char positions 29,27,...,17) — the
+    // little-endian low-7-byte slice of md5_number_lower, 56 bits
+    val le = concat((14 to 8 by -1).map(b => substring(h, 2 * b + 1, 2)): _*)
+    val bits = shiftright(conv(le, 16, 10).cast("long"), 4) // 52 bits
+    val u = (bits + lit(1L)).cast("double") / lit(4503599627370496.0) // 2^52 → (0,1]
+    val key = log(u) / col("n_chars").cast("double")
+    val top = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"), key.as("key_raw"))
+      .orderBy(col("key_raw").desc, col("doc_id"))
+      .limit(k)
+    top
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("key_raw").desc, col("doc_id"))).cast("long"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("n_chars"),
+        round(col("key_raw"), 6).as("priority"),
+        col("rank"))
+  }
+
+  val weightedSampleSql: String =
+    """WITH keyed AS (
+         SELECT doc_id, source, n_chars,
+                ln((((md5_number_lower('graftws:' || CAST(doc_id AS VARCHAR))
+                      & 72057594037927935) >> 4) + 1)::DOUBLE / 4503599627370496.0)
+                  / CAST(n_chars AS DOUBLE) AS key_raw
+         FROM documents)
+       SELECT doc_id, source, n_chars, round(key_raw, 6) AS priority,
+              row_number() OVER (ORDER BY key_raw DESC, doc_id) AS rank
+       FROM keyed
+       QUALIFY row_number() OVER (ORDER BY key_raw DESC, doc_id) <= 100"""
+}

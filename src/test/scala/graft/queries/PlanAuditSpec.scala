@@ -219,6 +219,42 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "offset join-back must broadcast")
   }
 
+  test("q_bm25_search / q_weighted_sample: top-k is TakeOrderedAndProject, never a full sort") {
+    for (name <- Seq("q_bm25_search", "q_weighted_sample")) {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // per-partition heaps of k rows — no global Sort of the corpus, and
+      // the only total-order window runs AFTER the top-k truncation
+      assert(p.contains("TakeOrderedAndProject"), s"$name\n${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"), name)
+      // a full corpus orderBy would need a range-partitioned shuffle; the
+      // only Sort allowed is the single-partition one feeding the rank
+      // window over the ≤ k already-truncated rows
+      assert(!p.contains("rangepartitioning"),
+        s"$name: global range-partitioned sort leaked into the plan")
+    }
+  }
+
+  test("q_weighted_sample: priority key is a pure map — text column never read") {
+    val df = graft.SparkEntry.queries("q_weighted_sample")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("text:string"), "sampling key must not read the text column")
+  }
+
+  test("q_vocab_growth: first-occurrence is a partial-agg groupBy; windows only on the bucket table") {
+    val df = graft.SparkEntry.queries("q_vocab_growth")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    // no total-order or per-term window over corpus-sized data: the only
+    // windowspec keys on the bounded bucket column
+    val specs = """windowspecdefinition\((\w+)#""".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(specs.subsetOf(Set("bucket")), s"unexpected window keys: $specs")
+    assert(!"""windowspecdefinition\(term""".r.findFirstIn(p).isDefined)
+  }
+
   test("q_substring_dedup: first-occurrence is a partial-agg groupBy, no window on the shingle") {
     val df = graft.SparkEntry.queries("q_substring_dedup")(spark, dir)
     df.collect()

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Functional locks for the search/sampling operators ([[SearchQueries]]).
+  * The DuckDB hash oracle checks exact parity; these tests pin the
+  * *semantic* invariants that would survive an oracle rewrite: ranking
+  * monotonicity, cumulative-curve consistency, and sampling determinism.
+  */
+class SearchSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = graft.Sessions.local("search-spec", "4")
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bm25: ranks are 1..k, scores non-increasing, all query-term hits scored") {
+    val rows = SearchQueries.bm25Search(spark, dir).orderBy(col("rank")).collect()
+    assert(rows.length == 50)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to 50L))
+    val scores = rows.map(_.getAs[Double]("bm25"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // every returned doc matched at least one query term (positive score)
+    assert(scores.forall(_ > 0.0))
+  }
+
+  test("bm25: a document with more query-term hits outranks an otherwise-similar one") {
+    val rows = SearchQueries.bm25Search(spark, dir).collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // among same-length docs in the result, total tf orders with score
+    val sameDl = rows.groupBy(_.getAs[Long]("dl")).values.filter(_.length >= 2)
+    for (group <- sameDl; a <- group; b <- group) {
+      val tfSum = (r: org.apache.spark.sql.Row) =>
+        SearchQueries.Bm25QueryTerms.map(t => r.getAs[Long](s"tf_$t")).sum
+      if (tfSum(a) > tfSum(b) &&
+        SearchQueries.Bm25QueryTerms.forall(t =>
+          a.getAs[Long](s"tf_$t") >= b.getAs[Long](s"tf_$t")))
+        assert(a.getAs[Double]("bm25") >= b.getAs[Double]("bm25"),
+          s"dominating tf vector must not score lower: $a vs $b")
+    }
+    assert(byId.nonEmpty)
+  }
+
+  test("vocab growth: cumulative curves are monotone and close the corpus totals") {
+    val rows = SearchQueries.vocabGrowth(spark, dir).orderBy(col("bucket")).collect()
+    assert(rows.nonEmpty)
+    val cumV = rows.map(_.getAs[Long]("cum_vocab"))
+    val cumT = rows.map(_.getAs[Long]("cum_tokens"))
+    assert(cumV.zip(cumV.tail).forall { case (a, b) => a <= b }, "vocab curve must be monotone")
+    assert(cumT.zip(cumT.tail).forall { case (a, b) => a < b }, "token curve must be strictly growing")
+    // the last checkpoint equals independent corpus-wide recounts
+    val docs = graft.Tables.documents(spark, dir)
+    val vocab = docs
+      .select(explode(split(col("text"), " ", -1)).as("t"))
+      .agg(countDistinct(col("t")))
+      .head()
+      .getLong(0)
+    val toks = docs
+      .select(size(split(col("text"), " ", -1)).cast("long").as("n"))
+      .agg(sum(col("n")))
+      .head()
+      .getLong(0)
+    assert(cumV.last == vocab)
+    assert(cumT.last == toks)
+    // per-bucket new_terms sums to the vocabulary
+    assert(rows.map(_.getAs[Long]("new_terms")).sum == vocab)
+  }
+
+  test("weighted sample: deterministic across runs, k rows, ranks contiguous") {
+    val a = SearchQueries.weightedSample(spark, dir).collect()
+    val b = SearchQueries.weightedSample(spark, dir).collect()
+    assert(a.length == 100)
+    assert(a.map(_.toString).sorted.toSeq == b.map(_.toString).sorted.toSeq)
+    assert(a.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 100L))
+    // priorities are ln(u)/w ≤ 0 and non-increasing in rank order
+    val byRank = a.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("priority"))
+    assert(byRank.forall(_ <= 0.0))
+    assert(byRank.zip(byRank.tail).forall { case (x, y) => x >= y })
+  }
+
+  test("weighted sample: size-biased — kept docs are longer than the corpus average") {
+    val kept = SearchQueries.weightedSample(spark, dir)
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    val corpus = graft.Tables.documents(spark, dir)
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    // ES sampling with weight = n_chars keeps long docs more often; with
+    // k=100 of 500 the kept-mean exceeding the corpus-mean is a stable
+    // deterministic property of the fixed hash draw, not a flaky t-test
+    assert(kept > corpus, s"kept mean $kept should exceed corpus mean $corpus")
+  }
+}
