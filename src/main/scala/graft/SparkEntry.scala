@@ -115,6 +115,7 @@ object SparkEntry {
     "q_media_dedup" -> ((s: SparkSession, d: String) => DedupQueries.mediaDedup(s, d)),
     "q_lsh_ann" -> ((s: SparkSession, d: String) => VectorQueries.lshAnn(s, d)),
     "q_ivf_ann" -> ((s: SparkSession, d: String) => VectorQueries.ivfAnn(s, d)),
+    "q_pq_codes" -> ((s: SparkSession, d: String) => VectorQueries.pqCodes(s, d)),
     "q_sessionize" -> (RelationalQueries.sessionize _),
     "q_session_window" -> (RelationalQueries.sessionWindow _),
     "q_asof_join" -> (RelationalQueries.asofJoin _),
@@ -137,7 +138,8 @@ object SparkEntry {
   @volatile private var dynamicOracleSql: Map[String, String] = Map.empty
   def deriveDataOracles(s: SparkSession, dir: String): Unit =
     dynamicOracleSql = Map(
-      "q_ivf_ann" -> VectorQueries.ivfAnnSql(VectorQueries.trainCentroids(s, dir)))
+      "q_ivf_ann" -> VectorQueries.ivfAnnSql(VectorQueries.trainCentroids(s, dir)),
+      "q_pq_codes" -> VectorQueries.pqCodesSql(VectorQueries.trainPqCentroids(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -196,6 +196,139 @@ object VectorQueries {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("sim"), 6).as("sim"), col("rank"))
   }
 
+  /** Product-quantization codebooks: the 64-dim space is cut into
+    * `nSub` contiguous 8-dim subspaces, each with its own `k`-centroid
+    * quantiser trained by seeded Lloyd iterations on the same bounded
+    * vec_id-ordered sample as [[trainCentroids]] — fully deterministic,
+    * so the DuckDB oracle receives the codebooks as inlined literals.
+    */
+  def trainPqCentroids(
+      s: SparkSession,
+      dir: String,
+      nSub: Int = 8,
+      k: Int = 16,
+      seed: Long = 42L,
+      sampleN: Int = 2000): Array[Array[Array[Double]]] = {
+    val sample = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id"))
+      .limit(sampleN)
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray.map(_.toDouble))
+    val dim = sample.headOption.map(_.length).getOrElse(0)
+    val subDim = dim / nSub
+    Array.tabulate(nSub) { m =>
+      val sub = sample.map(v => v.slice(m * subDim, (m + 1) * subDim))
+      val rng = new scala.util.Random(graft.functions.TextHash.mix64(seed * 31 + m))
+      var cents = Array.fill(k)(sub(rng.nextInt(sub.length)).clone())
+      for (_ <- 0 until 8) {
+        val sums = Array.fill(k)(new Array[Double](subDim))
+        val counts = new Array[Int](k)
+        sub.foreach { v =>
+          val c = nearestCentroid(v, cents)
+          counts(c) += 1
+          var i = 0
+          while (i < subDim) { sums(c)(i) += v(i); i += 1 }
+        }
+        cents = Array.tabulate(k)(c => if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
+      }
+      cents
+    }
+  }
+
+  /** Product quantization (PQ) of the embedding column — the standard
+    * compression path for cluster-scale ANN: each vector is reduced to
+    * `nSub` 4-bit codes (here packed into ONE long — 64 dims × 4 B
+    * becomes 4 B, a 64× compression) plus its reconstruction error.
+    *
+    * Scale: codebooks are tiny (nSub × k × 8 doubles), trained on a
+    * bounded sample and broadcast; encoding is a pure per-row map —
+    * ZERO shuffles at any corpus size (plan-locked). The reconstruction
+    * error is the accumulated L2² over dims in ascending order — one
+    * sequential fold, so DuckDB's `list_dot_product` over the ordered
+    * 64-dim residual reproduces it bit-for-bit; argmin ties break to the
+    * lowest centroid index in both engines.
+    */
+  def pqCodes(s: SparkSession, dir: String, nSub: Int = 8, k: Int = 16): DataFrame = {
+    val books = trainPqCentroids(s, dir, nSub, k)
+    val booksB = s.sparkContext.broadcast(books)
+    val encode = udf { (emb: Seq[Float]) =>
+      val v = emb.toArray.map(_.toDouble)
+      val bs = booksB.value
+      val subDim = v.length / bs.length
+      var code = 0L
+      var err = 0.0
+      var m = 0
+      while (m < bs.length) {
+        val sub = v.slice(m * subDim, (m + 1) * subDim)
+        val c = nearestCentroid(sub, bs(m))
+        code |= c.toLong << (4 * m)
+        var d = 0
+        while (d < subDim) {
+          val diff = sub(d) - bs(m)(c)(d)
+          err += diff * diff
+          d += 1
+        }
+        m += 1
+      }
+      (code, err)
+    }
+    Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), encode(col("embedding")).as("enc"))
+      .select(
+        col("vec_id"),
+        col("enc._1").as("pq_code"),
+        round(col("enc._2"), 6).as("err"))
+  }
+
+  /** Exact DuckDB oracle for [[pqCodes]], parameterized by the trained
+    * codebooks (inlined shortest-round-trip double literals, like
+    * [[ivfAnnSql]]): assignment re-derived per (vector, subspace) with
+    * the same tie-break, the packed code re-derived with integer
+    * arithmetic, and the reconstruction error via ONE ordered 64-dim
+    * `list_dot_product` fold matching the executor's dim-ascending
+    * accumulation.
+    */
+  def pqCodesSql(books: Array[Array[Array[Double]]]): String = {
+    val rows = (for {
+      (book, m) <- books.zipWithIndex
+      (c, ki) <- book.zipWithIndex
+    } yield s"($m, $ki, [${c.map(java.lang.Double.toString).mkString(", ")}]::DOUBLE[])")
+      .mkString(", ")
+    val nSub = books.length
+    val subDim = 64 / nSub
+    s"""WITH cent(m, k, carr) AS (VALUES $rows),
+       emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       sub AS (SELECT vec_id, m, list_slice(emb, m * $subDim + 1, m * $subDim + $subDim) AS sv
+               FROM emb CROSS JOIN generate_series(0, ${nSub - 1}) g(m)),
+       dists AS (
+         SELECT vec_id, m, k, list_dot_product(df, df) AS dist
+         FROM (SELECT s.vec_id, s.m, c.k,
+                      list_transform(generate_series(1, $subDim), i -> s.sv[i] - c.carr[i]) AS df
+               FROM sub s JOIN cent c ON s.m = c.m) d),
+       assign AS (
+         SELECT vec_id, m, k FROM dists
+         QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) = 1),
+       code AS (
+         SELECT vec_id, CAST(SUM(k * (1::BIGINT << (4 * m))) AS BIGINT) AS pq_code
+         FROM assign GROUP BY vec_id),
+       comps AS (
+         SELECT a.vec_id, a.m, gs.i AS d, c.carr[gs.i] AS comp
+         FROM assign a JOIN cent c ON a.m = c.m AND a.k = c.k
+         CROSS JOIN generate_series(1, $subDim) gs(i)),
+       rec AS (
+         SELECT vec_id, list(comp ORDER BY m, d) AS rec FROM comps GROUP BY vec_id),
+       errs AS (
+         SELECT vec_id, list_dot_product(df, df) AS err
+         FROM (SELECT e.vec_id,
+                      list_transform(generate_series(1, 64), i -> e.emb[i] - r.rec[i]) AS df
+               FROM emb e JOIN rec r USING (vec_id)) d)
+       SELECT c.vec_id, c.pq_code, round(e.err, 6) AS err
+       FROM code c JOIN errs e USING (vec_id)"""
+  }
+
   private def l2sq(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0
     var i = 0

@@ -44,4 +44,37 @@ class VectorSpec extends AnyFunSuite {
     val allProbe = pairs(VectorQueries.ivfAnn(spark, dir, nProbe = 16))
     assert(allProbe === exact, "nProbe = nLists must reproduce the exact ranking")
   }
+
+  test("pq codes: deterministic, 32-bit-bounded, and better than the zero codebook") {
+    import org.apache.spark.sql.functions._
+    val a = VectorQueries.pqCodes(spark, dir).collect().sortBy(_.getLong(0))
+    val b = VectorQueries.pqCodes(spark, dir).collect().sortBy(_.getLong(0))
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq, "encoding must be deterministic")
+    // 8 subspaces × 4-bit codes pack into the low 32 bits
+    assert(a.forall(r => { val c = r.getAs[Long]("pq_code"); c >= 0L && c <= 0xFFFFFFFFL }))
+    // quantisation must beat the trivial all-zeros reconstruction: mean
+    // PQ residual below the mean squared norm of the vectors themselves
+    val meanErr = a.map(_.getAs[Double]("err")).sum / a.length
+    val meanNorm = graft.Tables
+      .embeddings(spark, dir)
+      .select(aggregate(
+        transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("n2"))
+      .agg(avg(col("n2")))
+      .head()
+      .getDouble(0)
+    assert(meanErr < meanNorm,
+      s"PQ reconstruction ($meanErr) must beat the zero codebook ($meanNorm)")
+    // codes spread across the codebook: at least half the 16 centroids
+    // of subspace 0 are used on the harness corpus
+    val used = a.map(r => (r.getAs[Long]("pq_code") & 0xFL).toInt).distinct.length
+    assert(used >= 8, s"subspace-0 codebook collapse: only $used centroids used")
+  }
+
+  test("pq codes: encoding is a pure map — zero shuffles in the plan") {
+    val df = VectorQueries.pqCodes(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"PQ encode must not shuffle\n${p.take(2000)}")
+  }
 }
