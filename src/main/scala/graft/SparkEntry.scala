@@ -66,6 +66,7 @@ object SparkEntry {
     "q_stream_frame_assembly" -> (StreamingQueries.streamFrameAssembly _),
     "q_stream_windowed_counts" -> (StreamingQueries.streamWindowedCounts _),
     "q_stream_dedup" -> (StreamingQueries.streamDedup _),
+    "q_stream_join" -> (StreamingQueries.streamJoin _),
     // log streams, scalar functions, diagnostics (SURVEY §2.3, 2.6, 2.7, 2.9)
     "q_json_props" -> (LogQueries.jsonProps _),
     "q_selog_expand" -> (LogQueries.selogExpand _),
@@ -201,6 +202,7 @@ object SparkEntry {
     "q_json_props" -> LogQueries.jsonPropsSql,
     "q_stream_windowed_counts" -> StreamingQueries.streamWindowedCountsSql,
     "q_stream_dedup" -> StreamingQueries.streamDedupSql,
+    "q_stream_join" -> StreamingQueries.streamJoinSql,
     "q_stream_frame_assembly" -> StreamingQueries.streamFrameAssemblySql,
     "q_sessionize" -> RelationalQueries.sessionizeSql,
     "q_session_window" -> RelationalQueries.sessionWindowSql,

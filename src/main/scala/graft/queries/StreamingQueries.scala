@@ -128,6 +128,70 @@ object StreamingQueries {
   val streamDedupSql: String =
     "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
 
+  /** Stream-stream interval join (view→click attribution): the events
+    * file stream joined WITH ITSELF — clicks matched to any view by the
+    * same user within the preceding hour — on the real streaming engine
+    * (two watermarked inputs, symmetric-hash join state, event-time
+    * range condition). The drained result equals the batch interval
+    * join, so this is oracle-checked against plain SQL.
+    *
+    * Scale: both sides shuffle once on user_id (the equality key); the
+    * watermark (2 h) + the range condition bound the join state to the
+    * horizon — without the time bound the state would grow with the
+    * corpus, WITH it eviction is continuous. Append mode emits matches
+    * incrementally; nothing waits for end-of-stream.
+    */
+  def streamJoin(s0: SparkSession, dir: String): DataFrame = {
+    val s = boundedDrainSession(s0)
+    val raw = s.read.parquet(s"$dir/events.parquet").schema
+    def src = s.readStream
+      .schema(raw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val views = src
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val clicks = src
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val joined = views
+      .join(
+        clicks,
+        col("user_id") === col("click_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 60 MINUTES"))
+      .select(
+        col("user_id"),
+        col("view_id"),
+        col("click_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("lag_us"))
+    val name = s"stream_join_${System.nanoTime()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sjoin_ckpt").toString
+    val query = joined.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try query.processAllAvailable()
+    finally {
+      try query.stop()
+      finally dropCheckpoint(ckpt)
+    }
+    s.table(name)
+  }
+
+  val streamJoinSql: String =
+    """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+       date_diff('microsecond', v.ts, c.ts) AS lag_us
+       FROM events v JOIN events c
+         ON v.user_id = c.user_id
+        AND v.event_type = 'view' AND c.event_type = 'click'
+        AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 60 MINUTE"""
+
   /** A2 on the REAL streaming engine (state store, flatMapGroupsWithState,
     * processing-time TTL), oracle-checked: the closed-form
     * [[PipelineQueries.arithmeticDev2Messages]] ORIGINALS are fed

@@ -960,4 +960,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$outDir/archive/events").count() === 2)
     assert(sink.flushToArchive() === Seq.empty)
   }
+
+  test("stream-stream interval join drains to the exact batch-join result") {
+    // own fixture with a plain-long ns ts column: the harness parquet's
+    // TIMESTAMP(NANOS) physical type needs the nanosAsLong flag, which is
+    // context-creation-time and so depends on suite ordering
+    val dir = Files.createTempDirectory("graft_sjoin_fixture").toString
+    val base = 1700000000000000000L // ns
+    val fixture = spark
+      .range(0, 300)
+      .selectExpr(
+        "id AS event_id",
+        "id % 20 AS user_id",
+        // alternating views and clicks, each event 7 minutes after the
+        // previous one for its user → some pairs inside the 60-minute
+        // window, later ones outside
+        "CASE WHEN (id div 20) % 2 = 0 THEN 'view' ELSE 'click' END AS event_type",
+        s"$base + (id div 20) * 420000000000 + (id % 20) * 1000000000 AS ts")
+    val scratch = s"$dir/_w"
+    fixture.coalesce(1).write.parquet(scratch)
+    val part = new java.io.File(scratch).listFiles().filter(_.getName.endsWith(".parquet")).head
+    // the stream source's pathGlobFilter matches FILE names — present the
+    // fixture as a flat events.parquet file like the harness does
+    Files.move(part.toPath, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val streamed = graft.queries.StreamingQueries
+      .streamJoin(spark, dir)
+      .collect()
+      .map(_.toString)
+      .sorted
+    // batch equivalent on the same engine: plain inner join with the
+    // identical time-range predicate
+    val ev = spark.read
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val v = ev
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val c = ev
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val batch = v
+      .join(
+        c,
+        col("user_id") === col("cu") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 60 MINUTES"))
+      .select(
+        col("user_id"),
+        col("view_id"),
+        col("click_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("lag_us"))
+      .collect()
+      .map(_.toString)
+      .sorted
+    assert(batch.nonEmpty, "fixture must produce at least one view→click pair")
+    assert(streamed.toSeq == batch.toSeq, "stream-stream join must equal the batch join")
+  }
 }
