@@ -111,6 +111,8 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s: SparkSession, d: String) => VectorQueries.dedupEmbedding(s, d)),
     "q_pii_scrub" -> (PiiQueries.piiScrub _),
     "q_bm25_search" -> ((s: SparkSession, d: String) => SearchQueries.bm25Search(s, d)),
+    "q_lm_perplexity" -> (SearchQueries.lmPerplexity _),
+    "q_pagerank" -> ((s: SparkSession, d: String) => GraphQueries.pagerank(s, d)),
     "q_vocab_growth" -> ((s: SparkSession, d: String) => SearchQueries.vocabGrowth(s, d)),
     "q_weighted_sample" -> ((s: SparkSession, d: String) => SearchQueries.weightedSample(s, d)),
     "q_media_dedup" -> ((s: SparkSession, d: String) => DedupQueries.mediaDedup(s, d)),
@@ -196,6 +198,8 @@ object SparkEntry {
     "q_lsh_ann" -> VectorQueries.lshAnnSql,
     "q_pii_scrub" -> PiiQueries.piiScrubSql,
     "q_bm25_search" -> SearchQueries.bm25SearchSql,
+    "q_lm_perplexity" -> SearchQueries.lmPerplexitySql,
+    "q_pagerank" -> GraphQueries.pagerankSql(),
     "q_vocab_growth" -> SearchQueries.vocabGrowthSql,
     "q_weighted_sample" -> SearchQueries.weightedSampleSql,
     "q_media_dedup" -> DedupQueries.mediaDedupSql,

@@ -180,6 +180,75 @@ object SearchQueries {
        FROM tb LEFT JOIN nv ON tb.bucket = nv.bucket"""
 
   // --------------------------------------------------------------------
+  // q_lm_perplexity — bigram language-model fluency scoring
+  // --------------------------------------------------------------------
+
+  /** Perplexity-style quality scoring (the KenLM-filter pattern every
+    * production curation pipeline runs): a bigram language model with
+    * MLE probabilities is trained on the corpus itself, then every
+    * document is scored by its mean log-probability under that model —
+    * documents whose word transitions are unusual for the corpus score
+    * low and are filter candidates.
+    *
+    * Scale: bigram extraction is a narrow in-row transform + explode;
+    * the LM is two partial-agg groupBys (bigram count, context count)
+    * over uniform token keys; scoring joins the LM back — broadcast
+    * here (vocabulary² is small), a plain shuffled hash join when the
+    * LM outgrows broadcast at web scale. The per-doc mean is an ORDERED
+    * fold over the doc's (bounded, document-length) log-prob multiset —
+    * `aggregate(array_sort(collect_list))` ↔ DuckDB
+    * `list_reduce(list_sort(list))` — so the oracle matches bit-for-bit
+    * despite ~n_tokens `ln` terms per document.
+    */
+  def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), toks.as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val bigrams = docs
+      .select(
+        col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, size(ws) - 2), " +
+            "i -> struct(element_at(ws, i + 1) AS w1, element_at(ws, i + 2) AS w2))"))
+          .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val lm = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val ctx = lm.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val probs = lm
+      .join(ctx, "w1")
+      .select(
+        col("w1"),
+        col("w2"),
+        log(col("c2").cast("double") / col("c1").cast("double")).as("lnp"))
+    bigrams
+      .join(broadcast(probs), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(
+          aggregate(array_sort(collect_list(col("lnp"))), lit(0.0), (acc, x) => acc + x) /
+            count(lit(1)).cast("double"),
+          4).as("avg_logprob"))
+  }
+
+  val lmPerplexitySql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       bg AS (SELECT doc_id,
+                     unnest([ws[i+1] FOR i IN range(len(ws) - 1)]) AS w1,
+                     unnest([ws[i+2] FOR i IN range(len(ws) - 1)]) AS w2
+              FROM d WHERE len(ws) >= 2),
+       lm AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+       ctx AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM lm GROUP BY 1),
+       probs AS (SELECT w1, w2, ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) AS lnp
+                 FROM lm JOIN ctx USING (w1))
+       SELECT doc_id, count(*) AS n_bigrams,
+              round(list_reduce(list_sort(list(lnp)), (a, b) -> a + b)
+                      / CAST(count(*) AS DOUBLE), 4) AS avg_logprob
+       FROM bg JOIN probs USING (w1, w2)
+       GROUP BY doc_id"""
+
+  // --------------------------------------------------------------------
   // q_weighted_sample — Efraimidis–Spirakis weighted sampling
   // --------------------------------------------------------------------
 

@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant locks for the PageRank operator. The DuckDB oracle pins the
+  * exact values; these pin the mathematics that survive oracle rewrites.
+  */
+class GraphSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = graft.Sessions.local("graph-spec", "4")
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  private val dir = "/root/testdata/sf0.001"
+
+  test("pagerank: mass conservation, positivity, teleport floor, determinism") {
+    val a = GraphQueries.pagerank(spark, dir).collect()
+    assert(a.nonEmpty)
+    val n = a.length
+    val ranks = a.map(_.getAs[Double]("pagerank"))
+    // symmetric graph has no dangling nodes, so the damped iteration
+    // conserves total mass: sum = 1 (up to the output rounding at 1e-6
+    // per node)
+    val total = ranks.sum
+    assert(math.abs(total - 1.0) < 1e-4 * n, s"mass not conserved: $total over $n nodes")
+    // every rank sits at or above the teleport floor 0.15/N
+    val floor = 0.15 / n - 1e-9
+    assert(ranks.forall(_ >= floor), "rank below the teleport floor")
+    val b = GraphQueries.pagerank(spark, dir).collect()
+    assert(a.map(_.toString).sorted.toSeq == b.map(_.toString).sorted.toSeq)
+    spark.catalog.clearCache()
+  }
+
+  test("pagerank: hubs outrank satellites (rank correlates with degree at the extremes)") {
+    val rows = GraphQueries.pagerank(spark, dir).collect()
+    val byDeg = rows.sortBy(_.getAs[Long]("degree"))
+    val low = byDeg.take(5).map(_.getAs[Double]("pagerank")).sum / 5
+    val high = byDeg.takeRight(5).map(_.getAs[Double]("pagerank")).sum / 5
+    assert(high > low,
+      s"top-degree nodes ($high) must out-rank bottom-degree nodes ($low)")
+    spark.catalog.clearCache()
+  }
+}

@@ -81,6 +81,20 @@ class SearchSpec extends AnyFunSuite {
     assert(byRank.zip(byRank.tail).forall { case (x, y) => x >= y })
   }
 
+  test("lm perplexity: scores are negative log-probs, bounded by the vocabulary, deterministic") {
+    val rows = SearchQueries.lmPerplexity(spark, dir).collect()
+    val docs = graft.Tables.documents(spark, dir).count()
+    assert(rows.length == docs, "every document (len >= 2) must be scored")
+    val scores = rows.map(_.getAs[Double]("avg_logprob"))
+    // MLE bigram probs are in (0, 1]: mean log-prob is <= 0, and can
+    // never be below ln(1/total-bigram-count)
+    assert(scores.forall(_ <= 0.0))
+    val totalBigrams = rows.map(_.getAs[Long]("n_bigrams")).sum
+    assert(scores.forall(_ >= math.log(1.0 / totalBigrams)))
+    val again = SearchQueries.lmPerplexity(spark, dir).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
   test("weighted sample: size-biased — kept docs are longer than the corpus average") {
     val kept = SearchQueries.weightedSample(spark, dir)
       .agg(avg(col("n_chars"))).head().getDouble(0)
