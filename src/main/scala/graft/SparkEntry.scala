@@ -67,6 +67,7 @@ object SparkEntry {
     "q_stream_windowed_counts" -> (StreamingQueries.streamWindowedCounts _),
     "q_stream_dedup" -> (StreamingQueries.streamDedup _),
     "q_stream_join" -> (StreamingQueries.streamJoin _),
+    "q_stream_session_window" -> (StreamingQueries.streamSessionWindow _),
     // log streams, scalar functions, diagnostics (SURVEY §2.3, 2.6, 2.7, 2.9)
     "q_json_props" -> (LogQueries.jsonProps _),
     "q_selog_expand" -> (LogQueries.selogExpand _),
@@ -119,6 +120,7 @@ object SparkEntry {
     "q_lsh_ann" -> ((s: SparkSession, d: String) => VectorQueries.lshAnn(s, d)),
     "q_ivf_ann" -> ((s: SparkSession, d: String) => VectorQueries.ivfAnn(s, d)),
     "q_pq_codes" -> ((s: SparkSession, d: String) => VectorQueries.pqCodes(s, d)),
+    "q_cluster_assign" -> (VectorQueries.clusterAssign _),
     "q_sessionize" -> (RelationalQueries.sessionize _),
     "q_session_window" -> (RelationalQueries.sessionWindow _),
     "q_asof_join" -> (RelationalQueries.asofJoin _),
@@ -140,9 +142,13 @@ object SparkEntry {
     */
   @volatile private var dynamicOracleSql: Map[String, String] = Map.empty
   def deriveDataOracles(s: SparkSession, dir: String): Unit =
-    dynamicOracleSql = Map(
-      "q_ivf_ann" -> VectorQueries.ivfAnnSql(VectorQueries.trainCentroids(s, dir)),
-      "q_pq_codes" -> VectorQueries.pqCodesSql(VectorQueries.trainPqCentroids(s, dir)))
+    dynamicOracleSql = {
+      val cents = VectorQueries.trainCentroids(s, dir) // shared: IVF + clustering
+      Map(
+        "q_ivf_ann" -> VectorQueries.ivfAnnSql(cents),
+        "q_cluster_assign" -> VectorQueries.clusterAssignSql(cents),
+        "q_pq_codes" -> VectorQueries.pqCodesSql(VectorQueries.trainPqCentroids(s, dir)))
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -207,6 +213,7 @@ object SparkEntry {
     "q_stream_windowed_counts" -> StreamingQueries.streamWindowedCountsSql,
     "q_stream_dedup" -> StreamingQueries.streamDedupSql,
     "q_stream_join" -> StreamingQueries.streamJoinSql,
+    "q_stream_session_window" -> StreamingQueries.streamSessionWindowSql,
     "q_stream_frame_assembly" -> StreamingQueries.streamFrameAssemblySql,
     "q_sessionize" -> RelationalQueries.sessionizeSql,
     "q_session_window" -> RelationalQueries.sessionWindowSql,

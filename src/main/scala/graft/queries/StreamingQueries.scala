@@ -128,6 +128,93 @@ object StreamingQueries {
   val streamDedupSql: String =
     "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
 
+  /** Session windows on the REAL streaming engine: the events file
+    * stream aggregated into per-user 30-minute-gap sessions
+    * (`session_window` state merging, append mode, watermark-driven
+    * finalisation) — the streaming twin of
+    * [[RelationalQueries.sessionWindow]], checked against the SAME
+    * DuckDB oracle, so streaming/batch session parity is the verified
+    * property.
+    *
+    * Append mode only emits a session once the watermark passes its
+    * end, and a session's end is its last event + gap — so a bounded
+    * file drain would strand every tail session in state forever. A
+    * far-future SENTINEL row (user −1, filtered out after the watermark
+    * node) advances the watermark past all real sessions — the
+    * standard "punctuation" trick for draining event-time state from a
+    * bounded source.
+    *
+    * Scale: session state is per (user, open session) and the
+    * watermark evicts closed sessions continuously; the shuffle is one
+    * user_id exchange — identical to the batch plan, plus state-store
+    * commits.
+    */
+  def streamSessionWindow(s0: SparkSession, dir: String): DataFrame = {
+    val s = boundedDrainSession(s0)
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val raw = s.read.parquet(s"$dir/events.parquet").schema
+    val src = s.readStream
+      .schema(raw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id"), col("ts"), col("value"))
+    val sentinel = MemoryStream[Long]
+    sentinel.addData(4102444800L) // 2100-01-01
+    val sentinelDf = sentinel
+      .toDS()
+      .select(
+        lit(-1L).as("user_id"),
+        timestamp_seconds(col("value")).as("ts"),
+        lit(0.0).as("value"))
+    // NO sentinel filter anywhere in the STREAMING plan: a user_id
+    // predicate — even placed after the aggregation — is pushed through
+    // the aggregate (it keys on user_id) and into the union branches,
+    // where it constant-folds to `Filter false` on the sentinel branch
+    // and starves the watermark collector. The sentinel aggregates like
+    // any user and is dropped from the SINK table (a batch DataFrame,
+    // outside the streaming plan) after the drain.
+    val agg = src
+      .unionByName(sentinelDf)
+      .withWatermark("ts", "1 second")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        col("user_id"),
+        col("w.start").as("session_start"),
+        col("w.end").as("session_end"),
+        col("n_events"),
+        col("sum_value"))
+    val name = s"stream_sessions_${System.nanoTime()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssw_ckpt").toString
+    val query = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      // batch k: file data + sentinel-1 → watermark jumps past every
+      // real session AFTER the batch. The evictions themselves happen in
+      // the NEXT batch — which processAllAvailable only awaits if it is
+      // a DATA batch, so feed a second, later sentinel and drain again
+      // (emission-in-no-data-batch is a race this avoids determinsitically)
+      query.processAllAvailable()
+      sentinel.addData(4102531200L) // 2100-01-02
+      query.processAllAvailable()
+    } finally {
+      try query.stop()
+      finally dropCheckpoint(ckpt)
+    }
+    s.table(name).filter(col("user_id") =!= -1L)
+  }
+
+  /** Oracle: literally the batch session-window oracle — the streaming
+    * drain must produce the identical session set.
+    */
+  val streamSessionWindowSql: String = RelationalQueries.sessionWindowSql
+
   /** Stream-stream interval join (view→click attribution): the events
     * file stream joined WITH ITSELF — clicks matched to any view by the
     * same user within the preceding hour — on the real streaming engine

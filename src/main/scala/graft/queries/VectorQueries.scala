@@ -196,6 +196,68 @@ object VectorQueries {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("sim"), 6).as("sim"), col("rank"))
   }
 
+  /** K-means document clustering (topic bucketing over the embedding
+    * column): every vector assigned to its nearest [[trainCentroids]]
+    * centroid with the squared L2 residual — the per-document cluster
+    * label a curation pipeline uses for topic mixing, outlier review,
+    * and IVF cell routing (this IS the IVF assignment, surfaced as a
+    * first-class operator).
+    *
+    * Scale: centroids train on a bounded sample and broadcast;
+    * assignment is a pure per-row map — zero shuffles at any corpus
+    * size. Deterministic training ⇒ exact DuckDB oracle via
+    * [[clusterAssignSql]] with inlined centroid literals.
+    */
+  def clusterAssign(s: SparkSession, dir: String): DataFrame = {
+    val centroids = trainCentroids(s, dir)
+    val centB = s.sparkContext.broadcast(centroids)
+    val assignUdf = udf { (emb: Seq[Float]) =>
+      val v = emb.toArray.map(_.toDouble)
+      val cents = centB.value
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        var d = 0.0
+        var i = 0
+        while (i < v.length) { val df = v(i) - cents(c)(i); d += df * df; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      (best.toLong, bestD)
+    }
+    Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), assignUdf(col("embedding")).as("a"))
+      .select(
+        col("vec_id"),
+        col("a._1").as("cluster"),
+        round(col("a._2"), 6).as("dist2"))
+  }
+
+  /** Exact oracle for [[clusterAssign]]: the assignment CTE of
+    * [[ivfAnnSql]] with the residual surfaced.
+    */
+  def clusterAssignSql(centroids: Array[Array[Double]]): String = {
+    val rows = centroids.zipWithIndex
+      .map { case (c, idx) =>
+        s"($idx, [${c.map(java.lang.Double.toString).mkString(", ")}]::DOUBLE[])"
+      }
+      .mkString(", ")
+    s"""WITH cent(cell, carr) AS (VALUES $rows),
+       emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       dists AS (
+         SELECT vec_id, cell, list_dot_product(df, df) AS dist
+         FROM (SELECT e.vec_id, c.cell,
+                      list_transform(generate_series(1, 64),
+                                     i -> e.emb[i] - c.carr[i]) AS df
+               FROM emb e CROSS JOIN cent c) d
+       )
+       SELECT vec_id, CAST(cell AS BIGINT) AS cluster, round(dist, 6) AS dist2
+       FROM dists
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1"""
+  }
+
   /** Product-quantization codebooks: the 64-dim space is cut into
     * `nSub` contiguous 8-dim subspaces, each with its own `k`-centroid
     * quantiser trained by seeded Lloyd iterations on the same bounded

@@ -77,4 +77,15 @@ class VectorSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"PQ encode must not shuffle\n${p.take(2000)}")
   }
+
+  test("cluster assign: pure map plan; assignment consistent with the IVF cells") {
+    val df = VectorQueries.clusterAssign(spark, dir)
+    val rows = df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"cluster assignment must not shuffle\n${p.take(2000)}")
+    assert(rows.length.toLong === graft.Tables.embeddings(spark, dir).count())
+    assert(rows.forall(r => r.getAs[Double]("dist2") >= 0.0))
+    val used = rows.map(_.getAs[Long]("cluster")).distinct.length
+    assert(used >= 8, s"centroid collapse: only $used of 16 clusters used")
+  }
 }
