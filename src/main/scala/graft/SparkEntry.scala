@@ -203,11 +203,11 @@ object SparkEntry {
     "q_dedup_embedding" -> VectorQueries.dedupEmbeddingSql,
     "q_lsh_ann" -> VectorQueries.lshAnnSql,
     "q_pii_scrub" -> PiiQueries.piiScrubSql,
-    "q_bm25_search" -> SearchQueries.bm25SearchSql,
+    "q_bm25_search" -> SearchQueries.bm25SearchSql(),
     "q_lm_perplexity" -> SearchQueries.lmPerplexitySql,
     "q_pagerank" -> GraphQueries.pagerankSql(),
-    "q_vocab_growth" -> SearchQueries.vocabGrowthSql,
-    "q_weighted_sample" -> SearchQueries.weightedSampleSql,
+    "q_vocab_growth" -> SearchQueries.vocabGrowthSql(),
+    "q_weighted_sample" -> SearchQueries.weightedSampleSql(),
     "q_media_dedup" -> DedupQueries.mediaDedupSql,
     "q_json_props" -> LogQueries.jsonPropsSql,
     "q_stream_windowed_counts" -> StreamingQueries.streamWindowedCountsSql,

@@ -84,7 +84,7 @@ object SearchQueries {
           Bm25QueryTerms.map(t => col(s"tf_$t")) :+ col("bm25") :+ col("rank"): _*)
   }
 
-  val bm25SearchSql: String = {
+  def bm25SearchSql(topK: Int = 50): String = {
     val tfDefs = Bm25QueryTerms
       .map(t => s"len(list_filter(w, x -> x = '$t'))::BIGINT AS tf_$t")
       .mkString(",\n                  ")
@@ -109,7 +109,7 @@ object SearchQueries {
         SELECT doc_id, dl, $tfOut, bm25,
                row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
         FROM scored
-        QUALIFY row_number() OVER (ORDER BY bm25 DESC, doc_id) <= 50"""
+        QUALIFY row_number() OVER (ORDER BY bm25 DESC, doc_id) <= $topK"""
   }
 
   // --------------------------------------------------------------------
@@ -160,16 +160,16 @@ object SearchQueries {
       .withColumn("cum_vocab", sum(col("new_terms")).over(w))
   }
 
-  val vocabGrowthSql: String =
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  def vocabGrowthSql(nBuckets: Int = 20): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        nid AS (SELECT max(doc_id) + 1 AS n_ids FROM documents),
-       db AS (SELECT (doc_id * 20) // n_ids AS bucket, len(w)::BIGINT AS dl
+       db AS (SELECT (doc_id * $nBuckets) // n_ids AS bucket, len(w)::BIGINT AS dl
               FROM d CROSS JOIN nid),
        tb AS (SELECT bucket, count(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS n_tokens
               FROM db GROUP BY 1),
        fd AS (SELECT t.term, min(doc_id) AS first_doc
               FROM d, unnest(w) AS t(term) GROUP BY 1),
-       nv AS (SELECT (first_doc * 20) // n_ids AS bucket, count(*) AS new_terms
+       nv AS (SELECT (first_doc * $nBuckets) // n_ids AS bucket, count(*) AS new_terms
               FROM fd CROSS JOIN nid GROUP BY 1)
        SELECT tb.bucket, n_docs, n_tokens,
               COALESCE(new_terms, 0) AS new_terms,
@@ -296,8 +296,8 @@ object SearchQueries {
         col("rank"))
   }
 
-  val weightedSampleSql: String =
-    """WITH keyed AS (
+  def weightedSampleSql(k: Int = 100): String =
+    s"""WITH keyed AS (
          SELECT doc_id, source, n_chars,
                 ln((((md5_number_lower('graftws:' || CAST(doc_id AS VARCHAR))
                       & 72057594037927935) >> 4) + 1)::DOUBLE / 4503599627370496.0)
@@ -306,5 +306,5 @@ object SearchQueries {
        SELECT doc_id, source, n_chars, round(key_raw, 6) AS priority,
               row_number() OVER (ORDER BY key_raw DESC, doc_id) AS rank
        FROM keyed
-       QUALIFY row_number() OVER (ORDER BY key_raw DESC, doc_id) <= 100"""
+       QUALIFY row_number() OVER (ORDER BY key_raw DESC, doc_id) <= $k"""
 }

@@ -271,13 +271,20 @@ object StreamingQueries {
     s.table(name)
   }
 
+  /** NB the CAST(ts AS TIMESTAMP): the harness parquet carries ns
+    * precision but the Spark side compares µs-truncated timestamps
+    * (`ts div 1000`) — the same ns→µs truncation discipline every other
+    * events oracle applies; without it a pair within 1 µs of the
+    * 60-minute boundary would flip between engines.
+    */
   val streamJoinSql: String =
     """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
-       date_diff('microsecond', v.ts, c.ts) AS lag_us
+       date_diff('microsecond', CAST(v.ts AS TIMESTAMP), CAST(c.ts AS TIMESTAMP)) AS lag_us
        FROM events v JOIN events c
          ON v.user_id = c.user_id
         AND v.event_type = 'view' AND c.event_type = 'click'
-        AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 60 MINUTE"""
+        AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+        AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 60 MINUTE"""
 
   /** A2 on the REAL streaming engine (state store, flatMapGroupsWithState,
     * processing-time TTL), oracle-checked: the closed-form

@@ -83,8 +83,14 @@ class SearchSpec extends AnyFunSuite {
 
   test("lm perplexity: scores are negative log-probs, bounded by the vocabulary, deterministic") {
     val rows = SearchQueries.lmPerplexity(spark, dir).collect()
-    val docs = graft.Tables.documents(spark, dir).count()
-    assert(rows.length == docs, "every document (len >= 2) must be scored")
+    // the operator scores documents with >= 2 tokens — mirror that
+    // filter here so a future corpus with a 1-token doc doesn't fail
+    // the suite on documented behavior
+    val docs = graft.Tables
+      .documents(spark, dir)
+      .filter(size(split(col("text"), " ", -1)) >= 2)
+      .count()
+    assert(rows.length == docs, "every document with >= 2 tokens must be scored")
     val scores = rows.map(_.getAs[Double]("avg_logprob"))
     // MLE bigram probs are in (0, 1]: mean log-prob is <= 0, and can
     // never be below ln(1/total-bigram-count)
