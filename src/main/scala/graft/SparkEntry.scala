@@ -121,6 +121,9 @@ object SparkEntry {
     "q_ivf_ann" -> ((s: SparkSession, d: String) => VectorQueries.ivfAnn(s, d)),
     "q_pq_codes" -> ((s: SparkSession, d: String) => VectorQueries.pqCodes(s, d)),
     "q_cluster_assign" -> (VectorQueries.clusterAssign _),
+    "q_embedding_outliers" -> ((s: SparkSession, d: String) =>
+      VectorQueries.embeddingOutliers(s, d)),
+    "q_pivot_event_matrix" -> (RelationalQueries.pivotEventMatrix _),
     "q_sessionize" -> (RelationalQueries.sessionize _),
     "q_session_window" -> (RelationalQueries.sessionWindow _),
     "q_asof_join" -> (RelationalQueries.asofJoin _),
@@ -147,6 +150,7 @@ object SparkEntry {
       Map(
         "q_ivf_ann" -> VectorQueries.ivfAnnSql(cents),
         "q_cluster_assign" -> VectorQueries.clusterAssignSql(cents),
+        "q_embedding_outliers" -> VectorQueries.embeddingOutliersSql(cents),
         "q_pq_codes" -> VectorQueries.pqCodesSql(VectorQueries.trainPqCentroids(s, dir)))
     }
 
@@ -221,6 +225,7 @@ object SparkEntry {
     // the custom-operator path must match the identical oracle
     "q_asof_join_custom" -> RelationalQueries.asofJoinSql,
     "q_rollup_revenue" -> RelationalQueries.rollupRevenueSql,
+    "q_pivot_event_matrix" -> RelationalQueries.pivotEventMatrixSql,
     // sketch ops: DuckDB re-derives every hash from the text (mod-prime
     // universal family — see TextHash scaladoc)
     "q_minhash_pairs" -> DedupQueries.minhashPairsSql,

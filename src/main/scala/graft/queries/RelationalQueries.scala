@@ -684,6 +684,34 @@ object RelationalQueries {
        JOIN region ON n_regionkey = r_regionkey
        GROUP BY ROLLUP (r_name, n_name)"""
 
+  /** Pivot (§2.6 aggregation surface): the per-user event-type matrix —
+    * `groupBy(user).pivot(event_type, [explicit values]).count()` — the
+    * long→wide reshape every analytics stack ships. The value list is
+    * EXPLICIT (never inferred): inference costs a full pre-pass over the
+    * corpus to discover the domain and makes the output schema
+    * data-dependent — at 100 TB the pivot must be one shuffle with a
+    * fixed schema, which the explicit list guarantees (Spark compiles it
+    * to per-value conditional aggregates, the same shape as the DuckDB
+    * mirror).
+    */
+  def pivotEventMatrix(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .filter(col("user_id") < 50)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  val pivotEventMatrixSql: String =
+    """SELECT user_id,
+       count(*) FILTER (event_type = 'view') AS view,
+       count(*) FILTER (event_type = 'click') AS click,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup') AS signup,
+       count(*) FILTER (event_type = 'error') AS error
+       FROM events WHERE user_id < 50 GROUP BY user_id"""
+
   /** Semi/anti join surface (§2.7): customers with ≥1 order but no
     * high-value order.
     */

@@ -258,6 +258,38 @@ object VectorQueries {
        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1"""
   }
 
+  /** Embedding outlier mining: the `k` vectors FARTHEST from their
+    * nearest cluster centroid — the "no topic claims this document"
+    * signal curation pipelines use to surface junk, format failures,
+    * and genuinely novel content for review.
+    *
+    * Scale: reuses the zero-shuffle [[clusterAssign]] map; the top-k by
+    * residual plans as `TakeOrderedAndProject` (per-partition heaps) —
+    * one pass, k rows out, no global sort. Selection orders by the
+    * ROUNDED residual (+ vec_id), so the cut is cross-engine
+    * deterministic.
+    */
+  def embeddingOutliers(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = clusterAssign(s, dir)
+      .orderBy(col("dist2").desc, col("vec_id"))
+      .limit(k)
+    top
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("dist2").desc, col("vec_id"))).cast("long"))
+  }
+
+  /** Oracle for [[embeddingOutliers]]: [[clusterAssignSql]] + the same
+    * rounded-residual top-k.
+    */
+  def embeddingOutliersSql(centroids: Array[Array[Double]], k: Int = 20): String =
+    s"""WITH assign AS (${clusterAssignSql(centroids)})
+       SELECT vec_id, cluster, dist2,
+              row_number() OVER (ORDER BY dist2 DESC, vec_id) AS rank
+       FROM assign
+       QUALIFY row_number() OVER (ORDER BY dist2 DESC, vec_id) <= $k"""
+
   /** Product-quantization codebooks: the 64-dim space is cut into
     * `nSub` contiguous 8-dim subspaces, each with its own `k`-centroid
     * quantiser trained by seeded Lloyd iterations on the same bounded
