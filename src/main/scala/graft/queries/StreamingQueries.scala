@@ -215,6 +215,59 @@ object StreamingQueries {
     */
   val streamSessionWindowSql: String = RelationalQueries.sessionWindowSql
 
+  /** Per-key running totals on the `transformWithState` arbitrary-state
+    * API ([[graft.streaming.RunningTotals]]): the events stream keyed by
+    * event_type, each batch updating typed ValueState and emitting the
+    * new totals in Update mode. The memory sink accumulates one row per
+    * (key, batch) — the final per-key MAX is batching-invariant (both
+    * statistics grow monotonically), so the drained result equals the
+    * batch aggregate and is oracle-checked.
+    *
+    * Scale: state is one (long, long) per key on the RocksDB provider
+    * (required by transformWithState; forced on the session clone) —
+    * keyed state scales with key cardinality, not stream length.
+    */
+  def streamRunningTotals(s0: SparkSession, dir: String): DataFrame = {
+    val s = boundedDrainSession(s0)
+    s.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    val raw = s.read.parquet(s"$dir/events.parquet").schema
+    val src = s.readStream
+      .schema(raw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("event_type"), col("event_id"))
+      .as[(String, Long)]
+    val out = src
+      .groupByKey(_._1)
+      .transformWithState(
+        new graft.streaming.RunningTotals,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    val name = s"stream_tws_${System.nanoTime()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_ckpt").toString
+    val query = out.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try query.processAllAvailable()
+    finally {
+      try query.stop()
+      finally dropCheckpoint(ckpt)
+    }
+    s.table(name)
+      .groupBy(col("_1").as("event_type"))
+      .agg(max(col("_2")).as("n_events"), max(col("_3")).as("max_event_id"))
+  }
+
+  val streamRunningTotalsSql: String =
+    """SELECT event_type, count(*) AS n_events, max(event_id) AS max_event_id
+       FROM events GROUP BY event_type"""
+
   /** Stream-stream interval join (view→click attribution): the events
     * file stream joined WITH ITSELF — clicks matched to any view by the
     * same user within the preceding hour — on the real streaming engine
