@@ -125,6 +125,7 @@ object SparkEntry {
     "q_embedding_outliers" -> ((s: SparkSession, d: String) =>
       VectorQueries.embeddingOutliers(s, d)),
     "q_pivot_event_matrix" -> (RelationalQueries.pivotEventMatrix _),
+    "q_time_resample" -> (RelationalQueries.timeResample _),
     "q_sessionize" -> (RelationalQueries.sessionize _),
     "q_session_window" -> (RelationalQueries.sessionWindow _),
     "q_asof_join" -> (RelationalQueries.asofJoin _),
@@ -228,6 +229,7 @@ object SparkEntry {
     "q_asof_join_custom" -> RelationalQueries.asofJoinSql,
     "q_rollup_revenue" -> RelationalQueries.rollupRevenueSql,
     "q_pivot_event_matrix" -> RelationalQueries.pivotEventMatrixSql,
+    "q_time_resample" -> RelationalQueries.timeResampleSql,
     // sketch ops: DuckDB re-derives every hash from the text (mod-prime
     // universal family — see TextHash scaladoc)
     "q_minhash_pairs" -> DedupQueries.minhashPairsSql,

@@ -684,6 +684,55 @@ object RelationalQueries {
        JOIN region ON n_regionkey = r_regionkey
        GROUP BY ROLLUP (r_name, n_name)"""
 
+  /** Calendar resampling with gap fill (the Pandas-`resample` class of
+    * operation): per-user DAILY event counts over the full corpus
+    * calendar, absent days emitted as zero — the regularisation step
+    * before any per-entity time-series model.
+    *
+    * Scale: the observed counts are one (user, day) shuffle with
+    * map-side partial agg; the dense calendar is GENERATED (a
+    * sequence-explode over the broadcast [min, max] day range crossed
+    * with the distinct user dimension), never scanned, and the fill
+    * join is keyed on (user, day) — uniform keys, AQE-handled. Calendar
+    * size = users × days, which is the OUTPUT size — nothing bigger is
+    * materialised.
+    */
+  def timeResample(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val counts = ev.groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("n_events"))
+    val range = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val users = ev.select(col("user_id")).distinct()
+    val calendar = users
+      .crossJoin(broadcast(range))
+      .select(
+        col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    calendar
+      .join(counts, Seq("user_id", "day"), "left")
+      .select(
+        col("user_id"),
+        col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
+  val timeResampleSql: String =
+    """WITH ev AS (
+         SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+         FROM events WHERE user_id < 20),
+       counts AS (SELECT user_id, day, count(*) AS n_events FROM ev GROUP BY 1, 2),
+       rng AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+       cal AS (
+         SELECT u.user_id,
+                CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                                            INTERVAL 1 DAY)) AS DATE) AS day
+         FROM (SELECT DISTINCT user_id FROM ev) u
+         CROSS JOIN rng)
+       SELECT cal.user_id, cal.day, COALESCE(counts.n_events, 0) AS n_events
+       FROM cal LEFT JOIN counts ON cal.user_id = counts.user_id AND cal.day = counts.day"""
+
   /** Pivot (§2.6 aggregation surface): the per-user event-type matrix —
     * `groupBy(user).pivot(event_type, [explicit values]).count()` — the
     * long→wide reshape every analytics stack ships. The value list is
