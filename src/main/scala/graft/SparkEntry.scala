@@ -126,6 +126,8 @@ object SparkEntry {
       VectorQueries.embeddingOutliers(s, d)),
     "q_pivot_event_matrix" -> (RelationalQueries.pivotEventMatrix _),
     "q_time_resample" -> (RelationalQueries.timeResample _),
+    "q_user_ewma" -> (RelationalQueries.userEwma _),
+    "q_zipf_slope" -> (SearchQueries.zipfSlope _),
     "q_sessionize" -> (RelationalQueries.sessionize _),
     "q_session_window" -> (RelationalQueries.sessionWindow _),
     "q_asof_join" -> (RelationalQueries.asofJoin _),
@@ -230,6 +232,8 @@ object SparkEntry {
     "q_rollup_revenue" -> RelationalQueries.rollupRevenueSql,
     "q_pivot_event_matrix" -> RelationalQueries.pivotEventMatrixSql,
     "q_time_resample" -> RelationalQueries.timeResampleSql,
+    "q_user_ewma" -> RelationalQueries.userEwmaSql,
+    "q_zipf_slope" -> SearchQueries.zipfSlopeSql,
     // sketch ops: DuckDB re-derives every hash from the text (mod-prime
     // universal family — see TextHash scaladoc)
     "q_minhash_pairs" -> DedupQueries.minhashPairsSql,

@@ -684,6 +684,52 @@ object RelationalQueries {
        JOIN region ON n_regionkey = r_regionkey
        GROUP BY ROLLUP (r_name, n_name)"""
 
+  /** Per-user exponentially-weighted moving average over the event value
+    * stream (α = 0.1, seeded with the first observation) — W1's EWMA
+    * smoothing (SURVEY §2.4) applied to the relational events surface:
+    * the per-entity smoothed-state primitive behind anomaly baselines
+    * and engagement scores.
+    *
+    * An EWMA is inherently sequential, so the operator makes the
+    * ordering EXPLICIT instead of leaning on shuffle order: per user,
+    * values are collected, sorted by (ts, event_id) — a total order —
+    * and folded left-to-right (`aggregate` seeded with `get(vals, 0)` ↔
+    * DuckDB `list_reduce`, which seeds from the first element), so the
+    * result is deterministic and cross-engine bit-compatible. Scale:
+    * ONE user_id shuffle; per-group state is bounded by the user's
+    * event count (the same bound any per-entity sequential model pays);
+    * at 100 TB the same fold runs per user without any global sort.
+    */
+  def userEwma(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .filter(col("user_id") < 50)
+      .select(
+        col("user_id"),
+        struct(unix_micros(col("ts")).as("tsu"), col("event_id"), col("value")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), collect_list(col("e")).as("es"))
+      .withColumn("vals", expr("transform(array_sort(es), s -> s.value)"))
+      .select(
+        col("user_id"),
+        col("n_events"),
+        round(
+          expr(
+            "aggregate(slice(vals, 2, size(vals) - 1), get(vals, 0), " +
+              "(acc, x) -> acc * 0.9 + x * 0.1)"),
+          6).as("ewma"))
+
+  val userEwmaSql: String =
+    """WITH ev AS (
+         SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, event_id, value
+         FROM events WHERE user_id < 50),
+       g AS (SELECT user_id, count(*) AS n_events,
+                    list(value ORDER BY tsu, event_id) AS vals
+             FROM ev GROUP BY 1)
+       SELECT user_id, n_events,
+              round(list_reduce(vals, (acc, x) -> acc * 0.9 + x * 0.1), 6) AS ewma
+       FROM g"""
+
   /** Calendar resampling with gap fill (the Pandas-`resample` class of
     * operation): per-user DAILY event counts over the full corpus
     * calendar, absent days emitted as zero — the regularisation step

@@ -180,6 +180,78 @@ object SearchQueries {
        FROM tb LEFT JOIN nv ON tb.bucket = nv.bucket"""
 
   // --------------------------------------------------------------------
+  // q_zipf_slope — rank-frequency power-law fit
+  // --------------------------------------------------------------------
+
+  /** Zipf diagnostic: least-squares slope/intercept of ln(frequency)
+    * against ln(rank) over the corpus vocabulary — natural corpora fit
+    * slope ≈ −1, and a corpus that DOESN'T is the classic signal of
+    * template spam or synthetic text.
+    *
+    * Scale: term frequencies are one partial-agg groupBy over uniform
+    * token keys; everything after operates on the VOCABULARY (bounded,
+    * ≪ corpus) — the rank window, the ln projections, and the four
+    * regression sums, each an ordered fold over the sorted point list so
+    * the oracle matches despite the per-point `ln` terms.
+    */
+  def zipfSlope(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables
+      .documents(s, dir)
+      .select(explode(toks).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("freq"))
+    val ranked = tf
+      .withColumn(
+        "r",
+        row_number().over(Window.orderBy(col("freq").desc, col("term"))).cast("long"))
+      .select(
+        log(col("r").cast("double")).as("lx"),
+        log(col("freq").cast("double")).as("ly"))
+    ranked
+      .agg(count(lit(1)).as("n_terms"), collect_list(struct(col("lx"), col("ly"))).as("ps"))
+      .withColumn("sorted", expr("array_sort(ps)"))
+      .withColumn("xs", expr("transform(sorted, p -> p.lx)"))
+      .withColumn("ys", expr("transform(sorted, p -> p.ly)"))
+      .withColumn("sx", expr("aggregate(xs, 0.0d, (a, x) -> a + x)"))
+      .withColumn("sy", expr("aggregate(ys, 0.0d, (a, x) -> a + x)"))
+      .withColumn("sxy", expr("aggregate(transform(sorted, p -> p.lx * p.ly), 0.0d, (a, x) -> a + x)"))
+      .withColumn("sxx", expr("aggregate(transform(sorted, p -> p.lx * p.lx), 0.0d, (a, x) -> a + x)"))
+      .withColumn("n", col("n_terms").cast("double"))
+      .select(
+        col("n_terms"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"), 6)
+          .as("intercept"))
+  }
+
+  val zipfSlopeSql: String =
+    """WITH tf AS (
+         SELECT t.term, count(*) AS freq
+         FROM documents, unnest(string_split(text, ' ')) AS t(term)
+         GROUP BY 1),
+       ranked AS (
+         SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, term) AS DOUBLE)) AS lx,
+                ln(CAST(freq AS DOUBLE)) AS ly
+         FROM tf),
+       g AS (
+         SELECT count(*) AS n_terms,
+                list_reduce(list(lx ORDER BY lx, ly), (a, x) -> a + x) AS sx,
+                list_reduce(list(ly ORDER BY lx, ly), (a, x) -> a + x) AS sy,
+                list_reduce(list(lx * ly ORDER BY lx, ly), (a, x) -> a + x) AS sxy,
+                list_reduce(list(lx * lx ORDER BY lx, ly), (a, x) -> a + x) AS sxx
+         FROM ranked)
+       SELECT n_terms,
+              round((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                      / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+              round((sy - ((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                      / (CAST(n_terms AS DOUBLE) * sxx - sx * sx)) * sx)
+                      / CAST(n_terms AS DOUBLE), 6) AS intercept
+       FROM g"""
+
+  // --------------------------------------------------------------------
   // q_lm_perplexity — bigram language-model fluency scoring
   // --------------------------------------------------------------------
 
