@@ -255,6 +255,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!"""windowspecdefinition\(term""".r.findFirstIn(p).isDefined)
   }
 
+  test("q_pivot_event_matrix / q_user_ewma: ONE keyed shuffle, no cartesian") {
+    for (name <- Seq("q_pivot_event_matrix", "q_user_ewma")) {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), name)
+      // partial agg below, final agg above, exactly one hash exchange on
+      // the grouping key — the shape that holds at any corpus size
+      val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+      assert(exchanges >= 1, s"$name: expected the user_id exchange\n${p.take(2000)}")
+      assert("Exchange".r.findAllIn(p).size == exchanges,
+        s"$name: extra non-key exchanges leaked into the plan")
+    }
+  }
+
+  test("q_time_resample: generated calendar, keyed fill join, no cartesian blow-up") {
+    val df = graft.SparkEntry.queries("q_time_resample")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the only nested-loop join allowed is the broadcast of the ONE-ROW
+    // day range; the gap-fill join must stay equi-keyed
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("Range") || p.contains("Generate"),
+      "calendar must be generated, not scanned")
+  }
+
   test("q_substring_dedup: first-occurrence is a partial-agg groupBy, no window on the shingle") {
     val df = graft.SparkEntry.queries("q_substring_dedup")(spark, dir)
     df.collect()
