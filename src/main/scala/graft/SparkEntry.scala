@@ -127,7 +127,9 @@ object SparkEntry {
     "q_pivot_event_matrix" -> (RelationalQueries.pivotEventMatrix _),
     "q_time_resample" -> (RelationalQueries.timeResample _),
     "q_user_ewma" -> (RelationalQueries.userEwma _),
+    "q_hopping_counts" -> (RelationalQueries.hoppingCounts _),
     "q_zipf_slope" -> (SearchQueries.zipfSlope _),
+    "q_inverted_index" -> (SearchQueries.invertedIndex _),
     "q_sessionize" -> (RelationalQueries.sessionize _),
     "q_session_window" -> (RelationalQueries.sessionWindow _),
     "q_asof_join" -> (RelationalQueries.asofJoin _),
@@ -233,7 +235,9 @@ object SparkEntry {
     "q_pivot_event_matrix" -> RelationalQueries.pivotEventMatrixSql,
     "q_time_resample" -> RelationalQueries.timeResampleSql,
     "q_user_ewma" -> RelationalQueries.userEwmaSql,
+    "q_hopping_counts" -> RelationalQueries.hoppingCountsSql,
     "q_zipf_slope" -> SearchQueries.zipfSlopeSql,
+    "q_inverted_index" -> SearchQueries.invertedIndexSql,
     // sketch ops: DuckDB re-derives every hash from the text (mod-prime
     // universal family — see TextHash scaladoc)
     "q_minhash_pairs" -> DedupQueries.minhashPairsSql,

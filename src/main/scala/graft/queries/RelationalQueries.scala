@@ -684,6 +684,34 @@ object RelationalQueries {
        JOIN region ON n_regionkey = r_regionkey
        GROUP BY ROLLUP (r_name, n_name)"""
 
+  /** Hopping (sliding) window aggregation — `window(ts, "1 day",
+    * "6 hours")`: every event contributes to the 4 overlapping 24-hour
+    * windows that contain it, the windowing mode behind trailing-24h
+    * dashboards (tumbling = q_stream_windowed_counts; session =
+    * q_session_window; this completes the trio).
+    *
+    * Scale: Spark expands each row to its window memberships (a fixed
+    * 4× amplification from day/6h — narrow, no join) and aggregates on
+    * the (window, type) key — ONE bounded-key shuffle with map-side
+    * partial agg. Windows are epoch-aligned, which the oracle mirrors
+    * with integer epoch-µs arithmetic.
+    */
+  def hoppingCounts(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .groupBy(window(col("ts"), "1 day", "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+
+  val hoppingCountsSql: String =
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+       x AS (SELECT event_type,
+                    make_timestamp((epoch_us(ts) // 21600000000) * 21600000000
+                                   - k * 21600000000) AS win_start
+             FROM e CROSS JOIN generate_series(0, 3) g(k))
+       SELECT win_start, event_type, count(*) AS n
+       FROM x GROUP BY 1, 2"""
+
   /** Per-user exponentially-weighted moving average over the event value
     * stream (α = 0.1, seeded with the first observation) — W1's EWMA
     * smoothing (SURVEY §2.4) applied to the relational events surface:

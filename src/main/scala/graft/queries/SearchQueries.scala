@@ -180,6 +180,41 @@ object SearchQueries {
        FROM tb LEFT JOIN nv ON tb.bucket = nv.bucket"""
 
   // --------------------------------------------------------------------
+  // q_inverted_index — term → ordered posting list
+  // --------------------------------------------------------------------
+
+  /** Inverted-index build: per term, the document frequency and the
+    * doc_id-ordered posting list (rendered as a comma-joined string so
+    * the hash compare is array-representation-agnostic) — the index
+    * structure behind [[bm25Search]] served as a first-class output.
+    *
+    * Scale: distinct (term, doc) pairs collapse map-side (array_distinct
+    * before the explode keeps per-doc duplicates off the wire), then ONE
+    * shuffle on the term key; per-term state is the posting list itself
+    * — the same bound any index builder pays, with pathological terms
+    * capped upstream by the boilerplate filters. Postings are sorted
+    * in-group (bounded), never globally.
+    */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(toks)).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), collect_list(col("doc_id")).as("ps"))
+      .select(
+        col("term"),
+        col("df"),
+        array_join(expr("transform(array_sort(ps), x -> cast(x AS string))"), ",")
+          .as("postings"))
+
+  val invertedIndexSql: String =
+    """SELECT t.term, count(*) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+       FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+             FROM documents) t
+       GROUP BY t.term"""
+
+  // --------------------------------------------------------------------
   // q_zipf_slope — rank-frequency power-law fit
   // --------------------------------------------------------------------
 
