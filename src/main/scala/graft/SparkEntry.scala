@@ -128,6 +128,7 @@ object SparkEntry {
     "q_time_resample" -> (RelationalQueries.timeResample _),
     "q_user_ewma" -> (RelationalQueries.userEwma _),
     "q_hopping_counts" -> (RelationalQueries.hoppingCounts _),
+    "q_engagement_corr" -> (RelationalQueries.engagementCorr _),
     "q_zipf_slope" -> (SearchQueries.zipfSlope _),
     "q_inverted_index" -> (SearchQueries.invertedIndex _),
     "q_sessionize" -> (RelationalQueries.sessionize _),
@@ -236,6 +237,7 @@ object SparkEntry {
     "q_time_resample" -> RelationalQueries.timeResampleSql,
     "q_user_ewma" -> RelationalQueries.userEwmaSql,
     "q_hopping_counts" -> RelationalQueries.hoppingCountsSql,
+    "q_engagement_corr" -> RelationalQueries.engagementCorrSql,
     "q_zipf_slope" -> SearchQueries.zipfSlopeSql,
     "q_inverted_index" -> SearchQueries.invertedIndexSql,
     // sketch ops: DuckDB re-derives every hash from the text (mod-prime

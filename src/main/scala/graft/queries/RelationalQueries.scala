@@ -684,6 +684,78 @@ object RelationalQueries {
        JOIN region ON n_regionkey = r_regionkey
        GROUP BY ROLLUP (r_name, n_name)"""
 
+  /** Pearson correlations between per-user activity counts (view↔click,
+    * view↔purchase, click↔purchase) — the engagement-funnel statistic
+    * behind "do viewers click?" dashboards.
+    *
+    * Float discipline better than any fold: every moment (Σx, Σxy, Σx²)
+    * is an INTEGER sum of per-user counts — exact, commutative,
+    * order-FREE — so the only floating-point work is the final closed
+    * form over ten scalars, written as the same expression tree in both
+    * engines (sqrt is correctly rounded ⇒ bit-identical). Scale: one
+    * user_id shuffle with map-side partial agg + one scalar aggregate;
+    * nothing is collected, nothing is sorted.
+    */
+  def engagementCorr(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables
+      .events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+    val st = per.agg(
+      count(lit(1)).as("n"),
+      sum(col("v")).as("sv"),
+      sum(col("c")).as("sc"),
+      sum(col("p")).as("sp"),
+      sum(col("v") * col("c")).as("svc"),
+      sum(col("v") * col("p")).as("svp"),
+      sum(col("c") * col("p")).as("scp"),
+      sum(col("v") * col("v")).as("svv"),
+      sum(col("c") * col("c")).as("scc"),
+      sum(col("p") * col("p")).as("spp"))
+    def r(sxy: String, sx: String, sy: String, sxx: String, syy: String) = {
+      val n = col("n").cast("double")
+      val num = n * col(sxy).cast("double") - col(sx).cast("double") * col(sy).cast("double")
+      val dx = sqrt(n * col(sxx).cast("double") - col(sx).cast("double") * col(sx).cast("double"))
+      val dy = sqrt(n * col(syy).cast("double") - col(sy).cast("double") * col(sy).cast("double"))
+      round(num / (dx * dy), 6)
+    }
+    st.select(
+      col("n").as("n_users"),
+      r("svc", "sv", "sc", "svv", "scc").as("r_view_click"),
+      r("svp", "sv", "sp", "svv", "spp").as("r_view_purchase"),
+      r("scp", "sc", "sp", "scc", "spp").as("r_click_purchase"))
+  }
+
+  val engagementCorrSql: String =
+    """WITH per AS (
+         SELECT user_id,
+                SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+                SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+                SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+         FROM events GROUP BY 1),
+       st AS (
+         SELECT count(*) AS n, SUM(v) AS sv, SUM(c) AS sc, SUM(p) AS sp,
+                SUM(v * c) AS svc, SUM(v * p) AS svp, SUM(c * p) AS scp,
+                SUM(v * v) AS svv, SUM(c * c) AS scc, SUM(p * p) AS spp
+         FROM per)
+       SELECT n AS n_users,
+              round((CAST(n AS DOUBLE) * CAST(svc AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sc AS DOUBLE))
+                / (sqrt(CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                   * sqrt(CAST(n AS DOUBLE) * CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))), 6)
+                AS r_view_click,
+              round((CAST(n AS DOUBLE) * CAST(svp AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sp AS DOUBLE))
+                / (sqrt(CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                   * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 6)
+                AS r_view_purchase,
+              round((CAST(n AS DOUBLE) * CAST(scp AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sp AS DOUBLE))
+                / (sqrt(CAST(n AS DOUBLE) * CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+                   * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 6)
+                AS r_click_purchase
+       FROM st"""
+
   /** Hopping (sliding) window aggregation — `window(ts, "1 day",
     * "6 hours")`: every event contributes to the 4 overlapping 24-hour
     * windows that contain it, the windowing mode behind trailing-24h
