@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.functions.MinK
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Locks for the sketch operators ([[SketchQueries]]) and the bounded
+  * [[MinK]] aggregator. The DuckDB hash oracle checks exact counter /
+  * minimum parity; these tests pin the semantic invariants: the KMV buffer
+  * is always the true bottom-k distinct set (property-checked against a
+  * brute-force model), and the count-min estimate never underestimates.
+  */
+class SketchSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = graft.Sessions.local("sketch-spec", "4")
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  private val dir = "/root/testdata/sf0.001"
+
+  test("MinK: reduce/merge always hold the bottom-k distinct set (vs brute force)") {
+    val k = 8
+    val agg = new MinK(k)
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 50) {
+      val n = rnd.nextInt(40)
+      val values = Array.fill(n)(rnd.nextInt(30).toLong) // dense → many dupes
+      // random split into partial buffers, reduced then merged in order
+      val parts = values.grouped(math.max(1, 1 + rnd.nextInt(7))).toSeq
+      val merged = parts
+        .map(p => p.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      val expect = values.distinct.sorted.take(k)
+      assert(merged.toSeq == expect.toSeq, s"trial $trial")
+      assert(merged.length <= k)
+    }
+  }
+
+  test("MinK: buffers stay bounded at k during reduce") {
+    val k = 4
+    val agg = new MinK(k)
+    var buf = agg.zero
+    for (v <- 100L to 1L by -1L) {
+      buf = agg.reduce(buf, v)
+      assert(buf.length <= k)
+      assert(buf.toSeq == buf.toSeq.sorted)
+    }
+    assert(buf.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("kmv_distinct: estimator engages and lands within 3x of exact") {
+    val rows = SketchQueries.kmvDistinct(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val exact = r.getAs[Long]("n_exact")
+      val est = r.getAs[Double]("est_distinct")
+      assert(est > 0.0)
+      if (r.isNullAt(r.fieldIndex("kth_hash"))) {
+        // fewer than k distinct values → exact passthrough
+        assert(est == exact.toDouble)
+      } else {
+        // a k=16 KMV estimate is loose but must be the right order of magnitude
+        assert(est > exact / 3.0 && est < exact * 3.0, s"source=${r.getString(0)}")
+      }
+    }
+  }
+
+  test("heavy_hitters: count-min never underestimates and top tokens are exact-descending") {
+    val rows = SketchQueries
+      .heavyHitters(spark, dir)
+      .orderBy(org.apache.spark.sql.functions.col("exact_cnt").desc)
+      .collect()
+    assert(rows.length == 20)
+    for (r <- rows)
+      assert(r.getAs[Long]("est_cnt") >= r.getAs[Long]("exact_cnt"), r.toString)
+    val exacts = rows.map(_.getAs[Long]("exact_cnt"))
+    assert(exacts.zip(exacts.tail).forall { case (a, b) => a >= b })
+  }
+}
