@@ -115,6 +115,7 @@ object SparkEntry {
     "q_bm25_search" -> ((s: SparkSession, d: String) => SearchQueries.bm25Search(s, d)),
     "q_lm_perplexity" -> (SearchQueries.lmPerplexity _),
     "q_pagerank" -> ((s: SparkSession, d: String) => GraphQueries.pagerank(s, d)),
+    "q_triangle_count" -> ((s: SparkSession, d: String) => GraphQueries.triangleCount(s, d)),
     "q_vocab_growth" -> ((s: SparkSession, d: String) => SearchQueries.vocabGrowth(s, d)),
     "q_weighted_sample" -> ((s: SparkSession, d: String) => SearchQueries.weightedSample(s, d)),
     "q_media_dedup" -> ((s: SparkSession, d: String) => DedupQueries.mediaDedup(s, d)),
@@ -219,6 +220,7 @@ object SparkEntry {
     "q_bm25_search" -> SearchQueries.bm25SearchSql(),
     "q_lm_perplexity" -> SearchQueries.lmPerplexitySql,
     "q_pagerank" -> GraphQueries.pagerankSql(),
+    "q_triangle_count" -> GraphQueries.triangleCountSql(),
     "q_vocab_growth" -> SearchQueries.vocabGrowthSql(),
     "q_weighted_sample" -> SearchQueries.weightedSampleSql(),
     "q_media_dedup" -> DedupQueries.mediaDedupSql,
