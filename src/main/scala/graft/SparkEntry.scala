@@ -123,6 +123,7 @@ object SparkEntry {
     "q_ivf_ann" -> ((s: SparkSession, d: String) => VectorQueries.ivfAnn(s, d)),
     "q_pq_codes" -> ((s: SparkSession, d: String) => VectorQueries.pqCodes(s, d)),
     "q_cluster_assign" -> (VectorQueries.clusterAssign _),
+    "q_semdedup" -> ((s: SparkSession, d: String) => VectorQueries.semDedup(s, d)),
     "q_embedding_outliers" -> ((s: SparkSession, d: String) =>
       VectorQueries.embeddingOutliers(s, d)),
     "q_pivot_event_matrix" -> (RelationalQueries.pivotEventMatrix _),
@@ -160,6 +161,7 @@ object SparkEntry {
       Map(
         "q_ivf_ann" -> VectorQueries.ivfAnnSql(cents),
         "q_cluster_assign" -> VectorQueries.clusterAssignSql(cents),
+        "q_semdedup" -> VectorQueries.semDedupSql(cents),
         "q_embedding_outliers" -> VectorQueries.embeddingOutliersSql(cents),
         "q_pq_codes" -> VectorQueries.pqCodesSql(VectorQueries.trainPqCentroids(s, dir)))
     }

@@ -290,6 +290,57 @@ object VectorQueries {
        FROM assign
        QUALIFY row_number() OVER (ORDER BY dist2 DESC, vec_id) <= $k"""
 
+  /** SemDeDup-style semantic deduplication: coarse k-means cells bound
+    * the pairwise work, then every within-cell pair above `minSim` cosine
+    * marks the higher-id member as a drop (greedy lowest-id-canonical, the
+    * SemDeDup rule). Output is the per-vector verdict: cluster, keep flag,
+    * and the best similarity to a lower-id neighbor that caused a drop.
+    *
+    * Scale: this is exactly why the quadratic [[dedupEmbedding]] kernel is
+    * viable at 100 TB — assignment is a zero-shuffle broadcast map, the
+    * pair join shuffles once on cell id, and the per-cell candidate set is
+    * corpus_size/nLists on average (tune nLists so cells fit an executor;
+    * AQE skew-join splits hot cells). Deterministic training ⇒ exact
+    * DuckDB oracle via [[semDedupSql]] with inlined centroid literals.
+    */
+  def semDedup(s: SparkSession, dir: String, minSim: Double = 0.35): DataFrame = {
+    graft.plans.VecDot.register(s)
+    val assigned = clusterAssign(s, dir).select(col("vec_id"), col("cluster"))
+    val e = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+    val ce = e.join(assigned, "vec_id")
+    val a = ce.select(col("cluster"), col("vec_id").as("va"), col("emb").as("emb_a"))
+    val b = ce.select(col("cluster"), col("vec_id").as("vb"), col("emb").as("emb_b"))
+    val pairs = a
+      .join(b, Seq("cluster"))
+      .filter(col("va") < col("vb"))
+      .withColumn("sim", expr("vec_dot(emb_a, emb_b)"))
+      .filter(col("sim") >= minSim)
+    val drops = pairs.groupBy(col("vb")).agg(max(col("sim")).as("nn_sim"))
+    ce.join(drops, ce("vec_id") === drops("vb"), "left")
+      .select(
+        col("vec_id"),
+        col("cluster"),
+        col("vb").isNull.as("keep"),
+        round(col("nn_sim"), 6).as("nn_sim"))
+  }
+
+  /** Exact oracle for [[semDedup]]: the assignment CTE with inlined
+    * centroids + the same within-cell pair join and drop rule.
+    */
+  def semDedupSql(centroids: Array[Array[Double]], minSim: Double = 0.35): String =
+    s"""WITH assign AS (${clusterAssignSql(centroids)}),
+       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       ce AS (SELECT e.vec_id, a.cluster, e.emb FROM e JOIN assign a USING (vec_id)),
+       pairs AS (
+         SELECT x.vec_id AS va, y.vec_id AS vb, list_dot_product(x.emb, y.emb) AS sim
+         FROM ce x JOIN ce y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+         WHERE list_dot_product(x.emb, y.emb) >= $minSim),
+       drops AS (SELECT vb, max(sim) AS nn_sim FROM pairs GROUP BY vb)
+       SELECT c.vec_id, c.cluster, (d.vb IS NULL) AS keep, round(d.nn_sim, 6) AS nn_sim
+       FROM ce c LEFT JOIN drops d ON c.vec_id = d.vb"""
+
   /** Product-quantization codebooks: the 64-dim space is cut into
     * `nSub` contiguous 8-dim subspaces, each with its own `k`-centroid
     * quantiser trained by seeded Lloyd iterations on the same bounded

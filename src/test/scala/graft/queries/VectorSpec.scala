@@ -88,4 +88,20 @@ class VectorSpec extends AnyFunSuite {
     val used = rows.map(_.getAs[Long]("cluster")).distinct.length
     assert(used >= 8, s"centroid collapse: only $used of 16 clusters used")
   }
+
+  test("semdedup: verdict covers the corpus; drops have lower-id witnesses in-cell") {
+    val rows = VectorQueries.semDedup(spark, dir).collect()
+    assert(rows.length.toLong === graft.Tables.embeddings(spark, dir).count())
+    val byId = rows.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    val dropped = rows.filter(!_.getAs[Boolean]("keep"))
+    // the drop rule is greedy-by-id: the LOWEST id in any cell is always kept
+    val cells = rows.groupBy(_.getAs[Long]("cluster"))
+    for ((_, members) <- cells) {
+      val lowest = members.map(_.getAs[Long]("vec_id")).min
+      assert(byId(lowest).getAs[Boolean]("keep"), s"lowest id $lowest must be kept")
+    }
+    // every dropped vector carries its witness similarity; kept ones carry null
+    for (r <- dropped) assert(!r.isNullAt(r.fieldIndex("nn_sim")))
+    for (r <- rows if r.getAs[Boolean]("keep")) assert(r.isNullAt(r.fieldIndex("nn_sim")))
+  }
 }
