@@ -339,6 +339,67 @@ object StreamingQueries {
         AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
         AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 60 MINUTE"""
 
+  /** P1–P5/D1 on the REAL streaming engine: the SAME
+    * [[graft.operators.EventFormation.formEvents]] operator object that
+    * serves the batch [[PipelineQueries.traceToEvents]] applied to a
+    * MemoryStream of dat2 trace messages — the reference's trace-to-events
+    * topology (Kafka in → per-message detector chain → Kafka out,
+    * `trace-to-events/src/main.rs`) as a streaming query. The operator is
+    * a stateless per-message typed map, so it runs unchanged under either
+    * engine; the drained result must hash-match the SAME DuckDB
+    * gaps-and-islands oracle as the batch path — batch/stream operator
+    * parity is the checked property.
+    *
+    * Scale: stateless map ⇒ no state store, no watermark, no shuffle;
+    * throughput scales with partitions exactly like the batch stage.
+    */
+  def streamTraceToEvents(s0: SparkSession, dir: String): DataFrame = {
+    val s = boundedDrainSession(s0)
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val traces =
+      TraceFixtures.arithmeticTraces(s, nFrames = 32, nDigitizers = 4).collect().toSeq
+    val input = MemoryStream[graft.schemas.TraceMessage]
+    val events = graft.operators.EventFormation.formEvents(
+      input.toDS(),
+      graft.dsp.DetectorSettings(graft.dsp.FixedThreshold(threshold = 100.0), baseline = 50.0))
+    val out = events
+      .toDF()
+      .select(
+        col("digitizerId"),
+        col("metadata.frameNumber").as("frame_number"),
+        size(col("time")).as("n_events"),
+        explode_outer(arrays_zip(col("time"), col("voltage"), col("channel"))).as("ev"))
+      .select(
+        col("digitizerId"),
+        col("frame_number"),
+        col("n_events"),
+        col("ev.time").as("event_time"),
+        col("ev.voltage").as("event_voltage"),
+        col("ev.channel").as("event_channel"))
+    val name = s"stream_t2e_${System.nanoTime()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_t2e_ckpt").toString
+    val query = out.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.addData(traces)
+      query.processAllAvailable()
+    } finally {
+      try query.stop()
+      finally dropCheckpoint(ckpt)
+    }
+    s.table(name)
+  }
+
+  /** Oracle for [[streamTraceToEvents]]: literally the batch
+    * trace-to-events oracle — same detector chain, same projection.
+    */
+  val streamTraceToEventsSql: String = PipelineQueries.traceToEventsSql
+
   /** A2 on the REAL streaming engine (state store, flatMapGroupsWithState,
     * processing-time TTL), oracle-checked: the closed-form
     * [[PipelineQueries.arithmeticDev2Messages]] ORIGINALS are fed

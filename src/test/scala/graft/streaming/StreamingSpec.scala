@@ -1016,4 +1016,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "fixture must produce at least one view→click pair")
     assert(streamed.toSeq == batch.toSeq, "stream-stream join must equal the batch join")
   }
+
+  test("streaming trace-to-events equals the batch detector chain row-for-row") {
+    val dir = "/root/testdata/sf0.001" // unused by both paths (closed-form fixture)
+    val streamed = graft.queries.StreamingQueries
+      .streamTraceToEvents(spark, dir)
+      .collect()
+      .map(_.toString)
+      .sorted
+    val batch = graft.queries.PipelineQueries
+      .traceToEvents(spark, dir)
+      .collect()
+      .map(_.toString)
+      .sorted
+    assert(batch.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq,
+      "the same EventFormation operator must produce identical events under both engines")
+  }
 }
