@@ -108,6 +108,7 @@ object SparkEntry {
     "q_substring_dedup" -> (CurationQueries.substringDedup _),
     "q_sequence_pack" -> (CurationQueries.sequencePack _),
     "q_decontaminate" -> (CurationQueries.decontaminate _),
+    "q_bloom_prune" -> (CurationQueries.bloomPrune _),
     "q_quality_score" -> (CurationQueries.qualityScore _),
     "q_top_ngrams" -> (CurationQueries.topNgrams _),
     "q_cosine_topk" -> ((s: SparkSession, d: String) => VectorQueries.cosineTopK(s, d)),
@@ -214,6 +215,7 @@ object SparkEntry {
     "q_substring_dedup" -> CurationQueries.substringDedupSql,
     "q_sequence_pack" -> CurationQueries.sequencePackSql,
     "q_decontaminate" -> CurationQueries.decontaminateSql,
+    "q_bloom_prune" -> CurationQueries.bloomPruneSql,
     "q_quality_score" -> CurationQueries.qualityScoreSql,
     "q_top_ngrams" -> CurationQueries.topNgramsSql,
     "q_cosine_topk" -> VectorQueries.cosineTopKSql,

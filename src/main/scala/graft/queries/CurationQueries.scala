@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.TextHash
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -591,6 +592,112 @@ object CurationQueries {
         FROM g LEFT JOIN ev USING (gram)
         WHERE g.doc_id % 50 != 0
         GROUP BY g.doc_id"""
+  }
+
+  // --------------------------------------------------------------------
+  // q_bloom_prune — broadcast Bloom-filter decontamination pre-filter
+  // --------------------------------------------------------------------
+
+  /** Bloom-filter pre-filter for decontamination — the broadcast-bloom
+    * join-pruning pattern: the held-out eval set's 8-grams are folded into
+    * a [[BloomBits]]-bit Bloom filter ([[BloomHashes]] hash functions from
+    * the SQL-reproducible family), and every corpus gram probes the filter
+    * instead of joining the eval grams directly. A gram "maybe hits" iff
+    * ALL of its probe bits are set; Bloom's contract — no false negatives,
+    * bounded false positives — means `bloom_contaminated ⊇
+    * exact_contaminated`, and only the (rare) maybe-docs need the exact
+    * verification join. Both verdicts are emitted so the containment is
+    * the oracle-checked property, not just a claim.
+    *
+    * Scale: THIS is how the [[decontaminate]] broadcast shrinks when the
+    * eval set stops being small — the filter is BloomBits/8 bytes (4 KiB
+    * here) regardless of eval-gram count, vs broadcasting every distinct
+    * gram string. The filter itself is a set of distinct bucket ids —
+    * semantically identical to the bit array and exactly re-derivable in
+    * SQL (Spark's own runtime BloomFilterAggregate is the same idea with
+    * an opaque binary layout the oracle couldn't check). One corpus scan
+    * (shared token projection), zero extra shuffles: the probe is a
+    * broadcast join on bucket id.
+    */
+  val BloomBits = 32768
+  val BloomHashes = 4
+
+  def bloomPrune(s: SparkSession, dir: String): DataFrame = {
+    val L = DecontGramTokens
+    val bUdf = udf { (g: String, j: Int) =>
+      TextHash.permHash(TextHash.polyHash(g), 500L + j) % BloomBits
+    }
+    val tokens = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), toks.as("w"))
+      .persist()
+    val grams = tokens
+      .select(col("doc_id"), posexplode(expr(gramsExpr(L))).as(Seq("pos", "gram")))
+    val evalGrams = grams
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("gram"))
+      .distinct()
+    val bits = evalGrams
+      .withColumn("j", explode(sequence(lit(0), lit(BloomHashes - 1))))
+      .select(bUdf(col("gram"), col("j")).as("bucket"))
+      .distinct()
+    val corpus = grams.filter(col("doc_id") % 50 =!= 0)
+    val maybe = corpus
+      .withColumn("j", explode(sequence(lit(0), lit(BloomHashes - 1))))
+      .withColumn("bucket", bUdf(col("gram"), col("j")))
+      .join(broadcast(bits), Seq("bucket"))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(count(lit(1)).as("nj"))
+      .filter(col("nj") === BloomHashes)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_maybe"))
+    val exact = corpus
+      .join(broadcast(evalGrams.select(col("gram"), lit(1).as("hit"))), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hits"))
+    exact
+      .join(maybe, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        coalesce(col("n_maybe"), lit(0L)).as("n_maybe"),
+        (coalesce(col("n_maybe"), lit(0L)) > 0).as("bloom_contaminated"),
+        (col("n_hits") > 0).as("exact_contaminated"))
+  }
+
+  /** DuckDB re-derivation of [[bloomPrune]]: the bucket set, every probe,
+    * and both verdicts rebuilt from scratch.
+    */
+  val bloomPruneSql: String = {
+    val L = DecontGramTokens
+    val m = BloomBits
+    val poly = SketchQueries.polySql("gram")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        g AS (SELECT doc_id, i AS pos, ${gramsSql(L)} gram
+              FROM t, unnest(generate_series(1, len(w) - ${L - 1})) AS s(i)),
+        ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        evh AS (SELECT gram, $poly AS h FROM ev),
+        bits AS (
+          SELECT DISTINCT (${SketchQueries.permSql("h", "500 + j")}) % $m AS bucket
+          FROM evh CROSS JOIN range($BloomHashes) rj(j)),
+        corpus AS (
+          SELECT doc_id, pos, gram, $poly AS h FROM g WHERE doc_id % 50 != 0),
+        probe AS (
+          SELECT doc_id, pos, j, (${SketchQueries.permSql("h", "500 + j")}) % $m AS bucket
+          FROM corpus CROSS JOIN range($BloomHashes) rj(j)),
+        hits AS (
+          SELECT doc_id, pos, count(*) AS nj
+          FROM probe JOIN bits USING (bucket) GROUP BY 1, 2),
+        maybe AS (
+          SELECT doc_id, count(*) AS n_maybe FROM hits WHERE nj = $BloomHashes GROUP BY 1),
+        ex AS (
+          SELECT c.doc_id, count(*) AS n_grams, count(e.gram) AS n_hits
+          FROM corpus c LEFT JOIN ev e USING (gram) GROUP BY 1)
+        SELECT ex.doc_id, ex.n_grams,
+               COALESCE(m.n_maybe, 0) AS n_maybe,
+               COALESCE(m.n_maybe, 0) > 0 AS bloom_contaminated,
+               ex.n_hits > 0 AS exact_contaminated
+        FROM ex LEFT JOIN maybe m USING (doc_id)"""
   }
 
   // --------------------------------------------------------------------

@@ -21,14 +21,14 @@ object SketchQueries {
   private val P = TextHash.P
 
   /** DuckDB fragment: [[TextHash.polyHash]] of column/binding `w`. */
-  private def polySql(w: String): String =
+  private[queries] def polySql(w: String): String =
     s"""list_reduce(list_prepend(0::BIGINT, [unicode(c)::BIGINT FOR c IN string_split($w, '')]),
                     (acc, c) -> (acc*31 + c + 1) % $P)"""
 
   /** DuckDB fragment: [[TextHash.permHash]] of hash expression `h` with
     * seed expression `i` (both SQL expressions; every intermediate < 2⁶²).
     */
-  private def permSql(h: String, i: String): String =
+  private[queries] def permSql(h: String, i: String): String =
     s"""((1 + ((($i)::BIGINT*1103515245 + 12345) % ${P - 1})) * ($h)
          + (($i)::BIGINT*2654435761 + 1013904223) % $P) % $P"""
 

@@ -225,7 +225,7 @@ class CurationSpec extends AnyFunSuite {
         (50L, "f1 f2 f3 f4 f5 f6 f7 f8", "en", "s", 0L) // eval again
       )) { dir =>
       val out = CurationQueries
-        .decontaminate(spark, dir)
+        .decontaminate(spark, sf)
         .collect()
         .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3), r.getBoolean(4))))
         .toMap
@@ -396,5 +396,31 @@ class CurationSpec extends AnyFunSuite {
       assert(out(3L).getAs[Long]("n_grams") == 5L)
       assert(out(3L).getAs[Long]("n_novel") == 3L)
     }
+  }
+
+  test("bloom_prune: no false negatives, and verdicts agree with the exact decontaminate") {
+    val bloom = CurationQueries
+      .bloomPrune(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r)
+      .toMap
+    val exact = CurationQueries
+      .decontaminate(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r)
+      .toMap
+    assert(bloom.keySet == exact.keySet)
+    for ((id, b) <- bloom) {
+      val e = exact(id)
+      // the Bloom contract: every exact hit is a bloom hit (no false negatives)
+      if (e.getAs[Boolean]("contaminated"))
+        assert(b.getAs[Boolean]("bloom_contaminated"), s"false negative on doc $id")
+      // per-position containment: maybe-count can never undercount true hits
+      assert(b.getAs[Long]("n_maybe") >= e.getAs[Long]("n_hits"), s"doc $id")
+      // the exact leg must agree with the dedicated exact operator
+      assert(b.getAs[Boolean]("exact_contaminated") == e.getAs[Boolean]("contaminated"))
+      assert(b.getAs[Long]("n_grams") == e.getAs[Long]("n_grams"))
+    }
+    spark.catalog.clearCache()
   }
 }
