@@ -136,6 +136,7 @@ object SparkEntry {
     "q_zipf_slope" -> (SearchQueries.zipfSlope _),
     "q_kmv_distinct" -> ((s: SparkSession, d: String) => SketchQueries.kmvDistinct(s, d)),
     "q_heavy_hitters" -> ((s: SparkSession, d: String) => SketchQueries.heavyHitters(s, d)),
+    "q_quantile_sketch" -> (SketchQueries.quantileSketch _),
     "q_inverted_index" -> (SearchQueries.invertedIndex _),
     "q_sessionize" -> (RelationalQueries.sessionize _),
     "q_session_window" -> (RelationalQueries.sessionWindow _),
@@ -251,6 +252,7 @@ object SparkEntry {
     "q_zipf_slope" -> SearchQueries.zipfSlopeSql,
     "q_kmv_distinct" -> SketchQueries.kmvDistinctSql(),
     "q_heavy_hitters" -> SketchQueries.heavyHittersSql(),
+    "q_quantile_sketch" -> SketchQueries.quantileSketchSql(),
     "q_inverted_index" -> SearchQueries.invertedIndexSql,
     // sketch ops: DuckDB re-derives every hash from the text (mod-prime
     // universal family — see TextHash scaladoc)

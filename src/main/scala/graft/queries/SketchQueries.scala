@@ -149,6 +149,107 @@ object SketchQueries {
       .select(col("w").as("token"), col("exact_cnt"), col("est_cnt"))
   }
 
+  /** Mergeable histogram quantile sketch: per-event-type p50/p90/p99
+    * estimated from a fixed [[QuantileBins]]-bin equi-width histogram,
+    * alongside the exact interpolated percentile. The estimate is the
+    * upper edge of the first bin whose cumulative count reaches q·n — off
+    * by at most one bin width, with the histogram itself a bounded,
+    * commutative, mergeable summary (the property t-digest/KLL refine;
+    * the equi-width form keeps every counter exactly SQL-re-derivable).
+    *
+    * Scale: pass 1 is a two-scalar global min/max; pass 2 shuffles at most
+    * types × bins counter rows (map-side combined) — fixed memory at any
+    * corpus size, and histograms from different partitions/days/shards
+    * merge by addition. The exact-percentile leg (a full sort per group
+    * inside `percentile`) is the verification comparison a 100 TB run
+    * drops.
+    */
+  val QuantileBins = 128
+
+  def quantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val nBins = QuantileBins
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val mm = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val binned = ev
+      .crossJoin(broadcast(mm))
+      .select(
+        col("event_type"),
+        least(
+          lit(nBins - 1L),
+          floor((col("value") - col("lo")) / (col("hi") - col("lo")) * lit(nBins)))
+          .as("bin"))
+    val counts = binned.groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("total", sum(col("cnt")).over(wTot))
+    val hit = cum
+      .withColumn("q", explode(array(lit(0.5), lit(0.9), lit(0.99))))
+      .filter(col("cum") >= col("q") * col("total"))
+      .groupBy(col("event_type"), col("q"))
+      .agg(min(col("bin")).as("qbin"))
+    val exact = ev
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("e50"),
+        expr("percentile(value, 0.9)").as("e90"),
+        expr("percentile(value, 0.99)").as("e99"))
+      .select(
+        col("event_type"),
+        expr("stack(3, 0.5D, e50, 0.9D, e90, 0.99D, e99) AS (q, exact_value)"))
+    hit
+      .join(exact, Seq("event_type", "q"))
+      .crossJoin(broadcast(mm))
+      .select(
+        col("event_type"),
+        col("q"),
+        col("qbin"),
+        round(
+          col("lo") + (col("qbin") + lit(1)).cast("double") *
+            ((col("hi") - col("lo")) / lit(nBins)),
+          6).as("est_value"),
+        round(col("exact_value"), 6).as("exact_value"))
+  }
+
+  /** DuckDB re-derivation of [[quantileSketch]]: same binning arithmetic,
+    * same cumulative read-off, `percentile` ↔ `quantile_cont`.
+    */
+  def quantileSketchSql(nBins: Int = QuantileBins): String =
+    s"""WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+       b AS (
+         SELECT event_type,
+                least(${nBins - 1}, CAST(floor(((value - lo) / (hi - lo)) * $nBins) AS BIGINT)) AS bin
+         FROM events CROSS JOIN mm),
+       counts AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+       cum AS (
+         SELECT event_type, bin, cnt,
+                sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+                sum(cnt) OVER (PARTITION BY event_type) AS total
+         FROM counts),
+       qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q),
+       hit AS (
+         SELECT event_type, q, min(bin) AS qbin
+         FROM cum CROSS JOIN qs WHERE cum >= q * total GROUP BY 1, 2),
+       ex AS (
+         SELECT event_type,
+                quantile_cont(value, 0.5) AS e50,
+                quantile_cont(value, 0.9) AS e90,
+                quantile_cont(value, 0.99) AS e99
+         FROM events GROUP BY 1),
+       exm AS (
+         SELECT event_type,
+                unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q,
+                unnest([e50, e90, e99]) AS exact_value
+         FROM ex)
+       SELECT h.event_type, h.q, h.qbin,
+              round(lo + CAST(h.qbin + 1 AS DOUBLE) * ((hi - lo) / $nBins), 6) AS est_value,
+              round(exact_value, 6) AS exact_value
+       FROM hit h JOIN exm USING (event_type, q) CROSS JOIN mm"""
+
   /** DuckDB re-derivation of [[heavyHitters]]: every grid counter rebuilt
     * from the token stream, the same min-over-rows read-back.
     */

@@ -65,6 +65,40 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile_sketch: estimate brackets the discrete quantile within one bin") {
+    val rows = SketchQueries.quantileSketch(spark, dir).collect()
+    assert(rows.length >= 3) // >=1 event type x 3 quantiles
+    val ev = graft.Tables.events(spark, dir)
+    val mm = ev
+      .agg(
+        org.apache.spark.sql.functions.min("value"),
+        org.apache.spark.sql.functions.max("value"))
+      .head()
+    val wBin = (mm.getDouble(1) - mm.getDouble(0)) / SketchQueries.QuantileBins
+    // the sketch's contract is against the DISCRETE quantile (the
+    // ceil(q*n)-th order statistic — the first value whose rank reaches
+    // q*n, matching the cum >= q*total read-off); the interpolated
+    // `percentile` in the output can legitimately sit several bins lower
+    // when the tail is sparse (one position of interpolation can cross
+    // empty bins), so the model here sorts the real values
+    val byType = ev
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Double]("value")))
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2).sorted)
+      .toMap
+    for (r <- rows) {
+      val est = r.getAs[Double]("est_value")
+      val vs = byType(r.getAs[String]("event_type"))
+      val q = r.getAs[Double]("q")
+      val disc = vs(math.ceil(q * vs.length).toInt - 1)
+      // est is the upper edge of the bin holding the disc quantile
+      assert(est >= disc - 1e-9, s"$r: upper edge below the disc quantile $disc")
+      assert(est - disc <= wBin + 1e-9, s"$r: more than one bin above $disc (w=$wBin)")
+    }
+  }
+
   test("heavy_hitters: count-min never underestimates and top tokens are exact-descending") {
     val rows = SketchQueries
       .heavyHitters(spark, dir)
