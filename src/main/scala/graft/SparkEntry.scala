@@ -143,6 +143,10 @@ object SparkEntry {
     "q_asof_join" -> (RelationalQueries.asofJoin _),
     "q_asof_join_custom" -> (RelationalQueries.asofJoinCustom _),
     "q_rollup_revenue" -> (RelationalQueries.rollupRevenue _),
+    "q_cube_revenue" -> (RelationalQueries.cubeRevenue _),
+    "q_latest_by_key" -> (RelationalQueries.latestByKey _),
+    "q_user_deciles" -> (RelationalQueries.userDeciles _),
+    "q_skyline" -> (CurationQueries.skylineDocs _),
     // multimodal binary columns (decode step stubbed; plumbing real)
     "q_media_features" -> (MultimodalQueries.mediaFeatures _),
     "q_media_resize" -> ((s: SparkSession, d: String) => MultimodalQueries.mediaResize(s, d)),
@@ -244,6 +248,10 @@ object SparkEntry {
     // the custom-operator path must match the identical oracle
     "q_asof_join_custom" -> RelationalQueries.asofJoinSql,
     "q_rollup_revenue" -> RelationalQueries.rollupRevenueSql,
+    "q_cube_revenue" -> RelationalQueries.cubeRevenueSql,
+    "q_latest_by_key" -> RelationalQueries.latestByKeySql,
+    "q_user_deciles" -> RelationalQueries.userDecilesSql,
+    "q_skyline" -> CurationQueries.skylineDocsSql,
     "q_pivot_event_matrix" -> RelationalQueries.pivotEventMatrixSql,
     "q_time_resample" -> RelationalQueries.timeResampleSql,
     "q_user_ewma" -> RelationalQueries.userEwmaSql,

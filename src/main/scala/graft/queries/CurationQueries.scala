@@ -455,7 +455,10 @@ object CurationQueries {
     * learned weights (or a real classifier via a scoring UDF) keeps the
     * same one-narrow-scan plan: features never leave the projection.
     */
-  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+  /** The quality logit shared by [[qualityScore]] and [[skylineDocs]] —
+    * ONE expression tree per engine so both consumers agree bitwise.
+    */
+  private def qualityLogit = {
     val nTokens = size(split(col("text"), " ", -1)).cast("long")
     val distinctRatio =
       size(array_distinct(split(col("text"), " ", -1))).cast("double") / nTokens
@@ -465,8 +468,11 @@ object CurationQueries {
       ((length(col("text")) - length(regexp_replace(col("text"), " the ", ""))) / 5)
         .cast("long")
     val stopDensity = theCount.cast("double") / nTokens
-    val logit =
-      lit(2.0) * distinctRatio + lit(0.25) * meanWordLen - lit(0.5) * stopDensity - lit(1.0)
+    lit(2.0) * distinctRatio + lit(0.25) * meanWordLen - lit(0.5) * stopDensity - lit(1.0)
+  }
+
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val logit = qualityLogit
     Tables
       .documents(s, dir)
       .select(
@@ -481,18 +487,102 @@ object CurationQueries {
   /** DuckDB mirror — the logit expression is written in the SAME
     * left-to-right order so the doubles agree bitwise.
     */
-  val qualityScoreSql: String = {
+  private def qualityLogitSql: String = {
     val n = TextQueries.nTokensSqlExpr
-    val logit =
-      s"""(2.0 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / $n)
-          + 0.25 * (CAST(length(text) - $n + 1 AS DOUBLE) / $n)
-          - 0.5 * (CAST((length(text) - length(replace(text, ' the ', ''))) // 5 AS DOUBLE) / $n)
-          - 1.0)"""
+    s"""(2.0 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / $n)
+        + 0.25 * (CAST(length(text) - $n + 1 AS DOUBLE) / $n)
+        - 0.5 * (CAST((length(text) - length(replace(text, ' the ', ''))) // 5 AS DOUBLE) / $n)
+        - 1.0)"""
+  }
+
+  val qualityScoreSql: String = {
+    val logit = qualityLogitSql
     s"""SELECT doc_id, round($logit, 4) AS score,
         CASE WHEN $logit >= 0.75 THEN 'high'
              WHEN $logit >= 0.25 THEN 'mid' ELSE 'low' END AS band
         FROM documents"""
   }
+
+  // --------------------------------------------------------------------
+  // q_skyline — Pareto frontier (shortest docs of highest quality)
+  // --------------------------------------------------------------------
+
+  /** Pareto-skyline mining over (length, quality): a document is on the
+    * frontier iff no other document is at most as long with a strictly
+    * higher score, and none is strictly shorter with at least its score —
+    * the "best quality per length budget" set a curation pass keeps when
+    * both axes matter.
+    *
+    * Scale: the 2-D skyline is order-decomposable, so NO global-order
+    * window: documents bucket by length range ([[SkylineBucketChars]]
+    * chars); the strictly-shorter running max splits into (a) a
+    * per-bucket local window over bounded groups and (b) a running max
+    * over the tiny bucket-maxima table, broadcast back. Same-length
+    * dominance is a bounded `partition by len` max. Scores compare after
+    * round(…,4) so the dominance cuts are cross-engine identical.
+    */
+  val SkylineBucketChars = 256L
+
+  /** The (doc_id, len, rounded score) point set [[skylineDocs]] ranks —
+    * also the input of the spec's brute-force dominance model, so test
+    * and operator share one projection by construction.
+    */
+  def skylineAllPoints(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        col("n_chars").as("len"),
+        round(qualityLogit, 4).as("score"))
+
+  def skylineDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = skylineAllPoints(s, dir)
+      .withColumn("b", (col("len") / lit(SkylineBucketChars)).cast("long"))
+    val bucketMax = docs.groupBy(col("b")).agg(max(col("score")).as("bmax"))
+    val wPrior = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
+    val prior = bucketMax
+      .withColumn("prior_max", max(col("bmax")).over(wPrior))
+      .select(col("b"), col("prior_max"))
+    val wLocal = Window
+      .partitionBy(col("b"))
+      .orderBy(col("len"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wEq = Window.partitionBy(col("len"))
+    docs
+      .join(broadcast(prior), Seq("b"))
+      .withColumn("local_max", max(col("score")).over(wLocal))
+      .withColumn(
+        "m1",
+        greatest(
+          coalesce(col("local_max"), lit(-1.0e308)),
+          coalesce(col("prior_max"), lit(-1.0e308))))
+      .withColumn("eq_max", max(col("score")).over(wEq))
+      .filter(col("m1") < col("score") && col("eq_max") <= col("score"))
+      .select(col("doc_id"), col("len"), col("score"))
+  }
+
+  /** DuckDB re-derivation of [[skylineDocs]]: same buckets, same two-level
+    * running max, same dominance cuts.
+    */
+  val skylineDocsSql: String =
+    s"""WITH d AS (
+         SELECT doc_id, n_chars AS len, round($qualityLogitSql, 4) AS score,
+                n_chars // $SkylineBucketChars AS b
+         FROM documents),
+       bm AS (SELECT b, max(score) AS bmax FROM d GROUP BY 1),
+       pr AS (SELECT b, max(bmax) OVER (ORDER BY b
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+              FROM bm),
+       e AS (
+         SELECT d.doc_id, d.len, d.score,
+                max(d.score) OVER (PARTITION BY d.b ORDER BY d.len
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS local_max,
+                max(d.score) OVER (PARTITION BY d.len) AS eq_max,
+                pr.prior_max
+         FROM d JOIN pr USING (b))
+       SELECT doc_id, len, score FROM e
+       WHERE greatest(COALESCE(local_max, -1e308), COALESCE(prior_max, -1e308)) < score
+         AND eq_max <= score"""
 
   // --------------------------------------------------------------------
   // q_top_ngrams — corpus-wide frequent n-gram statistics

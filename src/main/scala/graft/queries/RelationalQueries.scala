@@ -684,6 +684,113 @@ object RelationalQueries {
        JOIN region ON n_regionkey = r_regionkey
        GROUP BY ROLLUP (r_name, n_name)"""
 
+  /** Full CUBE over (region, market segment) — all four grouping sets in
+    * one pass (the rollup's lattice completion). Spark plans a single
+    * Expand + aggregate: one shuffle regardless of how many grouping sets
+    * the lattice has; the NULL-filled subtotal rows match DuckDB's.
+    */
+  def cubeRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(s, dir)
+      .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 4).as("sum_bal"))
+
+  val cubeRevenueSql: String =
+    """SELECT r_name, c_mktsegment, count(*) AS n_customers,
+       round(sum(c_acctbal), 4) AS sum_bal
+       FROM customer
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY CUBE (r_name, c_mktsegment)"""
+
+  /** Latest event per (user, type) — the CDC/upsert compaction shape:
+    * keep only each key's most recent row. One shuffle on the key; the
+    * rank window runs inside bounded per-key groups (WindowGroupLimit
+    * cuts to 1 row per key map-side), so state never exceeds one row per
+    * key per partition. Ordering ties break on event_id so the pick is
+    * deterministic; the oracle orders by the SAME µs-truncated timestamp
+    * Spark reads (ns-precision ordering would break ties differently).
+    */
+  def latestByKey(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables
+      .events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"),
+        col("event_type"),
+        col("event_id").as("last_event_id"),
+        col("ts").as("last_ts"),
+        round(col("value"), 4).as("last_value"))
+  }
+
+  val latestByKeySql: String =
+    """SELECT user_id, event_type, event_id AS last_event_id,
+       CAST(ts AS TIMESTAMP) AS last_ts, round(value, 4) AS last_value
+       FROM events
+       QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) = 1"""
+
+  /** Equi-depth activity deciles WITHOUT a global sort — the scale-safe
+    * ranking pattern (the [[CurationQueries.langMixture]] running-offset
+    * machinery, with the activity total as the natural salt): per-user
+    * totals histogram → running offsets over the tiny (distinct totals)
+    * table → within-total row_number in bounded groups. rank = offset +
+    * intra-group position, decile = (rank−1)·10 div n + 1; per-decile
+    * stats are all-integer, so the result is exact on both engines.
+    */
+  def userDeciles(s: SparkSession, dir: String): DataFrame = {
+    val totals = Tables
+      .events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("total"))
+    val hist = totals.groupBy(col("total")).agg(count(lit(1)).as("cnt"))
+    val wOff = Window
+      .orderBy(col("total").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = hist
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select(col("total"), col("off"))
+    val nn = totals.agg(count(lit(1)).as("cnt_all"))
+    val wIn = Window.partitionBy(col("total")).orderBy(col("user_id"))
+    totals
+      .join(broadcast(offs), Seq("total"))
+      .withColumn("rnk", col("off") + row_number().over(wIn))
+      .crossJoin(broadcast(nn))
+      .withColumn("decile", expr("((rnk - 1) * 10) DIV cnt_all") + lit(1L))
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        min(col("total")).as("min_total"),
+        max(col("total")).as("max_total"),
+        sum(col("total")).as("sum_total"))
+  }
+
+  val userDecilesSql: String =
+    """WITH totals AS (SELECT user_id, count(*) AS total FROM events GROUP BY 1),
+       hist AS (SELECT total, count(*) AS cnt FROM totals GROUP BY 1),
+       offs AS (SELECT total,
+                       CAST(COALESCE(sum(cnt) OVER (ORDER BY total DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                            AS BIGINT) AS off
+                FROM hist),
+       nn AS (SELECT count(*) AS cnt_all FROM totals),
+       ranked AS (
+         SELECT t.user_id, t.total,
+                o.off + row_number() OVER (PARTITION BY t.total ORDER BY t.user_id) AS rnk
+         FROM totals t JOIN offs o USING (total))
+       SELECT CAST((rnk - 1) * 10 // cnt_all AS BIGINT) + 1 AS decile,
+              count(*) AS n_users,
+              min(total) AS min_total,
+              max(total) AS max_total,
+              CAST(sum(total) AS BIGINT) AS sum_total
+       FROM ranked CROSS JOIN nn GROUP BY 1"""
+
   /** Pearson correlations between per-user activity counts (view↔click,
     * view↔purchase, click↔purchase) — the engagement-funnel statistic
     * behind "do viewers click?" dashboards.

