@@ -298,4 +298,76 @@ class PlanAuditSpec extends AnyFunSuite {
       "no row_number window keyed on the shingle (skew funnel)")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q_semdedup / q_triangle_count: candidate joins stay keyed, never a product") {
+    for (name <- Seq("q_semdedup", "q_triangle_count")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name\n${p.take(2000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name: pair join degenerated to an unkeyed product")
+    }
+  }
+
+  test("q_heavy_hitters: grid joins as a broadcast; top-k is TakeOrderedAndProject") {
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), "the 1024-row grid must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_kmv_distinct: bounded-state sketch aggregate — no windows anywhere") {
+    val df = graft.SparkEntry.queries("q_kmv_distinct")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("windowspecdefinition"), "KMV must not need any window")
+    // the custom Aggregator runs with a partial (map-side) phase
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"expected the typed MinK aggregate\n${p.take(2000)}")
+  }
+
+  test("q_quantile_sketch: windows only over the bounded counter table; min/max broadcasts") {
+    val df = graft.SparkEntry.queries("q_quantile_sketch")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // cum/total windows key on event_type over the types×bins COUNTER
+    // table (post-aggregate), never over raw events
+    val specs =
+      """windowspecdefinition\((\w+)#""".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(specs.subsetOf(Set("event_type")), s"unexpected window keys: $specs")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the one-row min/max bound must ride a broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_user_deciles: rank windows only on the bounded totals key; dims broadcast") {
+    val df = graft.SparkEntry.queries("q_user_deciles")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val specs =
+      """windowspecdefinition\((\w+)#""".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(specs.subsetOf(Set("total")), s"unexpected window keys: $specs")
+    assert(p.contains("BroadcastHashJoin"), "offset table must broadcast")
+    assert(!p.contains("rangepartitioning"),
+      "no global range sort — ranking must stay offset-based")
+  }
+
+  test("q_skyline: no corpus-wide window — only bucket/length-keyed and bucket-table windows") {
+    val df = graft.SparkEntry.queries("q_skyline")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val specs =
+      """windowspecdefinition\((\w+)#""".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(specs.subsetOf(Set("b", "len")), s"unexpected window keys: $specs")
+    assert(p.contains("BroadcastHashJoin"), "bucket prior-max table must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_bloom_prune: filter bits and eval grams both broadcast — corpus never shuffles for the probe") {
+    val df = graft.SparkEntry.queries("q_bloom_prune")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 2, s"expected bits + eval-gram broadcasts, got $broadcasts")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
