@@ -134,7 +134,9 @@ object SparkEntry {
     "q_hopping_counts" -> (RelationalQueries.hoppingCounts _),
     "q_engagement_corr" -> (RelationalQueries.engagementCorr _),
     "q_zipf_slope" -> (SearchQueries.zipfSlope _),
+    "q_source_divergence" -> (SearchQueries.sourceDivergence _),
     "q_kmv_distinct" -> ((s: SparkSession, d: String) => SketchQueries.kmvDistinct(s, d)),
+    "q_hll_distinct" -> ((s: SparkSession, d: String) => SketchQueries.hllDistinct(s, d)),
     "q_heavy_hitters" -> ((s: SparkSession, d: String) => SketchQueries.heavyHitters(s, d)),
     "q_quantile_sketch" -> (SketchQueries.quantileSketch _),
     "q_inverted_index" -> (SearchQueries.invertedIndex _),
@@ -258,7 +260,9 @@ object SparkEntry {
     "q_hopping_counts" -> RelationalQueries.hoppingCountsSql,
     "q_engagement_corr" -> RelationalQueries.engagementCorrSql,
     "q_zipf_slope" -> SearchQueries.zipfSlopeSql,
+    "q_source_divergence" -> SearchQueries.sourceDivergenceSql,
     "q_kmv_distinct" -> SketchQueries.kmvDistinctSql(),
+    "q_hll_distinct" -> SketchQueries.hllDistinctSql(),
     "q_heavy_hitters" -> SketchQueries.heavyHittersSql(),
     "q_quantile_sketch" -> SketchQueries.quantileSketchSql(),
     "q_inverted_index" -> SearchQueries.invertedIndexSql,

@@ -378,6 +378,94 @@ object SearchQueries {
     * rows, no full sort. The hash keys on doc_id, so the sample is
     * stable under re-partitioning and re-runs.
     */
+  // --------------------------------------------------------------------
+  // q_source_divergence — per-source entropy + KL drift vs the corpus
+  // --------------------------------------------------------------------
+
+  /** Per-source token-distribution profile: Shannon entropy of the
+    * source's unigram distribution and its KL divergence from the
+    * corpus-wide distribution — the drift detector a mixture pipeline
+    * runs to spot a source whose text stopped looking like the rest of
+    * the training mix (KL ↑) or collapsed to boilerplate (entropy ↓).
+    *
+    * Scale: ONE token-keyed aggregation builds the per-(source, token)
+    * counts; everything downstream derives from that persisted table —
+    * source totals by re-aggregating on source, the corpus distribution
+    * by re-aggregating on token (NO second corpus scan), and the corpus
+    * total is a broadcast one-row fold. The KL join is token-keyed
+    * (never a product); per-source entropy/KL sums are explicitly
+    * ORDERED folds (`aggregate(array_sort(collect_list(_)))` ↔
+    * `list_reduce(list_sort(list(_)))`) so the oracle hash matches
+    * bit-for-bit — at production scale a plain `sum` is the same number
+    * up to last-ulp ordering.
+    */
+  def sourceDivergence(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = Tables
+      .documents(s, dir)
+      .select(col("source"), explode(toks).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    val srcTot = perSrc.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
+    val corpCnt = perSrc.groupBy(col("w")).agg(sum(col("cnt")).as("ccnt"))
+    val corpTot = corpCnt.agg(sum(col("ccnt")).as("ctot"))
+    val p = col("cnt").cast("double") / col("tot").cast("double")
+    val q = col("ccnt").cast("double") / col("ctot").cast("double")
+    val terms = perSrc
+      .join(srcTot, "source")
+      .join(corpCnt, "w")
+      .crossJoin(broadcast(corpTot))
+      .select(
+        col("source"),
+        col("tot"),
+        (-p * log(p)).as("ent_term"),
+        (p * log(p / q)).as("kl_term"))
+    terms
+      .groupBy(col("source"))
+      .agg(
+        max(col("tot")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(
+          aggregate(array_sort(collect_list(col("ent_term"))), lit(0.0), (a, x) => a + x),
+          4).as("entropy"),
+        round(
+          aggregate(array_sort(collect_list(col("kl_term"))), lit(0.0), (a, x) => a + x),
+          4).as("kl_corpus"))
+  }
+
+  /** DuckDB re-derivation of [[sourceDivergence]]: identical distribution
+    * arithmetic, identical sorted folds.
+    */
+  val sourceDivergenceSql: String =
+    """WITH toks AS (
+         SELECT source, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+         FROM documents
+       ), persrc AS (
+         SELECT source, w, count(*) AS cnt FROM toks GROUP BY 1, 2
+       ), stot AS (
+         SELECT source, CAST(sum(cnt) AS BIGINT) AS tot FROM persrc GROUP BY 1
+       ), corp AS (
+         SELECT w, CAST(sum(cnt) AS BIGINT) AS ccnt FROM persrc GROUP BY 1
+       ), ctot AS (
+         SELECT CAST(sum(ccnt) AS BIGINT) AS ctot FROM corp
+       ), terms AS (
+         SELECT p.source, s.tot,
+                -(CAST(p.cnt AS DOUBLE) / CAST(s.tot AS DOUBLE))
+                  * ln(CAST(p.cnt AS DOUBLE) / CAST(s.tot AS DOUBLE)) AS ent_term,
+                (CAST(p.cnt AS DOUBLE) / CAST(s.tot AS DOUBLE))
+                  * ln((CAST(p.cnt AS DOUBLE) / CAST(s.tot AS DOUBLE))
+                       / (CAST(c.ccnt AS DOUBLE) / CAST(t.ctot AS DOUBLE))) AS kl_term
+         FROM persrc p
+         JOIN stot s USING (source)
+         JOIN corp c USING (w)
+         CROSS JOIN ctot t
+       )
+       SELECT source, max(tot) AS n_tokens, count(*) AS n_distinct,
+              round(list_reduce(list_prepend(0.0, list_sort(list(ent_term))), (a, b) -> a + b), 4) AS entropy,
+              round(list_reduce(list_prepend(0.0, list_sort(list(kl_term))), (a, b) -> a + b), 4) AS kl_corpus
+       FROM terms GROUP BY source"""
+
   def weightedSample(s: SparkSession, dir: String, k: Int = 100): DataFrame = {
     val h = md5(concat(lit("graftws:"), col("doc_id").cast("string")).cast("binary"))
     // digest bytes 14,13,...,8 (hex char positions 29,27,...,17) — the

@@ -103,6 +103,112 @@ object SketchQueries {
                     END, 4) AS est_distinct
        FROM agg"""
 
+  /** HyperLogLog distinct-count sketch: estimated number of distinct
+    * word tokens per source vs the exact count — the register-based
+    * companion to [[kmvDistinct]] (bottom-k). KMV keeps k exemplar
+    * hashes; HLL keeps a fixed `m`-register byte array, the summary
+    * every production engine (Spark's own `approx_count_distinct`,
+    * Presto, Redis) converged on because registers merge by element-wise
+    * max across shards/days with no per-item state at all.
+    *
+    * Construction on the SQL-reproducible mod-prime hash family: for each
+    * token hash h ∈ [0, P), bucket = h mod m and the register statistic is
+    * the trailing-zero rank of w = ⌊h/m⌋ (rank = tz(w)+1, capped at 26 —
+    * w < 2²⁵ under P = 2³¹−1). Registers hold the max rank seen;
+    * Z = Σ_j 2^(−M_j) over all m registers (empty ⇒ 1), raw estimate
+    * α·m²/Z with α = 0.709 (the m = 64 constant from Flajolet et al.),
+    * and the standard small-range correction m·ln(m/V) when V > 0 empty
+    * registers remain and raw ≤ 2.5m.
+    *
+    * Cross-engine exactness: every 2^(−M_j) is an exact binary fraction
+    * (M_j ≤ 26, so any summation order is IEEE-exact — no sorted-fold
+    * needed), the harmonic mean is one correctly-rounded division, and
+    * the ln leg rides `round(_, 4)`. The DuckDB oracle re-derives every
+    * register bit-for-bit.
+    *
+    * Scale: ONE shuffle of at most sources×m register rows (map-side max
+    * combine bounds per-partition state at m bytes per source — the whole
+    * point of HLL at 100 TB); the register→estimate fold is over the tiny
+    * register table. The exact leg (`count(DISTINCT w)`) is the
+    * verification comparison a production run drops; both legs share one
+    * persisted hashed projection so the corpus is scanned once.
+    */
+  def hllDistinct(s: SparkSession, dir: String, m: Int = 64): DataFrame = {
+    val hUdf = udf { (w: String) => TextHash.permHash(TextHash.polyHash(w), 11L) }
+    val toks = Tables
+      .documents(s, dir)
+      .select(
+        col("source"),
+        explode(array_distinct(split(col("text"), " ", -1))).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("source"), col("w"), hUdf(col("w")).as("h"))
+      .persist()
+    val ranked = toks.select(
+      col("source"),
+      (col("h") % m).as("bucket"),
+      expr(s"coalesce(array_min(filter(sequence(0, 25), k -> (shiftright(h div $m, k) & 1) = 1)), 25) + 1")
+        .as("rank"))
+    // all m registers per source, empty ones at rank 0
+    val regs = toks
+      .select(col("source"))
+      .distinct()
+      .crossJoin(s.range(m).select(col("id").as("bucket")))
+      .join(ranked, Seq("source", "bucket"), "left")
+      .groupBy(col("source"), col("bucket"))
+      .agg(coalesce(max(col("rank")), lit(0)).as("m_reg"))
+    val z = regs
+      .groupBy(col("source"))
+      .agg(
+        sum(pow(lit(2.0), -col("m_reg"))).as("z"),
+        sum(when(col("m_reg") === 0, 1).otherwise(0)).as("n_zero_registers"))
+    val exact = toks.groupBy(col("source")).agg(countDistinct(col("w")).as("n_exact"))
+    val raw = lit(0.709 * m * m) / col("z")
+    exact
+      .join(z, "source")
+      .select(
+        col("source"),
+        col("n_exact"),
+        col("n_zero_registers"),
+        round(
+          when(
+            col("n_zero_registers") > 0 && raw <= lit(2.5 * m),
+            lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero_registers").cast("double")))
+            .otherwise(raw),
+          4).as("est_distinct"))
+  }
+
+  /** DuckDB re-derivation of [[hllDistinct]]: same hash, same
+    * trailing-zero rank, every register rebuilt, same estimator fold.
+    */
+  def hllDistinctSql(m: Int = 64): String =
+    s"""WITH toks AS (
+         SELECT source,
+                unnest(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS w
+         FROM documents
+       ), hs AS (
+         SELECT source, w, ${permSql(polySql("w"), "11")} AS h FROM toks
+       ), ranked AS (
+         SELECT source, h % $m AS bucket,
+                COALESCE(list_min([k FOR k IN range(26) IF ((h // $m) >> k) & 1 = 1]), 25) + 1 AS rank
+         FROM hs
+       ), regs AS (
+         SELECT s.source, b.bucket, COALESCE(max(r.rank), 0) AS m_reg
+         FROM (SELECT DISTINCT source FROM toks) s
+         CROSS JOIN (SELECT unnest(range($m)) AS bucket) b
+         LEFT JOIN ranked r ON r.source = s.source AND r.bucket = b.bucket
+         GROUP BY 1, 2
+       ), z AS (
+         SELECT source, sum(pow(2.0, -m_reg)) AS z,
+                CAST(sum(CASE WHEN m_reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_registers
+         FROM regs GROUP BY 1
+       ), ex AS (SELECT source, count(DISTINCT w) AS n_exact FROM toks GROUP BY 1)
+       SELECT source, n_exact, n_zero_registers,
+              round(CASE WHEN n_zero_registers > 0
+                          AND (${0.709 * m * m}) / z <= ${2.5 * m}
+                         THEN $m * ln($m / CAST(n_zero_registers AS DOUBLE))
+                         ELSE (${0.709 * m * m}) / z END, 4) AS est_distinct
+       FROM ex JOIN z USING (source)"""
+
   /** Count-min sketch heavy hitters: a depth×width grid of counters
     * (counter[d][b] = total occurrences of every token hashing to bucket b
     * under family member 100+d), read back for the exact top-`topN` tokens.

@@ -225,7 +225,7 @@ class CurationSpec extends AnyFunSuite {
         (50L, "f1 f2 f3 f4 f5 f6 f7 f8", "en", "s", 0L) // eval again
       )) { dir =>
       val out = CurationQueries
-        .decontaminate(spark, sf)
+        .decontaminate(spark, dir)
         .collect()
         .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3), r.getBoolean(4))))
         .toMap

@@ -65,6 +65,22 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("hll_distinct: registers engage and the estimate lands within 2x of exact") {
+    val rows = SketchQueries.hllDistinct(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val exact = r.getAs[Long]("n_exact")
+      val est = r.getAs[Double]("est_distinct")
+      val zeros = r.getAs[Long]("n_zero_registers")
+      assert(zeros >= 0 && zeros <= 64)
+      assert(est > 0.0)
+      // m=64 HLL has ~13% relative error at 1 sigma; 2x is a loose
+      // deterministic envelope for the fixture sources (hundreds of
+      // distinct tokens each)
+      assert(est > exact / 2.0 && est < exact * 2.0, s"source=${r.getString(0)}: est=$est exact=$exact")
+    }
+  }
+
   test("quantile_sketch: estimate brackets the discrete quantile within one bin") {
     val rows = SketchQueries.quantileSketch(spark, dir).collect()
     assert(rows.length >= 3) // >=1 event type x 3 quantiles
