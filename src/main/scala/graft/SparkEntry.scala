@@ -133,6 +133,8 @@ object SparkEntry {
     "q_user_ewma" -> (RelationalQueries.userEwma _),
     "q_hopping_counts" -> (RelationalQueries.hoppingCounts _),
     "q_engagement_corr" -> (RelationalQueries.engagementCorr _),
+    "q_markov_transitions" -> (RelationalQueries.markovTransitions _),
+    "q_touch_attribution" -> (RelationalQueries.touchAttribution _),
     "q_zipf_slope" -> (SearchQueries.zipfSlope _),
     "q_source_divergence" -> (SearchQueries.sourceDivergence _),
     "q_kmv_distinct" -> ((s: SparkSession, d: String) => SketchQueries.kmvDistinct(s, d)),
@@ -259,6 +261,8 @@ object SparkEntry {
     "q_user_ewma" -> RelationalQueries.userEwmaSql,
     "q_hopping_counts" -> RelationalQueries.hoppingCountsSql,
     "q_engagement_corr" -> RelationalQueries.engagementCorrSql,
+    "q_markov_transitions" -> RelationalQueries.markovTransitionsSql,
+    "q_touch_attribution" -> RelationalQueries.touchAttributionSql,
     "q_zipf_slope" -> SearchQueries.zipfSlopeSql,
     "q_source_divergence" -> SearchQueries.sourceDivergenceSql,
     "q_kmv_distinct" -> SketchQueries.kmvDistinctSql(),

@@ -1014,6 +1014,143 @@ object RelationalQueries {
        count(*) FILTER (event_type = 'error') AS error
        FROM events WHERE user_id < 50 GROUP BY user_id"""
 
+  /** Markov transition matrix over per-user event sequences: P(next event
+    * type | current event type), estimated from every consecutive pair in
+    * (ts, event_id) order — the behavioral fingerprint a product-analytics
+    * pipeline watches for drift (a rising view→error probability is an
+    * incident; a falling click→purchase probability is a funnel leak).
+    *
+    * Scale: ONE user-keyed shuffle for the lead() window (the same
+    * partitioning sessionize uses — at 100 TB this is the unavoidable
+    * per-entity ordering pass), then the pair counts collapse map-side to
+    * at most |types|² rows, and the row-normalization window runs on that
+    * tiny matrix. No joins, no second scan.
+    */
+  def markovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables
+      .events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs.select(
+      col("prev_type"),
+      col("next_type"),
+      col("n"),
+      round(
+        col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("prev_type"))).cast("double"),
+        6).as("prob"))
+  }
+
+  val markovTransitionsSql: String =
+    """WITH seq AS (
+         SELECT user_id, event_type,
+                lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+         FROM events),
+       pairs AS (
+         SELECT event_type AS prev_type, next_type, count(*) AS n
+         FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+       SELECT prev_type, next_type, n,
+              round(CAST(n AS DOUBLE) /
+                    CAST(CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS DOUBLE),
+                    6) AS prob
+       FROM pairs"""
+
+  /** First-touch / last-touch conversion attribution: each `purchase` is
+    * credited to the earliest and the latest touch event (view / click /
+    * signup) since the user's previous purchase. The output is the
+    * per-channel attribution table marketing pipelines reconcile —
+    * first-touch rewards discovery channels, last-touch rewards closers.
+    *
+    * Semantics: conversion windows are delimited by purchases — a
+    * running count of STRICTLY PRECEDING purchases groups each touch
+    * with the purchase that follows it; purchases with no touch in
+    * their window (cold conversions) are reported in the `(none)` row.
+    *
+    * Scale: the window pass is the same single user-keyed shuffle as
+    * [[markovTransitions]]/[[sessionize]]; first/last per conversion
+    * window are `min_by`/`max_by` partial aggregates on a unique
+    * zero-padded (µs, event_id) sort key (no self-join, no row_number
+    * over the full table), and the final attribution matrix is
+    * |channels|-sized.
+    */
+  def touchAttribution(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = Tables
+      .events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn(
+        "conv_seq",
+        coalesce(
+          sum(when(col("event_type") === "purchase", 1).otherwise(0))
+            .over(byUser.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn(
+        "ord",
+        format_string("%020d%010d", unix_micros(col("ts")), col("event_id")))
+    val touches = ev
+      .filter(col("event_type").isin("view", "click", "signup"))
+      .groupBy(col("user_id"), col("conv_seq"))
+      .agg(
+        min_by(col("event_type"), col("ord")).as("first_touch"),
+        max_by(col("event_type"), col("ord")).as("last_touch"))
+    val convs = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("conv_seq"))
+    val attributed = convs
+      .join(touches, Seq("user_id", "conv_seq"), "left")
+      .select(
+        coalesce(col("first_touch"), lit("(none)")).as("first_touch"),
+        coalesce(col("last_touch"), lit("(none)")).as("last_touch"))
+    val byFirst = attributed
+      .groupBy(col("first_touch").as("touch_type"))
+      .agg(count(lit(1)).as("n_first"))
+    val byLast = attributed
+      .groupBy(col("last_touch").as("touch_type"))
+      .agg(count(lit(1)).as("n_last"))
+    byFirst
+      .join(byLast, Seq("touch_type"), "full_outer")
+      .select(
+        col("touch_type"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        coalesce(col("n_last"), lit(0L)).as("n_last"))
+  }
+
+  val touchAttributionSql: String =
+    """WITH ev AS (
+         SELECT user_id, event_type,
+                COALESCE(CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS conv_seq,
+                printf('%020d%010d', epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS ord
+         FROM events),
+       touches AS (
+         SELECT user_id, conv_seq,
+                arg_min(event_type, ord) AS first_touch,
+                arg_max(event_type, ord) AS last_touch
+         FROM ev WHERE event_type IN ('view', 'click', 'signup')
+         GROUP BY 1, 2),
+       convs AS (
+         SELECT user_id, conv_seq FROM ev WHERE event_type = 'purchase'),
+       attributed AS (
+         SELECT COALESCE(t.first_touch, '(none)') AS first_touch,
+                COALESCE(t.last_touch, '(none)') AS last_touch
+         FROM convs c LEFT JOIN touches t USING (user_id, conv_seq)),
+       byfirst AS (
+         SELECT first_touch AS touch_type, count(*) AS n_first
+         FROM attributed GROUP BY 1),
+       bylast AS (
+         SELECT last_touch AS touch_type, count(*) AS n_last
+         FROM attributed GROUP BY 1)
+       SELECT touch_type,
+              COALESCE(n_first, 0) AS n_first,
+              COALESCE(n_last, 0) AS n_last
+       FROM byfirst FULL JOIN bylast USING (touch_type)"""
+
   /** Semi/anti join surface (§2.7): customers with ≥1 order but no
     * high-value order.
     */

@@ -74,6 +74,32 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(sizes.sum == nUsers)
   }
 
+  test("markov_transitions: rows normalize to 1 and pair counts tie to the event count") {
+    val rows = RelationalQueries.markovTransitions(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byPrev = rows.groupBy(_.getString(0))
+    for ((prev, rs) <- byPrev) {
+      val pSum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(pSum - 1.0) < 1e-3, s"prev=$prev sums to $pSum")
+    }
+    // every consecutive pair counted once: total pairs = n_events - n_users
+    val ev = graft.Tables.events(spark, dir)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == expected)
+  }
+
+  test("touch_attribution: every purchase credited exactly once per model") {
+    val rows = RelationalQueries.touchAttribution(spark, dir).collect()
+    val nPurchases = graft.Tables
+      .events(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .count()
+    assert(rows.map(_.getLong(1)).sum == nPurchases, "first-touch credits")
+    assert(rows.map(_.getLong(2)).sum == nPurchases, "last-touch credits")
+    val types = rows.map(_.getString(0)).toSet
+    assert(types.subsetOf(Set("view", "click", "signup", "(none)")))
+  }
+
   test("skyline: matches the brute-force Pareto frontier") {
     val sky = CurationQueries
       .skylineDocs(spark, dir)
