@@ -106,6 +106,7 @@ object SparkEntry {
     "q_length_histogram" -> (CurationQueries.lengthHistogram _),
     "q_ngram_novelty" -> (CurationQueries.ngramNovelty _),
     "q_substring_dedup" -> (CurationQueries.substringDedup _),
+    "q_line_dedup" -> ((s: SparkSession, d: String) => CurationQueries.lineDedup(s, d)),
     "q_sequence_pack" -> (CurationQueries.sequencePack _),
     "q_decontaminate" -> (CurationQueries.decontaminate _),
     "q_bloom_prune" -> (CurationQueries.bloomPrune _),
@@ -222,6 +223,7 @@ object SparkEntry {
     "q_length_histogram" -> CurationQueries.lengthHistogramSql,
     "q_ngram_novelty" -> CurationQueries.ngramNoveltySql,
     "q_substring_dedup" -> CurationQueries.substringDedupSql,
+    "q_line_dedup" -> CurationQueries.lineDedupSql(),
     "q_sequence_pack" -> CurationQueries.sequencePackSql,
     "q_decontaminate" -> CurationQueries.decontaminateSql,
     "q_bloom_prune" -> CurationQueries.bloomPruneSql,

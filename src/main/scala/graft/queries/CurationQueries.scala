@@ -443,6 +443,96 @@ object CurationQueries {
   }
 
   // --------------------------------------------------------------------
+  // q_line_dedup — line-level dedup with document reassembly
+  // --------------------------------------------------------------------
+
+  /** Line-level deduplication with reassembly (the RefinedWeb/CCNet
+    * technique: drop every LINE whose exact content appeared earlier in
+    * the corpus, keep the rest of the document): documents are chunked
+    * into fixed [[LineDedupBlockTokens]]-token pseudo-lines (the corpus
+    * has no newline structure), each line's first occurrence — lowest
+    * (doc_id, line_idx) — survives, every later copy is dropped, and the
+    * retained lines are stitched back into a `clean_text` column in
+    * original order. Unlike [[substringDedup]] (which *reports* duplicated
+    * span coverage), this emits the scrubbed corpus itself — the actual
+    * training-data transform.
+    *
+    * Scale: first-occurrence is the same skew-proof `min(struct)` partial
+    * aggregate as [[substringDedup]] — a boilerplate line repeated 10⁹
+    * times collapses map-side instead of funnelling one reducer through a
+    * row_number window; the join back is line-content-keyed with AQE skew
+    * handling. Reassembly is a per-document sorted fold over that
+    * document's own lines (bounded by doc length, no window over the
+    * corpus). One corpus scan end-to-end.
+    */
+  val LineDedupBlockTokens = 16
+
+  def lineDedup(s: SparkSession, dir: String, blockTokens: Int = LineDedupBlockTokens): DataFrame = {
+    val B = blockTokens
+    val docs = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), toks.as("w"))
+      .select(
+        col("doc_id"),
+        expr(s"cast(((size(w) - 1) div $B) + 1 as long)").as("n_lines"),
+        col("w"))
+    val lines = docs.select(
+      col("doc_id"),
+      expr(s"""inline(transform(sequence(0, (size(w) - 1) div $B),
+                 b -> struct(cast(b as long) AS line_idx,
+                             concat_ws(' ', slice(w, b*$B + 1, $B)) AS line)))"""))
+    val firsts = lines
+      .groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("line_idx"))).as("first"))
+    val kept = lines
+      .join(firsts, Seq("line"))
+      .filter(struct(col("doc_id"), col("line_idx")) === col("first"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("line_idx"), col("line")))),
+            x => x.getField("line")),
+          " ").as("clean_text"))
+    docs
+      .select(col("doc_id"), col("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** DuckDB oracle: first occurrence via a row_number window (fine at
+    * oracle scale), reassembly via ordered string_agg.
+    */
+  def lineDedupSql(blockTokens: Int = LineDedupBlockTokens): String = {
+    val B = blockTokens
+    s"""WITH ws AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       ), lines AS (
+         SELECT doc_id, b AS line_idx,
+                array_to_string(list_slice(w, b*$B + 1, b*$B + $B), ' ') AS line
+         FROM ws, LATERAL (SELECT unnest(range((len(w) - 1) // $B + 1)) AS b)
+       ), ranked AS (
+         SELECT doc_id, line_idx, line,
+                row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+         FROM lines
+       ), kept AS (
+         SELECT doc_id, count(*) AS n_kept,
+                string_agg(line, ' ' ORDER BY line_idx) AS clean_text
+         FROM ranked WHERE rn = 1 GROUP BY doc_id
+       )
+       SELECT ws.doc_id,
+              (len(w) - 1) // $B + 1 AS n_lines,
+              COALESCE(n_kept, 0) AS n_kept,
+              COALESCE(clean_text, '') AS clean_text
+       FROM ws LEFT JOIN kept USING (doc_id)"""
+  }
+
+  // --------------------------------------------------------------------
   // q_quality_score — linear quality model over narrow text features
   // --------------------------------------------------------------------
 

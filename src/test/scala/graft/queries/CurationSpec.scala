@@ -235,6 +235,30 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("line dedup: duplicate lines dropped, survivors reassembled in order") {
+    // 4-token lines for a compact fixture
+    val lineA = "a1 a2 a3 a4"
+    val lineB = "b1 b2 b3 b4"
+    val lineC = "c1 c2 c3 c4"
+    withDocs(
+      Seq(
+        (1L, s"$lineA $lineB", "en", "s", 0L), // both lines first occurrences
+        (2L, s"$lineA $lineC", "en", "s", 0L), // lineA is a dup; lineC survives
+        (3L, s"$lineB $lineA", "en", "s", 0L), // both lines dups -> empty doc
+        (4L, "tail one two", "en", "s", 0L) // short doc: one partial line
+      )) { dir =>
+      val out = CurationQueries
+        .lineDedup(spark, dir, blockTokens = 4)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      assert(out(1L) == ((2L, 2L, s"$lineA $lineB")))
+      assert(out(2L) == ((2L, 1L, lineC)))
+      assert(out(3L) == ((2L, 0L, "")))
+      assert(out(4L) == ((1L, 1L, "tail one two")))
+    }
+  }
+
   test("sequence packing: offsets contiguous per shard, boundary straddles exact") {
     val out = CurationQueries.sequencePack(spark, sf).collect()
     val L = CurationQueries.PackSeqTokens
