@@ -339,6 +339,56 @@ object StreamingQueries {
         AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
         AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 60 MINUTE"""
 
+  /** Stream-static enrichment join (the dimension-lookup shape every
+    * production stream runs): the events file stream joined to the STATIC
+    * `customer` dimension on the user→customer key, aggregated to
+    * per-market-segment totals. The static side is explicitly
+    * `broadcast()` — a stream-static join holds NO stream state for the
+    * static side; each micro-batch probes the broadcast hash table, so
+    * the operator is stateless except for the final aggregation.
+    *
+    * Scale: this is THE pattern for enriching a 100 TB/day stream with a
+    * bounded dimension — no shuffle of the stream, no state-store growth;
+    * the dimension is re-broadcast per batch (Spark re-plans the static
+    * side each micro-batch, which also picks up slowly-changing
+    * dimension updates). The drained result equals the batch join, so it
+    * is oracle-checked.
+    */
+  def streamEnrich(s0: SparkSession, dir: String): DataFrame = {
+    val s = boundedDrainSession(s0)
+    val raw = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream
+      .schema(raw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val cust = graft.Tables
+      .customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = stream
+      .join(broadcast(cust), col("user_id") + 1 === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+    val name = s"stream_enrich_${System.nanoTime()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_enrich_ckpt").toString
+    val query = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try query.processAllAvailable()
+    finally {
+      try query.stop()
+      finally dropCheckpoint(ckpt)
+    }
+    s.table(name)
+  }
+
+  val streamEnrichSql: String =
+    """SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 4) AS sum_value
+       FROM events e JOIN customer c ON e.user_id + 1 = c.c_custkey
+       GROUP BY 1"""
+
   /** P1–P5/D1 on the REAL streaming engine: the SAME
     * [[graft.operators.EventFormation.formEvents]] operator object that
     * serves the batch [[PipelineQueries.traceToEvents]] applied to a

@@ -100,6 +100,30 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(types.subsetOf(Set("view", "click", "signup", "(none)")))
   }
 
+  test("stream_enrich: drained stream-static join equals the batch join") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingQueries
+      .streamEnrich(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val batch = graft.Tables
+      .events(spark, dir)
+      .join(
+        graft.Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") + 1 === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(streamed.keySet == batch.keySet)
+    for ((k, (n, sv)) <- batch) {
+      assert(streamed(k)._1 == n, s"segment $k count")
+      assert(math.abs(streamed(k)._2 - sv) < 1e-6, s"segment $k sum")
+    }
+  }
+
   test("skyline: matches the brute-force Pareto frontier") {
     val sky = CurationQueries
       .skylineDocs(spark, dir)
