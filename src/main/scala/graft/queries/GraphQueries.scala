@@ -154,6 +154,147 @@ object GraphQueries {
           6).as("clustering"))
   }
 
+  /** Synchronous label-propagation community detection over the same
+    * similarity graph as [[pagerank]] (`iters` rounds): every node starts
+    * in its own community (label = node id); each round, a node adopts
+    * the MOST FREQUENT label among its neighbors, ties broken toward the
+    * smallest label — the deterministic variant of LPA (mode-of-
+    * neighbors, unlike the min-label rule which just recomputes connected
+    * components). Near-duplicate cliques collapse onto one label within
+    * a round or two; bridges keep distinct communities apart.
+    *
+    * Scale: per round, ONE join of the label table to the persisted edge
+    * list (src-keyed) and ONE two-level aggregation — (dst, label) counts
+    * collapse map-side, then the per-dst argmax is a `max_by` partial
+    * aggregate on (count, −label), so no window over the full node set
+    * and no skew funnel on hub nodes. Label/degree tables stay
+    * node-sized; cost per round is independent of round count.
+    */
+  def labelPropagation(
+      s: SparkSession,
+      dir: String,
+      iters: Int = 4,
+      minCommon: Int = 12): DataFrame = {
+    val pairs = similarityPairs(s, dir, minCommon)
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iters) {
+      val counts = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      labels = counts
+        .groupBy(col("dst"))
+        .agg(max_by(col("label"), struct(col("cnt"), -col("label"))).as("label"))
+        .withColumnRenamed("dst", "node")
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+    labels
+      .join(broadcast(sizes), "label")
+      .select(col("node").as("doc_id"), col("label").as("community"), col("n_members"))
+  }
+
+  /** Exact DuckDB oracle for [[labelPropagation]]: all rounds unrolled,
+    * the per-node argmax as a (cnt DESC, label ASC) row_number.
+    */
+  def labelPropagationSql(iters: Int = 4, minCommon: Int = 12): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s"""c$k AS (
+         SELECT e.dst, l.label, count(*) AS cnt
+         FROM edges e JOIN l${k - 1} l ON e.src = l.node
+         GROUP BY 1, 2),
+       l$k AS (
+         SELECT dst AS node, label FROM (
+           SELECT dst, label,
+                  row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, label) AS rn
+           FROM c$k) WHERE rn = 1)"""
+    }.mkString(",\n       ")
+    s"""WITH ${graphCtesSql(minCommon)},
+       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION ALL
+                 SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       nodes AS (SELECT DISTINCT src AS node FROM edges),
+       l0 AS (SELECT node, node AS label FROM nodes),
+       $iterCtes,
+       sizes AS (SELECT label, count(*) AS n_members FROM l$iters GROUP BY 1)
+       SELECT l.node AS doc_id, l.label AS community, s.n_members
+       FROM l$iters l JOIN sizes s USING (label)"""
+  }
+
+  /** Bounded-hop neighborhood function (ANF): |N≤1|, |N≤2|, |N≤3| per
+    * node over the similarity graph — the distance-distribution profile
+    * behind closeness/harmonic centrality, cut at 3 hops. A node whose
+    * 2-hop ball already spans its component is deeply embedded; a node
+    * whose ball grows slowly sits on the periphery.
+    *
+    * Scale: the exact frontier expansion here is h edge-keyed self-joins
+    * with a distinct per hop — correct and bounded at test scale, but the
+    * distinct's state is Σ|ball(v)| rows, which at 100 TB is exactly what
+    * the HyperANF refinement replaces: one [[SketchQueries.hllDistinct]]
+    * register array per node, merged along edges per round, turning the
+    * per-hop distinct into a bounded-state register max — same loop
+    * shape, O(nodes·m) state. The exact operator is the oracle-checkable
+    * form; the sketch swap is mechanical (registers already built in this
+    * repo).
+    */
+  def neighborhood(s: SparkSession, dir: String, minCommon: Int = 12): DataFrame = {
+    val pairs = similarityPairs(s, dir, minCommon)
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    // ball(h) = distinct nodes reachable in EXACTLY <= h hops, self excluded
+    val r1 = edges.select(col("src").as("node"), col("dst").as("reach")).distinct()
+    val r2 = r1
+      .join(edges.withColumnRenamed("src", "reach"), "reach")
+      .select(col("node"), col("dst").as("reach"))
+      .filter(col("reach") =!= col("node"))
+      .unionByName(r1)
+      .distinct()
+    val r3 = r2
+      .join(edges.withColumnRenamed("src", "reach"), "reach")
+      .select(col("node"), col("dst").as("reach"))
+      .filter(col("reach") =!= col("node"))
+      .unionByName(r2)
+      .distinct()
+    def sizes(r: DataFrame, name: String) =
+      r.groupBy(col("node")).agg(count(lit(1)).as(name))
+    sizes(r1, "n_1hop")
+      .join(sizes(r2, "n_2hop"), "node")
+      .join(sizes(r3, "n_3hop"), "node")
+      .select(col("node").as("doc_id"), col("n_1hop"), col("n_2hop"), col("n_3hop"))
+  }
+
+  /** Exact DuckDB oracle for [[neighborhood]]: same per-hop
+    * expand-union-distinct.
+    */
+  def neighborhoodSql(minCommon: Int = 12): String =
+    s"""WITH ${graphCtesSql(minCommon)},
+       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION ALL
+                 SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       r1 AS (SELECT DISTINCT src AS node, dst AS reach FROM edges),
+       r2 AS (
+         SELECT DISTINCT node, reach FROM (
+           SELECT r.node, e.dst AS reach
+           FROM r1 r JOIN edges e ON r.reach = e.src
+           WHERE e.dst <> r.node
+           UNION ALL SELECT node, reach FROM r1)),
+       r3 AS (
+         SELECT DISTINCT node, reach FROM (
+           SELECT r.node, e.dst AS reach
+           FROM r2 r JOIN edges e ON r.reach = e.src
+           WHERE e.dst <> r.node
+           UNION ALL SELECT node, reach FROM r2))
+       SELECT r1c.node AS doc_id, r1c.n_1hop, r2c.n_2hop, r3c.n_3hop
+       FROM (SELECT node, count(*) AS n_1hop FROM r1 GROUP BY 1) r1c
+       JOIN (SELECT node, count(*) AS n_2hop FROM r2 GROUP BY 1) r2c USING (node)
+       JOIN (SELECT node, count(*) AS n_3hop FROM r3 GROUP BY 1) r3c USING (node)"""
+
   /** Exact DuckDB oracle for [[triangleCount]]: same canonical two-hop
     * enumeration, same corner credit, same coefficient arithmetic.
     */

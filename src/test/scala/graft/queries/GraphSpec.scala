@@ -62,4 +62,35 @@ class GraphSpec extends AnyFunSuite {
     }
     spark.catalog.clearCache()
   }
+
+  test("label_propagation: labels are node ids, sizes consistent, dense pairs co-assigned") {
+    val rows = GraphQueries.labelPropagation(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nodes = rows.map(_.getAs[Long]("doc_id")).toSet
+    val byCommunity = rows.groupBy(_.getAs[Long]("community"))
+    // every label is a live node id; n_members is the real community size
+    for ((label, members) <- byCommunity) {
+      assert(nodes.contains(label), s"community label $label is not a node")
+      members.foreach(r => assert(r.getAs[Long]("n_members") == members.length))
+    }
+    assert(byCommunity.values.map(_.length).sum == rows.length)
+    spark.catalog.clearCache()
+  }
+
+  test("neighborhood: balls grow monotonically and 1-hop equals degree") {
+    val rows = GraphQueries.neighborhood(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val deg = GraphQueries
+      .triangleCount(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("degree"))
+      .toMap
+    for (r <- rows) {
+      val (n1, n2, n3) =
+        (r.getAs[Long]("n_1hop"), r.getAs[Long]("n_2hop"), r.getAs[Long]("n_3hop"))
+      assert(n1 <= n2 && n2 <= n3, r.toString)
+      assert(n1 == deg(r.getAs[Long]("doc_id")), "1-hop ball must equal distinct degree")
+    }
+    spark.catalog.clearCache()
+  }
 }
