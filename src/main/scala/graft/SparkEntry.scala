@@ -138,6 +138,8 @@ object SparkEntry {
     "q_hopping_counts" -> (RelationalQueries.hoppingCounts _),
     "q_engagement_corr" -> (RelationalQueries.engagementCorr _),
     "q_markov_transitions" -> (RelationalQueries.markovTransitions _),
+    "q_anomaly_mad" -> (RelationalQueries.anomalyMad _),
+    "q_event_pmi" -> (RelationalQueries.eventPmi _),
     "q_touch_attribution" -> (RelationalQueries.touchAttribution _),
     "q_zipf_slope" -> (SearchQueries.zipfSlope _),
     "q_source_divergence" -> (SearchQueries.sourceDivergence _),
@@ -270,6 +272,8 @@ object SparkEntry {
     "q_hopping_counts" -> RelationalQueries.hoppingCountsSql,
     "q_engagement_corr" -> RelationalQueries.engagementCorrSql,
     "q_markov_transitions" -> RelationalQueries.markovTransitionsSql,
+    "q_anomaly_mad" -> RelationalQueries.anomalyMadSql,
+    "q_event_pmi" -> RelationalQueries.eventPmiSql,
     "q_touch_attribution" -> RelationalQueries.touchAttributionSql,
     "q_zipf_slope" -> SearchQueries.zipfSlopeSql,
     "q_source_divergence" -> SearchQueries.sourceDivergenceSql,

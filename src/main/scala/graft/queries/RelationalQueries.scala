@@ -192,6 +192,73 @@ object RelationalQueries {
        count(*) AS n
        FROM events GROUP BY event_type"""
 
+  /** Robust outlier detection per event type: median + MAD (median
+    * absolute deviation), flagging values beyond 3σ-equivalent
+    * (|x − med| > 3·1.4826·MAD) — the estimator that survives the very
+    * outliers it hunts, unlike mean/stddev z-scores which a single 10⁶×
+    * spike drags. The data-quality gate a training pipeline runs over
+    * numeric telemetry before trusting aggregates.
+    *
+    * Cross-engine determinism: med and MAD are ROUNDED (6 dp) before the
+    * threshold comparison, so both engines compare against the identical
+    * constant — a last-ulp interpolation difference inside `percentile`
+    * cannot flip a flag. Scale: two grouped percentile passes over a
+    * persisted narrow projection (|types| keys); the flag pass is a
+    * broadcast join of a |types|-row dimension — no corpus-wide sort, no
+    * second scan. (At 100 TB the exact percentile swaps for
+    * [[SketchQueries.quantileSketch]]'s mergeable histogram — same plan,
+    * bounded state.)
+    */
+  def anomalyMad(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value")).persist()
+    val med = ev
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    val dev = ev
+      .join(broadcast(med), "event_type")
+      .select(col("event_type"), col("value"), col("med"), abs(col("value") - col("med")).as("adev"))
+    val mad = dev
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(adev, 0.5)"), 6).as("mad"))
+    dev
+      .join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(abs(col("value") - col("med")) > lit(4.4478) * col("mad"), 1).otherwise(0))
+          .as("n_outliers"))
+      .select(
+        col("event_type"),
+        col("n"),
+        col("med"),
+        col("mad"),
+        col("n_outliers"),
+        round(col("n_outliers").cast("double") / col("n").cast("double"), 6)
+          .as("outlier_frac"))
+  }
+
+  val anomalyMadSql: String =
+    """WITH ev AS (SELECT event_type, value FROM events),
+       med AS (
+         SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+         FROM ev GROUP BY 1),
+       dev AS (
+         SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+         FROM ev e JOIN med m USING (event_type)),
+       mad AS (
+         SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
+         FROM dev GROUP BY 1)
+       SELECT d.event_type, count(*) AS n, max(d.med) AS med, max(a.mad) AS mad,
+              CAST(sum(CASE WHEN abs(d.value - d.med) > 4.4478 * a.mad
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+              round(CAST(CAST(sum(CASE WHEN abs(d.value - d.med) > 4.4478 * a.mad
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE), 6) AS outlier_frac
+       FROM dev d JOIN mad a USING (event_type)
+       GROUP BY d.event_type"""
+
   /** Bitwise-OR aggregation (§2.8 O6 — veto-flag union analog). */
   def bitOrSizes(s: SparkSession, dir: String): DataFrame =
     Tables
@@ -1013,6 +1080,76 @@ object RelationalQueries {
        count(*) FILTER (event_type = 'signup') AS signup,
        count(*) FILTER (event_type = 'error') AS error
        FROM events WHERE user_id < 50 GROUP BY user_id"""
+
+  /** Pointwise mutual information between event types over (user, day)
+    * baskets: PMI(a,b) = ln(d_ab·N / (d_a·d_b)) where d_x counts baskets
+    * containing x and N is the basket universe — the co-occurrence
+    * statistic behind association mining and word-vector objectives
+    * (positive PMI = the pair travels together; negative = they repel).
+    *
+    * Cross-engine exactness: every count is an integer, the numerator
+    * and denominator products stay integer (exact in int64), and the
+    * single ln rides `round(_, 6)` — no float accumulation anywhere.
+    *
+    * Scale: baskets = one distinct over (user, day, type) — the same
+    * user-keyed shuffle the per-user stats pay; the pair join is keyed
+    * on (user, day) with at most |types| rows per basket side (bounded
+    * fan-out, never a product over users); singles and N are a
+    * |types|-row broadcast dimension and a broadcast scalar.
+    */
+  def eventPmi(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables
+      .events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .distinct()
+      .persist()
+    val nb = baskets
+      .select(col("user_id"), col("day"))
+      .distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val singles = baskets.groupBy(col("event_type")).agg(count(lit(1)).as("d"))
+    val pairs = baskets
+      .as("a")
+      .join(
+        baskets.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("d_ab"))
+    pairs
+      .join(broadcast(singles.select(col("event_type").as("type_a"), col("d").as("d_a"))), "type_a")
+      .join(broadcast(singles.select(col("event_type").as("type_b"), col("d").as("d_b"))), "type_b")
+      .crossJoin(broadcast(nb))
+      .select(
+        col("type_a"),
+        col("type_b"),
+        col("d_ab"),
+        round(
+          log((col("d_ab") * col("n_baskets")).cast("double") /
+            (col("d_a") * col("d_b")).cast("double")),
+          6).as("pmi"))
+  }
+
+  val eventPmiSql: String =
+    """WITH baskets AS (
+         SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type
+         FROM events),
+       nb AS (
+         SELECT count(*) AS n_baskets FROM (SELECT DISTINCT user_id, day FROM baskets)),
+       singles AS (SELECT event_type, count(*) AS d FROM baskets GROUP BY 1),
+       pairs AS (
+         SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS d_ab
+         FROM baskets a
+         JOIN baskets b ON a.user_id = b.user_id AND a.day = b.day
+                       AND a.event_type < b.event_type
+         GROUP BY 1, 2)
+       SELECT p.type_a, p.type_b, p.d_ab,
+              round(ln(CAST(p.d_ab * nb.n_baskets AS DOUBLE)
+                       / CAST(sa.d * sb.d AS DOUBLE)), 6) AS pmi
+       FROM pairs p
+       JOIN singles sa ON sa.event_type = p.type_a
+       JOIN singles sb ON sb.event_type = p.type_b
+       CROSS JOIN nb"""
 
   /** Markov transition matrix over per-user event sequences: P(next event
     * type | current event type), estimated from every consecutive pair in

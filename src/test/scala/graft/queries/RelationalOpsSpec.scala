@@ -100,6 +100,61 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(types.subsetOf(Set("view", "click", "signup", "(none)")))
   }
 
+  test("anomaly_mad: flags exactly the values beyond the robust threshold (brute force)") {
+    import org.apache.spark.sql.functions._
+    val rows = RelationalQueries.anomalyMad(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byType = graft.Tables
+      .events(spark, dir)
+      .select(col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(_._2))
+      .toMap
+    def medianOf(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      // interpolated median, as percentile/quantile_cont compute it
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    for (r <- rows) {
+      val vs = byType(r.getString(0))
+      val med = BigDecimal(medianOf(vs)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val mad = BigDecimal(medianOf(vs.map(v => math.abs(v - med))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Long]("n") == vs.length)
+      assert(math.abs(r.getAs[Double]("med") - med) < 1e-6, s"${r.getString(0)} med")
+      assert(math.abs(r.getAs[Double]("mad") - mad) < 1e-6, s"${r.getString(0)} mad")
+      val expect = vs.count(v => math.abs(v - med) > 4.4478 * mad)
+      assert(r.getAs[Long]("n_outliers") == expect, s"${r.getString(0)} outliers")
+    }
+  }
+
+  test("event_pmi: symmetric universe, counts bounded, pmi matches hand arithmetic") {
+    import org.apache.spark.sql.functions._
+    val rows = RelationalQueries.eventPmi(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val baskets = graft.Tables
+      .events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .distinct()
+      .collect()
+      .map(r => ((r.getLong(0), r.get(1).toString), r.getString(2)))
+    val byBasket = baskets.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val n = byBasket.size.toLong
+    val dSingle = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    for (r <- rows) {
+      val (a, b, dab) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(a < b, "canonical pair order")
+      val expectDab = byBasket.values.count(s => s.contains(a) && s.contains(b)).toLong
+      assert(dab == expectDab, s"($a,$b) d_ab")
+      val pmi = math.log((dab * n).toDouble / (dSingle(a) * dSingle(b)).toDouble)
+      assert(math.abs(r.getDouble(3) - pmi) < 1e-5, s"($a,$b) pmi")
+    }
+  }
+
   test("stream_enrich: drained stream-static join equals the batch join") {
     import org.apache.spark.sql.functions._
     val streamed = StreamingQueries
