@@ -139,6 +139,7 @@ object SparkEntry {
     "q_engagement_corr" -> (RelationalQueries.engagementCorr _),
     "q_markov_transitions" -> (RelationalQueries.markovTransitions _),
     "q_anomaly_mad" -> (RelationalQueries.anomalyMad _),
+    "q_cusum_changepoint" -> (SignalQueries.cusumChangepoint _),
     "q_event_pmi" -> (RelationalQueries.eventPmi _),
     "q_touch_attribution" -> (RelationalQueries.touchAttribution _),
     "q_zipf_slope" -> (SearchQueries.zipfSlope _),
@@ -273,6 +274,7 @@ object SparkEntry {
     "q_engagement_corr" -> RelationalQueries.engagementCorrSql,
     "q_markov_transitions" -> RelationalQueries.markovTransitionsSql,
     "q_anomaly_mad" -> RelationalQueries.anomalyMadSql,
+    "q_cusum_changepoint" -> SignalQueries.cusumChangepointSql,
     "q_event_pmi" -> RelationalQueries.eventPmiSql,
     "q_touch_attribution" -> RelationalQueries.touchAttributionSql,
     "q_zipf_slope" -> SearchQueries.zipfSlopeSql,

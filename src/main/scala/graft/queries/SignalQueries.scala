@@ -195,4 +195,78 @@ object SignalQueries {
        )
        SELECT user_id, event_time, pulse_height FROM islands
        WHERE last_rn < n_rows OR n >= 2"""
+
+  /** CUSUM change-point detection over each event type's daily-mean
+    * series: S_i = Σ_{j≤i} (x_j − μ) with μ the series mean; the change
+    * point is the day maximizing |S_i| (earliest on ties) — the classic
+    * Page/Pettitt-style level-shift locator a monitoring pipeline runs
+    * over telemetry to ask "when did this metric's regime change?".
+    *
+    * Cross-engine exactness: daily means and μ are ROUNDED constants, the
+    * per-type series is collected in day order, and every cumulative sum
+    * is an explicit left fold over that ordered array — both engines
+    * compute bit-identical S_i (the sorted-fold discipline), so argmax
+    * and tie-break are exact, no tolerance anywhere.
+    *
+    * Scale: one (type, day) aggregation (map-side combined), then the
+    * fold runs per type over an array bounded by the calendar (365
+    * entries/year — O(n²) slices at n=31 is microseconds). The full
+    * corpus is never windowed or re-sorted; only the tiny daily series
+    * moves past the first aggregate.
+    */
+  def cusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(avg(col("value")), 6).as("dm"))
+    daily
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("dm")))).as("arr"))
+      .withColumn("n", size(col("arr")))
+      .withColumn(
+        "mu",
+        round(expr("aggregate(arr, 0.0D, (a, x) -> a + x.dm) / n"), 6))
+      .withColumn(
+        "cabs",
+        expr("""transform(sequence(1, n),
+                  i -> abs(aggregate(slice(arr, 1, i), 0.0D, (a, x) -> a + (x.dm - mu))))"""))
+      .withColumn("max_dev", expr("array_max(cabs)"))
+      .withColumn(
+        "idx",
+        expr("array_min(filter(sequence(1, n), i -> element_at(cabs, i) = max_dev))"))
+      .select(
+        col("event_type"),
+        col("n").cast("long").as("n_days"),
+        expr("element_at(arr, idx).day").as("change_day"),
+        col("mu").as("baseline_mean"),
+        round(col("max_dev"), 6).as("max_cusum"))
+  }
+
+  val cusumChangepointSql: String =
+    """WITH daily AS (
+         SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                round(avg(value), 6) AS dm
+         FROM events GROUP BY 1, 2),
+       per AS (
+         SELECT event_type,
+                list(day ORDER BY day) AS days,
+                list(dm ORDER BY day) AS dms,
+                count(*) AS n
+         FROM daily GROUP BY 1),
+       folded AS (
+         SELECT event_type, days, n,
+                round(list_reduce(list_prepend(0.0, dms), (a, b) -> a + b) / n, 6) AS mu,
+                dms
+         FROM per),
+       cus AS (
+         SELECT event_type, days, n, mu,
+                [abs(list_reduce(list_prepend(0.0, dms[1:i]),
+                                 (a, b) -> a + (b - mu))) FOR i IN range(1, n + 1)] AS cabs
+         FROM folded)
+       SELECT event_type,
+              n AS n_days,
+              days[list_min([i FOR i IN range(1, n + 1) IF cabs[i] = list_max(cabs)])] AS change_day,
+              mu AS baseline_mean,
+              round(list_max(cabs), 6) AS max_cusum
+       FROM cus"""
 }

@@ -155,6 +155,33 @@ class RelationalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cusum_changepoint: fold matches a driver-side model per type") {
+    import org.apache.spark.sql.functions._
+    val rows = SignalQueries.cusumChangepoint(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(avg(col("value")), 6).as("dm"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+    for (r <- rows) {
+      val series = daily.filter(_._1 == r.getString(0)).sortBy(_._2.getTime)
+      assert(r.getAs[Long]("n_days") == series.length)
+      val mu = BigDecimal(series.map(_._3).sum / series.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      var acc = 0.0
+      var best = -1.0
+      var bestDay: java.sql.Timestamp = null
+      for ((_, day, dm) <- series) {
+        acc += dm - mu
+        if (math.abs(acc) > best + 1e-12) { best = math.abs(acc); bestDay = day }
+      }
+      assert(math.abs(r.getAs[Double]("max_cusum") - best) < 1e-6, r.toString)
+      assert(r.getAs[java.sql.Timestamp]("change_day") == bestDay, r.toString)
+    }
+  }
+
   test("stream_enrich: drained stream-static join equals the batch join") {
     import org.apache.spark.sql.functions._
     val streamed = StreamingQueries
