@@ -370,4 +370,48 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(broadcasts >= 2, s"expected bits + eval-gram broadcasts, got $broadcasts")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q_line_dedup: first-occurrence is a partial-agg groupBy, no window on the line key") {
+    val df = graft.SparkEntry.queries("q_line_dedup")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the same skew-safe shape as q_substring_dedup: a hot boilerplate
+    // line collapses in the map-side min(struct) partial aggregate; the
+    // ONLY window-free reassembly is a per-doc collect_list aggregate
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert("""Aggregate \[line""".r.findFirstIn(opt).isDefined, opt.take(3000))
+    assert(
+      !"""windowspecdefinition\(line""".r.findFirstIn(p).isDefined,
+      "no window keyed on the line content (skew funnel)")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_event_pmi / q_anomaly_mad: dimensions broadcast; fact never re-shuffles for them") {
+    for (name <- Seq("q_event_pmi", "q_anomaly_mad")) {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"$name: tiny dimension must broadcast")
+      assert(!p.contains("CartesianProduct"), name)
+    }
+  }
+
+  test("q_label_propagation / q_neighborhood: per-round joins stay keyed, never a product") {
+    for (name <- Seq("q_label_propagation", "q_neighborhood")) {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name\n${p.take(2000)}")
+    }
+  }
+
+  test("q_hll_distinct / q_source_divergence: corpus scanned once (shared persisted projection)") {
+    for (name <- Seq("q_hll_distinct", "q_source_divergence")) {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val n = uncachedFileScans(df.queryExecution.executedPlan)
+      assert(n == 0, s"$name: $n uncached FileScans outside the persisted projection")
+      spark.catalog.clearCache()
+    }
+  }
 }
