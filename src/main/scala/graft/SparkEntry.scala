@@ -140,6 +140,8 @@ object SparkEntry {
     "q_markov_transitions" -> (RelationalQueries.markovTransitions _),
     "q_anomaly_mad" -> (RelationalQueries.anomalyMad _),
     "q_cusum_changepoint" -> (SignalQueries.cusumChangepoint _),
+    "q_holt_forecast" -> (SignalQueries.holtForecast _),
+    "q_active_users" -> (RelationalQueries.activeUsers _),
     "q_event_pmi" -> (RelationalQueries.eventPmi _),
     "q_touch_attribution" -> (RelationalQueries.touchAttribution _),
     "q_zipf_slope" -> (SearchQueries.zipfSlope _),
@@ -275,6 +277,8 @@ object SparkEntry {
     "q_markov_transitions" -> RelationalQueries.markovTransitionsSql,
     "q_anomaly_mad" -> RelationalQueries.anomalyMadSql,
     "q_cusum_changepoint" -> SignalQueries.cusumChangepointSql,
+    "q_holt_forecast" -> SignalQueries.holtForecastSql,
+    "q_active_users" -> RelationalQueries.activeUsersSql,
     "q_event_pmi" -> RelationalQueries.eventPmiSql,
     "q_touch_attribution" -> RelationalQueries.touchAttributionSql,
     "q_zipf_slope" -> SearchQueries.zipfSlopeSql,

@@ -1081,6 +1081,51 @@ object RelationalQueries {
        count(*) FILTER (event_type = 'error') AS error
        FROM events WHERE user_id < 50 GROUP BY user_id"""
 
+  /** Rolling active-user engagement: per day, DAU (distinct users that
+    * day), trailing-7-day WAU, and the DAU/WAU stickiness ratio — the
+    * engagement triple every product dashboard leads with.
+    *
+    * Scale: the (user, day) distinct is one user-keyed shuffle; the
+    * trailing window is a join of that pair table to the BOUNDED day
+    * dimension (365 rows/year, broadcast) with a 0–6 day range predicate
+    * — amplification ≤ 7 rows per user-day, then a per-day distinct
+    * count. No self-join of the fact table, no sliding-window state.
+    */
+  def activeUsers(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables
+      .events(s, dir)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .persist()
+    val days = ud.select(col("day").as("d")).distinct()
+    val wau = ud
+      .join(broadcast(days), datediff(col("d"), col("day")).between(0, 6))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    val dau = ud.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+    dau
+      .join(wau, col("day") === col("d"))
+      .select(
+        col("day"),
+        col("dau"),
+        col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 6).as("stickiness"))
+  }
+
+  val activeUsersSql: String =
+    """WITH ud AS (
+         SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, user_id
+         FROM events),
+       days AS (SELECT DISTINCT day AS d FROM ud),
+       wau AS (
+         SELECT d, count(DISTINCT user_id) AS wau
+         FROM ud JOIN days ON date_diff('day', day, d) BETWEEN 0 AND 6
+         GROUP BY 1),
+       dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1)
+       SELECT day, dau, wau,
+              round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness
+       FROM dau JOIN wau ON day = d"""
+
   /** Pointwise mutual information between event types over (user, day)
     * baskets: PMI(a,b) = ln(d_ab·N / (d_a·d_b)) where d_x counts baskets
     * containing x and N is the basket universe — the co-occurrence

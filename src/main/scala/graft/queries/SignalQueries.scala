@@ -242,6 +242,73 @@ object SignalQueries {
         round(col("max_dev"), 6).as("max_cusum"))
   }
 
+  /** Holt double-exponential smoothing (α = β = 0.5) over each event
+    * type's daily-mean series: final level, trend, and the one-step-ahead
+    * forecast — the trend-aware baseline a capacity/monitoring pipeline
+    * projects tomorrow's load from.
+    *
+    * Cross-engine exactness to the BIT: the smoothing constants are 0.5
+    * (multiplication by a power of two is exact IEEE), the inputs are the
+    * same rounded daily means as [[cusumChangepoint]], and the recurrence
+    * is an explicit left fold in day order with the IDENTICAL expression
+    * tree on both engines (Spark `aggregate` with a struct accumulator;
+    * DuckDB a recursive-CTE walk) — so level/trend agree bitwise and the
+    * `round(_, 6)` on output is belt-and-braces, not a tolerance.
+    *
+    * Scale: identical shape to [[cusumChangepoint]] — one map-side
+    * combined (type, day) aggregate, then a calendar-bounded fold per
+    * type. Nothing corpus-sized is sorted or windowed.
+    */
+  def holtForecast(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(avg(col("value")), 6).as("dm"))
+    daily
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("dm")))).as("arr"))
+      .withColumn("dms", expr("transform(arr, x -> x.dm)"))
+      .withColumn("n", size(col("dms")))
+      .withColumn(
+        "state",
+        // get() (0-based) not element_at: a 1-day series must yield a
+        // NULL trend like DuckDB's out-of-bounds list index, not an
+        // ANSI error
+        expr("""aggregate(slice(dms, 2, n - 1),
+                  named_struct('l', get(dms, 0),
+                               'b', get(dms, 1) - get(dms, 0)),
+                  (acc, x) -> named_struct(
+                    'l', 0.5D * x + 0.5D * (acc.l + acc.b),
+                    'b', 0.5D * ((0.5D * x + 0.5D * (acc.l + acc.b)) - acc.l) + 0.5D * acc.b))"""))
+      .select(
+        col("event_type"),
+        col("n").cast("long").as("n_days"),
+        round(expr("state.l"), 6).as("level"),
+        round(expr("state.b"), 6).as("trend"),
+        round(expr("state.l + state.b"), 6).as("forecast_next"))
+  }
+
+  val holtForecastSql: String =
+    """WITH RECURSIVE daily AS (
+         SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                round(avg(value), 6) AS dm
+         FROM events GROUP BY 1, 2),
+       per AS (
+         SELECT event_type, list(dm ORDER BY day) AS dms, count(*) AS n
+         FROM daily GROUP BY 1),
+       walk(event_type, t, l, b) AS (
+         SELECT event_type, 1, dms[1], dms[2] - dms[1] FROM per
+         UNION ALL
+         SELECT w.event_type, w.t + 1,
+                0.5 * p.dms[w.t + 1] + 0.5 * (w.l + w.b),
+                0.5 * ((0.5 * p.dms[w.t + 1] + 0.5 * (w.l + w.b)) - w.l) + 0.5 * w.b
+         FROM walk w JOIN per p ON w.event_type = p.event_type
+         WHERE w.t < p.n)
+       SELECT w.event_type, p.n AS n_days,
+              round(w.l, 6) AS level, round(w.b, 6) AS trend,
+              round(w.l + w.b, 6) AS forecast_next
+       FROM walk w JOIN per p ON w.event_type = p.event_type AND w.t = p.n"""
+
   val cusumChangepointSql: String =
     """WITH daily AS (
          SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,

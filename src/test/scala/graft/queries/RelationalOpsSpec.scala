@@ -155,6 +155,56 @@ class RelationalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("active_users: dau <= wau, stickiness in (0,1], window really is 7 days") {
+    import org.apache.spark.sql.functions._
+    val rows = RelationalQueries.activeUsers(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val ud = graft.Tables
+      .events(spark, dir)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)))
+    val dayMs = 86400000L
+    for (r <- rows) {
+      val d = r.getTimestamp(0)
+      val dau = r.getLong(1)
+      val wau = r.getLong(2)
+      assert(dau <= wau)
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+      val expectWau = ud.collect {
+        case (day, u) if d.getTime - day.getTime >= 0 && d.getTime - day.getTime <= 6 * dayMs => u
+      }.toSet.size
+      assert(wau == expectWau, s"day $d")
+    }
+  }
+
+  test("holt_forecast: fold matches a driver-side recurrence per type") {
+    import org.apache.spark.sql.functions._
+    val rows = SignalQueries.holtForecast(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(avg(col("value")), 6).as("dm"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+    for (r <- rows) {
+      val xs = daily.filter(_._1 == r.getString(0)).sortBy(_._2.getTime).map(_._3)
+      assert(r.getAs[Long]("n_days") == xs.length)
+      var l = xs(0)
+      var b = xs(1) - xs(0)
+      for (t <- 1 until xs.length) {
+        val lNew = 0.5 * xs(t) + 0.5 * (l + b)
+        b = 0.5 * (lNew - l) + 0.5 * b
+        l = lNew
+      }
+      assert(math.abs(r.getAs[Double]("level") - l) < 1e-6, r.toString)
+      assert(math.abs(r.getAs[Double]("trend") - b) < 1e-6, r.toString)
+      assert(math.abs(r.getAs[Double]("forecast_next") - (l + b)) < 1e-6, r.toString)
+    }
+  }
+
   test("cusum_changepoint: fold matches a driver-side model per type") {
     import org.apache.spark.sql.functions._
     val rows = SignalQueries.cusumChangepoint(spark, dir).collect()
