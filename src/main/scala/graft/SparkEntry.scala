@@ -141,6 +141,7 @@ object SparkEntry {
     "q_anomaly_mad" -> (RelationalQueries.anomalyMad _),
     "q_cusum_changepoint" -> (SignalQueries.cusumChangepoint _),
     "q_holt_forecast" -> (SignalQueries.holtForecast _),
+    "q_autocorrelation" -> ((s: SparkSession, d: String) => SignalQueries.autocorrelation(s, d)),
     "q_active_users" -> (RelationalQueries.activeUsers _),
     "q_event_pmi" -> (RelationalQueries.eventPmi _),
     "q_touch_attribution" -> (RelationalQueries.touchAttribution _),
@@ -278,6 +279,7 @@ object SparkEntry {
     "q_anomaly_mad" -> RelationalQueries.anomalyMadSql,
     "q_cusum_changepoint" -> SignalQueries.cusumChangepointSql,
     "q_holt_forecast" -> SignalQueries.holtForecastSql,
+    "q_autocorrelation" -> SignalQueries.autocorrelationSql(),
     "q_active_users" -> RelationalQueries.activeUsersSql,
     "q_event_pmi" -> RelationalQueries.eventPmiSql,
     "q_touch_attribution" -> RelationalQueries.touchAttributionSql,

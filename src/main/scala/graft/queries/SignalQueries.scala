@@ -309,6 +309,69 @@ object SignalQueries {
               round(w.l + w.b, 6) AS forecast_next
        FROM walk w JOIN per p ON w.event_type = p.event_type AND w.t = p.n"""
 
+  /** Sample autocorrelation (lags 1–7) of each event type's daily-mean
+    * series: ρ_k = Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)² — the periodicity
+    * detector behind seasonality-aware monitoring (a weekly-cycled
+    * metric shows ρ₇ ≫ ρ₁..₆; a level shift inflates every lag).
+    *
+    * Exactness and scale: identical recipe to [[cusumChangepoint]] /
+    * [[holtForecast]] — rounded daily means, a rounded μ, and ordered
+    * folds with identical term trees on both engines, over
+    * calendar-bounded arrays; the corpus is aggregated once. The lag
+    * explode multiplies the tiny per-type row, not the data.
+    */
+  def autocorrelation(s: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
+    val daily = Tables
+      .events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(avg(col("value")), 6).as("dm"))
+    daily
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("dm")))).as("arr"))
+      .withColumn("dms", expr("transform(arr, x -> x.dm)"))
+      .withColumn("n", size(col("dms")))
+      .withColumn("mu", round(expr("aggregate(dms, 0.0D, (a, x) -> a + x) / n"), 6))
+      .withColumn(
+        "den",
+        expr("aggregate(dms, 0.0D, (a, x) -> a + (x - mu) * (x - mu))"))
+      .withColumn("lag", explode(sequence(lit(1), least(lit(maxLag), col("n") - 1))))
+      .withColumn(
+        "num",
+        expr("""aggregate(sequence(1, n - lag), 0.0D,
+                  (a, t) -> a + (get(dms, t - 1) - mu) * (get(dms, t + lag - 1) - mu))"""))
+      .select(
+        col("event_type"),
+        col("n").cast("long").as("n_days"),
+        col("lag").cast("long").as("lag"),
+        round(col("num") / col("den"), 6).as("acf"))
+  }
+
+  def autocorrelationSql(maxLag: Int = 7): String =
+    s"""WITH daily AS (
+         SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                round(avg(value), 6) AS dm
+         FROM events GROUP BY 1, 2),
+       per AS (
+         SELECT event_type, list(dm ORDER BY day) AS dms, count(*) AS n
+         FROM daily GROUP BY 1),
+       m AS (
+         SELECT event_type, dms, n,
+                round(list_reduce(list_prepend(0.0, dms), (a, b) -> a + b) / n, 6) AS mu
+         FROM per),
+       d AS (
+         SELECT event_type, dms, n, mu,
+                list_reduce(list_prepend(0.0, [(x - mu) * (x - mu) FOR x IN dms]),
+                            (a, b) -> a + b) AS den
+         FROM m),
+       lags AS (
+         SELECT event_type, dms, n, mu, den, lag
+         FROM d, LATERAL (SELECT unnest(range(1, least($maxLag, n - 1) + 1)) AS lag))
+       SELECT event_type, n AS n_days, lag,
+              round(list_reduce(list_prepend(0.0,
+                      [(dms[t] - mu) * (dms[t + lag] - mu) FOR t IN range(1, n - lag + 1)]),
+                    (a, b) -> a + b) / den, 6) AS acf
+       FROM lags"""
+
   val cusumChangepointSql: String =
     """WITH daily AS (
          SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,

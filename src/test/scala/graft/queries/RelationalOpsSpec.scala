@@ -205,6 +205,28 @@ class RelationalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("autocorrelation: matches a driver-side model; acf bounded; lag-0 excluded") {
+    import org.apache.spark.sql.functions._
+    val rows = SignalQueries.autocorrelation(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(avg(col("value")), 6).as("dm"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+    for (r <- rows) {
+      val xs = daily.filter(_._1 == r.getString(0)).sortBy(_._2.getTime).map(_._3)
+      val lag = r.getAs[Long]("lag").toInt
+      assert(lag >= 1 && lag <= 7)
+      val mu = BigDecimal(xs.sum / xs.length).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val den = xs.map(x => (x - mu) * (x - mu)).sum
+      val num = (0 until xs.length - lag).map(t => (xs(t) - mu) * (xs(t + lag) - mu)).sum
+      assert(math.abs(r.getAs[Double]("acf") - num / den) < 1e-5, r.toString)
+      assert(math.abs(r.getAs[Double]("acf")) <= 1.0 + 1e-9)
+    }
+  }
+
   test("cusum_changepoint: fold matches a driver-side model per type") {
     import org.apache.spark.sql.functions._
     val rows = SignalQueries.cusumChangepoint(spark, dir).collect()
