@@ -91,6 +91,7 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s: SparkSession, d: String) => DedupQueries.dedupClusters(s, d)),
     "q_corpus_curation" -> (DedupQueries.corpusCuration _),
     "q_ngram_jaccard" -> (DedupQueries.ngramJaccard _),
+    "q_containment_dedup" -> (DedupQueries.containmentDedup _),
     "q_bigram_jaccard" -> (DedupQueries.bigramJaccard _),
     "q_fingerprints" -> (DedupQueries.fingerprints _),
     "q_language_id" -> (DedupQueries.languageId _),
@@ -143,6 +144,7 @@ object SparkEntry {
     "q_holt_forecast" -> (SignalQueries.holtForecast _),
     "q_autocorrelation" -> ((s: SparkSession, d: String) => SignalQueries.autocorrelation(s, d)),
     "q_active_users" -> (RelationalQueries.activeUsers _),
+    "q_user_features" -> (RelationalQueries.userFeatures _),
     "q_event_pmi" -> (RelationalQueries.eventPmi _),
     "q_touch_attribution" -> (RelationalQueries.touchAttribution _),
     "q_zipf_slope" -> (SearchQueries.zipfSlope _),
@@ -217,6 +219,7 @@ object SparkEntry {
     "q_text_stats" -> TextQueries.textStatsSql,
     "q_corpus_profile" -> TextQueries.corpusProfileSql,
     "q_ngram_jaccard" -> DedupQueries.ngramJaccardSql,
+    "q_containment_dedup" -> DedupQueries.containmentDedupSql,
     "q_bigram_jaccard" -> DedupQueries.bigramJaccardSql,
     "q_language_id" -> DedupQueries.languageIdSql,
     "q_token_counts" -> DedupQueries.tokenCountsSql,
@@ -281,6 +284,7 @@ object SparkEntry {
     "q_holt_forecast" -> SignalQueries.holtForecastSql,
     "q_autocorrelation" -> SignalQueries.autocorrelationSql(),
     "q_active_users" -> RelationalQueries.activeUsersSql,
+    "q_user_features" -> RelationalQueries.userFeaturesSql,
     "q_event_pmi" -> RelationalQueries.eventPmiSql,
     "q_touch_attribution" -> RelationalQueries.touchAttributionSql,
     "q_zipf_slope" -> SearchQueries.zipfSlopeSql,

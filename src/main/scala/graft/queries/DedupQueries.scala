@@ -625,6 +625,65 @@ object DedupQueries {
       .filter(col("jaccard") >= 0.2)
   }
 
+  /** Asymmetric containment near-dup: C(A→B) = |words(A) ∩ words(B)| /
+    * |words(A)| for same-language pairs — the detector Jaccard
+    * structurally misses: a short document wholly absorbed into a long
+    * one has tiny Jaccard (union is dominated by the long doc) but
+    * containment ≈ 1 from the short side. Emitted when either direction
+    * reaches 0.5, on ROUNDED values so the cut compares identical
+    * doubles cross-engine.
+    *
+    * Scale: identical shape to [[ngramJaccard]] — word-keyed candidate
+    * join (AQE-skew handled), per-doc sizes from one partial aggregate;
+    * at 100 TB the same containment formula runs over the MinHash band
+    * buckets ([[minhashPairs]]) instead of the raw word join.
+    */
+  def containmentDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(s, dir)
+      .filter(col("doc_id") < 80)
+      .select(col("doc_id"), col("lang"), explode(array_distinct(split(col("text"), " ", -1))).as("w"))
+    val sizes = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_words"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("w"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("w"))
+    val common = a
+      .join(b, Seq("w"))
+      .filter(col("doc_a") < col("doc_b") && col("lang") === col("lang_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_words", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_words", "n_b"), "doc_b")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("n_common"),
+        round(col("n_common").cast("double") / col("n_a").cast("double"), 6).as("containment_a"),
+        round(col("n_common").cast("double") / col("n_b").cast("double"), 6).as("containment_b"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= 0.5)
+  }
+
+  val containmentDedupSql: String =
+    """WITH words AS (
+         SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS w
+         FROM documents WHERE doc_id < 80
+       ), sizes AS (
+         SELECT doc_id, count(*) AS n_words FROM words GROUP BY doc_id
+       ), common AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+          AND a.lang = b.lang
+         GROUP BY 1, 2
+       ), scored AS (
+         SELECT doc_a, doc_b, n_common,
+                round(CAST(n_common AS DOUBLE) / CAST(sa.n_words AS DOUBLE), 6) AS containment_a,
+                round(CAST(n_common AS DOUBLE) / CAST(sb.n_words AS DOUBLE), 6) AS containment_b
+         FROM common
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+       )
+       SELECT * FROM scored WHERE greatest(containment_a, containment_b) >= 0.5"""
+
   val ngramJaccardSql: String =
     """WITH words AS (
          SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS w

@@ -1081,6 +1081,75 @@ object RelationalQueries {
        count(*) FILTER (event_type = 'error') AS error
        FROM events WHERE user_id < 50 GROUP BY user_id"""
 
+  /** Per-user feature materialization — the feature-store table a churn
+    * or ranking model trains on: activity volume, active-day span,
+    * recency vs the corpus horizon, purchase count, error rate, value
+    * stats. ONE user-keyed aggregation pass; the corpus horizon (max
+    * day) is a broadcast one-row aggregate; every rate/mean is rounded
+    * for cross-engine hash parity; everything else is integer-exact.
+    *
+    * Scale: this is the canonical "wide aggregate" feature job — all
+    * features fold in the same partial aggregate (one shuffle on
+    * user_id, map-side combined), so adding features widens the row,
+    * never the plan. At 100 TB the same job feeds incremental feature
+    * stores by running per partition-date and merging the mergeable
+    * pieces (sums/counts/maxes).
+    */
+  def userFeatures(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val horizon = ev.agg(date_trunc("day", max(col("ts"))).as("horizon_day"))
+    ev
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(date_trunc("day", col("ts"))).as("n_active_days"),
+        date_trunc("day", min(col("ts"))).as("first_day"),
+        date_trunc("day", max(col("ts"))).as("last_day"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchases"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_errors"),
+        // 2-decimal values → exact integer cents: a plain avg() can land
+        // exactly ON a 5e-7 rounding boundary and flip the last rounded
+        // digit with engine sum order (observed at sf0.01)
+        sum(round(col("value") * 100).cast("long")).as("cents"),
+        max(col("value")).as("max_value"))
+      .crossJoin(broadcast(horizon))
+      .select(
+        col("user_id"),
+        col("n_events"),
+        col("n_active_days"),
+        datediff(col("last_day"), col("first_day")).cast("long").as("tenure_days"),
+        datediff(col("horizon_day"), col("last_day")).cast("long").as("recency_days"),
+        col("n_purchases"),
+        round(col("n_errors").cast("double") / col("n_events").cast("double"), 6)
+          .as("error_rate"),
+        round(col("cents").cast("double") / (col("n_events").cast("double") * 100.0), 6)
+          .as("avg_value"),
+        col("max_value"))
+  }
+
+  val userFeaturesSql: String =
+    """WITH horizon AS (
+         SELECT date_trunc('day', max(CAST(ts AS TIMESTAMP))) AS horizon_day FROM events),
+       per AS (
+         SELECT user_id,
+                count(*) AS n_events,
+                count(DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP))) AS n_active_days,
+                date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS first_day,
+                date_trunc('day', max(CAST(ts AS TIMESTAMP))) AS last_day,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+                max(value) AS max_value
+         FROM events GROUP BY 1)
+       SELECT user_id, n_events, n_active_days,
+              date_diff('day', first_day, last_day) AS tenure_days,
+              date_diff('day', last_day, horizon_day) AS recency_days,
+              n_purchases,
+              round(CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE), 6) AS error_rate,
+              round(CAST(cents AS DOUBLE) / (CAST(n_events AS DOUBLE) * 100.0), 6) AS avg_value,
+              max_value
+       FROM per CROSS JOIN horizon"""
+
   /** Rolling active-user engagement: per day, DAU (distinct users that
     * day), trailing-7-day WAU, and the DAU/WAU stickiness ratio — the
     * engagement triple every product dashboard leads with.

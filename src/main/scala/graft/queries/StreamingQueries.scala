@@ -25,6 +25,12 @@ object StreamingQueries {
   private def boundedDrainSession(s0: SparkSession): SparkSession = {
     val s = s0.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    // newSession() drops SESSION conf, and the harness parquet's
+    // TIMESTAMP(NANOS) is only readable with the legacy switch — whether
+    // the clone inherits it otherwise depends on which session created
+    // the shared SparkContext first (a test-order lottery), so carry it
+    // explicitly
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // newSession() drops runtime conf — carry the caller's state-store
     // choice across the clone, then apply it (RocksDB when opted in;
     // see Sessions.stateStoreConfigure and SCALE.md §Streaming)

@@ -155,6 +155,67 @@ class RelationalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("user_features: integer features match a brute-force model per user") {
+    import org.apache.spark.sql.functions._
+    val rows = RelationalQueries.userFeatures(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Tables
+      .events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
+    val byUser = ev.groupBy(_._1)
+    val horizon = ev.map(_._2.getTime).max
+    val dayMs = 86400000L
+    for (r <- rows) {
+      val mine = byUser(r.getLong(0))
+      assert(r.getAs[Long]("n_events") == mine.length)
+      assert(r.getAs[Long]("n_active_days") == mine.map(_._2).distinct.length)
+      assert(r.getAs[Long]("n_purchases") == mine.count(_._3 == "purchase"))
+      val first = mine.map(_._2.getTime).min
+      val last = mine.map(_._2.getTime).max
+      assert(r.getAs[Long]("tenure_days") == (last - first) / dayMs)
+      assert(r.getAs[Long]("recency_days") == (horizon - last) / dayMs)
+      assert(
+        math.abs(
+          r.getAs[Double]("error_rate") - mine.count(_._3 == "error").toDouble / mine.length) < 1e-5)
+    }
+  }
+
+  test("containment_dedup: asymmetric scores match brute force; catches doc-in-doc pairs") {
+    import org.apache.spark.sql.functions._
+    val rows = DedupQueries.containmentDedup(spark, dir).collect()
+    val words = graft.Tables
+      .documents(spark, dir)
+      .filter(col("doc_id") < 80)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("text").split(" ").toSet))
+    for (r <- rows) {
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(a < b)
+      val (_, langA, wa) = words.find(_._1 == a).get
+      val (_, langB, wb) = words.find(_._1 == b).get
+      assert(langA == langB)
+      val common = (wa & wb).size
+      assert(r.getLong(2) == common)
+      assert(math.abs(r.getDouble(3) - common.toDouble / wa.size) < 1e-5)
+      assert(math.abs(r.getDouble(4) - common.toDouble / wb.size) < 1e-5)
+      assert(math.max(r.getDouble(3), r.getDouble(4)) >= 0.5)
+    }
+    // completeness: brute force finds the same qualifying pair set
+    val expect = (for {
+      (da, la, wa) <- words; (db, lb, wb) <- words
+      if da < db && la == lb
+      c = (wa & wb).size
+      // the operator compares ROUNDED containments — mirror that
+      r6a = BigDecimal(c.toDouble / wa.size).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      r6b = BigDecimal(c.toDouble / wb.size).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      if c > 0 && (r6a >= 0.5 || r6b >= 0.5)
+    } yield (da, db)).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == expect)
+  }
+
   test("active_users: dau <= wau, stickiness in (0,1], window really is 7 days") {
     import org.apache.spark.sql.functions._
     val rows = RelationalQueries.activeUsers(spark, dir).collect()
