@@ -476,6 +476,9 @@ object CurationQueries {
         col("doc_id"),
         expr(s"cast(((size(w) - 1) div $B) + 1 as long)").as("n_lines"),
         col("w"))
+      // one corpus scan: the token projection feeds the line explode
+      // (twice: firsts + probe) AND the final n_lines join
+      .persist()
     val lines = docs.select(
       col("doc_id"),
       expr(s"""inline(transform(sequence(0, (size(w) - 1) div $B),

@@ -601,18 +601,7 @@ object DedupQueries {
     * oracle-checked (pure set algebra).
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables
-      .documents(s, dir)
-      .filter(col("doc_id") < 80)
-      .select(col("doc_id"), col("lang"), explode(array_distinct(split(col("text"), " ", -1))).as("w"))
-    val sizes = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_words"))
-    val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("w"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("w"))
-    val common = a
-      .join(b, Seq("w"))
-      .filter(col("doc_a") < col("doc_b") && col("lang") === col("lang_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
+    val (common, sizes) = wordOverlapPairs(s, dir)
     common
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_words", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_words", "n_b"), "doc_b")
@@ -638,7 +627,15 @@ object DedupQueries {
     * at 100 TB the same containment formula runs over the MinHash band
     * buckets ([[minhashPairs]]) instead of the raw word join.
     */
-  def containmentDedup(s: SparkSession, dir: String): DataFrame = {
+  /** Word-overlap candidate machinery shared by [[ngramJaccard]] and
+    * [[containmentDedup]] — ONE definition of the tokenization, the
+    * doc_id<80 demo cut, and the same-language canonical pair join, so
+    * the two similarity metrics cannot drift. Returns (pairs with
+    * n_common, per-doc sizes). (GraphQueries.similarityPairs is the
+    * thresholded GRAPH variant of the same shape — kept separate because
+    * its contract is an edge list, not scored pairs.)
+    */
+  private def wordOverlapPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = Tables
       .documents(s, dir)
       .filter(col("doc_id") < 80)
@@ -651,6 +648,11 @@ object DedupQueries {
       .filter(col("doc_a") < col("doc_b") && col("lang") === col("lang_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
+    (common, sizes)
+  }
+
+  def containmentDedup(s: SparkSession, dir: String): DataFrame = {
+    val (common, sizes) = wordOverlapPairs(s, dir)
     common
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_words", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_words", "n_b"), "doc_b")

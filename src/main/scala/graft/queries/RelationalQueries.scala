@@ -1342,7 +1342,9 @@ object RelationalQueries {
           lit(0L)))
       .withColumn(
         "ord",
-        format_string("%020d%010d", unix_micros(col("ts")), col("event_id")))
+        // %019d: FIXED width for any positive long — %010d is only a
+        // minimum and an 11-digit event_id would mis-sort lexically
+        format_string("%020d%019d", unix_micros(col("ts")), col("event_id")))
     val touches = ev
       .filter(col("event_type").isin("view", "click", "signup"))
       .groupBy(col("user_id"), col("conv_seq"))
@@ -1377,7 +1379,7 @@ object RelationalQueries {
                 COALESCE(CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                   OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS conv_seq,
-                printf('%020d%010d', epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS ord
+                printf('%020d%019d', epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS ord
          FROM events),
        touches AS (
          SELECT user_id, conv_seq,

@@ -214,12 +214,37 @@ object SignalQueries {
     * corpus is never windowed or re-sorted; only the tiny daily series
     * moves past the first aggregate.
     */
-  def cusumChangepoint(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables
+  /** The day-ordered daily-mean series shared by [[cusumChangepoint]],
+    * [[holtForecast]] and [[autocorrelation]]: per (type, day), the mean
+    * of `value` via EXACT integer-cents sums — a plain `avg()` of
+    * 2-decimal values can land exactly ON a 5e-7 rounding boundary and
+    * round differently per engine sum order (observed for
+    * [[RelationalQueries.userFeatures]] at sf0.01); cents/(100·n) is one
+    * deterministic correctly-rounded division on both engines. ONE
+    * definition here and ONE SQL mirror ([[dailySeriesCte]]) so the three
+    * consumers cannot drift.
+    */
+  private def dailySeries(s: SparkSession, dir: String): DataFrame =
+    Tables
       .events(s, dir)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-      .agg(round(avg(col("value")), 6).as("dm"))
-    daily
+      .agg(
+        sum(round(col("value") * 100).cast("long")).as("cents"),
+        count(lit(1)).as("cnt"))
+      .select(
+        col("event_type"),
+        col("day"),
+        round(col("cents").cast("double") / (col("cnt").cast("double") * 100.0), 6).as("dm"))
+
+  /** SQL mirror of [[dailySeries]] as a `daily` CTE body. */
+  private val dailySeriesCte: String =
+    """SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+              round(CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+                    / (CAST(count(*) AS DOUBLE) * 100.0), 6) AS dm
+       FROM events GROUP BY 1, 2"""
+
+  def cusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    dailySeries(s, dir)
       .groupBy(col("event_type"))
       .agg(array_sort(collect_list(struct(col("day"), col("dm")))).as("arr"))
       .withColumn("n", size(col("arr")))
@@ -260,11 +285,7 @@ object SignalQueries {
     * type. Nothing corpus-sized is sorted or windowed.
     */
   def holtForecast(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables
-      .events(s, dir)
-      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-      .agg(round(avg(col("value")), 6).as("dm"))
-    daily
+    dailySeries(s, dir)
       .groupBy(col("event_type"))
       .agg(array_sort(collect_list(struct(col("day"), col("dm")))).as("arr"))
       .withColumn("dms", expr("transform(arr, x -> x.dm)"))
@@ -289,10 +310,7 @@ object SignalQueries {
   }
 
   val holtForecastSql: String =
-    """WITH RECURSIVE daily AS (
-         SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
-                round(avg(value), 6) AS dm
-         FROM events GROUP BY 1, 2),
+    s"""WITH RECURSIVE daily AS ($dailySeriesCte),
        per AS (
          SELECT event_type, list(dm ORDER BY day) AS dms, count(*) AS n
          FROM daily GROUP BY 1),
@@ -321,15 +339,15 @@ object SignalQueries {
     * explode multiplies the tiny per-type row, not the data.
     */
   def autocorrelation(s: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
-    val daily = Tables
-      .events(s, dir)
-      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-      .agg(round(avg(col("value")), 6).as("dm"))
-    daily
+    dailySeries(s, dir)
       .groupBy(col("event_type"))
       .agg(array_sort(collect_list(struct(col("day"), col("dm")))).as("arr"))
       .withColumn("dms", expr("transform(arr, x -> x.dm)"))
       .withColumn("n", size(col("dms")))
+      // a 1-day series has no lags: without this guard Spark's
+      // sequence(1, 0) counts DOWN ([1, 0]) and would emit bogus rows
+      // where the DuckDB range(1, 1) is empty
+      .filter(col("n") > 1)
       .withColumn("mu", round(expr("aggregate(dms, 0.0D, (a, x) -> a + x) / n"), 6))
       .withColumn(
         "den",
@@ -347,10 +365,7 @@ object SignalQueries {
   }
 
   def autocorrelationSql(maxLag: Int = 7): String =
-    s"""WITH daily AS (
-         SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
-                round(avg(value), 6) AS dm
-         FROM events GROUP BY 1, 2),
+    s"""WITH daily AS ($dailySeriesCte),
        per AS (
          SELECT event_type, list(dm ORDER BY day) AS dms, count(*) AS n
          FROM daily GROUP BY 1),
@@ -373,10 +388,7 @@ object SignalQueries {
        FROM lags"""
 
   val cusumChangepointSql: String =
-    """WITH daily AS (
-         SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
-                round(avg(value), 6) AS dm
-         FROM events GROUP BY 1, 2),
+    s"""WITH daily AS ($dailySeriesCte),
        per AS (
          SELECT event_type,
                 list(day ORDER BY day) AS days,

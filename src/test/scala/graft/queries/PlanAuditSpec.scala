@@ -384,6 +384,10 @@ class PlanAuditSpec extends AnyFunSuite {
       !"""windowspecdefinition\(line""".r.findFirstIn(p).isDefined,
       "no window keyed on the line content (skew funnel)")
     assert(!p.contains("CartesianProduct"))
+    assert(
+      uncachedFileScans(df.queryExecution.executedPlan) == 0,
+      "corpus must be scanned once via the persisted token projection")
+    spark.catalog.clearCache()
   }
 
   test("q_event_pmi / q_anomaly_mad: dimensions broadcast; fact never re-shuffles for them") {

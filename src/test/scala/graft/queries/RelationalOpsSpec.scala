@@ -247,7 +247,9 @@ class RelationalOpsSpec extends AnyFunSuite {
     val daily = graft.Tables
       .events(spark, dir)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-      .agg(round(avg(col("value")), 6).as("dm"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"), count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("day"),
+        round(col("cents").cast("double") / (col("cnt").cast("double") * 100.0), 6).as("dm"))
       .collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
     for (r <- rows) {
@@ -273,7 +275,9 @@ class RelationalOpsSpec extends AnyFunSuite {
     val daily = graft.Tables
       .events(spark, dir)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-      .agg(round(avg(col("value")), 6).as("dm"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"), count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("day"),
+        round(col("cents").cast("double") / (col("cnt").cast("double") * 100.0), 6).as("dm"))
       .collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
     for (r <- rows) {
@@ -295,7 +299,9 @@ class RelationalOpsSpec extends AnyFunSuite {
     val daily = graft.Tables
       .events(spark, dir)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-      .agg(round(avg(col("value")), 6).as("dm"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"), count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("day"),
+        round(col("cents").cast("double") / (col("cnt").cast("double") * 100.0), 6).as("dm"))
       .collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
     for (r <- rows) {
