@@ -123,6 +123,7 @@ object SparkEntry {
     "q_triangle_count" -> ((s: SparkSession, d: String) => GraphQueries.triangleCount(s, d)),
     "q_label_propagation" -> ((s: SparkSession, d: String) => GraphQueries.labelPropagation(s, d)),
     "q_neighborhood" -> ((s: SparkSession, d: String) => GraphQueries.neighborhood(s, d)),
+    "q_link_prediction" -> ((s: SparkSession, d: String) => GraphQueries.linkPrediction(s, d)),
     "q_vocab_growth" -> ((s: SparkSession, d: String) => SearchQueries.vocabGrowth(s, d)),
     "q_weighted_sample" -> ((s: SparkSession, d: String) => SearchQueries.weightedSample(s, d)),
     "q_media_dedup" -> ((s: SparkSession, d: String) => DedupQueries.mediaDedup(s, d)),
@@ -251,6 +252,7 @@ object SparkEntry {
     "q_triangle_count" -> GraphQueries.triangleCountSql(),
     "q_label_propagation" -> GraphQueries.labelPropagationSql(),
     "q_neighborhood" -> GraphQueries.neighborhoodSql(),
+    "q_link_prediction" -> GraphQueries.linkPredictionSql(),
     "q_vocab_growth" -> SearchQueries.vocabGrowthSql(),
     "q_weighted_sample" -> SearchQueries.weightedSampleSql(),
     "q_media_dedup" -> DedupQueries.mediaDedupSql,

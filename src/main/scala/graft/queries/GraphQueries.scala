@@ -295,6 +295,69 @@ object GraphQueries {
        JOIN (SELECT node, count(*) AS n_2hop FROM r2 GROUP BY 1) r2c USING (node)
        JOIN (SELECT node, count(*) AS n_3hop FROM r3 GROUP BY 1) r3c USING (node)"""
 
+  /** Adamic–Adar link prediction over the similarity graph: for every
+    * non-adjacent canonical pair (a < b) with ≥ 2 common neighbors,
+    * score = Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z) — common neighbors weighted
+    * inversely by how promiscuous they are, the classic
+    * missing-edge/near-dup-suggestion ranker. (Any common neighbor has
+    * deg ≥ 2, so ln(deg) > 0 always.)
+    *
+    * Scale: the wedge enumeration is the SAME two-hop edge-keyed join
+    * as [[triangleCount]] (Σ deg² bounded, AQE skew-split); existing
+    * edges are removed with a broadcast-able anti-join on the canonical
+    * pair key; the per-pair score is an ordered fold over the pair's own
+    * common-neighbor list (bounded by min-degree) purely for
+    * cross-engine bit-parity — production uses plain `sum`.
+    */
+  def linkPrediction(s: SparkSession, dir: String, minCommon: Int = 12): DataFrame = {
+    val pairs = similarityPairs(s, dir, minCommon).select(col("doc_a"), col("doc_b")).persist()
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val wedges = edges
+      .select(col("src").as("a"), col("dst").as("z"))
+      .join(edges.select(col("src").as("z"), col("dst").as("b")), "z")
+      .filter(col("a") < col("b"))
+      .join(pairs, col("a") === col("doc_a") && col("b") === col("doc_b"), "left_anti")
+      .join(deg.withColumnRenamed("src", "z"), "z")
+    wedges
+      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
+      .agg(
+        count(lit(1)).as("common_neighbors"),
+        round(
+          aggregate(
+            array_sort(collect_list(lit(1.0) / log(col("deg").cast("double")))),
+            lit(0.0),
+            (acc, x) => acc + x),
+          6).as("aa_score"))
+      .filter(col("common_neighbors") >= 2)
+  }
+
+  /** Exact DuckDB oracle for [[linkPrediction]]: same wedge join, same
+    * anti-join, same sorted fold of 1/ln(deg).
+    */
+  def linkPredictionSql(minCommon: Int = 12): String =
+    s"""WITH ${graphCtesSql(minCommon)},
+       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION ALL
+                 SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       wedges AS (
+         SELECT e1.dst AS z, e1.src AS a, e2.dst AS b
+         FROM (SELECT src, dst FROM edges) e1
+         JOIN (SELECT src AS z2, dst FROM edges) e2 ON e1.dst = e2.z2
+         WHERE e1.src < e2.dst
+           AND NOT EXISTS (SELECT 1 FROM pairs p
+                           WHERE p.doc_a = e1.src AND p.doc_b = e2.dst))
+       SELECT w.a AS doc_a, w.b AS doc_b,
+              count(*) AS common_neighbors,
+              round(list_reduce(list_prepend(0.0, list_sort(list(1.0 / ln(CAST(d.deg AS DOUBLE))))),
+                    (x, y) -> x + y), 6) AS aa_score
+       FROM wedges w JOIN deg d ON w.z = d.src
+       GROUP BY 1, 2
+       HAVING count(*) >= 2"""
+
   /** Exact DuckDB oracle for [[triangleCount]]: same canonical two-hop
     * enumeration, same corner credit, same coefficient arithmetic.
     */

@@ -77,6 +77,37 @@ class GraphSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("link_prediction: matches a brute-force model (adjacency rebuilt driver-side)") {
+    val rows = GraphQueries.linkPrediction(spark, dir).collect()
+    // rebuild the similarity graph exactly as similarityPairs defines it
+    val docs = graft.Tables
+      .documents(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 80)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("text").split(" ").toSet))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    for {
+      (da, la, wa) <- docs; (db, lb, wb) <- docs
+      if da < db && la == lb && (wa & wb).size >= 12
+    } { adj(da) += db; adj(db) += da }
+    val nodes = adj.keys.toSeq.sorted
+    val expect = (for {
+      a <- nodes; b <- nodes
+      if a < b && !adj(a).contains(b)
+      common = adj(a) & adj(b)
+      if common.size >= 2
+    } yield (a, b) -> (common.size.toLong,
+      common.toSeq.map(z => 1.0 / math.log(adj(z).size.toDouble)).sorted.sum)).toMap
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == expect.keySet)
+    for (r <- rows) {
+      val (cn, aa) = expect((r.getLong(0), r.getLong(1)))
+      assert(r.getAs[Long]("common_neighbors") == cn, r.toString)
+      assert(math.abs(r.getAs[Double]("aa_score") - aa) < 1e-5, r.toString)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("neighborhood: balls grow monotonically and 1-hop equals degree") {
     val rows = GraphQueries.neighborhood(spark, dir).collect()
     assert(rows.nonEmpty)
