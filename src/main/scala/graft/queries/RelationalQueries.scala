@@ -1422,4 +1422,431 @@ object RelationalQueries {
        WHERE c_custkey IN (SELECT o_custkey FROM orders)
          AND c_custkey NOT IN
            (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)"""
+
+  /** SCD Type-2 dimension build from a CDC-style change stream — the
+    * lakehouse pattern of turning an event log into validity intervals.
+    * Here the tracked attribute is the user's current activity state
+    * (`event_type`): consecutive same-state events are collapsed (a true
+    * SCD2 compresses no-change updates), each retained row opens an
+    * interval `[valid_from, valid_to)` closed by the next state change,
+    * and the open interval is flagged `is_current`.
+    *
+    * Scale: ONE shuffle on `user_id`; both windows (the change detector
+    * and the interval closer) share the same `(user_id | ts, event_id)`
+    * partitioning+ordering, so Spark plans them in a single sort — no
+    * second exchange. Per-user history is bounded (no global sort), so
+    * this holds at 100 TB of events.
+    */
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables
+      .events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_state", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select(
+        col("user_id"),
+        col("event_type").as("state"),
+        col("ts").as("valid_from"),
+        col("valid_to"),
+        col("valid_to").isNull.as("is_current"),
+        col("version"))
+  }
+
+  val scd2IntervalsSql: String =
+    """WITH ev AS (
+         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+         FROM events),
+       changes AS (
+         SELECT *,
+                lag(event_type) OVER w AS prev_state
+         FROM ev
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       kept AS (
+         SELECT * FROM changes
+         WHERE prev_state IS NULL OR prev_state <> event_type)
+       SELECT user_id, event_type AS state, ts AS valid_from,
+              lead(ts) OVER w AS valid_to,
+              (lead(ts) OVER w IS NULL) AS is_current,
+              CAST(row_number() OVER w AS BIGINT) AS version
+       FROM kept
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
+  /** RFM customer segmentation over `orders` — recency (days since last
+    * order at the data horizon), frequency (order count), monetary
+    * (lifetime spend, exact integer cents). Each metric is scored 1–4 by
+    * its own exact quartile thresholds; the composite segment label is
+    * the standard champions / loyal / at-risk / hibernating read.
+    *
+    * Oracle parity: metrics are exact integers (days / counts / cents),
+    * thresholds are interpolated quartiles ROUNDED to 6 dp before any
+    * comparison — an exact integer compared to an identical rounded
+    * constant can never flip between engines.
+    *
+    * Scale: orders is scanned ONCE into the persisted per-customer
+    * aggregate (one `o_custkey` shuffle, map-side partial agg); the
+    * horizon and the 9 thresholds are tiny aggregates of that table,
+    * broadcast back. No global sort — the classic `ntile(4)` formulation
+    * would total-order every customer through one partition; threshold
+    * scoring keeps the final pass embarrassingly parallel at 100 TB.
+    */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables
+      .orders(s, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(
+        count(lit(1)).as("frequency"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("monetary_cents"),
+        date_trunc("day", max(col("o_orderdate"))).as("last_day"))
+      .persist()
+    val horizon = cust.agg(max(col("last_day")).as("horizon_day"))
+    val rec = cust
+      .crossJoin(broadcast(horizon))
+      .withColumn(
+        "recency_days",
+        datediff(col("horizon_day"), col("last_day")).cast("long"))
+    val thr = rec.agg(
+      round(expr("percentile(recency_days, 0.25)"), 6).as("r25"),
+      round(expr("percentile(recency_days, 0.5)"), 6).as("r50"),
+      round(expr("percentile(recency_days, 0.75)"), 6).as("r75"),
+      round(expr("percentile(frequency, 0.25)"), 6).as("f25"),
+      round(expr("percentile(frequency, 0.5)"), 6).as("f50"),
+      round(expr("percentile(frequency, 0.75)"), 6).as("f75"),
+      round(expr("percentile(monetary_cents, 0.25)"), 6).as("m25"),
+      round(expr("percentile(monetary_cents, 0.5)"), 6).as("m50"),
+      round(expr("percentile(monetary_cents, 0.75)"), 6).as("m75"))
+    val score = (m: Column, t25: Column, t50: Column, t75: Column) =>
+      (lit(1) + when(m > t25, 1).otherwise(0) + when(m > t50, 1).otherwise(0)
+        + when(m > t75, 1).otherwise(0)).cast("long")
+    rec
+      .crossJoin(broadcast(thr))
+      .withColumn(
+        "r_score",
+        // recency: LOWER is better — score counts thresholds we are below
+        (lit(1) + when(col("recency_days") < col("r75"), 1).otherwise(0)
+          + when(col("recency_days") < col("r50"), 1).otherwise(0)
+          + when(col("recency_days") < col("r25"), 1).otherwise(0)).cast("long"))
+      .withColumn("f_score", score(col("frequency"), col("f25"), col("f50"), col("f75")))
+      .withColumn(
+        "m_score",
+        score(col("monetary_cents"), col("m25"), col("m50"), col("m75")))
+      .withColumn(
+        "segment",
+        when(col("r_score") >= 3 && col("f_score") >= 3, "champion")
+          .when(col("f_score") >= 3, "at_risk_loyal")
+          .when(col("r_score") >= 3, "recent_light")
+          .otherwise("hibernating"))
+      .select(
+        col("custkey"),
+        col("recency_days"),
+        col("frequency"),
+        col("monetary_cents"),
+        col("r_score"),
+        col("f_score"),
+        col("m_score"),
+        col("segment"))
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH cust AS (
+         SELECT o_custkey AS custkey,
+                count(*) AS frequency,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS monetary_cents,
+                date_trunc('day', max(o_orderdate)) AS last_day
+         FROM orders GROUP BY 1),
+       horizon AS (SELECT max(last_day) AS horizon_day FROM cust),
+       rec AS (
+         SELECT c.*, date_diff('day', c.last_day, h.horizon_day) AS recency_days
+         FROM cust c CROSS JOIN horizon h),
+       thr AS (
+         SELECT round(quantile_cont(recency_days, 0.25), 6) AS r25,
+                round(quantile_cont(recency_days, 0.5), 6) AS r50,
+                round(quantile_cont(recency_days, 0.75), 6) AS r75,
+                round(quantile_cont(frequency, 0.25), 6) AS f25,
+                round(quantile_cont(frequency, 0.5), 6) AS f50,
+                round(quantile_cont(frequency, 0.75), 6) AS f75,
+                round(quantile_cont(monetary_cents, 0.25), 6) AS m25,
+                round(quantile_cont(monetary_cents, 0.5), 6) AS m50,
+                round(quantile_cont(monetary_cents, 0.75), 6) AS m75
+         FROM rec),
+       scored AS (
+         SELECT r.custkey, r.recency_days, r.frequency, r.monetary_cents,
+                CAST(1 + CASE WHEN r.recency_days < t.r75 THEN 1 ELSE 0 END
+                       + CASE WHEN r.recency_days < t.r50 THEN 1 ELSE 0 END
+                       + CASE WHEN r.recency_days < t.r25 THEN 1 ELSE 0 END
+                     AS BIGINT) AS r_score,
+                CAST(1 + CASE WHEN r.frequency > t.f25 THEN 1 ELSE 0 END
+                       + CASE WHEN r.frequency > t.f50 THEN 1 ELSE 0 END
+                       + CASE WHEN r.frequency > t.f75 THEN 1 ELSE 0 END
+                     AS BIGINT) AS f_score,
+                CAST(1 + CASE WHEN r.monetary_cents > t.m25 THEN 1 ELSE 0 END
+                       + CASE WHEN r.monetary_cents > t.m50 THEN 1 ELSE 0 END
+                       + CASE WHEN r.monetary_cents > t.m75 THEN 1 ELSE 0 END
+                     AS BIGINT) AS m_score
+         FROM rec r CROSS JOIN thr t)
+       SELECT custkey, recency_days, frequency, monetary_cents,
+              r_score, f_score, m_score,
+              CASE WHEN r_score >= 3 AND f_score >= 3 THEN 'champion'
+                   WHEN f_score >= 3 THEN 'at_risk_loyal'
+                   WHEN r_score >= 3 THEN 'recent_light'
+                   ELSE 'hibernating' END AS segment
+       FROM scored"""
+
+  /** Record-linkage fuzzy match: candidate customer pairs whose names are
+    * within Levenshtein distance `maxDist`, enumerated only INSIDE
+    * blocking groups (here the nation key — the standard
+    * block-then-compare shape that turns an O(n²) corpus-wide comparison
+    * into Σ O(block²)). Both engines implement the identical classic
+    * unit-cost edit distance, so the oracle is exact.
+    *
+    * Scale: one shuffle on the blocking key; the in-block canonical
+    * (a < b) self-join is the only quadratic step and is bounded by the
+    * block size, with AQE splitting any skewed block. At 100 TB you
+    * tighten the blocking key (e.g. name-prefix + length bucket), not
+    * the comparison — the plan shape is unchanged.
+    */
+  def fuzzyMatch(s: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {
+    val c = Tables
+      .customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val a = c.select(
+      col("c_nationkey").as("block"),
+      col("c_custkey").as("cust_a"),
+      col("c_name").as("name_a"))
+    val b = c.select(
+      col("c_nationkey").as("block"),
+      col("c_custkey").as("cust_b"),
+      col("c_name").as("name_b"))
+    a.join(b, Seq("block"))
+      .filter(col("cust_a") < col("cust_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(
+        col("block").cast("long").as("block"),
+        col("cust_a"),
+        col("cust_b"),
+        col("dist"),
+        round(
+          lit(1.0) - col("dist").cast("double") /
+            greatest(length(col("name_a")), length(col("name_b"))).cast("double"),
+          6).as("name_sim"))
+  }
+
+  def fuzzyMatchSql(maxDist: Int = 2): String =
+    s"""SELECT CAST(a.c_nationkey AS BIGINT) AS block,
+              a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+              CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
+              round(1.0 - CAST(levenshtein(a.c_name, b.c_name) AS DOUBLE)
+                    / greatest(length(a.c_name), length(b.c_name)), 6) AS name_sim
+       FROM customer a JOIN customer b
+         ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+       WHERE levenshtein(a.c_name, b.c_name) <= $maxDist"""
+
+  /** One-pass data-profiling report over `lineitem` — per column: row
+    * count, null count, exact distinct count, and numeric min/max
+    * (timestamps profiled as epoch-microseconds; string columns keep
+    * min/max length instead). The DQ summary a lakehouse runs before
+    * trusting a new drop of data.
+    *
+    * Scale: a SINGLE scan — all per-column aggregates run in one
+    * aggregation (Spark plans the multi-distinct via one Expand, still
+    * one pass over the files), then the 1-row result is unpivoted with
+    * `stack`. At 100 TB the exact distincts swap for
+    * `approx_count_distinct` (same plan minus the Expand); min/max/null
+    * counts are plain partial aggregates either way.
+    */
+  def dataProfile(s: SparkSession, dir: String): DataFrame = {
+    val numeric = Seq(
+      "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val strings = Seq("l_returnflag", "l_linestatus")
+    val ts = Seq("l_shipdate")
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n_rows")) ++
+        (numeric ++ strings ++ ts).flatMap { c =>
+          Seq(
+            (count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
+            countDistinct(col(c)).as(s"${c}_distinct"))
+        } ++
+        numeric.flatMap { c =>
+          Seq(
+            round(min(col(c)).cast("double"), 6).as(s"${c}_min"),
+            round(max(col(c)).cast("double"), 6).as(s"${c}_max"))
+        } ++
+        ts.flatMap { c =>
+          // parquet reads TIMESTAMP_NTZ; session TZ is UTC so the cast to
+          // TIMESTAMP is wall-clock identity and epoch_us parity holds
+          Seq(
+            unix_micros(min(col(c)).cast("timestamp")).cast("double").as(s"${c}_min"),
+            unix_micros(max(col(c)).cast("timestamp")).cast("double").as(s"${c}_max"))
+        } ++
+        strings.flatMap { c =>
+          Seq(
+            min(length(col(c))).cast("double").as(s"${c}_min"),
+            max(length(col(c))).cast("double").as(s"${c}_max"))
+        }
+    val one = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+    val cols = numeric ++ ts ++ strings
+    val stackArgs = cols
+      .map(c => s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max")
+      .mkString(", ")
+    one.select(
+      expr(
+        s"stack(${cols.size}, $stackArgs) AS (column_name, n_null, n_distinct, min_value, max_value)"),
+      col("n_rows"))
+      .select(
+        col("column_name"),
+        col("n_rows"),
+        col("n_null"),
+        col("n_distinct"),
+        col("min_value"),
+        col("max_value"))
+  }
+
+  val dataProfileSql: String = {
+    val numeric = Seq(
+      "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val rows =
+      numeric.map { c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct,
+           round(CAST(min($c) AS DOUBLE), 6) AS min_value,
+           round(CAST(max($c) AS DOUBLE), 6) AS max_value FROM lineitem"""
+      } ++ Seq(
+        """SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+           count(DISTINCT l_shipdate),
+           CAST(epoch_us(min(l_shipdate)) AS DOUBLE),
+           CAST(epoch_us(max(l_shipdate)) AS DOUBLE) FROM lineitem""",
+        """SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+           count(DISTINCT l_returnflag),
+           CAST(min(length(l_returnflag)) AS DOUBLE),
+           CAST(max(length(l_returnflag)) AS DOUBLE) FROM lineitem""",
+        """SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+           count(DISTINCT l_linestatus),
+           CAST(min(length(l_linestatus)) AS DOUBLE),
+           CAST(max(length(l_linestatus)) AS DOUBLE) FROM lineitem""")
+    rows.mkString("\n UNION ALL\n")
+  }
+
+  /** Declarative data-quality gate: a fixed rule book of range,
+    * consistency, and referential-integrity checks, each reported as
+    * (rule, rows checked, violations, violation fraction). The
+    * expectation-suite operator every ingest pipeline runs as a
+    * circuit-breaker before publishing a batch.
+    *
+    * Scale: all range/consistency rules on one table fold into a SINGLE
+    * conditional-aggregation scan of that table (no per-rule passes);
+    * each FK rule is one left-anti join, broadcast when the dimension
+    * fits, shuffle-hash otherwise. The result is a handful of 1-row
+    * aggregates unioned — driver-size output regardless of input size.
+    */
+  def qualityChecks(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val orders = Tables.orders(s, dir)
+    val docs = Tables.documents(s, dir)
+    val ev = Tables.events(s, dir)
+    def rule(name: String, checked: Column, violated: Column): Column =
+      struct(
+        lit(name).as("check_name"),
+        sum(checked.cast("long")).as("n_checked"),
+        sum(violated.cast("long")).as("n_violations"))
+    // one scan per TABLE, not per rule: conditional sums share the pass
+    val liChecks = li.agg(
+      rule(
+        "lineitem_qty_in_1_50",
+        lit(true),
+        !col("l_quantity").between(1.0, 50.0)).as("a"),
+      rule(
+        "lineitem_discount_le_008",
+        lit(true),
+        col("l_discount") > 0.08).as("b"))
+    val ordChecks = orders.agg(
+      rule("orders_price_le_400k", lit(true), col("o_totalprice") > 400000.0).as("a"),
+      rule(
+        "orders_status_known",
+        lit(true),
+        !col("o_orderstatus").isin("O", "F", "P")).as("b"))
+    val docChecks = docs.agg(
+      rule(
+        "documents_n_chars_consistent",
+        lit(true),
+        col("n_chars") =!= length(col("text"))).as("a"))
+    val evChecks = ev.agg(
+      rule("events_value_lt_400", lit(true), col("value") >= 400.0).as("a"))
+    val fkOrders = orders
+      .join(
+        Tables.customer(s, dir).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"),
+        "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+      .crossJoin(broadcast(orders.agg(count(lit(1)).as("n_all"))))
+      .select(
+        struct(
+          lit("orders_fk_customer").as("check_name"),
+          col("n_all").as("n_checked"),
+          col("n_orphans").as("n_violations")).as("a"))
+    val unioned = Seq(
+      liChecks.select(explode(array(col("a"), col("b"))).as("r")),
+      ordChecks.select(explode(array(col("a"), col("b"))).as("r")),
+      docChecks.select(col("a").as("r")),
+      evChecks.select(col("a").as("r")),
+      fkOrders.select(col("a").as("r"))).reduce(_ unionByName _)
+    unioned.select(
+      col("r.check_name").as("check_name"),
+      col("r.n_checked").as("n_checked"),
+      col("r.n_violations").as("n_violations"),
+      round(
+        col("r.n_violations").cast("double") / col("r.n_checked").cast("double"),
+        6).as("violation_frac"))
+  }
+
+  val qualityChecksSql: String =
+    """WITH li AS (
+         SELECT 'lineitem_qty_in_1_50' AS check_name, count(*) AS n_checked,
+                CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1.0 AND 50.0)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+         FROM lineitem
+         UNION ALL
+         SELECT 'lineitem_discount_le_008', count(*),
+                CAST(sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT)
+         FROM lineitem),
+       ord AS (
+         SELECT 'orders_price_le_400k' AS check_name, count(*) AS n_checked,
+                CAST(sum(CASE WHEN o_totalprice > 400000.0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_violations
+         FROM orders
+         UNION ALL
+         SELECT 'orders_status_known', count(*),
+                CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                              THEN 1 ELSE 0 END) AS BIGINT)
+         FROM orders),
+       doc AS (
+         SELECT 'documents_n_chars_consistent' AS check_name, count(*) AS n_checked,
+                CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_violations
+         FROM documents),
+       ev AS (
+         SELECT 'events_value_lt_400' AS check_name, count(*) AS n_checked,
+                CAST(sum(CASE WHEN value >= 400.0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_violations
+         FROM events),
+       fk AS (
+         SELECT 'orders_fk_customer' AS check_name,
+                (SELECT count(*) FROM orders) AS n_checked,
+                (SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                  AS n_violations),
+       unioned AS (
+         SELECT * FROM li UNION ALL SELECT * FROM ord UNION ALL
+         SELECT * FROM doc UNION ALL SELECT * FROM ev UNION ALL
+         SELECT * FROM fk)
+       SELECT check_name, n_checked, n_violations,
+              round(CAST(n_violations AS DOUBLE) / CAST(n_checked AS DOUBLE), 6)
+                AS violation_frac
+       FROM unioned"""
 }

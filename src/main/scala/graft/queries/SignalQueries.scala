@@ -411,4 +411,139 @@ object SignalQueries {
               mu AS baseline_mean,
               round(list_max(cabs), 6) AS max_cusum
        FROM cus"""
+
+  /** Incremental view maintenance: per-type stats are computed as two
+    * independent PARTIAL states — a "base" snapshot (events before the
+    * split day) and a "delta" batch (events on/after it) — then MERGED,
+    * exactly how an incremental rollup avoids rescanning history when a
+    * new partition lands. The oracle recomputes from the full table, so
+    * the gate proves merge(base, delta) ≡ recompute.
+    *
+    * Every mergeable state is exact-integer (counts, cents, cents²) or
+    * order-free (min/max), so the merge is bit-deterministic; derived
+    * floats (mean, sample variance) are computed once from the merged
+    * integers with an identical expression tree in both engines. At
+    * 100 TB only the delta partition is scanned per refresh — history
+    * stays materialised as its partial state.
+    */
+  def incrementalAgg(
+      s: SparkSession,
+      dir: String,
+      splitDay: String = "2024-01-16"): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("cents")).as("sum_cents"),
+          sum(col("cents") * col("cents")).as("sumsq_cents"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"))
+    val base = partial(ev.filter(col("ts") < to_timestamp(lit(splitDay))))
+    val delta = partial(ev.filter(col("ts") >= to_timestamp(lit(splitDay))))
+    base
+      .unionByName(delta)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("n")).as("n_events"),
+        sum(col("sum_cents")).as("sum_cents"),
+        sum(col("sumsq_cents")).as("sumsq_cents"),
+        min(col("min_cents")).as("min_cents"),
+        max(col("max_cents")).as("max_cents"))
+      .select(
+        col("event_type"),
+        col("n_events"),
+        round(
+          col("sum_cents").cast("double") / (col("n_events").cast("double") * 100.0),
+          6).as("mean_value"),
+        round(
+          (col("sumsq_cents").cast("double")
+            - col("sum_cents").cast("double") * col("sum_cents").cast("double")
+              / col("n_events").cast("double"))
+            / ((col("n_events") - 1).cast("double") * 10000.0),
+          6).as("var_value"),
+        round(col("min_cents").cast("double") / 100.0, 6).as("min_value"),
+        round(col("max_cents").cast("double") / 100.0, 6).as("max_value"))
+  }
+
+  def incrementalAggSql(splitDay: String = "2024-01-16"): String =
+    // the oracle is the FULL recompute — no split — proving the
+    // base+delta merge reproduces it exactly
+    s"""WITH ev AS (
+         SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+         FROM events),
+       agg AS (
+         SELECT event_type,
+                count(*) AS n_events,
+                CAST(sum(cents) AS BIGINT) AS sum_cents,
+                CAST(sum(cents * cents) AS BIGINT) AS sumsq_cents,
+                min(cents) AS min_cents,
+                max(cents) AS max_cents
+         FROM ev GROUP BY 1)
+       SELECT event_type, n_events,
+              round(CAST(sum_cents AS DOUBLE) / (CAST(n_events AS DOUBLE) * 100.0), 6)
+                AS mean_value,
+              round((CAST(sumsq_cents AS DOUBLE)
+                     - CAST(sum_cents AS DOUBLE) * CAST(sum_cents AS DOUBLE)
+                       / CAST(n_events AS DOUBLE))
+                    / (CAST(n_events - 1 AS DOUBLE) * 10000.0), 6) AS var_value,
+              round(CAST(min_cents AS DOUBLE) / 100.0, 6) AS min_value,
+              round(CAST(max_cents AS DOUBLE) / 100.0, 6) AS max_value
+       FROM agg"""
+
+  /** Hour-of-day seasonality profile per event type: each (type, hour)
+    * cell's share of the type's events and its lift over a uniform
+    * 1/24 baseline — the diurnal-shape detector behind traffic
+    * forecasting and anomaly baselining.
+    *
+    * Oracle parity: counts are exact; share/lift are single divisions of
+    * exact integers (identical expression tree both engines). Scale: ONE
+    * shuffle on the bounded (type × 24) key space with map-side partial
+    * agg; the per-type totals join is a broadcast of |types| rows.
+    */
+  def seasonalProfile(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables
+      .events(s, dir)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hour_of_day"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+    val totals = cells
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_type"))
+    cells
+      .join(broadcast(totals), "event_type")
+      .select(
+        col("event_type"),
+        col("hour_of_day"),
+        col("n"),
+        round(col("n").cast("double") / col("n_type").cast("double"), 6).as("share"),
+        round(
+          col("n").cast("double") * 24.0 / col("n_type").cast("double"),
+          6).as("lift"),
+        round(col("cents").cast("double") / (col("n").cast("double") * 100.0), 6)
+          .as("mean_value"))
+  }
+
+  val seasonalProfileSql: String =
+    """WITH cells AS (
+         SELECT event_type,
+                CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hour_of_day,
+                count(*) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM events GROUP BY 1, 2),
+       totals AS (
+         SELECT event_type, CAST(sum(n) AS BIGINT) AS n_type
+         FROM cells GROUP BY 1)
+       SELECT c.event_type, c.hour_of_day, c.n,
+              round(CAST(c.n AS DOUBLE) / CAST(t.n_type AS DOUBLE), 6) AS share,
+              round(CAST(c.n AS DOUBLE) * 24.0 / CAST(t.n_type AS DOUBLE), 6) AS lift,
+              round(CAST(c.cents AS DOUBLE) / (CAST(c.n AS DOUBLE) * 100.0), 6)
+                AS mean_value
+       FROM cells c JOIN totals t USING (event_type)"""
 }

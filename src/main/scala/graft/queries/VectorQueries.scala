@@ -671,4 +671,88 @@ object VectorQueries {
        SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank
        FROM ranked WHERE rank <= $k"""
   }
+
+  /** k-nearest-neighbor label classification: vectors `vec_id <
+    * nQueries` are the held-out queries, the rest the labelled corpus;
+    * each query takes the majority label of its `k` exact-cosine nearest
+    * neighbors (tie-break: larger vote count, then smaller label). The
+    * embedding-space label-propagation step behind weak supervision and
+    * auto-labelling of training corpora.
+    *
+    * Scale: same kernel as [[cosineTopK]] — queries broadcast, one
+    * narrow corpus pass, `WindowGroupLimit` cuts each partition to its
+    * per-query top-k map-side, so the window shuffle carries ≤
+    * nQueries×k rows per input partition. The vote count and the
+    * argmax-per-query windows then act on ≤ nQueries×k rows total.
+    */
+  def knnClassify(
+      s: SparkSession,
+      dir: String,
+      nQueries: Int = 40,
+      k: Int = 5): DataFrame = {
+    graft.plans.VecDot.register(s)
+    val e = Tables
+      .embeddings(s, dir)
+      .select(
+        col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("emb"),
+        col("label"))
+    val q = e
+      .filter(col("vec_id") < nQueries)
+      .select(
+        col("vec_id").as("query_id"),
+        col("emb").as("qemb"),
+        col("label").as("true_label"))
+    val corpus = e.filter(col("vec_id") >= nQueries)
+    val sims = corpus
+      .crossJoin(broadcast(q))
+      .withColumn("sim_raw", expr("vec_dot(emb, qemb)"))
+    val wTop = Window.partitionBy(col("query_id")).orderBy(col("sim_raw").desc, col("vec_id"))
+    val votes = sims
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .groupBy(col("query_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("n_votes"), max(col("sim_raw")).as("best_sim_raw"))
+    val wVote = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("label"))
+    votes
+      .withColumn("vote_rank", row_number().over(wVote))
+      .filter(col("vote_rank") === 1)
+      .select(
+        col("query_id"),
+        col("true_label"),
+        col("label").as("pred_label"),
+        col("n_votes"),
+        round(col("best_sim_raw"), 6).as("best_sim"),
+        (col("label") === col("true_label")).as("correct"))
+  }
+
+  def knnClassifySql(nQueries: Int = 40, k: Int = 5): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+                  FROM embeddings),
+       q AS (SELECT vec_id AS query_id, emb AS qemb, label AS true_label
+             FROM e WHERE vec_id < $nQueries),
+       sims AS (
+         SELECT q.query_id, q.true_label, c.vec_id, c.label,
+                list_dot_product(c.emb, q.qemb) AS sim_raw
+         FROM e c CROSS JOIN q WHERE c.vec_id >= $nQueries),
+       topk AS (
+         SELECT * FROM (
+           SELECT *, row_number() OVER
+             (PARTITION BY query_id ORDER BY sim_raw DESC, vec_id) AS rank
+           FROM sims)
+         WHERE rank <= $k),
+       votes AS (
+         SELECT query_id, true_label, label,
+                count(*) AS n_votes, max(sim_raw) AS best_sim_raw
+         FROM topk GROUP BY 1, 2, 3),
+       winner AS (
+         SELECT *, row_number() OVER
+           (PARTITION BY query_id ORDER BY n_votes DESC, label) AS vote_rank
+         FROM votes)
+       SELECT query_id, true_label, label AS pred_label, n_votes,
+              round(best_sim_raw, 6) AS best_sim,
+              (label = true_label) AS correct
+       FROM winner WHERE vote_rank = 1"""
 }
