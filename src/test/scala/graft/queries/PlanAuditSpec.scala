@@ -418,4 +418,95 @@ class PlanAuditSpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("q_rfm_segments: orders scanned once; quartile thresholds broadcast; no global sort") {
+    val df = graft.SparkEntry.queries("q_rfm_segments")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the ntile(4) formulation would range-partition every customer into
+    // one total order — threshold scoring must keep the final pass
+    // shuffle-free: tiny horizon/threshold rows ride broadcasts
+    assert(!p.contains("rangepartitioning"), s"global sort leaked\n${p.take(2000)}")
+    assert(p.contains("InMemoryRelation"), "per-customer aggregate must be persisted")
+    assert(uncachedFileScans(df.queryExecution.executedPlan) == 0,
+      "a consumer is rescanning orders")
+    assert(!p.contains("CartesianProduct"))
+    spark.catalog.clearCache()
+  }
+
+  test("q_scd2_intervals: one user_id exchange; both windows share it") {
+    val df = graft.SparkEntry.queries("q_scd2_intervals")(spark, dir)
+    df.collect()
+    // count only the final adaptive plan — the string also prints the
+    // initial plan, which would double-count exchanges
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val specs =
+      """windowspecdefinition\((\w+)#""".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(specs == Set("user_id"), s"unexpected window keys: $specs")
+    // the change-detect and interval-close windows use the same
+    // partitioning+ordering: ONE exchange serves both
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p.take(2000))
+    assert("Exchange".r.findAllIn(p).size == 1, "extra exchange leaked into the plan")
+  }
+
+  test("q_fuzzy_match: in-block pair join is keyed on the blocking key, never a product") {
+    val df = graft.SparkEntry.queries("q_fuzzy_match")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "blocked comparison degenerated to an unkeyed product")
+    assert(p.contains("Join [block") || p.contains("HashJoin [block") ||
+      p.contains("SortMergeJoin [block"),
+      "pair join must be keyed on the blocking group")
+  }
+
+  test("q_chi2_assoc: documents scanned once into the persisted contingency table") {
+    val df = graft.SparkEntry.queries("q_chi2_assoc")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryRelation"), "observed counts must be persisted")
+    assert(uncachedFileScans(df.queryExecution.executedPlan) == 0,
+      "margins/totals are rescanning documents")
+    spark.catalog.clearCache()
+  }
+
+  test("q_data_profile: ONE scan serves every per-column aggregate (Expand, not re-reads)") {
+    val df = graft.SparkEntry.queries("q_data_profile")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // multi-distinct plans as a single pass through Expand — per-column
+    // re-scans would multiply IO by the column count at 100 TB
+    assert(p.contains("Expand"), p.take(2000))
+    assert(uncachedFileScans(df.queryExecution.executedPlan) == 1,
+      "profiling must read lineitem exactly once")
+  }
+
+  test("q_readability: pure map stage — zero shuffles, scan pruned to id/text/lang") {
+    val df = graft.SparkEntry.queries("q_readability")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"readability must not shuffle\n${p.take(2000)}")
+    assert(p.contains("struct<doc_id:bigint,text:string,lang:string>"),
+      "documents scan must be pruned to doc_id/text/lang")
+  }
+
+  test("q_knn_classify: broadcast query set, one corpus pass, scan pruned to id/emb/label") {
+    val df = graft.SparkEntry.queries("q_knn_classify")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"), p.take(2000))
+    assert(p.contains("struct<vec_id:bigint,embedding:array<float>,label:int>"),
+      "corpus scan must be pruned to vec_id/embedding/label")
+  }
+
+  test("q_seasonal_profile / q_incremental_agg: bounded-key aggregates, dims broadcast, no product") {
+    for (name <- Seq("q_seasonal_profile", "q_incremental_agg")) {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), name)
+      assert(!p.contains("windowspecdefinition"), s"$name must not need a window")
+    }
+  }
 }
