@@ -430,4 +430,85 @@ object GraphQueries {
        SELECT r.node AS doc_id, d.out_deg AS degree, round(r.rank, 6) AS pagerank
        FROM r$iters r JOIN deg d ON r.node = d.src"""
   }
+
+  /** k-core decomposition (fixed k): iteratively peel nodes of degree
+    * < k until the subgraph stabilises; emit the surviving nodes with
+    * their in-core degree. The density filter behind community mining
+    * and spam-cluster extraction — satellites fall away round by round,
+    * leaving the cohesive near-duplicate cores.
+    *
+    * Scale: the same O(log n)-round shape as
+    * [[graft.operators.ConnectedComponents]] — each round is ONE job
+    * (the weak-node set is derived inside the prune DAG from the
+    * persisted edge table; convergence is read off the pruned edge
+    * COUNT, a driver scalar), two keyed anti-joins per round, edge
+    * table persisted and replaced per round. Peeling is monotone, so
+    * `maxRounds` bounds the loop; a converged round is a no-op for
+    * both engines, which is what makes the unrolled oracle exact.
+    */
+  def kcore(
+      s: SparkSession,
+      dir: String,
+      k: Int = 3,
+      minCommon: Int = 12,
+      maxRounds: Int = 12): DataFrame = {
+    val pairs = similarityPairs(s, dir, minCommon).select(col("doc_a"), col("doc_b"))
+    var edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var nEdges = edges.count()
+    var rounds = 0
+    var converged = nEdges == 0
+    while (!converged && rounds < maxRounds) {
+      val weak = edges
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") < k)
+        .select(col("src").as("weak"))
+      val pruned = edges
+        .join(weak, col("src") === col("weak"), "left_anti")
+        .join(weak.withColumnRenamed("weak", "weak2"), col("dst") === col("weak2"), "left_anti")
+        .persist()
+      val n = pruned.count() // the round's ONE action; weak derives from cache
+      if (n == nEdges) {
+        pruned.unpersist()
+        converged = true
+      } else {
+        edges.unpersist()
+        edges = pruned
+        nEdges = n
+      }
+      rounds += 1
+    }
+    edges
+      .groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).as("core_degree"))
+  }
+
+  /** Exact DuckDB oracle for [[kcore]]: the peel unrolled `maxRounds`
+    * times (the [[labelPropagationSql]] pattern) — peeling is monotone
+    * and both engines stop changing at the same fixpoint, so extra
+    * rounds are identity.
+    */
+  def kcoreSql(k: Int = 3, minCommon: Int = 12, maxRounds: Int = 12): String = {
+    // each round references its predecessor three times — MATERIALIZED
+    // stops the planner from inlining the chain into 3^rounds scans
+    val peels = (1 to maxRounds)
+      .map { i =>
+        val prev = s"e${i - 1}"
+        s"""e$i AS MATERIALIZED (
+           SELECT src, dst FROM $prev
+           WHERE src NOT IN (SELECT src FROM $prev GROUP BY src HAVING count(*) < $k)
+             AND dst NOT IN (SELECT src FROM $prev GROUP BY src HAVING count(*) < $k))"""
+      }
+      .mkString(",\n       ")
+    s"""WITH ${graphCtesSql(minCommon)},
+       e0 AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       $peels
+       SELECT src AS doc_id, count(*) AS core_degree
+       FROM e$maxRounds GROUP BY 1"""
+  }
 }

@@ -1609,6 +1609,7 @@ object RelationalQueries {
     * the comparison — the plan shape is unchanged.
     */
   def fuzzyMatch(s: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {
+    graft.plans.BoundedLev.register(s)
     val c = Tables
       .customer(s, dir)
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
@@ -1622,8 +1623,14 @@ object RelationalQueries {
       col("c_name").as("name_b"))
     a.join(b, Seq("block"))
       .filter(col("cust_a") < col("cust_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      // the native banded expression (prefix/suffix trim + O(k·n) byte
+      // DP with early exit, codegen'd) — ~10× the builtin full-matrix
+      // levenshtein on linkage-shaped names; same contract (−1 = over
+      // threshold), locked against the builtin in BoundedLevSpec
+      .withColumn(
+        "dist",
+        expr(s"bounded_lev(name_a, name_b, $maxDist)").cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(
         col("block").cast("long").as("block"),
         col("cust_a"),
@@ -1849,4 +1856,362 @@ object RelationalQueries {
               round(CAST(n_violations AS DOUBLE) / CAST(n_checked AS DOUBLE), 6)
                 AS violation_frac
        FROM unioned"""
+
+  /** Revenue-concentration (Gini) per market segment — the inequality
+    * measure behind "how head-heavy is this segment's spend?". Exact
+    * Gini needs every customer's global revenue RANK, the classic
+    * scale trap: a bare `row_number() OVER (ORDER BY revenue)` funnels
+    * the corpus through one partition. Here the rank is two-level (the
+    * [[userDeciles]] / lang-mixture pattern): an equi-width revenue
+    * bucket (monotone in the sort key, so offset+in-bucket rank IS the
+    * global rank), a rank window bounded per (segment, bucket), and
+    * running bucket offsets over the tiny (segment × buckets) count
+    * table. Gini then folds from three exact-integer sums —
+    * engine-deterministic with one final division.
+    *
+    * Scale: orders scanned once into the persisted per-customer table;
+    * the segment dim joins keyed; bounds/offsets ride broadcasts. Σ
+    * rank·cents stays < 2⁶³ to ~10⁹ customers × $10⁷ lifetime — beyond
+    * that swap the two sums to decimal(38).
+    */
+  def giniConcentration(s: SparkSession, dir: String, buckets: Int = 64): DataFrame = {
+    val rev = Tables
+      .orders(s, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val seg = Tables
+      .customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    val base = rev
+      .join(seg, col("custkey") === col("c_custkey"))
+      .select(col("segment"), col("custkey"), col("cents"))
+      .persist()
+    val bounds = base
+      .groupBy(col("segment"))
+      .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+    val bucketed = base
+      .join(broadcast(bounds), "segment")
+      .withColumn(
+        "bucket",
+        least(
+          lit(buckets - 1),
+          (col("cents") - col("lo")) * buckets / (col("hi") - col("lo") + 1)).cast("long"))
+    val wIn = Window
+      .partitionBy(col("segment"), col("bucket"))
+      .orderBy(col("cents"), col("custkey"))
+    val counts = bucketed.groupBy(col("segment"), col("bucket")).agg(count(lit(1)).as("n_b"))
+    val wOff = Window
+      .partitionBy(col("segment"))
+      .orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.withColumn("offset", coalesce(sum(col("n_b")).over(wOff), lit(0L)))
+    bucketed
+      .withColumn("r_in", row_number().over(wIn).cast("long"))
+      .join(broadcast(offsets.select(col("segment"), col("bucket"), col("offset"))),
+        Seq("segment", "bucket"))
+      .withColumn("rank", col("offset") + col("r_in"))
+      .groupBy(col("segment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("total_cents"),
+        sum(col("rank") * col("cents")).as("srx"))
+      .select(
+        col("segment"),
+        col("n_customers"),
+        col("total_cents"),
+        round(
+          (lit(2.0) * col("srx").cast("double")
+            - (col("n_customers") + 1).cast("double") * col("total_cents").cast("double"))
+            / (col("n_customers").cast("double") * col("total_cents").cast("double")),
+          6).as("gini"))
+  }
+
+  val giniConcentrationSql: String =
+    """WITH rev AS (
+         SELECT o_custkey AS custkey,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders GROUP BY 1),
+       base AS (
+         SELECT c.c_mktsegment AS segment, r.custkey, r.cents
+         FROM rev r JOIN customer c ON r.custkey = c.c_custkey),
+       ranked AS (
+         SELECT segment, cents,
+                CAST(row_number() OVER
+                  (PARTITION BY segment ORDER BY cents, custkey) AS BIGINT) AS rank
+         FROM base),
+       agg AS (
+         SELECT segment, count(*) AS n_customers,
+                CAST(sum(cents) AS BIGINT) AS total_cents,
+                CAST(sum(rank * cents) AS BIGINT) AS srx
+         FROM ranked GROUP BY 1)
+       SELECT segment, n_customers, total_cents,
+              round((2.0 * CAST(srx AS DOUBLE)
+                     - CAST(n_customers + 1 AS DOUBLE) * CAST(total_cents AS DOUBLE))
+                    / (CAST(n_customers AS DOUBLE) * CAST(total_cents AS DOUBLE)), 6)
+                AS gini
+       FROM agg"""
+
+  /** Cohort lifetime-value curves: customers cohorted by first-order
+    * year; each (cohort, order-year) cell carries that year's revenue,
+    * the running cumulative, and cumulative LTV per cohort member — the
+    * retention-economics read behind "do newer cohorts monetise
+    * faster?".
+    *
+    * Scale: orders collapses map-side to per-(customer, year) cents
+    * (persisted — scanned once); the cohort assignment is a keyed
+    * self-join on custkey over that already-reduced table; everything
+    * after lives on |cohorts|×|years| rows, windows included. All sums
+    * exact integer cents.
+    */
+  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val perYear = Tables
+      .orders(s, dir)
+      .select(
+        col("o_custkey").as("custkey"),
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("custkey"), col("order_year"))
+      .agg(sum(col("cents")).as("cents"))
+      .persist()
+    val cohorts = perYear
+      .groupBy(col("custkey"))
+      .agg(min(col("order_year")).as("cohort_year"))
+    val sizes = cohorts.groupBy(col("cohort_year")).agg(count(lit(1)).as("cohort_size"))
+    val w = Window
+      .partitionBy(col("cohort_year"))
+      .orderBy(col("order_year"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perYear
+      .join(cohorts, "custkey")
+      .groupBy(col("cohort_year"), col("order_year"))
+      .agg(sum(col("cents")).as("year_cents"))
+      .withColumn("cum_cents", sum(col("year_cents")).over(w))
+      .join(broadcast(sizes), "cohort_year")
+      .select(
+        col("cohort_year"),
+        col("order_year"),
+        col("cohort_size"),
+        col("year_cents"),
+        col("cum_cents"),
+        round(
+          col("cum_cents").cast("double") / (col("cohort_size").cast("double") * 100.0),
+          6).as("cum_ltv_per_customer"))
+  }
+
+  val cohortLtvSql: String =
+    """WITH per_year AS (
+         SELECT o_custkey AS custkey,
+                CAST(year(o_orderdate) AS BIGINT) AS order_year,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders GROUP BY 1, 2),
+       cohorts AS (
+         SELECT custkey, min(order_year) AS cohort_year
+         FROM per_year GROUP BY 1),
+       sizes AS (
+         SELECT cohort_year, count(*) AS cohort_size FROM cohorts GROUP BY 1),
+       cells AS (
+         SELECT c.cohort_year, p.order_year, CAST(sum(p.cents) AS BIGINT) AS year_cents
+         FROM per_year p JOIN cohorts c USING (custkey)
+         GROUP BY 1, 2),
+       cum AS (
+         SELECT *, CAST(sum(year_cents) OVER
+                  (PARTITION BY cohort_year ORDER BY order_year
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS cum_cents
+         FROM cells)
+       SELECT m.cohort_year, m.order_year, s.cohort_size, m.year_cents, m.cum_cents,
+              round(CAST(m.cum_cents AS DOUBLE)
+                    / (CAST(s.cohort_size AS DOUBLE) * 100.0), 6)
+                AS cum_ltv_per_customer
+       FROM cum m JOIN sizes s USING (cohort_year)"""
+
+  /** Welch's two-sample t-test per event type between a deterministic
+    * 50/50 A/B split of users (md5 parity of user_id — the
+    * [[CurationQueries]] hash-split convention, so assignment is stable
+    * under re-partitioning and re-runs). Reports per-variant means and
+    * the t statistic with Welch–Satterthwaite degrees of freedom — the
+    * experimentation-platform readout.
+    *
+    * Oracle parity: each variant's moments are exact integers (n,
+    * Σcents, Σcents²); mean/variance/t/df are scalar arithmetic on
+    * those six integers with an identical expression tree in both
+    * engines. Scale: ONE shuffle on the bounded (type × variant) key
+    * space; the variant key is a pure map expression.
+    */
+  def abTtest(s: SparkSession, dir: String): DataFrame = {
+    val variant = expr(
+      "cast(conv(substring(md5(cast(cast(user_id as string) as binary)), 1, 4), 16, 10) as long) % 2")
+    val m = Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        variant.as("variant"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("variant"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("cents")).as("s1"),
+        sum(col("cents") * col("cents")).as("s2"))
+    val a = m.filter(col("variant") === 0).select(
+      col("event_type"), col("n").as("n_a"), col("s1").as("s1_a"), col("s2").as("s2_a"))
+    val b = m.filter(col("variant") === 1).select(
+      col("event_type"), col("n").as("n_b"), col("s1").as("s1_b"), col("s2").as("s2_b"))
+    def mean(s1: Column, n: Column): Column =
+      s1.cast("double") / (n.cast("double") * 100.0)
+    def variance(s2: Column, s1: Column, n: Column): Column =
+      (s2.cast("double") - s1.cast("double") * s1.cast("double") / n.cast("double")) /
+        ((n - 1).cast("double") * 10000.0)
+    val joined = a
+      .join(b, "event_type")
+      .withColumn("mean_a", mean(col("s1_a"), col("n_a")))
+      .withColumn("mean_b", mean(col("s1_b"), col("n_b")))
+      .withColumn("var_a", variance(col("s2_a"), col("s1_a"), col("n_a")))
+      .withColumn("var_b", variance(col("s2_b"), col("s1_b"), col("n_b")))
+      .withColumn("se_a", col("var_a") / col("n_a").cast("double"))
+      .withColumn("se_b", col("var_b") / col("n_b").cast("double"))
+    joined.select(
+      col("event_type"),
+      col("n_a"),
+      col("n_b"),
+      round(col("mean_a"), 6).as("mean_a"),
+      round(col("mean_b"), 6).as("mean_b"),
+      round((col("mean_a") - col("mean_b")) / sqrt(col("se_a") + col("se_b")), 6)
+        .as("t_stat"),
+      round(
+        (col("se_a") + col("se_b")) * (col("se_a") + col("se_b")) /
+          (col("se_a") * col("se_a") / (col("n_a") - 1).cast("double")
+            + col("se_b") * col("se_b") / (col("n_b") - 1).cast("double")),
+        6).as("welch_df"))
+  }
+
+  val abTtestSql: String =
+    """WITH m AS (
+         SELECT event_type,
+                CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                  % 2 AS variant,
+                count(*) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)
+                         * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2
+         FROM events GROUP BY 1, 2),
+       a AS (SELECT event_type, n AS n_a, s1 AS s1_a, s2 AS s2_a FROM m WHERE variant = 0),
+       b AS (SELECT event_type, n AS n_b, s1 AS s1_b, s2 AS s2_b FROM m WHERE variant = 1),
+       j AS (
+         SELECT event_type, n_a, n_b,
+                CAST(s1_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * 100.0) AS mean_a,
+                CAST(s1_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * 100.0) AS mean_b,
+                ((CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE)
+                    / CAST(n_a AS DOUBLE)) / (CAST(n_a - 1 AS DOUBLE) * 10000.0))
+                  / CAST(n_a AS DOUBLE) AS se_a,
+                ((CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE)
+                    / CAST(n_b AS DOUBLE)) / (CAST(n_b - 1 AS DOUBLE) * 10000.0))
+                  / CAST(n_b AS DOUBLE) AS se_b
+         FROM a JOIN b USING (event_type))
+       SELECT event_type, n_a, n_b,
+              round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+              round((mean_a - mean_b) / sqrt(se_a + se_b), 6) AS t_stat,
+              round((se_a + se_b) * (se_a + se_b)
+                    / (se_a * se_a / CAST(n_a - 1 AS DOUBLE)
+                       + se_b * se_b / CAST(n_b - 1 AS DOUBLE)), 6) AS welch_df
+       FROM j"""
+
+  /** Winsorized robust statistics per event type: values clamped at
+    * discrete p05/p95 thresholds before averaging — the
+    * outlier-tolerant mean a metrics pipeline reports next to the raw
+    * one. The thresholds are DISCRETE order statistics derived with
+    * pure integer arithmetic (smallest cents value whose cumulative
+    * count × 20 reaches n, resp. 19n) — an interpolated
+    * `percentile(…, 0.05)` rounded to the cents grid can land on an
+    * engine-divergent rounding boundary, so no float touches the
+    * threshold definition at all.
+    *
+    * Scale: events collapses map-side to the (type, cents) VALUE
+    * distribution — the cumulative window runs over value-domain-sized
+    * groups (bounded by the price grid, not the corpus); thresholds
+    * broadcast back (|types| rows) into one conditional-aggregation
+    * pass over the same persisted distribution. Exact integer sums
+    * throughout; two final divisions.
+    */
+  def winsorizedStats(s: SparkSession, dir: String): DataFrame = {
+    val dist = Tables
+      .events(s, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    val tot = dist.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+    val wCum = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .join(broadcast(tot), "event_type")
+    val thr = cum
+      .groupBy(col("event_type"))
+      .agg(
+        min(when(col("cum") * 20 >= col("n"), col("cents"))).as("lo_cents"),
+        min(when(col("cum") * 20 >= col("n") * 19, col("cents"))).as("hi_cents"))
+    dist
+      .join(broadcast(thr), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("c")).as("n"),
+        max(col("lo_cents")).as("lo_cents"),
+        max(col("hi_cents")).as("hi_cents"),
+        sum(when(col("cents") < col("lo_cents"), col("c")).otherwise(0L))
+          .as("n_clamped_low"),
+        sum(when(col("cents") > col("hi_cents"), col("c")).otherwise(0L))
+          .as("n_clamped_high"),
+        sum(col("c") * col("cents")).as("raw_cents"),
+        sum(
+          col("c") * least(greatest(col("cents"), col("lo_cents")), col("hi_cents")))
+          .as("win_cents"))
+      .select(
+        col("event_type"),
+        col("n"),
+        round(col("lo_cents").cast("double") / 100.0, 2).as("p05"),
+        round(col("hi_cents").cast("double") / 100.0, 2).as("p95"),
+        col("n_clamped_low"),
+        col("n_clamped_high"),
+        round(col("raw_cents").cast("double") / (col("n").cast("double") * 100.0), 6)
+          .as("raw_mean"),
+        round(col("win_cents").cast("double") / (col("n").cast("double") * 100.0), 6)
+          .as("winsorized_mean"))
+  }
+
+  val winsorizedStatsSql: String =
+    """WITH dist AS (
+         SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+                count(*) AS c
+         FROM events GROUP BY 1, 2),
+       tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM dist GROUP BY 1),
+       cum AS (
+         SELECT d.event_type, d.cents, d.c, t.n,
+                CAST(sum(d.c) OVER
+                  (PARTITION BY d.event_type ORDER BY d.cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         FROM dist d JOIN tot t USING (event_type)),
+       thr AS (
+         SELECT event_type,
+                min(CASE WHEN cum * 20 >= n THEN cents END) AS lo_cents,
+                min(CASE WHEN cum * 20 >= n * 19 THEN cents END) AS hi_cents
+         FROM cum GROUP BY 1)
+       SELECT d.event_type,
+              CAST(sum(d.c) AS BIGINT) AS n,
+              round(CAST(max(t.lo_cents) AS DOUBLE) / 100.0, 2) AS p05,
+              round(CAST(max(t.hi_cents) AS DOUBLE) / 100.0, 2) AS p95,
+              CAST(sum(CASE WHEN d.cents < t.lo_cents THEN d.c ELSE 0 END) AS BIGINT)
+                AS n_clamped_low,
+              CAST(sum(CASE WHEN d.cents > t.hi_cents THEN d.c ELSE 0 END) AS BIGINT)
+                AS n_clamped_high,
+              round(CAST(CAST(sum(d.c * d.cents) AS BIGINT) AS DOUBLE)
+                    / (CAST(CAST(sum(d.c) AS BIGINT) AS DOUBLE) * 100.0), 6)
+                AS raw_mean,
+              round(CAST(CAST(sum(d.c * least(greatest(d.cents, t.lo_cents), t.hi_cents))
+                              AS BIGINT) AS DOUBLE)
+                    / (CAST(CAST(sum(d.c) AS BIGINT) AS DOUBLE) * 100.0), 6)
+                AS winsorized_mean
+       FROM dist d JOIN thr t USING (event_type)
+       GROUP BY 1"""
 }

@@ -502,4 +502,87 @@ object SearchQueries {
               row_number() OVER (ORDER BY key_raw DESC, doc_id) AS rank
        FROM keyed
        QUALIFY row_number() OVER (ORDER BY key_raw DESC, doc_id) <= $k"""
+
+  /** Collocation mining: the corpus' top adjacent-word bigrams ranked
+    * by frequency with their pointwise mutual information — PMI(w1,w2)
+    * = ln(p(w1,w2) / (p(w1)p(w2))) tells whether the pair co-occurs
+    * beyond chance (a multi-word expression) or just rides two common
+    * words. The phrase-detection primitive behind tokenizer vocabulary
+    * and stop-phrase curation.
+    *
+    * Oracle parity: counts are exact integers; PMI is ONE rounded `ln`
+    * of a product/ratio of integer-valued doubles with an identical
+    * tree in both engines (the [[RelationalQueries.abTtest]] /
+    * q_event_pmi discipline). Top-k orders on stored integers with the
+    * bigram as tiebreak — plans as `TakeOrderedAndProject`.
+    *
+    * Scale: bigram extraction is narrow; both count tables are
+    * partial-agg groupBys on uniform token keys; the unigram margins
+    * join back keyed (vocabulary-sized, broadcast here); top-k is
+    * per-partition heaps, no global sort.
+    */
+  def collocations(s: SparkSession, dir: String, minCount: Int = 5, k: Int = 100): DataFrame = {
+    val docs = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), toks.as("ws"))
+    val tokens = docs.select(explode(col("ws")).as("w"))
+    val uni = tokens.groupBy(col("w")).agg(count(lit(1)).as("cw")).persist()
+    val totals = uni.agg(
+      sum(col("cw")).as("t_tokens"),
+      (sum(col("cw")) - count(lit(1))).as("dummy"))
+    val bigrams = docs
+      .filter(size(col("ws")) >= 2)
+      .select(
+        explode(expr(
+          "transform(sequence(0, size(ws) - 2), " +
+            "i -> struct(element_at(ws, i + 1) AS w1, element_at(ws, i + 2) AS w2))"))
+          .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val big = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+    val nBig = big.agg(sum(col("n_pair")).as("t_pairs"))
+    big
+      .filter(col("n_pair") >= minCount)
+      .join(broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "c1")), "w1")
+      .join(broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "c2")), "w2")
+      .crossJoin(broadcast(nBig))
+      .crossJoin(broadcast(totals.select(col("t_tokens"))))
+      .select(
+        col("w1"),
+        col("w2"),
+        col("n_pair"),
+        col("c1"),
+        col("c2"),
+        round(
+          log(
+            (col("n_pair").cast("double") / col("t_pairs").cast("double")) /
+              ((col("c1").cast("double") / col("t_tokens").cast("double"))
+                * (col("c2").cast("double") / col("t_tokens").cast("double")))),
+          6).as("pmi"))
+      .orderBy(col("n_pair").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  def collocationsSql(minCount: Int = 5, k: Int = 100): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       tokens AS (SELECT unnest(ws) AS w FROM d),
+       uni AS (SELECT w, count(*) AS cw FROM tokens GROUP BY 1),
+       tt AS (SELECT CAST(sum(cw) AS BIGINT) AS t_tokens FROM uni),
+       bg AS (SELECT doc_id,
+                     unnest([ws[i+1] FOR i IN range(len(ws) - 1)]) AS w1,
+                     unnest([ws[i+2] FOR i IN range(len(ws) - 1)]) AS w2
+              FROM d WHERE len(ws) >= 2),
+       big AS (SELECT w1, w2, count(*) AS n_pair FROM bg GROUP BY 1, 2),
+       tp AS (SELECT CAST(sum(n_pair) AS BIGINT) AS t_pairs FROM big)
+       SELECT b.w1, b.w2, b.n_pair, u1.cw AS c1, u2.cw AS c2,
+              round(ln((CAST(b.n_pair AS DOUBLE) / CAST(tp.t_pairs AS DOUBLE))
+                       / ((CAST(u1.cw AS DOUBLE) / CAST(tt.t_tokens AS DOUBLE))
+                          * (CAST(u2.cw AS DOUBLE) / CAST(tt.t_tokens AS DOUBLE)))), 6)
+                AS pmi
+       FROM big b
+       JOIN uni u1 ON b.w1 = u1.w
+       JOIN uni u2 ON b.w2 = u2.w
+       CROSS JOIN tp CROSS JOIN tt
+       WHERE b.n_pair >= $minCount
+       ORDER BY b.n_pair DESC, b.w1, b.w2
+       LIMIT $k"""
 }

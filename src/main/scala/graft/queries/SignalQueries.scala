@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.dsp.{DetectorFn, DifferentialThresholdDetector, ThresholdDetector}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Signal-processing operators lifted onto the harness tables, so the
@@ -529,6 +530,99 @@ object SignalQueries {
         round(col("cents").cast("double") / (col("n").cast("double") * 100.0), 6)
           .as("mean_value"))
   }
+
+  /** Classical additive seasonal decomposition of each event type's
+    * daily revenue series: trend = centered 7-day moving average,
+    * seasonal = per-weekday mean deviation from trend, residual = the
+    * rest. The trend/seasonality/anomaly split behind capacity
+    * forecasting and regression detection.
+    *
+    * Oracle parity: the detrended series is kept as the EXACT integer
+    * `7·cents − Σ₇cents` (value scaled by 7·100), so the weekday means
+    * are exact-integer sums divided once — no float reduction anywhere;
+    * trend/seasonal/residual are single divisions of exact integers
+    * with identical trees. Edge days (incomplete 7-row window) carry
+    * NULL trend/residual and are excluded from the seasonal fit, same
+    * rule both engines.
+    *
+    * Scale: ONE shuffle to the (type, day) aggregate; the windows run
+    * per type over DAY-granularity rows (calendar-bounded, thousands of
+    * rows per type at any corpus size); weekday indices broadcast back.
+    */
+  def seasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .events(s, dir)
+      .groupBy(
+        col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .persist()
+    val w7 = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("sum7", sum(col("cents")).over(w7))
+      .withColumn("cnt7", count(lit(1)).over(w7))
+      .withColumn(
+        "d_int",
+        when(col("cnt7") === 7, col("cents") * 7 - col("sum7")))
+    val seasonal = trended
+      .filter(col("d_int").isNotNull)
+      .groupBy(col("event_type"), dayofweek(col("day")).cast("long").as("wd"))
+      .agg(sum(col("d_int")).as("sd"), count(lit(1)).as("k"))
+    trended
+      .alias("t")
+      .join(
+        broadcast(seasonal.alias("sf")),
+        col("t.event_type") === col("sf.event_type")
+          && dayofweek(col("t.day")).cast("long") === col("sf.wd"),
+        "left")
+      .select(
+        col("t.event_type").as("event_type"),
+        col("t.day").as("day"),
+        round(col("cents").cast("double") / 100.0, 6).as("value"),
+        round(when(col("cnt7") === 7, col("sum7").cast("double") / 700.0), 6)
+          .as("trend"),
+        round(col("sd").cast("double") / (lit(700.0) * col("k").cast("double")), 6)
+          .as("seasonal"),
+        round(
+          col("d_int").cast("double") / 700.0
+            - col("sd").cast("double") / (lit(700.0) * col("k").cast("double")),
+          6).as("residual"))
+  }
+
+  val seasonalDecomposeSql: String =
+    """WITH daily AS (
+         SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM events GROUP BY 1, 2),
+       trended AS (
+         SELECT *,
+                CAST(sum(cents) OVER w AS BIGINT) AS sum7,
+                count(*) OVER w AS cnt7,
+                CASE WHEN count(*) OVER w = 7
+                     THEN cents * 7 - CAST(sum(cents) OVER w AS BIGINT) END AS d_int
+         FROM daily
+         WINDOW w AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       seasonal AS (
+         SELECT event_type, CAST(dayofweek(day) + 1 AS BIGINT) AS wd,
+                CAST(sum(d_int) AS BIGINT) AS sd, count(*) AS k
+         FROM trended WHERE d_int IS NOT NULL GROUP BY 1, 2)
+       SELECT t.event_type, t.day,
+              round(CAST(t.cents AS DOUBLE) / 100.0, 6) AS value,
+              round(CASE WHEN t.cnt7 = 7
+                         THEN CAST(t.sum7 AS DOUBLE) / 700.0 END, 6) AS trend,
+              round(CAST(s.sd AS DOUBLE) / (700.0 * CAST(s.k AS DOUBLE)), 6)
+                AS seasonal,
+              round(CAST(t.d_int AS DOUBLE) / 700.0
+                    - CAST(s.sd AS DOUBLE) / (700.0 * CAST(s.k AS DOUBLE)), 6)
+                AS residual
+       FROM trended t
+       LEFT JOIN seasonal s
+         ON t.event_type = s.event_type
+        AND CAST(dayofweek(t.day) + 1 AS BIGINT) = s.wd"""
 
   val seasonalProfileSql: String =
     """WITH cells AS (
