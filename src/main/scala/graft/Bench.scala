@@ -32,10 +32,18 @@ object Bench {
     graft.queries.DedupQueries.clearClusterMemo(spark)
     val pass2 = ordered.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
     val results = pass1.map { case (name, t1) => name -> math.min(t1, pass2(name)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // stdout gets truncated by capture harnesses once the query map grows
+    // past a pipe buffer — persist the complete per-query JSON too, so the
+    // round artifact always carries every timing
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"))
+    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -105,6 +105,20 @@ object RunAssignment {
     * them, no window key to collapse them. Unmatched rows drop
     * (inner-join semantics).
     */
+  /** Fail-closed bound on the run-dimension collect (ADVICE r7): the
+    * zero-shuffle literal-array design is only valid because runs are a
+    * control-plane dimension; nothing structural stops a miswired caller
+    * from passing a fact table, which would OOM the driver or blow JVM
+    * codegen limits. Matching the fail-closed standard elsewhere
+    * (TraceFileSource, NexusSink), the collect is bounded: we fetch at
+    * most cap+1 rows and abort with deployment advice when exceeded.
+    * Overridable per-deployment via `graft.runAssignment.maxRuns`.
+    * Per-row assignment cost is O(|runs|) (linear `filter(...)[0]`) —
+    * fine at the thousands this cap admits.
+    */
+  private[graft] def maxCollectedRuns: Int =
+    sys.props.get("graft.runAssignment.maxRuns").map(_.toInt).getOrElse(100000)
+
   private def firstMatchAssign(
       input: DataFrame,
       runs: DataFrame,
@@ -116,7 +130,18 @@ object RunAssignment {
         val name = if (f.name == "collect_from_ns") "run_start_ns" else f.name
         d.withColumn(name, value(f))
       }
-    val rows = runs.collect().sortBy(_.getAs[Long]("collect_from_ns"))
+    val cap = maxCollectedRuns
+    val fetched = runs.limit(cap + 1).collect()
+    if (fetched.length > cap)
+      throw new IllegalArgumentException(
+        s"RunAssignment: the runs input exceeds $cap rows — this operator " +
+          "inlines the run dimension as a broadcast literal and is only " +
+          "valid for a control-plane-bounded dimension (one row per run " +
+          "transition). A runs input this large is almost certainly a " +
+          "miswired fact table; if the dimension is genuinely this big, " +
+          "raise -Dgraft.runAssignment.maxRuns or rewrite the assignment " +
+          "as a broadcast range join.")
+    val rows = fetched.sortBy(_.getAs[Long]("collect_from_ns"))
     if (rows.isEmpty)
       return spliceRunCols(input, f => lit(null).cast(f.dataType)).filter(lit(false))
     val runArr = array(rows.map { r =>

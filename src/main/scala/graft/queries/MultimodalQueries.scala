@@ -228,24 +228,116 @@ object MultimodalQueries {
     hash
   }
 
-  /** STUB resize: metadata-level transform demonstrating payload-preserving
-    * column surgery (a real implementation re-encodes `media`).
+  /** Byte-level nearest-neighbor resize of one payload. The 256 content
+    * bytes are the pixel buffer — a 16×16 grid standing in for the full
+    * `width`×`height` raster (the synthetic fixture stores a fixed-size
+    * thumbnail; a real decoder would hand over `width*height` samples,
+    * and every step below is side-length-agnostic). The logical resize
+    * scales (`width`,`height`) down to fit `maxDim` (aspect preserved,
+    * never upscaled); the pixel grid shrinks by the same ratio via
+    * classic nearest-neighbor index mapping — `src = (dst * srcSide) /
+    * dstSide`, all integer arithmetic, so DuckDB re-derives the output
+    * bytes exactly. The result is a fresh payload: re-written header
+    * carrying the new dims + the resampled grid.
+    */
+  private[graft] def resizePayload(media: Array[Byte], maxDim: Int): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.wrap(media)
+    require(buf.get() == 'G' && buf.get() == 'R' && buf.get() == 'F' && buf.get() == 'T',
+      "bad magic")
+    val w = buf.getInt
+    val h = buf.getInt
+    val fmt = buf.getInt
+    val grid = 16 // source pixel-grid side: 256 content bytes
+    // IEEE double op order matches the oracle: one divide, one multiply,
+    // truncate (positive, so floor ≡ Spark's double→int cast)
+    val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+    val outW = (w * scale).toInt
+    val outH = (h * scale).toInt
+    val gw = math.max(1, grid * outW / w)
+    val gh = math.max(1, grid * outH / h)
+    val out = java.nio.ByteBuffer.allocate(16 + gh * gw)
+    out.put('G'.toByte).put('R'.toByte).put('F'.toByte).put('T'.toByte)
+    out.putInt(outW).putInt(outH).putInt(fmt)
+    var r = 0
+    while (r < gh) {
+      val srcR = r * grid / gh
+      var c = 0
+      while (c < gw) {
+        val srcC = c * grid / gw
+        out.put(media(16 + srcR * grid + srcC))
+        c += 1
+      }
+      r += 1
+    }
+    out.array()
+  }
+
+  /** Resize as the pipeline runs it: per-partition pass re-encoding each
+    * payload (one "codec" per partition, no shuffle), emitting the
+    * transformed binary plus old/new dims and integer digests of the
+    * output bytes (`byte_sum`, and `wsum` — a position-weighted checksum
+    * that pins every byte to its offset, so a permuted or misplaced
+    * pixel changes it).
+    */
+  def mediaResizeRaw(s: SparkSession, dir: String, maxDim: Int = 128): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("out_width", IntegerType),
+      StructField("out_height", IntegerType),
+      StructField("format", StringType),
+      StructField("out_n_bytes", IntegerType),
+      StructField("byte_sum", LongType),
+      StructField("wsum", LongType),
+      StructField("media", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    mediaTable(s, dir)
+      .select(col("doc_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val docId = row.getLong(0)
+          val media = row.getAs[Array[Byte]](1)
+          val in = java.nio.ByteBuffer.wrap(media)
+          in.position(4)
+          val w = in.getInt
+          val h = in.getInt
+          val format = in.getInt match {
+            case 0 => "rgb8"
+            case 1 => "gray8"
+            case _ => "rgba8"
+          }
+          val resized = resizePayload(media, maxDim)
+          val outB = java.nio.ByteBuffer.wrap(resized)
+          outB.position(4)
+          val outW = outB.getInt
+          val outH = outB.getInt
+          var byteSum = 0L
+          var wsum = 0L
+          var i = 16
+          while (i < resized.length) {
+            val v = resized(i) & 0xff
+            byteSum += v
+            wsum += v.toLong * (i - 16 + 1)
+            i += 1
+          }
+          Row(docId, w, h, outW, outH, format, resized.length, byteSum, wsum, resized)
+        }
+      }(enc)
+  }
+
+  /** Harness-facing projection of [[mediaResizeRaw]] (the driver compare
+    * can't hash binary cells): new dims + output-payload digests, all
+    * re-derived exactly by the oracle.
     */
   def mediaResize(s: SparkSession, dir: String, maxDim: Int = 128): DataFrame =
-    mediaFeatures(s, dir)
-      .withColumn("scale",
-        least(lit(1.0), lit(maxDim) / greatest(col("width"), col("height"))))
-      .select(
-        col("doc_id"),
-        col("width"),
-        col("height"),
-        (col("width") * col("scale")).cast("int").as("out_width"),
-        (col("height") * col("scale")).cast("int").as("out_height"),
-        col("format"))
+    mediaResizeRaw(s, dir, maxDim).drop("media")
 
-  /** DuckDB oracle for [[mediaResize]]: identical IEEE double op order
-    * (one division, one multiply, floor — Spark's double→int cast
-    * truncates, so the SQL floors explicitly).
+  /** DuckDB oracle for [[mediaResize]]: the resampled grid regenerated
+    * from the closed-form payload — same IEEE double op order for the
+    * dims (one division, one multiply, floor ≡ Spark's positive
+    * double→int truncate), same integer nearest-neighbor index map for
+    * the bytes, digests summed over the SAME output positions.
     */
   val mediaResizeSql: String =
     """WITH d AS (
@@ -255,10 +347,28 @@ object MultimodalQueries {
                 CASE (doc_id % 3) WHEN 0 THEN 'rgb8' WHEN 1 THEN 'gray8'
                   ELSE 'rgba8' END AS format
          FROM documents
+       ), s AS (
+         SELECT doc_id, width, height, format,
+                floor(width * least(1.0, 128.0/greatest(width, height)))::INT AS out_width,
+                floor(height * least(1.0, 128.0/greatest(width, height)))::INT AS out_height
+         FROM d
+       ), g AS (
+         SELECT *,
+                greatest(1, (16*out_width)//width) AS gw,
+                greatest(1, (16*out_height)//height) AS gh
+         FROM s
+       ), px AS (
+         SELECT doc_id, gw, gh, rr.r AS r, cc.c AS c,
+                ((doc_id*31 + (((rr.r*16)//gh)*16 + ((cc.c*16)//gw))*17 + 7) % 256) AS v
+         FROM g, range(16) rr(r), range(16) cc(c)
+         WHERE rr.r < gh AND cc.c < gw
+       ), dig AS (
+         SELECT doc_id,
+                sum(v)::BIGINT AS byte_sum,
+                sum(v * (r*gw + c + 1))::BIGINT AS wsum
+         FROM px GROUP BY doc_id
        )
-       SELECT doc_id, width, height,
-              floor(width * least(1.0, 128.0/greatest(width, height)))::INT AS out_width,
-              floor(height * least(1.0, 128.0/greatest(width, height)))::INT AS out_height,
-              format
-       FROM d"""
+       SELECT g.doc_id, g.width, g.height, g.out_width, g.out_height, g.format,
+              (16 + g.gw*g.gh)::INT AS out_n_bytes, dig.byte_sum, dig.wsum
+       FROM g JOIN dig USING (doc_id)"""
 }

@@ -115,6 +115,40 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
   private val scratchNonce: String =
     java.util.UUID.randomUUID().toString.take(8)
 
+  /** Foreign-instance sweeps reclaim scratch by mtime staleness (see
+    * [[recoverInterruptedCompaction]]) — a rewrite outliving
+    * `scratchStaleMs` without refreshing its dir mtime would look dead
+    * to them and be swept mid-flight (ADVICE r7). Each rewrite holds a
+    * daemon heartbeat that re-touches the scratch dir at a third of the
+    * TTL, so a LIVE attempt never goes stale; a crashed process's
+    * heartbeat dies with it and the leftover is reclaimed as before.
+    */
+  private lazy val heartbeatPool = {
+    val pool = new java.util.concurrent.ScheduledThreadPoolExecutor(
+      1,
+      (r: Runnable) => {
+        val t = new Thread(r, "nexus-scratch-heartbeat")
+        t.setDaemon(true)
+        t
+      })
+    pool.setRemoveOnCancelPolicy(true)
+    pool
+  }
+
+  private def startScratchHeartbeat(p: Path): java.util.concurrent.ScheduledFuture[_] = {
+    val period = math.max(1L, scratchStaleMs / 3)
+    heartbeatPool.scheduleWithFixedDelay(
+      () =>
+        try
+          Files.setLastModifiedTime(
+            p,
+            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+        catch { case _: java.io.IOException => () },
+      period,
+      period,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+  }
+
   /** Generations already moved out of `local/` this process — late log
     * batches for them are discarded under [[moveLock]] (the reference's
     * closed-run late-message discard). One small tuple per finalized run;
@@ -433,6 +467,7 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
                     val tmp = genDir.resolve(
                       s".compact_tmp-$scratchNonce-${scratchCounter.incrementAndGet()}")
                     liveScratch.add(tmp)
+                    val heartbeat = startScratchHeartbeat(tmp)
                     val swapped = try {
                       df.drop("batch_id")
                         .coalesce(nFiles.toInt)
@@ -469,7 +504,10 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
                           }
                         }
                       }
-                    } finally liveScratch.remove(tmp)
+                    } finally {
+                      heartbeat.cancel(false)
+                      liveScratch.remove(tmp)
+                    }
                     if (swapped)
                       stats += NexusSink.CompactionStat(
                         table,

@@ -5,6 +5,7 @@ import graft.schemas._
 import graft.sources.TraceGenerator
 import graft.sources.TraceGenerator.GeneratorConfig
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, concat, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pipeline semantics locked to the reference's aggregator tests
@@ -192,6 +193,36 @@ class PipelineSpec extends AnyFunSuite {
     val twinGot = RunAssignment.assignLogs(twin, runs).collect()
     assert(twinGot.length === 2, "same-(ts,source) messages must not collapse")
     assert(twinGot.map(_.getAs[Int]("channel")).sorted.toSeq === Seq(0, 1))
+  }
+
+  test("run assignment fails closed on an oversized runs dimension (ADVICE r7)") {
+    import spark.implicits._
+    val prev = sys.props.get("graft.runAssignment.maxRuns")
+    sys.props("graft.runAssignment.maxRuns") = "50"
+    try {
+      val runs = spark
+        .range(60)
+        .select(
+          concat(lit("run_"), col("id")).as("run_name"),
+          (col("id") * 1000000000L).as("collect_from_ns"),
+          ((col("id") + 1) * 1000000000L).as("collect_until_ns"))
+      val logs = Seq(("temp", 500000000L)).toDF("sourceName", "timestampNs")
+      val err = intercept[IllegalArgumentException] {
+        RunAssignment.assignLogs(logs, runs)
+      }
+      assert(err.getMessage.contains("exceeds 50 rows"))
+      assert(err.getMessage.contains("graft.runAssignment.maxRuns"))
+      // below the cap the zero-shuffle literal plan is unchanged
+      val ok = RunAssignment.assignLogs(logs, runs.limit(10))
+      assert(ok.count() === 1)
+      assert(!ok.queryExecution.executedPlan.toString.contains("Exchange"),
+        "sub-cap assignment must stay zero-shuffle")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.runAssignment.maxRuns") = v
+        case None => sys.props.remove("graft.runAssignment.maxRuns")
+      }
+    }
   }
 
   test("observe() metrics: events-found counters collected map-side (A6/P5)") {
