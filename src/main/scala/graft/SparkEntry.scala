@@ -127,7 +127,10 @@ object SparkEntry {
     "q_scd2_intervals" -> (RelationalQueries.scd2Intervals _),
     "q_rfm_segments" -> (RelationalQueries.rfmSegments _),
     "q_fuzzy_match" -> ((s: SparkSession, d: String) => RelationalQueries.fuzzyMatch(s, d)),
-    "q_data_profile" -> (RelationalQueries.dataProfile _),
+    // exact-distinct mode for the oracle; the library default is the
+    // no-Expand approx_count_distinct path (the 100-TB mode)
+    "q_data_profile" -> ((s: SparkSession, d: String) =>
+      RelationalQueries.dataProfile(s, d, approxDistinct = false)),
     "q_quality_checks" -> (RelationalQueries.qualityChecks _),
     "q_chi2_assoc" -> (TextQueries.chi2Assoc _),
     "q_readability" -> (TextQueries.readability _),
@@ -198,7 +201,7 @@ object SparkEntry {
     * and the driver falls back to a rows-only check.
     */
   @volatile private var dynamicOracleSql: Map[String, String] = Map.empty
-  def deriveDataOracles(s: SparkSession, dir: String): Unit =
+  def deriveDataOracles(s: SparkSession, dir: String): Unit = {
     dynamicOracleSql = {
       val cents = VectorQueries.trainCentroids(s, dir) // shared: IVF + clustering
       Map(
@@ -208,6 +211,21 @@ object SparkEntry {
         "q_embedding_outliers" -> VectorQueries.embeddingOutliersSql(cents),
         "q_pq_codes" -> VectorQueries.pqCodesSql(VectorQueries.trainPqCentroids(s, dir)))
     }
+    require(dynamicOracleSql.keySet == dynamicOracleNames,
+      "dynamicOracleNames out of sync with deriveDataOracles")
+  }
+
+  /** Names whose oracle SQL inlines data-dependent constants and only
+    * exists after [[deriveDataOracles]]. Kept as a static set so the
+    * oracle-coverage count ([[oracleNames]]) is derivable without a
+    * SparkSession — DocLintSpec checks the documented counts against it.
+    */
+  val dynamicOracleNames: Set[String] = Set(
+    "q_ivf_ann", "q_cluster_assign", "q_semdedup", "q_embedding_outliers",
+    "q_pq_codes")
+
+  /** Every query name with an exact DuckDB oracle (static or derived). */
+  def oracleNames: Set[String] = staticOracleSql.keySet ++ dynamicOracleNames
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -1653,19 +1653,26 @@ object RelationalQueries {
        WHERE levenshtein(a.c_name, b.c_name) <= $maxDist"""
 
   /** One-pass data-profiling report over `lineitem` — per column: row
-    * count, null count, exact distinct count, and numeric min/max
-    * (timestamps profiled as epoch-microseconds; string columns keep
-    * min/max length instead). The DQ summary a lakehouse runs before
-    * trusting a new drop of data.
+    * count, null count, distinct count, and numeric min/max (timestamps
+    * profiled as epoch-microseconds; string columns keep min/max length
+    * instead). The DQ summary a lakehouse runs before trusting a new
+    * drop of data.
     *
-    * Scale: a SINGLE scan — all per-column aggregates run in one
-    * aggregation (Spark plans the multi-distinct via one Expand, still
-    * one pass over the files), then the 1-row result is unpivoted with
-    * `stack`. At 100 TB the exact distincts swap for
-    * `approx_count_distinct` (same plan minus the Expand); min/max/null
-    * counts are plain partial aggregates either way.
+    * Scale: a SINGLE scan either way, but the distinct mode changes the
+    * constant factor. The DEFAULT (`approxDistinct = true`) is the
+    * 100-TB mode: every per-column aggregate — including the 11
+    * `approx_count_distinct` HLL sketches — runs as ONE plain
+    * partial-aggregation pass, no Expand, no row multiplication
+    * (plan-locked in PlanAuditSpec). The exact mode keeps the oracle
+    * bit-exact: Spark plans the 11 exact multi-distincts via a 12-way
+    * Expand — still one pass over the files but a 12× row blow-up
+    * through the first aggregate, which a real profiler doesn't pay for
+    * a DQ report. The 1-row result is then unpivoted with `stack`.
     */
-  def dataProfile(s: SparkSession, dir: String): DataFrame = {
+  def dataProfile(
+      s: SparkSession,
+      dir: String,
+      approxDistinct: Boolean = true): DataFrame = {
     val numeric = Seq(
       "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
       "l_quantity", "l_extendedprice", "l_discount", "l_tax")
@@ -1676,7 +1683,8 @@ object RelationalQueries {
         (numeric ++ strings ++ ts).flatMap { c =>
           Seq(
             (count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
-            countDistinct(col(c)).as(s"${c}_distinct"))
+            (if (approxDistinct) approx_count_distinct(col(c))
+             else countDistinct(col(c))).as(s"${c}_distinct"))
         } ++
         numeric.flatMap { c =>
           Seq(

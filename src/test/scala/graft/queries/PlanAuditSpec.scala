@@ -482,6 +482,18 @@ class PlanAuditSpec extends AnyFunSuite {
       "profiling must read lineitem exactly once")
   }
 
+  test("dataProfile default (approx) mode: one plain pass — NO Expand, no row blow-up") {
+    val df = graft.queries.RelationalQueries.dataProfile(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the 100-TB mode trades exact distincts for HLL sketches so every
+    // per-column aggregate fuses into one partial aggregation — the
+    // 12-way Expand of the exact mode (above) must be gone
+    assert(!p.contains("Expand"), p.take(2000))
+    assert(uncachedFileScans(df.queryExecution.executedPlan) == 1,
+      "profiling must read lineitem exactly once")
+  }
+
   test("q_readability: pure map stage — zero shuffles, scan pruned to id/text/lang") {
     val df = graft.SparkEntry.queries("q_readability")(spark, dir)
     df.collect()
