@@ -155,6 +155,7 @@ object SparkEntry {
     "q_semdedup" -> ((s: SparkSession, d: String) => VectorQueries.semDedup(s, d)),
     "q_embedding_outliers" -> ((s: SparkSession, d: String) =>
       VectorQueries.embeddingOutliers(s, d)),
+    "q_ann_recall" -> ((s: SparkSession, d: String) => VectorQueries.annRecall(s, d)),
     "q_pivot_event_matrix" -> (RelationalQueries.pivotEventMatrix _),
     "q_time_resample" -> (RelationalQueries.timeResample _),
     "q_user_ewma" -> (RelationalQueries.userEwma _),
@@ -209,7 +210,8 @@ object SparkEntry {
         "q_cluster_assign" -> VectorQueries.clusterAssignSql(cents),
         "q_semdedup" -> VectorQueries.semDedupSql(cents),
         "q_embedding_outliers" -> VectorQueries.embeddingOutliersSql(cents),
-        "q_pq_codes" -> VectorQueries.pqCodesSql(VectorQueries.trainPqCentroids(s, dir)))
+        "q_pq_codes" -> VectorQueries.pqCodesSql(VectorQueries.trainPqCentroids(s, dir)),
+        "q_ann_recall" -> VectorQueries.annRecallSql(cents))
     }
     require(dynamicOracleSql.keySet == dynamicOracleNames,
       "dynamicOracleNames out of sync with deriveDataOracles")
@@ -222,7 +224,7 @@ object SparkEntry {
     */
   val dynamicOracleNames: Set[String] = Set(
     "q_ivf_ann", "q_cluster_assign", "q_semdedup", "q_embedding_outliers",
-    "q_pq_codes")
+    "q_pq_codes", "q_ann_recall")
 
   /** Every query name with an exact DuckDB oracle (static or derived). */
   def oracleNames: Set[String] = staticOracleSql.keySet ++ dynamicOracleNames

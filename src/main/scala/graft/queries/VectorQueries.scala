@@ -672,6 +672,73 @@ object VectorQueries {
        FROM ranked WHERE rank <= $k"""
   }
 
+  /** ANN quality harness: recall@k of both approximate paths ([[lshAnn]]
+    * buckets, [[ivfAnn]] probes) against the exact [[cosineTopK]] ground
+    * truth on the same queries — the measurement a user tuning
+    * nPlanes/bands or nLists/nProbe actually reads. One row per
+    * (method, query): hits among the exact top-k and the recall ratio.
+    *
+    * Every component is deterministic (md5-derived planes, seeded
+    * bounded-sample centroids, exact tie-breaks), so even this
+    * *quality-of-approximation* measurement has an exact DuckDB oracle —
+    * [[annRecallSql]] composes the three oracles and re-derives the
+    * intersection counts.
+    *
+    * Scale: ground truth on all of 100 TB is not computable — there you
+    * run this harness on a sampled query set against a sampled corpus
+    * shard (the shape here: nQueries bounded, per-query work bounded by
+    * the component plans — exact pass is one broadcast scan with
+    * map-side WindowGroupLimit; the joins below act on ≤ methods ×
+    * nQueries × k rows). The recall/cost dials: LSH — more bands (OR of
+    * sub-signatures) raises recall and candidate count together, more
+    * planes per band sharpens buckets (higher precision, lower recall);
+    * IVF — nProbe/nLists IS the recall-vs-touched-fraction trade
+    * (6/16 ≈ 0.7 recall@10 on this near-orthogonal corpus; clustered
+    * real embeddings do better at lower ratios).
+    */
+  def annRecall(
+      s: SparkSession,
+      dir: String,
+      nQueries: Int = 8,
+      k: Int = 10): DataFrame = {
+    val exact = cosineTopK(s, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    def recallOf(method: String, approx: DataFrame): DataFrame =
+      exact
+        .join(
+          approx.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+          Seq("query_id", "neighbor_id"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(
+          lit(method).as("method"),
+          col("query_id"),
+          col("n_hit"),
+          round(col("n_hit") / lit(k.toDouble), 6).as("recall_at_k"))
+    recallOf("lsh", lshAnn(s, dir, nQueries, k))
+      .unionAll(recallOf("ivf", ivfAnn(s, dir, nQueries, k)))
+  }
+
+  /** Exact oracle for [[annRecall]]: the three component oracles as
+    * derived tables (each already exact), intersected per query. Dynamic
+    * because [[ivfAnnSql]] inlines the trained centroids.
+    */
+  def annRecallSql(
+      centroids: Array[Array[Double]],
+      nQueries: Int = 8,
+      k: Int = 10): String = {
+    def one(method: String, approxSql: String): String =
+      s"""SELECT '$method' AS method, e.query_id,
+                CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+                round(count(a.neighbor_id) / $k.0, 6) AS recall_at_k
+         FROM ($cosineTopKSql) e
+         LEFT JOIN ($approxSql) a
+           ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         GROUP BY e.query_id"""
+    s"${one("lsh", lshAnnSql)} UNION ALL ${one("ivf", ivfAnnSql(centroids, nQueries, k))}"
+  }
+
   /** k-nearest-neighbor label classification: vectors `vec_id <
     * nQueries` are the held-out queries, the rest the labelled corpus;
     * each query takes the majority label of its `k` exact-cosine nearest

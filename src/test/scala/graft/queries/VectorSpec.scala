@@ -45,6 +45,23 @@ class VectorSpec extends AnyFunSuite {
     assert(allProbe === exact, "nProbe = nLists must reproduce the exact ranking")
   }
 
+  test("annRecall agrees with independently computed set intersections") {
+    val exact = pairs(VectorQueries.cosineTopK(spark, dir))
+    val byMethod = Map(
+      "lsh" -> pairs(VectorQueries.lshAnn(spark, dir)),
+      "ivf" -> pairs(VectorQueries.ivfAnn(spark, dir)))
+    val got = VectorQueries.annRecall(spark, dir).collect().map { r =>
+      (r.getAs[String]("method"), r.getAs[Long]("query_id")) ->
+        (r.getAs[Long]("n_hit"), r.getAs[Double]("recall_at_k"))
+    }.toMap
+    assert(got.size === 16) // 2 methods × 8 queries
+    got.foreach { case ((method, q), (nHit, recall)) =>
+      val want = (byMethod(method) & exact).count(_._1 == q)
+      assert(nHit === want.toLong, s"$method query $q")
+      assert(recall === nHit / 10.0)
+    }
+  }
+
   test("pq codes: deterministic, 32-bit-bounded, and better than the zero codebook") {
     import org.apache.spark.sql.functions._
     val a = VectorQueries.pqCodes(spark, dir).collect().sortBy(_.getLong(0))
