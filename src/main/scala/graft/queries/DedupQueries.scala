@@ -136,6 +136,29 @@ object DedupQueries {
        )
        SELECT doc_a, doc_b, round(e, 4) AS est_jaccard FROM est WHERE e >= 0.7"""
 
+  /** Oracle for [[StreamingQueries.streamMinhashDedup]] — the arrival-
+    * order band-collision verdict, re-derived order-free: with the feed
+    * in doc_id order, "first arrival owns the band" ≡ "doc is the
+    * MINIMUM doc_id in the band bucket", so keep = doc owns all 8 of
+    * its bands. Same signatures/band keys as [[minhashPairsSql]].
+    */
+  val minhashBandVerdictSql: String =
+    s"""WITH $sigSql, bands AS (
+         SELECT doc_id, unnest(
+           [list_reduce(list_prepend((b+1)::BIGINT, sig[b*16+1 : b*16+16]),
+                        (acc, v) -> (acc*1000003 + v) % $P) FOR b IN range(8)]) AS band
+         FROM sigs
+       ), mins AS (
+         SELECT band, min(doc_id) AS keeper FROM bands GROUP BY band
+       ), verdict AS (
+         SELECT b.doc_id,
+                sum(CASE WHEN m.keeper = b.doc_id THEN 1 ELSE 0 END)::BIGINT
+                  AS n_kept_bands
+         FROM bands b JOIN mins m USING (band)
+         GROUP BY b.doc_id
+       )
+       SELECT doc_id, n_kept_bands, (n_kept_bands = 8) AS keep FROM verdict"""
+
   /** Per-document 32-bit SimHash plus its 4 × 8-bit segments — the
     * pigeonhole keys for Hamming-distance joins (near-dups within
     * distance d ≤ 3 must share ≥1 segment). Oracle-checked: the DuckDB

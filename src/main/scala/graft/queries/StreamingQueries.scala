@@ -525,4 +525,102 @@ object StreamingQueries {
     * oracle — the streaming path must produce the identical frame set.
     */
   val streamFrameAssemblySql: String = PipelineQueries.frameAssemblySql
+
+  /** Streaming MinHash near-dup dedup — the streams side of the banded
+    * LSH surface: documents arrive as a stream of (doc_id, band) rows
+    * (the SAME 128-perm / 8-band keys as [[DedupQueries.minhashPairs]]),
+    * and `dropDuplicatesWithinWatermark` keyed on the band makes every
+    * band key single-owner state — the first document to present a band
+    * owns it; any later document colliding on it loses that band. The
+    * per-document verdict: `keep` iff the document owns ALL its bands,
+    * i.e. no earlier document was a banding candidate against it.
+    *
+    * Relationship to the batch rule (locked in StreamingSpec): a batch
+    * [[DedupQueries.minhashPairs]] pair (a, b) shares ≥1 band by
+    * construction, so every doc the batch keep-set drops (the higher id
+    * of a verified pair) this stream also drops — the streaming verdict
+    * is the candidate-level (recall) superset that drops on collision
+    * alone, without the estimate check: exactly what a streaming
+    * dedup gate can decide with single-key state and no pairwise work.
+    *
+    * Determinism: the feed arrives in doc_id order through one
+    * single-partition MemoryStream batch, so "first arrival" ≡ "minimum
+    * doc_id per band" and the verdict has an exact order-free DuckDB
+    * oracle ([[DedupQueries.minhashBandVerdictSql]]).
+    *
+    * Scale: state is ONE row per distinct band key within the watermark
+    * horizon (here sized past the bounded feed so streaming ≡ global
+    * batch dedup; production trims it to the dedup window, and the
+    * RocksDB provider opt-in moves the key set off-heap —
+    * RocksDBStateStoreSpec locks provider parity). No shuffle beyond
+    * the one exchange onto band keys; no pairwise joins anywhere.
+    */
+  def streamMinhashDedup(s0: SparkSession, dir: String): DataFrame = {
+    val s = boundedDrainSession(s0)
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val bandUdf = udf { (text: String) =>
+      graft.functions.TextHash.bandKeys(
+        graft.functions.TextHash.minhashSignature(
+          graft.functions.TextHash.shingles(text, 1), 128),
+        8)
+    }
+    // token-less docs excluded as in the batch path (no shingle set)
+    val docBands = graft.Tables
+      .documents(s, dir)
+      .filter(length(regexp_replace(col("text"), lit(" "), lit(""))) > 0)
+      .select(col("doc_id"), explode(bandUdf(col("text"))).as("band"))
+      .persist()
+    // harness feed: the band rows in doc_id order through ONE
+    // single-partition MemoryStream batch (collect is test plumbing, not
+    // the operator — production points the same dedup at a real source)
+    val feed = docBands
+      .orderBy(col("doc_id"), col("band"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq
+    val input = MemoryStream[(Long, Long)]
+    val stream = input
+      .toDS()
+      .select(
+        col("_1").as("doc_id"),
+        col("_2").as("band"),
+        // event time tracks arrival (doc_id) so the watermark bounds
+        // band-key state by recency exactly like production would
+        timestamp_seconds(lit(1700000000L) + col("_1")).as("ts"))
+    val deduped = stream
+      .withWatermark("ts", "30 days")
+      .dropDuplicatesWithinWatermark("band")
+    val name = s"stream_minhash_${System.nanoTime()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_minhash_ckpt").toString
+    val query = deduped.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.addData(feed)
+      query.processAllAvailable()
+    } finally {
+      try query.stop()
+      finally dropCheckpoint(ckpt)
+    }
+    // verdict: bands each doc still owns after the drain (sink join is a
+    // batch DataFrame, outside the streaming plan)
+    val kept = s
+      .table(name)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept_bands"))
+    docBands
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bands"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_kept_bands"), lit(0L)).as("n_kept_bands"),
+        (coalesce(col("n_kept_bands"), lit(0L)) === col("n_bands")).as("keep"))
+  }
+
+  val streamMinhashDedupSql: String = DedupQueries.minhashBandVerdictSql
 }

@@ -100,4 +100,23 @@ class RocksDBStateStoreSpec extends AnyFunSuite {
     assert(rocks === base)
     assert(rocks.values.sum === 150L, "dedup must collapse the doubled stream to unique ids")
   }
+
+  test("streamMinhashDedup verdict is identical under RocksDB") {
+    val dir = "/root/testdata/sf0.001"
+    def run(s0: org.apache.spark.sql.SparkSession): Set[(Long, Long, Boolean)] = {
+      val got = graft.queries.StreamingQueries
+        .streamMinhashDedup(s0, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+      spark.catalog.clearCache()
+      got
+    }
+    val base = run(spark)
+    val s = spark.newSession()
+    s.conf.set(graft.Sessions.StateStoreKey, "rocksdb")
+    val rocks = run(s)
+    assert(rocks === base)
+    assert(base.exists(!_._3), "fixture must contain at least one dropped doc")
+  }
 }

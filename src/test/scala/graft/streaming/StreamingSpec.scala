@@ -1033,4 +1033,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq,
       "the same EventFormation operator must produce identical events under both engines")
   }
+
+  test("streaming minhash band dedup: verdict = min-per-band; drops every batch-pair loser") {
+    import graft.functions.TextHash
+    val dir = "/root/testdata/sf0.001"
+    val verdict = graft.queries.StreamingQueries
+      .streamMinhashDedup(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    // independent ground truth: first-arrival band ownership replayed in
+    // doc_id order over the same hash kernels
+    val docs = graft.Tables
+      .documents(spark, dir)
+      .filter(length(regexp_replace(col("text"), lit(" "), lit(""))) > 0)
+      .select("doc_id", "text")
+      .collect()
+      .map(r =>
+        r.getLong(0) -> TextHash.bandKeys(
+          TextHash.minhashSignature(TextHash.shingles(r.getString(1), 1), 128),
+          8))
+    val owner = scala.collection.mutable.Map.empty[Long, Long]
+    docs.sortBy(_._1).foreach { case (d, bands) =>
+      bands.foreach(b => if (!owner.contains(b)) owner(b) = d)
+    }
+    assert(verdict.keySet === docs.map(_._1).toSet)
+    docs.foreach { case (d, bands) =>
+      val nKept = bands.count(b => owner(b) == d).toLong
+      assert(verdict(d) === ((nKept, nKept == 8L)), s"doc $d")
+    }
+    // every batch-verified near-dup loser (higher id of an est≥0.7 pair)
+    // collides on ≥1 band by construction → must be stream-dropped: the
+    // streaming verdict is the candidate-level recall superset
+    val batchDropped = graft.queries.DedupQueries
+      .minhashPairs(spark, dir)
+      .select("doc_b")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    spark.catalog.clearCache()
+    val streamDropped = verdict.collect { case (d, (_, false)) => d }.toSet
+    assert(batchDropped.subsetOf(streamDropped),
+      s"batch losers missing from stream drops: ${(batchDropped -- streamDropped).take(5)}")
+    assert(streamDropped.nonEmpty, "fixture must contain banding collisions")
+    assert(verdict.values.exists(_._2), "keep-set must be non-empty")
+  }
 }
