@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.schemas.EventListMessage
-import graft.streaming.FrameAssemblyStream
+import graft.streaming.{FrameAssemblyStream, FrameAssemblyTws}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -456,8 +456,12 @@ object StreamingQueries {
     */
   val streamTraceToEventsSql: String = PipelineQueries.traceToEventsSql
 
-  /** A2 on the REAL streaming engine (state store, flatMapGroupsWithState,
-    * processing-time TTL), oracle-checked: the closed-form
+  /** A2 on the REAL streaming engine (RocksDB state store,
+    * `transformWithState` typed MapState + registered timers —
+    * [[graft.streaming.FrameAssemblyTws]]; the `flatMapGroupsWithState`
+    * twin [[FrameAssemblyStream]] remains as the comparison operator,
+    * StreamingSpec locks both to the same semantics), oracle-checked:
+    * the closed-form
     * [[PipelineQueries.arithmeticDev2Messages]] ORIGINALS are fed
     * digitiser-by-digitiser, complete frames dispatch incrementally,
     * incomplete frames (f%5==0) flush on TTL expiry, and the result must
@@ -477,10 +481,14 @@ object StreamingQueries {
     val (originals, _) = PipelineQueries.arithmeticDev2Messages
     val nFrames = 32
 
+    // transformWithState requires the RocksDB provider on the clone
+    s.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      graft.Sessions.RocksDBProvider)
     val input = MemoryStream[EventListMessage]
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
     val name = s"stream_frames_${System.nanoTime()}"
-    val query = FrameAssemblyStream
+    val query = FrameAssemblyTws
       // TTL sized to the feed: the single addData batch carries every
       // contribution, so a frame is either complete-dispatched from that
       // batch or a permanent partial — the countdown only has to reach

@@ -87,6 +87,119 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("transformWithState frame assembly: completeness, first-message TTL timer, late rejection") {
+    // the TWS twin of the test above — same semantics on typed MapState +
+    // registered timers (and the TTL must run from the FIRST message:
+    // later contributions must not extend the deadline)
+    val s = spark.newSession()
+    s.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      graft.Sessions.RocksDBProvider)
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[EventListMessage]
+    val out = FrameAssemblyTws.assemble(input.toDS(), Seq(0, 1), ttlMs = 300L)
+    val ckpt = Files.createTempDirectory("ckpt_tws").toString
+    val name = "assembled_tws"
+    val query = out.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    def await(pred: Array[org.apache.spark.sql.Row] => Boolean) = {
+      val deadline = System.currentTimeMillis() + 20000L
+      var rows = s.table(name).collect()
+      while (!pred(rows) && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100L)
+        rows = s.table(name).collect()
+      }
+      rows
+    }
+    try {
+      // frame 0: both digitisers → dispatches complete immediately
+      input.addData(msg(0, 0), msg(1, 0, veto = 2))
+      // frame 1: only digitiser 0 → must flush on the timer
+      input.addData(msg(0, 1))
+      val afterFirst = await(_.length >= 1)
+      assert(afterFirst.length === 1)
+      val f0 = afterFirst.head
+      assert(f0.getAs[org.apache.spark.sql.Row]("metadata").getAs[Long]("frameNumber") === 0L)
+      assert(f0.getAs[Boolean]("complete"))
+      assert(f0.getAs[org.apache.spark.sql.Row]("metadata").getAs[Int]("vetoFlags") === 2)
+      assert(f0.getAs[scala.collection.Seq[Long]]("time").length === 4)
+
+      // late message for dispatched frame 0 → tombstone rejects it;
+      // frame 1 dispatches incomplete once its first-message timer fires
+      input.addData(msg(1, 0))
+      val frames = await(_.exists(
+        _.getAs[org.apache.spark.sql.Row]("metadata").getAs[Long]("frameNumber") == 1L))
+      val f1 = frames.find(
+        _.getAs[org.apache.spark.sql.Row]("metadata").getAs[Long]("frameNumber") == 1L)
+      assert(f1.isDefined, s"frame 1 should flush on the timer; got ${frames.length} frames")
+      assert(!f1.get.getAs[Boolean]("complete"))
+      assert(f1.get.getAs[scala.collection.Seq[Int]]("digitizersPresent") === Seq(0))
+      assert(frames.count(_.getAs[org.apache.spark.sql.Row]("metadata")
+        .getAs[Long]("frameNumber") == 0L) === 1)
+    } finally query.stop()
+  }
+
+  test("TWS and fMGWS frame assemblers produce the identical frame set (twin parity)") {
+    val s = spark.newSession()
+    s.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      graft.Sessions.RocksDBProvider)
+    def drain(
+        assemble: org.apache.spark.sql.Dataset[EventListMessage] =>
+          org.apache.spark.sql.Dataset[AssembledFrame],
+        name: String): Set[String] = {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val input = MemoryStream[EventListMessage]
+      val ckpt = Files.createTempDirectory(s"ckpt_$name").toString
+      val query = assemble(input.toDS()).writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+        .start()
+      try {
+        // frames 0..7; frames f%3==0 miss digitiser 1 → TTL partials
+        val feed = for {
+          f <- 0L until 8L
+          d <- Seq(0, 1) if !(f % 3 == 0 && d == 1)
+        } yield msg(d, f, veto = (f % 4).toInt)
+        input.addData(feed)
+        val deadline = System.currentTimeMillis() + 30000L
+        while (s.table(name).count() < 8 && System.currentTimeMillis() < deadline)
+          Thread.sleep(100L)
+        s.table(name)
+          .collect()
+          .map { r =>
+            val md = r.getAs[org.apache.spark.sql.Row]("metadata")
+            Seq(
+              md.getAs[Long]("frameNumber"),
+              md.getAs[Int]("vetoFlags"),
+              r.getAs[Boolean]("complete"),
+              r.getAs[scala.collection.Seq[Int]]("digitizersPresent").mkString(","),
+              r.getAs[scala.collection.Seq[Long]]("time").mkString(","),
+              r.getAs[scala.collection.Seq[Int]]("voltage").mkString(","),
+              r.getAs[scala.collection.Seq[Long]]("channel").mkString(",")).mkString("|")
+          }
+          .toSet
+      } finally {
+        try query.stop()
+        finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      }
+    }
+    val tws = drain(FrameAssemblyTws.assemble(_, Seq(0, 1), ttlMs = 300L), "twin_tws")
+    val fmgws = drain(FrameAssemblyStream.assemble(_, Seq(0, 1), ttlMs = 300L), "twin_fmgws")
+    assert(tws.size === 8)
+    assert(tws === fmgws, "the two stateful APIs must render identical reference semantics")
+  }
+
   test("run lifecycle stream: start/stop pairing, invalid stop rejected") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
