@@ -24,9 +24,14 @@ import org.apache.spark.sql.functions._
 object LogTables {
 
   /** P9 prefix strip as a column function — the single definition shared
-    * by the sink tables and the batch/oracle queries.
+    * by the sink tables and the batch/oracle queries. Pure built-in:
+    * `substring_index(name, ':CS:SB:', -1)` IS "everything after the
+    * last marker, pass-through when absent" (codegen'd, no UDF —
+    * semantics locked against [[TimeFunctions.removePrefixes]] in
+    * FunctionsSpec).
     */
-  private[graft] def strip = udf { (name: String) => TimeFunctions.removePrefixes(name) }
+  private[graft] def strip(name: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring_index(name, ":CS:SB:", -1)
 
   /** F10 severity enum → code, shared with
     * [[graft.queries.LogQueries.alarmSeverity]] so the streaming alarm

@@ -66,7 +66,7 @@ object LogQueries {
     * run start. One narrow posexplode — no shuffle.
     */
   def selogExpand(s: SparkSession, dir: String): DataFrame = {
-    val strip = graft.operators.LogTables.strip
+    val strip = graft.operators.LogTables.strip _
     selogFixture(s)
       .select(
         strip(col("name")).as("name"),
@@ -200,7 +200,7 @@ object LogQueries {
   def runlogTyped(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val logs = runlogFixture(s)
-    val strip = graft.operators.LogTables.strip
+    val strip = graft.operators.LogTables.strip _
     // generators can't sit inside when/otherwise — split the union by tag
     val scalars = logs
       .filter(!col("valueType").startsWith("Array"))
@@ -356,7 +356,7 @@ object LogQueries {
         severity = Seq("OK", "MINOR", "MAJOR", "INVALID")(i % 4),
         message = s"alarm $i")
     }.toDS()
-    val strip = graft.operators.LogTables.strip
+    val strip = graft.operators.LogTables.strip _
     alarms
       .select(
         strip(col("sourceName")).as("source"),
