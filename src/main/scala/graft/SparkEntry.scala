@@ -157,6 +157,9 @@ object SparkEntry {
     "q_embedding_outliers" -> ((s: SparkSession, d: String) =>
       VectorQueries.embeddingOutliers(s, d)),
     "q_ann_recall" -> ((s: SparkSession, d: String) => VectorQueries.annRecall(s, d)),
+    "q_random_projection" -> ((s: SparkSession, d: String) =>
+      VectorQueries.randomProjection(s, d)),
+    "q_sq8_codes" -> (VectorQueries.sq8Codes _),
     "q_pivot_event_matrix" -> (RelationalQueries.pivotEventMatrix _),
     "q_time_resample" -> (RelationalQueries.timeResample _),
     "q_user_ewma" -> (RelationalQueries.userEwma _),
@@ -192,7 +195,13 @@ object SparkEntry {
     "q_media_features" -> (MultimodalQueries.mediaFeatures _),
     "q_media_resize" -> ((s: SparkSession, d: String) => MultimodalQueries.mediaResize(s, d)),
     "q_media_frame_sample" -> ((s: SparkSession, d: String) =>
-      MultimodalQueries.mediaFrameSample(s, d))
+      MultimodalQueries.mediaFrameSample(s, d)),
+    "q_media_mixdown" -> (MultimodalQueries.mediaMixdown _),
+    // data-engineering / OLAP batch 2
+    "q_cdc_apply" -> (RelationalQueries.cdcApply _),
+    "q_benford" -> (RelationalQueries.benfordDigits _),
+    "q_concurrency" -> (RelationalQueries.concurrency _),
+    "q_grouping_sets" -> (RelationalQueries.groupingSets _)
   )
 
   /** Oracles whose SQL must inline data-dependent constants (the IVF
@@ -285,6 +294,8 @@ object SparkEntry {
     "q_cosine_topk" -> VectorQueries.cosineTopKSql,
     "q_dedup_embedding" -> VectorQueries.dedupEmbeddingSql,
     "q_lsh_ann" -> VectorQueries.lshAnnSql,
+    "q_random_projection" -> VectorQueries.randomProjectionSql,
+    "q_sq8_codes" -> VectorQueries.sq8CodesSql,
     "q_pii_scrub" -> PiiQueries.piiScrubSql,
     "q_bm25_search" -> SearchQueries.bm25SearchSql(),
     "q_lm_perplexity" -> SearchQueries.lmPerplexitySql,
@@ -384,6 +395,11 @@ object SparkEntry {
     "q_media_features" -> MultimodalQueries.mediaFeaturesSql,
     "q_media_frame_sample" -> MultimodalQueries.mediaFrameSampleSql,
     "q_media_resize" -> MultimodalQueries.mediaResizeSql,
+    "q_media_mixdown" -> MultimodalQueries.mediaMixdownSql,
+    "q_cdc_apply" -> RelationalQueries.cdcApplySql,
+    "q_benford" -> RelationalQueries.benfordDigitsSql,
+    "q_concurrency" -> RelationalQueries.concurrencySql,
+    "q_grouping_sets" -> RelationalQueries.groupingSetsSql,
     // trace→event FSM chain over the closed-form TraceFixtures grid:
     // DuckDB re-derives the detector output with gaps-and-islands
     "q_spectrum_map" -> LogQueries.spectrumMapSql,

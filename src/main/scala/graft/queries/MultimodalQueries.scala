@@ -333,6 +333,62 @@ object MultimodalQueries {
   def mediaResize(s: SparkSession, dir: String, maxDim: Int = 128): DataFrame =
     mediaResizeRaw(s, dir, maxDim).drop("media")
 
+  /** Channel mixdown: the payload read as 128 interleaved stereo sample
+    * pairs, each pair folded to one mono value — kept as the integer
+    * pair SUM (like the dHash block sums: no division, every step exact
+    * in both engines). The audio-shaped member of the multimodal family:
+    * same per-partition decoder pass as the others, one row per doc
+    * with the mixed stream's digest (position-weighted checksum pins
+    * every sample to its offset), peak, and exact mean (dyadic /256).
+    */
+  def mediaMixdown(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_pairs", IntegerType),
+      StructField("mix_checksum", LongType),
+      StructField("mix_peak", IntegerType),
+      StructField("mix_mean", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    mediaTable(s, dir)
+      .select(col("doc_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val docId = r.getLong(0)
+          val body = r.getAs[Array[Byte]](1).drop(16)
+          val nPairs = body.length / 2
+          var checksum = 0L
+          var peak = 0
+          var total = 0L
+          var i = 0
+          while (i < nPairs) {
+            val mono = (body(2 * i) & 0xff) + (body(2 * i + 1) & 0xff)
+            checksum += mono.toLong * (i + 1)
+            if (mono > peak) peak = mono
+            total += mono
+            i += 1
+          }
+          // /256 is dyadic: exact in double on both engines
+          Row(docId, nPairs, checksum, peak, total.toDouble / 256.0)
+        }
+      }(enc)
+  }
+
+  /** DuckDB oracle for [[mediaMixdown]]: pair sums regenerated from the
+    * closed-form payload, digests over the same positions.
+    */
+  val mediaMixdownSql: String =
+    """WITH p AS (
+         SELECT doc_id, i,
+                ((doc_id*31 + (2*i)*17 + 7) % 256)
+                  + ((doc_id*31 + (2*i+1)*17 + 7) % 256) AS mono
+         FROM documents, range(128) r(i)
+       )
+       SELECT doc_id, 128::INT AS n_pairs,
+              sum(mono * (i + 1))::BIGINT AS mix_checksum,
+              max(mono)::INT AS mix_peak,
+              sum(mono)/256.0 AS mix_mean
+       FROM p GROUP BY doc_id"""
+
   /** DuckDB oracle for [[mediaResize]]: the resampled grid regenerated
     * from the closed-form payload — same IEEE double op order for the
     * dims (one division, one multiply, floor ≡ Spark's positive

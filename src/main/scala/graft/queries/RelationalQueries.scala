@@ -556,7 +556,7 @@ object RelationalQueries {
         // µs integer arithmetic on both engines — second-cast truncation
         // disagrees with DuckDB's epoch() on sub-second boundaries
         (col("prev_ts").isNull ||
-          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L).cast("int"))
+          unix_micros(col("ts").cast("timestamp")) - unix_micros(col("prev_ts")) > 1800000000L).cast("int"))
       .withColumn("session_seq", sum(col("new_session")).over(
         Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
           .rowsBetween(Window.unboundedPreceding, 0)))
@@ -980,7 +980,7 @@ object RelationalQueries {
       .filter(col("user_id") < 50)
       .select(
         col("user_id"),
-        struct(unix_micros(col("ts")).as("tsu"), col("event_id"), col("value")).as("e"))
+        struct(unix_micros(col("ts").cast("timestamp")).as("tsu"), col("event_id"), col("value")).as("e"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), collect_list(col("e")).as("es"))
       .withColumn("vals", expr("transform(array_sort(es), s -> s.value)"))
@@ -1344,7 +1344,7 @@ object RelationalQueries {
         "ord",
         // %019d: FIXED width for any positive long — %010d is only a
         // minimum and an 11-digit event_id would mis-sort lexically
-        format_string("%020d%019d", unix_micros(col("ts")), col("event_id")))
+        format_string("%020d%019d", unix_micros(col("ts").cast("timestamp")), col("event_id")))
     val touches = ev
       .filter(col("event_type").isin("view", "click", "signup"))
       .groupBy(col("user_id"), col("conv_seq"))
@@ -2222,4 +2222,192 @@ object RelationalQueries {
                 AS winsorized_mean
        FROM dist d JOIN thr t USING (event_type)
        GROUP BY 1"""
+
+  /** CDC apply: collapse an upsert/delete change stream into the final
+    * snapshot — the MERGE step of every incremental lakehouse table.
+    * The events table plays the op log: key = user_id, op = event_type
+    * (`purchase` ⇒ DELETE, anything else ⇒ UPSERT of `value`), latest
+    * change per key wins (ts, then event_id as the unique tiebreak);
+    * keys whose last op is a delete vanish from the snapshot.
+    *
+    * Scale: latest-per-key is ONE partial-aggregated `max(struct)` —
+    * map-side combine collapses each partition to one candidate per key
+    * before the single shuffle; no window, no sort of the full log
+    * (same pattern as the first-occurrence dedups, plan-locked). The
+    * change count rides the same aggregate.
+    */
+  def cdcApply(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      // µs-integer event time: exact ordering in both engines (Tables
+      // normalises ts to µs TimestampType whatever the file stored)
+      .select(
+        col("user_id"),
+        struct(unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("event_id"),
+          col("event_type"), col("value")).as("ch"))
+      .groupBy(col("user_id"))
+      .agg(max(col("ch")).as("last"), count(lit(1)).as("n_changes"))
+      .filter(col("last.event_type") =!= "purchase")
+      .select(
+        col("user_id"),
+        col("last.event_id").as("last_event_id"),
+        col("last.ts_us").as("last_ts_us"),
+        round(col("last.value"), 4).as("last_value"),
+        col("n_changes"))
+
+  val cdcApplySql: String =
+    """SELECT user_id, event_id AS last_event_id,
+              epoch_us(CAST(ts AS TIMESTAMP)) AS last_ts_us,
+              round(value, 4) AS last_value, n_changes
+       FROM (SELECT user_id, event_id, ts, value, event_type,
+                    count(*) OVER (PARTITION BY user_id) AS n_changes,
+                    row_number() OVER (PARTITION BY user_id
+                                       ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                                event_id DESC) AS rn
+             FROM events)
+       WHERE rn = 1 AND event_type <> 'purchase'"""
+
+  /** Benford's-law first-digit audit of `l_extendedprice` — the
+    * fraud/synthetic-data screen a DQ suite runs on monetary columns:
+    * observed first-significant-digit counts against the Benford
+    * expectation P(d) = log10(1 + 1/d), with the per-digit χ²
+    * contribution surfaced (large contributions localize the deviation).
+    *
+    * Exactness: prices carry 2 decimals, so ×100 + round recovers exact
+    * integer cents; the first digit comes from the integer's decimal
+    * string (identical in both engines — no log10 floor, whose last-ulp
+    * rounding flips at powers of ten); the Benford shares are inlined
+    * literals, not engine log10 calls.
+    *
+    * Scale: one narrow scan → 9-group aggregate; the scalar total joins
+    * back by broadcast. Nothing here grows with data size but the scan.
+    */
+  def benfordDigits(s: SparkSession, dir: String): DataFrame = {
+    val benford = Seq(0.3010299957, 0.1760912591, 0.1249387366, 0.0969100130,
+      0.0791812460, 0.0669467896, 0.0579919470, 0.0511525224, 0.0457574906)
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    val obs = Tables
+      .lineitem(s, dir)
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val total = Tables
+      .lineitem(s, dir)
+      .agg(count(lit(1)).as("n_total"))
+    val share = element_at(array(benford.map(lit): _*), col("digit"))
+    obs
+      .crossJoin(broadcast(total))
+      .withColumn("expected_n", col("n_total") * share)
+      .select(
+        col("digit"),
+        col("n_obs"),
+        round(col("expected_n"), 4).as("expected_n"),
+        round(
+          (col("n_obs") - col("expected_n")) * (col("n_obs") - col("expected_n"))
+            / col("expected_n"),
+          6).as("chi2_contrib"))
+  }
+
+  val benfordDigitsSql: String =
+    """WITH obs AS (
+         SELECT substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1)::INT
+                  AS digit,
+                count(*) AS n_obs
+         FROM lineitem GROUP BY 1
+       ), tot AS (SELECT count(*) AS n_total FROM lineitem),
+       sh AS (
+         SELECT o.digit, o.n_obs,
+                t.n_total * ([0.3010299957, 0.1760912591, 0.1249387366, 0.0969100130,
+                              0.0791812460, 0.0669467896, 0.0579919470, 0.0511525224,
+                              0.0457574906][o.digit]) AS expected_n
+         FROM obs o CROSS JOIN tot t
+       )
+       SELECT digit, n_obs, round(expected_n, 4) AS expected_n,
+              round((n_obs - expected_n) * (n_obs - expected_n) / expected_n, 6)
+                AS chi2_contrib
+       FROM sh"""
+
+  /** Sweep-line concurrency: the maximum number of simultaneously open
+    * 30-minute activity intervals per day — the "peak concurrent
+    * sessions" metric capacity planning reads. Each event opens a
+    * half-open presence interval `[ts, ts+30 min)`; +1/−1 boundary
+    * points are swept in (time, delta) order (the −1 sorts first at a
+    * shared instant, honoring half-openness), and the running sum's
+    * daily maximum is the answer.
+    *
+    * Scale: NO global-order window (the naive sweep funnels the corpus
+    * through one partition). The prefix sum decomposes: a per-DAY
+    * window handles the points (keyed exchange, bounded partitions),
+    * day-level totals form a tiny control-plane table whose own prefix
+    * sum (window over #days rows) offsets each day's running values —
+    * the langMixture/userDeciles running-offset pattern applied to time.
+    * All-integer arithmetic; the RANGE window frame gives boundary ties
+    * the group-total value in both engines, so the max is
+    * order-invariant and exact.
+    */
+  def concurrency(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+    val sessionUs = 30L * 60 * 1000000L
+    val pts = ev
+      .select(col("ts_us").as("t"), lit(1L).as("delta"))
+      .unionAll(ev.select((col("ts_us") + sessionUs).as("t"), lit(-1L).as("delta")))
+      .withColumn("day", to_date(timestamp_micros(col("t"))))
+    val wDay = Window.partitionBy(col("day")).orderBy(col("t"), col("delta"))
+    val inDay = pts.withColumn("run_in_day", sum(col("delta")).over(wDay))
+    val wOff = Window
+      .orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = pts
+      .groupBy(col("day"))
+      .agg(sum(col("delta")).as("day_total"))
+      .withColumn("day_offset", coalesce(sum(col("day_total")).over(wOff), lit(0L)))
+      .select(col("day"), col("day_offset"))
+    inDay
+      .groupBy(col("day"))
+      .agg(max(col("run_in_day")).as("max_in_day"))
+      .join(offsets, Seq("day"))
+      .select(
+        col("day"),
+        (col("day_offset") + col("max_in_day")).as("max_concurrent"))
+  }
+
+  val concurrencySql: String =
+    """WITH pts AS (
+         SELECT CAST(ts AS TIMESTAMP) AS t, 1 AS delta FROM events
+         UNION ALL
+         SELECT CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS t, -1 AS delta FROM events
+       ),
+       sweep AS (
+         SELECT CAST(date_trunc('day', t) AS DATE) AS day,
+                sum(delta) OVER (ORDER BY t, delta) AS running
+         FROM pts
+       )
+       SELECT day, CAST(max(running) AS BIGINT) AS max_concurrent
+       FROM sweep GROUP BY day"""
+
+  /** GROUPING SETS lattice slice — the OLAP shape between [[rollupRevenue]]
+    * and [[cubeRevenue]]: exactly the chosen aggregation levels
+    * ((flag, status), (flag), ()), each row tagged with its grouping
+    * indicators. Declared in SQL (the DataFrame API exposes only
+    * cube/rollup); Catalyst plans the same single-Expand aggregate the
+    * cube gets — one scan regardless of how many sets.
+    */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+         FROM lineitem_gs
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")
+  }
+
+  val groupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+              CAST(grouping(l_returnflag) AS INT) AS g_flag,
+              CAST(grouping(l_linestatus) AS INT) AS g_status,
+              count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"""
 }

@@ -39,6 +39,23 @@ object StreamingQueries {
     graft.Sessions.stateStoreConfigure(s)
   }
 
+  /** Normalise a file-stream's `ts` to µs TimestampType whatever the
+    * parquet stored — ns-since-epoch long (under nanosAsLong),
+    * TIMESTAMP, or TIMESTAMP_NTZ — the streaming mirror of
+    * [[graft.Tables.load]]'s normalisation (the harness regenerates its
+    * parquet between rounds and has shipped both physical types; a
+    * hard-coded `ts div 1000` breaks the moment the type flips).
+    * Session TZ is UTC, so the NTZ cast is wall-clock identity.
+    */
+  private def microTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   /** Remove a bounded drain's scratch checkpoint once the query stops —
     * repeated bench/verify runs must not accumulate dirs in /tmp. The
     * memory-sink table holds the RESULT; the checkpoint has no value
@@ -61,12 +78,11 @@ object StreamingQueries {
     val s = boundedDrainSession(s0)
     // raw file schema: ts arrives as ns-since-epoch long (nanosAsLong)
     val raw = s.read.parquet(s"$dir/events.parquet").schema
-    val stream = s.readStream
+    val stream = microTs(s.readStream
       .schema(raw)
       // the file source wants a directory; glob down to the events table
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(dir))
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
@@ -104,11 +120,10 @@ object StreamingQueries {
   def streamDedup(s0: SparkSession, dir: String): DataFrame = {
     val s = boundedDrainSession(s0)
     val raw = s.read.parquet(s"$dir/events.parquet").schema
-    def src = s.readStream
+    def src = microTs(s.readStream
       .schema(raw)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(dir))
     val doubled = src.unionByName(src)
     val deduped = doubled
       .withWatermark("ts", "1 hour")
@@ -160,11 +175,10 @@ object StreamingQueries {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val raw = s.read.parquet(s"$dir/events.parquet").schema
-    val src = s.readStream
+    val src = microTs(s.readStream
       .schema(raw)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(dir))
       .select(col("user_id"), col("ts"), col("value"))
     val sentinel = MemoryStream[Long]
     sentinel.addData(4102444800L) // 2100-01-01
@@ -290,11 +304,10 @@ object StreamingQueries {
   def streamJoin(s0: SparkSession, dir: String): DataFrame = {
     val s = boundedDrainSession(s0)
     val raw = s.read.parquet(s"$dir/events.parquet").schema
-    def src = s.readStream
+    def src = microTs(s.readStream
       .schema(raw)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(dir))
     val views = src
       .filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))

@@ -672,6 +672,172 @@ object VectorQueries {
        FROM ranked WHERE rank <= $k"""
   }
 
+  /** Johnson-Lindenstrauss random projection 64 → `kOut` dims — the
+    * standard dimensionality-reduction front-end for cluster-scale ANN
+    * and clustering (project once, index/cluster in the small space;
+    * JL: pairwise distances are preserved within ε for kOut = O(log n/ε²)).
+    * The projection matrix is md5-derived ([[TextHash.md5Unit]], same
+    * construction as the LSH hyperplanes) rather than JVM-random, so the
+    * DuckDB oracle re-derives the identical matrix and the whole
+    * operator is exact: components are `vec_dot` sequential folds,
+    * matched bit-for-bit by `list_dot_product`.
+    *
+    * Scale: the matrix is kOut×64 doubles broadcast to every executor;
+    * projection is a pure per-row map — ZERO shuffles at any corpus
+    * size (plan-locked). Output: leading components (rounded) + the
+    * projected squared norm, accumulated in ascending component order.
+    */
+  def randomProjection(s: SparkSession, dir: String, kOut: Int = 16): DataFrame = {
+    val planes: Array[Array[Double]] =
+      Array.tabulate(kOut)(p => Array.tabulate(64)(i => TextHash.md5Unit(s"graftproj:$p:$i")))
+    val planesB = s.sparkContext.broadcast(planes)
+    val projUdf = udf { (emb: Seq[Float]) =>
+      val v = emb.toArray.map(_.toDouble)
+      val ps = planesB.value
+      val out = new Array[Double](ps.length)
+      var norm2 = 0.0
+      var p = 0
+      while (p < ps.length) {
+        var dot = 0.0
+        var i = 0
+        while (i < 64 && i < v.length) { dot += ps(p)(i) * v(i); i += 1 }
+        out(p) = dot
+        p += 1
+      }
+      p = 0
+      while (p < out.length) { norm2 += out(p) * out(p); p += 1 }
+      (out, norm2)
+    }
+    Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), projUdf(col("embedding")).as("pr"))
+      .select(
+        col("vec_id"),
+        round(element_at(col("pr._1"), 1), 6).as("p0"),
+        round(element_at(col("pr._1"), 2), 6).as("p1"),
+        round(element_at(col("pr._1"), 3), 6).as("p2"),
+        round(element_at(col("pr._1"), 4), 6).as("p3"),
+        round(col("pr._2"), 6).as("proj_norm2"))
+  }
+
+  /** Exact oracle for [[randomProjection]]: the projection matrix from
+    * `md5_number_lower` (the md5Unit construction), each component one
+    * `list_dot_product` fold, the norm another fold over the ordered
+    * component list.
+    */
+  val randomProjectionSql: String =
+    """WITH plane_comp AS (
+         SELECT p, i,
+                ((md5_number_lower('graftproj:' || p || ':' || i) >> 11)::DOUBLE
+                  / 9007199254740992.0) * 2 - 1 AS comp
+         FROM generate_series(0, 15) gp(p) CROSS JOIN generate_series(0, 63) gi(i)
+       ),
+       planes AS (SELECT p, list(comp ORDER BY i) AS plane FROM plane_comp GROUP BY p),
+       emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       comps AS (
+         SELECT e.vec_id, pl.p, list_dot_product(pl.plane, e.emb) AS c
+         FROM emb e CROSS JOIN planes pl
+       ),
+       agg AS (
+         SELECT vec_id, list(c ORDER BY p) AS cs FROM comps GROUP BY vec_id
+       )
+       SELECT vec_id,
+              round(cs[1], 6) AS p0, round(cs[2], 6) AS p1,
+              round(cs[3], 6) AS p2, round(cs[4], 6) AS p3,
+              round(list_dot_product(cs, cs), 6) AS proj_norm2
+       FROM agg"""
+
+  /** Scalar (int8) quantization of the embedding column — the other
+    * standard ANN compression next to [[pqCodes]]: each dimension maps
+    * to a byte via the corpus-wide per-dim [lo, hi] range (256 uniform
+    * cells, midpoint reconstruction), 64 floats → 64 bytes. Output per
+    * vector: a position-weighted code checksum (pins every byte to its
+    * dimension) and the reconstruction error.
+    *
+    * Scale: the range stats are 64 (lo, hi) pairs — one narrow
+    * posexplode pass with map-side partial min/max into 64 groups,
+    * collected as control-plane constants and broadcast (the same
+    * bounded-stats-then-broadcast shape as centroid training); encoding
+    * is then a pure per-row map, ZERO shuffles in the returned plan
+    * (plan-locked). Deterministic stats ⇒ exact oracle: quantization is
+    * integer after identical double ops, the error a dim-ascending fold
+    * matched by `list_dot_product`.
+    */
+  def sq8Codes(s: SparkSession, dir: String): DataFrame = {
+    val stats = Tables
+      .embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .collect()
+      .map(r => (r.getInt(0), r.getFloat(1).toDouble, r.getFloat(2).toDouble))
+      .sortBy(_._1)
+    val lo = stats.map(_._2)
+    val hi = stats.map(_._3)
+    val loB = s.sparkContext.broadcast(lo)
+    val hiB = s.sparkContext.broadcast(hi)
+    val encUdf = udf { (emb: Seq[Float]) =>
+      var checksum = 0L
+      var err = 0.0
+      var d = 0
+      while (d < emb.length && d < loB.value.length) {
+        val v = emb(d).toDouble
+        val scale = (hiB.value(d) - loB.value(d)) / 255.0
+        val code =
+          if (scale == 0.0) 0L
+          else {
+            val c = math.floor((v - loB.value(d)) / scale).toLong
+            if (c < 0L) 0L else if (c > 255L) 255L else c
+          }
+        checksum += code * (d + 1)
+        val rec = loB.value(d) + (code + 0.5) * scale
+        val diff = v - rec
+        err += diff * diff
+        d += 1
+      }
+      (checksum, err)
+    }
+    Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), encUdf(col("embedding")).as("enc"))
+      .select(
+        col("vec_id"),
+        col("enc._1").as("code_checksum"),
+        round(col("enc._2"), 6).as("q_err"))
+  }
+
+  /** Exact oracle for [[sq8Codes]]: per-dim ranges re-derived order-free
+    * (min/max), codes via the identical double expression + clamp, the
+    * error via one dim-ordered residual fold.
+    */
+  val sq8CodesSql: String =
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       dims AS (SELECT d FROM generate_series(1, 64) g(d)),
+       stats AS (
+         SELECT d, min(e.emb[d]) AS lo, max(e.emb[d]) AS hi
+         FROM emb e CROSS JOIN dims GROUP BY d
+       ),
+       codes AS (
+         SELECT e.vec_id, s.d, s.lo, (s.hi - s.lo)/255.0 AS scale,
+                CASE WHEN s.hi = s.lo THEN 0
+                     ELSE CAST(least(255, greatest(0,
+                            floor((e.emb[s.d] - s.lo) / ((s.hi - s.lo)/255.0)))) AS BIGINT)
+                END AS code,
+                e.emb[s.d] AS v
+         FROM emb e CROSS JOIN stats s
+       ),
+       ck AS (
+         SELECT vec_id, CAST(sum(code * d) AS BIGINT) AS code_checksum
+         FROM codes GROUP BY vec_id
+       ),
+       res AS (
+         SELECT vec_id, list(v - (lo + (code + 0.5) * scale) ORDER BY d) AS r
+         FROM codes GROUP BY vec_id
+       )
+       SELECT c.vec_id, c.code_checksum,
+              round(list_dot_product(r.r, r.r), 6) AS q_err
+       FROM ck c JOIN res r USING (vec_id)"""
+
   /** ANN quality harness: recall@k of both approximate paths ([[lshAnn]]
     * buckets, [[ivfAnn]] probes) against the exact [[cosineTopK]] ground
     * truth on the same queries — the measurement a user tuning

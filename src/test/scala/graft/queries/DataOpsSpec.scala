@@ -32,15 +32,24 @@ class DataOpsSpec extends AnyFunSuite {
       assert(current.length == 1 && (current.head eq sorted.last))
       // consecutive rows never repeat a state (CDC compression) and tile:
       // each interval's valid_to equals the next interval's valid_from
+      // collected times are java.sql.Timestamp or java.time.LocalDateTime
+      // depending on the parquet physical type — compare as values / µs
+      def tsMicros(v: Any): Long = v match {
+        case t: java.sql.Timestamp =>
+          t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+        case d: java.time.LocalDateTime =>
+          val i = d.toInstant(java.time.ZoneOffset.UTC)
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+        case l: Long => l
+      }
       for (Array(a, b) <- sorted.sliding(2)) {
         assert(a.getAs[String]("state") != b.getAs[String]("state"))
-        assert(a.getAs[java.sql.Timestamp]("valid_to") ==
-          b.getAs[java.sql.Timestamp]("valid_from"))
+        assert(a.getAs[Any]("valid_to") == b.getAs[Any]("valid_from"))
       }
       // closed intervals are strictly forward in time
       for (r <- sorted.dropRight(1))
-        assert(r.getAs[java.sql.Timestamp]("valid_from").getTime <=
-          r.getAs[java.sql.Timestamp]("valid_to").getTime)
+        assert(tsMicros(r.getAs[Any]("valid_from")) <=
+          tsMicros(r.getAs[Any]("valid_to")))
     }
   }
 

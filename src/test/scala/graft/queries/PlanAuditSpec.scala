@@ -21,6 +21,10 @@ class PlanAuditSpec extends AnyFunSuite {
   private lazy val spark = {
     val s = graft.Sessions.local("plan-audit", "4")
     s.sparkContext.setLogLevel("ERROR")
+    // PushedFilters asserts read the scan's metadata string; the default
+    // 100-char cap truncates it once timestamp literals appear in the
+    // pushed list (µs-timestamp ts columns), hiding later entries
+    s.conf.set("spark.sql.maxMetadataStringLength", "2000")
     s
   }
   private val dir = "/root/testdata/sf0.001"
@@ -480,6 +484,49 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Expand"), p.take(2000))
     assert(uncachedFileScans(df.queryExecution.executedPlan) == 1,
       "profiling must read lineitem exactly once")
+  }
+
+  test("q_random_projection / q_sq8_codes: encoding is a pure map — zero shuffles") {
+    for (name <- Seq("q_random_projection", "q_sq8_codes")) {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // range stats / projection matrix are broadcast constants; the
+      // returned encode plan must stay a narrow map at any corpus size
+      assert(!p.contains("Exchange"), s"$name must not shuffle\n${p.take(1500)}")
+    }
+  }
+
+  test("q_cdc_apply: latest-per-key is ONE partial aggregate — no window, single exchange") {
+    val df = graft.SparkEntry.queries("q_cdc_apply")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "latest-per-key must be max(struct), not a window")
+    // one keyed exchange fed by a partial (map-side) aggregate — AQE's
+    // plan string repeats the exchange in its initial-plan section, so
+    // assert the shape, not an occurrence count
+    assert(p.contains("Exchange hashpartitioning(user_id"), p.take(1500))
+    assert(p.contains("partial_max"), "map-side combine must run before the shuffle")
+  }
+
+  test("q_concurrency: the sweep window is DAY-partitioned — no global-order funnel") {
+    val df = graft.SparkEntry.queries("q_concurrency")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the full point set must go through a day-keyed window; only the
+    // tiny per-day offset table may pass a single-partition window
+    assert("windowspecdefinition\\(day".r.findAllIn(p).nonEmpty,
+      s"point sweep must partition by day\n${p.take(2000)}")
+    assert(p.contains("Window"), p.take(1500))
+  }
+
+  test("q_grouping_sets: one scan, one Expand — the lattice never re-reads") {
+    val df = graft.SparkEntry.queries("q_grouping_sets")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Expand"), p.take(1500))
+    assert(uncachedFileScans(df.queryExecution.executedPlan) == 1,
+      "grouping sets must read lineitem exactly once")
   }
 
   test("dataProfile default (approx) mode: one plain pass — NO Expand, no row blow-up") {

@@ -37,6 +37,16 @@ class RelationalOpsSpec extends AnyFunSuite {
   }
 
   test("latest_by_key: one row per key, and it is the max-ts row") {
+    // collected event times are java.sql.Timestamp (TIMESTAMP files) or
+    // java.time.LocalDateTime (TIMESTAMP_NTZ files) — normalize to µs
+    def tsMicros(v: Any): Long = v match {
+      case t: java.sql.Timestamp =>
+        t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+      case d: java.time.LocalDateTime =>
+        val i = d.toInstant(java.time.ZoneOffset.UTC)
+        i.getEpochSecond * 1000000L + i.getNano / 1000L
+      case l: Long => l
+    }
     val rows = RelationalQueries.latestByKey(spark, dir).collect()
     val keys = rows.map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
     assert(keys.distinct.length == keys.length, "duplicate keys in compacted output")
@@ -48,7 +58,7 @@ class RelationalOpsSpec extends AnyFunSuite {
       .groupBy(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
       .view
       .mapValues(_.maxBy(r =>
-        (r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[Long]("event_id")))
+        (tsMicros(r.getAs[Any]("ts")), r.getAs[Long]("event_id")))
         .getAs[Long]("event_id"))
       .toMap
     assert(rows.length == model.size)
