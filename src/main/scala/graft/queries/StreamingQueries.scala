@@ -644,4 +644,67 @@ object StreamingQueries {
   }
 
   val streamMinhashDedupSql: String = DedupQueries.minhashBandVerdictSql
+
+  /** Streaming CDC apply ([[graft.streaming.CdcLatest]]): the events
+    * file stream folded into one typed ValueState per key on
+    * `transformWithState`, Update-mode emissions accumulating in the
+    * sink; the snapshot read takes each key's last emission (n_changes
+    * is monotone) and drops keys whose final op is a delete. Must equal
+    * the batch [[RelationalQueries.cdcApply]] — same oracle SQL, so
+    * streaming/batch MERGE parity is the verified property.
+    */
+  def streamCdcApply(s0: SparkSession, dir: String): DataFrame = {
+    val s = boundedDrainSession(s0)
+    s.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      graft.Sessions.RocksDBProvider)
+    import s.implicits._
+    val raw = s.read.parquet(s"$dir/events.parquet").schema
+    val src = microTs(s.readStream
+      .schema(raw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir))
+      .select(
+        col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        col("event_id"),
+        col("event_type"),
+        col("value"))
+      .as[graft.streaming.CdcLatest.Change]
+    val out = src
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new graft.streaming.CdcLatest,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    val name = s"stream_cdc_${System.nanoTime()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt").toString
+    val query = out.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try query.processAllAvailable()
+    finally {
+      try query.stop()
+      finally dropCheckpoint(ckpt)
+    }
+    s.table(name)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_changes"), col("ts_us"), col("event_id"),
+        col("event_type"), col("value"))).as("m"))
+      .filter(col("m.event_type") =!= "purchase")
+      .select(
+        col("user_id"),
+        col("m.event_id").as("last_event_id"),
+        col("m.ts_us").as("last_ts_us"),
+        round(col("m.value"), 4).as("last_value"),
+        col("m.n_changes").as("n_changes"))
+  }
+
+  /** Oracle: literally the batch CDC-apply oracle — the streaming fold
+    * must produce the identical snapshot.
+    */
+  val streamCdcApplySql: String = RelationalQueries.cdcApplySql
 }

@@ -1147,6 +1147,23 @@ class StreamingSpec extends AnyFunSuite {
       "the same EventFormation operator must produce identical events under both engines")
   }
 
+  test("streaming CDC apply equals the batch MERGE snapshot row-for-row") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = graft.queries.StreamingQueries
+      .streamCdcApply(spark, dir)
+      .collect()
+      .map(_.toString)
+      .sorted
+    val batch = graft.queries.RelationalQueries
+      .cdcApply(spark, dir)
+      .collect()
+      .map(_.toString)
+      .sorted
+    assert(stream.nonEmpty)
+    assert(stream.toSeq === batch.toSeq,
+      "transformWithState fold must equal the batch latest-per-key MERGE")
+  }
+
   test("streaming minhash band dedup: verdict = min-per-band; drops every batch-pair loser") {
     import graft.functions.TextHash
     val dir = "/root/testdata/sf0.001"
