@@ -2291,9 +2291,8 @@ object RelationalQueries {
       .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy(col("digit"))
       .agg(count(lit(1)).as("n_obs"))
-    val total = Tables
-      .lineitem(s, dir)
-      .agg(count(lit(1)).as("n_total"))
+    // total from the 9-row digit table, NOT a second corpus scan
+    val total = obs.agg(sum(col("n_obs")).as("n_total"))
     val share = element_at(array(benford.map(lit): _*), col("digit"))
     obs
       .crossJoin(broadcast(total))
@@ -2348,24 +2347,28 @@ object RelationalQueries {
   def concurrency(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(unix_micros(col("ts").cast("timestamp")).as("ts_us"))
     val sessionUs = 30L * 60 * 1000000L
+    // both boundary points from ONE scan (explode, not a self-union that
+    // reads the file twice)
     val pts = ev
-      .select(col("ts_us").as("t"), lit(1L).as("delta"))
-      .unionAll(ev.select((col("ts_us") + sessionUs).as("t"), lit(-1L).as("delta")))
+      .select(explode(array(
+        struct(col("ts_us").as("t"), lit(1L).as("delta")),
+        struct((col("ts_us") + sessionUs).as("t"), lit(-1L).as("delta")))).as("p"))
+      .select(col("p.t").as("t"), col("p.delta").as("delta"))
       .withColumn("day", to_date(timestamp_micros(col("t"))))
     val wDay = Window.partitionBy(col("day")).orderBy(col("t"), col("delta"))
     val inDay = pts.withColumn("run_in_day", sum(col("delta")).over(wDay))
+    // per-day max AND total in the SAME aggregation — one pass over the
+    // points; the cross-day offset window then runs on the tiny per-day
+    // table only
     val wOff = Window
       .orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = pts
-      .groupBy(col("day"))
-      .agg(sum(col("delta")).as("day_total"))
-      .withColumn("day_offset", coalesce(sum(col("day_total")).over(wOff), lit(0L)))
-      .select(col("day"), col("day_offset"))
     inDay
       .groupBy(col("day"))
-      .agg(max(col("run_in_day")).as("max_in_day"))
-      .join(offsets, Seq("day"))
+      .agg(
+        max(col("run_in_day")).as("max_in_day"),
+        sum(col("delta")).as("day_total"))
+      .withColumn("day_offset", coalesce(sum(col("day_total")).over(wOff), lit(0L)))
       .select(
         col("day"),
         (col("day_offset") + col("max_in_day")).as("max_concurrent"))

@@ -518,6 +518,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("windowspecdefinition\\(day".r.findAllIn(p).nonEmpty,
       s"point sweep must partition by day\n${p.take(2000)}")
     assert(p.contains("Window"), p.take(1500))
+    assert(uncachedFileScans(df.queryExecution.executedPlan) == 1,
+      "both sweep boundary points and day totals must come from ONE scan")
+  }
+
+  test("q_benford: single corpus scan — the total folds over the digit table") {
+    val df = graft.SparkEntry.queries("q_benford")(spark, dir)
+    df.collect()
+    assert(uncachedFileScans(df.queryExecution.executedPlan) == 1,
+      "the scalar total must aggregate the 9-row digit table, not rescan")
   }
 
   test("q_grouping_sets: one scan, one Expand — the lattice never re-reads") {
