@@ -145,6 +145,7 @@ object SparkEntry {
     "q_cohort_ltv" -> (RelationalQueries.cohortLtv _),
     "q_ab_ttest" -> (RelationalQueries.abTtest _),
     "q_winsorized_stats" -> (RelationalQueries.winsorizedStats _),
+    "q_iqr_outliers" -> (RelationalQueries.iqrOutliers _),
     "q_collocations" -> ((s: SparkSession, d: String) => SearchQueries.collocations(s, d)),
     "q_seasonal_decompose" -> (SignalQueries.seasonalDecompose _),
     "q_vocab_growth" -> ((s: SparkSession, d: String) => SearchQueries.vocabGrowth(s, d)),
@@ -320,6 +321,7 @@ object SparkEntry {
     "q_cohort_ltv" -> RelationalQueries.cohortLtvSql,
     "q_ab_ttest" -> RelationalQueries.abTtestSql,
     "q_winsorized_stats" -> RelationalQueries.winsorizedStatsSql,
+    "q_iqr_outliers" -> RelationalQueries.iqrOutliersSql,
     "q_collocations" -> SearchQueries.collocationsSql(),
     "q_seasonal_decompose" -> SignalQueries.seasonalDecomposeSql,
     "q_vocab_growth" -> SearchQueries.vocabGrowthSql(),

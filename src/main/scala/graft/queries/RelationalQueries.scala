@@ -2223,6 +2223,96 @@ object RelationalQueries {
        FROM dist d JOIN thr t USING (event_type)
        GROUP BY 1"""
 
+  /** Tukey IQR outlier fences per event type — the robust DQ screen
+    * next to [[winsorizedStats]] (shared machinery: exact integer-cents
+    * value histogram, `percentile_disc`-style order statistics from a
+    * cumulative count — no floating-point interpolation, so the
+    * quartiles are cross-engine exact). Fences at Q1 − 1.5·IQR and
+    * Q3 + 1.5·IQR; the ×2 comparison keeps the half-cent fence in
+    * integers.
+    *
+    * Scale: the histogram collapses the corpus to (type, distinct cent)
+    * rows — the window runs over THAT, never the raw events (same shape
+    * as winsorizedStats; the distinct-value table is bounded by value
+    * cardinality, and a per-type cumulative window over it is keyed).
+    */
+  def iqrOutliers(s: SparkSession, dir: String): DataFrame = {
+    val dist = Tables
+      .events(s, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    val tot = dist.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+    val wCum = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .join(broadcast(tot), "event_type")
+    val thr = cum
+      .groupBy(col("event_type"))
+      .agg(
+        min(when(col("cum") * 4 >= col("n"), col("cents"))).as("q1_cents"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("cents"))).as("q3_cents"))
+    val iqr = col("q3_cents") - col("q1_cents")
+    dist
+      .join(broadcast(thr), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("c")).as("n"),
+        max(col("q1_cents")).as("q1c"),
+        max(col("q3_cents")).as("q3c"),
+        sum(when(col("cents") * 2 < col("q1_cents") * 2 - iqr * 3, col("c"))
+          .otherwise(0L)).as("n_low"),
+        sum(when(col("cents") * 2 > col("q3_cents") * 2 + iqr * 3, col("c"))
+          .otherwise(0L)).as("n_high"))
+      .select(
+        col("event_type"),
+        col("n"),
+        round(col("q1c").cast("double") / 100.0, 2).as("q1"),
+        round(col("q3c").cast("double") / 100.0, 2).as("q3"),
+        round((col("q3c") - col("q1c")).cast("double") / 100.0, 2).as("iqr"),
+        col("n_low"),
+        col("n_high"),
+        round((col("n_low") + col("n_high")).cast("double") / col("n").cast("double"), 6)
+          .as("outlier_frac"))
+  }
+
+  val iqrOutliersSql: String =
+    """WITH dist AS (
+         SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+                count(*) AS c
+         FROM events GROUP BY 1, 2),
+       tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM dist GROUP BY 1),
+       cum AS (
+         SELECT d.event_type, d.cents, d.c, t.n,
+                CAST(sum(d.c) OVER
+                  (PARTITION BY d.event_type ORDER BY d.cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         FROM dist d JOIN tot t USING (event_type)),
+       thr AS (
+         SELECT event_type,
+                min(CASE WHEN cum * 4 >= n THEN cents END) AS q1_cents,
+                min(CASE WHEN cum * 4 >= n * 3 THEN cents END) AS q3_cents
+         FROM cum GROUP BY 1)
+       SELECT d.event_type,
+              CAST(sum(d.c) AS BIGINT) AS n,
+              round(CAST(max(t.q1_cents) AS DOUBLE) / 100.0, 2) AS q1,
+              round(CAST(max(t.q3_cents) AS DOUBLE) / 100.0, 2) AS q3,
+              round(CAST(max(t.q3_cents) - max(t.q1_cents) AS DOUBLE) / 100.0, 2) AS iqr,
+              CAST(sum(CASE WHEN d.cents * 2 < t.q1_cents * 2 - (t.q3_cents - t.q1_cents) * 3
+                            THEN d.c ELSE 0 END) AS BIGINT) AS n_low,
+              CAST(sum(CASE WHEN d.cents * 2 > t.q3_cents * 2 + (t.q3_cents - t.q1_cents) * 3
+                            THEN d.c ELSE 0 END) AS BIGINT) AS n_high,
+              round(CAST(sum(CASE WHEN d.cents * 2 < t.q1_cents * 2 - (t.q3_cents - t.q1_cents) * 3
+                                   OR d.cents * 2 > t.q3_cents * 2 + (t.q3_cents - t.q1_cents) * 3
+                              THEN d.c ELSE 0 END) AS DOUBLE)
+                    / CAST(sum(d.c) AS DOUBLE), 6) AS outlier_frac
+       FROM dist d JOIN thr t USING (event_type)
+       GROUP BY 1"""
+
   /** CDC apply: collapse an upsert/delete change stream into the final
     * snapshot — the MERGE step of every incremental lakehouse table.
     * The events table plays the op log: key = user_id, op = event_type
