@@ -203,7 +203,8 @@ object SparkEntry {
     "q_cdc_apply" -> (RelationalQueries.cdcApply _),
     "q_benford" -> (RelationalQueries.benfordDigits _),
     "q_concurrency" -> (RelationalQueries.concurrency _),
-    "q_grouping_sets" -> (RelationalQueries.groupingSets _)
+    "q_grouping_sets" -> (RelationalQueries.groupingSets _),
+    "q_zorder_layout" -> (RelationalQueries.zorderLayout _)
   )
 
   /** Oracles whose SQL must inline data-dependent constants (the IVF
@@ -404,6 +405,7 @@ object SparkEntry {
     "q_benford" -> RelationalQueries.benfordDigitsSql,
     "q_concurrency" -> RelationalQueries.concurrencySql,
     "q_grouping_sets" -> RelationalQueries.groupingSetsSql,
+    "q_zorder_layout" -> RelationalQueries.zorderLayoutSql,
     // trace→event FSM chain over the closed-form TraceFixtures grid:
     // DuckDB re-derives the detector output with gaps-and-islands
     "q_spectrum_map" -> LogQueries.spectrumMapSql,

@@ -2478,6 +2478,54 @@ object RelationalQueries {
        SELECT day, CAST(max(running) AS BIGINT) AS max_concurrent
        FROM sweep GROUP BY day"""
 
+  /** Z-order layout audit: every lineitem row mapped onto the 32-bit
+    * Morton curve over (orderkey, partkey) low-16-bit coordinates
+    * ([[graft.plans.ZOrderKey]], codegen'd), then grouped into the
+    * curve's 4096 top-level buckets with each bucket's min/max along
+    * BOTH dimensions. This is the audit a layout job runs after
+    * `OPTIMIZE ZORDER BY`-style clustering: because a bucket fixes the
+    * top 6 interleaved bits of each dimension, every bucket's span is
+    * < 2¹⁰ on both axes (locked in PlanSpec) — i.e. file-level min/max
+    * statistics prune scans filtered on EITHER column, the point of
+    * z-ordering.
+    *
+    * Scale: the key is a branch-free native expression inside
+    * whole-stage codegen (one evaluation per row, no lambda); the audit
+    * itself is one 4096-group aggregate. The layout write this audits
+    * is `df.repartitionByRange(col("z"))...write` — same key, same
+    * expression.
+    */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.ZOrderKey.register(s)
+    Tables
+      .lineitem(s, dir)
+      .select(
+        (col("l_orderkey") % 65536).cast("long").as("p16"),
+        (col("l_partkey") % 65536).cast("long").as("s16"))
+      .withColumn("z", expr("z_order_key(p16, s16)"))
+      .groupBy(shiftright(col("z"), 20).as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("p16")).as("p_min"),
+        max(col("p16")).as("p_max"),
+        min(col("s16")).as("s_min"),
+        max(col("s16")).as("s_max"))
+  }
+
+  val zorderLayoutSql: String =
+    """WITH z AS (
+         SELECT list_sum([(((l_orderkey % 65536) >> i) & 1) * (1::BIGINT << (2*i))
+                          + (((l_partkey % 65536) >> i) & 1) * (1::BIGINT << (2*i+1))
+                          FOR i IN range(16)]) AS zkey,
+                (l_orderkey % 65536)::BIGINT AS p16,
+                (l_partkey % 65536)::BIGINT AS s16
+         FROM lineitem
+       )
+       SELECT zkey // 1048576 AS bucket, count(*) AS n,
+              min(p16) AS p_min, max(p16) AS p_max,
+              min(s16) AS s_min, max(s16) AS s_max
+       FROM z GROUP BY 1"""
+
   /** GROUPING SETS lattice slice — the OLAP shape between [[rollupRevenue]]
     * and [[cubeRevenue]]: exactly the chosen aggregation levels
     * ((flag, status), (flag), ()), each row tagged with its grouping

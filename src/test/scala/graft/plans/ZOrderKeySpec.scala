@@ -1,0 +1,67 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Locks [[ZOrderKey]]: the codegen'd expression agrees with an
+  * independent bit-by-bit model, the interpreted path agrees with
+  * codegen, and the layout property the operator exists for holds —
+  * a top-level curve bucket bounds BOTH dimensions.
+  */
+class ZOrderKeySpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = graft.Sessions.local("zorder-spec", "4")
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Independent model: place bit i of a at position 2i, of b at 2i+1. */
+  private def model(a: Long, b: Long): Long =
+    (0 until 16).foldLeft(0L) { (acc, i) =>
+      acc |
+        (((a >> i) & 1L) << (2 * i)) |
+        (((b >> i) & 1L) << (2 * i + 1))
+    }
+
+  test("interleave agrees with the bit-position model (incl. edges)") {
+    val cases = Seq(
+      (0L, 0L), (1L, 0L), (0L, 1L), (0xffffL, 0L), (0L, 0xffffL),
+      (0xffffL, 0xffffL), (0x1234L, 0xabcdL), (65536L, 65536L), // wraps to 0
+      (-1L, -1L)) // masked to 0xffff
+    val rnd = new scala.util.Random(7)
+    val all = cases ++ Seq.fill(500)((rnd.nextLong().abs % 65536, rnd.nextLong().abs % 65536))
+    for ((a, b) <- all)
+      assert(ZOrderKey.interleave(a, b) === model(a & 0xffffL, b & 0xffffL), s"($a,$b)")
+  }
+
+  test("SQL surface: codegen and interpreted paths agree with the Scala kernel") {
+    ZOrderKey.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(2000)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val df = rows.toDF("a", "b")
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      val got = df.select(col("a"), col("b"), expr("z_order_key(a, b)").as("z")).collect()
+      got.foreach { r =>
+        assert(r.getLong(2) === ZOrderKey.interleave(r.getLong(0), r.getLong(1)))
+      }
+    }
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("layout property: every top-level bucket spans < 2^10 on BOTH axes") {
+    val rows = graft.queries.RelationalQueries
+      .zorderLayout(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pSpan = r.getAs[Long]("p_max") - r.getAs[Long]("p_min")
+      val sSpan = r.getAs[Long]("s_max") - r.getAs[Long]("s_min")
+      // bucket = top 12 interleaved bits = top 6 bits of each dimension
+      assert(pSpan < 1024 && sSpan < 1024,
+        s"bucket ${r.getAs[Long]("bucket")}: spans $pSpan/$sSpan")
+    }
+  }
+}
