@@ -556,7 +556,8 @@ object RelationalQueries {
         // µs integer arithmetic on both engines — second-cast truncation
         // disagrees with DuckDB's epoch() on sub-second boundaries
         (col("prev_ts").isNull ||
-          unix_micros(col("ts").cast("timestamp")) - unix_micros(col("prev_ts")) > 1800000000L).cast("int"))
+          unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("prev_ts").cast("timestamp")) > 1800000000L).cast("int"))
       .withColumn("session_seq", sum(col("new_session")).over(
         Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
           .rowsBetween(Window.unboundedPreceding, 0)))
