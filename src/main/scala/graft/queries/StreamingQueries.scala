@@ -24,7 +24,14 @@ object StreamingQueries {
     */
   private def boundedDrainSession(s0: SparkSession): SparkSession = {
     val s = s0.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    // 8 measured as the flat spot (A/B at sf0.1, r8): 8→4→2 partitions
+    // moved q_stream_session_window 5.9→6.4→6.7 s and left join/dedup
+    // within noise — the drains' fixed cost is checkpoint+trigger
+    // machinery, not per-partition store commits, so fewer partitions
+    // only costs parallelism. Overridable for other deployments.
+    s.conf.set(
+      "spark.sql.shuffle.partitions",
+      sys.props.getOrElse("graft.drain.partitions", "8"))
     // newSession() drops SESSION conf, and the harness parquet's
     // TIMESTAMP(NANOS) is only readable with the legacy switch — whether
     // the clone inherits it otherwise depends on which session created
