@@ -51,6 +51,45 @@ class ZOrderKeySpec extends AnyFunSuite {
     spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("layout write path: repartitionByRange(z) bounds BOTH dims per partition") {
+    // the claim the audit query documents, proven on the actual write
+    // shape: files ≙ range partitions of the z key; their per-file
+    // min/max rectangles must cover far less area than the global
+    // bounding box, which is exactly what makes min/max stats prune
+    ZOrderKey.register(spark)
+    import org.apache.spark.sql.functions._
+    val df = graft.Tables
+      .lineitem(spark, "/root/testdata/sf0.001")
+      .select(
+        (col("l_orderkey") % 65536).cast("long").as("p"),
+        (col("l_partkey") % 65536).cast("long").as("s"))
+      .withColumn("z", expr("z_order_key(p, s)"))
+    val stats = df
+      .repartitionByRange(8, col("z"))
+      .sortWithinPartitions(col("z"))
+      .withColumn("pid", spark_partition_id())
+      .groupBy(col("pid"))
+      .agg(
+        min(col("p")).as("pmin"), max(col("p")).as("pmax"),
+        min(col("s")).as("smin"), max(col("s")).as("smax"),
+        min(col("z")).as("zmin"), max(col("z")).as("zmax"))
+      .collect()
+    assert(stats.length > 1)
+    // z ranges are disjoint across partitions (the write is clusterable)
+    val zr = stats.map(r => (r.getAs[Long]("zmin"), r.getAs[Long]("zmax"))).sortBy(_._1)
+    zr.sliding(2).foreach { case Array((_, hi), (lo2, _)) => assert(hi <= lo2) }
+    // and the per-partition rectangles cover much less than the global box
+    def area(r: (Long, Long, Long, Long)): Double =
+      (r._2 - r._1 + 1).toDouble * (r._4 - r._3 + 1).toDouble
+    val boxes = stats.map(r => (r.getAs[Long]("pmin"), r.getAs[Long]("pmax"),
+      r.getAs[Long]("smin"), r.getAs[Long]("smax")))
+    val global = (boxes.map(_._1).min, boxes.map(_._2).max,
+      boxes.map(_._3).min, boxes.map(_._4).max)
+    val avgArea = boxes.map(area).sum / boxes.length
+    assert(avgArea < 0.5 * area(global),
+      s"z-clustered partitions must localize: avg ${avgArea} vs global ${area(global)}")
+  }
+
   test("layout property: every top-level bucket spans < 2^10 on BOTH axes") {
     val rows = graft.queries.RelationalQueries
       .zorderLayout(spark, "/root/testdata/sf0.001")
