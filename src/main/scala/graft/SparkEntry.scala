@@ -204,7 +204,9 @@ object SparkEntry {
     "q_benford" -> (RelationalQueries.benfordDigits _),
     "q_concurrency" -> (RelationalQueries.concurrency _),
     "q_grouping_sets" -> (RelationalQueries.groupingSets _),
-    "q_zorder_layout" -> (RelationalQueries.zorderLayout _)
+    "q_zorder_layout" -> (RelationalQueries.zorderLayout _),
+    "q_top_per_group" -> ((s: SparkSession, d: String) =>
+      RelationalQueries.topPerGroup(s, d))
   )
 
   /** Oracles whose SQL must inline data-dependent constants (the IVF
@@ -406,6 +408,7 @@ object SparkEntry {
     "q_concurrency" -> RelationalQueries.concurrencySql,
     "q_grouping_sets" -> RelationalQueries.groupingSetsSql,
     "q_zorder_layout" -> RelationalQueries.zorderLayoutSql,
+    "q_top_per_group" -> RelationalQueries.topPerGroupSql(),
     // trace→event FSM chain over the closed-form TraceFixtures grid:
     // DuckDB re-derives the detector output with gaps-and-islands
     "q_spectrum_map" -> LogQueries.spectrumMapSql,

@@ -2479,6 +2479,40 @@ object RelationalQueries {
        SELECT day, CAST(max(running) AS BIGINT) AS max_concurrent
        FROM sweep GROUP BY day"""
 
+  /** Top-N per group — the most common analytics ask (here: each
+    * customer's 3 highest-value orders). The rank-filter shape matters
+    * at 100 TB: Spark 4 plans `row_number ≤ k` as
+    * `WindowGroupLimit(Partial)` BELOW the exchange, cutting every scan
+    * partition to its per-group top-k map-side, so the shuffle carries
+    * ≤ k rows per (group, partition) instead of the whole fact table
+    * (plan-locked in PlanAuditSpec — losing that rewrite silently turns
+    * this into a full-table window sort).
+    */
+  def topPerGroup(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables
+      .orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(
+        col("o_custkey"),
+        col("rank"),
+        col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+  }
+
+  def topPerGroupSql(k: Int = 3): String =
+    s"""SELECT o_custkey,
+              CAST(row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
+                AS rank,
+              o_orderkey, round(o_totalprice, 2) AS o_totalprice
+       FROM orders
+       QUALIFY rank <= $k"""
+
   /** Z-order layout audit: every lineitem row mapped onto the 32-bit
     * Morton curve over (orderkey, partkey) low-16-bit coordinates
     * ([[graft.plans.ZOrderKey]], codegen'd), then grouped into the

@@ -529,6 +529,16 @@ class PlanAuditSpec extends AnyFunSuite {
       "the scalar total must aggregate the 9-row digit table, not rescan")
   }
 
+  test("q_top_per_group: rank filter runs as WindowGroupLimit(Partial) below the exchange") {
+    val df = graft.SparkEntry.queries("q_top_per_group")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the map-side per-group limit is what keeps the shuffle at k rows
+    // per (group, partition) — without it this is a full-table window
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(p.contains("Partial"), "the group limit must run below the exchange")
+  }
+
   test("q_grouping_sets: one scan, one Expand — the lattice never re-reads") {
     val df = graft.SparkEntry.queries("q_grouping_sets")(spark, dir)
     df.collect()
