@@ -37,13 +37,19 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // stdout gets truncated by capture harnesses once the query map grows
-    // past a pipe buffer — persist the complete per-query JSON too, so the
-    // round artifact always carries every timing
+    // The full per-query JSON (~5 KB at 166 queries) exceeds the 2000-char
+    // stdout tail a capture harness keeps, so a full-map println can never
+    // parse from the tail. Persist the complete JSON to a file, then print
+    // a compact line — total, query count, the slowest 30 queries at 3 dp,
+    // and a pointer to the full file — sized to survive the tail window.
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"))
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    val slowest = results.toSeq.sortBy(-_._2).take(30)
+      .map { case (k, v) => "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"queries_full":"${out.toString}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

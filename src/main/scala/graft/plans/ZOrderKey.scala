@@ -82,6 +82,20 @@ object ZOrderKey {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "z_order_key",
-      exprs => ZOrderKey(exprs(0), exprs(1)),
+      exprs => {
+        // Arity guard (ADVICE r8): a bare exprs(1) on z_order_key(a) would
+        // surface as IndexOutOfBounds; raise the same WRONG_NUM_ARGS
+        // analysis error a built-in function reports.
+        if (exprs.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map(
+              "functionName" -> "`z_order_key`",
+              "expectedNum" -> "2",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"),
+            None)
+        ZOrderKey(exprs(0), exprs(1))
+      },
       "scala_udf")
 }

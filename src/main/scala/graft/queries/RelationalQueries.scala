@@ -1719,7 +1719,11 @@ object RelationalQueries {
         col("n_null"),
         col("n_distinct"),
         col("min_value"),
-        col("max_value"))
+        col("max_value"),
+        // the mode rides in the report (ADVICE r8): a direct caller on the
+        // approx default sees "approx" in every row instead of silently
+        // consuming HLL estimates as exact counts
+        lit(if (approxDistinct) "approx" else "exact").as("distinct_mode"))
   }
 
   val dataProfileSql: String = {
@@ -1731,20 +1735,24 @@ object RelationalQueries {
         s"""SELECT '$c' AS column_name, count(*) AS n_rows,
            count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct,
            round(CAST(min($c) AS DOUBLE), 6) AS min_value,
-           round(CAST(max($c) AS DOUBLE), 6) AS max_value FROM lineitem"""
+           round(CAST(max($c) AS DOUBLE), 6) AS max_value,
+           'exact' AS distinct_mode FROM lineitem"""
       } ++ Seq(
         """SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
            count(DISTINCT l_shipdate),
            CAST(epoch_us(min(l_shipdate)) AS DOUBLE),
-           CAST(epoch_us(max(l_shipdate)) AS DOUBLE) FROM lineitem""",
+           CAST(epoch_us(max(l_shipdate)) AS DOUBLE),
+           'exact' FROM lineitem""",
         """SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
            count(DISTINCT l_returnflag),
            CAST(min(length(l_returnflag)) AS DOUBLE),
-           CAST(max(length(l_returnflag)) AS DOUBLE) FROM lineitem""",
+           CAST(max(length(l_returnflag)) AS DOUBLE),
+           'exact' FROM lineitem""",
         """SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
            count(DISTINCT l_linestatus),
            CAST(min(length(l_linestatus)) AS DOUBLE),
-           CAST(max(length(l_linestatus)) AS DOUBLE) FROM lineitem""")
+           CAST(max(length(l_linestatus)) AS DOUBLE),
+           'exact' FROM lineitem""")
     rows.mkString("\n UNION ALL\n")
   }
 
@@ -2556,7 +2564,7 @@ object RelationalQueries {
                 (l_partkey % 65536)::BIGINT AS s16
          FROM lineitem
        )
-       SELECT zkey // 1048576 AS bucket, count(*) AS n,
+       SELECT (zkey // 1048576)::BIGINT AS bucket, count(*) AS n,
               min(p16) AS p_min, max(p16) AS p_max,
               min(s16) AS s_min, max(s16) AS s_max
        FROM z GROUP BY 1"""

@@ -607,7 +607,11 @@ object StreamingQueries {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .toSeq
-    val input = MemoryStream[(Long, Long)]
+    // numPartitions pinned to 1 (ADVICE r8): "first arrival ≡ min doc_id
+    // per band" needs the feed to reach the state exchange from a single
+    // ordered source partition — pinning makes that an explicit contract
+    // of the harness feed instead of an implementation accident.
+    val input = MemoryStream[(Long, Long)](numPartitions = 1)
     val stream = input
       .toDS()
       .select(
@@ -640,7 +644,7 @@ object StreamingQueries {
       .table(name)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept_bands"))
-    docBands
+    val verdict = docBands
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bands"))
       .join(kept, Seq("doc_id"), "left")
@@ -648,6 +652,12 @@ object StreamingQueries {
         col("doc_id"),
         coalesce(col("n_kept_bands"), lit(0L)).as("n_kept_bands"),
         (coalesce(col("n_kept_bands"), lit(0L)) === col("n_bands")).as("keep"))
+      // eager localCheckpoint materializes the per-doc verdict (one small
+      // row per document) so docBands can be unpersisted here instead of
+      // leaking until the session's next clearCache (ADVICE r8)
+      .localCheckpoint(true)
+    docBands.unpersist(false)
+    verdict
   }
 
   val streamMinhashDedupSql: String = DedupQueries.minhashBandVerdictSql
