@@ -27,7 +27,11 @@ object Bench {
     // run + one in-session reuse: deterministically, q_corpus_curation
     // (alphabetically first of the pair) carries the loop's cost in the
     // bench JSON and q_dedup_clusters shows the reuse.
+    // optional name filter (comma-separated) for A/B runs on a family of
+    // queries without paying the full suite; default = all
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val pass1 = ordered.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
     graft.queries.DedupQueries.clearClusterMemo(spark)
     val pass2 = ordered.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap

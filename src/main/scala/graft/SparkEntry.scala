@@ -112,6 +112,7 @@ object SparkEntry {
     "q_substring_dedup" -> (CurationQueries.substringDedup _),
     "q_line_dedup" -> ((s: SparkSession, d: String) => CurationQueries.lineDedup(s, d)),
     "q_sequence_pack" -> (CurationQueries.sequencePack _),
+    "q_epoch_shuffle" -> (CurationQueries.epochShuffle _),
     "q_decontaminate" -> (CurationQueries.decontaminate _),
     "q_bloom_prune" -> (CurationQueries.bloomPrune _),
     "q_quality_score" -> (CurationQueries.qualityScore _),
@@ -159,6 +160,7 @@ object SparkEntry {
     "q_embedding_outliers" -> ((s: SparkSession, d: String) =>
       VectorQueries.embeddingOutliers(s, d)),
     "q_ann_recall" -> ((s: SparkSession, d: String) => VectorQueries.annRecall(s, d)),
+    "q_ann_sweep" -> ((s: SparkSession, d: String) => VectorQueries.annSweep(s, d)),
     "q_random_projection" -> ((s: SparkSession, d: String) =>
       VectorQueries.randomProjection(s, d)),
     "q_sq8_codes" -> (VectorQueries.sq8Codes _),
@@ -226,7 +228,8 @@ object SparkEntry {
         "q_semdedup" -> VectorQueries.semDedupSql(cents),
         "q_embedding_outliers" -> VectorQueries.embeddingOutliersSql(cents),
         "q_pq_codes" -> VectorQueries.pqCodesSql(VectorQueries.trainPqCentroids(s, dir)),
-        "q_ann_recall" -> VectorQueries.annRecallSql(cents))
+        "q_ann_recall" -> VectorQueries.annRecallSql(cents),
+        "q_ann_sweep" -> VectorQueries.annSweepSql(cents))
     }
     require(dynamicOracleSql.keySet == dynamicOracleNames,
       "dynamicOracleNames out of sync with deriveDataOracles")
@@ -239,7 +242,7 @@ object SparkEntry {
     */
   val dynamicOracleNames: Set[String] = Set(
     "q_ivf_ann", "q_cluster_assign", "q_semdedup", "q_embedding_outliers",
-    "q_pq_codes", "q_ann_recall")
+    "q_pq_codes", "q_ann_recall", "q_ann_sweep")
 
   /** Every query name with an exact DuckDB oracle (static or derived). */
   def oracleNames: Set[String] = staticOracleSql.keySet ++ dynamicOracleNames
@@ -292,6 +295,7 @@ object SparkEntry {
     "q_substring_dedup" -> CurationQueries.substringDedupSql,
     "q_line_dedup" -> CurationQueries.lineDedupSql(),
     "q_sequence_pack" -> CurationQueries.sequencePackSql,
+    "q_epoch_shuffle" -> CurationQueries.epochShuffleSql,
     "q_decontaminate" -> CurationQueries.decontaminateSql,
     "q_bloom_prune" -> CurationQueries.bloomPruneSql,
     "q_quality_score" -> CurationQueries.qualityScoreSql,

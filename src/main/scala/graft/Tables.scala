@@ -65,6 +65,14 @@ object Sessions {
     */
   val StateStoreKey = "graft.stateStore"
 
+  /** Route recreatable scratch I/O (bounded-drain checkpoints, shuffle
+    * spills, RocksDB working dirs) to tmpfs when the host has one.
+    * Default on for local single-node runs; `GRAFT_TMPFS_SCRATCH=0`
+    * disables (A/B measured in SCALE.md §Streaming, r9).
+    */
+  def tmpfsScratchEnabled: Boolean =
+    !sys.env.get("GRAFT_TMPFS_SCRATCH").exists(v => v == "0" || v.equalsIgnoreCase("false"))
+
   /** Apply the opted-in state store provider to `s` (a fresh session or
     * clone). No-op under the default; idempotent.
     */
@@ -82,7 +90,7 @@ object Sessions {
   }
 
   def local(appName: String, cpus: String): SparkSession = {
-    val spark = SparkSession
+    val builder = SparkSession
       .builder()
       .master(s"local[$cpus]")
       .appName(appName)
@@ -91,7 +99,18 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Scratch I/O (shuffle spill files, RocksDB state-store working dirs)
+    // on tmpfs when the host has one: all of it is recreatable
+    // run-local data with zero recovery value, so durable-disk fsyncs
+    // are pure fixed cost. Spark removes its local dirs on JVM exit.
+    // Only applied when this builder CREATES the context (getOrCreate
+    // ignores it otherwise) and only on single-node local[*] — a cluster
+    // deployment sizes spark.local.dir to its own disks.
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (tmpfsScratchEnabled &&
+      java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+      builder.config("spark.local.dir", "/dev/shm/graft-spark-local")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // every session built here honors the state-store opt-in, so the
     // PRODUCTION streams (PipelineJobs, NexusSink maintenance) get

@@ -937,6 +937,105 @@ object CurationQueries {
         FROM c"""
 
   // --------------------------------------------------------------------
+  // q_epoch_shuffle — deterministic per-epoch global shuffle into shards
+  // --------------------------------------------------------------------
+
+  /** Deterministic epoch shuffle: assign every packed training sequence
+    * (the [[sequencePack]] layout) to `(epoch, out_shard, position)` so
+    * each epoch is a REPRODUCIBLE global permutation of the corpus with
+    * balanced output shards — the "reshuffle between epochs" step of a
+    * training-data loader, computed entirely from hash arithmetic (the
+    * [[hashSplit]] convention: md5 of a seeded key), never from a random
+    * number generator, so any worker can recompute any epoch's layout
+    * from scratch.
+    *
+    * Per (epoch, sequence): the shuffle key is the top 60 bits of
+    * `md5(epoch:pack_shard:seq)`; `out_shard` = key mod
+    * [[ShuffleShards]] (balanced in expectation like any hash
+    * partitioner), and `position` = the key's rank within its
+    * (epoch, out_shard) — i.e. sequences stream into each output shard
+    * in hash order, which IS the permutation.
+    *
+    * Scale: the sequence universe comes from per-document spans
+    * (`sequence(first_seq, last_seq)` — amplification bounded by
+    * doc_len/[[PackSeqTokens]]) + one distinct, NOT from a per-shard
+    * `sequence(0, n)` array that would materialize a shard's whole
+    * epoch in one row. Rank never global-sorts: same two-level scheme
+    * as [[langMixture]] — local `row_number` inside (epoch, out_shard,
+    * top-8-hash-bits bucket), running bucket offsets over the tiny
+    * (epochs × shards × 256) count table broadcast back. Plan-locked:
+    * no rangepartitioning exchange anywhere (PlanAuditSpec).
+    */
+  val ShuffleEpochs = 3
+  val ShuffleShards = 8
+
+  def epochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val seqs = sequencePack(s, dir)
+      .select(
+        col("shard").as("pack_shard"),
+        explode(expr("sequence(first_seq, last_seq)")).as("seq"))
+      .distinct()
+    val base = seqs
+      .select(
+        explode(expr(s"sequence(1L, ${ShuffleEpochs}L)")).as("epoch"),
+        col("pack_shard"),
+        col("seq"))
+      .withColumn(
+        "hkey",
+        expr(
+          "cast(conv(substring(md5(cast(concat_ws(':', " +
+            "cast(epoch as string), cast(pack_shard as string), " +
+            "cast(seq as string)) as binary)), 1, 15), 16, 10) as long)"))
+      .withColumn("out_shard", col("hkey") % ShuffleShards)
+      // top 8 bits of the 60-bit key ≡ the first two hex chars: an
+      // order-consistent bucket prefix, so bucketed ranks compose into
+      // the global hash order
+      .withColumn("hb", shiftright(col("hkey"), 52))
+      // persisted: feeds the local rank AND the bucket-offset table —
+      // same clearCache() session contract as langMixture's projection
+      .persist()
+    val wLocal = Window
+      .partitionBy(col("epoch"), col("out_shard"), col("hb"))
+      .orderBy(col("hkey"), col("pack_shard"), col("seq"))
+    val ranked = base.withColumn("local_rank", row_number().over(wLocal).cast("long"))
+    val wOff = Window.partitionBy(col("epoch"), col("out_shard")).orderBy(col("hb"))
+    val offsets = base
+      .groupBy(col("epoch"), col("out_shard"), col("hb"))
+      .agg(count(lit(1)).as("bc"))
+      .withColumn("off", sum(col("bc")).over(wOff) - col("bc"))
+      .select(col("epoch"), col("out_shard"), col("hb"), col("off"))
+    ranked
+      .join(broadcast(offsets), Seq("epoch", "out_shard", "hb"))
+      .select(
+        col("epoch"),
+        col("pack_shard"),
+        col("seq"),
+        col("out_shard"),
+        (col("off") + col("local_rank") - 1).as("position"))
+  }
+
+  val epochShuffleSql: String =
+    s"""WITH b AS (SELECT doc_id, len(string_split(text, ' ')) n_tokens,
+          ${md5BucketSql(PackShards)} AS pack_shard
+        FROM documents),
+        c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY pack_shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_end FROM b),
+        seqs AS (SELECT DISTINCT pack_shard,
+                   unnest(generate_series(
+                     ((cum_end - n_tokens) // $PackSeqTokens)::BIGINT,
+                     ((cum_end - 1) // $PackSeqTokens)::BIGINT)) AS seq
+                 FROM c),
+        keyed AS (SELECT e.epoch, pack_shard, seq,
+                    CAST(concat('0x', substr(md5(e.epoch::VARCHAR || ':' ||
+                      pack_shard::VARCHAR || ':' || seq::VARCHAR), 1, 15)) AS BIGINT) AS hkey
+                  FROM seqs
+                  CROSS JOIN (SELECT unnest(generate_series(1, $ShuffleEpochs)) AS epoch) e)
+        SELECT epoch, pack_shard, seq, hkey % $ShuffleShards AS out_shard,
+               row_number() OVER (PARTITION BY epoch, hkey % $ShuffleShards
+                                  ORDER BY hkey, pack_shard, seq) - 1 AS position
+        FROM keyed"""
+
+  // --------------------------------------------------------------------
   // q_lang_mixture — balanced per-language downsample
   // --------------------------------------------------------------------
 

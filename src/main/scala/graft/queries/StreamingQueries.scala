@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.schemas.EventListMessage
-import graft.streaming.{FrameAssemblyStream, FrameAssemblyTws}
+import graft.streaming.FrameAssemblyTws
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -63,6 +63,23 @@ object StreamingQueries {
       case _ => df
     }
 
+  /** Checkpoint scratch for the bounded drains, on tmpfs when the host
+    * has one (/dev/shm): a bounded drain's checkpoint is pure harness
+    * machinery — the memory sink holds the result and the dir is deleted
+    * on stop — so durable-disk fsyncs are a fixed cost with zero
+    * recovery value. A/B at sf0.1 recorded in SCALE.md (r9). Production
+    * deployments pass a REAL checkpoint location on durable storage;
+    * only the drain harness routes through this helper.
+    */
+  private def scratchCheckpoint(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (graft.Sessions.tmpfsScratchEnabled &&
+        java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(base, prefix).toString
+  }
+
   /** Remove a bounded drain's scratch checkpoint once the query stops —
     * repeated bench/verify runs must not accumulate dirs in /tmp. The
     * memory-sink table holds the RESULT; the checkpoint has no value
@@ -96,7 +113,7 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
       .select(col("window.start").as("day"), col("event_type"), col("n"), col("sum_value"))
     val name = s"win_counts_${System.nanoTime()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_win_ckpt").toString
+    val ckpt = scratchCheckpoint("graft_win_ckpt")
     val query = agg.writeStream
       .format("memory")
       .queryName(name)
@@ -138,7 +155,7 @@ object StreamingQueries {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
     val name = s"stream_dedup_${System.nanoTime()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_dedup_ckpt").toString
+    val ckpt = scratchCheckpoint("graft_dedup_ckpt")
     val query = deduped.writeStream
       .format("memory")
       .queryName(name)
@@ -214,7 +231,7 @@ object StreamingQueries {
         col("n_events"),
         col("sum_value"))
     val name = s"stream_sessions_${System.nanoTime()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssw_ckpt").toString
+    val ckpt = scratchCheckpoint("graft_ssw_ckpt")
     val query = agg.writeStream
       .format("memory")
       .queryName(name)
@@ -274,7 +291,7 @@ object StreamingQueries {
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
     val name = s"stream_tws_${System.nanoTime()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_ckpt").toString
+    val ckpt = scratchCheckpoint("graft_tws_ckpt")
     val query = out.writeStream
       .format("memory")
       .queryName(name)
@@ -335,7 +352,7 @@ object StreamingQueries {
         col("click_id"),
         (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("lag_us"))
     val name = s"stream_join_${System.nanoTime()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_sjoin_ckpt").toString
+    val ckpt = scratchCheckpoint("graft_sjoin_ckpt")
     val query = joined.writeStream
       .format("memory")
       .queryName(name)
@@ -395,7 +412,7 @@ object StreamingQueries {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
     val name = s"stream_enrich_${System.nanoTime()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_enrich_ckpt").toString
+    val ckpt = scratchCheckpoint("graft_enrich_ckpt")
     val query = agg.writeStream
       .format("memory")
       .queryName(name)
@@ -454,7 +471,7 @@ object StreamingQueries {
         col("ev.voltage").as("event_voltage"),
         col("ev.channel").as("event_channel"))
     val name = s"stream_t2e_${System.nanoTime()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_t2e_ckpt").toString
+    val ckpt = scratchCheckpoint("graft_t2e_ckpt")
     val query = out.writeStream
       .format("memory")
       .queryName(name)
@@ -506,7 +523,7 @@ object StreamingQueries {
       "spark.sql.streaming.stateStore.providerClass",
       graft.Sessions.RocksDBProvider)
     val input = MemoryStream[EventListMessage]
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    val ckpt = scratchCheckpoint("graft_stream_ckpt")
     val name = s"stream_frames_${System.nanoTime()}"
     val query = FrameAssemblyTws
       // TTL sized to the feed: the single addData batch carries every
@@ -624,7 +641,7 @@ object StreamingQueries {
       .withWatermark("ts", "30 days")
       .dropDuplicatesWithinWatermark("band")
     val name = s"stream_minhash_${System.nanoTime()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_minhash_ckpt").toString
+    val ckpt = scratchCheckpoint("graft_minhash_ckpt")
     val query = deduped.writeStream
       .format("memory")
       .queryName(name)
@@ -695,7 +712,7 @@ object StreamingQueries {
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
     val name = s"stream_cdc_${System.nanoTime()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt").toString
+    val ckpt = scratchCheckpoint("graft_cdc_ckpt")
     val query = out.writeStream
       .format("memory")
       .queryName(name)

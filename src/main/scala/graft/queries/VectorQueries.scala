@@ -155,9 +155,22 @@ object VectorQueries {
       // near-orthogonal corpus (VectorSpec locks the floor); clustered
       // real-world embeddings reach higher recall at lower probe ratios
       nProbe: Int = 6,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L): DataFrame =
+    rankTopK(
+      ivfCandidates(s, dir, nQueries, nProbe, trainCentroids(s, dir, nLists, seed)),
+      k)
+
+  /** The IVF candidate set (pre-ranking): each corpus vector joined to
+    * the queries probing its cell, with the exact similarity. Takes the
+    * trained centroids so the sweep trains ONCE across probe settings.
+    */
+  private[queries] def ivfCandidates(
+      s: SparkSession,
+      dir: String,
+      nQueries: Int,
+      nProbe: Int,
+      centroids: Array[Array[Double]]): DataFrame = {
     graft.plans.VecDot.register(s)
-    val centroids = trainCentroids(s, dir, nLists, seed)
     val centB = s.sparkContext.broadcast(centroids)
     val assignUdf = udf { (emb: Seq[Float]) =>
       nearestCentroid(emb.toArray.map(_.toDouble), centB.value)
@@ -185,15 +198,10 @@ object VectorQueries {
         col("vec_id").as("query_id"),
         transform(col("embedding"), _.cast("double")).as("qemb"),
         explode(probeUdf(col("embedding"))).as("cell"))
-    val candidates = e
-      .join(q, Seq("cell"))
+    e.join(q, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", expr("vec_dot(emb, qemb)"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
-    candidates
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("sim"), 6).as("sim"), col("rank"))
+      .select(col("query_id"), col("vec_id"), col("sim"))
   }
 
   /** K-means document clustering (topic bucketing over the embedding
@@ -527,7 +535,36 @@ object VectorQueries {
       k: Int = 10,
       nPlanes: Int = 16,
       bands: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L): DataFrame =
+    rankTopK(lshCandidates(s, dir, nQueries, nPlanes, bands, seed), k)
+
+  /** Exact ranking of a candidate set — the shared tail of every ANN
+    * path: per-query top-k by the proven-exact `vec_dot` key.
+    */
+  private def rankTopK(cands: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    cands
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        round(col("sim"), 6).as("sim"),
+        col("rank"))
+  }
+
+  /** The LSH candidate set (pre-ranking): distinct (query, corpus) pairs
+    * colliding in ≥1 band, with the exact similarity. Exposed so the
+    * recall/cost sweep ([[annSweep]]) can count candidates with the SAME
+    * machinery the headline operator ranks.
+    */
+  private[queries] def lshCandidates(
+      s: SparkSession,
+      dir: String,
+      nQueries: Int,
+      nPlanes: Int,
+      bands: Int,
+      seed: Long): DataFrame = {
     graft.plans.VecDot.register(s)
     val planesB = s.sparkContext.broadcast(hyperplanes(64, nPlanes, seed))
     val signs = udf { (emb: Seq[Double]) =>
@@ -559,18 +596,13 @@ object VectorQueries {
         col("vec_id").as("query_id"),
         col("emb").as("qemb"),
         col("bucket").as("qbucket"))
-    val candidates = e
-      .join(q, col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+    e.join(q, col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
       .dropDuplicates("query_id", "vec_id")
       // same proven-exact sequential-fold kernel as cosineTopK, so the
       // DuckDB oracle's list_dot_product reproduces the ranking key
       // bit-for-bit
       .withColumn("sim", expr("vec_dot(emb, qemb)"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
-    candidates
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), round(col("sim"), 6).as("sim"), col("rank"))
+      .select(col("query_id"), col("vec_id"), col("sim"))
   }
 
   /** Exact DuckDB oracle for [[lshAnn]]: re-derives the hyperplanes from
@@ -580,8 +612,13 @@ object VectorQueries {
     * candidate ranking from the same dot-product key — so the
     * *approximate* operator still has an exact, independent oracle.
     */
-  val lshAnnSql: String =
-    """WITH plane_comp AS (
+  /** The LSH candidate CTE chain (through `cand`), parameterized by band
+    * count so [[annSweepSql]] can sweep it; `nPlanes` is fixed at 16 like
+    * the Spark default.
+    */
+  private def lshCandSql(bands: Int, nQueries: Int): String = {
+    val perBand = 16 / bands
+    s"""plane_comp AS (
          SELECT p, i,
                 ((md5_number_lower('graftlsh:42:' || p || ':' || i) >> 11)::DOUBLE
                   / 9007199254740992.0) * 2 - 1 AS comp
@@ -590,19 +627,23 @@ object VectorQueries {
        planes AS (SELECT p, list(comp ORDER BY i) AS plane FROM plane_comp GROUP BY p),
        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        band_keys AS (
-         SELECT e.vec_id, pl.p // 4 AS b,
+         SELECT e.vec_id, pl.p // $perBand AS b,
                 SUM(CASE WHEN list_dot_product(pl.plane, e.emb) >= 0
-                    THEN 1 << CAST(3 - (pl.p % 4) AS INTEGER) ELSE 0 END) AS bkey
+                    THEN 1 << CAST(${perBand - 1} - (pl.p % $perBand) AS INTEGER) ELSE 0 END) AS bkey
          FROM emb e CROSS JOIN planes pl
-         GROUP BY e.vec_id, pl.p // 4
+         GROUP BY e.vec_id, pl.p // $perBand
        ),
        buckets AS (SELECT vec_id, b * 4294967296 + bkey AS bucket FROM band_keys),
        cand AS (
          SELECT DISTINCT q.vec_id AS query_id, e.vec_id
          FROM buckets e JOIN buckets q
            ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
-         WHERE q.vec_id < 8
-       ),
+         WHERE q.vec_id < $nQueries
+       )"""
+  }
+
+  val lshAnnSql: String =
+    s"""WITH ${lshCandSql(4, 8)},
        sims AS (
          SELECT c.query_id, c.vec_id AS neighbor_id,
                 list_dot_product(a.emb, b.emb) AS sim
@@ -625,17 +666,18 @@ object VectorQueries {
     * generated at Verify time because the centroids depend on the data
     * directory under test).
     */
-  def ivfAnnSql(
+  /** The IVF candidate CTE chain (through `cand`), parameterized by
+    * probe count for [[annSweepSql]]. */
+  private def ivfCandSql(
       centroids: Array[Array[Double]],
-      nQueries: Int = 8,
-      k: Int = 10,
-      nProbe: Int = 6): String = {
+      nQueries: Int,
+      nProbe: Int): String = {
     val rows = centroids.zipWithIndex
       .map { case (c, idx) =>
         s"($idx, [${c.map(java.lang.Double.toString).mkString(", ")}]::DOUBLE[])"
       }
       .mkString(", ")
-    s"""WITH cent(cell, carr) AS (VALUES $rows),
+    s"""cent(cell, carr) AS (VALUES $rows),
        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        dists AS (
          SELECT vec_id, cell, list_dot_product(df, df) AS dist
@@ -655,7 +697,15 @@ object VectorQueries {
        cand AS (
          SELECT p.query_id, a.vec_id
          FROM assign a JOIN probe p ON a.cell = p.cell AND a.vec_id <> p.query_id
-       ),
+       )"""
+  }
+
+  def ivfAnnSql(
+      centroids: Array[Array[Double]],
+      nQueries: Int = 8,
+      k: Int = 10,
+      nProbe: Int = 6): String = {
+    s"""WITH ${ivfCandSql(centroids, nQueries, nProbe)},
        sims AS (
          SELECT c.query_id, c.vec_id AS neighbor_id,
                 list_dot_product(a.emb, q.emb) AS sim
@@ -903,6 +953,95 @@ object VectorQueries {
            ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
          GROUP BY e.query_id"""
     s"${one("lsh", lshAnnSql)} UNION ALL ${one("ivf", ivfAnnSql(centroids, nQueries, k))}"
+  }
+
+  /** Recall/cost CURVE — the [[annRecall]] harness swept across the
+    * tuning dials an operator actually turns at 100 TB: LSH band count
+    * (2/4/8 bands of 16 planes — more, shorter bands = more OR-chances
+    * to collide = higher recall AND more candidates) and IVF probe count
+    * (2/6/12 of 16 lists = the touched-fraction dial). One row per
+    * (method, param): aggregate recall@k over the query set plus the
+    * candidate-pairs count — recall is what you buy, candidates are what
+    * you pay, and the table IS the operating-point menu.
+    *
+    * Every config is deterministic, so the whole curve has an exact
+    * DuckDB oracle ([[annSweepSql]] re-derives each configuration's
+    * candidate set and intersections from scratch). Scale: reuses the
+    * component kernels unchanged (bounded queries broadcast, banded/
+    * celled candidate joins, map-side WindowGroupLimit ranking);
+    * centroids train ONCE across the probe sweep.
+    */
+  def annSweep(
+      s: SparkSession,
+      dir: String,
+      nQueries: Int = 8,
+      k: Int = 10): DataFrame = {
+    val exact = cosineTopK(s, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"))
+      .persist()
+    def eval(method: String, param: Int, cands0: DataFrame): DataFrame = {
+      // persisted: the candidate set feeds both the cost count and the
+      // ranked recall join — same clearCache() session contract as the
+      // sketch tables
+      val cands = cands0.persist()
+      val topk = rankTopK(cands, k)
+        .select(col("query_id"), col("neighbor_id").as("vec_id"))
+      val hits = topk
+        .join(exact, Seq("query_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      cands
+        .agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(hits)
+        .select(
+          lit(method).as("method"),
+          lit(param.toLong).as("param"),
+          col("n_candidates"),
+          col("n_hit"),
+          round(col("n_hit").cast("double") / lit((nQueries * k).toDouble), 6)
+            .as("recall_at_k"))
+    }
+    val cents = trainCentroids(s, dir)
+    val lsh = Seq(2, 4, 8).map(b =>
+      eval("lsh", b, lshCandidates(s, dir, nQueries, 16, b, 42L)))
+    val ivf = Seq(2, 6, 12).map(p =>
+      eval("ivf", p, ivfCandidates(s, dir, nQueries, p, cents)))
+    (lsh ++ ivf).reduce(_ unionAll _)
+  }
+
+  /** Exact oracle for [[annSweep]]: per configuration, the candidate CTE
+    * chain + exact ranking + intersection with the exact top-k, unioned.
+    */
+  def annSweepSql(
+      centroids: Array[Array[Double]],
+      nQueries: Int = 8,
+      k: Int = 10): String = {
+    def one(method: String, param: Int, candSql: String): String =
+      s"""SELECT '$method' AS method, CAST($param AS BIGINT) AS param,
+                x.n_candidates, x.n_hit,
+                round(x.n_hit / ${nQueries * k}.0, 6) AS recall_at_k
+         FROM (
+           WITH $candSql,
+                sims AS (
+                  SELECT c.query_id, c.vec_id AS neighbor_id,
+                         list_dot_product(a.emb, b.emb) AS sim
+                  FROM cand c
+                  JOIN emb a ON c.vec_id = a.vec_id
+                  JOIN emb b ON c.query_id = b.vec_id
+                ),
+                topk AS (
+                  SELECT query_id, neighbor_id FROM sims
+                  QUALIFY row_number() OVER
+                    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= $k
+                )
+           SELECT (SELECT count(*) FROM cand) AS n_candidates,
+                  (SELECT count(*)
+                   FROM topk t JOIN ($cosineTopKSql) e
+                     ON t.query_id = e.query_id
+                    AND t.neighbor_id = e.neighbor_id) AS n_hit) x"""
+    val lsh = Seq(2, 4, 8).map(b => one("lsh", b, lshCandSql(b, nQueries)))
+    val ivf = Seq(2, 6, 12).map(p =>
+      one("ivf", p, ivfCandSql(centroids, nQueries, p)))
+    (lsh ++ ivf).mkString("\n UNION ALL\n")
   }
 
   /** k-nearest-neighbor label classification: vectors `vec_id <

@@ -24,7 +24,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Scale: state per in-flight frame only (bounded by TTL × frame rate);
   * one shuffle on the frame key — identical topology to the batch
   * operator, plus state cleanup by timeout.
+  *
+  * DEMOTED (r9): [[FrameAssemblyTws]] is THE production A2 assembler —
+  * typed MapState (no whole-frame rewrite per contribution), a real
+  * once-armed TTL timer, and the oracle-checked path behind
+  * q_stream_frame_assembly. This fMGWS twin survives for exactly two
+  * jobs: (a) the cross-API equivalence fixture (StreamingSpec twin
+  * parity locks the two implementations to the same frame set, which is
+  * what keeps EITHER from drifting), and (b) the micro-batch pacemaker
+  * inside [[PipelineJobs.traceToNexusWithLifecycle]] —
+  * `ProcessingTimeTimeout` never lets the engine quiesce, and that
+  * perpetual empty-batch cadence IS the reference nexus-writer's
+  * `--cache-poll-interval-ms` loop the linger/archive tiers poll on
+  * (TWS quiesces once its timers drain, which would stall finalization
+  * of already-stopped runs). Do not reach for this in new code.
   */
+@deprecated(
+  "FrameAssemblyTws is the production A2 assembler; this fMGWS twin is " +
+    "kept only as the equivalence fixture and the lifecycle-job pacemaker",
+  "round 9")
 object FrameAssemblyStream {
 
   /** Per-frame mutable state: one SoA contribution per digitiser. */

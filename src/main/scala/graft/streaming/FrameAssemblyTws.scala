@@ -29,6 +29,16 @@ import org.apache.spark.sql.streaming._
   *     monotone dispatch); duplicate digitisers are rejected
   *     (`cache.rs:71-74`); veto flags OR together.
   *
+  * Accepted window (reference parity, ADVICE r8): once a tombstone's —
+  * or a TTL-flushed partial's — timer fires, the key's state clears
+  * entirely. A redelivery arriving after that re-seeds the frame and can
+  * eventually emit a SECOND (incomplete) frame with the same
+  * frameNumber. This matches the reference cache exactly: expired frames
+  * are popped (`cache.rs:55-63`), so a sufficiently late push starts a
+  * fresh entry — deduplicating across the expiry horizon requires
+  * unbounded per-frame memory, which neither engine pays. Locked by the
+  * StreamingSpec tombstone test (post-expiry re-seed scenario).
+  *
   * Scale: state per in-flight frame only (bounded by TTL × frame rate ×
   * digitiser count), keyed writes through the RocksDB provider
   * (`transformWithState` requires it — changelog checkpoints, off-heap

@@ -136,7 +136,9 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
     // instance parks one daemon thread for the JVM lifetime even after
     // all rewrites finish; with it the pool drains to zero threads when
     // no heartbeat has been scheduled for a TTL period.
-    pool.setKeepAliveTime(scratchStaleMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    pool.setKeepAliveTime(
+      math.max(1L, scratchStaleMs),
+      java.util.concurrent.TimeUnit.MILLISECONDS)
     pool.allowCoreThreadTimeOut(true)
     pool
   }

@@ -203,8 +203,13 @@ object PipelineJobs {
       checkpoint: String,
       triggerMs: Long = 100L): StreamingQuery = {
     allowEmptyBatches(traces)
+    // the production A2 assembler (TWS) requires the RocksDB provider —
+    // pin it on the owning session before the query captures its conf
+    traces.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      graft.Sessions.RocksDBProvider)
     val dev2 = EventFormation.formEvents(traces, settings)
-    val aev2 = FrameAssemblyStream.assemble(dev2, expectedDigitizers, ttlMs)
+    val aev2 = FrameAssemblyTws.assemble(dev2, expectedDigitizers, ttlMs)
     aev2.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -235,8 +240,11 @@ object PipelineJobs {
       ttlMs: Long = 500L,
       triggerMs: Long = 100L): StreamingQuery = {
     allowEmptyBatches(traces)
+    traces.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      graft.Sessions.RocksDBProvider)
     val dev2 = EventFormation.formEvents(traces, settings)
-    val aev2 = FrameAssemblyStream.assemble(dev2, expectedDigitizers, ttlMs)
+    val aev2 = FrameAssemblyTws.assemble(dev2, expectedDigitizers, ttlMs)
     // ONE definition of the producer's wire-encode stage, shared with the
     // Kafka writer so the parquet stand-in and a broker deployment can
     // never drift
@@ -280,6 +288,13 @@ object PipelineJobs {
       compactBeforeArchive: Boolean = false): StreamingQuery = {
     allowEmptyBatches(traces)
     val dev2 = EventFormation.formEvents(traces, settings)
+    // DELIBERATELY the fMGWS twin, not TWS: ProcessingTimeTimeout never
+    // lets the engine quiesce, and this job's linger/archive tiers poll
+    // inside foreachBatch — the perpetual empty-batch cadence is the
+    // reference nexus-writer's --cache-poll-interval-ms loop. TWS
+    // quiesces once its timers drain, which would stall finalization of
+    // already-stopped runs until new data arrived.
+    @scala.annotation.nowarn("cat=deprecation")
     val aev2 = FrameAssemblyStream.assemble(dev2, expectedDigitizers, ttlMs)
     var lastArchiveNs = Option.empty[Long]
     aev2.writeStream

@@ -281,6 +281,38 @@ class CurationSpec extends AnyFunSuite {
     assert(CurationQueries.sequencePack(spark, sf).collect().toSet == out.toSet)
   }
 
+  test("epoch shuffle: each (epoch, shard) holds positions 0..n-1; epochs permute differently") {
+    val out = CurationQueries.epochShuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val epochs = out.map(_._1).distinct.sorted
+    assert(epochs.toSeq == Seq(1L, 2L, 3L))
+    // every epoch covers the SAME sequence universe exactly once
+    val universe = out.filter(_._1 == 1L).map(t => (t._2, t._3)).toSet
+    epochs.foreach { e =>
+      val seqs = out.filter(_._1 == e).map(t => (t._2, t._3))
+      assert(seqs.length == universe.size && seqs.toSet == universe,
+        s"epoch $e must be a permutation of the sequence universe")
+    }
+    // positions within each (epoch, out_shard) are a gapless 0..n-1 run —
+    // i.e. the assignment is a valid dense layout a loader can mmap
+    out.groupBy(t => (t._1, t._4)).foreach { case ((e, sh), rows) =>
+      val pos = rows.map(_._5).sorted.toSeq
+      assert(pos == (0L until rows.length.toLong),
+        s"epoch $e shard $sh positions not dense: ${pos.take(5)}...")
+    }
+    // the permutation actually CHANGES between epochs (the point of
+    // reshuffling): some sequence lands in different shards across epochs
+    val moved = universe.exists { case (ps, sq) =>
+      out.filter(t => t._2 == ps && t._3 == sq).map(_._4).distinct.length > 1
+    }
+    assert(moved, "epochs must not produce the identical layout")
+    // determinism: a second evaluation is bit-identical
+    assert(CurationQueries.epochShuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet == out.toSet)
+    spark.catalog.clearCache()
+  }
+
   test("lang mixture: every language downsampled to the minimum count") {
     val out = CurationQueries.langMixture(spark, sf).collect()
     val byLang = out.groupBy(_.getString(1)).view.mapValues(_.length)

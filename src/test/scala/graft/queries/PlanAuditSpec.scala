@@ -223,6 +223,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "offset join-back must broadcast")
   }
 
+  test("q_epoch_shuffle: permutation ranks are hash-bucketed, no global sort") {
+    val df = graft.SparkEntry.queries("q_epoch_shuffle")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the epoch permutation is pure hash arithmetic + bucketed ranks: a
+    // rangepartitioning exchange would mean someone reintroduced a global
+    // orderBy over the sequence universe
+    assert(!p.contains("rangepartitioning"),
+      s"global range-partitioned sort leaked into the epoch shuffle\n${p.take(2000)}")
+    // the per-(epoch, out_shard) rank must be salted with the hash-prefix
+    // bucket hb — never a bare (epoch, out_shard) window over the corpus
+    val rankSpecs = """row_number\(\) windowspecdefinition\((\w+#\d+L?, )+"""
+      .r.findAllIn(p).toList
+    assert(rankSpecs.nonEmpty, s"expected the bucketed rank window\n${p.take(3000)}")
+    assert(rankSpecs.forall(_.contains("hb")),
+      s"row_number must include the hash-prefix bucket hb: $rankSpecs")
+    assert(p.contains("BroadcastHashJoin"), "offset join-back must broadcast")
+    spark.catalog.clearCache()
+  }
+
   test("q_bm25_search / q_weighted_sample: top-k is TakeOrderedAndProject, never a full sort") {
     for (name <- Seq("q_bm25_search", "q_weighted_sample")) {
       val df = graft.SparkEntry.queries(name)(spark, dir)

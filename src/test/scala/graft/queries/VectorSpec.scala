@@ -62,6 +62,36 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("annSweep: recall and cost both monotone in the dial; default points match annRecall") {
+    val rows = VectorQueries.annSweep(spark, dir).collect().map { r =>
+      (r.getAs[String]("method"), r.getAs[Long]("param")) ->
+        (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_hit"), r.getAs[Double]("recall_at_k"))
+    }.toMap
+    assert(rows.size === 6)
+    // turning the dial up buys recall AND costs candidates — both
+    // monotone nondecreasing along each method's sweep (the property
+    // that makes the table an operating-point menu at all)
+    def sweep(method: String, params: Seq[Long]) = {
+      val pts = params.map(rows(method, _))
+      assert(pts.map(_._1) == pts.map(_._1).sorted, s"$method candidates not monotone: $pts")
+      assert(pts.map(_._2) == pts.map(_._2).sorted, s"$method hits not monotone: $pts")
+    }
+    sweep("lsh", Seq(2L, 4L, 8L))
+    sweep("ivf", Seq(2L, 6L, 12L))
+    // the sweep's default operating points must agree with the annRecall
+    // harness aggregated over queries (same components, same ground truth)
+    val agg = VectorQueries.annRecall(spark, dir).collect()
+      .groupBy(_.getAs[String]("method"))
+      .view.mapValues(_.map(_.getAs[Long]("n_hit")).sum).toMap
+    assert(rows(("lsh", 4L))._2 === agg("lsh"))
+    assert(rows(("ivf", 6L))._2 === agg("ivf"))
+    // recall_at_k is n_hit / (nQueries * k) exactly
+    rows.foreach { case ((m, p), (_, hit, rec)) =>
+      assert(rec === hit / 80.0, s"$m param=$p")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("pq codes: deterministic, 32-bit-bounded, and better than the zero codebook") {
     import org.apache.spark.sql.functions._
     val a = VectorQueries.pqCodes(spark, dir).collect().sortBy(_.getLong(0))

@@ -145,6 +145,85 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test(
+    "TWS tombstone path: duplicate digitiser rejected, tombstone absorbs " +
+      "multi-batch redeliveries, post-expiry re-seed is the reference window " +
+      "(cache.rs:150-387)") {
+    // The three cache.rs behaviors the r8 board still listed untested on
+    // the timer path (P7/O3), exercised across SEPARATE micro-batches so
+    // the state transitions (not just intra-batch iterator logic) carry
+    // the semantics. No public manual clock exists for transformWithState
+    // processing-time timers, so expiry is driven by real time against a
+    // TTL chosen an order of magnitude above the 50 ms trigger cadence.
+    val s = spark.newSession()
+    s.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      graft.Sessions.RocksDBProvider)
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[EventListMessage]
+    val ttlMs = 1500L
+    val out = FrameAssemblyTws.assemble(input.toDS(), Seq(0, 1), ttlMs = ttlMs)
+    val ckpt = Files.createTempDirectory("ckpt_tws_tomb").toString
+    val name = "assembled_tws_tomb"
+    val query = out.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    def frame0Rows() = s.table(name).collect().filter(
+      _.getAs[org.apache.spark.sql.Row]("metadata").getAs[Long]("frameNumber") == 0L)
+    def await(pred: () => Boolean, timeoutMs: Long = 20000L): Unit = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (!pred() && System.currentTimeMillis() < deadline) Thread.sleep(100L)
+    }
+    try {
+      // batch 1: digitiser 0 seeds the frame
+      input.addData(msg(0, 0))
+      // batch 2: DUPLICATE digitiser 0 with a poisoned payload — the
+      // MapState containsKey guard must reject it (cache.rs:71-74) —
+      // then digitiser 1 completes the frame
+      input.addData(
+        EventListMessage(0, meta(0), Array(9L, 9L, 9L), Array(999, 999, 999), Array(9L, 9L, 9L)),
+        msg(1, 0))
+      await(() => frame0Rows().length >= 1)
+      val f0 = frame0Rows()
+      assert(f0.length === 1)
+      assert(f0.head.getAs[Boolean]("complete"))
+      // the duplicate added NOTHING: 2 events per digitiser, not 5, and
+      // the poisoned voltages are absent
+      assert(f0.head.getAs[scala.collection.Seq[Long]]("time").length === 4)
+      assert(!f0.head.getAs[scala.collection.Seq[Int]]("voltage").contains(999))
+
+      // batches 3..4: redeliveries AFTER dispatch, in separate batches —
+      // the tombstone absorbs each and re-arms its TTL (cache.rs:55-63)
+      input.addData(msg(0, 0))
+      Thread.sleep(300L)
+      input.addData(msg(1, 0))
+      Thread.sleep(600L) // both redelivery batches processed (50 ms cadence)
+      assert(frame0Rows().length === 1, "tombstone must absorb redeliveries")
+
+      // tombstone expiry: TTL after the LAST absorbed redelivery the
+      // timer clears the key entirely. A redelivery arriving AFTER that
+      // re-seeds frame 0 as a fresh partial that TTL-flushes incomplete —
+      // the accepted duplicate-emission window, matching the reference
+      // (cache.rs pops expired frames; a later push starts a new one).
+      Thread.sleep(ttlMs + 1200L)
+      input.addData(msg(1, 0))
+      await(() => frame0Rows().length >= 2, timeoutMs = 30000L)
+      val reseeded = frame0Rows()
+      assert(reseeded.length === 2, "post-expiry redelivery re-seeds the key")
+      val second = reseeded.filter(!_.getAs[Boolean]("complete"))
+      assert(second.length === 1)
+      assert(second.head.getAs[scala.collection.Seq[Int]]("digitizersPresent") === Seq(1))
+    } finally {
+      try query.stop()
+      finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
   test("TWS and fMGWS frame assemblers produce the identical frame set (twin parity)") {
     val s = spark.newSession()
     s.conf.set(
