@@ -113,6 +113,8 @@ object SparkEntry {
     "q_line_dedup" -> ((s: SparkSession, d: String) => CurationQueries.lineDedup(s, d)),
     "q_sequence_pack" -> (CurationQueries.sequencePack _),
     "q_epoch_shuffle" -> (CurationQueries.epochShuffle _),
+    "q_token_budget" -> ((s: SparkSession, d: String) => CurationQueries.tokenBudget(s, d)),
+    "q_dedup_sweep" -> ((s: SparkSession, d: String) => DedupQueries.dedupSweep(s, d)),
     "q_decontaminate" -> (CurationQueries.decontaminate _),
     "q_bloom_prune" -> (CurationQueries.bloomPrune _),
     "q_quality_score" -> (CurationQueries.qualityScore _),
@@ -296,6 +298,8 @@ object SparkEntry {
     "q_line_dedup" -> CurationQueries.lineDedupSql(),
     "q_sequence_pack" -> CurationQueries.sequencePackSql,
     "q_epoch_shuffle" -> CurationQueries.epochShuffleSql,
+    "q_token_budget" -> CurationQueries.tokenBudgetSql(),
+    "q_dedup_sweep" -> DedupQueries.dedupSweepSql(),
     "q_decontaminate" -> CurationQueries.decontaminateSql,
     "q_bloom_prune" -> CurationQueries.bloomPruneSql,
     "q_quality_score" -> CurationQueries.qualityScoreSql,

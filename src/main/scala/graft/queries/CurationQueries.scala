@@ -1185,6 +1185,110 @@ object CurationQueries {
        FROM withsq, d"""
 
   // --------------------------------------------------------------------
+  // q_token_budget — tempered per-source token quotas, greedily filled
+  // --------------------------------------------------------------------
+
+  /** Token-budget sampler — the operator that EXECUTES a mixture plan:
+    * [[domainMixture]] computes tempered shares; this turns them into
+    * per-source token quotas (`budget_i = ceil(frac × total × q_i)`,
+    * α = 0.5 over source token mass) and greedily fills each quota in
+    * deterministic md5 document order — a document is kept iff it fits
+    * entirely within its source's remaining budget (no partial
+    * documents). Output per document: token count, tokens consumed
+    * before it, its source's budget, and the keep verdict. Unlike
+    * [[langMixture]] (equal DOC counts), the quota is token MASS — what
+    * a pre-training data recipe actually budgets.
+    *
+    * Cross-engine exactness: quotas go through the same sorted-fold
+    * denominator as [[domainMixture]] (both engines add identical
+    * doubles in identical order; `0 + x ≡ x` bridges the seed
+    * difference), `ceil` to BIGINT on an identically-associated
+    * product; the fill cut compares exact BIGINT cumsums.
+    *
+    * Scale: the budget table is O(sources) — broadcast. The per-source
+    * cumulative sum NEVER total-orders a source through one reducer:
+    * same two-level decomposition as [[langMixture]]/[[epochShuffle]] —
+    * running sums inside (source, md5-prefix bucket), bucket totals
+    * rolled into offsets over the tiny (sources × 256) table, broadcast
+    * back (plan-locked: no rangepartitioning, windows bucket-salted).
+    */
+  def tokenBudget(s: SparkSession, dir: String, frac: Double = 0.5): DataFrame = {
+    // persisted: feeds the quota aggregate, the local cumsum AND the
+    // bucket-offset table — same clearCache() session contract as the
+    // sketch tables
+    val base = Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(toks).cast("long").as("n_tokens"),
+        expr("md5(cast(cast(doc_id as string) as binary))").as("ord"))
+      .withColumn("bucket", substring(col("ord"), 1, 2))
+      .persist()
+    val perSrc = base.groupBy(col("source")).agg(sum(col("n_tokens")).as("src_tokens"))
+    val tot = perSrc.agg(sum(col("src_tokens")).as("total"))
+    val withQ = perSrc
+      .crossJoin(broadcast(tot))
+      .withColumn("p", col("src_tokens").cast("double") / col("total").cast("double"))
+      .withColumn("sq", sqrt(col("p")))
+    val denom = withQ.agg(
+      expr("aggregate(array_sort(collect_list(sq)), 0D, (a, x) -> a + x)").as("denom"))
+    val budgets = withQ
+      .crossJoin(broadcast(denom))
+      .select(
+        col("source"),
+        ceil(lit(frac) * col("total") * (col("sq") / col("denom")))
+          .cast("long")
+          .as("budget"))
+    val wLocal = Window
+      .partitionBy(col("source"), col("bucket"))
+      .orderBy(col("ord"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base.withColumn("cum_in_bucket", sum(col("n_tokens")).over(wLocal))
+    val wOff = Window.partitionBy(col("source")).orderBy(col("bucket"))
+    val offsets = base
+      .groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("btok"))
+      .withColumn("off", sum(col("btok")).over(wOff) - col("btok"))
+      .select(col("source"), col("bucket"), col("off"))
+    local
+      .join(broadcast(offsets), Seq("source", "bucket"))
+      .join(broadcast(budgets), Seq("source"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("n_tokens"),
+        (col("off") + col("cum_in_bucket") - col("n_tokens")).as("cum_before"),
+        col("budget"),
+        (col("off") + col("cum_in_bucket") <= col("budget")).as("kept"))
+  }
+
+  def tokenBudgetSql(frac: Double = 0.5): String =
+    s"""WITH b AS (SELECT doc_id, source,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                md5(CAST(doc_id AS VARCHAR)) AS ord
+         FROM documents),
+       s AS (SELECT source, sum(n_tokens) AS src_tokens FROM b GROUP BY 1),
+       w AS (SELECT source, src_tokens,
+                    CAST(src_tokens AS DOUBLE) /
+                    CAST((SELECT sum(src_tokens) FROM s) AS DOUBLE) AS p,
+                    (SELECT sum(src_tokens) FROM s) AS total
+             FROM s),
+       wq AS (SELECT *, sqrt(p) AS sq FROM w),
+       d AS (SELECT list_reduce(list_sort(list(sq)), (a, x) -> a + x) AS denom FROM wq),
+       bud AS (SELECT source,
+                      CAST(ceil($frac * total * (sq / denom)) AS BIGINT) AS budget
+               FROM wq CROSS JOIN d),
+       c AS (SELECT doc_id, source, n_tokens,
+                    sum(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+             FROM b)
+       SELECT c.doc_id, c.source, c.n_tokens,
+              CAST(c.cum_end - c.n_tokens AS BIGINT) AS cum_before,
+              bud.budget, (c.cum_end <= bud.budget) AS kept
+       FROM c JOIN bud USING (source)"""
+
+  // --------------------------------------------------------------------
   // q_source_profile — per-domain corpus report
   // --------------------------------------------------------------------
 

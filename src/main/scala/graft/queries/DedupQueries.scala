@@ -159,6 +159,108 @@ object DedupQueries {
        )
        SELECT doc_id, n_kept_bands, (n_kept_bands = 8) AS keep FROM verdict"""
 
+  /** LSH banding sweep — the S-curve operating menu for MinHash dedup,
+    * the dedup sibling of [[VectorQueries.annSweep]]: the same 128-perm
+    * signatures banded three ways (4×32, 8×16, 16×8), per configuration
+    * the candidate-pair count and how many pass the similarity
+    * threshold. More, shorter bands = more OR-chances to collide =
+    * higher recall AND more candidate pairs at lower pass rate; the
+    * collision probability is the textbook 1−(1−s^r)^b S-curve, and this
+    * measures where the harness corpus actually sits on it. All
+    * deterministic ⇒ exact DuckDB oracle re-deriving every signature.
+    *
+    * Scale: a TUNING harness — at 100 TB you point it at a sampled
+    * shard, pick (b, r), then run the chosen config through
+    * [[minhashPairs]] (whose plan estimates-then-prunes before the pair
+    * dedup; this sweep dedups candidates first because it must COUNT
+    * them). Signatures compute once across the three configs; per
+    * config one band-key shuffle with the same mega-bucket cap.
+    */
+  def dedupSweep(s: SparkSession, dir: String, minSim: Double = 0.7): DataFrame = {
+    val numPerms = 128
+    val sigUdf = udf { (text: String) =>
+      TextHash.minhashSignature(TextHash.shingles(text, 1), numPerms)
+    }
+    val estUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+      TextHash.estimatedJaccard(a.toArray, b.toArray)
+    }
+    // the sketch artifact computes ONCE and feeds all three bandings —
+    // same clearCache() session contract as the other sketch tables
+    val sigs = Tables
+      .documents(s, dir)
+      .filter(length(regexp_replace(col("text"), lit(" "), lit(""))) > 0)
+      .select(col("doc_id"), sigUdf(col("text")).as("sig"))
+      .persist()
+    def one(bands: Int): DataFrame = {
+      val bandUdf = udf { (sig: Seq[Long]) => TextHash.bandKeys(sig.toArray, bands) }
+      val docs = sigs.withColumn("band", explode(bandUdf(col("sig"))))
+      val small = docs
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") <= 64)
+        .select(col("band"))
+      val pruned = docs.join(small, Seq("band"))
+      val a = pruned.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("band"))
+      val b = pruned.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("band"))
+      val est = a
+        .join(b, Seq("band"))
+        .filter(col("doc_a") < col("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+        .withColumn("est", estUdf(col("sig_a"), col("sig_b")))
+      est
+        .agg(
+          count(lit(1)).as("n_candidates"),
+          sum(when(col("est") >= minSim, 1L).otherwise(0L)).as("n_verified"))
+        .select(
+          lit(bands.toLong).as("bands"),
+          lit((numPerms / bands).toLong).as("rows_per_band"),
+          col("n_candidates"),
+          coalesce(col("n_verified"), lit(0L)).as("n_verified"),
+          round(
+            when(col("n_candidates") === 0L, lit(0.0))
+              .otherwise(
+                coalesce(col("n_verified"), lit(0L)).cast("double") /
+                  col("n_candidates").cast("double")),
+            6).as("pass_rate"))
+    }
+    Seq(4, 8, 16).map(one).reduce(_ unionAll _)
+  }
+
+  def dedupSweepSql(minSim: Double = 0.7): String = {
+    def one(bands: Int): String = {
+      val r = 128 / bands
+      s"""SELECT CAST($bands AS BIGINT) AS bands,
+                CAST($r AS BIGINT) AS rows_per_band,
+                x.n_candidates, x.n_verified,
+                round(CASE WHEN x.n_candidates = 0 THEN 0.0
+                      ELSE x.n_verified::DOUBLE / x.n_candidates END, 6) AS pass_rate
+         FROM (
+           WITH $sigSql, bands AS (
+             SELECT doc_id, sig, unnest(
+               [list_reduce(list_prepend((b+1)::BIGINT, sig[b*$r+1 : b*$r+$r]),
+                            (acc, v) -> (acc*1000003 + v) % $P) FOR b IN range($bands)]) AS band
+             FROM sigs
+           ), small AS (
+             SELECT band FROM bands GROUP BY band HAVING count(*) <= 64
+           ), pruned AS (
+             SELECT bands.* FROM bands JOIN small USING (band)
+           ), cand AS (
+             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.sig AS sig_a, b.sig AS sig_b
+             FROM pruned a JOIN pruned b USING (band)
+             WHERE a.doc_id < b.doc_id
+           ), est AS (
+             SELECT doc_a, doc_b,
+               list_sum([CASE WHEN sig_a[i+1] = sig_b[i+1] THEN 1 ELSE 0 END
+                         FOR i IN range(128)])::DOUBLE / 128 AS e
+             FROM cand
+           )
+           SELECT (SELECT count(*) FROM est) AS n_candidates,
+                  (SELECT count(*) FROM est WHERE e >= $minSim) AS n_verified) x"""
+    }
+    Seq(4, 8, 16).map(one).mkString("\n UNION ALL\n")
+  }
+
   /** Per-document 32-bit SimHash plus its 4 × 8-bit segments — the
     * pigeonhole keys for Hamming-distance joins (near-dups within
     * distance d ≤ 3 must share ≥1 segment). Oracle-checked: the DuckDB

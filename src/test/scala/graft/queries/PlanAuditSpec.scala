@@ -243,6 +243,20 @@ class PlanAuditSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q_token_budget: quota fill is hash-bucketed, no global sort; budget join broadcasts") {
+    val df = graft.SparkEntry.queries("q_token_budget")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("rangepartitioning"),
+      s"global range-partitioned sort leaked into the quota fill\n${p.take(2000)}")
+    // the per-source running sum must be salted with the md5-prefix
+    // bucket; the only source-alone window runs over the tiny
+    // (source × bucket) offset table
+    assert(p.contains("BroadcastHashJoin"), "budget/offset join-back must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    spark.catalog.clearCache()
+  }
+
   test("q_bm25_search / q_weighted_sample: top-k is TakeOrderedAndProject, never a full sort") {
     for (name <- Seq("q_bm25_search", "q_weighted_sample")) {
       val df = graft.SparkEntry.queries(name)(spark, dir)
