@@ -51,6 +51,7 @@ object SparkEntry {
     "q_trace_to_events" -> (PipelineQueries.traceToEvents _),
     "q_trace_to_events_differential" -> (PipelineQueries.traceToEventsDifferential _),
     "q_trace_to_events_advanced" -> (PipelineQueries.traceToEventsAdvanced _),
+    "q_trace_to_events_banded" -> (PipelineQueries.traceToEventsBanded _),
     "q_trace_to_events_advanced_expr" -> (PipelineQueries.traceToEventsAdvancedExpr _),
     "q_frame_assembly" -> (PipelineQueries.frameAssembly _),
     "q_nexus_frame_table" -> (PipelineQueries.nexusFrameTable _),
@@ -115,6 +116,7 @@ object SparkEntry {
     "q_epoch_shuffle" -> (CurationQueries.epochShuffle _),
     "q_token_budget" -> ((s: SparkSession, d: String) => CurationQueries.tokenBudget(s, d)),
     "q_dedup_sweep" -> ((s: SparkSession, d: String) => DedupQueries.dedupSweep(s, d)),
+    "q_incremental_dedup" -> ((s: SparkSession, d: String) => DedupQueries.incrementalDedup(s, d)),
     "q_decontaminate" -> (CurationQueries.decontaminate _),
     "q_bloom_prune" -> (CurationQueries.bloomPrune _),
     "q_quality_score" -> (CurationQueries.qualityScore _),
@@ -300,6 +302,7 @@ object SparkEntry {
     "q_epoch_shuffle" -> CurationQueries.epochShuffleSql,
     "q_token_budget" -> CurationQueries.tokenBudgetSql(),
     "q_dedup_sweep" -> DedupQueries.dedupSweepSql(),
+    "q_incremental_dedup" -> DedupQueries.incrementalDedupSql(),
     "q_decontaminate" -> CurationQueries.decontaminateSql,
     "q_bloom_prune" -> CurationQueries.bloomPruneSql,
     "q_quality_score" -> CurationQueries.qualityScoreSql,
@@ -401,6 +404,7 @@ object SparkEntry {
     "q_trace_to_events" -> PipelineQueries.traceToEventsSql,
     "q_trace_to_events_differential" -> PipelineQueries.traceToEventsDifferentialSql,
     "q_trace_to_events_advanced" -> PipelineQueries.traceToEventsAdvancedSql,
+    "q_trace_to_events_banded" -> PipelineQueries.traceToEventsBandedSql,
     "q_trace_to_events_advanced_expr" -> PipelineQueries.traceToEventsAdvancedSql,
     "q_sim_schedule" -> PipelineQueries.simScheduleSql,
     "q_wire_roundtrip" -> PipelineQueries.wireRoundtripSql,

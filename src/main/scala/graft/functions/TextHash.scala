@@ -93,22 +93,50 @@ object TextHash {
     else Array.tabulate(t.length - n + 1)(i => t.slice(i, i + n).mkString(" ")).distinct
   }
 
+  /** The universal-family constants (a_i, b_i) for permutations
+    * 0..n−1, cached per size: [[permHash]] re-derives them per call,
+    * which in the signature kernel would mean 2 extra mul+mod per
+    * (shingle, perm) pair — at 128 perms that is ~40% of the kernel.
+    * Values are EXACTLY permHash's (the cache is a pure hoist).
+    */
+  @volatile private var permCache: (Int, Array[Long], Array[Long]) = (0, Array.empty, Array.empty)
+
+  private def permConsts(n: Int): (Array[Long], Array[Long]) = {
+    val c = permCache
+    if (c._1 >= n) (c._2, c._3)
+    else {
+      val as = Array.tabulate(n)(i => 1L + ((i.toLong * 1103515245L + 12345L) % (P - 1L)))
+      val bs = Array.tabulate(n)(i => (i.toLong * 2654435761L + 1013904223L) % P)
+      permCache = (n, as, bs)
+      (as, bs)
+    }
+  }
+
   /** MinHash signature: entry i = min over shingles of
     * [[permHash]](polyHash(shingle), i). Standard estimator: Jaccard ≈
     * fraction of equal signature positions.
+    *
+    * Loop shape: shingle-outer with hoisted (a, b) constant arrays —
+    * each base hash loads once and streams through all perms; identical
+    * values to the naive perm-outer [[permHash]] loop (property-locked
+    * in TextHashSpec).
     */
   def minhashSignature(shingleSet: Array[String], numPerms: Int): Array[Long] = {
-    val base = shingleSet.map(polyHash)
-    Array.tabulate(numPerms) { i =>
-      var min = Long.MaxValue
-      var j = 0
-      while (j < base.length) {
-        val h = permHash(base(j), i.toLong)
-        if (h < min) min = h
-        j += 1
+    if (shingleSet.isEmpty) return Array.fill(numPerms)(0L)
+    val (as, bs) = permConsts(numPerms)
+    val sig = Array.fill(numPerms)(Long.MaxValue)
+    var j = 0
+    while (j < shingleSet.length) {
+      val h = polyHash(shingleSet(j))
+      var i = 0
+      while (i < numPerms) {
+        val v = (as(i) * h + bs(i)) % P
+        if (v < sig(i)) sig(i) = v
+        i += 1
       }
-      if (base.isEmpty) 0L else min
+      j += 1
     }
+    sig
   }
 
   /** Estimated Jaccard similarity from two MinHash signatures. */

@@ -261,6 +261,121 @@ object DedupQueries {
     Seq(4, 8, 16).map(one).mkString("\n UNION ALL\n")
   }
 
+  /** Incremental dedup-index maintenance — the batch-increment shape of
+    * corpus growth at 100 TB: an md5-split 20% of documents play the
+    * newly-arrived DELTA, the other 80% the EXISTING corpus whose
+    * persisted band index is the only thing the delta touches (the text
+    * of the existing corpus is never rescanned). Each new document:
+    * candidate duplicates = index docs sharing ≥1 of its 8 band keys,
+    * verified duplicates = candidates with estimated Jaccard ≥ `minSim`
+    * (the [[minhashPairs]] rule), `dup_of` = the smallest verified index
+    * doc (lowest-id-canonical), `admitted` = no verified duplicate, and
+    * `n_new_bands` = how many of its band keys the index has never seen
+    * (what an admission would append). The batch twin of
+    * [[graft.queries.StreamingQueries.streamMinhashDedup]]'s state
+    * update, WITH the verification step streaming state cannot afford.
+    *
+    * Scale: the index is the banded sketch artifact (one narrow row per
+    * (band, doc)); the delta joins on band keys, signatures travel only
+    * for surviving candidate pairs, and per-band fan-out is bounded by
+    * the same mega-bucket logic as the pair kernel (a production index
+    * stores bands bucketed/sorted by key, so this join is index-local).
+    */
+  def incrementalDedup(s: SparkSession, dir: String, minSim: Double = 0.7): DataFrame = {
+    val sigUdf = udf { (text: String) =>
+      TextHash.minhashSignature(TextHash.shingles(text, 1), 128)
+    }
+    val bandUdf = udf { (sig: Seq[Long]) => TextHash.bandKeys(sig.toArray, 8) }
+    val estUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+      TextHash.estimatedJaccard(a.toArray, b.toArray)
+    }
+    // one signature pass over the corpus feeds both sides of the split —
+    // same clearCache() session contract as the other sketch tables
+    val all = Tables
+      .documents(s, dir)
+      .filter(length(regexp_replace(col("text"), lit(" "), lit(""))) > 0)
+      .select(
+        col("doc_id"),
+        sigUdf(col("text")).as("sig"),
+        (expr(
+          "cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 4), 16, 10) as long)")
+          % 5 === 0).as("arrival"))
+      .persist()
+    val idxBands = all
+      .filter(!col("arrival"))
+      .select(col("doc_id").as("idx_id"), col("sig").as("idx_sig"))
+      .withColumn("band", explode(bandUdf(col("idx_sig"))))
+    val newDocs = all.filter(col("arrival")).select(col("doc_id"), col("sig"))
+    val newBands = newDocs.withColumn("band", explode(bandUdf(col("sig"))))
+    val pairs = newBands
+      .join(idxBands, Seq("band"))
+      .select(col("doc_id"), col("sig"), col("idx_id"), col("idx_sig"))
+      .dropDuplicates("doc_id", "idx_id")
+      .withColumn("est", estUdf(col("sig"), col("idx_sig")))
+    val perDoc = pairs
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("est") >= minSim, 1L).otherwise(0L)).as("n_dups"),
+        min(when(col("est") >= minSim, col("idx_id"))).as("dup_of"))
+    val freshBands = newBands
+      .join(idxBands.select(col("band")).distinct(), Seq("band"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_new_bands"))
+    newDocs
+      .select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(freshBands, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("dup_of"),
+        (coalesce(col("n_dups"), lit(0L)) === 0L).as("admitted"),
+        coalesce(col("n_new_bands"), lit(0L)).as("n_new_bands"))
+  }
+
+  def incrementalDedupSql(minSim: Double = 0.7): String =
+    s"""WITH $sigSql, split AS (
+         SELECT doc_id, sig,
+                CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                  % 5 = 0 AS arrival
+         FROM sigs
+       ), banded AS (
+         SELECT doc_id, sig, arrival, unnest(
+           [list_reduce(list_prepend((b+1)::BIGINT, sig[b*16+1 : b*16+16]),
+                        (acc, v) -> (acc*1000003 + v) % $P) FOR b IN range(8)]) AS band
+         FROM split
+       ), idx AS (SELECT doc_id AS idx_id, sig AS idx_sig, band FROM banded WHERE NOT arrival),
+       newb AS (SELECT doc_id, sig, band FROM banded WHERE arrival),
+       pairs AS (
+         SELECT DISTINCT n.doc_id, n.sig, i.idx_id, i.idx_sig
+         FROM newb n JOIN idx i USING (band)
+       ), est AS (
+         SELECT doc_id, idx_id,
+           list_sum([CASE WHEN sig[i+1] = idx_sig[i+1] THEN 1 ELSE 0 END
+                     FOR i IN range(128)])::DOUBLE / 128 AS e
+         FROM pairs
+       ), per_doc AS (
+         SELECT doc_id, count(*) AS n_candidates,
+                sum(CASE WHEN e >= $minSim THEN 1 ELSE 0 END) AS n_dups,
+                min(CASE WHEN e >= $minSim THEN idx_id END) AS dup_of
+         FROM est GROUP BY doc_id
+       ), fresh AS (
+         SELECT n.doc_id, count(*) AS n_new_bands
+         FROM newb n ANTI JOIN (SELECT DISTINCT band FROM idx) i USING (band)
+         GROUP BY n.doc_id
+       )
+       SELECT s.doc_id,
+              CAST(COALESCE(p.n_candidates, 0) AS BIGINT) AS n_candidates,
+              CAST(COALESCE(p.n_dups, 0) AS BIGINT) AS n_dups,
+              p.dup_of,
+              COALESCE(p.n_dups, 0) = 0 AS admitted,
+              CAST(COALESCE(f.n_new_bands, 0) AS BIGINT) AS n_new_bands
+       FROM (SELECT DISTINCT doc_id FROM split WHERE arrival) s
+       LEFT JOIN per_doc p USING (doc_id)
+       LEFT JOIN fresh f USING (doc_id)"""
+
   /** Per-document 32-bit SimHash plus its 4 × 8-bit segments — the
     * pigeonhole keys for Hamming-distance joins (near-dups within
     * distance d ≤ 3 must share ≥1 segment). Oracle-checked: the DuckDB

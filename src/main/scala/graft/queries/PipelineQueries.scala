@@ -247,8 +247,18 @@ object PipelineQueries {
     * the FSM's `>=`/`<=` update rule); the assembler's degradient
     * correction and the saturating u16 cast are replicated verbatim.
     */
-  val traceToEventsAdvancedSql: String =
-    """WITH RECURSIVE samp AS (
+  val traceToEventsAdvancedSql: String = advancedChainSql(None)
+
+  /** The advanced-chain oracle, optionally with the P4 amplitude band
+    * applied to the degradient-CORRECTED peak double (exactly where the
+    * Scala assembler filter compares it — before the saturating u16
+    * cast), msg counts over the filtered events.
+    */
+  private def advancedChainSql(band: Option[(Double, Double)]): String = {
+    val bandPredicate = band
+      .map { case (lo, hi) => s"WHERE corr >= $lo AND corr <= $hi" }
+      .getOrElse("")
+    s"""WITH RECURSIVE samp AS (
          SELECT f, d, c, j, CAST(50 + ((f*31 + d*13 + c*7 + j*11) % 400) AS DOUBLE) AS v
          FROM range(8) rf(f), range(4) rd(d), range(8) rc(c), range(500) rj(j)
        ), sm AS (
@@ -317,16 +327,59 @@ object PipelineQueries {
                   fl.t_p, fl.t_sr
        ), ev AS (
          SELECT f, d, c, CAST(t_sr AS BIGINT) AS t,
-                CAST(trunc(least(greatest(
-                  peak_val - (peak_val - start_val) *
-                    (CAST(t_p - k1 AS DOUBLE) / CAST(t_n - k1 AS DOUBLE)),
-                  0.0), 65535.0)) AS INT) AS h
-         FROM fall2
+                CAST(trunc(least(greatest(corr, 0.0), 65535.0)) AS INT) AS h
+         FROM (SELECT *,
+                 peak_val - (peak_val - start_val) *
+                   (CAST(t_p - k1 AS DOUBLE) / CAST(t_n - k1 AS DOUBLE)) AS corr
+               FROM fall2) z
+         $bandPredicate
        ), msg AS (SELECT f, d, count(*)::INT AS n FROM ev GROUP BY f, d)
        SELECT e.d::INT AS "digitizerId", e.f::BIGINT AS frame_number,
               m.n AS n_events, e.t AS event_time,
               e.h AS event_voltage, (e.d*8 + e.c)::BIGINT AS event_channel
        FROM ev e JOIN msg m ON e.f = m.f AND e.d = m.d"""
+  }
+
+  /** P4 — the amplitude band filter on the assembled advanced-muon
+    * pulses (`trace-to-events/src/channels.rs:163-175`): identical chain
+    * to [[traceToEventsAdvanced]] with `minAmplitude`/`maxAmplitude`
+    * set, so only pulses whose corrected peak lies in [150, 250] survive
+    * (the fixture's peaks cluster near 115 with a tail to ~400 — the
+    * band rejects ~97% of events and empties 13 of the 32 messages,
+    * exercising both the filter and the counts-after-filter surface).
+    * First oracle-backed coverage of P4, which DspSpec only locked with
+    * reference vectors.
+    */
+  def traceToEventsBanded(s: SparkSession, dir: String): DataFrame =
+    EventFormation
+      .formEvents(
+        TraceFixtures.arithmeticTraces(s, nFrames = 8, nDigitizers = 4),
+        DetectorSettings(
+          AdvancedMuon(
+            muonOnset = 2.0,
+            muonFall = -2.0,
+            muonTermination = -0.5,
+            duration = 0.0,
+            baselineLength = None,
+            smoothingWindowSize = Some(3),
+            minAmplitude = Some(150.0),
+            maxAmplitude = Some(250.0)),
+          baseline = 0.0))
+      .toDF()
+      .select(
+        col("digitizerId"),
+        col("metadata.frameNumber").as("frame_number"),
+        size(col("time")).as("n_events"),
+        explode(arrays_zip(col("time"), col("voltage"), col("channel"))).as("ev"))
+      .select(
+        col("digitizerId"),
+        col("frame_number"),
+        col("n_events"),
+        col("ev.time").as("event_time"),
+        col("ev.voltage").as("event_voltage"),
+        col("ev.channel").as("event_channel"))
+
+  val traceToEventsBandedSql: String = advancedChainSql(Some((150.0, 250.0)))
 
   /** The arithmetic dev2 fixture shared by [[frameAssembly]],
     * [[streamFrameAssembly]], [[nexusFrameTable]], [[nexusEventTable]]

@@ -32,6 +32,22 @@ class TextHashSpec extends AnyFunSuite {
     assert(TextHash.bandKeys(s1, 16).toSeq === TextHash.bandKeys(s2, 16).toSeq)
   }
 
+  test("minhash signature equals the naive perm-outer permHash construction") {
+    // the hoisted-constant, shingle-outer kernel must be a pure loop
+    // reshape of min over permHash(polyHash(s), i) — checked for several
+    // sizes incl. an empty set (all-zero signature) and numPerms ≠ 128
+    val rng = new Random(11)
+    for (n <- Seq(0, 1, 7, 80); perms <- Seq(16, 128)) {
+      val sh = Array.fill(n)(s"tok${rng.nextInt(500)}").distinct
+      val fast = TextHash.minhashSignature(sh, perms)
+      val naive = Array.tabulate(perms) { i =>
+        val hs = sh.map(x => TextHash.permHash(TextHash.polyHash(x), i.toLong))
+        if (hs.isEmpty) 0L else hs.min
+      }
+      assert(fast.toSeq === naive.toSeq, s"n=$n perms=$perms")
+    }
+  }
+
   test("simhash: similar documents have small hamming distance") {
     val base = (0 until 100).map(i => s"tok${i % 37}").mkString(" ")
     val nearDup = base + " extra token tail"

@@ -53,4 +53,39 @@ class DedupSpec extends AnyFunSuite {
       "sweep(bands=8).n_verified must equal q_minhash_pairs row count")
     spark.catalog.clearCache()
   }
+
+  test("incremental dedup: verdicts consistent with an independent kernel recompute") {
+    import graft.functions.TextHash
+    val out = DedupQueries.incrementalDedup(spark, sf).collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_dups"),
+          Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong),
+          r.getAs[Boolean]("admitted"), r.getAs[Long]("n_new_bands"))
+    }.toMap
+    // recompute the split + signatures straight from the parquet text
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .filter(_._2.replace(" ", "").nonEmpty).toMap
+    def md5hex(x: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def isArrival(id: Long) = java.lang.Long.parseLong(md5hex(id).take(4), 16) % 5 == 0
+    val arrivals = docs.keySet.filter(isArrival)
+    assert(out.keySet === arrivals, "one verdict per arrival doc, none for index docs")
+    def sig(id: Long) = TextHash.minhashSignature(TextHash.shingles(docs(id), 1), 128)
+    out.foreach { case (id, (cand, dups, dupOf, admitted, newBands)) =>
+      assert(dups <= cand, s"doc $id")
+      assert(admitted === (dups == 0L), s"doc $id")
+      assert(dupOf.isDefined === (dups > 0L), s"doc $id")
+      assert(newBands <= 8L, s"doc $id")
+      dupOf.foreach { d =>
+        assert(!isArrival(d), s"doc $id: dup_of $d must be an index doc")
+        val est = TextHash.estimatedJaccard(sig(id), sig(d))
+        assert(est >= 0.7, s"doc $id vs $d: est $est")
+        assert(TextHash.bandKeys(sig(id), 8).intersect(TextHash.bandKeys(sig(d), 8)).nonEmpty,
+          s"doc $id vs $d must share a band")
+      }
+    }
+    spark.catalog.clearCache()
+  }
 }
