@@ -51,6 +51,53 @@ class ZOrderKeySpec extends AnyFunSuite {
     spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("N-dim interleave agrees with the bit-position model; codegen == interpreted (3 and 4 dims)") {
+    // independent model: bit i of dim d at position i*n + d
+    def modelN(vals: Array[Long]): Long = {
+      val n = vals.length
+      var r = 0L
+      for (d <- 0 until n; i <- 0 until 16)
+        r |= (((vals(d) & 0xffffL) >> i) & 1L) << (i * n + d)
+      r
+    }
+    val rnd = new scala.util.Random(13)
+    for (n <- Seq(3, 4)) {
+      val edge = Seq(
+        Array.fill(n)(0L), Array.fill(n)(0xffffL),
+        Array.tabulate(n)(d => if (d == 0) 0xffffL else 0L),
+        Array.tabulate(n)(d => if (d == n - 1) 0xffffL else 0L))
+      val all = edge ++ Seq.fill(300)(Array.fill(n)(rnd.nextLong().abs % 65536))
+      all.foreach { vals =>
+        assert(ZOrderKey.interleaveN(vals) === modelN(vals), vals.mkString(","))
+      }
+    }
+    // SQL surface, both execution paths
+    ZOrderKey.register(spark)
+    import spark.implicits._
+    val rows = Seq.fill(500)((
+      rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong,
+      rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val df = rows.toDF("a", "b", "c", "d")
+    for (codegen <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen)
+      df.select(col("a"), col("b"), col("c"), col("d"),
+        expr("z_order_key(a, b, c)").as("z3"),
+        expr("z_order_key(a, b, c, d)").as("z4")).collect().foreach { r =>
+        assert(r.getLong(4) ===
+          ZOrderKey.interleaveN(Array(r.getLong(0), r.getLong(1), r.getLong(2))), "z3")
+        assert(r.getLong(5) ===
+          ZOrderKey.interleaveN(Array(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))), "z4")
+      }
+    }
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // nulls propagate
+    val withNull = spark.sql("SELECT z_order_key(1L, 2L, CAST(NULL AS BIGINT)) AS z").collect()
+    assert(withNull.head.isNullAt(0))
+    // wrong arity still raises the analysis error
+    val err = intercept[Exception](spark.sql("SELECT z_order_key(1L)").collect())
+    assert(err.getMessage.contains("requires"), err.getMessage)
+  }
+
   test("layout write path: repartitionByRange(z) bounds BOTH dims per partition") {
     // the claim the audit query documents, proven on the actual write
     // shape: files ≙ range partitions of the z key; their per-file
