@@ -113,6 +113,7 @@ object SparkEntry {
     "q_substring_dedup" -> (CurationQueries.substringDedup _),
     "q_line_dedup" -> ((s: SparkSession, d: String) => CurationQueries.lineDedup(s, d)),
     "q_sequence_pack" -> (CurationQueries.sequencePack _),
+    "q_doc_chunk" -> (CurationQueries.docChunk _),
     "q_epoch_shuffle" -> (CurationQueries.epochShuffle _),
     "q_token_budget" -> ((s: SparkSession, d: String) => CurationQueries.tokenBudget(s, d)),
     "q_dedup_sweep" -> ((s: SparkSession, d: String) => DedupQueries.dedupSweep(s, d)),
@@ -188,6 +189,7 @@ object SparkEntry {
     "q_hll_distinct" -> ((s: SparkSession, d: String) => SketchQueries.hllDistinct(s, d)),
     "q_heavy_hitters" -> ((s: SparkSession, d: String) => SketchQueries.heavyHitters(s, d)),
     "q_quantile_sketch" -> (SketchQueries.quantileSketch _),
+    "q_bitmap_distinct" -> (SketchQueries.bitmapDistinct _),
     "q_inverted_index" -> (SearchQueries.invertedIndex _),
     "q_sessionize" -> (RelationalQueries.sessionize _),
     "q_session_window" -> (RelationalQueries.sessionWindow _),
@@ -210,6 +212,7 @@ object SparkEntry {
     "q_benford" -> (RelationalQueries.benfordDigits _),
     "q_concurrency" -> (RelationalQueries.concurrency _),
     "q_grouping_sets" -> (RelationalQueries.groupingSets _),
+    "q_overlap_join" -> ((s: SparkSession, d: String) => RelationalQueries.overlapJoin(s, d)),
     "q_zorder_layout" -> (RelationalQueries.zorderLayout _),
     "q_top_per_group" -> ((s: SparkSession, d: String) =>
       RelationalQueries.topPerGroup(s, d))
@@ -299,6 +302,7 @@ object SparkEntry {
     "q_substring_dedup" -> CurationQueries.substringDedupSql,
     "q_line_dedup" -> CurationQueries.lineDedupSql(),
     "q_sequence_pack" -> CurationQueries.sequencePackSql,
+    "q_doc_chunk" -> CurationQueries.docChunkSql,
     "q_epoch_shuffle" -> CurationQueries.epochShuffleSql,
     "q_token_budget" -> CurationQueries.tokenBudgetSql(),
     "q_dedup_sweep" -> DedupQueries.dedupSweepSql(),
@@ -382,6 +386,7 @@ object SparkEntry {
     "q_hll_distinct" -> SketchQueries.hllDistinctSql(),
     "q_heavy_hitters" -> SketchQueries.heavyHittersSql(),
     "q_quantile_sketch" -> SketchQueries.quantileSketchSql(),
+    "q_bitmap_distinct" -> SketchQueries.bitmapDistinctSql,
     "q_inverted_index" -> SearchQueries.invertedIndexSql,
     // sketch ops: DuckDB re-derives every hash from the text (mod-prime
     // universal family — see TextHash scaladoc)
@@ -419,6 +424,7 @@ object SparkEntry {
     "q_benford" -> RelationalQueries.benfordDigitsSql,
     "q_concurrency" -> RelationalQueries.concurrencySql,
     "q_grouping_sets" -> RelationalQueries.groupingSetsSql,
+    "q_overlap_join" -> RelationalQueries.overlapJoinSql,
     "q_zorder_layout" -> RelationalQueries.zorderLayoutSql,
     "q_top_per_group" -> RelationalQueries.topPerGroupSql(),
     // trace→event FSM chain over the closed-form TraceFixtures grid:

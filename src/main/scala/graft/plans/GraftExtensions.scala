@@ -64,5 +64,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "detect_pulses_advanced(samples, onset, fall, termination, duration, " +
             "baseline_length, smoothing_size) - three-phase muon FSM over a trace"),
         detectAdv))
+    // mergeable exact-distinct bitmap family (TypedImperativeAggregate →
+    // ObjectHashAggregateExec with map-side partial OR)
+    graft.functions.BitmapAgg.registrations.foreach(ext.injectFunction)
   }
 }

@@ -1433,4 +1433,91 @@ object CurationQueries {
                  CAST(count(*) AS DOUBLE) AS novelty_frac
         FROM grams JOIN fd USING (g)
         GROUP BY doc_id"""
+
+  /** RAG / context-window chunking defaults: 600-char chunks on a
+    * 400-char stride (50% of a chunk carries over into the next — the
+    * overlap retrieval pipelines use so no fact straddles a boundary
+    * unseen).
+    */
+  val ChunkChars = 600
+  val ChunkStride = 400
+
+  /** Fixed-size overlapping document chunking — the retrieval-corpus
+    * preparation step (RAG indexing, context-window packing): every
+    * document becomes chunks at offsets 0, stride, 2·stride, …, each
+    * [[ChunkChars]] characters (the last one shorter). Output is the
+    * per-document chunk manifest: chunk count, character/token totals,
+    * boundary lengths, and an order-sensitive content checksum (the
+    * mod-prime poly hash of each chunk weighted by its 1-based index) so
+    * the oracle pins exact chunk CONTENT and ORDER, not just counts.
+    *
+    * Scale: chunking is a pure per-row explode→project — zero shuffles
+    * until the per-doc re-aggregation, which partial-aggregates map-side
+    * (sums/min/max/count), so the wide exploded form never crosses the
+    * wire. At 100 TB the explode factor is n_chars/stride ≈ 2.5× chars —
+    * the downstream embedding pass dominates; this stage stays
+    * scan-bound. No UDF on the size/count legs; the checksum leg is the
+    * established SQL-reproducible [[TextHash.polyHash]] kernel.
+    */
+  def docChunk(s: SparkSession, dir: String): DataFrame = {
+    val polyUdf = udf { (chunk: String) => TextHash.polyHash(chunk) }
+    val chunks = Tables
+      .documents(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(
+        col("doc_id"),
+        col("text"),
+        explode(sequence(lit(0), length(col("text")) - 1, lit(ChunkStride))).as("off"))
+      .select(
+        col("doc_id"),
+        ((col("off") / ChunkStride).cast("long") + 1).as("idx"),
+        expr(s"substring(text, off + 1, $ChunkChars)").as("chunk"))
+      .select(
+        col("doc_id"),
+        col("idx"),
+        length(col("chunk")).cast("long").as("clen"),
+        size(filter(split(col("chunk"), " ", -1), w => w =!= lit("")))
+          .cast("long")
+          .as("ctok"),
+        polyUdf(col("chunk")).as("chash"))
+    chunks
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum("clen").as("total_chunk_chars"),
+        sum("ctok").as("total_chunk_tokens"),
+        max(when(col("idx") === 1, col("clen"))).as("first_len"),
+        max_by(col("clen"), col("idx")).as("last_len"),
+        sum(col("idx") * col("chash")).as("chunk_checksum"))
+  }
+
+  /** DuckDB oracle for [[docChunk]]: the same offset grid, substring,
+    * token filter, and weighted poly-hash checksum, re-derived in SQL.
+    */
+  val docChunkSql: String = {
+    val poly = SketchQueries.polySql("chunk")
+    s"""WITH d AS (
+         SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0
+       ), offs AS (
+         SELECT doc_id, text, i AS off
+         FROM d, unnest(generate_series(0, n - 1, $ChunkStride)) AS s(i)
+       ), ch AS (
+         SELECT doc_id, off // $ChunkStride + 1 AS idx,
+                substring(text, off + 1, $ChunkChars) AS chunk
+         FROM offs
+       ), st AS (
+         SELECT doc_id, idx,
+                length(chunk) AS clen,
+                len(list_filter(string_split(chunk, ' '), w -> w <> '')) AS ctok,
+                $poly AS chash
+         FROM ch
+       )
+       SELECT doc_id, count(*) AS n_chunks,
+              CAST(sum(clen) AS BIGINT) AS total_chunk_chars,
+              CAST(sum(ctok) AS BIGINT) AS total_chunk_tokens,
+              max(CASE WHEN idx = 1 THEN clen END) AS first_len,
+              max_by(clen, idx) AS last_len,
+              CAST(sum(idx * chash) AS BIGINT) AS chunk_checksum
+       FROM st GROUP BY doc_id"""
+  }
 }

@@ -2594,4 +2594,79 @@ object RelationalQueries {
               count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
        FROM lineitem
        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"""
+
+  /** Interval-OVERLAP join via the bin-bucketing rewrite — the range-join
+    * shape Spark has no native operator for (its inequality joins plan as
+    * nested loops). Each lineitem carries a deterministic transit window
+    * [shipdate, shipdate + 1 + orderkey % 14 days]; the query counts, per
+    * supplier, the pairs of that supplier's shipments whose windows
+    * overlap, plus their total overlap days — the "concurrent shipments"
+    * question every logistics/sessions dataset asks.
+    *
+    * The rewrite: quantize time into W-day bins sized to the max interval
+    * length, explode each interval to the bins it touches (≤ 2 here), and
+    * equi-join on (supplier, bin). A pair sharing several bins is counted
+    * once without a distinct: it is kept only in the bin containing the
+    * later start (`bin == greatest(floor(a.s/W), floor(b.s/W))` — that bin
+    * is covered by both intervals whenever they overlap, and is unique).
+    *
+    * Scale: the naive predicate `a.s <= b.e AND b.s <= a.e` forces a
+    * nested-loop/cartesian plan — O(n²) per supplier and a broadcast of a
+    * whole side. The bin rewrite is a plain shuffled equi-join on
+    * (suppkey, bin): candidate pairs are only those near in time, work is
+    * proportional to true collisions, AQE handles skewed bins, and the
+    * explode factor is bounded by ⌈len/W⌉+1 ≤ 2 by construction.
+    * PlanAuditSpec locks the equi-join (no BNLJ/cartesian).
+    */
+  def overlapJoin(s: SparkSession, dir: String, binDays: Int = 16): DataFrame = {
+    val iv = Tables
+      .lineitem(s, dir)
+      .select(
+        col("l_suppkey"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+        to_date(col("l_shipdate")).as("s"),
+        date_add(to_date(col("l_shipdate")), (lit(1) + col("l_orderkey") % 14).cast("int"))
+          .as("e"))
+      .withColumn("sday", datediff(col("s"), lit("1970-01-01").cast("date")))
+      .withColumn("eday", datediff(col("e"), lit("1970-01-01").cast("date")))
+    val binned = iv.withColumn(
+      "bin",
+      explode(sequence(floor(col("sday") / binDays), floor(col("eday") / binDays))))
+    val a = binned.alias("a")
+    val b = binned.alias("b")
+    a.join(
+        b,
+        col("a.l_suppkey") === col("b.l_suppkey") &&
+          col("a.bin") === col("b.bin") &&
+          col("a.id") < col("b.id") &&
+          col("a.s") <= col("b.e") && col("b.s") <= col("a.e") &&
+          col("a.bin") === greatest(
+            floor(col("a.sday") / binDays),
+            floor(col("b.sday") / binDays)))
+      .groupBy(col("a.l_suppkey").as("l_suppkey"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(
+          datediff(least(col("a.e"), col("b.e")), greatest(col("a.s"), col("b.s"))) + 1)
+          .as("overlap_days"))
+  }
+
+  /** DuckDB oracle for [[overlapJoin]]: the naive O(n²)-per-supplier
+    * overlap join — tractable at oracle scale, value-identical to the
+    * binned rewrite by construction.
+    */
+  val overlapJoinSql: String =
+    """WITH iv AS (
+         SELECT l_suppkey,
+                l_orderkey * 10 + l_linenumber AS id,
+                CAST(l_shipdate AS DATE) AS s,
+                CAST(l_shipdate AS DATE) + CAST(1 + l_orderkey % 14 AS INT) AS e
+         FROM lineitem)
+       SELECT a.l_suppkey, count(*) AS n_pairs,
+              CAST(sum(datediff('day', greatest(a.s, b.s), least(a.e, b.e)) + 1) AS BIGINT)
+                AS overlap_days
+       FROM iv a JOIN iv b
+         ON a.l_suppkey = b.l_suppkey AND a.id < b.id
+        AND a.s <= b.e AND b.s <= a.e
+       GROUP BY 1"""
 }

@@ -382,4 +382,52 @@ object SketchQueries {
          ON c.d = dd.d
         AND c.bucket = (${permSql("t.h", "100 + dd.d")}) % $width
        GROUP BY 1, 2"""
+
+  /** Exact distinct users per event type via the mergeable paged-bitmap
+    * aggregate ([[graft.functions.BitmapDistinct]]) — the exact tier of
+    * the sketch family, for bounded id domains (user ids, device ids)
+    * where a 100 TB deployment pre-aggregates per-day bitmap summaries
+    * and answers any rollup window by OR-ing bytes instead of
+    * re-scanning the fact table.
+    *
+    * Two legs, both checked against `count(DISTINCT user_id)`:
+    *   - `n_users`: one-pass `bitmap_distinct` straight off the facts;
+    *   - `n_users_rollup`: per-(type, day) `bitmap_build` summaries
+    *     OR-merged by `bitmap_merge_count` — the reaggregation path, the
+    *     whole reason bitmaps beat the built-in exact distinct (which is
+    *     exact but not mergeable: a stored per-day count can never roll
+    *     up to a month).
+    *
+    * Scale: both legs are ObjectHashAggregateExec with map-side partial
+    * OR — no Expand, no distinct-key two-phase shuffle. Per-partition
+    * state is one bitmap per group: for n distinct ids, at worst a few
+    * bytes per sparse id and 1 bit per dense id (presence-mask page
+    * serialization, [[graft.functions.PagedBitmap.toBytes]]). The rollup
+    * leg's shuffle moves days×types serialized bitmaps, not fact rows.
+    * Plan lock: PlanAuditSpec asserts ObjectHashAggregate and no Expand.
+    */
+  def bitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.BitmapAgg.register(s)
+    val ev = Tables
+      .events(s, dir)
+      .select(col("event_type"), col("user_id"), to_date(col("ts")).as("day"))
+    val direct = ev
+      .groupBy(col("event_type"))
+      .agg(expr("bitmap_distinct(user_id)").as("n_users"))
+    val rollup = ev
+      .groupBy(col("event_type"), col("day"))
+      .agg(expr("bitmap_build(user_id)").as("bm"))
+      .groupBy(col("event_type"))
+      .agg(expr("bitmap_merge_count(bm)").as("n_users_rollup"))
+    direct.join(rollup, "event_type")
+  }
+
+  /** DuckDB oracle for [[bitmapDistinct]]: both bitmap legs are EXACT, so
+    * the oracle is simply the exact distinct count twice.
+    */
+  def bitmapDistinctSql: String =
+    """SELECT event_type,
+              count(DISTINCT user_id) AS n_users,
+              count(DISTINCT user_id) AS n_users_rollup
+       FROM events GROUP BY event_type"""
 }

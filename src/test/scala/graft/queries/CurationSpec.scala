@@ -508,4 +508,40 @@ class CurationSpec extends AnyFunSuite {
     }
     spark.catalog.clearCache()
   }
+
+  test("doc chunk: grid boundaries — stride-fit, stride+1, multi-chunk, and 1-char docs") {
+    import CurationQueries.{ChunkChars, ChunkStride}
+    val texts = Seq(
+      1L -> "x", // 1 chunk of 1 char
+      2L -> ("a " * 200).trim, // 399 chars → 1 chunk
+      3L -> "b" * (ChunkStride + 1), // 401 chars → 2 chunks (second = 1 char)
+      4L -> ("w " * 500).trim) // 999 chars → 3 chunks: 600, 599, 199
+    withDocs(texts.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }) { dir =>
+      val out = CurationQueries
+        .docChunk(spark, dir)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> r)
+        .toMap
+      def model(t: String) = {
+        val offs = 0 to (t.length - 1) by ChunkStride
+        offs.map(o => t.substring(o, math.min(o + ChunkChars, t.length)))
+      }
+      for ((id, t) <- texts) {
+        val chunks = model(t)
+        val r = out(id)
+        assert(r.getAs[Long]("n_chunks") == chunks.length.toLong, s"doc $id")
+        assert(r.getAs[Long]("total_chunk_chars") == chunks.map(_.length.toLong).sum, s"doc $id")
+        assert(
+          r.getAs[Long]("total_chunk_tokens") ==
+            chunks.map(_.split(" ", -1).count(_.nonEmpty).toLong).sum,
+          s"doc $id")
+        assert(r.getAs[Long]("first_len") == chunks.head.length.toLong, s"doc $id")
+        assert(r.getAs[Long]("last_len") == chunks.last.length.toLong, s"doc $id")
+        val checksum = chunks.zipWithIndex.map { case (c, i) =>
+          (i + 1).toLong * graft.functions.TextHash.polyHash(c)
+        }.sum
+        assert(r.getAs[Long]("chunk_checksum") == checksum, s"doc $id")
+      }
+    }
+  }
 }

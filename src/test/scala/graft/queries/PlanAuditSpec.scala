@@ -621,4 +621,33 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!p.contains("windowspecdefinition"), s"$name must not need a window")
     }
   }
+
+  test("q_overlap_join: bin rewrite plans an EQUI join — no nested loop, no cartesian") {
+    val p = plan("q_overlap_join")
+    // the naive overlap predicate (a.s <= b.e AND b.s <= a.e) would force
+    // BroadcastNestedLoopJoin; the (suppkey, bin) bucketing must keep it
+    // a keyed hash/merge join with the range predicates as residuals
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(
+      p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"),
+      p.take(2000))
+  }
+
+  test("q_doc_chunk: chunk explode never crosses the wire — partial agg before one exchange") {
+    val p = plan("q_doc_chunk")
+    assert(!p.contains("CartesianProduct"))
+    // the exploded chunk rows reduce map-side; only per-doc partials shuffle
+    assert(p.contains("partial_"), "chunk stats must partial-aggregate map-side\n" + p.take(1500))
+    assert(p.contains("Generate explode"), p.take(1500))
+  }
+
+  test("q_bitmap_distinct: ObjectHashAggregate tier, no Expand, both legs partial-agg") {
+    val p = plan("q_bitmap_distinct")
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(!p.contains("Expand"), "bitmap distinct must not plan the multi-distinct Expand")
+    assert(p.contains("partial_bitmap_distinct") || p.contains("partial_bitmapdistinct"),
+      "map-side partial OR must run before the shuffle\n" + p.take(2000))
+  }
 }

@@ -373,4 +373,47 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(sky.sortBy(_._1).toSeq == expected.sortBy(_._1).toSeq)
     assert(sky.nonEmpty)
   }
+
+  test("overlap join: binned rewrite == naive O(n²) overlap model on sf0.001") {
+    val got = RelationalQueries
+      .overlapJoin(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("l_suppkey"), (r.getAs[Long]("n_pairs"), r.getAs[Long]("overlap_days"))))
+      .toMap
+    // brute-force model straight off the interval definition
+    val iv = graft.Tables
+      .lineitem(spark, dir)
+      .selectExpr(
+        "l_suppkey",
+        "l_orderkey * 10 + l_linenumber AS id",
+        "CAST(to_date(l_shipdate) AS DATE) AS s",
+        "date_add(to_date(l_shipdate), CAST(1 + l_orderkey % 14 AS INT)) AS e")
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("l_suppkey"), r.getAs[Long]("id"),
+          r.getAs[java.sql.Date]("s").toLocalDate.toEpochDay,
+          r.getAs[java.sql.Date]("e").toLocalDate.toEpochDay))
+    val expect = iv
+      .groupBy(_._1)
+      .flatMap { case (supp, rows) =>
+        val pairs = for {
+          a <- rows; b <- rows
+          if a._2 < b._2 && a._3 <= b._4 && b._3 <= a._4
+        } yield math.min(a._4, b._4) - math.max(a._3, b._3) + 1
+        if (pairs.isEmpty) None
+        else Some(supp -> (pairs.size.toLong, pairs.sum))
+      }
+    assert(got == expect.toMap)
+    assert(got.nonEmpty)
+  }
+
+  test("overlap join: pair-dedup bin condition is exact for bin-width variants") {
+    // shrink the bin so intervals span MANY bins — the greatest-start
+    // condition must still count each overlapping pair exactly once
+    val wide = RelationalQueries.overlapJoin(spark, dir, binDays = 16).collect()
+    val narrow = RelationalQueries.overlapJoin(spark, dir, binDays = 3).collect()
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(key(wide) == key(narrow))
+  }
 }
