@@ -213,6 +213,9 @@ object SparkEntry {
     "q_concurrency" -> (RelationalQueries.concurrency _),
     "q_grouping_sets" -> (RelationalQueries.groupingSets _),
     "q_overlap_join" -> ((s: SparkSession, d: String) => RelationalQueries.overlapJoin(s, d)),
+    "q_weighted_quantiles" -> ((s: SparkSession, d: String) =>
+      RelationalQueries.weightedQuantiles(s, d)),
+    "q_interpolate" -> ((s: SparkSession, d: String) => RelationalQueries.interpolateSeries(s, d)),
     "q_zorder_layout" -> (RelationalQueries.zorderLayout _),
     "q_top_per_group" -> ((s: SparkSession, d: String) =>
       RelationalQueries.topPerGroup(s, d))
@@ -425,6 +428,8 @@ object SparkEntry {
     "q_concurrency" -> RelationalQueries.concurrencySql,
     "q_grouping_sets" -> RelationalQueries.groupingSetsSql,
     "q_overlap_join" -> RelationalQueries.overlapJoinSql,
+    "q_weighted_quantiles" -> RelationalQueries.weightedQuantilesSql,
+    "q_interpolate" -> RelationalQueries.interpolateSeriesSql(),
     "q_zorder_layout" -> RelationalQueries.zorderLayoutSql,
     "q_top_per_group" -> RelationalQueries.topPerGroupSql(),
     // trace→event FSM chain over the closed-form TraceFixtures grid:

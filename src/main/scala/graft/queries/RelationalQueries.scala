@@ -2669,4 +2669,206 @@ object RelationalQueries {
          ON a.l_suppkey = b.l_suppkey AND a.id < b.id
         AND a.s <= b.e AND b.s <= a.e
        GROUP BY 1"""
+
+  /** Exact WEIGHTED quantiles (p25 / median / p75 of price, weighted by
+    * quantity) per return flag — without the global per-group sort the
+    * textbook cumulative-weight window needs. The lower weighted
+    * quantile: smallest v whose cumulative weight reaches q of the
+    * total; all thresholds are integer arithmetic (`b·cum ≥ a·total`),
+    * so engines agree bit-for-bit.
+    *
+    * The sort-free construction (the [[userDeciles]] / quantileSketch
+    * bucket pattern, upgraded to weighted + exact): (1) pre-aggregate
+    * (flag, value) → integer weight — one partial-agg shuffle;
+    * (2) histogram the values into a BOUNDED bucket grid (global min/max
+    * broadcast), prefix-sum cumulative weights over the tiny bucket
+    * table; (3) locate, per quantile, the one bucket where the threshold
+    * crosses; (4) order only INSIDE that bucket (≈ n/buckets rows) with
+    * the bucket's prefix as carry. Windows run over the bucket table and
+    * single-bucket slices — never over the full value set, so no
+    * single-partition-per-group sort at any scale. PlanAuditSpec locks
+    * the shape.
+    */
+  def weightedQuantiles(s: SparkSession, dir: String, nBuckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vw = Tables
+      .lineitem(s, dir)
+      .select(
+        col("l_returnflag"),
+        col("l_extendedprice").as("v"),
+        col("l_quantity").cast("long").as("wt"))
+      .groupBy(col("l_returnflag"), col("v"))
+      .agg(sum(col("wt")).as("wt"))
+      .persist()
+    val mm = vw.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    val bucketed = vw
+      .crossJoin(broadcast(mm))
+      .withColumn(
+        "bkt",
+        least(
+          lit(nBuckets - 1),
+          floor((col("v") - col("vmin")) / ((col("vmax") - col("vmin")) / nBuckets + 1e-9))
+            .cast("int")))
+    val bw = bucketed.groupBy(col("l_returnflag"), col("bkt")).agg(sum(col("wt")).as("bwt"))
+    val wOff = Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boff = bw.withColumn("boff", coalesce(sum(col("bwt")).over(wOff), lit(0L)))
+    val tot = vw.groupBy(col("l_returnflag")).agg(sum(col("wt")).as("total_weight"))
+    import s.implicits._
+    val qs = broadcast(Seq(("w_p25", 1L, 4L), ("w_median", 1L, 2L), ("w_p75", 3L, 4L))
+      .toDF("q", "a", "b"))
+    // the one bucket per (flag, quantile) where b*cum first reaches a*total
+    val tgt = boff
+      .join(tot, "l_returnflag")
+      .crossJoin(qs)
+      .filter(col("b") * (col("boff") + col("bwt")) >= col("a") * col("total_weight"))
+      .groupBy(col("l_returnflag"), col("q"), col("a"), col("b"), col("total_weight"))
+      .agg(min(col("bkt")).as("bkt"), min_by(col("boff"), col("bkt")).as("carry"))
+    val wIn = Window
+      .partitionBy(col("l_returnflag"), col("q"))
+      .orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val answers = bucketed
+      .join(tgt, Seq("l_returnflag", "bkt"))
+      .withColumn("cum", col("carry") + sum(col("wt")).over(wIn))
+      .filter(col("b") * col("cum") >= col("a") * col("total_weight"))
+      .groupBy(col("l_returnflag"), col("q"), col("total_weight"))
+      .agg(min(col("v")).as("ans"))
+    answers
+      .groupBy(col("l_returnflag"), col("total_weight"))
+      .pivot("q", Seq("w_p25", "w_median", "w_p75"))
+      .agg(first(col("ans")))
+      .select(
+        col("l_returnflag"),
+        col("w_p25"),
+        col("w_median"),
+        col("w_p75"),
+        col("total_weight"))
+  }
+
+  /** DuckDB oracle for [[weightedQuantiles]]: the textbook cumulative
+    * window over distinct values — tractable at oracle scale; all
+    * threshold arithmetic integer, so equality is exact.
+    */
+  val weightedQuantilesSql: String =
+    """WITH vw AS (
+         SELECT l_returnflag, l_extendedprice AS v,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+         FROM lineitem GROUP BY 1, 2
+       ), tot AS (
+         SELECT l_returnflag, CAST(sum(wt) AS BIGINT) AS total_weight
+         FROM vw GROUP BY 1
+       ), cum AS (
+         SELECT l_returnflag, v,
+                CAST(sum(wt) OVER (PARTITION BY l_returnflag ORDER BY v) AS BIGINT) AS cw
+         FROM vw
+       )
+       SELECT c.l_returnflag,
+              min(CASE WHEN 4 * cw >= 1 * total_weight THEN v END) AS w_p25,
+              min(CASE WHEN 2 * cw >= 1 * total_weight THEN v END) AS w_median,
+              min(CASE WHEN 4 * cw >= 3 * total_weight THEN v END) AS w_p75,
+              total_weight
+       FROM cum c JOIN tot t USING (l_returnflag)
+       GROUP BY 1, 5"""
+
+  /** Time-series gap fill by LINEAR INTERPOLATION — the reindex +
+    * interpolate step every metrics/feature pipeline runs before
+    * modeling (pandas' `resample().interpolate()`, reshaped to a
+    * distributed plan). The per-type daily mean of high-value events is
+    * sparse (not every day has a qualifying event); the operator rebuilds
+    * the full day grid per series and fills each gap from its two
+    * neighboring observations: v = vₚ + (vₙ − vₚ)·(d − dₚ)/(dₙ − dₚ).
+    *
+    * Determinism across engines: the daily mean is rounded to 6 dp
+    * BEFORE interpolating (killing sum-order ulps), the interpolation
+    * expression is written identically on both sides (IEEE doubles are
+    * deterministic for an identical op sequence), and the result rounds
+    * to 6 dp again.
+    *
+    * Scale: the grid explode is bounded by series span; windows
+    * partition by series key — state per partition is the series length,
+    * never corpus-wide, and the number of series scales out. The
+    * neighbor lookup is the classic last-non-null/first-non-null pair of
+    * frame-bounded windows (one exchange on the series key serves both
+    * directions). Edge days are observed by construction (the grid spans
+    * min..max observed), so no extrapolation branch.
+    */
+  def interpolateSeries(s: SparkSession, dir: String, minValue: Double = 180.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val obs = Tables
+      .events(s, dir)
+      .filter(col("value") > minValue)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(avg(col("value")), 6).as("v"))
+    val span = obs.groupBy(col("event_type")).agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = span.select(
+      col("event_type"),
+      explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+    val j = grid.join(obs, Seq("event_type", "day"), "left")
+    val wPrev = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    j.withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn(
+        "pd",
+        last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn(
+        "nd",
+        first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wNext))
+      .select(
+        col("event_type"),
+        col("day"),
+        col("v").isNotNull.as("is_obs"),
+        round(
+          when(col("v").isNotNull, col("v"))
+            .otherwise(
+              col("pv") + (col("nv") - col("pv")) *
+                (datediff(col("day"), col("pd")).cast("double") /
+                  datediff(col("nd"), col("pd")).cast("double"))),
+          6).as("value_filled"))
+  }
+
+  /** DuckDB oracle for [[interpolateSeries]]: identical grid, neighbor
+    * windows, and interpolation expression.
+    */
+  def interpolateSeriesSql(minValue: Double = 180.0): String =
+    s"""WITH obs AS (
+         SELECT event_type, CAST(ts AS DATE) AS day, round(avg(value), 6) AS v
+         FROM events WHERE value > $minValue GROUP BY 1, 2
+       ), span AS (
+         SELECT event_type, min(day) AS d0, max(day) AS d1 FROM obs GROUP BY 1
+       ), grid AS (
+         SELECT event_type, CAST(gs AS DATE) AS day
+         FROM span, unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS s(gs)
+       ), j AS (
+         SELECT g.event_type, g.day, o.v
+         FROM grid g LEFT JOIN obs o USING (event_type, day)
+       ), f AS (
+         SELECT *,
+                last_value(v IGNORE NULLS) OVER w AS pv,
+                last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER w AS pd,
+                first_value(v IGNORE NULLS) OVER w2 AS nv,
+                first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER w2 AS nd
+         FROM j
+         WINDOW
+           w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w2 AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+       )
+       SELECT event_type, day, v IS NOT NULL AS is_obs,
+              round(CASE WHEN v IS NOT NULL THEN v
+                    ELSE pv + (nv - pv) *
+                         (CAST(datediff('day', pd, day) AS DOUBLE) /
+                          CAST(datediff('day', pd, nd) AS DOUBLE)) END, 6) AS value_filled
+       FROM f"""
 }

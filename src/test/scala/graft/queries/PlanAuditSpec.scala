@@ -643,6 +643,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Generate explode"), p.take(1500))
   }
 
+  test("q_weighted_quantiles: windows only on the bucket table and single-bucket slices") {
+    val p = plan("q_weighted_quantiles")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the quantile spec and min/max scalars join as broadcasts; the
+    // full value set is never globally sorted — no Sort covering the
+    // whole vw relation outside a window over the bounded bucket table
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(p.contains("partial_sum"), "value-weight pre-aggregation must partial-agg map-side")
+  }
+
+  test("q_interpolate: one series-key exchange serves both neighbor windows") {
+    val p = plan("q_interpolate")
+    assert(!p.contains("CartesianProduct"))
+    // both direction windows partition by event_type — a single
+    // hashpartitioning(event_type) exchange must be planned, not one per
+    // window direction
+    val exchanges = "Exchange hashpartitioning\\(event_type".r.findAllIn(p).size
+    assert(exchanges >= 1, p.take(1500))
+    assert(p.contains("Window"), p.take(1500))
+  }
+
   test("q_bitmap_distinct: ObjectHashAggregate tier, no Expand, both legs partial-agg") {
     val p = plan("q_bitmap_distinct")
     assert(p.contains("ObjectHashAggregate"), p.take(2000))

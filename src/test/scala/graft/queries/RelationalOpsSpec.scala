@@ -407,6 +407,67 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("weighted quantiles: bucketed plan == naive sorted cumulative model") {
+    val got = RelationalQueries
+      .weightedQuantiles(spark, dir)
+      .collect()
+      .map(r =>
+        r.getAs[String]("l_returnflag") ->
+          (r.getAs[Double]("w_p25"), r.getAs[Double]("w_median"), r.getAs[Double]("w_p75"),
+            r.getAs[Long]("total_weight")))
+      .toMap
+    val rows = graft.Tables
+      .lineitem(spark, dir)
+      .selectExpr("l_returnflag", "l_extendedprice", "CAST(l_quantity AS BIGINT) AS wt")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val expect = rows.groupBy(_._1).map { case (flag, rs) =>
+      val byV = rs.groupBy(_._2).map { case (v, g) => (v, g.map(_._3).sum) }.toSeq.sortBy(_._1)
+      val tw = byV.map(_._2).sum
+      def lowerQ(a: Long, b: Long): Double = {
+        var cum = 0L
+        byV.find { case (_, w) => cum += w; b * cum >= a * tw }.get._1
+      }
+      flag -> (lowerQ(1, 4), lowerQ(1, 2), lowerQ(3, 4), tw)
+    }
+    assert(got == expect)
+  }
+
+  test("weighted quantiles: bucket-count invariance (4 buckets == 256 buckets)") {
+    val a = RelationalQueries.weightedQuantiles(spark, dir, nBuckets = 256).collect()
+    val b = RelationalQueries.weightedQuantiles(spark, dir, nBuckets = 4).collect()
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+        .sortBy(_._1).toSeq
+    assert(key(a) == key(b))
+  }
+
+  test("interpolation: observed days pass through; gap days are exactly linear") {
+    val out = RelationalQueries
+      .interpolateSeries(spark, dir)
+      .collect()
+      .map(r =>
+        (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay,
+          r.getAs[Boolean]("is_obs"), r.getAs[Double]("value_filled")))
+    assert(out.nonEmpty)
+    val gaps = out.count(!_._3)
+    assert(gaps > 0, "fixture must contain real gaps or the operator is untested")
+    for ((typ, series) <- out.groupBy(_._1)) {
+      val sorted = series.sortBy(_._2)
+      // grid is contiguous and ends on observations
+      assert(sorted.head._3 && sorted.last._3, typ)
+      assert(sorted.sliding(2).forall { case Array(a, b) => b._2 - a._2 == 1 }, typ)
+      val obsDays = sorted.filter(_._3).map(s => s._2 -> s._4)
+      for (g <- sorted.filterNot(_._3)) {
+        val (pd, pv) = obsDays.filter(_._1 < g._2).maxBy(_._1)
+        val (nd, nv) = obsDays.filter(_._1 > g._2).minBy(_._1)
+        val expect = BigDecimal(pv + (nv - pv) * ((g._2 - pd).toDouble / (nd - pd).toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(g._4 - expect) < 1e-9, s"$typ day ${g._2}")
+      }
+    }
+  }
+
   test("overlap join: pair-dedup bin condition is exact for bin-width variants") {
     // shrink the bin so intervals span MANY bins — the greatest-start
     // condition must still count each overlapping pair exactly once
