@@ -74,6 +74,7 @@ object SparkEntry {
     "q_stream_enrich" -> (StreamingQueries.streamEnrich _),
     "q_stream_minhash_dedup" -> (StreamingQueries.streamMinhashDedup _),
     "q_stream_cdc_apply" -> (StreamingQueries.streamCdcApply _),
+    "q_stream_bitmap_distinct" -> (StreamingQueries.streamBitmapDistinct _),
     // log streams, scalar functions, diagnostics (SURVEY §2.3, 2.6, 2.7, 2.9)
     "q_json_props" -> (LogQueries.jsonProps _),
     "q_selog_expand" -> (LogQueries.selogExpand _),
@@ -358,6 +359,7 @@ object SparkEntry {
     "q_stream_enrich" -> StreamingQueries.streamEnrichSql,
     "q_stream_minhash_dedup" -> StreamingQueries.streamMinhashDedupSql,
     "q_stream_cdc_apply" -> StreamingQueries.streamCdcApplySql,
+    "q_stream_bitmap_distinct" -> StreamingQueries.streamBitmapDistinctSql,
     "q_stream_frame_assembly" -> StreamingQueries.streamFrameAssemblySql,
     "q_sessionize" -> RelationalQueries.sessionizeSql,
     "q_session_window" -> RelationalQueries.sessionWindowSql,

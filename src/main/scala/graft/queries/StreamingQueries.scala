@@ -741,4 +741,52 @@ object StreamingQueries {
     * must produce the identical snapshot.
     */
   val streamCdcApplySql: String = RelationalQueries.cdcApplySql
+
+  /** Streaming exact distinct users per event type — the
+    * [[graft.streaming.BitmapDistinctStream]] `transformWithState`
+    * processor with the batch bitmap family's [[graft.functions.PagedBitmap]]
+    * as per-key state. The emitted count is monotone, so the drained
+    * last emission per key equals the batch answer regardless of
+    * micro-batch boundaries; the oracle is the same `count(DISTINCT)`
+    * SQL that checks the batch legs.
+    */
+  def streamBitmapDistinct(s0: SparkSession, dir: String): DataFrame = {
+    val s = boundedDrainSession(s0)
+    s.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      graft.Sessions.RocksDBProvider)
+    import s.implicits._
+    val raw = s.read.parquet(s"$dir/events.parquet").schema
+    val src = microTs(s.readStream
+      .schema(raw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir))
+      .select(col("event_type"), col("user_id"))
+      .as[graft.streaming.BitmapDistinctStream.Obs]
+    val out = src
+      .groupByKey(_.event_type)
+      .transformWithState(
+        new graft.streaming.BitmapDistinctStream,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    val name = s"stream_bitmap_${System.nanoTime()}"
+    val ckpt = scratchCheckpoint("graft_bitmap_ckpt")
+    val query = out.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try query.processAllAvailable()
+    finally {
+      try query.stop()
+      finally dropCheckpoint(ckpt)
+    }
+    // n_users is monotone per key: max over emissions == final state
+    s.table(name).groupBy(col("event_type")).agg(max(col("n_users")).as("n_users"))
+  }
+
+  /** Oracle: exact distinct — the stream state must land exactly. */
+  val streamBitmapDistinctSql: String =
+    "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
 }

@@ -1295,4 +1295,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamDropped.nonEmpty, "fixture must contain banding collisions")
     assert(verdict.values.exists(_._2), "keep-set must be non-empty")
   }
+
+  test("bitmap distinct stream: cross-batch dedup, monotone counts, per-key isolation") {
+    val s = spark.newSession()
+    s.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      graft.Sessions.RocksDBProvider)
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[graft.streaming.BitmapDistinctStream.Obs]
+    val out = input
+      .toDS()
+      .groupByKey(_.event_type)
+      .transformWithState(
+        new graft.streaming.BitmapDistinctStream,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bmstream_ckpt").toString
+    val q = out.writeStream
+      .format("memory")
+      .queryName("bitmap_stream_test")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .start()
+    import graft.streaming.BitmapDistinctStream.Obs
+    try {
+      input.addData(Obs("a", 1L), Obs("a", 2L), Obs("a", 1L), Obs("b", 7L))
+      q.processAllAvailable()
+      // batch 2 re-sends ids from batch 1 — the bitmap state must absorb them
+      input.addData(Obs("a", 2L), Obs("a", 3L), Obs("b", 7L), Obs("b", -7L))
+      q.processAllAvailable()
+      val rows = s
+        .table("bitmap_stream_test")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val lastA = rows.filter(_._1 == "a").map(_._2)
+      val lastB = rows.filter(_._1 == "b").map(_._2)
+      assert(lastA.sorted.toSeq == Seq(2L, 3L), s"a emissions: ${lastA.toSeq}")
+      assert(lastB.sorted.toSeq == Seq(1L, 2L), s"b emissions: ${lastB.toSeq}")
+    } finally {
+      try q.stop()
+      finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
 }
