@@ -191,6 +191,7 @@ object SparkEntry {
     "q_heavy_hitters" -> ((s: SparkSession, d: String) => SketchQueries.heavyHitters(s, d)),
     "q_quantile_sketch" -> (SketchQueries.quantileSketch _),
     "q_bitmap_distinct" -> (SketchQueries.bitmapDistinct _),
+    "q_kmv_setops" -> ((s: SparkSession, d: String) => SketchQueries.kmvSetOps(s, d)),
     "q_inverted_index" -> (SearchQueries.invertedIndex _),
     "q_sessionize" -> (RelationalQueries.sessionize _),
     "q_session_window" -> (RelationalQueries.sessionWindow _),
@@ -217,6 +218,8 @@ object SparkEntry {
     "q_weighted_quantiles" -> ((s: SparkSession, d: String) =>
       RelationalQueries.weightedQuantiles(s, d)),
     "q_interpolate" -> ((s: SparkSession, d: String) => RelationalQueries.interpolateSeries(s, d)),
+    "q_incremental_join" -> ((s: SparkSession, d: String) =>
+      RelationalQueries.incrementalJoin(s, d)),
     "q_zorder_layout" -> (RelationalQueries.zorderLayout _),
     "q_top_per_group" -> ((s: SparkSession, d: String) =>
       RelationalQueries.topPerGroup(s, d))
@@ -392,6 +395,7 @@ object SparkEntry {
     "q_heavy_hitters" -> SketchQueries.heavyHittersSql(),
     "q_quantile_sketch" -> SketchQueries.quantileSketchSql(),
     "q_bitmap_distinct" -> SketchQueries.bitmapDistinctSql,
+    "q_kmv_setops" -> SketchQueries.kmvSetOpsSql(),
     "q_inverted_index" -> SearchQueries.invertedIndexSql,
     // sketch ops: DuckDB re-derives every hash from the text (mod-prime
     // universal family — see TextHash scaladoc)
@@ -432,6 +436,7 @@ object SparkEntry {
     "q_overlap_join" -> RelationalQueries.overlapJoinSql,
     "q_weighted_quantiles" -> RelationalQueries.weightedQuantilesSql,
     "q_interpolate" -> RelationalQueries.interpolateSeriesSql(),
+    "q_incremental_join" -> RelationalQueries.incrementalJoinSql,
     "q_zorder_layout" -> RelationalQueries.zorderLayoutSql,
     "q_top_per_group" -> RelationalQueries.topPerGroupSql(),
     // trace→event FSM chain over the closed-form TraceFixtures grid:

@@ -2871,4 +2871,80 @@ object RelationalQueries {
                          (CAST(datediff('day', pd, day) AS DOUBLE) /
                           CAST(datediff('day', pd, nd) AS DOUBLE)) END, 6) AS value_filled
        FROM f"""
+
+  /** Incremental JOIN-view maintenance — the delta algebra a 100 TB
+    * deployment uses to keep a materialized join current without
+    * re-joining history: with stored view V = A ⋈ B and day-partitioned
+    * deltas ΔA, ΔB, the updated view is the DISJOINT union
+    *
+    *   V ∪ (ΔA ⋈ B_old) ∪ (A_old ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+    *
+    * (each pair is classified uniquely by which side of the cut its two
+    * rows fall on). Here A = click events, B = purchase events, joined
+    * per (user, day); the cut splits the last 5 days off as deltas. The
+    * query materializes BOTH the incremental union and the full
+    * recompute and emits them side by side per user — the oracle pins
+    * them equal, so a classification bug (dropped or double-counted
+    * cross term) is a hash mismatch, not a silent drift.
+    *
+    * Scale: the three delta terms BROADCAST the delta side (deltas are
+    * small by construction — that is the whole premise of IVM), so
+    * maintenance cost is ∝|Δ| with zero re-shuffle of the stored sides;
+    * the stored view V is persisted once, standing in for the
+    * materialized table a deployment would read, not recompute.
+    * PlanAuditSpec locks the delta joins to BroadcastHashJoin.
+    */
+  def incrementalJoin(s: SparkSession, dir: String, cut: String = "2024-01-26"): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        to_date(col("ts")).as("day"),
+        col("event_id"),
+        col("event_type"))
+    def side(t: String) = ev.filter(col("event_type") === t).drop("event_type")
+    val a = side("click")
+    val b = side("purchase")
+    val cutD = lit(cut).cast("date")
+    val (aOld, aDelta) = (a.filter(col("day") < cutD), a.filter(col("day") >= cutD))
+    val (bOld, bDelta) = (b.filter(col("day") < cutD), b.filter(col("day") >= cutD))
+    def pairs(x: DataFrame, y: DataFrame) =
+      x.withColumnRenamed("event_id", "aid")
+        .join(y.withColumnRenamed("event_id", "bid"), Seq("user_id", "day"))
+        .select(col("user_id"), col("aid"), col("bid"))
+    val vOld = pairs(aOld, bOld).persist() // the stored materialized view
+    val incr = vOld
+      .unionByName(pairs(broadcast(aDelta), bOld))
+      .unionByName(pairs(aOld, broadcast(bDelta)))
+      .unionByName(pairs(broadcast(aDelta), broadcast(bDelta)))
+    val full = pairs(a, b)
+    def summarize(df: DataFrame, n: String, ck: String) =
+      df.groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as(n),
+          sum(col("aid") * 31 + col("bid")).as(ck))
+    summarize(incr, "n_pairs_incr", "checksum_incr")
+      .join(summarize(full, "n_pairs_full", "checksum_full"), "user_id")
+  }
+
+  /** DuckDB oracle for [[incrementalJoin]]: the full join computed once,
+    * reported under both the incremental and full column names — the
+    * incremental union must land exactly on it.
+    */
+  val incrementalJoinSql: String =
+    """WITH a AS (
+         SELECT user_id, CAST(ts AS DATE) AS day, event_id AS aid
+         FROM events WHERE event_type = 'click'
+       ), b AS (
+         SELECT user_id, CAST(ts AS DATE) AS day, event_id AS bid
+         FROM events WHERE event_type = 'purchase'
+       ), p AS (
+         SELECT a.user_id, aid, bid FROM a JOIN b USING (user_id, day)
+       ), agg AS (
+         SELECT user_id, count(*) AS n, CAST(sum(aid * 31 + bid) AS BIGINT) AS ck
+         FROM p GROUP BY 1
+       )
+       SELECT user_id, n AS n_pairs_incr, ck AS checksum_incr,
+              n AS n_pairs_full, ck AS checksum_full
+       FROM agg"""
 }

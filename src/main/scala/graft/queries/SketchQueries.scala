@@ -430,4 +430,130 @@ object SketchQueries {
               count(DISTINCT user_id) AS n_users,
               count(DISTINCT user_id) AS n_users_rollup
        FROM events GROUP BY event_type"""
+
+  /** KMV sketch SET ALGEBRA — union / intersection / Jaccard estimates
+    * for every pair of sources from their per-source bottom-k sketches
+    * alone, never re-touching the corpus: the summary-reuse property
+    * that makes bottom-k the profile format for "how much do shards
+    * overlap?" questions at 100 TB (θ-sketch set operations; Beyer et
+    * al.'s KMV estimator per set).
+    *
+    *  - union sketch = bottom-k of the two mins arrays merged (a valid
+    *    KMV sketch of A ∪ B by construction) → est_union by the same
+    *    (k−1)·P/h₍ₖ₎ estimator, exact passthrough when the merged
+    *    distinct set is smaller than k;
+    *  - est_inter by inclusion–exclusion est_A + est_B − est_union,
+    *    clamped at 0 (the classic KMV route; a θ-sketch refines this
+    *    with sub-θ membership counting, same summaries);
+    *  - the exact legs ride along as the verification comparison a
+    *    production run drops.
+    *
+    * Everything is deterministic (mod-prime hash bijection), so the
+    * DuckDB oracle re-derives every sketch, merge, and estimate
+    * bit-for-bit. Scale: sketches are one bounded-state aggregation of
+    * the corpus (O(k) per source); the pairwise algebra runs on the
+    * 20-row sketch table — S² work on S sources happens on summaries,
+    * not data. The exact-intersection leg is the only corpus-quadratic
+    * piece and exists solely for verification.
+    */
+  def kmvSetOps(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val hUdf = udf { (w: String) => TextHash.permHash(TextHash.polyHash(w), 13L) }
+    val hs = Tables
+      .documents(s, dir)
+      .select(
+        col("source"),
+        explode(expr("filter(split(text, ' '), w -> w <> '')")).as("w"))
+      .select(col("source"), hUdf(col("w")).as("h"))
+      .distinct()
+      .persist()
+    val minK = udaf(new MinK(k))
+    val sk = hs
+      .groupBy(col("source"))
+      .agg(minK(col("h")).as("mins"), count(lit(1)).as("n_exact"))
+    val inter = hs
+      .alias("x")
+      .join(hs.alias("y"), col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("s1"), col("y.source").as("s2"))
+      .agg(count(lit(1)).as("n_exact_inter"))
+    val pairs = sk
+      .select(col("source").as("s1"), col("mins").as("mins1"), col("n_exact").as("n1"))
+      .join(
+        sk.select(col("source").as("s2"), col("mins").as("mins2"), col("n_exact").as("n2")),
+        col("s1") < col("s2"))
+      .join(inter, Seq("s1", "s2"), "left")
+      .na.fill(0L, Seq("n_exact_inter"))
+    val merged = pairs.withColumn(
+      "umins",
+      slice(array_sort(array_distinct(concat(col("mins1"), col("mins2")))), 1, k))
+    merged
+      .withColumn("n_exact_union", col("n1") + col("n2") - col("n_exact_inter"))
+      .withColumn(
+        "est_union",
+        round(
+          when(size(col("umins")) < k, col("n_exact_union").cast("double"))
+            .otherwise(lit((k - 1).toDouble * P) / element_at(col("umins"), k).cast("double")),
+          4))
+      .withColumn("est_a",
+        when(size(col("mins1")) < k, col("n1").cast("double"))
+          .otherwise(lit((k - 1).toDouble * P) / element_at(col("mins1"), k).cast("double")))
+      .withColumn("est_b",
+        when(size(col("mins2")) < k, col("n2").cast("double"))
+          .otherwise(lit((k - 1).toDouble * P) / element_at(col("mins2"), k).cast("double")))
+      .select(
+        col("s1"),
+        col("s2"),
+        col("n_exact_union"),
+        col("n_exact_inter"),
+        col("est_union"),
+        round(greatest(col("est_a") + col("est_b") - col("est_union") * lit(1.0), lit(0.0)), 4)
+          .as("est_inter"),
+        round(col("n_exact_inter").cast("double") / col("n_exact_union").cast("double"), 6)
+          .as("jacc_exact"))
+  }
+
+  /** DuckDB re-derivation of [[kmvSetOps]]: same sketches, same merge,
+    * same estimators.
+    */
+  def kmvSetOpsSql(k: Int = 64): String =
+    s"""WITH toks AS (
+         SELECT DISTINCT source,
+                unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+         FROM documents
+       ), hs AS (
+         SELECT DISTINCT source, ${permSql(polySql("w"), "13")} AS h FROM toks
+       ), sk AS (
+         SELECT source, count(*) AS n_exact, list_sort(list(h))[1:$k] AS mins
+         FROM hs GROUP BY source
+       ), inter AS (
+         SELECT x.source AS s1, y.source AS s2, count(*) AS n_exact_inter
+         FROM hs x JOIN hs y ON x.h = y.h AND x.source < y.source
+         GROUP BY 1, 2
+       ), pairs AS (
+         SELECT a.source AS s1, b.source AS s2,
+                a.n_exact AS n1, b.n_exact AS n2,
+                a.mins AS mins1, b.mins AS mins2,
+                COALESCE(i.n_exact_inter, 0) AS n_exact_inter,
+                list_sort(list_distinct(a.mins || b.mins))[1:$k] AS umins
+         FROM sk a JOIN sk b ON a.source < b.source
+         LEFT JOIN inter i ON i.s1 = a.source AND i.s2 = b.source
+       ), est AS (
+         SELECT *,
+                n1 + n2 - n_exact_inter AS n_exact_union,
+                round(CASE WHEN len(umins) < $k THEN CAST(n1 + n2 - n_exact_inter AS DOUBLE)
+                      ELSE (CAST(${k - 1} AS DOUBLE) * $P) / CAST(umins[$k] AS DOUBLE) END,
+                      4) AS est_union,
+                CASE WHEN len(mins1) < $k THEN CAST(n1 AS DOUBLE)
+                     ELSE (CAST(${k - 1} AS DOUBLE) * $P) / CAST(mins1[$k] AS DOUBLE) END AS est_a,
+                CASE WHEN len(mins2) < $k THEN CAST(n2 AS DOUBLE)
+                     ELSE (CAST(${k - 1} AS DOUBLE) * $P) / CAST(mins2[$k] AS DOUBLE) END AS est_b
+         FROM pairs
+       )
+       SELECT s1, s2,
+              CAST(n_exact_union AS BIGINT) AS n_exact_union,
+              CAST(n_exact_inter AS BIGINT) AS n_exact_inter,
+              est_union,
+              round(greatest(est_a + est_b - est_union * 1.0, 0.0), 4) AS est_inter,
+              round(CAST(n_exact_inter AS DOUBLE) / CAST(n_exact_union AS DOUBLE), 6)
+                AS jacc_exact
+       FROM est"""
 }

@@ -664,6 +664,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(1500))
   }
 
+  test("q_incremental_join: delta terms broadcast — maintenance cost scales with the delta") {
+    val p = plan("q_incremental_join")
+    assert(!p.contains("CartesianProduct"))
+    // the three delta-side joins must be BroadcastHashJoin; the one
+    // stored-view join (vOld) may shuffle — it models the already-
+    // materialized table, built once
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(2500))
+    assert(p.contains("InMemoryTableScan"), "the stored view must be persisted, not recomputed")
+  }
+
   test("q_bitmap_distinct: ObjectHashAggregate tier, no Expand, both legs partial-agg") {
     val p = plan("q_bitmap_distinct")
     assert(p.contains("ObjectHashAggregate"), p.take(2000))

@@ -468,6 +468,26 @@ class RelationalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental join: cut-point invariance — every delta split lands on the full join") {
+    def collectMap(cut: String) = RelationalQueries
+      .incrementalJoin(spark, dir, cut)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_pairs_incr"), r.getAs[Long]("checksum_incr"),
+          r.getAs[Long]("n_pairs_full"), r.getAs[Long]("checksum_full")))
+      .toMap
+    // three cuts: mid-range (real deltas both sides), everything-old
+    // (empty deltas), everything-delta (empty stored view)
+    val mids = collectMap("2024-01-16")
+    assert(mids.nonEmpty)
+    mids.values.foreach { case (ni, ci, nf, cf) => assert(ni == nf && ci == cf) }
+    for (cut <- Seq("2030-01-01", "2000-01-01")) {
+      val m = collectMap(cut)
+      assert(m == mids, s"cut $cut diverged")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("overlap join: pair-dedup bin condition is exact for bin-width variants") {
     // shrink the bin so intervals span MANY bins — the greatest-start
     // condition must still count each overlapping pair exactly once

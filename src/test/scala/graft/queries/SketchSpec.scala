@@ -48,6 +48,25 @@ class SketchSpec extends AnyFunSuite {
     assert(buf.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("kmv set algebra: union bounds, inclusion-exclusion sanity, exact legs consistent") {
+    val rows = SketchQueries.kmvSetOps(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val exU = r.getAs[Long]("n_exact_union")
+      val exI = r.getAs[Long]("n_exact_inter")
+      val estU = r.getAs[Double]("est_union")
+      val estI = r.getAs[Double]("est_inter")
+      assert(exI >= 0 && exI <= exU)
+      assert(estU > 0.0 && estI >= 0.0)
+      // bottom-k union estimate lands within 3x of exact (same bound the
+      // per-source estimator test uses)
+      assert(estU <= 3.0 * exU && estU >= exU / 3.0, s"estU=$estU exU=$exU")
+      val jacc = r.getAs[Double]("jacc_exact")
+      assert(jacc >= 0.0 && jacc <= 1.0)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("kmv_distinct: estimator engages and lands within 3x of exact") {
     val rows = SketchQueries.kmvDistinct(spark, dir).collect()
     assert(rows.nonEmpty)
