@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension (§2.11 tier c): custom logical node +
     // strategy + exec for the as-of join
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // opt-in optimizer rewrite (spark.graft.bitmapCountDistinct.enabled):
+    // count(DISTINCT <integral>) → the mergeable bitmap aggregate
+    ext.injectOptimizerRule(_ => RewriteCountDistinctToBitmap)
     val vecDot: Seq[Expression] => Expression = exprs => VecDot(exprs(0), exprs(1))
     val detect: Seq[Expression] => Expression =
       exprs => DetectPulses(exprs(0), exprs(1), exprs(2), exprs(3))
