@@ -115,6 +115,7 @@ object SparkEntry {
     "q_line_dedup" -> ((s: SparkSession, d: String) => CurationQueries.lineDedup(s, d)),
     "q_sequence_pack" -> (CurationQueries.sequencePack _),
     "q_doc_chunk" -> (CurationQueries.docChunk _),
+    "q_blocklist_scan" -> (CurationQueries.blocklistScan _),
     "q_epoch_shuffle" -> (CurationQueries.epochShuffle _),
     "q_token_budget" -> ((s: SparkSession, d: String) => CurationQueries.tokenBudget(s, d)),
     "q_dedup_sweep" -> ((s: SparkSession, d: String) => DedupQueries.dedupSweep(s, d)),
@@ -310,6 +311,7 @@ object SparkEntry {
     "q_line_dedup" -> CurationQueries.lineDedupSql(),
     "q_sequence_pack" -> CurationQueries.sequencePackSql,
     "q_doc_chunk" -> CurationQueries.docChunkSql,
+    "q_blocklist_scan" -> CurationQueries.blocklistScanSql,
     "q_epoch_shuffle" -> CurationQueries.epochShuffleSql,
     "q_token_budget" -> CurationQueries.tokenBudgetSql(),
     "q_dedup_sweep" -> DedupQueries.dedupSweepSql(),

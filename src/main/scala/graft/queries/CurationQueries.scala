@@ -1520,4 +1520,65 @@ object CurationQueries {
               CAST(sum(idx * chash) AS BIGINT) AS chunk_checksum
        FROM st GROUP BY doc_id"""
   }
+
+  /** Blocklist patterns for [[blocklistScan]] — SUBSTRING patterns (not
+    * token matches: "tab" hits inside "table"), all borderless (no
+    * proper prefix that is also a suffix), so overlap-counting AC equals
+    * the non-overlapping count the replace-based oracle computes.
+    */
+  val BlocklistPatterns: Seq[String] =
+    Seq("slow", "tab", "join", "scan", "stream", "merge", "windo", "agg",
+      "has", "batch", "vector", "quer", "in")
+
+  /** Hit-count threshold above which a document is flagged. */
+  val BlocklistFlagThreshold = 40L
+
+  /** Multi-pattern blocklist scan — the content-policy filtering pass of
+    * a curation pipeline (badword/PII-keyword/license-string screens),
+    * implemented as ONE [[graft.functions.AhoCorasick]] automaton pass
+    * per document counting all patterns simultaneously.
+    *
+    * Verification is deliberately cross-algorithm: the DuckDB oracle
+    * counts each pattern independently via the replace-length identity
+    * `(len(t) − len(replace(t, p, ''))) / len(p)` — P scans per doc vs
+    * the automaton's one — so an automaton bug (wrong failure link,
+    * unmerged output chain) cannot be mirrored by the oracle.
+    *
+    * Scale: pure map stage, zero shuffles before the tiny per-doc
+    * project; the automaton is built once on the driver and ships in
+    * the closure. Cost is O(len + matches) per doc INDEPENDENT of
+    * pattern count — at a 10⁵-entry production blocklist the naive
+    * per-pattern pass is 10⁵ scans per doc and the automaton is still
+    * one.
+    */
+  def blocklistScan(s: SparkSession, dir: String): DataFrame = {
+    val ac = new graft.functions.AhoCorasick(BlocklistPatterns)
+    val countsUdf = udf { (text: String) => ac.countMatches(text) }
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), countsUdf(col("text")).as("counts"))
+      .select(
+        col("doc_id"),
+        aggregate(col("counts"), lit(0L), (a, x) => a + x).as("n_hits"),
+        size(filter(col("counts"), _ > 0L)).cast("long").as("n_patterns"),
+        (aggregate(col("counts"), lit(0L), (a, x) => a + x) >= BlocklistFlagThreshold)
+          .as("flagged"))
+  }
+
+  /** DuckDB oracle for [[blocklistScan]]: per-pattern replace-length
+    * counting, summed per document.
+    */
+  val blocklistScanSql: String = {
+    val vals = BlocklistPatterns.map(p => s"('$p')").mkString(", ")
+    s"""WITH pats AS (SELECT * FROM (VALUES $vals) p(pat)),
+        hits AS (
+          SELECT d.doc_id, p.pat,
+                 (length(d.text) - length(replace(d.text, p.pat, ''))) // length(p.pat) AS c
+          FROM documents d CROSS JOIN pats p)
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_hits,
+               CAST(count(CASE WHEN c > 0 THEN 1 END) AS BIGINT) AS n_patterns,
+               sum(c) >= $BlocklistFlagThreshold AS flagged
+        FROM hits GROUP BY doc_id"""
+  }
 }

@@ -664,6 +664,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(1500))
   }
 
+  test("q_blocklist_scan: pure map stage — zero shuffles, scan pruned to doc_id/text") {
+    val p = plan("q_blocklist_scan")
+    assert(!p.contains("Exchange"), "blocklist scan must not shuffle\n" + p.take(1500))
+    assert(p.contains("struct<doc_id:bigint,text:string>"), p.take(1500))
+  }
+
   test("q_incremental_join: delta terms broadcast — maintenance cost scales with the delta") {
     val p = plan("q_incremental_join")
     assert(!p.contains("CartesianProduct"))
