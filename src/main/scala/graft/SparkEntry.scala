@@ -194,6 +194,7 @@ object SparkEntry {
     "q_bitmap_distinct" -> (SketchQueries.bitmapDistinct _),
     "q_kmv_setops" -> ((s: SparkSession, d: String) => SketchQueries.kmvSetOps(s, d)),
     "q_inverted_index" -> (SearchQueries.invertedIndex _),
+    "q_phrase_search" -> (SearchQueries.phraseSearch _),
     "q_sessionize" -> (RelationalQueries.sessionize _),
     "q_session_window" -> (RelationalQueries.sessionWindow _),
     "q_asof_join" -> (RelationalQueries.asofJoin _),
@@ -399,6 +400,7 @@ object SparkEntry {
     "q_bitmap_distinct" -> SketchQueries.bitmapDistinctSql,
     "q_kmv_setops" -> SketchQueries.kmvSetOpsSql(),
     "q_inverted_index" -> SearchQueries.invertedIndexSql,
+    "q_phrase_search" -> SearchQueries.phraseSearchSql,
     // sketch ops: DuckDB re-derives every hash from the text (mod-prime
     // universal family — see TextHash scaladoc)
     "q_minhash_pairs" -> DedupQueries.minhashPairsSql,

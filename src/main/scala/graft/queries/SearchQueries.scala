@@ -585,4 +585,80 @@ object SearchQueries {
        WHERE b.n_pair >= $minCount
        ORDER BY b.n_pair DESC, b.w1, b.w2
        LIMIT $k"""
+
+  /** Query phrases for [[phraseSearch]] — includes a 3-term phrase so the
+    * iterative position join exercises more than one hop. Phrase strings
+    * are borderless (no proper prefix = suffix), so the oracle's
+    * replace-length counting sees every occurrence.
+    */
+  val SearchPhrases: Seq[String] =
+    Seq("hash join", "table scan", "merge join", "slow scan",
+      "part filter scan", "sort merge join")
+
+  /** Exact PHRASE search via positional-index intersection — the IR
+    * operator behind quoted queries: tokenize with positions, then for
+    * each phrase w₁…wₙ chain equi-joins `(doc, pos+k)` across the term
+    * postings, so a surviving row is an exact adjacent occurrence.
+    * Output per phrase: matching doc count and total occurrences.
+    *
+    * Cross-algorithm verification: the DuckDB oracle never builds an
+    * index — it counts raw substring occurrences per document with the
+    * replace-length identity, so an off-by-one in the position join or a
+    * lost posting cannot be mirrored.
+    *
+    * Scale: the positional index is one tokenize pass (the same
+    * posexplode every index build pays); each phrase intersects ONLY its
+    * terms' postings via keyed (doc_id, pos) equi-joins — work is
+    * proportional to posting-list sizes, never the corpus, and AQE
+    * handles frequent-term skew. Production refinement: join rarest term
+    * first (df-ordered) to shrink intermediates — noted, not needed at
+    * this phrase count. The corpus tokenization is persisted and shared
+    * across all phrases (one scan total).
+    */
+  def phraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ", -1)).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+      .persist()
+    val results = SearchPhrases.map { phrase =>
+      val words = phrase.split(" ").toSeq
+      val first = toks
+        .filter(col("w") === words.head)
+        .select(col("doc_id"), col("pos").as("p0"))
+      val matches = words.zipWithIndex.tail.foldLeft(first) { case (acc, (word, k)) =>
+        val right = toks
+          .filter(col("w") === word)
+          .select(col("doc_id").as("rdoc"), (col("pos") - k).as("rp"))
+        acc
+          .join(right, col("doc_id") === col("rdoc") && col("p0") === col("rp"))
+          .drop("rdoc", "rp")
+      }
+      matches
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(col("c")), lit(0L)).as("n_matches"))
+        .select(lit(phrase).as("phrase"), col("n_docs"), col("n_matches"))
+    }
+    results.reduce(_.unionByName(_))
+  }
+
+  /** DuckDB oracle for [[phraseSearch]]: raw substring counting per
+    * document (replace-length identity), no index anywhere.
+    */
+  val phraseSearchSql: String = {
+    val vals = SearchPhrases.map(p => s"('$p')").mkString(", ")
+    s"""WITH phrases AS (SELECT * FROM (VALUES $vals) p(phrase)),
+        per_doc AS (
+          SELECT p.phrase, d.doc_id,
+                 (length(d.text) - length(replace(d.text, p.phrase, ''))) // length(p.phrase)
+                   AS c
+          FROM documents d CROSS JOIN phrases p)
+        SELECT phrase,
+               CAST(count(CASE WHEN c > 0 THEN 1 END) AS BIGINT) AS n_docs,
+               CAST(COALESCE(sum(c), 0) AS BIGINT) AS n_matches
+        FROM per_doc GROUP BY phrase"""
+  }
 }

@@ -111,4 +111,31 @@ class SearchSpec extends AnyFunSuite {
     // deterministic property of the fixed hash draw, not a flaky t-test
     assert(kept > corpus, s"kept mean $kept should exceed corpus mean $corpus")
   }
+
+  test("phrase search: position-join model on sf0.001 matches brute-force token scan") {
+    val got = SearchQueries
+      .phraseSearch(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got.keySet == SearchQueries.SearchPhrases.toSet)
+    val docs = graft.Tables
+      .documents(spark, dir)
+      .select("doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).filter(_.nonEmpty).toSeq))
+    for (phrase <- SearchQueries.SearchPhrases) {
+      val words = phrase.split(" ").toSeq
+      val perDoc = docs.map { case (_, toks) =>
+        toks.indices.count(i =>
+          i + words.length <= toks.length && toks.slice(i, i + words.length) == words)
+      }
+      val expect = (perDoc.count(_ > 0).toLong, perDoc.map(_.toLong).sum)
+      assert(got(phrase) == expect, s"phrase '$phrase'")
+    }
+    // the multi-hop path must be exercised by at least one live trigram
+    assert(got.exists { case (p, (d, _)) => p.split(" ").length >= 3 && d > 0 },
+      "no 3+-word phrase with matches — the chained join path is untested")
+    spark.catalog.clearCache()
+  }
 }
