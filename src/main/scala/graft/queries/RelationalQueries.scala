@@ -2632,8 +2632,11 @@ object RelationalQueries {
     val binned = iv.withColumn(
       "bin",
       explode(sequence(floor(col("sday") / binDays), floor(col("eday") / binDays))))
+    // SHUFFLE_HASH: equal-size sides, keyed equi-join — hashing one side
+    // per partition skips BOTH sort passes SMJ would pay on the exploded
+    // relation (A/B-measured in SCALE.md)
     val a = binned.alias("a")
-    val b = binned.alias("b")
+    val b = binned.hint("shuffle_hash").alias("b")
     a.join(
         b,
         col("a.l_suppkey") === col("b.l_suppkey") &&
@@ -2678,16 +2681,19 @@ object RelationalQueries {
     * so engines agree bit-for-bit.
     *
     * The sort-free construction (the [[userDeciles]] / quantileSketch
-    * bucket pattern, upgraded to weighted + exact): (1) pre-aggregate
-    * (flag, value) → integer weight — one partial-agg shuffle;
-    * (2) histogram the values into a BOUNDED bucket grid (global min/max
-    * broadcast), prefix-sum cumulative weights over the tiny bucket
-    * table; (3) locate, per quantile, the one bucket where the threshold
-    * crosses; (4) order only INSIDE that bucket (≈ n/buckets rows) with
-    * the bucket's prefix as carry. Windows run over the bucket table and
-    * single-bucket slices — never over the full value set, so no
-    * single-partition-per-group sort at any scale. PlanAuditSpec locks
-    * the shape.
+    * bucket pattern, upgraded to weighted + exact): (1) project the
+    * (flag, value, weight) columns once and persist — RAW rows, no
+    * value-dedup shuffle: the lower-quantile crossing value is the same
+    * whatever order ties arrive in, so pre-grouping by value would spend
+    * a full-data shuffle to buy nothing; (2) histogram the values into a
+    * BOUNDED bucket grid (global min/max broadcast), partial-agg
+    * map-side so only ~flags×buckets rows shuffle, prefix-sum over that
+    * tiny table; (3) locate, per quantile, the one bucket where the
+    * threshold crosses; (4) order only INSIDE that bucket (≈ n/buckets
+    * rows) with the bucket's prefix as carry. Windows run over the
+    * bucket table and single-bucket slices — never over the full value
+    * set, so no single-partition-per-group sort and no full-data
+    * exchange at any scale. PlanAuditSpec locks the shape.
     */
   def weightedQuantiles(s: SparkSession, dir: String, nBuckets: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -2697,8 +2703,6 @@ object RelationalQueries {
         col("l_returnflag"),
         col("l_extendedprice").as("v"),
         col("l_quantity").cast("long").as("wt"))
-      .groupBy(col("l_returnflag"), col("v"))
-      .agg(sum(col("wt")).as("wt"))
       .persist()
     val mm = vw.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
     val bucketed = vw
