@@ -38,6 +38,7 @@ object SparkEntry {
     "q_threshold_events" -> ((s: SparkSession, d: String) =>
       SignalQueries.thresholdEvents(s, d)),
     "q_percentiles" -> (RelationalQueries.percentiles _),
+    "q_power_spectrum" -> (SignalQueries.powerSpectrum _),
     "q_threshold_events_expr" -> ((s: SparkSession, d: String) =>
       SignalQueries.thresholdEventsExpr(s, d)),
     "q_threshold_events_differential" -> ((s: SparkSession, d: String) =>
@@ -286,6 +287,7 @@ object SparkEntry {
     "q_period_list" -> RelationalQueries.periodListSql,
     "q_threshold_events" -> SignalQueries.thresholdEventsSql,
     "q_percentiles" -> RelationalQueries.percentilesSql,
+    "q_power_spectrum" -> SignalQueries.powerSpectrumSql,
     "q_threshold_events_expr" -> SignalQueries.thresholdEventsSql,
     "q_threshold_events_differential" -> SignalQueries.thresholdEventsDifferentialSql,
     "q_threshold_events_differential_expr" -> SignalQueries.thresholdEventsDifferentialSql,

@@ -640,4 +640,74 @@ object SignalQueries {
               round(CAST(c.cents AS DOUBLE) / (CAST(c.n AS DOUBLE) * 100.0), 6)
                 AS mean_value
        FROM cells c JOIN totals t USING (event_type)"""
+
+  /** FFT window length for [[powerSpectrum]] (power of two; 64 samples
+    * at 1 GS/s = the first 64 ns of each trace).
+    */
+  val SpectrumWindow = 64
+
+  /** Per-channel power spectrum over the arithmetic trace fixture — the
+    * spectral-diagnostics pass (mains pickup, digitiser oscillation) the
+    * reference's time-domain detectors do not cover: each (frame,
+    * channel) trace's first [[SpectrumWindow]] samples go through the
+    * [[graft.dsp.Fft]] radix-2 butterfly; output is the one-sided
+    * n²-normalised power per bin.
+    *
+    * Cross-algorithm, cross-engine verification: the DuckDB oracle
+    * computes the O(n²) DFT (explicit Σ v·cos / Σ v·sin per bin) over
+    * the same closed-form sample grid — no shared code with the
+    * butterfly, different summation order, different trig
+    * implementations. The n² normalisation keeps |X|² ≤ ~2·10⁵ with
+    * cross-engine float drift ≤ ~1e-9, so the shared round(4) compares
+    * exactly.
+    *
+    * Scale: the FFT is a pure per-row kernel inside one map stage —
+    * windows distribute with the traces, O(n log n) each, no shuffle at
+    * all until the tiny result projection (PlanAuditSpec-style shape:
+    * explode bounded by n/2+1 bins/window).
+    */
+  def powerSpectrum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = SpectrumWindow
+    TraceFixtures
+      .arithmeticTraces(s, nFrames = 4, nDigitizers = 2)
+      .flatMap { msg =>
+        msg.channels.map { ch =>
+          val x = ch.voltage.take(n).map(_.toDouble)
+          (msg.metadata.frameNumber, ch.channel, graft.dsp.Fft.powerSpectrum(x))
+        }
+      }
+      .toDF("frame_number", "channel", "spec")
+      .select(
+        col("frame_number"),
+        col("channel"),
+        posexplode(col("spec")).as(Seq("bin", "p")))
+      .select(
+        col("frame_number"),
+        col("channel"),
+        col("bin").cast("long").as("bin"),
+        round(col("p"), 4).as("power"))
+  }
+
+  /** DuckDB oracle for [[powerSpectrum]]: the naive DFT over the
+    * closed-form fixture grid (voltage = 50 + ((f·31 + d·13 + c·7 +
+    * j·11) mod 400), channel = d·8 + c).
+    */
+  val powerSpectrumSql: String = {
+    val n = SpectrumWindow
+    s"""WITH grid AS (
+         SELECT f, d, c, k, j,
+                CAST(50 + ((f*31 + d*13 + c*7 + j*11) % 400) AS DOUBLE) AS v
+         FROM range(4) rf(f), range(2) rd(d), range(8) rc(c),
+              range(${n / 2 + 1}) rk(k), range($n) rj(j)
+       ), ft AS (
+         SELECT f, d, c, k,
+                sum(v * cos(2 * pi() * j * k / $n)) AS re,
+                sum(-v * sin(2 * pi() * j * k / $n)) AS im
+         FROM grid GROUP BY 1, 2, 3, 4
+       )
+       SELECT f AS frame_number, d * 8 + c AS channel, k AS bin,
+              round((re * re + im * im) / (${n.toDouble} * ${n.toDouble}), 4) AS power
+       FROM ft"""
+  }
 }
