@@ -64,6 +64,50 @@ object Fft {
     }
   }
 
+  /** In-place inverse FFT via the conjugation identity
+    * (ifft(X) = conj(fft(conj(X))) / n).
+    */
+  def ifft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    var i = 0
+    while (i < n) { im(i) = -im(i); i += 1 }
+    fft(re, im)
+    i = 0
+    while (i < n) { re(i) /= n; im(i) = -im(i) / n; i += 1 }
+  }
+
+  /** Linear cross-correlation of `x` against template `g`
+    * (`corr(t) = Σⱼ x(t+j)·g(j)`, t = 0..n−m) by the correlation
+    * theorem: zero-pad both to the next power of two ≥ n+m−1, multiply
+    * `fft(x)` by `conj(fft(g))`, inverse-transform, take the real part —
+    * O(N log N) against the direct sum's O(n·m), and the cross-algorithm
+    * counterpart the q_matched_filter oracle computes directly.
+    */
+  def crossCorrelate(x: Array[Double], g: Array[Double]): Array[Double] = {
+    val n = x.length
+    val m = g.length
+    require(m <= n, "template longer than signal")
+    var size = 1
+    while (size < n + m - 1) size <<= 1
+    val xr = java.util.Arrays.copyOf(x, size)
+    val xi = new Array[Double](size)
+    val gr = java.util.Arrays.copyOf(g, size)
+    val gi = new Array[Double](size)
+    fft(xr, xi)
+    fft(gr, gi)
+    // X * conj(G)
+    var k = 0
+    while (k < size) {
+      val re = xr(k) * gr(k) + xi(k) * gi(k)
+      val im = xi(k) * gr(k) - xr(k) * gi(k)
+      xr(k) = re
+      xi(k) = im
+      k += 1
+    }
+    ifft(xr, xi)
+    java.util.Arrays.copyOf(xr, n - m + 1)
+  }
+
   /** One-sided n²-normalised power spectrum of a real signal: bins
     * 0..n/2, `|X_k|² / n²` — the normalisation keeps cross-engine float
     * comparison safely inside a 4-dp round (see q_power_spectrum).

@@ -710,4 +710,86 @@ object SignalQueries {
               round((re * re + im * im) / (${n.toDouble} * ${n.toDouble}), 4) AS power
        FROM ft"""
   }
+
+  /** Matched-filter window: signal length (first 128 samples) and the
+    * Gaussian template (length 16, centre 8, σ² = 4), whose values both
+    * engines round to 6 dp BEFORE correlating so the template is
+    * bit-identical across exp() implementations.
+    */
+  val FilterSignal = 128
+  val FilterTemplate = 16
+
+  /** Matched-filter pulse search — correlate every trace window with a
+    * Gaussian pulse template and report the best-matching offset: the
+    * optimal linear detector for a known pulse shape in white noise, the
+    * spectral sibling of the reference's time-domain threshold FSMs.
+    *
+    * The Spark side computes the correlation by the FFT correlation
+    * theorem ([[graft.dsp.Fft.crossCorrelate]]: pad → fft → ×conj →
+    * ifft, O(N log N)); the DuckDB oracle computes the DIRECT sum
+    * `Σⱼ v(t+j)·g(j)` — different algorithm and engine, shared round(4)
+    * sized to the ~1e-9 drift. Peak selection (max correlation, earliest
+    * offset on ties) happens on the ROUNDED values in both engines, so
+    * the comparison is exact.
+    *
+    * Scale: one map kernel per (frame, channel) window — no shuffle
+    * until the 64-row peak projection; at production trace lengths the
+    * O(N log N) path wins over direct O(n·m) correlation for any
+    * template beyond a few taps, and both stay embarrassingly parallel.
+    */
+  def matchedFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = FilterTemplate
+    val template = Array.tabulate(m) { i =>
+      math.round(math.exp(-((i - 8.0) * (i - 8.0)) / 8.0) * 1e6) / 1e6
+    }
+    TraceFixtures
+      .arithmeticTraces(s, nFrames = 4, nDigitizers = 2)
+      .flatMap { msg =>
+        msg.channels.map { ch =>
+          val x = ch.voltage.take(FilterSignal).map(_.toDouble)
+          val corr = graft.dsp.Fft
+            .crossCorrelate(x, template)
+            .map(v => math.round(v * 1e4) / 1e4)
+          var best = 0
+          var i = 1
+          while (i < corr.length) {
+            if (corr(i) > corr(best)) best = i
+            i += 1
+          }
+          (msg.metadata.frameNumber, ch.channel, best.toLong, corr(best))
+        }
+      }
+      .toDF("frame_number", "channel", "peak_t", "peak_corr")
+  }
+
+  /** DuckDB oracle for [[matchedFilter]]: direct correlation sums over
+    * the closed-form fixture grid, peak = max rounded correlation with
+    * earliest-offset tie-break.
+    */
+  val matchedFilterSql: String = {
+    val n = FilterSignal
+    val m = FilterTemplate
+    s"""WITH tmpl AS (
+         SELECT i, round(exp(-((i - 8.0) * (i - 8.0)) / 8.0), 6) AS g
+         FROM range($m) r(i)
+       ), grid AS (
+         SELECT f, d, c, j,
+                CAST(50 + ((f*31 + d*13 + c*7 + j*11) % 400) AS DOUBLE) AS v
+         FROM range(4) rf(f), range(2) rd(d), range(8) rc(c), range($n) rj(j)
+       ), corr AS (
+         SELECT g2.f, g2.d, g2.c, rt.t, round(sum(g2.v * tmpl.g), 4) AS corr
+         FROM range(${n - m + 1}) rt(t)
+         CROSS JOIN tmpl
+         JOIN grid g2 ON g2.j = rt.t + tmpl.i
+         GROUP BY 1, 2, 3, 4
+       ), peak AS (
+         SELECT f, d, c, max(corr) AS peak_corr FROM corr GROUP BY 1, 2, 3
+       )
+       SELECT p.f AS frame_number, p.d * 8 + p.c AS channel,
+              CAST(min(c2.t) AS BIGINT) AS peak_t, p.peak_corr
+       FROM peak p
+       JOIN corr c2 ON c2.f = p.f AND c2.d = p.d AND c2.c = p.c AND c2.corr = p.peak_corr
+       GROUP BY 1, 2, 4"""
+  }
 }

@@ -65,6 +65,29 @@ class FftSpec extends AnyFunSuite {
     assert(math.abs(lhs - rhs) / rhs < 1e-12)
   }
 
+  test("ifft inverts fft; FFT cross-correlation == direct sum") {
+    val rnd = new scala.util.Random(23)
+    val n = 64
+    val x = Array.fill(n)(rnd.nextDouble() * 100.0)
+    val re = x.clone(); val im = new Array[Double](n)
+    Fft.fft(re, im)
+    Fft.ifft(re, im)
+    for (j <- 0 until n) {
+      assert(math.abs(re(j) - x(j)) < 1e-10, s"re $j")
+      assert(math.abs(im(j)) < 1e-10, s"im $j")
+    }
+    for (_ <- 1 to 10) {
+      val sig = Array.fill(40 + rnd.nextInt(60))(rnd.nextDouble() * 50.0)
+      val g = Array.fill(1 + rnd.nextInt(12))(rnd.nextDouble())
+      val got = Fft.crossCorrelate(sig, g)
+      assert(got.length == sig.length - g.length + 1)
+      for (t <- got.indices) {
+        val direct = g.indices.map(j => sig(t + j) * g(j)).sum
+        assert(math.abs(got(t) - direct) < 1e-8, s"t=$t")
+      }
+    }
+  }
+
   test("non-power-of-two lengths are rejected") {
     val e = intercept[IllegalArgumentException](Fft.fft(new Array[Double](6), new Array[Double](6)))
     assert(e.getMessage.contains("power of two"))
