@@ -94,6 +94,13 @@ object Sessions {
       .builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      // the library's SparkSessionExtensions (native expressions, as-of
+      // join strategy, opt-in optimizer rules) ship with every session
+      // this factory CREATES — the same surface a cluster gets from
+      // spark.sql.extensions=graft.plans.GraftExtensions. (getOrCreate
+      // reusing an existing session skips builder extensions; entry
+      // points that need a guarantee keep their explicit register calls.)
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -1581,4 +1581,135 @@ object CurationQueries {
                sum(c) >= $BlocklistFlagThreshold AS flagged
         FROM hits GROUP BY doc_id"""
   }
+
+  /** Number of BPE merge steps [[bpeTrain]] learns. */
+  val BpeSteps = 8
+
+  /** How many times the padded-replace is applied per merge — ⌈maxWord/2⌉
+    * passes guarantee the non-overlapping left-to-right fixpoint for any
+    * word up to 2·[[BpeReplacePasses]] symbols.
+    */
+  val BpeReplacePasses = 8
+
+  /** BPE tokenizer TRAINING — the vocabulary-learning step every LLM
+    * data pipeline runs before token counting/packing means anything:
+    * start from characters, repeatedly merge the highest-frequency
+    * adjacent symbol pair (ties → lexicographically smallest pair, so
+    * the whole run is deterministic), emit the learned merge table with
+    * per-step pair frequency and resulting vocabulary size.
+    *
+    * Merge application semantics (IDENTICAL in both engines by
+    * construction): symbols live in a space-separated padded string
+    * `' a b c '`; a merge replaces `' l r '` with `' lr '`, re-applied
+    * [[BpeReplacePasses]] times — the fixpoint is exactly the
+    * non-overlapping left-to-right merge standard BPE performs (each
+    * pass consumes the separator a following overlap needs, so `a a a`
+    * merges once, `a b a b` merges twice).
+    *
+    * Scale: training state is the WORD-frequency table (Zipf-bounded,
+    * ≪ corpus — the standard BPE trick), rebuilt once from one corpus
+    * scan; each step is one distributed pair-count aggregate + a 1-row
+    * driver collect (the same control-plane scalar-per-round pattern as
+    * [[graft.operators.ConnectedComponents]]) + a map-stage replace. The
+    * DuckDB oracle replays all [[BpeSteps]] argmax/apply stages as
+    * chained CTEs — static SQL, no data-dependent derivation.
+    */
+  def bpeTrain(s: SparkSession, dir: String, steps: Int = BpeSteps): DataFrame = {
+    val words = Tables
+      .documents(s, dir)
+      .select(explode(split(col("text"), " ", -1)).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    var toks = words
+      .select(
+        concat(
+          lit(" "),
+          concat_ws(" ", expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
+          lit(" ")).as("toks"),
+        col("cnt"))
+      .persist()
+    val rows = (1 to steps).map { step =>
+      val best = toks
+        .select(col("cnt"), split(trim(col("toks")), " ").as("arr"))
+        .filter(size(col("arr")) >= 2)
+        .select(
+          col("cnt"),
+          explode(expr(
+            "transform(sequence(0, size(arr) - 2), j -> concat(element_at(arr, j + 1), ' ', element_at(arr, j + 2)))"))
+            .as("p"))
+        .groupBy(col("p"))
+        .agg(sum(col("cnt")).as("total"))
+        .orderBy(col("total").desc, col("p").asc)
+        .limit(1)
+        .collect()
+        .head
+      val pair = best.getString(0)
+      val total = best.getLong(1)
+      val Array(l, r) = pair.split(" ")
+      val pat = s" $l $r "
+      val rep = s" $l$r "
+      val applied = (1 to BpeReplacePasses)
+        .foldLeft("toks")((acc, _) => s"replace($acc, '$pat', '$rep')")
+      val next = toks.select(expr(applied).as("toks"), col("cnt")).persist()
+      val vocab = next
+        .select(explode(split(trim(col("toks")), " ")).as("tok"))
+        .agg(countDistinct(col("tok")))
+        .head()
+        .getLong(0)
+      toks.unpersist()
+      toks = next
+      (step, l, r, l + r, total, vocab)
+    }
+    toks.unpersist()
+    import s.implicits._
+    rows.toDF("step", "lhs", "rhs", "merged", "pair_count", "vocab_after")
+  }
+
+  /** DuckDB oracle for [[bpeTrain]]: the same [[BpeSteps]] greedy stages
+    * as chained CTEs — per stage an argmax over adjacent-pair
+    * frequencies (same tie-break) and the same [[BpeReplacePasses]]×
+    * padded replace.
+    */
+  val bpeTrainSql: String = {
+    def stage(i: Int): String = {
+      val prev = if (i == 1) "t0" else s"t${i - 1}"
+      val applied = (1 to BpeReplacePasses).foldLeft("t.toks")((acc, _) =>
+        s"replace($acc, ' ' || b.p || ' ', ' ' || replace(b.p, ' ', '') || ' ')")
+      s"""pairs_$i AS (
+           SELECT arr[j] || ' ' || arr[j+1] AS p, CAST(sum(cnt) AS BIGINT) AS total
+           FROM (SELECT string_split(trim(toks), ' ') AS arr, cnt FROM $prev),
+                unnest(generate_series(1, len(arr) - 1)) s(j)
+           WHERE len(arr) >= 2
+           GROUP BY 1
+         ), best_$i AS (
+           SELECT p, total FROM pairs_$i ORDER BY total DESC, p LIMIT 1
+         ), t$i AS (
+           SELECT $applied AS toks, t.cnt FROM $prev t CROSS JOIN best_$i b
+         ), vocab_$i AS (
+           SELECT count(DISTINCT tok) AS v
+           FROM (SELECT unnest(string_split(trim(toks), ' ')) AS tok FROM t$i)
+         ), row_$i AS (
+           SELECT $i AS step,
+                  split_part(b.p, ' ', 1) AS lhs,
+                  split_part(b.p, ' ', 2) AS rhs,
+                  replace(b.p, ' ', '') AS merged,
+                  b.total AS pair_count,
+                  v.v AS vocab_after
+           FROM best_$i b CROSS JOIN vocab_$i v
+         )"""
+    }
+    val stages = (1 to BpeSteps).map(stage).mkString(",\n")
+    val unions = (1 to BpeSteps).map(i => s"SELECT * FROM row_$i").mkString(" UNION ALL ")
+    s"""WITH words AS (
+         SELECT w, count(*) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE w <> '' GROUP BY w
+       ), t0 AS (
+         SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS toks, cnt
+         FROM words
+       ),
+       $stages
+       $unions"""
+  }
 }

@@ -509,6 +509,27 @@ class CurationSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("BPE train: greedy merge choice, overlap handling, symbol recombination") {
+    // corpus: 'abab' ×3, 'aaa' ×2, 'ab' ×1  (weights via repetition)
+    //   step1 pairs: (a,b): 2*3+1 = 7; (b,a): 1*3 = 3; (a,a): 2*2 = 4 → merge 'a b'
+    //   'abab' → 'ab ab', 'aaa' stays 'a a a', 'ab' → 'ab'
+    //   step2 pairs: (ab,ab): 3; (a,a): 4 → merge 'a a'; 'a a a' → 'aa a' (overlap: once!)
+    //   step3 pairs: (ab,ab): 3; (aa,a): 2 → merge 'ab ab'
+    withDocs(
+      Seq(
+        (1L, "abab abab abab aaa", "en", "s", 0L),
+        (2L, "aaa ab", "en", "s", 0L))) { dir =>
+      val rows = CurationQueries
+        .bpeTrain(spark, dir, steps = 3)
+        .collect()
+        .sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+      assert(rows(0) == (("a", "b", 7L)), rows.mkString(";"))
+      assert(rows(1) == (("a", "a", 4L)), rows.mkString(";"))
+      assert(rows(2) == (("ab", "ab", 3L)), rows.mkString(";"))
+    }
+  }
+
   test("doc chunk: grid boundaries — stride-fit, stride+1, multi-chunk, and 1-char docs") {
     import CurationQueries.{ChunkChars, ChunkStride}
     val texts = Seq(
