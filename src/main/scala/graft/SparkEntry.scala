@@ -119,6 +119,7 @@ object SparkEntry {
     "q_doc_chunk" -> (CurationQueries.docChunk _),
     "q_blocklist_scan" -> (CurationQueries.blocklistScan _),
     "q_bpe_train" -> ((s: SparkSession, d: String) => CurationQueries.bpeTrain(s, d)),
+    "q_bpe_encode" -> ((s: SparkSession, d: String) => CurationQueries.bpeEncode(s, d)),
     "q_epoch_shuffle" -> (CurationQueries.epochShuffle _),
     "q_token_budget" -> ((s: SparkSession, d: String) => CurationQueries.tokenBudget(s, d)),
     "q_dedup_sweep" -> ((s: SparkSession, d: String) => DedupQueries.dedupSweep(s, d)),
@@ -319,6 +320,7 @@ object SparkEntry {
     "q_doc_chunk" -> CurationQueries.docChunkSql,
     "q_blocklist_scan" -> CurationQueries.blocklistScanSql,
     "q_bpe_train" -> CurationQueries.bpeTrainSql,
+    "q_bpe_encode" -> CurationQueries.bpeEncodeSql,
     "q_epoch_shuffle" -> CurationQueries.epochShuffleSql,
     "q_token_budget" -> CurationQueries.tokenBudgetSql(),
     "q_dedup_sweep" -> DedupQueries.dedupSweepSql(),

@@ -1614,7 +1614,14 @@ object CurationQueries {
     * DuckDB oracle replays all [[BpeSteps]] argmax/apply stages as
     * chained CTEs — static SQL, no data-dependent derivation.
     */
-  def bpeTrain(s: SparkSession, dir: String, steps: Int = BpeSteps): DataFrame = {
+  /** The shared training loop: learn `steps` merges, returning the merge
+    * log and the final tokenization of the word table (w, toks, cnt).
+    * Caller unpersists the returned DataFrame.
+    */
+  private def bpeLearn(
+      s: SparkSession,
+      dir: String,
+      steps: Int): (Seq[(Int, String, String, String, Long, Long)], DataFrame) = {
     val words = Tables
       .documents(s, dir)
       .select(explode(split(col("text"), " ", -1)).as("w"))
@@ -1623,6 +1630,7 @@ object CurationQueries {
       .agg(count(lit(1)).as("cnt"))
     var toks = words
       .select(
+        col("w"),
         concat(
           lit(" "),
           concat_ws(" ", expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
@@ -1651,7 +1659,7 @@ object CurationQueries {
       val rep = s" $l$r "
       val applied = (1 to BpeReplacePasses)
         .foldLeft("toks")((acc, _) => s"replace($acc, '$pat', '$rep')")
-      val next = toks.select(expr(applied).as("toks"), col("cnt")).persist()
+      val next = toks.select(col("w"), expr(applied).as("toks"), col("cnt")).persist()
       val vocab = next
         .select(explode(split(trim(col("toks")), " ")).as("tok"))
         .agg(countDistinct(col("tok")))
@@ -1661,9 +1669,53 @@ object CurationQueries {
       toks = next
       (step, l, r, l + r, total, vocab)
     }
+    (rows, toks)
+  }
+
+  def bpeTrain(s: SparkSession, dir: String, steps: Int = BpeSteps): DataFrame = {
+    val (rows, toks) = bpeLearn(s, dir, steps)
     toks.unpersist()
     import s.implicits._
     rows.toDF("step", "lhs", "rhs", "merged", "pair_count", "vocab_after")
+  }
+
+  /** BPE ENCODING with the vocabulary [[bpeTrain]] learns — the
+    * trainer→encoder round trip: re-derive the merge table, apply it to
+    * the word inventory, and report per-document subword statistics
+    * (token count, distinct subwords, chars-per-token compression). The
+    * per-word token counts come from the final training tokenization —
+    * one broadcast-sized (word → n_subwords) map joined onto the
+    * exploded corpus, exactly how a production encoder amortizes BPE
+    * over a Zipf vocabulary instead of re-merging every occurrence.
+    *
+    * Scale: everything [[bpeTrain]] says, plus one broadcast join of the
+    * word→stats map onto the corpus explode (map-side; the corpus never
+    * shuffles) and a per-doc partial aggregation.
+    */
+  def bpeEncode(s: SparkSession, dir: String, steps: Int = BpeSteps): DataFrame = {
+    val (_, toks) = bpeLearn(s, dir, steps)
+    val wordStats = toks.select(
+      col("w"),
+      size(split(trim(col("toks")), " ")).cast("long").as("n_sub"))
+    val out = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(wordStats), "w")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_bpe_tokens"),
+        sum(length(col("w"))).as("n_word_chars"))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        col("n_bpe_tokens"),
+        round(col("n_word_chars").cast("double") / col("n_bpe_tokens").cast("double"), 6)
+          .as("chars_per_token"))
+    // toks stays persisted until the session's clearCache — the result is
+    // lazy and wordStats reads it at materialization time
+    out
   }
 
   /** DuckDB oracle for [[bpeTrain]]: the same [[BpeSteps]] greedy stages
@@ -1671,7 +1723,11 @@ object CurationQueries {
     * frequencies (same tie-break) and the same [[BpeReplacePasses]]×
     * padded replace.
     */
-  val bpeTrainSql: String = {
+  /** Shared WITH-clause body replaying the [[BpeSteps]] training stages
+    * (words → t0 → pairs/best/t/vocab/row per step), words carried
+    * through for the encode leg.
+    */
+  private def bpeStagesSql: String = {
     def stage(i: Int): String = {
       val prev = if (i == 1) "t0" else s"t${i - 1}"
       val applied = (1 to BpeReplacePasses).foldLeft("t.toks")((acc, _) =>
@@ -1685,7 +1741,7 @@ object CurationQueries {
          ), best_$i AS (
            SELECT p, total FROM pairs_$i ORDER BY total DESC, p LIMIT 1
          ), t$i AS (
-           SELECT $applied AS toks, t.cnt FROM $prev t CROSS JOIN best_$i b
+           SELECT t.w, $applied AS toks, t.cnt FROM $prev t CROSS JOIN best_$i b
          ), vocab_$i AS (
            SELECT count(DISTINCT tok) AS v
            FROM (SELECT unnest(string_split(trim(toks), ' ')) AS tok FROM t$i)
@@ -1700,16 +1756,39 @@ object CurationQueries {
          )"""
     }
     val stages = (1 to BpeSteps).map(stage).mkString(",\n")
-    val unions = (1 to BpeSteps).map(i => s"SELECT * FROM row_$i").mkString(" UNION ALL ")
-    s"""WITH words AS (
+    s"""words AS (
          SELECT w, count(*) AS cnt
          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
          WHERE w <> '' GROUP BY w
        ), t0 AS (
-         SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS toks, cnt
+         SELECT w, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS toks, cnt
          FROM words
        ),
-       $stages
-       $unions"""
+       $stages"""
   }
+
+  val bpeTrainSql: String = {
+    val unions = (1 to BpeSteps).map(i => s"SELECT * FROM row_$i").mkString(" UNION ALL ")
+    s"WITH $bpeStagesSql\n$unions"
+  }
+
+  /** DuckDB oracle for [[bpeEncode]]: the same replayed stages, final
+    * tokenization joined back onto the exploded corpus.
+    */
+  val bpeEncodeSql: String =
+    s"""WITH $bpeStagesSql,
+        enc AS (
+          SELECT w, CAST(len(string_split(trim(toks), ' ')) AS BIGINT) AS n_sub
+          FROM t$BpeSteps
+        ), dw AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        )
+        SELECT dw.doc_id,
+               count(*) AS n_words,
+               CAST(sum(e.n_sub) AS BIGINT) AS n_bpe_tokens,
+               round(CAST(sum(length(dw.w)) AS DOUBLE) / CAST(sum(e.n_sub) AS DOUBLE), 6)
+                 AS chars_per_token
+        FROM dw JOIN enc e USING (w)
+        WHERE dw.w <> ''
+        GROUP BY 1"""
 }
