@@ -46,8 +46,12 @@ object Bench {
     // parse from the tail. Persist the complete JSON to a file, then print
     // a compact line — total, query count, the slowest 30 queries at 3 dp,
     // and a pointer to the full file — sized to survive the tail window.
+    // A SPARK_GRAFT_ONLY family A/B must never clobber the round's
+    // full-suite artifact: default its output to bench_only.json unless
+    // an explicit path overrides.
+    val defaultOut = if (only.isDefined) "bench_only.json" else "bench_last.json"
     val out = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
     java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
     val slowest = results.toSeq.sortBy(-_._2).take(30)
       .map { case (k, v) => "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP) }

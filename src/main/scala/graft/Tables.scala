@@ -73,6 +73,19 @@ object Sessions {
   def tmpfsScratchEnabled: Boolean =
     !sys.env.get("GRAFT_TMPFS_SCRATCH").exists(v => v == "0" || v.equalsIgnoreCase("false"))
 
+  /** The ONE definition of "is tmpfs scratch usable here": opted in AND
+    * /dev/shm exists and is writable. Shared by the session factory's
+    * spark.local.dir routing and the bounded-drain checkpoint helper so
+    * a policy change (different mount, size floor) cannot silently
+    * diverge between the two.
+    */
+  def tmpfsScratchDir: Option[java.nio.file.Path] = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (tmpfsScratchEnabled &&
+      java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) Some(shm)
+    else None
+  }
+
   /** Apply the opted-in state store provider to `s` (a fresh session or
     * clone). No-op under the default; idempotent.
     */
@@ -113,10 +126,8 @@ object Sessions {
     // Only applied when this builder CREATES the context (getOrCreate
     // ignores it otherwise) and only on single-node local[*] — a cluster
     // deployment sizes spark.local.dir to its own disks.
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    if (tmpfsScratchEnabled &&
-      java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
-      builder.config("spark.local.dir", "/dev/shm/graft-spark-local")
+    tmpfsScratchDir.foreach(shm =>
+      builder.config("spark.local.dir", shm.resolve("graft-spark-local").toString))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // every session built here honors the state-store opt-in, so the

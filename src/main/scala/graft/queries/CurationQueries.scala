@@ -1191,10 +1191,15 @@ object CurationQueries {
   /** Token-budget sampler — the operator that EXECUTES a mixture plan:
     * [[domainMixture]] computes tempered shares; this turns them into
     * per-source token quotas (`budget_i = ceil(frac × total × q_i)`,
-    * α = 0.5 over source token mass) and greedily fills each quota in
-    * deterministic md5 document order — a document is kept iff it fits
-    * entirely within its source's remaining budget (no partial
-    * documents). Output per document: token count, tokens consumed
+    * α = 0.5 over source token mass) and fills each quota in
+    * deterministic md5 document order as a PREFIX CUT — a document is
+    * kept iff the cumulative token mass through it (kept or dropped
+    * predecessors alike) still fits the quota, i.e. the kept set is the
+    * longest md5-order prefix within budget, and the first overflowing
+    * document closes the source (no partial documents, no
+    * skip-and-backfill: backfilling with later smaller docs would bias
+    * the sample toward short documents, which is why recipe samplers
+    * cut rather than pack). Output per document: token count, tokens consumed
     * before it, its source's budget, and the keep verdict. Unlike
     * [[langMixture]] (equal DOC counts), the quota is token MASS — what
     * a pre-training data recipe actually budgets.
@@ -1560,9 +1565,8 @@ object CurationQueries {
       .select(
         col("doc_id"),
         aggregate(col("counts"), lit(0L), (a, x) => a + x).as("n_hits"),
-        size(filter(col("counts"), _ > 0L)).cast("long").as("n_patterns"),
-        (aggregate(col("counts"), lit(0L), (a, x) => a + x) >= BlocklistFlagThreshold)
-          .as("flagged"))
+        size(filter(col("counts"), _ > 0L)).cast("long").as("n_patterns"))
+      .withColumn("flagged", col("n_hits") >= BlocklistFlagThreshold)
   }
 
   /** DuckDB oracle for [[blocklistScan]]: per-pattern replace-length
@@ -1637,7 +1641,10 @@ object CurationQueries {
           lit(" ")).as("toks"),
         col("cnt"))
       .persist()
-    val rows = (1 to steps).map { step =>
+    val rows = Seq.newBuilder[(Int, String, String, String, Long, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
       val best = toks
         .select(col("cnt"), split(trim(col("toks")), " ").as("arr"))
         .filter(size(col("arr")) >= 2)
@@ -1651,25 +1658,37 @@ object CurationQueries {
         .orderBy(col("total").desc, col("p").asc)
         .limit(1)
         .collect()
-        .head
-      val pair = best.getString(0)
-      val total = best.getLong(1)
-      val Array(l, r) = pair.split(" ")
-      val pat = s" $l $r "
-      val rep = s" $l$r "
-      val applied = (1 to BpeReplacePasses)
-        .foldLeft("toks")((acc, _) => s"replace($acc, '$pat', '$rep')")
-      val next = toks.select(col("w"), expr(applied).as("toks"), col("cnt")).persist()
-      val vocab = next
-        .select(explode(split(trim(col("toks")), " ")).as("tok"))
-        .agg(countDistinct(col("tok")))
-        .head()
-        .getLong(0)
-      toks.unpersist()
-      toks = next
-      (step, l, r, l + r, total, vocab)
+        .headOption
+      best match {
+        case None =>
+          // every word is a single symbol — nothing left to merge;
+          // return the merges learned so far instead of crashing
+          exhausted = true
+        case Some(row) =>
+          val pair = row.getString(0)
+          val total = row.getLong(1)
+          val Array(l, r) = pair.split(" ")
+          // merge tokens are corpus-derived strings heading into a SQL
+          // literal — escape the literal delimiters (quote, backslash)
+          // so an apostrophe-bearing word cannot break the expression
+          def esc(t: String) = t.replace("\\", "\\\\").replace("'", "\\'")
+          val pat = s" ${esc(l)} ${esc(r)} "
+          val rep = s" ${esc(l)}${esc(r)} "
+          val applied = (1 to BpeReplacePasses)
+            .foldLeft("toks")((acc, _) => s"replace($acc, '$pat', '$rep')")
+          val next = toks.select(col("w"), expr(applied).as("toks"), col("cnt")).persist()
+          val vocab = next
+            .select(explode(split(trim(col("toks")), " ")).as("tok"))
+            .agg(countDistinct(col("tok")))
+            .head()
+            .getLong(0)
+          toks.unpersist()
+          toks = next
+          rows += ((step, l, r, l + r, total, vocab))
+          step += 1
+      }
     }
-    (rows, toks)
+    (rows.result(), toks)
   }
 
   def bpeTrain(s: SparkSession, dir: String, steps: Int = BpeSteps): DataFrame = {

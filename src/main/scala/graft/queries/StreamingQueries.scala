@@ -72,11 +72,8 @@ object StreamingQueries {
     * only the drain harness routes through this helper.
     */
   private def scratchCheckpoint(prefix: String): String = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val base =
-      if (graft.Sessions.tmpfsScratchEnabled &&
-        java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
-      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    val base = graft.Sessions.tmpfsScratchDir
+      .getOrElse(java.nio.file.Paths.get(sys.props("java.io.tmpdir")))
     java.nio.file.Files.createTempDirectory(base, prefix).toString
   }
 

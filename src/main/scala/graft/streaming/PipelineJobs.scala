@@ -203,23 +203,40 @@ object PipelineJobs {
       checkpoint: String,
       triggerMs: Long = 100L): StreamingQuery = {
     allowEmptyBatches(traces)
-    // the production A2 assembler (TWS) requires the RocksDB provider —
-    // pin it on the owning session before the query captures its conf
-    traces.sparkSession.conf.set(
-      "spark.sql.streaming.stateStore.providerClass",
-      graft.Sessions.RocksDBProvider)
     val dev2 = EventFormation.formEvents(traces, settings)
     val aev2 = FrameAssemblyTws.assemble(dev2, expectedDigitizers, ttlMs)
-    aev2.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
-      .foreachBatch { (batch: Dataset[graft.schemas.AssembledFrame], batchId: Long) =>
-        val spark = batch.sparkSession
-        val assigned = RunAssignment.assignFrames(batch.toDF(), runsProvider(spark))
-        sink.writeBatch(assigned, batchId)
-      }
-      .start()
+    withRocksDbPinned(traces.sparkSession) {
+      aev2.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
+        .foreachBatch { (batch: Dataset[graft.schemas.AssembledFrame], batchId: Long) =>
+          val spark = batch.sparkSession
+          val assigned = RunAssignment.assignFrames(batch.toDF(), runsProvider(spark))
+          sink.writeBatch(assigned, batchId)
+        }
+        .start()
+    }
+  }
+
+  /** The production A2 assembler (TWS) requires the RocksDB provider.
+    * Pin it ONLY for the duration of the `start()` call: a streaming
+    * query snapshots the session conf into its own cloned session at
+    * start, so the pin is captured by the new query while the owning
+    * session's conf is restored — another stream on the same session
+    * (e.g. an HDFS-backed query with an existing checkpoint) keeps its
+    * provider on restart instead of silently inheriting RocksDB.
+    */
+  private def withRocksDbPinned(session: SparkSession)(
+      start: => StreamingQuery): StreamingQuery = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = session.conf.getOption(key)
+    session.conf.set(key, graft.Sessions.RocksDBProvider)
+    try start
+    finally prior match {
+      case Some(v) => session.conf.set(key, v)
+      case None => session.conf.unset(key)
+    }
   }
 
   /** K1 with REAL wire bytes: the digitiser-aggregator's producer side —
@@ -240,23 +257,22 @@ object PipelineJobs {
       ttlMs: Long = 500L,
       triggerMs: Long = 100L): StreamingQuery = {
     allowEmptyBatches(traces)
-    traces.sparkSession.conf.set(
-      "spark.sql.streaming.stateStore.providerClass",
-      graft.Sessions.RocksDBProvider)
     val dev2 = EventFormation.formEvents(traces, settings)
     val aev2 = FrameAssemblyTws.assemble(dev2, expectedDigitizers, ttlMs)
     // ONE definition of the producer's wire-encode stage, shared with the
     // Kafka writer so the parquet stand-in and a broker deployment can
     // never drift
-    KafkaWiring
-      .frameWireBytes(aev2)
-      .writeStream
-      .format("parquet")
-      .outputMode("append")
-      .option("path", topicDir)
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
-      .start()
+    withRocksDbPinned(traces.sparkSession) {
+      KafkaWiring
+        .frameWireBytes(aev2)
+        .writeStream
+        .format("parquet")
+        .outputMode("append")
+        .option("path", topicDir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
+        .start()
+    }
   }
 
   /** The reference nexus-writer's full behavior in one job pair

@@ -138,4 +138,33 @@ class SearchSpec extends AnyFunSuite {
       "no 3+-word phrase with matches — the chained join path is untested")
     spark.catalog.clearCache()
   }
+
+  test("phrase search: oracle precondition — substring counts align to token boundaries") {
+    // The replace-length oracle counts RAW substring occurrences; the
+    // engine counts token adjacency. They agree iff no phrase occurrence
+    // can be misaligned: a phrase's first word must not be a proper
+    // SUFFIX of any corpus token, nor its last word a proper PREFIX
+    // (middle words sit between literal spaces, so they are always whole
+    // tokens). This guard fails LOUDLY if the corpus is ever regenerated
+    // with e.g. plural forms ('joins', 'scans') instead of silently
+    // passing a diverged oracle. Checked on the correctness-gate corpus.
+    val vocab = graft.Tables
+      .documents(spark, "/root/testdata/sf0.01")
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .filter("w <> ''")
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSet
+    for (phrase <- SearchQueries.SearchPhrases) {
+      val words = phrase.split(" ")
+      val (first, last) = (words.head, words.last)
+      val badSuffix = vocab.filter(t => t != first && t.endsWith(first))
+      val badPrefix = vocab.filter(t => t != last && t.startsWith(last))
+      assert(badSuffix.isEmpty,
+        s"'$phrase': corpus tokens $badSuffix end with boundary word '$first' — oracle would overcount")
+      assert(badPrefix.isEmpty,
+        s"'$phrase': corpus tokens $badPrefix start with boundary word '$last' — oracle would overcount")
+    }
+  }
 }
