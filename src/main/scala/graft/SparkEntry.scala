@@ -197,6 +197,7 @@ object SparkEntry {
     "q_quantile_sketch" -> (SketchQueries.quantileSketch _),
     "q_bitmap_distinct" -> (SketchQueries.bitmapDistinct _),
     "q_kmv_setops" -> ((s: SparkSession, d: String) => SketchQueries.kmvSetOps(s, d)),
+    "q_hll_rollup" -> ((s: SparkSession, d: String) => SketchQueries.hllRollup(s, d)),
     "q_inverted_index" -> (SearchQueries.invertedIndex _),
     "q_phrase_search" -> (SearchQueries.phraseSearch _),
     "q_sessionize" -> (RelationalQueries.sessionize _),
@@ -407,6 +408,7 @@ object SparkEntry {
     "q_quantile_sketch" -> SketchQueries.quantileSketchSql(),
     "q_bitmap_distinct" -> SketchQueries.bitmapDistinctSql,
     "q_kmv_setops" -> SketchQueries.kmvSetOpsSql(),
+    "q_hll_rollup" -> SketchQueries.hllRollupSql(),
     "q_inverted_index" -> SearchQueries.invertedIndexSql,
     "q_phrase_search" -> SearchQueries.phraseSearchSql,
     // sketch ops: DuckDB re-derives every hash from the text (mod-prime

@@ -431,6 +431,141 @@ object SketchQueries {
               count(DISTINCT user_id) AS n_users_rollup
        FROM events GROUP BY event_type"""
 
+  /** HLL register ROLLUP — the reaggregation story that makes HLL the
+    * cross-shard profiling summary: per-(type, day) register vectors
+    * merge to any window by element-wise MAX, no fact re-scan — the
+    * approximate sibling of [[bitmapDistinct]]'s exact rollup. The
+    * query materializes BOTH paths — registers built directly over the
+    * whole range, and per-day registers max-merged — and reports both
+    * estimates; max-associativity makes them IDENTICAL, and the oracle
+    * (which re-derives every register) pins that, plus the exact count
+    * for the error-envelope comparison.
+    *
+    * Scale: per-day state is m bytes per (type, day); the merge shuffle
+    * moves types×days×m register rows, never fact rows. Any ad-hoc
+    * window (week, month, campaign) is answered from stored registers.
+    */
+  def hllRollup(s: SparkSession, dir: String, m: Int = 64): DataFrame = {
+    val hUdf = udf { (id: Long) => TextHash.permHash(id, 17L) }
+    // entity = user-DAY (user_id ⊕ day number): thousands of distinct
+    // values per type — safely above HLL's 2.5m transition zone, and the
+    // "active user-days" metric a rollup actually serves
+    val ranked = Tables
+      .events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      .withColumn(
+        "ent",
+        col("user_id") * 65536 + pmod(datediff(col("day"), lit("1970-01-01").cast("date")), lit(65536)))
+      .select(col("event_type"), col("day"), hUdf(col("ent")).as("h"))
+      .select(
+        col("event_type"),
+        col("day"),
+        (col("h") % m).as("bucket"),
+        expr(s"coalesce(array_min(filter(sequence(0, 25), k -> (shiftright(h div $m, k) & 1) = 1)), 25) + 1")
+          .as("rank"))
+      .persist()
+    val grid = ranked
+      .select(col("event_type"))
+      .distinct()
+      .crossJoin(s.range(m).select(col("id").cast("long").as("bucket")))
+    def estimate(regsRanked: DataFrame, name: String): DataFrame = {
+      val regs = grid
+        .join(regsRanked, Seq("event_type", "bucket"), "left")
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(coalesce(max(col("r")), lit(0)).as("m_reg"))
+      val raw = lit(0.709 * m * m) / col("z")
+      regs
+        .groupBy(col("event_type"))
+        .agg(
+          sum(pow(lit(2.0), -col("m_reg"))).as("z"),
+          sum(when(col("m_reg") === 0, 1).otherwise(0)).as("nz"))
+        .select(
+          col("event_type"),
+          round(
+            when(
+              col("nz") > 0 && raw <= lit(2.5 * m),
+              lit(m.toDouble) * log(lit(m.toDouble) / col("nz").cast("double")))
+              .otherwise(raw),
+            4).as(name))
+    }
+    val direct = estimate(
+      ranked.groupBy(col("event_type"), col("bucket")).agg(max(col("rank")).as("r")),
+      "est_direct")
+    val daily = ranked
+      .groupBy(col("event_type"), col("day"), col("bucket"))
+      .agg(max(col("rank")).as("day_reg"))
+    val merged = estimate(
+      daily.groupBy(col("event_type"), col("bucket")).agg(max(col("day_reg")).as("r")),
+      "est_merged")
+    val meta = Tables
+      .events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(
+          col("user_id") * 65536 +
+            pmod(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")), lit(65536)))
+          .as("n_exact"),
+        countDistinct(to_date(col("ts"))).as("n_days"))
+    meta.join(direct, "event_type").join(merged, "event_type")
+  }
+
+  /** DuckDB oracle for [[hllRollup]]: every register rebuilt both ways
+    * (direct and per-day max-merged), same estimator.
+    */
+  def hllRollupSql(m: Int = 64): String =
+    s"""WITH ents AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+                user_id * 65536 +
+                  (datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 65536) AS ent
+         FROM events
+       ), ranked AS (
+         SELECT event_type, day,
+                (${permSql("ent", "17")}) % $m AS bucket,
+                COALESCE(list_min([k FOR k IN range(26)
+                                   IF (((${permSql("ent", "17")}) // $m) >> k) & 1 = 1]), 25) + 1
+                  AS rank
+         FROM ents
+       ), grid AS (
+         SELECT t.event_type, b.bucket
+         FROM (SELECT DISTINCT event_type FROM events) t
+         CROSS JOIN (SELECT unnest(range($m)) AS bucket) b
+       ), direct_regs AS (
+         SELECT g.event_type, g.bucket, COALESCE(max(r.rank), 0) AS m_reg
+         FROM grid g LEFT JOIN ranked r
+           ON r.event_type = g.event_type AND r.bucket = g.bucket
+         GROUP BY 1, 2
+       ), daily AS (
+         SELECT event_type, day, bucket, max(rank) AS day_reg
+         FROM ranked GROUP BY 1, 2, 3
+       ), merged_regs AS (
+         SELECT g.event_type, g.bucket, COALESCE(max(d.day_reg), 0) AS m_reg
+         FROM grid g LEFT JOIN daily d
+           ON d.event_type = g.event_type AND d.bucket = g.bucket
+         GROUP BY 1, 2
+       ), est_d AS (
+         SELECT event_type, sum(pow(2.0, -m_reg)) AS z,
+                sum(CASE WHEN m_reg = 0 THEN 1 ELSE 0 END) AS nz
+         FROM direct_regs GROUP BY 1
+       ), est_m AS (
+         SELECT event_type, sum(pow(2.0, -m_reg)) AS z,
+                sum(CASE WHEN m_reg = 0 THEN 1 ELSE 0 END) AS nz
+         FROM merged_regs GROUP BY 1
+       ), meta AS (
+         SELECT event_type, count(DISTINCT ent) AS n_exact,
+                count(DISTINCT day) AS n_days
+         FROM ents GROUP BY 1
+       )
+       SELECT meta.event_type, meta.n_exact, meta.n_days,
+              round(CASE WHEN d.nz > 0 AND (${0.709 * m * m}) / d.z <= ${2.5 * m}
+                         THEN $m * ln($m / CAST(d.nz AS DOUBLE))
+                         ELSE (${0.709 * m * m}) / d.z END, 4) AS est_direct,
+              round(CASE WHEN e.nz > 0 AND (${0.709 * m * m}) / e.z <= ${2.5 * m}
+                         THEN $m * ln($m / CAST(e.nz AS DOUBLE))
+                         ELSE (${0.709 * m * m}) / e.z END, 4) AS est_merged
+       FROM meta
+       JOIN est_d d USING (event_type)
+       JOIN est_m e USING (event_type)"""
+
   /** KMV sketch SET ALGEBRA — union / intersection / Jaccard estimates
     * for every pair of sources from their per-source bottom-k sketches
     * alone, never re-touching the corpus: the summary-reuse property
