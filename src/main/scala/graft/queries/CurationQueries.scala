@@ -1625,7 +1625,8 @@ object CurationQueries {
   private def bpeLearn(
       s: SparkSession,
       dir: String,
-      steps: Int): (Seq[(Int, String, String, String, Long, Long)], DataFrame) = {
+      steps: Int,
+      needVocab: Boolean = true): (Seq[(Int, String, String, String, Long, Long)], DataFrame) = {
     val words = Tables
       .documents(s, dir)
       .select(explode(split(col("text"), " ", -1)).as("w"))
@@ -1677,11 +1678,16 @@ object CurationQueries {
           val applied = (1 to BpeReplacePasses)
             .foldLeft("toks")((acc, _) => s"replace($acc, '$pat', '$rep')")
           val next = toks.select(col("w"), expr(applied).as("toks"), col("cnt")).persist()
-          val vocab = next
-            .select(explode(split(trim(col("toks")), " ")).as("tok"))
-            .agg(countDistinct(col("tok")))
-            .head()
-            .getLong(0)
+          // the vocab-size job is a per-step scalar only the TRAIN output
+          // reports; the encoder skips it (halves its driver round-trips)
+          val vocab =
+            if (!needVocab) 0L
+            else
+              next
+                .select(explode(split(trim(col("toks")), " ")).as("tok"))
+                .agg(countDistinct(col("tok")))
+                .head()
+                .getLong(0)
           toks.unpersist()
           toks = next
           rows += ((step, l, r, l + r, total, vocab))
@@ -1712,7 +1718,7 @@ object CurationQueries {
     * shuffles) and a per-doc partial aggregation.
     */
   def bpeEncode(s: SparkSession, dir: String, steps: Int = BpeSteps): DataFrame = {
-    val (_, toks) = bpeLearn(s, dir, steps)
+    val (_, toks) = bpeLearn(s, dir, steps, needVocab = false)
     val wordStats = toks.select(
       col("w"),
       size(split(trim(col("toks")), " ")).cast("long").as("n_sub"))
