@@ -165,6 +165,7 @@ object SparkEntry {
     "q_media_dedup" -> ((s: SparkSession, d: String) => DedupQueries.mediaDedup(s, d)),
     "q_lsh_ann" -> ((s: SparkSession, d: String) => VectorQueries.lshAnn(s, d)),
     "q_ivf_ann" -> ((s: SparkSession, d: String) => VectorQueries.ivfAnn(s, d)),
+    "q_ivfpq_ann" -> ((s: SparkSession, d: String) => VectorQueries.ivfPqAnn(s, d)),
     "q_pq_codes" -> ((s: SparkSession, d: String) => VectorQueries.pqCodes(s, d)),
     "q_cluster_assign" -> (VectorQueries.clusterAssign _),
     "q_semdedup" -> ((s: SparkSession, d: String) => VectorQueries.semDedup(s, d)),
@@ -245,6 +246,8 @@ object SparkEntry {
       val cents = VectorQueries.trainCentroids(s, dir) // shared: IVF + clustering
       Map(
         "q_ivf_ann" -> VectorQueries.ivfAnnSql(cents),
+        "q_ivfpq_ann" -> VectorQueries.ivfPqAnnSql(
+          cents, VectorQueries.trainResidualPq(s, dir, cents)),
         "q_cluster_assign" -> VectorQueries.clusterAssignSql(cents),
         "q_semdedup" -> VectorQueries.semDedupSql(cents),
         "q_embedding_outliers" -> VectorQueries.embeddingOutliersSql(cents),
@@ -262,8 +265,8 @@ object SparkEntry {
     * SparkSession — DocLintSpec checks the documented counts against it.
     */
   val dynamicOracleNames: Set[String] = Set(
-    "q_ivf_ann", "q_cluster_assign", "q_semdedup", "q_embedding_outliers",
-    "q_pq_codes", "q_ann_recall", "q_ann_sweep")
+    "q_ivf_ann", "q_ivfpq_ann", "q_cluster_assign", "q_semdedup",
+    "q_embedding_outliers", "q_pq_codes", "q_ann_recall", "q_ann_sweep")
 
   /** Every query name with an exact DuckDB oracle (static or derived). */
   def oracleNames: Set[String] = staticOracleSql.keySet ++ dynamicOracleNames

@@ -1212,4 +1212,210 @@ object VectorQueries {
               round(best_sim_raw, 6) AS best_sim,
               (label = true_label) AS correct
        FROM winner WHERE vote_rank = 1"""
+
+  /** Train PQ codebooks on COARSE RESIDUALS (v − centroid(cell(v))) —
+    * the residual quantization FAISS-style IVF-PQ uses: the coarse
+    * quantizer removes the cell mean, so the codebooks spend their 4
+    * bits on the remaining within-cell variance instead of re-encoding
+    * cell position. Same bounded-sample Lloyd training as
+    * [[trainPqCentroids]], deterministic given (data, seed).
+    */
+  def trainResidualPq(
+      s: SparkSession,
+      dir: String,
+      cents: Array[Array[Double]],
+      nSub: Int = 8,
+      k: Int = 16,
+      seed: Long = 42L,
+      sampleN: Int = 2000): Array[Array[Array[Double]]] = {
+    val sample = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id"))
+      .limit(sampleN)
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray.map(_.toDouble))
+      .map { v =>
+        val c = cents(nearestCentroid(v, cents))
+        Array.tabulate(v.length)(i => v(i) - c(i))
+      }
+    val dim = sample.headOption.map(_.length).getOrElse(0)
+    val subDim = dim / nSub
+    Array.tabulate(nSub) { m =>
+      val sub = sample.map(v => v.slice(m * subDim, (m + 1) * subDim))
+      val rng = new scala.util.Random(graft.functions.TextHash.mix64(seed * 37 + m))
+      var cs = Array.fill(k)(sub(rng.nextInt(sub.length)).clone())
+      for (_ <- 0 until 8) {
+        val sums = Array.fill(k)(new Array[Double](subDim))
+        val counts = new Array[Int](k)
+        sub.foreach { v =>
+          val c = nearestCentroid(v, cs)
+          counts(c) += 1
+          var i = 0
+          while (i < subDim) { sums(c)(i) += v(i); i += 1 }
+        }
+        cs = Array.tabulate(k)(c => if (counts(c) == 0) cs(c) else sums(c).map(_ / counts(c)))
+      }
+      cs
+    }
+  }
+
+  /** IVF-PQ approximate NN with asymmetric-distance ranking — the
+    * production ANN composition (FAISS `IVFxPQy`): the coarse quantizer
+    * routes (probe `nProbe` of `nLists` cells), the PQ code is ALL the
+    * index stores per vector (one packed long — 8 bytes against 256 for
+    * the raw 64-float vector), and candidates rank by the asymmetric
+    * distance ‖(q − centroid(cell)) − reconstruct(code)‖² — the query
+    * side stays exact, only the corpus side is quantized.
+    *
+    * Cross-engine exactness: the ADC is computed as ONE dim-ascending
+    * fold over the 64-dim difference (reconstruct-then-subtract, not a
+    * per-subspace partial-sum whose addition order SQL would not
+    * guarantee), so DuckDB's `list_dot_product` over the ordered
+    * difference reproduces every distance bit-for-bit; ranking
+    * tie-breaks on vec_id.
+    *
+    * Scale: the stored index is (cell, code) — 8 bytes/vector of
+    * payload; the candidate join shuffles on cell id touching
+    * `nProbe/nLists` of the corpus per query; codebooks and centroids
+    * broadcast. Exactly [[ivfAnn]]'s plan with the 32× smaller build
+    * side — the memory-bound regime where IVF-PQ replaces IVF-flat.
+    */
+  def ivfPqAnn(
+      s: SparkSession,
+      dir: String,
+      nQueries: Int = 8,
+      k: Int = 10,
+      nLists: Int = 16,
+      nProbe: Int = 6,
+      nSub: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val cents = trainCentroids(s, dir, nLists, seed)
+    val books = trainResidualPq(s, dir, cents, nSub)
+    val centB = s.sparkContext.broadcast(cents)
+    val booksB = s.sparkContext.broadcast(books)
+    val dim = books.length * books.head.head.length
+    val subDim = dim / nSub
+    val encodeUdf = udf { (emb: Seq[Float]) =>
+      val v = emb.toArray.map(_.toDouble)
+      val cell = nearestCentroid(v, centB.value)
+      val c = centB.value(cell)
+      var code = 0L
+      var m = 0
+      while (m < nSub) {
+        val sub = Array.tabulate(subDim)(i => v(m * subDim + i) - c(m * subDim + i))
+        code |= nearestCentroid(sub, booksB.value(m)).toLong << (4 * m)
+        m += 1
+      }
+      (cell, code)
+    }
+    val probeUdf = udf { (emb: Seq[Float]) =>
+      val v = emb.toArray.map(_.toDouble)
+      centB.value.indices.sortBy(c => l2sq(v, centB.value(c))).take(nProbe).toArray
+    }
+    // one dim-ascending fold over (qres − reconstruction) — the order
+    // both engines share
+    val adcUdf = udf { (qemb: Seq[Double], cell: Int, code: Long) =>
+      val c = centB.value(cell)
+      var acc = 0.0
+      var d = 0
+      while (d < dim) {
+        val m = d / subDim
+        val ki = ((code >> (4 * m)) & 15L).toInt
+        val diff = (qemb(d) - c(d)) - booksB.value(m)(ki)(d - m * subDim)
+        acc += diff * diff
+        d += 1
+      }
+      acc
+    }
+    val encoded = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), encodeUdf(col("embedding")).as("e"))
+      .select(col("vec_id"), col("e._1").as("cell"), col("e._2").as("code"))
+    val q = Tables
+      .embeddings(s, dir)
+      .filter(col("vec_id") < nQueries)
+      .select(
+        col("vec_id").as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qemb"),
+        explode(probeUdf(col("embedding"))).as("cell"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
+    encoded
+      .join(q, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", adcUdf(col("qemb"), col("cell"), col("code")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        col("rank"),
+        round(col("adc"), 6).as("adc"))
+  }
+
+  /** Exact DuckDB oracle for [[ivfPqAnn]], parameterized by the trained
+    * coarse centroids and residual codebooks (inlined literals):
+    * assignment, residual encoding, probing, and the single-fold ADC all
+    * re-derived with the same tie-breaks.
+    */
+  def ivfPqAnnSql(
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      nQueries: Int = 8,
+      k: Int = 10,
+      nProbe: Int = 6): String = {
+    val bookRows = (for {
+      (book, m) <- books.zipWithIndex
+      (c, ki) <- book.zipWithIndex
+    } yield s"($m, $ki, [${c.map(java.lang.Double.toString).mkString(", ")}]::DOUBLE[])")
+      .mkString(", ")
+    val nSub = books.length
+    val subDim = books.head.head.length
+    val dim = nSub * subDim
+    // reuses the shared cent/emb/dists/assign/probe/cand stages
+    // (ivfCandSql) and adds the PQ leg: residual → per-subspace codes →
+    // reconstructed residual → single-fold ADC
+    s"""WITH ${ivfCandSql(cents, nQueries, nProbe)},
+       book(m, k, barr) AS (VALUES $bookRows),
+       resid AS (
+         SELECT a.vec_id, a.cell,
+                list_transform(generate_series(1, $dim),
+                               i -> e.emb[i] - c.carr[i]) AS r
+         FROM assign a
+         JOIN emb e ON e.vec_id = a.vec_id
+         JOIN cent c ON c.cell = a.cell
+       ),
+       subdists AS (
+         SELECT vec_id, m, k, list_dot_product(df, df) AS dist
+         FROM (SELECT r.vec_id, b.m, b.k,
+                      list_transform(generate_series(1, $subDim),
+                                     i -> r.r[b.m * $subDim + i] - b.barr[i]) AS df
+               FROM resid r CROSS JOIN book b) d
+       ),
+       codes AS (
+         SELECT vec_id, m, k AS code_m FROM subdists
+         QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) = 1
+       ),
+       recon AS (
+         SELECT c.vec_id, flatten(list(b.barr ORDER BY c.m)) AS rec
+         FROM codes c JOIN book b ON b.m = c.m AND b.k = c.code_m
+         GROUP BY 1
+       ),
+       adcs AS (
+         SELECT query_id, neighbor_id, list_dot_product(df, df) AS adc
+         FROM (SELECT cd.query_id, cd.vec_id AS neighbor_id,
+                      list_transform(generate_series(1, $dim),
+                        i -> (q.emb[i] - c.carr[i]) - r.rec[i]) AS df
+               FROM cand cd
+               JOIN emb q ON q.vec_id = cd.query_id
+               JOIN assign a ON a.vec_id = cd.vec_id
+               JOIN cent c ON c.cell = a.cell
+               JOIN recon r ON r.vec_id = cd.vec_id) d
+       )
+       SELECT query_id, neighbor_id,
+              row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank,
+              round(adc, 6) AS adc
+       FROM adcs
+       QUALIFY rank <= $k"""
+  }
 }
