@@ -40,6 +40,7 @@ object SparkEntry {
     "q_percentiles" -> (RelationalQueries.percentiles _),
     "q_power_spectrum" -> (SignalQueries.powerSpectrum _),
     "q_matched_filter" -> (SignalQueries.matchedFilter _),
+    "q_welch_psd" -> (SignalQueries.welchPsd _),
     "q_threshold_events_expr" -> ((s: SparkSession, d: String) =>
       SignalQueries.thresholdEventsExpr(s, d)),
     "q_threshold_events_differential" -> ((s: SparkSession, d: String) =>
@@ -296,6 +297,7 @@ object SparkEntry {
     "q_percentiles" -> RelationalQueries.percentilesSql,
     "q_power_spectrum" -> SignalQueries.powerSpectrumSql,
     "q_matched_filter" -> SignalQueries.matchedFilterSql,
+    "q_welch_psd" -> SignalQueries.welchPsdSql,
     "q_threshold_events_expr" -> SignalQueries.thresholdEventsSql,
     "q_threshold_events_differential" -> SignalQueries.thresholdEventsDifferentialSql,
     "q_threshold_events_differential_expr" -> SignalQueries.thresholdEventsDifferentialSql,

@@ -711,6 +711,57 @@ object SignalQueries {
        FROM ft"""
   }
 
+  /** Welch-averaged power spectral density per channel — the noise-floor
+    * estimate an operator actually reads (a single periodogram has ~100%
+    * variance per bin; averaging the [[powerSpectrum]] periodograms
+    * across frames shrinks it by 1/√frames, the Welch/Bartlett method
+    * with frame-sized segments). Output per (channel, bin): the mean
+    * power across the 4 fixture frames, the min/max envelope, and the
+    * channel's dominant non-DC bin flag.
+    *
+    * Exactness: the per-frame periodograms are the ROUNDED q_power_
+    * spectrum values (round 4), so the cross-frame mean is arithmetic on
+    * identical inputs in both engines; mean re-rounded to 6. Scale: a
+    * keyed partial-agg over (channel, bin) — frames×channels×bins rows
+    * in, channels×bins out, the map-side-combine shape.
+    */
+  def welchPsd(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = powerSpectrum(s, dir)
+    val agg = per
+      .groupBy(col("channel"), col("bin"))
+      .agg(
+        round(avg(col("power")), 6).as("mean_power"),
+        min(col("power")).as("min_power"),
+        max(col("power")).as("max_power"))
+    val w = Window.partitionBy(col("channel"))
+    agg
+      .withColumn(
+        "dom",
+        max(when(col("bin") =!= 0, col("mean_power"))).over(w))
+      .withColumn(
+        "is_dominant",
+        col("bin") =!= 0 && col("mean_power") === col("dom"))
+      .drop("dom")
+  }
+
+  /** DuckDB oracle for [[welchPsd]]: the [[powerSpectrumSql]] grid
+    * averaged across frames, same envelope and dominant-bin flag.
+    */
+  val welchPsdSql: String =
+    s"""WITH per AS ($powerSpectrumSql),
+       agg AS (
+         SELECT channel, bin,
+                round(avg(power), 6) AS mean_power,
+                min(power) AS min_power,
+                max(power) AS max_power
+         FROM per GROUP BY 1, 2
+       )
+       SELECT channel, bin, mean_power, min_power, max_power,
+              bin <> 0 AND mean_power = max(CASE WHEN bin <> 0 THEN mean_power END)
+                            OVER (PARTITION BY channel) AS is_dominant
+       FROM agg"""
+
   /** Matched-filter window: signal length (first 128 samples) and the
     * Gaussian template (length 16, centre 8, σ² = 4), whose values both
     * engines round to 6 dp BEFORE correlating so the template is
