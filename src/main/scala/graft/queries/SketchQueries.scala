@@ -20,6 +20,31 @@ object SketchQueries {
 
   private val P = TextHash.P
 
+  /** Trailing-zero register rank of hash column `h` under `m` registers
+    * (rank = tz(⌊h/m⌋)+1, capped at 26) — ONE definition for every HLL
+    * builder ([[hllDistinct]], [[hllRollup]]).
+    */
+  private def hllRankExpr(m: Int) =
+    expr(s"coalesce(array_min(filter(sequence(0, 25), k -> (shiftright(h div $m, k) & 1) = 1)), 25) + 1")
+
+  /** The HLL estimator over (z, nz) columns: α·m²/Z with the standard
+    * small-range linear-counting correction — shared by every register
+    * consumer so an estimator correction has one home.
+    */
+  private def hllEstimate(m: Int, z: org.apache.spark.sql.Column, nz: org.apache.spark.sql.Column) = {
+    val raw = lit(0.709 * m * m) / z
+    when(
+      nz > 0 && raw <= lit(2.5 * m),
+      lit(m.toDouble) * log(lit(m.toDouble) / nz.cast("double")))
+      .otherwise(raw)
+  }
+
+  /** SQL twin of [[hllEstimate]] for the DuckDB oracles. */
+  private[queries] def hllEstCaseSql(m: Int, z: String, nz: String): String =
+    s"""CASE WHEN $nz > 0 AND (${0.709 * m * m}) / $z <= ${2.5 * m}
+            THEN $m * ln($m / CAST($nz AS DOUBLE))
+            ELSE (${0.709 * m * m}) / $z END"""
+
   /** DuckDB fragment: [[TextHash.polyHash]] of column/binding `w`. */
   private[queries] def polySql(w: String): String =
     s"""list_reduce(list_prepend(0::BIGINT, [unicode(c)::BIGINT FOR c IN string_split($w, '')]),
@@ -146,8 +171,7 @@ object SketchQueries {
     val ranked = toks.select(
       col("source"),
       (col("h") % m).as("bucket"),
-      expr(s"coalesce(array_min(filter(sequence(0, 25), k -> (shiftright(h div $m, k) & 1) = 1)), 25) + 1")
-        .as("rank"))
+      hllRankExpr(m).as("rank"))
     // all m registers per source, empty ones at rank 0
     val regs = toks
       .select(col("source"))
@@ -162,19 +186,13 @@ object SketchQueries {
         sum(pow(lit(2.0), -col("m_reg"))).as("z"),
         sum(when(col("m_reg") === 0, 1).otherwise(0)).as("n_zero_registers"))
     val exact = toks.groupBy(col("source")).agg(countDistinct(col("w")).as("n_exact"))
-    val raw = lit(0.709 * m * m) / col("z")
     exact
       .join(z, "source")
       .select(
         col("source"),
         col("n_exact"),
         col("n_zero_registers"),
-        round(
-          when(
-            col("n_zero_registers") > 0 && raw <= lit(2.5 * m),
-            lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero_registers").cast("double")))
-            .otherwise(raw),
-          4).as("est_distinct"))
+        round(hllEstimate(m, col("z"), col("n_zero_registers")), 4).as("est_distinct"))
   }
 
   /** DuckDB re-derivation of [[hllDistinct]]: same hash, same
@@ -203,10 +221,7 @@ object SketchQueries {
          FROM regs GROUP BY 1
        ), ex AS (SELECT source, count(DISTINCT w) AS n_exact FROM toks GROUP BY 1)
        SELECT source, n_exact, n_zero_registers,
-              round(CASE WHEN n_zero_registers > 0
-                          AND (${0.709 * m * m}) / z <= ${2.5 * m}
-                         THEN $m * ln($m / CAST(n_zero_registers AS DOUBLE))
-                         ELSE (${0.709 * m * m}) / z END, 4) AS est_distinct
+              round(${hllEstCaseSql(m, "z", "n_zero_registers")}, 4) AS est_distinct
        FROM ex JOIN z USING (source)"""
 
   /** Count-min sketch heavy hitters: a depth×width grid of counters
@@ -449,21 +464,32 @@ object SketchQueries {
     val hUdf = udf { (id: Long) => TextHash.permHash(id, 17L) }
     // entity = user-DAY (user_id ⊕ day number): thousands of distinct
     // values per type — safely above HLL's 2.5m transition zone, and the
-    // "active user-days" metric a rollup actually serves
-    val ranked = Tables
+    // "active user-days" metric a rollup actually serves. The composite
+    // is reduced mod P BEFORE hashing — permHash's domain contract is
+    // h ∈ [0, P) (a·h must fit 2⁶²); an unreduced 2³²⁺ composite would
+    // silently wrap Spark-side and overflow the DuckDB oracle. (The
+    // reduction is injective while user_id·65536 + day < P; beyond that
+    // the entity space itself is hashed, like any hash-sketch input.)
+    // ONE persisted projection serves the sketch legs AND the exact
+    // verification leg — the sketch family's single-scan convention.
+    val ents = Tables
       .events(s, dir)
       .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
       .withColumn(
         "ent",
-        col("user_id") * 65536 + pmod(datediff(col("day"), lit("1970-01-01").cast("date")), lit(65536)))
+        pmod(
+          col("user_id") * 65536 +
+            pmod(datediff(col("day"), lit("1970-01-01").cast("date")), lit(65536)),
+          lit(TextHash.P)))
+      .select(col("event_type"), col("day"), col("ent"))
+      .persist()
+    val ranked = ents
       .select(col("event_type"), col("day"), hUdf(col("ent")).as("h"))
       .select(
         col("event_type"),
         col("day"),
         (col("h") % m).as("bucket"),
-        expr(s"coalesce(array_min(filter(sequence(0, 25), k -> (shiftright(h div $m, k) & 1) = 1)), 25) + 1")
-          .as("rank"))
-      .persist()
+        hllRankExpr(m).as("rank"))
     val grid = ranked
       .select(col("event_type"))
       .distinct()
@@ -473,7 +499,6 @@ object SketchQueries {
         .join(regsRanked, Seq("event_type", "bucket"), "left")
         .groupBy(col("event_type"), col("bucket"))
         .agg(coalesce(max(col("r")), lit(0)).as("m_reg"))
-      val raw = lit(0.709 * m * m) / col("z")
       regs
         .groupBy(col("event_type"))
         .agg(
@@ -481,12 +506,7 @@ object SketchQueries {
           sum(when(col("m_reg") === 0, 1).otherwise(0)).as("nz"))
         .select(
           col("event_type"),
-          round(
-            when(
-              col("nz") > 0 && raw <= lit(2.5 * m),
-              lit(m.toDouble) * log(lit(m.toDouble) / col("nz").cast("double")))
-              .otherwise(raw),
-            4).as(name))
+          round(hllEstimate(m, col("z"), col("nz")), 4).as(name))
     }
     val direct = estimate(
       ranked.groupBy(col("event_type"), col("bucket")).agg(max(col("rank")).as("r")),
@@ -497,15 +517,11 @@ object SketchQueries {
     val merged = estimate(
       daily.groupBy(col("event_type"), col("bucket")).agg(max(col("day_reg")).as("r")),
       "est_merged")
-    val meta = Tables
-      .events(s, dir)
+    val meta = ents
       .groupBy(col("event_type"))
       .agg(
-        countDistinct(
-          col("user_id") * 65536 +
-            pmod(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")), lit(65536)))
-          .as("n_exact"),
-        countDistinct(to_date(col("ts"))).as("n_days"))
+        countDistinct(col("ent")).as("n_exact"),
+        countDistinct(col("day")).as("n_days"))
     meta.join(direct, "event_type").join(merged, "event_type")
   }
 
@@ -515,8 +531,9 @@ object SketchQueries {
   def hllRollupSql(m: Int = 64): String =
     s"""WITH ents AS (
          SELECT event_type, CAST(ts AS DATE) AS day,
-                user_id * 65536 +
-                  (datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 65536) AS ent
+                (user_id * 65536 +
+                  (datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 65536)) % ${TextHash.P}
+                  AS ent
          FROM events
        ), ranked AS (
          SELECT event_type, day,
@@ -556,12 +573,8 @@ object SketchQueries {
          FROM ents GROUP BY 1
        )
        SELECT meta.event_type, meta.n_exact, meta.n_days,
-              round(CASE WHEN d.nz > 0 AND (${0.709 * m * m}) / d.z <= ${2.5 * m}
-                         THEN $m * ln($m / CAST(d.nz AS DOUBLE))
-                         ELSE (${0.709 * m * m}) / d.z END, 4) AS est_direct,
-              round(CASE WHEN e.nz > 0 AND (${0.709 * m * m}) / e.z <= ${2.5 * m}
-                         THEN $m * ln($m / CAST(e.nz AS DOUBLE))
-                         ELSE (${0.709 * m * m}) / e.z END, 4) AS est_merged
+              round(${hllEstCaseSql(m, "d.z", "d.nz")}, 4) AS est_direct,
+              round(${hllEstCaseSql(m, "e.z", "e.nz")}, 4) AS est_merged
        FROM meta
        JOIN est_d d USING (event_type)
        JOIN est_m e USING (event_type)"""

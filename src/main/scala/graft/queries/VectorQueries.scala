@@ -175,16 +175,7 @@ object VectorQueries {
     val assignUdf = udf { (emb: Seq[Float]) =>
       nearestCentroid(emb.toArray.map(_.toDouble), centB.value)
     }
-    // probe with the SAME metric as assignment (L2) — ranking cells by
-    // dot product against non-normalized centroids orders them
-    // differently and silently costs recall
-    val probeUdf = udf { (emb: Seq[Float]) =>
-      val v = emb.toArray.map(_.toDouble)
-      centB.value.indices
-        .sortBy(c => l2sq(v, centB.value(c)))
-        .take(nProbe)
-        .toArray
-    }
+    val probeUdf = probeCellsUdf(centB, nProbe)
     val e = Tables
       .embeddings(s, dir)
       .select(
@@ -361,19 +352,40 @@ object VectorQueries {
       nSub: Int = 8,
       k: Int = 16,
       seed: Long = 42L,
-      sampleN: Int = 2000): Array[Array[Array[Double]]] = {
-    val sample = Tables
+      sampleN: Int = 2000): Array[Array[Array[Double]]] =
+    pqLloyd(boundedSample(s, dir, sampleN), nSub, k, m => seed * 31 + m)
+
+  /** The bounded vec_id-ordered training sample every quantizer shares
+    * (plans as TakeOrderedAndProject — one narrow pass).
+    */
+  private def boundedSample(
+      s: SparkSession,
+      dir: String,
+      sampleN: Int): Array[Array[Double]] =
+    Tables
       .embeddings(s, dir)
       .select(col("vec_id"), col("embedding"))
       .orderBy(col("vec_id"))
       .limit(sampleN)
       .collect()
       .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray.map(_.toDouble))
+
+  /** The per-subspace Lloyd loop shared by [[trainPqCentroids]] (raw
+    * sample) and [[trainResidualPq]] (residual-transformed sample) —
+    * one definition of the k-means core, so empty-cluster handling /
+    * iteration count / init can never drift between the two quantizers.
+    * `seedMix(m)` keeps each caller's historical per-subspace seed.
+    */
+  private def pqLloyd(
+      sample: Array[Array[Double]],
+      nSub: Int,
+      k: Int,
+      seedMix: Int => Long): Array[Array[Array[Double]]] = {
     val dim = sample.headOption.map(_.length).getOrElse(0)
     val subDim = dim / nSub
     Array.tabulate(nSub) { m =>
       val sub = sample.map(v => v.slice(m * subDim, (m + 1) * subDim))
-      val rng = new scala.util.Random(graft.functions.TextHash.mix64(seed * 31 + m))
+      val rng = new scala.util.Random(graft.functions.TextHash.mix64(seedMix(m)))
       var cents = Array.fill(k)(sub(rng.nextInt(sub.length)).clone())
       for (_ <- 0 until 8) {
         val sums = Array.fill(k)(new Array[Double](subDim))
@@ -481,6 +493,22 @@ object VectorQueries {
        SELECT c.vec_id, c.pq_code, round(e.err, 6) AS err
        FROM code c JOIN errs e USING (vec_id)"""
   }
+
+  /** ONE definition of cell probing, shared by IVF-flat and IVF-PQ:
+    * probe with the SAME metric as assignment (L2) — ranking cells by
+    * dot product against non-normalized centroids orders them
+    * differently and silently costs recall.
+    */
+  private def probeCellsUdf(
+      centB: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      nProbe: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (emb: Seq[Float]) =>
+      val v = emb.toArray.map(_.toDouble)
+      centB.value.indices
+        .sortBy(c => l2sq(v, centB.value(c)))
+        .take(nProbe)
+        .toArray
+    }
 
   private def l2sq(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0
@@ -1228,36 +1256,11 @@ object VectorQueries {
       k: Int = 16,
       seed: Long = 42L,
       sampleN: Int = 2000): Array[Array[Array[Double]]] = {
-    val sample = Tables
-      .embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"))
-      .orderBy(col("vec_id"))
-      .limit(sampleN)
-      .collect()
-      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray.map(_.toDouble))
-      .map { v =>
-        val c = cents(nearestCentroid(v, cents))
-        Array.tabulate(v.length)(i => v(i) - c(i))
-      }
-    val dim = sample.headOption.map(_.length).getOrElse(0)
-    val subDim = dim / nSub
-    Array.tabulate(nSub) { m =>
-      val sub = sample.map(v => v.slice(m * subDim, (m + 1) * subDim))
-      val rng = new scala.util.Random(graft.functions.TextHash.mix64(seed * 37 + m))
-      var cs = Array.fill(k)(sub(rng.nextInt(sub.length)).clone())
-      for (_ <- 0 until 8) {
-        val sums = Array.fill(k)(new Array[Double](subDim))
-        val counts = new Array[Int](k)
-        sub.foreach { v =>
-          val c = nearestCentroid(v, cs)
-          counts(c) += 1
-          var i = 0
-          while (i < subDim) { sums(c)(i) += v(i); i += 1 }
-        }
-        cs = Array.tabulate(k)(c => if (counts(c) == 0) cs(c) else sums(c).map(_ / counts(c)))
-      }
-      cs
+    val residuals = boundedSample(s, dir, sampleN).map { v =>
+      val c = cents(nearestCentroid(v, cents))
+      Array.tabulate(v.length)(i => v(i) - c(i))
     }
+    pqLloyd(residuals, nSub, k, m => seed * 37 + m)
   }
 
   /** IVF-PQ approximate NN with asymmetric-distance ranking — the
@@ -1309,10 +1312,7 @@ object VectorQueries {
       }
       (cell, code)
     }
-    val probeUdf = udf { (emb: Seq[Float]) =>
-      val v = emb.toArray.map(_.toDouble)
-      centB.value.indices.sortBy(c => l2sq(v, centB.value(c))).take(nProbe).toArray
-    }
+    val probeUdf = probeCellsUdf(centB, nProbe)
     // one dim-ascending fold over (qres − reconstruction) — the order
     // both engines share
     val adcUdf = udf { (qemb: Seq[Double], cell: Int, code: Long) =>

@@ -65,8 +65,8 @@ class VectorSpec extends AnyFunSuite {
         .sortBy { case (id, v) => (l2(vecs(q), v), id) }
         .take(10)
     } yield (q, id)).toSet
-    val got = pairs(
-      VectorQueries.ivfPqAnn(spark, dir).withColumnRenamed("neighbor_id", "neighbor_id"))
+    val result = VectorQueries.ivfPqAnn(spark, dir).collect()
+    val got = result.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = (got & exactL2).size.toDouble / exactL2.size
     // the harness corpus is near-orthogonal random vectors — PQ's WORST
     // case (4-bit codes can't separate uniformly-spread residuals, so
@@ -74,10 +74,9 @@ class VectorSpec extends AnyFunSuite {
     // better). The floor is therefore modest but still ~4× the
     // random-ranking baseline of k/n ≈ 0.05, which is the signal check.
     assert(recall >= 0.15, s"IVF-PQ recall@10 vs exact L2 regressed: $recall")
-    // distances are non-negative and ranked ascending per query
-    val rows = VectorQueries
-      .ivfPqAnn(spark, dir)
-      .collect()
+    // distances are non-negative and ranked ascending per query (same
+    // collected result — no second end-to-end run)
+    val rows = result
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"), r.getAs[Double]("adc")))
     assert(rows.forall(_._3 >= 0.0))
     rows.groupBy(_._1).values.foreach { g =>
