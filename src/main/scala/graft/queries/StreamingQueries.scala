@@ -364,6 +364,108 @@ object StreamingQueries {
     s.table(name)
   }
 
+  /** LEFT OUTER stream-stream interval join — the semantic the inner
+    * join ([[streamJoin]]) cannot express: a view with NO click inside
+    * its 60-minute window must still emit (with nulls) once the
+    * watermark proves no match can arrive. This is the attribution
+    * question asked negatively ("which impressions never converted"),
+    * and the state-eviction path it exercises — null emission on
+    * watermark passage — is exactly what an inner join never runs.
+    *
+    * Drain mechanics: the global watermark is the MIN over both inputs,
+    * so BOTH sides get a sentinel punctuation row (user −1, year 2100,
+    * dropped from the sink table afterwards), and the drain runs twice —
+    * evictions fire in the data batch AFTER the watermark jump (same
+    * two-sentinel discipline as [[streamSessionWindow]]).
+    *
+    * Scale: state is watermark-bounded on both sides (2 h + the 60 min
+    * interval); unmatched-row emission is driven by the same eviction
+    * sweep that bounds the state, so the outer join costs nothing an
+    * inner join doesn't already pay. Oracle: the batch LEFT JOIN.
+    */
+  def streamOuterJoin(s0: SparkSession, dir: String): DataFrame = {
+    val s = boundedDrainSession(s0)
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val raw = s.read.parquet(s"$dir/events.parquet").schema
+    def src = microTs(s.readStream
+      .schema(raw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir))
+    val viewSentinel = MemoryStream[Long]
+    val clickSentinel = MemoryStream[Long]
+    viewSentinel.addData(4102444800L) // 2100-01-01
+    clickSentinel.addData(4102444800L)
+    val views = src
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .unionByName(viewSentinel
+        .toDS()
+        .select(
+          lit(-1L).as("user_id"),
+          lit(-1L).as("view_id"),
+          timestamp_seconds(col("value")).as("view_ts")))
+      .withWatermark("view_ts", "2 hours")
+    val clicks = src
+      .filter(col("event_type") === "click")
+      .select(
+        col("user_id").as("click_user"),
+        col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .unionByName(clickSentinel
+        .toDS()
+        .select(
+          lit(-1L).as("click_user"),
+          lit(-1L).as("click_id"),
+          timestamp_seconds(col("value")).as("click_ts")))
+      .withWatermark("click_ts", "2 hours")
+    val joined = views
+      .join(
+        clicks,
+        col("user_id") === col("click_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 60 MINUTES"),
+        "leftOuter")
+      .select(
+        col("user_id"),
+        col("view_id"),
+        col("click_id"),
+        col("click_id").isNotNull.as("converted"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("lag_us"))
+    val name = s"stream_outer_join_${System.nanoTime()}"
+    val ckpt = scratchCheckpoint("graft_sojoin_ckpt")
+    val query = joined.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      query.processAllAvailable()
+      viewSentinel.addData(4102531200L) // 2100-01-02
+      clickSentinel.addData(4102531200L)
+      query.processAllAvailable()
+    } finally {
+      try query.stop()
+      finally dropCheckpoint(ckpt)
+    }
+    s.table(name).filter(col("user_id") =!= -1L)
+  }
+
+  /** Oracle: the batch LEFT JOIN — matched rows identical to the inner
+    * oracle, plus one null row per never-converted view.
+    */
+  val streamOuterJoinSql: String =
+    """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+              c.event_id IS NOT NULL AS converted,
+              date_diff('microsecond', CAST(v.ts AS TIMESTAMP), CAST(c.ts AS TIMESTAMP)) AS lag_us
+       FROM events v LEFT JOIN events c
+         ON v.user_id = c.user_id
+        AND c.event_type = 'click'
+        AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+        AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 60 MINUTE
+       WHERE v.event_type = 'view'"""
+
   /** NB the CAST(ts AS TIMESTAMP): the harness parquet carries ns
     * precision but the Spark side compares µs-truncated timestamps
     * (`ts div 1000`) — the same ns→µs truncation discipline every other
