@@ -680,6 +680,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), "the stored view must be persisted, not recomputed")
   }
 
+  test("q_hll_rollup: one persisted scan serves sketch and exact legs; registers partial-agg") {
+    val p = plan("q_hll_rollup")
+    assert(p.contains("InMemoryTableScan"), "the entity projection must be persisted, not re-read")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_max"), "register max must combine map-side\n" + p.take(1500))
+  }
+
+  test("q_ivfpq_ann: candidate join keyed on cell — no cartesian, no nested loop") {
+    val p = plan("q_ivfpq_ann")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // per-query top-k window is fine (8 query partitions); the corpus
+    // side must reach the join through the cell equi-key
+    assert(p.contains("cell"), p.take(1500))
+  }
+
   test("q_bitmap_distinct: ObjectHashAggregate tier, no Expand, both legs partial-agg") {
     val p = plan("q_bitmap_distinct")
     assert(p.contains("ObjectHashAggregate"), p.take(2000))
