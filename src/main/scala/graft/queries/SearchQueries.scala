@@ -645,6 +645,107 @@ object SearchQueries {
     results.reduce(_.unionByName(_))
   }
 
+  /** RAG retrieval end-to-end — the composed pipeline the chunking,
+    * embedding, and ANN operators exist FOR, run as one declarative
+    * plan: documents → overlapping chunks ([[CurationQueries.ChunkChars]]
+    * grid) → per-chunk embeddings → top-k nearest chunks from OTHER
+    * documents for each query chunk. Query set = the chunks of the
+    * first [[RagQueryDocs]] documents.
+    *
+    * The embedding stage is a DETERMINISTIC stand-in (16 components,
+    * each `permHash(polyHash(chunk), 200+j) / P` — the established
+    * SQL-reproducible hash family), so the whole pipeline is exactly
+    * oracle-checkable; a deployment swaps in a real encoder behind the
+    * same (chunk → Array[Double]) signature and the surrounding plan —
+    * the part THIS engine owns — is unchanged.
+    *
+    * Scale: chunk+embed is a pure map stage; retrieval here is the
+    * exact broadcast-queries kernel (bounded query set × one corpus
+    * pass, the cosine_topk shape); at corpus scale the same chunk
+    * embeddings feed the LSH/IVF/IVF-PQ index family instead — every
+    * piece of that swap is already a first-class oracled operator.
+    */
+  val RagQueryDocs = 2
+  val RagDims = 16
+  val RagTopK = 5
+
+  def ragE2e(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.queries.CurationQueries.{ChunkChars, ChunkStride}
+    val embedUdf = udf { (chunk: String) =>
+      val h = graft.functions.TextHash.polyHash(chunk)
+      Array.tabulate(RagDims)(j =>
+        graft.functions.TextHash.permHash(h, 200L + j).toDouble / graft.functions.TextHash.P)
+    }
+    val chunks = Tables
+      .documents(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(
+        col("doc_id"),
+        col("text"),
+        explode(sequence(lit(0), length(col("text")) - 1, lit(ChunkStride))).as("off"))
+      .select(
+        col("doc_id"),
+        ((col("off") / ChunkStride).cast("long") + 1).as("idx"),
+        expr(s"substring(text, off + 1, $ChunkChars)").as("chunk"))
+      .select(col("doc_id"), col("idx"), embedUdf(col("chunk")).as("emb"))
+      .persist()
+    graft.plans.VecDot.register(s)
+    val queries = chunks
+      .filter(col("doc_id") < RagQueryDocs)
+      .select(col("doc_id").as("q_doc"), col("idx").as("q_idx"), col("emb").as("q_emb"))
+    val w = Window
+      .partitionBy(col("q_doc"), col("q_idx"))
+      .orderBy(col("sim").desc, col("doc_id"), col("idx"))
+    chunks
+      .join(broadcast(queries), col("doc_id") =!= col("q_doc"))
+      .withColumn("sim", expr("vec_dot(q_emb, emb)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= RagTopK)
+      .select(
+        col("q_doc"),
+        col("q_idx"),
+        col("doc_id").as("n_doc"),
+        col("idx").as("n_idx"),
+        col("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** DuckDB oracle for [[ragE2e]]: chunk grid, hash embeddings, and the
+    * brute-force ranking all re-derived.
+    */
+  val ragE2eSql: String = {
+    val poly = SketchQueries.polySql("chunk")
+    val dims = (0 until RagDims)
+      .map(j =>
+        s"CAST(${SketchQueries.permSql("h", s"${200 + j}")} AS DOUBLE) / ${graft.functions.TextHash.P}")
+      .mkString("[", ", ", "]")
+    s"""WITH d AS (
+         SELECT doc_id, text FROM documents WHERE length(text) > 0
+       ), ch AS (
+         SELECT doc_id, i // ${CurationQueries.ChunkStride} + 1 AS idx,
+                substring(text, i + 1, ${CurationQueries.ChunkChars}) AS chunk
+         FROM d, unnest(generate_series(0, length(text) - 1,
+                                        ${CurationQueries.ChunkStride})) s(i)
+       ), hs AS (
+         SELECT doc_id, idx, $poly AS h FROM ch
+       ), embs AS (
+         SELECT doc_id, idx, $dims AS emb FROM hs
+       ), pairs AS (
+         SELECT q.doc_id AS q_doc, q.idx AS q_idx,
+                c.doc_id AS n_doc, c.idx AS n_idx,
+                list_dot_product(q.emb, c.emb) AS sim
+         FROM embs q JOIN embs c ON c.doc_id <> q.doc_id
+         WHERE q.doc_id < $RagQueryDocs
+       )
+       SELECT q_doc, q_idx, n_doc, n_idx,
+              row_number() OVER (PARTITION BY q_doc, q_idx
+                                 ORDER BY sim DESC, n_doc, n_idx) AS rank,
+              round(sim, 6) AS sim
+       FROM pairs
+       QUALIFY rank <= $RagTopK"""
+  }
+
   /** DuckDB oracle for [[phraseSearch]]: raw substring counting per
     * document (replace-length identity), no index anywhere.
     */

@@ -680,6 +680,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), "the stored view must be persisted, not recomputed")
   }
 
+  test("q_rag_e2e: chunk embeddings persisted once; retrieval is the broadcast-queries kernel") {
+    val p = plan("q_rag_e2e")
+    assert(p.contains("InMemoryTableScan"), "chunk embeddings must be persisted, not re-chunked")
+    // documented exact kernel: bounded query set broadcast, one corpus pass
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q_hll_rollup: one persisted scan serves sketch and exact legs; registers partial-agg") {
     val p = plan("q_hll_rollup")
     assert(p.contains("InMemoryTableScan"), "the entity projection must be persisted, not re-read")
