@@ -1,0 +1,486 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pattern-mining / ML-feature operators over the star schema — the
+  * analytics a training-data or product team layers on top of the raw
+  * pipeline: market-basket association rules, distribution-drift
+  * monitoring (PSI), leakage-free target encoding, the hashing-trick
+  * featurizer, a rank-based two-sample test, and a join-key skew
+  * profiler. Every operator is oracle-backed (pure relational algebra /
+  * integer-exact arithmetic), and every shuffle is either keyed and
+  * bounded or replaced by a broadcast of an aggregated dimension.
+  */
+object MiningQueries {
+
+  /** The repo-wide deterministic hash convention (see
+    * CurationQueries.hashSplit): first 16 bits of md5 over the UTF-8
+    * bytes — identical in Spark and DuckDB, so fold/bucket assignment
+    * is oracle-exact.
+    */
+  private def md5Bucket(c: String, mod: Int): String =
+    s"cast(conv(substring(md5(cast($c as binary)), 1, 4), 16, 10) as long) % $mod"
+
+  private def md5BucketSql(c: String, mod: Int): String =
+    s"CAST(concat('0x', substr(md5($c), 1, 4)) AS BIGINT) % $mod"
+
+  // --------------------------------------------------------------------
+  // q_assoc_rules — market-basket association rules (pairwise Apriori)
+  // --------------------------------------------------------------------
+
+  /** Pairwise association rules over order baskets: which part brands
+    * are co-purchased, with support / confidence / lift. The classic
+    * Apriori shape restricted to 2-itemsets (the level a recommender
+    * actually serves online).
+    *
+    * Scale design: (1) baskets are distinct (order, brand) pairs — one
+    * keyed shuffle, amplification bounded by lines/order; (2) the
+    * frequent-item prefilter (Apriori's monotonicity prune) runs BEFORE
+    * pair generation and joins back as a broadcast, so infrequent items
+    * never reach the self-join; (3) the pair self-join is keyed on
+    * l_orderkey — both sides share one hash partitioning (exchange
+    * reuse), pairs per basket ≤ C(brands-per-order, 2), never a
+    * cartesian; (4) item supports and the order count join in as
+    * broadcast scalars. PlanAuditSpec locks the keyed-join + broadcast
+    * shape.
+    */
+  def assocRules(s: SparkSession, dir: String, minSupport: Double = 0.02): DataFrame = {
+    val oi = Tables
+      .lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand").as("item"))
+      .distinct()
+      .persist() // pinned for the session; Verify/Bench clearCache between queries
+    val nOrders = oi.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val itemSup = oi.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val freq = broadcast(
+      itemSup
+        .crossJoin(broadcast(nOrders))
+        .filter(col("n_item") >= col("n_orders") * minSupport)
+        .select(col("item"), col("n_item")))
+    val fi = oi.join(freq, "item")
+    val a = fi.select(col("l_orderkey"), col("item").as("item_a"), col("n_item").as("n_a"))
+    val b = fi.select(col("l_orderkey"), col("item").as("item_b"), col("n_item").as("n_b"))
+    a.join(b, Seq("l_orderkey"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .crossJoin(broadcast(nOrders))
+      .filter(col("n_pair") >= col("n_orders") * minSupport)
+      .select(
+        col("item_a"),
+        col("item_b"),
+        col("n_pair"),
+        round(col("n_pair") / col("n_orders").cast("double"), 6).as("support"),
+        round(col("n_pair") / col("n_a").cast("double"), 6).as("conf_a_to_b"),
+        round(col("n_pair") / col("n_b").cast("double"), 6).as("conf_b_to_a"),
+        round(
+          col("n_pair").cast("double") * col("n_orders") /
+            (col("n_a").cast("double") * col("n_b")),
+          6).as("lift"))
+  }
+
+  val assocRulesSql: String =
+    """WITH oi AS (
+         SELECT DISTINCT l_orderkey, p_brand AS item
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+       ), n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM oi),
+       sup AS (SELECT item, count(*) AS n_item FROM oi GROUP BY 1),
+       freq AS (SELECT item, n_item FROM sup, n WHERE n_item >= n_orders * 0.02),
+       fi AS (SELECT oi.l_orderkey, oi.item, f.n_item FROM oi JOIN freq f USING (item)),
+       p AS (
+         SELECT a.item AS item_a, b.item AS item_b,
+                a.n_item AS n_a, b.n_item AS n_b, count(*) AS n_pair
+         FROM fi a JOIN fi b
+           ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+         GROUP BY 1, 2, 3, 4
+       )
+       SELECT item_a, item_b, n_pair,
+              round(n_pair / CAST(n_orders AS DOUBLE), 6) AS support,
+              round(n_pair / CAST(n_a AS DOUBLE), 6) AS conf_a_to_b,
+              round(n_pair / CAST(n_b AS DOUBLE), 6) AS conf_b_to_a,
+              round(CAST(n_pair AS DOUBLE) * n_orders / (CAST(n_a AS DOUBLE) * n_b), 6) AS lift
+       FROM p, n WHERE n_pair >= n_orders * 0.02"""
+
+  // --------------------------------------------------------------------
+  // q_drift_psi — population stability index per event_type
+  // --------------------------------------------------------------------
+
+  /** Feature-drift monitor: Population Stability Index of `value` per
+    * event_type between a reference window (first half of January) and
+    * the current window. Bin edges are fixed-width over the REFERENCE
+    * min/max (the production convention: edges freeze with the training
+    * snapshot), with clamp bins catching out-of-range current values;
+    * 0.5 Laplace smoothing keeps empty bins finite. PSI ≥ 0 always
+    * (Jensen); > 0.1 is the usual "investigate" threshold, > 0.25
+    * "retrain".
+    *
+    * Scale design: one scan, one keyed shuffle of (event_type, bin)
+    * partial-aggregated counts — the shuffled table is bins × types
+    * rows regardless of input size; the per-type reference edges are a
+    * broadcast dimension.
+    */
+  def driftPsi(s: SparkSession, dir: String, nBins: Int = 10): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        col("value"),
+        (col("ts") < lit("2024-01-16 00:00:00").cast("timestamp")).as("is_ref"))
+    val mm = ev
+      .filter(col("is_ref"))
+      .groupBy(col("event_type"))
+      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    val binned = ev
+      .join(broadcast(mm), "event_type")
+      .withColumn(
+        "bin",
+        least(
+          lit(nBins - 1),
+          greatest(
+            lit(0L),
+            floor((col("value") - col("vmin")) * nBins / (col("vmax") - col("vmin"))))
+        ).cast("int"))
+    val counts = binned
+      .groupBy(col("event_type"), col("bin"))
+      .agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("n_cur"))
+    val tot = counts
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    counts
+      .join(broadcast(tot), "event_type")
+      .withColumn("p_ref", (col("n_ref") + 0.5) / (col("t_ref") + 0.5 * nBins))
+      .withColumn("p_cur", (col("n_cur") + 0.5) / (col("t_cur") + 0.5 * nBins))
+      .groupBy(col("event_type"), col("t_ref"), col("t_cur"))
+      .agg(round(sum((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref"))), 6)
+        .as("psi"))
+      .select(
+        col("event_type"),
+        col("t_ref").as("n_ref"),
+        col("t_cur").as("n_cur"),
+        col("psi"),
+        (col("psi") > 0.1).as("drifted"))
+  }
+
+  val driftPsiSql: String =
+    """WITH ev AS (
+         SELECT event_type, value,
+                ts < TIMESTAMP '2024-01-16 00:00:00' AS is_ref
+         FROM events
+       ), mm AS (
+         SELECT event_type, min(value) AS vmin, max(value) AS vmax
+         FROM ev WHERE is_ref GROUP BY 1
+       ), binned AS (
+         SELECT ev.event_type, is_ref,
+                CAST(least(9, greatest(0,
+                  floor((value - vmin) * 10 / (vmax - vmin)))) AS INT) AS bin
+         FROM ev JOIN mm USING (event_type)
+       ), counts AS (
+         SELECT event_type, bin,
+                sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+                sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+         FROM binned GROUP BY 1, 2
+       ), tot AS (
+         SELECT event_type, CAST(sum(n_ref) AS BIGINT) AS t_ref,
+                CAST(sum(n_cur) AS BIGINT) AS t_cur
+         FROM counts GROUP BY 1
+       )
+       SELECT c.event_type, t_ref AS n_ref, t_cur AS n_cur,
+              round(sum(((n_cur + 0.5) / (t_cur + 5.0) - (n_ref + 0.5) / (t_ref + 5.0))
+                        * ln(((n_cur + 0.5) / (t_cur + 5.0)) / ((n_ref + 0.5) / (t_ref + 5.0)))),
+                    6) AS psi,
+              round(sum(((n_cur + 0.5) / (t_cur + 5.0) - (n_ref + 0.5) / (t_ref + 5.0))
+                        * ln(((n_cur + 0.5) / (t_cur + 5.0)) / ((n_ref + 0.5) / (t_ref + 5.0)))),
+                    6) > 0.1 AS drifted
+       FROM counts c JOIN tot USING (event_type)
+       GROUP BY 1, 2, 3"""
+
+  // --------------------------------------------------------------------
+  // q_target_encoding — K-fold out-of-fold mean target encoding
+  // --------------------------------------------------------------------
+
+  /** Leakage-free target encoding of `event_type` by mean `value`:
+    * hash-assigned folds (md5 of event_id — reproducible across runs
+    * and engines), each fold's encoding computed from the OTHER folds
+    * only ((total − own fold) arithmetic, the standard trick that needs
+    * no per-fold re-aggregation), plus m-estimate smoothing toward the
+    * out-of-fold global prior (m = 20).
+    *
+    * Scale design: one scan partial-aggregated to (event_type, fold) —
+    * K × |categories| rows shuffle, nothing else; the global per-fold
+    * prior is the same tiny table re-aggregated. Sums are exact cents
+    * (LONG), so encodings hash identically across engines.
+    */
+  def targetEncoding(s: SparkSession, dir: String, folds: Int = 5, m: Int = 20): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        expr(md5Bucket("cast(event_id as string)", folds)).as("fold"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val perFold = ev
+      .groupBy(col("event_type"), col("fold"))
+      .agg(count(lit(1)).as("cnt_f"), sum(col("cents")).as("sum_f"))
+    val perType = perFold
+      .groupBy(col("event_type"))
+      .agg(sum(col("cnt_f")).as("cnt_t"), sum(col("sum_f")).as("sum_t"))
+    val globalFold = perFold
+      .groupBy(col("fold"))
+      .agg(sum(col("cnt_f")).as("gcnt_f"), sum(col("sum_f")).as("gsum_f"))
+    val globalTot = globalFold
+      .agg(sum(col("gcnt_f")).as("gcnt_t"), sum(col("gsum_f")).as("gsum_t"))
+    perFold
+      .join(broadcast(perType), "event_type")
+      .join(broadcast(globalFold), "fold")
+      .crossJoin(broadcast(globalTot))
+      .withColumn("n_oof", col("cnt_t") - col("cnt_f"))
+      .withColumn("oof_sum", (col("sum_t") - col("sum_f")) / 100.0)
+      .withColumn(
+        "prior",
+        ((col("gsum_t") - col("gsum_f")) / 100.0) / (col("gcnt_t") - col("gcnt_f")))
+      .select(
+        col("event_type"),
+        col("fold"),
+        col("n_oof"),
+        round(col("oof_sum") / col("n_oof"), 6).as("oof_mean"),
+        round((col("oof_sum") + lit(m) * col("prior")) / (col("n_oof") + lit(m)), 6)
+          .as("smoothed_mean"))
+  }
+
+  val targetEncodingSql: String = {
+    val fold = md5BucketSql("CAST(event_id AS VARCHAR)", 5)
+    s"""WITH ev AS (
+         SELECT event_type, $fold AS fold,
+                CAST(round(value * 100) AS BIGINT) AS cents
+         FROM events
+       ), pf AS (
+         SELECT event_type, fold, count(*) AS cnt_f, sum(cents) AS sum_f
+         FROM ev GROUP BY 1, 2
+       ), pt AS (
+         SELECT event_type, CAST(sum(cnt_f) AS BIGINT) AS cnt_t,
+                CAST(sum(sum_f) AS BIGINT) AS sum_t
+         FROM pf GROUP BY 1
+       ), gf AS (
+         SELECT fold, CAST(sum(cnt_f) AS BIGINT) AS gcnt_f,
+                CAST(sum(sum_f) AS BIGINT) AS gsum_f
+         FROM pf GROUP BY 1
+       ), gt AS (SELECT CAST(sum(gcnt_f) AS BIGINT) AS gcnt_t,
+                        CAST(sum(gsum_f) AS BIGINT) AS gsum_t FROM gf)
+       SELECT pf.event_type, pf.fold,
+              cnt_t - cnt_f AS n_oof,
+              round(((sum_t - sum_f) / 100.0) / (cnt_t - cnt_f), 6) AS oof_mean,
+              round((((sum_t - sum_f) / 100.0)
+                     + 20 * (((gsum_t - gsum_f) / 100.0) / (gcnt_t - gcnt_f)))
+                    / ((cnt_t - cnt_f) + 20), 6) AS smoothed_mean
+       FROM pf JOIN pt USING (event_type) JOIN gf USING (fold), gt"""
+  }
+
+  // --------------------------------------------------------------------
+  // q_feature_hashing — hashing-trick featurizer + collision audit
+  // --------------------------------------------------------------------
+
+  /** The hashing-trick featurizer every large-scale text model uses when
+    * a vocabulary won't fit: token → md5 bucket in [0, D). Output is the
+    * bucket-level audit a feature engineer reads before fixing D — load
+    * per bucket, collision degree (distinct tokens sharing the bucket),
+    * document reach, and a deterministic example token.
+    *
+    * Scale design: tokenize + hash is a pure map stage (zero shuffle);
+    * the only exchange carries partial-aggregated (bucket, token) then
+    * (bucket) rows — bounded by D × vocab, not corpus size.
+    */
+  def featureHashing(s: SparkSession, dir: String, dims: Int = 64): DataFrame = {
+    val toks = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+", -1)).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("bucket", expr(md5Bucket("tok", dims)))
+    toks
+      .groupBy(col("bucket"), col("tok"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
+        max(col("nd")).as("max_docs_one_token"),
+        min(col("tok")).as("example_token"))
+  }
+
+  val featureHashingSql: String = {
+    val bucket = md5BucketSql("tok", 64)
+    s"""WITH toks AS (
+         SELECT doc_id, tok, $bucket AS bucket
+         FROM (SELECT doc_id,
+                      unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+               FROM documents)
+         WHERE tok <> ''
+       ), bt AS (
+         SELECT bucket, tok, count(*) AS n, count(DISTINCT doc_id) AS nd
+         FROM toks GROUP BY 1, 2
+       )
+       SELECT bucket, CAST(sum(n) AS BIGINT) AS n_tokens, count(*) AS n_distinct_tokens,
+              max(nd) AS max_docs_one_token, min(tok) AS example_token
+       FROM bt GROUP BY 1"""
+  }
+
+  // --------------------------------------------------------------------
+  // q_mannwhitney — rank-based two-sample test without a global sort
+  // --------------------------------------------------------------------
+
+  /** Mann–Whitney U comparing `value` between purchase and view events —
+    * the nonparametric A/B test used when means mislead (heavy tails).
+    * Average ranks with the exact tie correction; z uses the normal
+    * approximation (valid here: n₁, n₂ ≫ 20).
+    *
+    * Scale design (the [[RelationalQueries.weightedQuantiles]] carry
+    * pattern): values quantize to exact cents and aggregate to
+    * per-distinct-value group counts FIRST (one keyed shuffle, output
+    * bounded by the value domain); ranks then come from a prefix sum
+    * over that aggregated table, computed as bucket-partitioned windows
+    * plus a broadcast bucket-offset carry — no window ever orders more
+    * than one bucket, so there is no single-partition global sort at
+    * any scale. All rank arithmetic is integer (avgrank doubled to stay
+    * integral); doubles appear only in the final U/z projection, with
+    * the identical expression shape on the oracle side.
+    */
+  def mannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val perV = Tables
+      .events(s, dir)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(
+        round(col("value") * 100).cast("long").as("v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("g1"))
+      .groupBy(col("v"))
+      .agg(sum(col("g1")).as("n1"), count(lit(1)).as("n"))
+      .withColumn("n2", col("n") - col("n1"))
+      .withColumn("bkt", expr("v div 1000").cast("int"))
+    val bTot = perV.groupBy(col("bkt")).agg(sum(col("n")).as("bn"))
+    val carry = bTot.withColumn(
+      "boff",
+      coalesce(
+        sum(col("bn")).over(
+          Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val wIn = Window
+      .partitionBy(col("bkt"))
+      .orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perV
+      .join(broadcast(carry.select(col("bkt"), col("boff"))), "bkt")
+      .withColumn("cum_before", col("boff") + coalesce(sum(col("n")).over(wIn), lit(0L)))
+      .withColumn("avgrank2", lit(2L) * col("cum_before") + col("n") + 1L)
+    ranked
+      .agg(
+        sum(col("n1")).as("n1t"),
+        sum(col("n2")).as("n2t"),
+        sum(col("n1") * col("avgrank2")).as("r1_2"),
+        sum(col("n") * col("n") * col("n") - col("n")).as("tsum"))
+      .select(
+        col("n1t").as("n1"),
+        col("n2t").as("n2"),
+        ((col("r1_2") - col("n1t") * (col("n1t") + 1)) / 2.0).as("u1"),
+        (col("n1t") * col("n2t") - (col("r1_2") - col("n1t") * (col("n1t") + 1)) / 2.0)
+          .as("u2"),
+        round(
+          ((col("r1_2") - col("n1t") * (col("n1t") + 1)) / 2.0 -
+            col("n1t") * col("n2t") / 2.0) /
+            sqrt(
+              col("n1t") * col("n2t") / 12.0 *
+                ((col("n1t") + col("n2t") + 1) -
+                  col("tsum") /
+                    ((col("n1t") + col("n2t")) * (col("n1t") + col("n2t") - 1.0)))),
+          6).as("z_score"))
+  }
+
+  val mannWhitneySql: String =
+    """WITH pv AS (
+         SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n1,
+                count(*) AS n
+         FROM events WHERE event_type IN ('purchase', 'view')
+         GROUP BY 1
+       ), r AS (
+         SELECT v, n1, n - n1 AS n2, n,
+                2 * coalesce(sum(n) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n + 1
+                  AS avgrank2
+         FROM pv
+       ), agg AS (
+         SELECT CAST(sum(n1) AS BIGINT) AS n1t, CAST(sum(n2) AS BIGINT) AS n2t,
+                CAST(sum(n1 * avgrank2) AS BIGINT) AS r1_2,
+                CAST(sum(n * n * n - n) AS BIGINT) AS tsum
+         FROM r
+       )
+       SELECT n1t AS n1, n2t AS n2,
+              (r1_2 - n1t * (n1t + 1)) / 2.0 AS u1,
+              n1t * n2t - (r1_2 - n1t * (n1t + 1)) / 2.0 AS u2,
+              round(((r1_2 - n1t * (n1t + 1)) / 2.0 - n1t * n2t / 2.0)
+                    / sqrt(n1t * n2t / 12.0
+                           * ((n1t + n2t + 1) - tsum / ((n1t + n2t) * (n1t + n2t - 1.0)))),
+                    6) AS z_score
+       FROM agg"""
+
+  // --------------------------------------------------------------------
+  // q_skew_diagnose — join-key distribution profiler
+  // --------------------------------------------------------------------
+
+  /** Key-skew profiler for the three lineitem join keys — the first
+    * thing to run before sizing a 100 TB join: rows per key (mean /
+    * max / heaviest-key share), Shannon entropy of the key distribution
+    * (normalized; 1.0 = uniform), and the derived salting factor
+    * (⌈max/mean⌉ — how many salt buckets flatten the heaviest key to
+    * the average).
+    *
+    * Scale design: one narrow scan + keyed partial-agg per key column
+    * (three single-column scans beat one 3× explode shuffle); everything
+    * after the per-key count is an aggregation over the key domain with
+    * no ordering — entropy and max need no sort, unlike a Gini (which
+    * lives in q_gini_concentration with its own machinery).
+    */
+  def skewDiagnose(s: SparkSession, dir: String): DataFrame = {
+    def profile(keyCol: String): DataFrame =
+      Tables
+        .lineitem(s, dir)
+        .groupBy(col(keyCol).as("k"))
+        .agg(count(lit(1)).as("c"))
+        .agg(
+          sum(col("c")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("c")).as("max_per_key"),
+          sum(col("c") * log(col("c"))).as("slc"))
+        .select(
+          lit(keyCol).as("key_col"),
+          col("n_rows"),
+          col("n_keys"),
+          col("max_per_key"),
+          round(col("n_rows").cast("double") / col("n_keys"), 6).as("mean_per_key"),
+          round(col("max_per_key") * col("n_keys") / col("n_rows").cast("double"), 6)
+            .as("skew_ratio"),
+          round(
+            (log(col("n_rows")) - col("slc") / col("n_rows")) / log(col("n_keys")),
+            6).as("norm_entropy"),
+          ceil(col("max_per_key") * col("n_keys") / col("n_rows").cast("double"))
+            .cast("long")
+            .as("salt_factor"))
+    profile("l_orderkey").unionAll(profile("l_partkey")).unionAll(profile("l_suppkey"))
+  }
+
+  val skewDiagnoseSql: String = {
+    def one(k: String) =
+      s"""SELECT '$k' AS key_col, n_rows, n_keys, max_per_key,
+              round(CAST(n_rows AS DOUBLE) / n_keys, 6) AS mean_per_key,
+              round(max_per_key * n_keys / CAST(n_rows AS DOUBLE), 6) AS skew_ratio,
+              round((ln(n_rows) - slc / n_rows) / ln(n_keys), 6) AS norm_entropy,
+              CAST(ceil(max_per_key * n_keys / CAST(n_rows AS DOUBLE)) AS BIGINT)
+                AS salt_factor
+         FROM (SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+                      max(c) AS max_per_key, sum(c * ln(c)) AS slc
+               FROM (SELECT $k, count(*) AS c FROM lineitem GROUP BY 1))"""
+    s"${one("l_orderkey")} UNION ALL ${one("l_partkey")} UNION ALL ${one("l_suppkey")}"
+  }
+}

@@ -843,4 +843,101 @@ object SignalQueries {
        JOIN corr c2 ON c2.f = p.f AND c2.d = p.d AND c2.c = p.c AND c2.corr = p.peak_corr
        GROUP BY 1, 2, 4"""
   }
+
+  // --------------------------------------------------------------------
+  // q_sax_motifs — SAX symbolization + motif frequency per channel
+  // --------------------------------------------------------------------
+
+  /** SAX (Symbolic Aggregate approXimation) motif mining over the trace
+    * fixture — the classic time-series-to-text bridge (Lin et al. 2003):
+    * z-normalize each trace, PAA-average fixed segments, map each
+    * segment mean to an alphabet letter at the Gaussian quartile
+    * breakpoints (±0.6745, 0), and count the resulting 4-letter words
+    * per channel. Recurring words are the channel's motifs; a word seen
+    * in one channel but never in others is an anomaly cue.
+    *
+    * Tiling: 500 samples → 25 words × (4 segments × 5 samples); the
+    * trailing 0-padding-free layout keeps every word fully inside the
+    * trace.
+    *
+    * Float determinism: trace mean/variance come from exact integer
+    * sums (`Σv`, `Σv²` < 2⁵³), PAA means from exact 5-sample integer
+    * sums — the only double ops are the final (m − mean)/std with the
+    * identical expression shape in the oracle, so letter assignment is
+    * bit-reproducible across engines.
+    *
+    * Scale: the whole symbolization is per-row higher-order-function
+    * arithmetic inside one codegen'd map stage — zero shuffles until
+    * the (channel, word) count, whose key domain is bounded by
+    * channels × 4⁴ words.
+    */
+  def saxMotifs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nSamples = 500
+    val seg = 5 // samples per PAA segment
+    val wlen = 4 // letters per word
+    val nWords = nSamples / (seg * wlen)
+    TraceFixtures
+      .arithmeticTraces(s, nFrames = 4, nDigitizers = 2)
+      .flatMap(msg => msg.channels.map(ch => (ch.channel, ch.voltage)))
+      .toDF("channel", "voltage")
+      .withColumn("sv", expr("aggregate(voltage, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("svv", expr("aggregate(voltage, CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT) * x)"))
+      .withColumn("mean", expr(s"sv / $nSamples.0"))
+      .withColumn("std", expr(s"sqrt((svv - sv * sv / $nSamples.0) / $nSamples.0)"))
+      .select(
+        col("channel"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${nWords - 1}), w ->
+                concat_ws('', transform(sequence(0, ${wlen - 1}), g ->
+                  CASE
+                    WHEN (aggregate(slice(voltage, w * ${seg * wlen} + g * $seg + 1, $seg),
+                                    CAST(0 AS BIGINT), (a, x) -> a + x) / $seg.0 - mean) / std
+                         < -0.6745 THEN 'a'
+                    WHEN (aggregate(slice(voltage, w * ${seg * wlen} + g * $seg + 1, $seg),
+                                    CAST(0 AS BIGINT), (a, x) -> a + x) / $seg.0 - mean) / std
+                         < 0.0 THEN 'b'
+                    WHEN (aggregate(slice(voltage, w * ${seg * wlen} + g * $seg + 1, $seg),
+                                    CAST(0 AS BIGINT), (a, x) -> a + x) / $seg.0 - mean) / std
+                         < 0.6745 THEN 'c'
+                    ELSE 'd'
+                  END)))""")).as(Seq("word_pos", "word")))
+      .groupBy(col("channel"), col("word"))
+      .agg(count(lit(1)).as("n"), min(col("word_pos")).cast("long").as("first_pos"))
+  }
+
+  /** DuckDB oracle for [[saxMotifs]]: regenerates the fixture grid with
+    * `range()` and re-derives the identical z-norm / PAA / breakpoint
+    * arithmetic (same expression shape, so same doubles).
+    */
+  val saxMotifsSql: String =
+    """WITH g AS (
+         SELECT f, d, c, j,
+                CAST(50 + ((f*31 + d*13 + c*7 + j*11) % 400) AS BIGINT) AS v
+         FROM range(4) rf(f), range(2) rd(d), range(8) rc(c), range(500) rj(j)
+       ), st AS (
+         SELECT f, d, c, sum(v) AS sv, sum(v * v) AS svv
+         FROM g GROUP BY 1, 2, 3
+       ), seg AS (
+         SELECT f, d, c, j // 20 AS w, (j % 20) // 5 AS sg, sum(v) AS segsum
+         FROM g GROUP BY 1, 2, 3, 4, 5
+       ), lt AS (
+         SELECT seg.f, seg.d, seg.c, w, sg,
+                CASE
+                  WHEN (segsum / 5.0 - sv / 500.0) / sqrt((svv - sv * sv / 500.0) / 500.0)
+                       < -0.6745 THEN 'a'
+                  WHEN (segsum / 5.0 - sv / 500.0) / sqrt((svv - sv * sv / 500.0) / 500.0)
+                       < 0.0 THEN 'b'
+                  WHEN (segsum / 5.0 - sv / 500.0) / sqrt((svv - sv * sv / 500.0) / 500.0)
+                       < 0.6745 THEN 'c'
+                  ELSE 'd'
+                END AS l
+         FROM seg JOIN st ON seg.f = st.f AND seg.d = st.d AND seg.c = st.c
+       ), words AS (
+         SELECT f, d, c, w, string_agg(l, '' ORDER BY sg) AS word
+         FROM lt GROUP BY 1, 2, 3, 4
+       )
+       SELECT d * 8 + c AS channel, word, count(*) AS n,
+              CAST(min(w) AS BIGINT) AS first_pos
+       FROM words GROUP BY 1, 2"""
 }

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Functional locks for the round-9 mining/ML-feature operators —
+  * invariants the oracle compare can't see (it checks equality, not
+  * lawfulness): PSI non-negativity, rank-sum identities, token
+  * conservation, leave-one-fold-out arithmetic, and the SAX word grid.
+  */
+class MiningSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = graft.Sessions.local("mining-spec", "4")
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  private val dir = "/root/testdata/sf0.001"
+
+  test("assoc rules: metrics lawful; support re-derives from the basket count") {
+    val rows = MiningQueries.assocRules(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nOrders = graft.Tables
+      .lineitem(spark, dir)
+      .join(graft.Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"))
+      .distinct()
+      .count()
+    rows.foreach { r =>
+      val (nPair, support) = (r.getAs[Long]("n_pair"), r.getAs[Double]("support"))
+      assert(support > 0 && support <= 1)
+      val cab = r.getAs[Double]("conf_a_to_b")
+      val cba = r.getAs[Double]("conf_b_to_a")
+      assert(cab > 0 && cab <= 1 && cba > 0 && cba <= 1)
+      assert(r.getAs[Double]("lift") > 0)
+      assert(math.abs(support - nPair.toDouble / nOrders) < 1e-6)
+      assert(r.getAs[String]("item_a") < r.getAs[String]("item_b"))
+    }
+  }
+
+  test("drift PSI: non-negative (Jensen), flag consistent with threshold") {
+    val rows = MiningQueries.driftPsi(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val psi = r.getAs[Double]("psi")
+      assert(psi >= 0.0, s"PSI must be >= 0, got $psi")
+      assert(r.getAs[Boolean]("drifted") == (psi > 0.1))
+      assert(r.getAs[Long]("n_ref") > 0 && r.getAs[Long]("n_cur") > 0)
+    }
+  }
+
+  test("target encoding: out-of-fold mean re-derives from the raw complement") {
+    val enc = MiningQueries.targetEncoding(spark, dir).collect()
+    assert(enc.length > 0)
+    val sample = enc.minBy(r => (r.getAs[String]("event_type"), r.getAs[Long]("fold")))
+    val (et, fold) = (sample.getAs[String]("event_type"), sample.getAs[Long]("fold"))
+    val raw = graft.Tables
+      .events(spark, dir)
+      .filter(col("event_type") === et)
+      .select(
+        expr(
+          "cast(conv(substring(md5(cast(cast(event_id as string) as binary)), 1, 4), 16, 10) as long) % 5")
+          .as("f"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .filter(col("f") =!= fold)
+      .agg((sum(col("cents")) / 100.0 / count(lit(1))).as("m"))
+      .collect()(0)
+      .getAs[Double]("m")
+    assert(math.abs(sample.getAs[Double]("oof_mean") - raw) < 1e-6)
+  }
+
+  test("feature hashing: bucket loads conserve the corpus token count") {
+    val buckets = MiningQueries.featureHashing(spark, dir).collect()
+    val hashed = buckets.map(_.getAs[Long]("n_tokens")).sum
+    val direct = graft.Tables
+      .documents(spark, dir)
+      .select(explode(split(lower(col("text")), "\\s+", -1)).as("tok"))
+      .filter(col("tok") =!= "")
+      .count()
+    assert(hashed == direct, s"hashed=$hashed direct=$direct")
+    buckets.foreach { r =>
+      assert(r.getAs[Long]("n_distinct_tokens") >= 1)
+      assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_distinct_tokens"))
+    }
+  }
+
+  test("Mann-Whitney: U1 + U2 = n1*n2 (rank-sum identity); z finite") {
+    val r = MiningQueries.mannWhitney(spark, dir).collect()(0)
+    val (n1, n2) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"))
+    val (u1, u2) = (r.getAs[Double]("u1"), r.getAs[Double]("u2"))
+    assert(n1 > 0 && n2 > 0)
+    assert(math.abs(u1 + u2 - n1.toDouble * n2) < 1e-9)
+    assert(u1 >= 0 && u2 >= 0)
+    assert(!r.getAs[Double]("z_score").isNaN)
+  }
+
+  test("skew diagnose: ratios lawful; salt factor is the ceiling of the ratio") {
+    val rows = MiningQueries.skewDiagnose(spark, dir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("skew_ratio")
+      assert(ratio >= 1.0 - 1e-9)
+      val ent = r.getAs[Double]("norm_entropy")
+      assert(ent > 0 && ent <= 1.0 + 1e-9)
+      assert(r.getAs[Long]("salt_factor") == math.ceil(ratio - 1e-9).toLong)
+      assert(r.getAs[Long]("max_per_key") <= r.getAs[Long]("n_rows"))
+    }
+  }
+
+  test("SAX motifs: word grid complete per channel; alphabet closed") {
+    val rows = SignalQueries.saxMotifs(spark, dir).collect()
+    val byChannel = rows.groupBy(_.getAs[Long]("channel"))
+    assert(byChannel.size == 16, "2 digitisers x 8 channels")
+    byChannel.foreach { case (_, rs) =>
+      // 4 frames x 25 word positions per trace
+      assert(rs.map(_.getAs[Long]("n")).sum == 100L)
+    }
+    rows.foreach { r =>
+      val w = r.getAs[String]("word")
+      assert(w.length == 4 && w.forall(c => c >= 'a' && c <= 'd'), w)
+      val fp = r.getAs[Long]("first_pos")
+      assert(fp >= 0 && fp <= 24)
+    }
+  }
+}

@@ -711,4 +711,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_bitmap_distinct") || p.contains("partial_bitmapdistinct"),
       "map-side partial OR must run before the shuffle\n" + p.take(2000))
   }
+
+  test("q_assoc_rules: frequent-item prune broadcasts; pair self-join keyed on basket") {
+    val p = plan("q_assoc_rules")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the Apriori frequent set and the order-count scalar join as broadcasts
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the pair join runs on the l_orderkey equi-key, never a product of baskets
+    assert(p.contains("hashpartitioning(l_orderkey"), p.take(2000))
+  }
+
+  test("q_drift_psi: reference edges join as a broadcast dimension") {
+    val p = plan("q_drift_psi")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_sum"), "bin counts must partial-agg map-side")
+  }
+
+  test("q_mannwhitney: rank windows partition by bucket — no full-domain sort") {
+    val p = plan("q_mannwhitney")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the per-value rank window runs inside bkt partitions; the only
+    // unpartitioned window is over the ~bounded bucket-carry table
+    assert(p.contains("hashpartitioning(bkt"), p.take(2000))
+    assert(p.contains("partial_sum"), "per-value group counts must partial-agg map-side")
+  }
 }
