@@ -483,4 +483,180 @@ object MiningQueries {
                FROM (SELECT $k, count(*) AS c FROM lineitem GROUP BY 1))"""
     s"${one("l_orderkey")} UNION ALL ${one("l_partkey")} UNION ALL ${one("l_suppkey")}"
   }
+
+  // --------------------------------------------------------------------
+  // q_path_mining — most common 3-step user journeys
+  // --------------------------------------------------------------------
+
+  /** Sequential path mining: the top 20 most-travelled 3-step event
+    * sequences across users — the "common journeys" view behind every
+    * product-analytics funnel-discovery screen. Consecutive steps come
+    * from `lead` windows ordered by (ts, event_id) — the id tiebreak
+    * makes ordering total, so results are deterministic under any
+    * parallelism and hash-match the oracle.
+    *
+    * Scale design: the only window partitions by user_id (state bounded
+    * by one user's history, the same key the sessionize family uses);
+    * path counts partial-agg map-side (key domain ≤ |event types|³);
+    * the final top-20 plans as TakeOrderedAndProject — k rows per
+    * partition to the driver, never a global sort.
+    */
+  def pathMining(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables
+      .events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(
+        concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"),
+        col("user_id"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_occurrences"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_occurrences").desc, col("path"))
+      .limit(k)
+  }
+
+  val pathMiningSql: String =
+    """WITH steps AS (
+         SELECT user_id, event_type AS e1,
+                lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+                lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+         FROM events
+       )
+       SELECT e1 || '>' || e2 || '>' || e3 AS path,
+              count(*) AS n_occurrences,
+              count(DISTINCT user_id) AS n_users
+       FROM steps WHERE e3 IS NOT NULL
+       GROUP BY 1 ORDER BY n_occurrences DESC, path LIMIT 20"""
+
+  // --------------------------------------------------------------------
+  // q_item_knn — item-item collaborative filtering neighbors
+  // --------------------------------------------------------------------
+
+  /** Item-item collaborative filtering: each part's top-5 most-similar
+    * parts by co-purchase cosine (n_ij / √(n_i·n_j)) — the classic
+    * Amazon-style "customers also bought" neighbor table, materialized
+    * offline exactly like production recommenders do.
+    *
+    * Scale design: baskets reduce to DISTINCT (order, item) first; the
+    * directed pair generation is a keyed self-join on the basket key
+    * (pair volume bounded by Σ basket², AQE-splittable); supports join
+    * back keyed on the item; similarity is pure integer arithmetic in
+    * identical expression shape both engines (bit-identical doubles, so
+    * the rank cut is deterministic with the item tiebreak); the top-5
+    * rank filter plans as map-side WindowGroupLimit — only ≤ 5 rows per
+    * item reach the final exchange (the q_top_per_group machinery).
+    */
+  def itemKnn(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val oi = Tables
+      .lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey").as("item"))
+      .distinct()
+      .persist() // pinned for the session (minhashPairs storage contract)
+    val sup = oi.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
+    val a = oi.select(col("l_orderkey"), col("item").as("item_a"))
+    val b = oi.select(col("l_orderkey"), col("item").as("item_b"))
+    val co = a
+      .join(b, Seq("l_orderkey"))
+      .filter(col("item_a") =!= col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_co"))
+    val w = Window
+      .partitionBy(col("item"))
+      .orderBy(col("sim").desc, col("neighbor"))
+    co.join(sup.withColumnRenamed("item", "item_a").withColumnRenamed("n_i", "n_a"), "item_a")
+      .join(sup.withColumnRenamed("item", "item_b").withColumnRenamed("n_i", "n_b"), "item_b")
+      .select(
+        col("item_a").as("item"),
+        col("item_b").as("neighbor"),
+        col("n_co"),
+        (col("n_co") / sqrt(col("n_a").cast("double") * col("n_b"))).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("item"),
+        col("neighbor"),
+        col("n_co"),
+        round(col("sim"), 6).as("sim"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  val itemKnnSql: String =
+    """WITH oi AS (SELECT DISTINCT l_orderkey, l_partkey AS item FROM lineitem),
+       sup AS (SELECT item, count(*) AS n_i FROM oi GROUP BY 1),
+       co AS (
+         SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_co
+         FROM oi a JOIN oi b
+           ON a.l_orderkey = b.l_orderkey AND a.item <> b.item
+         GROUP BY 1, 2
+       ), scored AS (
+         SELECT item_a AS item, item_b AS neighbor, n_co,
+                n_co / sqrt(CAST(sa.n_i AS DOUBLE) * sb.n_i) AS sim
+         FROM co
+         JOIN sup sa ON sa.item = co.item_a
+         JOIN sup sb ON sb.item = co.item_b
+       ), ranked AS (
+         SELECT item, neighbor, n_co, sim,
+                row_number() OVER (PARTITION BY item ORDER BY sim DESC, neighbor) AS rank
+         FROM scored
+       )
+       SELECT item, neighbor, n_co, round(sim, 6) AS sim, CAST(rank AS BIGINT) AS rank
+       FROM ranked WHERE rank <= 5"""
+
+  // --------------------------------------------------------------------
+  // q_k_anonymity — quasi-identifier re-identification audit
+  // --------------------------------------------------------------------
+
+  /** k-anonymity audit over customer quasi-identifiers — the governance
+    * gate a dataset passes before release: at each generalization level
+    * (full QI = nation + segment + account-balance band; drop the band;
+    * nation only), how many QI groups fall below k = 5, and what share
+    * of rows they expose. Reading the levels top-down is exactly the
+    * generalization-lattice walk a privacy officer does to pick the
+    * coarsest safe release.
+    *
+    * Scale design: three keyed partial-aggregated scans (group counts),
+    * each followed by an aggregation over the bounded group domain —
+    * no sort, no join; identical shape at any input size.
+    */
+  def kAnonymity(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    def level(name: String, keys: Seq[Column]): DataFrame =
+      cust
+        .groupBy(keys: _*)
+        .agg(count(lit(1)).as("c"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          sum(when(col("c") < k, 1L).otherwise(0L)).as("n_violating"),
+          sum(when(col("c") < k, col("c")).otherwise(0L)).as("n_at_risk"),
+          sum(col("c")).as("n_rows"))
+        .select(
+          lit(name).as("level"),
+          col("n_groups"),
+          col("n_violating"),
+          col("n_at_risk"),
+          round(col("n_at_risk") / col("n_rows").cast("double"), 6).as("risk_rate"))
+    val band = floor(col("c_acctbal") / 1000).cast("long")
+    level("nation+segment+balband", Seq(col("c_nationkey"), col("c_mktsegment"), band))
+      .unionAll(level("nation+segment", Seq(col("c_nationkey"), col("c_mktsegment"))))
+      .unionAll(level("nation", Seq(col("c_nationkey"))))
+  }
+
+  val kAnonymitySql: String = {
+    def one(name: String, keys: String) =
+      s"""SELECT '$name' AS level, count(*) AS n_groups,
+              CAST(sum(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+              CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT) AS n_at_risk,
+              round(sum(CASE WHEN c < 5 THEN c ELSE 0 END)
+                    / CAST(sum(c) AS DOUBLE), 6) AS risk_rate
+         FROM (SELECT count(*) AS c FROM customer GROUP BY $keys)"""
+    Seq(
+      one(
+        "nation+segment+balband",
+        "c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 1000) AS BIGINT)"),
+      one("nation+segment", "c_nationkey, c_mktsegment"),
+      one("nation", "c_nationkey")).mkString(" UNION ALL ")
+  }
 }

@@ -107,6 +107,50 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("path mining: triple counts conserve Σ max(0, n_user − 2)") {
+    val all = MiningQueries.pathMining(spark, dir, k = 1000000).collect()
+    val total = all.map(_.getAs[Long]("n_occurrences")).sum
+    val expected = graft.Tables
+      .events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(sum(greatest(col("n") - 2, lit(0L))).as("t"))
+      .collect()(0)
+      .getAs[Long]("t")
+    assert(total == expected, s"total=$total expected=$expected")
+    all.foreach(r => assert(r.getAs[String]("path").split(">").length == 3))
+  }
+
+  test("item kNN: ranks contiguous per item; similarity lawful") {
+    val rows = MiningQueries.itemKnn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("item")).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted
+      assert(ranks.toSeq == (1L to ranks.length).toSeq, ranks.mkString(","))
+      assert(ranks.length <= 5)
+    }
+    rows.foreach { r =>
+      val sim = r.getAs[Double]("sim")
+      assert(sim > 0 && sim <= 1.0 + 1e-9)
+      assert(r.getAs[Long]("n_co") >= 1)
+      assert(r.getAs[Long]("item") != r.getAs[Long]("neighbor"))
+    }
+  }
+
+  test("k-anonymity: risk shrinks monotonically as generalization coarsens") {
+    val rows = MiningQueries.kAnonymity(spark, dir).collect()
+    assert(rows.length == 3)
+    val byLevel = rows.map(r => r.getAs[String]("level") -> r).toMap
+    val l3 = byLevel("nation+segment+balband")
+    val l2 = byLevel("nation+segment")
+    val l1 = byLevel("nation")
+    assert(l3.getAs[Long]("n_groups") >= l2.getAs[Long]("n_groups"))
+    assert(l2.getAs[Long]("n_groups") >= l1.getAs[Long]("n_groups"))
+    assert(l3.getAs[Double]("risk_rate") >= l2.getAs[Double]("risk_rate"))
+    assert(l2.getAs[Double]("risk_rate") >= l1.getAs[Double]("risk_rate"))
+    rows.foreach(r => assert(r.getAs[Long]("n_at_risk") <= 5L * r.getAs[Long]("n_violating")))
+  }
+
   test("SAX motifs: word grid complete per channel; alphabet closed") {
     val rows = SignalQueries.saxMotifs(spark, dir).collect()
     val byChannel = rows.groupBy(_.getAs[Long]("channel"))

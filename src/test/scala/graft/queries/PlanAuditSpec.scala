@@ -728,6 +728,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), "bin counts must partial-agg map-side")
   }
 
+  test("q_item_knn: top-5 rank filter plans as map-side WindowGroupLimit; pair join keyed") {
+    val p = plan("q_item_knn")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("WindowGroupLimit"), "rank<=k must plan the group-limit pushdown\n" + p.take(2000))
+    assert(p.contains("hashpartitioning(l_orderkey"), p.take(2000))
+  }
+
   test("q_mannwhitney: rank windows partition by bucket — no full-domain sort") {
     val p = plan("q_mannwhitney")
     assert(!p.contains("CartesianProduct"), p.take(2000))
