@@ -659,4 +659,248 @@ object MiningQueries {
       one("nation+segment", "c_nationkey, c_mktsegment"),
       one("nation", "c_nationkey")).mkString(" UNION ALL ")
   }
+
+  // --------------------------------------------------------------------
+  // q_survival_km — Kaplan–Meier retention curve with censoring
+  // --------------------------------------------------------------------
+
+  /** Kaplan–Meier time-to-conversion: days from a user's first signup
+    * to their first subsequent purchase, right-censored at the window
+    * end (2024-01-31) for users who signed up but never converted —
+    * dropping the non-converters (the naive conversion query) biases
+    * conversion time low, which is exactly what KM exists to fix.
+    * S(t) = Π_{s ≤ t} (1 − d_s/r_s) over observed conversion times.
+    *
+    * Scale design: one keyed per-user aggregation for first-signup, one
+    * keyed join + aggregation for first-purchase-after-signup, then
+    * everything runs on the per-duration table — bounded by the window
+    * length in days (≤ 31 rows), so the unpartitioned cumulative
+    * windows are control-plane, not data-plane (the weightedQuantiles
+    * bucket-table argument). The cumulative product is exp(Σ ln) over
+    * an ORDERED window frame — sequential evaluation order, so the
+    * doubles are bit-identical across engines.
+    */
+  def survivalKm(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val signup = ev
+      .filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("signup_day"))
+    val conv = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("pday"))
+      .join(signup, "user_id")
+      .filter(col("pday") >= col("signup_day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("pday")).as("conv_day"))
+    val users = signup
+      .join(conv, Seq("user_id"), "left")
+      .select(
+        when(col("conv_day").isNotNull, datediff(col("conv_day"), col("signup_day")))
+          .otherwise(datediff(lit("2024-01-31").cast("date"), col("signup_day")))
+          .cast("long")
+          .as("duration"),
+        col("conv_day").isNotNull.as("converted"))
+    val perDur = users
+      .groupBy(col("duration"))
+      .agg(
+        count(lit(1)).as("n_ending"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("n_churned"))
+    val wOrd = Window.orderBy(col("duration"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDur
+      .withColumn("n_total", sum(col("n_ending")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("n_at_risk", col("n_total") - coalesce(sum(col("n_ending")).over(wPrev), lit(0L)))
+      .withColumn(
+        "survival",
+        // the 1e-300 floor absorbs the d == r terminal step (everyone
+        // remaining converts): ln would be -inf / an engine error, and
+        // exp(≤ -690) rounds to the correct S = 0 in both engines
+        round(
+          exp(sum(log(greatest(
+            lit(1e-300),
+            lit(1.0) - col("n_churned") / col("n_at_risk").cast("double")))).over(wCum)),
+          6))
+      .select(
+        col("duration"),
+        col("n_at_risk"),
+        col("n_churned").as("n_converted"),
+        col("survival"))
+  }
+
+  val survivalKmSql: String =
+    """WITH signup AS (
+         SELECT user_id, min(CAST(ts AS DATE)) AS signup_day
+         FROM events WHERE event_type = 'signup' GROUP BY 1
+       ), conv AS (
+         SELECT e.user_id, min(CAST(e.ts AS DATE)) AS conv_day
+         FROM events e JOIN signup su ON e.user_id = su.user_id
+         WHERE e.event_type = 'purchase' AND CAST(e.ts AS DATE) >= su.signup_day
+         GROUP BY 1
+       ), users AS (
+         SELECT CASE WHEN c.conv_day IS NOT NULL
+                     THEN date_diff('day', su.signup_day, c.conv_day)
+                     ELSE date_diff('day', su.signup_day, DATE '2024-01-31') END AS duration,
+                c.conv_day IS NOT NULL AS converted
+         FROM signup su LEFT JOIN conv c ON su.user_id = c.user_id
+       ), pd AS (
+         SELECT duration, count(*) AS n_ending,
+                CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+         FROM users GROUP BY 1
+       ), risk AS (
+         SELECT duration, n_churned,
+                CAST(sum(n_ending) OVER () AS BIGINT)
+                  - CAST(coalesce(sum(n_ending) OVER (ORDER BY duration
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                  AS n_at_risk
+         FROM pd
+       )
+       SELECT duration, n_at_risk, n_churned AS n_converted,
+              round(exp(sum(ln(greatest(1e-300, 1.0 - n_churned / CAST(n_at_risk AS DOUBLE))))
+                        OVER (ORDER BY duration
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+                AS survival
+       FROM risk"""
+
+  // --------------------------------------------------------------------
+  // q_negative_sampling — deterministic hash negatives for contrastive training
+  // --------------------------------------------------------------------
+
+  /** Contrastive-training negative sampling: for every user with
+    * purchase history, draw 8 candidate items by seeded hash (md5 of
+    * user:slot — reproducible across runs, engines, and retries, the
+    * property a training pipeline needs for resumable epochs), then
+    * drop candidates that collide with the user's positives. Output per
+    * user: positives, kept negatives, and the collision count — the
+    * accept-rate curve that tells you when to switch from rejection to
+    * exclusion sampling.
+    *
+    * Scale design: the item catalog (indexed brands) is a broadcast
+    * dimension; candidate generation is pure hash arithmetic exploded 8×
+    * per user; the positive-collision check is a keyed LEFT join on
+    * (user, item) against the distinct positives — no sort, no window
+    * over user histories.
+    */
+  def negativeSampling(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val pos = Tables
+      .orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .select(col("o_custkey").as("custkey"), col("p_brand").as("item"))
+      .distinct()
+      .persist() // pinned for the session (minhashPairs storage contract)
+    val catalog = broadcast(
+      Tables
+        .part(s, dir)
+        .select(col("p_brand")).distinct()
+        .withColumn(
+          "idx",
+          row_number().over(Window.orderBy(col("p_brand"))).cast("long") - 1))
+    val nItems = catalog.count()
+    val cand = pos
+      .select(col("custkey")).distinct()
+      .select(col("custkey"), explode(sequence(lit(0), lit(k - 1))).as("slot"))
+      .withColumn(
+        "idx",
+        expr(s"${md5Bucket("concat(cast(custkey as string), ':', cast(slot as string))", nItems.toInt)}"))
+      .join(catalog, "idx")
+      .select(col("custkey"), col("slot"), col("p_brand").as("item"))
+    cand
+      .join(pos.withColumn("is_pos", lit(1)), Seq("custkey", "item"), "left")
+      .groupBy(col("custkey"))
+      .agg(
+        sum(when(col("is_pos").isNull, 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("is_pos").isNull, 0L).otherwise(1L)).as("n_collisions"))
+      .join(pos.groupBy(col("custkey")).agg(count(lit(1)).as("n_pos")), "custkey")
+      .select(col("custkey"), col("n_pos"), col("n_neg"), col("n_collisions"))
+  }
+
+  val negativeSamplingSql: String = {
+    val idx = md5BucketSql("concat(CAST(u.custkey AS VARCHAR), ':', CAST(r.slot AS VARCHAR))", 25)
+    s"""WITH pos AS (
+         SELECT DISTINCT o_custkey AS custkey, p_brand AS item
+         FROM orders
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN part ON l_partkey = p_partkey
+       ), catalog AS (
+         SELECT p_brand, row_number() OVER (ORDER BY p_brand) - 1 AS idx
+         FROM (SELECT DISTINCT p_brand FROM part)
+       ), cand AS (
+         SELECT u.custkey, r.slot, c.p_brand AS item
+         FROM (SELECT DISTINCT custkey FROM pos) u
+         CROSS JOIN range(8) r(slot)
+         JOIN catalog c ON c.idx = $idx
+       ), pc AS (SELECT custkey, count(*) AS n_pos FROM pos GROUP BY 1),
+       agg AS (
+         SELECT cand.custkey,
+                CAST(sum(CASE WHEN p.item IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+                CAST(sum(CASE WHEN p.item IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_collisions
+         FROM cand
+         LEFT JOIN pos p ON p.custkey = cand.custkey AND p.item = cand.item
+         GROUP BY 1
+       )
+       SELECT agg.custkey, n_pos, n_neg, n_collisions
+       FROM agg JOIN pc ON pc.custkey = agg.custkey"""
+  }
+
+  // --------------------------------------------------------------------
+  // q_calibration_bins — reliability diagram / expected calibration error
+  // --------------------------------------------------------------------
+
+  /** Model-calibration audit (reliability diagram): scores binned into
+    * deciles, each bin reporting mean predicted score vs observed
+    * positive rate plus its weighted ECE contribution — Σ over bins is
+    * the expected calibration error. Here the pseudo-score is
+    * value/500 with label event_type = 'purchase' (the synthetic stand
+    * -in for a model-score column; the operator shape is score-source
+    * agnostic).
+    *
+    * Scale design: single scan, one partial-aggregated shuffle keyed by
+    * the 10-value bin domain. Mean scores come from exact integer cent
+    * sums, so every output double is bit-reproducible.
+    */
+  def calibrationBins(s: SparkSession, dir: String, nBins: Int = 10): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .select(
+        round(col("value") * 100).cast("long").as("cents"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"))
+      .withColumn(
+        "bin",
+        least(lit(nBins - 1), expr("cents div 5000")).cast("int"))
+    val tot = ev.agg(count(lit(1)).as("n_total"))
+    ev.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"), sum(col("label")).as("n_pos"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("bin"),
+        col("n"),
+        col("n_pos"),
+        round(col("sc") / 50000.0 / col("n"), 6).as("mean_score"),
+        round(col("n_pos") / col("n").cast("double"), 6).as("pos_rate"),
+        round(
+          abs(col("n_pos") / col("n").cast("double") - col("sc") / 50000.0 / col("n")) *
+            col("n") / col("n_total"),
+          6).as("ece_term"))
+  }
+
+  val calibrationBinsSql: String =
+    """WITH ev AS (
+         SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+         FROM events
+       ), b AS (
+         SELECT least(9, cents // 5000) AS bin, count(*) AS n,
+                CAST(sum(cents) AS BIGINT) AS sc,
+                CAST(sum(label) AS BIGINT) AS n_pos
+         FROM ev GROUP BY 1
+       ), t AS (SELECT count(*) AS n_total FROM ev)
+       SELECT CAST(bin AS INT) AS bin, n, n_pos,
+              round(sc / 50000.0 / n, 6) AS mean_score,
+              round(n_pos / CAST(n AS DOUBLE), 6) AS pos_rate,
+              round(abs(n_pos / CAST(n AS DOUBLE) - sc / 50000.0 / n) * n / n_total, 6)
+                AS ece_term
+       FROM b, t"""
 }

@@ -151,6 +151,50 @@ class MiningSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("n_at_risk") <= 5L * r.getAs[Long]("n_violating")))
   }
 
+  test("survival KM: monotone curve, shrinking risk set, first-step identity") {
+    val rows = MiningQueries.survivalKm(spark, dir).collect().sortBy(_.getAs[Long]("duration"))
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("survival") >= b.getAs[Double]("survival") - 1e-9)
+        assert(a.getAs[Long]("n_at_risk") > b.getAs[Long]("n_at_risk"))
+      case _ =>
+    }
+    val first = rows.head
+    val expected = 1.0 -
+      first.getAs[Long]("n_converted").toDouble / first.getAs[Long]("n_at_risk")
+    assert(math.abs(first.getAs[Double]("survival") - expected) < 1e-6)
+    rows.foreach(r => assert(r.getAs[Long]("n_converted") <= r.getAs[Long]("n_at_risk")))
+  }
+
+  test("negative sampling: slots conserve (neg + collisions = k); deterministic rerun") {
+    val a = MiningQueries.negativeSampling(spark, dir).collect()
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      assert(r.getAs[Long]("n_neg") + r.getAs[Long]("n_collisions") == 8L)
+      assert(r.getAs[Long]("n_pos") >= 1L)
+    }
+    val b = MiningQueries.negativeSampling(spark, dir).collect()
+    assert(
+      a.map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq ==
+        b.map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq,
+      "hash sampling must be reproducible across runs")
+  }
+
+  test("calibration bins: counts conserve; ECE terms lawful") {
+    val rows = MiningQueries.calibrationBins(spark, dir).collect()
+    val total = graft.Tables.events(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("ece_term") >= 0)
+      val pr = r.getAs[Double]("pos_rate")
+      assert(pr >= 0 && pr <= 1)
+      val ms = r.getAs[Double]("mean_score")
+      assert(ms >= 0 && ms <= 1.0 + 1e-9)
+      assert(r.getAs[Long]("n_pos") <= r.getAs[Long]("n"))
+    }
+  }
+
   test("SAX motifs: word grid complete per channel; alphabet closed") {
     val rows = SignalQueries.saxMotifs(spark, dir).collect()
     val byChannel = rows.groupBy(_.getAs[Long]("channel"))
