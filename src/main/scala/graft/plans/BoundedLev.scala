@@ -112,19 +112,23 @@ object BoundedLev {
   private def fallback(a: UTF8String, b: UTF8String, k: Int): Int =
     a.levenshteinDistance(b, k)
 
+  /** SQL builder shared by [[register]] and [[GraftExtensions]]. */
+  val builder: Seq[Expression] => Expression = exprs =>
+    BoundedLev(
+      exprs(0),
+      exprs(1),
+      exprs(2).eval(null) match {
+        case n: Int => n
+        case n: java.lang.Integer => n.intValue()
+        case other =>
+          throw new IllegalArgumentException(
+            s"bounded_lev threshold must be an int literal, got $other")
+      })
+
   /** Register `bounded_lev(a, b, k)` (k a foldable int literal). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bounded_lev",
-      exprs =>
-        BoundedLev(
-          exprs(0),
-          exprs(1),
-          exprs(2).eval(null) match {
-            case n: Int => n
-            case n: java.lang.Integer => n.intValue()
-            case other =>
-              throw new IllegalArgumentException(s"bounded_lev threshold must be an int literal, got $other")
-          }),
+      builder,
       "scala_udf")
 }

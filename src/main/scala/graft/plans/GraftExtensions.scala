@@ -67,6 +67,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "detect_pulses_advanced(samples, onset, fall, termination, duration, " +
             "baseline_length, smoothing_size) - three-phase muon FSM over a trace"),
         detectAdv))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("z_order_key"),
+        info(
+          "z_order_key",
+          "z_order_key(a, b[, c[, d]]) - Morton interleave of 2-4 integral columns " +
+            "for multi-dimensional layout clustering"),
+        ZOrderKey.builder))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("bounded_lev"),
+        info(
+          "bounded_lev",
+          "bounded_lev(a, b, k) - Levenshtein distance early-exited at literal bound k"),
+        BoundedLev.builder))
     // mergeable exact-distinct bitmap family (TypedImperativeAggregate →
     // ObjectHashAggregateExec with map-side partial OR)
     graft.functions.BitmapAgg.registrations.foreach(ext.injectFunction)

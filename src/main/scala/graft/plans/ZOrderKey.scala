@@ -183,27 +183,30 @@ object ZOrderKey {
     spread(a) | (spread(b) << 1)
   }
 
-  /** Register `z_order_key(a, b[, c[, d]])`; idempotent. 2 args → the
-    * specialized stride-2 expression; 3–4 → [[ZOrderKeyMulti]].
+  /** SQL builder shared by [[register]] and
+    * [[GraftExtensions]]: 2 args → the specialized stride-2 expression;
+    * 3–4 → [[ZOrderKeyMulti]]; anything else → the same WRONG_NUM_ARGS
+    * analysis error a built-in reports (ADVICE r8 — a bare exprs(1) on
+    * z_order_key(a) would surface as IndexOutOfBounds).
     */
+  val builder: Seq[Expression] => Expression = exprs => {
+    if (exprs.length < 2 || exprs.length > 4)
+      throw new org.apache.spark.sql.AnalysisException(
+        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        Map(
+          "functionName" -> "`z_order_key`",
+          "expectedNum" -> "[2, 3, 4]",
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"),
+        None)
+    if (exprs.length == 2) ZOrderKey(exprs(0), exprs(1))
+    else ZOrderKeyMulti(exprs)
+  }
+
+  /** Register `z_order_key(a, b[, c[, d]])`; idempotent. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "z_order_key",
-      exprs => {
-        // Arity guard (ADVICE r8): a bare exprs(1) on z_order_key(a) would
-        // surface as IndexOutOfBounds; raise the same WRONG_NUM_ARGS
-        // analysis error a built-in function reports.
-        if (exprs.length < 2 || exprs.length > 4)
-          throw new org.apache.spark.sql.AnalysisException(
-            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-            Map(
-              "functionName" -> "`z_order_key`",
-              "expectedNum" -> "[2, 3, 4]",
-              "actualNum" -> exprs.length.toString,
-              "docroot" -> "https://spark.apache.org/docs/latest"),
-            None)
-        if (exprs.length == 2) ZOrderKey(exprs(0), exprs(1))
-        else ZOrderKeyMulti(exprs)
-      },
+      builder,
       "scala_udf")
 }

@@ -57,9 +57,25 @@ class ExtensionsSpec extends AnyFunSuite {
         .getSeq[org.apache.spark.sql.Row](0)
       assert(adv.nonEmpty)
 
+      // z_order_key: both the 2-arg specialized path and the multi path
+      val z2 = spark.sql("SELECT z_order_key(3L, 5L) AS z").head().getLong(0)
+      assert(z2 === 39L) // interleave(011, 101) = 100111
+      val z3 = spark.sql("SELECT z_order_key(1L, 1L, 1L) AS z").head().getLong(0)
+      assert(z3 === 7L)
+      val wrongArity = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT z_order_key(1L) AS z").collect()
+      }
+      assert(wrongArity.getMessage.contains("z_order_key"))
+
+      // bounded_lev with a literal bound
+      val lev = spark.sql("SELECT bounded_lev('kitten', 'sitting', 5) AS d").head().getInt(0)
+      assert(lev === 3)
+
       // DESCRIBE FUNCTION resolves through the injected ExpressionInfo
       val desc = spark.sql("DESCRIBE FUNCTION vec_dot").collect().mkString
       assert(desc.contains("vec_dot"))
+      assert(
+        spark.sql("DESCRIBE FUNCTION z_order_key").collect().mkString.contains("z_order_key"))
     } finally {
       // release this test's dedicated context; later suites' lazy
       // getOrCreate sessions build a fresh one
