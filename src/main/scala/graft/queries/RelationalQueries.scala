@@ -2569,6 +2569,87 @@ object RelationalQueries {
               min(s16) AS s_min, max(s16) AS s_max
        FROM z GROUP BY 1"""
 
+  /** Dynamic partition pruning end-to-end: the fact table is written
+    * date-partitioned (the layout every 100 TB event store uses), then
+    * joined against a filtered busy-day dimension — Spark injects the
+    * dim's date set as a runtime `dynamicpruning` partition filter into
+    * the fact scan, so only the qualifying date directories are read.
+    * This is THE mechanism that turns a full 100 TB scan into a
+    * several-partition read when the filter lives on the dimension; the
+    * static sibling is [[scanPrune]] (literal predicates pushed at plan
+    * time). PlanAuditSpec locks the `dynamicpruning` partition filter
+    * in the scan.
+    *
+    * Scratch: per-application tmp dir, overwritten per run (second
+    * bench pass exercises the truncate path), mirroring
+    * [[PipelineQueries.traceFileRoundtrip]].
+    *
+    * Determinism: the busy-day threshold (count > 1.05·mean) is exact
+    * integer counts against one double product, derived identically in
+    * the oracle; cents sums are exact LONGs.
+    */
+  def partitionPrunedJoin(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Paths
+      .get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_events_partitioned_${s.sparkContext.applicationId}")
+      .toString
+    Tables
+      .events(s, dir)
+      .select(
+        to_date(col("ts")).as("event_date"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .write
+      .mode("overwrite")
+      .partitionBy("event_date")
+      .parquet(out)
+    // Fixture-scale nudge (same knobs Spark's own DPP suite uses): the
+    // insertion heuristic compares estimated pruned bytes against the
+    // dim-subquery cost — at a few KB of fixture data that benefit
+    // check always declines, while at production scale the stats
+    // themselves justify insertion. Session-scoped and harmless to the
+    // other queries: DPP only ever applies to partitioned file scans,
+    // and this is the suite's only catalog-partitioned read.
+    s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "50.0")
+    val fact = s.read.parquet(out)
+    val daily = Tables
+      .events(s, dir)
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .agg(count(lit(1)).as("c"))
+    // The busy-day threshold is collected as a one-row control-plane
+    // scalar and inlined as a LITERAL: Spark's DPP insertion gate
+    // (isLikelySelective) only accepts attribute-vs-literal dim
+    // filters — an attribute-vs-attribute comparison (c > avg_c·1.05
+    // via cross join) is never treated as selective and silently
+    // disables the pruning this operator exists to demonstrate.
+    val thr = daily.agg(avg(col("c"))).collect()(0).getDouble(0) * 1.05
+    val dim = broadcast(daily.filter(col("c") > thr).select(col("event_date")))
+    fact
+      .join(dim, "event_date")
+      .groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
+      .select(
+        col("event_date").cast("date").as("event_date"),
+        col("n_events"),
+        col("total_cents"))
+  }
+
+  val partitionPrunedJoinSql: String =
+    """WITH ev AS (
+         SELECT CAST(ts AS DATE) AS event_date,
+                CAST(round(value * 100) AS BIGINT) AS cents
+         FROM events
+       ), daily AS (
+         SELECT event_date, count(*) AS c FROM ev GROUP BY 1
+       ), dim AS (
+         SELECT event_date FROM daily
+         WHERE c > (SELECT avg(c) FROM daily) * 1.05
+       )
+       SELECT ev.event_date, count(*) AS n_events,
+              CAST(sum(cents) AS BIGINT) AS total_cents
+       FROM ev JOIN dim USING (event_date) GROUP BY 1"""
+
   /** GROUPING SETS lattice slice — the OLAP shape between [[rollupRevenue]]
     * and [[cubeRevenue]]: exactly the chosen aggregation levels
     * ((flag, status), (flag), ()), each row tagged with its grouping

@@ -712,6 +712,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "map-side partial OR must run before the shuffle\n" + p.take(2000))
   }
 
+  test("q_partition_pruned_join: dim dates reach the fact scan as a dynamic partition filter") {
+    val p = plan("q_partition_pruned_join")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the runtime DPP subquery must appear in the partitioned scan's
+    // PartitionFilters — the whole point of the date-partitioned layout
+    assert(p.contains("dynamicpruning"), "fact scan must carry a dynamicpruning filter\n" + p.take(3000))
+  }
+
   test("q_assoc_rules: frequent-item prune broadcasts; pair self-join keyed on basket") {
     val p = plan("q_assoc_rules")
     assert(!p.contains("CartesianProduct"), p.take(2000))
