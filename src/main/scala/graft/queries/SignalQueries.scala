@@ -940,4 +940,104 @@ object SignalQueries {
        SELECT d * 8 + c AS channel, word, count(*) AS n,
               CAST(min(w) AS BIGINT) AS first_pos
        FROM words GROUP BY 1, 2"""
+
+  // --------------------------------------------------------------------
+  // q_holt_winters — triple exponential smoothing (additive, m = 7)
+  // --------------------------------------------------------------------
+
+  /** Holt–Winters additive triple smoothing (α = β = γ = 0.5, weekly
+    * period m = 7) over each event type's daily-mean series — the
+    * seasonality-aware upgrade of [[holtForecast]]: level, trend, AND a
+    * 7-slot seasonal profile evolve together, so the one-step forecast
+    * projects tomorrow's load including its day-of-week effect.
+    * Standard textbook init: l₀ = mean(week 1), b₀ = (mean(week 2) −
+    * mean(week 1))/7, s = week 1 deviations from l₀; the fold runs from
+    * day 8. Types with under 15 days (two init weeks + one step) are
+    * excluded on both engines.
+    *
+    * Cross-engine exactness: same recipe as [[holtForecast]] — rounded
+    * cents daily means, α = 0.5 multiplications (exact IEEE), and one
+    * sequential left fold with the identical expression tree (Spark
+    * `aggregate` carrying struct(l, b, t, s-array); DuckDB a
+    * recursive-CTE walk carrying a LIST) — so every output hashes
+    * identically unrounded; round(6) is belt-and-braces.
+    *
+    * Scale: one map-side combined (type, day) aggregate; the fold walks
+    * a calendar-bounded array per type. Nothing corpus-sized is sorted.
+    */
+  def holtWinters(s: SparkSession, dir: String): DataFrame = {
+    val lnew =
+      "0.5D * (x - element_at(acc.s, cast((acc.t % 7) + 1 as int))) + 0.5D * (acc.l + acc.b)"
+    dailySeries(s, dir)
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("dm")))).as("arr"))
+      .withColumn("dms", expr("transform(arr, x -> x.dm)"))
+      .withColumn("n", size(col("dms")))
+      .filter(col("n") >= 15)
+      .withColumn("l0", expr("aggregate(slice(dms, 1, 7), 0D, (a, x) -> a + x) / 7.0D"))
+      .withColumn(
+        "b0",
+        expr("(aggregate(slice(dms, 8, 7), 0D, (a, x) -> a + x) / 7.0D" +
+          " - aggregate(slice(dms, 1, 7), 0D, (a, x) -> a + x) / 7.0D) / 7.0D"))
+      .withColumn(
+        "state",
+        // slot of day t (1-based) is ((t-1) mod 7)+1; acc.t is the PREVIOUS
+        // day index, so the processed day's slot is ((acc.t) mod 7)+1.
+        // No let-binding in SQL lambdas: l_new repeats inline in b/s with
+        // the identical subtree (same bits; DuckDB computes it once via a
+        // lateral alias — same value either way).
+        expr(s"""aggregate(slice(dms, 8, n - 7),
+                  named_struct('l', l0, 'b', b0, 't', 7,
+                               's', transform(slice(dms, 1, 7), x -> x - l0)),
+                  (acc, x) -> named_struct(
+                    'l', $lnew,
+                    'b', 0.5D * (($lnew) - acc.l) + 0.5D * acc.b,
+                    't', acc.t + 1,
+                    's', transform(acc.s, (v, i) ->
+                           IF(i = cast(acc.t % 7 as int),
+                              0.5D * (x - ($lnew))
+                                + 0.5D * element_at(acc.s, cast((acc.t % 7) + 1 as int)),
+                              v))))"""))
+      .select(
+        col("event_type"),
+        col("n").cast("long").as("n_days"),
+        round(expr("state.l"), 6).as("level"),
+        round(expr("state.b"), 6).as("trend"),
+        expr("cast(array_position(state.s, array_max(state.s)) as long)").as("peak_slot"),
+        round(
+          expr("state.l + state.b + element_at(state.s, cast((n % 7) + 1 as int))"),
+          6).as("forecast_next"))
+  }
+
+  val holtWintersSql: String = {
+    val lnewSql = "0.5 * (p.dms[w.t + 1] - w.s[(w.t % 7) + 1]) + 0.5 * (w.l + w.b)"
+    s"""WITH RECURSIVE daily AS ($dailySeriesCte),
+       per AS (
+         SELECT event_type, list(dm ORDER BY day) AS dms, count(*) AS n
+         FROM daily GROUP BY 1 HAVING count(*) >= 15),
+       init AS (
+         SELECT event_type, n,
+                list_sum(dms[1:7]) / 7.0 AS l0,
+                (list_sum(dms[8:14]) / 7.0 - list_sum(dms[1:7]) / 7.0) / 7.0 AS b0,
+                list_transform(dms[1:7], x -> x - list_sum(dms[1:7]) / 7.0) AS s0
+         FROM per),
+       walk(event_type, t, l, b, s) AS (
+         SELECT event_type, 7, l0, b0, s0 FROM init
+         UNION ALL
+         SELECT w.event_type, w.t + 1,
+                $lnewSql,
+                0.5 * (($lnewSql) - w.l) + 0.5 * w.b,
+                list_transform(w.s, (v, i) ->
+                  CASE WHEN i = (w.t % 7) + 1
+                       THEN 0.5 * (p.dms[w.t + 1] - ($lnewSql))
+                            + 0.5 * w.s[(w.t % 7) + 1]
+                       ELSE v END)
+         FROM walk w JOIN per p ON w.event_type = p.event_type
+         WHERE w.t < p.n)
+       SELECT w.event_type, p.n AS n_days,
+              round(w.l, 6) AS level, round(w.b, 6) AS trend,
+              CAST(list_position(w.s, list_max(w.s)) AS BIGINT) AS peak_slot,
+              round(w.l + w.b + w.s[(p.n % 7) + 1], 6) AS forecast_next
+       FROM walk w JOIN per p ON w.event_type = p.event_type AND w.t = p.n"""
+  }
 }
