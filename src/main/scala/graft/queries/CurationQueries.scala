@@ -46,10 +46,10 @@ object CurationQueries {
     * assignment stay aligned by construction.
     */
   private def md5BucketExpr(mod: Int): String =
-    s"cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 4), 16, 10) as long) % $mod"
+    OracleHash.bucketExpr("cast(doc_id as string)", mod)
 
   private def md5BucketSql(mod: Int): String =
-    s"CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % $mod"
+    OracleHash.bucketSql("CAST(doc_id AS VARCHAR)", mod)
 
   private def gramsSql(k: Int): String =
     s"array_to_string(w[i:i+${k - 1}], ' ')"
@@ -1464,9 +1464,13 @@ object CurationQueries {
     * scan-bound. No UDF on the size/count legs; the checksum leg is the
     * established SQL-reproducible [[TextHash.polyHash]] kernel.
     */
-  def docChunk(s: SparkSession, dir: String): DataFrame = {
-    val polyUdf = udf { (chunk: String) => TextHash.polyHash(chunk) }
-    val chunks = Tables
+  /** The (doc_id, idx, chunk) grid shared by [[docChunk]] and
+    * [[SearchQueries.ragE2e]] — ONE derivation (and ONE SQL mirror,
+    * [[chunkGridCte]]) so the RAG pipeline can never chunk differently
+    * from the chunk manifest it builds on.
+    */
+  private[queries] def chunkGrid(s: SparkSession, dir: String): DataFrame =
+    Tables
       .documents(s, dir)
       .filter(length(col("text")) > 0)
       .select(
@@ -1477,6 +1481,17 @@ object CurationQueries {
         col("doc_id"),
         ((col("off") / ChunkStride).cast("long") + 1).as("idx"),
         expr(s"substring(text, off + 1, $ChunkChars)").as("chunk"))
+
+  /** DuckDB mirror of [[chunkGrid]] as a CTE body. */
+  private[queries] val chunkGridCte: String =
+    s"""SELECT doc_id, i // $ChunkStride + 1 AS idx,
+              substring(text, i + 1, $ChunkChars) AS chunk
+       FROM (SELECT doc_id, text FROM documents WHERE length(text) > 0) d,
+            unnest(generate_series(0, length(text) - 1, $ChunkStride)) s(i)"""
+
+  def docChunk(s: SparkSession, dir: String): DataFrame = {
+    val polyUdf = udf { (chunk: String) => TextHash.polyHash(chunk) }
+    val chunks = chunkGrid(s, dir)
       .select(
         col("doc_id"),
         col("idx"),
@@ -1501,16 +1516,7 @@ object CurationQueries {
     */
   val docChunkSql: String = {
     val poly = SketchQueries.polySql("chunk")
-    s"""WITH d AS (
-         SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0
-       ), offs AS (
-         SELECT doc_id, text, i AS off
-         FROM d, unnest(generate_series(0, n - 1, $ChunkStride)) AS s(i)
-       ), ch AS (
-         SELECT doc_id, off // $ChunkStride + 1 AS idx,
-                substring(text, off + 1, $ChunkChars) AS chunk
-         FROM offs
-       ), st AS (
+    s"""WITH ch AS ($chunkGridCte), st AS (
          SELECT doc_id, idx,
                 length(chunk) AS clen,
                 len(list_filter(string_split(chunk, ' '), w -> w <> '')) AS ctok,
@@ -1589,9 +1595,9 @@ object CurationQueries {
   /** Number of BPE merge steps [[bpeTrain]] learns. */
   val BpeSteps = 8
 
-  /** How many times the padded-replace is applied per merge — ⌈maxWord/2⌉
-    * passes guarantee the non-overlapping left-to-right fixpoint for any
-    * word up to 2·[[BpeReplacePasses]] symbols.
+  /** How many times the padded-replace is applied per merge — enough
+    * passes to reach the replace fixpoint for any fixture word (each
+    * pass merges at least one remaining pair).
     */
   val BpeReplacePasses = 8
 
@@ -1605,10 +1611,18 @@ object CurationQueries {
     * Merge application semantics (IDENTICAL in both engines by
     * construction): symbols live in a space-separated padded string
     * `' a b c '`; a merge replaces `' l r '` with `' lr '`, re-applied
-    * [[BpeReplacePasses]] times — the fixpoint is exactly the
-    * non-overlapping left-to-right merge standard BPE performs (each
-    * pass consumes the separator a following overlap needs, so `a a a`
-    * merges once, `a b a b` merges twice).
+    * [[BpeReplacePasses]] times to its fixpoint. For alternating or
+    * distinct symbols this equals standard left-to-right BPE (`a a a`
+    * merges once, `a b a b` merges twice); for a run of 5+ IDENTICAL
+    * symbols the pass-restarting replace deviates from textbook BPE —
+    * each consumed pair also consumes the separator the next pair
+    * needs, so `a a a a a a` reaches ` aa a aa a `, not ` aa aa aa `
+    * (CurationSpec pins this). Training and encoding share the exact
+    * same semantics in BOTH engines, so the tokenizer is
+    * self-consistent end-to-end; the deviation only matters if the
+    * learned merges were exported to a textbook-BPE encoder, and the
+    * fixture vocabulary (max 8-char words, no 5+ same-letter runs)
+    * never exercises it.
     *
     * Scale: training state is the WORD-frequency table (Zipf-bounded,
     * ≪ corpus — the standard BPE trick), rebuilt once from one corpus

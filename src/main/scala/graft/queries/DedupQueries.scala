@@ -297,8 +297,7 @@ object DedupQueries {
       .select(
         col("doc_id"),
         sigUdf(col("text")).as("sig"),
-        (expr(
-          "cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 4), 16, 10) as long)")
+        (expr(OracleHash.bucketExpr("cast(doc_id as string)"))
           % 5 === 0).as("arrival"))
       .persist()
     val idxBands = all
@@ -338,7 +337,7 @@ object DedupQueries {
   def incrementalDedupSql(minSim: Double = 0.7): String =
     s"""WITH $sigSql, split AS (
          SELECT doc_id, sig,
-                CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                ${OracleHash.bucketSql("CAST(doc_id AS VARCHAR)")}
                   % 5 = 0 AS arrival
          FROM sigs
        ), banded AS (

@@ -16,16 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object MiningQueries {
 
-  /** The repo-wide deterministic hash convention (see
-    * CurationQueries.hashSplit): first 16 bits of md5 over the UTF-8
-    * bytes — identical in Spark and DuckDB, so fold/bucket assignment
-    * is oracle-exact.
+  /** Item-catalog size the [[negativeSamplingSql]] static oracle is
+    * derived for (distinct p_brand across all shipped scale factors);
+    * [[negativeSampling]] fails closed if the data disagrees.
     */
-  private def md5Bucket(c: String, mod: Int): String =
-    s"cast(conv(substring(md5(cast($c as binary)), 1, 4), 16, 10) as long) % $mod"
+  val NegCatalogSize: Int = 25
 
-  private def md5BucketSql(c: String, mod: Int): String =
-    s"CAST(concat('0x', substr(md5($c), 1, 4)) AS BIGINT) % $mod"
+  /** The repo-wide deterministic hash convention — see [[OracleHash]]. */
+  private def md5Bucket(c: String, mod: Int): String = OracleHash.bucketExpr(c, mod)
+
+  private def md5BucketSql(c: String, mod: Int): String = OracleHash.bucketSql(c, mod)
 
   // --------------------------------------------------------------------
   // q_assoc_rules — market-basket association rules (pairwise Apriori)
@@ -798,13 +798,24 @@ object MiningQueries {
         .withColumn(
           "idx",
           row_number().over(Window.orderBy(col("p_brand"))).cast("long") - 1))
+    // The hash modulus is the DECLARED catalog size, not a runtime
+    // count: [[negativeSamplingSql]] is a static oracle string that
+    // must use the same literal (the repo's deriveDataOracles path
+    // exists for data-dependent constants; a silently data-dependent
+    // modulus inside a static oracle would mis-assign candidates on
+    // any catalog of a different size). Fail closed if the data drifts.
     val nItems = catalog.count()
+    require(
+      nItems == NegCatalogSize,
+      s"negativeSampling: catalog has $nItems items but the static oracle is " +
+        s"derived for $NegCatalogSize — regenerate the oracle (or move it to " +
+        "deriveDataOracles) before trusting results on this data")
     val cand = pos
       .select(col("custkey")).distinct()
       .select(col("custkey"), explode(sequence(lit(0), lit(k - 1))).as("slot"))
       .withColumn(
         "idx",
-        expr(s"${md5Bucket("concat(cast(custkey as string), ':', cast(slot as string))", nItems.toInt)}"))
+        expr(s"${md5Bucket("concat(cast(custkey as string), ':', cast(slot as string))", NegCatalogSize)}"))
       .join(catalog, "idx")
       .select(col("custkey"), col("slot"), col("p_brand").as("item"))
     cand
@@ -818,7 +829,9 @@ object MiningQueries {
   }
 
   val negativeSamplingSql: String = {
-    val idx = md5BucketSql("concat(CAST(u.custkey AS VARCHAR), ':', CAST(r.slot AS VARCHAR))", 25)
+    val idx = md5BucketSql(
+      "concat(CAST(u.custkey AS VARCHAR), ':', CAST(r.slot AS VARCHAR))",
+      NegCatalogSize)
     s"""WITH pos AS (
          SELECT DISTINCT o_custkey AS custkey, p_brand AS item
          FROM orders
@@ -869,7 +882,11 @@ object MiningQueries {
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"))
       .withColumn(
         "bin",
-        least(lit(nBins - 1), expr("cents div 5000")).cast("int"))
+        // greatest(0, ·) clamp (the driftPsi convention): without it a
+        // negative amount diverges across engines — Spark `div`
+        // truncates toward zero (bin 0) while DuckDB `//` floors
+        // (bin −1); clamped, both land in bin 0
+        least(lit(nBins - 1), greatest(lit(0L), expr("cents div 5000"))).cast("int"))
     val tot = ev.agg(count(lit(1)).as("n_total"))
     ev.groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"), sum(col("label")).as("n_pos"))
@@ -892,7 +909,7 @@ object MiningQueries {
                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
          FROM events
        ), b AS (
-         SELECT least(9, cents // 5000) AS bin, count(*) AS n,
+         SELECT least(9, greatest(0, cents // 5000)) AS bin, count(*) AS n,
                 CAST(sum(cents) AS BIGINT) AS sc,
                 CAST(sum(label) AS BIGINT) AS n_pos
          FROM ev GROUP BY 1

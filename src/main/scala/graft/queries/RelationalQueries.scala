@@ -2056,8 +2056,7 @@ object RelationalQueries {
     * space; the variant key is a pure map expression.
     */
   def abTtest(s: SparkSession, dir: String): DataFrame = {
-    val variant = expr(
-      "cast(conv(substring(md5(cast(cast(user_id as string) as binary)), 1, 4), 16, 10) as long) % 2")
+    val variant = expr(OracleHash.bucketExpr("cast(user_id as string)", 2))
     val m = Tables
       .events(s, dir)
       .select(
@@ -2102,10 +2101,9 @@ object RelationalQueries {
   }
 
   val abTtestSql: String =
-    """WITH m AS (
+    s"""WITH m AS (
          SELECT event_type,
-                CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS BIGINT)
-                  % 2 AS variant,
+                ${OracleHash.bucketSql("CAST(user_id AS VARCHAR)", 2)} AS variant,
                 count(*) AS n,
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s1,
                 CAST(sum(CAST(round(value * 100) AS BIGINT)

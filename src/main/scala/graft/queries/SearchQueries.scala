@@ -671,23 +671,13 @@ object SearchQueries {
 
   def ragE2e(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import graft.queries.CurationQueries.{ChunkChars, ChunkStride}
     val embedUdf = udf { (chunk: String) =>
       val h = graft.functions.TextHash.polyHash(chunk)
       Array.tabulate(RagDims)(j =>
         graft.functions.TextHash.permHash(h, 200L + j).toDouble / graft.functions.TextHash.P)
     }
-    val chunks = Tables
-      .documents(s, dir)
-      .filter(length(col("text")) > 0)
-      .select(
-        col("doc_id"),
-        col("text"),
-        explode(sequence(lit(0), length(col("text")) - 1, lit(ChunkStride))).as("off"))
-      .select(
-        col("doc_id"),
-        ((col("off") / ChunkStride).cast("long") + 1).as("idx"),
-        expr(s"substring(text, off + 1, $ChunkChars)").as("chunk"))
+    val chunks = CurationQueries
+      .chunkGrid(s, dir) // the docChunk grid — ONE chunking definition
       .select(col("doc_id"), col("idx"), embedUdf(col("chunk")).as("emb"))
       .persist()
     graft.plans.VecDot.register(s)
@@ -720,14 +710,7 @@ object SearchQueries {
       .map(j =>
         s"CAST(${SketchQueries.permSql("h", s"${200 + j}")} AS DOUBLE) / ${graft.functions.TextHash.P}")
       .mkString("[", ", ", "]")
-    s"""WITH d AS (
-         SELECT doc_id, text FROM documents WHERE length(text) > 0
-       ), ch AS (
-         SELECT doc_id, i // ${CurationQueries.ChunkStride} + 1 AS idx,
-                substring(text, i + 1, ${CurationQueries.ChunkChars}) AS chunk
-         FROM d, unnest(generate_series(0, length(text) - 1,
-                                        ${CurationQueries.ChunkStride})) s(i)
-       ), hs AS (
+    s"""WITH ch AS (${CurationQueries.chunkGridCte}), hs AS (
          SELECT doc_id, idx, $poly AS h FROM ch
        ), embs AS (
          SELECT doc_id, idx, $dims AS emb FROM hs
@@ -748,6 +731,14 @@ object SearchQueries {
 
   /** DuckDB oracle for [[phraseSearch]]: raw substring counting per
     * document (replace-length identity), no index anywhere.
+    *
+    * PRECONDITION (pinned by SearchSpec on both verify fixtures): raw
+    * substring occurrences must be token-aligned — no corpus token may
+    * contain a phrase as a boundary-crossing substring (e.g. a token
+    * 'stable' would make this oracle count a 'table …' occurrence the
+    * positional-index operator correctly rejects). If the corpus ever
+    * changes, the spec fails with a message instead of this oracle
+    * mis-reporting a correct implementation.
     */
   val phraseSearchSql: String = {
     val vals = SearchPhrases.map(p => s"('$p')").mkString(", ")

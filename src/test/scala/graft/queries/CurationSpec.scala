@@ -565,4 +565,21 @@ class CurationSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("bpe padded-replace: identical-symbol runs pin the documented non-textbook fixpoint") {
+    // The pass-restarting replace deviates from textbook left-to-right
+    // BPE for runs of 5+ identical symbols (bpeTrain scaladoc): each
+    // consumed pair also consumes the separator the next pair needs.
+    // Pin the exact fixpoints so a future change to the replace chain
+    // is a conscious semantic decision, not silent drift — both
+    // engines share these semantics, so train/encode stay consistent.
+    def fix(s0: String): String =
+      (1 to CurationQueries.BpeReplacePasses)
+        .foldLeft(s0)((s, _) => s.replace(" a a ", " aa "))
+    assert(fix(" a a ") == " aa ")
+    assert(fix(" a a a ") == " aa a ") // textbook
+    assert(fix(" a a a a ") == " aa aa ") // textbook
+    assert(fix(" a a a a a a ") == " aa a aa a ") // deviation, pinned
+    assert(fix(" a a a a a ") == " aa a aa ") // deviation, pinned
+  }
 }

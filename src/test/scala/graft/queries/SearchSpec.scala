@@ -112,6 +112,35 @@ class SearchSpec extends AnyFunSuite {
     assert(kept > corpus, s"kept mean $kept should exceed corpus mean $corpus")
   }
 
+  test("phrase oracle precondition: substring occurrences are token-aligned on every fixture") {
+    // The DuckDB oracle counts raw substring occurrences (replace-length
+    // trick); the operator counts token-aligned ones. They agree only
+    // while no corpus token has a phrase as a boundary-crossing
+    // substring. Pin that property on both verify-relevant fixtures so
+    // a corpus change fails HERE with a message, not as an inscrutable
+    // oracle mismatch on a correct implementation.
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val texts =
+        graft.Tables.documents(spark, d).select("text").collect().map(_.getString(0))
+      for (phrase <- SearchQueries.SearchPhrases) {
+        val words = phrase.split(" ").toSeq
+        var substr = 0L
+        var aligned = 0L
+        texts.foreach { t =>
+          var i = t.indexOf(phrase)
+          while (i >= 0) { substr += 1; i = t.indexOf(phrase, i + phrase.length) }
+          val toks = t.split(" ", -1).filter(_.nonEmpty).toSeq
+          aligned += toks.indices.count(j =>
+            j + words.length <= toks.length && toks.slice(j, j + words.length) == words)
+        }
+        assert(
+          substr == aligned,
+          s"$d phrase '$phrase': substring=$substr aligned=$aligned — the corpus now " +
+            "has boundary-crossing matches and the replace-length oracle is invalid")
+      }
+    }
+  }
+
   test("phrase search: position-join model on sf0.001 matches brute-force token scan") {
     val got = SearchQueries
       .phraseSearch(spark, dir)
