@@ -10,12 +10,13 @@ import org.apache.spark.sql.types._
   * in batches via `mapPartitions`.
   *
   * The Spark side — schema, binary column handling, per-partition batch
-  * processing, metadata propagation — is real and tested. The actual
-  * media codecs are STUBBED (no image/audio libraries in this
-  * environment): `decodeStub` parses the deterministic 16-byte header
-  * (magic, width, height, format) that the fixture synthesiser writes and
-  * derives "pixel statistics" from the payload bytes. Swapping the stub
-  * body for a real decoder keeps every data-flow contract identical.
+  * processing, metadata propagation — is real and tested. The GRFT
+  * codec here is a STUB (a deterministic 16-byte header + payload
+  * standing in for formats whose libraries this environment lacks);
+  * the formats the JDK itself ships are decoded FOR REAL in
+  * [[MediaCodecQueries]] (PNG via javax.imageio, WAV via
+  * javax.sound.sampled) with the identical data-flow contracts, so
+  * swapping this stub for any other real decoder is mechanical.
   */
 object MultimodalQueries {
 
@@ -427,4 +428,206 @@ object MultimodalQueries {
        SELECT g.doc_id, g.width, g.height, g.out_width, g.out_height, g.format,
               (16 + g.gw*g.gh)::INT AS out_n_bytes, dig.byte_sum, dig.wsum
        FROM g JOIN dig USING (doc_id)"""
+}
+
+/** REAL media codec paths over the formats the JDK itself ships — PNG
+  * via `javax.imageio` and WAV/PCM via `javax.sound.sampled`. These
+  * close the "media codecs are stubbed" gap for the two baseline
+  * formats with ZERO external dependencies: the fixture encodes a
+  * closed-form raster/sample grid through the REAL encoder, the
+  * operator decodes through the REAL decoder in partition batches, and
+  * the DuckDB oracle re-derives the expected statistics from the
+  * closed form alone — so a broken encoder, decoder, color-channel
+  * order, or endianness shows up as a hash mismatch, not a silent
+  * pass-through (PNG and WAV/PCM are lossless, so decode∘encode must
+  * reproduce the grid exactly).
+  */
+object MediaCodecQueries {
+  import graft.Tables
+  import org.apache.spark.sql.functions._
+
+  /** Mod-prime for the position-weighted raster digests (2³¹ − 1). */
+  private val P = 2147483647L
+
+  private[queries] def pngFor(docId: Long): Array[Byte] = {
+    val w = 32 + (docId % 8).toInt * 4
+    val h = 24 + ((docId * 3) % 8).toInt * 4
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((docId + x * 3 + y * 5) % 256).toInt
+        val g = ((docId * 2 + x * 7 + y * 11) % 256).toInt
+        val b = ((docId * 3 + x * 13 + y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", bos), "no PNG writer in this JDK")
+    bos.toByteArray
+  }
+
+  /** PNG decode in partition batches: real `ImageIO` decode of real PNG
+    * bytes; per-image channel sums (exact longs) and a position-weighted
+    * digest over the decoded raster.
+    */
+  def pngDecode(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType),
+      StructField("wdigest", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val synth = udf { (docId: Long) => pngFor(docId) }
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), synth(col("doc_id")).as("png"))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val docId = row.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](1)))
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb, wd) = (0L, 0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              sr += r; sg += g; sb += b
+              wd = (wd + (r + 2L * g + 3L * b) * (1L + x + y.toLong * w)) % P
+              x += 1
+            }
+            y += 1
+          }
+          Row(docId, w, h, sr, sg, sb, wd)
+        }
+      }(enc)
+  }
+
+  /** DuckDB oracle for [[pngDecode]]: the closed-form raster re-derived
+    * with correlated `generate_series` grids — valid because PNG is
+    * lossless, so the decoded raster MUST equal the generated one.
+    */
+  val pngDecodeSql: String =
+    s"""WITH d AS (
+         SELECT doc_id,
+                (32 + (doc_id % 8) * 4)::INT AS w,
+                (24 + ((doc_id * 3) % 8) * 4)::INT AS h
+         FROM documents
+       ), px AS (
+         SELECT doc_id, w, h, x, y,
+                (doc_id + x * 3 + y * 5) % 256 AS r,
+                (doc_id * 2 + x * 7 + y * 11) % 256 AS g,
+                (doc_id * 3 + x * 13 + y) % 256 AS b
+         FROM d,
+              unnest(generate_series(0, w - 1)) gx(x),
+              unnest(generate_series(0, h - 1)) gy(y)
+       )
+       SELECT doc_id, max(w) AS width, max(h) AS height,
+              CAST(sum(r) AS BIGINT) AS sum_r,
+              CAST(sum(g) AS BIGINT) AS sum_g,
+              CAST(sum(b) AS BIGINT) AS sum_b,
+              CAST(sum((r + 2 * g + 3 * b) * (1 + x + y * w)) % $P AS BIGINT) AS wdigest
+       FROM px GROUP BY 1"""
+
+  private val WavSamples = 256
+  private val WavRate = 8000f
+
+  private[queries] def wavFor(docId: Long): Array[Byte] = {
+    val pcm = new Array[Byte](WavSamples * 2)
+    var i = 0
+    while (i < WavSamples) {
+      val v = (((docId * 37 + i.toLong * 91) % 65536) - 32768).toShort
+      pcm(2 * i) = (v & 0xff).toByte // little-endian
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(WavRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, WavSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** WAV decode in partition batches: real `AudioSystem` container parse
+    * of real WAVE bytes; per-clip exact sample statistics (sum, min,
+    * max, zero crossings).
+    */
+  def wavDecode(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_samples", LongType),
+      StructField("sum_samples", LongType),
+      StructField("min_sample", IntegerType),
+      StructField("max_sample", IntegerType),
+      StructField("zero_crossings", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val synth = udf { (docId: Long) => wavFor(docId) }
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), synth(col("doc_id")).as("wav"))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val docId = row.getLong(0)
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](1)))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+            s"unexpected decoded format $fmt")
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          var (sum, zc) = (0L, 0L)
+          var (mn, mx) = (Int.MaxValue, Int.MinValue)
+          var prev = 0
+          var i = 0
+          while (i < n) {
+            val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            if (i > 0 && ((v >= 0) != (prev >= 0))) zc += 1
+            prev = v
+            i += 1
+          }
+          Row(docId, n.toLong, sum, mn, mx, zc)
+        }
+      }(enc)
+  }
+
+  /** DuckDB oracle for [[wavDecode]]: the closed-form PCM samples
+    * re-derived; zero crossings via a per-doc lag window over the
+    * bounded 256-sample grid.
+    */
+  val wavDecodeSql: String =
+    s"""WITH s AS (
+         SELECT doc_id, i,
+                ((doc_id * 37 + i * 91) % 65536) - 32768 AS v
+         FROM documents, unnest(generate_series(0, ${WavSamples - 1})) g(i)
+       ), f AS (
+         SELECT doc_id, i, v,
+                lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+         FROM s
+       )
+       SELECT doc_id,
+              count(*) AS n_samples,
+              CAST(sum(v) AS BIGINT) AS sum_samples,
+              CAST(min(v) AS INT) AS min_sample,
+              CAST(max(v) AS INT) AS max_sample,
+              CAST(sum(CASE WHEN pv IS NOT NULL
+                             AND ((v >= 0) <> (pv >= 0)) THEN 1 ELSE 0 END) AS BIGINT)
+                AS zero_crossings
+       FROM f GROUP BY 1"""
 }
