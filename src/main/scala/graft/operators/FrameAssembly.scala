@@ -52,12 +52,15 @@ object FrameAssembly {
     dev2
       .groupBy(keyCols: _*)
       .agg(
+        // vetoFlags rides LAST in the sorted struct so the
+        // smallest-payload-wins order is unchanged except between
+        // payload-identical duplicates (where either choice is lawful)
         sort_array(collect_list(struct(
           col("digitizerId"),
           col("time"),
           col("voltage"),
-          col("channel")))).as("per_dig_all"),
-        expr("bit_or(metadata.vetoFlags)").as("vetoFlags"))
+          col("channel"),
+          col("metadata.vetoFlags").as("vetoFlags")))).as("per_dig_all"))
       // duplicate-digitiser rejection (cache.rs:71-74): keep the first
       // entry of each id in the sorted array
       .withColumn(
@@ -68,6 +71,13 @@ object FrameAssembly {
             i === lit(0) ||
               element_at(col("per_dig_all"), i).getField("digitizerId") =!=
                 x.getField("digitizerId")))
+      // veto OR over the ACCEPTED contributions only — a rejected
+      // duplicate's flags must not leak into the assembled frame (the
+      // reference rejects the whole message before its flags are read,
+      // and the streaming twins OR per accepted contribution)
+      .withColumn(
+        "vetoFlags",
+        expr("aggregate(per_dig, 0, (a, x) -> a | x.vetoFlags)"))
       .select(
         struct(
           col("timestampNs"),

@@ -49,7 +49,8 @@ object FrameAssemblyStream {
   final case class FrameState(
       contributions: Map[Int, (Array[Long], Array[Int], Array[Long])],
       vetoFlags: Int,
-      dispatched: Boolean)
+      dispatched: Boolean,
+      firstSeenMs: Long = 0L)
 
   def assemble(
       dev2: Dataset[EventListMessage],
@@ -91,14 +92,27 @@ object FrameAssemblyStream {
             // TTL expiry: dispatch incomplete frame (or clear tombstone)
             if (st.dispatched) Iterator.empty else Iterator.single(emit(key, st))
           } else {
-            var st = state.getOption.getOrElse(FrameState(Map.empty, 0, dispatched = false))
+            var st = state.getOption.getOrElse(
+              FrameState(
+                Map.empty,
+                0,
+                dispatched = false,
+                firstSeenMs = System.currentTimeMillis()))
+            // Spark CLEARS the timeout on every invocation, so each
+            // re-arm must use the REMAINING time from first sight —
+            // re-arming the full ttlMs would make the flush
+            // TTL-from-LAST-message: contributions (or redeliveries)
+            // arriving faster than the TTL would defer an incomplete
+            // frame's dispatch indefinitely, diverging from the
+            // reference (partial.rs:30-31) and the TWS twin.
+            def remainingTtl: Long =
+              math.max(1L, st.firstSeenMs + ttlMs - System.currentTimeMillis())
             if (st.dispatched) {
-              // late message after dispatch → reject (cache.rs:55-63).
-              // Spark clears the timeout on every invocation of this
-              // function, so the tombstone's TTL must be RE-armed here or
-              // it would never expire (permanent state-store leak).
+              // late message after dispatch → reject (cache.rs:55-63);
+              // the tombstone's TTL must be re-armed or it would never
+              // expire (permanent state-store leak)
               state.update(st)
-              state.setTimeoutDuration(ttlMs)
+              state.setTimeoutDuration(remainingTtl)
               Iterator.empty
             } else {
               msgs.foreach { m =>
@@ -111,13 +125,17 @@ object FrameAssemblyStream {
               }
               if (st.contributions.keys.toSeq.sorted == expected) {
                 val out = emit(key, st)
-                // tombstone absorbs late repeats for one more TTL
-                state.update(st.copy(dispatched = true))
+                // tombstone absorbs late repeats for one more FULL TTL
+                // from dispatch (reset the clock: the absorption window
+                // is its own lifetime, not the frame's remainder)
+                state.update(st.copy(
+                  dispatched = true,
+                  firstSeenMs = System.currentTimeMillis()))
                 state.setTimeoutDuration(ttlMs)
                 Iterator.single(out)
               } else {
                 state.update(st)
-                state.setTimeoutDuration(ttlMs)
+                state.setTimeoutDuration(remainingTtl)
                 Iterator.empty
               }
             }

@@ -87,6 +87,20 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
     */
   private val moveLock = new Object
 
+  /** Spark writes partition directories with Hive path escaping
+    * (`run_name=CAL:2026` → `run_name=CAL%3A2026`), so every path this
+    * sink builds from a RAW catalog run name must escape the same way —
+    * and names read back from directories must unescape — or any run
+    * name containing an escapable character (`:`, `/`, space, …)
+    * breaks finalization, resume, and the stop markers. Same codec
+    * Spark uses, so the mapping can never drift.
+    */
+  private def escName(runName: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(runName)
+
+  private def unescName(dirName: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(dirName)
+
   /** Per-attempt compaction scratch naming (ADVICE r5): each rewrite
     * works in `.compact_tmp-<n>` and registers the path here while in
     * flight, so [[recoverInterruptedCompaction]] — which any archiver
@@ -179,9 +193,13 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
           .parquet(eventsDir.toString)
           .filter(col("batch_id") < beforeBatchId &&
             col("run_name").isin(runKeys.map(_._1).toSeq: _*))
-          // partition-column inference types small values as INT — cast
-          // so getLong never hits a ClassCastException on read-back
-          .groupBy(col("run_name"), col("run_start_ns").cast("long").as("run_start_ns"))
+          // partition-column inference types small values as INT (and a
+          // numeric-looking run name as INT too) — cast BOTH partition
+          // columns so getString/getLong never hit a ClassCastException
+          // on read-back, which would crash-loop recovery
+          .groupBy(
+            col("run_name").cast("string").as("run_name"),
+            col("run_start_ns").cast("long").as("run_start_ns"))
           .count()
           .collect()
           .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
@@ -201,7 +219,17 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
     */
   def writeBatch(assignedFrames: DataFrame, batchId: Long): Unit = {
     val spark = assignedFrames.sparkSession
+    // try/finally like writeLogBatch: a transient write failure must not
+    // leave this batch's cache pinned across the engine's replay
     val cached = assignedFrames.persist()
+    try writeBatchCached(spark, cached, batchId)
+    finally cached.unpersist()
+  }
+
+  private def writeBatchCached(
+      spark: SparkSession,
+      cached: DataFrame,
+      batchId: Long): Unit = {
     val batchCounts: Map[(String, Long), Long] = cached
       .groupBy(col("run_name"), col("run_start_ns"))
       .agg(sum(size(col("time")).cast("long")).as("n"))
@@ -211,7 +239,7 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
     // empty micro-batch (the lifecycle job's finalization poll): nothing
     // to write, and dynamic overwrite of zero partitions is a no-op —
     // skip the write jobs entirely
-    if (batchCounts.isEmpty) { cached.unpersist(); return }
+    if (batchCounts.isEmpty) return
     val newRuns = batchCounts.keySet.diff(eventBase.keySet)
     if (newRuns.nonEmpty) {
       val onDisk = onDiskEventCounts(spark, newRuns, batchId)
@@ -254,7 +282,6 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
       .partitionBy("run_name", "run_start_ns", "batch_id")
       .parquet(local.resolve("periods").toString)
     batchCounts.foreach { case (r, n) => eventBase(r) = eventBase(r) + n }
-    cached.unpersist()
   }
 
   /** Write one micro-batch of run-assigned, per-sample-expanded log rows
@@ -325,12 +352,12 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
       case (runName, startNs, Some(untilNs)) if untilNs + lingerMs * 1000000L < nowNs =>
         finalizedGens += ((runName, startNs))
         tables.foreach { table =>
-          val parent = local.resolve(table).resolve(s"run_name=$runName")
+          val parent = local.resolve(table).resolve(s"run_name=${escName(runName)}")
           val src = parent.resolve(s"run_start_ns=$startNs")
           if (Files.exists(src)) {
             val dst = completed
               .resolve(table)
-              .resolve(s"run_name=$runName")
+              .resolve(s"run_name=${escName(runName)}")
               .resolve(s"run_start_ns=$startNs")
             Files.createDirectories(dst.getParent)
             if (!Files.exists(dst)) Files.move(src, dst)
@@ -340,7 +367,7 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
             if (listChildren(parent).isEmpty && Files.exists(parent)) Files.delete(parent)
           }
         }
-        Files.deleteIfExists(runsMeta.resolve(s"$runName@$startNs.stop"))
+        Files.deleteIfExists(runsMeta.resolve(s"${escName(runName)}@$startNs.stop"))
         eventBase.remove((runName, startNs))
         (runName, startNs)
     }
@@ -443,7 +470,7 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
       listChildren(completed.resolve(table))
         .filter(_.getFileName.toString.startsWith("run_name="))
         .foreach { nameDir =>
-          val name = nameDir.getFileName.toString.stripPrefix("run_name=")
+          val name = unescName(nameDir.getFileName.toString.stripPrefix("run_name="))
           listChildren(nameDir)
             .filter(_.getFileName.toString.startsWith("run_start_ns="))
             .foreach { genDir =>
@@ -462,6 +489,13 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
                           .Try(d.getFileName.toString.stripPrefix("batch_id=").toLong)
                           .toOption)
                       .max
+                    // FILE-level pre-image, taken before the rewrite
+                    // reads: finalizeRuns' mergeMove can add files INTO
+                    // an existing batch_id dir without changing any dir
+                    // names, so a dir-name snapshot would wave through a
+                    // swap that parks (then deletes) rows the rewrite
+                    // never read
+                    val snapshot = batchContentSnapshot(genDir)
                     val df = spark.read.parquet(genDir.toString)
                     val rows = df.count()
                     val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
@@ -482,7 +516,6 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
                         .write
                         .mode(SaveMode.Overwrite)
                         .parquet(tmp.toString)
-                      val snapshot = batchDirs.map(_.getFileName.toString).toSet
                       moveLock.synchronized {
                         // the archiver may have moved the generation away
                         // while the rewrite ran — skip, never resurrect
@@ -495,7 +528,8 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
                           // under this same lock) — the rewrite didn't see
                           // it, so parking it would destroy its rows.
                           // Abort the swap; the next pass re-reads.
-                          if (current.map(_.getFileName.toString).toSet != snapshot) {
+                          val _ = current // batch dirs re-listed under the lock
+                          if (batchContentSnapshot(genDir) != snapshot) {
                             deleteRecursively(tmp)
                             false
                           } else {
@@ -611,11 +645,41 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
     * linger window would resume the stopped generation as open forever.
     * Idempotent; removed when the generation finalizes.
     */
-  def markStopped(runName: String, startNs: Long, stopNs: Long): Unit = {
-    Files.createDirectories(runsMeta)
-    val f = runsMeta.resolve(s"$runName@$startNs.stop")
-    if (!Files.exists(f)) Files.writeString(f, stopNs.toString)
-  }
+  def markStopped(runName: String, startNs: Long, stopNs: Long): Unit =
+    moveLock.synchronized {
+      // under moveLock, and skipped once the generation finalized: a
+      // late stop redelivery racing (or trailing) finalizeRuns would
+      // otherwise recreate the marker AFTER finalize deleted it, and
+      // with the generation gone from local/ nothing ever deletes the
+      // orphan again — one leaked runs_meta file per redelivery
+      if (finalizedGens.contains((runName, startNs))) return
+      Files.createDirectories(runsMeta)
+      // escaped name: a raw name containing '/' would resolve outside
+      // runs_meta and throw inside the control query's foreachBatch
+      val f = runsMeta.resolve(s"${escName(runName)}@$startNs.stop")
+      if (!Files.exists(f)) Files.writeString(f, stopNs.toString)
+    }
+
+  /** Every regular file under the generation's batch_id dirs, as
+    * genDir-relative paths — the compaction pre-image the swap guard
+    * compares (file-level, because mergeMove can change CONTENT without
+    * changing any directory name).
+    */
+  private def batchContentSnapshot(genDir: Path): Set[String] =
+    listChildren(genDir)
+      .filter(_.getFileName.toString.startsWith("batch_id="))
+      .flatMap { d =>
+        val stream = Files.walk(d)
+        try
+          stream
+            .iterator()
+            .asScala
+            .filter(Files.isRegularFile(_))
+            .map(f => genDir.relativize(f).toString)
+            .toList
+        finally stream.close()
+      }
+      .toSet
 
   private def mergeMove(src: Path, dst: Path): Unit = {
     listChildren(src).foreach { child =>
@@ -649,7 +713,7 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
         listChildren(local.resolve(table))
           .filter(_.getFileName.toString.startsWith("run_name="))
           .flatMap { nameDir =>
-            val name = nameDir.getFileName.toString.stripPrefix("run_name=")
+            val name = unescName(nameDir.getFileName.toString.stripPrefix("run_name="))
             listChildren(nameDir).flatMap { g =>
               val dir = g.getFileName.toString
               if (dir.startsWith("run_start_ns="))
@@ -661,7 +725,7 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
       .distinct
     gens
       .map { case (name, start) =>
-        val marker = runsMeta.resolve(s"$name@$start.stop")
+        val marker = runsMeta.resolve(s"${escName(name)}@$start.stop")
         val stop =
           if (Files.exists(marker))
             scala.util.Try(Files.readString(marker).trim.toLong).toOption

@@ -175,7 +175,6 @@ object PipelineJobs {
       triggerMs: Long = 100L): StreamingQuery =
     logStream(
       logs.toDF()
-        .withColumn("sourceName", col("name"))
         .withColumn("timestampNs", col("packetTimestampNs")),
       "selog",
       LogTables.selogTable,

@@ -62,12 +62,23 @@ object RunStream {
           val out = scala.collection.mutable.ListBuffer.empty[RunInterval]
           def interval(s: RunState): RunInterval =
             RunInterval(runName, s.startMs * 1000000L, s.stopMs.map(_ * 1000000L))
-          // "stop NOW" (timeMs == 0) means "after everything already
-          // ingested" — sort it to the END of the batch, not before the
-          // very start it is meant to close
+          // "stop NOW" (timeMs == 0) means "close whatever was open when
+          // it ARRIVED". Its batch position: the ingest stamp when the
+          // source provided one (epoch ms — the same domain as pl72
+          // start times, so the sort interleaves them faithfully: a
+          // stop-NOW followed by a same-batch restart closes the OLD
+          // generation, not the fresh one); only an UNstamped stop-NOW
+          // falls back to end-of-batch ("after everything already
+          // ingested" — the coarse approximation, safe when no restart
+          // shares the batch).
           msgs.toSeq
-            .sortBy(m =>
-              (if (m.kind == "stop" && m.timeMs == 0L) Long.MaxValue else m.timeMs, m.kind))
+            .sortBy { m =>
+              val pos =
+                if (m.kind == "stop" && m.timeMs == 0L)
+                  if (m.ingestTimeMs != 0L) m.ingestTimeMs else Long.MaxValue
+                else m.timeMs
+              (pos, m.kind)
+            }
             .foreach { m =>
             (m.kind, st) match {
               case ("start", None) =>

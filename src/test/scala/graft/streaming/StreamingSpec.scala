@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 /** Streaming semantics locked to the reference's cache tests
   * (`digitiser-aggregator/src/frame/cache.rs:150-387`): early dispatch on
@@ -663,6 +663,106 @@ class StreamingSpec extends AnyFunSuite {
     assert(frames.map(_.getAs[Long]("event_index")).toSeq === Seq(0L, 2L),
       "batch 1 must continue from batch 0's on-disk count")
     assert(sink2.resumeRunGenerations() === Seq(("run_small", smallStart, None)))
+  }
+
+  test("sink recovery tolerates a numeric run name (partition inference types it as INT)") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("nexus_numname").toString
+    val sink1 = new NexusSink(outDir)
+    val aev2 = Seq(
+      AssembledFrame(meta(0), Array(5L, 6L), Array(100, 200), Array(0L, 1L), true, Array(0))).toDS()
+    // a run named like a number: partition-column inference reads the
+    // run_name dir back as INT — recovery must cast to string, not
+    // ClassCastException-crash-loop the replay
+    val assigned = aev2
+      .withColumn("run_name", lit("20260814"))
+      .withColumn("run_start_ns", lit(1700000000000000000L))
+    sink1.writeBatch(assigned, batchId = 0L)
+    val sink2 = new NexusSink(outDir)
+    sink2.writeBatch(assigned, batchId = 1L)
+    val frames = spark.read.parquet(s"$outDir/local/frames")
+      .orderBy("batch_id").collect()
+    assert(frames.map(_.getAs[Long]("event_index")).toSeq === Seq(0L, 2L))
+    assert(sink2.resumeRunGenerations().map(_._1) === Seq("20260814"))
+  }
+
+  test("run names with Hive-escapable characters survive write -> stop -> finalize") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("nexus_escname").toString
+    val sink = new NexusSink(outDir)
+    val name = "CAL:2026 A" // ':' and ' ' both Hive-escape in partition dirs
+    val startNs = 1700000000000000000L
+    val aev2 = Seq(
+      AssembledFrame(meta(0), Array(5L), Array(100), Array(0L), true, Array(0))).toDS()
+    val assigned = aev2
+      .withColumn("run_name", lit(name))
+      .withColumn("run_start_ns", lit(startNs))
+    sink.writeBatch(assigned, batchId = 0L)
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(name)
+    assert(Files.exists(Paths.get(outDir, "local", "events", s"run_name=$esc")),
+      "Spark writes the escaped partition dir")
+    // stop marker + resume must round-trip the RAW name through escaping
+    sink.markStopped(name, startNs, startNs + 1000000L)
+    assert(sink.resumeRunGenerations() ===
+      Seq((name, startNs, Some(startNs + 1000000L))))
+    // finalize must find (and move) the ESCAPED dirs from the raw name
+    val fin = sink.finalizeRuns(
+      Seq((name, startNs, Some(startNs + 1000000L))),
+      nowNs = startNs + 3600L * 1000000000L)
+    assert(fin === Seq((name, startNs)))
+    assert(!Files.exists(Paths.get(outDir, "local", "events", s"run_name=$esc")),
+      "finalize must move the escaped generation out of local/")
+    assert(Files.exists(Paths.get(outDir, "completed", "events", s"run_name=$esc")))
+    assert(sink.resumeRunGenerations().isEmpty)
+  }
+
+  test("duplicate digitiser with DIFFERENT veto flags: rejected payload's flags stay out") {
+    import spark.implicits._
+    val original = EventListMessage(0, meta(0, veto = 1), Array(1L), Array(10), Array(0L))
+    // redelivery: payload sorts after the original, veto flags differ —
+    // the reference rejects the whole message before reading its flags
+    val dup = EventListMessage(0, meta(0, veto = 8), Array(501L, 999L), Array(10, 1), Array(0L, 7L))
+    val out = graft.operators.FrameAssembly
+      .assemble(Seq(original, dup).toDS(), expectedDigitizers = Seq(0))
+      .collect()
+    assert(out.length == 1)
+    val frame = out(0).getAs[org.apache.spark.sql.Row]("metadata")
+    assert(frame.getAs[Int]("vetoFlags") == 1,
+      "the rejected duplicate's veto flags must not leak into the frame")
+  }
+
+  test("stamped 'stop NOW' before a same-batch restart closes the OLD generation only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ControlMessage]
+    val out = RunStream.runIntervals(input.toDS())
+    val ckpt = Files.createTempDirectory("ckpt_now3").toString
+    val query = out.writeStream
+      .format("memory")
+      .queryName("runs_now3")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.addData(ControlMessage("start", "run_r", 1000L, "muon"))
+      query.processAllAvailable()
+      // operator stops the run (ingest-stamped at 5000) then restarts it
+      // (start time 6000); both land in one catch-up batch. The stop
+      // must close the OLD generation at its arrival position — not the
+      // fresh one the restart opens.
+      input.addData(
+        ControlMessage("stop", "run_r", 0L, "muon", ingestTimeMs = 5000L),
+        ControlMessage("start", "run_r", 6000L, "muon"))
+      query.processAllAvailable()
+      val rows = spark.table("runs_now3").collect()
+        .map(r => (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))
+      val oldGen = rows.filter(_._1 == 1000L * 1000000L)
+      assert(oldGen.contains((1000L * 1000000L, Some(5000L * 1000000L))),
+        s"old generation must close at the stop's ingest stamp, got ${oldGen.toSeq}")
+      val newGen = rows.filter(_._1 == 6000L * 1000000L)
+      assert(newGen.nonEmpty && newGen.forall(_._2.isEmpty),
+        s"the restarted generation must stay OPEN, got ${newGen.toSeq}")
+    } finally query.stop()
   }
 
   test("run lifecycle stream: start and 'stop NOW' in the SAME batch close the run") {
