@@ -141,6 +141,8 @@ object TextHash {
 
   /** Estimated Jaccard similarity from two MinHash signatures. */
   def estimatedJaccard(a: Array[Long], b: Array[Long]): Double = {
+    require(a.length == b.length,
+      s"signatures must share numPerms: ${a.length} vs ${b.length}")
     var eq = 0
     var i = 0
     while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
@@ -152,6 +154,10 @@ object TextHash {
     * candidates (standard banding scheme: P(candidate) = 1-(1-s^r)^b).
     */
   def bandKeys(signature: Array[Long], bands: Int): Array[Long] = {
+    require(bands > 0 && signature.length % bands == 0,
+      s"bands ($bands) must divide the signature length (${signature.length}) — " +
+        "a remainder would silently drop tail entries, and bands beyond the " +
+        "length degenerate every key to a constant (all-pairs candidate blowup)")
     val r = signature.length / bands
     Array.tabulate(bands) { b =>
       var h = (b + 1).toLong

@@ -26,6 +26,12 @@ object TimeFunctions {
   def gpsToEpochNs(t: GpsTime): Long = {
     require(t.nanosecond <= 999 && t.microsecond <= 999 && t.millisecond <= 999,
       s"GpsTime component(s) out of range: $t")
+    // u8 carries 0-255: an out-of-range hour/minute/second must REJECT
+    // like the reference's and_hms_nano_opt (a corrupt buffer rolling
+    // hour=25 into the next day would land the frame under a wrong key
+    // and re-encode to different bytes)
+    require(t.hour <= 23 && t.minute <= 59 && t.second <= 59,
+      s"GpsTime h/m/s out of range: $t")
     val date = LocalDate.ofYearDay(2000 + t.year, t.day)
     val epochSec = date.atStartOfDay(ZoneOffset.UTC).toEpochSecond +
       t.hour * 3600L + t.minute * 60L + t.second

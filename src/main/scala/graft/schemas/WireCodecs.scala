@@ -376,17 +376,32 @@ object WireCodecs {
     * the u64 upper half [2^63, 2^64) is reconstructed via exact halving
     * (doubles there have ulp ≥ 2048, so every representable value is
     * even and x/2 is exact) — keeping encode(decode(bits)) total over
-    * the full u64 range [[unsignedToDouble]] can produce.
+    * the full u64 range [[unsignedToDouble]] can produce. The very top
+    * of each range widens to exactly 2^63 / 2^64 (values within half an
+    * ulp of the boundary round UP); those boundary doubles map back to
+    * the canonical MAX bits, so the sentinel u64::MAX survives a
+    * decode→encode round trip instead of failing the require.
     */
   private def longBits64(member: String, x: Double, signed: Boolean): Long =
     if (signed) {
-      require(
-        x >= Long.MinValue.toDouble && x < Two63 && x.toLong.toDouble == x,
-        s"$x is not a whole number in i64 range for $member")
-      x.toLong
+      // x == 2^63 IS in decode's image: i64 values in [2^63-512, 2^63-1]
+      // round to exactly 2^63 when widened — map the boundary back to
+      // the canonical MAX sentinel so encode stays total over decode's
+      // image (the widening was already lossy above 2^53)
+      if (x == Two63) Long.MaxValue
+      else {
+        require(
+          x >= Long.MinValue.toDouble && x < Two63 && x.toLong.toDouble == x,
+          s"$x is not a whole number in i64 range for $member")
+        x.toLong
+      }
     } else if (x < Two63) {
       require(x >= 0 && x.toLong.toDouble == x, s"$x is not a whole number in u64 range for $member")
       x.toLong
+    } else if (x == Two64) {
+      // same boundary for u64: [2^64-1024, 2^64-1] (u64::MAX included)
+      // widens to exactly 2^64 — canonical MAX bits on the way back
+      -1L
     } else {
       require(x < Two64, s"$x out of u64 range for $member")
       val half = x / 2.0

@@ -167,7 +167,7 @@ object ActionSchedule {
       .repartition(math.max(1, math.min(compiled.frameSpecs.size, spark.sparkContext.defaultParallelism)))
       .map { spec =>
         val rng = new scala.util.Random(
-          TraceGenerator.mixSeed(cfg.seed * 1000003L + spec.frameNumber * 131L + spec.digitizerId))
+          TraceGenerator.frameDigSeed(cfg.seed, spec.frameNumber, spec.digitizerId))
         // the free-running generator draws its veto-flag random BEFORE
         // synthesising channels; burn the same draw so a scheduled frame
         // renders bit-identical voltages to the generator's same

@@ -77,22 +77,28 @@ object TraceGenerator {
       startTimestampNs: Long = 1700000000000000000L,
       seed: Long = 42L)
 
-  /** splitmix64 finaliser — decorrelates sequential seeds. Shared with
-    * [[ActionSchedule.traces]] so scheduled and free-running generation
-    * produce identical traces for the same (seed, frame, digitiser).
+  /** splitmix64 finaliser — decorrelates sequential seeds
+    * ([[graft.functions.TextHash.mix64]], the repo's ONE copy of the
+    * avalanche mix). Shared with [[ActionSchedule.traces]] so scheduled
+    * and free-running generation produce identical traces for the same
+    * (seed, frame, digitiser).
     */
-  private[sources] def mixSeed(x: Long): Long = mix64(x)
+  private[sources] def mixSeed(x: Long): Long = graft.functions.TextHash.mix64(x)
+
+  /** Per-(frame, digitiser) RNG seed — INJECTIVE over the full u8
+    * digitiser range: did ≤ 130 keeps the original `frame·131 + did`
+    * packing bit-for-bit (every existing fixture and oracle is stable),
+    * while did ≥ 131 adds a 2³² term the packing can never reach
+    * (frames stay far below 2²⁵), removing the (frame+1, did−131)
+    * alias that would make two "distinct" sources emit identical
+    * noise/pulses/vetoes.
+    */
+  private[sources] def frameDigSeed(seed: Long, frame: Long, did: Int): Long =
+    mixSeed(seed * 1000003L + frame * 131L + did + (did / 131).toLong * 4294967296L)
 
   /** Channel synthesis, shared with [[ActionSchedule.traces]]. */
   private[sources] def synthChannelFor(rng: Random, cfg: GeneratorConfig): Array[Int] =
     synthChannel(rng, cfg)
-
-  private def mix64(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
 
   /** Deterministically synthesise one channel trace. */
   private def synthChannel(rng: Random, cfg: GeneratorConfig): Array[Int] = {
@@ -130,7 +136,7 @@ object TraceGenerator {
         // per-(frame, digitiser) seed → deterministic under any
         // partitioning; splitmix64-mixed because java.util.Random's first
         // draws are strongly correlated across sequential raw seeds
-        val rng = new Random(mix64(cfg.seed * 1000003L + frame.toLong * 131L + did))
+        val rng = new Random(frameDigSeed(cfg.seed, frame.toLong, did))
         val metadata = FrameMetadata(
           timestampNs = cfg.startTimestampNs + frame.toLong * cfg.frameIntervalNs,
           periodNumber = frame / 100L,

@@ -85,4 +85,15 @@ class TextHashSpec extends AnyFunSuite {
     assert(u >= -1.0 && u < 1.0)
     assert(u === ((8250560606382298838L >>> 11).toDouble / 9007199254740992.0) * 2.0 - 1.0)
   }
+
+  test("bandKeys/estimatedJaccard fail closed on malformed shapes") {
+    val sig = TextHash.minhashSignature(TextHash.shingles("a b c d e", 1), 128)
+    // non-dividing bands would silently drop tail entries; bands beyond
+    // the length degenerate every key to a constant (all-pairs blowup)
+    intercept[IllegalArgumentException](TextHash.bandKeys(sig, 24))
+    intercept[IllegalArgumentException](TextHash.bandKeys(sig, 0))
+    intercept[IllegalArgumentException](TextHash.bandKeys(sig.take(16), 32))
+    intercept[IllegalArgumentException](
+      TextHash.estimatedJaccard(sig, sig.take(64)))
+  }
 }

@@ -295,18 +295,25 @@ class WireCodecsSpec extends AnyFunSuite {
     val d = LogData("pv", 1L, "Double", math.Pi, Array.empty)
     assert(WireCodecs.decodeF144(WireCodecs.encodeF144(d)).value === math.Pi)
 
-    // u64 corners: 2^63 saturation aliasing must FAIL for signed Long but
-    // encode correctly for ULong; the upper u64 half round-trips exactly
+    // u64 corners: 2^63 for signed Long is DECODE'S image of
+    // Long.MaxValue (which widens to exactly 2^63) — it maps back to
+    // the canonical MAX bits, round-tripping to the same boundary
+    // double rather than failing; same for u64::MAX at 2^64. The upper
+    // u64 half below the boundary round-trips exactly.
     val two63 = 9.223372036854776e18
-    intercept[IllegalArgumentException](WireCodecs.encodeF144(
-      LogData("pv", 1L, "Long", two63, Array.empty)))
+    assert(WireCodecs.decodeF144(WireCodecs.encodeF144(
+      LogData("pv", 1L, "Long", two63, Array.empty))).value === two63)
     assert(WireCodecs.decodeF144(WireCodecs.encodeF144(
       LogData("pv", 1L, "ULong", two63, Array.empty))).value === two63)
     val upper = 1.8446744073709550e19 // 2^64 - 2048, representable
     assert(WireCodecs.decodeF144(WireCodecs.encodeF144(
       LogData("pv", 1L, "ULong", upper, Array.empty))).value === upper)
+    assert(WireCodecs.decodeF144(WireCodecs.encodeF144(
+      LogData("pv", 1L, "ULong", 1.8446744073709552e19, Array.empty))).value
+      === 1.8446744073709552e19) // == 2^64, u64::MAX's image
+    // clearly OUT of range still fails closed
     intercept[IllegalArgumentException](WireCodecs.encodeF144(
-      LogData("pv", 1L, "ULong", 1.8446744073709552e19, Array.empty))) // == 2^64
+      LogData("pv", 1L, "ULong", 2.0e19, Array.empty)))
 
     val se = SampleEnvLog(
       name = "se_dev",
@@ -537,6 +544,29 @@ class WireCodecsSpec extends AnyFunSuite {
         assert(back.messageCounter === m.messageCounter)
       }
     }
+  }
+
+  test("u64/i64 top-of-range sentinels survive decode -> encode (boundary rounding)") {
+    // u64::MAX widens to exactly 2^64 (within half an ulp of the
+    // boundary) — the re-encode must map the boundary double back to
+    // the canonical MAX bits, not reject it
+    val maxU64AsDouble = 1.8446744073709552e19
+    val logMax = WireCodecs.encodeF144(
+      LogData("sentinel", 7L, "ULong", maxU64AsDouble, Array.empty))
+    val back = WireCodecs.decodeF144(logMax)
+    assert(back.value == maxU64AsDouble)
+    // i64 boundary: Long.MaxValue.toDouble == 2^63 exactly
+    val maxI64AsDouble = 9.223372036854776e18
+    val logI = WireCodecs.encodeF144(
+      LogData("sentinel", 8L, "Long", maxI64AsDouble, Array.empty))
+    assert(WireCodecs.decodeF144(logI).value == maxI64AsDouble)
+  }
+
+  test("GpsTime with out-of-range h/m/s is rejected, not rolled into the next day") {
+    val bad = graft.functions.GpsTime(26, 100, 25, 0, 0, 0, 0, 0)
+    intercept[IllegalArgumentException](graft.functions.TimeFunctions.gpsToEpochNs(bad))
+    val badMin = graft.functions.GpsTime(26, 100, 1, 61, 0, 0, 0, 0)
+    intercept[IllegalArgumentException](graft.functions.TimeFunctions.gpsToEpochNs(badMin))
   }
 
   test("encode fails closed on out-of-range values (no silent truncation)") {

@@ -60,4 +60,19 @@ class TraceGeneratorSpec extends AnyFunSuite {
     assert(v.forall(x => x >= 0 && x <= 65535))
     assert(v.exists(_ == 65535), "clamp must actually engage at this amplitude")
   }
+
+  test("per-(frame, digitiser) seeds are injective over the full u8 id range") {
+    // the old packing frame*131 + did aliased (f, 131) with (f+1, 0):
+    // two "distinct" sources emitted bit-identical noise/pulses/vetoes
+    val seeds = for {
+      f <- 0L until 8L
+      d <- 0 until 256
+    } yield TraceGenerator.frameDigSeed(42L, f, d)
+    assert(seeds.distinct.length == seeds.length,
+      "seed collision across (frame, digitiser) pairs")
+    // and did <= 130 stays bit-identical to the original packing, so
+    // every existing fixture/oracle is unchanged
+    assert(TraceGenerator.frameDigSeed(42L, 3L, 7) ==
+      TraceGenerator.mixSeed(42L * 1000003L + 3L * 131L + 7L))
+  }
 }
