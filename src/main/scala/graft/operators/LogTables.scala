@@ -89,7 +89,11 @@ object LogTables {
         posexplode(col("values")).as(Seq("sample_idx", "value")))
       .withColumn(
         "time_ns",
-        when(size(col("timestamps")) > 0, expr("timestamps[sample_idx]"))
+        // per-SAMPLE guard, not just non-empty: under Spark 4's default
+        // ANSI mode `timestamps[sample_idx]` THROWS on a truncated
+        // timestamps vector (shorter than values) and would kill the
+        // whole batch — short rows fall back to the delta grid instead
+        when(size(col("timestamps")) > col("sample_idx"), expr("timestamps[sample_idx]"))
           .otherwise(col("packetTimestampNs") +
             (col("sample_idx").cast("double") * col("timeDelta")).cast("long")))
       .select(

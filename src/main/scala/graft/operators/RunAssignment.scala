@@ -114,10 +114,16 @@ object RunAssignment {
     * most cap+1 rows and abort with deployment advice when exceeded.
     * Overridable per-deployment via `graft.runAssignment.maxRuns`.
     * Per-row assignment cost is O(|runs|) (linear `filter(...)[0]`) —
-    * fine at the thousands this cap admits.
+    * fine at the thousands this cap admits, which is why the default IS
+    * thousands: far beyond that, the inlined literal array degrades
+    * LONG before the driver OOMs (a 50k-struct literal is ~500k
+    * expression nodes to fold and a 50k-iteration lambda per fact row),
+    * so a permissive cap would "pass" inputs the mechanism can no
+    * longer serve. Genuinely larger dimensions belong in a broadcast
+    * range join, not a bigger cap.
     */
   private[graft] def maxCollectedRuns: Int =
-    sys.props.get("graft.runAssignment.maxRuns").map(_.toInt).getOrElse(100000)
+    sys.props.get("graft.runAssignment.maxRuns").map(_.toInt).getOrElse(5000)
 
   private def firstMatchAssign(
       input: DataFrame,

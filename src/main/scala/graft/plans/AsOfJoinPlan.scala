@@ -199,17 +199,26 @@ object AsOfJoin {
     // ambiguity is an error, as DataFrame.col would make it: resolution
     // below is find-by-name, so internally duplicated names (legal after
     // a Spark join) must not silently bind to the first occurrence
+    val spark = left.sparkSession
+    // honor the session's name-resolution mode (case-insensitive by
+    // default): a case-sensitive duplicate/disjointness check would
+    // reject 'Ts' for leftTs="ts" yet wave through left 'id' vs right
+    // 'ID' — producing exactly the downstream ambiguity the require
+    // exists to prevent
+    val resolver = spark.sessionState.conf.resolver
+    def canon(names: Seq[String]): Seq[String] =
+      if (spark.sessionState.conf.caseSensitiveAnalysis) names
+      else names.map(_.toLowerCase(java.util.Locale.ROOT))
     require(
-      left.columns.distinct.length == left.columns.length,
+      canon(left.columns).distinct.length == left.columns.length,
       s"left side has duplicate column names: ${left.columns.mkString(", ")}")
     require(
-      right.columns.distinct.length == right.columns.length,
+      canon(right.columns).distinct.length == right.columns.length,
       s"right side has duplicate column names: ${right.columns.mkString(", ")}")
     require(
-      left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      canon(left.columns).toSet.intersect(canon(right.columns).toSet).isEmpty,
       s"as-of join requires disjoint column names; both sides have " +
-        s"${left.columns.toSet.intersect(right.columns.toSet).mkString(", ")}")
-    val spark = left.sparkSession
+        s"${canon(left.columns).toSet.intersect(canon(right.columns).toSet).mkString(", ")}")
     register(spark)
     val lPlan = left.queryExecution.analyzed
     val rAnalyzed = right.queryExecution.analyzed
@@ -217,7 +226,7 @@ object AsOfJoin {
       rAnalyzed.output.map(a => Alias(a, a.name)())
     val rPlan = Project(rAliases, rAnalyzed)
     def attr(out: Seq[Attribute], name: String): Attribute =
-      out.find(_.name == name).getOrElse(
+      out.find(a => resolver(a.name, name)).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not found among ${out.map(_.name).mkString(", ")}"))
     val lk = leftKeys.map(attr(lPlan.output, _))

@@ -48,6 +48,10 @@ object GraphQueries {
         col("doc_id"),
         col("lang"),
         explode(array_distinct(split(col("text"), " ", -1))).as("w"))
+      // empty tokens (leading/trailing/double spaces) are not shared
+      // vocabulary — counting "" as a common word could push a pair
+      // over minCommon (the sibling text queries all filter it)
+      .filter(col("w") =!= "")
     val a = words.select(col("doc_id").as("doc_a"), col("lang"), col("w"))
     val b = words.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("w"))
     a.join(b, Seq("w"))
@@ -57,16 +61,32 @@ object GraphQueries {
       .filter(col("n_common") >= minCommon)
   }
 
+  /** The symmetrized (src, dst) edge list every iterative graph query
+    * walks — ONE construction (and one SQL mirror, [[edgesCteSql]]) so
+    * a change to edge derivation can never desynchronize a query from
+    * its oracle. Persisted: each caller's rounds rescan it (Verify/
+    * Bench clearCache between queries, the repo's session contract).
+    */
+  private def symmetricEdges(s: SparkSession, dir: String, minCommon: Int): DataFrame = {
+    val pairs = similarityPairs(s, dir, minCommon)
+    pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+  }
+
+  /** SQL mirror of [[symmetricEdges]] as a CTE body (follows `pairs`). */
+  private def edgesCteSql: String =
+    """edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION ALL
+                 SELECT doc_b AS src, doc_a AS dst FROM pairs)"""
+
   def pagerank(
       s: SparkSession,
       dir: String,
       iters: Int = 5,
       minCommon: Int = 12): DataFrame = {
-    val pairs = similarityPairs(s, dir, minCommon)
-    val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
+    val edges = symmetricEdges(s, dir, minCommon)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
     val nodes = edges.select(col("src").as("node")).distinct()
     val nn = nodes.agg(count(lit(1)).as("n_nodes"))
@@ -175,11 +195,7 @@ object GraphQueries {
       dir: String,
       iters: Int = 4,
       minCommon: Int = 12): DataFrame = {
-    val pairs = similarityPairs(s, dir, minCommon)
-    val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
+    val edges = symmetricEdges(s, dir, minCommon)
     val nodes = edges.select(col("src").as("node")).distinct()
     var labels = nodes.select(col("node"), col("node").as("label"))
     for (_ <- 1 to iters) {
@@ -214,9 +230,7 @@ object GraphQueries {
            FROM c$k) WHERE rn = 1)"""
     }.mkString(",\n       ")
     s"""WITH ${graphCtesSql(minCommon)},
-       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                 UNION ALL
-                 SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       $edgesCteSql,
        nodes AS (SELECT DISTINCT src AS node FROM edges),
        l0 AS (SELECT node, node AS label FROM nodes),
        $iterCtes,
@@ -242,11 +256,7 @@ object GraphQueries {
     * repo).
     */
   def neighborhood(s: SparkSession, dir: String, minCommon: Int = 12): DataFrame = {
-    val pairs = similarityPairs(s, dir, minCommon)
-    val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
+    val edges = symmetricEdges(s, dir, minCommon)
     // ball(h) = distinct nodes reachable in EXACTLY <= h hops, self excluded
     val r1 = edges.select(col("src").as("node"), col("dst").as("reach")).distinct()
     val r2 = r1
@@ -274,9 +284,7 @@ object GraphQueries {
     */
   def neighborhoodSql(minCommon: Int = 12): String =
     s"""WITH ${graphCtesSql(minCommon)},
-       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                 UNION ALL
-                 SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       $edgesCteSql,
        r1 AS (SELECT DISTINCT src AS node, dst AS reach FROM edges),
        r2 AS (
          SELECT DISTINCT node, reach FROM (
@@ -339,9 +347,7 @@ object GraphQueries {
     */
   def linkPredictionSql(minCommon: Int = 12): String =
     s"""WITH ${graphCtesSql(minCommon)},
-       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                 UNION ALL
-                 SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       $edgesCteSql,
        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
        wedges AS (
          SELECT e1.dst AS z, e1.src AS a, e2.dst AS b
@@ -390,8 +396,10 @@ object GraphQueries {
     */
   private def graphCtesSql(minCommon: Int): String =
     s"""words AS (
-         SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS w
-         FROM documents WHERE doc_id < 80),
+         SELECT doc_id, lang, w FROM (
+           SELECT doc_id, lang,
+                  unnest(list_distinct(string_split(text, ' '))) AS w
+           FROM documents WHERE doc_id < 80) WHERE w <> ''),
        pairs AS (
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM words a JOIN words b
@@ -418,9 +426,7 @@ object GraphQueries {
            GROUP BY e.dst) s ON n.node = s.dst)"""
     }.mkString(",\n       ")
     s"""WITH ${graphCtesSql(minCommon)},
-       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                 UNION ALL
-                 SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       $edgesCteSql,
        deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY 1),
        nodes AS (SELECT DISTINCT src AS node FROM edges),
        nn AS (SELECT count(*) AS n_nodes FROM nodes),
@@ -452,11 +458,7 @@ object GraphQueries {
       k: Int = 3,
       minCommon: Int = 12,
       maxRounds: Int = 12): DataFrame = {
-    val pairs = similarityPairs(s, dir, minCommon).select(col("doc_a"), col("doc_b"))
-    var edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
+    var edges = symmetricEdges(s, dir, minCommon)
     var nEdges = edges.count()
     var rounds = 0
     var converged = nEdges == 0
@@ -481,6 +483,13 @@ object GraphQueries {
       }
       rounds += 1
     }
+    // fail closed like ConnectedComponents: peeling can cascade up to
+    // O(n) rounds on chain-shaped graphs — returning the partially
+    // peeled graph would silently include sub-k nodes, and the
+    // statically unrolled oracle could never catch it
+    require(converged,
+      s"k-core peel did not converge in $maxRounds rounds — raise maxRounds " +
+        "(and regenerate the unrolled oracle) for this graph")
     edges
       .groupBy(col("src").as("doc_id"))
       .agg(count(lit(1)).as("core_degree"))

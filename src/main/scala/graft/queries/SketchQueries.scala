@@ -27,12 +27,24 @@ object SketchQueries {
   private def hllRankExpr(m: Int) =
     expr(s"coalesce(array_min(filter(sequence(0, 25), k -> (shiftright(h div $m, k) & 1) = 1)), 25) + 1")
 
-  /** The HLL estimator over (z, nz) columns: α·m²/Z with the standard
+  /** Flajolet et al.'s bias constant as a function of register count —
+    * hardwiring the m = 64 value (0.709) would bias every non-default
+    * `m` a caller tunes (~5% over at m = 16): α₁₆ = 0.673, α₃₂ = 0.697,
+    * α₆₄ = 0.709, else 0.7213/(1 + 1.079/m).
+    */
+  private[queries] def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _ => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** The HLL estimator over (z, nz) columns: α(m)·m²/Z with the standard
     * small-range linear-counting correction — shared by every register
     * consumer so an estimator correction has one home.
     */
   private def hllEstimate(m: Int, z: org.apache.spark.sql.Column, nz: org.apache.spark.sql.Column) = {
-    val raw = lit(0.709 * m * m) / z
+    val raw = lit(hllAlpha(m) * m * m) / z
     when(
       nz > 0 && raw <= lit(2.5 * m),
       lit(m.toDouble) * log(lit(m.toDouble) / nz.cast("double")))
@@ -41,9 +53,9 @@ object SketchQueries {
 
   /** SQL twin of [[hllEstimate]] for the DuckDB oracles. */
   private[queries] def hllEstCaseSql(m: Int, z: String, nz: String): String =
-    s"""CASE WHEN $nz > 0 AND (${0.709 * m * m}) / $z <= ${2.5 * m}
+    s"""CASE WHEN $nz > 0 AND (${hllAlpha(m) * m * m}) / $z <= ${2.5 * m}
             THEN $m * ln($m / CAST($nz AS DOUBLE))
-            ELSE (${0.709 * m * m}) / $z END"""
+            ELSE (${hllAlpha(m) * m * m}) / $z END"""
 
   /** DuckDB fragment: [[TextHash.polyHash]] of column/binding `w`. */
   private[queries] def polySql(w: String): String =
