@@ -78,7 +78,10 @@ object LogQueries {
         posexplode(col("values")).as(Seq("sample_idx", "value")))
       .withColumn(
         "ts_ns",
-        when(size(col("timestamps")) > 0, expr("timestamps[sample_idx]"))
+        // per-SAMPLE guard like LogTables.selogTable (7bd57b6): under
+        // ANSI mode a truncated timestamps vector would throw on the
+        // subscript; short rows fall back to the delta grid
+        when(size(col("timestamps")) > col("sample_idx"), expr("timestamps[sample_idx]"))
           .otherwise(col("packetTimestampNs") +
             (col("sample_idx").cast("double") * col("timeDelta")).cast("long")))
       // timestamp_location (ecs_se00_data.fbs:5,38-40): under
@@ -291,7 +294,13 @@ object LogQueries {
     val stops = Seq(RunStop("run_1", runStartNs / 1000000L + 4000L)).toDS()
     val runs = graft.operators.RunAssignment.runs(s, starts, stops)
     val assigned = graft.operators.RunAssignment.assignLogs(logs.toDF(), runs)
-    val out = java.nio.file.Files.createTempDirectory("graft_runlog_sink")
+    // per-application scratch dir (the traceFileRoundtrip convention):
+    // a fresh createTempDirectory per invocation leaked one parquet
+    // layout per bench/verify round for the life of the host
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_runlog_sink_${s.sparkContext.applicationId}")
+    graft.streaming.NexusSink.deleteRecursively(out)
     val sink = new graft.streaming.NexusSink(out.toString)
     // the 200-row fixture otherwise fans out over every shuffle partition
     // and pays 32 write tasks for 2 partition dirs — layout-only change

@@ -352,8 +352,21 @@ object VectorQueries {
       nSub: Int = 8,
       k: Int = 16,
       seed: Long = 42L,
-      sampleN: Int = 2000): Array[Array[Array[Double]]] =
+      sampleN: Int = 2000): Array[Array[Array[Double]]] = {
+    requirePackable(nSub, k)
     pqLloyd(boundedSample(s, dir, sampleN), nSub, k, m => seed * 31 + m)
+  }
+
+  /** The nibble-packed code layout (4 bits per subquantizer index, all
+    * subspaces in one LONG) silently corrupts codes beyond k = 16 or
+    * nSub = 16 — fail fast like the WireCodecs range checks instead.
+    */
+  private def requirePackable(nSub: Int, k: Int): Unit =
+    require(
+      k >= 2 && k <= 16 && nSub >= 1 && nSub * 4 <= 64,
+      s"PQ codes pack 4 bits per subspace into one LONG: k must be in [2, 16] " +
+        s"and nSub in [1, 16] (got k=$k, nSub=$nSub) — widen the packing " +
+        "before raising either")
 
   /** The bounded vec_id-ordered training sample every quantizer shares
     * (plans as TakeOrderedAndProject — one narrow pass).
@@ -416,6 +429,7 @@ object VectorQueries {
     * lowest centroid index in both engines.
     */
   def pqCodes(s: SparkSession, dir: String, nSub: Int = 8, k: Int = 16): DataFrame = {
+    requirePackable(nSub, k)
     val books = trainPqCentroids(s, dir, nSub, k)
     val booksB = s.sparkContext.broadcast(books)
     val encode = udf { (emb: Seq[Float]) =>
@@ -972,6 +986,13 @@ object VectorQueries {
       centroids: Array[Array[Double]],
       nQueries: Int = 8,
       k: Int = 10): String = {
+    // the embedded exact-top-k and LSH legs are derived for the default
+    // operating point; a silently half-parameterized oracle (only the
+    // IVF leg honoring the arguments) would "verify" wrong answers —
+    // fail fast until cosineTopKSql/lshAnnSql are parameterized too
+    require(nQueries == 8 && k == 10,
+      s"annRecallSql is derived for (nQueries=8, k=10); got ($nQueries, $k) — " +
+        "parameterize the cosineTopKSql and lshAnnSql legs before widening")
     def one(method: String, approxSql: String): String =
       s"""SELECT '$method' AS method, e.query_id,
                 CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
@@ -1128,6 +1149,9 @@ object VectorQueries {
       centroids: Array[Array[Double]],
       nQueries: Int = 8,
       k: Int = 10): String = {
+    require(nQueries == 8 && k == 10,
+      s"annSweepSql is derived for (nQueries=8, k=10); got ($nQueries, $k) — " +
+        "the exact-top-k leg it intersects against is fixed at that point")
     def one(method: String, param: Int, candSql: String): String =
       s"""SELECT '$method' AS method, CAST($param AS BIGINT) AS param,
                 x.n_candidates, x.n_hit,
@@ -1256,6 +1280,7 @@ object VectorQueries {
       k: Int = 16,
       seed: Long = 42L,
       sampleN: Int = 2000): Array[Array[Array[Double]]] = {
+    requirePackable(nSub, k)
     val residuals = boundedSample(s, dir, sampleN).map { v =>
       val c = cents(nearestCentroid(v, cents))
       Array.tabulate(v.length)(i => v(i) - c(i))
@@ -1293,6 +1318,7 @@ object VectorQueries {
       nProbe: Int = 6,
       nSub: Int = 8,
       seed: Long = 42L): DataFrame = {
+    requirePackable(nSub, k = 16)
     val cents = trainCentroids(s, dir, nLists, seed)
     val books = trainResidualPq(s, dir, cents, nSub)
     val centB = s.sparkContext.broadcast(cents)

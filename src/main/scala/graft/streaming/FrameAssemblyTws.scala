@@ -33,11 +33,17 @@ import org.apache.spark.sql.streaming._
   * or a TTL-flushed partial's — timer fires, the key's state clears
   * entirely. A redelivery arriving after that re-seeds the frame and can
   * eventually emit a SECOND (incomplete) frame with the same
-  * frameNumber. This matches the reference cache exactly: expired frames
-  * are popped (`cache.rs:55-63`), so a sufficiently late push starts a
-  * fresh entry — deduplicating across the expiry horizon requires
-  * unbounded per-frame memory, which neither engine pays. Locked by the
-  * StreamingSpec tombstone test (post-expiry re-seed scenario).
+  * frameNumber. The reference's per-frame cache behaves the same way
+  * (expired frames are popped, `cache.rs:55-63`, so a late push starts
+  * a fresh entry) — but the reference ALSO holds a global
+  * `latest_timestamp_dispatched` monotone guard that rejects anything
+  * at or before the last dispatched frame, which a per-key TWS state
+  * cannot reproduce (cross-key ordering is exactly what keyed state
+  * partitions away). So the re-seed window here is WIDER than the
+  * reference's: a deliberate, test-locked deviation (ADVICE r8), not
+  * exact parity — deduplicating across the expiry horizon would need
+  * unbounded per-frame memory, which neither engine pays. Locked by
+  * the StreamingSpec tombstone test (post-expiry re-seed scenario).
   *
   * Scale: state per in-flight frame only (bounded by TTL × frame rate ×
   * digitiser count), keyed writes through the RocksDB provider

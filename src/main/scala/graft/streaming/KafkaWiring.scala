@@ -52,7 +52,14 @@ object KafkaWiring {
     try {
       Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider")
       true
-    } catch { case _: ClassNotFoundException => false }
+    } catch {
+      // a PRESENT-but-broken connector (missing transitive dependency →
+      // NoClassDefFoundError/LinkageError) must also report unavailable,
+      // or requireKafka's wiring-time deployment advice never fires and
+      // the raw linkage error surfaces mid-query instead
+      case _: ClassNotFoundException => false
+      case _: LinkageError => false
+    }
 
   /** Reader options for [[SourceConfig]] — pure, asserted by
     * KafkaWiringSpec offline.

@@ -634,10 +634,7 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
       else Seq.empty
     }
 
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) listChildren(p).foreach(deleteRecursively)
-    Files.deleteIfExists(p)
-  }
+  private def deleteRecursively(p: Path): Unit = NexusSink.deleteRecursively(p)
 
   /** Persist a generation's stop time beside the data (K6 durability):
     * the stop transition lives in the control checkpoint, which is NOT
@@ -737,6 +734,18 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
 }
 
 object NexusSink {
+
+  /** Recursive delete for scratch/layout dirs — shared with the
+    * fixture queries that stand up a throwaway sink layout.
+    */
+  private[graft] def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val stream = Files.list(p)
+      try stream.iterator().asScala.toSeq.foreach(deleteRecursively)
+      finally stream.close()
+    }
+    Files.deleteIfExists(p)
+  }
 
   /** One generation×table compaction outcome (file counts pre/post). */
   final case class CompactionStat(

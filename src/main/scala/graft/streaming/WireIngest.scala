@@ -26,18 +26,15 @@ import org.apache.spark.sql.functions._
   */
 object WireIngest {
 
-  private def routed[T <: Product](
-      raw: Dataset[Array[Byte]],
-      id: String,
-      observeName: String,
-      decode: Array[Byte] => T)(implicit enc: Encoder[T], pairEnc: Encoder[(T, String)]): Dataset[T] =
-    raw
-      .map { bytes =>
-        if (!WireCodecs.hasIdentifier(bytes, id)) (null.asInstanceOf[T], "foreign")
-        else
-          try (decode(bytes), "ok")
-          catch { case scala.util.control.NonFatal(_) => (null.asInstanceOf[T], "malformed") }
-      }
+  /** The shared drop-taxonomy tail: observe the uniform metric columns
+    * over a (msg, status) stream, then keep only the decoded rows. ONE
+    * definition so the cross-codec metric uniformity monitoring relies
+    * on cannot drift between the router and the control plane.
+    */
+  private def observedOk[T](
+      decoded: Dataset[(T, String)],
+      observeName: String)(implicit enc: Encoder[T]): Dataset[T] =
+    decoded
       .toDF("msg", "status")
       .observe(
         observeName,
@@ -48,6 +45,20 @@ object WireIngest {
       .filter(col("status") === "ok")
       .select("msg.*")
       .as[T]
+
+  private def routed[T <: Product](
+      raw: Dataset[Array[Byte]],
+      id: String,
+      observeName: String,
+      decode: Array[Byte] => T)(implicit enc: Encoder[T], pairEnc: Encoder[(T, String)]): Dataset[T] =
+    observedOk(
+      raw.map { bytes =>
+        if (!WireCodecs.hasIdentifier(bytes, id)) (null.asInstanceOf[T], "foreign")
+        else
+          try (decode(bytes), "ok")
+          catch { case scala.util.control.NonFatal(_) => (null.asInstanceOf[T], "malformed") }
+      },
+      observeName)
 
   /** Route + decode dev2 event-list buffers; drops surface in the
     * `wire_ingest` observed metrics.
@@ -88,17 +99,7 @@ object WireIngest {
       decoded: Dataset[(ControlMessage, String)],
       observeName: String): Dataset[ControlMessage] = {
     implicit val enc = Encoders.product[ControlMessage]
-    decoded
-      .toDF("msg", "status")
-      .observe(
-        observeName,
-        count(lit(1)).as("n_messages"),
-        count(when(col("status") === "ok", 1)).as("n_ok"),
-        count(when(col("status") === "foreign", 1)).as("n_foreign"),
-        count(when(col("status") === "malformed", 1)).as("n_malformed"))
-      .filter(col("status") === "ok")
-      .select("msg.*")
-      .as[ControlMessage]
+    observedOk(decoded, observeName)
   }
 
   /** The control topic (S5): pl72 RunStart and 6s4t RunStop share one
