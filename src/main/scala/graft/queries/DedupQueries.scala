@@ -144,11 +144,13 @@ object DedupQueries {
     */
   val minhashBandVerdictSql: String =
     s"""WITH $sigSql, bands AS (
-         SELECT doc_id, unnest(
-           [list_reduce(list_prepend((b+1)::BIGINT, sig[b*16+1 : b*16+16]),
-                        (acc, v) -> (acc*1000003 + v) % $P) FOR b IN range(8)]) AS band
-         FROM sigs
-       ), mins AS (
+         SELECT DISTINCT doc_id, band FROM (
+           SELECT doc_id, unnest(
+             [list_reduce(list_prepend((b+1)::BIGINT, sig[b*16+1 : b*16+16]),
+                          (acc, v) -> (acc*1000003 + v) % $P) FOR b IN range(8)]) AS band
+           FROM sigs)
+       ), nb AS (SELECT doc_id, count(*) AS n_bands FROM bands GROUP BY 1),
+       mins AS (
          SELECT band, min(doc_id) AS keeper FROM bands GROUP BY band
        ), verdict AS (
          SELECT b.doc_id,
@@ -157,7 +159,8 @@ object DedupQueries {
          FROM bands b JOIN mins m USING (band)
          GROUP BY b.doc_id
        )
-       SELECT doc_id, n_kept_bands, (n_kept_bands = 8) AS keep FROM verdict"""
+       SELECT v.doc_id, v.n_kept_bands, (v.n_kept_bands = nb.n_bands) AS keep
+       FROM verdict v JOIN nb USING (doc_id)"""
 
   /** LSH banding sweep — the S-curve operating menu for MinHash dedup,
     * the dedup sibling of [[VectorQueries.annSweep]]: the same 128-perm

@@ -38,6 +38,10 @@ object StreamingQueries {
     // the shared SparkContext first (a test-order lottery), so carry it
     // explicitly
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // same lottery for the session time zone: microTs's NTZ branch and
+    // every date_trunc/day-window oracle parity assume UTC — carry it
+    // explicitly rather than inherit whatever session built the context
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     // newSession() drops runtime conf — carry the caller's state-store
     // choice across the clone, then apply it (RocksDB when opted in;
     // see Sessions.stateStoreConfigure and SCALE.md §Streaming)
@@ -272,7 +276,7 @@ object StreamingQueries {
     val s = boundedDrainSession(s0)
     s.conf.set(
       "spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      graft.Sessions.RocksDBProvider)
     import s.implicits._
     val raw = s.read.parquet(s"$dir/events.parquet").schema
     val src = s.readStream
@@ -713,7 +717,12 @@ object StreamingQueries {
     val docBands = graft.Tables
       .documents(s, dir)
       .filter(length(regexp_replace(col("text"), lit(" "), lit(""))) > 0)
-      .select(col("doc_id"), explode(bandUdf(col("text"))).as("band"))
+      // DISTINCT band values per doc: a doc whose 8 band keys contain a
+      // mod-P collision would otherwise see its own second identical row
+      // dropped by the band-keyed state (n_kept < n_bands forever) while
+      // the oracle counts both — distinct-ifying makes "owns ALL its
+      // bands" well-defined on both engines (~1 doc per 75M hits this)
+      .select(col("doc_id"), explode(array_distinct(bandUdf(col("text")))).as("band"))
       .persist()
     // harness feed: the band rows in doc_id order through ONE
     // single-partition MemoryStream batch (collect is test plumbing, not
