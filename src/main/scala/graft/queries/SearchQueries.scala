@@ -223,43 +223,102 @@ object SearchQueries {
     * slope ≈ −1, and a corpus that DOESN'T is the classic signal of
     * template spam or synthetic text.
     *
-    * Scale: term frequencies are one partial-agg groupBy over uniform
-    * token keys; everything after operates on the VOCABULARY (bounded,
-    * ≪ corpus) — the rank window, the ln projections, and the four
-    * regression sums, each an ordered fold over the sorted point list so
-    * the oracle matches despite the per-point `ln` terms.
+    * Scale (the r9-verdict de-funnel — no global sort, no
+    * vocabulary-sized row anywhere):
+    *  - The regression inputs are QUANTIZED: qx = ⌊ln(rank)·10⁶⌋ and
+    *    qy = ⌊ln(freq)·10⁶⌋ as exact longs, so the four regression sums
+    *    become order-independent integer aggregates with map-side
+    *    partial combine (products summed as decimal(38,0) against i64
+    *    overflow at web-scale vocabularies), replacing the old
+    *    whole-vocabulary single-row ordered fold. Because equal
+    *    integers sum equal in any order, the oracle is free to rank
+    *    with one plain window — the engines still hash-match exactly.
+    *  - Rank is a three-level bucketed composition (the
+    *    [[CurationQueries.epochShuffle]] / [[MiningQueries.mannWhitney]]
+    *    family): `row_number` inside (freq, 2-char-term-prefix) buckets
+    *    — order-preserving because prefix order is consistent with term
+    *    order inside an exact-freq tie class — plus within-freq
+    *    earlier-prefix offsets (window PARTITIONED BY freq, ≤ |Σ|²
+    *    rows each), within-log₂-band higher-freq offsets (window
+    *    PARTITIONED BY band), and the ≤63-row band-total table folded
+    *    through one bounded single-row array (≤63² fold steps,
+    *    constant at any corpus size). Every window is partitioned; the
+    *    only collect_list holds ≤63 structs.
     */
   def zipfSlope(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tf = Tables
       .documents(s, dir)
       .select(explode(toks).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("freq"))
-    val ranked = tf
-      .withColumn(
-        "r",
-        row_number().over(Window.orderBy(col("freq").desc, col("term"))).cast("long"))
+      .withColumn("p2", substring(col("term"), 1, 2))
+      .withColumn("band", length(bin(col("freq"))))
+      .persist()
+    // L1: rank within the (freq, prefix) bucket — balanced even on the
+    // massive low-freq tie classes, where the prefix does the splitting
+    val wLocal = Window.partitionBy(col("freq"), col("p2")).orderBy(col("term"))
+    val local = tf.withColumn("lr", row_number().over(wLocal).cast("long"))
+    // bucket counts feed all three offset levels
+    val bc = tf
+      .groupBy(col("band"), col("freq"), col("p2"))
+      .agg(count(lit(1)).as("bn"))
+      .persist()
+    // L2a: terms of the SAME freq in lexicographically earlier prefixes
+    val wG = Window
+      .partitionBy(col("freq"))
+      .orderBy(col("p2"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val g = bc.withColumn("goff", coalesce(sum(col("bn")).over(wG), lit(0L)))
+    // L2b: within a log₂ band, terms of strictly HIGHER freqs
+    val fc = bc.groupBy(col("band"), col("freq")).agg(sum(col("bn")).as("fn"))
+    val wM = Window
+      .partitionBy(col("band"))
+      .orderBy(col("freq").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val m = fc
+      .withColumn("moff", coalesce(sum(col("fn")).over(wM), lit(0L)))
+      .select(col("band"), col("freq"), col("moff"))
+    // L3: terms in strictly higher bands — the band table is ≤63 rows by
+    // construction (band = bit-length of a 64-bit count), folded through
+    // one bounded array: no window, no driver round-trip
+    val h = fc
+      .groupBy(col("band"))
+      .agg(sum(col("fn")).as("hn"))
+      .agg(collect_list(struct(col("band"), col("hn"))).as("a"))
+      .select(expr(
+        "explode(transform(a, e -> struct(e.band AS band, " +
+          "aggregate(filter(a, x -> x.band > e.band), cast(0 as bigint), " +
+          "(acc, x) -> acc + x.hn) AS hoff)))").as("x"))
+      .select(col("x.band").as("band"), col("x.hoff").as("hoff"))
+    val offs = g
+      .join(m, Seq("band", "freq"))
+      .join(broadcast(h), Seq("band"))
       .select(
-        log(col("r").cast("double")).as("lx"),
-        log(col("freq").cast("double")).as("ly"))
-    ranked
-      .agg(count(lit(1)).as("n_terms"), collect_list(struct(col("lx"), col("ly"))).as("ps"))
-      .withColumn("sorted", expr("array_sort(ps)"))
-      .withColumn("xs", expr("transform(sorted, p -> p.lx)"))
-      .withColumn("ys", expr("transform(sorted, p -> p.ly)"))
-      .withColumn("sx", expr("aggregate(xs, 0.0d, (a, x) -> a + x)"))
-      .withColumn("sy", expr("aggregate(ys, 0.0d, (a, x) -> a + x)"))
-      .withColumn("sxy", expr("aggregate(transform(sorted, p -> p.lx * p.ly), 0.0d, (a, x) -> a + x)"))
-      .withColumn("sxx", expr("aggregate(transform(sorted, p -> p.lx * p.lx), 0.0d, (a, x) -> a + x)"))
-      .withColumn("n", col("n_terms").cast("double"))
-      .select(
-        col("n_terms"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
-        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"), 6)
-          .as("intercept"))
+        col("freq"),
+        col("p2"),
+        (col("goff") + col("moff") + col("hoff")).as("boff"))
+    val ranked = local
+      .join(offs, Seq("freq", "p2"))
+      .select((col("boff") + col("lr")).as("r"), col("freq"))
+    val q = ranked.select(
+      floor(log(col("r").cast("double")) * lit(1e6)).cast("long").as("qx"),
+      floor(log(col("freq").cast("double")) * lit(1e6)).cast("long").as("qy"))
+    val sums = q.agg(
+      count(lit(1)).as("n_terms"),
+      sum(col("qx")).as("sx"),
+      sum(col("qy")).as("sy"),
+      sum((col("qx") * col("qy")).cast("decimal(38,0)")).as("sxy"),
+      sum((col("qx") * col("qx")).cast("decimal(38,0)")).as("sxx"))
+    val nd = col("n_terms").cast("double")
+    val sxd = col("sx").cast("double") / lit(1e6)
+    val syd = col("sy").cast("double") / lit(1e6)
+    val sxyd = col("sxy").cast("double") / lit(1e12)
+    val sxxd = col("sxx").cast("double") / lit(1e12)
+    val slopeRaw = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    sums.select(
+      col("n_terms"),
+      round(slopeRaw, 6).as("slope"),
+      round((syd - slopeRaw * sxd) / nd, 6).as("intercept"))
   }
 
   val zipfSlopeSql: String =
@@ -268,22 +327,33 @@ object SearchQueries {
          FROM documents, unnest(string_split(text, ' ')) AS t(term)
          GROUP BY 1),
        ranked AS (
-         SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, term) AS DOUBLE)) AS lx,
-                ln(CAST(freq AS DOUBLE)) AS ly
+         SELECT CAST(row_number() OVER (ORDER BY freq DESC, term) AS DOUBLE) AS r,
+                CAST(freq AS DOUBLE) AS f
          FROM tf),
+       q AS (
+         SELECT CAST(floor(ln(r) * 1e6) AS BIGINT) AS qx,
+                CAST(floor(ln(f) * 1e6) AS BIGINT) AS qy
+         FROM ranked),
        g AS (
          SELECT count(*) AS n_terms,
-                list_reduce(list(lx ORDER BY lx, ly), (a, x) -> a + x) AS sx,
-                list_reduce(list(ly ORDER BY lx, ly), (a, x) -> a + x) AS sy,
-                list_reduce(list(lx * ly ORDER BY lx, ly), (a, x) -> a + x) AS sxy,
-                list_reduce(list(lx * lx ORDER BY lx, ly), (a, x) -> a + x) AS sxx
-         FROM ranked)
+                CAST(sum(qx) AS BIGINT) AS sx,
+                CAST(sum(qy) AS BIGINT) AS sy,
+                sum(qx * qy) AS sxy,
+                sum(qx * qx) AS sxx
+         FROM q)
        SELECT n_terms,
-              round((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
-                      / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 6) AS slope,
-              round((sy - ((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
-                      / (CAST(n_terms AS DOUBLE) * sxx - sx * sx)) * sx)
-                      / CAST(n_terms AS DOUBLE), 6) AS intercept
+              round((CAST(n_terms AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e12)
+                      - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+                    / (CAST(n_terms AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e12)
+                      - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6)),
+                    6) AS slope,
+              round(((CAST(sy AS DOUBLE) / 1e6)
+                      - ((CAST(n_terms AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e12)
+                           - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+                         / (CAST(n_terms AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e12)
+                           - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6)))
+                        * (CAST(sx AS DOUBLE) / 1e6))
+                    / CAST(n_terms AS DOUBLE), 6) AS intercept
        FROM g"""
 
   // --------------------------------------------------------------------
@@ -299,9 +369,12 @@ object SearchQueries {
     *
     * Scale: bigram extraction is a narrow in-row transform + explode;
     * the LM is two partial-agg groupBys (bigram count, context count)
-    * over uniform token keys; scoring joins the LM back — broadcast
-    * here (vocabulary² is small), a plain shuffled hash join when the
-    * LM outgrows broadcast at web scale. The per-doc mean is an ORDERED
+    * over uniform token keys; scoring joins the LM back UNHINTED on the
+    * (w1, w2) equi-key: AQE broadcasts while the LM is small and falls
+    * back to a shuffled join once a web-scale bigram table (billions of
+    * rows) outgrows the broadcast threshold — a hard `broadcast()` hint
+    * here would build the relation on the driver at ANY size (the
+    * r9-verdict fix). The per-doc mean is an ORDERED
     * fold over the doc's (bounded, document-length) log-prob multiset —
     * `aggregate(array_sort(collect_list))` ↔ DuckDB
     * `list_reduce(list_sort(list))` — so the oracle matches bit-for-bit
@@ -329,7 +402,7 @@ object SearchQueries {
         col("w2"),
         log(col("c2").cast("double") / col("c1").cast("double")).as("lnp"))
     bigrams
-      .join(broadcast(probs), Seq("w1", "w2"))
+      .join(probs, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_bigrams"),

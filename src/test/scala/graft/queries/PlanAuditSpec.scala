@@ -752,4 +752,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(bkt"), p.take(2000))
     assert(p.contains("partial_sum"), "per-value group counts must partial-agg map-side")
   }
+
+  test("q_zipf_slope: every window partitioned; no vocabulary-sized single row") {
+    val df = graft.SparkEntry.queries("q_zipf_slope")(spark, dir)
+    df.collect()
+    // the r9-verdict lock: NO partition-less window anywhere in the plan
+    // (the old global rank funneled the whole vocabulary into one task)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "rank must come from bucketed windows")
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, s"partition-less window in plan: $w")
+    }
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the only collect_list is the <=63-row band-offset fold — the old
+    // whole-vocabulary (lx, ly) array must stay gone. ONE aggregate
+    // prints its function at most 4x (partial/final x function/output).
+    assert("collect_list\\(".r.findAllIn(p).size <= 4,
+      "a second collect_list suggests the vocabulary-sized row came back\n" + p.take(2000))
+    assert("collect_list\\(struct\\(band".r.findFirstIn(p).isDefined,
+      "the surviving collect_list must be the band-offset fold\n" + p.take(2000))
+    // regression sums partial-agg map-side as exact integers
+    assert(p.contains("partial_sum"), p.take(2000))
+  }
 }
