@@ -466,11 +466,13 @@ object SearchQueries {
     * source totals by re-aggregating on source, the corpus distribution
     * by re-aggregating on token (NO second corpus scan), and the corpus
     * total is a broadcast one-row fold. The KL join is token-keyed
-    * (never a product); per-source entropy/KL sums are explicitly
-    * ORDERED folds (`aggregate(array_sort(collect_list(_)))` ↔
-    * `list_reduce(list_sort(list(_)))`) so the oracle hash matches
-    * bit-for-bit — at production scale a plain `sum` is the same number
-    * up to last-ulp ordering.
+    * (never a product); per-source entropy/KL sums are QUANTIZED —
+    * ⌊term·10¹²⌋ as exact longs summed as decimal(38,0) (the
+    * [[zipfSlope]] discipline, r9-verdict ask #4) — so they are
+    * order-independent partial-agg integer sums with no per-source
+    * vocabulary-sized array anywhere, and still hash-match the oracle
+    * bit-for-bit (equal integers sum equal in any order; the ≤10⁻¹²
+    * per-term quantization bias is far under the round(4) output).
     */
   def sourceDivergence(s: SparkSession, dir: String): DataFrame = {
     val perSrc = Tables
@@ -492,23 +494,21 @@ object SearchQueries {
       .select(
         col("source"),
         col("tot"),
-        (-p * log(p)).as("ent_term"),
-        (p * log(p / q)).as("kl_term"))
+        floor((-p * log(p)) * lit(1e12)).as("qe"),
+        floor((p * log(p / q)) * lit(1e12)).as("qk"))
     terms
       .groupBy(col("source"))
       .agg(
         max(col("tot")).as("n_tokens"),
         count(lit(1)).as("n_distinct"),
-        round(
-          aggregate(array_sort(collect_list(col("ent_term"))), lit(0.0), (a, x) => a + x),
-          4).as("entropy"),
-        round(
-          aggregate(array_sort(collect_list(col("kl_term"))), lit(0.0), (a, x) => a + x),
-          4).as("kl_corpus"))
+        round(sum(col("qe").cast("decimal(38,0)")).cast("double") / lit(1e12), 4)
+          .as("entropy"),
+        round(sum(col("qk").cast("decimal(38,0)")).cast("double") / lit(1e12), 4)
+          .as("kl_corpus"))
   }
 
   /** DuckDB re-derivation of [[sourceDivergence]]: identical distribution
-    * arithmetic, identical sorted folds.
+    * arithmetic, identical quantized-integer sums.
     */
   val sourceDivergenceSql: String =
     """WITH toks AS (
@@ -524,19 +524,21 @@ object SearchQueries {
          SELECT CAST(sum(ccnt) AS BIGINT) AS ctot FROM corp
        ), terms AS (
          SELECT p.source, s.tot,
-                -(CAST(p.cnt AS DOUBLE) / CAST(s.tot AS DOUBLE))
-                  * ln(CAST(p.cnt AS DOUBLE) / CAST(s.tot AS DOUBLE)) AS ent_term,
-                (CAST(p.cnt AS DOUBLE) / CAST(s.tot AS DOUBLE))
+                CAST(floor((-(CAST(p.cnt AS DOUBLE) / CAST(s.tot AS DOUBLE))
+                  * ln(CAST(p.cnt AS DOUBLE) / CAST(s.tot AS DOUBLE))) * 1e12)
+                  AS BIGINT) AS qe,
+                CAST(floor(((CAST(p.cnt AS DOUBLE) / CAST(s.tot AS DOUBLE))
                   * ln((CAST(p.cnt AS DOUBLE) / CAST(s.tot AS DOUBLE))
-                       / (CAST(c.ccnt AS DOUBLE) / CAST(t.ctot AS DOUBLE))) AS kl_term
+                       / (CAST(c.ccnt AS DOUBLE) / CAST(t.ctot AS DOUBLE)))) * 1e12)
+                  AS BIGINT) AS qk
          FROM persrc p
          JOIN stot s USING (source)
          JOIN corp c USING (w)
          CROSS JOIN ctot t
        )
        SELECT source, max(tot) AS n_tokens, count(*) AS n_distinct,
-              round(list_reduce(list_prepend(0.0, list_sort(list(ent_term))), (a, b) -> a + b), 4) AS entropy,
-              round(list_reduce(list_prepend(0.0, list_sort(list(kl_term))), (a, b) -> a + b), 4) AS kl_corpus
+              round(CAST(sum(qe) AS DOUBLE) / 1e12, 4) AS entropy,
+              round(CAST(sum(qk) AS DOUBLE) / 1e12, 4) AS kl_corpus
        FROM terms GROUP BY source"""
 
   def weightedSample(s: SparkSession, dir: String, k: Int = 100): DataFrame = {

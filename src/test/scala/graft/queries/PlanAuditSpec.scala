@@ -777,4 +777,16 @@ class PlanAuditSpec extends AnyFunSuite {
     // regression sums partial-agg map-side as exact integers
     assert(p.contains("partial_sum"), p.take(2000))
   }
+
+  test("q_source_divergence: quantized sums — no per-source vocabulary array") {
+    val df = graft.SparkEntry.queries("q_source_divergence")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the entropy/KL folds are integer partial sums now; the old
+    // collect_list(ent_term)/collect_list(kl_term) arrays must stay gone
+    assert(!p.contains("collect_list"),
+      "vocabulary-sized per-source array came back\n" + p.take(2000))
+    assert(p.contains("partial_sum"), p.take(2000))
+  }
 }
