@@ -688,12 +688,19 @@ object PipelineQueries {
     * §2.3 P5; `trace-to-events/src/processing.rs:60-68`): collected
     * map-side with no extra pass or shuffle, surfaced through
     * `QueryExecution.observedMetrics` / `Observation`.
+    *
+    * Oracled since r10 (VERDICT r9 #3): the trace leg rides the
+    * closed-form [[TraceFixtures]] arithmetic grid at the SAME 4.1M
+    * sample shape — generated distributed, so the bench still times the
+    * chain — and the DuckDB oracle re-derives the full frame table
+    * (islands → per-frame counts → running event_index → veto OR)
+    * exactly. The free-running NOISE generator stays exercised by
+    * q_sim_schedule / q_trace_to_events_advanced*.
     */
   def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
-    val big = GeneratorConfig(nFrames = 64, nDigitizers = 4, timeBins = 2000)
     val dev2 = EventFormation
       .formEvents(
-        TraceGenerator.traces(s, big),
+        TraceFixtures.arithmeticTraces(s, nFrames = 64, nDigitizers = 4, nSamples = 2000),
         DetectorSettings(FixedThreshold(threshold = 100.0), baseline = 50.0))
       .toDF()
       .observe(
@@ -704,9 +711,38 @@ object PipelineQueries {
     val aev2 = FrameAssembly.assemble(dev2, expected)
     aev2
       .withColumn("run_name", lit("bench_run"))
-      .withColumn("run_start_ns", lit(big.startTimestampNs - 1L))
+      .withColumn("run_start_ns", lit(TraceFixtures.BaseNs - 1L))
       .transform(NexusTables.frameTable)
   }
+
+  /** Shared DuckDB oracle body for [[pipelineE2e]] / [[wireE2e]] (the
+    * wire hop is a lossless roundtrip, hash-checked by q_wire_roundtrip,
+    * so both chains produce the identical frame table): islands over the
+    * 64×4×8×2000 arithmetic grid → per-frame event counts → running
+    * event_index ordered by frame timestamp → veto flags OR-folded
+    * across the four digitisers.
+    */
+  private def e2eFrameTableSql: String =
+    TraceFixtures.islandsSql(nFrames = 64, nDigitizers = 4, nSamples = 2000) + """
+       , n AS (SELECT f, count(*) AS n FROM islands GROUP BY f)
+       , per AS (SELECT rf.f, coalesce(n.n, 0) AS n
+                 FROM range(64) rf(f) LEFT JOIN n ON rf.f = n.f)
+       SELECT 'bench_run' AS run_name,
+              1699999999999999999::BIGINT AS run_start_ns,
+              (f*20000000 + 1)::BIGINT AS event_time_zero,
+              CAST(coalesce(sum(n) OVER (ORDER BY f
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                AS event_index,
+              (f % 4)::BIGINT AS period_number,
+              f::BIGINT AS frame_number,
+              TRUE AS frame_complete,
+              TRUE AS running,
+              (((f*7)%16) | ((f*7+1)%16) | ((f*7+2)%16) | ((f*7+3)%16))::INT
+                AS veto_flags
+       FROM per"""
+
+  val pipelineE2eSql: String = e2eFrameTableSql
+  val wireE2eSql: String = e2eFrameTableSql
 
   /** [[pipelineE2e]] with the WIRE CODEC in the hot path (VERDICT r4 #7):
     * the generated dat2 traces are encoded to FlatBuffers buffers and
@@ -714,21 +750,23 @@ object PipelineQueries {
     * detection/assembly/frame-table — the exact chain a broker-fed
     * deployment runs per record. Both codec hops are narrow maps, so the
     * benchmark delta between q_wire_e2e and q_pipeline_e2e isolates the
-    * per-record encode+decode cost on 4.1M samples. Rows-only (same
-    * FSM-noise reasons as q_pipeline_e2e; codec correctness is
-    * hash-checked by q_wire_roundtrip/q_wire_runstart).
+    * per-record encode+decode cost on 4.1M samples. Oracled since r10
+    * (VERDICT r9 #3): runs on the same closed-form arithmetic grid as
+    * [[pipelineE2e]] — the wire hop is lossless (q_wire_roundtrip
+    * byte-exact), so the same frame-table oracle applies.
     */
   def wireE2e(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val big = GeneratorConfig(nFrames = 64, nDigitizers = 4, timeBins = 2000)
-    val wire = TraceGenerator.traces(s, big).map(graft.schemas.WireCodecs.encodeDat2)
+    val wire = TraceFixtures
+      .arithmeticTraces(s, nFrames = 64, nDigitizers = 4, nSamples = 2000)
+      .map(graft.schemas.WireCodecs.encodeDat2)
     val traces = graft.streaming.WireIngest.dat2FromBinary(wire)
     val dev2 = EventFormation.formEvents(
       traces, DetectorSettings(FixedThreshold(threshold = 100.0), baseline = 50.0))
     FrameAssembly
       .assemble(dev2, expected)
       .withColumn("run_name", lit("bench_run"))
-      .withColumn("run_start_ns", lit(big.startTimestampNs - 1L))
+      .withColumn("run_start_ns", lit(TraceFixtures.BaseNs - 1L))
       .transform(NexusTables.frameTable)
   }
 

@@ -42,24 +42,29 @@ object TraceFixtures {
       nChannels: Int = 8,
       nSamples: Int = 500): Dataset[TraceMessage] = {
     import s.implicits._
-    (for {
-      f <- 0 until nFrames
-      d <- 0 until nDigitizers
-    } yield TraceMessage(
-      digitizerId = d,
-      metadata = FrameMetadata(
-        timestampNs = BaseNs + f.toLong * FrameIntervalNs,
-        periodNumber = (f % 4).toLong,
-        protonsPerPulse = 4,
-        running = true,
-        frameNumber = f.toLong,
-        vetoFlags = (f * 7 + d) % 16),
-      sampleRate = 1000000000L,
-      channels = Array.tabulate(nChannels)(c =>
-        ChannelTrace(
-          channel = d.toLong * nChannels + c,
-          voltage = Array.tabulate(nSamples)(j =>
-            50 + ((f * 31 + d * 13 + c * 7 + j * 11) % 400)))))).toDS()
+    // generated DISTRIBUTED (range → map): the sample arrays materialize
+    // executor-side, so the e2e bench units time the pipeline, not a
+    // driver-built Seq being parallelized
+    val (nd, nc, ns) = (nDigitizers, nChannels, nSamples)
+    s.range(nFrames.toLong * nd).map { i =>
+      val f = (i / nd).toInt
+      val d = (i % nd).toInt
+      TraceMessage(
+        digitizerId = d,
+        metadata = FrameMetadata(
+          timestampNs = BaseNs + f.toLong * FrameIntervalNs,
+          periodNumber = (f % 4).toLong,
+          protonsPerPulse = 4,
+          running = true,
+          frameNumber = f.toLong,
+          vetoFlags = (f * 7 + d) % 16),
+        sampleRate = 1000000000L,
+        channels = Array.tabulate(nc)(c =>
+          ChannelTrace(
+            channel = d.toLong * nc + c,
+            voltage = Array.tabulate(ns)(j =>
+              50 + ((f * 31 + d * 13 + c * 7 + j * 11) % 400)))))
+    }
   }
 
   /** The shared DuckDB islands CTE prefix over the fixture grid: emits

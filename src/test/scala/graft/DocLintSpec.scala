@@ -20,10 +20,10 @@ class DocLintSpec extends AnyFunSuite {
     val orphans = SparkEntry.oracleNames.diff(SparkEntry.queries.keySet)
     assert(orphans.isEmpty, s"oracles without a query: $orphans")
     assert(SparkEntry.dynamicOracleNames.subsetOf(SparkEntry.queries.keySet))
-    // the only queries allowed to lack an oracle are the e2e bench units
+    // since r10 every query carries an oracle — the e2e bench units run
+    // on the closed-form arithmetic grid and hash-match like the rest
     val unoracled = SparkEntry.queries.keySet.diff(SparkEntry.oracleNames)
-    assert(unoracled == Set("q_pipeline_e2e", "q_wire_e2e"),
-      s"unexpected unoracled queries: $unoracled")
+    assert(unoracled.isEmpty, s"unexpected unoracled queries: $unoracled")
   }
 
   test("README.md carries the current query/oracle counts") {
