@@ -83,13 +83,17 @@ object MiningQueries {
           6).as("lift"))
   }
 
-  val assocRulesSql: String =
-    """WITH oi AS (
+  /** Oracle SQL, parameterized on the same `minSupport` as [[assocRules]]
+    * so a non-default operating point derives its matching oracle instead
+    * of silently verifying against the default one (ADVICE r9).
+    */
+  def assocRulesSql(minSupport: Double = 0.02): String =
+    s"""WITH oi AS (
          SELECT DISTINCT l_orderkey, p_brand AS item
          FROM lineitem JOIN part ON l_partkey = p_partkey
        ), n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM oi),
        sup AS (SELECT item, count(*) AS n_item FROM oi GROUP BY 1),
-       freq AS (SELECT item, n_item FROM sup, n WHERE n_item >= n_orders * 0.02),
+       freq AS (SELECT item, n_item FROM sup, n WHERE n_item >= n_orders * $minSupport),
        fi AS (SELECT oi.l_orderkey, oi.item, f.n_item FROM oi JOIN freq f USING (item)),
        p AS (
          SELECT a.item AS item_a, b.item AS item_b,
@@ -103,7 +107,7 @@ object MiningQueries {
               round(n_pair / CAST(n_a AS DOUBLE), 6) AS conf_a_to_b,
               round(n_pair / CAST(n_b AS DOUBLE), 6) AS conf_b_to_a,
               round(CAST(n_pair AS DOUBLE) * n_orders / (CAST(n_a AS DOUBLE) * n_b), 6) AS lift
-       FROM p, n WHERE n_pair >= n_orders * 0.02"""
+       FROM p, n WHERE n_pair >= n_orders * $minSupport"""
 
   // --------------------------------------------------------------------
   // q_drift_psi — population stability index per event_type
@@ -167,8 +171,13 @@ object MiningQueries {
         (col("psi") > 0.1).as("drifted"))
   }
 
-  val driftPsiSql: String =
-    """WITH ev AS (
+  /** Oracle SQL, parameterized on the same `nBins` as [[driftPsi]] —
+    * the clamp bound, bin scale, and Laplace denominator (0.5·nBins)
+    * all derive from it (ADVICE r9).
+    */
+  def driftPsiSql(nBins: Int = 10): String = {
+    val sm = 0.5 * nBins
+    s"""WITH ev AS (
          SELECT event_type, value,
                 ts < TIMESTAMP '2024-01-16 00:00:00' AS is_ref
          FROM events
@@ -177,8 +186,8 @@ object MiningQueries {
          FROM ev WHERE is_ref GROUP BY 1
        ), binned AS (
          SELECT ev.event_type, is_ref,
-                CAST(least(9, greatest(0,
-                  floor((value - vmin) * 10 / (vmax - vmin)))) AS INT) AS bin
+                CAST(least(${nBins - 1}, greatest(0,
+                  floor((value - vmin) * $nBins / (vmax - vmin)))) AS INT) AS bin
          FROM ev JOIN mm USING (event_type)
        ), counts AS (
          SELECT event_type, bin,
@@ -191,14 +200,15 @@ object MiningQueries {
          FROM counts GROUP BY 1
        )
        SELECT c.event_type, t_ref AS n_ref, t_cur AS n_cur,
-              round(sum(((n_cur + 0.5) / (t_cur + 5.0) - (n_ref + 0.5) / (t_ref + 5.0))
-                        * ln(((n_cur + 0.5) / (t_cur + 5.0)) / ((n_ref + 0.5) / (t_ref + 5.0)))),
+              round(sum(((n_cur + 0.5) / (t_cur + $sm) - (n_ref + 0.5) / (t_ref + $sm))
+                        * ln(((n_cur + 0.5) / (t_cur + $sm)) / ((n_ref + 0.5) / (t_ref + $sm)))),
                     6) AS psi,
-              round(sum(((n_cur + 0.5) / (t_cur + 5.0) - (n_ref + 0.5) / (t_ref + 5.0))
-                        * ln(((n_cur + 0.5) / (t_cur + 5.0)) / ((n_ref + 0.5) / (t_ref + 5.0)))),
+              round(sum(((n_cur + 0.5) / (t_cur + $sm) - (n_ref + 0.5) / (t_ref + $sm))
+                        * ln(((n_cur + 0.5) / (t_cur + $sm)) / ((n_ref + 0.5) / (t_ref + $sm)))),
                     6) > 0.1 AS drifted
        FROM counts c JOIN tot USING (event_type)
        GROUP BY 1, 2, 3"""
+  }
 
   // --------------------------------------------------------------------
   // q_target_encoding — K-fold out-of-fold mean target encoding
@@ -252,8 +262,11 @@ object MiningQueries {
           .as("smoothed_mean"))
   }
 
-  val targetEncodingSql: String = {
-    val fold = md5BucketSql("CAST(event_id AS VARCHAR)", 5)
+  /** Oracle SQL, parameterized on the same `(folds, m)` as
+    * [[targetEncoding]] (ADVICE r9).
+    */
+  def targetEncodingSql(folds: Int = 5, m: Int = 20): String = {
+    val fold = md5BucketSql("CAST(event_id AS VARCHAR)", folds)
     s"""WITH ev AS (
          SELECT event_type, $fold AS fold,
                 CAST(round(value * 100) AS BIGINT) AS cents
@@ -275,8 +288,8 @@ object MiningQueries {
               cnt_t - cnt_f AS n_oof,
               round(((sum_t - sum_f) / 100.0) / (cnt_t - cnt_f), 6) AS oof_mean,
               round((((sum_t - sum_f) / 100.0)
-                     + 20 * (((gsum_t - gsum_f) / 100.0) / (gcnt_t - gcnt_f)))
-                    / ((cnt_t - cnt_f) + 20), 6) AS smoothed_mean
+                     + $m * (((gsum_t - gsum_f) / 100.0) / (gcnt_t - gcnt_f)))
+                    / ((cnt_t - cnt_f) + $m), 6) AS smoothed_mean
        FROM pf JOIN pt USING (event_type) JOIN gf USING (fold), gt"""
   }
 
@@ -828,7 +841,11 @@ object MiningQueries {
       .select(col("custkey"), col("n_pos"), col("n_neg"), col("n_collisions"))
   }
 
-  val negativeSamplingSql: String = {
+  /** Oracle SQL, parameterized on the same `k` as [[negativeSampling]]
+    * (ADVICE r9); the catalog-size modulus stays the declared constant,
+    * guarded by the require in the operator.
+    */
+  def negativeSamplingSql(k: Int = 8): String = {
     val idx = md5BucketSql(
       "concat(CAST(u.custkey AS VARCHAR), ':', CAST(r.slot AS VARCHAR))",
       NegCatalogSize)
@@ -843,7 +860,7 @@ object MiningQueries {
        ), cand AS (
          SELECT u.custkey, r.slot, c.p_brand AS item
          FROM (SELECT DISTINCT custkey FROM pos) u
-         CROSS JOIN range(8) r(slot)
+         CROSS JOIN range($k) r(slot)
          JOIN catalog c ON c.idx = $idx
        ), pc AS (SELECT custkey, count(*) AS n_pos FROM pos GROUP BY 1),
        agg AS (
@@ -875,6 +892,14 @@ object MiningQueries {
     * sums, so every output double is bit-reproducible.
     */
   def calibrationBins(s: SparkSession, dir: String, nBins: Int = 10): DataFrame = {
+    // the score domain is cents/50000 ∈ [0, 1]; the bin width DERIVES
+    // from nBins (ADVICE r9 — a hardcoded `div 5000` silently misbinned
+    // any non-default nBins). Exact-integer binning needs an integral
+    // width, so nBins must divide the 50000-cent domain.
+    require(
+      50000 % nBins == 0,
+      s"calibrationBins: nBins=$nBins must divide the 50000-cent score domain")
+    val width = 50000L / nBins
     val ev = Tables
       .events(s, dir)
       .select(
@@ -886,7 +911,7 @@ object MiningQueries {
         // negative amount diverges across engines — Spark `div`
         // truncates toward zero (bin 0) while DuckDB `//` floors
         // (bin −1); clamped, both land in bin 0
-        least(lit(nBins - 1), greatest(lit(0L), expr("cents div 5000"))).cast("int"))
+        least(lit(nBins - 1), greatest(lit(0L), expr(s"cents div $width"))).cast("int"))
     val tot = ev.agg(count(lit(1)).as("n_total"))
     ev.groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"), sum(col("label")).as("n_pos"))
@@ -903,13 +928,18 @@ object MiningQueries {
           6).as("ece_term"))
   }
 
-  val calibrationBinsSql: String =
-    """WITH ev AS (
+  /** Oracle SQL, parameterized on the same `nBins` as
+    * [[calibrationBins]] with the identically derived width (ADVICE r9).
+    */
+  def calibrationBinsSql(nBins: Int = 10): String = {
+    require(50000 % nBins == 0, s"nBins=$nBins must divide 50000")
+    val width = 50000L / nBins
+    s"""WITH ev AS (
          SELECT CAST(round(value * 100) AS BIGINT) AS cents,
                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
          FROM events
        ), b AS (
-         SELECT least(9, greatest(0, cents // 5000)) AS bin, count(*) AS n,
+         SELECT least(${nBins - 1}, greatest(0, cents // $width)) AS bin, count(*) AS n,
                 CAST(sum(cents) AS BIGINT) AS sc,
                 CAST(sum(label) AS BIGINT) AS n_pos
          FROM ev GROUP BY 1
@@ -920,4 +950,5 @@ object MiningQueries {
               round(abs(n_pos / CAST(n AS DOUBLE) - sc / 50000.0 / n) * n / n_total, 6)
                 AS ece_term
        FROM b, t"""
+  }
 }

@@ -2605,14 +2605,20 @@ object RelationalQueries {
     // insertion heuristic compares estimated pruned bytes against the
     // dim-subquery cost — at a few KB of fixture data that benefit
     // check always declines, while at production scale the stats
-    // themselves justify insertion. Session-scoped and harmless to the
-    // other queries: DPP only ever applies to partitioned file scans,
-    // and this is the suite's only catalog-partitioned read.
-    s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
-    s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "50.0")
-    val fact = s.read.parquet(out)
+    // themselves justify insertion. Set on a FORKED session (ADVICE r9):
+    // the returned DataFrame is lazy, so a try/finally restore would
+    // revert the confs before planning ever ran; the fork carries the
+    // altered heuristics for this plan only and the caller's session is
+    // never mutated. (`newSession` shares SparkContext/SharedState —
+    // only session-scoped conf state is isolated; shuffle parallelism
+    // is carried over explicitly since the fork resets runtime confs.)
+    val sc = s.newSession()
+    sc.conf.set("spark.sql.shuffle.partitions", s.conf.get("spark.sql.shuffle.partitions"))
+    sc.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    sc.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "50.0")
+    val fact = sc.read.parquet(out)
     val daily = Tables
-      .events(s, dir)
+      .events(sc, dir)
       .groupBy(to_date(col("ts")).as("event_date"))
       .agg(count(lit(1)).as("c"))
     // The busy-day threshold is collected as a one-row control-plane

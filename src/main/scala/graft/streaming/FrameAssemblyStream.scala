@@ -98,6 +98,13 @@ object FrameAssemblyStream {
                 0,
                 dispatched = false,
                 firstSeenMs = System.currentTimeMillis()))
+            // firstSeenMs == 0 means "unknown": state restored from a
+            // checkpoint written before the field existed decodes the
+            // default 0 (ADVICE r9 — clamping against 0 would instantly
+            // TTL-flush every restored in-flight frame). Repair to "first
+            // seen NOW", re-starting the full TTL once post-upgrade.
+            if (st.firstSeenMs == 0L)
+              st = st.copy(firstSeenMs = System.currentTimeMillis())
             // Spark CLEARS the timeout on every invocation, so each
             // re-arm must use the REMAINING time from first sight —
             // re-arming the full ttlMs would make the flush

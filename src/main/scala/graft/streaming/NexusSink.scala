@@ -390,7 +390,12 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
       listChildren(completed.resolve(table))
         .filter(_.getFileName.toString.startsWith("run_name="))
         .foreach { nameDir =>
-          val name = nameDir.getFileName.toString.stripPrefix("run_name=")
+          // the RAW (Hive-escaped) dir name rebuilds paths; the returned
+          // tuple carries the UNESCAPED run name so callers can
+          // cross-reference finalizeRuns/resume output (ADVICE r9 — the
+          // same contract as resumeRunGenerations and compaction)
+          val rawName = nameDir.getFileName.toString.stripPrefix("run_name=")
+          val name = unescName(rawName)
           listChildren(nameDir)
             .filter(_.getFileName.toString.startsWith("run_start_ns="))
             .foreach { src =>
@@ -406,7 +411,7 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
                     recoverInterruptedCompaction(src)
                     val dst = archive
                       .resolve(table)
-                      .resolve(s"run_name=$name")
+                      .resolve(s"run_name=$rawName")
                       .resolve(s"run_start_ns=$start")
                     Files.createDirectories(dst.getParent)
                     if (!Files.exists(dst)) Files.move(src, dst)
