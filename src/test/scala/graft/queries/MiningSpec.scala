@@ -167,6 +167,35 @@ class MiningSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("n_converted") <= r.getAs[Long]("n_at_risk")))
   }
 
+  test("stratified survival KM: per-stratum monotone curve and shrinking risk set; " +
+    "strata partition the global risk set") {
+    val rows = MiningQueries.survivalKmStrata(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[Int]("cohort"))
+    assert(byCohort.size >= 2, s"expected multiple signup-week strata, got ${byCohort.keySet}")
+    byCohort.foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getAs[Long]("duration"))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("survival") >= b.getAs[Double]("survival") - 1e-9)
+          assert(a.getAs[Long]("n_at_risk") > b.getAs[Long]("n_at_risk"))
+        case _ =>
+      }
+      ordered.foreach(r => assert(r.getAs[Long]("n_converted") <= r.getAs[Long]("n_at_risk")))
+      val first = ordered.head
+      val expected = 1.0 -
+        first.getAs[Long]("n_converted").toDouble / first.getAs[Long]("n_at_risk")
+      assert(math.abs(first.getAs[Double]("survival") - expected) < 1e-6)
+    }
+    // the strata's duration-0 risk sets partition the global cohort
+    val globalFirst = MiningQueries.survivalKm(spark, dir)
+      .collect().minBy(_.getAs[Long]("duration")).getAs[Long]("n_at_risk")
+    val strataFirst = byCohort.values
+      .map(_.minBy(_.getAs[Long]("duration")).getAs[Long]("n_at_risk")).sum
+    assert(strataFirst == globalFirst,
+      s"strata risk sets ($strataFirst) must partition the global one ($globalFirst)")
+  }
+
   test("negative sampling: slots conserve (neg + collisions = k); deterministic rerun") {
     val a = MiningQueries.negativeSampling(spark, dir).collect()
     assert(a.nonEmpty)
