@@ -9,11 +9,16 @@ import org.apache.spark.sql.functions._
   * "group the pair graph" task (entity resolution, dedup survivors,
   * record linkage).
   *
-  * Algorithm: iterative min-label propagation PLUS pointer jumping
-  * (`comp ← comp(comp)`) each round, so convergence is O(log n) rounds
-  * even on chain-shaped graphs (plain propagation is O(diameter) — a
-  * 1M-node chain would need 1M rounds). Each round is two keyed joins +
-  * one aggregation; the round's labeling is CHECKPOINTED
+  * Algorithm (Shiloach–Vishkin shape since r10): per round, (1)
+  * neighbor-min label propagation, (2) HOOKING AT THE ROOT — every
+  * member of a component adopts the component-wide minimum candidate
+  * via one groupBy(comp) + join — and (3) pointer jumping
+  * (`comp ← comp(comp)`). Root hooking is what makes convergence
+  * O(log n) rounds on chain-shaped graphs: with leaf-only hooking a
+  * new minimum enters a tree at its leaves and crawls up one hop per
+  * round (measured ~40+ rounds on the r10 media star graph vs ~10
+  * after). Each round is three keyed joins + two aggregations; the
+  * round's labeling is CHECKPOINTED
   * (`localCheckpoint`), not merely persisted — iterative plans that only
   * cache still accumulate one round of lineage per iteration and
   * Catalyst re-analysis goes super-linear (measured: persist-only made
@@ -52,6 +57,32 @@ object ConnectedComponents {
       case _ => ()
     }
 
+  /** Checkpoint a round labeling AND reset its size statistics.
+    *
+    * `localCheckpoint` truncates lineage but PROPAGATES the child
+    * plan's sizeInBytes estimate onto the checkpointed node
+    * (`LogicalRDD.rewriteStatsAndConstraints`). In this loop the
+    * pointer-jump SELF-JOIN then squares that estimate every round —
+    * the BigInt doubles in bit-length per iteration, and after ~15
+    * rounds the optimizer spends minutes per round multiplying
+    * million-bit integers inside `canBroadcastBySize` (observed r10 on
+    * the media star graph: a 6,471-edge input hung for >8 minutes on
+    * the DRIVER while every executor sat idle). Rebuilding the frame
+    * from the checkpointed RDD resets the estimate to the default;
+    * static planning then picks sort-merge inside the loop and AQE
+    * re-plans to broadcast at runtime from ACTUAL shuffle sizes — the
+    * decision that matters at any scale. (GraphFrames ships the same
+    * reset as `getCachedDataFrame` for exactly this loop shape.)
+    *
+    * Returns (stats-reset frame, checkpoint owner) — `freeCheckpoint`
+    * must target the OWNER: the wrapper's own LogicalRDD holds the
+    * Row-conversion RDD, not the checkpointed blocks.
+    */
+  private def truncate(df: DataFrame): (DataFrame, DataFrame) = {
+    val cp = df.localCheckpoint()
+    (cp.sparkSession.createDataFrame(cp.rdd, cp.schema), cp)
+  }
+
   /** @param edges  undirected edge list with two Long columns named
     *               `src` and `dst` (each edge listed once; both
     *               directions are derived internally)
@@ -77,61 +108,75 @@ object ConnectedComponents {
       // distinct() this replaces was a groupBy on the same key doing no
       // useful work, so round 1 comes free (this job also materializes
       // the `directed` persist — no separate warm-up count)
-      var labels = directed
-        .groupBy(col("a"))
-        .agg(min(col("b")).as("nmin"))
-        .select(col("a").as("id"), least(col("a"), col("nmin")).as("comp"))
-        .localCheckpoint()
+      var (labels, labelsCp) = truncate(
+        directed
+          .groupBy(col("a"))
+          .agg(min(col("b")).as("nmin"))
+          .select(col("a").as("id"), least(col("a"), col("nmin")).as("comp")))
       var changed = 1L
       var i = 0
       while (changed > 0 && i < maxIters) {
-        // step 1: neighbor-min — comp(v) ← min(comp(v), min of neighbors)
+        // step 1: neighbor-min — cand(v) = min(comp(v), min of neighbor
+        // comps). Persisted: it feeds both the root-min aggregate and
+        // the hook join.
         val neighborMin = directed
           .join(labels.select(col("id").as("b"), col("comp").as("comp_b")), Seq("b"))
           .groupBy(col("a"))
           .agg(min(col("comp_b")).as("nmin"))
           .select(col("a").as("id"), col("nmin"))
-        // persisted: it feeds BOTH sides of the pointer-jump self-join —
-        // unpersisted, the whole neighbor-min subtree executes twice per
-        // round (ReuseExchange dedups only the shuffles). The round's
-        // starting label rides along as `prev` so convergence detection
-        // is a row-level comparison inside the round's own job.
         propagated = labels
           .join(neighborMin, Seq("id"), "left")
           .select(
             col("id"),
-            least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
-            col("comp").as("prev"))
+            col("comp"),
+            least(col("comp"), coalesce(col("nmin"), col("comp"))).as("cand"))
           .persist()
-        // step 2: pointer jump — comp(v) ← comp(comp(v)); comp values are
-        // themselves vertex ids (invariant: comp(v) ≤ v), so the self-join
-        // resolves one indirection level and halves tree depth per round.
-        // The changed-label count is an observe() metric collected WHILE
-        // the checkpoint job materializes the rows — one job per round,
-        // not a checkpoint job plus a count job.
+        // step 2: hook at the ROOT (Shiloach–Vishkin hooking): every
+        // member of a component adopts the component-wide minimum
+        // candidate in one groupBy + join. Leaf-only hooking (the r1–r9
+        // loop updated comp(v) but never comp of v's whole tree) makes
+        // new minima enter a tree at its leaves and crawl up one hop
+        // per round — measured ~40+ rounds on the r10 media star graph
+        // where this converges in ~10.
+        val rootMin = propagated
+          .groupBy(col("comp"))
+          .agg(min(col("cand")).as("rmin"))
+        val hooked = propagated
+          .join(rootMin, Seq("comp"))
+          .select(col("id"), col("rmin").as("comp"), col("comp").as("prev"))
+        // step 3: pointer jump — comp(v) ← comp(comp(v)); comp values
+        // are themselves vertex ids (invariant: comp(v) ≤ v), so the
+        // self-join resolves one indirection level and halves tree
+        // depth per round. The changed-label count is an observe()
+        // metric collected WHILE the checkpoint job materializes the
+        // rows — one job per round, not a checkpoint plus a count job.
         val obs = new org.apache.spark.sql.Observation(s"cc_round_$i")
-        val updated = propagated
-          .join(
-            propagated.select(col("id").as("comp"), col("comp").as("comp2")),
-            Seq("comp"),
-            "left")
-          .select(
-            col("id"),
-            least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"),
-            col("prev"))
-          .observe(
-            obs,
-            coalesce(sum(when(col("comp") < col("prev"), 1L).otherwise(0L)), lit(0L))
-              .as("changed"))
-          .select(col("id"), col("comp")) // prev served the metric only
-          .localCheckpoint() // truncate lineage: one round of plan, not i rounds
+        // truncate(): lineage cut to one round AND size stats reset —
+        // without the reset the self-join above squares the estimate
+        // every round (see [[truncate]])
+        val (updated, updatedCp) = truncate(
+          hooked
+            .join(
+              hooked.select(col("id").as("comp"), col("comp").as("comp2")),
+              Seq("comp"),
+              "left")
+            .select(
+              col("id"),
+              least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"),
+              col("prev"))
+            .observe(
+              obs,
+              coalesce(sum(when(col("comp") < col("prev"), 1L).otherwise(0L)), lit(0L))
+                .as("changed"))
+            .select(col("id"), col("comp"))) // prev served the metric only
         changed = obs.get("changed").asInstanceOf[Long]
         propagated.unpersist()
         propagated = null
         // the superseded labeling's checkpoint blocks are dead now —
         // free them eagerly so storage holds 2 labelings, not maxIters
-        freeCheckpoint(labels)
+        freeCheckpoint(labelsCp)
         labels = updated
+        labelsCp = updatedCp
         i += 1
       }
       require(

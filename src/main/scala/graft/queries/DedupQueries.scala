@@ -499,6 +499,121 @@ object DedupQueries {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** Cluster/survivor contract for media near-dup at corpus scale — the
+    * round-10 sf1 finding's production shape (SCALE.md §"sf0.1 → sf1"):
+    * [[mediaDedup]]'s all-pairs output is inherently quadratic in
+    * duplicate-clique size (measured 63.2M pairs at sf1 vs 0.97M at
+    * sf0.1), so at unbounded clique sizes the scalable contract is
+    * clusters with one survivor each, built from STAR edges only —
+    * every doc links to its pigeonhole bucket's REPRESENTATIVE
+    * (min doc_id) when the two phashes verify within `maxHamming`.
+    * O(n·segments) edges at ANY clique size, never a pair join; no
+    * mega-bucket cap needed because bucket size contributes linearly.
+    * Clusters are connected components over the star graph
+    * ([[graft.operators.ConnectedComponents]] pointer jumping, O(log n)
+    * rounds); output one row per doc in a non-trivial cluster with its
+    * component root and survivor flag.
+    *
+    * Semantics note (documented contract difference): rep-verified
+    * linkage is a SUBSET of full pairwise linkage — two docs within
+    * the threshold of each other but not of any shared bucket rep can
+    * land in different clusters. That is the standard LSH-clustering
+    * trade, and the oracle mirrors the star construction exactly.
+    */
+  def mediaDedupClusters(
+      s: SparkSession,
+      dir: String,
+      maxHamming: Int = 3,
+      maxIters: Int = graft.operators.ConnectedComponents.DefaultMaxIters): DataFrame = {
+    val hUdf = udf { (docId: Long, media: Array[Byte]) =>
+      MultimodalQueries.dhash56(docId, media)
+    }
+    val hashes = MultimodalQueries
+      .mediaTable(s, dir)
+      .select(col("doc_id"), hUdf(col("doc_id"), col("media")).as("phash"))
+    val segs = hashes
+      .select(
+        col("doc_id"),
+        col("phash"),
+        explode(array((0 to 3).map(i =>
+          (shiftright(col("phash"), 14 * i).bitwiseAND(lit(0x3fffL)) + lit(i.toLong << 32))
+            .as(s"k$i")): _*))
+          .as("seg_key"))
+      .persist()
+    // min(struct) rep per bucket: one partial-agg shuffle, never a sort
+    val reps = segs
+      .groupBy(col("seg_key"))
+      .agg(min(struct(col("doc_id"), col("phash"))).as("rep"))
+      .select(
+        col("seg_key"),
+        col("rep.doc_id").as("rep_id"),
+        col("rep.phash").as("rep_phash"))
+    val edges = segs
+      .join(reps, Seq("seg_key"))
+      .filter(col("doc_id") =!= col("rep_id"))
+      .filter(expr("bit_count(phash ^ rep_phash)").cast("int") <= maxHamming)
+      .select(col("doc_id").as("src"), col("rep_id").as("dst"))
+      .distinct()
+    graft.operators.ConnectedComponents
+      .components(edges, maxIters)
+      .select(
+        col("id").as("doc_id"),
+        col("component"),
+        (col("id") === col("component")).as("keep"))
+  }
+
+  /** DuckDB oracle for [[mediaDedupClusters]]: the same phash chain as
+    * [[mediaDedupSql]], star edges to bucket reps, recursive transitive
+    * closure.
+    */
+  val mediaDedupClustersSql: String =
+    """WITH RECURSIVE b AS (
+         SELECT doc_id, i, ((doc_id*31 + i*17 + 7) % 256) AS v
+         FROM documents, range(256) r(i)
+       ), pert AS (
+         SELECT doc_id, i,
+                CASE WHEN i = (doc_id*13 + doc_id // 256) % 256
+                     THEN (v + (doc_id // 3) % 251) % 256 ELSE v END AS v
+         FROM b
+       ), blocks AS (
+         SELECT doc_id, (i // 16) // 2 AS r, (i % 16) // 2 AS j, sum(v) AS m
+         FROM pert GROUP BY doc_id, (i // 16) // 2, (i % 16) // 2
+       ), bits AS (
+         SELECT l.doc_id, l.r, l.j, CASE WHEN l.m < n.m THEN 1 ELSE 0 END AS bit
+         FROM blocks l JOIN blocks n
+           ON l.doc_id = n.doc_id AND l.r = n.r AND n.j = l.j + 1
+         WHERE l.j < 7
+       ), hashes AS (
+         SELECT doc_id,
+                SUM(bit * (1::BIGINT << CAST(l.r*7 + l.j AS INTEGER)))::BIGINT AS phash
+         FROM bits l GROUP BY doc_id
+       ), segs AS (
+         SELECT doc_id, phash, s.s AS seg_idx,
+                (phash >> CAST(14*s.s AS INTEGER)) & 16383 AS seg
+         FROM hashes, (SELECT unnest(range(4)) AS s) s
+       ), reps AS (
+         SELECT seg_idx, seg, min(doc_id) AS rep_id
+         FROM segs GROUP BY seg_idx, seg
+       ), reph AS (
+         SELECT r.seg_idx, r.seg, r.rep_id, h.phash AS rep_phash
+         FROM reps r JOIN hashes h ON h.doc_id = r.rep_id
+       ), star AS (
+         SELECT DISTINCT s.doc_id AS a, r.rep_id AS b
+         FROM segs s JOIN reph r USING (seg_idx, seg)
+         WHERE s.doc_id <> r.rep_id
+           AND bit_count(xor(s.phash, r.rep_phash)) <= 3
+       ), e AS (
+         SELECT a, b FROM star UNION SELECT b, a FROM star
+       ), reach(a, b) AS (
+         SELECT a, b FROM e
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+       ), comp AS (
+         SELECT a AS doc_id, least(a, min(b)) AS component
+         FROM reach GROUP BY a
+       )
+       SELECT doc_id, component, doc_id = component AS keep FROM comp"""
+
   /** DuckDB oracle for [[mediaDedup]]: the whole chain — closed-form
     * payload, re-encode perturbation, 8×8 block sums, gradient bits,
     * segment pigeonhole, capped join, Hamming filter — in integer SQL.
