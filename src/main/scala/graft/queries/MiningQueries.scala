@@ -892,6 +892,261 @@ object MiningQueries {
        FROM risk"""
 
   // --------------------------------------------------------------------
+  // q_logrank — two-sample log-rank test across survival cohorts
+  // --------------------------------------------------------------------
+
+  /** Two-sample log-rank test: do WEEKEND signups convert on a
+    * different schedule than weekday signups? The hypothesis test that
+    * completes [[survivalKmStrata]] — observed vs expected conversions
+    * in group 1 at every event time, z-scored with the hypergeometric
+    * variance (the standard Mantel–Cox form).
+    *
+    * Scale: identical data plane to [[survivalKm]] — one per-duration
+    * aggregate (bounded by the observation window in days), windows
+    * only over that bounded table. Cross-engine exactness: the
+    * per-duration expected/variance terms are doubles, so their SUMS
+    * are quantized — ⌊term·10¹²⌋ longs summed as decimal(38,0) (the
+    * [[SearchQueries.zipfSlope]] discipline) — making them
+    * order-independent and bit-identical; only the final e1/z
+    * projection divides back, with the identical expression tree in
+    * the oracle. Weekend test: Spark `dayofweek` is 1–7 Sunday-based
+    * (weekend = {1, 7}); DuckDB's is 0–6 (weekend = {0, 6}).
+    */
+  def logrank(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val signup = ev
+      .filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("signup_day"))
+      .withColumn(
+        "grp",
+        when(dayofweek(col("signup_day")).isin(1, 7), 1L).otherwise(0L))
+    val conv = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("pday"))
+      .join(signup.select(col("user_id"), col("signup_day")), "user_id")
+      .filter(col("pday") >= col("signup_day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("pday")).as("conv_day"))
+    val users = signup
+      .join(conv, Seq("user_id"), "left")
+      .select(
+        col("grp"),
+        when(col("conv_day").isNotNull, datediff(col("conv_day"), col("signup_day")))
+          .otherwise(datediff(lit("2024-01-31").cast("date"), col("signup_day")))
+          .cast("long")
+          .as("duration"),
+        when(col("conv_day").isNotNull, 1L).otherwise(0L).as("event"))
+    val pd = users
+      .groupBy(col("duration"))
+      .agg(
+        count(lit(1)).as("n_end"),
+        sum(col("event")).as("d"),
+        sum(col("grp")).as("n_end1"),
+        sum(col("grp") * col("event")).as("d1"))
+    // the per-duration table is bounded by the observation window
+    // (≤ 31 rows) — total-order windows over it are control-plane
+    val wPrev = Window.orderBy(col("duration")).rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val risk = pd
+      .withColumn(
+        "n",
+        sum(col("n_end")).over(wAll) - coalesce(sum(col("n_end")).over(wPrev), lit(0L)))
+      .withColumn(
+        "n1",
+        sum(col("n_end1")).over(wAll) - coalesce(sum(col("n_end1")).over(wPrev), lit(0L)))
+      .filter(col("d") > 0)
+    val nd = col("n").cast("double")
+    val qe = floor(col("n1").cast("double") * col("d") / nd * lit(1e12))
+    val qv = floor(
+      when(
+        col("n") > 1,
+        (col("d").cast("double") * col("n1") / nd) *
+          (lit(1.0) - col("n1").cast("double") / nd) *
+          (col("n") - col("d")) / (col("n") - 1)).otherwise(lit(0.0)) * lit(1e12))
+    risk
+      .agg(
+        sum(col("d1")).as("o1"),
+        sum(qe.cast("decimal(38,0)")).as("sqe"),
+        sum(qv.cast("decimal(38,0)")).as("sqv"))
+      .select(
+        col("o1"),
+        round(col("sqe").cast("double") / lit(1e12), 6).as("e1"),
+        round(
+          (col("o1").cast("double") - col("sqe").cast("double") / lit(1e12)) /
+            sqrt(col("sqv").cast("double") / lit(1e12)),
+          6).as("z_score"))
+  }
+
+  val logrankSql: String =
+    """WITH signup AS (
+         SELECT user_id, min(CAST(ts AS DATE)) AS signup_day,
+                CASE WHEN dayofweek(min(CAST(ts AS DATE))) IN (0, 6)
+                     THEN 1 ELSE 0 END AS grp
+         FROM events WHERE event_type = 'signup' GROUP BY 1
+       ), conv AS (
+         SELECT e.user_id, min(CAST(e.ts AS DATE)) AS conv_day
+         FROM events e JOIN signup su ON e.user_id = su.user_id
+         WHERE e.event_type = 'purchase' AND CAST(e.ts AS DATE) >= su.signup_day
+         GROUP BY 1
+       ), users AS (
+         SELECT su.grp,
+                CASE WHEN c.conv_day IS NOT NULL
+                     THEN date_diff('day', su.signup_day, c.conv_day)
+                     ELSE date_diff('day', su.signup_day, DATE '2024-01-31') END AS duration,
+                CASE WHEN c.conv_day IS NOT NULL THEN 1 ELSE 0 END AS event
+         FROM signup su LEFT JOIN conv c ON su.user_id = c.user_id
+       ), pd AS (
+         SELECT duration, CAST(count(*) AS BIGINT) AS n_end,
+                CAST(sum(event) AS BIGINT) AS d,
+                CAST(sum(grp) AS BIGINT) AS n_end1,
+                CAST(sum(grp * event) AS BIGINT) AS d1
+         FROM users GROUP BY 1
+       ), risk AS (
+         SELECT duration, d, d1,
+                CAST(sum(n_end) OVER ()
+                  - coalesce(sum(n_end) OVER (ORDER BY duration
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n,
+                CAST(sum(n_end1) OVER ()
+                  - coalesce(sum(n_end1) OVER (ORDER BY duration
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n1
+         FROM pd
+       ), q AS (
+         SELECT d1,
+                CAST(floor(CAST(n1 AS DOUBLE) * d / CAST(n AS DOUBLE) * 1e12) AS BIGINT) AS qe,
+                CAST(floor(CASE WHEN n > 1
+                  THEN (CAST(d AS DOUBLE) * n1 / CAST(n AS DOUBLE))
+                       * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (n - d) / (n - 1)
+                  ELSE 0.0 END * 1e12) AS BIGINT) AS qv
+         FROM risk WHERE d > 0
+       ), g AS (
+         SELECT CAST(sum(d1) AS BIGINT) AS o1, sum(qe) AS sqe, sum(qv) AS sqv FROM q
+       )
+       SELECT o1,
+              round(CAST(sqe AS DOUBLE) / 1e12, 6) AS e1,
+              round((CAST(o1 AS DOUBLE) - CAST(sqe AS DOUBLE) / 1e12)
+                    / sqrt(CAST(sqv AS DOUBLE) / 1e12), 6) AS z_score
+       FROM g"""
+
+  // --------------------------------------------------------------------
+  // q_roc_curve / q_roc_auc — exact-integer ROC analysis
+  // --------------------------------------------------------------------
+
+  /** Shared per-threshold ROC table: positives = purchase, negatives =
+    * view, score = exact cents. One partial-agg shuffle keyed by the
+    * bounded cent domain; cumulative TP/FP from the HIGHEST threshold
+    * down via the [[mannWhitney]] two-level scheme — per-bucket DESC
+    * windows plus a broadcast bucket-offset carry, so no window ever
+    * orders more than one bucket of the value domain.
+    */
+  private def rocBase(s: SparkSession, dir: String): DataFrame = {
+    val perc = Tables
+      .events(s, dir)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(
+        round(col("value") * 100).cast("long").as("cents"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("cents"))
+      .agg(sum(col("pos")).as("np"), (count(lit(1)) - sum(col("pos"))).as("nn"))
+      .withColumn("bkt", expr("cents div 1000").cast("int"))
+    val bTot = perc
+      .groupBy(col("bkt"))
+      .agg(sum(col("np")).as("bp"), sum(col("nn")).as("bn"))
+    // DESC carry over the bounded bucket table (the mannWhitney
+    // precedent: the only unpartitioned window in the plan)
+    val wCarry = Window.orderBy(col("bkt").desc).rowsBetween(Window.unboundedPreceding, -1)
+    val carry = bTot
+      .withColumn("boffp", coalesce(sum(col("bp")).over(wCarry), lit(0L)))
+      .withColumn("boffn", coalesce(sum(col("bn")).over(wCarry), lit(0L)))
+      .select(col("bkt"), col("boffp"), col("boffn"))
+    val wIn = Window
+      .partitionBy(col("bkt"))
+      .orderBy(col("cents").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perc
+      .join(broadcast(carry), "bkt")
+      .withColumn("tp", col("boffp") + sum(col("np")).over(wIn))
+      .withColumn("fp", col("boffn") + sum(col("nn")).over(wIn))
+      .select(col("cents"), col("np"), col("nn"), col("tp"), col("fp"))
+  }
+
+  /** ROC curve at every distinct score threshold — cumulative TP/FP
+    * counts (exact longs) plus TPR/FPR rates derived from them, the
+    * model-eval table behind [[rocAuc]].
+    */
+  def rocCurve(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the totals scalar and the rate projection share the one
+    // curve computation (session clearCache contract, as elsewhere)
+    val base = rocBase(s, dir).persist()
+    val tot = base.agg(sum(col("np")).as("p"), sum(col("nn")).as("n"))
+    base
+      .crossJoin(broadcast(tot))
+      .select(
+        col("cents").as("threshold"),
+        col("tp"),
+        col("fp"),
+        round(col("tp").cast("double") / col("p").cast("double"), 6).as("tpr"),
+        round(col("fp").cast("double") / col("n").cast("double"), 6).as("fpr"))
+  }
+
+  /** Exact trapezoid AUC: 2·P·N·AUC = Σ_thresholds nn·(2·tp − np) — an
+    * EXACT integer identity (each threshold step adds the trapezoid
+    * with parallel sides tp_prev/tp_cur over width nn), summed as
+    * decimal(38,0) against i64 overflow at web-scale counts; the one
+    * division happens at the very end. Cross-checked against the
+    * rank-sum (Mann–Whitney) AUC definition in the oracle design.
+    */
+  def rocAuc(s: SparkSession, dir: String): DataFrame =
+    rocBase(s, dir)
+      .agg(
+        sum(col("np")).as("p"),
+        sum(col("nn")).as("n"),
+        sum((col("nn") * (lit(2L) * col("tp") - col("np"))).cast("decimal(38,0)"))
+          .as("auc2"))
+      .select(
+        col("p"),
+        col("n"),
+        round(
+          col("auc2").cast("double") /
+            (lit(2.0) * col("p").cast("double") * col("n").cast("double")),
+          6).as("auc"))
+
+  private val rocBaseSql: String =
+    """WITH ev AS (
+         SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+         FROM events WHERE event_type IN ('purchase', 'view')
+       ), perc AS (
+         SELECT cents, CAST(sum(pos) AS BIGINT) AS np,
+                CAST(count(*) - sum(pos) AS BIGINT) AS nn
+         FROM ev GROUP BY 1
+       ), curve AS (
+         SELECT cents, np, nn,
+                CAST(sum(np) OVER (ORDER BY cents DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+                CAST(sum(nn) OVER (ORDER BY cents DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+         FROM perc
+       )"""
+
+  val rocCurveSql: String =
+    rocBaseSql + """, tot AS (SELECT CAST(sum(np) AS BIGINT) AS p,
+                                     CAST(sum(nn) AS BIGINT) AS n FROM perc)
+       SELECT cents AS threshold, tp, fp,
+              round(CAST(tp AS DOUBLE) / CAST(p AS DOUBLE), 6) AS tpr,
+              round(CAST(fp AS DOUBLE) / CAST(n AS DOUBLE), 6) AS fpr
+       FROM curve, tot"""
+
+  val rocAucSql: String =
+    rocBaseSql + """
+       SELECT CAST(sum(np) AS BIGINT) AS p, CAST(sum(nn) AS BIGINT) AS n,
+              round(CAST(sum(nn * (2 * tp - np)) AS DOUBLE)
+                    / (2.0 * CAST(sum(np) AS DOUBLE) * CAST(sum(nn) AS DOUBLE)),
+                    6) AS auc
+       FROM curve"""
+
+  // --------------------------------------------------------------------
   // q_negative_sampling — deterministic hash negatives for contrastive training
   // --------------------------------------------------------------------
 

@@ -113,6 +113,90 @@ object SearchQueries {
   }
 
   // --------------------------------------------------------------------
+  // q_rrf_fusion — reciprocal-rank fusion of two retrieval rankings
+  // --------------------------------------------------------------------
+
+  /** Reciprocal-rank fusion (Cormack et al.: score = Σᵣ 1/(k + rankᵣ),
+    * k = 60) of two retrieval rankings over the corpus — the hybrid-
+    * search combiner every RAG stack runs to merge lexical and
+    * non-lexical rankers without score calibration. Ranker A is the
+    * [[bm25Search]] top-`topK`; ranker B is a length prior (top-`topK`
+    * by n_chars — standing in for any second ranker; the fusion is
+    * ranker-agnostic). Output: the fused top-`fusedK` with both source
+    * ranks (null where a doc appeared in only one list).
+    *
+    * Scale: both input rankings are top-k truncations that plan as
+    * `TakeOrderedAndProject` (per-partition heaps, no full sort); the
+    * fusion is a full-outer equi-join of two ≤ topK-row lists and every
+    * total-order window runs AFTER a truncation, so it sees ≤ topK
+    * rows — the [[bm25Search]] rank-after-limit discipline. The RRF
+    * score is a fixed two-term expression (no aggregation), identical
+    * in both engines.
+    */
+  def rrfFusion(
+      s: SparkSession,
+      dir: String,
+      topK: Int = 50,
+      rrfK: Int = 60,
+      fusedK: Int = 20): DataFrame = {
+    val bm = bm25Search(s, dir, topK).select(col("doc_id"), col("rank").as("bm25_rank"))
+    val byLen = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .limit(topK)
+      .withColumn(
+        "length_rank",
+        row_number()
+          .over(Window.orderBy(col("n_chars").desc, col("doc_id")))
+          .cast("long"))
+      .select(col("doc_id"), col("length_rank"))
+    val fused = bm
+      .join(byLen, Seq("doc_id"), "full_outer")
+      .withColumn(
+        "rrf",
+        round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("bm25_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfK) + col("length_rank")), lit(0.0)),
+          6))
+    fused
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(fusedK)
+      .withColumn(
+        "fused_rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+      .select(
+        col("doc_id"),
+        col("rrf"),
+        col("bm25_rank"),
+        col("length_rank"),
+        col("fused_rank"))
+  }
+
+  /** DuckDB oracle for [[rrfFusion]]: the [[bm25SearchSql]] chain
+    * embedded as a subquery, the length ranking, and the identical
+    * two-term RRF expression (1.0 CAST to DOUBLE — DuckDB's bare 1.0
+    * literal is DECIMAL and would divide in decimal arithmetic).
+    */
+  def rrfFusionSql(topK: Int = 50, rrfK: Int = 60, fusedK: Int = 20): String =
+    s"""WITH bm AS (
+         SELECT doc_id, rank FROM (${bm25SearchSql(topK)})
+       ), ln_rank AS (
+         SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+         FROM documents
+         QUALIFY row_number() OVER (ORDER BY n_chars DESC, doc_id) <= $topK
+       ), u AS (
+         SELECT coalesce(b.doc_id, l.doc_id) AS doc_id,
+                round(coalesce(CAST(1.0 AS DOUBLE) / ($rrfK + b.rank), 0.0)
+                    + coalesce(CAST(1.0 AS DOUBLE) / ($rrfK + l.rank), 0.0), 6) AS rrf,
+                b.rank AS bm25_rank, l.rank AS length_rank
+         FROM bm b FULL OUTER JOIN ln_rank l ON b.doc_id = l.doc_id
+       )
+       SELECT doc_id, rrf, bm25_rank, length_rank,
+              row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
+       FROM u QUALIFY row_number() OVER (ORDER BY rrf DESC, doc_id) <= $fusedK"""
+
+  // --------------------------------------------------------------------
   // q_vocab_growth — Heaps-law vocabulary growth curve
   // --------------------------------------------------------------------
 

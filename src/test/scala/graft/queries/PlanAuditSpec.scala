@@ -778,6 +778,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), p.take(2000))
   }
 
+  test("q_roc_curve: cumulative TP/FP windows partition by bucket; rates from broadcast scalar") {
+    val p = plan("q_roc_curve")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // in-bucket DESC windows run inside bkt partitions (the mannWhitney
+    // carry scheme); the only unpartitioned window is the bounded
+    // bucket-offset table
+    assert(p.contains("hashpartitioning(bkt"), p.take(2000))
+    assert(p.contains("partial_sum"), "per-cent counts must partial-agg map-side")
+  }
+
+  test("q_rrf_fusion: both rankings truncate as TakeOrderedAndProject before any window") {
+    val p = plan("q_rrf_fusion")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k inputs must plan as per-partition heaps, not a full sort\n" + p.take(2000))
+  }
+
+  test("q_survival_km_strata: every curve window partitions by cohort") {
+    val df = graft.SparkEntry.queries("q_survival_km_strata")(spark, dir)
+    df.collect()
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty, s"partition-less window: $w"))
+  }
+
   test("q_source_divergence: quantized sums — no per-source vocabulary array") {
     val df = graft.SparkEntry.queries("q_source_divergence")(spark, dir)
     df.collect()
