@@ -1112,6 +1112,44 @@ object MiningQueries {
             (lit(2.0) * col("p").cast("double") * col("n").cast("double")),
           6).as("auc"))
 
+  /** Precision–recall curve at every distinct score threshold — the
+    * class-imbalance-honest companion to [[rocCurve]] (precision
+    * collapses where FPR hides it). Same exact-integer TP/FP base; the
+    * two rates are single divisions of exact longs.
+    */
+  def prCurve(s: SparkSession, dir: String): DataFrame = {
+    val base = rocBase(s, dir).persist()
+    val tot = base.agg(sum(col("np")).as("p"))
+    base
+      .crossJoin(broadcast(tot))
+      .select(
+        col("cents").as("threshold"),
+        col("tp"),
+        col("fp"),
+        round(col("tp").cast("double") / (col("tp") + col("fp")).cast("double"), 6)
+          .as("precision"),
+        round(col("tp").cast("double") / col("p").cast("double"), 6).as("recall"))
+  }
+
+  /** Average precision (area under the PR curve, step interpolation):
+    * AP = Σ_thresholds ΔTP·precision / P with ΔTP = np at each
+    * threshold. The per-threshold precision terms are doubles, so the
+    * sum is QUANTIZED — ⌊np·tp/(tp+fp)·10¹²⌋ longs summed as
+    * decimal(38,0) (the repo's order-independent exactness discipline)
+    * — and the single /P division happens at the end.
+    */
+  def avgPrecision(s: SparkSession, dir: String): DataFrame = {
+    val qt = floor(
+      col("np").cast("double") * col("tp") / (col("tp") + col("fp")).cast("double") *
+        lit(1e12))
+    rocBase(s, dir)
+      .agg(sum(col("np")).as("p"), sum(qt.cast("decimal(38,0)")).as("sq"))
+      .select(
+        col("p"),
+        round((col("sq").cast("double") / lit(1e12)) / col("p").cast("double"), 6)
+          .as("avg_precision"))
+  }
+
   private val rocBaseSql: String =
     """WITH ev AS (
          SELECT CAST(round(value * 100) AS BIGINT) AS cents,
@@ -1145,6 +1183,25 @@ object MiningQueries {
                     / (2.0 * CAST(sum(np) AS DOUBLE) * CAST(sum(nn) AS DOUBLE)),
                     6) AS auc
        FROM curve"""
+
+  val prCurveSql: String =
+    rocBaseSql + """, tot AS (SELECT CAST(sum(np) AS BIGINT) AS p FROM perc)
+       SELECT cents AS threshold, tp, fp,
+              round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision,
+              round(CAST(tp AS DOUBLE) / CAST(p AS DOUBLE), 6) AS recall
+       FROM curve, tot"""
+
+  val avgPrecisionSql: String =
+    rocBaseSql + """, q AS (
+         SELECT np,
+                CAST(floor(CAST(np AS DOUBLE) * tp / CAST(tp + fp AS DOUBLE) * 1e12)
+                  AS BIGINT) AS qt
+         FROM curve
+       )
+       SELECT CAST(sum(np) AS BIGINT) AS p,
+              round((CAST(sum(qt) AS DOUBLE) / 1e12) / CAST(sum(np) AS DOUBLE), 6)
+                AS avg_precision
+       FROM q"""
 
   // --------------------------------------------------------------------
   // q_negative_sampling — deterministic hash negatives for contrastive training

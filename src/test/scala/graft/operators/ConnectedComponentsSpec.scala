@@ -65,6 +65,30 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(comps(edges) === Map(5L -> 5L, 6L -> 5L))
   }
 
+  test("id-permuted long chain: root hooking + stats reset hold the default round budget") {
+    // The r10 regression pair. (1) ROUNDS: a long path whose vertex ids
+    // are PERMUTED adversarially (an LCG scramble, so the min id sits
+    // mid-chain and id order anti-correlates with path order) defeated
+    // the old leaf-only hooking — minima crawled one hop per round and
+    // the media star graph needed 40+ rounds; Shiloach–Vishkin root
+    // hooking converges well inside the default 25. (2) STATS: enough
+    // rounds ALSO used to hang the driver — localCheckpoint propagated
+    // the plan's sizeInBytes and the pointer-jump self-join squared it
+    // per round into million-bit BigIntegers (minutes per round in
+    // canBroadcastBySize); the per-round stats reset keeps this test
+    // finishing in seconds, not hours.
+    val n = 2048L
+    def perm(i: Long): Long = (i * 1103515245L + 12345L) % n // gcd(a, n)=1 → bijection
+    val edges = (0L until n - 1).map(i => (perm(i), perm(i + 1)))
+    val minId = (0L until n).map(perm).min
+    val t0 = System.nanoTime()
+    val got = comps(edges) // default maxIters = 25
+    assert(got.size === n.toInt)
+    assert(got.values.toSet === Set(minId))
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 120.0, s"CC on the 2048-chain took $secs s — stats reset regressed?")
+  }
+
   test("seeded random graphs match a local union-find") {
     // independent reference implementation: union-by-min keeps every
     // set's root at its minimum id, so find(v) IS the expected component
