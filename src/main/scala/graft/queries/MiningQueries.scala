@@ -1204,6 +1204,128 @@ object MiningQueries {
        FROM q"""
 
   // --------------------------------------------------------------------
+  // q_logreg_train — distributed logistic-regression trainer
+  // --------------------------------------------------------------------
+
+  /** Distributed logistic-regression training by full-batch gradient
+    * descent — the quality-classifier trainer of a curation pipeline
+    * (fastText-style doc filters), expressed Spark-first: each
+    * iteration is ONE partial-aggregated pass computing the gradient
+    * sums, with a single 3-double row collected to the driver per
+    * round (the BPE scalar-per-round discipline); the feature table is
+    * persisted once. Features here are document statistics
+    * (tokens/100, distinct-token ratio) against a learnable
+    * length-flag label (n_chars ≥ 300 — balanced ~50/50 at every
+    * fixture scale, converging to ~97% train accuracy in
+    * [[LrIters]] = 10 rounds at η = [[LrEta]]); the trainer is
+    * feature- and label-agnostic — swap in model scores or human
+    * labels without touching the loop.
+    *
+    * Cross-engine exactness (the full-replay oracle): per-row gradient
+    * terms (σ(w·x) − y)·xⱼ quantize to ⌊t·10¹²⌋ longs summed as
+    * decimal(38,0), so every iteration's gradient is an
+    * order-independent EXACT integer; the driver's weight update
+    * replicates the oracle's double expression bit for bit, so the
+    * unrolled [[LrIters]]-stage CTE chain in DuckDB reproduces the
+    * identical weight trajectory, final weights, and accuracy count.
+    * Scale: gradients partial-agg map-side; driver traffic is 3
+    * doubles per round; at 100 TB the same loop runs with the feature
+    * scan cached and nothing else changes.
+    */
+  val LrIters = 10
+  val LrEta = 4.0
+
+  def logregTrain(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ", -1)
+    val feat = Tables
+      .documents(s, dir)
+      .select(
+        (size(toks).cast("double") / lit(100.0)).as("x1"),
+        (size(array_distinct(toks)).cast("double") / size(toks).cast("double")).as("x2"),
+        when(col("n_chars") >= 300, lit(1.0)).otherwise(lit(0.0)).as("y"))
+      .persist()
+    val n = feat.count()
+    val nD = n.toDouble
+    var w = Array(0.0, 0.0, 0.0)
+    for (_ <- 0 until LrIters) {
+      val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
+      val sig = lit(1.0) / (lit(1.0) + exp(-z))
+      val g = feat
+        .agg(
+          sum(floor((sig - col("y")) * lit(1.0) * lit(1e12)).cast("decimal(38,0)"))
+            .as("s0"),
+          sum(floor((sig - col("y")) * col("x1") * lit(1e12)).cast("decimal(38,0)"))
+            .as("s1"),
+          sum(floor((sig - col("y")) * col("x2") * lit(1e12)).cast("decimal(38,0)"))
+            .as("s2"))
+        .collect()(0)
+      // exact driver replica of the oracle's update expression:
+      // w' = w − η·((S/1e12)/n), all IEEE double ops in the same shape
+      def upd(j: Int, col: Int): Double =
+        w(j) - LrEta * ((g.getDecimal(col).doubleValue() / 1e12) / nD)
+      w = Array(upd(0, 0), upd(1, 1), upd(2, 2))
+    }
+    val zF = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
+    feat
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when((zF > 0) === (col("y") === lit(1.0)), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(
+        col("n"),
+        col("n_correct"),
+        round(lit(w(0)), 6).as("w0"),
+        round(lit(w(1)), 6).as("w1"),
+        round(lit(w(2)), 6).as("w2"))
+  }
+
+  /** DuckDB oracle for [[logregTrain]]: the whole training REPLAYED as
+    * an unrolled CTE chain — one gradient CTE + one weight CTE per
+    * iteration, each expression the exact double/quantized-integer
+    * shape of the Spark trainer, so the weight trajectory matches bit
+    * for bit (1.0 literals CAST to DOUBLE — DuckDB's bare 1.0 is
+    * DECIMAL).
+    */
+  def logregTrainSql: String = {
+    val one = "CAST(1.0 AS DOUBLE)"
+    val sb = new StringBuilder
+    sb.append(s"""WITH feat AS (
+         SELECT CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0 AS x1,
+                CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x2,
+                CASE WHEN n_chars >= 300 THEN $one ELSE CAST(0.0 AS DOUBLE) END AS y
+         FROM documents
+       ), nn AS (SELECT count(*) AS n FROM feat),
+       w0 AS (SELECT CAST(0.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b,
+                     CAST(0.0 AS DOUBLE) AS c)""")
+    for (i <- 1 to LrIters) {
+      val sig = s"($one / ($one + exp(-(a + b*x1 + c*x2))))"
+      sb.append(s""",
+       g$i AS (
+         SELECT a, b, c, n,
+           CAST(sum(CAST(floor(($sig - y) * $one * 1e12) AS BIGINT)) AS BIGINT) AS s0,
+           CAST(sum(CAST(floor(($sig - y) * x1 * 1e12) AS BIGINT)) AS BIGINT) AS s1,
+           CAST(sum(CAST(floor(($sig - y) * x2 * 1e12) AS BIGINT)) AS BIGINT) AS s2
+         FROM feat, w${i - 1}, nn GROUP BY a, b, c, n
+       ),
+       w$i AS (
+         SELECT a - $LrEta * ((CAST(s0 AS DOUBLE) / 1e12) / n) AS a,
+                b - $LrEta * ((CAST(s1 AS DOUBLE) / 1e12) / n) AS b,
+                c - $LrEta * ((CAST(s2 AS DOUBLE) / 1e12) / n) AS c
+         FROM g$i
+       )""")
+    }
+    sb.append(s"""
+       SELECT count(*) AS n,
+              CAST(sum(CASE WHEN ((a + b*x1 + c*x2) > 0) = (y = $one)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+              round(a, 6) AS w0, round(b, 6) AS w1, round(c, 6) AS w2
+       FROM feat, w$LrIters
+       GROUP BY a, b, c""")
+    sb.toString
+  }
+
+  // --------------------------------------------------------------------
   // q_negative_sampling — deterministic hash negatives for contrastive training
   // --------------------------------------------------------------------
 
