@@ -1326,6 +1326,176 @@ object MiningQueries {
   }
 
   // --------------------------------------------------------------------
+  // q_gbm_stumps — gradient-boosted decision stumps
+  // --------------------------------------------------------------------
+
+  /** Gradient-boosted decision stumps (squared loss — boosting =
+    * iterative residual fitting): [[GbmRounds]] rounds, each finding
+    * the best single split over the quantized feature candidates by
+    * variance reduction, entirely distributed — one pass builds the
+    * per-(feature, candidate) count/residual-sum table (partial-agg,
+    * bounded by the quantized feature domains), prefix sums over it
+    * yield every split's gain, and ONE best-split row comes back to
+    * the driver per round (the BPE/[[logregTrain]] scalar-per-round
+    * discipline). The model state (stump list) lives on the driver and
+    * re-enters each round as literals in the residual expression.
+    *
+    * Cross-engine exactness (full-replay oracle): labels and
+    * predictions live in exact MICRO-UNITS (longs); leaf values
+    * quantize via ⌊mean + ½⌋ (floor is unambiguous — `round()`'s
+    * half-away vs half-even semantics differ across engines); split
+    * gains are doubles computed from identical exact longs with the
+    * identical expression tree, so the per-round argmax (tie-broken by
+    * (gain, feature, threshold)) picks the identical split in both
+    * engines. The oracle unrolls the whole training as chained CTEs —
+    * identical stump sequence, leaves, and final accuracy. Converges
+    * to ~99% train accuracy on the learnable length-flag label; the
+    * trainer is feature/label-agnostic like [[logregTrain]].
+    */
+  val GbmRounds = 4
+
+  def gbmStumps(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ", -1)
+    val feat = Tables
+      .documents(s, dir)
+      .select(
+        size(toks).cast("long").as("xq1"),
+        floor(
+          size(array_distinct(toks)).cast("double") / size(toks).cast("double") *
+            lit(100)).as("xq2"),
+        when(col("n_chars") >= 300, 1000000L).otherwise(0L).as("yq"))
+      .persist()
+    val base = feat.agg(count(lit(1)).as("n"), sum(col("yq")).as("syq")).collect()(0)
+    val n = base.getLong(0)
+    val f0 = math.floor(base.getLong(1).toDouble / n + 0.5).toLong
+    var stumps = Vector.empty[(Int, Long, Long, Long)]
+    def pred: Column =
+      stumps.foldLeft(lit(f0)) { case (acc, (j, thr, lq, rq)) =>
+        acc + when(col(s"xq$j") <= thr, lit(lq)).otherwise(lit(rq))
+      }
+    for (_ <- 0 until GbmRounds) {
+      val rr = feat.select(col("xq1"), col("xq2"), (col("yq") - pred).as("rq"))
+      def cand(j: Int) = rr
+        .groupBy(col(s"xq$j").as("v"))
+        .agg(count(lit(1)).as("c"), sum(col("rq")).as("s"))
+        .select(lit(j).as("j"), col("v"), col("c"), col("s"))
+      val c = cand(1).unionByName(cand(2))
+      val wPre = Window.partitionBy(col("j")).orderBy(col("v"))
+      val wTot = Window.partitionBy(col("j"))
+      val pre = c
+        .withColumn("nl", sum(col("c")).over(wPre))
+        .withColumn("sl", sum(col("s")).over(wPre))
+        .withColumn("nt", sum(col("c")).over(wTot))
+        .withColumn("st", sum(col("s")).over(wTot))
+        .filter(col("nl") < col("nt"))
+      val sld = col("sl").cast("double")
+      val srd = (col("st") - col("sl")).cast("double")
+      val std = col("st").cast("double")
+      val best = pre
+        .withColumn(
+          "gain",
+          sld * sld / col("nl") + srd * srd / (col("nt") - col("nl")) -
+            std * std / col("nt"))
+        .orderBy(col("gain").desc, col("j"), col("v"))
+        .limit(1)
+        .select(col("j"), col("v"), col("nl"), col("sl"), col("nt"), col("st"))
+        .collect()(0)
+      val (nl, sl, nt, st) = (best.getLong(2), best.getLong(3), best.getLong(4), best.getLong(5))
+      stumps :+= ((
+        best.getInt(0),
+        best.getLong(1),
+        math.floor(sl.toDouble / nl + 0.5).toLong,
+        math.floor((st - sl).toDouble / (nt - nl) + 0.5).toLong))
+    }
+    val stumpRows = stumps.zipWithIndex.map { case ((j, thr, lq, rq), i) =>
+      Seq(lit(i + 1).as("round"), lit(j).as("feature"), lit(thr).as("threshold"),
+        lit(lq).as("left_leaf"), lit(rq).as("right_leaf"))
+    }
+    val acc = feat.agg(
+      count(lit(1)).as("n"),
+      sum(when((pred > 500000L) === (col("yq") === 1000000L), 1L).otherwise(0L))
+        .as("n_correct"))
+    val stumpDf = stumpRows
+      .map(cols => s.range(1).select(cols: _*))
+      .reduce(_ unionByName _)
+    stumpDf.crossJoin(broadcast(acc))
+  }
+
+  /** DuckDB oracle for [[gbmStumps]]: the full training unrolled — one
+    * candidate/prefix/gain/best CTE block per round, the residual
+    * expression rebuilt from the previous best CTEs, identical micro-
+    * unit and double expression shapes throughout.
+    */
+  def gbmStumpsSql: String = {
+    val sb = new StringBuilder
+    sb.append("""WITH feat AS (
+         SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS xq1,
+                CAST(floor(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE) * 100) AS BIGINT) AS xq2,
+                CASE WHEN n_chars >= 300 THEN 1000000 ELSE 0 END AS yq
+         FROM documents
+       ), nn AS (SELECT count(*) AS n FROM feat),
+       f0 AS (SELECT CAST(floor(CAST(sum(yq) AS DOUBLE) / n + 0.5) AS BIGINT) AS f
+              FROM feat, nn GROUP BY n)""")
+    def predExpr(t: Int): String =
+      (1 until t).foldLeft("f") { (acc, k) =>
+        acc + s" + (CASE WHEN (CASE WHEN j_$k = 1 THEN xq1 ELSE xq2 END) <= v_$k" +
+          s" THEN lq_$k ELSE rq_$k END)"
+      }
+    def bests(t: Int): String = (1 until t).map(k => s", best_$k").mkString
+    for (t <- 1 to GbmRounds) {
+      sb.append(s""",
+       rr_$t AS (SELECT xq1, xq2, yq - (${predExpr(t)}) AS rq
+                 FROM feat, f0${bests(t)}),
+       c_$t AS (
+         SELECT 1 AS j, xq1 AS v, CAST(count(*) AS BIGINT) AS c,
+                CAST(sum(rq) AS BIGINT) AS s FROM rr_$t GROUP BY xq1
+         UNION ALL
+         SELECT 2 AS j, xq2 AS v, CAST(count(*) AS BIGINT) AS c,
+                CAST(sum(rq) AS BIGINT) AS s FROM rr_$t GROUP BY xq2
+       ),
+       pre_$t AS (
+         SELECT j, v,
+                CAST(sum(c) OVER (PARTITION BY j ORDER BY v) AS BIGINT) AS nl,
+                CAST(sum(s) OVER (PARTITION BY j ORDER BY v) AS BIGINT) AS sl,
+                CAST(sum(c) OVER (PARTITION BY j) AS BIGINT) AS nt,
+                CAST(sum(s) OVER (PARTITION BY j) AS BIGINT) AS st
+         FROM c_$t
+       ),
+       best_$t AS (
+         SELECT j AS j_$t, v AS v_$t, nl AS nl_$t, nt AS nt_$t,
+                CAST(floor(CAST(sl AS DOUBLE) / nl + 0.5) AS BIGINT) AS lq_$t,
+                CAST(floor(CAST(st - sl AS DOUBLE) / (nt - nl) + 0.5) AS BIGINT) AS rq_$t
+         FROM (SELECT *,
+                 CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / nl
+                 + CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE) / (nt - nl)
+                 - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt AS gain
+               FROM pre_$t WHERE nl < nt)
+         ORDER BY gain DESC, j, v LIMIT 1
+       )""")
+    }
+    val allBests = (1 to GbmRounds).map(k => s"best_$k").mkString(", ")
+    sb.append(s""",
+       accq AS (
+         SELECT count(*) AS n,
+                CAST(sum(CASE WHEN ((${predExpr(GbmRounds + 1)}) > 500000)
+                               = (yq = 1000000)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         FROM feat, f0, $allBests
+       ),
+       sel AS (""")
+    sb.append((1 to GbmRounds).map { t =>
+      s"""SELECT CAST($t AS INT) AS round, CAST(j_$t AS INT) AS feature,
+              v_$t AS threshold, lq_$t AS left_leaf, rq_$t AS right_leaf
+          FROM best_$t"""
+    }.mkString("\n          UNION ALL\n          "))
+    sb.append(""")
+       SELECT round, feature, threshold, left_leaf, right_leaf, n, n_correct
+       FROM sel, accq""")
+    sb.toString
+  }
+
+  // --------------------------------------------------------------------
   // q_negative_sampling — deterministic hash negatives for contrastive training
   // --------------------------------------------------------------------
 
