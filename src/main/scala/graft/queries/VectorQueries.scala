@@ -1444,4 +1444,133 @@ object VectorQueries {
        FROM adcs
        QUALIFY rank <= $k"""
   }
+
+  // --------------------------------------------------------------------
+  // q_kmeans_train — fully DISTRIBUTED Lloyd iterations, replay oracle
+  // --------------------------------------------------------------------
+
+  /** Fully distributed Lloyd k-means over the embedding corpus — the
+    * third member of the trainer family
+    * ([[MiningQueries.logregTrain]], [[MiningQueries.gbmStumps]]), and
+    * the distributed complement of [[trainCentroids]] (which trains on
+    * a bounded driver-side sample for the ANN codebooks): here EVERY
+    * vector participates in every round. Per round: one broadcast of
+    * the K centroids onto the corpus, nearest-centroid assignment via
+    * a fixed-order fold (deterministic (d2, k) tie-break), and a
+    * per-(cluster, dim) partial-aggregated sum — K·D rows back to the
+    * driver, nothing else. Init = the first K vectors by vec_id
+    * (deterministic, the K-means‖-style seeding swap-in point).
+    *
+    * Cross-engine exactness: per-dim sums quantize to ⌊x·10⁶⌋ longs
+    * (exact — float32 → double is exact), so each round's centroids
+    * are identical doubles in both engines ((S/c)/10⁶ shape), the
+    * distance folds see identical inputs, and the deterministic
+    * argmin picks identical clusters: the oracle REPLAYS all
+    * [[KmIters]] rounds as chained CTEs. Output per cluster: size,
+    * quantized inertia, and a quantized centroid checksum — all exact
+    * longs. Fail-fast on an empty cluster (would need the oracle's
+    * CASE mirrored; at the fixture's K=4 over 500+ vectors it cannot
+    * happen with first-K seeding).
+    */
+  val KmK = 4
+  val KmIters = 3
+  val KmDims = 64
+
+  def kmeansTrain(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
+    val e = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), expr("transform(embedding, v -> double(v))").as("emb"))
+      .persist()
+    var cents: Array[Array[Double]] = e
+      .orderBy(col("vec_id"))
+      .limit(KmK)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    val centSchema = StructType(Seq(
+      StructField("k", IntegerType, nullable = false),
+      StructField("c", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    def centDf = s.createDataFrame(
+      java.util.Arrays.asList(
+        cents.zipWithIndex.map { case (c, k) => Row(k, c.toSeq) }: _*),
+      centSchema)
+    val d2 = expr(
+      "aggregate(zip_with(emb, c, (a, b) -> (a - b) * (a - b)), " +
+        "cast(0.0 as double), (acc, x) -> acc + x)")
+    def assigned = e
+      .crossJoin(broadcast(centDf))
+      .withColumn("d2", d2)
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("k"))))
+      .filter(col("rn") === 1)
+    for (_ <- 0 until KmIters) {
+      val sums = assigned
+        .select(col("k"), posexplode(col("emb")).as(Seq("d", "v")))
+        .groupBy(col("k"), col("d"))
+        .agg(sum(floor(col("v") * lit(1e6))).as("s"), count(lit(1)).as("c"))
+        .collect()
+      require(
+        sums.map(_.getInt(0)).distinct.length == KmK,
+        "kmeans: empty cluster — adjust K or seeding before trusting results")
+      val next = Array.fill(KmK)(new Array[Double](KmDims))
+      sums.foreach { r =>
+        // exact replica of the oracle's centroid expression
+        next(r.getInt(0))(r.getInt(1)) = (r.getLong(2).toDouble / r.getLong(3)) / 1e6
+      }
+      cents = next
+    }
+    assigned
+      .select(col("k"), col("d2"), col("c"))
+      .groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("n_assigned"),
+        sum(floor(col("d2") * lit(1e6))).as("inertia_q"),
+        first(expr(
+          "aggregate(transform(c, x -> cast(floor(x * 1e6) as bigint)), " +
+            "cast(0 as bigint), (acc, x) -> acc + x)")).as("cent_checksum"))
+  }
+
+  /** DuckDB oracle for [[kmeansTrain]]: the full Lloyd replay — one
+    * assignment + per-dim quantized-sum + centroid CTE block per round,
+    * identical fold order and double shapes throughout.
+    */
+  def kmeansTrainSql: String = {
+    val d2 =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          [ (emb[i+1] - c[i+1]) * (emb[i+1] - c[i+1]) FOR i IN range($KmDims) ]),
+          (acc, x) -> acc + x)"""
+    val sb = new StringBuilder
+    sb.append(s"""WITH e AS (
+         SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+         FROM embeddings
+       ),
+       cent_0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, emb AS c
+                  FROM e ORDER BY vec_id LIMIT $KmK)""")
+    for (t <- 1 to KmIters) {
+      sb.append(s""",
+       a_$t AS (SELECT vec_id, emb, k, $d2 AS d2,
+                row_number() OVER (PARTITION BY vec_id ORDER BY $d2, k) AS rn
+              FROM e, cent_${t - 1}),
+       s_$t AS (SELECT k, g.d AS d,
+                  CAST(sum(CAST(floor(emb[g.d + 1] * 1e6) AS BIGINT)) AS BIGINT) AS s,
+                  count(*) AS c
+                FROM (SELECT emb, k FROM a_$t WHERE rn = 1), range($KmDims) g(d)
+                GROUP BY k, g.d),
+       cent_$t AS (SELECT k, list((CAST(s AS DOUBLE) / c) / 1e6 ORDER BY d) AS c
+                   FROM s_$t GROUP BY k)""")
+    }
+    sb.append(s"""
+       SELECT CAST(k AS INT) AS k, count(*) AS n_assigned,
+              CAST(sum(CAST(floor(d2 * 1e6) AS BIGINT)) AS BIGINT) AS inertia_q,
+              CAST(min(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(c, x -> CAST(floor(x * 1e6) AS BIGINT))),
+                (acc, x) -> acc + x)) AS BIGINT) AS cent_checksum
+       FROM (SELECT vec_id, k, c, $d2 AS d2,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY $d2, k) AS rn
+             FROM e, cent_$KmIters)
+       WHERE rn = 1 GROUP BY k""")
+    sb.toString
+  }
 }
