@@ -239,4 +239,32 @@ class MiningSpec extends AnyFunSuite {
       assert(fp >= 0 && fp <= 24)
     }
   }
+
+  test("logreg trainer: converges above 0.9 train accuracy, deterministic rerun") {
+    val a = MiningQueries.logregTrain(spark, dir).collect()(0)
+    val n = a.getAs[Long]("n")
+    val correct = a.getAs[Long]("n_correct")
+    assert(n > 0 && correct.toDouble / n > 0.9,
+      s"trainer failed to learn the learnable label: $correct/$n")
+    // a non-trivial model actually moved off the origin
+    assert(math.abs(a.getAs[Double]("w1")) > 0.1)
+    val b = MiningQueries.logregTrain(spark, dir).collect()(0)
+    assert(a === b, "training must be bit-deterministic across reruns")
+  }
+
+  test("gbm stumps: positive-gain splits, leaves move predictions toward labels, " +
+    "deterministic rerun") {
+    val rows = MiningQueries.gbmStumps(spark, dir).collect()
+    assert(rows.length === MiningQueries.GbmRounds)
+    val n = rows.head.getAs[Long]("n")
+    val correct = rows.head.getAs[Long]("n_correct")
+    assert(correct.toDouble / n > 0.9, s"boosting failed to learn: $correct/$n")
+    rows.foreach { r =>
+      // a stump with equal leaves would be a zero-gain no-op split
+      assert(r.getAs[Long]("left_leaf") !== r.getAs[Long]("right_leaf"))
+      assert(Set(1, 2).contains(r.getAs[Int]("feature")))
+    }
+    val again = MiningQueries.gbmStumps(spark, dir).collect()
+    assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
 }

@@ -191,4 +191,16 @@ class VectorSpec extends AnyFunSuite {
     for (r <- dropped) assert(!r.isNullAt(r.fieldIndex("nn_sim")))
     for (r <- rows if r.getAs[Boolean]("keep")) assert(r.isNullAt(r.fieldIndex("nn_sim")))
   }
+
+  test("distributed Lloyd k-means: partition of the corpus, deterministic rerun, " +
+    "tighter than the 1-round clustering") {
+    val rows = VectorQueries.kmeansTrain(spark, dir).collect()
+    assert(rows.length === VectorQueries.KmK)
+    val total = rows.map(_.getAs[Long]("n_assigned")).sum
+    val nVec = graft.Tables.embeddings(spark, dir).count()
+    assert(total === nVec, "every vector must land in exactly one cluster")
+    rows.foreach(r => assert(r.getAs[Long]("n_assigned") > 0))
+    val again = VectorQueries.kmeansTrain(spark, dir).collect()
+    assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
 }
