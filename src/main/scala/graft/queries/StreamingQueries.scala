@@ -897,4 +897,155 @@ object StreamingQueries {
   /** Oracle: exact distinct — the stream state must land exactly. */
   val streamBitmapDistinctSql: String =
     "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
+
+  // --------------------------------------------------------------------
+  // q_stream_sgd — online learning on the streaming engine
+  // --------------------------------------------------------------------
+
+  /** Online logistic-regression SGD on the REAL streaming engine: the
+    * corpus arrives as [[SgdBatches]] deterministic hash-split
+    * micro-batches and `foreachBatch` takes one mean-gradient step per
+    * batch — the online-learning loop of a continuously-trained
+    * quality filter, with the model living driver-side exactly like
+    * [[MiningQueries.logregTrain]]'s batch twin. Gradients use the
+    * same quantized-integer discipline (⌊t·10¹²⌋ longs summed as
+    * decimal(38,0)), so each step is exact and the DuckDB oracle
+    * REPLAYS the whole batch sequence (batch b = the md5 bucket, the
+    * [[CurationQueries.hashSplit]] convention) to the identical weight
+    * trajectory and final accuracy.
+    *
+    * Harness note: the per-batch FEED collects each split to the
+    * driver to push through a MemoryStream — that is the test
+    * harness's ingestion, bounded at fixture scale (the StreamingSpec
+    * convention); a deployment reads Kafka and the learning loop —
+    * one distributed partial-agg gradient per micro-batch, 3 doubles
+    * to the driver — is unchanged at any scale.
+    */
+  val SgdBatches = 5
+  val SgdEta = 4.0
+
+  def streamSgd(s0: SparkSession, dir: String): DataFrame = {
+    val s = boundedDrainSession(s0)
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val toksC = split(col("text"), " ", -1)
+    val feat = s.read
+      .parquet(s"$dir/documents.parquet")
+      .select(
+        (size(toksC).cast("double") / lit(100.0)).as("x1"),
+        (size(array_distinct(toksC)).cast("double") / size(toksC).cast("double")).as("x2"),
+        when(col("n_chars") >= 300, lit(1.0)).otherwise(lit(0.0)).as("y"),
+        expr(OracleHash.bucketExpr("cast(doc_id as string)", SgdBatches)).as("b"))
+      .persist()
+    val batches = (0 until SgdBatches).map { b =>
+      val rows = feat
+        .filter(col("b") === b)
+        .select(col("x1"), col("x2"), col("y"))
+        .as[(Double, Double, Double)]
+        .collect()
+      require(rows.nonEmpty, s"stream SGD: empty micro-batch $b — oracle replay undefined")
+      rows
+    }
+    val w = new java.util.concurrent.atomic.AtomicReference(Array(0.0, 0.0, 0.0))
+    val input = MemoryStream[(Double, Double, Double)]
+    val ckpt = scratchCheckpoint("graft_sgd_ckpt")
+    val query = input
+      .toDS()
+      .toDF("x1", "x2", "y")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val cur = w.get()
+        val z = lit(cur(0)) + lit(cur(1)) * col("x1") + lit(cur(2)) * col("x2")
+        val sig = lit(1.0) / (lit(1.0) + exp(-z))
+        val g = batch
+          .agg(
+            count(lit(1)).as("c"),
+            sum(floor((sig - col("y")) * lit(1.0) * lit(1e12)).cast("decimal(38,0)"))
+              .as("s0"),
+            sum(floor((sig - col("y")) * col("x1") * lit(1e12)).cast("decimal(38,0)"))
+              .as("s1"),
+            sum(floor((sig - col("y")) * col("x2") * lit(1e12)).cast("decimal(38,0)"))
+              .as("s2"))
+          .collect()(0)
+        val c = g.getLong(0)
+        if (c > 0) {
+          // exact replica of the oracle's per-batch update expression
+          def upd(j: Int, i: Int): Double =
+            cur(j) - SgdEta * ((g.getDecimal(i).doubleValue() / 1e12) / c)
+          w.set(Array(upd(0, 1), upd(1, 2), upd(2, 3)))
+        }
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { rows =>
+        input.addData(rows.toIndexedSeq: _*)
+        query.processAllAvailable() // exactly one micro-batch per split
+      }
+    } finally {
+      try query.stop()
+      finally dropCheckpoint(ckpt)
+    }
+    val fw = w.get()
+    val zF = lit(fw(0)) + lit(fw(1)) * col("x1") + lit(fw(2)) * col("x2")
+    feat
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when((zF > 0) === (col("y") === lit(1.0)), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(
+        col("n"),
+        col("n_correct"),
+        round(lit(fw(0)), 6).as("w0"),
+        round(lit(fw(1)), 6).as("w1"),
+        round(lit(fw(2)), 6).as("w2"))
+  }
+
+  /** DuckDB oracle for [[streamSgd]]: the online pass unrolled — one
+    * gradient + weight CTE per hash-split micro-batch, identical
+    * quantized/double expression shapes, then the full-corpus accuracy
+    * under the final weights.
+    */
+  def streamSgdSql: String = {
+    val one = "CAST(1.0 AS DOUBLE)"
+    val bucket = OracleHash.bucketSql("CAST(doc_id AS VARCHAR)", SgdBatches)
+    val sb = new StringBuilder
+    sb.append(s"""WITH feat AS (
+         SELECT CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0 AS x1,
+                CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x2,
+                CASE WHEN n_chars >= 300 THEN $one ELSE CAST(0.0 AS DOUBLE) END AS y,
+                $bucket AS b
+         FROM documents
+       ),
+       w0 AS (SELECT CAST(0.0 AS DOUBLE) AS wa, CAST(0.0 AS DOUBLE) AS wb,
+                     CAST(0.0 AS DOUBLE) AS wc)""")
+    for (i <- 1 to SgdBatches) {
+      val sig = s"($one / ($one + exp(-(wa + wb*x1 + wc*x2))))"
+      sb.append(s""",
+       g$i AS (
+         SELECT wa, wb, wc, count(*) AS c,
+           CAST(sum(CAST(floor(($sig - y) * $one * 1e12) AS BIGINT)) AS BIGINT) AS s0,
+           CAST(sum(CAST(floor(($sig - y) * x1 * 1e12) AS BIGINT)) AS BIGINT) AS s1,
+           CAST(sum(CAST(floor(($sig - y) * x2 * 1e12) AS BIGINT)) AS BIGINT) AS s2
+         FROM (SELECT * FROM feat WHERE b = ${i - 1}), w${i - 1}
+         GROUP BY wa, wb, wc
+       ),
+       w$i AS (
+         SELECT wa - $SgdEta * ((CAST(s0 AS DOUBLE) / 1e12) / c) AS wa,
+                wb - $SgdEta * ((CAST(s1 AS DOUBLE) / 1e12) / c) AS wb,
+                wc - $SgdEta * ((CAST(s2 AS DOUBLE) / 1e12) / c) AS wc
+         FROM g$i
+       )""")
+    }
+    sb.append(s"""
+       SELECT count(*) AS n,
+              CAST(sum(CASE WHEN ((wa + wb*x1 + wc*x2) > 0) = (y = $one)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+              round(wa, 6) AS w0, round(wb, 6) AS w1, round(wc, 6) AS w2
+       FROM feat, w$SgdBatches
+       GROUP BY wa, wb, wc""")
+    sb.toString
+  }
 }
