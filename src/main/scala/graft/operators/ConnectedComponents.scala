@@ -100,6 +100,7 @@ object ConnectedComponents {
       .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
       .persist()
     var propagated: DataFrame = null
+    var hooked: DataFrame = null
     // try/finally so a mid-loop failure (or the non-convergence throw
     // below) cannot leak persisted blocks into a long-lived session
     try {
@@ -141,9 +142,14 @@ object ConnectedComponents {
         val rootMin = propagated
           .groupBy(col("comp"))
           .agg(min(col("cand")).as("rmin"))
-        val hooked = propagated
+        // persisted: hooked feeds BOTH sides of the pointer-jump
+        // self-join below — unpersisted, the rootMin aggregate + hook
+        // join subtree executes twice per round (ReuseExchange dedups
+        // only the shuffles)
+        hooked = propagated
           .join(rootMin, Seq("comp"))
           .select(col("id"), col("rmin").as("comp"), col("comp").as("prev"))
+          .persist()
         // step 3: pointer jump — comp(v) ← comp(comp(v)); comp values
         // are themselves vertex ids (invariant: comp(v) ≤ v), so the
         // self-join resolves one indirection level and halves tree
@@ -172,6 +178,8 @@ object ConnectedComponents {
         changed = obs.get("changed").asInstanceOf[Long]
         propagated.unpersist()
         propagated = null
+        hooked.unpersist()
+        hooked = null
         // the superseded labeling's checkpoint blocks are dead now —
         // free them eagerly so storage holds 2 labelings, not maxIters
         freeCheckpoint(labelsCp)
@@ -186,6 +194,7 @@ object ConnectedComponents {
       labels.select(col("id"), col("comp").as("component"))
     } finally {
       if (propagated != null) propagated.unpersist()
+      if (hooked != null) hooked.unpersist()
       directed.unpersist()
     }
   }

@@ -459,21 +459,22 @@ object DedupQueries {
     * sums, and the gradient bits are all integer closed forms DuckDB
     * re-derives from `range(256)`.
     */
-  def mediaDedup(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+  /** Shared phash + pigeonhole construction for the media dedup family:
+    * one hash evaluation per payload, exploded into the 4 pigeonhole
+    * keys; persisted because every consumer reads it more than once
+    * (same STORAGE CONTRACT as minhashPairs/simhashPairs). The key is a
+    * PACKED LONG (segment index in the high bits) — the persist, the
+    * bucket-count shuffle, and the join legs all carry it, and a long
+    * hashes/compares without the per-row string allocation a concat
+    * key pays.
+    */
+  private def mediaPhashSegs(s: SparkSession, dir: String): DataFrame = {
     val hUdf = udf { (docId: Long, media: Array[Byte]) =>
       MultimodalQueries.dhash56(docId, media)
     }
-    val hashes = MultimodalQueries
+    MultimodalQueries
       .mediaTable(s, dir)
       .select(col("doc_id"), hUdf(col("doc_id"), col("media")).as("phash"))
-    // one hash evaluation per payload, exploded into the 4 pigeonhole
-    // keys; persisted because the bucket count and both join legs
-    // consume it (same STORAGE CONTRACT as minhashPairs/simhashPairs).
-    // The key is a PACKED LONG (segment index in the high bits) — the
-    // persist, the bucket-count shuffle, and both join legs all carry
-    // it, and a long hashes/compares without the per-row string
-    // allocation a concat key pays
-    val segs = hashes
       .select(
         col("doc_id"),
         col("phash"),
@@ -482,6 +483,10 @@ object DedupQueries {
             .as(s"k$i")): _*))
           .as("seg_key"))
       .persist()
+  }
+
+  def mediaDedup(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val segs = mediaPhashSegs(s, dir)
     val maxBucket = 4096
     val smallSegs = segs
       .groupBy(col("seg_key"))
@@ -525,21 +530,7 @@ object DedupQueries {
       dir: String,
       maxHamming: Int = 3,
       maxIters: Int = graft.operators.ConnectedComponents.DefaultMaxIters): DataFrame = {
-    val hUdf = udf { (docId: Long, media: Array[Byte]) =>
-      MultimodalQueries.dhash56(docId, media)
-    }
-    val hashes = MultimodalQueries
-      .mediaTable(s, dir)
-      .select(col("doc_id"), hUdf(col("doc_id"), col("media")).as("phash"))
-    val segs = hashes
-      .select(
-        col("doc_id"),
-        col("phash"),
-        explode(array((0 to 3).map(i =>
-          (shiftright(col("phash"), 14 * i).bitwiseAND(lit(0x3fffL)) + lit(i.toLong << 32))
-            .as(s"k$i")): _*))
-          .as("seg_key"))
-      .persist()
+    val segs = mediaPhashSegs(s, dir)
     // min(struct) rep per bucket: one partial-agg shuffle, never a sort
     val reps = segs
       .groupBy(col("seg_key"))
@@ -562,12 +553,14 @@ object DedupQueries {
         (col("id") === col("component")).as("keep"))
   }
 
-  /** DuckDB oracle for [[mediaDedupClusters]]: the same phash chain as
-    * [[mediaDedupSql]], star edges to bucket reps, recursive transitive
-    * closure.
+  /** Shared DuckDB CTE prefix `b..segs` re-deriving the closed-form
+    * payload, perturbation, block sums, gradient bits, and 4-segment
+    * pigeonhole — the ONE SQL mirror of [[mediaPhashSegs]], consumed by
+    * both media oracles so the pair and cluster contracts cannot
+    * silently desynchronize.
     */
-  val mediaDedupClustersSql: String =
-    """WITH RECURSIVE b AS (
+  private val mediaPhashCtesSql: String =
+    """b AS (
          SELECT doc_id, i, ((doc_id*31 + i*17 + 7) % 256) AS v
          FROM documents, range(256) r(i)
        ), pert AS (
@@ -591,7 +584,14 @@ object DedupQueries {
          SELECT doc_id, phash, s.s AS seg_idx,
                 (phash >> CAST(14*s.s AS INTEGER)) & 16383 AS seg
          FROM hashes, (SELECT unnest(range(4)) AS s) s
-       ), reps AS (
+       )"""
+
+  /** DuckDB oracle for [[mediaDedupClusters]], parameterized on the same
+    * `maxHamming` as the operator (ADVICE r9 discipline): star edges to
+    * bucket reps, recursive transitive closure.
+    */
+  def mediaDedupClustersSql(maxHamming: Int = 3): String =
+    s"""WITH RECURSIVE $mediaPhashCtesSql, reps AS (
          SELECT seg_idx, seg, min(doc_id) AS rep_id
          FROM segs GROUP BY seg_idx, seg
        ), reph AS (
@@ -601,7 +601,7 @@ object DedupQueries {
          SELECT DISTINCT s.doc_id AS a, r.rep_id AS b
          FROM segs s JOIN reph r USING (seg_idx, seg)
          WHERE s.doc_id <> r.rep_id
-           AND bit_count(xor(s.phash, r.rep_phash)) <= 3
+           AND bit_count(xor(s.phash, r.rep_phash)) <= $maxHamming
        ), e AS (
          SELECT a, b FROM star UNION SELECT b, a FROM star
        ), reach(a, b) AS (
@@ -614,36 +614,12 @@ object DedupQueries {
        )
        SELECT doc_id, component, doc_id = component AS keep FROM comp"""
 
-  /** DuckDB oracle for [[mediaDedup]]: the whole chain — closed-form
-    * payload, re-encode perturbation, 8×8 block sums, gradient bits,
-    * segment pigeonhole, capped join, Hamming filter — in integer SQL.
+  /** DuckDB oracle for [[mediaDedup]], parameterized on the same
+    * `maxHamming` as the operator (ADVICE r9 discipline): the shared
+    * phash chain, segment pigeonhole, capped join, Hamming filter.
     */
-  val mediaDedupSql: String =
-    """WITH b AS (
-         SELECT doc_id, i, ((doc_id*31 + i*17 + 7) % 256) AS v
-         FROM documents, range(256) r(i)
-       ), pert AS (
-         SELECT doc_id, i,
-                CASE WHEN i = (doc_id*13 + doc_id // 256) % 256
-                     THEN (v + (doc_id // 3) % 251) % 256 ELSE v END AS v
-         FROM b
-       ), blocks AS (
-         SELECT doc_id, (i // 16) // 2 AS r, (i % 16) // 2 AS j, sum(v) AS m
-         FROM pert GROUP BY doc_id, (i // 16) // 2, (i % 16) // 2
-       ), bits AS (
-         SELECT l.doc_id, l.r, l.j, CASE WHEN l.m < n.m THEN 1 ELSE 0 END AS bit
-         FROM blocks l JOIN blocks n
-           ON l.doc_id = n.doc_id AND l.r = n.r AND n.j = l.j + 1
-         WHERE l.j < 7
-       ), hashes AS (
-         SELECT doc_id,
-                SUM(bit * (1::BIGINT << CAST(l.r*7 + l.j AS INTEGER)))::BIGINT AS phash
-         FROM bits l GROUP BY doc_id
-       ), segs AS (
-         SELECT doc_id, phash, s.s AS seg_idx,
-                (phash >> CAST(14*s.s AS INTEGER)) & 16383 AS seg
-         FROM hashes, (SELECT unnest(range(4)) AS s) s
-       ), scount AS (
+  def mediaDedupSql(maxHamming: Int = 3): String =
+    s"""WITH $mediaPhashCtesSql, scount AS (
          SELECT seg_idx, seg FROM segs GROUP BY seg_idx, seg HAVING count(*) <= 4096
        ), pruned AS (
          SELECT g.* FROM segs g JOIN scount USING (seg_idx, seg)
@@ -654,7 +630,7 @@ object DedupQueries {
            ON a.seg_idx = b.seg_idx AND a.seg = b.seg AND a.doc_id < b.doc_id
        )
        SELECT doc_a, doc_b, bit_count(xor(ph_a, ph_b))::BIGINT AS hamming
-       FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3"""
+       FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= $maxHamming"""
 
   /** Shared oracle fragment: per-document 32-bit SimHash — token counts,
     * one universal-family draw per bit position (index 1000+b), majority

@@ -972,9 +972,13 @@ object MiningQueries {
       .select(
         col("o1"),
         round(col("sqe").cast("double") / lit(1e12), 6).as("e1"),
+        // the 1e-300 floor (the survivalKm discipline) absorbs the
+        // degenerate sqv = 0 case (every event time has n ≤ 1, or a
+        // one-sided cohort): Spark's non-ANSI x/0 yields NULL while
+        // DuckDB yields inf/nan — floored, both emit a huge finite z
         round(
           (col("o1").cast("double") - col("sqe").cast("double") / lit(1e12)) /
-            sqrt(col("sqv").cast("double") / lit(1e12)),
+            sqrt(greatest(lit(1e-300), col("sqv").cast("double") / lit(1e12))),
           6).as("z_score"))
   }
 
@@ -1026,7 +1030,7 @@ object MiningQueries {
        SELECT o1,
               round(CAST(sqe AS DOUBLE) / 1e12, 6) AS e1,
               round((CAST(o1 AS DOUBLE) - CAST(sqe AS DOUBLE) / 1e12)
-                    / sqrt(CAST(sqv AS DOUBLE) / 1e12), 6) AS z_score
+                    / sqrt(greatest(1e-300, CAST(sqv AS DOUBLE) / 1e12)), 6) AS z_score
        FROM g"""
 
   // --------------------------------------------------------------------

@@ -2613,7 +2613,16 @@ object RelationalQueries {
     // only session-scoped conf state is isolated; shuffle parallelism
     // is carried over explicitly since the fork resets runtime confs.)
     val sc = s.newSession()
-    sc.conf.set("spark.sql.shuffle.partitions", s.conf.get("spark.sql.shuffle.partitions"))
+    // carry the session confs newSession() drops and the fixture
+    // depends on (the boundedDrainSession lottery): shuffle
+    // parallelism, the TIMESTAMP(NANOS) parquet switch, and UTC —
+    // whether the fork inherits them otherwise depends on which
+    // session created the shared SparkContext first
+    Seq(
+      "spark.sql.shuffle.partitions",
+      "spark.sql.legacy.parquet.nanosAsLong",
+      "spark.sql.session.timeZone")
+      .foreach(k => s.conf.getOption(k).foreach(sc.conf.set(k, _)))
     sc.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
     sc.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "50.0")
     val fact = sc.read.parquet(out)

@@ -81,12 +81,15 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     def perm(i: Long): Long = (i * 1103515245L + 12345L) % n // gcd(a, n)=1 → bijection
     val edges = (0L until n - 1).map(i => (perm(i), perm(i + 1)))
     val minId = (0L until n).map(perm).min
-    val t0 = System.nanoTime()
-    val got = comps(edges) // default maxIters = 25
+    // ROUNDS lock, not a clock: with root hooking this converges in
+    // ~10 rounds; leaf-only hooking needed 40+ and would blow the cap
+    // below via the fail-closed non-convergence throw. The stats-reset
+    // regression is covered structurally (truncate() rebuilds each
+    // checkpoint from its RDD) — a load-dependent wall-clock assert
+    // here would be exactly the flake class r9 ask #7 closed.
+    val got = comps(edges, maxIters = 15)
     assert(got.size === n.toInt)
     assert(got.values.toSet === Set(minId))
-    val secs = (System.nanoTime() - t0) / 1e9
-    assert(secs < 120.0, s"CC on the 2048-chain took $secs s — stats reset regressed?")
   }
 
   test("seeded random graphs match a local union-find") {

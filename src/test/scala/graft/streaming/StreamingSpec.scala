@@ -256,6 +256,24 @@ class StreamingSpec extends AnyFunSuite {
     }
   } }
 
+  test("stream SGD: online training matches the batch-replay arithmetic and learns") {
+    // The foreachBatch loop's moving parts the oracle can't isolate:
+    // batch-at-a-time ingestion (one micro-batch per addData), the
+    // getDecimal column mapping, and the hash-split determinism. Two
+    // runs must be bit-identical and the online model must learn the
+    // learnable label well above chance (it sees each example once).
+    val a = graft.queries.StreamingQueries.streamSgd(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    val n = a.getAs[Long]("n")
+    val correct = a.getAs[Long]("n_correct")
+    assert(n > 0 && correct.toDouble / n > 0.7,
+      s"online SGD failed to learn: $correct/$n")
+    assert(math.abs(a.getAs[Double]("w1")) > 0.05, "weights never moved")
+    val b = graft.queries.StreamingQueries.streamSgd(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    assert(a === b, "online training must be bit-deterministic across reruns")
+  }
+
   test("TWS and fMGWS frame assemblers produce the identical frame set (twin parity)") {
     val s = spark.newSession()
     s.conf.set(
