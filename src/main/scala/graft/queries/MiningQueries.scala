@@ -1239,17 +1239,24 @@ object MiningQueries {
   val LrIters = 10
   val LrEta = 4.0
 
-  def logregTrain(s: SparkSession, dir: String): DataFrame = {
+  /** The shared feature projection (with `source` riding along for the
+    * filter consumer) — one persisted scan feeds the whole loop.
+    */
+  private def logregFeatures(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ", -1)
-    val feat = Tables
+    Tables
       .documents(s, dir)
       .select(
+        col("source"),
         (size(toks).cast("double") / lit(100.0)).as("x1"),
         (size(array_distinct(toks)).cast("double") / size(toks).cast("double")).as("x2"),
         when(col("n_chars") >= 300, lit(1.0)).otherwise(lit(0.0)).as("y"))
       .persist()
-    val n = feat.count()
-    val nD = n.toDouble
+  }
+
+  /** The GD loop shared by [[logregTrain]] and [[qualityFilter]]. */
+  private def trainLogregWeights(feat: DataFrame): Array[Double] = {
+    val nD = feat.count().toDouble
     var w = Array(0.0, 0.0, 0.0)
     for (_ <- 0 until LrIters) {
       val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
@@ -1269,6 +1276,12 @@ object MiningQueries {
         w(j) - LrEta * ((g.getDecimal(col).doubleValue() / 1e12) / nD)
       w = Array(upd(0, 0), upd(1, 1), upd(2, 2))
     }
+    w
+  }
+
+  def logregTrain(s: SparkSession, dir: String): DataFrame = {
+    val feat = logregFeatures(s, dir)
+    val w = trainLogregWeights(feat)
     val zF = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
     feat
       .agg(
@@ -1290,11 +1303,16 @@ object MiningQueries {
     * for bit (1.0 literals CAST to DOUBLE — DuckDB's bare 1.0 is
     * DECIMAL).
     */
-  def logregTrainSql: String = {
+  /** The shared oracle CTE chain `feat .. w{LrIters}` — the ONE SQL
+    * mirror of [[logregFeatures]] + [[trainLogregWeights]], consumed by
+    * both [[logregTrainSql]] and [[qualityFilterSql]].
+    */
+  private def logregCtesSql: String = {
     val one = "CAST(1.0 AS DOUBLE)"
     val sb = new StringBuilder
-    sb.append(s"""WITH feat AS (
-         SELECT CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0 AS x1,
+    sb.append(s"""feat AS (
+         SELECT source,
+                CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0 AS x1,
                 CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x2,
                 CASE WHEN n_chars >= 300 THEN $one ELSE CAST(0.0 AS DOUBLE) END AS y
@@ -1319,15 +1337,66 @@ object MiningQueries {
          FROM g$i
        )""")
     }
-    sb.append(s"""
+    sb.toString
+  }
+
+  def logregTrainSql: String = {
+    val one = "CAST(1.0 AS DOUBLE)"
+    s"""WITH $logregCtesSql
        SELECT count(*) AS n,
               CAST(sum(CASE WHEN ((a + b*x1 + c*x2) > 0) = (y = $one)
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
               round(a, 6) AS w0, round(b, 6) AS w1, round(c, 6) AS w2
        FROM feat, w$LrIters
-       GROUP BY a, b, c""")
-    sb.toString
+       GROUP BY a, b, c"""
   }
+
+  // --------------------------------------------------------------------
+  // q_quality_filter — the trained classifier CONSUMED as a curation stage
+  // --------------------------------------------------------------------
+
+  /** The trainer composed into the curation surface: train the
+    * [[logregTrain]] quality model, then score every document and
+    * report the per-source keep/drop split — the "train a fastText-ish
+    * filter, then run it over the corpus" loop of a real data
+    * pipeline, end to end. Decision boundary: keep iff w·x > 0
+    * (σ > ½). Output per source: document count, kept count, and the
+    * kept rate — a single division of exact longs.
+    *
+    * Scale: the training loop is [[trainLogregWeights]] (one
+    * partial-agg pass + 3 doubles per round); scoring is a pure map
+    * with the weights as literals; the report is one partial-agg
+    * groupBy on the low-cardinality source key. The oracle reuses the
+    * trainer's replay chain verbatim, so the filter verdicts inherit
+    * its bit-exactness.
+    */
+  def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val feat = logregFeatures(s, dir)
+    val w = trainLogregWeights(feat)
+    val zF = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
+    feat
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(zF > 0, 1L).otherwise(0L)).as("n_kept"))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_docs").cast("double"), 6)
+          .as("keep_rate"))
+  }
+
+  val qualityFilterSql: String =
+    s"""WITH $logregCtesSql
+       SELECT source, count(*) AS n_docs,
+              CAST(sum(CASE WHEN (a + b*x1 + c*x2) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_kept,
+              round(CAST(sum(CASE WHEN (a + b*x1 + c*x2) > 0 THEN 1 ELSE 0 END)
+                         AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE), 6) AS keep_rate
+       FROM feat, w$LrIters
+       GROUP BY source, a, b, c"""
 
   // --------------------------------------------------------------------
   // q_gbm_stumps — gradient-boosted decision stumps
