@@ -809,6 +809,49 @@ object DedupQueries {
     s"""WITH RECURSIVE $clusterCtesSql
        SELECT doc_id, component, (doc_id = component) AS keep FROM comp"""
 
+  /** Quality-aware survivor selection per near-dup cluster: instead of
+    * [[dedupClusters]]' min-id convention, keep the LONGEST member
+    * (ties → min doc_id) — the RefinedWeb/CCNet "keep the best
+    * duplicate" rule, with document length standing in for any quality
+    * score (swap in the [[MiningQueries.qualityFilter]] model score and
+    * the plan is unchanged).
+    *
+    * Scale: the argmax is a `max(struct(n_chars, −doc_id))` PARTIAL
+    * AGGREGATE — skew-proof (a million-member boilerplate clique
+    * collapses map-side; a row_number window would funnel it through
+    * one reducer), the same discipline as q_line_dedup's first
+    * occurrence. All columns exact integers.
+    */
+  def clusterBestSurvivor(s: SparkSession, dir: String): DataFrame =
+    dedupClusters(s, dir)
+      .select(col("doc_id"), col("component"))
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("component"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(
+          col("n_chars").cast("long").as("nc"),
+          (lit(0L) - col("doc_id")).as("nd"))).as("m"))
+      .select(
+        col("component"),
+        col("n_members"),
+        (lit(0L) - col("m.nd")).as("survivor_doc_id"),
+        col("m.nc").as("survivor_n_chars"))
+
+  /** DuckDB oracle for [[clusterBestSurvivor]]: the shared cluster
+    * closure + the identical (n_chars, −doc_id) argmax.
+    */
+  val clusterBestSurvivorSql: String =
+    s"""WITH RECURSIVE $clusterCtesSql, sized AS (
+         SELECT comp.doc_id, comp.component, CAST(d.n_chars AS BIGINT) AS n_chars
+         FROM comp JOIN documents d ON d.doc_id = comp.doc_id
+       )
+       SELECT component, count(*) AS n_members,
+              CAST(first(doc_id ORDER BY n_chars DESC, doc_id) AS BIGINT)
+                AS survivor_doc_id,
+              CAST(max(n_chars) AS BIGINT) AS survivor_n_chars
+       FROM sized GROUP BY component"""
+
   /** Stopword-marker occurrence count as a column expression (the
     * length-difference trick — identical semantics in Spark and DuckDB),
     * shared by [[languageId]] and [[corpusCuration]].

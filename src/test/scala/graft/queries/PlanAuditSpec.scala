@@ -804,6 +804,14 @@ class PlanAuditSpec extends AnyFunSuite {
     wins.foreach(w => assert(w.partitionSpec.nonEmpty, s"partition-less window: $w"))
   }
 
+  test("q_cluster_best_survivor: argmax is a partial max(struct), never a per-cluster window") {
+    val p = plan("q_cluster_best_survivor")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // skew discipline: a mega-clique must collapse map-side
+    assert(p.contains("partial_max"), "survivor argmax must partial-agg map-side\n" + p.take(2000))
+    assert(!p.contains("row_number"), "a rank window would funnel mega-cliques\n" + p.take(2000))
+  }
+
   test("q_source_divergence: quantized sums — no per-source vocabulary array") {
     val df = graft.SparkEntry.queries("q_source_divergence")(spark, dir)
     df.collect()
