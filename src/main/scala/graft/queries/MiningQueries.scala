@@ -892,6 +892,134 @@ object MiningQueries {
        FROM risk"""
 
   // --------------------------------------------------------------------
+  // q_cuped — CUPED variance-reduced experiment readout
+  // --------------------------------------------------------------------
+
+  /** CUPED (Controlled-experiment Using Pre-Experiment Data): adjust
+    * each user's experiment-period spend by their pre-period covariate,
+    * Y' = Y − θ(X − X̄) with θ = cov(X, Y)/var(X) pooled across arms —
+    * the standard variance-reduction step of every large experimentation
+    * platform. Pre-period = the first half of January, experiment
+    * period = the rest; the arm is a deterministic md5 split of
+    * user_id. Output per arm: users, raw and adjusted mean spend, the
+    * pooled θ, and the variance-reduction ratio 1 − var(Y′)/var(Y).
+    *
+    * Scale: one scan → per-user exact-cent sums (one partial-agg
+    * shuffle on user_id), then per-arm and pooled aggregates over the
+    * user table — moment sums are EXACT longs (x·y ≤ 10¹⁴ per user at
+    * fixture scale; decimal(38,0) at web scale), so θ and every mean
+    * derive from identical inputs via identical double trees in both
+    * engines. No quantization needed: the only doubles are final
+    * projections of exact integers.
+    */
+  def cuped(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables
+      .events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        (col("ts") < lit("2024-01-16 00:00:00").cast("timestamp")).as("pre"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("pre"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("pre"), 0L).otherwise(col("cents"))).as("y"))
+      .withColumn("arm", expr(md5Bucket("cast(user_id as string)", 2)).cast("int"))
+      .persist()
+    val pooled = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val nd = col("n").cast("double")
+    val theta =
+      (nd * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")) /
+        (nd * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double"))
+    // var(Y) and var(Y') from the same exact moments:
+    // var(Y') = var(Y) − 2θ·cov + θ²·var(X) (all /n² scale cancels in the ratio)
+    val varY = nd * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+    val covXY = nd * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val varX = nd * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    val scalars = pooled.select(
+      col("n"),
+      col("sx"),
+      theta.as("theta"),
+      (lit(1.0) - (varY - lit(2.0) * theta * covXY + theta * theta * varX) / varY)
+        .as("vr"))
+    perUser
+      .groupBy(col("arm"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("x")).as("sxv"),
+        sum(col("y")).as("syv"))
+      .crossJoin(broadcast(scalars))
+      .select(
+        col("arm"),
+        col("n_users"),
+        round(col("syv").cast("double") / col("n_users").cast("double") / lit(100.0), 6)
+          .as("mean_spend"),
+        round(
+          (col("syv").cast("double") / col("n_users").cast("double") -
+            col("theta") *
+              (col("sxv").cast("double") / col("n_users").cast("double") -
+                col("sx").cast("double") / col("n").cast("double"))) / lit(100.0),
+          6).as("mean_spend_adj"),
+        round(col("theta"), 6).as("theta"),
+        round(col("vr"), 6).as("variance_reduction"))
+  }
+
+  val cupedSql: String = {
+    val arm = md5BucketSql("CAST(user_id AS VARCHAR)", 2)
+    s"""WITH pu AS (
+         SELECT user_id,
+                CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS x,
+                CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                              THEN 0 ELSE CAST(round(value * 100) AS BIGINT) END)
+                  AS BIGINT) AS y,
+                CAST($arm AS INT) AS arm
+         FROM events WHERE event_type = 'purchase' GROUP BY user_id
+       ), pooled AS (
+         SELECT count(*) AS n,
+                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * y) AS BIGINT) AS sxy,
+                CAST(sum(x * x) AS BIGINT) AS sxx,
+                CAST(sum(y * y) AS BIGINT) AS syy
+         FROM pu
+       ), sc AS (
+         SELECT n, sx,
+                (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  AS theta,
+                CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                  AS vary,
+                CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                  AS covxy,
+                CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                  AS varx
+         FROM pooled
+       ), arms AS (
+         SELECT arm, count(*) AS n_users,
+                CAST(sum(x) AS BIGINT) AS sxv, CAST(sum(y) AS BIGINT) AS syv
+         FROM pu GROUP BY arm
+       )
+       SELECT arm, n_users,
+              round(CAST(syv AS DOUBLE) / CAST(n_users AS DOUBLE) / 100.0, 6)
+                AS mean_spend,
+              round((CAST(syv AS DOUBLE) / CAST(n_users AS DOUBLE)
+                     - theta * (CAST(sxv AS DOUBLE) / CAST(n_users AS DOUBLE)
+                                - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0, 6)
+                AS mean_spend_adj,
+              round(theta, 6) AS theta,
+              round(1.0 - (vary - 2.0 * theta * covxy + theta * theta * varx) / vary, 6)
+                AS variance_reduction
+       FROM arms, sc"""
+  }
+
+  // --------------------------------------------------------------------
   // q_logrank — two-sample log-rank test across survival cohorts
   // --------------------------------------------------------------------
 
