@@ -3045,4 +3045,126 @@ object RelationalQueries {
        SELECT user_id, n AS n_pairs_incr, ck AS checksum_incr,
               n AS n_pairs_full, ck AS checksum_full
        FROM agg"""
+
+  // --------------------------------------------------------------------
+  // q_trimmed_metrics — winsorized and trimmed means, exact integers
+  // --------------------------------------------------------------------
+
+  /** Robust revenue metrics: the raw, WINSORIZED (outliers clamped to
+    * the p05/p95 thresholds), and TRIMMED (outliers dropped) means of
+    * purchase spend — the outlier discipline every metrics platform
+    * applies before a mean goes on a dashboard. Thresholds are
+    * rank-based: lo = the value at rank ⌈0.05·n⌉, hi = at ⌈0.95·n⌉.
+    *
+    * Scale (the [[weightedQuantiles]]/[[MiningQueries.mannWhitney]]
+    * carry pattern): values collapse to per-distinct-cent counts FIRST
+    * (one keyed partial-agg shuffle bounded by the value domain), ranks
+    * come from bucket-partitioned prefix sums + a broadcast bucket
+    * carry, and every metric is EXACT integer arithmetic over that
+    * bounded table — clamped sums for winsorization, overlap-window
+    * sums for trimming (boundary ties handled by partial-count overlap,
+    * not row sampling) — divided once at the end.
+    */
+  def trimmedMetrics(
+      s: SparkSession,
+      dir: String,
+      loPct: Int = 5,
+      hiPct: Int = 95): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perV = Tables
+      .events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(round(col("value") * 100).cast("long").as("v"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("bkt", expr("v div 1000").cast("int"))
+    val carry = perV
+      .groupBy(col("bkt"))
+      .agg(sum(col("c")).as("bn"))
+      .withColumn(
+        "boff",
+        coalesce(
+          sum(col("bn")).over(
+            Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("bkt"), col("boff"))
+    val wIn = Window
+      .partitionBy(col("bkt"))
+      .orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perV
+      .join(broadcast(carry), "bkt")
+      .withColumn("cum_before", col("boff") + coalesce(sum(col("c")).over(wIn), lit(0L)))
+      .withColumn("cum", col("cum_before") + col("c"))
+      .persist()
+    val tot = ranked.agg(sum(col("c")).as("n"), sum(col("v") * col("c")).as("sv"))
+    // ceil(n·p/100) in pure integer arithmetic
+    val thr = ranked
+      .crossJoin(broadcast(tot))
+      .withColumn("klo", expr(s"(n * $loPct + 99) div 100"))
+      .withColumn("khi", expr(s"(n * $hiPct + 99) div 100"))
+      .agg(
+        min(when(col("cum") >= col("klo"), col("v"))).as("lo"),
+        min(when(col("cum") >= col("khi"), col("v"))).as("hi"),
+        first(col("klo")).as("klo"),
+        first(col("khi")).as("khi"))
+    ranked
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(thr))
+      .agg(
+        first(col("n")).as("n"),
+        first(col("lo")).as("lo_cents"),
+        first(col("hi")).as("hi_cents"),
+        first(col("sv")).as("sv"),
+        sum(least(greatest(col("v"), col("lo")), col("hi")) * col("c")).as("wsum"),
+        // trimmed window (klo, khi]: each value contributes its rank
+        // overlap with the window — exact partial counts at boundaries
+        sum(greatest(
+          lit(0L),
+          least(col("cum"), col("khi")) - greatest(col("cum_before"), col("klo"))) *
+          col("v")).as("tsum"),
+        first(col("khi") - col("klo")).as("tn"))
+      .select(
+        col("n"),
+        col("lo_cents"),
+        col("hi_cents"),
+        round(col("sv").cast("double") / col("n").cast("double") / lit(100.0), 6)
+          .as("mean_spend"),
+        round(col("wsum").cast("double") / col("n").cast("double") / lit(100.0), 6)
+          .as("winsorized_mean"),
+        round(col("tsum").cast("double") / col("tn").cast("double") / lit(100.0), 6)
+          .as("trimmed_mean"))
+  }
+
+  val trimmedMetricsSql: String =
+    """WITH perv AS (
+         SELECT CAST(round(value * 100) AS BIGINT) AS v, count(*) AS c
+         FROM events WHERE event_type = 'purchase' GROUP BY 1
+       ), ranked AS (
+         SELECT v, c,
+                CAST(coalesce(sum(c) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                  AS cum_before,
+                CAST(sum(c) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         FROM perv
+       ), tot AS (
+         SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(v * c) AS BIGINT) AS sv
+         FROM perv
+       ), ks AS (
+         SELECT n, sv, (n * 5 + 99) // 100 AS klo, (n * 95 + 99) // 100 AS khi FROM tot
+       ), thr AS (
+         SELECT CAST(min(CASE WHEN cum >= klo THEN v END) AS BIGINT) AS lo,
+                CAST(min(CASE WHEN cum >= khi THEN v END) AS BIGINT) AS hi
+         FROM ranked, ks
+       )
+       SELECT n, lo AS lo_cents, hi AS hi_cents,
+              round(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mean_spend,
+              round(CAST(sum(least(greatest(v, lo), hi) * c) AS DOUBLE)
+                    / CAST(n AS DOUBLE) / 100.0, 6) AS winsorized_mean,
+              round(CAST(sum(greatest(0, least(cum, khi) - greatest(cum_before, klo)) * v)
+                         AS DOUBLE)
+                    / CAST(khi - klo AS DOUBLE) / 100.0, 6) AS trimmed_mean
+       FROM ranked, ks, thr
+       GROUP BY n, sv, lo, hi, khi, klo"""
 }
