@@ -1020,90 +1020,6 @@ object MiningQueries {
   }
 
   // --------------------------------------------------------------------
-  // q_welch_ttest — unequal-variance two-sample t-test, exact moments
-  // --------------------------------------------------------------------
-
-  /** Welch's t-test comparing mean purchase spend between the two
-    * [[cuped]] experiment arms — the parametric sibling of
-    * [[mannWhitney]] (use this when means are the question, that when
-    * tails mislead): t = (m₁ − m₂)/√(s₁²/n₁ + s₂²/n₂) with the
-    * Welch–Satterthwaite degrees of freedom.
-    *
-    * Scale: ONE scan partial-aggregated to per-arm exact-cent moment
-    * sums (n, Σv, Σv²) — three longs per arm, nothing else moves; all
-    * doubles are final projections of exact integers with identical
-    * expression trees in both engines (the [[cuped]] discipline).
-    */
-  def welchTtest(s: SparkSession, dir: String): DataFrame = {
-    val perArm = Tables
-      .events(s, dir)
-      .filter(col("event_type") === "purchase")
-      .select(
-        expr(md5Bucket("cast(user_id as string)", 2)).cast("int").as("arm"),
-        round(col("value") * 100).cast("long").as("v"))
-      .groupBy(col("arm"))
-      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"), sum(col("v") * col("v")).as("svv"))
-    val a = perArm.filter(col("arm") === 0).select(
-      col("n").as("n1"), col("sv").as("sv1"), col("svv").as("svv1"))
-    val b = perArm.filter(col("arm") === 1).select(
-      col("n").as("n2"), col("sv").as("sv2"), col("svv").as("svv2"))
-    def m(sv: Column, n: Column) = sv.cast("double") / n.cast("double")
-    // unbiased sample variance from exact moments: (Σv² − (Σv)²/n)/(n−1)
-    def s2(svv: Column, sv: Column, n: Column) =
-      (svv.cast("double") - sv.cast("double") * sv.cast("double") / n.cast("double")) /
-        (n.cast("double") - lit(1.0))
-    val joined = a.crossJoin(broadcast(b))
-    val v1 = s2(col("svv1"), col("sv1"), col("n1")) / col("n1").cast("double")
-    val v2 = s2(col("svv2"), col("sv2"), col("n2")) / col("n2").cast("double")
-    joined.select(
-      col("n1"),
-      col("n2"),
-      round(m(col("sv1"), col("n1")) / lit(100.0), 6).as("mean1"),
-      round(m(col("sv2"), col("n2")) / lit(100.0), 6).as("mean2"),
-      round(
-        (m(col("sv1"), col("n1")) - m(col("sv2"), col("n2"))) / sqrt(v1 + v2),
-        6).as("t_stat"),
-      // Welch–Satterthwaite df
-      round(
-        (v1 + v2) * (v1 + v2) /
-          (v1 * v1 / (col("n1").cast("double") - lit(1.0)) +
-            v2 * v2 / (col("n2").cast("double") - lit(1.0))),
-        6).as("df"))
-  }
-
-  val welchTtestSql: String = {
-    val arm = md5BucketSql("CAST(user_id AS VARCHAR)", 2)
-    s"""WITH pa AS (
-         SELECT CAST($arm AS INT) AS arm, count(*) AS n,
-                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv,
-                CAST(sum(CAST(round(value * 100) AS BIGINT)
-                       * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS svv
-         FROM events WHERE event_type = 'purchase' GROUP BY 1
-       ), a AS (SELECT n AS n1, sv AS sv1, svv AS svv1 FROM pa WHERE arm = 0),
-       b AS (SELECT n AS n2, sv AS sv2, svv AS svv2 FROM pa WHERE arm = 1),
-       j AS (
-         SELECT n1, n2, sv1, sv2,
-                CAST(sv1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
-                CAST(sv2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
-                ((CAST(svv1 AS DOUBLE) - CAST(sv1 AS DOUBLE) * CAST(sv1 AS DOUBLE)
-                    / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
-                  / CAST(n1 AS DOUBLE) AS v1,
-                ((CAST(svv2 AS DOUBLE) - CAST(sv2 AS DOUBLE) * CAST(sv2 AS DOUBLE)
-                    / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0))
-                  / CAST(n2 AS DOUBLE) AS v2
-         FROM a, b
-       )
-       SELECT n1, n2,
-              round(m1 / 100.0, 6) AS mean1,
-              round(m2 / 100.0, 6) AS mean2,
-              round((m1 - m2) / sqrt(v1 + v2), 6) AS t_stat,
-              round((v1 + v2) * (v1 + v2)
-                    / (v1 * v1 / (CAST(n1 AS DOUBLE) - 1.0)
-                       + v2 * v2 / (CAST(n2 AS DOUBLE) - 1.0)), 6) AS df
-       FROM j"""
-  }
-
-  // --------------------------------------------------------------------
   // q_logrank — two-sample log-rank test across survival cohorts
   // --------------------------------------------------------------------
 
@@ -1508,16 +1424,13 @@ object MiningQueries {
         round(lit(w(2)), 6).as("w2"))
   }
 
-  /** DuckDB oracle for [[logregTrain]]: the whole training REPLAYED as
-    * an unrolled CTE chain — one gradient CTE + one weight CTE per
-    * iteration, each expression the exact double/quantized-integer
-    * shape of the Spark trainer, so the weight trajectory matches bit
-    * for bit (1.0 literals CAST to DOUBLE — DuckDB's bare 1.0 is
-    * DECIMAL).
-    */
   /** The shared oracle CTE chain `feat .. w{LrIters}` — the ONE SQL
-    * mirror of [[logregFeatures]] + [[trainLogregWeights]], consumed by
-    * both [[logregTrainSql]] and [[qualityFilterSql]].
+    * mirror of [[logregFeatures]] + [[trainLogregWeights]]: one
+    * gradient CTE + one weight CTE per iteration, each expression the
+    * exact double/quantized-integer shape of the Spark trainer, so the
+    * weight trajectory matches bit for bit (1.0 literals CAST to
+    * DOUBLE — DuckDB's bare 1.0 is DECIMAL). Consumed by both
+    * [[logregTrainSql]] and [[qualityFilterSql]].
     */
   private def logregCtesSql: String = {
     val one = "CAST(1.0 AS DOUBLE)"
@@ -1552,6 +1465,9 @@ object MiningQueries {
     sb.toString
   }
 
+  /** DuckDB oracle for [[logregTrain]]: the [[logregCtesSql]] replay
+    * chain + the final weights/accuracy projection.
+    */
   def logregTrainSql: String = {
     val one = "CAST(1.0 AS DOUBLE)"
     s"""WITH $logregCtesSql

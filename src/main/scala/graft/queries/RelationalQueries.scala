@@ -2145,7 +2145,11 @@ object RelationalQueries {
     * groups (bounded by the price grid, not the corpus); thresholds
     * broadcast back (|types| rows) into one conditional-aggregation
     * pass over the same persisted distribution. Exact integer sums
-    * throughout; two final divisions.
+    * throughout; final divisions only. Since r10 the same pass also
+    * emits the TRIMMED mean (outliers dropped rather than clamped):
+    * the rank window (⌈n/20⌉, ⌈19n/20⌉] with exact partial-count
+    * overlap at boundary ties — ties at the cut are split by COUNT,
+    * never by row sampling.
     */
   def winsorizedStats(s: SparkSession, dir: String): DataFrame = {
     val dist = Tables
@@ -2167,11 +2171,17 @@ object RelationalQueries {
       .agg(
         min(when(col("cum") * 20 >= col("n"), col("cents"))).as("lo_cents"),
         min(when(col("cum") * 20 >= col("n") * 19, col("cents"))).as("hi_cents"))
-    dist
+    // trimmed mean (r10): the rank window (⌈n/20⌉, ⌈19n/20⌉] with exact
+    // partial-count overlap at boundary ties — each distinct value
+    // contributes min(cum, khi) − max(cum − c, klo) clamped at 0, so
+    // ties at the cut are split by COUNT, never by row sampling
+    val klo = expr("(n + 19) div 20")
+    val khi = expr("(19 * n + 19) div 20")
+    cum
       .join(broadcast(thr), "event_type")
       .groupBy(col("event_type"))
       .agg(
-        sum(col("c")).as("n"),
+        max(col("n")).as("n"),
         max(col("lo_cents")).as("lo_cents"),
         max(col("hi_cents")).as("hi_cents"),
         sum(when(col("cents") < col("lo_cents"), col("c")).otherwise(0L))
@@ -2181,7 +2191,12 @@ object RelationalQueries {
         sum(col("c") * col("cents")).as("raw_cents"),
         sum(
           col("c") * least(greatest(col("cents"), col("lo_cents")), col("hi_cents")))
-          .as("win_cents"))
+          .as("win_cents"),
+        sum(greatest(
+          lit(0L),
+          least(col("cum"), khi) - greatest(col("cum") - col("c"), klo)) * col("cents"))
+          .as("trim_cents"),
+        max(khi - klo).as("n_trimmed"))
       .select(
         col("event_type"),
         col("n"),
@@ -2192,7 +2207,10 @@ object RelationalQueries {
         round(col("raw_cents").cast("double") / (col("n").cast("double") * 100.0), 6)
           .as("raw_mean"),
         round(col("win_cents").cast("double") / (col("n").cast("double") * 100.0), 6)
-          .as("winsorized_mean"))
+          .as("winsorized_mean"),
+        round(
+          col("trim_cents").cast("double") / (col("n_trimmed").cast("double") * 100.0),
+          6).as("trimmed_mean"))
   }
 
   val winsorizedStatsSql: String =
@@ -2213,7 +2231,7 @@ object RelationalQueries {
                 min(CASE WHEN cum * 20 >= n * 19 THEN cents END) AS hi_cents
          FROM cum GROUP BY 1)
        SELECT d.event_type,
-              CAST(sum(d.c) AS BIGINT) AS n,
+              CAST(max(d.n) AS BIGINT) AS n,
               round(CAST(max(t.lo_cents) AS DOUBLE) / 100.0, 2) AS p05,
               round(CAST(max(t.hi_cents) AS DOUBLE) / 100.0, 2) AS p95,
               CAST(sum(CASE WHEN d.cents < t.lo_cents THEN d.c ELSE 0 END) AS BIGINT)
@@ -2221,13 +2239,19 @@ object RelationalQueries {
               CAST(sum(CASE WHEN d.cents > t.hi_cents THEN d.c ELSE 0 END) AS BIGINT)
                 AS n_clamped_high,
               round(CAST(CAST(sum(d.c * d.cents) AS BIGINT) AS DOUBLE)
-                    / (CAST(CAST(sum(d.c) AS BIGINT) AS DOUBLE) * 100.0), 6)
+                    / (CAST(CAST(max(d.n) AS BIGINT) AS DOUBLE) * 100.0), 6)
                 AS raw_mean,
               round(CAST(CAST(sum(d.c * least(greatest(d.cents, t.lo_cents), t.hi_cents))
                               AS BIGINT) AS DOUBLE)
-                    / (CAST(CAST(sum(d.c) AS BIGINT) AS DOUBLE) * 100.0), 6)
-                AS winsorized_mean
-       FROM dist d JOIN thr t USING (event_type)
+                    / (CAST(CAST(max(d.n) AS BIGINT) AS DOUBLE) * 100.0), 6)
+                AS winsorized_mean,
+              round(CAST(CAST(sum(greatest(0, least(d.cum, (19 * d.n + 19) // 20)
+                                              - greatest(d.cum - d.c, (d.n + 19) // 20))
+                                  * d.cents) AS BIGINT) AS DOUBLE)
+                    / (CAST(CAST(max((19 * d.n + 19) // 20 - (d.n + 19) // 20)
+                             AS BIGINT) AS DOUBLE) * 100.0), 6)
+                AS trimmed_mean
+       FROM cum d JOIN thr t USING (event_type)
        GROUP BY 1"""
 
   /** Tukey IQR outlier fences per event type — the robust DQ screen
@@ -3046,125 +3070,4 @@ object RelationalQueries {
               n AS n_pairs_full, ck AS checksum_full
        FROM agg"""
 
-  // --------------------------------------------------------------------
-  // q_trimmed_metrics — winsorized and trimmed means, exact integers
-  // --------------------------------------------------------------------
-
-  /** Robust revenue metrics: the raw, WINSORIZED (outliers clamped to
-    * the p05/p95 thresholds), and TRIMMED (outliers dropped) means of
-    * purchase spend — the outlier discipline every metrics platform
-    * applies before a mean goes on a dashboard. Thresholds are
-    * rank-based: lo = the value at rank ⌈0.05·n⌉, hi = at ⌈0.95·n⌉.
-    *
-    * Scale (the [[weightedQuantiles]]/[[MiningQueries.mannWhitney]]
-    * carry pattern): values collapse to per-distinct-cent counts FIRST
-    * (one keyed partial-agg shuffle bounded by the value domain), ranks
-    * come from bucket-partitioned prefix sums + a broadcast bucket
-    * carry, and every metric is EXACT integer arithmetic over that
-    * bounded table — clamped sums for winsorization, overlap-window
-    * sums for trimming (boundary ties handled by partial-count overlap,
-    * not row sampling) — divided once at the end.
-    */
-  def trimmedMetrics(
-      s: SparkSession,
-      dir: String,
-      loPct: Int = 5,
-      hiPct: Int = 95): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val perV = Tables
-      .events(s, dir)
-      .filter(col("event_type") === "purchase")
-      .select(round(col("value") * 100).cast("long").as("v"))
-      .groupBy(col("v"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("bkt", expr("v div 1000").cast("int"))
-    val carry = perV
-      .groupBy(col("bkt"))
-      .agg(sum(col("c")).as("bn"))
-      .withColumn(
-        "boff",
-        coalesce(
-          sum(col("bn")).over(
-            Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("bkt"), col("boff"))
-    val wIn = Window
-      .partitionBy(col("bkt"))
-      .orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = perV
-      .join(broadcast(carry), "bkt")
-      .withColumn("cum_before", col("boff") + coalesce(sum(col("c")).over(wIn), lit(0L)))
-      .withColumn("cum", col("cum_before") + col("c"))
-      .persist()
-    val tot = ranked.agg(sum(col("c")).as("n"), sum(col("v") * col("c")).as("sv"))
-    // ceil(n·p/100) in pure integer arithmetic
-    val thr = ranked
-      .crossJoin(broadcast(tot))
-      .withColumn("klo", expr(s"(n * $loPct + 99) div 100"))
-      .withColumn("khi", expr(s"(n * $hiPct + 99) div 100"))
-      .agg(
-        min(when(col("cum") >= col("klo"), col("v"))).as("lo"),
-        min(when(col("cum") >= col("khi"), col("v"))).as("hi"),
-        first(col("klo")).as("klo"),
-        first(col("khi")).as("khi"))
-    ranked
-      .crossJoin(broadcast(tot))
-      .crossJoin(broadcast(thr))
-      .agg(
-        first(col("n")).as("n"),
-        first(col("lo")).as("lo_cents"),
-        first(col("hi")).as("hi_cents"),
-        first(col("sv")).as("sv"),
-        sum(least(greatest(col("v"), col("lo")), col("hi")) * col("c")).as("wsum"),
-        // trimmed window (klo, khi]: each value contributes its rank
-        // overlap with the window — exact partial counts at boundaries
-        sum(greatest(
-          lit(0L),
-          least(col("cum"), col("khi")) - greatest(col("cum_before"), col("klo"))) *
-          col("v")).as("tsum"),
-        first(col("khi") - col("klo")).as("tn"))
-      .select(
-        col("n"),
-        col("lo_cents"),
-        col("hi_cents"),
-        round(col("sv").cast("double") / col("n").cast("double") / lit(100.0), 6)
-          .as("mean_spend"),
-        round(col("wsum").cast("double") / col("n").cast("double") / lit(100.0), 6)
-          .as("winsorized_mean"),
-        round(col("tsum").cast("double") / col("tn").cast("double") / lit(100.0), 6)
-          .as("trimmed_mean"))
-  }
-
-  val trimmedMetricsSql: String =
-    """WITH perv AS (
-         SELECT CAST(round(value * 100) AS BIGINT) AS v, count(*) AS c
-         FROM events WHERE event_type = 'purchase' GROUP BY 1
-       ), ranked AS (
-         SELECT v, c,
-                CAST(coalesce(sum(c) OVER (ORDER BY v
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-                  AS cum_before,
-                CAST(sum(c) OVER (ORDER BY v
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-         FROM perv
-       ), tot AS (
-         SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(v * c) AS BIGINT) AS sv
-         FROM perv
-       ), ks AS (
-         SELECT n, sv, (n * 5 + 99) // 100 AS klo, (n * 95 + 99) // 100 AS khi FROM tot
-       ), thr AS (
-         SELECT CAST(min(CASE WHEN cum >= klo THEN v END) AS BIGINT) AS lo,
-                CAST(min(CASE WHEN cum >= khi THEN v END) AS BIGINT) AS hi
-         FROM ranked, ks
-       )
-       SELECT n, lo AS lo_cents, hi AS hi_cents,
-              round(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mean_spend,
-              round(CAST(sum(least(greatest(v, lo), hi) * c) AS DOUBLE)
-                    / CAST(n AS DOUBLE) / 100.0, 6) AS winsorized_mean,
-              round(CAST(sum(greatest(0, least(cum, khi) - greatest(cum_before, klo)) * v)
-                         AS DOUBLE)
-                    / CAST(khi - klo AS DOUBLE) / 100.0, 6) AS trimmed_mean
-       FROM ranked, ks, thr
-       GROUP BY n, sv, lo, hi, khi, klo"""
 }
