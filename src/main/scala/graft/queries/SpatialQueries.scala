@@ -1,0 +1,210 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Spatial analytics on a deterministic integer grid — the geo-join
+  * patterns (radius self-join, k-nearest-neighbor lookup, raster
+  * density smoothing) a location-aware pipeline needs, built so every
+  * geometric predicate runs in EXACT integer arithmetic:
+  *
+  *  - Coordinates are synthesized per entity key from md5 (the proven
+  *    conv/`0x`-cast parity idiom of q_epoch_shuffle) onto a
+  *    100 000 × 100 000 unit grid — no floats anywhere.
+  *  - Distance is compared as squared Euclidean in BIGINT
+  *    (`dx*dx + dy*dy <= R²`), so the within-radius predicate can never
+  *    flip on a ULP and the DuckDB oracles match hash-for-hash.
+  *
+  * Scale design (100 TB): the radius self-join NEVER goes all-pairs —
+  * each point explodes to its 3×3 neighborhood of grid cells (radius <
+  * cell size, so 9 cells provably cover the disk) and the candidate
+  * join is a pure EQUI-join on the cell key, the standard distributed
+  * spatial-join shape (grid partitioning ≈ GeoSpark/Sedona). Density
+  * smoothing shuffles one row per OCCUPIED cell, not per point, after a
+  * map-side partial count. The kNN probe side is bounded by
+  * construction (≤ 64 probes) and broadcast; candidate ranking uses a
+  * probe-partitioned rank window that Spark rewrites to
+  * WindowGroupLimit (top-k pushed before the final shuffle).
+  */
+object SpatialQueries {
+
+  /** Grid extent in integer units per axis. */
+  private val Units = 100000L
+
+  /** Grid cell edge; cell count = (Units/Cell)² = 10 000. */
+  private val Cell = 1000L
+
+  /** Squared radius for the neighbor join; R = 700 < Cell so the 3×3
+    * cell neighborhood covers every within-radius candidate.
+    */
+  private val R2 = 490000L
+
+  /** Deterministic coordinate in [0, Units) derived from `key` and an
+    * axis tag — 40 md5 bits through the conv(…,16,10) / `0x`-cast
+    * parity pair.
+    */
+  private def coordExpr(key: String, axis: String): Column =
+    expr(
+      s"cast(conv(substring(md5(cast(concat(cast($key as string), ':$axis') " +
+        s"as binary)), 1, 10), 16, 10) as long) % $Units")
+
+  private def coordSql(key: String, axis: String): String =
+    s"CAST(concat('0x', substr(md5($key::VARCHAR || ':$axis'), 1, 10)) AS BIGINT) % $Units"
+
+  /** Customer points with grid-cell assignment (integer floor division
+    * — `div` here, `//` in DuckDB).
+    */
+  private def points(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .customer(s, dir)
+      .select(
+        col("c_custkey").as("id"),
+        coordExpr("c_custkey", "x").as("x"),
+        coordExpr("c_custkey", "y").as("y"))
+      .withColumn("cx", expr(s"x div $Cell"))
+      .withColumn("cy", expr(s"y div $Cell"))
+
+  private def pointsCteSql: String =
+    s"""pts AS (SELECT c_custkey AS id,
+          ${coordSql("c_custkey", "x")} AS x,
+          ${coordSql("c_custkey", "y")} AS y
+        FROM customer),
+        cells AS (SELECT *, x // $Cell AS cx, y // $Cell AS cy FROM pts)"""
+
+  /** Radius self-join: for every point with at least one neighbor
+    * within R, the neighbor count and the squared distance to the
+    * closest one. One side explodes to its 9 candidate cells; the join
+    * is equi on (cell_x, cell_y) with the canonical `id < id` pair
+    * direction, then symmetrized for per-point stats — each undirected
+    * pair is computed exactly once.
+    */
+  def spatialJoin(s: SparkSession, dir: String): DataFrame = {
+    val pts = points(s, dir)
+    val probe = pts
+      .withColumn("dx", explode(expr("sequence(-1, 1)")))
+      .withColumn("dy", explode(expr("sequence(-1, 1)")))
+      .select(
+        col("id").as("ia"),
+        col("x").as("ax"),
+        col("y").as("ay"),
+        (col("cx") + col("dx")).as("jx"),
+        (col("cy") + col("dy")).as("jy"))
+    val build = pts.select(
+      col("id").as("ib"),
+      col("x").as("bx"),
+      col("y").as("by"),
+      col("cx").as("jx"),
+      col("cy").as("jy"))
+    val pairs = probe
+      .join(build, Seq("jx", "jy"))
+      .filter(col("ia") < col("ib"))
+      .withColumn(
+        "d2",
+        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")))
+      .filter(col("d2") <= R2)
+      .select(col("ia"), col("ib"), col("d2"))
+    pairs
+      .select(col("ia").as("id"), col("d2"))
+      .unionByName(pairs.select(col("ib").as("id"), col("d2")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_neighbors"), min(col("d2")).as("min_d2"))
+  }
+
+  val spatialJoinSql: String =
+    s"""WITH $pointsCteSql,
+        pairs AS (
+          SELECT a.id AS ia, b.id AS ib,
+                 (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+          FROM cells a JOIN cells b
+            ON b.cx BETWEEN a.cx-1 AND a.cx+1
+           AND b.cy BETWEEN a.cy-1 AND a.cy+1
+           AND a.id < b.id
+          WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= $R2),
+        sym AS (SELECT ia AS id, d2 FROM pairs
+                UNION ALL SELECT ib AS id, d2 FROM pairs)
+        SELECT id, count(*) AS n_neighbors, CAST(min(d2) AS BIGINT) AS min_d2
+        FROM sym GROUP BY 1"""
+
+  /** k-nearest-neighbor lookup: for each of ≤ 64 probe locations
+    * (suppliers, bounded by construction — NOT the growing dimension),
+    * the 5 closest customer points by exact squared distance, id
+    * tiebreak. The probe side broadcasts; ranking is a probe-keyed
+    * window (WindowGroupLimit pushes the top-5 before the shuffle).
+    */
+  def spatialKnn(s: SparkSession, dir: String): DataFrame = {
+    val probes = Tables
+      .supplier(s, dir)
+      .filter(col("s_suppkey") <= 64)
+      .select(
+        col("s_suppkey").as("probe_id"),
+        coordExpr("s_suppkey", "px").as("px"),
+        coordExpr("s_suppkey", "py").as("py"))
+    val pts = points(s, dir)
+    pts
+      .crossJoin(broadcast(probes))
+      .withColumn(
+        "d2",
+        (col("px") - col("x")) * (col("px") - col("x")) +
+          (col("py") - col("y")) * (col("py") - col("y")))
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy(col("probe_id")).orderBy(col("d2"), col("id")))
+          .cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("rank"), col("id"), col("d2"))
+  }
+
+  val spatialKnnSql: String =
+    s"""WITH $pointsCteSql,
+        probes AS (SELECT s_suppkey AS probe_id,
+          ${coordSql("s_suppkey", "px")} AS px,
+          ${coordSql("s_suppkey", "py")} AS py
+          FROM supplier WHERE s_suppkey <= 64),
+        ranked AS (
+          SELECT probe_id, id,
+                 (px-x)*(px-x) + (py-y)*(py-y) AS d2,
+                 row_number() OVER (PARTITION BY probe_id
+                                    ORDER BY (px-x)*(px-x) + (py-y)*(py-y), id) AS rank
+          FROM probes CROSS JOIN cells)
+        SELECT probe_id, rank, id, d2 FROM ranked WHERE rank <= 5"""
+
+  /** Raster density: per occupied grid cell, its point count and the
+    * 3×3 box-smoothed count (the discrete KDE a heat map needs). The
+    * smoothing join runs on CELL aggregates — one row per occupied
+    * cell, never per point — so the shuffle is bounded by the raster,
+    * not the data.
+    */
+  def gridDensity(s: SparkSession, dir: String): DataFrame = {
+    val cells = points(s, dir)
+      .groupBy(col("cx"), col("cy"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    val contrib = cells
+      .withColumn("dx", explode(expr("sequence(-1, 1)")))
+      .withColumn("dy", explode(expr("sequence(-1, 1)")))
+      .groupBy(
+        (col("cx") + col("dx")).as("tx"),
+        (col("cy") + col("dy")).as("ty"))
+      .agg(sum(col("n")).as("smoothed"))
+    cells
+      .join(contrib, col("cx") === col("tx") && col("cy") === col("ty"))
+      .select(col("cx"), col("cy"), col("n"), col("smoothed"))
+  }
+
+  val gridDensitySql: String =
+    s"""WITH $pointsCteSql,
+        counts AS (SELECT cx, cy, count(*) AS n FROM cells GROUP BY 1, 2),
+        contrib AS (
+          SELECT c.cx + dx.d AS tx, c.cy + dy.d AS ty,
+                 CAST(sum(n) AS BIGINT) AS smoothed
+          FROM counts c,
+               (VALUES (-1), (0), (1)) dx(d),
+               (VALUES (-1), (0), (1)) dy(d)
+          GROUP BY 1, 2)
+        SELECT c.cx, c.cy, c.n, s.smoothed
+        FROM counts c JOIN contrib s ON c.cx = s.tx AND c.cy = s.ty"""
+}

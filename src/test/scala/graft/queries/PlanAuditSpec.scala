@@ -823,4 +823,30 @@ class PlanAuditSpec extends AnyFunSuite {
       "vocabulary-sized per-source array came back\n" + p.take(2000))
     assert(p.contains("partial_sum"), p.take(2000))
   }
+
+  test("q_spatial_join: candidate join is equi on the cell key — never all-pairs") {
+    val p = plan("q_spatial_join")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "radius join must route through the 3×3 cell equi-key\n" + p.take(2000))
+    assert(p.contains("jx"), "cell-key join columns missing\n" + p.take(1500))
+  }
+
+  test("q_spatial_knn: bounded probes broadcast; top-5 plans as WindowGroupLimit") {
+    val p = plan("q_spatial_knn")
+    // the ≤64-probe side is the documented broadcast exception (exact
+    // kernel, bounded by construction — same contract as q_cosine_topk)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    assert(p.contains("WindowGroupLimit"),
+      "top-5 must prune before the final shuffle\n" + p.take(2000))
+  }
+
+  test("q_grid_density: smoothing shuffles cell aggregates, not points") {
+    val p = plan("q_grid_density")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("InMemoryTableScan"),
+      "cell counts must be persisted once and reused\n" + p.take(1500))
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(2000))
+  }
 }

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Brute-force models for the spatial grid family at sf0.001: the 3×3
+  * cell cover must find EXACTLY the all-pairs within-radius set (the
+  * property that makes the equi-join shape correct, not just fast),
+  * kNN must match the exhaustive ranking, and the smoothed raster must
+  * equal the windowed sum of its 3×3 neighborhood.
+  */
+class SpatialSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = graft.Sessions.local("spatial-spec", "4")
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Driver-side mirror of the md5 coordinate derivation. */
+  private def coord(key: Long, axis: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md
+      .digest(s"$key:$axis".getBytes("UTF-8"))
+      .map(b => f"$b%02x")
+      .mkString
+    java.lang.Long.parseLong(hex.take(10), 16) % 100000L
+  }
+
+  private lazy val pts: Seq[(Long, Long, Long)] = graft.Tables
+    .customer(spark, dir)
+    .select("c_custkey")
+    .collect()
+    .map(_.getLong(0))
+    .toSeq
+    .map(k => (k, coord(k, "x"), coord(k, "y")))
+
+  test("spatial_join: equals the brute-force all-pairs radius model") {
+    val rows = SpatialQueries.spatialJoin(spark, dir).collect()
+    val model = scala.collection.mutable.Map[Long, (Long, Long)]()
+    for {
+      (ka, xa, ya) <- pts
+      (kb, xb, yb) <- pts
+      if ka < kb
+      d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+      if d2 <= 490000L
+      k <- Seq(ka, kb)
+    } {
+      val (n, m) = model.getOrElse(k, (0L, Long.MaxValue))
+      model(k) = (n + 1, math.min(m, d2))
+    }
+    assert(
+      rows.map(r =>
+        r.getAs[Long]("id") ->
+          ((r.getAs[Long]("n_neighbors"), r.getAs[Long]("min_d2")))).toMap == model.toMap)
+  }
+
+  test("spatial_knn: matches the exhaustive per-probe ranking") {
+    val rows = SpatialQueries.spatialKnn(spark, dir).collect()
+    val probes = graft.Tables
+      .supplier(spark, dir)
+      .select("s_suppkey")
+      .collect()
+      .map(_.getLong(0))
+      .filter(_ <= 64)
+      .map(k => (k, coord(k, "px"), coord(k, "py")))
+    val model = probes.flatMap { case (p, px, py) =>
+      pts
+        .map { case (id, x, y) => (id, (px - x) * (px - x) + (py - y) * (py - y)) }
+        .sortBy { case (id, d2) => (d2, id) }
+        .take(5)
+        .zipWithIndex
+        .map { case ((id, d2), i) => (p, (i + 1).toLong, id, d2) }
+    }.toSet
+    assert(rows.map(r =>
+      (r.getAs[Long]("probe_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("id"), r.getAs[Long]("d2"))).toSet == model)
+  }
+
+  test("grid_density: smoothed equals the 3×3 neighborhood sum; counts conserve points") {
+    val rows = SpatialQueries.gridDensity(spark, dir).collect()
+    val counts = pts
+      .groupBy { case (_, x, y) => (x / 1000L, y / 1000L) }
+      .view
+      .mapValues(_.size.toLong)
+      .toMap
+    assert(rows.map(_.getAs[Long]("n")).sum == pts.size.toLong)
+    for (r <- rows) {
+      val (cx, cy) = (r.getAs[Long]("cx"), r.getAs[Long]("cy"))
+      assert(counts(cx -> cy) == r.getAs[Long]("n"))
+      val want = (for {
+        dx <- -1L to 1L
+        dy <- -1L to 1L
+      } yield counts.getOrElse((cx + dx) -> (cy + dy), 0L)).sum
+      assert(r.getAs[Long]("smoothed") == want)
+    }
+    assert(rows.length == counts.size)
+  }
+}
