@@ -520,4 +520,82 @@ object GraphQueries {
        SELECT src AS doc_id, count(*) AS core_degree
        FROM e$maxRounds GROUP BY 1"""
   }
+
+  /** Multi-source BFS hop distance: shortest hop count from the seed
+    * set (doc_id ≡ 0 mod 17) to every reachable node of the similarity
+    * graph. Each round relaxes the frontier by ONE keyed join of the
+    * current distance table to the persisted edge list plus a min
+    * aggregate — the textbook distributed BFS (level-synchronous, no
+    * per-node state on the driver; convergence is read off the
+    * distance-table COUNT, a scalar, because with unit weights a
+    * reached node can never improve, so set-size stability IS the
+    * fixpoint). Fail-closed like [[kcore]]: if the diameter exceeds
+    * `maxHops` the statically unrolled oracle could not match, so
+    * require convergence instead of returning partial distances.
+    */
+  def bfsHops(
+      s: SparkSession,
+      dir: String,
+      minCommon: Int = 12,
+      maxHops: Int = 8): DataFrame = {
+    val edges = symmetricEdges(s, dir, minCommon)
+    var dist = edges
+      .select(col("src").as("node"))
+      .distinct()
+      .filter(col("node") % 17 === 0)
+      .withColumn("hops", lit(0L))
+      .persist()
+    var size = dist.count()
+    var converged = size == 0
+    var round = 0
+    while (!converged && round < maxHops) {
+      val next = dist
+        .join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("hops") + 1).as("hops"))
+        .unionByName(dist.select(col("node"), col("hops")))
+        .groupBy(col("node"))
+        .agg(min(col("hops")).as("hops"))
+        .persist()
+      val n = next.count() // the round's one action
+      if (n == size) {
+        next.unpersist()
+        converged = true
+      } else {
+        dist.unpersist()
+        dist = next
+        size = n
+      }
+      round += 1
+    }
+    edges.unpersist()
+    require(converged,
+      s"BFS frontier still growing after $maxHops hops — raise maxHops " +
+        "(and regenerate the unrolled oracle) for this graph")
+    dist.select(col("node").as("doc_id"), col("hops"))
+  }
+
+  /** Exact oracle for [[bfsHops]]: the relaxation unrolled `maxHops`
+    * times — extra rounds past the fixpoint are identity, so both
+    * engines agree as long as the Spark side converged (which it
+    * fail-closes on).
+    */
+  def bfsHopsSql(minCommon: Int = 12, maxHops: Int = 8): String = {
+    val rounds = (1 to maxHops)
+      .map { i =>
+        s"""d$i AS MATERIALIZED (
+           SELECT node, min(hops) AS hops FROM (
+             SELECT e.dst AS node, d.hops + 1 AS hops
+             FROM d${i - 1} d JOIN edges e ON d.node = e.src
+             UNION ALL
+             SELECT node, hops FROM d${i - 1})
+           GROUP BY 1)"""
+      }
+      .mkString(",\n       ")
+    s"""WITH ${graphCtesSql(minCommon)},
+       $edgesCteSql,
+       d0 AS (SELECT DISTINCT src AS node, 0 AS hops FROM edges
+              WHERE src % 17 = 0),
+       $rounds
+       SELECT node AS doc_id, CAST(hops AS BIGINT) AS hops FROM d$maxHops"""
+  }
 }

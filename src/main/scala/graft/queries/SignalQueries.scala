@@ -328,6 +328,61 @@ object SignalQueries {
               round(w.l + w.b, 6) AS forecast_next
        FROM walk w JOIN per p ON w.event_type = p.event_type AND w.t = p.n"""
 
+  /** 1-D Kalman filter (random-walk state, Q = 0.25, R = 2.0) over each
+    * event type's daily-mean series: the final filtered level, its
+    * posterior variance, and the steady-state gain — the optimal
+    * noise-adaptive smoother a monitoring pipeline runs where EWMA's
+    * fixed α under- or over-trusts the data.
+    *
+    * Cross-engine exactness: same recipe as [[holtForecast]] — the
+    * recurrence (predict P+Q, gain K = Pp/(Pp+R), update) is an ordered
+    * left fold in day order with the IDENTICAL expression tree on both
+    * engines, seeded x₁ = first observation, P₁ = 1; identical IEEE
+    * inputs + identical op order ⇒ bitwise-equal state, and the output
+    * rounding is belt-and-braces. Scale: one map-side combined
+    * (type, day) aggregate, then a calendar-bounded fold per type.
+    */
+  def kalmanFilter(s: SparkSession, dir: String): DataFrame = {
+    dailySeries(s, dir)
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("dm")))).as("arr"))
+      .withColumn("dms", expr("transform(arr, x -> x.dm)"))
+      .withColumn("n", size(col("dms")))
+      .withColumn(
+        "state",
+        expr("""aggregate(slice(dms, 2, n - 1),
+                  named_struct('x', get(dms, 0), 'p', 1.0D),
+                  (acc, z) -> named_struct(
+                    'x', acc.x + ((acc.p + 0.25D) / (acc.p + 0.25D + 2.0D)) * (z - acc.x),
+                    'p', (1.0D - (acc.p + 0.25D) / (acc.p + 0.25D + 2.0D)) * (acc.p + 0.25D)))"""))
+      .select(
+        col("event_type"),
+        col("n").cast("long").as("n_days"),
+        round(expr("state.x"), 6).as("xhat"),
+        round(expr("state.p"), 9).as("p_var"),
+        round(expr("(state.p + 0.25D) / (state.p + 0.25D + 2.0D)"), 9).as("gain"))
+  }
+
+  val kalmanFilterSql: String =
+    s"""WITH RECURSIVE daily AS ($dailySeriesCte),
+       per AS (
+         SELECT event_type, list(dm ORDER BY day) AS dms, count(*) AS n
+         FROM daily GROUP BY 1),
+       walk(event_type, t, x, p) AS (
+         -- CAST: a bare 1.0 is DECIMAL in DuckDB and would drag the whole
+         -- variance recursion into fixed-point arithmetic
+         SELECT event_type, 1, dms[1], CAST(1.0 AS DOUBLE) FROM per
+         UNION ALL
+         SELECT w.event_type, w.t + 1,
+                w.x + ((w.p + 0.25) / (w.p + 0.25 + 2.0)) * (q.dms[w.t + 1] - w.x),
+                (1.0 - (w.p + 0.25) / (w.p + 0.25 + 2.0)) * (w.p + 0.25)
+         FROM walk w JOIN per q ON w.event_type = q.event_type
+         WHERE w.t < q.n)
+       SELECT w.event_type, p.n AS n_days,
+              round(w.x, 6) AS xhat, round(w.p, 9) AS p_var,
+              round((w.p + 0.25) / (w.p + 0.25 + 2.0), 9) AS gain
+       FROM walk w JOIN per p ON w.event_type = p.event_type AND w.t = p.n"""
+
   /** Sample autocorrelation (lags 1–7) of each event type's daily-mean
     * series: ρ_k = Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)² — the periodicity
     * detector behind seasonality-aware monitoring (a weekly-cycled

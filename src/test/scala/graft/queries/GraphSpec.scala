@@ -108,6 +108,33 @@ class GraphSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("bfs_hops: matches driver-side BFS distances from the mod-17 seed set") {
+    val rows = GraphQueries.bfsHops(spark, dir).collect()
+    val docs = graft.Tables
+      .documents(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 80)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("text").split(" ").toSet.filter(_.nonEmpty)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    for {
+      (da, la, wa) <- docs; (db, lb, wb) <- docs
+      if da < db && la == lb && (wa & wb).size >= 12
+    } { adj(da) += db; adj(db) += da }
+    // textbook BFS from every seed node present in the graph
+    val dist = scala.collection.mutable.Map.empty[Long, Long]
+    var frontier = adj.keys.filter(_ % 17 == 0).toSet
+    frontier.foreach(dist(_) = 0L)
+    var h = 0L
+    while (frontier.nonEmpty) {
+      h += 1
+      frontier = frontier.flatMap(adj).filterNot(dist.contains)
+      frontier.foreach(dist(_) = h)
+    }
+    assert(rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("hops")).toMap == dist.toMap)
+    spark.catalog.clearCache()
+  }
+
   test("neighborhood: balls grow monotonically and 1-hop equals degree") {
     val rows = GraphQueries.neighborhood(spark, dir).collect()
     assert(rows.nonEmpty)

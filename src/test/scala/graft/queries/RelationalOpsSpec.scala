@@ -278,6 +278,38 @@ class RelationalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kalman_filter: fold matches a driver-side predict/update recurrence") {
+    import org.apache.spark.sql.functions._
+    val rows = SignalQueries.kalmanFilter(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"), count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("day"),
+        round(col("cents").cast("double") / (col("cnt").cast("double") * 100.0), 6).as("dm"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+    for (r <- rows) {
+      val xs = daily.filter(_._1 == r.getString(0)).sortBy(_._2.getTime).map(_._3)
+      assert(r.getAs[Long]("n_days") == xs.length)
+      var x = xs(0)
+      var p = 1.0
+      for (t <- 1 until xs.length) {
+        val pp = p + 0.25
+        val k = pp / (pp + 2.0)
+        x = x + k * (xs(t) - x)
+        p = (1.0 - k) * pp
+      }
+      assert(math.abs(r.getAs[Double]("xhat") - x) < 1e-6, r.toString)
+      assert(math.abs(r.getAs[Double]("p_var") - p) < 1e-8, r.toString)
+      val gain = (p + 0.25) / (p + 0.25 + 2.0)
+      assert(math.abs(r.getAs[Double]("gain") - gain) < 1e-8, r.toString)
+      // posterior variance contracts below the prior and stays positive
+      assert(p > 0 && p < 1.0)
+    }
+  }
+
   test("autocorrelation: matches a driver-side model; acf bounded; lag-0 excluded") {
     import org.apache.spark.sql.functions._
     val rows = SignalQueries.autocorrelation(spark, dir).collect()
