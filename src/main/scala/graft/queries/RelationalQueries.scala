@@ -3070,4 +3070,105 @@ object RelationalQueries {
               n AS n_pairs_full, ck AS checksum_full
        FROM agg"""
 
+  /** Snapshot diff — the table-migration audit: compare the 1999
+    * snapshot of orders against the 2000 snapshot (with a deterministic
+    * mutation on keys ≡ 0 mod 97 standing in for in-place updates) and
+    * classify every key as added / removed / changed. One full-outer
+    * join on the key with exact-cent comparison; unchanged rows are
+    * dropped BEFORE the output so the result is delta-sized, not
+    * table-sized (the property that matters when diffing 100 TB
+    * snapshots — the join shuffles once on the key, the output is the
+    * drift).
+    */
+  def tableDiff(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val snapA = orders
+      .filter(col("o_orderdate") < to_timestamp(lit("1999-01-01")))
+      .select(col("o_orderkey").as("ka"),
+        round(col("o_totalprice") * 100).cast("long").as("cents_a"))
+    val snapB = orders
+      .filter(col("o_orderdate") < to_timestamp(lit("2000-01-01")))
+      .select(
+        col("o_orderkey").as("kb"),
+        (round(col("o_totalprice") * 100).cast("long") +
+          when(col("o_orderkey") % 97 === 0, lit(1L)).otherwise(lit(0L))).as("cents_b"))
+    snapA
+      .join(snapB, col("ka") === col("kb"), "full_outer")
+      .withColumn(
+        "change_type",
+        when(col("ka").isNull, lit("added"))
+          .when(col("kb").isNull, lit("removed"))
+          .when(col("cents_a") =!= col("cents_b"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change_type") =!= "unchanged")
+      .select(
+        coalesce(col("ka"), col("kb")).as("o_orderkey"),
+        col("change_type"),
+        col("cents_a"),
+        col("cents_b"))
+  }
+
+  val tableDiffSql: String =
+    """WITH a AS (
+         SELECT o_orderkey AS ka, CAST(round(o_totalprice*100) AS BIGINT) AS cents_a
+         FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'),
+       b AS (
+         SELECT o_orderkey AS kb,
+                CAST(round(o_totalprice*100) AS BIGINT)
+                  + CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END AS cents_b
+         FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'),
+       d AS (
+         SELECT coalesce(ka, kb) AS o_orderkey,
+                CASE WHEN ka IS NULL THEN 'added'
+                     WHEN kb IS NULL THEN 'removed'
+                     WHEN cents_a <> cents_b THEN 'changed'
+                     ELSE 'unchanged' END AS change_type,
+                cents_a, cents_b
+         FROM a FULL OUTER JOIN b ON ka = kb)
+       SELECT * FROM d WHERE change_type <> 'unchanged'"""
+
+  /** The analytic-window reference suite: lag/lead deltas, running
+    * rank statistics (percent_rank, cume_dist), equi-depth quartile
+    * (ntile) and per-partition extremes over each user's event stream,
+    * ordered by the unique event_id so every function is deterministic.
+    * Rank fractions are doubles computed from integer ranks with the
+    * identical formula both engines. All windows share ONE
+    * (user_id, event_id) partitioning+sort, so the physical plan pays a
+    * single window sort, not five.
+    */
+  def windowFuncs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+      .withColumn("next_cents", lead(col("cents"), 1).over(w))
+      .withColumn("delta", col("cents") - col("prev_cents"))
+      .withColumn("pr", round(percent_rank().over(w), 9))
+      .withColumn("cd", round(cume_dist().over(w), 9))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("run_max", max(col("cents")).over(w))
+  }
+
+  val windowFuncsSql: String =
+    """SELECT user_id, event_id,
+              CAST(round(value*100) AS BIGINT) AS cents,
+              lag(CAST(round(value*100) AS BIGINT), 1)
+                OVER (PARTITION BY user_id ORDER BY event_id) AS prev_cents,
+              lead(CAST(round(value*100) AS BIGINT), 1)
+                OVER (PARTITION BY user_id ORDER BY event_id) AS next_cents,
+              CAST(round(value*100) AS BIGINT)
+                - lag(CAST(round(value*100) AS BIGINT), 1)
+                  OVER (PARTITION BY user_id ORDER BY event_id) AS delta,
+              round(percent_rank() OVER (PARTITION BY user_id ORDER BY event_id), 9) AS pr,
+              round(cume_dist() OVER (PARTITION BY user_id ORDER BY event_id), 9) AS cd,
+              CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS quartile,
+              max(CAST(round(value*100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY event_id) AS run_max
+       FROM events"""
+
 }

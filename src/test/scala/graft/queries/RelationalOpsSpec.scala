@@ -278,6 +278,102 @@ class RelationalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hierarchy_rollup: subtree sums match a driver-side tree walk") {
+    import org.apache.spark.sql.functions._
+    val rows = TreeQueries.hierarchyRollup(spark, dir).collect()
+    val nodes = graft.Tables
+      .orders(spark, dir)
+      .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    // driver model: every node contributes to each ancestor on its
+    // div-7 path (root contributes to itself only)
+    val sums = scala.collection.mutable.Map.empty[Long, (Long, Long)].withDefaultValue((0L, 0L))
+    for ((id, cents) <- nodes) {
+      var cur = id
+      var continue = true
+      while (continue) {
+        val (sc, n) = sums(cur)
+        sums(cur) = (sc + cents, n + 1)
+        val parent = cur / 7
+        if (parent != cur && nodes.contains(parent)) cur = parent else continue = false
+      }
+    }
+    assert(rows.map(r => r.getAs[Long]("o_orderkey") ->
+      ((r.getAs[Long]("subtree_cents"), r.getAs[Long]("n_nodes")))).toMap == sums.toMap)
+    // conservation: the root subtrees partition the forest
+    val roots = rows.filter { r =>
+      val k = r.getAs[Long]("o_orderkey")
+      k / 7 == k || !nodes.contains(k / 7)
+    }
+    assert(roots.map(_.getAs[Long]("n_nodes")).sum == nodes.size.toLong)
+    spark.catalog.clearCache()
+  }
+
+  test("table_diff: classification matches the snapshot model; no unchanged rows") {
+    import org.apache.spark.sql.functions._
+    val rows = RelationalQueries.tableDiff(spark, dir).collect()
+    assert(rows.forall(_.getAs[String]("change_type") != "unchanged"))
+    // orderdate arrives as Timestamp (TIMESTAMP files, UTC session) or
+    // LocalDateTime (TIMESTAMP_NTZ files) — normalize to epoch millis
+    def ms(v: Any): Long = v match {
+      case t: java.sql.Timestamp => t.getTime
+      case d: java.time.LocalDateTime =>
+        d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+    def cutoff(y: Int): Long =
+      java.time.LocalDateTime.of(y, 1, 1, 0, 0)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val orders = graft.Tables
+      .orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), round(col("o_totalprice") * 100).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), ms(r.getAs[Any](1)), r.getLong(2)))
+    val a = orders.filter(o => o._2 < cutoff(1999)).map(o => o._1 -> o._3).toMap
+    val b = orders.filter(o => o._2 < cutoff(2000))
+      .map(o => o._1 -> (o._3 + (if (o._1 % 97 == 0) 1 else 0))).toMap
+    val expect = (a.keySet ++ b.keySet).flatMap { k =>
+      (a.get(k), b.get(k)) match {
+        case (None, Some(_)) => Some(k -> "added")
+        case (Some(_), None) => Some(k -> "removed")
+        case (Some(x), Some(y)) if x != y => Some(k -> "changed")
+        case _ => None
+      }
+    }.toMap
+    assert(rows.map(r =>
+      r.getAs[Long]("o_orderkey") -> r.getAs[String]("change_type")).toMap == expect)
+  }
+
+  test("window_funcs: per-user analytics match a driver-side model") {
+    import org.apache.spark.sql.functions._
+    val rows = RelationalQueries.windowFuncs(spark, dir).collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    for ((_, rs) <- byUser.take(20)) {
+      val sorted = rs.sortBy(_.getAs[Long]("event_id"))
+      val n = sorted.length
+      for ((r, i) <- sorted.zipWithIndex) {
+        if (i > 0) {
+          assert(r.getAs[Long]("prev_cents") == sorted(i - 1).getAs[Long]("cents"))
+          assert(r.getAs[Long]("delta") ==
+            r.getAs[Long]("cents") - sorted(i - 1).getAs[Long]("cents"))
+        } else assert(r.isNullAt(r.fieldIndex("prev_cents")))
+        if (i < n - 1)
+          assert(r.getAs[Long]("next_cents") == sorted(i + 1).getAs[Long]("cents"))
+        val pr = if (n == 1) 0.0 else i.toDouble / (n - 1).toDouble
+        assert(math.abs(r.getAs[Double]("pr") - pr) < 1e-8)
+        assert(math.abs(r.getAs[Double]("cd") - (i + 1).toDouble / n.toDouble) < 1e-8)
+        assert(r.getAs[Long]("run_max") ==
+          sorted.take(i + 1).map(_.getAs[Long]("cents")).max)
+      }
+      // quartiles are equi-depth within ±1 and monotone in event order
+      val q = sorted.map(_.getAs[Long]("quartile"))
+      assert(q.sliding(2).forall { case Array(x, y) => x <= y; case _ => true })
+      val counts = q.groupBy(identity).values.map(_.size)
+      assert(counts.max - counts.min <= 1)
+    }
+  }
+
   test("kalman_filter: fold matches a driver-side predict/update recurrence") {
     import org.apache.spark.sql.functions._
     val rows = SignalQueries.kalmanFilter(spark, dir).collect()
