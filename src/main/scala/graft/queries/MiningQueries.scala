@@ -1870,4 +1870,107 @@ object MiningQueries {
                 AS ece_term
        FROM b, t"""
   }
+
+  /** Difference-in-differences: the causal-effect estimator for a
+    * staggered rollout — treatment arm (md5 user bucket, the [[cuped]]
+    * convention) vs control, purchase spend before vs after the
+    * 2024-01-16 cutover. Four cell means from EXACT cent sums (one
+    * map-side-combined aggregate over (arm, period)), the DiD contrast
+    * computed once on the 4-row result: identical double shape both
+    * engines. Scale: nothing beyond a 4-group aggregate ever shuffles.
+    */
+  def diffInDiff(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables
+      .events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        expr(md5Bucket("cast(user_id as string)", 2)).cast("int").as("arm"),
+        (col("ts") >= lit("2024-01-16 00:00:00").cast("timestamp")).as("post"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("arm"), col("post"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+      .withColumn("mean", col("sc").cast("double") / col("n").cast("double") / lit(100.0))
+    val wide = cells
+      .groupBy()
+      .pivot(concat(col("arm"), when(col("post"), lit("_post")).otherwise(lit("_pre"))),
+        Seq("0_pre", "0_post", "1_pre", "1_post"))
+      .agg(first(col("mean")))
+    wide.select(
+      round(col("1_pre"), 6).as("mean_t_pre"),
+      round(col("1_post"), 6).as("mean_t_post"),
+      round(col("0_pre"), 6).as("mean_c_pre"),
+      round(col("0_post"), 6).as("mean_c_post"),
+      round(
+        (col("1_post") - col("1_pre")) - (col("0_post") - col("0_pre")),
+        6).as("did"))
+  }
+
+  val diffInDiffSql: String = {
+    val arm = md5BucketSql("CAST(user_id AS VARCHAR)", 2)
+    s"""WITH cells AS (
+         SELECT CAST($arm AS INT) AS arm,
+                ts >= TIMESTAMP '2024-01-16 00:00:00' AS post,
+                count(*) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY 1, 2
+       ), m AS (
+         SELECT arm, post, CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean
+         FROM cells
+       ), wide AS (
+         SELECT
+           max(CASE WHEN arm = 1 AND NOT post THEN mean END) AS t_pre,
+           max(CASE WHEN arm = 1 AND post THEN mean END) AS t_post,
+           max(CASE WHEN arm = 0 AND NOT post THEN mean END) AS c_pre,
+           max(CASE WHEN arm = 0 AND post THEN mean END) AS c_post
+         FROM m)
+       SELECT round(t_pre, 6) AS mean_t_pre, round(t_post, 6) AS mean_t_post,
+              round(c_pre, 6) AS mean_c_pre, round(c_post, 6) AS mean_c_post,
+              round((t_post - t_pre) - (c_post - c_pre), 6) AS did
+       FROM wide"""
+  }
+
+  /** Sequence-pattern mining (MATCH_RECOGNIZE-lite): each user's event
+    * stream as an ordered initial-letter string (v/c/p/s/e, event_id
+    * order), then LITERAL pattern counts via the length-difference
+    * trick — `replace` is left-to-right non-overlapping in both engines
+    * and carries none of the cross-engine regex-semantics risk (RE2
+    * leftmost vs Java greedy). Counted here: the v→c→p conversion
+    * shape and the e→p error-then-purchase shape. Scale: one per-user
+    * fold, partitioned on the user key; string length is the user's
+    * event count, the same bound as every per-user array in the repo.
+    */
+  def eventPattern(s: SparkSession, dir: String): DataFrame = {
+    val seqs = Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        substring(col("event_type"), 1, 1).as("c"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("array_join(transform(array_sort(collect_list(struct(event_id, c))), x -> x.c), '')")
+          .as("seq"))
+    seqs.select(
+      col("user_id"),
+      col("n_events"),
+      col("seq"),
+      expr("CAST((length(seq) - length(replace(seq, 'vcp', ''))) / 3 AS BIGINT)")
+        .as("n_conversions"),
+      expr("CAST((length(seq) - length(replace(seq, 'ep', ''))) / 2 AS BIGINT)")
+        .as("n_error_purchase"))
+  }
+
+  val eventPatternSql: String =
+    """WITH seqs AS (
+         SELECT user_id, count(*) AS n_events,
+                string_agg(substr(event_type, 1, 1), '' ORDER BY event_id) AS seq
+         FROM events GROUP BY 1)
+       SELECT user_id, n_events, seq,
+              CAST((length(seq) - length(replace(seq, 'vcp', ''))) / 3 AS BIGINT)
+                AS n_conversions,
+              CAST((length(seq) - length(replace(seq, 'ep', ''))) / 2 AS BIGINT)
+                AS n_error_purchase
+       FROM seqs"""
 }

@@ -267,4 +267,38 @@ class MiningSpec extends AnyFunSuite {
     val again = MiningQueries.gbmStumps(spark, dir).collect()
     assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
+
+  test("diff-in-diff: contrast re-derives from the four cell means") {
+    val r = MiningQueries.diffInDiff(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val did = (row.getAs[Double]("mean_t_post") - row.getAs[Double]("mean_t_pre")) -
+      (row.getAs[Double]("mean_c_post") - row.getAs[Double]("mean_c_pre"))
+    // did is computed pre-rounding from the same cells; the identity
+    // holds to the 1e-6 output grid
+    assert(math.abs(row.getAs[Double]("did") - did) < 2e-6, row.toString)
+  }
+
+  test("event_pattern: sequence length and pattern counts match a driver model") {
+    import org.apache.spark.sql.functions._
+    val rows = MiningQueries.eventPattern(spark, dir).collect()
+    val events = graft.Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2).take(1)))
+    val model = events.groupBy(_._1).map { case (u, es) =>
+      val seq = es.sortBy(_._2).map(_._3).mkString
+      def cnt(pat: String): Long = {
+        var c = 0L; var i = seq.indexOf(pat)
+        while (i >= 0) { c += 1; i = seq.indexOf(pat, i + pat.length) }
+        c
+      }
+      u -> ((es.length.toLong, seq, cnt("vcp"), cnt("ep")))
+    }
+    assert(rows.map(r => r.getAs[Long]("user_id") ->
+      ((r.getAs[Long]("n_events"), r.getAs[String]("seq"),
+        r.getAs[Long]("n_conversions"), r.getAs[Long]("n_error_purchase")))).toMap
+      == model)
+  }
 }
