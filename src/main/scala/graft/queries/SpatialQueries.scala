@@ -73,14 +73,12 @@ object SpatialQueries {
         FROM customer),
         cells AS (SELECT *, x // $Cell AS cx, y // $Cell AS cy FROM pts)"""
 
-  /** Radius self-join: for every point with at least one neighbor
-    * within R, the neighbor count and the squared distance to the
-    * closest one. One side explodes to its 9 candidate cells; the join
-    * is equi on (cell_x, cell_y) with the canonical `id < id` pair
-    * direction, then symmetrized for per-point stats — each undirected
-    * pair is computed exactly once.
+  /** The canonical within-radius pair list (ia < ib, exact BIGINT d²) —
+    * one side explodes to its 9 candidate cells, the join is equi on
+    * (cell_x, cell_y). Shared by [[spatialJoin]] and [[dbscan]] so the
+    * neighborhood derivation has exactly one definition per engine.
     */
-  def spatialJoin(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def neighborPairs(s: SparkSession, dir: String): DataFrame = {
     val pts = points(s, dir)
     val probe = pts
       .withColumn("dx", explode(expr("sequence(-1, 1)")))
@@ -97,7 +95,7 @@ object SpatialQueries {
       col("y").as("by"),
       col("cx").as("jx"),
       col("cy").as("jy"))
-    val pairs = probe
+    probe
       .join(build, Seq("jx", "jy"))
       .filter(col("ia") < col("ib"))
       .withColumn(
@@ -106,6 +104,25 @@ object SpatialQueries {
           (col("ay") - col("by")) * (col("ay") - col("by")))
       .filter(col("d2") <= R2)
       .select(col("ia"), col("ib"), col("d2"))
+  }
+
+  private def pairsCteSql: String =
+    s"""pairs AS (
+          SELECT a.id AS ia, b.id AS ib,
+                 (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+          FROM cells a JOIN cells b
+            ON b.cx BETWEEN a.cx-1 AND a.cx+1
+           AND b.cy BETWEEN a.cy-1 AND a.cy+1
+           AND a.id < b.id
+          WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= $R2)"""
+
+  /** Radius self-join: for every point with at least one neighbor
+    * within R, the neighbor count and the squared distance to the
+    * closest one. Built on [[neighborPairs]] (each undirected pair
+    * computed exactly once), symmetrized for per-point stats.
+    */
+  def spatialJoin(s: SparkSession, dir: String): DataFrame = {
+    val pairs = neighborPairs(s, dir)
     pairs
       .select(col("ia").as("id"), col("d2"))
       .unionByName(pairs.select(col("ib").as("id"), col("d2")))
@@ -115,14 +132,7 @@ object SpatialQueries {
 
   val spatialJoinSql: String =
     s"""WITH $pointsCteSql,
-        pairs AS (
-          SELECT a.id AS ia, b.id AS ib,
-                 (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
-          FROM cells a JOIN cells b
-            ON b.cx BETWEEN a.cx-1 AND a.cx+1
-           AND b.cy BETWEEN a.cy-1 AND a.cy+1
-           AND a.id < b.id
-          WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= $R2),
+        $pairsCteSql,
         sym AS (SELECT ia AS id, d2 FROM pairs
                 UNION ALL SELECT ib AS id, d2 FROM pairs)
         SELECT id, count(*) AS n_neighbors, CAST(min(d2) AS BIGINT) AS min_d2
@@ -207,4 +217,99 @@ object SpatialQueries {
           GROUP BY 1, 2)
         SELECT c.cx, c.cy, c.n, s.smoothed
         FROM counts c JOIN contrib s ON c.cx = s.tx AND c.cy = s.ty"""
+
+  /** DBSCAN density minimum: a point is CORE with ≥ MinPts neighbors
+    * within R (self excluded).
+    */
+  private val MinPts = 3
+
+  /** Distributed DBSCAN (the MR-DBSCAN shape): density clustering over
+    * the grid points — core points (≥ [[MinPts]] within-R neighbors)
+    * form clusters as the connected components of the core-core
+    * neighbor graph; border points (non-core with a core neighbor)
+    * adopt the cluster of their CLOSEST core neighbor (d², id
+    * tiebreak — deterministic); everything else is noise (cluster −1).
+    *
+    * Scale: the only superlinear ingredient, the neighbor join, is the
+    * 3×3 cell equi-join of [[neighborPairs]]; the component loop is the
+    * repo's [[graft.operators.ConnectedComponents]] (Shiloach–Vishkin
+    * root hooking, O(log n) rounds, scalar-only driver traffic). The
+    * oracle materializes the recursive closure instead — affordable at
+    * test scale, exactly what the SV loop avoids in production.
+    */
+  def dbscan(s: SparkSession, dir: String): DataFrame = {
+    val pairs = neighborPairs(s, dir).persist()
+    val sym = pairs
+      .select(col("ia").as("id"), col("ib").as("nb"), col("d2"))
+      .unionByName(pairs.select(col("ib").as("id"), col("ia").as("nb"), col("d2")))
+    val deg = sym.groupBy(col("id")).agg(count(lit(1)).as("n_neighbors"))
+    val core = deg.filter(col("n_neighbors") >= MinPts).select(col("id").as("core_id"))
+    val coreEdges = pairs
+      .join(core.withColumnRenamed("core_id", "ca"), col("ia") === col("ca"), "left_semi")
+      .join(core.withColumnRenamed("core_id", "cb"), col("ib") === col("cb"), "left_semi")
+      .select(col("ia").as("src"), col("ib").as("dst"))
+    val comp = graft.operators.ConnectedComponents
+      .components(coreEdges)
+      .select(col("id").as("cid"), col("component"))
+    // isolated cores (no core neighbor) are their own singleton cluster
+    val coreCluster = core
+      .join(comp, col("core_id") === col("cid"), "left")
+      .select(col("core_id"), coalesce(col("component"), col("core_id")).as("cluster"))
+      .persist()
+    val borderPick = sym
+      .join(coreCluster.withColumnRenamed("core_id", "nbc"), col("nb") === col("nbc"))
+      .join(coreCluster.withColumnRenamed("core_id", "selfc")
+        .withColumnRenamed("cluster", "c2"), col("id") === col("selfc"), "left_anti")
+      .groupBy(col("id"))
+      .agg(min(struct(col("d2"), col("nb"), col("cluster"))).as("pick"))
+      .select(col("id"), col("pick.cluster").as("cluster"))
+    val pts = points(s, dir).select(col("id"))
+    val labeled = coreCluster
+      .select(col("core_id").as("id"), col("cluster"), lit("core").as("role"))
+      .unionByName(borderPick.withColumn("role", lit("border")))
+    pts
+      .join(labeled, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("role"), lit("noise")).as("role"),
+        coalesce(col("cluster"), lit(-1L)).as("cluster"))
+  }
+
+  val dbscanSql: String =
+    s"""WITH RECURSIVE $pointsCteSql,
+        $pairsCteSql,
+        sym AS (SELECT ia AS id, ib AS nb, d2 FROM pairs
+                UNION ALL SELECT ib, ia, d2 FROM pairs),
+        deg AS (SELECT id, count(*) AS n FROM sym GROUP BY 1),
+        core AS (SELECT id AS core_id FROM deg WHERE n >= $MinPts),
+        ce AS (
+          SELECT ia AS a, ib AS b FROM pairs
+          WHERE ia IN (SELECT core_id FROM core)
+            AND ib IN (SELECT core_id FROM core)),
+        e AS (SELECT a, b FROM ce UNION SELECT b, a FROM ce),
+        reach(a, b) AS (
+          SELECT a, b FROM e
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        comp AS (
+          SELECT a AS cid, least(a, min(b)) AS component
+          FROM reach GROUP BY a),
+        core_cluster AS (
+          SELECT core_id, coalesce(component, core_id) AS cluster
+          FROM core LEFT JOIN comp ON core_id = cid),
+        border AS (
+          SELECT s.id,
+                 first(cc.cluster ORDER BY s.d2, s.nb) AS cluster
+          FROM sym s
+          JOIN core_cluster cc ON s.nb = cc.core_id
+          WHERE s.id NOT IN (SELECT core_id FROM core)
+          GROUP BY s.id),
+        labeled AS (
+          SELECT core_id AS id, cluster, 'core' AS role FROM core_cluster
+          UNION ALL
+          SELECT id, cluster, 'border' AS role FROM border)
+        SELECT p.id,
+               coalesce(l.role, 'noise') AS role,
+               CAST(coalesce(l.cluster, -1) AS BIGINT) AS cluster
+        FROM cells p LEFT JOIN labeled l ON p.id = l.id"""
 }

@@ -77,6 +77,43 @@ class SpatialSpec extends AnyFunSuite {
         r.getAs[Long]("id"), r.getAs[Long]("d2"))).toSet == model)
   }
 
+  test("dbscan: roles and clusters match a textbook driver-side DBSCAN") {
+    val rows = SpatialQueries.dbscan(spark, dir).collect()
+    val r2 = 490000L
+    val ids = pts.map(_._1)
+    val coords = pts.map(p => p._1 -> ((p._2, p._3))).toMap
+    def d2(a: Long, b: Long): Long = {
+      val ((xa, ya), (xb, yb)) = (coords(a), coords(b))
+      (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+    }
+    val neigh = ids.map(a => a -> ids.filter(b => b != a && d2(a, b) <= r2)).toMap
+    val core = ids.filter(a => neigh(a).size >= 3).toSet
+    // clusters = components over core-core adjacency, labeled by min id
+    val cluster = scala.collection.mutable.Map.empty[Long, Long]
+    for (c <- core.toSeq.sorted if !cluster.contains(c)) {
+      var comp = Set(c); var frontier = Set(c)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(n => neigh(n).filter(core)).diff(comp)
+        comp ++= frontier
+      }
+      val label = comp.min
+      comp.foreach(cluster(_) = label)
+    }
+    val expect = ids.map { a =>
+      if (core(a)) (a, "core", cluster(a))
+      else {
+        val coreNb = neigh(a).filter(core)
+        if (coreNb.nonEmpty) {
+          val best = coreNb.minBy(b => (d2(a, b), b))
+          (a, "border", cluster(best))
+        } else (a, "noise", -1L)
+      }
+    }.toSet
+    assert(rows.map(r => (r.getAs[Long]("id"), r.getAs[String]("role"),
+      r.getAs[Long]("cluster"))).toSet == expect)
+    spark.catalog.clearCache()
+  }
+
   test("grid_density: smoothed equals the 3×3 neighborhood sum; counts conserve points") {
     val rows = SpatialQueries.gridDensity(spark, dir).collect()
     val counts = pts
