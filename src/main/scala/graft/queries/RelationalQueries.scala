@@ -3127,6 +3127,65 @@ object RelationalQueries {
          FROM a FULL OUTER JOIN b ON ka = kb)
        SELECT * FROM d WHERE change_type <> 'unchanged'"""
 
+  /** Multi-format interchange round-trip: the same event slice written
+    * to CSV, JSON and ORC (scratch under /tmp), read back through each
+    * format's parser with an EXPLICIT schema (no inference — the
+    * production discipline), and reduced to a per-format
+    * (count, checksum, cent-sum) fingerprint. All three rows must equal
+    * the parquet-derived oracle row: a lossy parser, a schema drift, or
+    * a type coercion in any format shows up as a fingerprint mismatch.
+    * The projection is integers-and-enum-strings by construction —
+    * timestamps deliberately stay out of the interchange surface (CSV
+    * timestamp parsing is timezone-fragile; a real pipeline ships
+    * epoch integers, which is what `cents`/ids model).
+    *
+    * Scale: the fingerprint is one map-side-combined aggregate per
+    * format; the write is the data's own size. (The /tmp scratch is the
+    * test-rig stand-in for a staging bucket.)
+    */
+  def formatRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("cents", LongType)))
+    val subset = Tables
+      .events(s, dir)
+      .filter(col("event_id") % 10 === 0)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_fmt")
+      .toString
+    val frames = Seq("csv", "json", "orc").map { fmt =>
+      val path = s"$base/$fmt"
+      val w = subset.write.mode("overwrite")
+      (if (fmt == "csv") w.option("header", "true") else w).format(fmt).save(path)
+      val r = s.read.schema(schema)
+      val back = (if (fmt == "csv") r.option("header", "true") else r).format(fmt).load(path)
+      back.agg(
+        lit(fmt).as("format"),
+        count(lit(1)).as("n"),
+        sum(col("event_id") * 31 + col("user_id") * 7 + col("cents")).as("checksum"),
+        sum(col("cents")).as("sum_cents"))
+    }
+    frames.reduce(_ unionByName _).select("format", "n", "checksum", "sum_cents")
+  }
+
+  val formatRoundtripSql: String =
+    """WITH fp AS (
+         SELECT count(*) AS n,
+                CAST(sum(event_id * 31 + user_id * 7
+                         + CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS checksum,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events WHERE event_id % 10 = 0)
+       SELECT f.format, fp.n, fp.checksum, fp.sum_cents
+       FROM fp, (VALUES ('csv'), ('json'), ('orc')) f(format)"""
+
   /** The analytic-window reference suite: lag/lead deltas, running
     * rank statistics (percent_rank, cume_dist), equi-depth quartile
     * (ntile) and per-partition extremes over each user's event stream,

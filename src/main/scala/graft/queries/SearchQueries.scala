@@ -912,4 +912,113 @@ object SearchQueries {
                CAST(COALESCE(sum(c), 0) AS BIGINT) AS n_matches
         FROM per_doc GROUP BY phrase"""
   }
+
+  private val TextRankIters = 5
+
+  /** TextRank keyword extraction: weighted PageRank (damping 0.85,
+    * [[TextRankIters]] synchronous iterations) over the word
+    * co-occurrence graph — nodes are words, edges connect ADJACENT
+    * tokens (window 1) with co-occurrence counts as weights, built from
+    * the scale-capped demo slice (doc_id < 200, the
+    * [[GraphQueries]] convention: the word graph is vocabulary-sized,
+    * not corpus-sized, so the cap models the bounded-graph reality).
+    *
+    * Exactness: each iteration's neighbor sum is an explicitly ORDERED
+    * fold of `rank·weight/wdeg` terms (the [[GraphQueries.pagerank]]
+    * discipline — `aggregate(array_sort(collect_list(…)))` here,
+    * `list_reduce(list_sort(list(…)))` in the oracle), so all
+    * [[TextRankIters]] unrolled iterations agree bitwise.
+    *
+    * Scale: the edge table builds in one corpus scan + one pair count,
+    * is persisted, and each iteration is one keyed join + one
+    * aggregation on the dst word — per-iteration cost is two bounded
+    * shuffles of the vocabulary-sized edge table.
+    */
+  def textRank(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables
+      .documents(s, dir)
+      .filter(col("doc_id") < 200)
+      .select(split(col("text"), " ", -1).as("lw"))
+      .select(explode(
+        expr("transform(sequence(1, size(lw) - 1), i -> struct(element_at(lw, i) as a, element_at(lw, i + 1) as b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= "" && col("b") =!= "" && col("a") =!= col("b"))
+    val undirected = words
+      .select(least(col("a"), col("b")).as("wa"), greatest(col("a"), col("b")).as("wb"))
+      .groupBy(col("wa"), col("wb"))
+      .agg(count(lit(1)).as("w"))
+    val edges = undirected
+      .select(col("wa").as("src"), col("wb").as("dst"), col("w"))
+      .unionByName(undirected.select(col("wb").as("src"), col("wa").as("dst"), col("w")))
+      .persist()
+    val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
+    val nodes = deg.select(col("src").as("node"), col("wdeg")).persist()
+    val nn = nodes.agg(count(lit(1)).as("n_nodes"))
+    var ranks = nodes
+      .crossJoin(broadcast(nn))
+      .select(col("node"), (lit(1.0) / col("n_nodes").cast("double")).as("rank"))
+    for (_ <- 1 to TextRankIters) {
+      val contrib = ranks
+        .join(edges, col("node") === col("src"))
+        .join(nodes.select(col("node").as("sn"), col("wdeg")), col("src") === col("sn"))
+        .select(
+          col("dst"),
+          (col("rank") * col("w").cast("double") / col("wdeg").cast("double")).as("c"))
+      ranks = nodes
+        .crossJoin(broadcast(nn))
+        .join(
+          contrib
+            .groupBy(col("dst"))
+            .agg(expr("aggregate(array_sort(collect_list(c)), 0.0D, (a, x) -> a + x)").as("s")),
+          col("node") === col("dst"),
+          "left")
+        .select(
+          col("node"),
+          (lit(0.15) / col("n_nodes").cast("double") +
+            lit(0.85) * coalesce(col("s"), lit(0.0))).as("rank"))
+    }
+    ranks
+      .select(col("node").as("word"), round(col("rank"), 6).as("textrank"))
+      .orderBy(col("textrank").desc, col("word"))
+      .limit(20)
+  }
+
+  val textRankSql: String = {
+    val iterCtes = (1 to TextRankIters).map { k =>
+      s"""r$k AS (
+         SELECT n.node,
+                0.15 / CAST(nn.n_nodes AS DOUBLE) + 0.85 * COALESCE(s.s, 0.0) AS rank
+         FROM nodes n CROSS JOIN nn
+         LEFT JOIN (
+           SELECT e.dst,
+                  list_reduce(list_sort(list(r.rank * CAST(e.w AS DOUBLE) / CAST(d.wdeg AS DOUBLE))),
+                              (a, b) -> a + b) AS s
+           FROM edges e
+           JOIN r${k - 1} r ON e.src = r.node
+           JOIN nodes d ON e.src = d.node
+           GROUP BY e.dst) s ON n.node = s.dst)"""
+    }.mkString(",\n       ")
+    s"""WITH adj AS (
+         SELECT lw[i] AS a, lw[i + 1] AS b
+         FROM (SELECT string_split(text, ' ') AS lw FROM documents WHERE doc_id < 200),
+              UNNEST(range(1, len(lw))) AS r(i)),
+       filt AS (SELECT a, b FROM adj WHERE a <> '' AND b <> '' AND a <> b),
+       und AS (
+         SELECT least(a, b) AS wa, greatest(a, b) AS wb, count(*) AS w
+         FROM filt GROUP BY 1, 2),
+       edges AS (
+         SELECT wa AS src, wb AS dst, w FROM und
+         UNION ALL
+         SELECT wb AS src, wa AS dst, w FROM und),
+       nodes AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS wdeg
+                 FROM edges GROUP BY 1),
+       nn AS (SELECT count(*) AS n_nodes FROM nodes),
+       r0 AS (SELECT node, 1.0 / CAST(n_nodes AS DOUBLE) AS rank
+              FROM nodes CROSS JOIN nn),
+       $iterCtes
+       SELECT node AS word, round(rank, 6) AS textrank
+       FROM r$TextRankIters
+       ORDER BY textrank DESC, word LIMIT 20"""
+  }
 }

@@ -345,6 +345,26 @@ class RelationalOpsSpec extends AnyFunSuite {
       r.getAs[Long]("o_orderkey") -> r.getAs[String]("change_type")).toMap == expect)
   }
 
+  test("format_roundtrip: CSV/JSON/ORC fingerprints identical and parquet-true") {
+    import org.apache.spark.sql.functions._
+    val rows = RelationalQueries.formatRoundtrip(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("format")).sorted.toSeq == Seq("csv", "json", "orc"))
+    val fps = rows.map(r =>
+      (r.getAs[Long]("n"), r.getAs[Long]("checksum"), r.getAs[Long]("sum_cents"))).distinct
+    assert(fps.length == 1, s"formats disagree: ${rows.mkString(", ")}")
+    // and the shared fingerprint equals the parquet-side truth
+    val truth = graft.Tables
+      .events(spark, dir)
+      .filter(col("event_id") % 10 === 0)
+      .agg(
+        count(lit(1)),
+        sum(col("event_id") * 31 + col("user_id") * 7 + round(col("value") * 100).cast("long")),
+        sum(round(col("value") * 100).cast("long")))
+      .collect()
+      .head
+    assert(fps.head == ((truth.getLong(0), truth.getLong(1), truth.getLong(2))))
+  }
+
   test("window_funcs: per-user analytics match a driver-side model") {
     import org.apache.spark.sql.functions._
     val rows = RelationalQueries.windowFuncs(spark, dir).collect()

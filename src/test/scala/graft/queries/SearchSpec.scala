@@ -196,4 +196,21 @@ class SearchSpec extends AnyFunSuite {
         s"'$phrase': corpus tokens $badPrefix start with boundary word '$last' — oracle would overcount")
     }
   }
+
+  test("text_rank: damped weighted ranks are lawful and deterministic") {
+    val a = SearchQueries.textRank(spark, dir).collect()
+    assert(a.nonEmpty && a.length <= 20)
+    val ranks = a.map(_.getAs[Double]("textrank"))
+    // every rank sits above the teleport floor and below total mass 1
+    assert(ranks.forall(r => r > 0.0 && r < 1.0))
+    // output is the rank-desc, word-asc prefix — verify the ordering law
+    val pairs = a.map(r => (r.getAs[Double]("textrank"), r.getAs[String]("word")))
+    assert(pairs.sliding(2).forall {
+      case Array((r1, w1), (r2, w2)) => r1 > r2 || (r1 == r2 && w1 < w2)
+      case _ => true
+    })
+    val b = SearchQueries.textRank(spark, dir).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    spark.catalog.clearCache()
+  }
 }
