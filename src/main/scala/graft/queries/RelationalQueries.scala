@@ -3127,6 +3127,82 @@ object RelationalQueries {
          FROM a FULL OUTER JOIN b ON ka = kb)
        SELECT * FROM d WHERE change_type <> 'unchanged'"""
 
+  /** End-to-end entity resolution: the [[fuzzyMatch]] candidate pairs
+    * (nation-blocked, bounded-edit-distance ≤ 2) become match edges,
+    * [[graft.operators.ConnectedComponents]] collapses them into
+    * entity clusters (Shiloach–Vishkin, O(log n) rounds), and each
+    * clustered record reports its entity id (= the min member key, the
+    * CC labeling), cluster size, and the canonical member's name. The
+    * record-linkage pipeline in one query: block → score → cluster →
+    * canonicalize.
+    *
+    * Scale: blocking bounds the pair space (the fuzzyMatch contract),
+    * CC is the repo's scalar-driver-traffic loop, and the
+    * canonical-name join keys on the entity id. The oracle replays the
+    * closure recursively.
+    */
+  def entityResolution(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.BoundedLev.register(s)
+    // two-key blocking (nation × acctbal band): with sequential
+    // synthetic names, nation-only blocking chains every record in a
+    // block into one entity through dist-1 neighbor links — the classic
+    // transitive over-merge. The band key keeps candidate groups small
+    // the way a real blocking key would.
+    val c = Tables
+      .customer(s, dir)
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("band"))
+    val a = c.select(col("c_nationkey").as("bn"), col("band").as("bb"),
+      col("c_custkey").as("cust_a"), col("c_name").as("name_a"))
+    val b = c.select(col("c_nationkey").as("bn"), col("band").as("bb"),
+      col("c_custkey").as("cust_b"), col("c_name").as("name_b"))
+    val pairs = a
+      .join(b, Seq("bn", "bb"))
+      .filter(col("cust_a") < col("cust_b"))
+      .filter(expr("bounded_lev(name_a, name_b, 2)").between(0, 2))
+      .select(col("cust_a").as("src"), col("cust_b").as("dst"))
+    val comp = graft.operators.ConnectedComponents
+      .components(pairs)
+      .select(col("id").as("c_custkey"), col("component").as("entity"))
+    val names = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+    val sizes = comp.groupBy(col("entity")).agg(count(lit(1)).as("n_members"))
+    comp
+      .join(names, "c_custkey")
+      .join(sizes, "entity")
+      .join(
+        names.select(col("c_custkey").as("entity"), col("c_name").as("canonical_name")),
+        "entity")
+      .select(col("c_custkey"), col("entity"), col("n_members"),
+        col("c_name"), col("canonical_name"))
+  }
+
+  val entityResolutionSql: String =
+    s"""WITH RECURSIVE fp AS (
+         SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b
+         FROM customer a JOIN customer b
+           ON a.c_nationkey = b.c_nationkey
+          AND floor(a.c_acctbal / 1000.0) = floor(b.c_acctbal / 1000.0)
+          AND a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 2),
+       e AS (SELECT cust_a AS a, cust_b AS b FROM fp
+             UNION SELECT cust_b, cust_a FROM fp),
+       reach(a, b) AS (
+         SELECT a, b FROM e
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+       comp AS (
+         SELECT a AS c_custkey, least(a, min(b)) AS entity
+         FROM reach GROUP BY a),
+       sizes AS (SELECT entity, count(*) AS n_members FROM comp GROUP BY 1)
+       SELECT c.c_custkey, c.entity, s.n_members, n.c_name, cn.c_name AS canonical_name
+       FROM comp c
+       JOIN customer n ON c.c_custkey = n.c_custkey
+       JOIN sizes s ON c.entity = s.entity
+       JOIN customer cn ON c.entity = cn.c_custkey"""
+
   /** Multi-format interchange round-trip: the same event slice written
     * to CSV, JSON and ORC (scratch under /tmp), read back through each
     * format's parser with an EXPLICIT schema (no inference — the

@@ -1573,4 +1573,64 @@ object VectorQueries {
        WHERE rn = 1 GROUP BY k""")
     sb.toString
   }
+
+  /** Per-dimension embedding drift between the reference population
+    * (labels 0–4) and the current one (labels 5–9): dimension-wise mean
+    * shift — the feature-drift monitor an embedding pipeline runs when
+    * the upstream encoder changes. Components quantize to ⌊x·10⁶⌋
+    * BIGINT terms before summing (float32 → float64 widening is exact,
+    * so both engines floor identical doubles), making the per-dimension
+    * sums order-independent and the oracle hashable.
+    *
+    * Scale: posexplode fans each vector into D rows, but the aggregate
+    * is map-side combined on the dimension key — the shuffle carries
+    * 2·D partial rows per map task, never the corpus; D is the model
+    * width, a constant.
+    */
+  def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    Tables
+      .embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(
+        (col("pos") + 1).cast("long").as("dim"),
+        (col("label") < 5).as("ref"),
+        expr("cast(floor(cast(v as double) * 1e6) as bigint)").as("q"))
+      .groupBy(col("dim"))
+      .agg(
+        count(when(col("ref"), 1)).as("n_ref"),
+        count(when(!col("ref"), 1)).as("n_cur"),
+        sum(when(col("ref"), col("q")).otherwise(0L)).as("s_ref"),
+        sum(when(!col("ref"), col("q")).otherwise(0L)).as("s_cur"))
+      .select(
+        col("dim"),
+        round(col("s_ref").cast("double") / col("n_ref").cast("double") / lit(1e6), 6)
+          .as("mean_ref"),
+        round(col("s_cur").cast("double") / col("n_cur").cast("double") / lit(1e6), 6)
+          .as("mean_cur"),
+        round(
+          (col("s_cur").cast("double") / col("n_cur").cast("double") -
+            col("s_ref").cast("double") / col("n_ref").cast("double")) / lit(1e6),
+          6).as("shift"))
+  }
+
+  val embeddingDriftSql: String =
+    """WITH comps AS (
+         SELECT i AS dim,
+                label < 5 AS ref,
+                CAST(floor(CAST(e[i] AS DOUBLE) * 1e6) AS BIGINT) AS q
+         FROM (SELECT embedding AS e, label FROM embeddings),
+              UNNEST(range(1, len(e) + 1)) AS r(i)),
+       agg AS (
+         SELECT dim,
+                count(CASE WHEN ref THEN 1 END) AS n_ref,
+                count(CASE WHEN NOT ref THEN 1 END) AS n_cur,
+                CAST(sum(CASE WHEN ref THEN q ELSE 0 END) AS BIGINT) AS s_ref,
+                CAST(sum(CASE WHEN NOT ref THEN q ELSE 0 END) AS BIGINT) AS s_cur
+         FROM comps GROUP BY 1)
+       SELECT CAST(dim AS BIGINT) AS dim,
+              round(CAST(s_ref AS DOUBLE) / CAST(n_ref AS DOUBLE) / 1e6, 6) AS mean_ref,
+              round(CAST(s_cur AS DOUBLE) / CAST(n_cur AS DOUBLE) / 1e6, 6) AS mean_cur,
+              round((CAST(s_cur AS DOUBLE) / CAST(n_cur AS DOUBLE)
+                     - CAST(s_ref AS DOUBLE) / CAST(n_ref AS DOUBLE)) / 1e6, 6) AS shift
+       FROM agg"""
 }

@@ -345,6 +345,30 @@ class RelationalOpsSpec extends AnyFunSuite {
       r.getAs[Long]("o_orderkey") -> r.getAs[String]("change_type")).toMap == expect)
   }
 
+  test("entity_resolution: clusters respect the block keys; entity is the min member") {
+    import org.apache.spark.sql.functions._
+    val rows = RelationalQueries.entityResolution(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val blocks = graft.Tables
+      .customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey").cast("long"),
+        floor(col("c_acctbal") / 1000.0).cast("long"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val byEntity = rows.groupBy(_.getAs[Long]("entity"))
+    for ((e, members) <- byEntity) {
+      // matching requires equal (nation, band) on every edge, so a
+      // connected component can never span block keys
+      assert(members.map(m => blocks(m.getAs[Long]("c_custkey"))).distinct.length == 1,
+        s"entity $e spans blocking keys")
+      assert(members.map(_.getAs[Long]("c_custkey")).min == e, "entity label is not the min member")
+      assert(members.forall(_.getAs[Long]("n_members") == members.length.toLong))
+      assert(members.length >= 2, "CC output should not contain singletons")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("format_roundtrip: CSV/JSON/ORC fingerprints identical and parquet-true") {
     import org.apache.spark.sql.functions._
     val rows = RelationalQueries.formatRoundtrip(spark, dir).collect()

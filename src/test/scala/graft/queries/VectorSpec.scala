@@ -203,4 +203,28 @@ class VectorSpec extends AnyFunSuite {
     val again = VectorQueries.kmeansTrain(spark, dir).collect()
     assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
+
+  test("embedding drift: per-dim means match a driver-side quantized model") {
+    val rows = VectorQueries.embeddingDrift(spark, dir).collect()
+    val vecs = graft.Tables
+      .embeddings(spark, dir)
+      .select("embedding", "label")
+      .collect()
+      .map(r => (r.getSeq[Float](0).toArray, r.getInt(1)))
+    val dims = vecs.head._1.length
+    assert(rows.length == dims)
+    for (r <- rows) {
+      val d = r.getAs[Long]("dim").toInt - 1
+      def mean(p: ((Array[Float], Int)) => Boolean): Double = {
+        val sel = vecs.filter(p)
+        sel.map(v => math.floor(v._1(d).toDouble * 1e6).toLong).sum.toDouble /
+          sel.length.toDouble / 1e6
+      }
+      val mr = mean(_._2 < 5)
+      val mc = mean(_._2 >= 5)
+      assert(math.abs(r.getAs[Double]("mean_ref") - mr) < 1e-6, r.toString)
+      assert(math.abs(r.getAs[Double]("mean_cur") - mc) < 1e-6, r.toString)
+      assert(math.abs(r.getAs[Double]("shift") - (mc - mr)) < 2e-6, r.toString)
+    }
+  }
 }
