@@ -174,6 +174,63 @@ object StreamingQueries {
   val streamDedupSql: String =
     "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
 
+  /** Continuous heavy hitters: per-day user activity counts aggregated
+    * ON the streaming engine (watermarked tumbling windows, complete
+    * mode), then the top-3 users per day ranked as a bounded batch
+    * post-pass over the drained aggregate — the standard serving shape
+    * for streaming top-k (the stream maintains the EXPENSIVE part, the
+    * per-key counts; ranking a day's bounded aggregate at read time
+    * costs nothing and avoids per-trigger global sorts inside the
+    * engine). Deterministic (count desc, user_id) tiebreak.
+    */
+  def streamHeavyHitters(s0: SparkSession, dir: String): DataFrame = {
+    val s = boundedDrainSession(s0)
+    val raw = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = microTs(s.readStream
+      .schema(raw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("day"), col("user_id"), col("n"))
+    val name = s"hh_${System.nanoTime()}"
+    val ckpt = scratchCheckpoint("graft_hh_ckpt")
+    val query = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try query.processAllAvailable()
+    finally {
+      try query.stop()
+      finally dropCheckpoint(ckpt)
+    }
+    s.table(name)
+      .withColumn(
+        "rank",
+        row_number()
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("day"))
+            .orderBy(col("n").desc, col("user_id")))
+          .cast("long"))
+      .filter(col("rank") <= 3)
+  }
+
+  val streamHeavyHittersSql: String =
+    """WITH counts AS (
+         SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, user_id,
+                count(*) AS n
+         FROM events GROUP BY 1, 2),
+       ranked AS (
+         SELECT day, user_id, n,
+                row_number() OVER (PARTITION BY day ORDER BY n DESC, user_id) AS rank
+         FROM counts)
+       SELECT day, user_id, n, CAST(rank AS BIGINT) AS rank
+       FROM ranked WHERE rank <= 3"""
+
   /** Session windows on the REAL streaming engine: the events file
     * stream aggregated into per-user 30-minute-gap sessions
     * (`session_window` state merging, append mode, watermark-driven

@@ -527,6 +527,29 @@ class RelationalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_heavy_hitters: drained top-3 equals the batch ranking") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingQueries
+      .streamHeavyHitters(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Any]("day").toString, r.getAs[Long]("user_id"),
+        r.getAs[Long]("rank")) -> r.getAs[Long]("n"))
+      .toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day")).orderBy(col("n").desc, col("user_id"))
+    val batch = graft.Tables
+      .events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .collect()
+      .map(r => (r.getAs[Any]("day").toString, r.getAs[Long]("user_id"),
+        r.getAs[Long]("rank")) -> r.getAs[Long]("n"))
+      .toMap
+    assert(streamed == batch)
+  }
+
   test("skyline: matches the brute-force Pareto frontier") {
     val sky = CurationQueries
       .skylineDocs(spark, dir)
