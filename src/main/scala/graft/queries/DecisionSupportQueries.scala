@@ -309,6 +309,405 @@ object DecisionSupportQueries {
        JOIN supplier ON l_suppkey = s_suppkey
        ORDER BY numwait DESC, s_name LIMIT 25"""
 
+  /** Q3 shape — shipping-priority: the 10 highest-revenue orders taken
+    * by BUILDING customers before the cutoff whose lineitems ship after
+    * it. Revenue stays exact (1e-4 dollars); the top-10 is a
+    * TakeOrdered, never a global sort.
+    */
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables
+      .customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val orders = Tables
+      .orders(s, dir)
+      .filter(col("o_orderdate") < to_timestamp(lit("1998-03-15")))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"))
+    Tables
+      .lineitem(s, dir)
+      .filter(col("l_shipdate") > to_timestamp(lit("1998-03-15")))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(
+        round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("revenue_e4"))
+      .select(
+        col("l_orderkey"),
+        col("o_orderdate"),
+        round(col("revenue_e4").cast("double") / 10000.0, 6).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val shippingPrioritySql: String =
+    """SELECT l_orderkey, o_orderdate,
+              round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                             * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)
+                    / 10000.0, 6) AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+         AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+       GROUP BY 1, 2
+       ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+  /** Q7 shape — volume shipping between two nations: revenue flowing
+    * supplier-nation → customer-nation (both directions) per ship
+    * year. Both nation dims ride broadcasts; the supplier and customer
+    * joins stay hint-free.
+    */
+  def nationVolume(s: SparkSession, dir: String): DataFrame = {
+    val nations = broadcast(
+      Tables
+        .nation(s, dir)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey"), col("n_name")))
+    val supp = Tables
+      .supplier(s, dir)
+      .join(nations, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables
+      .customer(s, dir)
+      .join(nations, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables
+      .lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(
+        col("supp_nation"),
+        col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(
+        round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_e4"))
+      .select(
+        col("supp_nation"),
+        col("cust_nation"),
+        col("l_year"),
+        round(col("rev_e4").cast("double") / 10000.0, 6).as("revenue"))
+  }
+
+  val nationVolumeSql: String =
+    """WITH ns AS (SELECT n_nationkey, n_name FROM nation
+                  WHERE n_name IN ('NATION_1', 'NATION_2'))
+       SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+              CAST(year(l_shipdate) AS BIGINT) AS l_year,
+              round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                             * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)
+                    / 10000.0, 6) AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN ns sn ON s_nationkey = sn.n_nationkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN ns cn ON c_nationkey = cn.n_nationkey
+       WHERE sn.n_name <> cn.n_name
+       GROUP BY 1, 2, 3"""
+
+  /** Q8 shape — market share: NATION_3 suppliers' share of PROMO-part
+    * revenue sold to AMERICA-region customers, per order year. The
+    * share is a ratio of two exact 1e-4-dollar sums (conditional
+    * aggregation — one pass, no self-join).
+    */
+  def marketShare(s: SparkSession, dir: String): DataFrame = {
+    val americaCust = Tables
+      .customer(s, dir)
+      .join(
+        broadcast(
+          Tables
+            .nation(s, dir)
+            .join(
+              broadcast(Tables.region(s, dir).filter(col("r_name") === "AMERICA")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val promoParts = Tables
+      .part(s, dir)
+      .filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"))
+    val n3Supp = Tables
+      .supplier(s, dir)
+      .join(
+        broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_3")
+          .select(col("n_nationkey").as("nk3"))),
+        col("s_nationkey") === col("nk3"))
+      .select(col("s_suppkey").as("sk3"))
+    Tables
+      .lineitem(s, dir)
+      .join(promoParts, col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(americaCust, col("o_custkey") === col("c_custkey"))
+      .join(n3Supp, col("l_suppkey") === col("sk3"), "left")
+      .withColumn(
+        "rev_e4",
+        round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(col("rev_e4")).as("total_e4"),
+        sum(when(col("sk3").isNotNull, col("rev_e4")).otherwise(0L)).as("n3_e4"))
+      .select(
+        col("o_year"),
+        round(col("n3_e4").cast("double") / col("total_e4").cast("double"), 6)
+          .as("mkt_share"))
+  }
+
+  val marketShareSql: String =
+    """WITH america AS (
+         SELECT c_custkey FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey AND r_name = 'AMERICA'),
+       n3 AS (
+         SELECT s_suppkey FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'),
+       base AS (
+         SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                CAST(round(l_extendedprice*100) AS BIGINT)
+                  * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev_e4,
+                l_suppkey IN (SELECT s_suppkey FROM n3) AS is_n3
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN america ON o_custkey = c_custkey)
+       SELECT o_year,
+              round(CAST(sum(CASE WHEN is_n3 THEN rev_e4 ELSE 0 END) AS DOUBLE)
+                    / CAST(sum(rev_e4) AS DOUBLE), 6) AS mkt_share
+       FROM base GROUP BY 1"""
+
+  /** Q10 shape — returned-item losses: top 20 customers by revenue on
+    * R-flagged lineitems in a quarter. The orderkey aggregate happens
+    * before the customer join; top-20 is a TakeOrdered.
+    */
+  def returnedItems(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables
+      .orders(s, dir)
+      .filter(
+        col("o_orderdate") >= to_timestamp(lit("1997-10-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables
+      .lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(q, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(
+        round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_e4"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        round(col("rev_e4").cast("double") / 10000.0, 6).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val returnedItemsSql: String =
+    """SELECT c_custkey, c_name,
+              round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                             * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)
+                    / 10000.0, 6) AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       WHERE l_returnflag = 'R'
+         AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+         AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY 1, 2
+       ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+  /** Q12 shape — shipping-delay audit (the test data carries no
+    * shipmode, so the bucket is the delay class itself): for 1997
+    * shipments, orders counted into (late > 60 days vs on-time) ×
+    * (urgent 1–2 vs normal priority) — the 2×2 operations dashboard.
+    */
+  def shipDelayAudit(s: SparkSession, dir: String): DataFrame = {
+    Tables
+      .lineitem(s, dir)
+      .filter(
+        col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("urgent"))
+      .agg(count(lit(1)).as("n_items"), countDistinct(col("o_orderkey")).as("n_orders"))
+  }
+
+  val shipDelayAuditSql: String =
+    """SELECT l_shipdate > o_orderdate + INTERVAL 60 DAY AS late,
+              o_orderpriority IN ('1-URGENT', '2-HIGH') AS urgent,
+              count(*) AS n_items,
+              count(DISTINCT o_orderkey) AS n_orders
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY 1, 2"""
+
+  /** Q14 shape — promo-revenue share for one month: one conditional
+    * aggregate, the share an exact-integer ratio rounded once.
+    */
+  def promoShare(s: SparkSession, dir: String): DataFrame = {
+    Tables
+      .lineitem(s, dir)
+      .filter(
+        col("l_shipdate") >= to_timestamp(lit("1997-09-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-10-01")))
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .withColumn(
+        "rev_e4",
+        round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev_e4")).otherwise(0L)).as("promo_e4"),
+        sum(col("rev_e4")).as("total_e4"))
+      .select(
+        round(lit(100.0) * col("promo_e4").cast("double") / col("total_e4").cast("double"), 6)
+          .as("promo_pct"))
+  }
+
+  val promoShareSql: String =
+    """SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                          THEN CAST(round(l_extendedprice*100) AS BIGINT)
+                                               * (100 - CAST(round(l_discount*100) AS BIGINT))
+                                          ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                              * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE), 6)
+              AS promo_pct
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+         AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'"""
+
+  /** Q16 shape — parts/supplier relationship count: distinct suppliers
+    * per (brand, type, size ∈ {1..8}) over the derived supply relation,
+    * excluding one brand. The supply pairs aggregate BEFORE the part
+    * join prunes them.
+    */
+  def partsSupplierCount(s: SparkSession, dir: String): DataFrame = {
+    val supply = Tables
+      .lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .distinct()
+    supply
+      .join(
+        Tables
+          .part(s, dir)
+          .filter(col("p_brand") =!= "Brand#21" && col("p_size") <= 8),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  val partsSupplierCountSql: String =
+    """SELECT p_brand, p_type, p_size,
+              count(DISTINCT l_suppkey) AS supplier_cnt
+       FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) supply
+       JOIN part ON l_partkey = p_partkey
+       WHERE p_brand <> 'Brand#21' AND p_size <= 8
+       GROUP BY 1, 2, 3"""
+
+  /** Q19 shape — bracketed discounted revenue: three OR'd
+    * (brand, size-range, quantity-range) brackets — the disjunctive
+    * predicate that exercises filter pushdown and join pruning. Output
+    * is one exact-cent total per matching bracket.
+    */
+  def bracketRevenue(s: SparkSession, dir: String): DataFrame = {
+    val joined = Tables
+      .lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+    val bracket = when(
+      col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11), lit(1))
+      .when(
+        col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20), lit(2))
+      .when(
+        col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30), lit(3))
+    joined
+      .withColumn("bracket", bracket)
+      .filter(col("bracket").isNotNull)
+      .groupBy(col("bracket").cast("long").as("bracket"))
+      .agg(sum(
+        round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_e4"))
+      .select(
+        col("bracket"),
+        round(col("rev_e4").cast("double") / 10000.0, 6).as("revenue"))
+  }
+
+  val bracketRevenueSql: String =
+    """WITH b AS (
+         SELECT CASE
+                  WHEN p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                       AND l_quantity BETWEEN 1 AND 11 THEN 1
+                  WHEN p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                       AND l_quantity BETWEEN 10 AND 20 THEN 2
+                  WHEN p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                       AND l_quantity BETWEEN 20 AND 30 THEN 3
+                END AS bracket,
+                CAST(round(l_extendedprice*100) AS BIGINT)
+                  * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev_e4
+         FROM lineitem JOIN part ON l_partkey = p_partkey)
+       SELECT CAST(bracket AS BIGINT) AS bracket,
+              round(CAST(sum(rev_e4) AS DOUBLE) / 10000.0, 6) AS revenue
+       FROM b WHERE bracket IS NOT NULL GROUP BY 1"""
+
+  /** Q22 shape — dormant high-balance customers: above the positive-
+    * balance average (exact integer cross-multiplication `bal_cents *
+    * n > total_cents`... with negatives kept out of the mean), with no
+    * orders after 1999, counted per country code (nationkey mod 10).
+    * The average is a broadcast scalar; the order check a left-anti
+    * join.
+    */
+  def dormantCustomers(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables
+      .customer(s, dir)
+      .select(
+        col("c_custkey"),
+        (col("c_nationkey") % 10).cast("long").as("cntrycode"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val avgPos = cust
+      .filter(col("bal_cents") > 0)
+      .agg(count(lit(1)).as("n"), sum(col("bal_cents")).as("total_cents"))
+    val recent = Tables
+      .orders(s, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1999-01-01")))
+      .select(col("o_custkey"))
+    cust
+      .crossJoin(broadcast(avgPos))
+      .filter(col("bal_cents") * col("n") > col("total_cents"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("cntrycode"))
+      .agg(
+        count(lit(1)).as("n_custs"),
+        round(sum(col("bal_cents")).cast("double") / 100.0, 6).as("total_bal"))
+  }
+
+  val dormantCustomersSql: String =
+    """WITH cust AS (
+         SELECT c_custkey, CAST(c_nationkey % 10 AS BIGINT) AS cntrycode,
+                CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents
+         FROM customer),
+       avg_pos AS (
+         SELECT count(*) AS n, CAST(sum(bal_cents) AS BIGINT) AS total_cents
+         FROM cust WHERE bal_cents > 0)
+       SELECT cntrycode, count(*) AS n_custs,
+              round(CAST(sum(bal_cents) AS DOUBLE) / 100.0, 6) AS total_bal
+       FROM cust, avg_pos
+       WHERE bal_cents * n > total_cents
+         AND NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+       GROUP BY 1"""
+
   /** Q4 shape — order-priority checking: 1996-H1 orders with at least
     * one lineitem shipped > 60 days after the order date, counted per
     * priority. The EXISTS is a left-semi join on orderkey (no

@@ -108,6 +108,47 @@ class DecisionSupportSpec extends AnyFunSuite {
       })
   }
 
+  test("market_share: shares lawful; promo_pct within [0, 100]") {
+    val shares = DecisionSupportQueries.marketShare(spark, dir).collect()
+    assert(shares.nonEmpty)
+    assert(shares.forall { r =>
+      val v = r.getAs[Double]("mkt_share"); v >= 0.0 && v <= 1.0
+    })
+    val promo = DecisionSupportQueries.promoShare(spark, dir).collect()
+    assert(promo.length == 1)
+    val p = promo.head.getAs[Double]("promo_pct")
+    assert(p >= 0.0 && p <= 100.0)
+  }
+
+  test("ship_delay_audit: the 2x2 cells conserve the window's lineitem count") {
+    import org.apache.spark.sql.functions._
+    val rows = DecisionSupportQueries.shipDelayAudit(spark, dir).collect()
+    val total = graft.Tables
+      .lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      .count()
+    assert(rows.map(_.getAs[Long]("n_items")).sum == total)
+    assert(rows.forall(r => r.getAs[Long]("n_orders") <= r.getAs[Long]("n_items")))
+  }
+
+  test("dormant_customers: every bucket only counts above-average balances") {
+    import org.apache.spark.sql.functions._
+    val rows = DecisionSupportQueries.dormantCustomers(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // total_bal / n_custs must exceed the positive-balance average
+    val bals = graft.Tables
+      .customer(spark, dir)
+      .select(round(col("c_acctbal") * 100).cast("long"))
+      .collect()
+      .map(_.getLong(0))
+      .filter(_ > 0)
+    val avg = bals.sum.toDouble / bals.length
+    for (r <- rows)
+      assert(r.getAs[Double]("total_bal") * 100.0 / r.getAs[Long]("n_custs") > avg, r.toString)
+  }
+
   test("order_priority_check: counts bounded by the window's order count") {
     val rows = DecisionSupportQueries.orderPriorityCheck(spark, dir).collect()
     import org.apache.spark.sql.functions._
