@@ -842,6 +842,29 @@ class PlanAuditSpec extends AnyFunSuite {
       "top-5 must prune before the final shuffle\n" + p.take(2000))
   }
 
+  test("q_min_cost_supplier: fixed dims broadcast; rank window keyed by part") {
+    val p = plan("q_min_cost_supplier")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), "region/nation chain must broadcast\n" + p.take(2000))
+    assert(!p.contains("Window [") || !p.contains("No Partition Defined"),
+      "rank window lost its part key\n" + p.take(2000))
+  }
+
+  test("q_waiting_suppliers: aggregate and rejoin share the orderkey partitioning") {
+    val p = plan("q_waiting_suppliers")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("hashpartitioning(l_orderkey") || p.contains("hashpartitioning(ok"),
+      "per-order aggregate must key on the orderkey\n" + p.take(2000))
+  }
+
+  test("q_dormant_customers: scalar average broadcasts; recency check is left-anti") {
+    val p = plan("q_dormant_customers")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "one-row average must broadcast\n" + p.take(2000))
+    assert(p.contains("LeftAnti"), "recency check must plan as an anti join\n" + p.take(2000))
+  }
+
   test("q_grid_density: smoothing shuffles cell aggregates, not points") {
     val p = plan("q_grid_density")
     assert(!p.contains("CartesianProduct"), p.take(2000))
