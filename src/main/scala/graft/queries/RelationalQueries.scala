@@ -3127,6 +3127,108 @@ object RelationalQueries {
          FROM a FULL OUTER JOIN b ON ka = kb)
        SELECT * FROM d WHERE change_type <> 'unchanged'"""
 
+  /** Time-constrained funnel — the conversion-window variant of
+    * [[funnelSteps]]: first view, then first click within 1 HOUR of
+    * that view, then first purchase within 24 HOURS of that click.
+    * Three sequential user-keyed conditional-min aggregates (each step
+    * joins the previous step's timestamp back to the events on the
+    * user key — the chain depth is the funnel length, each link one
+    * keyed join + one map-side-combined aggregate; no per-user arrays,
+    * no window over the event stream). Timestamps compare exactly, so
+    * the oracle is a CTE chain.
+    */
+  def timedFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val tV = ev
+      .filter(col("event_type") === "view")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t_v"))
+    val tC = ev
+      .join(tV, "user_id")
+      .filter(
+        col("event_type") === "click" &&
+          col("ts") > col("t_v") &&
+          col("ts") <= col("t_v") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t_c"))
+    val tP = ev
+      .join(tC, "user_id")
+      .filter(
+        col("event_type") === "purchase" &&
+          col("ts") > col("t_c") &&
+          col("ts") <= col("t_c") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t_p"))
+    val counts = tV
+      .agg(count(lit(1)).as("n_view"))
+      .crossJoin(tC.agg(count(lit(1)).as("n_click_1h")))
+      .crossJoin(tP.agg(count(lit(1)).as("n_purchase_24h")))
+    counts.select(
+      col("n_view"),
+      col("n_click_1h"),
+      col("n_purchase_24h"),
+      round(col("n_click_1h").cast("double") / col("n_view").cast("double"), 6)
+        .as("view_to_click"),
+      round(col("n_purchase_24h").cast("double") /
+        when(col("n_click_1h") > 0, col("n_click_1h").cast("double")), 6)
+        .as("click_to_purchase"))
+  }
+
+  val timedFunnelSql: String =
+    """WITH tv AS (
+         SELECT user_id, min(ts) AS t_v FROM events
+         WHERE event_type = 'view' GROUP BY 1),
+       tc AS (
+         SELECT e.user_id, min(e.ts) AS t_c
+         FROM events e JOIN tv ON e.user_id = tv.user_id
+         WHERE e.event_type = 'click'
+           AND e.ts > tv.t_v AND e.ts <= tv.t_v + INTERVAL 1 HOUR
+         GROUP BY 1),
+       tp AS (
+         SELECT e.user_id, min(e.ts) AS t_p
+         FROM events e JOIN tc ON e.user_id = tc.user_id
+         WHERE e.event_type = 'purchase'
+           AND e.ts > tc.t_c AND e.ts <= tc.t_c + INTERVAL 24 HOUR
+         GROUP BY 1),
+       c AS (SELECT (SELECT count(*) FROM tv) AS n_view,
+                    (SELECT count(*) FROM tc) AS n_click_1h,
+                    (SELECT count(*) FROM tp) AS n_purchase_24h)
+       SELECT n_view, n_click_1h, n_purchase_24h,
+              round(CAST(n_click_1h AS DOUBLE) / CAST(n_view AS DOUBLE), 6)
+                AS view_to_click,
+              round(CAST(n_purchase_24h AS DOUBLE)
+                    / CASE WHEN n_click_1h > 0 THEN CAST(n_click_1h AS DOUBLE) END, 6)
+                AS click_to_purchase
+       FROM c"""
+
+  /** The SQL gateway: the same library surface driven through
+    * `spark.sql` TEXT against registered temp views — what a BI tool or
+    * notebook user actually sends. The query is the pricing-summary
+    * rollup expressed as ANSI SQL; Catalyst plans it identically to the
+    * DataFrame build (same aggregate, same exact-cents discipline), so
+    * the oracle is shared verbatim with the SQL text modulo dialect.
+    */
+  def sqlApi(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             count(*) AS count_order
+      FROM lineitem_v
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus""")
+  }
+
+  val sqlApiSql: String =
+    """SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+              count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus"""
+
   /** End-to-end entity resolution: the [[fuzzyMatch]] candidate pairs
     * (nation-blocked, bounded-edit-distance ≤ 2) become match edges,
     * [[graft.operators.ConnectedComponents]] collapses them into

@@ -345,6 +345,46 @@ class RelationalOpsSpec extends AnyFunSuite {
       r.getAs[Long]("o_orderkey") -> r.getAs[String]("change_type")).toMap == expect)
   }
 
+  test("timed_funnel: stage counts monotone; matches a driver-side event scan") {
+    import org.apache.spark.sql.functions._
+    val row = RelationalQueries.timedFunnel(spark, dir).collect().head
+    val (nv, nc, np) = (row.getAs[Long]("n_view"), row.getAs[Long]("n_click_1h"),
+      row.getAs[Long]("n_purchase_24h"))
+    assert(nv >= nc && nc >= np && np >= 0)
+    // driver model over raw events, at µs resolution (the engines
+    // compare at µs — an ms-truncated model could flip a boundary)
+    def us(v: Any): Long = v match {
+      case t: java.sql.Timestamp =>
+        t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+      case d: java.time.LocalDateTime =>
+        val i = d.toInstant(java.time.ZoneOffset.UTC)
+        i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val ev = graft.Tables
+      .events(spark, dir)
+      .select("user_id", "event_type", "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), us(r.getAs[Any](2))))
+      .groupBy(_._1)
+    val hourUs = 3600000000L
+    val dayUs = 86400000000L
+    var (mv, mc, mp) = (0L, 0L, 0L)
+    for ((_, es) <- ev) {
+      val views = es.filter(_._2 == "view").map(_._3)
+      if (views.nonEmpty) {
+        mv += 1
+        val tv = views.min
+        val clicks = es.filter(e => e._2 == "click" && e._3 > tv && e._3 <= tv + hourUs).map(_._3)
+        if (clicks.nonEmpty) {
+          mc += 1
+          val tc = clicks.min
+          if (es.exists(e => e._2 == "purchase" && e._3 > tc && e._3 <= tc + dayUs)) mp += 1
+        }
+      }
+    }
+    assert((nv, nc, np) == ((mv, mc, mp)))
+  }
+
   test("entity_resolution: clusters respect the block keys; entity is the min member") {
     import org.apache.spark.sql.functions._
     val rows = RelationalQueries.entityResolution(spark, dir).collect()
