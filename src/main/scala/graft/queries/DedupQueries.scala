@@ -1228,4 +1228,93 @@ object DedupQueries {
        len(regexp_split_to_array(text, '\s+')) AS ws_tokens,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_ish_tokens
        FROM documents"""
+
+  /** Jaccard threshold for [[similarityJoin]]: J ≥ 0.95, verified by
+    * the exact integer cross-multiplication `39·c ≥ 19·(na+nb)`
+    * (J = c/(na+nb−c) ≥ t ⟺ (1+t)·c ≥ t·(na+nb), scaled to integers
+    * for t = 19/20).
+    */
+  private val SimJoinDocCap = 400
+
+  /** EXACT set-similarity self-join via prefix filtering (the
+    * PPJoin/AllPairs discipline, distinct from the approximate
+    * MinHash path): tokens get a global canonical order (document
+    * frequency ascending, then word — rare tokens first, so prefixes
+    * are selective), each document exposes only its first
+    * `n − ⌊0.95·n⌋ + 1` ordered tokens as join keys (one MORE than the
+    * theoretical minimum, so integer arithmetic can never under-cover),
+    * candidate pairs equi-join on a shared prefix token, and the final
+    * Jaccard test is the exact integer cross-multiplication — no float
+    * threshold, no false negatives (prefix filtering is lossless), no
+    * all-pairs product. The oracle IS the all-pairs definition, so the
+    * equivalence of the filtered plan to the brute-force semantics is
+    * exactly what the hash match proves.
+    *
+    * Scale: the doc cap mirrors the graph family (the demo corpus
+    * slice); on an uncapped corpus the candidate count is governed by
+    * prefix selectivity — the standard result this operator exists to
+    * exploit — and the vocabulary-frequency join is vocabulary-sized.
+    */
+  def similarityJoin(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables
+      .documents(s, dir)
+      .filter(col("doc_id") < SimJoinDocCap)
+      .select(
+        col("doc_id"),
+        explode(array_distinct(split(col("text"), " ", -1))).as("w"))
+      .filter(col("w") =!= "")
+    val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val arr = tok
+      .join(freq, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("f"), col("w")))).as("fw"))
+      .withColumn("words", expr("transform(fw, x -> x.w)"))
+      .withColumn("n", size(col("words")).cast("long"))
+      .withColumn("p", col("n") - expr("(19 * n) div 20") + 1)
+      .select(col("doc_id"), col("words"), col("n"), col("p"))
+      .persist()
+    val prefixes = arr.select(
+      col("doc_id"),
+      explode(expr("slice(words, 1, cast(p as int))")).as("pw"))
+    val cand = prefixes
+      .join(
+        prefixes.select(col("doc_id").as("doc_b"), col("pw")),
+        Seq("pw"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+      .distinct()
+    cand
+      .join(
+        arr.select(col("doc_id").as("doc_a"), col("words").as("wa"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(
+        arr.select(col("doc_id").as("doc_b"), col("words").as("wb"), col("n").as("nb")),
+        Seq("doc_b"))
+      .withColumn("c", size(array_intersect(col("wa"), col("wb"))).cast("long"))
+      .filter(col("c") * 39 >= (col("na") + col("nb")) * 19)
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("c").as("n_common"),
+        round(
+          col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"),
+          6).as("jaccard"))
+  }
+
+  /** All-pairs oracle for [[similarityJoin]] — brute force is the
+    * DEFINITION the prefix-filtered plan must reproduce exactly.
+    */
+  val similarityJoinSql: String =
+    s"""WITH toks AS (
+         SELECT doc_id,
+                list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS la
+         FROM documents WHERE doc_id < $SimJoinDocCap),
+       pairs AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(len(list_intersect(a.la, b.la)) AS BIGINT) AS c,
+                len(a.la) AS na, len(b.la) AS nb
+         FROM toks a JOIN toks b ON a.doc_id < b.doc_id)
+       SELECT doc_a, doc_b, c AS n_common,
+              round(CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE), 6) AS jaccard
+       FROM pairs WHERE c * 39 >= (na + nb) * 19"""
 }

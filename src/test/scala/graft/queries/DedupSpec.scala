@@ -88,4 +88,29 @@ class DedupSpec extends AnyFunSuite {
     }
     spark.catalog.clearCache()
   }
+
+  test("similarity join: prefix-filtered result equals all-pairs brute force") {
+    val rows = DedupQueries.similarityJoin(spark, sf).collect()
+    val docs = graft.Tables
+      .documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 400)
+      .select("doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSet.filter(_.nonEmpty)))
+    val expect = (for {
+      (ida, wa) <- docs; (idb, wb) <- docs
+      if ida < idb
+      c = (wa & wb).size.toLong
+      if c * 39 >= (wa.size + wb.size).toLong * 19
+    } yield (ida, idb) -> c).toMap
+    // lossless prefix filtering: EXACTLY the brute-force pair set
+    assert(rows.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Long]("n_common")).toMap
+      == expect)
+    for (r <- rows) {
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.95 - 1e-9 && j <= 1.0)
+    }
+    spark.catalog.clearCache()
+  }
 }
