@@ -1871,6 +1871,118 @@ object MiningQueries {
        FROM b, t"""
   }
 
+  /** l-diversity audit — the companion to [[kAnonymity]]: a
+    * quasi-identifier group is safe only if its SENSITIVE attribute
+    * (the balance band here) takes at least `l` distinct values, else
+    * group membership leaks the sensitive value even when the group is
+    * k-large. Reports, per generalization level, the group count, the
+    * l-violating groups, the rows at risk, and the worst (minimum)
+    * diversity. Same one-aggregate-per-level shape as kAnonymity.
+    */
+  def lDiversity(s: SparkSession, dir: String, l: Int = 2): DataFrame = {
+    val cust = Tables
+      .customer(s, dir)
+      .withColumn("sens", floor(col("c_acctbal") / 1000).cast("long"))
+    def level(name: String, keys: Seq[org.apache.spark.sql.Column]): DataFrame =
+      cust
+        .groupBy(keys: _*)
+        .agg(count(lit(1)).as("c"), countDistinct(col("sens")).as("ndist"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          sum(when(col("ndist") < l, 1L).otherwise(0L)).as("n_violating"),
+          sum(when(col("ndist") < l, col("c")).otherwise(0L)).as("n_at_risk"),
+          min(col("ndist")).as("min_l"))
+        .select(
+          lit(name).as("level"),
+          col("n_groups"),
+          col("n_violating"),
+          col("n_at_risk"),
+          col("min_l"))
+    level("nation+segment", Seq(col("c_nationkey"), col("c_mktsegment")))
+      .unionAll(level("nation", Seq(col("c_nationkey"))))
+      .unionAll(level("segment", Seq(col("c_mktsegment"))))
+  }
+
+  def lDiversitySql(l: Int = 2): String = {
+    def one(name: String, keys: String) =
+      s"""SELECT '$name' AS level, count(*) AS n_groups,
+              CAST(sum(CASE WHEN ndist < $l THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+              CAST(sum(CASE WHEN ndist < $l THEN c ELSE 0 END) AS BIGINT) AS n_at_risk,
+              CAST(min(ndist) AS BIGINT) AS min_l
+         FROM (SELECT count(*) AS c,
+                      count(DISTINCT floor(c_acctbal / 1000)) AS ndist
+               FROM customer GROUP BY $keys)"""
+    s"""${one("nation+segment", "c_nationkey, c_mktsegment")}
+       UNION ALL ${one("nation", "c_nationkey")}
+       UNION ALL ${one("segment", "c_mktsegment")}"""
+  }
+
+  /** Deterministic Poisson-style bootstrap: 32 hash-weighted resamples
+    * of per-user purchase spend (weight = md5(user, b) mod 3 ∈
+    * {0, 1, 2}, mean 1 — the deterministic stand-in for Poisson(1)
+    * multiplicities, the standard scale-out bootstrap), each resample
+    * mean an exact-cent ratio, and the 5th/95th percentile of the 32
+    * resample means as the confidence band. One corpus scan fans out
+    * ×B on the BOUNDED resample axis; everything after is B-sized.
+    */
+  private val BootstrapB = 32
+
+  def hashBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables
+      .events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val resamples = perUser
+      .withColumn("b", explode(expr(s"sequence(1, $BootstrapB)")))
+      .withColumn(
+        "w",
+        expr(md5Bucket("concat(cast(user_id as string), ':', cast(b as string))", 3)))
+      .groupBy(col("b"))
+      .agg(
+        sum(col("w") * col("cents")).as("wc"),
+        sum(col("w")).as("wn"))
+      .select(
+        col("b"),
+        (col("wc").cast("double") / col("wn").cast("double") / lit(100.0)).as("m"))
+    resamples
+      .agg(
+        count(lit(1)).as("n_resamples"),
+        // ordered fold, not avg(): 32 doubles summed in shuffle order
+        // would be last-ulp nondeterministic
+        expr("aggregate(array_sort(collect_list(m)), 0.0D, (a, x) -> a + x)").as("sm"),
+        round(expr("percentile(m, 0.05)"), 6).as("ci_lo"),
+        round(expr("percentile(m, 0.95)"), 6).as("ci_hi"))
+      .select(
+        col("n_resamples"),
+        round(col("sm") / col("n_resamples").cast("double"), 6).as("boot_mean"),
+        col("ci_lo"),
+        col("ci_hi"))
+  }
+
+  val hashBootstrapSql: String = {
+    val w = OracleHash.bucketSql(
+      "CAST(user_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)", 3)
+    s"""WITH pu AS (
+         SELECT user_id,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       rs AS (
+         SELECT b,
+                CAST(sum(w * cents) AS BIGINT) AS wc,
+                CAST(sum(w) AS BIGINT) AS wn
+         FROM (SELECT user_id, cents, b, $w AS w
+               FROM pu, UNNEST(range(1, ${BootstrapB + 1})) AS r(b))
+         GROUP BY 1),
+       m AS (SELECT b, CAST(wc AS DOUBLE) / CAST(wn AS DOUBLE) / 100.0 AS m FROM rs)
+       SELECT count(*) AS n_resamples,
+              round(list_reduce(list_prepend(0.0, list_sort(list(m))), (a, x) -> a + x)
+                    / CAST(count(*) AS DOUBLE), 6) AS boot_mean,
+              round(quantile_cont(m, 0.05), 6) AS ci_lo,
+              round(quantile_cont(m, 0.95), 6) AS ci_hi
+       FROM m"""
+  }
+
   /** Difference-in-differences: the causal-effect estimator for a
     * staggered rollout — treatment arm (md5 user bucket, the [[cuped]]
     * convention) vs control, purchase spend before vs after the

@@ -268,6 +268,28 @@ class MiningSpec extends AnyFunSuite {
     assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
 
+  test("l-diversity: coarser generalization never reduces diversity; bounds lawful") {
+    val rows = MiningQueries.lDiversity(spark, dir).collect()
+    val byLevel = rows.map(r => r.getAs[String]("level") -> r).toMap
+    assert(byLevel.keySet == Set("nation+segment", "nation", "segment"))
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_violating") <= r.getAs[Long]("n_groups"))
+      assert(r.getAs[Long]("min_l") >= 1)
+    }
+    // merging groups can only grow each group's distinct-sensitive set
+    assert(byLevel("nation").getAs[Long]("min_l") >=
+      byLevel("nation+segment").getAs[Long]("min_l"))
+  }
+
+  test("hash bootstrap: CI brackets the mean; resample weights rebuild one point") {
+    val r = MiningQueries.hashBootstrap(spark, dir).collect().head
+    assert(r.getAs[Long]("n_resamples") == 32L)
+    val (lo, m, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("boot_mean"),
+      r.getAs[Double]("ci_hi"))
+    assert(lo <= m && m <= hi, r.toString)
+    assert(lo > 0, "purchase spend means must be positive")
+  }
+
   test("diff-in-diff: contrast re-derives from the four cell means") {
     val r = MiningQueries.diffInDiff(spark, dir).collect()
     assert(r.length == 1)
