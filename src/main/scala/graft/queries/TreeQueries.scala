@@ -84,4 +84,61 @@ object TreeQueries {
               count(*) AS n_nodes
        FROM walk w JOIN nodes n ON w.node = n.id
        GROUP BY 1"""
+
+  /** Node depth via POINTER DOUBLING — the O(log depth) complement to
+    * [[hierarchyRollup]]'s level walk: every node starts with a pointer
+    * to its parent and distance 1 (roots: self, 0); each round composes
+    * pointers (`ptr ← ptr(ptr)`, `d ← d + d(ptr)`), so the walked
+    * distance DOUBLES per round and a depth-D forest settles in
+    * ⌈log₂ D⌉ rounds — 30 rounds covers a depth-10⁹ chain. Each round
+    * is ONE self-join of the (node, ptr, d) table on the pointer key;
+    * convergence is the "any pointer moved" count, a driver scalar.
+    */
+  def treeDepth(s: SparkSession, dir: String, maxRounds: Int = 8): DataFrame = {
+    val nodes = Tables.orders(s, dir).select(col("o_orderkey").as("id"))
+    val withParent = nodes
+      .withColumn("parent", expr("id div 7"))
+      .join(nodes.select(col("id").as("pid")), col("parent") === col("pid"), "left")
+      .select(
+        col("id"),
+        when(col("pid").isNotNull && col("parent") =!= col("id"), col("parent"))
+          .otherwise(col("id")).as("ptr"),
+        when(col("pid").isNotNull && col("parent") =!= col("id"), lit(1L))
+          .otherwise(lit(0L)).as("d"))
+    var cur = withParent.persist()
+    var rounds = 0
+    var moving = 1L
+    while (moving > 0 && rounds < maxRounds) {
+      val next = cur
+        .join(
+          cur.select(col("id").as("jid"), col("ptr").as("ptr2"), col("d").as("d2")),
+          col("ptr") === col("jid"))
+        .select(col("id"), col("ptr2").as("ptr"), (col("d") + col("d2")).as("d"))
+        .persist()
+      // settled ⟺ the pointer targets a root (self-pointing row); the
+      // anti-join count is the round's one driver scalar
+      val roots = next.filter(col("ptr") === col("id")).select(col("id").as("rootid"))
+      moving = next.join(roots, col("ptr") === col("rootid"), "left_anti").count()
+      cur.unpersist()
+      cur = next
+      rounds += 1
+    }
+    require(moving == 0,
+      s"pointer doubling not settled in $maxRounds rounds — raise maxRounds")
+    cur.select(col("id").as("o_orderkey"), col("d").as("depth"))
+  }
+
+  val treeDepthSql: String =
+    """WITH RECURSIVE ids AS (SELECT o_orderkey AS id FROM orders),
+       edges AS (
+         SELECT c.id, c.id // 7 AS parent
+         FROM ids c JOIN ids p ON c.id // 7 = p.id
+         WHERE c.id // 7 <> c.id),
+       walk(id, anc, d) AS (
+         SELECT id, id, 0 FROM ids
+         UNION ALL
+         SELECT w.id, e.parent, w.d + 1
+         FROM walk w JOIN edges e ON w.anc = e.id)
+       SELECT id AS o_orderkey, CAST(max(d) AS BIGINT) AS depth
+       FROM walk GROUP BY 1"""
 }

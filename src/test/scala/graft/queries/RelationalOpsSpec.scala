@@ -311,6 +311,23 @@ class RelationalOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("tree_depth: pointer-doubling depths match the driver parent walk") {
+    val rows = TreeQueries.treeDepth(spark, dir).collect()
+    val ids = graft.Tables
+      .orders(spark, dir)
+      .select("o_orderkey")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    val model = ids.map { id =>
+      var cur = id; var d = 0L
+      while (cur / 7 != cur && ids.contains(cur / 7)) { cur = cur / 7; d += 1 }
+      id -> d
+    }.toMap
+    assert(rows.map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Long]("depth")).toMap == model)
+    spark.catalog.clearCache()
+  }
+
   test("table_diff: classification matches the snapshot model; no unchanged rows") {
     import org.apache.spark.sql.functions._
     val rows = RelationalQueries.tableDiff(spark, dir).collect()
