@@ -1871,6 +1871,192 @@ object MiningQueries {
        FROM b, t"""
   }
 
+  /** Chain depth for [[markovAttribution]] — conversion probability
+    * within `MarkovSteps+1` transitions; both engines truncate at the
+    * same horizon, so the unrolled oracle is exact.
+    */
+  private val MarkovSteps = 12
+
+  /** Markov removal-effect attribution — the data-driven alternative to
+    * first/last-touch ([[RelationalQueries.touchAttribution]]): model
+    * each user's pre-purchase event sequence as a Markov chain
+    * (start → channels → conversion/null), then credit each channel by
+    * how much the start→conversion probability DROPS when that channel
+    * is removed from the graph (its transitions lost, not
+    * renormalized — the standard removal-effect definition).
+    *
+    * Scale split: transition COUNTING is the data-sized part and runs
+    * as one distributed per-user ordered pass + a (src, dst) aggregate;
+    * the chain arithmetic operates on the transition matrix, whose size
+    * is bounded by the event-type vocabulary (a semantic constant —
+    * ≤ 6×6 here), so it is collected and folded on the driver
+    * (control-plane, same contract as the BPE argmax / codebook
+    * collects). Determinism: every probability is an exact ratio of
+    * counts, and every per-state sum folds in ascending target order —
+    * the identical tree the oracle's `list_reduce(list(... ORDER BY
+    * dst))` builds, so all `MarkovSteps` iterations agree bitwise.
+    */
+  def markovAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val paths = Tables
+      .events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("event_id"), col("event_type")))).as("evs"))
+      .select(
+        expr("transform(evs, x -> x.event_type)").as("seq"))
+      .select(
+        expr("array_position(seq, 'purchase')").as("cut"),
+        col("seq"))
+      .select(
+        expr("CASE WHEN cut > 0 THEN slice(seq, 1, cast(cut as int) - 1) ELSE seq END")
+          .as("path"),
+        (col("cut") > 0).as("converted"))
+    val terminal = when(col("converted"), lit("conv")).otherwise(lit("null"))
+    val startEdges = paths.select(
+      lit("start").as("src"),
+      coalesce(expr("get(path, 0)"), terminal).as("dst"))
+    val innerEdges = paths
+      // guard: Spark sequence(1, 0) counts DOWN — a 0/1-length path
+      // must contribute no inner pairs, like DuckDB's empty range
+      .filter(size(col("path")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(path) - 1), i -> struct(element_at(path, i) as a, element_at(path, i + 1) as b))"))
+        .as("p"))
+      .select(col("p.a").as("src"), col("p.b").as("dst"))
+    val lastEdges = paths
+      .filter(size(col("path")) > 0)
+      .select(expr("element_at(path, -1)").as("src"), terminal.as("dst"))
+    val counts = startEdges
+      .unionByName(innerEdges)
+      .unionByName(lastEdges)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // driver-side chain math on the bounded matrix — mirrors the
+    // oracle's fold shapes exactly
+    val srcTotals = counts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    def prob(src: String, dst: String): Double =
+      counts.getOrElse(src -> dst, 0L).toDouble / srcTotals(src).toDouble
+    def converge(removed: Option[String]): Double = {
+      val edges = counts.keys.toSeq
+        .filter { case (a, b) =>
+          !removed.contains(a) && !removed.contains(b)
+        }
+        .sortBy(identity)
+      val transientStates = edges.map(_._1).distinct
+      var p = transientStates.map { st =>
+        st -> prob(st, "conv")
+      }.toMap
+      for (_ <- 1 to MarkovSteps) {
+        p = transientStates.map { st =>
+          val terms = edges
+            .filter { case (a, b) => a == st && b != "conv" && b != "null" && p.contains(b) }
+            .sortBy(_._2)
+            .map { case (a, b) => prob(a, b) * p(b) }
+          st -> (prob(st, "conv") + terms.foldLeft(0.0)(_ + _))
+        }.toMap
+      }
+      p.getOrElse("start", 0.0)
+    }
+    val base = converge(None)
+    val channels = counts.keys.map(_._1).filter(c => c != "start").toSeq.distinct.sorted
+    val effects = channels.map(ch => ch -> math.max(0.0, base - converge(Some(ch))))
+    val total = effects.map(_._2).foldLeft(0.0)(_ + _)
+    val rows = effects.map { case (ch, e) =>
+      (ch, base, base - e, e, if (total == 0.0) 0.0 else e / total)
+    }
+    // all rounding through Spark round(): the established round-vs-round
+    // parity pair with the DuckDB oracle
+    rows
+      .toDF("channel", "conv_full_raw", "conv_removed_raw", "effect_raw", "share_raw")
+      .select(
+        col("channel"),
+        round(col("conv_full_raw"), 9).as("conv_full"),
+        round(col("conv_removed_raw"), 9).as("conv_removed"),
+        round(col("effect_raw"), 9).as("removal_effect"),
+        round(col("share_raw"), 9).as("share"))
+  }
+
+  val markovAttributionSql: String = {
+    // journeys → transition counts, then 5 chains (full + one per
+    // removed channel) × MarkovSteps unrolled — the fold per state is
+    // list_reduce over terms ordered by dst, the Scala tree's mirror
+    def chain(tag: String, removedPred: String): String = {
+      val steps = (1 to MarkovSteps).map { k =>
+        s"""p${k}_$tag AS (
+           SELECT st.state,
+                  coalesce(cv.p, 0.0) + coalesce(f.s, 0.0) AS pv
+           FROM states_$tag st
+           LEFT JOIN (SELECT src AS state, p FROM edges_$tag WHERE dst = 'conv') cv
+             ON st.state = cv.state
+           LEFT JOIN (
+             SELECT e.src AS state,
+                    list_reduce(list_prepend(0.0,
+                      list(e.p * pk.pv ORDER BY e.dst)), (a, b) -> a + b) AS s
+             FROM edges_$tag e
+             JOIN p${k - 1}_$tag pk ON e.dst = pk.state
+             WHERE e.dst <> 'conv' AND e.dst <> 'null'
+             GROUP BY e.src) f ON st.state = f.state)"""
+      }.mkString(",\n       ")
+      s"""edges_$tag AS (
+           SELECT src, dst, p FROM edges WHERE NOT ($removedPred)),
+         states_$tag AS (SELECT DISTINCT src AS state FROM edges_$tag),
+         p0_$tag AS (
+           SELECT st.state, coalesce(cv.p, 0.0) AS pv
+           FROM states_$tag st
+           LEFT JOIN (SELECT src AS state, p FROM edges_$tag WHERE dst = 'conv') cv
+             ON st.state = cv.state),
+         $steps"""
+    }
+    val channels = Seq("click", "error", "signup", "view")
+    val chains =
+      (chain("full", "FALSE") +: channels.map(c => chain(c, s"src = '$c' OR dst = '$c'")))
+        .mkString(",\n       ")
+    val effectRows = channels.map { c =>
+      s"""SELECT '$c' AS channel,
+             (SELECT pv FROM p${MarkovSteps}_full WHERE state = 'start') AS cf,
+             (SELECT pv FROM p${MarkovSteps}_$c WHERE state = 'start') AS cr"""
+    }.mkString("\n       UNION ALL ")
+    s"""WITH j AS (
+         SELECT list(event_type ORDER BY event_id) AS seq FROM events GROUP BY user_id),
+       pth AS (
+         SELECT CASE WHEN idx IS NOT NULL THEN seq[1:idx - 1] ELSE seq END AS path,
+                idx IS NOT NULL AS converted
+         FROM (SELECT seq, list_position(seq, 'purchase') AS idx FROM j)),
+       tr AS (
+         SELECT 'start' AS src,
+                coalesce(path[1],
+                         CASE WHEN converted THEN 'conv' ELSE 'null' END) AS dst
+         FROM pth
+         UNION ALL
+         SELECT path[i] AS src, path[i + 1] AS dst
+         FROM pth, UNNEST(range(1, len(path))) AS r(i)
+         UNION ALL
+         SELECT path[-1] AS src,
+                CASE WHEN converted THEN 'conv' ELSE 'null' END AS dst
+         FROM pth WHERE len(path) > 0),
+       counts AS (SELECT src, dst, count(*) AS c FROM tr GROUP BY 1, 2),
+       edges AS (
+         SELECT src, dst,
+                CAST(c AS DOUBLE) / CAST(sum(c) OVER (PARTITION BY src) AS DOUBLE) AS p
+         FROM counts),
+       $chains,
+       eff AS (
+         SELECT channel, cf, cr, CASE WHEN cf - cr > 0 THEN cf - cr ELSE 0.0 END AS e
+         FROM ($effectRows)),
+       tot AS (SELECT list_reduce(list_prepend(0.0, list(e ORDER BY channel)),
+                                  (a, b) -> a + b) AS te FROM eff)
+       SELECT channel,
+              round(cf, 9) AS conv_full,
+              round(cr, 9) AS conv_removed,
+              round(e, 9) AS removal_effect,
+              round(CASE WHEN te = 0 THEN 0.0 ELSE e / te END, 9) AS share
+       FROM eff, tot"""
+  }
+
   /** l-diversity audit — the companion to [[kAnonymity]]: a
     * quasi-identifier group is safe only if its SENSITIVE attribute
     * (the balance band here) takes at least `l` distinct values, else

@@ -268,6 +268,23 @@ class MiningSpec extends AnyFunSuite {
     assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
 
+  test("markov attribution: probabilities lawful, removal can only hurt, shares sum to 1") {
+    val rows = MiningQueries.markovAttribution(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val base = rows.map(_.getAs[Double]("conv_full")).distinct
+    assert(base.length == 1, "conv_full must be one chain-wide value")
+    assert(base.head > 0.0 && base.head <= 1.0)
+    for (r <- rows) {
+      val cr = r.getAs[Double]("conv_removed")
+      assert(cr >= 0.0 && cr <= base.head + 1e-12,
+        s"removing a channel cannot raise conversion: $r")
+      assert(r.getAs[Double]("removal_effect") >= 0.0)
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-6)
+    val again = MiningQueries.markovAttribution(spark, dir).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
   test("l-diversity: coarser generalization never reduces diversity; bounds lawful") {
     val rows = MiningQueries.lDiversity(spark, dir).collect()
     val byLevel = rows.map(r => r.getAs[String]("level") -> r).toMap
