@@ -2023,8 +2023,10 @@ object MiningQueries {
     s"""WITH j AS (
          SELECT list(event_type ORDER BY event_id) AS seq FROM events GROUP BY user_id),
        pth AS (
-         SELECT CASE WHEN idx IS NOT NULL THEN seq[1:idx - 1] ELSE seq END AS path,
-                idx IS NOT NULL AS converted
+         -- coalesce: DuckDB list_position yields 0 (not NULL) for
+         -- not-found on this build — match Spark's array_position 0
+         SELECT CASE WHEN coalesce(idx, 0) > 0 THEN seq[1:idx - 1] ELSE seq END AS path,
+                coalesce(idx, 0) > 0 AS converted
          FROM (SELECT seq, list_position(seq, 'purchase') AS idx FROM j)),
        tr AS (
          SELECT 'start' AS src,
@@ -2055,6 +2057,145 @@ object MiningQueries {
               round(e, 9) AS removal_effect,
               round(CASE WHEN te = 0 THEN 0.0 ELSE e / te END, 9) AS share
        FROM eff, tot"""
+  }
+
+  /** Shapley-value attribution — the order-free companion to
+    * [[markovAttribution]]: channels are players, a user's coalition is
+    * the SET of channels seen before first purchase, a coalition's
+    * value v(S) is the conversion rate among users whose set is
+    * CONTAINED in S (exact integer count ratios), and each channel's
+    * credit is its Shapley value — the weighted average of its marginal
+    * contribution v(S∪{c}) − v(S) over all 8 sub-coalitions.
+    *
+    * Scale split mirrors markov: per-user set derivation + the
+    * 16-coalition count table are distributed; the Shapley fold runs on
+    * the driver over the 2⁴-bounded table (channel vocabulary is a
+    * semantic constant) in ascending-mask order — the identical tree
+    * the oracle's `list_reduce(list(term ORDER BY mask))` builds.
+    * Weights are written as the same division text (`6.0/24.0`,
+    * `2.0/24.0`) on both engines.
+    */
+  def shapleyAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val channels = Seq("click", "error", "signup", "view") // bit i = channels(i)
+    val maskExpr = channels.zipWithIndex
+      .map { case (c, i) =>
+        s"(CASE WHEN array_contains(chs, '$c') THEN ${1 << i} ELSE 0 END)"
+      }
+      .mkString(" + ")
+    val perUser = Tables
+      .events(s, dir)
+      // the attribution window: the campaign's first 48 hours — over
+      // the full month EVERY user eventually purchases and the game is
+      // degenerate (all marginals zero); the window restores variance
+      .filter(col("ts") < lit("2024-01-03 00:00:00").cast("timestamp"))
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("event_id"), col("event_type")))).as("evs"))
+      .select(expr("transform(evs, x -> x.event_type)").as("seq"))
+      .select(
+        expr("array_position(seq, 'purchase')").as("cut"),
+        col("seq"))
+      .select(
+        expr("array_distinct(CASE WHEN cut > 0 THEN slice(seq, 1, cast(cut as int) - 1) ELSE seq END)")
+          .as("chs"),
+        (col("cut") > 0).as("converted"))
+    val counts = perUser
+      .select(expr(maskExpr).as("mask"), col("converted"))
+      .groupBy(col("mask"))
+      .agg(count(lit(1)).as("n"), sum(when(col("converted"), 1L).otherwise(0L)).as("c"))
+      .collect()
+      .map(r => r.getAs[Int]("mask") -> ((r.getAs[Long]("n"), r.getAs[Long]("c"))))
+      .toMap
+    def v(mask: Int): Double = {
+      // integer sums over contained NON-EMPTY coalitions — v(∅) ≡ 0:
+      // instant purchasers (no channel touched) carry no marketing
+      // signal, and including them makes every marginal negative
+      var n = 0L; var c = 0L
+      for (t <- 1 until 16 if (t & mask) == t) {
+        val (tn, tc) = counts.getOrElse(t, (0L, 0L))
+        n += tn; c += tc
+      }
+      if (n == 0L) 0.0 else c.toDouble / n.toDouble
+    }
+    val weights = Seq(6.0 / 24.0, 2.0 / 24.0, 2.0 / 24.0, 6.0 / 24.0)
+    val shap = channels.zipWithIndex.map { case (ch, i) =>
+      val bit = 1 << i
+      val terms = (0 until 16)
+        .filter(sMask => (sMask & bit) == 0)
+        .sorted
+        .map(sMask => weights(Integer.bitCount(sMask)) * (v(sMask | bit) - v(sMask)))
+      ch -> terms.foldLeft(0.0)(_ + _)
+    }
+    val total = shap.sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _)
+    shap
+      .map { case (ch, sv) =>
+        (ch, v(15), sv, if (total == 0.0) 0.0 else sv / total)
+      }
+      .toDF("channel", "v_grand_raw", "shapley_raw", "share_raw")
+      .select(
+        col("channel"),
+        round(col("v_grand_raw"), 9).as("v_grand"),
+        round(col("shapley_raw"), 9).as("shapley"),
+        round(col("share_raw"), 9).as("share"))
+  }
+
+  val shapleyAttributionSql: String = {
+    val channels = Seq("click", "error", "signup", "view")
+    val maskExpr = channels.zipWithIndex
+      .map { case (c, i) =>
+        s"(CASE WHEN list_contains(chs, '$c') THEN ${1 << i} ELSE 0 END)"
+      }
+      .mkString(" + ")
+    val chanRows = channels.zipWithIndex
+      .map { case (c, i) => s"('$c', ${1 << i})" }
+      .mkString(", ")
+    s"""WITH j AS (
+         SELECT list(event_type ORDER BY event_id) AS seq FROM events
+         WHERE ts < TIMESTAMP '2024-01-03 00:00:00' GROUP BY user_id),
+       pu AS (
+         SELECT list_distinct(CASE WHEN coalesce(idx, 0) > 0 THEN seq[1:idx - 1] ELSE seq END)
+                  AS chs,
+                coalesce(idx, 0) > 0 AS converted
+         FROM (SELECT seq, list_position(seq, 'purchase') AS idx FROM j)),
+       counts AS (
+         SELECT $maskExpr AS mask, count(*) AS n,
+                sum(CASE WHEN converted THEN 1 ELSE 0 END) AS c
+         FROM pu GROUP BY 1),
+       masks AS (SELECT CAST(m AS INT) AS mask FROM UNNEST(range(0, 16)) AS r(m)),
+       vals AS (
+         SELECT s.mask,
+                CASE WHEN sum(coalesce(cn.n, 0)) = 0 THEN 0.0
+                     ELSE CAST(sum(coalesce(cn.c, 0)) AS DOUBLE)
+                          / CAST(sum(coalesce(cn.n, 0)) AS DOUBLE) END AS v
+         FROM masks s
+         LEFT JOIN masks t ON (t.mask & s.mask) = t.mask AND t.mask <> 0
+         LEFT JOIN counts cn ON cn.mask = t.mask
+         GROUP BY s.mask),
+       chans AS (SELECT * FROM (VALUES $chanRows) c(channel, bit)),
+       terms AS (
+         SELECT ch.channel, s.mask,
+                (CASE bit_count(CAST(s.mask AS BIGINT))
+                   WHEN 0 THEN 6.0/24.0 WHEN 1 THEN 2.0/24.0
+                   WHEN 2 THEN 2.0/24.0 ELSE 6.0/24.0 END)
+                * (va.v - vs.v) AS term
+         FROM chans ch
+         JOIN masks s ON (s.mask & ch.bit) = 0
+         JOIN vals vs ON vs.mask = s.mask
+         JOIN vals va ON va.mask = (s.mask | ch.bit)),
+       shap AS (
+         SELECT channel,
+                list_reduce(list_prepend(0.0, list(term ORDER BY mask)),
+                            (a, b) -> a + b) AS sv
+         FROM terms GROUP BY 1),
+       tot AS (SELECT list_reduce(list_prepend(0.0, list(sv ORDER BY channel)),
+                                  (a, b) -> a + b) AS ts FROM shap),
+       grand AS (SELECT v AS vg FROM vals WHERE mask = 15)
+       SELECT channel,
+              round(vg, 9) AS v_grand,
+              round(sv, 9) AS shapley,
+              round(CASE WHEN ts = 0 THEN 0.0 ELSE sv / ts END, 9) AS share
+       FROM shap, tot, grand"""
   }
 
   /** l-diversity audit — the companion to [[kAnonymity]]: a

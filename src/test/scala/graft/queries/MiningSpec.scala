@@ -285,6 +285,17 @@ class MiningSpec extends AnyFunSuite {
     assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
 
+  test("shapley attribution: efficiency axiom (Σφ = v(grand)); shares sum to 1") {
+    val rows = MiningQueries.shapleyAttribution(spark, dir).collect()
+    assert(rows.length == 4)
+    val vg = rows.map(_.getAs[Double]("v_grand")).distinct
+    assert(vg.length == 1 && vg.head >= 0.0 && vg.head <= 1.0)
+    // the Shapley efficiency axiom: credits sum exactly to the grand
+    // coalition's value (v(∅) ≡ 0 here)
+    assert(math.abs(rows.map(_.getAs[Double]("shapley")).sum - vg.head) < 1e-6)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-6)
+  }
+
   test("l-diversity: coarser generalization never reduces diversity; bounds lawful") {
     val rows = MiningQueries.lDiversity(spark, dir).collect()
     val byLevel = rows.map(r => r.getAs[String]("level") -> r).toMap
