@@ -1335,6 +1335,154 @@ object MiningQueries {
                 AS avg_precision
        FROM q"""
 
+  /** Kolmogorov–Smirnov statistic between the positive and negative
+    * score distributions — the classic separation measure next to
+    * [[rocAuc]]: KS = max over thresholds of |TPR − FPR|, computed as
+    * the EXACT integer max of |tp·N − fp·P| over the shared
+    * [[rocBase]] curve (decimal(38,0) against i64 overflow at
+    * web-scale counts), divided once at the end. The argmax threshold
+    * ties break to the smallest score via a (d, −threshold) struct
+    * max — a partial aggregate, no ordering pass.
+    */
+  def ksStatistic(s: SparkSession, dir: String): DataFrame = {
+    val base = rocBase(s, dir).persist()
+    val tot = base.agg(sum(col("np")).as("p"), sum(col("nn")).as("n"))
+    base
+      .crossJoin(broadcast(tot))
+      .select(
+        col("p"),
+        col("n"),
+        abs(
+          col("tp").cast("decimal(38,0)") * col("n") -
+            col("fp").cast("decimal(38,0)") * col("p")).as("d"),
+        (lit(0L) - col("cents")).as("negc"))
+      .groupBy(col("p"), col("n"))
+      .agg(max(struct(col("d"), col("negc"))).as("m"))
+      .select(
+        col("p"),
+        col("n"),
+        round(
+          col("m.d").cast("double") /
+            (col("p").cast("double") * col("n").cast("double")),
+          6).as("ks_stat"),
+        (lit(0L) - col("m.negc")).as("ks_threshold"))
+  }
+
+  val ksStatisticSql: String =
+    rocBaseSql + """, tot AS (SELECT CAST(sum(np) AS BIGINT) AS p,
+                                     CAST(sum(nn) AS BIGINT) AS n FROM perc),
+       dd AS (
+         SELECT p, n,
+                abs(CAST(tp AS HUGEINT) * n - CAST(fp AS HUGEINT) * p) AS d,
+                cents
+         FROM curve, tot)
+       SELECT p, n,
+              round(CAST(max(d) AS DOUBLE)
+                    / (CAST(p AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS ks_stat,
+              CAST(first(cents ORDER BY d DESC, cents) AS BIGINT) AS ks_threshold
+       FROM dd GROUP BY p, n"""
+
+  /** Post-stratified average treatment effect — the third leg of the
+    * causal family ([[cuped]] variance reduction, [[diffInDiff]]
+    * trends): stratify users by an activity covariate (total event
+    * count, 20-wide buckets), take the per-stratum treated-vs-control
+    * spend difference from EXACT cent/count sums, and weight by the
+    * stratum's population share over the strata where both arms are
+    * observed. The stratum table is an activity-bounded statistic, so
+    * the final weighted fold runs ordered (by bucket) over a bounded
+    * list — identical tree both engines; everything data-sized is one
+    * per-user aggregate + one bucket aggregate.
+    */
+  def poststratAte(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables
+      .events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_ev"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("cents"))
+      .withColumn("arm", expr(md5Bucket("cast(user_id as string)", 2)).cast("int"))
+      .withColumn("b", expr("n_ev div 20"))
+    val strata = perUser
+      .groupBy(col("b"))
+      .agg(
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("arm") === 1, col("cents")).otherwise(0L)).as("st"),
+        sum(when(col("arm") === 0, col("cents")).otherwise(0L)).as("sc"))
+      .filter(col("nt") > 0 && col("nc") > 0)
+      .persist()
+    val naiveAndN = perUser.agg(
+      count(lit(1)).as("n_users"),
+      (sum(when(col("arm") === 1, col("cents")).otherwise(0L)).cast("double") /
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("double") -
+        sum(when(col("arm") === 0, col("cents")).otherwise(0L)).cast("double") /
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("double")).as("naive"))
+    val ate = strata
+      .select(
+        col("b"),
+        ((col("nt") + col("nc")).cast("double")).as("w"),
+        (col("st").cast("double") / col("nt").cast("double") -
+          col("sc").cast("double") / col("nc").cast("double")).as("diff"))
+      .agg(
+        count(lit(1)).as("n_strata"),
+        expr("aggregate(array_sort(collect_list(struct(b, w * diff as t))), 0.0D, (a, x) -> a + x.t)")
+          .as("wsum"),
+        expr("aggregate(array_sort(collect_list(struct(b, w as t))), 0.0D, (a, x) -> a + x.t)")
+          .as("wtot"))
+    ate
+      .crossJoin(naiveAndN)
+      .select(
+        col("n_users"),
+        col("n_strata"),
+        round(col("naive") / lit(100.0), 6).as("naive_diff"),
+        round(col("wsum") / col("wtot") / lit(100.0), 6).as("ate"))
+  }
+
+  val poststratAteSql: String = {
+    val arm = md5BucketSql("CAST(user_id AS VARCHAR)", 2)
+    s"""WITH pu AS (
+         SELECT user_id, count(*) AS n_ev,
+                CAST(sum(CASE WHEN event_type = 'purchase'
+                              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS cents,
+                CAST($arm AS INT) AS arm
+         FROM events GROUP BY 1),
+       pb AS (SELECT *, n_ev // 20 AS b FROM pu),
+       strata AS (
+         SELECT b,
+                CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+                CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+                CAST(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS BIGINT) AS st,
+                CAST(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS BIGINT) AS sc
+         FROM pb GROUP BY 1
+         HAVING sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) > 0
+            AND sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) > 0),
+       terms AS (
+         SELECT b, CAST(nt + nc AS DOUBLE) AS w,
+                CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+                  - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE) AS diff
+         FROM strata),
+       folds AS (
+         SELECT count(*) AS n_strata,
+                list_reduce(list_prepend(0.0, list(w * diff ORDER BY b)),
+                            (a, x) -> a + x) AS wsum,
+                list_reduce(list_prepend(0.0, list(w ORDER BY b)),
+                            (a, x) -> a + x) AS wtot
+         FROM terms),
+       naive AS (
+         SELECT count(*) AS n_users,
+                CAST(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS DOUBLE)
+                  / CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                - CAST(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS DOUBLE)
+                  / CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS nv
+         FROM pb)
+       SELECT n_users, n_strata,
+              round(nv / 100.0, 6) AS naive_diff,
+              round(wsum / wtot / 100.0, 6) AS ate
+       FROM folds, naive"""
+  }
+
   // --------------------------------------------------------------------
   // q_logreg_train — distributed logistic-regression trainer
   // --------------------------------------------------------------------

@@ -285,6 +285,51 @@ class MiningSpec extends AnyFunSuite {
     assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
 
+  test("ks statistic: equals the max |TPR − FPR| over the ROC curve") {
+    val ks = MiningQueries.ksStatistic(spark, dir).collect().head
+    val curve = MiningQueries.rocCurve(spark, dir).collect()
+    val want = curve
+      .map(r => math.abs(r.getAs[Double]("tpr") - r.getAs[Double]("fpr")))
+      .max
+    // rocCurve rates are rounded at 1e-6, so the cross-check carries
+    // that grid
+    assert(math.abs(ks.getAs[Double]("ks_stat") - want) < 3e-6, s"$ks vs $want")
+    assert(ks.getAs[Double]("ks_stat") >= 0.0 && ks.getAs[Double]("ks_stat") <= 1.0)
+    spark.catalog.clearCache()
+  }
+
+  test("poststrat ATE: equals a driver-side stratified recompute") {
+    import org.apache.spark.sql.functions._
+    val row = MiningQueries.poststratAte(spark, dir).collect().head
+    val users = graft.Tables
+      .events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_ev"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("cents"))
+      .collect()
+      .map { r =>
+        val uid = r.getAs[Long]("user_id")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(uid.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        val arm = java.lang.Long.parseLong(hex.take(4), 16) % 2
+        (r.getAs[Long]("n_ev") / 20, arm, r.getAs[Long]("cents"))
+      }
+    val strata = users.groupBy(_._1).filter { case (_, us) =>
+      us.exists(_._2 == 1) && us.exists(_._2 == 0)
+    }
+    var wsum = 0.0; var wtot = 0.0
+    for ((_, us) <- strata.toSeq.sortBy(_._1)) {
+      val t = us.filter(_._2 == 1); val c = us.filter(_._2 == 0)
+      val diff = t.map(_._3).sum.toDouble / t.length - c.map(_._3).sum.toDouble / c.length
+      wsum += (t.length + c.length).toDouble * diff
+      wtot += (t.length + c.length).toDouble
+    }
+    assert(row.getAs[Long]("n_strata") == strata.size.toLong)
+    assert(math.abs(row.getAs[Double]("ate") - wsum / wtot / 100.0) < 1e-5, row.toString)
+  }
+
   test("shapley attribution: efficiency axiom (Σφ = v(grand)); shares sum to 1") {
     val rows = MiningQueries.shapleyAttribution(spark, dir).collect()
     assert(rows.length == 4)
