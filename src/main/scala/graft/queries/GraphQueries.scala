@@ -217,7 +217,11 @@ object GraphQueries {
   /** Exact DuckDB oracle for [[labelPropagation]]: all rounds unrolled,
     * the per-node argmax as a (cnt DESC, label ASC) row_number.
     */
-  def labelPropagationSql(iters: Int = 4, minCommon: Int = 12): String = {
+  /** The label-propagation CTE chain through `l$iters` — shared by
+    * [[labelPropagationSql]] and [[modularitySql]] so the community
+    * derivation has exactly one SQL definition.
+    */
+  private def labelPropCtes(iters: Int, minCommon: Int): String = {
     val iterCtes = (1 to iters).map { k =>
       s"""c$k AS (
          SELECT e.dst, l.label, count(*) AS cnt
@@ -229,15 +233,18 @@ object GraphQueries {
                   row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, label) AS rn
            FROM c$k) WHERE rn = 1)"""
     }.mkString(",\n       ")
-    s"""WITH ${graphCtesSql(minCommon)},
+    s"""${graphCtesSql(minCommon)},
        $edgesCteSql,
        nodes AS (SELECT DISTINCT src AS node FROM edges),
        l0 AS (SELECT node, node AS label FROM nodes),
-       $iterCtes,
+       $iterCtes"""
+  }
+
+  def labelPropagationSql(iters: Int = 4, minCommon: Int = 12): String =
+    s"""WITH ${labelPropCtes(iters, minCommon)},
        sizes AS (SELECT label, count(*) AS n_members FROM l$iters GROUP BY 1)
        SELECT l.node AS doc_id, l.label AS community, s.n_members
        FROM l$iters l JOIN sizes s USING (label)"""
-  }
 
   /** Bounded-hop neighborhood function (ANF): |N≤1|, |N≤2|, |N≤3| per
     * node over the similarity graph — the distance-distribution profile
@@ -520,6 +527,133 @@ object GraphQueries {
        SELECT src AS doc_id, count(*) AS core_degree
        FROM e$maxRounds GROUP BY 1"""
   }
+
+  /** Community modularity — the quality score for
+    * [[labelPropagation]]'s partition: per community c,
+    * Q_c = L_c/M − (D_c/2M)² (intra-edge share minus the expected
+    * share under the configuration model). Everything stays integer
+    * until the one division per row: M and D_c come from the symmetric
+    * edge list, L_c from an edges⋈labels⋈labels same-community count —
+    * per-community rows are independent, so there is NO global fold to
+    * order. The partition-wide Q is the sum of the contributions
+    * (spec-checked against the [−0.5, 1] bound).
+    */
+  def modularity(
+      s: SparkSession,
+      dir: String,
+      iters: Int = 4,
+      minCommon: Int = 12): DataFrame = {
+    val edges = symmetricEdges(s, dir, minCommon)
+    val labels = labelPropagation(s, dir, iters, minCommon)
+      .select(col("doc_id").as("node"), col("community"))
+      .persist()
+    val m2 = edges.agg(count(lit(1)).as("m2")) // = 2M (symmetric list)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val dsum = deg
+      .join(labels, col("src") === col("node"))
+      .groupBy(col("community"))
+      .agg(sum(col("deg")).as("dsum"), count(lit(1)).as("n_members"))
+    val intra = edges
+      .join(labels.select(col("node").as("src"), col("community").as("ca")), "src")
+      .join(labels.select(col("node").as("dst"), col("community").as("cb")), "dst")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("intra2")) // directed count = 2·L_c
+    dsum
+      .join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(m2))
+      .select(
+        col("community"),
+        col("n_members"),
+        expr("coalesce(intra2, 0L) div 2").as("intra_edges"),
+        col("dsum").as("degree_sum"),
+        round(
+          coalesce(col("intra2"), lit(0L)).cast("double") / col("m2").cast("double") -
+            (col("dsum").cast("double") / col("m2").cast("double")) *
+              (col("dsum").cast("double") / col("m2").cast("double")),
+          9).as("q_contribution"))
+  }
+
+  def modularitySql(iters: Int = 4, minCommon: Int = 12): String =
+    s"""WITH ${labelPropCtes(iters, minCommon)},
+       lab AS (SELECT node, label AS community FROM l$iters),
+       m2 AS (SELECT count(*) AS m2 FROM edges),
+       deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       dsum AS (
+         SELECT community, CAST(sum(deg) AS BIGINT) AS dsum,
+                count(*) AS n_members
+         FROM deg JOIN lab ON src = node GROUP BY 1),
+       intra AS (
+         SELECT a.community, count(*) AS intra2
+         FROM edges e
+         JOIN lab a ON e.src = a.node
+         JOIN lab b ON e.dst = b.node
+         WHERE a.community = b.community
+         GROUP BY 1)
+       SELECT d.community, d.n_members,
+              CAST(coalesce(i.intra2, 0) // 2 AS BIGINT) AS intra_edges,
+              d.dsum AS degree_sum,
+              round(CAST(coalesce(i.intra2, 0) AS DOUBLE) / CAST(m2 AS DOUBLE)
+                    - (CAST(d.dsum AS DOUBLE) / CAST(m2 AS DOUBLE))
+                      * (CAST(d.dsum AS DOUBLE) / CAST(m2 AS DOUBLE)), 9)
+                AS q_contribution
+       FROM dsum d LEFT JOIN intra i USING (community), m2"""
+
+  /** Degree assortativity — the Pearson correlation of endpoint degrees
+    * over the (symmetric) edge list: do hubs attach to hubs? All moment
+    * sums are exact integers (degrees × edges); the three divisions
+    * happen once on the one-row aggregate with the identical tree both
+    * engines.
+    */
+  def assortativity(s: SparkSession, dir: String, minCommon: Int = 12): DataFrame = {
+    val edges = symmetricEdges(s, dir, minCommon)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val pairs = edges
+      .join(deg.select(col("src"), col("deg").as("dx")), "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("dy")),
+        Seq("dst"))
+    pairs
+      .agg(
+        count(lit(1)).as("m2"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx")).as("sx"),
+        sum(col("dx") * col("dx")).as("sxx"))
+      .select(
+        col("m2"),
+        round(
+          (col("sxy").cast("double") / col("m2").cast("double") -
+            (col("sx").cast("double") / col("m2").cast("double")) *
+              (col("sx").cast("double") / col("m2").cast("double"))) /
+            (col("sxx").cast("double") / col("m2").cast("double") -
+              (col("sx").cast("double") / col("m2").cast("double")) *
+                (col("sx").cast("double") / col("m2").cast("double"))),
+          6).as("assortativity"))
+  }
+
+  def assortativitySql(minCommon: Int = 12): String =
+    s"""WITH ${graphCtesSql(minCommon)},
+       $edgesCteSql,
+       deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       p AS (
+         SELECT dx.deg AS x, dy.deg AS y
+         FROM edges e
+         JOIN deg dx ON e.src = dx.src
+         JOIN deg dy ON e.dst = dy.src),
+       sums AS (
+         SELECT count(*) AS m2,
+                CAST(sum(x * y) AS BIGINT) AS sxy,
+                CAST(sum(x) AS BIGINT) AS sx,
+                CAST(sum(x * x) AS BIGINT) AS sxx
+         FROM p)
+       SELECT m2,
+              round((CAST(sxy AS DOUBLE) / CAST(m2 AS DOUBLE)
+                     - (CAST(sx AS DOUBLE) / CAST(m2 AS DOUBLE))
+                       * (CAST(sx AS DOUBLE) / CAST(m2 AS DOUBLE)))
+                    / (CAST(sxx AS DOUBLE) / CAST(m2 AS DOUBLE)
+                       - (CAST(sx AS DOUBLE) / CAST(m2 AS DOUBLE))
+                         * (CAST(sx AS DOUBLE) / CAST(m2 AS DOUBLE))), 6)
+                AS assortativity
+       FROM sums"""
 
   /** Multi-source BFS hop distance: shortest hop count from the seed
     * set (doc_id ≡ 0 mod 17) to every reachable node of the similarity

@@ -108,6 +108,51 @@ class GraphSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("modularity: Q in [-0.5, 1]; communities beat the random baseline here") {
+    val rows = GraphQueries.modularity(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val q = rows.map(_.getAs[Double]("q_contribution")).sum
+    assert(q >= -0.5 && q <= 1.0, s"modularity $q out of bounds")
+    // label propagation on a clustered similarity graph should do
+    // meaningfully better than random assignment
+    assert(q > 0.0, s"modularity $q not positive")
+    // intra edges bounded by the handshake limit per community
+    for (r <- rows)
+      assert(2 * r.getAs[Long]("intra_edges") <= r.getAs[Long]("degree_sum"))
+    spark.catalog.clearCache()
+  }
+
+  test("assortativity: in [-1, 1] and matches a driver-side Pearson over edges") {
+    val row = GraphQueries.assortativity(spark, dir).collect().head
+    val r = row.getAs[Double]("assortativity")
+    assert(r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9)
+    // driver model over the rebuilt graph
+    val docs = graft.Tables
+      .documents(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 80)
+      .collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("lang"),
+        x.getAs[String]("text").split(" ").toSet.filter(_.nonEmpty)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    for {
+      (da, la, wa) <- docs; (db, lb, wb) <- docs
+      if da < db && la == lb && (wa & wb).size >= 12
+    } { adj(da) += db; adj(db) += da }
+    // ns.toSeq: iterating the Set directly would make the inner map
+    // produce a SET and dedupe equal (deg, deg) tuples (the ALS-spec
+    // Map#collect trap, collection-type edition)
+    val pairs =
+      for { (a, ns) <- adj.toSeq; b <- ns.toSeq }
+        yield (adj(a).size.toLong, adj(b).size.toLong)
+    val m = pairs.length.toDouble
+    val sxy = pairs.map(p => p._1 * p._2).sum.toDouble
+    val sx = pairs.map(_._1).sum.toDouble
+    val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+    val want = (sxy / m - (sx / m) * (sx / m)) / (sxx / m - (sx / m) * (sx / m))
+    assert(math.abs(r - want) < 1e-5, s"$r vs $want")
+    spark.catalog.clearCache()
+  }
+
   test("bfs_hops: matches driver-side BFS distances from the mod-17 seed set") {
     val rows = GraphQueries.bfsHops(spark, dir).collect()
     val docs = graft.Tables
