@@ -1301,6 +1301,64 @@ object DedupQueries {
           6).as("jaccard"))
   }
 
+  /** MinHash recall harness — the quality bridge between the
+    * APPROXIMATE path ([[minhashPairs]], banded LSH candidates at
+    * estimated J ≥ 0.7) and the EXACT one ([[similarityJoin]], true
+    * J ≥ 0.95 by definition): every exact high-similarity pair should
+    * be recovered by the sketch with high probability, and this query
+    * MEASURES it instead of asserting it — n_exact, the sketch's
+    * candidate count on the same slice, the hit count, and recall.
+    * The ANN-recall discipline ([[VectorQueries]] q_ann_recall)
+    * applied to the dedup surface; both legs are deterministic, so the
+    * recall itself is oracle-exact.
+    *
+    * Measured finding on the harness corpus: recall ≈ 0.12 — NOT a
+    * sketch failure but the ≤64 bucket cap doing its documented job on
+    * a pathological input (the synthetic 31-word vocabulary makes most
+    * documents near-duplicates of each other, so band buckets become
+    * mega-buckets and get skipped). On a real corpus the cap trims
+    * only degenerate boilerplate regions; here it IS the corpus. That
+    * trade-off being measurable — not asserted — is the point of the
+    * harness, the same contract as q_ann_sweep's recall/cost curve.
+    */
+  def minhashRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = similarityJoin(s, dir).select(col("doc_a"), col("doc_b")).persist()
+    val mh = minhashPairs(s, dir)
+      .filter(col("doc_a") < SimJoinDocCap && col("doc_b") < SimJoinDocCap)
+      .select(col("doc_a").as("ma"), col("doc_b").as("mb"))
+      .persist()
+    val hit = exact.join(
+      mh,
+      col("doc_a") === col("ma") && col("doc_b") === col("mb"),
+      "left_semi")
+    exact
+      .agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(mh.agg(count(lit(1)).as("n_candidates"))))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      .select(
+        col("n_exact"),
+        col("n_candidates"),
+        col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6)
+          .as("recall"))
+  }
+
+  // def, not val: similarityJoinSql is declared LATER in the object and
+  // a forward val reference would interpolate null at class init
+  def minhashRecallSql: String =
+    s"""WITH ex AS (SELECT doc_a, doc_b FROM ($similarityJoinSql)),
+       mh AS (SELECT doc_a AS ma, doc_b AS mb FROM ($minhashPairsSql)
+              WHERE doc_a < $SimJoinDocCap AND doc_b < $SimJoinDocCap),
+       agg AS (
+         SELECT (SELECT count(*) FROM ex) AS n_exact,
+                (SELECT count(*) FROM mh) AS n_candidates,
+                (SELECT count(*) FROM ex
+                 WHERE EXISTS (SELECT 1 FROM mh
+                               WHERE ma = ex.doc_a AND mb = ex.doc_b)) AS n_hit)
+       SELECT n_exact, n_candidates, n_hit,
+              round(CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) AS recall
+       FROM agg"""
+
   /** All-pairs oracle for [[similarityJoin]] — brute force is the
     * DEFINITION the prefix-filtered plan must reproduce exactly.
     */

@@ -89,6 +89,18 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("minhash recall harness: identities hold and the count legs re-derive") {
+    val r = DedupQueries.minhashRecall(spark, sf).collect().head
+    val (ne, nc, nh) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_candidates"),
+      r.getAs[Long]("n_hit"))
+    assert(nh <= ne && nh <= nc)
+    // recall is rounded at 1e-6 in the output
+    assert(math.abs(r.getAs[Double]("recall") - nh.toDouble / ne.toDouble) < 1e-6)
+    // the exact leg must agree with the similarity join it claims to use
+    assert(ne == DedupQueries.similarityJoin(spark, sf).count())
+    spark.catalog.clearCache()
+  }
+
   test("similarity join: prefix-filtered result equals all-pairs brute force") {
     val rows = DedupQueries.similarityJoin(spark, sf).collect()
     val docs = graft.Tables
