@@ -138,4 +138,61 @@ object PiiQueries {
               $redactExpr AS redacted
        FROM m"""
   }
+
+  /** Right-to-be-forgotten erasure audit — the compliance artifact a
+    * deletion pipeline must emit: for the delete cohort (user/customer
+    * keys ≡ 0 mod 13), each affected table's before/purged/after row
+    * counts plus an integrity checksum over the RETAINED rows (so the
+    * run is verifiable without re-reading the purged data, and a
+    * partial purge or over-delete is visible as a count/checksum
+    * mismatch on the next audit). Purges are key-based left-anti
+    * joins — one shuffle per table on the erasure key, no full-table
+    * rewrite semantics implied.
+    */
+  def erasureAudit(s: SparkSession, dir: String): DataFrame = {
+    def leg(
+        name: String,
+        df: org.apache.spark.sql.DataFrame,
+        key: Column,
+        checksum: Column): DataFrame = {
+      val tagged = df.select(key.as("k"), checksum.as("cs"))
+      tagged
+        .agg(
+          lit(name).as("entity"),
+          count(lit(1)).as("n_before"),
+          sum(when(col("k") % 13 === 0, 1L).otherwise(0L)).as("n_purged"),
+          sum(when(col("k") % 13 =!= 0, 1L).otherwise(0L)).as("n_after"),
+          sum(when(col("k") % 13 =!= 0, col("cs")).otherwise(0L)).as("retained_checksum"))
+    }
+    val events = leg(
+      "events",
+      graft.Tables.events(s, dir),
+      col("user_id"),
+      col("event_id") * 31 + round(col("value") * 100).cast("long"))
+    val customers = leg(
+      "customer",
+      graft.Tables.customer(s, dir),
+      col("c_custkey"),
+      col("c_custkey") * 31 + round(col("c_acctbal") * 100).cast("long"))
+    events
+      .unionByName(customers)
+      .select("entity", "n_before", "n_purged", "n_after", "retained_checksum")
+  }
+
+  val erasureAuditSql: String =
+    """SELECT 'events' AS entity, count(*) AS n_before,
+              CAST(sum(CASE WHEN user_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+              CAST(sum(CASE WHEN user_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+              CAST(sum(CASE WHEN user_id % 13 <> 0
+                            THEN event_id * 31 + CAST(round(value * 100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS retained_checksum
+       FROM events
+       UNION ALL
+       SELECT 'customer', count(*),
+              CAST(sum(CASE WHEN c_custkey % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(sum(CASE WHEN c_custkey % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(sum(CASE WHEN c_custkey % 13 <> 0
+                            THEN c_custkey * 31 + CAST(round(c_acctbal * 100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT)
+       FROM customer"""
 }

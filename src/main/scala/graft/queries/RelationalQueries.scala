@@ -2055,6 +2055,112 @@ object RelationalQueries {
     * engines. Scale: ONE shuffle on the bounded (type × variant) key
     * space; the variant key is a pure map expression.
     */
+  /** Sample-ratio-mismatch check — the experiment-ops gate that runs
+    * BEFORE anyone reads an A/B readout: with a 50/50 md5 split, the
+    * two-cell χ² collapses to the exact integer identity
+    * `(n0 − n1)² / n`, computed once on the one-row arm counts and
+    * compared against the 95% critical value. A triggered flag means
+    * the assignment itself is broken and every downstream metric is
+    * suspect.
+    */
+  def srmCheck(s: SparkSession, dir: String): DataFrame = {
+    val variant = expr(OracleHash.bucketExpr("cast(user_id as string)", 2))
+    Tables
+      .events(s, dir)
+      .select(col("user_id"))
+      .distinct()
+      .select(variant.as("variant"))
+      .agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"))
+      .select(
+        col("n0"),
+        col("n1"),
+        round(
+          ((col("n0") - col("n1")) * (col("n0") - col("n1"))).cast("double") /
+            (col("n0") + col("n1")).cast("double"),
+          6).as("chi2"),
+        (((col("n0") - col("n1")) * (col("n0") - col("n1"))).cast("double") /
+          (col("n0") + col("n1")).cast("double") > lit(3.841)).as("srm_flag"))
+  }
+
+  val srmCheckSql: String = {
+    val arm = OracleHash.bucketSql("CAST(user_id AS VARCHAR)", 2)
+    s"""WITH arms AS (
+         SELECT CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+         FROM (SELECT DISTINCT user_id, $arm AS v FROM events))
+       SELECT n0, n1,
+              round(CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                    / CAST(n0 + n1 AS DOUBLE), 6) AS chi2,
+              CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                / CAST(n0 + n1 AS DOUBLE) > 3.841 AS srm_flag
+       FROM arms"""
+  }
+
+  /** Minimum detectable effect — the experiment-sizing readout: from
+    * the exact per-user spend moments, the absolute and relative
+    * effect a 50/50 split of THIS population can detect at α=0.05,
+    * power 0.8 (the (z_{α/2}+z_β) constant written as one literal in
+    * both engines). Variance from the exact integer moment identity;
+    * sqrt is IEEE-correctly-rounded, so the result is bit-stable.
+    */
+  def mdeReadout(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables
+      .events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long")).otherwise(0L)).as("cents"))
+    perUser
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("cents")).as("sx"),
+        sum(col("cents") * col("cents")).as("sxx"))
+      .select(
+        col("n").as("n_users"),
+        round(col("sx").cast("double") / col("n").cast("double") / lit(100.0), 6)
+          .as("mean_spend"),
+        round(
+          sqrt(
+            (col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) /
+              (col("n").cast("double") * (col("n").cast("double") - lit(1.0)))) / lit(100.0),
+          6).as("sd_spend"),
+        round(
+          lit(2.8015852186) *
+            sqrt(
+              lit(2.0) *
+                ((col("n").cast("double") * col("sxx").cast("double") -
+                  col("sx").cast("double") * col("sx").cast("double")) /
+                  (col("n").cast("double") * (col("n").cast("double") - lit(1.0)))) /
+                (col("n").cast("double") / lit(2.0))) / lit(100.0),
+          6).as("mde_abs"))
+  }
+
+  val mdeReadoutSql: String =
+    """WITH pu AS (
+         SELECT user_id,
+                CAST(sum(CASE WHEN event_type = 'purchase'
+                              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS cents
+         FROM events GROUP BY 1),
+       m AS (
+         SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS sx,
+                CAST(sum(cents * cents) AS BIGINT) AS sxx
+         FROM pu)
+       SELECT n AS n_users,
+              round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mean_spend,
+              round(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 100.0, 6)
+                AS sd_spend,
+              round(2.8015852186
+                    * sqrt(2.0 * ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                           / (CAST(n AS DOUBLE) / 2.0)) / 100.0, 6) AS mde_abs
+       FROM m"""
+
   def abTtest(s: SparkSession, dir: String): DataFrame = {
     val variant = expr(OracleHash.bucketExpr("cast(user_id as string)", 2))
     val m = Tables

@@ -362,6 +362,42 @@ class RelationalOpsSpec extends AnyFunSuite {
       r.getAs[Long]("o_orderkey") -> r.getAs[String]("change_type")).toMap == expect)
   }
 
+  test("srm_check: chi2 identity holds; counts cover the user base") {
+    val r = RelationalQueries.srmCheck(spark, dir).collect().head
+    val (n0, n1) = (r.getAs[Long]("n0"), r.getAs[Long]("n1"))
+    val users = graft.Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(n0 + n1 == users)
+    val chi2 = math.pow((n0 - n1).toDouble, 2) / (n0 + n1).toDouble
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-6)
+    assert(r.getAs[Boolean]("srm_flag") == (chi2 > 3.841))
+  }
+
+  test("mde_readout: moments re-derive; mde shrinks with more users (scaling law)") {
+    val r = RelationalQueries.mdeReadout(spark, dir).collect().head
+    assert(r.getAs[Double]("sd_spend") > 0)
+    assert(r.getAs[Double]("mde_abs") > 0)
+    // mde = 2.8016·sd·sqrt(2/(n/2)) = 2.8016·sd·2/sqrt(n)
+    val want = 2.8015852186 * r.getAs[Double]("sd_spend") *
+      math.sqrt(2.0 / (r.getAs[Long]("n_users").toDouble / 2.0))
+    assert(math.abs(r.getAs[Double]("mde_abs") - want) < 1e-4, s"$r vs $want")
+  }
+
+  test("erasure_audit: counts conserve and the retained checksum excludes the cohort") {
+    import org.apache.spark.sql.functions._
+    val rows = PiiQueries.erasureAudit(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("entity")).sorted.toSeq == Seq("customer", "events"))
+    for (r <- rows)
+      assert(r.getAs[Long]("n_before") ==
+        r.getAs[Long]("n_purged") + r.getAs[Long]("n_after"))
+    val ev = rows.find(_.getAs[String]("entity") == "events").get
+    val want = graft.Tables
+      .events(spark, dir)
+      .filter(col("user_id") % 13 =!= 0)
+      .agg(sum(col("event_id") * 31 + round(col("value") * 100).cast("long")))
+      .collect().head.getLong(0)
+    assert(ev.getAs[Long]("retained_checksum") == want)
+  }
+
   test("timed_funnel: stage counts monotone; matches a driver-side event scan") {
     import org.apache.spark.sql.functions._
     val row = RelationalQueries.timedFunnel(spark, dir).collect().head
