@@ -3470,6 +3470,71 @@ object RelationalQueries {
        SELECT f.format, fp.n, fp.checksum, fp.sum_cents
        FROM fp, (VALUES ('csv'), ('json'), ('orc')) f(format)"""
 
+  /** Malformed-record quarantine ingest — the table-side analog of the
+    * wire pipeline's P5 decode-bomb filter: a CSV staging file is
+    * seeded with the good slice PLUS deliberately malformed lines
+    * (wrong arity, non-numeric keys, truncated rows), read back in
+    * PERMISSIVE mode with a corrupt-record capture column, and split
+    * into the quarantine count and the good-row fingerprint — which
+    * must equal the parquet truth EXACTLY, proving the parser neither
+    * dropped a good row nor silently coerced a bad one. (FAILFAST
+    * would kill the job on the first bad byte; DROPMALFORMED would
+    * hide the loss — PERMISSIVE + quarantine is the production
+    * posture, and this query audits it.)
+    */
+  def quarantineIngest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val subset = Tables
+      .events(s, dir)
+      .filter(col("event_id") % 10 === 0)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val base = java.nio.file.Files.createTempDirectory("graft_quarantine")
+    val goodDir = base.resolve("good").toString
+    subset.coalesce(1).write.mode("overwrite").option("header", "false").csv(goodDir)
+    // seed four malformed lines into a sibling part file: wrong arity,
+    // non-numeric key, truncated, and raw garbage
+    val badLines = Seq(
+      "1,2,click", // wrong arity (3 < 4 tokens)
+      "not_a_number,7,view,123", // type failure on the key
+      "1,2", // truncated
+      "garbage line with no commas at all ") // single token
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(goodDir, "part-bad.csv"),
+      badLines.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("cents", LongType),
+      StructField("_corrupt", StringType)))
+    val back = s.read
+      .schema(schema)
+      .option("header", "false")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(goodDir)
+      .cache() // corrupt-record capture requires materializing the raw parse
+    back.count()
+    back
+      .agg(
+        sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_quarantined"),
+        sum(when(col("_corrupt").isNull,
+          col("event_id") * 31 + col("user_id") * 7 + col("cents")).otherwise(0L))
+          .as("good_checksum"))
+  }
+
+  val quarantineIngestSql: String =
+    """SELECT count(*) AS n_good,
+              CAST(4 AS BIGINT) AS n_quarantined,
+              CAST(sum(event_id * 31 + user_id * 7
+                       + CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS good_checksum
+       FROM events WHERE event_id % 10 = 0"""
+
   /** The analytic-window reference suite: lag/lead deltas, running
     * rank statistics (percent_rank, cume_dist), equi-depth quartile
     * (ntile) and per-partition extremes over each user's event stream,

@@ -362,6 +362,21 @@ class RelationalOpsSpec extends AnyFunSuite {
       r.getAs[Long]("o_orderkey") -> r.getAs[String]("change_type")).toMap == expect)
   }
 
+  test("quarantine_ingest: all four seeded bad lines captured; good rows lossless") {
+    import org.apache.spark.sql.functions._
+    val r = RelationalQueries.quarantineIngest(spark, dir).collect().head
+    assert(r.getAs[Long]("n_quarantined") == 4L)
+    val truth = graft.Tables
+      .events(spark, dir)
+      .filter(col("event_id") % 10 === 0)
+      .agg(
+        count(lit(1)),
+        sum(col("event_id") * 31 + col("user_id") * 7 + round(col("value") * 100).cast("long")))
+      .collect().head
+    assert(r.getAs[Long]("n_good") == truth.getLong(0))
+    assert(r.getAs[Long]("good_checksum") == truth.getLong(1))
+  }
+
   test("srm_check: chi2 identity holds; counts cover the user base") {
     val r = RelationalQueries.srmCheck(spark, dir).collect().head
     val (n0, n1) = (r.getAs[Long]("n0"), r.getAs[Long]("n1"))
