@@ -1366,7 +1366,11 @@ object DedupQueries {
     s"""WITH toks AS (
          SELECT doc_id,
                 list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS la
-         FROM documents WHERE doc_id < $SimJoinDocCap),
+         FROM documents
+         WHERE doc_id < $SimJoinDocCap
+           -- token-less docs never reach the Spark side's tok table; two
+           -- empty sets would pass 0*39 >= 0*19 here and fabricate a pair
+           AND length(replace(text, ' ', '')) > 0),
        pairs AS (
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 CAST(len(list_intersect(a.la, b.la)) AS BIGINT) AS c,

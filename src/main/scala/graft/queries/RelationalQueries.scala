@@ -3427,8 +3427,25 @@ object RelationalQueries {
     * format; the write is the data's own size. (The /tmp scratch is the
     * test-rig stand-in for a staging bucket.)
     */
+  /** Recursive scratch delete — the repeated-bench /tmp-hygiene
+    * discipline (same reason the streaming drains drop their
+    * checkpoints).
+    */
+  private def deleteScratch(base: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(base)) {
+      java.nio.file.Files
+        .walk(base)
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator()
+        .asScala
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   def formatRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
+    import s.implicits._
     val schema = StructType(Seq(
       StructField("event_id", LongType),
       StructField("user_id", LongType),
@@ -3442,22 +3459,28 @@ object RelationalQueries {
         col("user_id"),
         col("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
-    val base = java.nio.file.Files
-      .createTempDirectory("graft_fmt")
-      .toString
-    val frames = Seq("csv", "json", "orc").map { fmt =>
-      val path = s"$base/$fmt"
-      val w = subset.write.mode("overwrite")
-      (if (fmt == "csv") w.option("header", "true") else w).format(fmt).save(path)
-      val r = s.read.schema(schema)
-      val back = (if (fmt == "csv") r.option("header", "true") else r).format(fmt).load(path)
-      back.agg(
-        lit(fmt).as("format"),
-        count(lit(1)).as("n"),
-        sum(col("event_id") * 31 + col("user_id") * 7 + col("cents")).as("checksum"),
-        sum(col("cents")).as("sum_cents"))
-    }
-    frames.reduce(_ unionByName _).select("format", "n", "checksum", "sum_cents")
+    val base = java.nio.file.Files.createTempDirectory("graft_fmt")
+    try {
+      // the fingerprints are 3 tiny rows — materialize them eagerly so
+      // the scratch copies can be deleted before returning (repeated
+      // bench/verify runs must not accumulate data in /tmp)
+      val rows = Seq("csv", "json", "orc").map { fmt =>
+        val path = s"$base/$fmt"
+        val w = subset.write.mode("overwrite")
+        (if (fmt == "csv") w.option("header", "true") else w).format(fmt).save(path)
+        val r = s.read.schema(schema)
+        val back = (if (fmt == "csv") r.option("header", "true") else r).format(fmt).load(path)
+        val agg = back
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("event_id") * 31 + col("user_id") * 7 + col("cents")).as("checksum"),
+            sum(col("cents")).as("sum_cents"))
+          .collect()
+          .head
+        (fmt, agg.getLong(0), agg.getLong(1), agg.getLong(2))
+      }
+      rows.toDF("format", "n", "checksum", "sum_cents")
+    } finally deleteScratch(base)
   }
 
   val formatRoundtripSql: String =
@@ -3492,6 +3515,7 @@ object RelationalQueries {
         col("user_id"),
         col("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
+    import s.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_quarantine")
     val goodDir = base.resolve("good").toString
     subset.coalesce(1).write.mode("overwrite").option("header", "false").csv(goodDir)
@@ -3511,21 +3535,30 @@ object RelationalQueries {
       StructField("event_type", StringType),
       StructField("cents", LongType),
       StructField("_corrupt", StringType)))
-    val back = s.read
-      .schema(schema)
-      .option("header", "false")
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt")
-      .csv(goodDir)
-      .cache() // corrupt-record capture requires materializing the raw parse
-    back.count()
-    back
-      .agg(
-        sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("n_good"),
-        sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_quarantined"),
-        sum(when(col("_corrupt").isNull,
-          col("event_id") * 31 + col("user_id") * 7 + col("cents")).otherwise(0L))
-          .as("good_checksum"))
+    try {
+      val back = s.read
+        .schema(schema)
+        .option("header", "false")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(goodDir)
+        .cache() // corrupt-record capture requires materializing the raw parse
+      back.count()
+      // one tiny row — materialize eagerly so the staging dir can be
+      // deleted before returning (the /tmp-hygiene discipline)
+      val r = back
+        .agg(
+          sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("n_good"),
+          sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_quarantined"),
+          sum(when(col("_corrupt").isNull,
+            col("event_id") * 31 + col("user_id") * 7 + col("cents")).otherwise(0L))
+            .as("good_checksum"))
+        .collect()
+        .head
+      back.unpersist()
+      Seq((r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toDF("n_good", "n_quarantined", "good_checksum")
+    } finally deleteScratch(base)
   }
 
   val quarantineIngestSql: String =

@@ -939,6 +939,10 @@ object SearchQueries {
       .documents(s, dir)
       .filter(col("doc_id") < 200)
       .select(split(col("text"), " ", -1).as("lw"))
+      // guard: Spark sequence(1, 0) counts DOWN and element_at(lw, 0)
+      // throws — a 0/1-token document must contribute no pairs, like
+      // the oracle's empty range (the markovAttribution trap)
+      .filter(size(col("lw")) >= 2)
       .select(explode(
         expr("transform(sequence(1, size(lw) - 1), i -> struct(element_at(lw, i) as a, element_at(lw, i + 1) as b))"))
         .as("p"))
