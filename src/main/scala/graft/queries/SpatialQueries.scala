@@ -218,6 +218,82 @@ object SpatialQueries {
         SELECT c.cx, c.cy, c.n, s.smoothed
         FROM counts c JOIN contrib s ON c.cx = s.tx AND c.cy = s.ty"""
 
+  /** Revenue by customer↔supplier distance band — the cross-family
+    * composition: the spatial grid coordinates joined INTO the revenue
+    * pipeline (lineitem → orders → customer coords, supplier coords),
+    * with the shipment's exact integer d² bucketed into four bands at
+    * (R/2)², R², (2R)². Shows the geometric columns behaving as
+    * ordinary join/aggregate keys in an analytics query: two
+    * dimension-keyed joins (customer, supplier — hint-free, AQE
+    * decides), one 4-group aggregate, money exact in 1e-4 dollars.
+    */
+  def geoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables
+      .customer(s, dir)
+      .select(
+        col("c_custkey"),
+        coordExpr("c_custkey", "x").as("cx2"),
+        coordExpr("c_custkey", "y").as("cy2"))
+    val supp = Tables
+      .supplier(s, dir)
+      .select(
+        col("s_suppkey"),
+        coordExpr("s_suppkey", "px").as("sx"),
+        coordExpr("s_suppkey", "py").as("sy"))
+    Tables
+      .lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .withColumn(
+        "d2",
+        (col("cx2") - col("sx")) * (col("cx2") - col("sx")) +
+          (col("cy2") - col("sy")) * (col("cy2") - col("sy")))
+      .withColumn(
+        "band",
+        when(col("d2") <= R2 / 4, lit("near"))
+          .when(col("d2") <= R2, lit("mid"))
+          .when(col("d2") <= R2 * 4, lit("far"))
+          .otherwise(lit("remote")))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(
+          round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_e4"))
+      .select(
+        col("band"),
+        col("n_items"),
+        round(col("rev_e4").cast("double") / 10000.0, 6).as("revenue"))
+  }
+
+  val geoRevenueSql: String =
+    s"""WITH cust AS (
+         SELECT c_custkey,
+                ${coordSql("c_custkey", "x")} AS cx2,
+                ${coordSql("c_custkey", "y")} AS cy2
+         FROM customer),
+       supp AS (
+         SELECT s_suppkey,
+                ${coordSql("s_suppkey", "px")} AS sx,
+                ${coordSql("s_suppkey", "py")} AS sy
+         FROM supplier),
+       base AS (
+         SELECT (cx2-sx)*(cx2-sx) + (cy2-sy)*(cy2-sy) AS d2,
+                CAST(round(l_extendedprice*100) AS BIGINT)
+                  * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev_e4
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN cust ON o_custkey = c_custkey
+         JOIN supp ON l_suppkey = s_suppkey)
+       SELECT CASE WHEN d2 <= ${R2 / 4} THEN 'near'
+                   WHEN d2 <= $R2 THEN 'mid'
+                   WHEN d2 <= ${R2 * 4} THEN 'far'
+                   ELSE 'remote' END AS band,
+              count(*) AS n_items,
+              round(CAST(sum(rev_e4) AS DOUBLE) / 10000.0, 6) AS revenue
+       FROM base GROUP BY 1"""
+
   /** DBSCAN density minimum: a point is CORE with ≥ MinPts neighbors
     * within R (self excluded).
     */

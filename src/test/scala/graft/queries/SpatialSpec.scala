@@ -114,6 +114,24 @@ class SpatialSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("geo_revenue: bands partition the lineitems; revenue conserves") {
+    import org.apache.spark.sql.functions._
+    val rows = SpatialQueries.geoRevenue(spark, dir).collect()
+    val total = graft.Tables.lineitem(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_items")).sum == total)
+    assert(rows.map(_.getAs[String]("band")).toSet.subsetOf(
+      Set("near", "mid", "far", "remote")))
+    val revSum = rows.map(_.getAs[Double]("revenue")).sum
+    val truth = graft.Tables
+      .lineitem(spark, dir)
+      .agg(sum(
+        round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))))
+      .collect().head.getLong(0) / 10000.0
+    assert(math.abs(revSum - truth) < 1.0)
+    spark.catalog.clearCache()
+  }
+
   test("grid_density: smoothed equals the 3×3 neighborhood sum; counts conserve points") {
     val rows = SpatialQueries.gridDensity(spark, dir).collect()
     val counts = pts
