@@ -1830,4 +1830,127 @@ object CurationQueries {
         FROM dw JOIN enc e USING (w)
         WHERE dw.w <> ''
         GROUP BY 1"""
+
+  /** Mixture budget for [[temperatureMix]]. */
+  private val MixBudget = 200L
+
+  /** Temperature-based source mixing — the multilingual/multi-source
+    * sampling step of a training-data pipeline: per-source quotas
+    * ∝ n_s^0.5 (√-temperature flattens the head; sqrt is
+    * IEEE-correctly-rounded, unlike pow(x, 0.7), so the weights are
+    * bit-stable cross-engine), allocated over a fixed budget by the
+    * LARGEST-REMAINDER method in exact integer arithmetic (quantized
+    * ⌊10¹²·w/Σw⌋ shares; ties break on source name), then each
+    * source's quota filled by deterministic md5 order. The quota table
+    * is a bounded source dimension — the only partition-less window in
+    * the plan ranks ITS remainders, never documents.
+    */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables
+      .documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w", sqrt(col("n").cast("double")))
+    val d = counts.agg(
+      expr("aggregate(array_sort(collect_list(struct(source, w as t))), 0.0D, (a, x) -> a + x.t)")
+        .as("dsum"))
+    val quotas = counts
+      .crossJoin(broadcast(d))
+      .withColumn("q", expr("cast(floor(1e12 * w / dsum) as bigint)"))
+      .withColumn("base", expr(s"$MixBudget * q div 1000000000000"))
+      .withColumn("rem", expr(s"$MixBudget * q % 1000000000000"))
+    val leftover = quotas.agg((lit(MixBudget) - sum(col("base"))).as("leftover"))
+    val ranked = quotas
+      .crossJoin(broadcast(leftover))
+      .withColumn(
+        "rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("rem").desc, col("source"))))
+      .withColumn("quota", col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+      .select(col("source"), col("n").as("n_source"), col("quota"))
+    val sel = Tables
+      .documents(s, dir)
+      .select(
+        col("source"),
+        col("doc_id"),
+        md5(col("doc_id").cast("string").cast("binary")).as("h"))
+      .withColumn(
+        "sel_rank",
+        row_number()
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source"))
+            .orderBy(col("h"), col("doc_id")))
+          .cast("long"))
+    sel
+      .join(broadcast(ranked), Seq("source"))
+      .filter(col("sel_rank") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("sel_rank"), col("quota"))
+  }
+
+  val temperatureMixSql: String =
+    s"""WITH counts AS (
+         SELECT source, count(*) AS n, sqrt(count(*)) AS w
+         FROM documents GROUP BY 1),
+       d AS (SELECT list_reduce(list_prepend(0.0, list(w ORDER BY source)),
+                                (a, x) -> a + x) AS dsum FROM counts),
+       quotas AS (
+         SELECT source, n,
+                CAST(floor(1e12 * w / dsum) AS BIGINT) AS q
+         FROM counts, d),
+       alloc AS (
+         SELECT source, n,
+                $MixBudget * q // 1000000000000 AS base,
+                $MixBudget * q % 1000000000000 AS rem
+         FROM quotas),
+       lo AS (SELECT $MixBudget - CAST(sum(base) AS BIGINT) AS leftover FROM alloc),
+       ranked AS (
+         SELECT source, n,
+                CAST(base + CASE WHEN row_number()
+                    OVER (ORDER BY rem DESC, source) <= leftover
+                  THEN 1 ELSE 0 END AS BIGINT) AS quota
+         FROM alloc, lo),
+       sel AS (
+         SELECT source, doc_id,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sel_rank
+         FROM documents)
+       SELECT s.source, s.doc_id, CAST(s.sel_rank AS BIGINT) AS sel_rank, r.quota
+       FROM sel s JOIN ranked r ON s.source = r.source
+       WHERE s.sel_rank <= r.quota"""
+
+  /** Curriculum ordering — shortest-first training order WITHOUT a
+    * global sort: bucket = n_chars div 64 (order-preserving), local
+    * rank per bucket, broadcast bucket-count offsets accumulated in
+    * bucket order — the q_epoch_shuffle two-level discipline, so the
+    * emitted position equals the global (n_chars, doc_id) rank while
+    * no corpus-wide window or range partitioning ever exists in the
+    * plan.
+    */
+  def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("bkt", expr("n_chars div 64"))
+      .persist()
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy(col("bkt"))
+    val offsets = docs
+      .groupBy(col("bkt"))
+      .agg(count(lit(1)).as("bc"))
+      .withColumn("off", coalesce(sum(col("bc")).over(wOff) - col("bc"), lit(0L)))
+      .select(col("bkt"), col("off"))
+    docs
+      .withColumn("lr", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), Seq("bkt"))
+      .select(col("doc_id"), col("n_chars"), (col("off") + col("lr")).as("curriculum_pos"))
+  }
+
+  val curriculumOrderSql: String =
+    """SELECT doc_id, n_chars,
+              CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+                AS curriculum_pos
+       FROM documents"""
 }

@@ -582,4 +582,43 @@ class CurationSpec extends AnyFunSuite {
     assert(fix(" a a a a a a ") == " aa a aa a ") // deviation, pinned
     assert(fix(" a a a a a ") == " aa a aa ") // deviation, pinned
   }
+
+  test("temperature mix: budget conserved; quotas match a largest-remainder recompute") {
+    val rows = CurationQueries.temperatureMix(spark, sf).collect()
+    assert(rows.length == 200, s"budget not conserved: ${rows.length}")
+    val quotas = rows
+      .groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.length.toLong).toMap
+    // every source's selected count equals its reported quota
+    for (r <- rows) assert(quotas(r.getAs[String]("source")) == r.getAs[Long]("quota"))
+    // driver-side largest-remainder recompute from the raw counts
+    val counts = graft.Tables
+      .documents(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    val d = counts.toSeq.sortBy(_._1).map(c => math.sqrt(c._2.toDouble)).foldLeft(0.0)(_ + _)
+    val q = counts.view.mapValues(n => math.floor(1e12 * math.sqrt(n.toDouble) / d).toLong).toMap
+    val base = q.view.mapValues(v => 200L * v / 1000000000000L).toMap
+    val leftover = 200L - base.values.sum
+    val order = q.toSeq
+      .map { case (s2, v) => (s2, 200L * v % 1000000000000L) }
+      .sortBy { case (s2, rem) => (-rem, s2) }
+      .map(_._1)
+    val expect = base ++ order.take(leftover.toInt).map(s2 => s2 -> (base(s2) + 1))
+    assert(quotas == expect.filter(_._2 > 0), s"$quotas vs $expect")
+  }
+
+  test("curriculum order: positions are the exact global (n_chars, doc_id) permutation") {
+    val rows = CurationQueries
+      .curriculumOrder(spark, sf)
+      .collect()
+      .sortBy(_.getAs[Long]("curriculum_pos"))
+    assert(rows.map(_.getAs[Long]("curriculum_pos")).toSeq == (1L to rows.length).toSeq)
+    val keys = rows.map(r => (r.getAs[Long]("n_chars"), r.getAs[Long]("doc_id")))
+    assert(keys.sliding(2).forall {
+      case Array(a, b) => a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+      case _ => true
+    }, "positions not monotone in the curriculum key")
+    spark.catalog.clearCache()
+  }
 }

@@ -869,6 +869,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), "recency check must plan as an anti join\n" + p.take(2000))
   }
 
+  test("q_curriculum_order: two-level rank — no global sort, doc window keyed by bucket") {
+    val p = plan("q_curriculum_order")
+    assert(!p.contains("rangepartitioning"),
+      "global sort crept into the curriculum ranking\n" + p.take(2000))
+    assert(p.contains("hashpartitioning(bkt"),
+      "document rank window must partition by the length bucket\n" + p.take(2000))
+  }
+
   test("q_grid_density: smoothing shuffles cell aggregates, not points") {
     val p = plan("q_grid_density")
     assert(!p.contains("CartesianProduct"), p.take(2000))
