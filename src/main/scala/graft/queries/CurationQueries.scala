@@ -1841,13 +1841,37 @@ object CurationQueries {
     * bit-stable cross-engine), allocated over a fixed budget by the
     * LARGEST-REMAINDER method in exact integer arithmetic (quantized
     * ⌊10¹²·w/Σw⌋ shares; ties break on source name), then each
-    * source's quota filled by deterministic md5 order. The quota table
-    * is a bounded source dimension — the only partition-less window in
-    * the plan ranks ITS remainders, never documents.
+    * source's quota filled by deterministic md5 order through a
+    * two-level (source, hex-bucket) rank — no source-wide window, the
+    * q_token_budget salt discipline. The quota table is a bounded
+    * source dimension — the only partition-less window in the plan
+    * ranks ITS remainders, never documents.
+    *
+    * Budget caveat (documented, spec-exercised on a skewed corpus):
+    * √-temperature deliberately over-weights tiny sources, so a quota
+    * can exceed a source's document count; the fill then yields
+    * min(quota, n) rows and the total under-shoots the budget. The
+    * standard remedies (iterative redistribution) trade determinism
+    * for exactness-of-budget; this operator keeps the allocation
+    * closed-form and reports the quota so the shortfall is visible.
     */
   def temperatureMix(s: SparkSession, dir: String): DataFrame = {
-    val counts = Tables
+    import org.apache.spark.sql.expressions.Window
+    // ONE persisted corpus projection feeds both the source counts and
+    // the selection pass (the documents-scanned-once discipline)
+    val base = Tables
       .documents(s, dir)
+      .select(
+        col("source"),
+        col("doc_id"),
+        md5(col("doc_id").cast("string").cast("binary")).as("h"))
+      // md5 hex strings order lexicographically, so the first hex char
+      // is an order-consistent bucket prefix — the q_token_budget /
+      // q_epoch_shuffle salt that keeps the per-source fill off a
+      // single reducer
+      .withColumn("hb", substring(col("h"), 1, 1))
+      .persist()
+    val counts = base
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n"))
       .withColumn("w", sqrt(col("n").cast("double")))
@@ -1857,32 +1881,31 @@ object CurationQueries {
     val quotas = counts
       .crossJoin(broadcast(d))
       .withColumn("q", expr("cast(floor(1e12 * w / dsum) as bigint)"))
-      .withColumn("base", expr(s"$MixBudget * q div 1000000000000"))
+      .withColumn("base_q", expr(s"$MixBudget * q div 1000000000000"))
       .withColumn("rem", expr(s"$MixBudget * q % 1000000000000"))
-    val leftover = quotas.agg((lit(MixBudget) - sum(col("base"))).as("leftover"))
+    val leftover = quotas.agg((lit(MixBudget) - sum(col("base_q"))).as("leftover"))
     val ranked = quotas
       .crossJoin(broadcast(leftover))
       .withColumn(
         "rk",
-        row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("rem").desc, col("source"))))
-      .withColumn("quota", col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
-      .select(col("source"), col("n").as("n_source"), col("quota"))
-    val sel = Tables
-      .documents(s, dir)
-      .select(
-        col("source"),
-        col("doc_id"),
-        md5(col("doc_id").cast("string").cast("binary")).as("h"))
-      .withColumn(
-        "sel_rank",
-        row_number()
-          .over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("source"))
-            .orderBy(col("h"), col("doc_id")))
-          .cast("long"))
-    sel
+        row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+      .withColumn("quota",
+        col("base_q") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+      .select(col("source"), col("quota"))
+    // two-level rank: local row_number per (source, hex bucket) + the
+    // broadcast bucket-offset table, composed in bucket order — the
+    // global per-source md5 rank with NO source-wide window
+    val wLocal = Window.partitionBy(col("source"), col("hb")).orderBy(col("h"), col("doc_id"))
+    val wOff = Window.partitionBy(col("source")).orderBy(col("hb"))
+    val offsets = base
+      .groupBy(col("source"), col("hb"))
+      .agg(count(lit(1)).as("bc"))
+      .withColumn("off", coalesce(sum(col("bc")).over(wOff) - col("bc"), lit(0L)))
+      .select(col("source"), col("hb"), col("off"))
+    base
+      .withColumn("lr", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), Seq("source", "hb"))
+      .withColumn("sel_rank", col("off") + col("lr"))
       .join(broadcast(ranked), Seq("source"))
       .filter(col("sel_rank") <= col("quota"))
       .select(col("source"), col("doc_id"), col("sel_rank"), col("quota"))

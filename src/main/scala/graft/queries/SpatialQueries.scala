@@ -53,6 +53,18 @@ object SpatialQueries {
   private def coordSql(key: String, axis: String): String =
     s"CAST(concat('0x', substr(md5($key::VARCHAR || ':$axis'), 1, 10)) AS BIGINT) % $Units"
 
+  /** Supplier coordinates — ONE derivation for every consumer
+    * ([[spatialKnn]]'s probe subset, [[geoRevenue]]'s full dimension),
+    * so the coordinate idiom cannot fork.
+    */
+  private def supplierCoords(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .supplier(s, dir)
+      .select(
+        col("s_suppkey"),
+        coordExpr("s_suppkey", "px").as("px"),
+        coordExpr("s_suppkey", "py").as("py"))
+
   /** Customer points with grid-cell assignment (integer floor division
     * — `div` here, `//` in DuckDB).
     */
@@ -145,13 +157,9 @@ object SpatialQueries {
     * window (WindowGroupLimit pushes the top-5 before the shuffle).
     */
   def spatialKnn(s: SparkSession, dir: String): DataFrame = {
-    val probes = Tables
-      .supplier(s, dir)
+    val probes = supplierCoords(s, dir)
       .filter(col("s_suppkey") <= 64)
-      .select(
-        col("s_suppkey").as("probe_id"),
-        coordExpr("s_suppkey", "px").as("px"),
-        coordExpr("s_suppkey", "py").as("py"))
+      .withColumnRenamed("s_suppkey", "probe_id")
     val pts = points(s, dir)
     pts
       .crossJoin(broadcast(probes))
@@ -228,18 +236,13 @@ object SpatialQueries {
     * decides), one 4-group aggregate, money exact in 1e-4 dollars.
     */
   def geoRevenue(s: SparkSession, dir: String): DataFrame = {
-    val cust = Tables
-      .customer(s, dir)
-      .select(
-        col("c_custkey"),
-        coordExpr("c_custkey", "x").as("cx2"),
-        coordExpr("c_custkey", "y").as("cy2"))
-    val supp = Tables
-      .supplier(s, dir)
-      .select(
-        col("s_suppkey"),
-        coordExpr("s_suppkey", "px").as("sx"),
-        coordExpr("s_suppkey", "py").as("sy"))
+    // reuse the canonical coordinate derivations — points() for the
+    // customer side, supplierCoords() for the supplier side — so the
+    // grid idiom has exactly one definition per entity
+    val cust = points(s, dir)
+      .select(col("id").as("c_custkey"), col("x").as("cx2"), col("y").as("cy2"))
+    val supp = supplierCoords(s, dir)
+      .select(col("s_suppkey"), col("px").as("sx"), col("py").as("sy"))
     Tables
       .lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))

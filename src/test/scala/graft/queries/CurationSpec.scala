@@ -608,6 +608,34 @@ class CurationSpec extends AnyFunSuite {
     assert(quotas == expect.filter(_._2 > 0), s"$quotas vs $expect")
   }
 
+  test("temperature mix on a skewed corpus: remainder distribution and quota capping") {
+    // hand-built skew: sf0.001's uniform 20×25 sources leave leftover=0
+    // and never exercise the +1 remainder branch or the quota>n cap
+    val docs = (1L to 40L).map(i => (i, s"text $i", "en", "big", 10L)) ++
+      (41L to 43L).map(i => (i, s"text $i", "en", "tiny", 10L))
+    withDocs(docs) { dir =>
+      val rows = CurationQueries.temperatureMix(spark, dir).collect()
+      val quotas = rows.map(r => r.getAs[String]("source") -> r.getAs[Long]("quota")).toMap
+      // driver-side largest-remainder recompute (same formula)
+      val n = Map("big" -> 40L, "tiny" -> 3L)
+      val d = Seq("big", "tiny").map(s2 => math.sqrt(n(s2).toDouble)).foldLeft(0.0)(_ + _)
+      val q = n.view.mapValues(v => math.floor(1e12 * math.sqrt(v.toDouble) / d).toLong).toMap
+      val base = q.view.mapValues(v => 200L * v / 1000000000000L).toMap
+      val leftover = (200L - base.values.sum).toInt
+      assert(leftover > 0, "skewed corpus must exercise the remainder branch")
+      val order = q.toSeq.map { case (s2, v) => (s2, 200L * v % 1000000000000L) }
+        .sortBy { case (s2, rem) => (-rem, s2) }.map(_._1)
+      val expect = base ++ order.take(leftover).map(s2 => s2 -> (base(s2) + 1))
+      assert(quotas == expect, s"$quotas vs $expect")
+      // √-temperature over-allocates the tiny source (quota > n), the
+      // fill yields min(quota, n), and the shortfall is visible
+      assert(expect("tiny") > n("tiny"))
+      val selected = rows.groupBy(_.getAs[String]("source")).view.mapValues(_.length.toLong)
+      assert(selected("tiny") == n("tiny"))
+      assert(selected("big") == math.min(expect("big"), n("big")))
+    }
+  }
+
   test("curriculum order: positions are the exact global (n_chars, doc_id) permutation") {
     val rows = CurationQueries
       .curriculumOrder(spark, sf)

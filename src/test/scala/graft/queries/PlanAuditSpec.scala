@@ -875,6 +875,18 @@ class PlanAuditSpec extends AnyFunSuite {
       "global sort crept into the curriculum ranking\n" + p.take(2000))
     assert(p.contains("hashpartitioning(bkt"),
       "document rank window must partition by the length bucket\n" + p.take(2000))
+    spark.catalog.clearCache() // the query persists its projection
+  }
+
+  test("q_temperature_mix: quota fill is hex-bucket salted — no source-wide doc window") {
+    val p = plan("q_temperature_mix")
+    assert(!p.contains("rangepartitioning"), p.take(2000))
+    // the document rank window must partition by (source, hb), never by
+    // source alone (one reducer per source at corpus scale)
+    assert(p.contains("hashpartitioning(source, hb") ||
+      p.contains("hashpartitioning(source#") && p.contains(", hb#"),
+      "per-source fill lost its hex-bucket salt\n" + p.take(2500))
+    spark.catalog.clearCache()
   }
 
   test("q_grid_density: smoothing shuffles cell aggregates, not points") {

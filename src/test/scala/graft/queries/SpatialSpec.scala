@@ -114,21 +114,37 @@ class SpatialSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
-  test("geo_revenue: bands partition the lineitems; revenue conserves") {
+  test("geo_revenue: per-band counts match a driver model that exercises every band") {
     import org.apache.spark.sql.functions._
-    val rows = SpatialQueries.geoRevenue(spark, dir).collect()
-    val total = graft.Tables.lineitem(spark, dir).count()
-    assert(rows.map(_.getAs[Long]("n_items")).sum == total)
-    assert(rows.map(_.getAs[String]("band")).toSet.subsetOf(
-      Set("near", "mid", "far", "remote")))
-    val revSum = rows.map(_.getAs[Double]("revenue")).sum
-    val truth = graft.Tables
-      .lineitem(spark, dir)
-      .agg(sum(
-        round(col("l_extendedprice") * 100).cast("long") *
-          (lit(100L) - round(col("l_discount") * 100).cast("long"))))
-      .collect().head.getLong(0) / 10000.0
-    assert(math.abs(revSum - truth) < 1.0)
+    // sf0.01, not the suite default: at sf0.001 every shipment lands in
+    // 'remote' and the near/mid/far thresholds would go untested
+    val d01 = "/root/testdata/sf0.01"
+    val rows = SpatialQueries.geoRevenue(spark, d01).collect()
+    val got = rows.map(r => r.getAs[String]("band") -> r.getAs[Long]("n_items")).toMap
+    // driver model: coords via the md5 mirror, bands via the same thresholds
+    val custC = graft.Tables.customer(spark, d01).select("c_custkey").collect()
+      .map(_.getLong(0)).map(k => k -> ((coord(k, "x"), coord(k, "y")))).toMap
+    val suppC = graft.Tables.supplier(spark, d01).select("s_suppkey").collect()
+      .map(_.getLong(0)).map(k => k -> ((coord(k, "px"), coord(k, "py")))).toMap
+    val custOf = graft.Tables.orders(spark, d01).select("o_orderkey", "o_custkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val model = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for (r <- graft.Tables.lineitem(spark, d01).select("l_orderkey", "l_suppkey").collect()) {
+      val (cx, cy) = custC(custOf(r.getLong(0)))
+      val (sx, sy) = suppC(r.getLong(1))
+      val d2 = (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)
+      val band =
+        if (d2 <= 490000L / 4) "near"
+        else if (d2 <= 490000L) "mid"
+        else if (d2 <= 490000L * 4) "far"
+        else "remote"
+      model(band) += 1
+    }
+    assert(got == model.toMap, s"$got vs $model")
+    // the dataset must actually exercise the inner bands, else this
+    // test is vacuous — fail loudly if a data change degenerates it
+    assert(Seq("near", "mid", "far").forall(model.contains),
+      s"inner bands unexercised: $model")
     spark.catalog.clearCache()
   }
 
