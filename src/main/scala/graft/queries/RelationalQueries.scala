@@ -3493,6 +3493,156 @@ object RelationalQueries {
        SELECT f.format, fp.n, fp.checksum, fp.sum_cents
        FROM fp, (VALUES ('csv'), ('json'), ('orc')) f(format)"""
 
+  /** Event-time lateness profile — the data-driven watermark-choice
+    * analysis every streaming deployment needs: treating event_id as
+    * arrival order, each event's lateness is how far its event time
+    * sits behind the running maximum seen so far (exact µs integers),
+    * histogrammed into the delay classes a watermark would be chosen
+    * from. The running max uses the bucketed-carry discipline (local
+    * running max per event_id block + broadcast prefix-block maxima) —
+    * the only partition-less window runs on the BLOCK table, never the
+    * events.
+    */
+  def latenessProfile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables
+      .events(s, dir)
+      // NTZ files: cast to TIMESTAMP first (identity under the UTC
+      // session contract) — unix_micros rejects TIMESTAMP_NTZ directly.
+      // event_id is assigned in timestamp order in the test data, so a
+      // deterministic ±100-position md5 jitter models the bounded
+      // out-of-orderness a real transport introduces (without it every
+      // event is 'in_order' and the profile is vacuous)
+      .select(
+        col("event_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"),
+        (col("event_id") +
+          expr(OracleHash.bucketExpr("cast(event_id as string)", 200)) - lit(100L))
+          .as("jk"))
+      .withColumn("blk", expr("jk div 1000"))
+      .persist()
+    val wCarry = Window
+      .orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = ev
+      .groupBy(col("blk"))
+      .agg(max(col("us")).as("bmax"))
+      .withColumn("pmax", max(col("bmax")).over(wCarry))
+      .select(col("blk"), col("pmax"))
+    val wIn = Window
+      .partitionBy(col("blk"))
+      .orderBy(col("jk"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lateness = ev
+      .join(broadcast(carry), Seq("blk"))
+      .withColumn("lmax", max(col("us")).over(wIn))
+      .withColumn("runmax", greatest(coalesce(col("lmax"), lit(Long.MinValue)),
+        coalesce(col("pmax"), lit(Long.MinValue))))
+      .withColumn(
+        "late_us",
+        when(col("runmax") === Long.MinValue, lit(0L))
+          .otherwise(greatest(col("runmax") - col("us"), lit(0L))))
+    lateness
+      .withColumn(
+        "delay_class",
+        when(col("late_us") === 0, "in_order")
+          .when(col("late_us") <= 60L * 1000000L, "le_1m")
+          .when(col("late_us") <= 300L * 1000000L, "le_5m")
+          .when(col("late_us") <= 1800L * 1000000L, "le_30m")
+          .otherwise("gt_30m"))
+      .groupBy(col("delay_class"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col("late_us")).as("max_late_us"))
+  }
+
+  val latenessProfileSql: String =
+    s"""WITH ev AS (
+         SELECT event_id, epoch_us(ts) AS us,
+                event_id + ${OracleHash.bucketSql("CAST(event_id AS VARCHAR)", 200)} - 100
+                  AS jk
+         FROM events),
+       l AS (
+         SELECT event_id, us,
+                max(us) OVER (ORDER BY jk, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+         FROM ev),
+       lat AS (
+         SELECT CASE WHEN runmax IS NULL THEN 0
+                     WHEN runmax - us > 0 THEN runmax - us ELSE 0 END AS late_us
+         FROM l)
+       SELECT CASE WHEN late_us = 0 THEN 'in_order'
+                   WHEN late_us <= 60000000 THEN 'le_1m'
+                   WHEN late_us <= 300000000 THEN 'le_5m'
+                   WHEN late_us <= 1800000000 THEN 'le_30m'
+                   ELSE 'gt_30m' END AS delay_class,
+              count(*) AS n_events,
+              CAST(max(late_us) AS BIGINT) AS max_late_us
+       FROM lat GROUP BY 1"""
+
+  /** Clamped running inventory — the non-linear recurrence SQL cannot
+    * window (pos ← max(0, pos + δ) has no prefix-sum form): per part,
+    * lineitems replay in (shipdate, orderkey, linenumber) order with
+    * even linenumbers as receipts and odd as issues, the position
+    * clamping at zero and each clamp counted as a stockout. The fold
+    * is per-part and bounded (≤ ~50 rows/part at any SF — order
+    * fan-out, not corpus growth); the oracle replays it as a
+    * per-part recursive CTE. All arithmetic exact integers.
+    */
+  def inventoryPosition(s: SparkSession, dir: String): DataFrame = {
+    Tables
+      .lineitem(s, dir)
+      .select(
+        col("l_partkey"),
+        col("l_shipdate"),
+        col("l_orderkey"),
+        col("l_linenumber"),
+        (col("l_quantity").cast("long") *
+          when(col("l_linenumber") % 2 === 0, 1L).otherwise(-1L)).as("delta"))
+      .groupBy(col("l_partkey"))
+      .agg(array_sort(
+        collect_list(struct(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("delta")))).as("arr"))
+      .withColumn(
+        "state",
+        expr("""aggregate(arr,
+                  named_struct('pos', 0L, 'so', 0L),
+                  (acc, x) -> named_struct(
+                    'pos', CASE WHEN acc.pos + x.delta < 0L THEN 0L
+                                ELSE acc.pos + x.delta END,
+                    'so', acc.so + CASE WHEN acc.pos + x.delta < 0L THEN 1L
+                                        ELSE 0L END))"""))
+      .select(
+        col("l_partkey"),
+        expr("state.pos").as("final_position"),
+        expr("state.so").as("n_stockouts"))
+  }
+
+  val inventoryPositionSql: String =
+    """WITH RECURSIVE f AS (
+         SELECT l_partkey AS p,
+                CAST(l_quantity AS BIGINT)
+                  * CASE WHEN l_linenumber % 2 = 0 THEN 1 ELSE -1 END AS delta,
+                row_number() OVER (PARTITION BY l_partkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+         FROM lineitem),
+       walk(p, rn, pos, so) AS (
+         SELECT p, 1,
+                CASE WHEN delta < 0 THEN 0 ELSE delta END,
+                CASE WHEN delta < 0 THEN 1 ELSE 0 END
+         FROM f WHERE rn = 1
+         UNION ALL
+         SELECT w.p, w.rn + 1,
+                CASE WHEN w.pos + f.delta < 0 THEN 0 ELSE w.pos + f.delta END,
+                w.so + CASE WHEN w.pos + f.delta < 0 THEN 1 ELSE 0 END
+         FROM walk w JOIN f ON f.p = w.p AND f.rn = w.rn + 1)
+       SELECT w.p AS l_partkey,
+              CAST(w.pos AS BIGINT) AS final_position,
+              CAST(w.so AS BIGINT) AS n_stockouts
+       FROM walk w
+       JOIN (SELECT p, max(rn) AS mx FROM f GROUP BY 1) m
+         ON w.p = m.p AND w.rn = m.mx"""
+
   /** Malformed-record quarantine ingest — the table-side analog of the
     * wire pipeline's P5 decode-bomb filter: a CSV staging file is
     * seeded with the good slice PLUS deliberately malformed lines

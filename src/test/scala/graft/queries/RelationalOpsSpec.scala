@@ -362,6 +362,56 @@ class RelationalOpsSpec extends AnyFunSuite {
       r.getAs[Long]("o_orderkey") -> r.getAs[String]("change_type")).toMap == expect)
   }
 
+  test("lateness_profile: classes partition the events and respect their bounds") {
+    val rows = RelationalQueries.latenessProfile(spark, dir).collect()
+    val total = graft.Tables.events(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == total)
+    val bounds = Map(
+      "in_order" -> (0L, 0L),
+      "le_1m" -> (1L, 60000000L),
+      "le_5m" -> (60000001L, 300000000L),
+      "le_30m" -> (300000001L, 1800000000L),
+      "gt_30m" -> (1800000001L, Long.MaxValue))
+    for (r <- rows) {
+      val (lo, hi) = bounds(r.getAs[String]("delay_class"))
+      val m = r.getAs[Long]("max_late_us")
+      assert(m >= lo - (if (lo == 1L) 1L else 0L) && m <= hi, r.toString)
+    }
+    // the jittered arrival order must actually produce late events
+    assert(rows.exists(_.getAs[String]("delay_class") != "in_order"),
+      "profile degenerated to fully in-order")
+    spark.catalog.clearCache()
+  }
+
+  test("inventory_position: clamped fold matches a driver-side replay") {
+    import org.apache.spark.sql.functions._
+    val rows = RelationalQueries.inventoryPosition(spark, dir).collect()
+    def us(v: Any): Long = v match {
+      case t: java.sql.Timestamp => t.getTime
+      case d: java.time.LocalDateTime =>
+        d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+    val model = graft.Tables
+      .lineitem(spark, dir)
+      .select("l_partkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
+      .collect()
+      .map(r => (r.getLong(0), us(r.getAs[Any](1)), r.getLong(2), r.getInt(3),
+        r.getAs[Double]("l_quantity").toLong))
+      .groupBy(_._1)
+      .map { case (p, ls) =>
+        var pos = 0L; var so = 0L
+        for ((_, _, _, ln, q) <- ls.sortBy(x => (x._2, x._3, x._4))) {
+          val d = if (ln % 2 == 0) q else -q
+          if (pos + d < 0) { pos = 0L; so += 1 } else pos += d
+        }
+        p -> ((pos, so))
+      }
+    assert(rows.map(r => r.getAs[Long]("l_partkey") ->
+      ((r.getAs[Long]("final_position"), r.getAs[Long]("n_stockouts")))).toMap == model)
+    // stockouts must actually occur somewhere, else the clamp is untested
+    assert(model.values.exists(_._2 > 0), "no stockout in the data — clamp unexercised")
+  }
+
   test("quarantine_ingest: all four seeded bad lines captured; good rows lossless") {
     import org.apache.spark.sql.functions._
     val r = RelationalQueries.quarantineIngest(spark, dir).collect().head
