@@ -564,13 +564,27 @@ object CurationQueries {
     lit(2.0) * distinctRatio + lit(0.25) * meanWordLen - lit(0.5) * stopDensity - lit(1.0)
   }
 
+  /** Deterministic 4-dp quantization of the (bit-identical) logit:
+    * `floor(x·10⁴ + 0.5)/10⁴` — the SAME IEEE multiply/add/floor/divide
+    * in both engines, so the result is bit-identical too. Decimal
+    * `round(x, 4)` is NOT: the r11 sf0.1 sweep caught a doc whose logit
+    * sits on a decimal tie at the 5th digit, where Spark (BigDecimal
+    * HALF_UP over the exact binary expansion) and DuckDB round one ulp
+    * apart. Half-ties here round toward +∞ — a semantics we own.
+    */
+  private def quant4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 10000.0 + 0.5).cast("double") / 10000.0
+
+  private def quant4Sql(e: String): String =
+    s"floor(($e) * 10000 + 0.5) / 10000.0"
+
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
     val logit = qualityLogit
     Tables
       .documents(s, dir)
       .select(
         col("doc_id"),
-        round(logit, 4).as("score"),
+        quant4(logit).as("score"),
         when(logit >= 0.75, "high")
           .when(logit >= 0.25, "mid")
           .otherwise("low")
@@ -590,7 +604,7 @@ object CurationQueries {
 
   val qualityScoreSql: String = {
     val logit = qualityLogitSql
-    s"""SELECT doc_id, round($logit, 4) AS score,
+    s"""SELECT doc_id, ${quant4Sql(logit)} AS score,
         CASE WHEN $logit >= 0.75 THEN 'high'
              WHEN $logit >= 0.25 THEN 'mid' ELSE 'low' END AS band
         FROM documents"""
@@ -626,7 +640,7 @@ object CurationQueries {
       .select(
         col("doc_id"),
         col("n_chars").as("len"),
-        round(qualityLogit, 4).as("score"))
+        quant4(qualityLogit).as("score"))
 
   def skylineDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = skylineAllPoints(s, dir)
@@ -659,7 +673,7 @@ object CurationQueries {
     */
   val skylineDocsSql: String =
     s"""WITH d AS (
-         SELECT doc_id, n_chars AS len, round($qualityLogitSql, 4) AS score,
+         SELECT doc_id, n_chars AS len, ${quant4Sql(qualityLogitSql)} AS score,
                 n_chars // $SkylineBucketChars AS b
          FROM documents),
        bm AS (SELECT b, max(score) AS bmax FROM d GROUP BY 1),

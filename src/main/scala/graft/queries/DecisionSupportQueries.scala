@@ -43,6 +43,13 @@ object DecisionSupportQueries {
     * (part, supplier), one division at the end). Ties break on
     * suppkey via the rank window, which is PARTITIONED by partkey —
     * no global window, scales with the part dimension.
+    *
+    * The unit cost is quantized to EXACT integer micro-dollars by
+    * BIGINT floor division (`cents·10⁴ div qty`) — the r11 sf0.1 sweep
+    * caught `round(cents/qty/100, 6)` landing on a decimal tie where
+    * Spark (BigDecimal HALF_UP) and DuckDB round a last ulp apart; the
+    * rank then ALSO orders on the integer, so winner selection can
+    * never depend on a float tie.
     */
   def minCostSupplier(s: SparkSession, dir: String): DataFrame = {
     val europe = Tables
@@ -70,13 +77,12 @@ object DecisionSupportQueries {
     val ranked = supply
       .join(parts, supply("l_partkey") === parts("p_partkey"))
       .join(europe, supply("l_suppkey") === europe("s_suppkey"))
-      .withColumn(
-        "unit_cost",
-        round(col("cents").cast("double") / (col("qty").cast("double") * 100.0), 6))
+      .withColumn("cost_e6", expr("(cents * 10000) div qty"))
+      .withColumn("unit_cost", col("cost_e6").cast("double") / 1000000.0)
       .withColumn(
         "rk",
         row_number().over(
-          Window.partitionBy(col("p_partkey")).orderBy(col("unit_cost"), col("s_suppkey"))))
+          Window.partitionBy(col("p_partkey")).orderBy(col("cost_e6"), col("s_suppkey"))))
     ranked
       .filter(col("rk") === 1)
       .select(col("p_partkey"), col("s_suppkey"), col("s_name"), col("n_name"), col("unit_cost"))
@@ -94,9 +100,9 @@ object DecisionSupportQueries {
          FROM lineitem GROUP BY 1, 2),
        ranked AS (
          SELECT p_partkey, s_suppkey, s_name, n_name,
-                round(CAST(cents AS DOUBLE) / (CAST(qty AS DOUBLE) * 100.0), 6) AS unit_cost,
+                CAST((cents * 10000) // qty AS DOUBLE) / 1000000.0 AS unit_cost,
                 row_number() OVER (PARTITION BY p_partkey
-                                   ORDER BY round(CAST(cents AS DOUBLE) / (CAST(qty AS DOUBLE) * 100.0), 6), s_suppkey) AS rk
+                                   ORDER BY (cents * 10000) // qty, s_suppkey) AS rk
          FROM supply
          JOIN part ON l_partkey = p_partkey AND p_type = 'LARGE' AND p_size <= 10
          JOIN europe ON l_suppkey = s_suppkey)

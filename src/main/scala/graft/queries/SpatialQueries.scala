@@ -30,8 +30,16 @@ import org.apache.spark.sql.functions._
   */
 object SpatialQueries {
 
-  /** Grid extent in integer units per axis. */
-  private val Units = 100000L
+  /** Grid extent in integer units per axis. Env-overridable
+    * (GRAFT_SPATIAL_UNITS) for the scale study ONLY: the sf1 generator
+    * replicates rows 10×, and a real spatial corpus grows AREA with
+    * volume (constant density), so the constant-density measurement sets
+    * a √10× extent. Every consumer — Spark expressions AND oracle SQL —
+    * derives coordinates from this one value, so parity holds at any
+    * setting; the default is unchanged for the correctness board.
+    */
+  private val Units: Long =
+    sys.env.get("GRAFT_SPATIAL_UNITS").map(_.trim.toLong).getOrElse(100000L)
 
   /** Grid cell edge; cell count = (Units/Cell)² = 10 000. */
   private val Cell = 1000L
@@ -153,16 +161,76 @@ object SpatialQueries {
   /** k-nearest-neighbor lookup: for each of ≤ 64 probe locations
     * (suppliers, bounded by construction — NOT the growing dimension),
     * the 5 closest customer points by exact squared distance, id
-    * tiebreak. The probe side broadcasts; ranking is a probe-keyed
-    * window (WindowGroupLimit pushes the top-5 before the shuffle).
+    * tiebreak.
+    *
+    * GRID-RING search, not a per-probe scan of every point (that kernel
+    * was linear per probe — r10 `weak`). Two phases, both exact:
+    *
+    *  1. Ring radius from the RASTER: cell occupancy counts (one row per
+    *     occupied cell, the same bound as [[gridDensity]]) cross the
+    *     ≤ 64 bounded probes; per probe, r0 = the smallest Chebyshev
+    *     cell ring whose cumulative point count reaches k.
+    *  2. Candidate fetch is a pure EQUI-join on the cell key: the probe
+    *     explodes only the cells of rings 0..rcut and joins the points
+    *     on (jx, jy) — the per-point scan never sees a probe it can't
+    *     possibly serve.
+    *
+    * Stopping bound (exact integers, 3/2 > √2): rings 0..r0 hold ≥ k
+    * points, each within √2·(r0+1)·Cell of the probe, so the k-th best
+    * distance ≤ √2·(r0+1)·Cell; a ring-r point lies ≥ (r−1)·Cell away,
+    * so every ring beyond rcut = 1 + ⌈3·(r0+1)/2⌉ ≥ 1 + √2·(r0+1) is
+    * STRICTLY farther than the k-th best — no tie with an excluded
+    * point is possible, and the result (and oracle) are unchanged.
+    * When the corpus holds fewer than k points r0 is undefined and rcut
+    * falls back to the full grid — still the equi-join plan.
     */
   def spatialKnn(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val maxRing = (Units + Cell - 1) / Cell
     val probes = supplierCoords(s, dir)
       .filter(col("s_suppkey") <= 64)
       .withColumnRenamed("s_suppkey", "probe_id")
+      .withColumn("pcx", expr(s"px div $Cell"))
+      .withColumn("pcy", expr(s"py div $Cell"))
     val pts = points(s, dir)
-    pts
+    // phase 1 — raster-bounded: one row per OCCUPIED cell × ≤64 probes
+    val cellCounts = pts
+      .groupBy(col("cx"), col("cy"))
+      .agg(count(lit(1)).as("n"))
+    val ringCum = cellCounts
       .crossJoin(broadcast(probes))
+      .withColumn(
+        "ring",
+        greatest(abs(col("cx") - col("pcx")), abs(col("cy") - col("pcy"))))
+      .groupBy(col("probe_id"), col("px"), col("py"), col("pcx"), col("pcy"), col("ring"))
+      .agg(sum(col("n")).as("nr"))
+      .withColumn(
+        "cum",
+        sum(col("nr")).over(Window.partitionBy(col("probe_id")).orderBy(col("ring"))))
+    val rcuts = ringCum
+      .groupBy(col("probe_id"), col("px"), col("py"), col("pcx"), col("pcy"))
+      .agg(min(when(col("cum") >= k, col("ring"))).as("r0"))
+      .withColumn(
+        "rcut",
+        when(col("r0").isNull, lit(maxRing))
+          .otherwise(least(lit(maxRing), expr("1 + (3 * (r0 + 1) + 1) div 2"))))
+    // phase 2 — candidate cells of rings 0..rcut, clipped to the grid;
+    // the points side joins EQUI on the cell key (AQE broadcasts the
+    // typically-tiny probe-cell list on its measured size)
+    val probeCells = rcuts
+      .withColumn("dx", explode(expr("sequence(-rcut, rcut)")))
+      .withColumn("dy", explode(expr("sequence(-rcut, rcut)")))
+      .select(
+        col("probe_id"),
+        col("px"),
+        col("py"),
+        (col("pcx") + col("dx")).as("jx"),
+        (col("pcy") + col("dy")).as("jy"))
+      .filter(
+        col("jx") >= 0 && col("jx") < maxRing && col("jy") >= 0 && col("jy") < maxRing)
+    pts
+      .select(col("id"), col("x"), col("y"), col("cx").as("jx"), col("cy").as("jy"))
+      .join(probeCells, Seq("jx", "jy"))
       .withColumn(
         "d2",
         (col("px") - col("x")) * (col("px") - col("x")) +
@@ -172,7 +240,7 @@ object SpatialQueries {
         row_number().over(
           Window.partitionBy(col("probe_id")).orderBy(col("d2"), col("id")))
           .cast("long"))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("id"), col("d2"))
   }
 

@@ -62,8 +62,27 @@ object FrameAssemblyTws {
     */
   final case class FrameMeta(vetoFlags: Int, dispatched: Boolean, timerMs: Long)
 
-  final class Processor(expectedDigitizers: Seq[Int], ttlMs: Long)
-      extends StatefulProcessor[FrameKey, EventListMessage, AssembledFrame] {
+  /** A message stamped with its DELIVERY time — the event-time clock for
+    * [[assembleEventTime]]. Production maps this to the broker ingestion
+    * timestamp; the frame KEY still comes from the message metadata, so
+    * a redelivery of an old frame carries a fresh delivery time and the
+    * TTL arithmetic runs on replayable stream time instead of the
+    * executor wall clock.
+    */
+  final case class TimedMessage(msg: EventListMessage, eventTime: java.sql.Timestamp)
+
+  /** One processor, two clocks: the TTL/tombstone state machine is
+    * identical for processing-time and event-time operation — `rowNowMs`
+    * injects the clock (wall clock for [[assemble]]; the row's delivery
+    * timestamp for [[assembleEventTime]], where timers fire on watermark
+    * passage and the whole path is deterministic under replay).
+    */
+  final class Processor[I](
+      expectedDigitizers: Seq[Int],
+      ttlMs: Long,
+      toMsg: I => EventListMessage,
+      rowNowMs: (I, TimerValues) => Long)
+      extends StatefulProcessor[FrameKey, I, AssembledFrame] {
 
     private val expected = expectedDigitizers.sorted
 
@@ -103,9 +122,13 @@ object FrameAssemblyTws {
 
     override def handleInputRows(
         key: FrameKey,
-        rows: Iterator[EventListMessage],
+        rows: Iterator[I],
         timerValues: TimerValues): Iterator[AssembledFrame] = {
-      val now = timerValues.getCurrentProcessingTimeInMs()
+      // bounded materialization: one key's rows within one micro-batch
+      // (≤ digitiser count in steady state) — needed because "now" under
+      // the event-time clock is the LATEST delivery time in the batch
+      val rs = rows.toVector
+      val now = rs.iterator.map(rowNowMs(_, timerValues)).max
       var m = if (meta.exists()) meta.get() else FrameMeta(0, dispatched = false, timerMs = -1L)
       if (m.dispatched) {
         // late message after dispatch → reject; extend the tombstone so
@@ -116,7 +139,8 @@ object FrameAssemblyTws {
         meta.update(m.copy(timerMs = t))
         Iterator.empty
       } else {
-        rows.foreach { msg =>
+        rs.foreach { row =>
+          val msg = toMsg(row)
           if (!contribs.containsKey(msg.digitizerId)) {
             contribs.updateValue(
               msg.digitizerId,
@@ -179,8 +203,40 @@ object FrameAssemblyTws {
     dev2
       .groupByKey(m => FrameKey.of(m.metadata))
       .transformWithState(
-        new Processor(expectedDigitizers, ttlMs),
+        new Processor[EventListMessage](
+          expectedDigitizers,
+          ttlMs,
+          identity,
+          (_, tv) => tv.getCurrentProcessingTimeInMs()),
         TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
+
+  /** Event-time twin of [[assemble]]: the same state machine on
+    * DELIVERY-time timers. TTL deadlines are computed from each row's
+    * [[TimedMessage.eventTime]] and fire when the WATERMARK passes them —
+    * no executor wall clock anywhere, so expiry is deterministic under
+    * replay and testable by sentinel watermark jumps instead of sleeps
+    * (r10 ask #6). The zero-lateness watermark is correct here because
+    * the delivery clock is monotone by construction (a broker hands rows
+    * out in ingestion order).
+    */
+  def assembleEventTime(
+      timed: Dataset[TimedMessage],
+      expectedDigitizers: Seq[Int],
+      ttlMs: Long = 500L): Dataset[AssembledFrame] = {
+    implicit val keyEnc = Encoders.product[FrameKey]
+    implicit val outEnc = Encoders.product[AssembledFrame]
+    timed
+      .withWatermark("eventTime", "0 seconds")
+      .groupByKey(t => FrameKey.of(t.msg.metadata))
+      .transformWithState(
+        new Processor[TimedMessage](
+          expectedDigitizers,
+          ttlMs,
+          _.msg,
+          (t, _) => t.eventTime.getTime),
+        TimeMode.EventTime(),
         OutputMode.Append())
   }
 }

@@ -28,15 +28,16 @@ class DecisionSupportSpec extends AnyFunSuite {
     val rows = DecisionSupportQueries.minCostSupplier(spark, dir).collect()
     val parts = rows.map(_.getAs[Long]("p_partkey"))
     assert(parts.distinct.length == parts.length, "a part surfaced twice")
-    // model: unit cost per (part, supp) from exact cent/qty sums
+    // model: unit cost per (part, supp) from exact cent/qty sums,
+    // quantized the way the query defines it — integer micro-dollars by
+    // BIGINT floor division (the r11 tie-free form)
     val cost = lineitems
       .groupBy(r => (r.getAs[Long]("l_partkey"), r.getAs[Long]("l_suppkey")))
       .view
       .mapValues { rs =>
         val cents = rs.map(r => math.round(r.getAs[Double]("l_extendedprice") * 100)).sum
         val qty = rs.map(_.getAs[Double]("l_quantity").toLong).sum
-        BigDecimal(cents.toDouble / (qty.toDouble * 100.0))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        cents * 10000L / qty
       }
       .toMap
     for (r <- rows) {
@@ -44,7 +45,7 @@ class DecisionSupportSpec extends AnyFunSuite {
       val best = cost.collect { case ((p, _), c) if p == pk => c }.min
       // the returned supplier must be *a* Europe minimum; at minimum its
       // cost can never beat the unconstrained per-part minimum from below
-      assert(BigDecimal(r.getAs[Double]("unit_cost")) >= best)
+      assert(math.round(r.getAs[Double]("unit_cost") * 1e6) >= best)
     }
   }
 

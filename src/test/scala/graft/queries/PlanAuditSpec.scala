@@ -832,14 +832,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("jx"), "cell-key join columns missing\n" + p.take(1500))
   }
 
-  test("q_spatial_knn: bounded probes broadcast; top-5 plans as WindowGroupLimit") {
-    val p = plan("q_spatial_knn")
-    // the ≤64-probe side is the documented broadcast exception (exact
-    // kernel, bounded by construction — same contract as q_cosine_topk)
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      p.take(2000))
+  test("q_spatial_knn: candidate scan is cell-keyed (ring search), top-5 as WindowGroupLimit") {
+    val df = graft.SparkEntry.queries("q_spatial_knn")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the candidate fetch must be an EQUI join on the grid cell key —
+    // the r10 per-probe linear scan (points × probes nested loop) is the
+    // banned shape
+    assert(
+      """(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[jx""".r.findFirstIn(p).isDefined,
+      "candidate join must be equi on the cell key\n" + p.take(2500))
     assert(p.contains("WindowGroupLimit"),
       "top-5 must prune before the final shuffle\n" + p.take(2000))
+    // the one remaining nested-loop join is the ring-radius phase:
+    // RASTER (post-aggregate cell counts) × ≤64 probes — every
+    // nested-loop join in the plan must sit above a cell aggregate, so
+    // no per-POINT row ever crosses a nested loop
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val bnlj = df.queryExecution.executedPlan.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+    }
+    bnlj.foreach { j =>
+      assert(
+        j.children.exists(_.collectFirst { case a: HashAggregateExec => a }.isDefined),
+        "nested-loop join fed by raw points — ring phase must cross cell AGGREGATES\n" +
+          j.toString.take(1500))
+    }
   }
 
   test("q_min_cost_supplier: fixed dims broadcast; rank window keyed by part") {

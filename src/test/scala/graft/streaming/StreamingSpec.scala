@@ -145,39 +145,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
-  /** Retry-once guard for the wall-clock-driven tombstone test (r9 ask
-    * #7): a loaded host can stall past the TTL and push a run into the
-    * documented legitimate-expiry window; one retry on a fresh session
-    * and checkpoint bounds that residual flake without weakening the
-    * assertions of a healthy run.
-    */
-  private def retryOnce(body: => Unit): Unit =
-    try body
-    catch { case _: org.scalatest.exceptions.TestFailedException => body }
-
   test(
     "TWS tombstone path: duplicate digitiser rejected, tombstone absorbs " +
       "multi-batch redeliveries, post-expiry re-seed is the reference window " +
-      "(cache.rs:150-387)") { retryOnce {
-    // The three cache.rs behaviors the r8 board still listed untested on
-    // the timer path (P7/O3), exercised across SEPARATE micro-batches so
-    // the state transitions (not just intra-batch iterator logic) carry
-    // the semantics. No public manual clock exists for transformWithState
-    // processing-time timers, so expiry is driven by real time against a
-    // TTL chosen an order of magnitude above the 50 ms trigger cadence;
-    // every strict assert is additionally gated on the wall-clock budget
-    // actually holding, and the whole body retries once (r9 ask #7 —
-    // flake-hardened; soaked 20/20 green in isolation on 2026-08-14,
-    // `for i in 1..20: testOnly ... -z tombstone`, zero retries needed).
+      "(cache.rs:150-387)") {
+    // The three cache.rs behaviors on the timer path (P7/O3), exercised
+    // across SEPARATE micro-batches so the state transitions (not just
+    // intra-batch iterator logic) carry the semantics. EVENT-TIME timers
+    // (r10 ask #6): every deadline is computed from row delivery
+    // timestamps and fires only when a SENTINEL row jumps the watermark
+    // past it — no wall-clock sleeps decide expiry, so a stalled host can
+    // delay the test but can never change its outcome. The old
+    // wall-clock variant needed a retry-once guard and budget-gated
+    // asserts; every assert here is strict.
     val s = spark.newSession()
     s.conf.set(
       "spark.sql.streaming.stateStore.providerClass",
       graft.Sessions.RocksDBProvider)
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
-    val input = MemoryStream[EventListMessage]
-    val ttlMs = 4000L
-    val out = FrameAssemblyTws.assemble(input.toDS(), Seq(0, 1), ttlMs = ttlMs)
+    val input = MemoryStream[FrameAssemblyTws.TimedMessage]
+    val ttlMs = 4000L // stream-time ms — expiry needs a watermark jump
+    val out = FrameAssemblyTws.assembleEventTime(input.toDS(), Seq(0, 1), ttlMs = ttlMs)
     val ckpt = Files.createTempDirectory("ckpt_tws_tomb").toString
     val name = "assembled_tws_tomb"
     val query = out.writeStream
@@ -187,22 +176,59 @@ class StreamingSpec extends AnyFunSuite {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
       .start()
+    val T0 = 1000000L // synthetic delivery-clock origin (epoch ms)
+    def at(m: EventListMessage, ms: Long) =
+      FrameAssemblyTws.TimedMessage(m, new java.sql.Timestamp(T0 + ms))
+    // sentinels ride an unused frame key: they only exist to advance the
+    // watermark (their own partial frame is filtered out by frameNumber)
+    def sentinel(ms: Long) = at(msg(0, 999999L), ms)
     def frame0Rows() = s.table(name).collect().filter(
       _.getAs[org.apache.spark.sql.Row]("metadata").getAs[Long]("frameNumber") == 0L)
-    def await(pred: () => Boolean, timeoutMs: Long = 20000L): Unit = {
-      val deadline = System.currentTimeMillis() + timeoutMs
-      while (!pred() && System.currentTimeMillis() < deadline) Thread.sleep(100L)
+    var batches = 0L
+    def addAndDrain(rows: FrameAssemblyTws.TimedMessage*): Unit = {
+      // wait until the engine has committed the batch carrying these rows
+      // (plus any watermark-triggered no-data batch) — pure progress
+      // polling, no timing assumption
+      input.addData(rows: _*)
+      batches += 1
+      val deadline = System.currentTimeMillis() + 30000L
+      // MemoryStream offsets are plain JSON numbers, 0-based per addData
+      // call: after N calls the latest block's offset is N−1
+      def committed(): Boolean = Option(query.lastProgress).exists { p =>
+        p.sources.headOption.exists(src =>
+          Option(src.endOffset).flatMap(_.replaceAll("[^0-9]", "") match {
+            case "" => None
+            case d => Some(d.toLong)
+          }).exists(_ >= batches - 1))
+      }
+      while (!committed() && System.currentTimeMillis() < deadline) Thread.sleep(50L)
+      assert(committed(), s"batch $batches never committed")
+    }
+    // A timer ≤ X fires in the first batch that RUNS with watermark ≥ X —
+    // progress reports that watermark, so waiting for it is a
+    // deterministic barrier for "expiry processed" (no ordering race with
+    // the next addData: rows added after this are strictly later batches)
+    def awaitWatermark(minMs: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 30000L
+      def wm(): Long = Option(query.lastProgress)
+        .flatMap(p => Option(p.eventTime.get("watermark")))
+        .map(ts => java.time.Instant.parse(ts).toEpochMilli)
+        .getOrElse(-1L)
+      while (wm() < T0 + minMs && System.currentTimeMillis() < deadline)
+        Thread.sleep(50L)
+      assert(wm() >= T0 + minMs, s"watermark never reached T0+$minMs (at ${wm()})")
     }
     try {
-      // batch 1: digitiser 0 seeds the frame
-      input.addData(msg(0, 0))
+      // batch 1: digitiser 0 seeds the frame → first-message timer at +ttl
+      addAndDrain(at(msg(0, 0), 0L))
       // batch 2: DUPLICATE digitiser 0 with a poisoned payload — the
       // MapState containsKey guard must reject it (cache.rs:71-74) —
-      // then digitiser 1 completes the frame
-      input.addData(
-        EventListMessage(0, meta(0), Array(9L, 9L, 9L), Array(999, 999, 999), Array(9L, 9L, 9L)),
-        msg(1, 0))
-      await(() => frame0Rows().length >= 1)
+      // then digitiser 1 completes the frame → dispatch + tombstone
+      // armed at (T0+200) + ttl
+      addAndDrain(
+        at(EventListMessage(0, meta(0), Array(9L, 9L, 9L), Array(999, 999, 999),
+          Array(9L, 9L, 9L)), 100L),
+        at(msg(1, 0), 200L))
       val f0 = frame0Rows()
       assert(f0.length === 1)
       assert(f0.head.getAs[Boolean]("complete"))
@@ -211,50 +237,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(f0.head.getAs[scala.collection.Seq[Long]]("time").length === 4)
       assert(!f0.head.getAs[scala.collection.Seq[Int]]("voltage").contains(999))
 
-      // batches 3..4: redeliveries AFTER dispatch, in separate batches —
-      // the tombstone absorbs each and re-arms its TTL (cache.rs:55-63).
-      // Real-time caveat: if the host stalls past the TTL before the
-      // redeliveries are processed, the tombstone legitimately expires
-      // and the redelivery re-seeds (the documented reference window) —
-      // so the strict absorb assert only fires when the wall-clock
-      // budget actually held.
-      val t0 = System.nanoTime()
-      input.addData(msg(0, 0))
-      Thread.sleep(300L)
-      input.addData(msg(1, 0))
-      Thread.sleep(800L) // both redelivery batches processed (50 ms cadence)
-      val withinTtl = (System.nanoTime() - t0) < ttlMs * 1000000L * 7 / 10
-      if (withinTtl)
-        assert(frame0Rows().length === 1, "tombstone must absorb redeliveries")
+      // batches 3..4: redeliveries AFTER dispatch, in separate batches,
+      // each re-arming the tombstone TTL from its own delivery time
+      // (cache.rs:55-63). Stream time stays below every deadline, so the
+      // absorb assertion is strict — a host stall cannot expire anything.
+      addAndDrain(at(msg(0, 0), 1000L)) // tombstone → T0+5000
+      addAndDrain(at(msg(1, 0), 2000L)) // tombstone → T0+6000
+      // watermark probe BELOW the deadline: absorbed, still one emission
+      addAndDrain(sentinel(3000L))
+      awaitWatermark(3000L)
+      assert(frame0Rows().length === 1, "tombstone must absorb redeliveries")
 
-      // tombstone expiry: TTL after the LAST absorbed redelivery the
-      // timer clears the key entirely. A redelivery arriving AFTER that
-      // re-seeds frame 0 as a fresh partial that TTL-flushes incomplete —
-      // the accepted duplicate-emission window, matching the reference
-      // (cache.rs pops expired frames; a later push starts a new one).
-      Thread.sleep(ttlMs + 1200L)
-      input.addData(msg(1, 0))
-      await(() => frame0Rows().length >= 2, timeoutMs = 30000L)
+      // tombstone expiry: a sentinel jumps the watermark past T0+6000 →
+      // the timer fires and clears the key entirely. A redelivery after
+      // that re-seeds frame 0 as a fresh partial (the accepted
+      // duplicate-emission window, matching the reference: cache.rs pops
+      // expired frames; a later push starts a new one), and a final
+      // sentinel past ITS first-message deadline flushes it incomplete.
+      addAndDrain(sentinel(7000L))
+      awaitWatermark(7000L) // > T0+6000 → tombstone timer fired, key cleared
+      addAndDrain(at(msg(1, 0), 8000L)) // re-seed; first-message timer T0+12000
+      addAndDrain(sentinel(20000L))
+      awaitWatermark(20000L) // > T0+12000 → re-seeded partial flushed
       val reseeded = frame0Rows()
-      // when the absorb-phase budget held there is exactly one extra
-      // (re-seeded) emission; when the host stalled past the TTL during
-      // the absorb phase, an EARLIER legitimate expiry+re-seed already
-      // emitted one more — bound, don't flake (r9 ask #7)
-      if (withinTtl)
-        assert(reseeded.length === 2, "post-expiry redelivery re-seeds the key")
-      else
-        assert(reseeded.length >= 2 && reseeded.length <= 3,
-          "post-expiry redelivery re-seeds the key (stalled-host window)")
+      assert(reseeded.length === 2, "post-expiry redelivery re-seeds the key")
       val second = reseeded.filter(!_.getAs[Boolean]("complete"))
-      assert(second.nonEmpty)
-      if (withinTtl) assert(second.length === 1)
-      second.foreach(r =>
-        assert(r.getAs[scala.collection.Seq[Int]]("digitizersPresent") === Seq(1)))
+      assert(second.length === 1)
+      assert(second.head.getAs[scala.collection.Seq[Int]]("digitizersPresent") === Seq(1))
     } finally {
       try query.stop()
       finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     }
-  } }
+  }
 
   test("stream SGD: online training matches the batch-replay arithmetic and learns") {
     // The foreachBatch loop's moving parts the oracle can't isolate:
