@@ -128,6 +128,7 @@ object FrameAssemblyTws {
       // (≤ digitiser count in steady state) — needed because "now" under
       // the event-time clock is the LATEST delivery time in the batch
       val rs = rows.toVector
+      if (rs.isEmpty) return Iterator.empty // data-less invocation: no-op
       val now = rs.iterator.map(rowNowMs(_, timerValues)).max
       var m = if (meta.exists()) meta.get() else FrameMeta(0, dispatched = false, timerMs = -1L)
       if (m.dispatched) {
