@@ -1,0 +1,308 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second tranche of the robust-statistics / evaluation family:
+  * exact-integer isotonic regression (the calibration fit under the
+  * monotonicity constraint), Kneser–Ney smoothed bigram language
+  * modelling on a held-out split (the state-of-the-art count-based LM
+  * smoother — Chen & Goodman 1999), and HITS hubs/authorities over the
+  * user→item purchase graph (Kleinberg 1999).
+  *
+  * Same exactness contract as [[RobustQueries]]: integer domains until
+  * one final division, tie-free `floor(x·10⁶+0.5)/10⁶` output
+  * quantization, value-ordered folds for every float sum, quantized
+  * `⌊ln·10⁹⌋` BIGINT sums for log-likelihoods.
+  */
+object RobustQueries2 {
+
+  private def q6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+  private def q6Sql(e: String): String = s"floor(($e) * 1e6 + 0.5) / 1e6"
+
+  // --------------------------------------------------------------------
+  // q_isotonic_fit — weighted isotonic regression via exact minimax
+  // --------------------------------------------------------------------
+
+  /** Weighted isotonic regression of purchase rate against the event
+    * value, on 64 value bins: the PAVA solution computed by its minimax
+    * characterization fit(i) = max_{j≤i} min_{k≥i} mean(y[j..k]) —
+    * the calibration-curve fit under the monotone constraint
+    * (Barlow et al. 1972; what `IsotonicRegression` fits in ML libs).
+    *
+    * Exactness: interval means are ratios of exact BIGINT prefix sums;
+    * both engines evaluate the same num/den double division, and min/max
+    * select VALUES, so equal-double ties cannot diverge. The whole
+    * computation happens on the 64-row bin aggregate: the (j,i,k)
+    * triple enumeration (≤ 64³/6 rows) comes from `sequence`/
+    * `generate_series` explosion of the bounded pair table — no join
+    * against data-scaled rows anywhere past the first aggregate.
+    */
+  def isotonicFit(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(s, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(
+        least(lit(63L), expr("CAST(round(value * 100) AS BIGINT) div 768")).as("b"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+    val bins = ev.groupBy(col("b")).agg(count(lit(1)).as("n"), sum(col("p")).as("pos"))
+    // bounded 64-row aggregate: the unpartitioned prefix window is benign
+    val wCum = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, 0)
+    val pref = bins
+      .withColumn("cum_p", sum(col("pos")).over(wCum))
+      .withColumn("cum_w", sum(col("n")).over(wCum))
+      .withColumn("bef_p", col("cum_p") - col("pos"))
+      .withColumn("bef_w", col("cum_w") - col("n"))
+    val jk = pref
+      .select(col("b").as("j"), col("bef_p"), col("bef_w"))
+      .join(pref.select(col("b").as("k"), col("cum_p"), col("cum_w")), col("j") <= col("k"))
+      .select(
+        col("j"),
+        col("k"),
+        ((col("cum_p") - col("bef_p")).cast("double") /
+          (col("cum_w") - col("bef_w")).cast("double")).as("frac"))
+    val fit = jk
+      .select(col("j"), col("frac"), explode(expr("sequence(j, k)")).as("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(min(col("frac")).as("mn"))
+      .groupBy(col("i"))
+      .agg(max(col("mn")).as("fit"))
+    bins
+      .join(fit, col("b") === col("i"))
+      .select(
+        col("b"),
+        col("n"),
+        col("pos"),
+        q6(col("pos").cast("double") / col("n").cast("double")).as("rate"),
+        q6(col("fit")).as("fit"))
+  }
+
+  val isotonicFitSql: String =
+    s"""WITH ev AS (
+         SELECT least(63, CAST(round(value * 100) AS BIGINT) // 768) AS b,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+         FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+       bins AS (SELECT b, count(*) AS n, CAST(sum(p) AS BIGINT) AS pos
+                FROM ev GROUP BY 1),
+       pref AS (
+         SELECT b, n, pos,
+                CAST(sum(pos) OVER (ORDER BY b) AS BIGINT) AS cum_p,
+                CAST(sum(n) OVER (ORDER BY b) AS BIGINT) AS cum_w
+         FROM bins),
+       jk AS (
+         SELECT j.b AS j, k.b AS k,
+                CAST(k.cum_p - (j.cum_p - j.pos) AS DOUBLE) /
+                CAST(k.cum_w - (j.cum_w - j.n) AS DOUBLE) AS frac
+         FROM pref j JOIN pref k ON j.b <= k.b),
+       tri AS (SELECT j, frac, unnest(generate_series(j, k)) AS i FROM jk),
+       mn AS (SELECT i, j, min(frac) AS mn FROM tri GROUP BY 1, 2),
+       ft AS (SELECT i, max(mn) AS fit FROM mn GROUP BY 1)
+       SELECT b, n, pos,
+              ${q6Sql("CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)")} AS rate,
+              ${q6Sql("fit")} AS fit
+       FROM bins JOIN ft ON bins.b = ft.i"""
+
+  // --------------------------------------------------------------------
+  // q_kneser_ney — interpolated Kneser–Ney bigram LM, held-out ppl
+  // --------------------------------------------------------------------
+
+  /** Interpolated Kneser–Ney bigram language model (absolute discount
+    * d = 0.75) trained on docs with (doc_id div 20) % 5 ≠ 0 and evaluated as
+    * held-out perplexity per source on the (doc_id div 20) % 5 = 0 split
+    * (the div-20 decorrelates the split from source = doc_id mod 20):
+    *
+    *   P(w₂|w₁) = (max(c₁₂−d, 0) + d·N₁₊(w₁·)·P_cont(w₂)) / c₁
+    *   P_cont(w₂) = N₁₊(·w₂) / |bigram types|
+    *
+    * with unigram-continuation backoff for unseen contexts and OOV
+    * (P_cont undefined) tokens skipped and counted. The smoother that
+    * made count-based LMs competitive (Chen & Goodman 1999) — and the
+    * quality-scoring backbone of CCNet-style corpus filters.
+    *
+    * Log-likelihoods are quantized (⌊ln P·10⁹⌋ BIGINT) before the
+    * per-source sum, so aggregation order cannot move the result.
+    * Scale: every aggregate is vocabulary-keyed; held-out bigrams join
+    * the model tables on their natural keys — no broadcast hints, AQE
+    * decides (the q_lm_perplexity lesson).
+    */
+  def kneserNey(s: SparkSession, dir: String): DataFrame = {
+    val d = 0.75
+    val docs = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ", -1).as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val bigramsOf = (df: DataFrame) =>
+      df.select(
+        col("doc_id"),
+        col("source"),
+        explode(expr(
+          "transform(sequence(0, size(ws) - 2), " +
+            "i -> struct(element_at(ws, i + 1) AS w1, element_at(ws, i + 2) AS w2))"))
+          .as("bg"))
+        .select(col("doc_id"), col("source"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val train = bigramsOf(docs.filter(expr("(doc_id div 20) % 5") =!= 0))
+    val held = bigramsOf(docs.filter(expr("(doc_id div 20) % 5") === 0))
+    val c12 = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val ctx = c12
+      .groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1pl"))
+    val cont = c12.groupBy(col("w2")).agg(count(lit(1)).as("n1pr"))
+    val nTypes = c12.agg(count(lit(1)).as("bt"))
+    val scored = held
+      .join(cont, Seq("w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(c12, Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(nTypes))
+      .withColumn("pcont", col("n1pr").cast("double") / col("bt").cast("double"))
+      .withColumn(
+        "p",
+        when(col("n1pr").isNull, lit(null))
+          .when(
+            col("c1").isNotNull,
+            (greatest(coalesce(col("c12"), lit(0L)).cast("double") - lit(d), lit(0.0)) +
+              lit(d) * col("n1pl").cast("double") * col("pcont")) /
+              col("c1").cast("double"))
+          .otherwise(col("pcont")))
+    scored
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("p").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(when(col("p").isNotNull, floor(log(col("p")) * lit(1e9)).cast("long"))
+          .otherwise(0L)).as("qsum"),
+        sum(when(col("p").isNotNull, 1L).otherwise(0L)).as("n_scored"))
+      .select(
+        col("source"),
+        col("n_bigrams"),
+        col("n_oov"),
+        q6(col("n_oov").cast("double") / col("n_bigrams").cast("double")).as("oov_rate"),
+        q6(
+          exp((col("qsum").cast("double") / lit(1e9)) * lit(-1.0) /
+            col("n_scored").cast("double"))).as("ppl"))
+  }
+
+  val kneserNeySql: String =
+    s"""WITH docs AS (
+         SELECT doc_id, source, string_split(text, ' ') AS ws
+         FROM documents WHERE len(string_split(text, ' ')) >= 2),
+       bg AS (
+         SELECT doc_id, source,
+                unnest([ws[i+1] FOR i IN range(len(ws) - 1)]) AS w1,
+                unnest([ws[i+2] FOR i IN range(len(ws) - 1)]) AS w2
+         FROM docs),
+       train AS (SELECT * FROM bg WHERE (doc_id // 20) % 5 <> 0),
+       held AS (SELECT * FROM bg WHERE (doc_id // 20) % 5 = 0),
+       c12 AS (SELECT w1, w2, count(*) AS c12 FROM train GROUP BY 1, 2),
+       ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1pl
+               FROM c12 GROUP BY 1),
+       cont AS (SELECT w2, count(*) AS n1pr FROM c12 GROUP BY 1),
+       nt AS (SELECT count(*) AS bt FROM c12),
+       scored AS (
+         SELECT h.source,
+                CASE WHEN co.n1pr IS NULL THEN NULL
+                     WHEN cx.c1 IS NOT NULL THEN
+                       (greatest(CAST(coalesce(c.c12, 0) AS DOUBLE) - 0.75, 0.0)
+                          + 0.75 * CAST(cx.n1pl AS DOUBLE)
+                            * (CAST(co.n1pr AS DOUBLE) / CAST(nt.bt AS DOUBLE)))
+                         / CAST(cx.c1 AS DOUBLE)
+                     ELSE CAST(co.n1pr AS DOUBLE) / CAST(nt.bt AS DOUBLE) END AS p
+         FROM held h
+         LEFT JOIN cont co ON h.w2 = co.w2
+         LEFT JOIN ctx cx ON h.w1 = cx.w1
+         LEFT JOIN c12 c ON h.w1 = c.w1 AND h.w2 = c.w2
+         CROSS JOIN nt)
+       SELECT source, count(*) AS n_bigrams,
+              CAST(sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+              ${q6Sql(
+        "CAST(sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+                AS oov_rate,
+              ${q6Sql(
+        """exp((CAST(CAST(sum(CASE WHEN p IS NOT NULL
+                 THEN CAST(floor(ln(p) * 1e9) AS BIGINT) ELSE 0 END) AS BIGINT) AS DOUBLE)
+               / 1e9) * (-1.0)
+              / CAST(sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE))""")} AS ppl
+       FROM scored GROUP BY source"""
+
+  // --------------------------------------------------------------------
+  // q_hits — HITS hubs & authorities on the user→item purchase graph
+  // --------------------------------------------------------------------
+
+  /** Kleinberg's HITS on the bipartite user→item purchase graph: 4
+    * synchronous rounds of a(i) = Σ h(u), h(u) = Σ a(i), each side
+    * max-normalized per round — hub users are broad curators, authority
+    * items attract them. Max normalization (not L2/L1) keeps every
+    * round's division a scalar broadcast of an order-independent
+    * aggregate, so no global float sum exists anywhere; the per-node
+    * sums fold value-sorted lists (the pagerank idiom).
+    *
+    * Scale: edges are the DISTINCT (user, item) purchase pairs; every
+    * round is two keyed aggregations + one scalar-max broadcast. The
+    * item side is catalogue-bounded; the user side shards on user_id.
+    */
+  def hits(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables
+      .events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .distinct()
+      .persist()
+    val users = edges.select(col("user_id")).distinct()
+    var hub = users.select(col("user_id"), lit(1.0).as("h"))
+    var auth: DataFrame = null
+    val foldSum = (c: Column) =>
+      aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)
+    for (_ <- 1 to 4) {
+      val aRaw = edges
+        .join(hub, "user_id")
+        .groupBy(col("item"))
+        .agg(foldSum(col("h")).as("a_raw"))
+      val aMax = aRaw.agg(max(col("a_raw")).as("am"))
+      auth = aRaw
+        .crossJoin(broadcast(aMax))
+        .select(col("item"), (col("a_raw") / col("am")).as("a"))
+      val hRaw = edges
+        .join(auth, "item")
+        .groupBy(col("user_id"))
+        .agg(foldSum(col("a")).as("h_raw"))
+      val hMax = hRaw.agg(max(col("h_raw")).as("hm"))
+      hub = hRaw
+        .crossJoin(broadcast(hMax))
+        .select(col("user_id"), (col("h_raw") / col("hm")).as("h"))
+    }
+    val out = auth
+      .select(lit("item").as("kind"), col("item").as("id"), q6(col("a")).as("score"))
+      .unionAll(
+        hub.select(lit("user").as("kind"), col("user_id").as("id"), q6(col("h")).as("score")))
+    edges.unpersist()
+    out
+  }
+
+  val hitsSql: String = {
+    val rounds = (1 to 4)
+      .map { r =>
+        s"""ar$r AS (SELECT e.item,
+                        list_reduce(list_sort(list(h.h)), (a, b) -> a + b) AS a_raw
+                 FROM edges e JOIN h${r - 1} h ON e.user_id = h.user_id
+                 GROUP BY 1),
+         a$r AS (SELECT item, a_raw / (SELECT max(a_raw) FROM ar$r) AS a FROM ar$r),
+         hr$r AS (SELECT e.user_id,
+                        list_reduce(list_sort(list(a.a)), (x, y) -> x + y) AS h_raw
+                 FROM edges e JOIN a$r a ON e.item = a.item
+                 GROUP BY 1),
+         h$r AS (SELECT user_id, h_raw / (SELECT max(h_raw) FROM hr$r) AS h FROM hr$r)"""
+      }
+      .mkString(",\n       ")
+    s"""WITH edges AS (
+         SELECT DISTINCT user_id, CAST(json_extract(props, '$$.k') AS BIGINT) AS item
+         FROM events WHERE event_type = 'purchase'),
+       h0 AS (SELECT DISTINCT user_id, CAST(1.0 AS DOUBLE) AS h FROM edges),
+       $rounds
+       SELECT 'item' AS kind, item AS id, ${q6Sql("a")} AS score FROM a4
+       UNION ALL
+       SELECT 'user' AS kind, user_id AS id, ${q6Sql("h")} AS score FROM h4"""
+  }
+}
