@@ -77,6 +77,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ZOrderKey.builder))
     ext.injectFunction(
       (
+        FunctionIdentifier("dtw_dist"),
+        info(
+          "dtw_dist",
+          "dtw_dist(a, b, r) - banded dynamic-time-warping distance over bigint series"),
+        DtwDistance.builder))
+    ext.injectFunction(
+      (
         FunctionIdentifier("bounded_lev"),
         info(
           "bounded_lev",

@@ -45,7 +45,7 @@ object RobustQueries {
   // shared per-nation monthly revenue series (exact 1e-4-dollar units)
   // --------------------------------------------------------------------
 
-  private def nationMonthlySeries(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def nationMonthlySeries(s: SparkSession, dir: String): DataFrame = {
     val supNation = Tables
       .supplier(s, dir)
       .select(col("s_suppkey"), col("s_nationkey"))
@@ -69,7 +69,7 @@ object RobustQueries {
       .agg(sum(col("rev4")).as("y"))
   }
 
-  private val seriesCteSql: String =
+  private[queries] val seriesCteSql: String =
     """series AS (
          SELECT n.n_name,
                 (year(l.l_shipdate) - 1995) * 12 + month(l.l_shipdate) - 1 AS m,

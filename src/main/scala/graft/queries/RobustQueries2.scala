@@ -305,4 +305,84 @@ object RobustQueries2 {
        UNION ALL
        SELECT 'user' AS kind, user_id AS id, ${q6Sql("h")} AS score FROM h4"""
   }
+
+  // --------------------------------------------------------------------
+  // q_dtw — banded Dynamic Time Warping over nation revenue curves
+  // --------------------------------------------------------------------
+
+  /** Pairwise banded DTW distance between per-nation monthly revenue
+    * curves (Sakoe–Chiba r = 10) — the elastic time-series similarity
+    * that rigid lag-free metrics (Euclidean, correlation) get wrong when
+    * seasonal peaks shift a month: which nations' revenue rhythms track
+    * each other?
+    *
+    * The kernel is [[graft.plans.DtwDistance]], a codegen'd Catalyst
+    * expression over exact BIGINT series — the whole DP stays integer,
+    * so the DuckDB oracle replays the identical recurrence by
+    * anti-diagonal recursion (each recursive step advances one
+    * anti-diagonal; within a diagonal the cells are independent, which
+    * is what makes the list-transform step exact) and matches
+    * hash-for-hash. dtw_norm is the per-step cost in dollars.
+    *
+    * Scale: series are |nation|×|months|-bounded aggregates; the pair
+    * grid is bounded; the DP is fused into the projection by codegen.
+    */
+  def dtw(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.DtwDistance.register(s)
+    val arr = RobustQueries
+      .nationMonthlySeries(s, dir)
+      .groupBy(col("n_name"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("m"), col("y")))),
+          x => x.getField("y")).as("ys"),
+        count(lit(1)).as("len"))
+    val a = arr.select(col("n_name").as("nation_a"), col("ys").as("ya"), col("len").as("la"))
+    val b = arr.select(col("n_name").as("nation_b"), col("ys").as("yb"), col("len").as("lb"))
+    a.join(b, col("nation_a") < col("nation_b"))
+      .select(
+        col("nation_a"),
+        col("nation_b"),
+        expr("dtw_dist(ya, yb, 10)").as("dtw"),
+        col("la"),
+        col("lb"))
+      .select(
+        col("nation_a"),
+        col("nation_b"),
+        col("dtw"),
+        q6(col("dtw").cast("double") / lit(1e4) / (col("la") + col("lb")).cast("double"))
+          .as("dtw_norm"))
+  }
+
+  val dtwSql: String =
+    s"""WITH RECURSIVE ${RobustQueries.seriesCteSql},
+       arr AS (
+         SELECT n_name,
+                list_transform(list_sort(list({'m': m, 'y': y})), x -> x.y) AS ys,
+                count(*) AS len
+         FROM series GROUP BY 1),
+       pairs AS (
+         SELECT a.n_name AS nation_a, b.n_name AS nation_b,
+                a.ys AS ya, b.ys AS yb,
+                CAST(a.len AS INT) AS n, CAST(b.len AS INT) AS m
+         FROM arr a JOIN arr b ON a.n_name < b.n_name),
+       dp AS (
+         SELECT nation_a, nation_b, ya, yb, n, m, 0 AS d,
+                list_transform(range(1, n + 1), ii ->
+                  CASE WHEN ii = 1 THEN abs(ya[1] - yb[1]) ELSE NULL END) AS cur,
+                CAST(NULL AS BIGINT[]) AS prev
+         FROM pairs
+         UNION ALL
+         SELECT nation_a, nation_b, ya, yb, n, m, d + 1,
+                list_transform(range(1, n + 1), ii ->
+                  CASE WHEN (d + 1 - (ii - 1)) BETWEEN 0 AND (m - 1)
+                         AND abs((ii - 1) - (d + 1 - (ii - 1))) <= 10
+                    THEN abs(ya[ii] - yb[d + 3 - ii])
+                         + least(cur[ii - 1], cur[ii], prev[ii - 1])
+                    ELSE NULL END) AS cur,
+                cur AS prev
+         FROM dp WHERE d < n + m - 2)
+       SELECT nation_a, nation_b, cur[n] AS dtw,
+              ${q6Sql("CAST(cur[n] AS DOUBLE) / 1e4 / CAST(n + m AS DOUBLE)")} AS dtw_norm
+       FROM dp WHERE d = n + m - 2"""
 }
