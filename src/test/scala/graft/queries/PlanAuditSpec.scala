@@ -915,4 +915,56 @@ class PlanAuditSpec extends AnyFunSuite {
       "cell counts must be persisted once and reused\n" + p.take(1500))
     assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(2000))
   }
+
+  // ------------------------------------------------------------------
+  // robust-stats / eval family (r11): every nested-loop join must sit
+  // above an AGGREGATE (bounded series / bin / scalar tables — never raw
+  // fact rows), and every UNPARTITIONED window must rank an aggregate,
+  // not the data. These two properties are exactly what makes the
+  // family's O(n²)-looking math safe at 100 TB.
+  // ------------------------------------------------------------------
+
+  private def assertBoundedShapes(name: String): String = {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, SortAggregateExec, ObjectHashAggregateExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    df.collect()
+    def hasAgg(n: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      n.collectFirst {
+        case a: HashAggregateExec => a
+        case a: SortAggregateExec => a
+        case a: ObjectHashAggregateExec => a
+      }.isDefined
+    val root = df.queryExecution.executedPlan
+    root.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
+      assert(j.children.exists(hasAgg),
+        s"$name: nested-loop join fed by raw rows\n" + j.toString.take(1500))
+    }
+    root.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.foreach { w =>
+      assert(hasAgg(w.child),
+        s"$name: unpartitioned window over non-aggregate input\n" + w.toString.take(1500))
+    }
+    root.toString
+  }
+
+  test("q_theil_sen / q_mann_kendall: pair join is nation-keyed; windows partitioned or bounded") {
+    for (q <- Seq("q_theil_sen", "q_mann_kendall")) {
+      val p = assertBoundedShapes(q)
+      assert(
+        """(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[n_name""".r.findFirstIn(p).isDefined,
+        s"$q: series pair join must be equi on n_name\n" + p.take(2500))
+    }
+  }
+
+  test("q_conformal_interval: rank-k selection never sorts globally — bucket windows only") {
+    val p = assertBoundedShapes("q_conformal_interval")
+    assert(!p.contains("rangepartitioning"),
+      "global sort crept into the conformity-quantile selection\n" + p.take(2500))
+  }
+
+  test("q_isotonic_fit / q_dtw / q_ndcg / q_hits: all solve phases ride bounded aggregates") {
+    for (q <- Seq("q_isotonic_fit", "q_dtw", "q_ndcg", "q_hits")) assertBoundedShapes(q)
+    spark.catalog.clearCache() // q_hits persists its edge list
+  }
 }
