@@ -1,0 +1,252 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequential-decision analytics: always-valid sequential testing
+  * (the "peeking problem" fix for experiment dashboards) and absorbing
+  * Markov-chain journey analysis (expected steps / conversion
+  * probability per funnel state). Same exactness contract as
+  * [[RobustQueries]]: exact integer cumulative sums, one shared
+  * closed-form expression tree per engine, ordered folds for every
+  * float sum, tie-free `floor(x·10⁶+0.5)/10⁶` outputs.
+  */
+object SequentialQueries {
+
+  private def q6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+  private def q6Sql(e: String): String = s"floor(($e) * 1e6 + 0.5) / 1e6"
+
+  // --------------------------------------------------------------------
+  // q_msprt — mixture-SPRT always-valid experiment monitoring
+  // --------------------------------------------------------------------
+
+  /** Mixture sequential probability ratio test (Johari et al., "Peeking
+    * at A/B tests") over a daily-checkpointed two-arm experiment (arm =
+    * user_id parity, success = purchase among click/purchase events):
+    * at each day, from exact cumulative counts,
+    *
+    *   θ̂ = x̂A/nA − x̂B/nB,  V = p̂(1−p̂)(1/nA + 1/nB),
+    *   Λ = √(V/(V+τ²)) · exp(θ̂²τ² / (2V(V+τ²))),  τ² = 0.01,
+    *   p_seq = running min of min(1, 1/Λ)
+    *
+    * — the always-valid p-value a dashboard may refresh daily without
+    * inflating false positives. Both engines build Λ from the same
+    * integer cumulatives with the same expression tree, so the doubles
+    * are bit-identical.
+    *
+    * Scale: one keyed (day, arm) aggregate over the stream; everything
+    * after runs on the bounded day axis.
+    */
+  def msprt(s: SparkSession, dir: String): DataFrame = {
+    val tau2 = 0.01
+    val daily = Tables
+      .events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).cast("long").as("d"),
+        (col("user_id") % 2).as("arm"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("x"))
+      .groupBy(col("d"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("xa"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("xb"))
+    // cumulative sums over the bounded day-axis aggregate
+    val wCum = Window.orderBy(col("d")).rowsBetween(Window.unboundedPreceding, 0)
+    val cum = daily
+      .select(
+        col("d"),
+        sum(col("na")).over(wCum).as("cna"),
+        sum(col("xa")).over(wCum).as("cxa"),
+        sum(col("nb")).over(wCum).as("cnb"),
+        sum(col("xb")).over(wCum).as("cxb"))
+      .filter(col("cna") > 0 && col("cnb") > 0)
+      .withColumn(
+        "phat",
+        (col("cxa") + col("cxb")).cast("double") / (col("cna") + col("cnb")).cast("double"))
+      .filter(col("phat") > 0.0 && col("phat") < 1.0)
+      .withColumn(
+        "theta",
+        col("cxa").cast("double") / col("cna").cast("double") -
+          col("cxb").cast("double") / col("cnb").cast("double"))
+      .withColumn(
+        "v",
+        col("phat") * (lit(1.0) - col("phat")) *
+          (lit(1.0) / col("cna").cast("double") + lit(1.0) / col("cnb").cast("double")))
+      .withColumn(
+        "lam",
+        sqrt(col("v") / (col("v") + lit(tau2))) *
+          exp(col("theta") * col("theta") * lit(tau2) /
+            (lit(2.0) * col("v") * (col("v") + lit(tau2)))))
+    cum
+      .withColumn(
+        "p_seq",
+        min(least(lit(1.0), lit(1.0) / col("lam"))).over(wCum))
+      .select(
+        col("d"),
+        col("cna").as("n_a"),
+        col("cnb").as("n_b"),
+        q6(col("theta")).as("theta"),
+        q6(col("lam")).as("lambda"),
+        q6(col("p_seq")).as("p_seq"))
+  }
+
+  val msprtSql: String =
+    s"""WITH daily AS (
+         SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+                CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                CAST(sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS xa,
+                CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+                CAST(sum(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS xb
+         FROM events WHERE event_type IN ('click', 'purchase')
+         GROUP BY 1),
+       cum0 AS (
+         SELECT d,
+                CAST(sum(na) OVER w AS BIGINT) AS cna,
+                CAST(sum(xa) OVER w AS BIGINT) AS cxa,
+                CAST(sum(nb) OVER w AS BIGINT) AS cnb,
+                CAST(sum(xb) OVER w AS BIGINT) AS cxb
+         FROM daily
+         WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       cum1 AS (
+         SELECT *,
+                CAST(cxa + cxb AS DOUBLE) / CAST(cna + cnb AS DOUBLE) AS phat
+         FROM cum0 WHERE cna > 0 AND cnb > 0),
+       cum2 AS (
+         SELECT *,
+                CAST(cxa AS DOUBLE) / CAST(cna AS DOUBLE)
+                  - CAST(cxb AS DOUBLE) / CAST(cnb AS DOUBLE) AS theta,
+                phat * (1.0 - phat)
+                  * (1.0 / CAST(cna AS DOUBLE) + 1.0 / CAST(cnb AS DOUBLE)) AS v
+         FROM cum1 WHERE phat > 0.0 AND phat < 1.0),
+       cum3 AS (
+         SELECT *,
+                sqrt(v / (v + 0.01))
+                  * exp(theta * theta * 0.01 / (2.0 * v * (v + 0.01))) AS lam
+         FROM cum2)
+       SELECT d, cna AS n_a, cnb AS n_b,
+              ${q6Sql("theta")} AS theta,
+              ${q6Sql("lam")} AS lambda,
+              ${q6Sql(
+        """min(least(1.0, 1.0 / lam)) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")} AS p_seq
+       FROM cum3"""
+
+  // --------------------------------------------------------------------
+  // q_absorbing_markov — expected steps / conversion probability
+  // --------------------------------------------------------------------
+
+  /** Absorbing Markov-chain analysis of the user journey: states are
+    * event types, `purchase` and the virtual `END` (chain termination)
+    * absorb; from the row-normalized transient transition matrix Q and
+    * conversion column R, iterate the fundamental-matrix series
+    *
+    *   t ← 1 + Q·t   (expected steps to absorption)
+    *   b ← R + Q·b   (probability of absorbing in `purchase`)
+    *
+    * 20 synchronous rounds — the journey-length / conversion-odds
+    * readout per funnel state (the attribution companion to
+    * q_markov_attribution's removal effects). Both engines unroll the
+    * same 20 rounds over the ≤4×5 matrix with value-ordered ≤4-term
+    * folds, so every iterate is bit-identical.
+    *
+    * Scale: one user-partitioned lead() pass builds transitions; all
+    * 20 rounds run on the state-vocabulary-bounded matrix.
+    */
+  def absorbingMarkov(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Tables
+      .events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", coalesce(lead(col("event_type"), 1).over(byUser), lit("END")))
+      .filter(col("event_type") =!= "purchase") // absorbing: no outgoing edges
+      .groupBy(col("event_type").as("a"), col("next_type").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    val rowTot = trans.groupBy(col("a")).agg(sum(col("n")).as("ca"))
+    val prob = trans
+      .join(rowTot, "a")
+      .select(col("a"), col("b"), (col("n").cast("double") / col("ca").cast("double")).as("p"))
+    val q = prob.filter(col("b") =!= "purchase" && col("b") =!= "END")
+    val rp = prob.filter(col("b") === "purchase").select(col("a"), col("p").as("r"))
+    val states = rowTot.select(col("a"), col("ca"))
+    val foldSum = (c: Column) =>
+      aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)
+    var t = states.select(col("a"), lit(0.0).as("t"))
+    var bb = states.select(col("a"), lit(0.0).as("bb"))
+    for (_ <- 1 to 20) {
+      val qt = q
+        .join(t.withColumnRenamed("a", "b").withColumnRenamed("t", "tb"), "b")
+        .groupBy(col("a"))
+        .agg(foldSum(col("p") * col("tb")).as("qt"))
+      t = states
+        .join(qt, Seq("a"), "left")
+        .select(col("a"), (lit(1.0) + coalesce(col("qt"), lit(0.0))).as("t"))
+      val qb = q
+        .join(bb.withColumnRenamed("a", "b").withColumnRenamed("bb", "bv"), "b")
+        .groupBy(col("a"))
+        .agg(foldSum(col("p") * col("bv")).as("qb"))
+      bb = states
+        .join(rp, Seq("a"), "left")
+        .join(qb, Seq("a"), "left")
+        .select(
+          col("a"),
+          (coalesce(col("r"), lit(0.0)) + coalesce(col("qb"), lit(0.0))).as("bb"))
+    }
+    val out = states
+      .join(t, "a")
+      .join(bb, "a")
+      .select(
+        col("a").as("state"),
+        col("ca").as("n_out"),
+        q6(col("t")).as("exp_steps"),
+        q6(col("bb")).as("p_convert"))
+    trans.unpersist()
+    out
+  }
+
+  val absorbingMarkovSql: String = {
+    val rounds = (1 to 20)
+      .map { r =>
+        s"""t$r AS MATERIALIZED (
+           SELECT s.a, 1.0 + coalesce(qt.v, 0.0) AS t
+           FROM states s LEFT JOIN (
+             SELECT q.a, list_reduce(list_sort(list(q.p * p.t)), (x, y) -> x + y) AS v
+             FROM q JOIN t${r - 1} p ON q.b = p.a GROUP BY 1) qt ON s.a = qt.a),
+         b$r AS MATERIALIZED (
+           SELECT s.a, coalesce(rp.r, 0.0) + coalesce(qb.v, 0.0) AS bb
+           FROM states s
+           LEFT JOIN rp ON s.a = rp.a
+           LEFT JOIN (
+             SELECT q.a, list_reduce(list_sort(list(q.p * p.bb)), (x, y) -> x + y) AS v
+             FROM q JOIN b${r - 1} p ON q.b = p.a GROUP BY 1) qb ON s.a = qb.a)"""
+      }
+      .mkString(",\n       ")
+    s"""WITH seq AS MATERIALIZED (
+         SELECT user_id, event_type,
+                coalesce(lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY CAST(ts AS TIMESTAMP), event_id), 'END') AS next_type
+         FROM events),
+       trans AS MATERIALIZED (
+         SELECT event_type AS a, next_type AS b, count(*) AS n
+         FROM seq WHERE event_type <> 'purchase' GROUP BY 1, 2),
+       states AS MATERIALIZED (SELECT a, CAST(sum(n) AS BIGINT) AS ca FROM trans GROUP BY 1),
+       prob AS MATERIALIZED (
+         SELECT t.a, t.b, CAST(t.n AS DOUBLE) / CAST(s.ca AS DOUBLE) AS p
+         FROM trans t JOIN states s ON t.a = s.a),
+       q AS MATERIALIZED (SELECT * FROM prob WHERE b <> 'purchase' AND b <> 'END'),
+       rp AS MATERIALIZED (SELECT a, p AS r FROM prob WHERE b = 'purchase'),
+       t0 AS MATERIALIZED (SELECT a, CAST(0.0 AS DOUBLE) AS t FROM states),
+       b0 AS MATERIALIZED (SELECT a, CAST(0.0 AS DOUBLE) AS bb FROM states),
+       $rounds
+       SELECT s.a AS state, s.ca AS n_out,
+              ${q6Sql("t20.t")} AS exp_steps,
+              ${q6Sql("b20.bb")} AS p_convert
+       FROM states s JOIN t20 ON s.a = t20.a JOIN b20 ON s.a = b20.a"""
+  }
+}
