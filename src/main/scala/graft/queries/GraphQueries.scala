@@ -732,4 +732,180 @@ object GraphQueries {
        $rounds
        SELECT node AS doc_id, CAST(hops AS BIGINT) AS hops FROM d$maxHops"""
   }
+
+  // --------------------------------------------------------------------
+  // q_betweenness — sampled-source Brandes betweenness centrality
+  // --------------------------------------------------------------------
+
+  /** Brandes betweenness from K = 4 deterministic sample sources (the 4
+    * smallest node ids) over the similarity graph — the brokerage
+    * centrality completing the family ([[pagerank]] = prestige,
+    * [[graft.queries.RobustQueries2.hits]] = hub/authority): a
+    * high-betweenness document sits on the shortest paths BETWEEN
+    * near-duplicate neighborhoods.
+    *
+    * Two level-synchronous phases, both exact:
+    *  - forward: BFS levels with path COUNTS σ (integer sums over
+    *    level-(d−1) predecessors), fail-closed on the `maxHops` budget
+    *    like [[bfsHops]];
+    *  - backward (Brandes accumulation), levels L→1:
+    *    δ(v) = Σ_{w: d(w)=d(v)+1} (σᵥ/σ_w)(1+δ_w) with value-ordered
+    *    folds — each node's δ is SET exactly once, after all its
+    *    successors are final.
+    * bc(v) = Σ_s δ_s(v) over the sources (v ≠ s, ≤4-term ordered fold).
+    *
+    * Scale: per-round joins are edge-keyed, state is
+    * (sources × nodes)-bounded, rounds = graph diameter. Sampled-source
+    * Brandes is the standard graph-scale approximation (Bader et al.) —
+    * exact per source, sampled over sources.
+    */
+  def betweenness(
+      s: SparkSession,
+      dir: String,
+      minCommon: Int = 12,
+      maxHops: Int = 8,
+      nSources: Int = 4): DataFrame = {
+    val foldSum = (c: org.apache.spark.sql.Column) =>
+      aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)
+    val q6 = (c: org.apache.spark.sql.Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val edges = symmetricEdges(s, dir, minCommon)
+    val nodes = edges.select(col("src").as("node")).distinct().persist()
+    val sources = nodes.orderBy(col("node")).limit(nSources).select(col("node").as("s"))
+    var fw = sources
+      .select(col("s"), col("s").as("node"), lit(0L).as("d"), lit(1L).as("sigma"))
+      .localCheckpoint()
+    var size = fw.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxHops) {
+      val frontier = fw
+        .filter(col("d") === round)
+        .select(col("s"), col("node"), col("sigma"))
+      val cand = frontier
+        .join(edges, col("node") === col("src"))
+        .groupBy(col("s"), col("dst"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("s"), col("dst").as("node"), col("sigma"))
+      val newv = cand
+        .join(
+          fw.select(col("s").as("s2"), col("node").as("n2")),
+          col("s") === col("s2") && col("node") === col("n2"),
+          "left_anti")
+        .select(col("s"), col("node"), lit(round + 1L).as("d"), col("sigma"))
+      // localCheckpoint (not persist): the loop references its own
+      // output multiple times per round, so a lineage-only cache makes
+      // Catalyst re-analysis grow 3^rounds (the ConnectedComponents
+      // lesson — heap-death at round ~8)
+      val next = fw.unionByName(newv).localCheckpoint()
+      val n = next.count()
+      if (n == size) converged = true
+      else { fw = next; size = n }
+      round += 1
+    }
+    require(converged,
+      s"Brandes frontier still growing after $maxHops hops — raise maxHops " +
+        "(and regenerate the unrolled oracle) for this graph")
+    var bwd = fw.withColumn("dl", lit(0.0)).localCheckpoint()
+    var lev = maxHops
+    while (lev >= 1) {
+      val succ = bwd
+        .filter(col("d") === lev)
+        .select(
+          col("s").as("s_w"),
+          col("node").as("w"),
+          col("sigma").as("sigma_w"),
+          col("dl").as("dl_w"))
+      val vlev = bwd
+        .filter(col("d") === lev - 1)
+        .select(col("s").as("s_v"), col("node").as("v"), col("sigma").as("sigma_v"))
+      val term = vlev
+        .join(edges, col("v") === col("src"))
+        .join(succ, col("s_v") === col("s_w") && col("dst") === col("w"))
+        .groupBy(col("s_v"), col("v"))
+        .agg(foldSum(
+          (col("sigma_v").cast("double") / col("sigma_w").cast("double")) *
+            (lit(1.0) + col("dl_w"))).as("term"))
+        .select(col("s_v").as("s3"), col("v").as("n3"), col("term"))
+      val next = bwd
+        .join(term, col("s") === col("s3") && col("node") === col("n3"), "left")
+        .select(
+          col("s"),
+          col("node"),
+          col("d"),
+          col("sigma"),
+          when(col("d") === lev - 1, coalesce(col("term"), lit(0.0)))
+            .otherwise(col("dl"))
+            .as("dl"))
+        .localCheckpoint()
+      bwd = next
+      lev -= 1
+    }
+    val bc = bwd
+      .filter(col("node") =!= col("s"))
+      .groupBy(col("node"))
+      .agg(foldSum(col("dl")).as("bc"))
+    val out = nodes
+      .join(bc, Seq("node"), "left")
+      .select(col("node").as("doc_id"), q6(coalesce(col("bc"), lit(0.0))).as("betweenness"))
+    val rows = out.localCheckpoint()
+    nodes.unpersist()
+    edges.unpersist()
+    rows
+  }
+
+  /** Exact oracle for [[betweenness]]: both phases unrolled `maxHops`
+    * times (extra rounds past the fixpoint are identity), every CTE
+    * MATERIALIZED so DuckDB plans each round once.
+    */
+  def betweennessSql(minCommon: Int = 12, maxHops: Int = 8, nSources: Int = 4): String = {
+    val fwd = (1 to maxHops)
+      .map { l =>
+        s"""f$l AS MATERIALIZED (
+           SELECT * FROM f${l - 1}
+           UNION ALL
+           SELECT c.s, c.node, $l AS d, c.sigma FROM (
+             SELECT f.s, e.dst AS node, CAST(sum(f.sigma) AS BIGINT) AS sigma
+             FROM f${l - 1} f JOIN edges e ON f.node = e.src
+             WHERE f.d = ${l - 1}
+             GROUP BY 1, 2) c
+           WHERE NOT EXISTS (SELECT 1 FROM f${l - 1} x
+                             WHERE x.s = c.s AND x.node = c.node))"""
+      }
+      .mkString(",\n       ")
+    val bwd = (1 to maxHops)
+      .map { k =>
+        val lev = maxHops - k + 1 // b$k sets δ for nodes at level lev-1
+        s"""b$k AS MATERIALIZED (
+           SELECT p.s, p.node, p.d, p.sigma,
+                  CASE WHEN p.d = ${lev - 1} THEN coalesce(t.term, 0.0)
+                       ELSE p.dl END AS dl
+           FROM b${k - 1} p LEFT JOIN (
+             SELECT v.s, v.node,
+                    list_reduce(list_sort(list(
+                      (CAST(v.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE))
+                        * (1.0 + w.dl))),
+                      (x, y) -> x + y) AS term
+             FROM b${k - 1} v
+             JOIN edges e ON v.node = e.src
+             JOIN b${k - 1} w ON w.s = v.s AND w.node = e.dst AND w.d = v.d + 1
+             WHERE v.d = ${lev - 1} AND w.d = $lev
+             GROUP BY 1, 2) t ON p.s = t.s AND p.node = t.node)"""
+      }
+      .mkString(",\n       ")
+    s"""WITH ${graphCtesSql(minCommon)},
+       $edgesCteSql,
+       nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+       srcs AS (SELECT node AS s FROM nodes ORDER BY node LIMIT $nSources),
+       f0 AS MATERIALIZED (SELECT s, s AS node, 0 AS d, CAST(1 AS BIGINT) AS sigma
+                           FROM srcs),
+       $fwd,
+       b0 AS MATERIALIZED (SELECT s, node, d, sigma, CAST(0.0 AS DOUBLE) AS dl
+                           FROM f$maxHops),
+       $bwd
+       SELECT n.node AS doc_id,
+              floor(coalesce(bc.v, 0.0) * 1e6 + 0.5) / 1e6 AS betweenness
+       FROM nodes n LEFT JOIN (
+         SELECT node, list_reduce(list_sort(list(dl)), (x, y) -> x + y) AS v
+         FROM b$maxHops WHERE node <> s GROUP BY 1) bc ON n.node = bc.node"""
+  }
 }
