@@ -385,4 +385,165 @@ object RobustQueries2 {
        SELECT nation_a, nation_b, cur[n] AS dtw,
               ${q6Sql("CAST(cur[n] AS DOUBLE) / 1e4 / CAST(n + m AS DOUBLE)")} AS dtw_norm
        FROM dp WHERE d = n + m - 2"""
+
+  // --------------------------------------------------------------------
+  // q_emd_1d — 1-D earth mover's distance between arm distributions
+  // --------------------------------------------------------------------
+
+  /** 1-D Wasserstein-1 (earth mover's) distance between the event-value
+    * distributions of the two experiment arms (user_id parity), via the
+    * closed form W₁ = Σ_bins |F_A − F_B| · Δ over a shared 64-bin axis —
+    * the optimal-transport distance an experimentation platform reports
+    * when a mean shift under-describes a distributional change (and the
+    * drift metric embedding pipelines use between corpus snapshots).
+    *
+    * CDF values are ratios of exact BIGINT cumulative counts; the 64
+    * |ΔF| terms are summed by a value-ordered fold. Everything after
+    * the one keyed (bin, arm) aggregate runs on the bounded bin axis.
+    */
+  def emd1d(s: SparkSession, dir: String): DataFrame = {
+    val binned = Tables
+      .events(s, dir)
+      .select(
+        least(lit(63L), expr("CAST(round(value * 100) AS BIGINT) div 768")).as("b"),
+        (col("user_id") % 2).as("arm"))
+      .groupBy(col("b"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"))
+    val wCum = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    val cum = binned
+      .select(
+        col("b"),
+        sum(col("na")).over(wCum).as("ca"),
+        sum(col("nb")).over(wCum).as("cb"),
+        sum(col("na")).over(wAll).as("ta"),
+        sum(col("nb")).over(wAll).as("tb"))
+      .select(
+        col("ta"),
+        col("tb"),
+        abs(
+          col("ca").cast("double") / col("ta").cast("double") -
+            col("cb").cast("double") / col("tb").cast("double")).as("df"))
+    cum
+      .groupBy(col("ta"), col("tb"))
+      .agg(
+        aggregate(array_sort(collect_list(col("df"))), lit(0.0), (acc, x) => acc + x)
+          .as("s"))
+      .select(
+        col("ta").as("n_a"),
+        col("tb").as("n_b"),
+        q6(col("s") * lit(7.68)).as("emd_dollars"))
+  }
+
+  val emd1dSql: String =
+    s"""WITH binned AS (
+         SELECT least(63, CAST(round(value * 100) AS BIGINT) // 768) AS b,
+                CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+         FROM events GROUP BY 1),
+       cum AS (
+         SELECT b,
+                CAST(sum(na) OVER (ORDER BY b
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+                CAST(sum(nb) OVER (ORDER BY b
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb,
+                CAST(sum(na) OVER () AS BIGINT) AS ta,
+                CAST(sum(nb) OVER () AS BIGINT) AS tb
+         FROM binned)
+       SELECT ta AS n_a, tb AS n_b,
+              ${q6Sql(
+        """list_reduce(list_sort(list(
+             abs(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+                 - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)))),
+             (x, y) -> x + y) * 7.68""")} AS emd_dollars
+       FROM cum GROUP BY ta, tb"""
+
+  // --------------------------------------------------------------------
+  // q_hampel — rolling-median Hampel outlier filter
+  // --------------------------------------------------------------------
+
+  /** Hampel filter over the per-event-type daily count series: rolling
+    * window of 7 (±3 days), rolling median m and MAD; a point is an
+    * outlier when |x − m| > 3·1.4826·MAD, and the filtered series
+    * replaces outliers by the rolling median — the robust despiking
+    * filter (vs. the global-MAD q_anomaly_mad): one bad ingest day
+    * cannot poison its own detection threshold.
+    *
+    * Window medians come from value-sorted ≤7-element lists with the
+    * same 1-based middle-pair rule on both engines; counts are exact
+    * BIGINTs, so medians and MADs are identical doubles. The windows
+    * run per event_type over the bounded day axis.
+    */
+  def hampel(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .events(s, dir)
+      .groupBy(
+        col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).cast("long").as("d"))
+      .agg(count(lit(1)).as("c"))
+    val w7 = Window.partitionBy(col("event_type")).orderBy(col("d")).rowsBetween(-3, 3)
+    val medOf = (arr: Column) => {
+      val sorted = array_sort(arr)
+      val n = size(sorted)
+      // Column `/` is double division; truncate-to-int = floor for the
+      // positive indexes here, matching DuckDB's `//`
+      (element_at(sorted, ((n + 1) / lit(2)).cast("int")).cast("double") +
+        element_at(sorted, ((n + 2) / lit(2)).cast("int")).cast("double")) / lit(2.0)
+    }
+    val withMed = daily
+      .withColumn("win", collect_list(col("c")).over(w7))
+      .withColumn("med", medOf(col("win")))
+    withMed
+      .withColumn(
+        "mad",
+        medOf(transform(col("win"), x => abs(x.cast("double") - col("med")))))
+      .select(
+        col("event_type"),
+        col("d"),
+        col("c"),
+        q6(col("med")).as("med"),
+        q6(col("mad")).as("mad"),
+        when(abs(col("c").cast("double") - col("med")) > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)
+          .as("is_outlier"),
+        q6(
+          when(
+            abs(col("c").cast("double") - col("med")) > lit(3.0) * lit(1.4826) * col("mad"),
+            col("med")).otherwise(col("c").cast("double"))).as("filtered"))
+  }
+
+  val hampelSql: String =
+    s"""WITH daily AS (
+         SELECT event_type,
+                date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+                count(*) AS c
+         FROM events GROUP BY 1, 2),
+       win AS (
+         SELECT event_type, d, c,
+                list(c) OVER (PARTITION BY event_type ORDER BY d
+                  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS win
+         FROM daily),
+       med AS (
+         SELECT *,
+                (CAST(list_sort(win)[(len(win) + 1) // 2] AS DOUBLE)
+                 + CAST(list_sort(win)[(len(win) + 2) // 2] AS DOUBLE)) / 2.0 AS med
+         FROM win),
+       mad AS (
+         SELECT *,
+                (CAST(list_sort(list_transform(win, x -> abs(CAST(x AS DOUBLE) - med)))
+                        [(len(win) + 1) // 2] AS DOUBLE)
+                 + CAST(list_sort(list_transform(win, x -> abs(CAST(x AS DOUBLE) - med)))
+                        [(len(win) + 2) // 2] AS DOUBLE)) / 2.0 AS mad
+         FROM med)
+       SELECT event_type, d, c,
+              ${q6Sql("med")} AS med,
+              ${q6Sql("mad")} AS mad,
+              CAST(CASE WHEN abs(CAST(c AS DOUBLE) - med) > 3.0 * 1.4826 * mad
+                   THEN 1 ELSE 0 END AS BIGINT) AS is_outlier,
+              ${q6Sql(
+        """CASE WHEN abs(CAST(c AS DOUBLE) - med) > 3.0 * 1.4826 * mad
+                THEN med ELSE CAST(c AS DOUBLE) END""")} AS filtered
+       FROM mad"""
 }
