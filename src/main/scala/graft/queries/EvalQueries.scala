@@ -1,0 +1,532 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generation-evaluation and multiple-testing family: corpus BLEU
+  * (Papineni et al. 2002), micro-averaged ROUGE-N (Lin 2004),
+  * Benjamini–Hochberg FDR control over a family of Welch z-tests
+  * (Benjamini & Hochberg 1995), and Maximal Marginal Relevance
+  * diversified re-ranking (Carbonell & Goldstein 1998).
+  *
+  * Exactness contract (same as [[RobustQueries]]): every count stays an
+  * exact BIGINT until one final double expression evaluated identically
+  * by both engines; outputs are quantized `floor(x·10⁶+0.5)/10⁶`; the
+  * BH p-values are quantized to 1e-9 BEFORE ranking so the order is
+  * engine-stable; the one transcendental (exp in the erf polynomial and
+  * the BLEU geometric mean) is shared as the SAME SQL text between the
+  * Spark plan and the DuckDB oracle.
+  *
+  * The evaluation pairs are the deterministic fixture pairing
+  * (candidate `doc_id d`, reference `d + 20`): `source = doc_id % 20`,
+  * so both sides of a pair share a source and every source contributes
+  * ~`|docs|/20` pairs.
+  */
+object EvalQueries {
+
+  private def q6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+  private def q6Sql(e: String): String = s"floor(($e) * 1e6 + 0.5) / 1e6"
+
+  // --------------------------------------------------------------------
+  // shared: candidate/reference document pairs
+  // --------------------------------------------------------------------
+
+  /** (pair_id, source, cw, rw): candidate tokens and reference tokens
+    * for the (d, d+20) same-source pairing. One equi-join on doc_id —
+    * shuffles the documents table once; at cluster scale this is the
+    * standard co-partitioned self-join on the pair key.
+    */
+  private def pairedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ", -1).as("w"))
+    val cand = d.select(col("doc_id").as("pair_id"), col("source"), col("w").as("cw"))
+    val ref = d.select((col("doc_id") - 20).as("pair_id"), col("w").as("rw"))
+    cand.join(ref, "pair_id")
+  }
+
+  private val pairedDocsSql: String =
+    """d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       p AS (SELECT c.doc_id AS pair_id, c.source, c.w AS cw, r.w AS rw
+             FROM d c JOIN d r ON r.doc_id = c.doc_id + 20)"""
+
+  /** All n-grams for n in 1..maxN of token array `arr`, as
+    * (n, gram) structs. `slice(sequence(1, size), 1, greatest(len-n+1, 0))`
+    * instead of `sequence(1, len-n+1)` because Spark's `sequence(1, 0)`
+    * counts DOWN ([1, 0]) rather than returning empty.
+    */
+  private def gramsExpr(arr: String, maxN: Int): String =
+    s"""flatten(transform(sequence(1, $maxN), n ->
+          transform(slice(sequence(1, size($arr)), 1, greatest(size($arr) - n + 1, 0)),
+                    i -> named_struct('n', n, 'gram', concat_ws(' ', slice($arr, i, n))))))"""
+
+  /** DuckDB twin: chained lateral unnests (generate_series(1, 0) is
+    * empty in DuckDB, so no guard needed); slice is 1-based inclusive.
+    */
+  private def gramsSqlFrom(src: String, arr: String, maxN: Int): String =
+    s"""FROM $src, unnest(generate_series(1, $maxN)) t(n),
+          unnest(generate_series(1, len($arr) - n + 1)) ss(i)"""
+
+  // --------------------------------------------------------------------
+  // q_bleu — corpus-level BLEU-4 per source
+  // --------------------------------------------------------------------
+
+  /** Corpus BLEU-4 per source over the fixture pairs: clipped modified
+    * n-gram precision p_n = Σ_pairs min(cand_count, ref_count) /
+    * Σ_pairs cand_count for n = 1..4, brevity penalty
+    * exp(min(0, 1 − rlen/clen)), BLEU = BP · exp(¼ Σ ln p_n) (0 when
+    * any p_n is 0).
+    *
+    * Scale: the gram stream aggregates map-side on (pair, n, gram)
+    * before the one corpus-sized shuffle; the candidate↔reference clip
+    * join is an equi-join on the same key (co-partitioned with the
+    * aggregate — AQE reuses the exchange); everything after the
+    * per-(source, n) rollup is a 20-row table. All ratios are ratios of
+    * exact BIGINT sums; ln/exp run once per source on those ratios with
+    * the operand order fixed by the expression text.
+    */
+  def bleuCorpus(s: SparkSession, dir: String): DataFrame = {
+    val pairs = pairedDocs(s, dir)
+    val cg = pairs
+      .select(col("pair_id"), col("source"), explode(expr(gramsExpr("cw", 4))).as("g"))
+      .groupBy(col("pair_id"), col("source"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .agg(count(lit(1)).as("c_cnt"))
+    val rg = pairs
+      .select(col("pair_id"), explode(expr(gramsExpr("rw", 4))).as("g"))
+      .groupBy(col("pair_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .agg(count(lit(1)).as("r_cnt"))
+    val clip = cg
+      .join(rg, Seq("pair_id", "n", "gram"), "left")
+      .groupBy(col("source"), col("n"))
+      .agg(
+        sum(least(col("c_cnt"), coalesce(col("r_cnt"), lit(0L)))).as("m"),
+        sum(col("c_cnt")).as("t"))
+    def pick(n: Int, c: String): Column =
+      sum(when(col("n") === n, col(c)).otherwise(lit(0L)))
+    val wide = clip
+      .groupBy(col("source"))
+      .agg(
+        pick(1, "m").as("m1"), pick(1, "t").as("t1"),
+        pick(2, "m").as("m2"), pick(2, "t").as("t2"),
+        pick(3, "m").as("m3"), pick(3, "t").as("t3"),
+        pick(4, "m").as("m4"), pick(4, "t").as("t4"))
+    val lens = pairs
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(size(col("cw")).cast("long")).as("clen"),
+        sum(size(col("rw")).cast("long")).as("rlen"))
+    def p(n: Int): Column = col(s"m$n").cast("double") / col(s"t$n").cast("double")
+    val bp = when(col("clen") >= col("rlen"), lit(1.0))
+      .otherwise(exp(lit(1.0) - col("rlen").cast("double") / col("clen").cast("double")))
+    val bleu = when(
+      col("m1") > 0 && col("m2") > 0 && col("m3") > 0 && col("m4") > 0,
+      bp * exp((log(p(1)) + log(p(2)) + log(p(3)) + log(p(4))) / lit(4.0)))
+      .otherwise(lit(0.0))
+    lens
+      .join(wide, "source")
+      .select(
+        col("source"), col("n_pairs"), col("clen"), col("rlen"),
+        q6(p(1)).as("p1"), q6(p(2)).as("p2"), q6(p(3)).as("p3"), q6(p(4)).as("p4"),
+        q6(bp).as("bp"), q6(bleu).as("bleu"))
+  }
+
+  val bleuCorpusSql: String = {
+    def p(n: Int) = s"(CAST(m$n AS DOUBLE) / CAST(t$n AS DOUBLE))"
+    val bp = "CASE WHEN clen >= rlen THEN 1.0 " +
+      "ELSE exp(1.0 - CAST(rlen AS DOUBLE) / CAST(clen AS DOUBLE)) END"
+    s"""WITH $pairedDocsSql,
+       cg AS (SELECT pair_id, source, n, array_to_string(cw[i:i+n-1], ' ') AS gram,
+                     count(*) AS c_cnt
+              ${gramsSqlFrom("p", "cw", 4)} GROUP BY 1, 2, 3, 4),
+       rg AS (SELECT pair_id, n, array_to_string(rw[i:i+n-1], ' ') AS gram,
+                     count(*) AS r_cnt
+              ${gramsSqlFrom("p", "rw", 4)} GROUP BY 1, 2, 3),
+       clip AS (
+         SELECT cg.source, cg.n,
+                CAST(sum(least(cg.c_cnt, COALESCE(rg.r_cnt, 0))) AS BIGINT) AS m,
+                CAST(sum(cg.c_cnt) AS BIGINT) AS t
+         FROM cg LEFT JOIN rg
+           ON rg.pair_id = cg.pair_id AND rg.n = cg.n AND rg.gram = cg.gram
+         GROUP BY 1, 2),
+       wide AS (
+         SELECT source,
+                CAST(sum(CASE WHEN n = 1 THEN m ELSE 0 END) AS BIGINT) AS m1,
+                CAST(sum(CASE WHEN n = 1 THEN t ELSE 0 END) AS BIGINT) AS t1,
+                CAST(sum(CASE WHEN n = 2 THEN m ELSE 0 END) AS BIGINT) AS m2,
+                CAST(sum(CASE WHEN n = 2 THEN t ELSE 0 END) AS BIGINT) AS t2,
+                CAST(sum(CASE WHEN n = 3 THEN m ELSE 0 END) AS BIGINT) AS m3,
+                CAST(sum(CASE WHEN n = 3 THEN t ELSE 0 END) AS BIGINT) AS t3,
+                CAST(sum(CASE WHEN n = 4 THEN m ELSE 0 END) AS BIGINT) AS m4,
+                CAST(sum(CASE WHEN n = 4 THEN t ELSE 0 END) AS BIGINT) AS t4
+         FROM clip GROUP BY 1),
+       lens AS (SELECT source, count(*) AS n_pairs,
+                       CAST(sum(len(cw)) AS BIGINT) AS clen,
+                       CAST(sum(len(rw)) AS BIGINT) AS rlen
+                FROM p GROUP BY 1)
+       SELECT source, n_pairs, clen, rlen,
+              ${q6Sql(p(1))} AS p1, ${q6Sql(p(2))} AS p2,
+              ${q6Sql(p(3))} AS p3, ${q6Sql(p(4))} AS p4,
+              ${q6Sql(bp)} AS bp,
+              ${q6Sql(
+        s"""CASE WHEN m1 > 0 AND m2 > 0 AND m3 > 0 AND m4 > 0
+             THEN ($bp) * exp((ln(${p(1)}) + ln(${p(2)}) + ln(${p(3)}) + ln(${p(4)})) / 4.0)
+             ELSE 0.0 END""")} AS bleu
+       FROM lens JOIN wide USING (source)"""
+  }
+
+  // --------------------------------------------------------------------
+  // q_rouge — micro-averaged ROUGE-1/ROUGE-2 per source
+  // --------------------------------------------------------------------
+
+  /** Micro-averaged ROUGE-N (n = 1, 2) per source over the same fixture
+    * pairs: precision = Σ clipped matches / Σ candidate grams, recall =
+    * Σ clipped matches / Σ reference grams (the reference total comes
+    * from the reference gram table itself, NOT the join — grams present
+    * only in the reference still count in the recall denominator), F1
+    * the harmonic mean. Micro-averaging keeps every numerator and
+    * denominator an exact BIGINT sum; a mean of per-pair float F1s
+    * would be summation-order-dependent.
+    */
+  def rougeScores(s: SparkSession, dir: String): DataFrame = {
+    val pairs = pairedDocs(s, dir)
+    val cg = pairs
+      .select(col("pair_id"), col("source"), explode(expr(gramsExpr("cw", 2))).as("g"))
+      .groupBy(col("pair_id"), col("source"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .agg(count(lit(1)).as("c_cnt"))
+    val rg = pairs
+      .select(col("pair_id"), col("source"), explode(expr(gramsExpr("rw", 2))).as("g"))
+      .groupBy(col("pair_id"), col("source"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .agg(count(lit(1)).as("r_cnt"))
+    val matches = cg
+      .join(rg.drop("source"), Seq("pair_id", "n", "gram"), "left")
+      .groupBy(col("source"), col("n"))
+      .agg(
+        sum(least(col("c_cnt"), coalesce(col("r_cnt"), lit(0L)))).as("m"),
+        sum(col("c_cnt")).as("ct"))
+    val refTot = rg
+      .groupBy(col("source"), col("n"))
+      .agg(sum(col("r_cnt")).as("rt"))
+    val prec = col("m").cast("double") / col("ct").cast("double")
+    val rec = col("m").cast("double") / col("rt").cast("double")
+    val f1 = when(col("m") > 0, lit(2.0) * prec * rec / (prec + rec)).otherwise(lit(0.0))
+    matches
+      .join(refTot, Seq("source", "n"))
+      .select(
+        col("source"), col("n").cast("long").as("n"),
+        col("m"), col("ct"), col("rt"),
+        q6(prec).as("prec"), q6(rec).as("rec"), q6(f1).as("f1"))
+  }
+
+  val rougeScoresSql: String = {
+    val prec = "(CAST(m AS DOUBLE) / CAST(ct AS DOUBLE))"
+    val rec = "(CAST(m AS DOUBLE) / CAST(rt AS DOUBLE))"
+    s"""WITH $pairedDocsSql,
+       cg AS (SELECT pair_id, source, n, array_to_string(cw[i:i+n-1], ' ') AS gram,
+                     count(*) AS c_cnt
+              ${gramsSqlFrom("p", "cw", 2)} GROUP BY 1, 2, 3, 4),
+       rg AS (SELECT pair_id, source, n, array_to_string(rw[i:i+n-1], ' ') AS gram,
+                     count(*) AS r_cnt
+              ${gramsSqlFrom("p", "rw", 2)} GROUP BY 1, 2, 3, 4),
+       mt AS (
+         SELECT cg.source, cg.n,
+                CAST(sum(least(cg.c_cnt, COALESCE(rg.r_cnt, 0))) AS BIGINT) AS m,
+                CAST(sum(cg.c_cnt) AS BIGINT) AS ct
+         FROM cg LEFT JOIN rg
+           ON rg.pair_id = cg.pair_id AND rg.n = cg.n AND rg.gram = cg.gram
+         GROUP BY 1, 2),
+       rt AS (SELECT source, n, CAST(sum(r_cnt) AS BIGINT) AS rt
+              FROM rg GROUP BY 1, 2)
+       SELECT source, n, m, ct, rt,
+              ${q6Sql(prec)} AS prec, ${q6Sql(rec)} AS rec,
+              ${q6Sql(s"CASE WHEN m > 0 THEN 2.0 * $prec * $rec / ($prec + $rec) ELSE 0.0 END")} AS f1
+       FROM mt JOIN rt USING (source, n)"""
+  }
+
+  // --------------------------------------------------------------------
+  // q_bh_fdr — Benjamini–Hochberg over a family of Welch z-tests
+  // --------------------------------------------------------------------
+
+  /** One-minus-erf via the Abramowitz & Stegun 7.1.26 polynomial
+    * (|err| < 1.5e-7), i.e. the two-sided normal p-value
+    * p = 2(1 − Φ(|z|)) = 1 − erf(|z|/√2). The SAME SQL text is planted
+    * in both engines so the arithmetic is identical by construction.
+    */
+  private def pValSql(absZ: String): String = {
+    val a = s"(($absZ) / sqrt(2.0))"
+    val t = s"(1.0 / (1.0 + 0.3275911 * $a))"
+    s"""(((((1.061405429 * $t - 1.453152027) * $t + 1.421413741) * $t
+          - 0.284496736) * $t + 0.254829592) * $t * exp(-$a * $a))"""
+  }
+
+  /** Benjamini–Hochberg FDR control (α = 0.05) over the m =
+    * |event_type| × 6 family of Welch z-tests "is the mean spend in
+    * this (type, 4-hour bucket) cell different from the rest of that
+    * type's traffic?". Classic multiple-testing readout for metric
+    * sweeps: z from exact integer (n, Σcents, Σcents²) sums, p from the
+    * shared erf polynomial, p quantized to 1e-9 BEFORE ranking (an
+    * equal-to-15-decimals tie must rank identically in both engines),
+    * rejections = ranks ≤ max{k : p_(k) ≤ αk/m}, and step-up adjusted
+    * p_adj_(k) = min(1, min_{j≥k} p_(j)·m/j).
+    *
+    * Scale: one map-side-combined aggregate over events to the ≤30-row
+    * cell table; every window after it is on that bounded table.
+    */
+  def bhFdr(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        expr("CAST(hour(ts) AS BIGINT) div 4").as("bucket"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("cents")).as("s1"),
+        sum(col("cents") * col("cents")).as("s2"))
+    val tot = Tables
+      .events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("gn"),
+        sum(round(col("value") * 100).cast("long")).as("gs1"),
+        sum(round(col("value") * 100).cast("long")
+          * round(col("value") * 100).cast("long")).as("gs2"))
+    def meanv(s1: Column, n: Column): Column = s1.cast("double") / n.cast("double")
+    def varv(s2: Column, s1: Column, n: Column): Column =
+      (s2.cast("double") - s1.cast("double") * s1.cast("double") / n.cast("double")) /
+        (n - 1).cast("double")
+    val z = cells
+      .join(tot, "event_type")
+      .withColumn("on", col("gn") - col("n"))
+      .withColumn("os1", col("gs1") - col("s1"))
+      .withColumn("os2", col("gs2") - col("s2"))
+      .withColumn(
+        "z",
+        (meanv(col("s1"), col("n")) - meanv(col("os1"), col("on"))) /
+          sqrt(varv(col("s2"), col("s1"), col("n")) / col("n").cast("double") +
+            varv(col("os2"), col("os1"), col("on")) / col("on").cast("double")))
+      .withColumn("p9", floor(expr(pValSql("abs(z)")) * lit(1e9) + lit(0.5)) / lit(1e9))
+    // bounded table (≤ |event_type| × 6 rows): global windows are benign
+    val wRank = Window.orderBy(col("p9"), col("event_type"), col("bucket"))
+    val wAll = Window.partitionBy()
+    val wUp = Window
+      .orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    z.withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn(
+        "kOk",
+        when(col("p9") <= col("rank").cast("double") * lit(0.05) / col("m").cast("double"),
+          col("rank")).otherwise(lit(0L)))
+      .withColumn("kMax", max(col("kOk")).over(wAll))
+      .withColumn(
+        "p_adj",
+        least(lit(1.0),
+          min(col("p9") * col("m").cast("double") / col("rank").cast("double")).over(wUp)))
+      .select(
+        col("event_type"), col("bucket"), col("n"), col("rank"),
+        q6(col("z")).as("z"), col("p9").as("p"),
+        q6(col("p_adj")).as("p_adj"),
+        when(col("rank") <= col("kMax"), 1L).otherwise(0L).as("rejected"))
+  }
+
+  val bhFdrSql: String = {
+    def meanv(s1: String, n: String) = s"(CAST($s1 AS DOUBLE) / CAST($n AS DOUBLE))"
+    def varv(s2: String, s1: String, n: String) =
+      s"""((CAST($s2 AS DOUBLE) - CAST($s1 AS DOUBLE) * CAST($s1 AS DOUBLE)
+            / CAST($n AS DOUBLE)) / CAST($n - 1 AS DOUBLE))"""
+    s"""WITH ev AS (
+         SELECT event_type, CAST(hour(ts) // 4 AS BIGINT) AS bucket,
+                CAST(round(value * 100) AS BIGINT) AS cents
+         FROM events),
+       cells AS (
+         SELECT event_type, bucket, count(*) AS n,
+                CAST(sum(cents) AS BIGINT) AS s1,
+                CAST(sum(cents * cents) AS BIGINT) AS s2
+         FROM ev GROUP BY 1, 2),
+       tot AS (
+         SELECT event_type, count(*) AS gn,
+                CAST(sum(cents) AS BIGINT) AS gs1,
+                CAST(sum(cents * cents) AS BIGINT) AS gs2
+         FROM ev GROUP BY 1),
+       zt AS (
+         SELECT c.event_type, c.bucket, c.n,
+                (${meanv("c.s1", "c.n")} - ${meanv("t.gs1 - c.s1", "t.gn - c.n")})
+                / sqrt(${varv("c.s2", "c.s1", "c.n")} / CAST(c.n AS DOUBLE)
+                       + ${varv("t.gs2 - c.s2", "t.gs1 - c.s1", "t.gn - c.n")}
+                         / CAST(t.gn - c.n AS DOUBLE)) AS z
+         FROM cells c JOIN tot t USING (event_type)),
+       pt AS (
+         SELECT event_type, bucket, n, z,
+                floor(${pValSql("abs(z)")} * 1e9 + 0.5) / 1e9 AS p9
+         FROM zt),
+       rk AS (
+         SELECT *, row_number() OVER (ORDER BY p9, event_type, bucket) AS rank,
+                count(*) OVER () AS m
+         FROM pt),
+       km AS (
+         SELECT *,
+                max(CASE WHEN p9 <= CAST(rank AS DOUBLE) * 0.05 / CAST(m AS DOUBLE)
+                         THEN rank ELSE 0 END) OVER () AS kmax,
+                least(1.0, min(p9 * CAST(m AS DOUBLE) / CAST(rank AS DOUBLE))
+                             OVER (ORDER BY rank DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                  AS p_adj
+         FROM rk)
+       SELECT event_type, bucket, n, CAST(rank AS BIGINT) AS rank,
+              ${q6Sql("z")} AS z, p9 AS p, ${q6Sql("p_adj")} AS p_adj,
+              CAST(CASE WHEN rank <= kmax THEN 1 ELSE 0 END AS BIGINT) AS rejected
+       FROM km"""
+  }
+
+  // --------------------------------------------------------------------
+  // q_mmr_rerank — Maximal Marginal Relevance diversified top-5
+  // --------------------------------------------------------------------
+
+  private val MmrQueries = 4
+  private val MmrPool = 12
+  private val MmrK = 5
+  private val MmrLambda = "0.7"
+  private val MmrMu = "0.3"
+
+  /** MMR re-ranking: for each probe vector (vec_id < 4), take the
+    * top-12 candidate pool by exact dot-product relevance, then greedily
+    * select 5 with score λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) (λ = 0.7)
+    * — the standard diversified re-rank after retrieval.
+    *
+    * Scale: the corpus-sized work is exactly [[VectorQueries.cosineTopK]]'s
+    * proven shape (broadcast probes, one narrow scan, WindowGroupLimit
+    * partial top-k below the exchange). The greedy selection runs on the
+    * 4×12 pool only: the pool's pairwise sims and the 5-round argmax
+    * fold are whole-stage-codegen higher-order functions over per-probe
+    * arrays — no driver loop, no `collect`. Ties in the argmax break to
+    * the earlier pool position (strict `>` in the fold), mirrored in the
+    * oracle by `list_position` on the first maximum.
+    */
+  def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.VecDot.register(s)
+    val e = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+    val q = e
+      .filter(col("vec_id") < MmrQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("qemb"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim_raw").desc, col("vec_id"))
+    val pool = e
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim_raw", expr("vec_dot(emb, qemb)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= MmrPool)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("sim_raw"), col("emb"))
+    // pairwise sims inside each probe's pool: 4 × 12 × 12 rows, bounded
+    val a = pool.select(col("query_id"), col("rank").as("ra"), col("emb").as("ea"))
+    val b = pool.select(col("query_id"), col("rank").as("rb"), col("emb").as("eb"))
+    val sims = a
+      .join(b, "query_id")
+      .withColumn("sim", expr("vec_dot(ea, eb)"))
+      .select(col("query_id"), col("ra"), col("rb"), col("sim"))
+    val perProbe = pool
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct(col("rank"), col("vec_id"), col("sim_raw")))).as("cs"))
+      .select(
+        col("query_id"),
+        transform(col("cs"), c => c.getField("vec_id")).as("vids"),
+        transform(col("cs"), c => c.getField("sim_raw")).as("rels"))
+    val simFlat = sims
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct(col("ra"), col("rb"), col("sim")))).as("ps"))
+      .select(col("query_id"), transform(col("ps"), x => x.getField("sim")).as("sims"))
+    // 5-round greedy fold entirely in SQL higher-order functions;
+    // state = (selected pool positions, their MMR scores)
+    // masked MMR scores for the current state `st`: -1e308 on already-
+    // selected positions, else λ·rel − (1−λ)·max-sim-to-selected
+    val masked =
+      s"""transform(sequence(1, size(vids)), i -> IF(
+            array_contains(st.sel, cast(i as bigint)), cast(-1e308 as double),
+            $MmrLambda * element_at(rels, i) - $MmrMu * IF(
+              size(st.sel) = 0, cast(0.0 as double),
+              array_max(transform(st.sel,
+                j -> element_at(sims, cast((i - 1) * size(vids) + j as int)))))))"""
+    val fold =
+      s"""aggregate(
+            sequence(1, $MmrK),
+            named_struct('sel', cast(array() as array<bigint>),
+                         'sc', cast(array() as array<double>)),
+            (st, r) -> named_struct(
+              'sel', concat(st.sel, array(array_position($masked, array_max($masked)))),
+              'sc', concat(st.sc, array(array_max($masked)))))"""
+    perProbe
+      .join(simFlat, "query_id")
+      .withColumn("st", expr(fold))
+      .select(
+        col("query_id"), col("vids"), col("rels"), col("st.sc").as("scs"),
+        posexplode(col("st.sel")))
+      .withColumnRenamed("pos", "r0")
+      .select(
+        col("query_id"),
+        (col("r0") + 1).cast("long").as("rank"),
+        element_at(col("vids"), col("col").cast("int")).as("vec_id"),
+        q6(element_at(col("rels"), col("col").cast("int"))).as("rel"),
+        q6(element_at(col("scs"), col("r0") + 1)).as("mmr_score"))
+  }
+
+  val mmrRerankSql: String =
+    s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < $MmrQueries),
+       ranked AS (
+         SELECT query_id, vec_id, sim_raw,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim_raw DESC, vec_id) AS rank
+         FROM (SELECT query_id, vec_id, list_dot_product(emb, qemb) AS sim_raw
+               FROM e, q WHERE vec_id <> query_id)),
+       pool AS (SELECT * FROM ranked WHERE rank <= $MmrPool),
+       pp AS (
+         SELECT p.query_id, list(p.vec_id ORDER BY p.rank) AS vids,
+                list(p.sim_raw ORDER BY p.rank) AS rels
+         FROM pool p GROUP BY 1),
+       pe AS (SELECT p.query_id, p.rank, e.emb
+              FROM pool p JOIN e ON e.vec_id = p.vec_id),
+       sm AS (
+         SELECT a.query_id,
+                list(list_dot_product(a.emb, b.emb) ORDER BY a.rank, b.rank) AS sims
+         FROM pe a JOIN pe b USING (query_id) GROUP BY 1),
+       base AS (SELECT pp.query_id, vids, rels, sims, len(vids) AS k
+                FROM pp JOIN sm USING (query_id)),
+       it AS (
+         SELECT query_id, 0 AS r,
+                CAST([] AS BIGINT[]) AS sel, CAST([] AS DOUBLE[]) AS sc
+         FROM base
+         UNION ALL
+         SELECT b.query_id, it.r + 1,
+                list_append(it.sel, CAST(list_position(
+                  list_transform(generate_series(1, b.k), i -> CASE
+                    WHEN list_contains(it.sel, i) THEN -1e308
+                    ELSE $MmrLambda * b.rels[i] - $MmrMu * (CASE
+                      WHEN len(it.sel) = 0 THEN 0.0
+                      ELSE list_max(list_transform(it.sel,
+                             j -> b.sims[(i - 1) * b.k + j])) END) END),
+                  list_max(list_transform(generate_series(1, b.k), i -> CASE
+                    WHEN list_contains(it.sel, i) THEN -1e308
+                    ELSE $MmrLambda * b.rels[i] - $MmrMu * (CASE
+                      WHEN len(it.sel) = 0 THEN 0.0
+                      ELSE list_max(list_transform(it.sel,
+                             j -> b.sims[(i - 1) * b.k + j])) END) END))) AS BIGINT)),
+                list_append(it.sc,
+                  list_max(list_transform(generate_series(1, b.k), i -> CASE
+                    WHEN list_contains(it.sel, i) THEN -1e308
+                    ELSE $MmrLambda * b.rels[i] - $MmrMu * (CASE
+                      WHEN len(it.sel) = 0 THEN 0.0
+                      ELSE list_max(list_transform(it.sel,
+                             j -> b.sims[(i - 1) * b.k + j])) END) END)))
+         FROM it JOIN base b USING (query_id)
+         WHERE it.r < $MmrK),
+       fin AS (SELECT query_id, sel, sc FROM it WHERE r = $MmrK)
+       SELECT f.query_id, rk AS rank, b.vids[f.sel[rk]] AS vec_id,
+              ${q6Sql("b.rels[f.sel[rk]]")} AS rel,
+              ${q6Sql("f.sc[rk]")} AS mmr_score
+       FROM fin f JOIN base b USING (query_id),
+            unnest(generate_series(1, $MmrK)) t(rk)"""
+}

@@ -967,4 +967,20 @@ class PlanAuditSpec extends AnyFunSuite {
     for (q <- Seq("q_isotonic_fit", "q_dtw", "q_ndcg", "q_hits")) assertBoundedShapes(q)
     spark.catalog.clearCache() // q_hits persists its edge list
   }
+
+  test("q_bleu / q_rouge / q_bh_fdr: gram rollups partial-agg; global windows on bounded cells") {
+    for (q <- Seq("q_bleu", "q_rouge", "q_bh_fdr")) {
+      val p = assertBoundedShapes(q)
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$q: gram/cell rollup lost its map-side combine\n" + p.take(2000))
+    }
+  }
+
+  test("q_mmr_rerank: corpus scan ranked per-probe (partitioned window), probes broadcast") {
+    val p = assertBoundedShapes("q_mmr_rerank")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "probe set must broadcast against the corpus scan\n" + p.take(2500))
+    assert(p.contains("hashpartitioning(query_id"),
+      "pool ranking must partition by query_id\n" + p.take(2500))
+  }
 }
