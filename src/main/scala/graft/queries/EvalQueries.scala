@@ -529,4 +529,71 @@ object EvalQueries {
               ${q6Sql("f.sc[rk]")} AS mmr_score
        FROM fin f JOIN base b USING (query_id),
             unnest(generate_series(1, $MmrK)) t(rk)"""
+
+  // --------------------------------------------------------------------
+  // q_cohens_kappa — inter-annotator agreement per source
+  // --------------------------------------------------------------------
+
+  /** Cohen's kappa (Cohen 1960) between two deterministic 3-class
+    * document "raters" — length tercile by characters (rater A) vs by
+    * whitespace tokens (rater B) — per source: the chance-corrected
+    * agreement readout an annotation pipeline runs on double-labeled
+    * batches. po, pe are ratios of exact BIGINT counts/products
+    * (pe·n² = Σ_k rowₖ·colₖ stays integer), so kappa is one shared
+    * float expression per 20-row group.
+    *
+    * Scale: one map-side-combined aggregate per source with conditional
+    * sums — no per-class shuffle, no pivot, bounded output.
+    */
+  def cohensKappa(s: SparkSession, dir: String): DataFrame = {
+    val rated = Tables
+      .documents(s, dir)
+      .select(
+        col("source"),
+        when(col("n_chars") < 220, 0L).when(col("n_chars") < 375, 1L).otherwise(2L).as("ra"),
+        when(size(split(col("text"), " ", -1)) < 40, 0L)
+          .when(size(split(col("text"), " ", -1)) < 69, 1L)
+          .otherwise(2L)
+          .as("rb"))
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val agg = rated
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n"),
+        cnt(col("ra") === col("rb")).as("agree"),
+        cnt(col("ra") === 0).as("a0"), cnt(col("ra") === 1).as("a1"), cnt(col("ra") === 2).as("a2"),
+        cnt(col("rb") === 0).as("b0"), cnt(col("rb") === 1).as("b1"), cnt(col("rb") === 2).as("b2"))
+    val po = col("agree").cast("double") / col("n").cast("double")
+    val peNum = col("a0") * col("b0") + col("a1") * col("b1") + col("a2") * col("b2")
+    val pe = peNum.cast("double") / (col("n") * col("n")).cast("double")
+    agg.select(
+      col("source"), col("n"), col("agree"),
+      q6(po).as("po"), q6(pe).as("pe"),
+      q6((po - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
+
+  val cohensKappaSql: String = {
+    val po = "(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE))"
+    val pe = "(CAST(a0*b0 + a1*b1 + a2*b2 AS DOUBLE) / CAST(n*n AS DOUBLE))"
+    s"""WITH rated AS (
+         SELECT source,
+                CASE WHEN n_chars < 220 THEN 0 WHEN n_chars < 375 THEN 1 ELSE 2 END AS ra,
+                CASE WHEN len(string_split(text, ' ')) < 40 THEN 0
+                     WHEN len(string_split(text, ' ')) < 69 THEN 1 ELSE 2 END AS rb
+         FROM documents),
+       agg AS (
+         SELECT source, count(*) AS n,
+                CAST(sum(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+                CAST(sum(CASE WHEN ra = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a0,
+                CAST(sum(CASE WHEN ra = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+                CAST(sum(CASE WHEN ra = 2 THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+                CAST(sum(CASE WHEN rb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+                CAST(sum(CASE WHEN rb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+                CAST(sum(CASE WHEN rb = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2
+         FROM rated GROUP BY 1)
+       SELECT source, n, agree,
+              ${q6Sql(po)} AS po, ${q6Sql(pe)} AS pe,
+              ${q6Sql(s"($po - $pe) / (1.0 - $pe)")} AS kappa
+       FROM agg"""
+  }
 }

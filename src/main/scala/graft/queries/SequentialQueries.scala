@@ -249,4 +249,132 @@ object SequentialQueries {
               ${q6Sql("b20.bb")} AS p_convert
        FROM states s JOIN t20 ON s.a = t20.a JOIN b20 ON s.a = b20.a"""
   }
+
+  // --------------------------------------------------------------------
+  // q_viterbi — HMM most-likely-path decode of user sessions
+  // --------------------------------------------------------------------
+
+  /** Quantized log-probability weights (milli-nats) for the 3-state
+    * session HMM: states 1=browse, 2=engaged, 3=frustrated; observations
+    * 0=click, 1=view, 2=purchase, 3=signup, 4=error. One Scala source of
+    * truth formatted into the Spark expression AND the DuckDB literals.
+    */
+  private val VitInit: Array[Long] = Array(0L, -1200L, -2300L)
+  private val VitTrans: Array[Long] = // from-major: trans((from-1)*3 + to-1)
+    Array(-300L, -1500L, -2500L, -1400L, -400L, -2000L, -1000L, -2200L, -600L)
+  private val VitEmit: Array[Long] = // state-major: emit((s-1)*5 + obs)
+    Array(
+      -900L, -700L, -3000L, -2500L, -2800L, // browse
+      -1200L, -1100L, -900L, -1300L, -3500L, // engaged
+      -1600L, -1800L, -4000L, -3800L, -300L) // frustrated
+
+  private def sparkArr(a: Array[Long]): String = a.mkString("array(", "L, ", "L)")
+  private def duckArr(a: Array[Long]): String = a.mkString("[", ", ", "]")
+
+  private val obsCaseSql =
+    """CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+       WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END"""
+
+  /** Viterbi decode of each user's event sequence under the session HMM
+    * — the sequence-labeling primitive behind session-quality tagging
+    * and burst/bot segmentation. The kernel is [[graft.plans.ViterbiPath]]
+    * (codegen'd integer max-plus trellis, first-max tie-break); the
+    * readout re-scores the decoded path from the SAME literal weight
+    * tables in both engines, so `score` doubles as a proof the decoded
+    * path is weight-consistent, and `path_sig` (Σ i·state_i) pins the
+    * whole path, not just its state histogram.
+    *
+    * Scale: one keyed aggregate assembles each sequence (map-side
+    * combine on the obs structs), then the decode is fused into the
+    * projection — per-sequence independent, no further shuffle.
+    */
+  def viterbi(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.ViterbiPath.register(s, "viterbi_path", VitInit, VitTrans, VitEmit)
+    val obs = Tables
+      .events(s, dir)
+      .select(
+        col("user_id"),
+        col("ts"),
+        col("event_id"),
+        expr(obsCaseSql).cast("int").as("o"))
+    val seqs = obs
+      .groupBy(col("user_id"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("o")))),
+          x => x.getField("o")).as("obs"))
+    val initA = sparkArr(VitInit)
+    val transA = sparkArr(VitTrans)
+    val emitA = sparkArr(VitEmit)
+    seqs
+      .withColumn("path", expr("viterbi_path(obs)"))
+      .select(
+        col("user_id"),
+        size(col("obs")).cast("long").as("n_events"),
+        size(filter(col("path"), _ === 1L)).cast("long").as("n_browse"),
+        size(filter(col("path"), _ === 2L)).cast("long").as("n_engaged"),
+        size(filter(col("path"), _ === 3L)).cast("long").as("n_frustrated"),
+        element_at(col("path"), -1).as("last_state"),
+        expr("aggregate(sequence(1, size(path)), 0L, (acc, i) -> acc + i * element_at(path, i))")
+          .as("path_sig"),
+        expr(
+          s"""element_at($initA, cast(element_at(path, 1) as int))
+             + aggregate(sequence(1, size(obs)), 0L, (acc, i) -> acc + element_at($emitA,
+                 cast((element_at(path, i) - 1) * 5 + element_at(obs, i) + 1 as int)))
+             + IF(size(obs) >= 2,
+                 aggregate(sequence(2, size(obs)), 0L, (acc, i) -> acc + element_at($transA,
+                   cast((element_at(path, i - 1) - 1) * 3 + element_at(path, i) as int))),
+                 0L)""").as("score"))
+  }
+
+  val viterbiSql: String = {
+    val init = duckArr(VitInit)
+    val trans = duckArr(VitTrans)
+    val emit = duckArr(VitEmit)
+    // candidate from-state scores for to-state sp, given the previous
+    // delta vector dv — repeated verbatim for the max and the argmax
+    def cand(dv: String) =
+      s"list_transform([1, 2, 3], s -> $dv[s] + ($trans)[(s - 1) * 3 + sp])"
+    s"""WITH RECURSIVE seqs AS (
+         SELECT user_id, list($obsCaseSql ORDER BY ts, event_id) AS obs
+         FROM events GROUP BY 1),
+       it AS (
+         SELECT user_id, obs, 1 AS i,
+                list_transform([1, 2, 3],
+                  s -> ($init)[s] + ($emit)[(s - 1) * 5 + obs[1] + 1]) AS dv,
+                CAST([] AS BIGINT[]) AS bp
+         FROM seqs
+         UNION ALL
+         SELECT user_id, obs, i + 1,
+                list_transform([1, 2, 3], sp ->
+                  list_max(${cand("dv")}) + ($emit)[(sp - 1) * 5 + obs[i + 1] + 1]),
+                list_concat(bp, list_transform([1, 2, 3], sp ->
+                  CAST(list_position(${cand("dv")}, list_max(${cand("dv")})) AS BIGINT)))
+         FROM it WHERE i < len(obs)),
+       fin AS (SELECT user_id, obs, dv, bp, len(obs) AS t FROM it WHERE i = len(obs)),
+       bt AS (
+         SELECT user_id, obs, bp, t, t AS j,
+                CAST(list_position(dv, list_max(dv)) AS BIGINT) AS st,
+                [CAST(list_position(dv, list_max(dv)) AS BIGINT)] AS path
+         FROM fin
+         UNION ALL
+         SELECT user_id, obs, bp, t, j - 1,
+                bp[(j - 2) * 3 + st],
+                list_prepend(bp[(j - 2) * 3 + st], path)
+         FROM bt WHERE j > 1)
+       SELECT user_id, CAST(t AS BIGINT) AS n_events,
+              CAST(len(list_filter(path, p -> p = 1)) AS BIGINT) AS n_browse,
+              CAST(len(list_filter(path, p -> p = 2)) AS BIGINT) AS n_engaged,
+              CAST(len(list_filter(path, p -> p = 3)) AS BIGINT) AS n_frustrated,
+              path[t] AS last_state,
+              CAST(list_sum(list_transform(generate_series(1, CAST(t AS INT)),
+                i -> i * path[i])) AS BIGINT) AS path_sig,
+              CAST(($init)[path[1]]
+                + list_sum(list_transform(generate_series(1, CAST(t AS INT)),
+                    i -> ($emit)[(path[i] - 1) * 5 + obs[i] + 1]))
+                + COALESCE(list_sum(list_transform(generate_series(2, CAST(t AS INT)),
+                    i -> ($trans)[(path[i - 1] - 1) * 3 + path[i]])), 0)
+                AS BIGINT) AS score
+       FROM bt WHERE j = 1"""
+  }
 }

@@ -976,6 +976,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_viterbi / q_cohens_kappa: one keyed aggregate, decode fused, no extra shuffle") {
+    for (q <- Seq("q_viterbi", "q_cohens_kappa")) {
+      val p = assertBoundedShapes(q)
+      assert(!p.contains("rangepartitioning"), s"$q: global sort crept in\n" + p.take(2000))
+      // AQE's toString repeats the plan under "== Initial Plan ==" — count
+      // exchanges only in the executed (final) section
+      val finalPlan = p.split("== Initial Plan ==").head
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+      assert(exchanges <= 1, s"$q: expected a single keyed shuffle, saw $exchanges\n" + p.take(2500))
+    }
+  }
+
   test("q_mmr_rerank: corpus scan ranked per-probe (partitioned window), probes broadcast") {
     val p = assertBoundedShapes("q_mmr_rerank")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
