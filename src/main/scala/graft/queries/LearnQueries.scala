@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -280,5 +280,101 @@ object LearnQueries {
                round(det1 / det, 9) AS beta1,
                round(det2 / det, 9) AS beta2
         FROM solved"""
+  }
+
+  // ------------------------------------------------------------------
+  // q_info_gain — mutual-information feature ranking
+  // ------------------------------------------------------------------
+
+  /** Information gain IG(f) = H(label) − H(label | f) of three
+    * categorical event features (4-hour bucket, day of week, user id
+    * mod 8) for predicting `event_type = 'purchase'` — the feature-
+    * selection screen a training pipeline runs before one-hot
+    * explosion. Every probability is a ratio of exact BIGINT counts;
+    * the per-value conditional-entropy terms are summed by a
+    * value-ordered fold (float addition order fixed); the entropy
+    * expression text is shared verbatim between engines.
+    *
+    * Scale: one stack + keyed aggregate over events (map-side combine
+    * on (feature, value)); everything after runs on the ≤ 21-row cell
+    * table. Spark `dayofweek` is 1-based Sunday-first; the DuckDB twin
+    * is `dayofweek(ts) + 1`.
+    */
+  def infoGain(s: SparkSession, dir: String): DataFrame = {
+    val q6c: Column => Column = c => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    def h2(c0: String, c1: String, n: String): String = {
+      def part(c: String) =
+        s"""CASE WHEN $c > 0 THEN -(CAST($c AS DOUBLE) / CAST($n AS DOUBLE))
+              * ln(CAST($c AS DOUBLE) / CAST($n AS DOUBLE)) ELSE 0.0 END"""
+      s"(${part(c0)} + ${part(c1)})"
+    }
+    val feat = Tables
+      .events(s, dir)
+      .selectExpr(
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label",
+        """stack(3,
+             'hour4', CAST(hour(ts) AS BIGINT) div 4,
+             'dow',   CAST(dayofweek(ts) AS BIGINT),
+             'umod',  user_id % 8) AS (feature, v)""")
+    val cell = feat
+      .groupBy(col("feature"), col("v"))
+      .agg(count(lit(1)).as("nv"), sum(col("label")).as("c1"))
+      .withColumn("c0", col("nv") - col("c1"))
+    val tot = cell.groupBy(col("feature")).agg(sum(col("nv")).as("n"), sum(col("c1")).as("t1"))
+    val terms = cell
+      .join(tot, "feature")
+      .withColumn(
+        "term",
+        expr(s"(CAST(nv AS DOUBLE) / CAST(n AS DOUBLE)) * ${h2("c0", "c1", "nv")}"))
+    terms
+      .groupBy(col("feature"))
+      .agg(
+        count(lit(1)).as("n_values"),
+        first(col("n")).as("n"),
+        first(col("t1")).as("t1"),
+        aggregate(array_sort(collect_list(col("term"))), lit(0.0), (acc, x) => acc + x)
+          .as("h_cond"))
+      .withColumn("h_label", expr(h2("n - t1", "t1", "n")))
+      .select(
+        col("feature"), col("n_values"),
+        q6c(col("h_label")).as("h_label"),
+        q6c(col("h_cond")).as("h_cond"),
+        q6c(col("h_label") - col("h_cond")).as("info_gain"))
+  }
+
+  val infoGainSql: String = {
+    def h2(c0: String, c1: String, n: String): String = {
+      def part(c: String) =
+        s"""CASE WHEN $c > 0 THEN -(CAST($c AS DOUBLE) / CAST($n AS DOUBLE))
+              * ln(CAST($c AS DOUBLE) / CAST($n AS DOUBLE)) ELSE 0.0 END"""
+      s"(${part(c0)} + ${part(c1)})"
+    }
+    def q6s(e: String) = s"floor(($e) * 1e6 + 0.5) / 1e6"
+    s"""WITH feat AS (
+         SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+                f.feature, f.v
+         FROM events, LATERAL (VALUES
+           ('hour4', CAST(hour(ts) // 4 AS BIGINT)),
+           ('dow',   CAST(dayofweek(ts) + 1 AS BIGINT)),
+           ('umod',  user_id % 8)) f(feature, v)),
+       cell AS (
+         SELECT feature, v, count(*) AS nv,
+                CAST(sum(label) AS BIGINT) AS c1,
+                count(*) - CAST(sum(label) AS BIGINT) AS c0
+         FROM feat GROUP BY 1, 2),
+       tot AS (
+         SELECT feature, CAST(sum(nv) AS BIGINT) AS n, CAST(sum(c1) AS BIGINT) AS t1
+         FROM cell GROUP BY 1),
+       terms AS (
+         SELECT c.feature, t.n, t.t1,
+                (CAST(nv AS DOUBLE) / CAST(n AS DOUBLE)) * ${h2("c0", "c1", "nv")} AS term
+         FROM cell c JOIN tot t USING (feature))
+       SELECT feature, count(*) AS n_values,
+              ${q6s(h2("any_value(n) - any_value(t1)", "any_value(t1)", "any_value(n)"))} AS h_label,
+              ${q6s("list_reduce(list_sort(list(term)), (x, y) -> x + y)")} AS h_cond,
+              ${q6s(
+        h2("any_value(n) - any_value(t1)", "any_value(t1)", "any_value(n)") +
+          " - list_reduce(list_sort(list(term)), (x, y) -> x + y)")} AS info_gain
+       FROM terms GROUP BY 1"""
   }
 }

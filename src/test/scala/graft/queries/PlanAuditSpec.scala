@@ -988,6 +988,27 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_jaro_winkler: blocked equi-join, >=0.9 filter below the per-part window") {
+    val p = assertBoundedShapes("q_jaro_winkler")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair generation must stay a blocked equi-join\n" + p.take(2500))
+    assert(p.contains("hashpartitioning(key_a"),
+      "best-match ranking must partition by key_a\n" + p.take(2500))
+    // the similarity threshold must run in the join stage, not above the
+    // window shuffle: the Filter containing jaro_winkler sits below Window
+    val idxWin = p.indexOf("Window")
+    val idxFil = p.toLowerCase.indexOf("jarowinkler") // expression prints by class name
+    assert(idxFil > idxWin && idxWin >= 0,
+      "jw filter not below the ranking window\n" + p.take(2500))
+  }
+
+  test("q_info_gain: one stack scan to a keyed aggregate; folds on bounded cells") {
+    val p = assertBoundedShapes("q_info_gain")
+    assert(!p.contains("rangepartitioning"), p.take(2000))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "cell rollup lost its map-side combine\n" + p.take(2000))
+  }
+
   test("q_mmr_rerank: corpus scan ranked per-probe (partitioned window), probes broadcast") {
     val p = assertBoundedShapes("q_mmr_rerank")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
