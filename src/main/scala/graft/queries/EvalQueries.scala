@@ -531,6 +531,87 @@ object EvalQueries {
             unnest(generate_series(1, $MmrK)) t(rk)"""
 
   // --------------------------------------------------------------------
+  // q_smith_waterman — local alignment of candidate/reference pairs
+  // --------------------------------------------------------------------
+
+  /** Smith-Waterman local-alignment score (match +3, mismatch −2, gap
+    * penalty 2) over the sampled fixture pairs' token sequences — the
+    * strongest-shared-span detector a curation pipeline runs for
+    * plagiarism / quotation checks, where set-level measures (Jaccard,
+    * containment) dilute a verbatim span across a long document.
+    * sw_norm = score / (3·min(len)) ∈ [0, 1] is the fraction of a
+    * perfect local alignment.
+    *
+    * The kernel is [[graft.plans.SwScore]] (codegen'd exact-BIGINT
+    * two-row DP); the DuckDB oracle replays the identical recurrence by
+    * anti-diagonal recursion — carrying the previous diagonal and the
+    * running max — and matches hash-for-hash.
+    *
+    * Scale: the pair set is the bounded 1-in-7 block sample; each DP is
+    * per-pair independent and fused into the projection. At production
+    * scale the pair source would be a blocked candidate join (MinHash
+    * buckets), same contract.
+    */
+  def smithWaterman(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.SwScore.register(s, 3L, -2L, 2L)
+    pairedDocs(s, dir)
+      .filter(expr("(pair_id div 20) % 7 = 0"))
+      .select(
+        col("pair_id"),
+        col("source"),
+        size(col("cw")).cast("long").as("len_c"),
+        size(col("rw")).cast("long").as("len_r"),
+        expr("sw_score(cw, rw)").as("sw"))
+      .withColumn(
+        "sw_norm",
+        q6(col("sw").cast("double") /
+          (lit(3.0) * least(col("len_c"), col("len_r")).cast("double"))))
+  }
+
+  val smithWatermanSql: String = {
+    // new-diagonal cell values for diagonal dg+1, from cur (= diagonal
+    // dg) and prev (= diagonal dg-1); out-of-range cells stay NULL and
+    // boundary reads coalesce to the zero row/column
+    val step =
+      """list_transform(range(1, n + 1), i ->
+           CASE WHEN (dg + 1 - i) BETWEEN 1 AND m THEN
+             greatest(0,
+               COALESCE(prev[i - 1], 0)
+                 + CASE WHEN cw[i] = rw[dg + 1 - i] THEN 3 ELSE -2 END,
+               COALESCE(cur[i - 1], 0) - 2,
+               COALESCE(cur[i], 0) - 2)
+           ELSE NULL END)"""
+    s"""WITH RECURSIVE $pairedDocsSql,
+       ps AS (
+         SELECT pair_id, source, cw, rw,
+                CAST(len(cw) AS INT) AS n, CAST(len(rw) AS INT) AS m
+         FROM p WHERE (pair_id // 20) % 7 = 0),
+       dp AS (
+         SELECT pair_id, source, cw, rw, n, m, 2 AS dg,
+                list_transform(range(1, n + 1), i ->
+                  CASE WHEN i = 1 THEN
+                    greatest(0, CASE WHEN cw[1] = rw[1] THEN 3 ELSE -2 END)
+                  ELSE NULL END) AS cur,
+                CAST(NULL AS BIGINT[]) AS prev,
+                CAST(greatest(0, CASE WHEN cw[1] = rw[1] THEN 3 ELSE -2 END) AS BIGINT)
+                  AS best
+         FROM ps
+         UNION ALL
+         SELECT pair_id, source, cw, rw, n, m, dg, cur, prev,
+                greatest(best, COALESCE(list_max(cur), 0)) AS best
+         FROM (
+           SELECT pair_id, source, cw, rw, n, m, dg + 1 AS dg,
+                  $step AS cur, cur AS prev, best
+           FROM dp WHERE dg < n + m) t)
+       SELECT pair_id, source,
+              CAST(n AS BIGINT) AS len_c, CAST(m AS BIGINT) AS len_r,
+              best AS sw,
+              ${q6Sql("CAST(best AS DOUBLE) / (3.0 * CAST(least(n, m) AS DOUBLE))")}
+                AS sw_norm
+       FROM dp WHERE dg = n + m"""
+  }
+
+  // --------------------------------------------------------------------
   // q_cohens_kappa — inter-annotator agreement per source
   // --------------------------------------------------------------------
 

@@ -1009,6 +1009,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "cell rollup lost its map-side combine\n" + p.take(2000))
   }
 
+  test("q_smith_waterman: DP fused into the pair-join projection, sample filter in scan stage") {
+    val p = assertBoundedShapes("q_smith_waterman")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair set must come from the doc_id equi-join\n" + p.take(2500))
+    assert(!p.contains("rangepartitioning"), p.take(2000))
+    assert(p.toLowerCase.contains("swscore"), "sw kernel not in the plan\n" + p.take(2000))
+  }
+
   test("q_mmr_rerank: corpus scan ranked per-probe (partitioned window), probes broadcast") {
     val p = assertBoundedShapes("q_mmr_rerank")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
