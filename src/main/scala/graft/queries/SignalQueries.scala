@@ -1095,4 +1095,115 @@ object SignalQueries {
               round(w.l + w.b + w.s[(p.n % 7) + 1], 6) AS forecast_next
        FROM walk w JOIN per p ON w.event_type = p.event_type AND w.t = p.n"""
   }
+
+  // ------------------------------------------------------------------
+  // q_pacf — partial autocorrelation via Durbin–Levinson
+  // ------------------------------------------------------------------
+
+  /** Partial autocorrelation φ_kk (lags 1–7) of each event type's
+    * daily-mean series by the Durbin–Levinson recursion — the AR-order
+    * identification companion to [[autocorrelation]] (Box–Jenkins: the
+    * PACF cuts off at the AR order where the ACF only tails off):
+    *
+    *   φ₁₁ = ρ₁;  φ_kk = (ρ_k − Σⱼ φ_{k−1,j} ρ_{k−j}) /
+    *                     (1 − Σⱼ φ_{k−1,j} ρ_j);
+    *   φ_{k,j} = φ_{k−1,j} − φ_kk φ_{k−1,k−j}
+    *
+    * Exactness: the ρ vector reuses [[autocorrelation]]'s fold recipe
+    * verbatim (rounded μ, ordered folds); the recursion itself runs as
+    * an `aggregate()` fold over the ≤7-element ρ array on the tiny
+    * per-type row, with every inner Σ a left fold ordered by j — the
+    * DuckDB twin replays the identical recursion step-for-step in a
+    * recursive CTE (kk hoisted into a derived table so the float
+    * expression is evaluated once, exactly as Spark's lambda does).
+    *
+    * Scale: identical to the rest of this file — the corpus aggregates
+    * once to calendar-bounded per-type arrays; everything after is
+    * constant-size driverless math.
+    */
+  def pacf(s: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
+    def innerSum(term: String): String =
+      s"aggregate(sequence(1, k - 1), 0.0D, (a, j) -> a + $term)"
+    val kk =
+      s"""((element_at(rho, k) - ${innerSum("element_at(st.phi, j) * element_at(rho, k - j)")})
+          / (1.0D - ${innerSum("element_at(st.phi, j) * element_at(rho, j)")}))"""
+    val dlFold =
+      s"""aggregate(
+            sequence(2, lmax),
+            named_struct('phi', array(element_at(rho, 1)),
+                         'pacf', array(element_at(rho, 1))),
+            (st, k) -> named_struct(
+              'phi', transform(sequence(1, k),
+                       j -> IF(j = k, $kk,
+                               element_at(st.phi, j) - $kk * element_at(st.phi, k - j))),
+              'pacf', concat(st.pacf, array($kk))))"""
+    dailySeries(s, dir)
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("dm")))).as("arr"))
+      .withColumn("dms", expr("transform(arr, x -> x.dm)"))
+      .withColumn("n", size(col("dms")))
+      // Durbin–Levinson needs at least two lags; with daily fixtures n ≫ 8
+      .filter(col("n") > 2)
+      .withColumn("lmax", least(lit(maxLag), col("n") - 1))
+      .withColumn("mu", round(expr("aggregate(dms, 0.0D, (a, x) -> a + x) / n"), 6))
+      .withColumn("den", expr("aggregate(dms, 0.0D, (a, x) -> a + (x - mu) * (x - mu))"))
+      .withColumn(
+        "rho",
+        expr("""transform(sequence(1, lmax), lag ->
+                  aggregate(sequence(1, n - lag), 0.0D,
+                    (a, t) -> a + (get(dms, t - 1) - mu) * (get(dms, t + lag - 1) - mu))
+                  / den)"""))
+      .withColumn("st", expr(dlFold))
+      .select(
+        col("event_type"),
+        col("n").cast("long").as("n_days"),
+        posexplode(col("st.pacf")))
+      .withColumnRenamed("pos", "p0")
+      .select(
+        col("event_type"),
+        col("n_days"),
+        (col("p0") + 1).cast("long").as("lag"),
+        floor(col("col") * lit(1e6) + lit(0.5)) / lit(1e6) as "pacf")
+  }
+
+  def pacfSql(maxLag: Int = 7): String =
+    s"""WITH RECURSIVE daily AS ($dailySeriesCte),
+       per AS (
+         SELECT event_type, list(dm ORDER BY day) AS dms, count(*) AS n
+         FROM daily GROUP BY 1),
+       m AS (
+         SELECT event_type, dms, n, least($maxLag, n - 1) AS lmax,
+                round(list_reduce(list_prepend(0.0, dms), (a, b) -> a + b) / n, 6) AS mu
+         FROM per WHERE n > 2),
+       d AS (
+         SELECT event_type, dms, n, lmax, mu,
+                list_reduce(list_prepend(0.0, [(x - mu) * (x - mu) FOR x IN dms]),
+                            (a, b) -> a + b) AS den
+         FROM m),
+       rhos AS (
+         SELECT event_type, n, lmax,
+                [list_reduce(list_prepend(0.0,
+                   [(dms[t] - mu) * (dms[t + lag] - mu) FOR t IN range(1, n - lag + 1)]),
+                   (a, b) -> a + b) / den FOR lag IN range(1, lmax + 1)] AS rho
+         FROM d),
+       dl AS (
+         SELECT event_type, n, lmax, rho, 1 AS k,
+                [rho[1]] AS phi, [rho[1]] AS pacf
+         FROM rhos
+         UNION ALL
+         SELECT event_type, n, lmax, rho, nk AS k,
+                list_transform(generate_series(1, nk),
+                  j -> CASE WHEN j = nk THEN kk ELSE phi[j] - kk * phi[nk - j] END) AS phi,
+                list_append(pacf, kk) AS pacf
+         FROM (
+           SELECT event_type, n, lmax, rho, phi, pacf, k + 1 AS nk,
+                  (rho[k + 1] - list_reduce(list_prepend(0.0,
+                     [phi[j] * rho[k + 1 - j] FOR j IN range(1, k + 1)]), (a, b) -> a + b))
+                  / (1.0 - list_reduce(list_prepend(0.0,
+                     [phi[j] * rho[j] FOR j IN range(1, k + 1)]), (a, b) -> a + b)) AS kk
+           FROM dl WHERE k < lmax) t)
+       SELECT event_type, CAST(n AS BIGINT) AS n_days, lag,
+              floor(pacf[lag] * 1e6 + 0.5) / 1e6 AS pacf
+       FROM dl, LATERAL (SELECT unnest(range(1, lmax + 1)) AS lag) l
+       WHERE k = lmax"""
 }

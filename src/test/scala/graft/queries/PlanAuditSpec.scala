@@ -1009,6 +1009,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "cell rollup lost its map-side combine\n" + p.take(2000))
   }
 
+  test("q_pacf: Durbin-Levinson rides the per-type daily aggregate, no extra shuffle") {
+    val p = assertBoundedShapes("q_pacf")
+    assert(!p.contains("rangepartitioning"), p.take(2000))
+    assert(p.contains("partial_"), "daily rollup lost its map-side combine\n" + p.take(2000))
+  }
+
   test("q_smith_waterman: DP fused into the pair-join projection, sample filter in scan stage") {
     val p = assertBoundedShapes("q_smith_waterman")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
