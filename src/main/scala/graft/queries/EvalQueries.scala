@@ -383,6 +383,87 @@ object EvalQueries {
   }
 
   // --------------------------------------------------------------------
+  // q_wilcoxon — paired signed-rank test per source
+  // --------------------------------------------------------------------
+
+  /** Wilcoxon signed-rank test (Wilcoxon 1945) per source over the
+    * fixture pairs, on the paired metric "candidate token count vs
+    * reference token count": zero differences dropped, |diff| ranked
+    * with AVERAGE ranks for ties — kept integral as 2·avgrank =
+    * 2·rank() + (tiecount − 1) — W⁺ accumulated as the exact BIGINT
+    * Σ 2·avgrank over positive diffs, normal approximation with the
+    * standard tie correction Σ(t³−t)/48, and the two-sided p from the
+    * same shared erf polynomial as [[bhFdr]]. The paired companion to
+    * the unpaired Mann–Whitney already on the board.
+    *
+    * Scale: ranks are windowed WITHIN source (partitioned window); the
+    * tie rollup is a bounded per-(source, |d|) aggregate.
+    */
+  def wilcoxon(s: SparkSession, dir: String): DataFrame = {
+    val d = pairedDocs(s, dir)
+      .select(
+        col("source"),
+        (size(col("cw")) - size(col("rw"))).cast("long").as("diff"))
+      .filter(col("diff") =!= 0)
+      .withColumn("absd", abs(col("diff")))
+    val wR = Window.partitionBy(col("source")).orderBy(col("absd"))
+    val wT = Window.partitionBy(col("source"), col("absd"))
+    val ranked = d
+      .withColumn("r2", lit(2L) * rank().over(wR) + count(lit(1)).over(wT) - lit(1L))
+    val agg = ranked
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("diff") > 0, col("r2")).otherwise(lit(0L))).as("w2p"))
+    val ties = d
+      .groupBy(col("source"), col("absd"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("source"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tcorr"))
+    val zSql =
+      """((CAST(w2p AS DOUBLE) / 2.0 - CAST(n * (n + 1) AS DOUBLE) / 4.0)
+          / sqrt(CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 24.0
+                 - CAST(tcorr AS DOUBLE) / 48.0))"""
+    agg
+      .join(ties, "source")
+      .withColumn("z", expr(zSql))
+      .select(
+        col("source"), col("n"), col("w2p"),
+        q6(col("z")).as("z"),
+        q6(expr(pValSql("abs(z)"))).as("p"))
+  }
+
+  val wilcoxonSql: String = {
+    val z =
+      """((CAST(w2p AS DOUBLE) / 2.0 - CAST(n * (n + 1) AS DOUBLE) / 4.0)
+          / sqrt(CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 24.0
+                 - CAST(tcorr AS DOUBLE) / 48.0))"""
+    s"""WITH $pairedDocsSql,
+       df AS (
+         SELECT source, CAST(len(cw) - len(rw) AS BIGINT) AS diff,
+                abs(len(cw) - len(rw)) AS absd
+         FROM p WHERE len(cw) <> len(rw)),
+       ranked AS (
+         SELECT source, diff,
+                2 * rank() OVER (PARTITION BY source ORDER BY absd)
+                  + count(*) OVER (PARTITION BY source, absd) - 1 AS r2
+         FROM df),
+       agg AS (
+         SELECT source, count(*) AS n,
+                CAST(sum(CASE WHEN diff > 0 THEN r2 ELSE 0 END) AS BIGINT) AS w2p
+         FROM ranked GROUP BY 1),
+       ties AS (
+         SELECT source, CAST(sum(t * t * t - t) AS BIGINT) AS tcorr
+         FROM (SELECT source, absd, count(*) AS t FROM df GROUP BY 1, 2)
+         GROUP BY 1),
+       zt AS (SELECT a.source, a.n, a.w2p, t.tcorr, $z AS z
+              FROM agg a JOIN ties t USING (source))
+       SELECT source, n, w2p, ${q6Sql("z")} AS z,
+              ${q6Sql(pValSql("abs(z)"))} AS p
+       FROM zt"""
+  }
+
+  // --------------------------------------------------------------------
   // q_mmr_rerank — Maximal Marginal Relevance diversified top-5
   // --------------------------------------------------------------------
 

@@ -546,4 +546,94 @@ object RobustQueries2 {
         """CASE WHEN abs(CAST(c AS DOUBLE) - med) > 3.0 * 1.4826 * mad
                 THEN med ELSE CAST(c AS DOUBLE) END""")} AS filtered
        FROM mad"""
+
+  // --------------------------------------------------------------------
+  // q_kendall_tau — tau-b rank correlation between revenue and volume
+  // --------------------------------------------------------------------
+
+  /** Kendall tau-b (tie-corrected) between each nation's monthly
+    * revenue and monthly shipped quantity — "do the months rank the
+    * same by money as by volume?", the robust rank-correlation readout
+    * when Pearson is distorted by a few giant orders. C, D and the tie
+    * counts are exact BIGINT pair counts over the calendar-bounded
+    * month-pair grid; tau_b = (C − D) / √((n₀ − Tx)(n₀ − Ty)) is one
+    * shared float expression.
+    *
+    * Scale: the corpus aggregates once to |nation|×|months| rows; the
+    * pair grid is month²-bounded per nation (the [[dtw]] shape) and
+    * never touches fact rows.
+    */
+  def kendallTau(s: SparkSession, dir: String): DataFrame = {
+    val supNation = Tables
+      .supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(
+        broadcast(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val monthly = Tables
+      .lineitem(s, dir)
+      .select(
+        col("l_suppkey"),
+        ((year(col("l_shipdate")) - 1995) * 12 + month(col("l_shipdate")) - 1)
+          .cast("long")
+          .as("m"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev4"),
+        round(col("l_quantity")).cast("long").as("qty"))
+      .join(supNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"), col("m"))
+      .agg(sum(col("rev4")).as("x"), sum(col("qty")).as("y"))
+    val a = monthly.select(
+      col("n_name"), col("m").as("ma"), col("x").as("xa"), col("y").as("ya"))
+    val b = monthly.select(
+      col("n_name"), col("m").as("mb"), col("x").as("xb"), col("y").as("yb"))
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val pairs = a
+      .join(b, Seq("n_name"))
+      .filter(col("ma") < col("mb"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n0"),
+        cnt((col("xa") < col("xb") && col("ya") < col("yb")) ||
+          (col("xa") > col("xb") && col("ya") > col("yb"))).as("c"),
+        cnt((col("xa") < col("xb") && col("ya") > col("yb")) ||
+          (col("xa") > col("xb") && col("ya") < col("yb"))).as("d"),
+        cnt(col("xa") === col("xb")).as("tx"),
+        cnt(col("ya") === col("yb")).as("ty"))
+    val tau =
+      """(CAST(c - d AS DOUBLE)
+          / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)))"""
+    pairs.select(
+      col("n_name"), col("n0"), col("c"), col("d"), col("tx"), col("ty"),
+      q6(expr(tau)).as("tau_b"))
+  }
+
+  val kendallTauSql: String = {
+    val tau =
+      """(CAST(c - d AS DOUBLE)
+          / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)))"""
+    s"""WITH monthly AS (
+         SELECT n.n_name,
+                (year(l.l_shipdate) - 1995) * 12 + month(l.l_shipdate) - 1 AS m,
+                CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS x,
+                CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS y
+         FROM lineitem l
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         GROUP BY 1, 2),
+       pr AS (
+         SELECT a.n_name, count(*) AS n0,
+                CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+                               OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+                               OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+                CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS ty
+         FROM monthly a JOIN monthly b ON a.n_name = b.n_name AND a.m < b.m
+         GROUP BY 1)
+       SELECT n_name, n0, c, d, tx, ty, ${q6Sql(tau)} AS tau_b
+       FROM pr"""
+  }
 }

@@ -1009,6 +1009,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "cell rollup lost its map-side combine\n" + p.take(2000))
   }
 
+  test("q_wilcoxon / q_kendall_tau: ranks windowed per-source; pair grid month-bounded") {
+    for (q <- Seq("q_wilcoxon", "q_kendall_tau")) {
+      val p = assertBoundedShapes(q)
+      assert(!p.contains("rangepartitioning"), s"$q: global sort crept in\n" + p.take(2000))
+    }
+    // the signed-rank window must partition by source, never globally
+    val pw = plan("q_wilcoxon")
+    assert(pw.contains("hashpartitioning(source"),
+      "signed-rank window lost its source partition\n" + pw.take(2500))
+  }
+
   test("q_pacf: Durbin-Levinson rides the per-type daily aggregate, no extra shuffle") {
     val p = assertBoundedShapes("q_pacf")
     assert(!p.contains("rangepartitioning"), p.take(2000))
