@@ -1127,16 +1127,19 @@ object SignalQueries {
     val kk =
       s"""((element_at(rho, k) - ${innerSum("element_at(st.phi, j) * element_at(rho, k - j)")})
           / (1.0D - ${innerSum("element_at(st.phi, j) * element_at(rho, j)")}))"""
+    // kk is bound ONCE per step by mapping over a single-element array
+    // (SQL lambdas have no let): inlining it three times cubed the
+    // Catalyst tree and cost ~7 s of analysis/codegen per run
     val dlFold =
       s"""aggregate(
             sequence(2, lmax),
             named_struct('phi', array(element_at(rho, 1)),
                          'pacf', array(element_at(rho, 1))),
-            (st, k) -> named_struct(
+            (st, k) -> element_at(transform(array($kk), kkv -> named_struct(
               'phi', transform(sequence(1, k),
-                       j -> IF(j = k, $kk,
-                               element_at(st.phi, j) - $kk * element_at(st.phi, k - j))),
-              'pacf', concat(st.pacf, array($kk))))"""
+                       j -> IF(j = k, kkv,
+                               element_at(st.phi, j) - kkv * element_at(st.phi, k - j))),
+              'pacf', concat(st.pacf, array(kkv)))), 1))"""
     dailySeries(s, dir)
       .groupBy(col("event_type"))
       .agg(array_sort(collect_list(struct(col("day"), col("dm")))).as("arr"))
