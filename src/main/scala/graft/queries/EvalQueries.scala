@@ -734,6 +734,97 @@ object EvalQueries {
       q6((po - pe) / (lit(1.0) - pe)).as("kappa"))
   }
 
+  // --------------------------------------------------------------------
+  // q_fleiss_kappa — multi-rater agreement per source
+  // --------------------------------------------------------------------
+
+  /** Fleiss' kappa (Fleiss 1971) per source for THREE deterministic
+    * 3-class raters (character terciles, token terciles, distinct-token
+    * terciles) — the multi-rater generalization of [[cohensKappa]] an
+    * annotation pipeline reports when batches are triple-labeled. With
+    * r = 3 raters and category counts n_ij per item,
+    * P̄ = (Σ n_ij² − 3N)/(6N) and P̄_e = Σ_j (C_j/3N)² are ratios of
+    * exact BIGINTs (S = Σ n_ij², category column sums C_j), so κ is one
+    * shared float expression per 20-row group.
+    *
+    * Scale: one map-side-combined aggregate per source; the per-item
+    * n_ij algebra is a constant-width projection.
+    */
+  def fleissKappa(s: SparkSession, dir: String): DataFrame = {
+    val rated = Tables
+      .documents(s, dir)
+      .withColumn("toks", split(col("text"), " ", -1))
+      .select(
+        col("source"),
+        when(col("n_chars") < 220, 0L).when(col("n_chars") < 375, 1L).otherwise(2L).as("ra"),
+        when(size(col("toks")) < 40, 0L).when(size(col("toks")) < 69, 1L).otherwise(2L)
+          .as("rb"),
+        when(size(array_distinct(col("toks"))) < 35, 0L)
+          .when(size(array_distinct(col("toks"))) < 55, 1L)
+          .otherwise(2L)
+          .as("rc"))
+    def nij(j: Int): Column =
+      when(col("ra") === j, 1L).otherwise(0L) +
+        when(col("rb") === j, 1L).otherwise(0L) +
+        when(col("rc") === j, 1L).otherwise(0L)
+    val perDoc = rated.select(
+      col("source"),
+      nij(0).as("n0"), nij(1).as("n1"), nij(2).as("n2"))
+    val agg = perDoc
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("n0") * col("n0") + col("n1") * col("n1") + col("n2") * col("n2")).as("s"),
+        sum(col("n0")).as("c0"), sum(col("n1")).as("c1"), sum(col("n2")).as("c2"))
+    val pbar = "(CAST(s - 3 * n AS DOUBLE) / CAST(6 * n AS DOUBLE))"
+    val pe =
+      """((CAST(c0 AS DOUBLE) / CAST(3 * n AS DOUBLE)) * (CAST(c0 AS DOUBLE) / CAST(3 * n AS DOUBLE))
+        + (CAST(c1 AS DOUBLE) / CAST(3 * n AS DOUBLE)) * (CAST(c1 AS DOUBLE) / CAST(3 * n AS DOUBLE))
+        + (CAST(c2 AS DOUBLE) / CAST(3 * n AS DOUBLE)) * (CAST(c2 AS DOUBLE) / CAST(3 * n AS DOUBLE)))"""
+    agg.select(
+      col("source"), col("n"), col("s"), col("c0"), col("c1"), col("c2"),
+      q6(expr(pbar)).as("p_bar"),
+      q6(expr(pe)).as("p_e"),
+      q6(expr(s"(($pbar) - ($pe)) / (1.0 - ($pe))")).as("kappa"))
+  }
+
+  val fleissKappaSql: String = {
+    val pbar = "(CAST(s - 3 * n AS DOUBLE) / CAST(6 * n AS DOUBLE))"
+    val pe =
+      """((CAST(c0 AS DOUBLE) / CAST(3 * n AS DOUBLE)) * (CAST(c0 AS DOUBLE) / CAST(3 * n AS DOUBLE))
+        + (CAST(c1 AS DOUBLE) / CAST(3 * n AS DOUBLE)) * (CAST(c1 AS DOUBLE) / CAST(3 * n AS DOUBLE))
+        + (CAST(c2 AS DOUBLE) / CAST(3 * n AS DOUBLE)) * (CAST(c2 AS DOUBLE) / CAST(3 * n AS DOUBLE)))"""
+    s"""WITH rated AS (
+         SELECT source,
+                CASE WHEN n_chars < 220 THEN 0 WHEN n_chars < 375 THEN 1 ELSE 2 END AS ra,
+                CASE WHEN len(string_split(text, ' ')) < 40 THEN 0
+                     WHEN len(string_split(text, ' ')) < 69 THEN 1 ELSE 2 END AS rb,
+                CASE WHEN len(list_distinct(string_split(text, ' '))) < 35 THEN 0
+                     WHEN len(list_distinct(string_split(text, ' '))) < 55 THEN 1 ELSE 2 END
+                  AS rc
+         FROM documents),
+       perdoc AS (
+         SELECT source,
+                CAST(CASE WHEN ra = 0 THEN 1 ELSE 0 END + CASE WHEN rb = 0 THEN 1 ELSE 0 END
+                   + CASE WHEN rc = 0 THEN 1 ELSE 0 END AS BIGINT) AS n0,
+                CAST(CASE WHEN ra = 1 THEN 1 ELSE 0 END + CASE WHEN rb = 1 THEN 1 ELSE 0 END
+                   + CASE WHEN rc = 1 THEN 1 ELSE 0 END AS BIGINT) AS n1,
+                CAST(CASE WHEN ra = 2 THEN 1 ELSE 0 END + CASE WHEN rb = 2 THEN 1 ELSE 0 END
+                   + CASE WHEN rc = 2 THEN 1 ELSE 0 END AS BIGINT) AS n2
+         FROM rated),
+       agg AS (
+         SELECT source, count(*) AS n,
+                CAST(sum(n0 * n0 + n1 * n1 + n2 * n2) AS BIGINT) AS s,
+                CAST(sum(n0) AS BIGINT) AS c0,
+                CAST(sum(n1) AS BIGINT) AS c1,
+                CAST(sum(n2) AS BIGINT) AS c2
+         FROM perdoc GROUP BY 1)
+       SELECT source, n, s, c0, c1, c2,
+              ${q6Sql(pbar)} AS p_bar, ${q6Sql(pe)} AS p_e,
+              ${q6Sql(s"(($pbar) - ($pe)) / (1.0 - ($pe))")} AS kappa
+       FROM agg"""
+  }
+
   val cohensKappaSql: String = {
     val po = "(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE))"
     val pe = "(CAST(a0*b0 + a1*b1 + a2*b2 AS DOUBLE) / CAST(n*n AS DOUBLE))"

@@ -256,10 +256,16 @@ object RobustQueries2 {
     val foldSum = (c: Column) =>
       aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)
     for (_ <- 1 to 4) {
+      // each round's raw table is consumed TWICE (scalar max + the
+      // normalize projection feeding the next join): without a
+      // truncation point the round-4 plan re-executes every earlier
+      // round multiplicatively (~4^rounds) — the ConnectedComponents
+      // localCheckpoint rule, measured here as 29 s -> ~2 s at sf0.1
       val aRaw = edges
         .join(hub, "user_id")
         .groupBy(col("item"))
         .agg(foldSum(col("h")).as("a_raw"))
+        .localCheckpoint()
       val aMax = aRaw.agg(max(col("a_raw")).as("am"))
       auth = aRaw
         .crossJoin(broadcast(aMax))
@@ -268,6 +274,7 @@ object RobustQueries2 {
         .join(auth, "item")
         .groupBy(col("user_id"))
         .agg(foldSum(col("a")).as("h_raw"))
+        .localCheckpoint()
       val hMax = hRaw.agg(max(col("h_raw")).as("hm"))
       hub = hRaw
         .crossJoin(broadcast(hMax))

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.dsp.{DetectorFn, DifferentialThresholdDetector, ThresholdDetector}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1095,6 +1095,131 @@ object SignalQueries {
               round(w.l + w.b + w.s[(p.n % 7) + 1], 6) AS forecast_next
        FROM walk w JOIN per p ON w.event_type = p.event_type AND w.t = p.n"""
   }
+
+  // ------------------------------------------------------------------
+  // q_hurst — rescaled-range Hurst exponent
+  // ------------------------------------------------------------------
+
+  /** Hurst exponent H of each event type's daily-mean series by
+    * classical rescaled-range analysis (Hurst 1951 / Mandelbrot–Wallis):
+    * for window sizes w ∈ {5, 10, 15}, split the series into ⌊n/w⌋
+    * blocks, per block compute R/S = (max − min cumulative deviation) /
+    * population σ, average over blocks in block order, and fit
+    * ln(R/S) = H·ln(w) + c by least squares over the three points —
+    * H ≈ 0.5 for a random walk, > 0.5 for trending (persistent) load,
+    * < 0.5 for mean-reverting load.
+    *
+    * Exactness: both engines explode the SAME bounded (type, w, block)
+    * grid and evaluate the same expression text per row — every fold
+    * (cumulative deviations, block averages, the 3-point regression
+    * sums) is ordered. Scale: the corpus aggregates once to the
+    * calendar-bounded daily table; the grid is |types|·3·⌊n/w⌋ rows.
+    */
+  def hurst(s: SparkSession, dir: String): DataFrame = {
+    val q6c: Column => Column = c => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val blocks = dailySeries(s, dir)
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("dm")))).as("arr"))
+      .withColumn("dms", expr("transform(arr, x -> x.dm)"))
+      .withColumn("n", size(col("dms")))
+      .filter(col("n") >= 15)
+      .withColumn("w", explode(expr("array(5, 10, 15)")))
+      .withColumn("k", explode(expr("sequence(0, n div w - 1)")))
+      .withColumn("seg", expr("slice(dms, k * w + 1, w)"))
+      .withColumn("mb", expr("aggregate(seg, 0.0D, (a, x) -> a + x) / w"))
+      .withColumn(
+        "cumdevs",
+        expr("""transform(sequence(1, w), t ->
+                  aggregate(transform(slice(seg, 1, t), x -> x - mb),
+                            0.0D, (a, b) -> a + b))"""))
+      .withColumn(
+        "sd",
+        expr("sqrt(aggregate(transform(seg, x -> (x - mb) * (x - mb)), 0.0D, (a, b) -> a + b) / w)"))
+      .withColumn(
+        "rs",
+        expr("""CASE WHEN sd > 0.0D
+                THEN (array_max(cumdevs) - array_min(cumdevs)) / sd
+                ELSE 0.0D END"""))
+    val perW = blocks
+      .groupBy(col("event_type"), col("n"), col("w"))
+      .agg(sort_array(collect_list(struct(col("k"), col("rs")))).as("krs"))
+      .withColumn(
+        "rs_avg",
+        expr("aggregate(krs, 0.0D, (a, x) -> a + x.rs) / size(krs)"))
+      .select(
+        col("event_type"), col("n"),
+        col("w"), log(col("w").cast("double")).as("lx"), log(col("rs_avg")).as("ly"),
+        col("rs_avg"))
+    perW
+      .groupBy(col("event_type"), col("n"))
+      .agg(
+        sort_array(collect_list(struct(col("w"), col("lx"), col("ly"), col("rs_avg"))))
+          .as("pts"))
+      .withColumn("sx", expr("aggregate(pts, 0.0D, (a, x) -> a + x.lx)"))
+      .withColumn("sy", expr("aggregate(pts, 0.0D, (a, x) -> a + x.ly)"))
+      .withColumn("sxy", expr("aggregate(pts, 0.0D, (a, x) -> a + x.lx * x.ly)"))
+      .withColumn("sxx", expr("aggregate(pts, 0.0D, (a, x) -> a + x.lx * x.lx)"))
+      .select(
+        col("event_type"),
+        col("n").cast("long").as("n_days"),
+        q6c(expr("element_at(pts, 1).rs_avg")).as("rs5"),
+        q6c(expr("element_at(pts, 2).rs_avg")).as("rs10"),
+        q6c(expr("element_at(pts, 3).rs_avg")).as("rs15"),
+        q6c(expr("(3.0D * sxy - sx * sy) / (3.0D * sxx - sx * sx)")).as("hurst"))
+  }
+
+  val hurstSql: String =
+    s"""WITH daily AS ($dailySeriesCte),
+       per AS (
+         SELECT event_type, list(dm ORDER BY day) AS dms, count(*) AS n
+         FROM daily GROUP BY 1),
+       grid AS (
+         SELECT event_type, n, dms, w, k, dms[k * w + 1 : k * w + w] AS seg
+         FROM per,
+              LATERAL (SELECT unnest([5, 10, 15]) AS w) lw,
+              LATERAL (SELECT unnest(range(0, n // w)) AS k) lk
+         WHERE n >= 15),
+       mbs AS (
+         SELECT *, list_reduce(list_prepend(0.0, seg), (a, x) -> a + x) / w AS mb
+         FROM grid),
+       rsx AS (
+         SELECT event_type, n, w, k,
+                CASE WHEN sd > 0.0 THEN (list_max(cumdevs) - list_min(cumdevs)) / sd
+                     ELSE 0.0 END AS rs
+         FROM (
+           SELECT event_type, n, w, k,
+                  [list_reduce(list_prepend(0.0, [x - mb FOR x IN seg[1:t]]),
+                               (a, b) -> a + b) FOR t IN range(1, w + 1)] AS cumdevs,
+                  sqrt(list_reduce(list_prepend(0.0, [(x - mb) * (x - mb) FOR x IN seg]),
+                                   (a, b) -> a + b) / w) AS sd
+           FROM mbs) t),
+       perw AS (
+         SELECT event_type, n, w,
+                list_reduce(list_prepend(0.0, list(rs ORDER BY k)), (a, b) -> a + b)
+                  / count(*) AS rs_avg
+         FROM rsx GROUP BY 1, 2, 3),
+       pts AS (
+         SELECT event_type, n,
+                list(rs_avg ORDER BY w) AS rsl,
+                list(ln(CAST(w AS DOUBLE)) ORDER BY w) AS lxs,
+                list(ln(rs_avg) ORDER BY w) AS lys
+         FROM perw GROUP BY 1, 2),
+       reg AS (
+         SELECT event_type, n, rsl,
+                list_reduce(list_prepend(0.0, lxs), (a, b) -> a + b) AS sx,
+                list_reduce(list_prepend(0.0, lys), (a, b) -> a + b) AS sy,
+                list_reduce(list_prepend(0.0,
+                  [lxs[i] * lys[i] FOR i IN range(1, 4)]), (a, b) -> a + b) AS sxy,
+                list_reduce(list_prepend(0.0,
+                  [lxs[i] * lxs[i] FOR i IN range(1, 4)]), (a, b) -> a + b) AS sxx
+         FROM pts)
+       SELECT event_type, CAST(n AS BIGINT) AS n_days,
+              floor(rsl[1] * 1e6 + 0.5) / 1e6 AS rs5,
+              floor(rsl[2] * 1e6 + 0.5) / 1e6 AS rs10,
+              floor(rsl[3] * 1e6 + 0.5) / 1e6 AS rs15,
+              floor((3.0 * sxy - sx * sy) / (3.0 * sxx - sx * sx) * 1e6 + 0.5) / 1e6
+                AS hurst
+       FROM reg"""
 
   // ------------------------------------------------------------------
   // q_pacf — partial autocorrelation via Durbin–Levinson

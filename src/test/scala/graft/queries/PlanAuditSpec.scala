@@ -1020,6 +1020,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "signed-rank window lost its source partition\n" + pw.take(2500))
   }
 
+  test("q_hurst / q_fleiss_kappa: bounded grids over one keyed aggregate") {
+    for (q <- Seq("q_hurst", "q_fleiss_kappa")) {
+      val p = assertBoundedShapes(q)
+      assert(!p.contains("rangepartitioning"), s"$q: global sort crept in\n" + p.take(2000))
+      assert(p.contains("partial_"), s"$q: rollup lost its map-side combine\n" + p.take(2000))
+    }
+  }
+
   test("q_pacf: Durbin-Levinson rides the per-type daily aggregate, no extra shuffle") {
     val p = assertBoundedShapes("q_pacf")
     assert(!p.contains("rangepartitioning"), p.take(2000))
