@@ -246,4 +246,148 @@ object TextQueries {
               round(0.39 * (words / sentences) + 11.8 * (syllables / words)
                     - 15.59, 4) AS fk_grade
        FROM m"""
+
+  // --------------------------------------------------------------------
+  // q_yule_k — lexical-richness profile per source
+  // --------------------------------------------------------------------
+
+  /** Yule's characteristic K per source — the classic vocabulary-
+    * repetitiveness constant (Yule 1944) a curation pipeline uses to
+    * flag template/boilerplate-heavy sources (high K = few words doing
+    * most of the work): with per-word frequencies m_w over a source,
+    *
+    *   K = 10⁴ · (Σ_w m_w² − N) / N²   (N = token count)
+    *
+    * plus vocabulary size and hapax count. Everything is an exact
+    * BIGINT sum until the single final division.
+    *
+    * Scale: one (source, word) map-side-combined aggregate, then a
+    * 20-row rollup. The word table is the shuffle; nothing else moves.
+    */
+  def yuleK(s: SparkSession, dir: String): DataFrame = {
+    val q6c = (c: org.apache.spark.sql.Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    Tables
+      .documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ", -1)).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("m"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("m")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("m") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(col("m") * col("m")).as("m2"))
+      .select(
+        col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+        q6c(
+          lit(1e4) * (col("m2") - col("n_tokens")).cast("double") /
+            (col("n_tokens") * col("n_tokens")).cast("double")).as("yule_k"))
+  }
+
+  val yuleKSql: String =
+    """WITH words AS (
+         SELECT source, w, count(*) AS m
+         FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE w <> '' GROUP BY 1, 2),
+       agg AS (
+         SELECT source,
+                CAST(sum(m) AS BIGINT) AS n_tokens,
+                count(*) AS vocab,
+                CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+                CAST(sum(m * m) AS BIGINT) AS m2
+         FROM words GROUP BY 1)
+       SELECT source, n_tokens, vocab, hapax,
+              floor(1e4 * CAST(m2 - n_tokens AS DOUBLE)
+                    / CAST(n_tokens * n_tokens AS DOUBLE) * 1e6 + 0.5) / 1e6 AS yule_k
+       FROM agg"""
+
+  // --------------------------------------------------------------------
+  // q_keyword_llr — Dunning log-likelihood keyword extraction
+  // --------------------------------------------------------------------
+
+  /** Top-5 keywords per source by Dunning's log-likelihood ratio
+    * (Dunning 1993): the 2×2 contingency G² of "this word in this
+    * source vs the rest of the corpus", the standard
+    * surprise-over-frequency keyword extractor (TF-IDF's statistically
+    * grounded sibling). Counts are exact BIGINTs; each G² term
+    * O·ln(O/E) is the SAME expression text in both engines; G² is
+    * quantized to 1e-9 BEFORE the per-source ranking so ties order
+    * identically; only words with k₁ ≥ 5 enter the ranking.
+    *
+    * Scale: one (source, word) aggregate; word totals derive from it by
+    * a second keyed rollup (no second corpus scan); the top-5 window
+    * partitions by source over the k₁-prefiltered candidate set.
+    */
+  def keywordLlr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables
+      .documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ", -1)).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("k1"))
+    val srcTot = cells.groupBy(col("source")).agg(sum(col("k1")).as("n1"))
+    val wordTot = cells.groupBy(col("w")).agg(sum(col("k1")).as("kw"))
+    val allTot = srcTot.agg(sum(col("n1")).as("nn"))
+    // the SAME four O·ln(O/E) terms as the oracle, expanded inline
+    def term(o: String, e: String) =
+      s"(CASE WHEN $o > 0.0 THEN ($o) * ln(($o) / ($e)) ELSE 0.0 END)"
+    val g2Sql =
+      s"""(2.0 * (${term("CAST(k1 AS DOUBLE)", "CAST(n1 AS DOUBLE) * CAST(kw AS DOUBLE) / CAST(nn AS DOUBLE)")}
+                + ${term("CAST(n1 - k1 AS DOUBLE)", "CAST(n1 AS DOUBLE) * CAST(nn - kw AS DOUBLE) / CAST(nn AS DOUBLE)")}
+                + ${term("CAST(kw - k1 AS DOUBLE)", "CAST(nn - n1 AS DOUBLE) * CAST(kw AS DOUBLE) / CAST(nn AS DOUBLE)")}
+                + ${term(
+        "CAST((nn - n1) - (kw - k1) AS DOUBLE)",
+        "CAST(nn - n1 AS DOUBLE) * CAST(nn - kw AS DOUBLE) / CAST(nn AS DOUBLE)")}))"""
+    val wTop = Window.partitionBy(col("source")).orderBy(col("g9").desc, col("w"))
+    cells
+      .filter(col("k1") >= 5)
+      .join(srcTot, "source")
+      .join(wordTot, "w")
+      .crossJoin(broadcast(allTot))
+      // enriched keywords only: over-represented in this source
+      .filter(col("k1") * col("nn") > col("n1") * col("kw"))
+      .withColumn("g2", expr(g2Sql))
+      .withColumn("g9", floor(col("g2") * lit(1e9) + lit(0.5)) / lit(1e9))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(
+        col("source"), col("rank"), col("w").as("word"), col("k1"), col("kw"),
+        floor(col("g2") * lit(1e6) + lit(0.5)) / lit(1e6) as "g2")
+  }
+
+  val keywordLlrSql: String = {
+    def term(o: String, e: String) =
+      s"(CASE WHEN $o > 0.0 THEN ($o) * ln(($o) / ($e)) ELSE 0.0 END)"
+    val g2 =
+      s"""(2.0 * (${term("CAST(k1 AS DOUBLE)", "CAST(n1 AS DOUBLE) * CAST(kw AS DOUBLE) / CAST(nn AS DOUBLE)")}
+                + ${term("CAST(n1 - k1 AS DOUBLE)", "CAST(n1 AS DOUBLE) * CAST(nn - kw AS DOUBLE) / CAST(nn AS DOUBLE)")}
+                + ${term("CAST(kw - k1 AS DOUBLE)", "CAST(nn - n1 AS DOUBLE) * CAST(kw AS DOUBLE) / CAST(nn AS DOUBLE)")}
+                + ${term(
+        "CAST((nn - n1) - (kw - k1) AS DOUBLE)",
+        "CAST(nn - n1 AS DOUBLE) * CAST(nn - kw AS DOUBLE) / CAST(nn AS DOUBLE)")}))"""
+    s"""WITH cells AS (
+         SELECT source, w, count(*) AS k1
+         FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE w <> '' GROUP BY 1, 2),
+       srctot AS (SELECT source, CAST(sum(k1) AS BIGINT) AS n1 FROM cells GROUP BY 1),
+       wordtot AS (SELECT w, CAST(sum(k1) AS BIGINT) AS kw FROM cells GROUP BY 1),
+       alltot AS (SELECT CAST(sum(n1) AS BIGINT) AS nn FROM srctot),
+       scored AS (
+         SELECT c.source, c.w, c.k1, wt.kw, $g2 AS g2
+         FROM cells c
+         JOIN srctot st USING (source)
+         JOIN wordtot wt USING (w)
+         CROSS JOIN alltot
+         WHERE c.k1 >= 5 AND c.k1 * nn > st.n1 * wt.kw),
+       ranked AS (
+         SELECT *, floor(g2 * 1e9 + 0.5) / 1e9 AS g9,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY floor(g2 * 1e9 + 0.5) / 1e9 DESC, w) AS rank
+         FROM scored)
+       SELECT source, CAST(rank AS BIGINT) AS rank, w AS word, k1, kw,
+              floor(g2 * 1e6 + 0.5) / 1e6 AS g2
+       FROM ranked WHERE rank <= 5"""
+  }
 }

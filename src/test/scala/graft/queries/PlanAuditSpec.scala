@@ -1020,6 +1020,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "signed-rank window lost its source partition\n" + pw.take(2500))
   }
 
+  test("q_yule_k / q_keyword_llr: one word-cell aggregate; ranking partitioned by source") {
+    for (q <- Seq("q_yule_k", "q_keyword_llr")) {
+      val p = assertBoundedShapes(q)
+      assert(!p.contains("rangepartitioning"), s"$q: global sort crept in\n" + p.take(2000))
+      assert(p.contains("partial_"), s"$q: word rollup lost its map-side combine\n" + p.take(2000))
+    }
+    val p = plan("q_keyword_llr")
+    assert(p.contains("hashpartitioning(source"),
+      "keyword top-5 window must partition by source\n" + p.take(2500))
+  }
+
   test("q_hurst / q_fleiss_kappa: bounded grids over one keyed aggregate") {
     for (q <- Seq("q_hurst", "q_fleiss_kappa")) {
       val p = assertBoundedShapes(q)
