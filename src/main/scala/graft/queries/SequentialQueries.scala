@@ -377,4 +377,121 @@ object SequentialQueries {
                 AS BIGINT) AS score
        FROM bt WHERE j = 1"""
   }
+
+  // --------------------------------------------------------------------
+  // q_ucb_replay — deterministic UCB1 offline policy replay
+  // --------------------------------------------------------------------
+
+  /** Deterministic offline replay of UCB1 (Auer et al. 2002) over the
+    * daily batched event log: arms are the five event types, the
+    * day-d reward of an arm is that day's mean event value (a ratio of
+    * exact BIGINT cents/count sums), the policy plays each arm once in
+    * arm order for the first five days, then daily picks
+    * argmax_a m̄_a + √(2·ln(t−1)/n_a) and receives the picked arm's
+    * actual reward for that day — the offline bandit-evaluation readout
+    * an experimentation platform runs before deploying an adaptive
+    * allocator. Scores are quantized to 1e-9 before each argmax (ties →
+    * lowest arm index via first-max), so the whole trajectory is
+    * engine-stable.
+    *
+    * Scale: one (day, arm) map-side-combined aggregate over the stream;
+    * the 30-round replay is an `aggregate()` fold over the bounded
+    * 150-cell reward matrix on a single row (the DuckDB twin replays it
+    * in a 30-step recursive CTE with the per-step score list and pick
+    * hoisted into derived tables, mirroring the fold's let-bindings).
+    */
+  def ucbReplay(s: SparkSession, dir: String): DataFrame = {
+    val arms = Seq("click", "error", "purchase", "signup", "view")
+    val armArr = arms.map(a => s"'$a'").mkString("array(", ", ", ")")
+    val cells = Tables
+      .events(s, dir)
+      .groupBy(
+        date_trunc("day", col("ts")).as("d"),
+        col("event_type").as("atype"))
+      .agg(
+        sum(round(col("value") * 100).cast("long")).as("cents"),
+        count(lit(1)).as("cnt"))
+      .select(
+        col("d"), col("atype"),
+        (col("cents").cast("double") / col("cnt").cast("double")).as("rm"))
+    val one = cells
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("d"), col("atype"), col("rm")))).as("cells"))
+      .select(expr("transform(cells, x -> x.rm)").as("r"), size(col("cells")).as("sz"))
+      .withColumn("nd", expr("sz div 5"))
+    // scores for round t given state st (means + exploration bonus),
+    // quantized BEFORE the argmax so tie order is engine-stable
+    val scores =
+      """transform(sequence(1, 5), a ->
+           floor((element_at(st.s, a) / cast(element_at(st.n, a) as double)
+                  + sqrt(2.0D * ln(cast(t - 1 as double))
+                         / cast(element_at(st.n, a) as double))) * 1e9 + 0.5) / 1e9)"""
+    val fold =
+      s"""aggregate(
+            sequence(6, nd),
+            named_struct(
+              'n', transform(sequence(1, 5), a -> 1L),
+              's', transform(sequence(1, 5), a -> element_at(r, (a - 1) * 5 + a))),
+            (st, t) -> element_at(transform(array($scores), sc ->
+              element_at(transform(array(array_position(sc, array_max(sc))), p ->
+                named_struct(
+                  'n', transform(sequence(1, 5), a ->
+                         IF(a = p, element_at(st.n, a) + 1L, element_at(st.n, a))),
+                  's', transform(sequence(1, 5), a ->
+                         IF(a = p, element_at(st.s, a)
+                                   + element_at(r, cast((t - 1) * 5 + p as int)),
+                            element_at(st.s, a))))), 1)), 1))"""
+    one
+      .withColumn("st", expr(fold))
+      .select(posexplode(expr("sequence(1, 5)")), col("st"), col("nd"))
+      .select(
+        expr(s"element_at($armArr, col)").as("arm"),
+        expr("element_at(st.n, col)").as("picks"),
+        q6(expr("element_at(st.s, col)")).as("total_reward"),
+        q6(expr("element_at(st.s, col) / cast(element_at(st.n, col) as double)"))
+          .as("mean_reward"),
+        col("nd").cast("long").as("n_rounds"))
+  }
+
+  val ucbReplaySql: String = {
+    // the inner derived tables keep the PREVIOUS round index t, so the
+    // new round's exploration term ln(t_new − 1) is written ln(t) — no
+    // lateral-alias shadowing of the t+1 rebind
+    val scores =
+      """list_transform(generate_series(1, 5), a ->
+           floor((s[a] / CAST(n[a] AS DOUBLE)
+                  + sqrt(2.0 * ln(CAST(t AS DOUBLE)) / CAST(n[a] AS DOUBLE)))
+                 * 1e9 + 0.5) / 1e9)"""
+    s"""WITH RECURSIVE cells AS (
+         SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d, event_type AS atype,
+                CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS rm
+         FROM events GROUP BY 1, 2),
+       one AS (
+         SELECT list(rm ORDER BY d, atype) AS r, count(*) // 5 AS nd
+         FROM cells),
+       it AS (
+         SELECT r, nd, 5 AS t,
+                list_transform(generate_series(1, 5), a -> CAST(1 AS BIGINT)) AS n,
+                list_transform(generate_series(1, 5), a -> r[(a - 1) * 5 + a]) AS s
+         FROM one
+         UNION ALL
+         SELECT r, nd, t + 1 AS t,
+                list_transform(generate_series(1, 5),
+                  a -> CASE WHEN a = p THEN n[a] + 1 ELSE n[a] END) AS n,
+                list_transform(generate_series(1, 5),
+                  a -> CASE WHEN a = p THEN s[a] + r[t * 5 + p] ELSE s[a] END) AS s
+         FROM (
+           SELECT r, nd, t, n, s, CAST(list_position(sc, list_max(sc)) AS BIGINT) AS p
+           FROM (
+             SELECT r, nd, t, n, s, $scores AS sc
+             FROM it WHERE t < nd) t1) t2)
+       SELECT ['click', 'error', 'purchase', 'signup', 'view'][a] AS arm,
+              n[a] AS picks,
+              ${q6Sql("s[a]")} AS total_reward,
+              ${q6Sql("s[a] / CAST(n[a] AS DOUBLE)")} AS mean_reward,
+              CAST(nd AS BIGINT) AS n_rounds
+       FROM it, LATERAL (SELECT unnest(generate_series(1, 5)) AS a) la
+       WHERE t = nd"""
+  }
 }

@@ -1020,6 +1020,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "signed-rank window lost its source partition\n" + pw.take(2500))
   }
 
+  test("q_ucb_replay: one keyed day-arm aggregate; replay fold on a single bounded row") {
+    val p = assertBoundedShapes("q_ucb_replay")
+    assert(!p.contains("rangepartitioning"), p.take(2000))
+    assert(p.contains("partial_"), "day-arm rollup lost its map-side combine\n" + p.take(2000))
+  }
+
   test("q_yule_k / q_keyword_llr: one word-cell aggregate; ranking partitioned by source") {
     for (q <- Seq("q_yule_k", "q_keyword_llr")) {
       val p = assertBoundedShapes(q)
