@@ -616,6 +616,156 @@ object RobustQueries2 {
       q6(expr(tau)).as("tau_b"))
   }
 
+  // --------------------------------------------------------------------
+  // q_anova_oneway — one-way ANOVA across event types
+  // --------------------------------------------------------------------
+
+  /** One-way ANOVA of event value (exact cents) across the five event
+    * types: SSB = Σ S_g²/n_g − S²/n and SSW = Σ (Q_g − S_g²/n_g) from
+    * exact BIGINT (n, Σx, Σx²) triples, F = (SSB/(k−1))/(SSW/(n−k)),
+    * η² = SSB/(SSB+SSW) — the omnibus "do the arms differ at all?"
+    * readout that precedes pairwise testing. The per-group float terms
+    * fold in group order (sorted ≤5-element array).
+    *
+    * Scale: one map-side-combined aggregate to k rows; constant math
+    * after.
+    */
+  def anovaOneway(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables
+      .events(s, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("ng"),
+        sum(col("c")).as("sg"),
+        sum(col("c") * col("c")).as("qg"))
+    val one = g
+      .groupBy()
+      .agg(
+        count(lit(1)).as("k"),
+        sum(col("ng")).as("n"),
+        sum(col("sg")).as("s"),
+        aggregate(
+          sort_array(collect_list(struct(col("event_type"), col("ng"), col("sg"), col("qg")))),
+          lit(0.0),
+          (acc, x) =>
+            acc + x.getField("sg").cast("double") * x.getField("sg").cast("double") /
+              x.getField("ng").cast("double")).as("ssg"),
+        aggregate(
+          sort_array(collect_list(struct(col("event_type"), col("ng"), col("sg"), col("qg")))),
+          lit(0.0),
+          (acc, x) =>
+            acc + (x.getField("qg").cast("double") -
+              x.getField("sg").cast("double") * x.getField("sg").cast("double") /
+                x.getField("ng").cast("double"))).as("ssw"))
+    val ssb = "(ssg - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    one.select(
+      col("k"), col("n"),
+      q6(expr(ssb)).as("ssb"),
+      q6(col("ssw")).as("ssw"),
+      q6(expr(s"($ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE))")).as("f"),
+      q6(expr(s"$ssb / ($ssb + ssw)")).as("eta2"))
+  }
+
+  val anovaOnewaySql: String = {
+    val ssb = "(ssg - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    s"""WITH g AS (
+         SELECT event_type, count(*) AS ng,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sg,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)
+                         * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS qg
+         FROM events GROUP BY 1),
+       one AS (
+         SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n, CAST(sum(sg) AS BIGINT) AS s,
+                list_reduce(list_prepend(0.0, list(
+                  CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)
+                  ORDER BY event_type)), (a, b) -> a + b) AS ssg,
+                list_reduce(list_prepend(0.0, list(
+                  CAST(qg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)
+                  ORDER BY event_type)), (a, b) -> a + b) AS ssw
+         FROM g)
+       SELECT k, n, ${q6Sql(ssb)} AS ssb, ${q6Sql("ssw")} AS ssw,
+              ${q6Sql(s"($ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE))")} AS f,
+              ${q6Sql(s"$ssb / ($ssb + ssw)")} AS eta2
+       FROM one"""
+  }
+
+  // --------------------------------------------------------------------
+  // q_levene — Brown–Forsythe variance-homogeneity test
+  // --------------------------------------------------------------------
+
+  /** Brown–Forsythe test (Levene with group MEDIANS): z = |cents −
+    * median_g| and a one-way ANOVA F over z across event types — "are
+    * the arms' spreads equal?", the guard a platform checks before
+    * trusting a pooled-variance t-test. Medians of BIGINT cents
+    * interpolate at worst to exact .5 halves, so every z is an exact
+    * .5-quantum double and the z/z² sums are order-independent —
+    * plain distributed sums, no fold needed anywhere.
+    *
+    * Scale: one aggregate for medians (broadcast back), one for the z
+    * sums; both map-side combined.
+    */
+  def levene(s: SparkSession, dir: String): DataFrame = {
+    val vals = Tables
+      .events(s, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+    val med = vals
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(c, 0.5D)").as("med"))
+    val zg = vals
+      .join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("c").cast("double") - col("med")).as("z"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("ng"), sum(col("z")).as("szg"), sum(col("z") * col("z")).as("qzg"))
+    val one = zg
+      .groupBy()
+      .agg(
+        count(lit(1)).as("k"),
+        sum(col("ng")).as("n"),
+        sum(col("szg")).as("sz"),
+        aggregate(
+          sort_array(collect_list(struct(col("event_type"), col("ng"), col("szg"), col("qzg")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("szg") * x.getField("szg") / x.getField("ng").cast("double"))
+          .as("ssg"),
+        aggregate(
+          sort_array(collect_list(struct(col("event_type"), col("ng"), col("szg"), col("qzg")))),
+          lit(0.0),
+          (acc, x) =>
+            acc + (x.getField("qzg") - x.getField("szg") * x.getField("szg") /
+              x.getField("ng").cast("double"))).as("ssw"))
+    val ssb = "(ssg - sz * sz / CAST(n AS DOUBLE))"
+    one.select(
+      col("k"), col("n"),
+      q6(expr(ssb)).as("ssb_z"),
+      q6(col("ssw")).as("ssw_z"),
+      q6(expr(s"($ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE))")).as("f_bf"))
+  }
+
+  val leveneSql: String = {
+    val ssb = "(ssg - sz * sz / CAST(n AS DOUBLE))"
+    s"""WITH vals AS (
+         SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+       med AS (SELECT event_type, median(c) AS med FROM vals GROUP BY 1),
+       zg AS (
+         SELECT v.event_type, count(*) AS ng,
+                sum(abs(CAST(v.c AS DOUBLE) - m.med)) AS szg,
+                sum(abs(CAST(v.c AS DOUBLE) - m.med) * abs(CAST(v.c AS DOUBLE) - m.med)) AS qzg
+         FROM vals v JOIN med m USING (event_type)
+         GROUP BY 1),
+       one AS (
+         SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n, sum(szg) AS sz,
+                list_reduce(list_prepend(0.0, list(
+                  szg * szg / CAST(ng AS DOUBLE) ORDER BY event_type)), (a, b) -> a + b) AS ssg,
+                list_reduce(list_prepend(0.0, list(
+                  qzg - szg * szg / CAST(ng AS DOUBLE) ORDER BY event_type)),
+                  (a, b) -> a + b) AS ssw
+         FROM zg)
+       SELECT k, n, ${q6Sql(ssb)} AS ssb_z, ${q6Sql("ssw")} AS ssw_z,
+              ${q6Sql(s"($ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE))")} AS f_bf
+       FROM one"""
+  }
+
   val kendallTauSql: String = {
     val tau =
       """(CAST(c - d AS DOUBLE)

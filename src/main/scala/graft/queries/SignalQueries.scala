@@ -1097,6 +1097,76 @@ object SignalQueries {
   }
 
   // ------------------------------------------------------------------
+  // q_ljung_box — portmanteau whiteness test
+  // ------------------------------------------------------------------
+
+  /** Ljung–Box portmanteau statistic Q = n(n+2) Σ_{k=1..7} ρ_k²/(n−k)
+    * per event type — "is this daily series white noise?", the residual
+    * whiteness check run after any forecast fit (χ²₇ under H₀). The ρ
+    * vector reuses [[autocorrelation]]'s fold recipe verbatim; the
+    * 7-term Q sum folds in lag order on the per-type row.
+    *
+    * Scale: identical to [[pacf]] — one keyed daily aggregate, then
+    * constant-size math.
+    */
+  def ljungBox(s: SparkSession, dir: String, maxLag: Int = 7): DataFrame = {
+    val q6c: Column => Column = c => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    dailySeries(s, dir)
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("dm")))).as("arr"))
+      .withColumn("dms", expr("transform(arr, x -> x.dm)"))
+      .withColumn("n", size(col("dms")))
+      .filter(col("n") > maxLag)
+      .withColumn("lmax", lit(maxLag))
+      .withColumn("mu", round(expr("aggregate(dms, 0.0D, (a, x) -> a + x) / n"), 6))
+      .withColumn("den", expr("aggregate(dms, 0.0D, (a, x) -> a + (x - mu) * (x - mu))"))
+      .withColumn(
+        "rho",
+        expr("""transform(sequence(1, lmax), lag ->
+                  aggregate(sequence(1, n - lag), 0.0D,
+                    (a, t) -> a + (get(dms, t - 1) - mu) * (get(dms, t + lag - 1) - mu))
+                  / den)"""))
+      .withColumn(
+        "q_lb",
+        expr("""cast(n as double) * cast(n + 2 as double)
+                * aggregate(sequence(1, lmax), 0.0D,
+                    (a, k) -> a + element_at(rho, k) * element_at(rho, k)
+                              / cast(n - k as double))"""))
+      .select(
+        col("event_type"),
+        col("n").cast("long").as("n_days"),
+        col("lmax").cast("long").as("dof"),
+        q6c(col("q_lb")).as("q_lb"))
+  }
+
+  def ljungBoxSql(maxLag: Int = 7): String =
+    s"""WITH daily AS ($dailySeriesCte),
+       per AS (
+         SELECT event_type, list(dm ORDER BY day) AS dms, count(*) AS n
+         FROM daily GROUP BY 1),
+       m AS (
+         SELECT event_type, dms, n,
+                round(list_reduce(list_prepend(0.0, dms), (a, b) -> a + b) / n, 6) AS mu
+         FROM per WHERE n > $maxLag),
+       d AS (
+         SELECT event_type, dms, n, mu,
+                list_reduce(list_prepend(0.0, [(x - mu) * (x - mu) FOR x IN dms]),
+                            (a, b) -> a + b) AS den
+         FROM m),
+       rhos AS (
+         SELECT event_type, n,
+                [list_reduce(list_prepend(0.0,
+                   [(dms[t] - mu) * (dms[t + lag] - mu) FOR t IN range(1, n - lag + 1)]),
+                   (a, b) -> a + b) / den FOR lag IN range(1, $maxLag + 1)] AS rho
+         FROM d)
+       SELECT event_type, CAST(n AS BIGINT) AS n_days, CAST($maxLag AS BIGINT) AS dof,
+              floor(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE)
+                    * list_reduce(list_prepend(0.0,
+                        [rho[k] * rho[k] / CAST(n - k AS DOUBLE) FOR k IN range(1, $maxLag + 1)]),
+                        (a, b) -> a + b) * 1e6 + 0.5) / 1e6 AS q_lb
+       FROM rhos"""
+
+  // ------------------------------------------------------------------
   // q_hurst — rescaled-range Hurst exponent
   // ------------------------------------------------------------------
 

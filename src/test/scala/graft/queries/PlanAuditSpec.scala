@@ -1020,6 +1020,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "signed-rank window lost its source partition\n" + pw.take(2500))
   }
 
+  test("q_anova_oneway / q_levene / q_ljung_box: keyed aggregates, constant tail math") {
+    for (q <- Seq("q_anova_oneway", "q_levene", "q_ljung_box")) {
+      val p = assertBoundedShapes(q)
+      assert(!p.contains("rangepartitioning"), s"$q: global sort crept in\n" + p.take(2000))
+      assert(p.contains("partial_"), s"$q: rollup lost its map-side combine\n" + p.take(2000))
+    }
+  }
+
   test("q_ucb_replay: one keyed day-arm aggregate; replay fold on a single bounded row") {
     val p = assertBoundedShapes("q_ucb_replay")
     assert(!p.contains("rangepartitioning"), p.take(2000))
