@@ -254,7 +254,7 @@ object EvalQueries {
     * p = 2(1 − Φ(|z|)) = 1 − erf(|z|/√2). The SAME SQL text is planted
     * in both engines so the arithmetic is identical by construction.
     */
-  private def pValSql(absZ: String): String = {
+  private[queries] def pValSql(absZ: String): String = {
     val a = s"(($absZ) / sqrt(2.0))"
     val t = s"(1.0 / (1.0 + 0.3275911 * $a))"
     s"""(((((1.061405429 * $t - 1.453152027) * $t + 1.421413741) * $t

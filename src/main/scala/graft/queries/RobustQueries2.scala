@@ -766,6 +766,95 @@ object RobustQueries2 {
        FROM one"""
   }
 
+  // --------------------------------------------------------------------
+  // q_anderson_darling — normality test with order-independent sums
+  // --------------------------------------------------------------------
+
+  /** Anderson–Darling normality statistic per event type over the full
+    * value stream, in the single-pass row form
+    *
+    *   A² = −n − (1/n) Σᵢ [(2i−1)·ln Φ(zᵢ) + (2(n−i)+1)·ln(1−Φ(zᵢ))]
+    *
+    * with zᵢ the i-th order statistic standardized by the exact-moment
+    * mean/sd and Φ from the SAME erf polynomial both engines share.
+    * Each row's term is quantized to ⌊term·10⁹⌋ and summed as a BIGINT,
+    * so the corpus-sized Σ is order-independent (the q_lm_perplexity
+    * discipline) — ties in cents get the same z, and the term is linear
+    * in i, so the per-tie-block multiset of quantized terms is
+    * engine-invariant even though row_number assigns i differently.
+    *
+    * Scale: one moments aggregate (broadcast back), one per-type
+    * ranking window, one integer sum. No global sort, no float fold.
+    */
+  def andersonDarling(s: SparkSession, dir: String): DataFrame = {
+    val vals = Tables
+      .events(s, dir)
+      .select(col("event_type"), col("event_id"), round(col("value") * 100).cast("long").as("c"))
+    val mom = vals
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sm"), sum(col("c") * col("c")).as("qm"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("c"), col("event_id"))
+    // both tails computed DIRECTLY from the polynomial (never 1 − Φ,
+    // which cancels to exactly 0 past |z| ≈ 8); the 1e-300 floor guards
+    // exp underflow on extreme outliers and is shared by both engines
+    val lnNear = "ln(1.0 - 0.5 * p)" // ln Φ(|z|) = ln(1 − tail)
+    val lnTail = "ln(greatest(0.5 * p, 1e-300))"
+    val term =
+      s"""(CAST(2 * i - 1 AS DOUBLE)
+             * (CASE WHEN z >= 0.0 THEN $lnNear ELSE $lnTail END)
+          + CAST(2 * (n - i) + 1 AS DOUBLE)
+             * (CASE WHEN z >= 0.0 THEN $lnTail ELSE $lnNear END))"""
+    vals
+      .join(broadcast(mom), "event_type")
+      .withColumn(
+        "z",
+        expr("""(CAST(c AS DOUBLE) - CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+                / sqrt((CAST(qm AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+                        / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))"""))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("p", expr(EvalQueries.pValSql("abs(z)")))
+      .withColumn("t9", expr(s"CAST(floor($term * 1e9) AS BIGINT)"))
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).as("n"), sum(col("t9")).as("s9"))
+      .select(
+        col("event_type"),
+        col("n"),
+        q6(expr("""-CAST(n AS DOUBLE)
+                   - (CAST(s9 AS DOUBLE) / 1e9) / CAST(n AS DOUBLE)""")).as("a2"))
+  }
+
+  val andersonDarlingSql: String = {
+    val lnNear = "ln(1.0 - 0.5 * p)"
+    val lnTail = "ln(greatest(0.5 * p, 1e-300))"
+    val term =
+      s"""(CAST(2 * i - 1 AS DOUBLE)
+             * (CASE WHEN z >= 0.0 THEN $lnNear ELSE $lnTail END)
+          + CAST(2 * (n - i) + 1 AS DOUBLE)
+             * (CASE WHEN z >= 0.0 THEN $lnTail ELSE $lnNear END))"""
+    s"""WITH vals AS (
+         SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+       mom AS (
+         SELECT event_type, count(*) AS n,
+                CAST(sum(c) AS BIGINT) AS sm, CAST(sum(c * c) AS BIGINT) AS qm
+         FROM vals GROUP BY 1),
+       zt AS (
+         SELECT v.event_type, m.n,
+                (CAST(v.c AS DOUBLE) - CAST(m.sm AS DOUBLE) / CAST(m.n AS DOUBLE))
+                / sqrt((CAST(m.qm AS DOUBLE) - CAST(m.sm AS DOUBLE) * CAST(m.sm AS DOUBLE)
+                        / CAST(m.n AS DOUBLE)) / CAST(m.n - 1 AS DOUBLE)) AS z,
+                row_number() OVER (PARTITION BY v.event_type ORDER BY v.c, v.event_id) AS i
+         FROM vals v JOIN mom m USING (event_type)),
+       pt AS (SELECT event_type, n, i, z,
+                     ${EvalQueries.pValSql("abs(z)")} AS p FROM zt),
+       t9 AS (SELECT event_type, n, CAST(floor($term * 1e9) AS BIGINT) AS t9 FROM pt)
+       SELECT event_type, any_value(n) AS n,
+              ${q6Sql(
+        """-CAST(any_value(n) AS DOUBLE)
+           - (CAST(CAST(sum(t9) AS BIGINT) AS DOUBLE) / 1e9) / CAST(any_value(n) AS DOUBLE)""")}
+                AS a2
+       FROM t9 GROUP BY event_type"""
+  }
+
   val kendallTauSql: String = {
     val tau =
       """(CAST(c - d AS DOUBLE)

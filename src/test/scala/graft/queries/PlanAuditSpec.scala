@@ -1020,6 +1020,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "signed-rank window lost its source partition\n" + pw.take(2500))
   }
 
+  test("q_anderson_darling: per-type ranking window, order-independent integer term sum") {
+    val p = assertBoundedShapes("q_anderson_darling")
+    assert(!p.contains("rangepartitioning"), "global sort crept in\n" + p.take(2000))
+    assert(p.contains("hashpartitioning(event_type"),
+      "rank window must partition by event_type\n" + p.take(2500))
+    assert(p.contains("partial_sum"), "term sum lost its map-side combine\n" + p.take(2000))
+  }
+
   test("q_anova_oneway / q_levene / q_ljung_box: keyed aggregates, constant tail math") {
     for (q <- Seq("q_anova_oneway", "q_levene", "q_ljung_box")) {
       val p = assertBoundedShapes(q)
