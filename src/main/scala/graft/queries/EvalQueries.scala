@@ -383,6 +383,112 @@ object EvalQueries {
   }
 
   // --------------------------------------------------------------------
+  // q_chrf — character n-gram F-score per source
+  // --------------------------------------------------------------------
+
+  /** chrF2 (Popović 2015) per source over the fixture pairs: character
+    * n-grams (n = 1..4, whitespace stripped), micro-averaged clipped
+    * precision P_n and recall R_n per order from exact BIGINT sums,
+    * F2_n = 5·P·R/(4·P + R), chrF2 = mean of the four F2_n (fixed
+    * 4-term sum) — the third leg of the BLEU/ROUGE/chrF generation-eval
+    * trio, the one robust to tokenizer choice.
+    *
+    * Scale: same shape as [[bleuCorpus]] — the char-gram stream
+    * aggregates map-side on (pair, n, gram) before the one shuffle, the
+    * clip join is an equi-join on the same key, and everything after
+    * the per-(source, n) rollup is a 20-row table.
+    */
+  def chrF(s: SparkSession, dir: String): DataFrame = {
+    def charGrams(arr: String): String =
+      s"""flatten(transform(sequence(1, 4), n ->
+            transform(slice(sequence(1, length($arr)), 1, greatest(length($arr) - n + 1, 0)),
+                      i -> named_struct('n', n, 'gram', substring($arr, i, n)))))"""
+    val pairs = pairedDocs(s, dir)
+      .withColumn("cc", regexp_replace(concat_ws(" ", col("cw")), " ", ""))
+      .withColumn("rc", regexp_replace(concat_ws(" ", col("rw")), " ", ""))
+    val cg = pairs
+      .select(col("pair_id"), col("source"), explode(expr(charGrams("cc"))).as("g"))
+      .groupBy(col("pair_id"), col("source"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .agg(count(lit(1)).as("c_cnt"))
+    val rg = pairs
+      .select(col("pair_id"), explode(expr(charGrams("rc"))).as("g"))
+      .groupBy(col("pair_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .agg(count(lit(1)).as("r_cnt"))
+    val clip = cg
+      .join(rg, Seq("pair_id", "n", "gram"), "left")
+      .groupBy(col("source"), col("n"))
+      .agg(
+        sum(least(col("c_cnt"), coalesce(col("r_cnt"), lit(0L)))).as("m"),
+        sum(col("c_cnt")).as("ct"))
+    val refTot = rg
+      .join(pairs.select(col("pair_id"), col("source")), "pair_id")
+      .groupBy(col("source"), col("n"))
+      .agg(sum(col("r_cnt")).as("rt"))
+    def pick(n: Int, c: String): Column =
+      sum(when(col("n") === n, col(c)).otherwise(lit(0L)))
+    val wide = clip
+      .join(refTot, Seq("source", "n"))
+      .groupBy(col("source"))
+      .agg(
+        pick(1, "m").as("m1"), pick(1, "ct").as("c1"), pick(1, "rt").as("r1"),
+        pick(2, "m").as("m2"), pick(2, "ct").as("c2"), pick(2, "rt").as("r2"),
+        pick(3, "m").as("m3"), pick(3, "ct").as("c3"), pick(3, "rt").as("r3"),
+        pick(4, "m").as("m4"), pick(4, "ct").as("c4"), pick(4, "rt").as("r4"))
+    def f2(n: Int): String = {
+      val p = s"(CAST(m$n AS DOUBLE) / CAST(c$n AS DOUBLE))"
+      val r = s"(CAST(m$n AS DOUBLE) / CAST(r$n AS DOUBLE))"
+      s"(CASE WHEN m$n > 0 THEN 5.0 * $p * $r / (4.0 * $p + $r) ELSE 0.0 END)"
+    }
+    wide.select(
+      col("source"),
+      q6(expr(f2(1))).as("f2_1"), q6(expr(f2(2))).as("f2_2"),
+      q6(expr(f2(3))).as("f2_3"), q6(expr(f2(4))).as("f2_4"),
+      q6(expr(s"(${f2(1)} + ${f2(2)} + ${f2(3)} + ${f2(4)}) / 4.0")).as("chrf2"))
+  }
+
+  val chrFSql: String = {
+    def f2(n: Int): String = {
+      val p = s"(CAST(m$n AS DOUBLE) / CAST(c$n AS DOUBLE))"
+      val r = s"(CAST(m$n AS DOUBLE) / CAST(r$n AS DOUBLE))"
+      s"(CASE WHEN m$n > 0 THEN 5.0 * $p * $r / (4.0 * $p + $r) ELSE 0.0 END)"
+    }
+    def picks(c: String) = (1 to 4)
+      .map(n => s"CAST(sum(CASE WHEN n = $n THEN $c ELSE 0 END) AS BIGINT) AS $c$n")
+      .mkString(", ")
+    s"""WITH $pairedDocsSql,
+       pc AS (SELECT pair_id, source,
+                     replace(array_to_string(cw, ' '), ' ', '') AS cc,
+                     replace(array_to_string(rw, ' '), ' ', '') AS rc
+              FROM p),
+       cg AS (SELECT pair_id, source, n, substr(cc, i, n) AS gram, count(*) AS c_cnt
+              FROM pc, unnest(generate_series(1, 4)) t(n),
+                   unnest(generate_series(1, len(cc) - n + 1)) ss(i)
+              GROUP BY 1, 2, 3, 4),
+       rg AS (SELECT pair_id, n, substr(rc, i, n) AS gram, count(*) AS r_cnt
+              FROM pc, unnest(generate_series(1, 4)) t(n),
+                   unnest(generate_series(1, len(rc) - n + 1)) ss(i)
+              GROUP BY 1, 2, 3),
+       clip AS (
+         SELECT cg.source, cg.n,
+                CAST(sum(least(cg.c_cnt, COALESCE(rg.r_cnt, 0))) AS BIGINT) AS m,
+                CAST(sum(cg.c_cnt) AS BIGINT) AS ct
+         FROM cg LEFT JOIN rg
+           ON rg.pair_id = cg.pair_id AND rg.n = cg.n AND rg.gram = cg.gram
+         GROUP BY 1, 2),
+       rt AS (SELECT pc.source, rg.n, CAST(sum(rg.r_cnt) AS BIGINT) AS rt
+              FROM rg JOIN pc USING (pair_id) GROUP BY 1, 2),
+       wide AS (
+         SELECT source, ${picks("m")}, ${picks("ct").replace("AS ct", "AS c")},
+                ${picks("rt").replace("AS rt", "AS r")}
+         FROM clip JOIN rt USING (source, n) GROUP BY 1)
+       SELECT source,
+              ${q6Sql(f2(1))} AS f2_1, ${q6Sql(f2(2))} AS f2_2,
+              ${q6Sql(f2(3))} AS f2_3, ${q6Sql(f2(4))} AS f2_4,
+              ${q6Sql(s"(${f2(1)} + ${f2(2)} + ${f2(3)} + ${f2(4)}) / 4.0")} AS chrf2
+       FROM wide"""
+  }
+
+  // --------------------------------------------------------------------
   // q_wilcoxon — paired signed-rank test per source
   // --------------------------------------------------------------------
 

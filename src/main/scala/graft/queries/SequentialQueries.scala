@@ -327,28 +327,37 @@ object SequentialQueries {
                  0L)""").as("score"))
   }
 
-  val viterbiSql: String = {
-    val init = duckArr(VitInit)
-    val trans = duckArr(VitTrans)
-    val emit = duckArr(VitEmit)
+  /** DuckDB replay of [[graft.plans.ViterbiPath]] for any weight set:
+    * given an upstream `seqs(user_id, obs)` CTE, emits the `it`
+    * (trellis, per-step argmax backpointers) and `bt` (backtrack) CTE
+    * bodies. Shared by [[viterbiSql]] and [[burstDetectSql]] so the
+    * replay logic exists exactly once.
+    */
+  private def viterbiReplayCtes(
+      init: Array[Long],
+      trans: Array[Long],
+      emit: Array[Long]): String = {
+    val s = init.length
+    val o = emit.length / s
+    val states = (1 to s).mkString("[", ", ", "]")
+    val initL = duckArr(init)
+    val transL = duckArr(trans)
+    val emitL = duckArr(emit)
     // candidate from-state scores for to-state sp, given the previous
     // delta vector dv — repeated verbatim for the max and the argmax
     def cand(dv: String) =
-      s"list_transform([1, 2, 3], s -> $dv[s] + ($trans)[(s - 1) * 3 + sp])"
-    s"""WITH RECURSIVE seqs AS (
-         SELECT user_id, list($obsCaseSql ORDER BY ts, event_id) AS obs
-         FROM events GROUP BY 1),
-       it AS (
+      s"list_transform($states, s -> $dv[s] + ($transL)[(s - 1) * $s + sp])"
+    s"""it AS (
          SELECT user_id, obs, 1 AS i,
-                list_transform([1, 2, 3],
-                  s -> ($init)[s] + ($emit)[(s - 1) * 5 + obs[1] + 1]) AS dv,
+                list_transform($states,
+                  s -> ($initL)[s] + ($emitL)[(s - 1) * $o + obs[1] + 1]) AS dv,
                 CAST([] AS BIGINT[]) AS bp
          FROM seqs
          UNION ALL
          SELECT user_id, obs, i + 1,
-                list_transform([1, 2, 3], sp ->
-                  list_max(${cand("dv")}) + ($emit)[(sp - 1) * 5 + obs[i + 1] + 1]),
-                list_concat(bp, list_transform([1, 2, 3], sp ->
+                list_transform($states, sp ->
+                  list_max(${cand("dv")}) + ($emitL)[(sp - 1) * $o + obs[i + 1] + 1]),
+                list_concat(bp, list_transform($states, sp ->
                   CAST(list_position(${cand("dv")}, list_max(${cand("dv")})) AS BIGINT)))
          FROM it WHERE i < len(obs)),
        fin AS (SELECT user_id, obs, dv, bp, len(obs) AS t FROM it WHERE i = len(obs)),
@@ -359,9 +368,19 @@ object SequentialQueries {
          FROM fin
          UNION ALL
          SELECT user_id, obs, bp, t, j - 1,
-                bp[(j - 2) * 3 + st],
-                list_prepend(bp[(j - 2) * 3 + st], path)
-         FROM bt WHERE j > 1)
+                bp[(j - 2) * $s + st],
+                list_prepend(bp[(j - 2) * $s + st], path)
+         FROM bt WHERE j > 1)"""
+  }
+
+  val viterbiSql: String = {
+    val init = duckArr(VitInit)
+    val trans = duckArr(VitTrans)
+    val emit = duckArr(VitEmit)
+    s"""WITH RECURSIVE seqs AS (
+         SELECT user_id, list($obsCaseSql ORDER BY ts, event_id) AS obs
+         FROM events GROUP BY 1),
+       ${viterbiReplayCtes(VitInit, VitTrans, VitEmit)}
        SELECT user_id, CAST(t AS BIGINT) AS n_events,
               CAST(len(list_filter(path, p -> p = 1)) AS BIGINT) AS n_browse,
               CAST(len(list_filter(path, p -> p = 2)) AS BIGINT) AS n_engaged,
@@ -377,6 +396,92 @@ object SequentialQueries {
                 AS BIGINT) AS score
        FROM bt WHERE j = 1"""
   }
+
+  // --------------------------------------------------------------------
+  // q_burst_detect — 2-state burst segmentation of user activity
+  // --------------------------------------------------------------------
+
+  /** Kleinberg-style burst segmentation of each user's activity via the
+    * SAME [[graft.plans.ViterbiPath]] kernel with a 2-state
+    * (calm/burst) × 10-observation (inter-arrival-gap decile) weight
+    * set: bursts emit short gaps cheaply, state changes pay a
+    * transition penalty — the automaton's most-likely path segments the
+    * stream into burst episodes. Demonstrates the kernel is generic
+    * over (S, O): only the literal weight tables differ from
+    * [[viterbi]], and the DuckDB replay reuses [[viterbiReplayCtes]]
+    * verbatim.
+    *
+    * Scale: one lag() pass per user (partitioned window), one keyed
+    * aggregate to assemble gap sequences, decode fused into the
+    * projection.
+    */
+  private val BurstInit: Array[Long] = Array(0L, -1500L)
+  private val BurstTrans: Array[Long] = Array(-100L, -2500L, -1800L, -200L)
+  private val BurstEmit: Array[Long] = Array(
+    -3500L, -2800L, -2200L, -1600L, -1200L, -900L, -700L, -600L, -500L, -400L, // calm
+    -300L, -500L, -900L, -1500L, -2200L, -3000L, -3600L, -4200L, -4800L, -5400L) // burst
+
+  // gap is exact BIGINT MICROSECONDS on both engines (unix_micros /
+  // epoch_us): the fixture timestamps carry sub-second components, so
+  // second-truncated casts would bucket boundary gaps differently
+  private val gapBucketSql = {
+    // decile-ish edges for the fixture's inter-arrival distribution
+    // (median gap ~7.3 h): chosen so all ten observation codes occur
+    val edges = Seq(4200L, 8400L, 14400L, 19800L, 26400L, 34800L, 45600L, 61200L, 90000L)
+    edges.zipWithIndex
+      .map { case (sec, i) => s"WHEN gap < ${sec * 1000000L} THEN $i" }
+      .mkString("CASE ", " ", " ELSE 9 END")
+  }
+
+  def burstDetect(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.ViterbiPath.register(s, "burst_path", BurstInit, BurstTrans, BurstEmit)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = Tables
+      .events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(byUser))
+      .filter(col("gap").isNotNull)
+      .withColumn("o", expr(gapBucketSql).cast("int"))
+    val seqs = gaps
+      .groupBy(col("user_id"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("o")))),
+          x => x.getField("o")).as("obs"))
+    seqs
+      .withColumn("path", expr("burst_path(obs)"))
+      .select(
+        col("user_id"),
+        size(col("obs")).cast("long").as("n_gaps"),
+        size(filter(col("path"), _ === 2L)).cast("long").as("n_burst"),
+        expr("""IF(size(path) >= 2,
+                  aggregate(sequence(2, size(path)), 0L, (acc, i) ->
+                    acc + IF(element_at(path, i) != element_at(path, i - 1), 1L, 0L)),
+                  0L)""").as("n_switches"),
+        expr("aggregate(sequence(1, size(path)), 0L, (acc, i) -> acc + i * element_at(path, i))")
+          .as("path_sig"))
+  }
+
+  val burstDetectSql: String =
+    s"""WITH RECURSIVE g0 AS (
+         SELECT user_id, ts, event_id,
+                epoch_us(CAST(ts AS TIMESTAMP))
+                  - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+         FROM events),
+       seqs AS (
+         SELECT user_id, list($gapBucketSql ORDER BY ts, event_id) AS obs
+         FROM g0 WHERE gap IS NOT NULL GROUP BY 1),
+       ${viterbiReplayCtes(BurstInit, BurstTrans, BurstEmit)}
+       SELECT user_id, CAST(t AS BIGINT) AS n_gaps,
+              CAST(len(list_filter(path, p -> p = 2)) AS BIGINT) AS n_burst,
+              CAST(COALESCE(list_sum(list_transform(generate_series(2, CAST(t AS INT)),
+                i -> CASE WHEN path[i] <> path[i - 1] THEN 1 ELSE 0 END)), 0) AS BIGINT)
+                AS n_switches,
+              CAST(list_sum(list_transform(generate_series(1, CAST(t AS INT)),
+                i -> i * path[i])) AS BIGINT) AS path_sig
+       FROM bt WHERE j = 1"""
 
   // --------------------------------------------------------------------
   // q_ucb_replay — deterministic UCB1 offline policy replay

@@ -1020,6 +1020,16 @@ class PlanAuditSpec extends AnyFunSuite {
       "signed-rank window lost its source partition\n" + pw.take(2500))
   }
 
+  test("q_chrf / q_burst_detect: gram rollup map-side; gap window user-partitioned") {
+    for (q <- Seq("q_chrf", "q_burst_detect")) {
+      val p = assertBoundedShapes(q)
+      assert(!p.contains("rangepartitioning"), s"$q: global sort crept in\n" + p.take(2000))
+    }
+    val p = plan("q_burst_detect")
+    assert(p.contains("hashpartitioning(user_id"),
+      "gap lag window must partition by user_id\n" + p.take(2500))
+  }
+
   test("q_anderson_darling: per-type ranking window, order-independent integer term sum") {
     val p = assertBoundedShapes("q_anderson_darling")
     assert(!p.contains("rangepartitioning"), "global sort crept in\n" + p.take(2000))
