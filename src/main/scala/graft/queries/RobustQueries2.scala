@@ -767,6 +767,136 @@ object RobustQueries2 {
   }
 
   // --------------------------------------------------------------------
+  // q_granger — lag-1 Granger causality between nation revenue series
+  // --------------------------------------------------------------------
+
+  /** Lag-1 Granger causality test for every directed nation pair
+    * (does nation X's last month's revenue help predict nation Y's
+    * this month, beyond Y's own history?): restricted OLS
+    * y_t ~ a + b·y_{t−1} vs unrestricted y_t ~ a + b·y_{t−1} + c·x_{t−1},
+    * F = (RSS_r − RSS_u) / (RSS_u / (n−3)) with one numerator df.
+    *
+    * Exactness: the series are exact integer DOLLARS (rev4 div 10⁴ —
+    * integer division of the exact 10⁻⁴-dollar units), so every moment
+    * sum (Σy, Σy², Σy·y₁, …) is an exact BIGINT; both normal-equation
+    * solves (2×2 and 3×3 Cramer) are one shared float expression tree
+    * over those integers, so the doubles are engine-identical even
+    * where they exceed 2⁵³.
+    *
+    * Scale: the corpus aggregates once to |nation|×|month| rows; the
+    * directed pair grid (≤600 pairs × months) is month-bounded; one
+    * keyed moment aggregate per pair, constant math after.
+    */
+  def granger(s: SparkSession, dir: String): DataFrame = {
+    val monthly = RobustQueries
+      .nationMonthlySeries(s, dir)
+      .select(col("n_name"), col("m"), expr("y div 10000").as("v"))
+    val y = monthly.select(col("n_name").as("ny"), col("m"), col("v").as("yv"))
+    val y1 = monthly.select(col("n_name").as("ny"), (col("m") + 1).as("m"), col("v").as("y1"))
+    val x1 = monthly.select(col("n_name").as("nx"), (col("m") + 1).as("m"), col("v").as("x1"))
+    val rows = y
+      .join(y1, Seq("ny", "m"))
+      .join(x1, "m")
+      .filter(col("nx") =!= col("ny"))
+    val mom = rows
+      .groupBy(col("ny"), col("nx"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("yv")).as("sy"),
+        sum(col("y1")).as("sy1"),
+        sum(col("x1")).as("sx1"),
+        sum(col("yv") * col("yv")).as("syy"),
+        sum(col("y1") * col("y1")).as("sy1y1"),
+        sum(col("x1") * col("x1")).as("sx1x1"),
+        sum(col("y1") * col("x1")).as("sy1x1"),
+        sum(col("yv") * col("y1")).as("syy1"),
+        sum(col("yv") * col("x1")).as("syx1"))
+    // restricted: y ~ a + b*y1 (2x2 normal equations)
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val dr = s"(${d("n")} * ${d("sy1y1")} - ${d("sy1")} * ${d("sy1")})"
+    val br = s"((${d("n")} * ${d("syy1")} - ${d("sy")} * ${d("sy1")}) / $dr)"
+    val ar = s"((${d("sy")} - $br * ${d("sy1")}) / ${d("n")})"
+    val rssR = s"(${d("syy")} - $ar * ${d("sy")} - $br * ${d("syy1")})"
+    // unrestricted: y ~ a + b*y1 + c*x1 (3x3 Cramer); matrix
+    //   [ n    sy1    sx1  ] [a]   [ sy   ]
+    //   [ sy1  sy1y1  sy1x1] [b] = [ syy1 ]
+    //   [ sx1  sy1x1  sx1x1] [c]   [ syx1 ]
+    def det3(
+        a11: String, a12: String, a13: String,
+        a21: String, a22: String, a23: String,
+        a31: String, a32: String, a33: String) =
+      s"""(${d(a11)} * (${d(a22)} * ${d(a33)} - ${d(a23)} * ${d(a32)})
+          - ${d(a12)} * (${d(a21)} * ${d(a33)} - ${d(a23)} * ${d(a31)})
+          + ${d(a13)} * (${d(a21)} * ${d(a32)} - ${d(a22)} * ${d(a31)}))"""
+    val dd = det3("n", "sy1", "sx1", "sy1", "sy1y1", "sy1x1", "sx1", "sy1x1", "sx1x1")
+    val da = det3("sy", "sy1", "sx1", "syy1", "sy1y1", "sy1x1", "syx1", "sy1x1", "sx1x1")
+    val db = det3("n", "sy", "sx1", "sy1", "syy1", "sy1x1", "sx1", "syx1", "sx1x1")
+    val dc = det3("n", "sy1", "sy", "sy1", "sy1y1", "syy1", "sx1", "sy1x1", "syx1")
+    val rssU =
+      s"""(${d("syy")} - ($da / $dd) * ${d("sy")}
+          - ($db / $dd) * ${d("syy1")} - ($dc / $dd) * ${d("syx1")})"""
+    val f = s"(($rssR - $rssU) / ($rssU / CAST(n - 3 AS DOUBLE)))"
+    mom.select(
+      col("ny"), col("nx"), col("n"),
+      q6(expr(s"$dc / $dd")).as("c_coef"),
+      q6(expr(f)).as("f_stat"))
+  }
+
+  val grangerSql: String = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val dr = s"(${d("n")} * ${d("sy1y1")} - ${d("sy1")} * ${d("sy1")})"
+    val br = s"((${d("n")} * ${d("syy1")} - ${d("sy")} * ${d("sy1")}) / $dr)"
+    val ar = s"((${d("sy")} - $br * ${d("sy1")}) / ${d("n")})"
+    val rssR = s"(${d("syy")} - $ar * ${d("sy")} - $br * ${d("syy1")})"
+    def det3(
+        a11: String, a12: String, a13: String,
+        a21: String, a22: String, a23: String,
+        a31: String, a32: String, a33: String) =
+      s"""(${d(a11)} * (${d(a22)} * ${d(a33)} - ${d(a23)} * ${d(a32)})
+          - ${d(a12)} * (${d(a21)} * ${d(a33)} - ${d(a23)} * ${d(a31)})
+          + ${d(a13)} * (${d(a21)} * ${d(a32)} - ${d(a22)} * ${d(a31)}))"""
+    val dd = det3("n", "sy1", "sx1", "sy1", "sy1y1", "sy1x1", "sx1", "sy1x1", "sx1x1")
+    val da = det3("sy", "sy1", "sx1", "syy1", "sy1y1", "sy1x1", "syx1", "sy1x1", "sx1x1")
+    val db = det3("n", "sy", "sx1", "sy1", "syy1", "sy1x1", "sx1", "syx1", "sx1x1")
+    val dc = det3("n", "sy1", "sy", "sy1", "sy1y1", "syy1", "sx1", "sy1x1", "syx1")
+    val rssU =
+      s"""(${d("syy")} - ($da / $dd) * ${d("sy")}
+          - ($db / $dd) * ${d("syy1")} - ($dc / $dd) * ${d("syx1")})"""
+    val f = s"(($rssR - $rssU) / ($rssU / CAST(n - 3 AS DOUBLE)))"
+    s"""WITH monthly AS (
+         SELECT n.n_name,
+                (year(l.l_shipdate) - 1995) * 12 + month(l.l_shipdate) - 1 AS m,
+                CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+                  // 10000 AS v
+         FROM lineitem l
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         GROUP BY 1, 2),
+       rows_ AS (
+         SELECT y.n_name AS ny, x.n_name AS nx, y.v AS yv, p.v AS y1, x.v AS x1
+         FROM monthly y
+         JOIN monthly p ON p.n_name = y.n_name AND p.m = y.m - 1
+         JOIN monthly x ON x.m = y.m - 1 AND x.n_name <> y.n_name),
+       mom AS (
+         SELECT ny, nx, count(*) AS n,
+                CAST(sum(yv) AS BIGINT) AS sy,
+                CAST(sum(y1) AS BIGINT) AS sy1,
+                CAST(sum(x1) AS BIGINT) AS sx1,
+                CAST(sum(yv * yv) AS BIGINT) AS syy,
+                CAST(sum(y1 * y1) AS BIGINT) AS sy1y1,
+                CAST(sum(x1 * x1) AS BIGINT) AS sx1x1,
+                CAST(sum(y1 * x1) AS BIGINT) AS sy1x1,
+                CAST(sum(yv * y1) AS BIGINT) AS syy1,
+                CAST(sum(yv * x1) AS BIGINT) AS syx1
+         FROM rows_ GROUP BY 1, 2)
+       SELECT ny, nx, n,
+              ${q6Sql(s"$dc / $dd")} AS c_coef,
+              ${q6Sql(f)} AS f_stat
+       FROM mom"""
+  }
+
+  // --------------------------------------------------------------------
   // q_anderson_darling — normality test with order-independent sums
   // --------------------------------------------------------------------
 

@@ -1020,6 +1020,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "signed-rank window lost its source partition\n" + pw.take(2500))
   }
 
+  test("q_granger: pair moments from the month-bounded grid, one keyed aggregate") {
+    val p = assertBoundedShapes("q_granger")
+    assert(!p.contains("rangepartitioning"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("partial_"), "moment rollup lost its map-side combine\n" + p.take(2000))
+  }
+
   test("q_chrf / q_burst_detect: gram rollup map-side; gap window user-partitioned") {
     for (q <- Seq("q_chrf", "q_burst_detect")) {
       val p = assertBoundedShapes(q)
