@@ -908,4 +908,92 @@ object GraphQueries {
          SELECT node, list_reduce(list_sort(list(dl)), (x, y) -> x + y) AS v
          FROM b$maxHops WHERE node <> s GROUP BY 1) bc ON n.node = bc.node"""
   }
+
+  // ------------------------------------------------------------------
+  // q_ktruss — k-truss decomposition of the similarity graph
+  // ------------------------------------------------------------------
+
+  /** 4-truss of the similarity graph (Cohen 2008): iteratively remove
+    * every edge supported by fewer than k−2 = 2 triangles until a fixed
+    * point — the cohesive-subgraph extractor that keeps only edges
+    * embedded in dense near-duplicate communities (stricter than
+    * components, cheaper than cliques). Both engines unroll the same
+    * `rounds` prune rounds; extra rounds past convergence are no-ops,
+    * so the unroll count only needs to be ≥ the convergence depth, not
+    * equal to it.
+    *
+    * Scale: per round, one wedge join + closing-edge join (the
+    * [[triangleCount]] shape, canonically oriented) and one edge-keyed
+    * support aggregate. The edge iterate is consumed four times per
+    * round (three triangle legs + the prune join), so each round is
+    * `localCheckpoint`ed — the CONSUMED-twice rule measured on q_hits.
+    */
+  def ktruss(
+      s: SparkSession,
+      dir: String,
+      k: Int = 4,
+      rounds: Int = 4,
+      minCommon: Int = 12): DataFrame = {
+    def support(e: DataFrame): DataFrame = {
+      val tri = e
+        .as("e1")
+        .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+        .join(
+          e.as("e3"),
+          col("e3.doc_a") === col("e1.doc_a") && col("e3.doc_b") === col("e2.doc_b"))
+        .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"), col("e2.doc_b").as("c"))
+      tri
+        .select(col("a").as("doc_a"), col("b").as("doc_b"))
+        .unionByName(tri.select(col("b").as("doc_a"), col("c").as("doc_b")))
+        .unionByName(tri.select(col("a").as("doc_a"), col("c").as("doc_b")))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("sup"))
+    }
+    var e = similarityPairs(s, dir, minCommon)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      e = e
+        .join(support(e), Seq("doc_a", "doc_b"))
+        .filter(col("sup") >= k - 2)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+    }
+    e.join(support(e), Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), coalesce(col("sup"), lit(0L)).as("support"))
+  }
+
+  def ktrussSql(k: Int = 4, rounds: Int = 4, minCommon: Int = 12): String = {
+    def roundCtes(r: Int, src: String): String =
+      s"""t$r AS MATERIALIZED (
+           SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+           FROM $src e1
+           JOIN $src e2 ON e1.doc_b = e2.doc_a
+           JOIN $src e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+         s$r AS MATERIALIZED (
+           SELECT doc_a, doc_b, count(*) AS sup FROM (
+             SELECT a AS doc_a, b AS doc_b FROM t$r
+             UNION ALL SELECT b, c FROM t$r
+             UNION ALL SELECT a, c FROM t$r) GROUP BY 1, 2),
+         e$r AS MATERIALIZED (
+           SELECT e.doc_a, e.doc_b
+           FROM $src e JOIN s$r s USING (doc_a, doc_b)
+           WHERE s.sup >= ${k - 2})"""
+    val body = (1 to rounds).map(r => roundCtes(r, s"e${r - 1}")).mkString(",\n       ")
+    s"""WITH ${graphCtesSql(minCommon)},
+       e0 AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs),
+       $body,
+       tf AS MATERIALIZED (
+         SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+         FROM e$rounds e1
+         JOIN e$rounds e2 ON e1.doc_b = e2.doc_a
+         JOIN e$rounds e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+       sf AS MATERIALIZED (
+         SELECT doc_a, doc_b, count(*) AS sup FROM (
+           SELECT a AS doc_a, b AS doc_b FROM tf
+           UNION ALL SELECT b, c FROM tf
+           UNION ALL SELECT a, c FROM tf) GROUP BY 1, 2)
+       SELECT e.doc_a, e.doc_b, CAST(COALESCE(s.sup, 0) AS BIGINT) AS support
+       FROM e$rounds e LEFT JOIN sf s USING (doc_a, doc_b)"""
+  }
 }

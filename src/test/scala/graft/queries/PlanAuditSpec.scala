@@ -1020,6 +1020,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "signed-rank window lost its source partition\n" + pw.take(2500))
   }
 
+  test("q_ktruss: edge-keyed wedge joins, no cartesian, prune rounds truncated") {
+    val p = assertBoundedShapes("q_ktruss")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("rangepartitioning"), p.take(2000))
+    // the final plan must hang off the checkpointed round-4 edge set,
+    // not re-derive the whole prune chain
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD") ||
+      p.contains("LogicalRDD"),
+      "edge iterate lost its localCheckpoint truncation\n" + p.take(2500))
+  }
+
   test("q_granger: pair moments from the month-bounded grid, one keyed aggregate") {
     val p = assertBoundedShapes("q_granger")
     assert(!p.contains("rangepartitioning"), p.take(2000))
