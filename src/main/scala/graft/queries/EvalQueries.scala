@@ -841,6 +841,68 @@ object EvalQueries {
   }
 
   // --------------------------------------------------------------------
+  // q_mcnemar — paired classifier comparison per source
+  // --------------------------------------------------------------------
+
+  /** McNemar's test (McNemar 1947) per source for two deterministic
+    * binary quality rules predicting "long document" (n_chars ≥ 300):
+    * rule A = token count ≥ 55, rule B = distinct-token count ≥ 45.
+    * Only the DISCORDANT pairs matter — b = A right & B wrong, c = A
+    * wrong & B right — and χ² = (|b−c|−1)²/(b+c) with the standard
+    * continuity correction: the paired-classifier significance readout
+    * an eval harness runs before declaring one filter better. Exact
+    * BIGINT counts, one float expression, 0 when b+c = 0.
+    *
+    * Scale: one map-side-combined conditional-sum aggregate per source.
+    */
+  def mcnemar(s: SparkSession, dir: String): DataFrame = {
+    val rated = Tables
+      .documents(s, dir)
+      .withColumn("toks", split(col("text"), " ", -1))
+      .select(
+        col("source"),
+        (col("n_chars") >= 300).as("y"),
+        (size(col("toks")) >= 55).as("a"),
+        (size(array_distinct(col("toks"))) >= 45).as("b"))
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val agg = rated
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n"),
+        cnt((col("a") === col("y")) && (col("b") =!= col("y"))).as("b_disc"),
+        cnt((col("a") =!= col("y")) && (col("b") === col("y"))).as("c_disc"))
+    val chi2 =
+      """CASE WHEN b_disc + c_disc > 0 THEN
+           CAST((abs(b_disc - c_disc) - 1) * (abs(b_disc - c_disc) - 1) AS DOUBLE)
+           / CAST(b_disc + c_disc AS DOUBLE)
+         ELSE 0.0 END"""
+    agg.select(
+      col("source"), col("n"), col("b_disc"), col("c_disc"),
+      q6(expr(chi2)).as("chi2"))
+  }
+
+  val mcnemarSql: String = {
+    val chi2 =
+      """CASE WHEN b_disc + c_disc > 0 THEN
+           CAST((abs(b_disc - c_disc) - 1) * (abs(b_disc - c_disc) - 1) AS DOUBLE)
+           / CAST(b_disc + c_disc AS DOUBLE)
+         ELSE 0.0 END"""
+    s"""WITH rated AS (
+         SELECT source,
+                n_chars >= 300 AS y,
+                len(string_split(text, ' ')) >= 55 AS a,
+                len(list_distinct(string_split(text, ' '))) >= 45 AS b
+         FROM documents),
+       agg AS (
+         SELECT source, count(*) AS n,
+                CAST(sum(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END) AS BIGINT) AS b_disc,
+                CAST(sum(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END) AS BIGINT) AS c_disc
+         FROM rated GROUP BY 1)
+       SELECT source, n, b_disc, c_disc, ${q6Sql(chi2)} AS chi2
+       FROM agg"""
+  }
+
+  // --------------------------------------------------------------------
   // q_fleiss_kappa — multi-rater agreement per source
   // --------------------------------------------------------------------
 

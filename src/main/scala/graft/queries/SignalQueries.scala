@@ -1167,6 +1167,74 @@ object SignalQueries {
        FROM rhos"""
 
   // ------------------------------------------------------------------
+  // q_yule_walker — AR(2) fit from the autocorrelations
+  // ------------------------------------------------------------------
+
+  /** Yule–Walker AR(2) coefficients per event type from the first two
+    * autocorrelations of the daily-mean series:
+    *
+    *   φ₁ = ρ₁(1−ρ₂)/(1−ρ₁²),  φ₂ = (ρ₂−ρ₁²)/(1−ρ₁²),
+    *   σ²/γ₀ = 1 − φ₁ρ₁ − φ₂ρ₂  (innovation-variance ratio)
+    *
+    * — the closed-form AR(2) identification step (Box–Jenkins) that
+    * [[pacf]]'s cut-off diagnosis feeds. The ρ values reuse
+    * [[autocorrelation]]'s fold recipe verbatim; the solve is one
+    * shared float expression per 5-row group.
+    */
+  def yuleWalker(s: SparkSession, dir: String): DataFrame = {
+    val q6c: Column => Column = c => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    def rhoExpr(lag: Int): String =
+      s"""aggregate(sequence(1, n - $lag), 0.0D,
+            (a, t) -> a + (get(dms, t - 1) - mu) * (get(dms, t + $lag - 1) - mu)) / den"""
+    dailySeries(s, dir)
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("dm")))).as("arr"))
+      .withColumn("dms", expr("transform(arr, x -> x.dm)"))
+      .withColumn("n", size(col("dms")))
+      .filter(col("n") > 2)
+      .withColumn("mu", round(expr("aggregate(dms, 0.0D, (a, x) -> a + x) / n"), 6))
+      .withColumn("den", expr("aggregate(dms, 0.0D, (a, x) -> a + (x - mu) * (x - mu))"))
+      .withColumn("r1", expr(rhoExpr(1)))
+      .withColumn("r2", expr(rhoExpr(2)))
+      .select(
+        col("event_type"),
+        col("n").cast("long").as("n_days"),
+        q6c(expr("r1 * (1.0D - r2) / (1.0D - r1 * r1)")).as("phi1"),
+        q6c(expr("(r2 - r1 * r1) / (1.0D - r1 * r1)")).as("phi2"),
+        q6c(expr(
+          """1.0D - (r1 * (1.0D - r2) / (1.0D - r1 * r1)) * r1
+             - ((r2 - r1 * r1) / (1.0D - r1 * r1)) * r2""")).as("var_ratio"))
+  }
+
+  val yuleWalkerSql: String = {
+    def rho(lag: Int): String =
+      s"""(list_reduce(list_prepend(0.0,
+            [(dms[t] - mu) * (dms[t + $lag] - mu) FOR t IN range(1, n - $lag + 1)]),
+            (a, b) -> a + b) / den)"""
+    s"""WITH daily AS ($dailySeriesCte),
+       per AS (
+         SELECT event_type, list(dm ORDER BY day) AS dms, count(*) AS n
+         FROM daily GROUP BY 1),
+       m AS (
+         SELECT event_type, dms, n,
+                round(list_reduce(list_prepend(0.0, dms), (a, b) -> a + b) / n, 6) AS mu
+         FROM per WHERE n > 2),
+       d AS (
+         SELECT event_type, dms, n, mu,
+                list_reduce(list_prepend(0.0, [(x - mu) * (x - mu) FOR x IN dms]),
+                            (a, b) -> a + b) AS den
+         FROM m),
+       r AS (SELECT event_type, n, ${rho(1)} AS r1, ${rho(2)} AS r2 FROM d)
+       SELECT event_type, CAST(n AS BIGINT) AS n_days,
+              floor(r1 * (1.0 - r2) / (1.0 - r1 * r1) * 1e6 + 0.5) / 1e6 AS phi1,
+              floor((r2 - r1 * r1) / (1.0 - r1 * r1) * 1e6 + 0.5) / 1e6 AS phi2,
+              floor((1.0 - (r1 * (1.0 - r2) / (1.0 - r1 * r1)) * r1
+                     - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r2) * 1e6 + 0.5) / 1e6
+                AS var_ratio
+       FROM r"""
+  }
+
+  // ------------------------------------------------------------------
   // q_hurst — rescaled-range Hurst exponent
   // ------------------------------------------------------------------
 

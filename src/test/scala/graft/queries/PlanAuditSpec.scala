@@ -1020,6 +1020,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "signed-rank window lost its source partition\n" + pw.take(2500))
   }
 
+  test("q_mcnemar / q_yule_walker: one keyed aggregate, constant tail math") {
+    for (q <- Seq("q_mcnemar", "q_yule_walker")) {
+      val p = assertBoundedShapes(q)
+      assert(!p.contains("rangepartitioning"), s"$q: global sort crept in\n" + p.take(2000))
+      assert(p.contains("partial_"), s"$q: rollup lost its map-side combine\n" + p.take(2000))
+    }
+  }
+
   test("q_ktruss: edge-keyed wedge joins, no cartesian, prune rounds truncated") {
     val p = assertBoundedShapes("q_ktruss")
     assert(!p.contains("CartesianProduct"), p.take(2000))
