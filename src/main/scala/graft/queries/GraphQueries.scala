@@ -910,6 +910,95 @@ object GraphQueries {
   }
 
   // ------------------------------------------------------------------
+  // q_closeness — sampled harmonic closeness centrality
+  // ------------------------------------------------------------------
+
+  /** Harmonic closeness centrality H(v) = Σ_s 1/d(s,v) from the
+    * deterministic source sample (node ≡ 0 mod 5) over the similarity
+    * graph — the "how near is this document to everything" centrality
+    * completing the family (pagerank = prestige, betweenness =
+    * brokerage, closeness = reach); harmonic rather than classic
+    * closeness so disconnected pairs contribute 0 instead of poisoning
+    * the mean. Sampled sources are the standard graph-scale
+    * approximation (exact per source, sampled over sources — the
+    * [[betweenness]] discipline).
+    *
+    * Exactness: hop distances are integers (multi-source
+    * level-synchronous BFS, fail-closed on the hop budget like
+    * [[bfsHops]]); the 1/d sum per node is a value-ordered ≤|sources|-
+    * term fold.
+    */
+  def closeness(
+      s: SparkSession,
+      dir: String,
+      minCommon: Int = 12,
+      maxHops: Int = 8): DataFrame = {
+    val edges = symmetricEdges(s, dir, minCommon)
+    var dist = edges
+      .select(col("src").as("node"))
+      .distinct()
+      .filter(col("node") % 5 === 0)
+      .select(col("node").as("s"), col("node"), lit(0L).as("hops"))
+      .persist()
+    var size = dist.count()
+    var converged = size == 0
+    var round = 0
+    while (!converged && round < maxHops) {
+      val next = dist
+        .join(edges, col("node") === col("src"))
+        .select(col("s"), col("dst").as("node"), (col("hops") + 1).as("hops"))
+        .unionByName(dist.select(col("s"), col("node"), col("hops")))
+        .groupBy(col("s"), col("node"))
+        .agg(min(col("hops")).as("hops"))
+        .persist()
+      val n = next.count()
+      if (n == size) { next.unpersist(); converged = true }
+      else { dist.unpersist(); dist = next; size = n }
+      round += 1
+    }
+    edges.unpersist()
+    require(converged,
+      s"closeness BFS still growing after $maxHops hops — raise maxHops " +
+        "(and regenerate the unrolled oracle) for this graph")
+    dist
+      .filter(col("hops") > 0)
+      .groupBy(col("node"))
+      .agg(
+        count(lit(1)).as("n_sources"),
+        aggregate(
+          array_sort(collect_list(lit(1.0) / col("hops").cast("double"))),
+          lit(0.0),
+          (acc, x) => acc + x).as("h"))
+      .select(
+        col("node").as("doc_id"),
+        col("n_sources"),
+        floor(col("h") * lit(1e6) + lit(0.5)) / lit(1e6) as "harmonic")
+  }
+
+  def closenessSql(minCommon: Int = 12, maxHops: Int = 8): String = {
+    val rounds = (1 to maxHops)
+      .map { i =>
+        s"""c$i AS MATERIALIZED (
+           SELECT s, node, min(hops) AS hops FROM (
+             SELECT d.s, e.dst AS node, d.hops + 1 AS hops
+             FROM c${i - 1} d JOIN edges e ON d.node = e.src
+             UNION ALL
+             SELECT s, node, hops FROM c${i - 1})
+           GROUP BY 1, 2)"""
+      }
+      .mkString(",\n       ")
+    s"""WITH ${graphCtesSql(minCommon)},
+       $edgesCteSql,
+       c0 AS (SELECT DISTINCT src AS s, src AS node, 0 AS hops FROM edges
+              WHERE src % 5 = 0),
+       $rounds
+       SELECT node AS doc_id, count(*) AS n_sources,
+              floor(list_reduce(list_sort(list(1.0 / CAST(hops AS DOUBLE))),
+                    (a, b) -> a + b) * 1e6 + 0.5) / 1e6 AS harmonic
+       FROM c$maxHops WHERE hops > 0 GROUP BY 1"""
+  }
+
+  // ------------------------------------------------------------------
   // q_ktruss — k-truss decomposition of the similarity graph
   // ------------------------------------------------------------------
 

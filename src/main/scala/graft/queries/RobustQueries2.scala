@@ -767,6 +767,124 @@ object RobustQueries2 {
   }
 
   // --------------------------------------------------------------------
+  // q_mahalanobis — multivariate outliers in (hour, value, weekday)
+  // --------------------------------------------------------------------
+
+  /** Top-20 multivariate outliers by squared Mahalanobis distance over
+    * the 3-feature event vector (hour-of-day, cents, day-of-week) — the
+    * covariance-aware anomaly score that catches points none of the
+    * univariate screens (MAD, IQR) flag because each coordinate is
+    * individually unremarkable. The covariance matrix comes from exact
+    * BIGINT moment sums; its inverse is the shared-text 3×3 adjugate;
+    * d² is quantized to 1e-9 BEFORE the ranking so the top-20 order is
+    * engine-stable (ties → event_id).
+    *
+    * Scale: one moments aggregate (broadcast back), the d² projection,
+    * and a row_number ≤ 20 that Spark executes as a WindowGroupLimit
+    * partial top-k below the single final exchange — the cosine-topk
+    * shape, never a full sort.
+    */
+  def mahalanobis(s: SparkSession, dir: String): DataFrame = {
+    val vals = Tables
+      .events(s, dir)
+      .select(
+        col("event_id"),
+        col("event_type"),
+        expr("CAST(hour(ts) AS BIGINT)").as("x"),
+        round(col("value") * 100).cast("long").as("y"),
+        expr("CAST(dayofweek(ts) AS BIGINT)").as("z"))
+    val mom = vals
+      .groupBy()
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("z") * col("z")).as("szz"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("z")).as("sxz"),
+        sum(col("y") * col("z")).as("syz"))
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    def cov(sab: String, sa: String, sb: String) =
+      s"((${d(sab)} - ${d(sa)} * ${d(sb)} / ${d("n")}) / ${d("n - 1")})"
+    val (cxx, cyy, czz) = (cov("sxx", "sx", "sx"), cov("syy", "sy", "sy"), cov("szz", "sz", "sz"))
+    val (cxy, cxz, cyz) = (cov("sxy", "sx", "sy"), cov("sxz", "sx", "sz"), cov("syz", "sy", "sz"))
+    val det =
+      s"""($cxx * ($cyy * $czz - $cyz * $cyz)
+          - $cxy * ($cxy * $czz - $cyz * $cxz)
+          + $cxz * ($cxy * $cyz - $cyy * $cxz))"""
+    // inverse = adjugate / det (symmetric)
+    val i11 = s"(($cyy * $czz - $cyz * $cyz) / $det)"
+    val i22 = s"(($cxx * $czz - $cxz * $cxz) / $det)"
+    val i33 = s"(($cxx * $cyy - $cxy * $cxy) / $det)"
+    val i12 = s"((($cxz * $cyz - $cxy * $czz)) / $det)"
+    val i13 = s"((($cxy * $cyz - $cxz * $cyy)) / $det)"
+    val i23 = s"((($cxy * $cxz - $cxx * $cyz)) / $det)"
+    val d2 =
+      s"""(dx * dx * $i11 + dy * dy * $i22 + dz * dz * $i33
+          + 2.0 * dx * dy * $i12 + 2.0 * dx * dz * $i13 + 2.0 * dy * dz * $i23)"""
+    val w = Window.orderBy(col("d9").desc, col("event_id"))
+    vals
+      .crossJoin(broadcast(mom))
+      .withColumn("dx", expr(s"${d("x")} - ${d("sx")} / ${d("n")}"))
+      .withColumn("dy", expr(s"${d("y")} - ${d("sy")} / ${d("n")}"))
+      .withColumn("dz", expr(s"${d("z")} - ${d("sz")} / ${d("n")}"))
+      .withColumn("d9", expr(s"floor($d2 * 1e9 + 0.5) / 1e9"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 20)
+      .select(col("rank"), col("event_id"), col("event_type"), q6(col("d9")).as("d2"))
+  }
+
+  val mahalanobisSql: String = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    def cov(sab: String, sa: String, sb: String) =
+      s"((${d(sab)} - ${d(sa)} * ${d(sb)} / ${d("n")}) / ${d("n - 1")})"
+    val (cxx, cyy, czz) = (cov("sxx", "sx", "sx"), cov("syy", "sy", "sy"), cov("szz", "sz", "sz"))
+    val (cxy, cxz, cyz) = (cov("sxy", "sx", "sy"), cov("sxz", "sx", "sz"), cov("syz", "sy", "sz"))
+    val det =
+      s"""($cxx * ($cyy * $czz - $cyz * $cyz)
+          - $cxy * ($cxy * $czz - $cyz * $cxz)
+          + $cxz * ($cxy * $cyz - $cyy * $cxz))"""
+    val i11 = s"(($cyy * $czz - $cyz * $cyz) / $det)"
+    val i22 = s"(($cxx * $czz - $cxz * $cxz) / $det)"
+    val i33 = s"(($cxx * $cyy - $cxy * $cxy) / $det)"
+    val i12 = s"((($cxz * $cyz - $cxy * $czz)) / $det)"
+    val i13 = s"((($cxy * $cyz - $cxz * $cyy)) / $det)"
+    val i23 = s"((($cxy * $cxz - $cxx * $cyz)) / $det)"
+    val d2 =
+      s"""(dx * dx * $i11 + dy * dy * $i22 + dz * dz * $i33
+          + 2.0 * dx * dy * $i12 + 2.0 * dx * dz * $i13 + 2.0 * dy * dz * $i23)"""
+    s"""WITH vals AS (
+         SELECT event_id, event_type,
+                CAST(hour(ts) AS BIGINT) AS x,
+                CAST(round(value * 100) AS BIGINT) AS y,
+                CAST(dayofweek(ts) + 1 AS BIGINT) AS z
+         FROM events),
+       mom AS (
+         SELECT count(*) AS n,
+                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(z) AS BIGINT) AS sz,
+                CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+                CAST(sum(z * z) AS BIGINT) AS szz,
+                CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * z) AS BIGINT) AS sxz,
+                CAST(sum(y * z) AS BIGINT) AS syz
+         FROM vals),
+       dev AS (
+         SELECT event_id, event_type, n, sx, sy, sz, sxx, syy, szz, sxy, sxz, syz,
+                ${d("x")} - ${d("sx")} / ${d("n")} AS dx,
+                ${d("y")} - ${d("sy")} / ${d("n")} AS dy,
+                ${d("z")} - ${d("sz")} / ${d("n")} AS dz
+         FROM vals CROSS JOIN mom),
+       scored AS (
+         SELECT event_id, event_type, floor($d2 * 1e9 + 0.5) / 1e9 AS d9
+         FROM dev),
+       ranked AS (
+         SELECT *, row_number() OVER (ORDER BY d9 DESC, event_id) AS rank
+         FROM scored)
+       SELECT CAST(rank AS BIGINT) AS rank, event_id, event_type,
+              ${q6Sql("d9")} AS d2
+       FROM ranked WHERE rank <= 20"""
+  }
+
+  // --------------------------------------------------------------------
   // q_granger — lag-1 Granger causality between nation revenue series
   // --------------------------------------------------------------------
 

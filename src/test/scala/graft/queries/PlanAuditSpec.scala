@@ -1020,6 +1020,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "signed-rank window lost its source partition\n" + pw.take(2500))
   }
 
+  test("q_mahalanobis: moments broadcast back; top-20 is a WindowGroupLimit, not a sort") {
+    val p = assertBoundedShapes("q_mahalanobis")
+    assert(!p.contains("rangepartitioning"), "global sort crept in\n" + p.take(2000))
+    assert(p.contains("WindowGroupLimit") || p.contains("TakeOrderedAndProject"),
+      "top-20 must run as a partial top-k, never a full sort\n" + p.take(2500))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "moment row must broadcast\n" + p.take(2000))
+  }
+
   test("q_mcnemar / q_yule_walker: one keyed aggregate, constant tail math") {
     for (q <- Seq("q_mcnemar", "q_yule_walker")) {
       val p = assertBoundedShapes(q)
