@@ -303,6 +303,76 @@ object TextQueries {
        FROM agg"""
 
   // --------------------------------------------------------------------
+  // q_hellinger — distribution distance of each source vs the corpus
+  // --------------------------------------------------------------------
+
+  /** Hellinger distance H = √(1 − BC) between each source's unigram
+    * distribution and the whole corpus (BC = Σ_w √(p_w·q_w), the
+    * Bhattacharyya coefficient) — the bounded-metric cousin of the KL
+    * divergence drift readout, stable when a word is absent on one side
+    * (the term is just 0, no smoothing needed).
+    *
+    * Exactness at corpus scale: each word's √(p·q) term is quantized to
+    * ⌊term·10⁹⌋ and summed as BIGINT — the vocabulary-sized Σ is
+    * order-independent (the q_lm_perplexity discipline), so no
+    * vocabulary-sized float fold or per-source array exists anywhere.
+    *
+    * Scale: one (source, word) aggregate; word totals derive from it by
+    * a second keyed rollup; the term join is word-keyed.
+    */
+  def hellinger(s: SparkSession, dir: String): DataFrame = {
+    val q6c = (c: org.apache.spark.sql.Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val cells = Tables
+      .documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ", -1)).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("k"))
+    val srcTot = cells.groupBy(col("source")).agg(sum(col("k")).as("n1"))
+    val wordTot = cells.groupBy(col("w")).agg(sum(col("k")).as("kw"))
+    val allTot = srcTot.agg(sum(col("n1")).as("nn"))
+    val term =
+      """sqrt((CAST(k AS DOUBLE) / CAST(n1 AS DOUBLE))
+              * (CAST(kw AS DOUBLE) / CAST(nn AS DOUBLE)))"""
+    cells
+      .join(srcTot, "source")
+      .join(wordTot, "w")
+      .crossJoin(broadcast(allTot))
+      .withColumn("t9", expr(s"CAST(floor($term * 1e9) AS BIGINT)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"), sum(col("t9")).as("s9"))
+      .select(
+        col("source"),
+        col("n_words"),
+        q6c(expr("CAST(s9 AS DOUBLE) / 1e9")).as("bc"),
+        q6c(expr("sqrt(greatest(1.0 - CAST(s9 AS DOUBLE) / 1e9, 0.0))")).as("hellinger"))
+  }
+
+  val hellingerSql: String = {
+    val term =
+      """sqrt((CAST(k AS DOUBLE) / CAST(n1 AS DOUBLE))
+              * (CAST(kw AS DOUBLE) / CAST(nn AS DOUBLE)))"""
+    s"""WITH cells AS (
+         SELECT source, w, count(*) AS k
+         FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE w <> '' GROUP BY 1, 2),
+       srctot AS (SELECT source, CAST(sum(k) AS BIGINT) AS n1 FROM cells GROUP BY 1),
+       wordtot AS (SELECT w, CAST(sum(k) AS BIGINT) AS kw FROM cells GROUP BY 1),
+       alltot AS (SELECT CAST(sum(n1) AS BIGINT) AS nn FROM srctot),
+       t9 AS (
+         SELECT c.source, CAST(floor($term * 1e9) AS BIGINT) AS t9
+         FROM cells c
+         JOIN srctot USING (source)
+         JOIN wordtot USING (w)
+         CROSS JOIN alltot)
+       SELECT source, count(*) AS n_words,
+              floor(CAST(CAST(sum(t9) AS BIGINT) AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 AS bc,
+              floor(sqrt(greatest(1.0 - CAST(CAST(sum(t9) AS BIGINT) AS DOUBLE) / 1e9, 0.0))
+                    * 1e6 + 0.5) / 1e6 AS hellinger
+       FROM t9 GROUP BY 1"""
+  }
+
+  // --------------------------------------------------------------------
   // q_keyword_llr — Dunning log-likelihood keyword extraction
   // --------------------------------------------------------------------
 

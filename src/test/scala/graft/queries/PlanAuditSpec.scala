@@ -1087,8 +1087,8 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "day-arm rollup lost its map-side combine\n" + p.take(2000))
   }
 
-  test("q_yule_k / q_keyword_llr: one word-cell aggregate; ranking partitioned by source") {
-    for (q <- Seq("q_yule_k", "q_keyword_llr")) {
+  test("q_yule_k / q_keyword_llr / q_hellinger: one word-cell aggregate; no global sort") {
+    for (q <- Seq("q_yule_k", "q_keyword_llr", "q_hellinger")) {
       val p = assertBoundedShapes(q)
       assert(!p.contains("rangepartitioning"), s"$q: global sort crept in\n" + p.take(2000))
       assert(p.contains("partial_"), s"$q: word rollup lost its map-side combine\n" + p.take(2000))
