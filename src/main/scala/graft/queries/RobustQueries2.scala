@@ -885,6 +885,62 @@ object RobustQueries2 {
   }
 
   // --------------------------------------------------------------------
+  // q_grubbs — maximum studentized deviate per event type
+  // --------------------------------------------------------------------
+
+  /** Grubbs' test statistic G = max|x − x̄|/s per event type, with the
+    * offending event — the single-outlier screen run before trusting a
+    * group mean. Moments are exact BIGINT sums (broadcast back); the
+    * per-type argmax ranks on the 1e-9-quantized deviate (ties →
+    * event_id) under a type-partitioned window, so the full scan never
+    * sorts globally.
+    */
+  def grubbs(s: SparkSession, dir: String): DataFrame = {
+    val vals = Tables
+      .events(s, dir)
+      .select(col("event_type"), col("event_id"), round(col("value") * 100).cast("long").as("c"))
+    val mom = vals
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sm"), sum(col("c") * col("c")).as("qm"))
+    val dev =
+      """abs(CAST(c AS DOUBLE) - CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+         / sqrt((CAST(qm AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+                 / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))"""
+    val w = Window.partitionBy(col("event_type")).orderBy(col("g9").desc, col("event_id"))
+    vals
+      .join(broadcast(mom), "event_type")
+      .withColumn("g9", expr(s"floor(($dev) * 1e9 + 0.5) / 1e9"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(
+        col("event_type"), col("n"), col("event_id").as("outlier_event"),
+        q6(col("g9")).as("g"))
+  }
+
+  val grubbsSql: String = {
+    val dev =
+      """abs(CAST(c AS DOUBLE) - CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+         / sqrt((CAST(qm AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+                 / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))"""
+    s"""WITH vals AS (
+         SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+       mom AS (
+         SELECT event_type, count(*) AS n,
+                CAST(sum(c) AS BIGINT) AS sm, CAST(sum(c * c) AS BIGINT) AS qm
+         FROM vals GROUP BY 1),
+       scored AS (
+         SELECT v.event_type, m.n, v.event_id,
+                floor(($dev) * 1e9 + 0.5) / 1e9 AS g9
+         FROM vals v JOIN mom m USING (event_type)),
+       ranked AS (
+         SELECT *, row_number() OVER (PARTITION BY event_type
+                                      ORDER BY g9 DESC, event_id) AS rnk
+         FROM scored)
+       SELECT event_type, n, event_id AS outlier_event, ${q6Sql("g9")} AS g
+       FROM ranked WHERE rnk = 1"""
+  }
+
+  // --------------------------------------------------------------------
   // q_granger — lag-1 Granger causality between nation revenue series
   // --------------------------------------------------------------------
 

@@ -1020,6 +1020,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "signed-rank window lost its source partition\n" + pw.take(2500))
   }
 
+  test("q_grubbs: per-type argmax under a partitioned window, moments broadcast") {
+    val p = assertBoundedShapes("q_grubbs")
+    assert(!p.contains("rangepartitioning"), p.take(2000))
+    assert(p.contains("hashpartitioning(event_type"),
+      "argmax window must partition by event_type\n" + p.take(2500))
+  }
+
   test("q_mahalanobis: moments broadcast back; top-20 is a WindowGroupLimit, not a sort") {
     val p = assertBoundedShapes("q_mahalanobis")
     assert(!p.contains("rangepartitioning"), "global sort crept in\n" + p.take(2000))
