@@ -1167,6 +1167,145 @@ object SignalQueries {
        FROM rhos"""
 
   // ------------------------------------------------------------------
+  // q_runs_test — Wald–Wolfowitz randomness test
+  // ------------------------------------------------------------------
+
+  /** Wald–Wolfowitz runs test per event type: is the daily-mean series
+    * randomly ordered around its mean, or does it trend/oscillate?
+    * Signs are dm > μ (exact equals dropped), R = 1 + #sign changes
+    * (exact integers over the day-ordered array), z against the exact
+    * run-count moments, two-sided p from the shared erf polynomial —
+    * the sanity check run before fitting any AR structure.
+    */
+  def runsTest(s: SparkSession, dir: String): DataFrame = {
+    val q6c: Column => Column = c => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val zSql =
+      """((CAST(r AS DOUBLE) - (2.0 * CAST(n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) + 1.0))
+          / sqrt(2.0 * CAST(n1 * n2 AS DOUBLE)
+                 * (2.0 * CAST(n1 * n2 AS DOUBLE) - CAST(n1 + n2 AS DOUBLE))
+                 / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                    * CAST(n1 + n2 - 1 AS DOUBLE))))"""
+    dailySeries(s, dir)
+      .groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("day"), col("dm")))).as("arr"))
+      .withColumn("dms", expr("transform(arr, x -> x.dm)"))
+      .withColumn("n", size(col("dms")))
+      .filter(col("n") > 2)
+      .withColumn("mu", round(expr("aggregate(dms, 0.0D, (a, x) -> a + x) / n"), 6))
+      .withColumn("sgns", expr("transform(filter(dms, x -> x != mu), x -> IF(x > mu, 1, 0))"))
+      .withColumn("n1", expr("size(filter(sgns, x -> x = 1))").cast("long"))
+      .withColumn("n2", expr("size(filter(sgns, x -> x = 0))").cast("long"))
+      .withColumn(
+        "r",
+        expr("""1L + aggregate(sequence(2, size(sgns)), 0L,
+                  (a, i) -> a + IF(element_at(sgns, i) != element_at(sgns, i - 1), 1L, 0L))"""))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .withColumn("z", expr(zSql))
+      .select(
+        col("event_type"), col("n1"), col("n2"), col("r").as("runs"),
+        q6c(col("z")).as("z"),
+        q6c(expr(EvalQueries.pValSql("abs(z)"))).as("p"))
+  }
+
+  val runsTestSql: String = {
+    val z =
+      """((CAST(r AS DOUBLE) - (2.0 * CAST(n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) + 1.0))
+          / sqrt(2.0 * CAST(n1 * n2 AS DOUBLE)
+                 * (2.0 * CAST(n1 * n2 AS DOUBLE) - CAST(n1 + n2 AS DOUBLE))
+                 / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                    * CAST(n1 + n2 - 1 AS DOUBLE))))"""
+    s"""WITH daily AS ($dailySeriesCte),
+       per AS (
+         SELECT event_type, list(dm ORDER BY day) AS dms, count(*) AS n
+         FROM daily GROUP BY 1),
+       m AS (
+         SELECT event_type, dms, n,
+                round(list_reduce(list_prepend(0.0, dms), (a, b) -> a + b) / n, 6) AS mu
+         FROM per WHERE n > 2),
+       sg AS (
+         SELECT event_type,
+                [CASE WHEN x > mu THEN 1 ELSE 0 END FOR x IN list_filter(dms, x -> x <> mu)]
+                  AS sgns
+         FROM m),
+       cnt AS (
+         SELECT event_type,
+                CAST(len(list_filter(sgns, x -> x = 1)) AS BIGINT) AS n1,
+                CAST(len(list_filter(sgns, x -> x = 0)) AS BIGINT) AS n2,
+                1 + CAST(COALESCE(list_sum(list_transform(
+                      generate_series(2, CAST(len(sgns) AS INT)),
+                      i -> CASE WHEN sgns[i] <> sgns[i - 1] THEN 1 ELSE 0 END)), 0) AS BIGINT)
+                  AS r
+         FROM sg)
+       SELECT event_type, n1, n2, r AS runs,
+              floor(($z) * 1e6 + 0.5) / 1e6 AS z,
+              floor((${EvalQueries.pValSql(s"abs($z)")}) * 1e6 + 0.5) / 1e6 AS p
+       FROM cnt WHERE n1 > 0 AND n2 > 0"""
+  }
+
+  // ------------------------------------------------------------------
+  // q_page_hinkley — sequential drift detection
+  // ------------------------------------------------------------------
+
+  /** Page–Hinkley drift statistic per event type over the daily-mean
+    * series: with the running prefix mean x̄_t and slack δ = 0.005,
+    * m_t = Σ_{i≤t}(x_i − x̄_i − δ) and PH = max_t (m_t − min_{i≤t} m_i)
+    * — the online mean-shift detector (the streaming cousin of
+    * [[cusumChangepoint]]'s batch scan), with the day the excursion
+    * peaks. All prefix quantities are cumulative windows over the
+    * calendar-bounded day axis, evaluated in day order by both engines.
+    */
+  def pageHinkley(s: SparkSession, dir: String): DataFrame = {
+    val q6c: Column => Column = c => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val wCum = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("event_type"))
+    val d = dailySeries(s, dir)
+      .withColumn("csum", sum(col("dm")).over(wCum))
+      .withColumn("cn", count(lit(1)).over(wCum))
+      .withColumn("dev", col("dm") - col("csum") / col("cn") - lit(0.005))
+      .withColumn("m", sum(col("dev")).over(wCum))
+      .withColumn("mn", min(col("m")).over(wCum))
+      .withColumn("ph_t", floor((col("m") - col("mn")) * lit(1e9) + lit(0.5)) / lit(1e9))
+      .withColumn("ph", max(col("ph_t")).over(wAll))
+    d.filter(col("ph_t") === col("ph"))
+      .groupBy(col("event_type"))
+      .agg(min(col("day")).as("peak_day"), first(col("ph")).as("ph"))
+      .select(
+        col("event_type"),
+        col("peak_day").cast("date").cast("string").as("peak_day"),
+        q6c(col("ph")).as("ph"))
+  }
+
+  val pageHinkleySql: String =
+    s"""WITH daily AS ($dailySeriesCte),
+       c AS (
+         SELECT event_type, day, dm,
+                sum(dm) OVER w AS csum,
+                count(*) OVER w AS cn
+         FROM daily
+         WINDOW w AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       mt AS (
+         SELECT event_type, day,
+                sum(dm - csum / cn - 0.005) OVER w AS m
+         FROM c
+         WINDOW w AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       pht AS (
+         SELECT event_type, day,
+                floor((m - min(m) OVER w) * 1e9 + 0.5) / 1e9 AS ph_t
+         FROM mt
+         WINDOW w AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       px AS (SELECT *, max(ph_t) OVER (PARTITION BY event_type) AS ph FROM pht)
+       SELECT event_type,
+              CAST(CAST(min(day) AS DATE) AS VARCHAR) AS peak_day,
+              floor(any_value(ph) * 1e6 + 0.5) / 1e6 AS ph
+       FROM px WHERE ph_t = ph GROUP BY 1"""
+
+  // ------------------------------------------------------------------
   // q_yule_walker — AR(2) fit from the autocorrelations
   // ------------------------------------------------------------------
 

@@ -1020,6 +1020,16 @@ class PlanAuditSpec extends AnyFunSuite {
       "signed-rank window lost its source partition\n" + pw.take(2500))
   }
 
+  test("q_runs_test / q_page_hinkley: type-partitioned windows over the bounded day axis") {
+    for (q <- Seq("q_runs_test", "q_page_hinkley")) {
+      val p = assertBoundedShapes(q)
+      assert(!p.contains("rangepartitioning"), s"$q: global sort crept in\n" + p.take(2000))
+    }
+    val p = plan("q_page_hinkley")
+    assert(p.contains("hashpartitioning(event_type"),
+      "PH cumulative windows must partition by event_type\n" + p.take(2500))
+  }
+
   test("q_grubbs: per-type argmax under a partitioned window, moments broadcast") {
     val p = assertBoundedShapes("q_grubbs")
     assert(!p.contains("rangepartitioning"), p.take(2000))
