@@ -885,6 +885,172 @@ object RobustQueries2 {
   }
 
   // --------------------------------------------------------------------
+  // q_effect_size — Cohen's d / Hedges' g / CLES between arms
+  // --------------------------------------------------------------------
+
+  /** Standardized effect sizes of the experiment arms (user_id parity)
+    * on event value, per event type: Cohen's d on the pooled SD,
+    * Hedges' g (the small-sample bias correction g = d·(1 − 3/(4df−1))),
+    * and the common-language effect size CLES = Φ(d/√2) via the shared
+    * erf polynomial — what a platform reports NEXT TO the p-value so
+    * significance is never confused with size. All moments are exact
+    * BIGINT sums; one shared float tree.
+    */
+  def effectSize(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        (col("user_id") % 2).as("arm"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm") === 0, col("c")).otherwise(0L)).as("sa"),
+        sum(when(col("arm") === 0, col("c") * col("c")).otherwise(0L)).as("qa"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("arm") === 1, col("c")).otherwise(0L)).as("sb"),
+        sum(when(col("arm") === 1, col("c") * col("c")).otherwise(0L)).as("qb"))
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    def ss(q: String, sm: String, n: String) =
+      s"(${d(q)} - ${d(sm)} * ${d(sm)} / ${d(n)})"
+    val pooledSd =
+      s"sqrt((${ss("qa", "sa", "na")} + ${ss("qb", "sb", "nb")}) / ${d("na + nb - 2")})"
+    val dExpr = s"((${d("sa")} / ${d("na")} - ${d("sb")} / ${d("nb")}) / $pooledSd)"
+    val gExpr = s"($dExpr * (1.0 - 3.0 / (4.0 * ${d("na + nb - 2")} - 1.0)))"
+    val cles = s"""CASE WHEN ($dExpr) / sqrt(2.0) >= 0.0
+        THEN 1.0 - 0.5 * ${EvalQueries.pValSql(s"abs(($dExpr) / sqrt(2.0))")}
+        ELSE 0.5 * ${EvalQueries.pValSql(s"abs(($dExpr) / sqrt(2.0))")} END"""
+    g.select(
+      col("event_type"), col("na"), col("nb"),
+      q6(expr(dExpr)).as("cohens_d"),
+      q6(expr(gExpr)).as("hedges_g"),
+      q6(expr(cles)).as("cles"))
+  }
+
+  val effectSizeSql: String = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    def ss(q: String, sm: String, n: String) =
+      s"(${d(q)} - ${d(sm)} * ${d(sm)} / ${d(n)})"
+    val pooledSd =
+      s"sqrt((${ss("qa", "sa", "na")} + ${ss("qb", "sb", "nb")}) / ${d("na + nb - 2")})"
+    val dExpr = s"((${d("sa")} / ${d("na")} - ${d("sb")} / ${d("nb")}) / $pooledSd)"
+    val gExpr = s"($dExpr * (1.0 - 3.0 / (4.0 * ${d("na + nb - 2")} - 1.0)))"
+    val cles = s"""CASE WHEN ($dExpr) / sqrt(2.0) >= 0.0
+        THEN 1.0 - 0.5 * ${EvalQueries.pValSql(s"abs(($dExpr) / sqrt(2.0))")}
+        ELSE 0.5 * ${EvalQueries.pValSql(s"abs(($dExpr) / sqrt(2.0))")} END"""
+    s"""WITH g AS (
+         SELECT event_type,
+                CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                CAST(sum(CASE WHEN user_id % 2 = 0
+                         THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS sa,
+                CAST(sum(CASE WHEN user_id % 2 = 0
+                         THEN CAST(round(value * 100) AS BIGINT)
+                              * CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS qa,
+                CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+                CAST(sum(CASE WHEN user_id % 2 = 1
+                         THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS sb,
+                CAST(sum(CASE WHEN user_id % 2 = 1
+                         THEN CAST(round(value * 100) AS BIGINT)
+                              * CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS qb
+         FROM events GROUP BY 1)
+       SELECT event_type, na, nb,
+              ${q6Sql(dExpr)} AS cohens_d,
+              ${q6Sql(gExpr)} AS hedges_g,
+              ${q6Sql(cles)} AS cles
+       FROM g"""
+  }
+
+  // --------------------------------------------------------------------
+  // q_spearman — rank correlation between monthly revenue and volume
+  // --------------------------------------------------------------------
+
+  /** Spearman rank correlation per nation between monthly revenue and
+    * shipped quantity — the Pearson correlation of the AVERAGE ranks
+    * (tie-correct by construction), kept exact by the 2·avgrank
+    * integers (2·rank() + tiecount − 1, the [[EvalQueries.wilcoxon]]
+    * trick): every moment of the rank vectors is an exact BIGINT, and
+    * ρ is one shared float expression — the monotone-association
+    * companion to [[kendallTau]] on the same series.
+    */
+  def spearman(s: SparkSession, dir: String): DataFrame = {
+    val supNation = Tables
+      .supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(
+        broadcast(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val monthly = Tables
+      .lineitem(s, dir)
+      .select(
+        col("l_suppkey"),
+        ((year(col("l_shipdate")) - 1995) * 12 + month(col("l_shipdate")) - 1)
+          .cast("long")
+          .as("m"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev4"),
+        round(col("l_quantity")).cast("long").as("qty"))
+      .join(supNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name"), col("m"))
+      .agg(sum(col("rev4")).as("x"), sum(col("qty")).as("y"))
+    def r2(c: String): Column = {
+      val wR = Window.partitionBy(col("n_name")).orderBy(col(c))
+      val wT = Window.partitionBy(col("n_name"), col(c))
+      lit(2L) * rank().over(wR) + count(lit(1)).over(wT) - lit(1L)
+    }
+    val ranked = monthly
+      .withColumn("rx", r2("x"))
+      .withColumn("ry", r2("y"))
+    val mom = ranked
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+    val rho =
+      """((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"""
+    mom.select(col("n_name"), col("n"), q6(expr(rho)).as("spearman_rho"))
+  }
+
+  val spearmanSql: String = {
+    val rho =
+      """((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"""
+    s"""WITH monthly AS (
+         SELECT n.n_name,
+                (year(l.l_shipdate) - 1995) * 12 + month(l.l_shipdate) - 1 AS m,
+                CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS x,
+                CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS y
+         FROM lineitem l
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         GROUP BY 1, 2),
+       ranked AS (
+         SELECT n_name,
+                2 * rank() OVER (PARTITION BY n_name ORDER BY x)
+                  + count(*) OVER (PARTITION BY n_name, x) - 1 AS rx,
+                2 * rank() OVER (PARTITION BY n_name ORDER BY y)
+                  + count(*) OVER (PARTITION BY n_name, y) - 1 AS ry
+         FROM monthly),
+       mom AS (
+         SELECT n_name, count(*) AS n,
+                CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+                CAST(sum(rx * rx) AS BIGINT) AS sxx,
+                CAST(sum(ry * ry) AS BIGINT) AS syy,
+                CAST(sum(rx * ry) AS BIGINT) AS sxy
+         FROM ranked GROUP BY 1)
+       SELECT n_name, n, ${q6Sql(rho)} AS spearman_rho
+       FROM mom"""
+  }
+
+  // --------------------------------------------------------------------
   // q_grubbs — maximum studentized deviate per event type
   // --------------------------------------------------------------------
 

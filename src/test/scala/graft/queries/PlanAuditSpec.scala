@@ -1030,6 +1030,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "PH cumulative windows must partition by event_type\n" + p.take(2500))
   }
 
+  test("q_effect_size / q_spearman: keyed aggregates; rank windows nation-partitioned") {
+    for (q <- Seq("q_effect_size", "q_spearman")) {
+      val p = assertBoundedShapes(q)
+      assert(!p.contains("rangepartitioning"), s"$q: global sort crept in\n" + p.take(2000))
+      assert(p.contains("partial_"), s"$q: rollup lost its map-side combine\n" + p.take(2000))
+    }
+    val p = plan("q_spearman")
+    assert(p.contains("hashpartitioning(n_name"),
+      "rank windows must partition by n_name\n" + p.take(2500))
+  }
+
   test("q_grubbs: per-type argmax under a partitioned window, moments broadcast") {
     val p = assertBoundedShapes("q_grubbs")
     assert(!p.contains("rangepartitioning"), p.take(2000))
