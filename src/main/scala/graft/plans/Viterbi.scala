@@ -47,13 +47,18 @@ case class ViterbiPath(
       case org.apache.spark.sql.types.NullType => true
       case _ => false
     }
-    if (childOk && nStates > 0 && trans.length == nStates * nStates &&
+    // nStates ≤ 128: backpointers are stored per-cell in a Byte array
+    // (decode's `arg.toByte`), so a larger state space would silently
+    // wrap indices and return corrupted paths — fail loudly instead.
+    if (childOk && nStates > 0 && nStates <= 128 &&
+      trans.length == nStates * nStates &&
       nObs > 0 && emit.length == nStates * nObs)
       TypeCheckResult.TypeCheckSuccess
     else
       TypeCheckResult.TypeCheckFailure(
         s"viterbi_path requires array<int> observations and consistent " +
-          s"S/S²/S·O weight tables, got ${child.dataType.simpleString} with " +
+          s"S/S²/S·O weight tables with at most 128 states (byte " +
+          s"backpointers), got ${child.dataType.simpleString} with " +
           s"|init|=${init.length}, |trans|=${trans.length}, |emit|=${emit.length}")
   }
 

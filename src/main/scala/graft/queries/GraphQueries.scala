@@ -960,7 +960,10 @@ object GraphQueries {
     require(converged,
       s"closeness BFS still growing after $maxHops hops — raise maxHops " +
         "(and regenerate the unrolled oracle) for this graph")
-    dist
+    // localCheckpoint the aggregate then release `dist` — returning a
+    // plan over the still-persisted iterate would leak one executor
+    // cache entry per invocation (the betweenness pattern)
+    val out = dist
       .filter(col("hops") > 0)
       .groupBy(col("node"))
       .agg(
@@ -973,6 +976,9 @@ object GraphQueries {
         col("node").as("doc_id"),
         col("n_sources"),
         floor(col("h") * lit(1e6) + lit(0.5)) / lit(1e6) as "harmonic")
+      .localCheckpoint()
+    dist.unpersist()
+    out
   }
 
   def closenessSql(minCommon: Int = 12, maxHops: Int = 8): String = {

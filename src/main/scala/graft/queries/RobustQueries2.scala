@@ -357,7 +357,13 @@ object RobustQueries2 {
         col("nation_a"),
         col("nation_b"),
         col("dtw"),
-        q6(col("dtw").cast("double") / lit(1e4) / (col("la") + col("lb")).cast("double"))
+        // kernel returns -1 when the Sakoe-Chiba band can't reach the
+        // corner (|n-m| > band); propagate the sentinel to dtw_norm
+        // instead of normalizing it into a meaningless small negative
+        when(col("dtw") === -1, lit(-1.0))
+          .otherwise(q6(
+            col("dtw").cast("double") / lit(1e4) /
+              (col("la") + col("lb")).cast("double")))
           .as("dtw_norm"))
   }
 
@@ -389,8 +395,10 @@ object RobustQueries2 {
                     ELSE NULL END) AS cur,
                 cur AS prev
          FROM dp WHERE d < n + m - 2)
-       SELECT nation_a, nation_b, cur[n] AS dtw,
-              ${q6Sql("CAST(cur[n] AS DOUBLE) / 1e4 / CAST(n + m AS DOUBLE)")} AS dtw_norm
+       SELECT nation_a, nation_b, COALESCE(cur[n], -1) AS dtw,
+              CASE WHEN cur[n] IS NULL THEN CAST(-1.0 AS DOUBLE)
+                   ELSE ${q6Sql("CAST(cur[n] AS DOUBLE) / 1e4 / CAST(n + m AS DOUBLE)")}
+              END AS dtw_norm
        FROM dp WHERE d = n + m - 2"""
 
   // --------------------------------------------------------------------

@@ -39,7 +39,18 @@ object SpatialQueries {
     * setting; the default is unchanged for the correctness board.
     */
   private val Units: Long =
-    sys.env.get("GRAFT_SPATIAL_UNITS").map(_.trim.toLong).getOrElse(100000L)
+    sys.env.get("GRAFT_SPATIAL_UNITS").map { v =>
+      try v.trim.toLong
+      catch {
+        case _: NumberFormatException =>
+          // a bare NumberFormatException here surfaces as an opaque
+          // ExceptionInInitializerError failing EVERY spatial query —
+          // name the env var so the scale-study misconfiguration is
+          // diagnosable from the message alone
+          throw new IllegalArgumentException(
+            s"GRAFT_SPATIAL_UNITS must be a long integer, got '$v'")
+      }
+    }.getOrElse(100000L)
 
   /** Grid cell edge; cell count = (Units/Cell)² = 10 000. */
   private val Cell = 1000L

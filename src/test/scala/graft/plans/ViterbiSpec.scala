@@ -80,4 +80,19 @@ class ViterbiSpec extends AnyFunSuite {
     assert(decode(Array(0, O, 1)).isEmpty) // out-of-range code
     assert(decode(Array(-1)).isEmpty)
   }
+
+  test("more than 128 states fails type-check (byte backpointer bound)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, IntegerType}
+    val child = Literal.create(Array(0), ArrayType(IntegerType))
+    def expr(s: Int) = ViterbiPath(
+      child,
+      init = new Array[Long](s),
+      trans = new Array[Long](s * s),
+      emit = new Array[Long](s * 2))
+    assert(expr(128).checkInputDataTypes().isSuccess)
+    val over = expr(129).checkInputDataTypes()
+    assert(!over.isSuccess)
+    assert(over.toString.contains("128"))
+  }
 }
