@@ -36,15 +36,17 @@ object Bench {
     // spread (r10: 195 s vs 242 s for the same board), so the artifact
     // records the 1/5/15-min loadavg at both ends of the run — a judge
     // comparing rounds can tell regression from contention
-    def loadavg(): String =
+    def loadavgVals(): Seq[Double] =
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .split(" ").take(3).mkString("[", ",", "]")
-      catch { case _: Throwable => "[]" }
-    val loadBefore = loadavg()
+        .split(" ").take(3).toSeq.map(_.toDouble)
+      catch { case _: Throwable => Seq.empty }
+    def fmtLoad(v: Seq[Double]): String = v.mkString("[", ",", "]")
+    val loadBeforeVals = loadavgVals()
+    val loadBefore = fmtLoad(loadBeforeVals)
     val pass1 = ordered.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
     graft.queries.DedupQueries.clearClusterMemo(spark)
     val pass2 = ordered.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
-    val loadAfter = loadavg()
+    val loadAfter = fmtLoad(loadavgVals())
     val results = pass1.map { case (name, t1) => name -> math.min(t1, pass2(name)) }
     // per-query spread = |pass1 − pass2|: a large spread flags a timing
     // contaminated by a one-off spike, so cross-round per-query deltas
@@ -55,8 +57,23 @@ object Bench {
     val sp = spreads.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // contention self-identification (r11 forensics, automated): a run
+    // that starts on a loaded host (1-min loadavg > 4.0 on 32 cpus) or
+    // whose pass-to-pass spread exceeds 25% of the total is tagged
+    // "contended" so a contaminated artifact flags itself instead of
+    // requiring loadavg/spread forensics after the fact. Thresholds
+    // documented in SCALE.md (Bench contention guard).
+    val spreadTotalAll = spreads.values.sum
+    val contended =
+      loadBeforeVals.headOption.exists(_ > 4.0) ||
+        (total > 0.0 && spreadTotalAll > 0.25 * total)
+    if (contended)
+      System.err.println(
+        s"WARNING: bench run contended (loadavg_before=$loadBefore, " +
+          f"spread_total=$spreadTotalAll%.1f s vs total=$total%.1f s) — " +
+          "timings unreliable; re-run on a quiet host")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","contended":$contended,"queries":$qs,"spread":$sp,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir"}"""
     // The full per-query JSON (~5 KB at 166 queries) exceeds the 2000-char
     // stdout tail a capture harness keeps, so a full-map println can never
     // parse from the tail. Persist the complete JSON to a file, then print
@@ -72,9 +89,8 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2).take(30)
       .map { case (k, v) => "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP) }
       .mkString("{", ",", "}")
-    val spreadTotal = spreads.values.sum
     println(
-      s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","n_queries":${results.size},"spread_total":${BigDecimal(spreadTotal).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"queries":$slowest,"queries_full":"${out.toString}","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","n_queries":${results.size},"contended":$contended,"spread_total":${BigDecimal(spreadTotalAll).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"queries":$slowest,"queries_full":"${out.toString}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

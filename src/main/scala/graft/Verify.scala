@@ -1,9 +1,41 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Also SELF-REPORTING: writes `verify_summary.json` to outDir — per
+  * query the row count, canonical schema, a deterministic content hash
+  * and wall time, plus pass/fail totals — so a round is never blind to
+  * its own correctness state even if the external compare harness
+  * produces nothing (r11: the driver artifact came back `{}` and the
+  * round's verdict had to be re-derived from scratch). The committed
+  * `tools/compare_oracle.py` consumes this summary plus
+  * `oracle_sql.json` to reproduce the full DuckDB verdict in one
+  * command.
+  */
 object Verify {
+
+  /** Order-independent deterministic content hash of a dumped result:
+    * per row, xxhash64 over ALL columns cast to string in sorted-name
+    * order, folded by an overflow-safe modular sum (rows are unordered
+    * parquet output, so the fold must commute; pmod keeps every partial
+    * below 2^63 even under ANSI arithmetic). Stable across runs and
+    * across partitionings of the same logical result — a changed hash
+    * between rounds means changed CONTENT.
+    */
+  def contentHash(df: org.apache.spark.sql.DataFrame): Long = {
+    val M = 1000000007L
+    val cols = df.schema.fieldNames.sorted.map(n => col(n).cast("string"))
+    if (cols.isEmpty) return 0L
+    val row = df
+      .select(pmod(xxhash64(cols: _*), lit(M)).as("h"))
+      .agg(pmod(sum(col("h")), lit(M)).as("s"))
+      .head()
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional third arg: comma-separated query names (fast iteration on
@@ -25,31 +57,62 @@ object Verify {
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n))
     }
+    // per-query self-report rows, accumulated in dump order
+    val report = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val t0 = System.nanoTime()
+      val err: Option[String] =
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          None
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      report(name) = err match {
+        case Some(m) =>
+          s"""{"ok":false,"sec":${f"$sec%.3f"},"error":${jstr(m.take(300))}}"""
+        case None =>
+          // read the DUMP back (not the live plan): the summary must
+          // describe exactly the bytes the external compare will read
+          val back = spark.read.parquet(s"$outDir/$name")
+          val rows = back.count()
+          val h = contentHash(back)
+          val schema = back.schema.fields.sortBy(_.name)
+            .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+          s"""{"ok":true,"rows":$rows,"hash":$h,"sec":${f"$sec%.3f"},"schema":${jstr(schema)}}"""
       }
       // queries that persist() intermediates (sketch tables) must not
       // pin storage across the other 50+ queries of this session
       spark.catalog.clearCache()
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val nOk = report.valuesIterator.count(_.startsWith("""{"ok":true"""))
+    val summary =
+      s"""{"sf_dir":${jstr(sfDir)},"n_queries":${report.size},"n_ok":$nOk,""" +
+        s""""n_failed":${report.size - nOk},"queries":{""" +
+        report.map { case (k, v) => s"${jstr(k)}:$v" }.mkString(",") + "}}"
+    Files.writeString(Paths.get(s"$outDir/verify_summary.json"), summary)
+    println(s"[verify] ${report.size} dumped, $nOk ok, " +
+      s"${report.size - nOk} failed → $outDir/verify_summary.json")
     spark.stop()
   }
+
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero the round's correctness.
+    */
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 }
