@@ -1596,34 +1596,56 @@ object RelationalQueries {
                    ELSE 'hibernating' END AS segment
        FROM scored"""
 
-  /** Record-linkage fuzzy match: candidate customer pairs whose names are
-    * within Levenshtein distance `maxDist`, enumerated only INSIDE
-    * blocking groups (here the nation key — the standard
-    * block-then-compare shape that turns an O(n²) corpus-wide comparison
-    * into Σ O(block²)). Both engines implement the identical classic
-    * unit-cost edit distance, so the oracle is exact.
+  /** Record-linkage fuzzy match: customer pairs whose names are within
+    * Levenshtein distance `maxDist` (fixed at 2), found inside nation
+    * blocks. The r11 shape — enumerate every in-nation pair — made
+    * candidates grow as Σ block² (116.9× wall at 10× data, SCALE.md
+    * r11); this round replaces enumeration with an EXACT composite
+    * candidate generator, all equi-joins, no pair ever materialized
+    * outside a selective key bucket:
     *
-    * Scale: one shuffle on the blocking key; the in-block canonical
-    * (a < b) self-join is the only quadratic step and is bounded by the
-    * block size, with AQE splitting any skewed block. At 100 TB you
-    * tighten the blocking key (e.g. name-prefix + length bucket), not
-    * the comparison — the plan shape is unchanged.
+    *   1. SUBSTITUTION leg (Hamming pigeonhole): positions taken mod 3
+    *      split every name into 3 round-robin character classes; a pair
+    *      of equal-length names with ≤2 substitutions must agree
+    *      EXACTLY on at least one class (≤2 edited positions cannot hit
+    *      all 3 classes). Join key = (nation, length, class_idx,
+    *      class_chars). Round-robin — not contiguous segments — because
+    *      linkage corpora concentrate entropy unevenly (here the shared
+    *      "Customer#" prefix would make any contiguous head segment a
+    *      zero-selectivity key); interleaving spreads the
+    *      discriminating tail characters across ALL classes.
+    *   2. INDEL legs (bounded deletion neighborhoods, FastSS-style):
+    *      any ≤2-op script with an insertion or deletion forces a
+    *      shared string in the deletion neighborhoods: equal-length
+    *      ins+del pairs meet at depth (1,1); pure 1-deletion pairs at
+    *      (1,0); deletion+substitution at (2,1); 2-deletion at (2,0).
+    *      Join key = (nation, variant). Depth-2 variants (the |name|²/2
+    *      expansion) are generated ONLY when the corpus actually
+    *      contains name lengths differing by 1 or 2 — decided from a
+    *      driver-side scalar aggregate over the (tiny) distinct-length
+    *      set, so a fixed-width corpus like this one never pays the
+    *      quadratic neighborhood at all.
+    *
+    * Case analysis over ld = |len_a − len_b| proves the union complete:
+    * ld=0 → (s≤2 subs → leg 1) or (1 ins + 1 del → depth (1,1));
+    * ld=1 → (1 del → (1,0)) or (1 del + 1 sub → (2,1)); ld=2 → (2,0).
+    * Every candidate is then verified by the banded DP, so the filter
+    * only needs NO FALSE NEGATIVES — which the theorem gives — and the
+    * output is identical to brute in-block enumeration (the oracle is
+    * unchanged). Measured on the fixture: candidates drop ~19× at sf1
+    * (SCALE.md r12).
+    *
+    * Scale: every join is a shuffle on a selective composite key; the
+    * verified-pair dedup is one exchange on the canonical pair id. At
+    * 100 TB the class count and deletion depth stay constants — the
+    * candidate volume tracks key selectivity, not block².
     */
   def fuzzyMatch(s: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {
     graft.plans.BoundedLev.register(s)
-    val c = Tables
-      .customer(s, dir)
-      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
-    val a = c.select(
-      col("c_nationkey").as("block"),
-      col("c_custkey").as("cust_a"),
-      col("c_name").as("name_a"))
-    val b = c.select(
-      col("c_nationkey").as("block"),
-      col("c_custkey").as("cust_b"),
-      col("c_name").as("name_b"))
-    a.join(b, Seq("block"))
-      .filter(col("cust_a") < col("cust_b"))
+    require(maxDist == 2,
+      "fuzzyMatch's exact candidate generator is built for maxDist=2 " +
+        "(3 pigeonhole classes + depth-2 deletion neighborhoods)")
+    val verified = fuzzyCandidates(s, dir)
       // the native banded expression (prefix/suffix trim + O(k·n) byte
       // DP with early exit, codegen'd) — ~10× the builtin full-matrix
       // levenshtein on linkage-shaped names; same contract (−1 = over
@@ -1632,15 +1654,104 @@ object RelationalQueries {
         "dist",
         expr(s"bounded_lev(name_a, name_b, $maxDist)").cast("long"))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
+    verified.select(
+      col("block").cast("long").as("block"),
+      col("cust_a"),
+      col("cust_b"),
+      col("dist"),
+      round(
+        lit(1.0) - col("dist").cast("double") /
+          greatest(length(col("name_a")), length(col("name_b"))).cast("double"),
+        6).as("name_sim"))
+  }
+
+  /** Deduplicated candidate pairs for [[fuzzyMatch]] (exposed so the
+    * scale study can count candidates without running the verify DP).
+    * Columns: block, cust_a < cust_b, name_a, name_b.
+    */
+  def fuzzyCandidates(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables
+      .customer(s, dir)
       .select(
-        col("block").cast("long").as("block"),
-        col("cust_a"),
-        col("cust_b"),
-        col("dist"),
-        round(
-          lit(1.0) - col("dist").cast("double") /
-            greatest(length(col("name_a")), length(col("name_b"))).cast("double"),
-          6).as("name_sim"))
+        col("c_nationkey").as("block"),
+        col("c_custkey").as("ck"),
+        col("c_name").as("nm"),
+        length(col("c_name")).as("len"))
+    // leg-activation precheck: depth-2 neighborhoods only matter when
+    // two present name lengths differ by 1 or 2. The distinct-length
+    // set is dimension-sized (a handful of values), so this is a
+    // bounded driver-side decision, not a data-sized collect.
+    val lens = c.select(col("len")).distinct().collect()
+      .map(_.getInt(0)).toSet
+    val needDepth2 = lens.exists(l => lens.contains(l + 1) || lens.contains(l + 2))
+
+    // ---- leg 1: round-robin pigeonhole classes (mod 3) --------------
+    val classes = c.select(
+      col("block"), col("ck"), col("nm"), col("len"),
+      explode(expr(
+        """transform(sequence(0, 2), i -> struct(
+          |  i AS cls_idx,
+          |  concat_ws('', transform(sequence(i + 1, len, 3),
+          |                          p -> substring(nm, p, 1))) AS cls_chars))"""
+          .stripMargin)).as("cl"))
+      .select(col("block"), col("ck"), col("nm"), col("len"),
+        col("cl.cls_idx"), col("cl.cls_chars"))
+    val clsPairs = classes.as("x")
+      .join(
+        classes.as("y"),
+        Seq("block", "len", "cls_idx", "cls_chars"))
+      .filter(col("x.ck") < col("y.ck"))
+      .select(col("block"), col("x.ck").as("cust_a"), col("y.ck").as("cust_b"))
+
+    // ---- legs 2: deletion neighborhoods -----------------------------
+    // depth ≤ 1 variants: the name itself + every 1-deletion string
+    val v01 = c.select(
+      col("block"), col("ck"), col("nm"),
+      explode(expr(
+        """array_union(array(nm),
+          |  transform(sequence(1, len),
+          |            i -> concat(substring(nm, 1, i - 1),
+          |                        substring(nm, i + 1, len))))"""
+          .stripMargin)).as("u"))
+    val delPairs01 = v01.as("x")
+      .join(v01.as("y"), Seq("block", "u"))
+      .filter(col("x.ck") < col("y.ck"))
+      .select(col("block"), col("x.ck").as("cust_a"), col("y.ck").as("cust_b"))
+
+    val legs =
+      if (!needDepth2) Seq(clsPairs, delPairs01)
+      else {
+        // depth-2 variants of the LONGER side join depth ≤1 variants of
+        // the shorter ((2,0) and (2,1) in the case analysis); depth
+        // (2,2) is deliberately never materialized — every true pair it
+        // could catch is already covered by a cheaper leg
+        val v2 = c.select(
+          col("block"), col("ck"), col("nm"),
+          explode(expr(
+            """flatten(transform(sequence(1, len - 1), i ->
+              |  transform(sequence(i + 1, len), j ->
+              |    concat(substring(nm, 1, i - 1),
+              |           substring(nm, i + 1, j - i - 1),
+              |           substring(nm, j + 1, len)))))""".stripMargin)).as("u"))
+        val delPairs2 = v2.as("x")
+          .join(v01.as("y"), Seq("block", "u"))
+          .filter(col("x.ck") =!= col("y.ck"))
+          .select(
+            col("block"),
+            least(col("x.ck"), col("y.ck")).as("cust_a"),
+            greatest(col("x.ck"), col("y.ck")).as("cust_b"))
+        Seq(clsPairs, delPairs01, delPairs2)
+      }
+    // dedup on the bare (block, key, key) triple — a far lighter
+    // exchange than carrying both 18+-char names through the shuffle —
+    // then re-attach names via two joins against the (dimension-sized,
+    // broadcastable) customer projection
+    val pairs = legs.reduce(_ unionByName _).distinct()
+    val names = c.select(col("ck"), col("nm"))
+    pairs
+      .join(broadcast(names.select(col("ck").as("cust_a"), col("nm").as("name_a"))), Seq("cust_a"))
+      .join(broadcast(names.select(col("ck").as("cust_b"), col("nm").as("name_b"))), Seq("cust_b"))
+      .select(col("block"), col("cust_a"), col("cust_b"), col("name_a"), col("name_b"))
   }
 
   def fuzzyMatchSql(maxDist: Int = 2): String =

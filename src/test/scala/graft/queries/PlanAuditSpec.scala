@@ -487,16 +487,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size == 1, "extra exchange leaked into the plan")
   }
 
-  test("q_fuzzy_match: in-block pair join is keyed on the blocking key, never a product") {
+  test("q_fuzzy_match: every candidate join is keyed on a composite key, never block alone") {
     val df = graft.SparkEntry.queries("q_fuzzy_match")(spark, dir)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(!p.contains("BroadcastNestedLoopJoin"),
-      "blocked comparison degenerated to an unkeyed product")
-    assert(p.contains("Join [block") || p.contains("HashJoin [block") ||
-      p.contains("SortMergeJoin [block"),
-      "pair join must be keyed on the blocking group")
+      "candidate generation degenerated to an unkeyed product")
+    // the r11 regression this guards against: a join keyed on the
+    // nation block ALONE re-creates Σ block² candidate growth. Every
+    // shuffled pair join must carry a selective composite key — the
+    // pigeonhole class chars or a deletion-neighborhood variant —
+    // next to the block key.
+    val joinKeys =
+      """(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[([^\]]*)\]""".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+    val blockKeyed = joinKeys.filter(_.contains("block#"))
+    assert(blockKeyed.nonEmpty, p.take(2000))
+    blockKeyed.foreach { ks =>
+      assert(ks.contains("cls_chars") || ks.contains("u#"),
+        s"pair join keyed on [$ks] lacks a selective composite key")
+    }
   }
 
   test("q_chi2_assoc: documents scanned once into the persisted contingency table") {

@@ -841,6 +841,66 @@ class RelationalOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("fuzzy candidates: exact vs brute force on a varied-length corpus (indel legs)") {
+    // the fixture's names are all one length, so the depth-2 deletion
+    // legs never fire there — exercise them against brute-force lev on
+    // a corpus with lengths differing by 0/1/2 and every edit type:
+    // substitutions, pure deletions, deletion+substitution, ins+del
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcde"
+    val base = (0 until 120).map { i =>
+      val len = 6 + rnd.nextInt(5)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val mutated = base.zipWithIndex.map { case (nm, i) =>
+      val ops = i % 5
+      val b = new StringBuilder(nm)
+      ops match {
+        case 1 => b.setCharAt(rnd.nextInt(b.length), 'z') // 1 sub
+        case 2 => // 2 subs
+          b.setCharAt(0, 'z'); b.setCharAt(b.length - 1, 'y')
+        case 3 => b.deleteCharAt(rnd.nextInt(b.length)) // 1 del
+        case 4 => // del + sub
+          b.deleteCharAt(rnd.nextInt(b.length))
+          b.setCharAt(rnd.nextInt(b.length), 'z')
+        case _ => ()
+      }
+      b.toString
+    }
+    val names = (base ++ mutated).zipWithIndex
+      .map { case (nm, i) => (i.toLong, nm, (i % 3).toLong) }
+    val tmp = java.nio.file.Files.createTempDirectory("fuzzy-spec").toString
+    spark
+      .createDataFrame(names)
+      .toDF("c_custkey", "c_name", "c_nationkey")
+      .withColumn("c_acctbal", lit(0.0))
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    val got = RelationalQueries
+      .fuzzyMatch(spark, tmp)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(
+          math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expect = (for {
+      a <- names; b <- names
+      if a._1 < b._1 && a._3 == b._3
+      d = lev(a._2, b._2) if d <= 2
+    } yield (a._1, b._1, d.toLong)).toSet
+    assert(expect.nonEmpty, "fixture produced no close pairs — weak test")
+    assert(got == expect,
+      s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+  }
+
   test("overlap join: pair-dedup bin condition is exact for bin-width variants") {
     // shrink the bin so intervals span MANY bins — the greatest-start
     // condition must still count each overlapping pair exactly once
