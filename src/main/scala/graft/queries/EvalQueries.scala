@@ -398,7 +398,33 @@ object EvalQueries {
     * clip join is an equi-join on the same key, and everything after
     * the per-(source, n) rollup is a 20-row table.
     */
-  def chrF(s: SparkSession, dir: String): DataFrame = {
+  def chrF(s: SparkSession, dir: String): DataFrame =
+    chrFFrom(pairedDocs(s, dir))
+
+  /** Deterministic pair-sample predicate shared CHARACTER-FOR-CHARACTER
+    * by the Spark plan and the DuckDB oracle: an LCG mix of the pair id
+    * (Knuth/glibc constants) reduced mod 2³¹ then mod K. Pure BIGINT
+    * arithmetic — no engine hash function, so both engines pick the
+    * IDENTICAL pair subset. The mix step breaks the doc-layout stride
+    * that a bare `pair_id % K` would sample along.
+    */
+  private val ChrFSampleK = 8
+  private val chrFSamplePred: String =
+    s"((pair_id * 1103515245 + 12345) % 2147483648) % $ChrFSampleK = 0"
+
+  /** chrF2 on a deterministic 1/$K$ hash-sample of the pairs — the
+    * documented 100-TB contract for the board-max query (mirrors the
+    * media pair/cluster pattern): [[chrF]]'s gram volume is inherently
+    * ~10× BLEU's, and the honest scale lever is sampling PAIRS, not
+    * replanning grams (SCALE.md r11 adjudication — the per-doc gram
+    * cache measured slower). The sampled estimate feeds the identical
+    * gram pipeline; corpus-level chrF2 over a uniform pair sample is
+    * the standard fixed-budget evaluation.
+    */
+  def chrFSampled(s: SparkSession, dir: String): DataFrame =
+    chrFFrom(pairedDocs(s, dir).filter(expr(chrFSamplePred)))
+
+  private def chrFFrom(pairs0: DataFrame): DataFrame = {
     // grams are BIGINT base-1024 codes over a precomputed codepoint
     // array, not substrings: integer keys hash ~3x cheaper through the
     // two corpus-sized aggregates (this query was the board max at
@@ -412,7 +438,7 @@ object EvalQueries {
                       i -> named_struct('n', n, 'gram',
                         aggregate(sequence(0, n - 1), 0L,
                           (a, j) -> a * 1024L + element_at(cps, i + j))))))"""
-    val pairs = pairedDocs(s, dir)
+    val pairs = pairs0
       .withColumn("cc", regexp_replace(concat_ws(" ", col("cw")), " ", ""))
       .withColumn("rc", regexp_replace(concat_ws(" ", col("rw")), " ", ""))
     val cg = pairs
@@ -457,7 +483,11 @@ object EvalQueries {
       q6(expr(s"(${f2(1)} + ${f2(2)} + ${f2(3)} + ${f2(4)}) / 4.0")).as("chrf2"))
   }
 
-  val chrFSql: String = {
+  val chrFSql: String = chrFSqlWhere("")
+
+  val chrFSampledSql: String = chrFSqlWhere(s"WHERE $chrFSamplePred")
+
+  private def chrFSqlWhere(where: String): String = {
     def f2(n: Int): String = {
       val p = s"(CAST(m$n AS DOUBLE) / CAST(c$n AS DOUBLE))"
       val r = s"(CAST(m$n AS DOUBLE) / CAST(r$n AS DOUBLE))"
@@ -470,7 +500,7 @@ object EvalQueries {
        pc AS (SELECT pair_id, source,
                      replace(array_to_string(cw, ' '), ' ', '') AS cc,
                      replace(array_to_string(rw, ' '), ' ', '') AS rc
-              FROM p),
+              FROM p $where),
        pcc AS (SELECT pair_id, source,
                       [ascii(cc[i]) FOR i IN range(1, len(cc) + 1)] AS ccp,
                       [ascii(rc[i]) FOR i IN range(1, len(rc) + 1)] AS rcp
