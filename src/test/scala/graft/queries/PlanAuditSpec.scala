@@ -510,6 +510,23 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_pelt: one pruned scan, two bounded aggregates, decode fused in projection") {
+    val df = graft.SparkEntry.queries("q_pelt")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the corpus crosses exactly two exchanges: (type, day) count and
+    // the per-type series assembly — everything after is the bounded
+    // day-axis array and the codegen'd pelt_cps in the projection
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(2000))
+    assert(!p.contains("Window"), "PELT must not window the corpus")
+    // scan pruned to the two columns the day counts need
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(read.exists(r => r.contains("ts") && r.contains("event_type") &&
+      !r.contains("value") && !r.contains("props")),
+      s"events scan not pruned: $read")
+  }
+
   test("q_chi2_assoc: documents scanned once into the persisted contingency table") {
     val df = graft.SparkEntry.queries("q_chi2_assoc")(spark, dir)
     df.collect()
