@@ -736,6 +736,77 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
       }
       .sortBy(t => (t._1, t._2))
   }
+
+  /** K6 parameter re-extraction on resume: the reference re-reads run
+    * parameters from the PARTIAL file when it reopens a run after a
+    * crash (`nexus-writer/src/nexus_structure/entry/mod.rs:108-131`) —
+    * the directory name alone is not the state. The parquet mirror does
+    * the same: for every open generation the written `periods/` plane
+    * yields the accumulated period list with per-period frame/event
+    * counts, `frames/` yields the frame count, first frame time, and
+    * the running `event_index` high-water mark, and the highest
+    * `batch_id` partition tells the engine where idempotent replay may
+    * overlap. All aggregates are generation-bounded (periods are a
+    * handful of rows; frames a per-run table scanned once at restart).
+    */
+  def resumeRunParameters(spark: SparkSession): Seq[NexusSink.ResumedRunState] =
+    resumeRunGenerations().map { case (name, start, stop) =>
+      def genDir(table: String): Path =
+        local.resolve(table)
+          .resolve(s"run_name=${escName(name)}")
+          .resolve(s"run_start_ns=$start")
+      val periods: Seq[(Long, Long, Long)] = {
+        val dir = genDir("periods")
+        if (!Files.isDirectory(dir)) Seq.empty
+        else
+          spark.read.parquet(dir.toString)
+            .groupBy(col("period_number"))
+            .agg(
+              sum(col("n_frames")).as("nf"),
+              sum(col("n_events")).as("ne"))
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            .sortBy(_._1)
+            .toSeq
+      }
+      val (nFrames, firstFrameNs, maxBatchId) = {
+        val dir = genDir("frames")
+        if (!Files.isDirectory(dir)) (0L, None: Option[Long], None: Option[Long])
+        else {
+          val r = spark.read.parquet(dir.toString)
+            .agg(
+              count(lit(1)).as("nf"),
+              min(col("event_time_zero")).as("t0"),
+              // partition-column inference may type batch_id as INT
+              max(col("batch_id").cast("long")).as("mb"))
+            .head()
+          (
+            r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)))
+        }
+      }
+      // the event_index high-water mark is the generation's event count
+      // — exactly what [[onDiskEventCounts]] seeds eventBase with, so a
+      // restarted writer continues the running offset where the crash
+      // left it
+      val nextEventIndex = {
+        val dir = genDir("events")
+        if (!Files.isDirectory(dir)) 0L
+        else spark.read.parquet(dir.toString).count()
+      }
+      NexusSink.ResumedRunState(
+        runName = name,
+        runStartNs = start,
+        stopNs = stop,
+        periodList = periods.map(_._1),
+        periodFrames = periods.map(_._2),
+        periodEvents = periods.map(_._3),
+        nFrames = nFrames,
+        firstFrameNs = firstFrameNs,
+        nextEventIndex = nextEventIndex,
+        maxBatchId = maxBatchId)
+    }
 }
 
 object NexusSink {
@@ -751,6 +822,24 @@ object NexusSink {
     }
     Files.deleteIfExists(p)
   }
+
+  /** Run parameters re-extracted from the partial on-disk layout on
+    * resume (K6 parity with the reference's parameter re-read): the
+    * period list with per-period frame/event counts, frame count and
+    * first frame time, the event_index high-water mark the writer must
+    * continue from, and the highest written batch id.
+    */
+  final case class ResumedRunState(
+      runName: String,
+      runStartNs: Long,
+      stopNs: Option[Long],
+      periodList: Seq[Long],
+      periodFrames: Seq[Long],
+      periodEvents: Seq[Long],
+      nFrames: Long,
+      firstFrameNs: Option[Long],
+      nextEventIndex: Long,
+      maxBatchId: Option[Long])
 
   /** One generation×table compaction outcome (file counts pre/post). */
   final case class CompactionStat(

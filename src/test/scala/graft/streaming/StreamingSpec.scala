@@ -697,6 +697,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(catalog3.entries.isEmpty)
   }
 
+  test("resume re-extracts run parameters from the written parquet (K6 parity)") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("resume_params").toString
+    val sink = new NexusSink(outDir)
+    def fm(frame: Long, period: Long) =
+      FrameMetadata(1700000000000000000L + frame * 20000000L, period, 4, true, frame, 0)
+    val startNs = 1700000000000000000L - 1L
+    def assign(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("run_name", lit("run_p"))
+      .withColumn("run_start_ns", lit(startNs))
+    sink.writeBatch(assign(Seq(
+      AssembledFrame(fm(0, 0), Array(5L, 6L), Array(100, 200), Array(0L, 1L), true, Array(0, 1)),
+      AssembledFrame(fm(1, 0), Array(7L), Array(300), Array(2L), true, Array(0, 1))).toDS().toDF()),
+      batchId = 0L)
+    sink.writeBatch(assign(Seq(
+      AssembledFrame(fm(2, 1), Array(8L, 9L, 10L), Array(1, 2, 3), Array(0L, 1L, 2L), true, Array(0, 1))).toDS().toDF()),
+      batchId = 1L)
+    // crash INSIDE the linger window: the stop was durably marked
+    val stopNs = fm(2, 1).timestampNs + 1L
+    sink.markStopped("run_p", startNs, stopNs)
+
+    // process restart: a FRESH sink re-derives the run parameters from
+    // the partial layout (the reference re-reads them from the partial
+    // file, entry/mod.rs:108-131) — not just the run names
+    val resumed = new NexusSink(outDir).resumeRunParameters(spark)
+    assert(resumed.map(_.runName) === Seq("run_p"))
+    val st = resumed.head
+    assert(st.runStartNs === startNs && st.stopNs === Some(stopNs))
+    // extracted parameters equal the pre-crash state
+    assert(st.periodList === Seq(0L, 1L), "accumulated period list")
+    assert(st.periodFrames === Seq(2L, 1L))
+    assert(st.periodEvents === Seq(3L, 3L))
+    assert(st.nFrames === 3L)
+    assert(st.firstFrameNs === Some(fm(0, 0).timestampNs - startNs))
+    assert(st.nextEventIndex === 6L, "event_index high-water mark")
+    assert(st.maxBatchId === Some(1L))
+
+    // and the high-water mark is exactly where a restarted writer
+    // continues: the next batch's frame starts at event_index 6
+    val sink2 = new NexusSink(outDir)
+    sink2.writeBatch(assign(Seq(
+      AssembledFrame(fm(3, 1), Array(11L), Array(4), Array(0L), true, Array(0, 1))).toDS().toDF()),
+      batchId = 2L)
+    val f3 = spark.read.parquet(s"$outDir/local/frames")
+      .filter(col("frame_number") === 3L).collect()
+    assert(f3.map(_.getAs[Long]("event_index")).toSeq === Seq(6L))
+  }
+
   test("sink recovery tolerates int-sized run_start_ns partition values") {
     import spark.implicits._
     val outDir = Files.createTempDirectory("nexus_small_ns").toString
