@@ -63,7 +63,13 @@ object Verify {
       val t0 = System.nanoTime()
       val err: Option[String] =
         try {
-          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          // repartition(1), NOT coalesce(1): coalesce collapses the
+          // final stage to one task, serializing whatever compute sits
+          // after the last exchange (q_fuzzy_match's 52M-candidate
+          // verify DP ran single-threaded at sf1); repartition inserts
+          // an exchange so compute stays parallel and only the tiny
+          // result funnels into the one output file
+          fn(spark, sfDir).repartition(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           None
         } catch { case e: Throwable =>

@@ -1059,6 +1059,84 @@ object RobustQueries2 {
   }
 
   // --------------------------------------------------------------------
+  // q_cramers_v — categorical association strength (type × weekday)
+  // --------------------------------------------------------------------
+
+  /** Cramér's V between event type and day-of-week: the χ² of the 5×7
+    * contingency table normalized to [0, 1] —
+    * V = √(χ² / (n·min(r−1, c−1))) — the standard "is traffic shape
+    * day-dependent, and how strongly" readout behind the weekly-rate
+    * structure [[SignalQueries.pelt]] segments on. Cell counts, row and
+    * column totals are exact BIGINTs; the χ² fold runs over the cells
+    * in SORTED (type, weekday) order in both engines (value-ordered
+    * fold discipline), each term recomputing the expected count from
+    * the same integer totals, so the double sum is bit-deterministic.
+    * Weekday uses Spark's 1-based-Sunday numbering; the oracle shifts
+    * DuckDB's 0-based `dayofweek` by +1 (the standing cross-engine
+    * gotcha).
+    *
+    * Scale: one map-side-combined (type, weekday) count — 35 cells —
+    * then everything folds in a single-row projection.
+    */
+  def cramersV(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables
+      .events(s, dir)
+      .groupBy(col("event_type").as("r"), dayofweek(col("ts")).cast("long").as("w"))
+      .agg(count(lit(1)).as("m"))
+    val rowTot = "aggregate(filter(cells, y -> y.r = x.r), 0L, (a2, y) -> a2 + y.m)"
+    val colTot = "aggregate(filter(cells, y -> y.w = x.w), 0L, (a2, y) -> a2 + y.m)"
+    val e = s"(cast($rowTot AS DOUBLE) * cast($colTot AS DOUBLE) / cast(n AS DOUBLE))"
+    cells
+      .groupBy()
+      .agg(collect_list(struct(col("r"), col("w"), col("m"))).as("cells0"))
+      .withColumn("cells", expr("array_sort(cells0)"))
+      .withColumn("n", expr("aggregate(cells, 0L, (a, x) -> a + x.m)"))
+      .withColumn("n_rows", expr("size(array_distinct(transform(cells, x -> x.r)))"))
+      .withColumn("n_cols", expr("size(array_distinct(transform(cells, x -> x.w)))"))
+      .withColumn(
+        "chi2",
+        expr(s"""aggregate(cells, 0.0D, (a, x) ->
+                   a + (cast(x.m AS DOUBLE) - $e) * (cast(x.m AS DOUBLE) - $e) / $e)"""))
+      .select(
+        col("n"),
+        col("n_rows").cast("long").as("n_rows"),
+        col("n_cols").cast("long").as("n_cols"),
+        ((col("n_rows") - 1) * (col("n_cols") - 1)).cast("long").as("dof"),
+        q6(col("chi2")).as("chi2"),
+        q6(sqrt(
+          col("chi2") / (col("n").cast("double") *
+            least(col("n_rows") - 1, col("n_cols") - 1).cast("double")))).as("cramers_v"))
+  }
+
+  val cramersVSql: String = {
+    val rowTot = "list_sum(list_transform(list_filter(cells, y -> y.r = x.r), y -> y.m))"
+    val colTot = "list_sum(list_transform(list_filter(cells, y -> y.w = x.w), y -> y.m))"
+    val e = s"(CAST($rowTot AS DOUBLE) * CAST($colTot AS DOUBLE) / CAST(n AS DOUBLE))"
+    s"""WITH cells0 AS (
+         SELECT event_type AS r, CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS w,
+                CAST(count(*) AS BIGINT) AS m
+         FROM events GROUP BY 1, 2),
+       packed AS (
+         SELECT list_sort(list({'r': r, 'w': w, 'm': m})) AS cells,
+                CAST(sum(m) AS BIGINT) AS n,
+                CAST(count(DISTINCT r) AS BIGINT) AS n_rows,
+                CAST(count(DISTINCT w) AS BIGINT) AS n_cols
+         FROM cells0),
+       folded AS (
+         SELECT n, n_rows, n_cols,
+                list_reduce(list_prepend(0.0, list_transform(cells, x ->
+                  (CAST(x.m AS DOUBLE) - $e) * (CAST(x.m AS DOUBLE) - $e) / $e)),
+                  (acc, v) -> acc + v) AS chi2
+         FROM packed)
+       SELECT n, n_rows, n_cols,
+              (n_rows - 1) * (n_cols - 1) AS dof,
+              ${q6Sql("chi2")} AS chi2,
+              ${q6Sql("sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(least(n_rows - 1, n_cols - 1) AS DOUBLE)))")}
+                AS cramers_v
+       FROM folded"""
+  }
+
+  // --------------------------------------------------------------------
   // q_grubbs — maximum studentized deviate per event type
   // --------------------------------------------------------------------
 

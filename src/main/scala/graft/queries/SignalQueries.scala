@@ -492,15 +492,18 @@ object SignalQueries {
     * per year regardless of corpus size), decode fused into the
     * projection. Only the tiny daily series crosses the second shuffle.
     */
-  def pelt(s: SparkSession, dir: String): DataFrame = {
-    graft.plans.PeltSegments.register(s, "pelt_cps", PeltPenaltyMult)
-    val daysc = Tables
+  /** Dense zero-filled daily COUNT series per event type:
+    * (event_type, d0, t, ys) with ys(i) = events on day d0+i. Shared by
+    * [[pelt]] and [[pettitt]] — ONE definition and ONE SQL mirror
+    * ([[dailyCountSeriesCtes]]) so the changepoint family cannot drift.
+    */
+  private def dailyCountSeries(s: SparkSession, dir: String): DataFrame =
+    Tables
       .events(s, dir)
       .groupBy(
         col("event_type"),
         to_date(date_trunc("day", col("ts"))).as("day"))
       .agg(count(lit(1)).as("cnt"))
-    daysc
       .groupBy(col("event_type"))
       .agg(
         min(col("day")).as("d0"),
@@ -511,6 +514,35 @@ object SignalQueries {
         "m",
         expr("map_from_entries(transform(arr, x -> struct(datediff(x.day, d0), x.cnt)))"))
       .withColumn("ys", expr("transform(sequence(0, t - 1), i -> coalesce(element_at(m, i), 0L))"))
+      .select(col("event_type"), col("d0"), col("t"), col("ys"))
+
+  /** SQL mirror of [[dailyCountSeries]]: CTE bodies ending in
+    * `ser(event_type, d0, t, ys)`.
+    */
+  private val dailyCountSeriesCtes: String =
+    """daysc AS (
+         SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM events GROUP BY 1, 2),
+       ser0 AS (
+         SELECT event_type, min(day) AS d0,
+                CAST(date_diff('day', min(day), max(day)) AS INT) + 1 AS t
+         FROM daysc GROUP BY 1),
+       dense AS (
+         SELECT s.event_type, s.d0, s.t, gs.o, COALESCE(d.cnt, 0) AS y
+         FROM ser0 s
+         CROSS JOIN unnest(generate_series(0, s.t - 1)) gs(o)
+         LEFT JOIN daysc d
+           ON d.event_type = s.event_type
+          AND CAST(date_diff('day', s.d0, d.day) AS INT) = gs.o),
+       ser AS (
+         SELECT event_type, any_value(d0) AS d0, any_value(t) AS t,
+                list(y ORDER BY o) AS ys
+         FROM dense GROUP BY 1)"""
+
+  def pelt(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.PeltSegments.register(s, "pelt_cps", PeltPenaltyMult)
+    dailyCountSeries(s, dir)
       .withColumn("cps", expr("pelt_cps(ys)"))
       .withColumn("b", expr("concat(array(0L), cps, array(cast(t as bigint)))"))
       .select(
@@ -556,25 +588,7 @@ object SignalQueries {
       s"""((cq[($eV) + 1] - cq[($sV) + 1]) * $S
           - ((cm[($eV) + 1] - cm[($sV) + 1]) * (cm[($eV) + 1] - cm[($sV) + 1]) * $S)
             // (($eV) - ($sV)))"""
-    s"""WITH RECURSIVE daysc AS (
-         SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
-                CAST(count(*) AS BIGINT) AS cnt
-         FROM events GROUP BY 1, 2),
-       ser0 AS (
-         SELECT event_type, min(day) AS d0,
-                CAST(date_diff('day', min(day), max(day)) AS INT) + 1 AS t
-         FROM daysc GROUP BY 1),
-       dense AS (
-         SELECT s.event_type, s.d0, s.t, gs.o, COALESCE(d.cnt, 0) AS y
-         FROM ser0 s
-         CROSS JOIN unnest(generate_series(0, s.t - 1)) gs(o)
-         LEFT JOIN daysc d
-           ON d.event_type = s.event_type
-          AND CAST(date_diff('day', s.d0, d.day) AS INT) = gs.o),
-       ser AS (
-         SELECT event_type, any_value(d0) AS d0, any_value(t) AS t,
-                list(y ORDER BY o) AS ys
-         FROM dense GROUP BY 1),
+    s"""WITH RECURSIVE $dailyCountSeriesCtes,
        pre AS (
          SELECT event_type, d0, t, ys,
                 list_prepend(CAST(0 AS BIGINT),
@@ -623,6 +637,90 @@ object SignalQueries {
               floor(CAST(list_sum(ys[CAST(b[i] + 1 AS INT):CAST(b[i + 1] AS INT)]) AS DOUBLE)
                     / CAST(b[i + 1] - b[i] AS DOUBLE) * 1e6 + 0.5) / 1e6 AS seg_mean
        FROM segs, unnest(generate_series(1, len(b) - 1)) g(i)"""
+  }
+
+  // --------------------------------------------------------------------
+  // q_pettitt — nonparametric single-changepoint test
+  // --------------------------------------------------------------------
+
+  /** Pettitt test (Pettitt 1979) per event type over the same dense
+    * daily count series as [[pelt]]: U_t = Σ_{i≤t} Σ_{j>t} sgn(y_i−y_j)
+    * for every split t, K = max|U_t| with the SMALLEST argmax as the
+    * change day, and the standard approximation
+    * p ≈ min(1, 2·exp(−6K²/(T³+T²))). The rank-based complement to
+    * PELT's parametric SSE segmentation: distribution-free, so a heavy
+    * tail can't buy a spurious changepoint. U_t is a pure integer
+    * pairwise sgn sum — exact in both engines; only the final p pays a
+    * quantized exp.
+    *
+    * Scale: identical shape to [[pelt]] — one map-side-combined
+    * (type, day) count aggregate, then the O(T²) pair sums fold over a
+    * calendar-bounded array inside the projection.
+    */
+  def pettitt(s: SparkSession, dir: String): DataFrame = {
+    val sgn =
+      """CASE WHEN element_at(ys, i) > element_at(ys, j) THEN 1L
+              WHEN element_at(ys, i) < element_at(ys, j) THEN -1L
+              ELSE 0L END"""
+    dailyCountSeries(s, dir)
+      .withColumn(
+        "us",
+        expr(
+          s"""transform(sequence(1, t - 1), tt ->
+                aggregate(sequence(1, tt), 0L, (a, i) ->
+                  a + aggregate(sequence(tt + 1, t), 0L, (b, j) -> b + ($sgn))))"""))
+      .withColumn("k_stat", expr("array_max(transform(us, u -> abs(u)))"))
+      .withColumn(
+        "t_star",
+        expr("array_min(filter(sequence(1, t - 1), i -> abs(element_at(us, i)) = k_stat))"))
+      .withColumn(
+        "u_sign",
+        expr("""cast(CASE WHEN element_at(us, t_star) > 0 THEN 1
+                          WHEN element_at(us, t_star) < 0 THEN -1
+                          ELSE 0 END AS BIGINT)"""))
+      .withColumn(
+        "p_value",
+        expr(
+          """floor(least(1.0D, 2.0D * exp(-6.0D * cast(k_stat AS DOUBLE) * cast(k_stat AS DOUBLE)
+                / (cast(t AS DOUBLE) * cast(t AS DOUBLE) * cast(t AS DOUBLE)
+                   + cast(t AS DOUBLE) * cast(t AS DOUBLE)))) * 1e6 + 0.5) / 1e6"""))
+      .select(
+        col("event_type"),
+        col("t").cast("long").as("n_days"),
+        date_add(col("d0"), (col("t_star") - 1).cast("int")).as("change_day"),
+        col("u_sign"),
+        col("k_stat"),
+        col("p_value"))
+  }
+
+  val pettittSql: String = {
+    val sgn = "(CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 ELSE 0 END)"
+    s"""WITH $dailyCountSeriesCtes,
+       us AS (
+         SELECT event_type, d0, t, ys,
+                [CAST(list_sum(flatten(
+                   [[${sgn.replace("d ", "(ys[i] - ys[j]) ")}
+                     FOR j IN range(tt + 1, t + 1)]
+                    FOR i IN range(1, tt + 1)])) AS BIGINT)
+                 FOR tt IN range(1, t)] AS us
+         FROM ser),
+       kk AS (
+         SELECT event_type, d0, t, us,
+                list_max(list_transform(us, u -> abs(u))) AS k_stat
+         FROM us),
+       ts AS (
+         SELECT event_type, d0, t, us, k_stat,
+                list_min([i FOR i IN range(1, t) IF abs(us[i]) = k_stat]) AS t_star
+         FROM kk)
+       SELECT event_type, CAST(t AS BIGINT) AS n_days,
+              d0 + CAST(t_star - 1 AS INT) AS change_day,
+              CAST(CASE WHEN us[t_star] > 0 THEN 1 WHEN us[t_star] < 0 THEN -1 ELSE 0 END
+                   AS BIGINT) AS u_sign,
+              CAST(k_stat AS BIGINT) AS k_stat,
+              floor(least(1.0, 2.0 * exp(-6.0 * CAST(k_stat AS DOUBLE) * CAST(k_stat AS DOUBLE)
+                    / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+                       + CAST(t AS DOUBLE) * CAST(t AS DOUBLE)))) * 1e6 + 0.5) / 1e6 AS p_value
+       FROM ts"""
   }
 
   /** Incremental view maintenance: per-type stats are computed as two
