@@ -1059,6 +1059,110 @@ object RobustQueries2 {
   }
 
   // --------------------------------------------------------------------
+  // q_kendall_w — concordance of monthly nation-revenue rankings
+  // --------------------------------------------------------------------
+
+  /** Kendall's coefficient of concordance W across the monthly nation
+    * rankings: each month ranks all 25 nations by revenue (the
+    * [[RobustQueries.nationMonthlySeries]] integer rev4 units,
+    * zero-filled so every month ranks the same item set), and W ∈ [0,1]
+    * measures how much the months agree — the "is the league table
+    * stable" statistic, with the χ² = m(n−1)W large-sample readout.
+    *
+    * Exactness: ranks use the doubled-midrank trick (2·rank + t − 1,
+    * integral under ties — the zero-filled cells tie deliberately, so
+    * the tie path is exercised), so the spread S and the tie correction
+    * ΣT_j = Σ(t³−t) are exact BIGINTs: with doubled ranks
+    * S4 = Σ_i (R2_i − m(n+1))² = 4S and
+    * W = 3·S4 / (m²(n³−n) − m·ΣT). Only the final two ratios are
+    * doubles, q6-quantized from identical expressions.
+    *
+    * Scale: revenue aggregate is the shared map-side-combined series;
+    * ranks are windows over month partitions of |nations| rows; the
+    * grid is dimension×calendar-bounded (25 × months).
+    */
+  def kendallW(s: SparkSession, dir: String): DataFrame = {
+    val ser = RobustQueries.nationMonthlySeries(s, dir)
+    val months = ser.select(col("m")).distinct()
+    val nations = Tables.nation(s, dir).select(col("n_name"))
+    val filled = nations
+      .crossJoin(broadcast(months))
+      .join(ser, Seq("n_name", "m"), "left")
+      .select(col("n_name"), col("m"), coalesce(col("y"), lit(0L)).as("y"))
+    val wRank = Window.partitionBy(col("m")).orderBy(col("y"))
+    val wTie = Window.partitionBy(col("m"), col("y"))
+    val ranked = filled
+      .withColumn("rk", rank().over(wRank))
+      .withColumn("tc", count(lit(1)).over(wTie))
+      .withColumn("mr2", lit(2L) * col("rk") + col("tc") - 1L)
+    val r2 = ranked.groupBy(col("n_name")).agg(sum(col("mr2")).as("r2"))
+    val ties = ranked
+      .groupBy(col("m"), col("y"))
+      .agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("sum_t"))
+    val dims = filled.agg(
+      countDistinct(col("n_name")).as("n"),
+      countDistinct(col("m")).as("mj"))
+    r2.crossJoin(broadcast(dims))
+      .groupBy(col("n"), col("mj"))
+      .agg(sum((col("r2") - col("mj") * (col("n") + 1)) *
+        (col("r2") - col("mj") * (col("n") + 1))).as("s4"))
+      .crossJoin(broadcast(ties))
+      .select(
+        col("n").cast("long").as("n_nations"),
+        col("mj").cast("long").as("n_months"),
+        col("s4"),
+        col("sum_t"),
+        q6(lit(3.0) * col("s4").cast("double") /
+          (col("mj").cast("double") * col("mj").cast("double") *
+            (col("n").cast("double") * col("n").cast("double") * col("n").cast("double") -
+              col("n").cast("double")) -
+            col("mj").cast("double") * col("sum_t").cast("double"))).as("w"),
+        q6(col("mj").cast("double") * (col("n").cast("double") - 1.0) *
+          (lit(3.0) * col("s4").cast("double") /
+            (col("mj").cast("double") * col("mj").cast("double") *
+              (col("n").cast("double") * col("n").cast("double") * col("n").cast("double") -
+                col("n").cast("double")) -
+              col("mj").cast("double") * col("sum_t").cast("double")))).as("chi2"))
+  }
+
+  val kendallWSql: String = {
+    def wExpr(n: String, mj: String, s4: String, sumT: String) =
+      s"""(3.0 * CAST($s4 AS DOUBLE)
+          / (CAST($mj AS DOUBLE) * CAST($mj AS DOUBLE)
+             * (CAST($n AS DOUBLE) * CAST($n AS DOUBLE) * CAST($n AS DOUBLE) - CAST($n AS DOUBLE))
+             - CAST($mj AS DOUBLE) * CAST($sumT AS DOUBLE)))"""
+    val w = wExpr("s.n", "s.mj", "s.s4", "t.sum_t")
+    s"""WITH ${RobustQueries.seriesCteSql},
+       months AS (SELECT DISTINCT m FROM series),
+       filled AS (
+         SELECT na.n_name, mo.m, COALESCE(se.y, 0) AS y
+         FROM nation na CROSS JOIN months mo
+         LEFT JOIN series se ON se.n_name = na.n_name AND se.m = mo.m),
+       ranked AS (
+         SELECT n_name, m, y,
+                2 * rank() OVER (PARTITION BY m ORDER BY y)
+                  + count(*) OVER (PARTITION BY m, y) - 1 AS mr2
+         FROM filled),
+       r2 AS (SELECT n_name, CAST(sum(mr2) AS BIGINT) AS r2 FROM ranked GROUP BY 1),
+       ties AS (
+         SELECT CAST(sum(t * t * t - t) AS BIGINT) AS sum_t FROM (
+           SELECT count(*) AS t FROM ranked GROUP BY m, y) g),
+       dims AS (
+         SELECT CAST(count(DISTINCT n_name) AS BIGINT) AS n,
+                CAST(count(DISTINCT m) AS BIGINT) AS mj
+         FROM filled),
+       s4 AS (
+         SELECT d.n, d.mj,
+                CAST(sum((r.r2 - d.mj * (d.n + 1)) * (r.r2 - d.mj * (d.n + 1))) AS BIGINT) AS s4
+         FROM r2 r CROSS JOIN dims d GROUP BY 1, 2)
+       SELECT s.n AS n_nations, s.mj AS n_months, s.s4, t.sum_t,
+              ${q6Sql(w)} AS w,
+              ${q6Sql(s"CAST(s.mj AS DOUBLE) * (CAST(s.n AS DOUBLE) - 1.0) * $w")} AS chi2
+       FROM s4 s CROSS JOIN ties t"""
+  }
+
+  // --------------------------------------------------------------------
   // q_cramers_v — categorical association strength (type × weekday)
   // --------------------------------------------------------------------
 
