@@ -22,6 +22,22 @@ object RobustQueries2 {
   private def q6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
   private def q6Sql(e: String): String = s"floor(($e) * 1e6 + 0.5) / 1e6"
 
+  /** Overflow-safe q6 for LARGE non-negative magnitudes (sum-of-squares
+    * outputs): Spark's `floor(double)` returns a BIGINT and silently
+    * saturates at 2⁶³ once x·1e6 ≳ 9.2e18 (the sf1 sweep caught ssw
+    * reported as exactly Long.MaxValue/1e6 while DuckDB's double floor
+    * kept going). `y − y mod 1` computes the same floor for y ≥ 0
+    * entirely in doubles — identical IEEE ops in both engines, and for
+    * y ≥ 2⁵³ (where mod is 0) it degrades to the value itself, which
+    * at that magnitude is past double's integer precision anyway.
+    */
+  private def q6u(c: Column): Column = {
+    val y = c * lit(1e6) + lit(0.5)
+    (y - y % lit(1.0)) / lit(1e6)
+  }
+  private def q6uSql(e: String): String =
+    s"((($e) * 1e6 + 0.5) - (($e) * 1e6 + 0.5) % 1.0) / 1e6"
+
   // --------------------------------------------------------------------
   // q_isotonic_fit — weighted isotonic regression via exact minimax
   // --------------------------------------------------------------------
@@ -669,8 +685,8 @@ object RobustQueries2 {
     val ssb = "(ssg - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
     one.select(
       col("k"), col("n"),
-      q6(expr(ssb)).as("ssb"),
-      q6(col("ssw")).as("ssw"),
+      q6u(expr(ssb)).as("ssb"),
+      q6u(col("ssw")).as("ssw"),
       q6(expr(s"($ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE))")).as("f"),
       q6(expr(s"$ssb / ($ssb + ssw)")).as("eta2"))
   }
@@ -692,7 +708,7 @@ object RobustQueries2 {
                   CAST(qg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)
                   ORDER BY event_type)), (a, b) -> a + b) AS ssw
          FROM g)
-       SELECT k, n, ${q6Sql(ssb)} AS ssb, ${q6Sql("ssw")} AS ssw,
+       SELECT k, n, ${q6uSql(ssb)} AS ssb, ${q6uSql("ssw")} AS ssw,
               ${q6Sql(s"($ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE))")} AS f,
               ${q6Sql(s"$ssb / ($ssb + ssw)")} AS eta2
        FROM one"""
@@ -745,8 +761,8 @@ object RobustQueries2 {
     val ssb = "(ssg - sz * sz / CAST(n AS DOUBLE))"
     one.select(
       col("k"), col("n"),
-      q6(expr(ssb)).as("ssb_z"),
-      q6(col("ssw")).as("ssw_z"),
+      q6u(expr(ssb)).as("ssb_z"),
+      q6u(col("ssw")).as("ssw_z"),
       q6(expr(s"($ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE))")).as("f_bf"))
   }
 
@@ -769,7 +785,7 @@ object RobustQueries2 {
                   qzg - szg * szg / CAST(ng AS DOUBLE) ORDER BY event_type)),
                   (a, b) -> a + b) AS ssw
          FROM zg)
-       SELECT k, n, ${q6Sql(ssb)} AS ssb_z, ${q6Sql("ssw")} AS ssw_z,
+       SELECT k, n, ${q6uSql(ssb)} AS ssb_z, ${q6uSql("ssw")} AS ssw_z,
               ${q6Sql(s"($ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE))")} AS f_bf
        FROM one"""
   }
@@ -1437,11 +1453,15 @@ object RobustQueries2 {
     *
     * with zᵢ the i-th order statistic standardized by the exact-moment
     * mean/sd and Φ from the SAME erf polynomial both engines share.
-    * Each row's term is quantized to ⌊term·10⁹⌋ and summed as a BIGINT,
-    * so the corpus-sized Σ is order-independent (the q_lm_perplexity
-    * discipline) — ties in cents get the same z, and the term is linear
+    * Each row's term is divided by the group constant n and THEN
+    * quantized to ⌊term/n·10⁹⌋ and summed as a BIGINT, so the
+    * corpus-sized Σ is order-independent (the q_lm_perplexity
+    * discipline) — ties in cents get the same z, and term/n is linear
     * in i, so the per-tie-block multiset of quantized terms is
     * engine-invariant even though row_number assigns i differently.
+    * Dividing BEFORE quantizing is what makes the sum O(n·10⁹) rather
+    * than O(n²·10⁹): the raw-term sum overflowed BIGINT at sf1's
+    * 200k-row groups (caught by the r12 sf1 sweep).
     *
     * Scale: one moments aggregate (broadcast back), one per-type
     * ranking window, one integer sum. No global sort, no float fold.
@@ -1473,14 +1493,20 @@ object RobustQueries2 {
                         / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))"""))
       .withColumn("i", row_number().over(w).cast("long"))
       .withColumn("p", expr(EvalQueries.pValSql("abs(z)")))
-      .withColumn("t9", expr(s"CAST(floor($term * 1e9) AS BIGINT)"))
+      // quantize term/n, not term: the raw per-row floor sum is
+      // O(n²·1e9) in magnitude (coefficients 2i−1 reach 2n) and
+      // overflowed BIGINT at sf1's n = 200k/group; dividing by the
+      // group constant n first makes the sum O(n·1e9) (safe to n ≈ 6e6)
+      // and keeps the multiset-invariance argument — term/n is still
+      // linear in the rank within a tie block
+      .withColumn("t9", expr(s"CAST(floor($term / CAST(n AS DOUBLE) * 1e9) AS BIGINT)"))
       .groupBy(col("event_type"))
       .agg(first(col("n")).as("n"), sum(col("t9")).as("s9"))
       .select(
         col("event_type"),
         col("n"),
         q6(expr("""-CAST(n AS DOUBLE)
-                   - (CAST(s9 AS DOUBLE) / 1e9) / CAST(n AS DOUBLE)""")).as("a2"))
+                   - CAST(s9 AS DOUBLE) / 1e9""")).as("a2"))
   }
 
   val andersonDarlingSql: String = {
@@ -1506,11 +1532,12 @@ object RobustQueries2 {
          FROM vals v JOIN mom m USING (event_type)),
        pt AS (SELECT event_type, n, i, z,
                      ${EvalQueries.pValSql("abs(z)")} AS p FROM zt),
-       t9 AS (SELECT event_type, n, CAST(floor($term * 1e9) AS BIGINT) AS t9 FROM pt)
+       t9 AS (SELECT event_type, n,
+                     CAST(floor($term / CAST(n AS DOUBLE) * 1e9) AS BIGINT) AS t9 FROM pt)
        SELECT event_type, any_value(n) AS n,
               ${q6Sql(
         """-CAST(any_value(n) AS DOUBLE)
-           - (CAST(CAST(sum(t9) AS BIGINT) AS DOUBLE) / 1e9) / CAST(any_value(n) AS DOUBLE)""")}
+           - CAST(CAST(sum(t9) AS BIGINT) AS DOUBLE) / 1e9""")}
                 AS a2
        FROM t9 GROUP BY event_type"""
   }
