@@ -22,26 +22,49 @@ object RelationalQueries {
   /** TPC-H Q1-style pricing summary (§2.6 A-class). Scale: single shuffle
     * on a tiny group-by key space; partial aggregation map-side; the
     * shipdate filter and 6-column projection push to the parquet scan.
+    *
+    * Exactness (r12 sf1 sweep fix): the original raw `sum(double)` form
+    * drifted past the round(4) guard once groups reached sf1's ~1.5M
+    * rows/group (engines sum in different orders) — every money/qty
+    * aggregate now runs on exact integer units (cents, cents×(100−dc),
+    * integral qty) summed as BIGINT, with ONE double division at the
+    * end; avg_qty floor-quantizes the single exact ratio.
     */
   def pricingSummary(s: SparkSession, dir: String): DataFrame =
     Tables
       .lineitem(s, dir)
       .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .select(
+        col("l_returnflag"),
+        col("l_linestatus"),
+        round(col("l_quantity")).cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        round(col("l_discount") * 100).cast("long").as("dc"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 4).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
-          .as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        sum(col("qty")).as("qtys"),
+        sum(col("cents")).as("cs"),
+        sum(col("cents") * (lit(100L) - col("dc"))).as("rev4"),
         count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"),
+        col("l_linestatus"),
+        col("qtys").cast("double").as("sum_qty"),
+        (col("cs").cast("double") / lit(100.0)).as("sum_base_price"),
+        (col("rev4").cast("double") / lit(10000.0)).as("sum_disc_price"),
+        (floor(col("qtys").cast("double") / col("count_order").cast("double") * lit(1e4) + lit(0.5)) / lit(1e4))
+          .as("avg_qty"),
+        col("count_order"))
 
   val pricingSummarySql: String =
     """SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 4) AS sum_qty,
-       round(sum(l_extendedprice), 4) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-       round(avg(l_quantity), 4) AS avg_qty,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0
+         AS sum_disc_price,
+       floor(CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS avg_qty,
        count(*) AS count_order
        FROM lineitem
        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -65,17 +88,26 @@ object RelationalQueries {
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        // round to 4dp: the addends are exact 4-decimal products, so sums
-        // sit on the 4dp grid, never on a half-way rounding boundary —
-        // 2dp rounding hits exact .xx50 ties where engines disagree
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
-          .as("revenue"),
+        // exact rev4 units (cents × (100 − disc_cents)) summed as
+        // BIGINT, one double division at the end: nation groups reach
+        // millions of rows at sf1, where a raw double sum drifts past
+        // any fixed rounding guard (engines sum in different orders —
+        // caught by the r12 sf1 sweep)
+        sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev4"),
         count(lit(1)).as("n_items"))
+      .select(
+        col("r_name"),
+        col("n_name"),
+        (col("rev4").cast("double") / lit(10000.0)).as("revenue"),
+        col("n_items"))
   }
 
   val regionRevenueSql: String =
     """SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0
+         AS revenue,
        count(*) AS n_items
        FROM lineitem
        JOIN orders ON l_orderkey = o_orderkey

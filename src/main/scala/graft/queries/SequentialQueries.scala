@@ -90,7 +90,14 @@ object SequentialQueries {
         col("cna").as("n_a"),
         col("cnb").as("n_b"),
         q6(col("theta")).as("theta"),
-        q6(col("lam")).as("lambda"),
+        // log-space mixture evidence: at sf1 the raw λ reaches e^45 and
+        // no fixed quantization of it can be engine-stable (the sf1
+        // sweep caught Spark's floor saturating at 2^63); ln λ is the
+        // always-valid evidence scale and is computed WITHOUT ever
+        // exponentiating, so it is bounded at any corpus size
+        q6(lit(0.5) * log(col("v") / (col("v") + lit(tau2))) +
+          col("theta") * col("theta") * lit(tau2) /
+            (lit(2.0) * col("v") * (col("v") + lit(tau2)))).as("log_lambda"),
         q6(col("p_seq")).as("p_seq"))
   }
 
@@ -131,7 +138,8 @@ object SequentialQueries {
          FROM cum2)
        SELECT d, cna AS n_a, cnb AS n_b,
               ${q6Sql("theta")} AS theta,
-              ${q6Sql("lam")} AS lambda,
+              ${q6Sql("""0.5 * ln(v / (v + 0.01))
+                 + theta * theta * 0.01 / (2.0 * v * (v + 0.01))""")} AS log_lambda,
               ${q6Sql(
         """min(least(1.0, 1.0 / lam)) OVER (ORDER BY d
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")} AS p_seq
