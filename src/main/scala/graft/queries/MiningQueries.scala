@@ -2188,8 +2188,15 @@ object MiningQueries {
          SELECT path[-1] AS src,
                 CASE WHEN converted THEN 'conv' ELSE 'null' END AS dst
          FROM pth WHERE len(path) > 0),
-       counts AS (SELECT src, dst, count(*) AS c FROM tr GROUP BY 1, 2),
-       edges AS (
+       counts AS MATERIALIZED (SELECT src, dst, count(*) AS c FROM tr GROUP BY 1, 2),
+       edges AS MATERIALIZED (
+         -- MATERIALIZED is load-bearing at scale: every per-channel
+         -- removal leg and every unrolled power-iteration step below
+         -- references `edges`, and an inlined CTE would re-run the
+         -- corpus-sized path pipeline once per reference — measured at
+         -- sf1 as an exponential spill that exhausted 90 GB + disk.
+         -- Materialized, the pipeline runs ONCE into a ~(channels+2)²
+         -- edge table and the whole chain is in-memory trivial.
          SELECT src, dst,
                 CAST(c AS DOUBLE) / CAST(sum(c) OVER (PARTITION BY src) AS DOUBLE) AS p
          FROM counts),
