@@ -19,15 +19,20 @@ object Verify {
 
   /** Order-independent deterministic content hash of a dumped result:
     * per row, xxhash64 over ALL columns cast to string in sorted-name
-    * order, folded by an overflow-safe modular sum (rows are unordered
-    * parquet output, so the fold must commute; pmod keeps every partial
-    * below 2^63 even under ANSI arithmetic). Stable across runs and
-    * across partitionings of the same logical result — a changed hash
-    * between rounds means changed CONTENT.
+    * order — each column coalesced to a NUL-prefixed sentinel first,
+    * because xxhash64 SKIPS null inputs and two rows differing only in
+    * WHICH column is null would otherwise hash identically — folded by
+    * a commutative sum (rows are unordered parquet output). Each per-row
+    * term is pmod-reduced below 1e9+7, so the plain BIGINT sum is exact
+    * up to ~9.2e9 rows — far above any dump this harness writes; past
+    * that ANSI mode fails loudly rather than wrapping. Stable across
+    * runs and across partitionings of the same logical result — a
+    * changed hash between rounds means changed CONTENT.
     */
   def contentHash(df: org.apache.spark.sql.DataFrame): Long = {
     val M = 1000000007L
-    val cols = df.schema.fieldNames.sorted.map(n => col(n).cast("string"))
+    val cols = df.schema.fieldNames.sorted
+      .map(n => coalesce(col(n).cast("string"), lit("\u0000null")))
     if (cols.isEmpty) return 0L
     val row = df
       .select(pmod(xxhash64(cols: _*), lit(M)).as("h"))
@@ -77,9 +82,12 @@ object Verify {
           Some(Option(e.getMessage).getOrElse(e.getClass.getName))
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      // Locale.ROOT, not the f-interpolator: a comma-decimal default
+      // locale (de_DE) would emit 1,234 and corrupt the JSON artifact
+      val secS = String.format(java.util.Locale.ROOT, "%.3f", Double.box(sec))
       report(name) = err match {
         case Some(m) =>
-          s"""{"ok":false,"sec":${f"$sec%.3f"},"error":${jstr(m.take(300))}}"""
+          s"""{"ok":false,"sec":$secS,"error":${jstr(m.take(300))}}"""
         case None =>
           // read the DUMP back (not the live plan): the summary must
           // describe exactly the bytes the external compare will read
@@ -88,7 +96,7 @@ object Verify {
           val h = contentHash(back)
           val schema = back.schema.fields.sortBy(_.name)
             .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
-          s"""{"ok":true,"rows":$rows,"hash":$h,"sec":${f"$sec%.3f"},"schema":${jstr(schema)}}"""
+          s"""{"ok":true,"rows":$rows,"hash":$h,"sec":$secS,"schema":${jstr(schema)}}"""
       }
       // queries that persist() intermediates (sketch tables) must not
       // pin storage across the other 50+ queries of this session

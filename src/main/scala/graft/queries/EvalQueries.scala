@@ -409,8 +409,13 @@ object EvalQueries {
     * that a bare `pair_id % K` would sample along.
     */
   private val ChrFSampleK = 8
+  // reduce pair_id mod 2^31 BEFORE the LCG multiply: the product of two
+  // sub-2^31 values stays under 2^62, so the predicate is overflow-free
+  // for ANY BIGINT pair_id (a bare pair_id * 1103515245 errors in both
+  // ANSI engines past pair_id ~ 8.4e9 — exactly the id magnitudes the
+  // 100-TB contract exists for)
   private val chrFSamplePred: String =
-    s"((pair_id * 1103515245 + 12345) % 2147483648) % $ChrFSampleK = 0"
+    s"(((pair_id % 2147483648) * 1103515245 + 12345) % 2147483648) % $ChrFSampleK = 0"
 
   /** chrF2 on a deterministic 1/$K$ hash-sample of the pairs — the
     * documented 100-TB contract for the board-max query (mirrors the

@@ -1636,16 +1636,19 @@ object RelationalQueries {
     * candidate generator, all equi-joins, no pair ever materialized
     * outside a selective key bucket:
     *
-    *   1. SUBSTITUTION leg (Hamming pigeonhole): positions taken mod 3
-    *      split every name into 3 round-robin character classes; a pair
-    *      of equal-length names with ≤2 substitutions must agree
-    *      EXACTLY on at least one class (≤2 edited positions cannot hit
-    *      all 3 classes). Join key = (nation, length, class_idx,
-    *      class_chars). Round-robin — not contiguous segments — because
-    *      linkage corpora concentrate entropy unevenly (here the shared
-    *      "Customer#" prefix would make any contiguous head segment a
-    *      zero-selectivity key); interleaving spreads the
-    *      discriminating tail characters across ALL classes.
+    *   1. SUBSTITUTION leg (Hamming pigeonhole): every name's positions
+    *      are partitioned into 3 character classes; a pair of
+    *      equal-length names with ≤2 substitutions must agree EXACTLY
+    *      on at least one class (≤2 edited positions cannot hit all 3
+    *      classes). Join key = (nation, length, class_idx, class_chars).
+    *      The partition is DATA-DRIVEN ([[fuzzyClassProfiles]]):
+    *      positions dealt by measured per-position collision entropy in
+    *      snake order, so every class carries a balanced share of the
+    *      corpus's discriminating characters — contiguous segments die
+    *      on shared prefixes ("Customer#" would make any head segment a
+    *      zero-selectivity key), and even round-robin mod 3 left one
+    *      class holding only ~20 distinct values at sf1, and that class
+    *      carried most of the 52M surviving candidates (SCALE.md r12).
     *   2. INDEL legs (bounded deletion neighborhoods, FastSS-style):
     *      any ≤2-op script with an insertion or deletion forces a
     *      shared string in the deletion neighborhoods: equal-length
@@ -1697,6 +1700,80 @@ object RelationalQueries {
         6).as("name_sim"))
   }
 
+  /** Per-length pigeonhole class assignment for [[fuzzyCandidates]]
+    * leg 1, PROFILED FROM THE DATA rather than fixed round-robin.
+    * Positions are weighted by measured collision entropy
+    * (−ln Σ_c p_c², Rényi order 2 — chosen over Shannon because the
+    * candidate volume a class key admits tracks COLLISION probability,
+    * not code length) and dealt into the 3 classes in snake order
+    * (0,1,2,2,1,0,…) by descending weight. Snake dealing bounds the
+    * imbalance: max − min summed class weight ≤ the single largest
+    * position weight, so no class is ever left holding only the
+    * corpus's near-constant positions.
+    *
+    * EXACTNESS is assignment-independent: the pigeonhole theorem (≤2
+    * substituted positions cannot touch all 3 classes) holds for ANY
+    * fixed partition of {1..len} — the assignment only has to be the
+    * same on both sides of a pair, guaranteed because it is a pure
+    * function of the global profile and the name length. Short names
+    * are safe by construction: a length-1 or length-2 name simply gets
+    * empty classes (an explicit position array indexes nothing — no
+    * `sequence(lo, hi)` boundary to trip on).
+    *
+    * The profile is one map-side-combined aggregate over the customer
+    * dimension, collapsing to Σ_len len rows (a few hundred) before the
+    * driver sees it — safe at any corpus size. The cnt² partial stays
+    * below 2⁶³ up to ~3e9 same-length rows; past that ANSI fails loudly
+    * rather than mis-profiling.
+    */
+  final case class FuzzyClassProfile(
+      len: Int,
+      classes: Array[Array[Int]], // cls_idx → ascending positions
+      weights: Array[Double], // cls_idx → summed collision entropy
+      maxPositionWeight: Double)
+
+  def fuzzyClassProfiles(s: SparkSession, dir: String): Seq[FuzzyClassProfile] = {
+    val prof = Tables
+      .customer(s, dir)
+      .select(col("c_name").as("nm"), length(col("c_name")).as("len"))
+      .select(
+        col("len"),
+        posexplode(expr("transform(sequence(1, len), p -> substring(nm, p, 1))")))
+      .groupBy(col("len"), (col("pos") + 1).as("p"), col("col").as("ch"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("len"), col("p"))
+      .agg(sum(col("cnt")).as("n"), sum(col("cnt") * col("cnt")).as("sq"))
+      .collect()
+    prof
+      .groupBy(_.getInt(0))
+      .toSeq
+      .map { case (len, rows) =>
+        val posW = rows.map { r =>
+          val n = r.getLong(2).toDouble
+          val cp = math.min(1.0, r.getLong(3).toDouble / (n * n))
+          (r.getInt(1), -math.log(math.max(cp, 1e-300)))
+        }
+        // descending weight, ascending position as the deterministic
+        // tie-break (profile counts are exact integers, so the order —
+        // and with it the whole assignment — is run-stable)
+        val dealt = posW.sortBy { case (p, w) => (-w, p) }
+        val classes = Array.fill(3)(Vector.empty[Int])
+        val weights = Array.fill(3)(0.0)
+        dealt.zipWithIndex.foreach { case ((p, w), k) =>
+          val r = k % 6
+          val ci = if (r < 3) r else 5 - r
+          classes(ci) :+= p
+          weights(ci) += w
+        }
+        FuzzyClassProfile(
+          len,
+          classes.map(_.sorted.toArray),
+          weights,
+          if (dealt.isEmpty) 0.0 else dealt.head._2)
+      }
+      .sortBy(_.len)
+  }
+
   /** Deduplicated candidate pairs for [[fuzzyMatch]] (exposed so the
     * scale study can count candidates without running the verify DP).
     * Columns: block, cust_a < cust_b, name_a, name_b.
@@ -1709,25 +1786,29 @@ object RelationalQueries {
         col("c_custkey").as("ck"),
         col("c_name").as("nm"),
         length(col("c_name")).as("len"))
-    // leg-activation precheck: depth-2 neighborhoods only matter when
-    // two present name lengths differ by 1 or 2. The distinct-length
-    // set is dimension-sized (a handful of values), so this is a
-    // bounded driver-side decision, not a data-sized collect.
-    val lens = c.select(col("len")).distinct().collect()
-      .map(_.getInt(0)).toSet
+    // the per-length class profile doubles as the distinct-length set
+    // for the leg-activation precheck: depth-2 neighborhoods only
+    // matter when two present name lengths differ by 1 or 2. Both are
+    // dimension-sized driver decisions, not data-sized collects.
+    val profiles = fuzzyClassProfiles(s, dir)
+    val lens = profiles.map(_.len).toSet
     val needDepth2 = lens.exists(l => lens.contains(l + 1) || lens.contains(l + 2))
 
-    // ---- leg 1: round-robin pigeonhole classes (mod 3) --------------
-    val classes = c.select(
-      col("block"), col("ck"), col("nm"), col("len"),
-      explode(expr(
-        """transform(sequence(0, 2), i -> struct(
-          |  i AS cls_idx,
-          |  concat_ws('', transform(sequence(i + 1, len, 3),
-          |                          p -> substring(nm, p, 1))) AS cls_chars))"""
-          .stripMargin)).as("cl"))
-      .select(col("block"), col("ck"), col("nm"), col("len"),
-        col("cl.cls_idx"), col("cl.cls_chars"))
+    // ---- leg 1: entropy-dealt pigeonhole classes ---------------------
+    // the (len, cls_idx) → position-array map is a handful of rows;
+    // broadcast it and extract each class's characters by explicit
+    // position list
+    import s.implicits._
+    val classDef = profiles
+      .flatMap(pr =>
+        pr.classes.zipWithIndex.map { case (ps, i) => (pr.len, i, ps.toSeq) })
+      .toDF("len", "cls_idx", "pos_arr")
+    val classes = c
+      .join(broadcast(classDef), Seq("len"))
+      .select(
+        col("block"), col("ck"), col("nm"), col("len"), col("cls_idx"),
+        expr("concat_ws('', transform(pos_arr, p -> substring(nm, p, 1)))")
+          .as("cls_chars"))
     val clsPairs = classes.as("x")
       .join(
         classes.as("y"),

@@ -663,6 +663,12 @@ object SignalQueries {
               WHEN element_at(ys, i) < element_at(ys, j) THEN -1L
               ELSE 0L END"""
     dailyCountSeries(s, dir)
+      // t >= 2, guarded IDENTICALLY in the oracle: a single-day series
+      // has no split to test, and Spark's step-less sequence(1, t - 1)
+      // would count DOWN to [1, 0] at t = 1 (the EvalQueries.scala:57
+      // footgun) and error under ANSI where DuckDB's empty range(1, 1)
+      // silently yields a NULL row — filter, don't diverge
+      .filter(col("t") >= 2)
       .withColumn(
         "us",
         expr(
@@ -703,7 +709,7 @@ object SignalQueries {
                      FOR j IN range(tt + 1, t + 1)]
                     FOR i IN range(1, tt + 1)])) AS BIGINT)
                  FOR tt IN range(1, t)] AS us
-         FROM ser),
+         FROM ser WHERE t >= 2),
        kk AS (
          SELECT event_type, d0, t, us,
                 list_max(list_transform(us, u -> abs(u))) AS k_stat

@@ -510,6 +510,56 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_fuzzy_match: pigeonhole classes are entropy-balanced on the profile") {
+    // the r12 residual this locks against: a FIXED position→class map
+    // (round-robin mod 3) left one class holding only the corpus's
+    // near-constant positions — ~20 distinct values at sf1 — and that
+    // class carried most of the surviving candidates. The data-driven
+    // snake deal must (a) meet its balance guarantee and (b) never
+    // leave a class less selective than the fixed map's worst class.
+    val profs = graft.queries.RelationalQueries.fuzzyClassProfiles(spark, dir)
+    assert(profs.nonEmpty)
+    profs.foreach { pr =>
+      // positions partition {1..len} exactly
+      assert(pr.classes.flatten.sorted.toSeq == (1 to pr.len),
+        s"len ${pr.len}: classes are not a partition of positions")
+      // snake-deal guarantee: class imbalance bounded by the single
+      // heaviest position
+      assert(pr.weights.max - pr.weights.min <= pr.maxPositionWeight + 1e-9,
+        s"len ${pr.len}: weights ${pr.weights.toSeq} exceed the snake bound")
+      // no starved class: the weakest class must still key at least
+      // exp(total/3 − maxPos) effective distinct values — and on the
+      // fixture profile concretely more distinct values than the
+      // round-robin map's weakest class (ratio > 1 means the deal
+      // actually moved selectivity where it was missing)
+      val total = pr.weights.sum
+      assert(pr.weights.min >= total / 3.0 - pr.maxPositionWeight - 1e-9)
+    }
+    // fixture names are fixed-width Customer#NNNNNNNNN: compare the
+    // effective distinct values (exp of summed collision entropy) of
+    // the weakest entropy-dealt class against the weakest round-robin
+    // class, from the same measured profile
+    val c = graft.Tables.customer(spark, dir)
+      .select(org.apache.spark.sql.functions.col("c_name").as("nm"))
+      .collect().map(_.getString(0))
+    val byLen = c.groupBy(_.length)
+    profs.foreach { pr =>
+      val names = byLen(pr.len)
+      def collEnt(positions: Array[Int]): Double = {
+        val keys = names.groupBy(nm => positions.map(p => nm(p - 1)).mkString)
+        val n = names.length.toDouble
+        val cp = keys.values.map(g => (g.length / n) * (g.length / n)).sum
+        -math.log(math.max(cp, 1e-300))
+      }
+      val dealtMin = pr.classes.map(collEnt).min
+      val rrMin = (0 until 3)
+        .map(i => collEnt((1 to pr.len).filter(p => (p - 1) % 3 == i).toArray))
+        .min
+      assert(dealtMin >= rrMin - 1e-9,
+        s"len ${pr.len}: entropy deal ($dealtMin) weaker than round-robin ($rrMin)")
+    }
+  }
+
   test("q_pelt: one pruned scan, two bounded aggregates, decode fused in projection") {
     val df = graft.SparkEntry.queries("q_pelt")(spark, dir)
     df.collect()

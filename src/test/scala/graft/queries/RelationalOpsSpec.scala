@@ -852,7 +852,12 @@ class RelationalOpsSpec extends AnyFunSuite {
     val base = (0 until 120).map { i =>
       val len = 6 + rnd.nextInt(5)
       (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
-    }
+    } ++
+      // 1-3 char names: shorter than the class count, so some pigeonhole
+      // classes are EMPTY — the generator must key them on empty class
+      // chars, not crash enumerating positions (the sequence(i+1, len, 3)
+      // regression: 'Illegal sequence boundaries' for len < 3)
+      Seq("a", "b", "ab", "ba", "cd", "abc", "abd", "ce")
     val mutated = base.zipWithIndex.map { case (nm, i) =>
       val ops = i % 5
       val b = new StringBuilder(nm)
@@ -860,8 +865,8 @@ class RelationalOpsSpec extends AnyFunSuite {
         case 1 => b.setCharAt(rnd.nextInt(b.length), 'z') // 1 sub
         case 2 => // 2 subs
           b.setCharAt(0, 'z'); b.setCharAt(b.length - 1, 'y')
-        case 3 => b.deleteCharAt(rnd.nextInt(b.length)) // 1 del
-        case 4 => // del + sub
+        case 3 if b.length > 1 => b.deleteCharAt(rnd.nextInt(b.length)) // 1 del
+        case 4 if b.length > 1 => // del + sub
           b.deleteCharAt(rnd.nextInt(b.length))
           b.setCharAt(rnd.nextInt(b.length), 'z')
         case _ => ()
