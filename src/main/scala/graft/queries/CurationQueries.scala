@@ -1894,6 +1894,8 @@ object CurationQueries {
         .as("dsum"))
     val quotas = counts
       .crossJoin(broadcast(d))
+      // q-domain (Quantize): w/dsum ≤ 1, so the floor operand is ≤ 1e12
+      // at any corpus size — far inside the BIGINT bound
       .withColumn("q", expr("cast(floor(1e12 * w / dsum) as bigint)"))
       .withColumn("base_q", expr(s"$MixBudget * q div 1000000000000"))
       .withColumn("rem", expr(s"$MixBudget * q % 1000000000000"))

@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
   */
 object EvalQueries {
 
-  private def q6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
-  private def q6Sql(e: String): String = s"floor(($e) * 1e6 + 0.5) / 1e6"
+  // delegates to the shared, property-locked quantizers — domain rules
+  // (q6: |x| << 9.2e12; q6u: x >= 0, any magnitude) live on [[Quantize]]
+  private def q6(c: Column): Column = Quantize.q6(c)
+  private def q6Sql(e: String): String = Quantize.q6Sql(e)
 
   // --------------------------------------------------------------------
   // shared: candidate/reference document pairs

@@ -767,6 +767,10 @@ object GraphQueries {
       nSources: Int = 4): DataFrame = {
     val foldSum = (c: org.apache.spark.sql.Column) =>
       aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)
+    // q6 domain (Quantize): Brandes dependency per source is < n, so the
+    // sampled score is < nSources·n — the BIGINT floor clamps only past
+    // n ≈ 9.2e12/nSources ≈ 2.3e12 graph nodes, far beyond any corpus
+    // this query's O(nSources·hops) BFS would be pointed at
     val q6 = (c: org.apache.spark.sql.Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
     val edges = symmetricEdges(s, dir, minCommon)
     val nodes = edges.select(col("src").as("node")).distinct().persist()

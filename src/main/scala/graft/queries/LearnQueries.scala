@@ -349,7 +349,7 @@ object LearnQueries {
               * ln(CAST($c AS DOUBLE) / CAST($n AS DOUBLE)) ELSE 0.0 END"""
       s"(${part(c0)} + ${part(c1)})"
     }
-    def q6s(e: String) = s"floor(($e) * 1e6 + 0.5) / 1e6"
+    def q6s(e: String) = Quantize.q6Sql(e)
     s"""WITH feat AS (
          SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
                 f.feature, f.v

@@ -1085,8 +1085,12 @@ object MiningQueries {
         sum(col("n_end1")).over(wAll) - coalesce(sum(col("n_end1")).over(wPrev), lit(0L)))
       .filter(col("d") > 0)
     val nd = col("n").cast("double")
-    val qe = floor(col("n1").cast("double") * col("d") / nd * lit(1e12))
-    val qv = floor(
+    // expected counts scale with the at-risk population, so the ×1e12
+    // quantized terms can pass 2⁶³ (n1·d/n ≥ 9.2e6) long before any
+    // test fixture does — double-domain floor (Quantize.dfloor) +
+    // decimal(38,0) sums never saturate; see Quantize's domain rules
+    val qe = Quantize.dfloor(col("n1").cast("double") * col("d") / nd * lit(1e12))
+    val qv = Quantize.dfloor(
       when(
         col("n") > 1,
         (col("d").cast("double") * col("n1") / nd) *
@@ -1145,12 +1149,20 @@ object MiningQueries {
          FROM pd
        ), q AS (
          SELECT d1,
-                CAST(floor(CAST(n1 AS DOUBLE) * d / CAST(n AS DOUBLE) * 1e12) AS BIGINT) AS qe,
-                CAST(floor(CASE WHEN n > 1
+                CAST((CAST(n1 AS DOUBLE) * d / CAST(n AS DOUBLE) * 1e12)
+                     - (CAST(n1 AS DOUBLE) * d / CAST(n AS DOUBLE) * 1e12) % 1.0
+                  AS DECIMAL(38,0)) AS qe,
+                CAST((CASE WHEN n > 1
                   THEN (CAST(d AS DOUBLE) * n1 / CAST(n AS DOUBLE))
                        * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
                        * (n - d) / (n - 1)
-                  ELSE 0.0 END * 1e12) AS BIGINT) AS qv
+                  ELSE 0.0 END * 1e12)
+                     - (CASE WHEN n > 1
+                  THEN (CAST(d AS DOUBLE) * n1 / CAST(n AS DOUBLE))
+                       * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (n - d) / (n - 1)
+                  ELSE 0.0 END * 1e12) % 1.0
+                  AS DECIMAL(38,0)) AS qv
          FROM risk WHERE d > 0
        ), g AS (
          SELECT CAST(sum(d1) AS BIGINT) AS o1, sum(qe) AS sqe, sum(qv) AS sqv FROM q
@@ -1271,7 +1283,9 @@ object MiningQueries {
     * — and the single /P division happens at the end.
     */
   def avgPrecision(s: SparkSession, dir: String): DataFrame = {
-    val qt = floor(
+    // np·precision·1e12 scales with the positive count — double-domain
+    // floor + decimal sum, never the saturating BIGINT floor (Quantize)
+    val qt = Quantize.dfloor(
       col("np").cast("double") * col("tp") / (col("tp") + col("fp")).cast("double") *
         lit(1e12))
     rocBase(s, dir)
@@ -1326,8 +1340,9 @@ object MiningQueries {
   val avgPrecisionSql: String =
     rocBaseSql + """, q AS (
          SELECT np,
-                CAST(floor(CAST(np AS DOUBLE) * tp / CAST(tp + fp AS DOUBLE) * 1e12)
-                  AS BIGINT) AS qt
+                CAST((CAST(np AS DOUBLE) * tp / CAST(tp + fp AS DOUBLE) * 1e12)
+                     - (CAST(np AS DOUBLE) * tp / CAST(tp + fp AS DOUBLE) * 1e12) % 1.0
+                  AS DECIMAL(38,0)) AS qt
          FROM curve
        )
        SELECT CAST(sum(np) AS BIGINT) AS p,
@@ -1538,6 +1553,10 @@ object MiningQueries {
       val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
       val sig = lit(1.0) / (lit(1.0) + exp(-z))
       val g = feat
+        // q-domain note (Quantize): |sig − y| ≤ 1 and x1 = tokens/100,
+        // so the ×1e12 gradient terms stay below 2⁶³ unless a SINGLE
+        // document holds ≥ 9.2e8 tokens — a per-row bound, not one that
+        // grows with corpus size; the sums are decimal(38,0) already
         .agg(
           sum(floor((sig - col("y")) * lit(1.0) * lit(1e12)).cast("decimal(38,0)"))
             .as("s0"),

@@ -1636,19 +1636,26 @@ object RelationalQueries {
     * candidate generator, all equi-joins, no pair ever materialized
     * outside a selective key bucket:
     *
-    *   1. SUBSTITUTION leg (Hamming pigeonhole): every name's positions
-    *      are partitioned into 3 character classes; a pair of
-    *      equal-length names with ≤2 substitutions must agree EXACTLY
-    *      on at least one class (≤2 edited positions cannot hit all 3
-    *      classes). Join key = (nation, length, class_idx, class_chars).
-    *      The partition is DATA-DRIVEN ([[fuzzyClassProfiles]]):
-    *      positions dealt by measured per-position collision entropy in
-    *      snake order, so every class carries a balanced share of the
-    *      corpus's discriminating characters — contiguous segments die
-    *      on shared prefixes ("Customer#" would make any head segment a
-    *      zero-selectivity key), and even round-robin mod 3 left one
-    *      class holding only ~20 distinct values at sf1, and that class
-    *      carried most of the 52M surviving candidates (SCALE.md r12).
+    *   1. SUBSTITUTION leg (Hamming pigeonhole, pair-of-classes form):
+    *      every name's positions are partitioned into 4 character
+    *      classes; ≤2 substituted positions touch ≤2 classes, leaving
+    *      ≥2 classes untouched — so an equal-length pair within 2
+    *      substitutions must agree EXACTLY on at least one of the
+    *      C(4,2) = 6 unordered class PAIRS. Join key = (nation, length,
+    *      pair_idx, pair_chars). A pair key concatenates TWO classes'
+    *      characters, so its selectivity is roughly the SQUARE of a
+    *      single class key's — the reason this beats the classic
+    *      (k+1)-piece scheme (3 classes, key = 1 class): 6 exploded
+    *      rows per name instead of 3 buys quadratically smaller
+    *      candidate buckets. The partition itself is DATA-DRIVEN
+    *      ([[fuzzyClassProfiles]]): positions dealt by measured
+    *      per-position collision entropy in snake order, so every class
+    *      carries a balanced share of the corpus's discriminating
+    *      characters — contiguous segments die on shared prefixes
+    *      ("Customer#" would make any head segment a zero-selectivity
+    *      key), and even round-robin mod 3 left one class holding ~20
+    *      distinct values at sf1, and that class carried most of the
+    *      52M surviving candidates (SCALE.md r12).
     *   2. INDEL legs (bounded deletion neighborhoods, FastSS-style):
     *      any ≤2-op script with an insertion or deletion forces a
     *      shared string in the deletion neighborhoods: equal-length
@@ -1679,7 +1686,8 @@ object RelationalQueries {
     graft.plans.BoundedLev.register(s)
     require(maxDist == 2,
       "fuzzyMatch's exact candidate generator is built for maxDist=2 " +
-        "(3 pigeonhole classes + depth-2 deletion neighborhoods)")
+        "(4 pigeonhole classes joined on class pairs + depth-2 deletion " +
+        "neighborhoods)")
     val verified = fuzzyCandidates(s, dir)
       // the native banded expression (prefix/suffix trim + O(k·n) byte
       // DP with early exit, codegen'd) — ~10× the builtin full-matrix
@@ -1700,25 +1708,40 @@ object RelationalQueries {
         6).as("name_sim"))
   }
 
+  /** Number of pigeonhole classes in [[fuzzyClassProfiles]]. 4, not the
+    * minimal k+1 = 3: the candidate join keys are the C(4,2) = 6 class
+    * PAIRS, each carrying two classes' entropy — quadratically more
+    * selective than a lone class for a 2× explode cost.
+    */
+  val FuzzyClassCount = 4
+
+  /** The C(4,2) unordered class pairs, in a fixed enumeration shared by
+    * the key builder and the audit spec.
+    */
+  val FuzzyClassPairs: Seq[(Int, Int)] =
+    for { i <- 0 until FuzzyClassCount; j <- (i + 1) until FuzzyClassCount }
+      yield (i, j)
+
   /** Per-length pigeonhole class assignment for [[fuzzyCandidates]]
     * leg 1, PROFILED FROM THE DATA rather than fixed round-robin.
     * Positions are weighted by measured collision entropy
     * (−ln Σ_c p_c², Rényi order 2 — chosen over Shannon because the
     * candidate volume a class key admits tracks COLLISION probability,
-    * not code length) and dealt into the 3 classes in snake order
-    * (0,1,2,2,1,0,…) by descending weight. Snake dealing bounds the
-    * imbalance: max − min summed class weight ≤ the single largest
-    * position weight, so no class is ever left holding only the
-    * corpus's near-constant positions.
+    * not code length) and dealt into the [[FuzzyClassCount]] classes in
+    * snake order (0,1,2,3,3,2,1,0,…) by descending weight. Snake
+    * dealing bounds the imbalance: max − min summed class weight ≤ the
+    * single largest position weight, so no class is ever left holding
+    * only the corpus's near-constant positions.
     *
     * EXACTNESS is assignment-independent: the pigeonhole theorem (≤2
-    * substituted positions cannot touch all 3 classes) holds for ANY
-    * fixed partition of {1..len} — the assignment only has to be the
-    * same on both sides of a pair, guaranteed because it is a pure
-    * function of the global profile and the name length. Short names
-    * are safe by construction: a length-1 or length-2 name simply gets
-    * empty classes (an explicit position array indexes nothing — no
-    * `sequence(lo, hi)` boundary to trip on).
+    * substituted positions touch ≤2 of the 4 classes, so ≥1 enumerated
+    * class pair is untouched) holds for ANY fixed partition of {1..len}
+    * — the assignment only has to be the same on both sides of a pair,
+    * guaranteed because it is a pure function of the global profile and
+    * the name length. Short names are safe by construction: a name
+    * shorter than the class count simply gets empty classes (an
+    * explicit position array indexes nothing — no `sequence(lo, hi)`
+    * boundary to trip on).
     *
     * The profile is one map-side-combined aggregate over the customer
     * dimension, collapsing to Σ_len len rows (a few hundred) before the
@@ -1757,11 +1780,12 @@ object RelationalQueries {
         // tie-break (profile counts are exact integers, so the order —
         // and with it the whole assignment — is run-stable)
         val dealt = posW.sortBy { case (p, w) => (-w, p) }
-        val classes = Array.fill(3)(Vector.empty[Int])
-        val weights = Array.fill(3)(0.0)
+        val q = FuzzyClassCount
+        val classes = Array.fill(q)(Vector.empty[Int])
+        val weights = Array.fill(q)(0.0)
         dealt.zipWithIndex.foreach { case ((p, w), k) =>
-          val r = k % 6
-          val ci = if (r < 3) r else 5 - r
+          val r = k % (2 * q)
+          val ci = if (r < q) r else 2 * q - 1 - r
           classes(ci) :+= p
           weights(ci) += w
         }
@@ -1794,14 +1818,17 @@ object RelationalQueries {
     val lens = profiles.map(_.len).toSet
     val needDepth2 = lens.exists(l => lens.contains(l + 1) || lens.contains(l + 2))
 
-    // ---- leg 1: entropy-dealt pigeonhole classes ---------------------
-    // the (len, cls_idx) → position-array map is a handful of rows;
-    // broadcast it and extract each class's characters by explicit
-    // position list
+    // ---- leg 1: entropy-dealt pigeonhole classes, joined on class
+    // PAIRS — each of the 6 keys concatenates two classes' characters
+    // (positions kept in ascending order so both sides build the same
+    // string). The (len, pair_idx) → position-array map is a handful of
+    // rows; broadcast it and extract by explicit position list.
     import s.implicits._
     val classDef = profiles
       .flatMap(pr =>
-        pr.classes.zipWithIndex.map { case (ps, i) => (pr.len, i, ps.toSeq) })
+        FuzzyClassPairs.zipWithIndex.map { case ((i, j), idx) =>
+          (pr.len, idx, (pr.classes(i) ++ pr.classes(j)).sorted.toSeq)
+        })
       .toDF("len", "cls_idx", "pos_arr")
     val classes = c
       .join(broadcast(classDef), Seq("len"))

@@ -19,24 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object RobustQueries2 {
 
-  private def q6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
-  private def q6Sql(e: String): String = s"floor(($e) * 1e6 + 0.5) / 1e6"
+  // delegates to the shared, property-locked quantizers — domain rules
+  // (q6: |x| << 9.2e12; q6u: x >= 0, any magnitude) live on [[Quantize]]
+  private def q6(c: Column): Column = Quantize.q6(c)
+  private def q6Sql(e: String): String = Quantize.q6Sql(e)
 
-  /** Overflow-safe q6 for LARGE non-negative magnitudes (sum-of-squares
-    * outputs): Spark's `floor(double)` returns a BIGINT and silently
-    * saturates at 2⁶³ once x·1e6 ≳ 9.2e18 (the sf1 sweep caught ssw
-    * reported as exactly Long.MaxValue/1e6 while DuckDB's double floor
-    * kept going). `y − y mod 1` computes the same floor for y ≥ 0
-    * entirely in doubles — identical IEEE ops in both engines, and for
-    * y ≥ 2⁵³ (where mod is 0) it degrades to the value itself, which
-    * at that magnitude is past double's integer precision anyway.
-    */
-  private def q6u(c: Column): Column = {
-    val y = c * lit(1e6) + lit(0.5)
-    (y - y % lit(1.0)) / lit(1e6)
-  }
-  private def q6uSql(e: String): String =
-    s"((($e) * 1e6 + 0.5) - (($e) * 1e6 + 0.5) % 1.0) / 1e6"
+  private def q6u(c: Column): Column = Quantize.q6u(c)
+  private def q6uSql(e: String): String = Quantize.q6uSql(e)
 
   // --------------------------------------------------------------------
   // q_isotonic_fit — weighted isotonic regression via exact minimax
@@ -186,8 +175,12 @@ object RobustQueries2 {
       .agg(
         count(lit(1)).as("n_bigrams"),
         sum(when(col("p").isNull, 1L).otherwise(0L)).as("n_oov"),
-        sum(when(col("p").isNotNull, floor(log(col("p")) * lit(1e9)).cast("long"))
-          .otherwise(0L)).as("qsum"),
+        // per-term |⌊ln p · 1e9⌋| ≤ 6.9e11 (p floored at 1e-300), but
+        // the SUM scales with scored-bigram volume: decimal(38,0), not
+        // BIGINT, so ANSI Spark doesn't error where DuckDB's HUGEINT
+        // sum keeps going (the oracle's sum is HUGEINT-wide already)
+        sum(when(col("p").isNotNull, floor(log(col("p")) * lit(1e9)))
+          .otherwise(0L).cast("decimal(38,0)")).as("qsum"),
         sum(when(col("p").isNotNull, 1L).otherwise(0L)).as("n_scored"))
       .select(
         col("source"),
@@ -235,8 +228,8 @@ object RobustQueries2 {
         "CAST(sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
                 AS oov_rate,
               ${q6Sql(
-        """exp((CAST(CAST(sum(CASE WHEN p IS NOT NULL
-                 THEN CAST(floor(ln(p) * 1e9) AS BIGINT) ELSE 0 END) AS BIGINT) AS DOUBLE)
+        """exp((CAST(sum(CASE WHEN p IS NOT NULL
+                 THEN CAST(floor(ln(p) * 1e9) AS BIGINT) ELSE 0 END) AS DOUBLE)
                / 1e9) * (-1.0)
               / CAST(sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE))""")} AS ppl
        FROM scored GROUP BY source"""
@@ -851,7 +844,10 @@ object RobustQueries2 {
       .withColumn("dx", expr(s"${d("x")} - ${d("sx")} / ${d("n")}"))
       .withColumn("dy", expr(s"${d("y")} - ${d("sy")} / ${d("n")}"))
       .withColumn("dz", expr(s"${d("z")} - ${d("sz")} / ${d("n")}"))
-      .withColumn("d9", expr(s"floor($d2 * 1e9 + 0.5) / 1e9"))
+      // q9u, not the BIGINT floor: the sample Mahalanobis max grows as
+      // (n−1)²/n (Mardia), so d2·1e9 can pass 2⁶³ on a ≥9.2e9-row group
+      // with a near-degenerate outlier — double-domain stays exact-rank
+      .withColumn("d9", expr(s"((($d2) * 1e9 + 0.5) - (($d2) * 1e9 + 0.5) % 1.0) / 1e9"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 20)
       .select(col("rank"), col("event_id"), col("event_type"), q6(col("d9")).as("d2"))
@@ -898,7 +894,8 @@ object RobustQueries2 {
                 ${d("z")} - ${d("sz")} / ${d("n")} AS dz
          FROM vals CROSS JOIN mom),
        scored AS (
-         SELECT event_id, event_type, floor($d2 * 1e9 + 0.5) / 1e9 AS d9
+         SELECT event_id, event_type,
+                ((($d2) * 1e9 + 0.5) - (($d2) * 1e9 + 0.5) % 1.0) / 1e9 AS d9
          FROM dev),
        ranked AS (
          SELECT *, row_number() OVER (ORDER BY d9 DESC, event_id) AS rank
@@ -1281,7 +1278,8 @@ object RobustQueries2 {
     val w = Window.partitionBy(col("event_type")).orderBy(col("g9").desc, col("event_id"))
     vals
       .join(broadcast(mom), "event_type")
-      .withColumn("g9", expr(s"floor(($dev) * 1e9 + 0.5) / 1e9"))
+      // q9u (see mahalanobis): max |z| grows as √n, double-domain floor
+      .withColumn("g9", expr(s"((($dev) * 1e9 + 0.5) - (($dev) * 1e9 + 0.5) % 1.0) / 1e9"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
       .select(
@@ -1302,7 +1300,7 @@ object RobustQueries2 {
          FROM vals GROUP BY 1),
        scored AS (
          SELECT v.event_type, m.n, v.event_id,
-                floor(($dev) * 1e9 + 0.5) / 1e9 AS g9
+                ((($dev) * 1e9 + 0.5) - (($dev) * 1e9 + 0.5) % 1.0) / 1e9 AS g9
          FROM vals v JOIN mom m USING (event_type)),
        ranked AS (
          SELECT *, row_number() OVER (PARTITION BY event_type

@@ -564,6 +564,8 @@ object SignalQueries {
           .as("seg_events"))
       .withColumn(
         "seg_mean",
+        // q6 domain (Quantize): the operand is a per-day MEAN event
+        // count — saturation would need ≥ 9.2e12 events per type-day
         floor(col("seg_events").cast("double") / col("seg_len").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
   }
 
@@ -1528,6 +1530,8 @@ object SignalQueries {
       .withColumn("dev", col("dm") - col("csum") / col("cn") - lit(0.005))
       .withColumn("m", sum(col("dev")).over(wCum))
       .withColumn("mn", min(col("m")).over(wCum))
+      // q-domain (Quantize): m − mn ≤ Σ|dev| ≤ T·(value scale + drift),
+      // calendar-bounded T — orders of magnitude inside the 9.2e9 bound
       .withColumn("ph_t", floor((col("m") - col("mn")) * lit(1e9) + lit(0.5)) / lit(1e9))
       .withColumn("ph", max(col("ph_t")).over(wAll))
     d.filter(col("ph_t") === col("ph"))

@@ -1016,6 +1016,9 @@ object StreamingQueries {
         val z = lit(cur(0)) + lit(cur(1)) * col("x1") + lit(cur(2)) * col("x2")
         val sig = lit(1.0) / (lit(1.0) + exp(-z))
         val g = batch
+          // q-domain note (Quantize): per-term bound as in
+          // MiningQueries.trainLogregWeights — saturation needs a single
+          // ≥ 9.2e8-token document, not corpus growth
           .agg(
             count(lit(1)).as("c"),
             sum(floor((sig - col("y")) * lit(1.0) * lit(1e12)).cast("decimal(38,0)"))

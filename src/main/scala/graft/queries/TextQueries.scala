@@ -338,6 +338,11 @@ object TextQueries {
       .join(srcTot, "source")
       .join(wordTot, "w")
       .crossJoin(broadcast(allTot))
+      // q-domain note (Quantize): term = √(p·q) ≤ 1, so each t9 ≤ 1e9;
+      // the BIGINT sum is exact until a source holds ≥ 9.2e9 DISTINCT
+      // words (vocabulary-bounded, not corpus-bounded), past which ANSI
+      // Spark fails loudly instead of silently diverging from the
+      // oracle's HUGEINT-wide sum
       .withColumn("t9", expr(s"CAST(floor($term * 1e9) AS BIGINT)"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_words"), sum(col("t9")).as("s9"))
@@ -419,12 +424,17 @@ object TextQueries {
       // enriched keywords only: over-represented in this source
       .filter(col("k1") * col("nn") > col("n1") * col("kw"))
       .withColumn("g2", expr(g2Sql))
-      .withColumn("g9", floor(col("g2") * lit(1e9) + lit(0.5)) / lit(1e9))
+      // G² grows with corpus volume (O·ln(O/E) over token counts), so
+      // the rank/output quantizers are the double-domain q9u/q6u —
+      // floor(double)'s BIGINT clamp would collapse every huge-G² word
+      // onto one tie and silently reorder the top-k vs the oracle
+      // (g2 ≥ 0 after the enrichment filter, so the u-domain applies)
+      .withColumn("g9", Quantize.q9u(col("g2")))
       .withColumn("rank", row_number().over(wTop).cast("long"))
       .filter(col("rank") <= 5)
       .select(
         col("source"), col("rank"), col("w").as("word"), col("k1"), col("kw"),
-        floor(col("g2") * lit(1e6) + lit(0.5)) / lit(1e6) as "g2")
+        Quantize.q6u(col("g2")).as("g2"))
   }
 
   val keywordLlrSql: String = {
@@ -452,12 +462,13 @@ object TextQueries {
          CROSS JOIN alltot
          WHERE c.k1 >= 5 AND c.k1 * nn > st.n1 * wt.kw),
        ranked AS (
-         SELECT *, floor(g2 * 1e9 + 0.5) / 1e9 AS g9,
+         SELECT *, ((g2 * 1e9 + 0.5) - (g2 * 1e9 + 0.5) % 1.0) / 1e9 AS g9,
                 row_number() OVER (PARTITION BY source
-                                   ORDER BY floor(g2 * 1e9 + 0.5) / 1e9 DESC, w) AS rank
+                                   ORDER BY ((g2 * 1e9 + 0.5) - (g2 * 1e9 + 0.5) % 1.0) / 1e9
+                                            DESC, w) AS rank
          FROM scored)
        SELECT source, CAST(rank AS BIGINT) AS rank, w AS word, k1, kw,
-              floor(g2 * 1e6 + 0.5) / 1e6 AS g2
+              ((g2 * 1e6 + 0.5) - (g2 * 1e6 + 0.5) % 1.0) / 1e6 AS g2
        FROM ranked WHERE rank <= 5"""
   }
 }

@@ -517,9 +517,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // class carried most of the surviving candidates. The data-driven
     // snake deal must (a) meet its balance guarantee and (b) never
     // leave a class less selective than the fixed map's worst class.
+    import graft.queries.RelationalQueries.{FuzzyClassCount => Q, FuzzyClassPairs}
     val profs = graft.queries.RelationalQueries.fuzzyClassProfiles(spark, dir)
     assert(profs.nonEmpty)
     profs.foreach { pr =>
+      assert(pr.classes.length == Q)
       // positions partition {1..len} exactly
       assert(pr.classes.flatten.sorted.toSeq == (1 to pr.len),
         s"len ${pr.len}: classes are not a partition of positions")
@@ -527,18 +529,17 @@ class PlanAuditSpec extends AnyFunSuite {
       // heaviest position
       assert(pr.weights.max - pr.weights.min <= pr.maxPositionWeight + 1e-9,
         s"len ${pr.len}: weights ${pr.weights.toSeq} exceed the snake bound")
-      // no starved class: the weakest class must still key at least
-      // exp(total/3 − maxPos) effective distinct values — and on the
-      // fixture profile concretely more distinct values than the
-      // round-robin map's weakest class (ratio > 1 means the deal
-      // actually moved selectivity where it was missing)
+      // no starved class: the weakest class still keys at least
+      // exp(total/Q − maxPos) effective distinct values on the profile
       val total = pr.weights.sum
-      assert(pr.weights.min >= total / 3.0 - pr.maxPositionWeight - 1e-9)
+      assert(pr.weights.min >= total / Q - pr.maxPositionWeight - 1e-9)
     }
-    // fixture names are fixed-width Customer#NNNNNNNNN: compare the
-    // effective distinct values (exp of summed collision entropy) of
-    // the weakest entropy-dealt class against the weakest round-robin
-    // class, from the same measured profile
+    // compare the MEASURED joint selectivity (not the independence
+    // estimate) of the actual join keys — the 6 class-pair keys — for
+    // the entropy deal vs a fixed round-robin deal over the same
+    // corpus: the weakest dealt key must be at least as selective as
+    // the weakest round-robin key (the r12 failure shape was exactly a
+    // starved fixed-map key)
     val c = graft.Tables.customer(spark, dir)
       .select(org.apache.spark.sql.functions.col("c_name").as("nm"))
       .collect().map(_.getString(0))
@@ -551,10 +552,14 @@ class PlanAuditSpec extends AnyFunSuite {
         val cp = keys.values.map(g => (g.length / n) * (g.length / n)).sum
         -math.log(math.max(cp, 1e-300))
       }
-      val dealtMin = pr.classes.map(collEnt).min
-      val rrMin = (0 until 3)
-        .map(i => collEnt((1 to pr.len).filter(p => (p - 1) % 3 == i).toArray))
-        .min
+      def pairMin(classes: Array[Array[Int]]): Double =
+        FuzzyClassPairs
+          .map { case (i, j) => collEnt((classes(i) ++ classes(j)).sorted) }
+          .min
+      val rr = Array.tabulate(Q)(i =>
+        (1 to pr.len).filter(p => (p - 1) % Q == i).toArray)
+      val dealtMin = pairMin(pr.classes)
+      val rrMin = pairMin(rr)
       assert(dealtMin >= rrMin - 1e-9,
         s"len ${pr.len}: entropy deal ($dealtMin) weaker than round-robin ($rrMin)")
     }
