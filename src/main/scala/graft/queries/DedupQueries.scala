@@ -499,7 +499,40 @@ object DedupQueries {
       .persist()
   }
 
-  def mediaDedup(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+  def mediaDedup(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    mediaDedupPairs(s, dir, maxHamming, sampled = false)
+
+  /** The pair contract on a deterministic 1/[[MediaSampleK]] hash-sample
+    * of the candidate pairs — the 100-TB budgeted estimate beside the
+    * exact (output-quadratic-by-contract) pair list and the linear
+    * cluster sibling ([[mediaDedupClusters]]); the q_chrf_sampled
+    * pattern. The predicate is pure BIGINT arithmetic on the canonical
+    * (doc_a, doc_b) key, shared character-for-character with the
+    * oracle, applied BEFORE the Hamming verify and the pair dedup — so
+    * the verify work, the dedup exchange, AND the quadratic output all
+    * shrink by K, while per-pair semantics stay byte-identical to
+    * [[mediaDedup]] (the sampled output is a subset of the full one).
+    */
+  def mediaDedupSampled(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    mediaDedupPairs(s, dir, maxHamming, sampled = true)
+
+  private val MediaSampleK = 8
+
+  /** LCG mix of the canonical pair key, overflow-free for ANY BIGINT
+    * doc ids: both ids are reduced mod 2²⁰ before packing (the packed
+    * key < 2⁴⁰), then reduced mod 2³¹ before the multiply (product
+    * < 2⁶²) — the q_chrf_sampled discipline. The mix breaks the
+    * id-stride a bare `(a + b) % K` would sample along.
+    */
+  private def mediaPairSamplePred(a: String, b: String): String =
+    s"((((($a) % 1048576) * 1048576 + (($b) % 1048576)) % 2147483648" +
+      s" * 1103515245 + 12345) % 2147483648) % $MediaSampleK = 0"
+
+  private def mediaDedupPairs(
+      s: SparkSession,
+      dir: String,
+      maxHamming: Int,
+      sampled: Boolean): DataFrame = {
     val segs = mediaPhashSegs(s, dir)
     val maxBucket = 4096
     val smallSegs = segs
@@ -510,8 +543,12 @@ object DedupQueries {
     val pruned = segs.join(smallSegs, Seq("seg_key"))
     val a = pruned.select(col("doc_id").as("doc_a"), col("phash").as("ph_a"), col("seg_key"))
     val b = pruned.select(col("doc_id").as("doc_b"), col("phash").as("ph_b"), col("seg_key"))
-    a.join(b, Seq("seg_key"))
+    val cand = a.join(b, Seq("seg_key"))
       .filter(col("doc_a") < col("doc_b"))
+    val kept =
+      if (sampled) cand.filter(expr(mediaPairSamplePred("doc_a", "doc_b")))
+      else cand
+    kept
       .withColumn("hamming", expr("bit_count(ph_a ^ ph_b)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
@@ -642,6 +679,24 @@ object DedupQueries {
                          a.phash AS ph_a, b.phash AS ph_b
          FROM pruned a JOIN pruned b
            ON a.seg_idx = b.seg_idx AND a.seg = b.seg AND a.doc_id < b.doc_id
+       )
+       SELECT doc_a, doc_b, bit_count(xor(ph_a, ph_b))::BIGINT AS hamming
+       FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= $maxHamming"""
+
+  /** DuckDB oracle for [[mediaDedupSampled]] — the pair oracle with the
+    * shared LCG sample predicate on the candidate pairs.
+    */
+  def mediaDedupSampledSql(maxHamming: Int = 3): String =
+    s"""WITH $mediaPhashCtesSql, scount AS (
+         SELECT seg_idx, seg FROM segs GROUP BY seg_idx, seg HAVING count(*) <= 4096
+       ), pruned AS (
+         SELECT g.* FROM segs g JOIN scount USING (seg_idx, seg)
+       ), cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         a.phash AS ph_a, b.phash AS ph_b
+         FROM pruned a JOIN pruned b
+           ON a.seg_idx = b.seg_idx AND a.seg = b.seg AND a.doc_id < b.doc_id
+         WHERE ${mediaPairSamplePred("a.doc_id", "b.doc_id")}
        )
        SELECT doc_a, doc_b, bit_count(xor(ph_a, ph_b))::BIGINT AS hamming
        FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= $maxHamming"""

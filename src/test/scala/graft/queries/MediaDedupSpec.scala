@@ -61,4 +61,20 @@ class MediaDedupSpec extends AnyFunSuite {
     assert(got === expected, s"missing: ${(expected -- got).take(5)}; extra: ${(got -- expected).take(5)}")
     assert(expected.nonEmpty, "fixture must produce near-dup pairs")
   }
+
+  test("sampled pair contract is a ~1/8 subset of the full pair list") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = pairs(DedupQueries.mediaDedup(spark, dir))
+    val sampled = pairs(DedupQueries.mediaDedupSampled(spark, dir))
+    spark.catalog.clearCache()
+    // subset with IDENTICAL per-pair values (same pipeline, one extra
+    // pure-arithmetic predicate), and roughly 1/K of the volume — the
+    // LCG must not systematically align with the fixture's id strides
+    assert(sampled.subsetOf(full), s"extra: ${(sampled -- full).take(5)}")
+    assert(full.nonEmpty && sampled.nonEmpty)
+    val frac = sampled.size.toDouble / full.size
+    assert(frac > 0.02 && frac < 0.4,
+      s"sample fraction $frac (${sampled.size}/${full.size}) far from 1/8")
+  }
 }
