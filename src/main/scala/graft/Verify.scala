@@ -105,6 +105,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // decomposed closure oracles for compare_oracle.py --decompose (the
+    // sf1 path where the recursive reach CTE is infeasible)
+    val dec = SparkEntry.decomposedOracles
+      .map { case (k, (edges, tail)) =>
+        s"${jstr(k)}: {\"edges\": ${jstr(edges)}, \"tail\": ${jstr(tail)}}"
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_decomposed.json"), dec)
     val nOk = report.valuesIterator.count(_.startsWith("""{"ok":true"""))
     val summary =
       s"""{"sf_dir":${jstr(sfDir)},"n_queries":${report.size},"n_ok":$nOk,""" +

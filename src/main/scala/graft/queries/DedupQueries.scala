@@ -641,8 +641,11 @@ object DedupQueries {
     * `maxHamming` as the operator (ADVICE r9 discipline): star edges to
     * bucket reps, recursive transitive closure.
     */
-  def mediaDedupClustersSql(maxHamming: Int = 3): String =
-    s"""WITH RECURSIVE $mediaPhashCtesSql, reps AS (
+  /** Non-recursive star-edge prefix of [[mediaDedupClustersSql]] —
+    * the --decompose edges source (see [[clusterEdgeCtesSql]]).
+    */
+  private def mediaStarCtesSql(maxHamming: Int): String =
+    s"""$mediaPhashCtesSql, reps AS (
          SELECT seg_idx, seg, min(doc_id) AS rep_id
          FROM segs GROUP BY seg_idx, seg
        ), reph AS (
@@ -653,7 +656,10 @@ object DedupQueries {
          FROM segs s JOIN reph r USING (seg_idx, seg)
          WHERE s.doc_id <> r.rep_id
            AND bit_count(xor(s.phash, r.rep_phash)) <= $maxHamming
-       ), e AS (
+       )"""
+
+  def mediaDedupClustersSql(maxHamming: Int = 3): String =
+    s"""WITH RECURSIVE ${mediaStarCtesSql(maxHamming)}, e AS (
          SELECT a, b FROM star UNION SELECT b, a FROM star
        ), reach(a, b) AS (
          SELECT a, b FROM e
@@ -843,7 +849,13 @@ object DedupQueries {
     * graph. Reused by the curation oracle so the cluster derivation has
     * exactly one SQL mirror.
     */
-  private[queries] val clusterCtesSql: String =
+  /** Non-recursive prefix of [[clusterCtesSql]], ending at the verified
+    * candidate pairs — reused verbatim by the DECOMPOSED sf1 oracle
+    * path (tools/compare_oracle.py --decompose), which replaces the
+    * all-pairs `reach` closure with a python min-id union-find over
+    * exactly these edges.
+    */
+  private[queries] val clusterEdgeCtesSql: String =
     s"""$simhashSql, segs0 AS (
          SELECT doc_id, simhash, unnest([
            '0:' || (simhash % 256),
@@ -859,7 +871,10 @@ object DedupQueries {
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM segs a JOIN segs b USING (seg_key)
          WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 2
-       ), e AS (
+       )"""
+
+  private[queries] val clusterCtesSql: String =
+    s"""$clusterEdgeCtesSql, e AS (
          SELECT doc_a AS a, doc_b AS b FROM cand
          UNION SELECT doc_b, doc_a FROM cand
        ), reach(a, b) AS (
@@ -1022,8 +1037,11 @@ object DedupQueries {
     * language CTEs plus the exact-hash window and the token band (token
     * expression shared with the text-stats oracle).
     */
-  val corpusCurationSql: String =
-    s"""WITH RECURSIVE $clusterCtesSql, $langScoredCteSql, ex AS (
+  /** Tail of [[corpusCurationSql]] after the near-dup `comp` labeling —
+    * shared by the recursive oracle and the --decompose path.
+    */
+  private val corpusCurationTailSql: String =
+    s"""ex AS (
          SELECT doc_id, lang,
                 doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS exact_keep,
                 ${TextQueries.nTokensSqlExpr}::BIGINT AS n_tokens
@@ -1040,6 +1058,47 @@ object DedupQueries {
        FROM ex
        LEFT JOIN comp c ON c.doc_id = ex.doc_id
        JOIN lang_scored l ON l.doc_id = ex.doc_id"""
+
+  val corpusCurationSql: String =
+    s"WITH RECURSIVE $clusterCtesSql, $langScoredCteSql, $corpusCurationTailSql"
+
+  /** Decomposed sf1 oracle paths for the closure family
+    * (tools/compare_oracle.py --decompose): DuckDB's all-pairs `reach`
+    * recursive CTE is infeasible at sf1 graph sizes (SCALE.md r12), so
+    * the decomposed verdict runs the NON-RECURSIVE edge derivation in
+    * DuckDB, labels components with an independent python min-id
+    * union-find (registered back as `uf_comp(node, component)` — the
+    * same labeling `comp` computes: every edge endpoint keyed to the
+    * min id of its component), and replays the oracle's tail SQL over
+    * it. Each entry is (edgesSql → columns a, b; tailSql over uf_comp).
+    */
+  val dedupClustersDecomposed: (String, String) = (
+    s"WITH $clusterEdgeCtesSql SELECT doc_a AS a, doc_b AS b FROM cand",
+    """WITH comp AS (SELECT node AS doc_id, component FROM uf_comp)
+       SELECT doc_id, component, (doc_id = component) AS keep FROM comp""")
+
+  val clusterBestSurvivorDecomposed: (String, String) = (
+    s"WITH $clusterEdgeCtesSql SELECT doc_a AS a, doc_b AS b FROM cand",
+    """WITH comp AS (SELECT node AS doc_id, component FROM uf_comp), sized AS (
+         SELECT comp.doc_id, comp.component, CAST(d.n_chars AS BIGINT) AS n_chars
+         FROM comp JOIN documents d ON d.doc_id = comp.doc_id
+       )
+       SELECT component, count(*) AS n_members,
+              CAST(first(doc_id ORDER BY n_chars DESC, doc_id) AS BIGINT)
+                AS survivor_doc_id,
+              CAST(max(n_chars) AS BIGINT) AS survivor_n_chars
+       FROM sized GROUP BY component""")
+
+  val corpusCurationDecomposed: (String, String) = (
+    s"WITH $clusterEdgeCtesSql SELECT doc_a AS a, doc_b AS b FROM cand",
+    s"""WITH $langScoredCteSql,
+       comp AS (SELECT node AS doc_id, component FROM uf_comp),
+       $corpusCurationTailSql""")
+
+  def mediaDedupClustersDecomposed(maxHamming: Int = 3): (String, String) = (
+    s"WITH ${mediaStarCtesSql(maxHamming)} SELECT a, b FROM star",
+    """WITH comp AS (SELECT node AS doc_id, component FROM uf_comp)
+       SELECT doc_id, component, doc_id = component AS keep FROM comp""")
 
   /** Exact word-set Jaccard between all document pairs of one language
     * among `doc_id < 80` — the verification kernel for the sketch paths,

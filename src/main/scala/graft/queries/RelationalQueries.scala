@@ -3638,14 +3638,29 @@ object RelationalQueries {
         col("c_name"), col("canonical_name"))
   }
 
-  val entityResolutionSql: String =
-    s"""WITH RECURSIVE fp AS (
+  /** Verified fuzzy-pair CTE shared by [[entityResolutionSql]] and its
+    * --decompose edges path.
+    */
+  private val entityPairsCteSql: String =
+    """fp AS (
          SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b
          FROM customer a JOIN customer b
            ON a.c_nationkey = b.c_nationkey
           AND floor(a.c_acctbal / 1000.0) = floor(b.c_acctbal / 1000.0)
           AND a.c_custkey < b.c_custkey
-         WHERE levenshtein(a.c_name, b.c_name) <= 2),
+         WHERE levenshtein(a.c_name, b.c_name) <= 2)"""
+
+  /** Tail of [[entityResolutionSql]] after the `comp` labeling. */
+  private val entityResolutionTailSql: String =
+    """sizes AS (SELECT entity, count(*) AS n_members FROM comp GROUP BY 1)
+       SELECT c.c_custkey, c.entity, s.n_members, n.c_name, cn.c_name AS canonical_name
+       FROM comp c
+       JOIN customer n ON c.c_custkey = n.c_custkey
+       JOIN sizes s ON c.entity = s.entity
+       JOIN customer cn ON c.entity = cn.c_custkey"""
+
+  val entityResolutionSql: String =
+    s"""WITH RECURSIVE $entityPairsCteSql,
        e AS (SELECT cust_a AS a, cust_b AS b FROM fp
              UNION SELECT cust_b, cust_a FROM fp),
        reach(a, b) AS (
@@ -3655,12 +3670,13 @@ object RelationalQueries {
        comp AS (
          SELECT a AS c_custkey, least(a, min(b)) AS entity
          FROM reach GROUP BY a),
-       sizes AS (SELECT entity, count(*) AS n_members FROM comp GROUP BY 1)
-       SELECT c.c_custkey, c.entity, s.n_members, n.c_name, cn.c_name AS canonical_name
-       FROM comp c
-       JOIN customer n ON c.c_custkey = n.c_custkey
-       JOIN sizes s ON c.entity = s.entity
-       JOIN customer cn ON c.entity = cn.c_custkey"""
+       $entityResolutionTailSql"""
+
+  /** --decompose path (see DedupQueries.dedupClustersDecomposed). */
+  val entityResolutionDecomposed: (String, String) = (
+    s"WITH $entityPairsCteSql SELECT cust_a AS a, cust_b AS b FROM fp",
+    s"""WITH comp AS (SELECT node AS c_custkey, component AS entity FROM uf_comp),
+       $entityResolutionTailSql""")
 
   /** Multi-format interchange round-trip: the same event slice written
     * to CSV, JSON and ORC (scratch under /tmp), read back through each

@@ -433,8 +433,11 @@ object SpatialQueries {
         coalesce(col("cluster"), lit(-1L)).as("cluster"))
   }
 
-  val dbscanSql: String =
-    s"""WITH RECURSIVE $pointsCteSql,
+  /** Non-recursive core/edge prefix of [[dbscanSql]] (through the
+    * core-core edges `ce`) — the --decompose edges source.
+    */
+  private val dbscanCoreCtesSql: String =
+    s"""$pointsCteSql,
         $pairsCteSql,
         sym AS (SELECT ia AS id, ib AS nb, d2 FROM pairs
                 UNION ALL SELECT ib, ia, d2 FROM pairs),
@@ -443,16 +446,13 @@ object SpatialQueries {
         ce AS (
           SELECT ia AS a, ib AS b FROM pairs
           WHERE ia IN (SELECT core_id FROM core)
-            AND ib IN (SELECT core_id FROM core)),
-        e AS (SELECT a, b FROM ce UNION SELECT b, a FROM ce),
-        reach(a, b) AS (
-          SELECT a, b FROM e
-          UNION
-          SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
-        comp AS (
-          SELECT a AS cid, least(a, min(b)) AS component
-          FROM reach GROUP BY a),
-        core_cluster AS (
+            AND ib IN (SELECT core_id FROM core))"""
+
+  /** Tail of [[dbscanSql]] after the `comp` labeling (expects CTEs
+    * from [[dbscanCoreCtesSql]] and a `comp(cid, component)`).
+    */
+  private val dbscanTailSql: String =
+    """core_cluster AS (
           SELECT core_id, coalesce(component, core_id) AS cluster
           FROM core LEFT JOIN comp ON core_id = cid),
         border AS (
@@ -470,4 +470,23 @@ object SpatialQueries {
                coalesce(l.role, 'noise') AS role,
                CAST(coalesce(l.cluster, -1) AS BIGINT) AS cluster
         FROM cells p LEFT JOIN labeled l ON p.id = l.id"""
+
+  val dbscanSql: String =
+    s"""WITH RECURSIVE $dbscanCoreCtesSql,
+        e AS (SELECT a, b FROM ce UNION SELECT b, a FROM ce),
+        reach(a, b) AS (
+          SELECT a, b FROM e
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        comp AS (
+          SELECT a AS cid, least(a, min(b)) AS component
+          FROM reach GROUP BY a),
+        $dbscanTailSql"""
+
+  /** --decompose path (see DedupQueries.dedupClustersDecomposed). */
+  val dbscanDecomposed: (String, String) = (
+    s"WITH $dbscanCoreCtesSql SELECT a, b FROM ce",
+    s"""WITH $dbscanCoreCtesSql,
+        comp AS (SELECT node AS cid, component FROM uf_comp),
+        $dbscanTailSql""")
 }

@@ -2,7 +2,14 @@
 """One-command DuckDB oracle compare for a graft.Verify dump.
 
 Usage:
-    python3 tools/compare_oracle.py <verify_out_dir> <sf_dir> [--json PATH]
+    python3 tools/compare_oracle.py <verify_out_dir> <sf_dir> \
+        [--json PATH] [--decompose]
+
+--decompose verifies the connected-component closure queries via the
+decomposed path (non-recursive edges SQL in DuckDB, python min-id
+union-find, tail SQL over the labeling) instead of the recursive
+`reach` CTE — REQUIRED for sf1 replays, where the all-pairs closure is
+infeasible in DuckDB; equivalent at small SFs (sweeps run both ways).
 
 <verify_out_dir> is the directory graft.Verify wrote (one parquet dir
 per query + oracle_sql.json + verify_summary.json); <sf_dir> holds the
@@ -37,10 +44,63 @@ def canon(df):
     return df.sort_values(sorted(df.columns)).reset_index(drop=True)
 
 
-def compare_one(con, dump_dir, oracle_sql):
+def union_find_min_id(edges):
+    """Min-id component labeling over an (a, b) edge list: every edge
+    endpoint maps to the smallest id in its connected component —
+    exactly the labeling the oracles' recursive `comp` CTE computes,
+    derived independently (path-halving union-find, no SQL recursion).
+    """
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id keeps the root the component minimum,
+            # which IS the final label — no relabel pass needed
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return {x: find(x) for x in parent}
+
+
+def oracle_decomposed(con, edges_sql, tail_sql):
+    """Run a closure oracle the --decompose way: non-recursive edges in
+    DuckDB -> python union-find -> register uf_comp -> tail SQL.
+    """
+    import pandas as pd
+    edges = con.execute(edges_sql).fetchdf()
+    labels = union_find_min_id(
+        zip(edges.iloc[:, 0].tolist(), edges.iloc[:, 1].tolist()))
+    comp = pd.DataFrame(
+        {"node": list(labels.keys()), "component": list(labels.values())},
+        dtype="int64")
+    con.register("uf_comp", comp)
+    try:
+        return con.execute(tail_sql).fetchdf()
+    finally:
+        con.unregister("uf_comp")
+
+
+def compare_one(con, dump_dir, oracle_sql, decomposed=None):
     mine = canon(con.execute(
         f"SELECT * FROM '{dump_dir}/*.parquet'").fetchdf())
-    oracle = canon(con.execute(oracle_sql).fetchdf())
+    if decomposed is not None:
+        oracle = canon(oracle_decomposed(con, *decomposed))
+    else:
+        oracle = canon(con.execute(oracle_sql).fetchdf())
     if mine.shape != oracle.shape:
         return "FAIL", f"shape {mine.shape} vs {oracle.shape}"
     if list(mine.columns) != list(oracle.columns):
@@ -66,11 +126,27 @@ def main():
     ap.add_argument("sf_dir")
     ap.add_argument("--json", dest="json_out", default=None,
                     help="write the merged machine-readable verdict here")
+    ap.add_argument("--decompose", action="store_true",
+                    help="verify closure queries via the decomposed path "
+                         "(non-recursive edges SQL + python min-id "
+                         "union-find + tail SQL) instead of the recursive "
+                         "reach CTE — REQUIRED at sf1, where the all-pairs "
+                         "closure is infeasible in DuckDB; equivalent at "
+                         "small SFs (run both ways to cross-check)")
     args = ap.parse_args()
 
     import duckdb  # driver-side only
     with open(os.path.join(args.out_dir, "oracle_sql.json")) as f:
         oracle_sql = json.load(f)
+    decomposed = {}
+    if args.decompose:
+        dec_path = os.path.join(args.out_dir, "oracle_decomposed.json")
+        if not os.path.exists(dec_path):
+            sys.exit("--decompose needs oracle_decomposed.json in the dump "
+                     "dir (written by graft.Verify)")
+        with open(dec_path) as f:
+            decomposed = {k: (v["edges"], v["tail"])
+                          for k, v in json.load(f).items()}
     summary_path = os.path.join(args.out_dir, "verify_summary.json")
     self_report = {}
     if os.path.exists(summary_path):
@@ -98,7 +174,10 @@ def main():
             status, detail = "FAIL", "no dump — Verify errored; see its stderr"
         else:
             try:
-                status, detail = compare_one(con, dump_dir, oracle_sql[name])
+                status, detail = compare_one(con, dump_dir, oracle_sql[name],
+                                             decomposed.get(name))
+                if status == "OK" and name in decomposed:
+                    detail = "decomposed closure path"
             except Exception as e:  # oracle SQL error, parquet read error
                 status, detail = "FAIL", f"{type(e).__name__}: {e}"[:300]
         counts[status] += 1
