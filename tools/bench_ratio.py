@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Wall-ratio table between two graft Bench JSONs (e.g. sf1 vs sf0.1).
+
+Usage:
+    python3 tools/bench_ratio.py <bench_big.json> <bench_small.json> \
+        [--flag RATIO]
+
+Prints every query's wall at both scales and the ratio big/small,
+sorted descending, flagging ratios above --flag (default 3.0) — the
+SCALE.md adjudication input: on a 10x data step, a ratio well above
+~10x means the plan is superlinear and needs a mechanism writeup.
+Queries present in only one file are listed separately (board drift).
+"""
+import argparse
+import json
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    return d.get("queries", {}), d
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("big")
+    ap.add_argument("small")
+    ap.add_argument("--flag", type=float, default=3.0)
+    args = ap.parse_args()
+    big, bmeta = load(args.big)
+    small, smeta = load(args.small)
+    for name, meta in (("big", bmeta), ("small", smeta)):
+        if meta.get("contended"):
+            print(f"WARNING: {name} bench self-reports contended:true — "
+                  "ratios unreliable")
+    shared = sorted(set(big) & set(small),
+                    key=lambda q: big[q] / max(small[q], 1e-9), reverse=True)
+    flagged = 0
+    print(f"{'query':42s} {'big_s':>9s} {'small_s':>9s} {'ratio':>7s}")
+    for q in shared:
+        r = big[q] / max(small[q], 1e-9)
+        mark = " <<<" if r > args.flag else ""
+        if mark:
+            flagged += 1
+        print(f"{q:42s} {big[q]:9.2f} {small[q]:9.2f} {r:7.2f}{mark}")
+    only_big = sorted(set(big) - set(small))
+    only_small = sorted(set(small) - set(big))
+    if only_big:
+        print(f"only in {args.big}: {', '.join(only_big)}")
+    if only_small:
+        print(f"only in {args.small}: {', '.join(only_small)}")
+    tb, ts = sum(big[q] for q in shared), sum(small[q] for q in shared)
+    print(f"shared {len(shared)} queries: total {tb:.1f}s vs {ts:.1f}s "
+          f"(x{tb / ts:.2f}); {flagged} above x{args.flag}")
+
+
+if __name__ == "__main__":
+    main()
