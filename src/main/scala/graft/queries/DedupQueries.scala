@@ -518,15 +518,8 @@ object DedupQueries {
 
   private val MediaSampleK = 8
 
-  /** LCG mix of the canonical pair key, overflow-free for ANY BIGINT
-    * doc ids: both ids are reduced mod 2²⁰ before packing (the packed
-    * key < 2⁴⁰), then reduced mod 2³¹ before the multiply (product
-    * < 2⁶²) — the q_chrf_sampled discipline. The mix breaks the
-    * id-stride a bare `(a + b) % K` would sample along.
-    */
   private def mediaPairSamplePred(a: String, b: String): String =
-    s"((((($a) % 1048576) * 1048576 + (($b) % 1048576)) % 2147483648" +
-      s" * 1103515245 + 12345) % 2147483648) % $MediaSampleK = 0"
+    Sampling.pairPred(a, b, MediaSampleK)
 
   private def mediaDedupPairs(
       s: SparkSession,

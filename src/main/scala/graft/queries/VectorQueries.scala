@@ -94,6 +94,47 @@ object VectorQueries {
        FROM e a JOIN e b ON a.vec_id < b.vec_id
        WHERE list_dot_product(a.emb, b.emb) >= 0.4"""
 
+  private val DedupEmbSideK = 3
+
+  /** [[dedupEmbedding]] on a deterministic 1-in-[[DedupEmbSideK]]
+    * VERTEX sample ([[Sampling.idPred]] on each side → uniform 1/K²
+    * pair inclusion, ~1/9) — the budgeted sibling of the board's
+    * heaviest by-contract-quadratic kernel (sf1: 32.2 s exact; ×51 on
+    * ×10 data because the work IS n²·dim dot products). A vertex
+    * sample, NOT the pair-LCG of q_media_dedup_sampled, because here
+    * the O(n²) pair ENUMERATION is the cost: a pair predicate only
+    * prunes after enumeration (measured at sf1: pair-LCG was NOT
+    * faster than the exact kernel — the per-pair predicate in the
+    * nested-loop join condition cost what the skipped dot products
+    * saved), while side-sampling shrinks the enumeration itself to
+    * n²/K². Per-pair values are byte-identical to the exact kernel
+    * (subset); totals scale by K²; endpoint-correlated variance is the
+    * standard vertex-sampling trade. When the full pair LIST is needed
+    * at scale, the bucketed paths ([[lshAnn]], [[ivfAnn]], [[semDedup]])
+    * are the production contracts.
+    */
+  def dedupEmbeddingSampled(s: SparkSession, dir: String, minSim: Double = 0.4): DataFrame = {
+    graft.plans.VecDot.register(s)
+    val e = Tables
+      .embeddings(s, dir)
+      .filter(expr(Sampling.idPred("vec_id", DedupEmbSideK)))
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+    val a = e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim_raw", expr("vec_dot(emb_a, emb_b)"))
+      .filter(col("sim_raw") >= minSim)
+      .select(col("vec_a"), col("vec_b"), round(col("sim_raw"), 6).as("sim"))
+  }
+
+  val dedupEmbeddingSampledSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+                   WHERE ${Sampling.idPred("vec_id", DedupEmbSideK)})
+       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              round(list_dot_product(a.emb, b.emb), 6) AS sim
+       FROM e a JOIN e b ON a.vec_id < b.vec_id
+       WHERE list_dot_product(a.emb, b.emb) >= 0.4"""
+
   /** IVF (inverted-file) approximate NN — the other standard scale path:
     * a coarse k-means quantiser partitions the corpus into `nLists`
     * cells; each query probes its `nProbe` nearest centroids and ranks

@@ -227,4 +227,18 @@ class VectorSpec extends AnyFunSuite {
       assert(math.abs(r.getAs[Double]("shift") - (mc - mr)) < 2e-6, r.toString)
     }
   }
+
+  test("sampled embedding dedup is a ~1/9 vertex-sample subset of the exact kernel") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = pairs(VectorQueries.dedupEmbedding(spark, dir))
+    val sampled = pairs(VectorQueries.dedupEmbeddingSampled(spark, dir))
+    // same pipeline over 1-in-3 sampled sides: a subset with identical
+    // per-pair sims, roughly 1/9 of the volume
+    assert(sampled.subsetOf(full), s"extra: ${(sampled -- full).take(5)}")
+    assert(full.nonEmpty && sampled.nonEmpty)
+    val frac = sampled.size.toDouble / full.size
+    assert(frac > 0.01 && frac < 0.4,
+      s"sample fraction $frac (${sampled.size}/${full.size}) far from 1/9")
+  }
 }
