@@ -95,12 +95,37 @@ object Sessions {
       .orElse(sys.env.get("GRAFT_STATE_STORE"))
     if (choice.exists(_.equalsIgnoreCase("rocksdb"))) {
       s.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDBProvider)
-      // bounded local state + changelog checkpoint: the config pair that
-      // makes checkpoint cost proportional to the delta, not the state
-      s.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      if (highChurnStateStore(s)) {
+        // HIGH-CHURN profile (frame assembly and anything else whose
+        // keys live ~1 TTL then die): the FrameSoak A/B (SCALE.md r13)
+        // measured changelog checkpointing pinning RocksDB
+        // delete-tombstones — per-batch cost grew LINEARLY at constant
+        // live state as timer scans and map seeks read through them —
+        // while full-snapshot checkpoints + per-commit compaction stay
+        // FLAT (~41k vs ~7k-and-falling msgs/s). State is one TTL
+        // window's keys, so the snapshot is tiny and the compaction
+        // bounded.
+        s.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "false")
+        s.conf.set("spark.sql.streaming.stateStore.rocksdb.compactOnCommit", "true")
+      } else {
+        // default: LARGE-state profile — checkpoint cost proportional to
+        // the delta, not the state
+        s.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      }
     }
     s
   }
+
+  /** Opt-in high-churn RocksDB profile ([[stateStoreConfigure]]):
+    * `graft.stateStore.highChurn` session conf or
+    * `GRAFT_STATE_STORE_HIGH_CHURN` env.
+    */
+  private def highChurnStateStore(s: SparkSession): Boolean =
+    s.conf.getOption("graft.stateStore.highChurn")
+      .orElse(sys.env.get("GRAFT_STATE_STORE_HIGH_CHURN"))
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
 
   def local(appName: String, cpus: String): SparkSession = {
     val builder = SparkSession
