@@ -173,6 +173,38 @@ class PlanAuditSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q_media_dedup_sampled: same keyed-join shape, sample predicate pre-verify") {
+    val df = graft.SparkEntry.queries("q_media_dedup_sampled")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "hamming join must stay equi-keyed")
+    // the LCG predicate must sit in the plan (pairs pruned before the
+    // Hamming verify and the pair dedup, not sampled from the output)
+    assert(p.contains("1103515245"), "sample predicate missing from the plan")
+    spark.catalog.clearCache()
+  }
+
+  test("q_dedup_embedding_sampled: sides filtered BEFORE the all-pairs join") {
+    val df = graft.SparkEntry.queries("q_dedup_embedding_sampled")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the documented exact-kernel exception: a broadcast nested-loop,
+    // never a shuffled cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    // vertex sampling is the point: the 1-in-K id filter must apply to
+    // the SIDES (before the join), shrinking the n² enumeration itself —
+    // a filter only above the join would re-create the measured
+    // no-faster-than-exact pair-predicate shape
+    val joinAt = p.indexOf("BroadcastNestedLoopJoin")
+    val filterAt = p.indexOf("1103515245")
+    assert(filterAt >= 0, "vertex-sample predicate missing from the plan")
+    assert(filterAt > joinAt,
+      "sample filter must sit below the join in the tree (on the scan side)")
+  }
+
   test("q_stratified_sample: sampling is a pure filter — zero shuffles, no text read") {
     val df = graft.SparkEntry.queries("q_stratified_sample")(spark, dir)
     df.collect()
