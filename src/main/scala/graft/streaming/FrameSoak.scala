@@ -24,6 +24,7 @@ import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
   *
   * Knobs (env): SOAK_FRAMES (default 1e6), SOAK_DIGITIZERS (4),
   * SOAK_EVENTS per message (32), SOAK_ROWS_PER_BATCH (100k),
+  * SOAK_MODE=event for the event-time twin (watermark-fired timers),
   * SOAK_OUT (/tmp/frame_soak.json). Results recorded in SCALE.md
   * §Streaming.
   */
@@ -63,32 +64,48 @@ object FrameSoak {
     // rowsPerBatch rows, so batch durations measure engine capacity at a
     // fixed load instead of whatever backlog the wall clock accumulated
     // (the plain source's first batch swallows the whole JVM warm-up gap)
-    val src = spark.readStream
+    def msgOf(v: Long): EventListMessage = {
+      val frame = v / nDig
+      val dig = (v % nDig).toInt
+      EventListMessage(
+        digitizerId = dig,
+        metadata = FrameMetadata(
+          timestampNs = frame * 20000000L, // the reference's 50 Hz cadence
+          periodNumber = frame % 4,
+          protonsPerPulse = 4,
+          running = true,
+          frameNumber = frame,
+          vetoFlags = 0),
+        time = Array.tabulate(eventsPerMsg)(i => i.toLong * 100L),
+        voltage = Array.tabulate(eventsPerMsg)(i => 100 + (i % 50)),
+        channel = Array.tabulate(eventsPerMsg)(i => (dig * 8 + i % 8).toLong))
+    }
+    val raw = spark.readStream
       .format("rate-micro-batch")
       .option("rowsPerBatch", rowsPerBatch.toString)
       .option("numPartitions", "32")
       .load()
-      .select(col("value"))
-      .as[Long]
-      .map { v =>
-        val frame = v / nDig
-        val dig = (v % nDig).toInt
-        EventListMessage(
-          digitizerId = dig,
-          metadata = FrameMetadata(
-            timestampNs = frame * 20000000L, // the reference's 50 Hz cadence
-            periodNumber = frame % 4,
-            protonsPerPulse = 4,
-            running = true,
-            frameNumber = frame,
-            vetoFlags = 0),
-          time = Array.tabulate(eventsPerMsg)(i => i.toLong * 100L),
-          voltage = Array.tabulate(eventsPerMsg)(i => 100 + (i % 50)),
-          channel = Array.tabulate(eventsPerMsg)(i => (dig * 8 + i % 8).toLong))
-      }
 
-    val assembled = FrameAssemblyTws
-      .assemble(src, 0 until nDig, ttlMs)
+    // SOAK_MODE=event drives the EVENT-TIME twin (assembleEventTime):
+    // the same state machine on delivery-time timers that fire on
+    // watermark passage — deterministic under replay, and the soak's
+    // synthetic delivery clock (one ms per value) makes TTL expiry
+    // deterministic too. Default: processing-time `assemble`.
+    val eventTimeMode =
+      sys.env.get("SOAK_MODE").exists(_.equalsIgnoreCase("event"))
+    val assembled0 =
+      if (eventTimeMode) {
+        val timed = raw
+          .select(col("value"))
+          .as[Long]
+          .map(v => FrameAssemblyTws.TimedMessage(
+            msgOf(v), new java.sql.Timestamp(v)))
+        FrameAssemblyTws.assembleEventTime(timed, 0 until nDig, ttlMs)
+      } else {
+        val src = raw.select(col("value")).as[Long].map(msgOf)
+        FrameAssemblyTws.assemble(src, 0 until nDig, ttlMs)
+      }
+    val assembled = assembled0
       .observe(
         "soak",
         count(lit(1)).as("frames"),
@@ -178,7 +195,8 @@ object FrameSoak {
         s""""rocksdb_mem_peak_bytes":${if (snap.isEmpty) 0L else snap.map(_._6).max},""" +
         s""""rocksdb_sst_peak_bytes":${if (snap.isEmpty) 0L else snap.map(_._7).max},""" +
         s""""ttl_ms":$ttlMs,"digitizers":$nDig,"events_per_msg":$eventsPerMsg,""" +
-        s""""rows_per_batch":$rowsPerBatch}"""
+        s""""rows_per_batch":$rowsPerBatch,""" +
+        s""""mode":"${if (eventTimeMode) "event" else "processing"}"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
     println(json)
     spark.stop()
