@@ -64,6 +64,38 @@ object EvalQueries {
           transform(slice(sequence(1, size($arr)), 1, greatest(size($arr) - n + 1, 0)),
                     i -> named_struct('n', n, 'gram', concat_ws(' ', slice($arr, i, n))))))"""
 
+  /** Sorted word n-grams of one side as an in-row array — the building
+    * block of the WITHIN-ROW clipped-match plan shared by BLEU, ROUGE
+    * and chrF (r13): both texts of a pair sit on the same row, so
+    * per-pair clipping needs no (pair, gram)-keyed shuffle at all. The
+    * slice guard keeps texts shorter than n at an EMPTY array, never a
+    * descending sequence.
+    */
+  private def sortedGramsExpr(arr: String, n: Int): String =
+    s"""array_sort(transform(
+          slice(sequence(1, size($arr)), 1, greatest(size($arr) - $n + 1, 0)),
+          i -> concat_ws(' ', slice($arr, i, $n))))"""
+
+  /** Σ_g min(count_a(g), count_b(g)) over two SORTED multiset arrays: a
+    * two-pointer merge as a bounded fold (one pointer advances per
+    * step, so size(a)+size(b) steps always suffice); greatest(…, 1)
+    * keeps the step sequence non-descending when both sides are empty.
+    * Element-type generic (string word-grams and BIGINT char-gram codes
+    * compare with the same =/< semantics in both engines).
+    */
+  private def multisetClipExpr(a: String, b: String): String =
+    s"""aggregate(
+          sequence(1, greatest(size($a) + size($b), 1)),
+          named_struct('i', 1, 'j', 1, 'm', 0L),
+          (acc, x) -> CASE
+            WHEN acc.i > size($a) OR acc.j > size($b) THEN acc
+            WHEN element_at($a, acc.i) = element_at($b, acc.j)
+              THEN named_struct('i', acc.i + 1, 'j', acc.j + 1, 'm', acc.m + 1L)
+            WHEN element_at($a, acc.i) < element_at($b, acc.j)
+              THEN named_struct('i', acc.i + 1, 'j', acc.j, 'm', acc.m)
+            ELSE named_struct('i', acc.i, 'j', acc.j + 1, 'm', acc.m) END,
+          acc -> acc.m)"""
+
   /** DuckDB twin: chained lateral unnests (generate_series(1, 0) is
     * empty in DuckDB, so no guard needed); slice is 1-based inclusive.
     */
@@ -433,51 +465,50 @@ object EvalQueries {
 
   private def chrFFrom(pairs0: DataFrame): DataFrame = {
     // grams are BIGINT base-1024 codes over a precomputed codepoint
-    // array, not substrings: integer keys hash ~3x cheaper through the
-    // two corpus-sized aggregates (this query was the board max at
-    // 11.3 s with string grams), and the big-endian fold is the same
-    // expression in both engines (the text is ASCII by construction)
+    // array (the text is ASCII by construction), and — the r13 plan —
+    // the clipped-match counts are computed ENTIRELY WITHIN THE ROW:
+    // both texts of a pair sit on the same row, so per order n the
+    // candidate and reference gram multisets become two SORTED long
+    // arrays and Σ_g min(c_g, r_g) is one two-pointer merge fold. The
+    // r12 plan exploded ~8·len gram rows per pair through TWO
+    // corpus-sized (pair, n, gram) aggregates and a clip join — three
+    // exchanges of the gram stream; this plan's only exchange is the
+    // final 12-integer per-source rollup. (sf1: 110.6 → see SCALE.md.)
     def cpsExpr(arr: String): String =
       s"transform(sequence(1, length($arr)), i -> ascii(substring($arr, i, 1)))"
-    val charGrams =
-      """flatten(transform(sequence(1, 4), n ->
-            transform(slice(sequence(1, size(cps)), 1, greatest(size(cps) - n + 1, 0)),
-                      i -> named_struct('n', n, 'gram',
-                        aggregate(sequence(0, n - 1), 0L,
-                          (a, j) -> a * 1024L + element_at(cps, i + j))))))"""
+    // sorted n-gram codes of one side; the slice guard keeps texts
+    // shorter than n at an EMPTY array (never a descending sequence)
+    def gramsExpr(cps: String, n: Int): String =
+      s"""array_sort(transform(
+            slice(sequence(1, size($cps)), 1, greatest(size($cps) - $n + 1, 0)),
+            i -> aggregate(sequence(0, ${n - 1}, 1), 0L,
+                           (a, j) -> a * 1024L + element_at($cps, i + j))))"""
+    def clipExpr(a: String, b: String): String = multisetClipExpr(a, b)
     val pairs = pairs0
       .withColumn("cc", regexp_replace(concat_ws(" ", col("cw")), " ", ""))
       .withColumn("rc", regexp_replace(concat_ws(" ", col("rw")), " ", ""))
-    val cg = pairs
-      .withColumn("cps", expr(cpsExpr("cc")))
-      .select(col("pair_id"), col("source"), explode(expr(charGrams)).as("g"))
-      .groupBy(col("pair_id"), col("source"), col("g.n").as("n"), col("g.gram").as("gram"))
-      .agg(count(lit(1)).as("c_cnt"))
-    val rg = pairs
-      .withColumn("cps", expr(cpsExpr("rc")))
-      .select(col("pair_id"), explode(expr(charGrams)).as("g"))
-      .groupBy(col("pair_id"), col("g.n").as("n"), col("g.gram").as("gram"))
-      .agg(count(lit(1)).as("r_cnt"))
-    val clip = cg
-      .join(rg, Seq("pair_id", "n", "gram"), "left")
-      .groupBy(col("source"), col("n"))
-      .agg(
-        sum(least(col("c_cnt"), coalesce(col("r_cnt"), lit(0L)))).as("m"),
-        sum(col("c_cnt")).as("ct"))
-    val refTot = rg
-      .join(pairs.select(col("pair_id"), col("source")), "pair_id")
-      .groupBy(col("source"), col("n"))
-      .agg(sum(col("r_cnt")).as("rt"))
-    def pick(n: Int, c: String): Column =
-      sum(when(col("n") === n, col(c)).otherwise(lit(0L)))
-    val wide = clip
-      .join(refTot, Seq("source", "n"))
+    // three separate projections so the gram arrays materialize once
+    // each (CollapseProject keeps non-cheap expressions single-use)
+    val withCps = pairs.select(
+      col("source"),
+      expr(cpsExpr("cc")).as("cps_c"),
+      expr(cpsExpr("rc")).as("cps_r"))
+    val withGrams = withCps.select(
+      col("source") +: (1 to 4).flatMap(n => Seq(
+        expr(gramsExpr("cps_c", n)).as(s"gc$n"),
+        expr(gramsExpr("cps_r", n)).as(s"gr$n"))): _*)
+    val perPair = withGrams.select(
+      col("source") +: (1 to 4).flatMap(n => Seq(
+        expr(clipExpr(s"gc$n", s"gr$n")).as(s"pm$n"),
+        expr(s"size(gc$n)").cast("long").as(s"pc$n"),
+        expr(s"size(gr$n)").cast("long").as(s"pr$n"))): _*)
+    val wide = perPair
       .groupBy(col("source"))
       .agg(
-        pick(1, "m").as("m1"), pick(1, "ct").as("c1"), pick(1, "rt").as("r1"),
-        pick(2, "m").as("m2"), pick(2, "ct").as("c2"), pick(2, "rt").as("r2"),
-        pick(3, "m").as("m3"), pick(3, "ct").as("c3"), pick(3, "rt").as("r3"),
-        pick(4, "m").as("m4"), pick(4, "ct").as("c4"), pick(4, "rt").as("r4"))
+        sum(col("pm1")).as("m1"), sum(col("pc1")).as("c1"), sum(col("pr1")).as("r1"),
+        sum(col("pm2")).as("m2"), sum(col("pc2")).as("c2"), sum(col("pr2")).as("r2"),
+        sum(col("pm3")).as("m3"), sum(col("pc3")).as("c3"), sum(col("pr3")).as("r3"),
+        sum(col("pm4")).as("m4"), sum(col("pc4")).as("c4"), sum(col("pr4")).as("r4"))
     def f2(n: Int): String = {
       val p = s"(CAST(m$n AS DOUBLE) / CAST(c$n AS DOUBLE))"
       val r = s"(CAST(m$n AS DOUBLE) / CAST(r$n AS DOUBLE))"
