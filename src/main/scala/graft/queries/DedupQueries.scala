@@ -461,6 +461,20 @@ object DedupQueries {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** [[simhashPairs]] on a deterministic 1/[[MediaSampleK]] pair sample —
+    * the last pair-LIST contract gets the q_media_dedup_sampled
+    * treatment: candidates come from a SELECTIVE bucket equi-join (not
+    * an all-pairs enumeration, so the pair predicate — unlike the
+    * q_dedup_embedding case — prunes real work: the Hamming verify, the
+    * dedup exchange, and the clique-quadratic output all shrink by K).
+    * Subset of the full pair list with identical per-pair values; the
+    * cluster contract ([[dedupClusters]]) remains the production
+    * surface when membership, not pair mass, is the question.
+    */
+  def simhashPairsSampled(s: SparkSession, dir: String, maxHamming: Int = 2): DataFrame =
+    simhashPairs(s, dir, maxHamming)
+      .filter(expr(Sampling.pairPred("doc_a", "doc_b", MediaSampleK)))
+
   /** Perceptual-hash near-dup pairs for the MEDIA column — connects the
     * multimodal and dedup surfaces: each payload's 56-bit dHash
     * ([[MultimodalQueries.dhash56]]: bytes → 8×8 integer block sums →
@@ -760,6 +774,29 @@ object DedupQueries {
                 a.simhash AS sh_a, b.simhash AS sh_b
          FROM segs a JOIN segs b USING (seg_key)
          WHERE a.doc_id < b.doc_id
+       )
+       SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
+       FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 2"""
+
+  /** DuckDB oracle for [[simhashPairsSampled]]. */
+  val simhashPairsSampledSql: String =
+    s"""WITH $simhashSql, segs0 AS (
+         SELECT doc_id, simhash, unnest([
+           '0:' || (simhash % 256),
+           '1:' || ((simhash // 256) % 256),
+           '2:' || ((simhash // 65536) % 256),
+           '3:' || ((simhash // 16777216) % 256)]) AS seg_key
+         FROM sh
+       ), small AS (
+         SELECT seg_key FROM segs0 GROUP BY seg_key HAVING count(*) <= 4096
+       ), segs AS (
+         SELECT segs0.* FROM segs0 JOIN small USING (seg_key)
+       ), cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.simhash AS sh_a, b.simhash AS sh_b
+         FROM segs a JOIN segs b USING (seg_key)
+         WHERE a.doc_id < b.doc_id
+           AND ${Sampling.pairPred("a.doc_id", "b.doc_id", MediaSampleK)}
        )
        SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
        FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 2"""
