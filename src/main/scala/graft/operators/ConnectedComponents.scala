@@ -9,7 +9,36 @@ import org.apache.spark.sql.functions._
   * "group the pair graph" task (entity resolution, dedup survivors,
   * record linkage).
   *
-  * Algorithm (Shiloach–Vishkin shape since r10): per round, (1)
+  * Two-level structure (r13):
+  *
+  * **Level 0 — per-partition spanning-forest contraction.** One
+  * `mapPartitions` pass runs a compact union–find over each EDGE
+  * partition and emits, per distinct vertex, the edge `(v, localMin)`
+  * to the minimum id reachable within that partition. A spanning
+  * forest of each partition's edge set preserves its connectivity, and
+  * connectivity of a union of edge sets is the union of their
+  * connectivities — so the forest (≤ one row per vertex occurrence,
+  * regardless of how many edges the partition held) is
+  * connectivity-equivalent to the input. This is the pass that matters
+  * at 100 TB: near-dup pair graphs have E ≫ V, and it shrinks the
+  * iterated edge list from O(E) to O(V) in one NARROW pass — no
+  * shuffle — before any loop runs. Memory is bounded by the partition:
+  * the union–find is open-addressed primitive arrays (~16 bytes per
+  * distinct vertex at 0.5 load), the same envelope class as a hash
+  * aggregate over the partition.
+  *
+  * **Finish.** If the contracted forest fits the single-task budget
+  * (`spark.graft.cc.localFinishMaxEdges`, default 4M rows ≈ a few
+  * hundred MB of union–find — an ordinary task's working set), the
+  * labeling completes in ONE executor task: `repartition(1)` +
+  * union–find, emitting `(id, component)` directly. This is not a
+  * driver collect — the rows never leave the executors — and it turns
+  * the whole operator into ~3 jobs at test scale. Past the budget, the
+  * Shiloach–Vishkin loop below runs on the FOREST (O(V) rows per
+  * round, not O(E)); setting the budget to 0 disables both level-0 and
+  * the local finish (the pure-loop path, kept exercised by the spec).
+  *
+  * Loop algorithm (Shiloach–Vishkin shape since r10): per round, (1)
   * neighbor-min label propagation, (2) HOOKING AT THE ROOT — every
   * member of a component adopts the component-wide minimum candidate
   * via one groupBy(comp) + join — and (3) pointer jumping
@@ -43,6 +72,116 @@ object ConnectedComponents {
     * the operator owns the convergence budget.
     */
   val DefaultMaxIters: Int = 25
+
+  /** Conf key for the single-task finish budget (rows of contracted
+    * forest). 0 disables level-0 contraction AND the local finish —
+    * the pure Shiloach–Vishkin path, kept for spec coverage and for
+    * clusters whose per-task memory envelope can't hold the default.
+    */
+  val LocalFinishConfKey = "spark.graft.cc.localFinishMaxEdges"
+  val DefaultLocalFinishMaxEdges: Long = 4000000L
+
+  /** Open-addressed Long→Long map on primitive arrays (linear probing,
+    * power-of-two capacity, grow at 0.5 load): the union–find backbone.
+    * ~16 bytes per entry vs ~80 for a boxed HashMap — the difference
+    * between a 4M-vertex finish task fitting an ordinary executor and
+    * not. Key 0 is carried out-of-band (the empty-slot sentinel).
+    */
+  private final class LongLongMap(initialCapacity: Int) {
+    private var cap = Integer.highestOneBit(math.max(16, initialCapacity) * 2 - 1) << 1
+    private var keys = new Array[Long](cap)
+    private var vals = new Array[Long](cap)
+    private var n = 0
+    private var hasZero = false
+    private var zeroVal = 0L
+    def size: Int = n + (if (hasZero) 1 else 0)
+    private def idx(k: Long): Int = {
+      // Stafford mix13 finalizer: full-avalanche, so sequential ids
+      // don't cluster in the probe sequence
+      var h = k
+      h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+      h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+      (h ^ (h >>> 31)).toInt & (cap - 1)
+    }
+    def getOrDefault(k: Long, dflt: Long): Long = {
+      if (k == 0L) return if (hasZero) zeroVal else dflt
+      var i = idx(k)
+      while (keys(i) != 0L) {
+        if (keys(i) == k) return vals(i)
+        i = (i + 1) & (cap - 1)
+      }
+      dflt
+    }
+    def put(k: Long, v: Long): Unit = {
+      if (k == 0L) { if (!hasZero) { hasZero = true }; zeroVal = v; return }
+      var i = idx(k)
+      while (keys(i) != 0L && keys(i) != k) i = (i + 1) & (cap - 1)
+      if (keys(i) == 0L) {
+        keys(i) = k; vals(i) = v; n += 1
+        if (n * 2 > cap) grow()
+      } else vals(i) = v
+    }
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals
+      cap <<= 1
+      keys = new Array[Long](cap); vals = new Array[Long](cap); n = 0
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != 0L) put(ok(i), ov(i))
+        i += 1
+      }
+    }
+    /** Iterate entries (allocation-free apart from the closure). */
+    def foreachEntry(f: (Long, Long) => Unit): Unit = {
+      if (hasZero) f(0L, zeroVal)
+      var i = 0
+      while (i < cap) {
+        if (keys(i) != 0L) f(keys(i), vals(i))
+        i += 1
+      }
+    }
+  }
+
+  /** Union–find with union-by-min (every root is its set's minimum id —
+    * the output convention downstream depends on) and full path
+    * compression on find.
+    */
+  private final class MinUnionFind(sizeHint: Int) {
+    private val parent = new LongLongMap(sizeHint)
+    def find(x: Long): Long = {
+      var r = x
+      var p = parent.getOrDefault(r, r)
+      while (p != r) { r = p; p = parent.getOrDefault(r, r) }
+      var c = x
+      while (c != r) { val nx = parent.getOrDefault(c, c); parent.put(c, r); c = nx }
+      r
+    }
+    def add(x: Long): Unit =
+      if (parent.getOrDefault(x, Long.MinValue) == Long.MinValue) parent.put(x, x)
+    def union(a: Long, b: Long): Unit = {
+      add(a); add(b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+    }
+    /** One (vertex, min-id root) row per distinct vertex seen. Keys are
+      * snapshotted before the finds so path compression during
+      * iteration can't skip or repeat entries.
+      */
+    def entries: Iterator[(Long, Long)] = {
+      val buf = new scala.collection.mutable.ArrayBuffer[Long](parent.size)
+      parent.foreachEntry((k, _) => buf += k)
+      buf.iterator.map(k => (k, find(k)))
+    }
+  }
+
+  /** Union–find over an iterator of edges; shared by the level-0
+    * contraction (per edge partition) and the single-task finish.
+    */
+  private def unionFindPass(rows: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val uf = new MinUnionFind(1 << 12)
+    rows.foreach { case (a, b) => uf.union(a, b) }
+    uf.entries
+  }
 
   /** Free the block-manager storage behind a `localCheckpoint`'d frame.
     * `Dataset.unpersist` only reaches cache-manager entries — a
@@ -92,6 +231,41 @@ object ConnectedComponents {
     *         session's ContextCleaner reaps it after the caller drops it.
     */
   def components(edges: DataFrame, maxIters: Int = DefaultMaxIters): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val budget =
+      try s.conf.get(LocalFinishConfKey, DefaultLocalFinishMaxEdges.toString).toLong
+      catch { case _: NumberFormatException => DefaultLocalFinishMaxEdges }
+    if (budget <= 0L) return svLoop(edges, maxIters)
+    // level-0 contraction: per-partition spanning forest — narrow (no
+    // shuffle), shrinks the edge list to ≤ one row per vertex
+    // occurrence before anything iterates (see object Scaladoc)
+    val forest = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(unionFindPass)
+      .toDF("src", "dst")
+      .persist()
+    try {
+      if (forest.count() <= budget) {
+        // single-TASK finish on the executors (repartition(1) routes the
+        // ≤budget forest rows to one task; never a driver collect). The
+        // result is checkpointed for parity with the loop path — callers
+        // join it repeatedly and must not re-run the finish per consumer.
+        forest
+          .repartition(1)
+          .as[(Long, Long)]
+          .mapPartitions(unionFindPass)
+          .toDF("id", "component")
+          .localCheckpoint()
+      } else svLoop(forest, maxIters)
+    } finally forest.unpersist(blocking = false)
+  }
+
+  /** The Shiloach–Vishkin labeling loop — the past-the-budget path,
+    * running on the contracted forest (O(V) rows per round).
+    */
+  private def svLoop(edges: DataFrame, maxIters: Int): DataFrame = {
     // loop shuffles are tiny (one narrow row per vertex) — AQE coalesces
     // them; the measured cost per round is job scheduling + checkpoint
     // I/O, not shuffle width, so no partition override here

@@ -8,6 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * happens to produce; these fixtures pin the shapes that break naive
   * implementations (chains for round counts, multiple components for
   * label leakage, the convergence guard for silent truncation).
+  *
+  * The operator has three paths since r13 — level-0 contraction +
+  * single-task finish (the default), contraction + Shiloach–Vishkin
+  * loop (forest past the budget), and the pure loop (budget 0) — so
+  * every fixture here runs under ALL three budgets and must agree.
   */
 class ConnectedComponentsSpec extends AnyFunSuite {
 
@@ -22,13 +27,29 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     s
   }
 
-  private def comps(edges: Seq[(Long, Long)], maxIters: Int = 25): Map[Long, Long] = {
+  /** budget > input size → local finish; budget 1 → contraction feeds
+    * the loop; budget 0 → the pure legacy loop on the raw edges.
+    */
+  private val Budgets = Seq(1000000L, 1L, 0L)
+
+  private def withBudget[A](budget: Long)(body: => A): A = {
+    spark.conf.set(ConnectedComponents.LocalFinishConfKey, budget.toString)
+    try body
+    finally spark.conf.unset(ConnectedComponents.LocalFinishConfKey)
+  }
+
+  private def comps(
+      edges: Seq[(Long, Long)],
+      maxIters: Int = 25,
+      budget: Long = 1000000L): Map[Long, Long] = {
     import spark.implicits._
-    ConnectedComponents
-      .components(edges.toDF("src", "dst"), maxIters)
-      .collect()
-      .map(r => r.getLong(0) -> r.getLong(1))
-      .toMap
+    withBudget(budget) {
+      ConnectedComponents
+        .components(edges.toDF("src", "dst"), maxIters)
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+    }
   }
 
   test("two cliques and a bridge-less pair: labels never leak across components") {
@@ -36,33 +57,54 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       (1L, 2L), (2L, 3L), (1L, 3L), // clique {1,2,3}
       (10L, 11L), (11L, 12L), // path {10,11,12}
       (20L, 21L)) // pair {20,21}
-    assert(comps(edges) === Map(
+    val expected = Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L,
-      20L -> 20L, 21L -> 20L))
+      20L -> 20L, 21L -> 20L)
+    Budgets.foreach(b => assert(comps(edges, budget = b) === expected, s"budget=$b"))
   }
 
   test("chain graph: pointer jumping converges in O(log n) rounds, worst-case orientation") {
     // a 64-node chain rooted at the FAR end (min id last) is the
     // adversarial case for plain propagation (64 rounds); with pointer
     // jumping ~log2(64)+c rounds suffice — assert it converges well
-    // under the default cap AND produces the single right component
-    val n = 64L
-    val edges = (0L until n - 1).map(i => (n - 1 - i, n - 2 - i)) // (63,62),(62,61),…
-    val got = comps(edges, maxIters = 10)
-    assert(got.size === n.toInt)
-    assert(got.values.toSet === Set(0L))
+    // under the default cap AND produces the single right component.
+    // budget=0 pins the LOOP's round budget on the raw chain; the other
+    // paths must of course agree.
+    Budgets.foreach { b =>
+      val n = 64L
+      val edges = (0L until n - 1).map(i => (n - 1 - i, n - 2 - i)) // (63,62),(62,61),…
+      val got = comps(edges, maxIters = 10, budget = b)
+      assert(got.size === n.toInt, s"budget=$b")
+      assert(got.values.toSet === Set(0L), s"budget=$b")
+    }
   }
 
-  test("non-convergence fails closed, not silently truncated") {
+  test("non-convergence fails closed, not silently truncated (loop paths)") {
     val edges = (0L until 32L).map(i => (i, i + 1))
-    val e = intercept[IllegalArgumentException](comps(edges, maxIters = 1))
-    assert(e.getMessage.contains("did not converge"))
+    // budget 0: the raw 33-vertex chain needs >1 loop round. budget 1:
+    // the contracted forest still chains across the 4 edge partitions,
+    // so maxIters=1 must ALSO fail closed rather than return a split
+    // labeling. (The local finish is non-iterative — no cap applies.)
+    Seq(0L, 1L).foreach { b =>
+      val e = intercept[IllegalArgumentException](comps(edges, maxIters = 1, budget = b))
+      assert(e.getMessage.contains("did not converge"), s"budget=$b")
+    }
   }
 
   test("self-loops and duplicate edges are harmless") {
     val edges = Seq((5L, 5L), (5L, 6L), (6L, 5L), (5L, 6L))
-    assert(comps(edges) === Map(5L -> 5L, 6L -> 5L))
+    Budgets.foreach(b =>
+      assert(comps(edges, budget = b) === Map(5L -> 5L, 6L -> 5L), s"budget=$b"))
+  }
+
+  test("vertex id 0 (the primitive map's sentinel key) labels correctly") {
+    // 0 is carried out-of-band in the open-addressed union-find — a
+    // bug there would drop or mislabel exactly the minimum possible id,
+    // which is also always a component's label
+    val edges = Seq((0L, 7L), (7L, 3L), (9L, 0L), (20L, 21L))
+    val expected = Map(0L -> 0L, 7L -> 0L, 3L -> 0L, 9L -> 0L, 20L -> 20L, 21L -> 20L)
+    Budgets.foreach(b => assert(comps(edges, budget = b) === expected, s"budget=$b"))
   }
 
   test("id-permuted long chain: root hooking + stats reset hold the default round budget") {
@@ -76,23 +118,20 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     // the plan's sizeInBytes and the pointer-jump self-join squared it
     // per round into million-bit BigIntegers (minutes per round in
     // canBroadcastBySize); the per-round stats reset keeps this test
-    // finishing in seconds, not hours.
+    // finishing in seconds, not hours. budget=0 keeps the lock on the
+    // raw loop; the default path must agree on the same fixture.
     val n = 2048L
     def perm(i: Long): Long = (i * 1103515245L + 12345L) % n // gcd(a, n)=1 → bijection
     val edges = (0L until n - 1).map(i => (perm(i), perm(i + 1)))
     val minId = (0L until n).map(perm).min
-    // ROUNDS lock, not a clock: with root hooking this converges in
-    // ~10 rounds; leaf-only hooking needed 40+ and would blow the cap
-    // below via the fail-closed non-convergence throw. The stats-reset
-    // regression is covered structurally (truncate() rebuilds each
-    // checkpoint from its RDD) — a load-dependent wall-clock assert
-    // here would be exactly the flake class r9 ask #7 closed.
-    val got = comps(edges, maxIters = 15)
-    assert(got.size === n.toInt)
-    assert(got.values.toSet === Set(minId))
+    Seq(1000000L, 0L).foreach { b =>
+      val got = comps(edges, maxIters = 15, budget = b)
+      assert(got.size === n.toInt, s"budget=$b")
+      assert(got.values.toSet === Set(minId), s"budget=$b")
+    }
   }
 
-  test("seeded random graphs match a local union-find") {
+  test("seeded random graphs match a local union-find on every path") {
     // independent reference implementation: union-by-min keeps every
     // set's root at its minimum id, so find(v) IS the expected component
     val rnd = new scala.util.Random(20260812L)
@@ -109,7 +148,8 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       }
       val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
       val expected = verts.map(v => v -> find(v.toInt).toLong).toMap
-      assert(comps(edges) === expected, s"trial $trial (n=$n, m=$m)")
+      Budgets.foreach(b =>
+        assert(comps(edges, budget = b) === expected, s"trial $trial (n=$n, m=$m, budget=$b)"))
     }
   }
 }
