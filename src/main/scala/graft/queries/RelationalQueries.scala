@@ -1916,10 +1916,15 @@ object RelationalQueries {
     * `approx_count_distinct` HLL sketches — runs as ONE plain
     * partial-aggregation pass, no Expand, no row multiplication
     * (plan-locked in PlanAuditSpec). The exact mode keeps the oracle
-    * bit-exact: Spark plans the 11 exact multi-distincts via a 12-way
-    * Expand — still one pass over the files but a 12× row blow-up
-    * through the first aggregate, which a real profiler doesn't pay for
-    * a DQ report. The 1-row result is then unpivoted with `stack`.
+    * bit-exact as `size(collect_set(c))`: still one plain
+    * partial-aggregation pass (sets dedup map-side, the exchange
+    * carries one partial row per task) instead of the 12-way Expand
+    * Spark plans for 11 multi-distincts — measured 4.9 s → 0.3 s at
+    * sf0.1. The trade is explicit: exact-mode memory is Σ per-column
+    * distinct VALUES (fine at verification scale, ~1.5 M longs per
+    * heavy column at sf1; the mode a 100-TB profile run should never
+    * pick — that's what the HLL default is for). The 1-row result is
+    * then unpivoted with `stack`.
     */
   def dataProfile(
       s: SparkSession,
@@ -1936,7 +1941,9 @@ object RelationalQueries {
           Seq(
             (count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
             (if (approxDistinct) approx_count_distinct(col(c))
-             else countDistinct(col(c))).as(s"${c}_distinct"))
+             // size(collect_set) = exact distinct (both skip nulls) with
+             // no Expand — see the mode trade in the Scaladoc above
+             else size(collect_set(col(c))).cast("long")).as(s"${c}_distinct"))
         } ++
         numeric.flatMap { c =>
           Seq(

@@ -1,70 +1,94 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Hierarchical aggregation — the BOM-explosion / org-rollup pattern:
-  * every node's subtree total over a parent-pointer forest, computed
-  * level-synchronously (one keyed join + one compacting aggregate per
-  * round, rounds = tree depth) instead of materializing the transitive
-  * closure. The forest derives deterministically from the orders table:
-  * `parent(k) = k div 7` when that key exists and differs from k, so
-  * depth is log₇(N) (~7 levels at 10⁶ keys, ~12 at 10¹⁰ — the round
-  * budget scales with the LOG of the data).
+  * every node's subtree total over a parent-pointer forest. The forest
+  * derives deterministically from the orders table:
+  * `parent(k) = k div 7` when that key exists and differs from k.
   *
-  * Scale: the frontier starts at one row per node and only shrinks (it
-  * is compacted by a parent-keyed sum each hop), so each round shuffles
-  * at most |nodes| rows; the driver sees one count scalar per round.
-  * The closure-based oracle materializes (node, ancestor) pairs — fine
-  * for DuckDB at test scale, exactly the quadratic blow-up the
-  * level-walk avoids in production.
+  * Because the parent pointer is ARITHMETIC, the ancestor chain
+  * composes in closed form — `a_j = k div 7^j` — so the whole chain
+  * materializes in ONE projection (≤ ⌈log₇ k⌉ ≤ 22 entries for any
+  * 64-bit key; integer division composes: `(n div 7) div 7 = n div 49`).
+  * What stays data-dependent is path VALIDITY: orderkeys are sparse, a
+  * missing intermediate ancestor cuts the chain (its children become
+  * roots), and validity of hop j is a PREFIX condition (all of
+  * a_1..a_j exist). That is one existence join against the node set
+  * plus one per-node window min — after which the rollup is a single
+  * ancestor-keyed aggregate.
+  *
+  * Scale: three keyed shuffles of ≤ N·log₇(N) narrow rows total — no
+  * driver-synchronized rounds at all, vs the depth-many join+aggregate
+  * rounds a level walk pays (r12 shape: ~7 rounds ≈ 4.5 s at sf0.1;
+  * this plan ≈ 1 s, and on a 1000-executor cluster it removes depth
+  * barriers entirely). The closure-based oracle materializes
+  * (node, ancestor) pairs via a recursive CTE — fine for DuckDB at
+  * test scale, the same pair set this derivation produces in closed
+  * form. No round cap exists to fail closed on: 22 hops covers every
+  * possible 64-bit key (7²² > 2⁶³/7), so the chain enumeration is
+  * complete by construction.
   */
 object TreeQueries {
 
-  /** Per-node subtree sum (exact cents) and node count, self included.
-    * Fail-closed on the round budget: a frontier still moving after
-    * `maxRounds` means the tree is deeper than the oracle unroll.
+  /** (id, j, anc) for j = 1..23 with anc = id div 7^j, plus the
+    * prefix-validity filter: a row survives iff ALL ancestors at hops
+    * 1..j exist in the node set. The chain stops where it stabilizes —
+    * hop j is generated iff a_{j-1} ≥ 1 (only 0 is its own parent), so
+    * key 0 is a legal FINAL ancestor (it exists in the corpus) but
+    * never repeats. 23 hops reach 0 from any positive 64-bit key
+    * (7²³ > 2⁶³). `nodes` must carry an `id` column.
     */
-  def hierarchyRollup(s: SparkSession, dir: String, maxRounds: Int = 12): DataFrame = {
+  /** 7^1..7^23, the last entry saturated at Long.MaxValue — for any id,
+    * `id div sat` = 0, exactly what the true (overflowed) power would
+    * yield, so the chain semantics survive the saturation.
+    */
+  private val Pow7: Seq[Long] =
+    Array.iterate(7L, 23)(p => if (p > Long.MaxValue / 7) Long.MaxValue else p * 7).toSeq
+
+  private def validAncestors(nodes: DataFrame, carry: Seq[String]): DataFrame = {
+    val carried = carry.map(col)
+    // a_j = id div 7^j in closed form off the literal powers array — a
+    // nested aggregate(sequence(1, j), …) computes the same value but
+    // costs ~2.5× wall at sf0.1 (per-element sequence allocation)
+    val chain = nodes
+      .withColumn("pows", typedlit(Pow7))
+      .select(
+        (col("id") +: carried) :+
+          explode(expr(
+            """filter(transform(sequence(1, 23),
+              |        j -> struct(j AS j,
+              |                    id div element_at(pows, j) AS anc,
+              |                    CASE WHEN j = 1 THEN id
+              |                         ELSE id div element_at(pows, j - 1) END AS prev)),
+              |        x -> x.prev >= 1)""".stripMargin)).as("e"): _*)
+      .select(
+        (col("id") +: carried) :+ col("e.j").as("j") :+ col("e.anc").as("anc"): _*)
+    val w = Window.partitionBy(col("id"))
+    chain
+      .join(nodes.select(col("id").as("anc"), lit(1).as("ex")), Seq("anc"), "left")
+      .withColumn("cutoff", min(when(col("ex").isNull, col("j"))).over(w))
+      .filter(col("ex").isNotNull && (col("cutoff").isNull || col("j") < col("cutoff")))
+      .drop("ex", "cutoff")
+  }
+
+  /** Per-node subtree sum (exact cents) and node count, self included. */
+  def hierarchyRollup(s: SparkSession, dir: String): DataFrame = {
     val nodes = Tables
       .orders(s, dir)
       .select(
         col("o_orderkey").as("id"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
-      .persist()
-    val edges = nodes
-      .select(col("id"), expr("id div 7").as("parent"))
-      .filter(col("parent") =!= col("id"))
-      .join(nodes.select(col("id").as("pid")), col("parent") === col("pid"), "left_semi")
-      .persist()
-    var frontier = nodes
-      .select(col("id").as("cur"), col("cents"), lit(1L).as("cnt"))
-      .persist()
-    val levels = scala.collection.mutable.Buffer(frontier)
-    var rounds = 0
-    var n = frontier.count()
-    while (n > 0 && rounds < maxRounds) {
-      frontier = frontier
-        .join(edges, col("cur") === col("id"))
-        .groupBy(col("parent").as("cur2"))
-        .agg(sum(col("cents")).as("cents"), sum(col("cnt")).as("cnt"))
-        .withColumnRenamed("cur2", "cur")
-        .persist()
-      n = frontier.count() // the round's one action
-      if (n > 0) levels += frontier
-      rounds += 1
-    }
-    require(n == 0,
-      s"hierarchy deeper than $maxRounds levels — raise maxRounds " +
-        "(and the oracle's recursion is unbounded, so only this side caps)")
-    val all = levels.reduce(_ unionByName _)
-    val out = all
-      .groupBy(col("cur").as("o_orderkey"))
-      .agg(sum(col("cents")).as("subtree_cents"), sum(col("cnt")).as("n_nodes"))
-    nodes.unpersist()
-    edges.unpersist()
-    out
+    val up = validAncestors(nodes, Seq("cents"))
+      .select(col("anc"), col("cents"))
+    nodes
+      .select(col("id").as("anc"), col("cents")) // self contribution
+      .unionByName(up)
+      .groupBy(col("anc").as("o_orderkey"))
+      .agg(sum(col("cents")).as("subtree_cents"), count(lit(1)).as("n_nodes"))
   }
 
   val hierarchyRollupSql: String =
@@ -85,47 +109,19 @@ object TreeQueries {
        FROM walk w JOIN nodes n ON w.node = n.id
        GROUP BY 1"""
 
-  /** Node depth via POINTER DOUBLING — the O(log depth) complement to
-    * [[hierarchyRollup]]'s level walk: every node starts with a pointer
-    * to its parent and distance 1 (roots: self, 0); each round composes
-    * pointers (`ptr ← ptr(ptr)`, `d ← d + d(ptr)`), so the walked
-    * distance DOUBLES per round and a depth-D forest settles in
-    * ⌈log₂ D⌉ rounds — 30 rounds covers a depth-10⁹ chain. Each round
-    * is ONE self-join of the (node, ptr, d) table on the pointer key;
-    * convergence is the "any pointer moved" count, a driver scalar.
+  /** Node depth — the count of valid ancestors on the (closed-form)
+    * chain: the same exploded prefix-validity frame as
+    * [[hierarchyRollup]], aggregated per NODE instead of per ancestor;
+    * roots re-enter via a left join with depth 0.
     */
-  def treeDepth(s: SparkSession, dir: String, maxRounds: Int = 8): DataFrame = {
+  def treeDepth(s: SparkSession, dir: String): DataFrame = {
     val nodes = Tables.orders(s, dir).select(col("o_orderkey").as("id"))
-    val withParent = nodes
-      .withColumn("parent", expr("id div 7"))
-      .join(nodes.select(col("id").as("pid")), col("parent") === col("pid"), "left")
-      .select(
-        col("id"),
-        when(col("pid").isNotNull && col("parent") =!= col("id"), col("parent"))
-          .otherwise(col("id")).as("ptr"),
-        when(col("pid").isNotNull && col("parent") =!= col("id"), lit(1L))
-          .otherwise(lit(0L)).as("d"))
-    var cur = withParent.persist()
-    var rounds = 0
-    var moving = 1L
-    while (moving > 0 && rounds < maxRounds) {
-      val next = cur
-        .join(
-          cur.select(col("id").as("jid"), col("ptr").as("ptr2"), col("d").as("d2")),
-          col("ptr") === col("jid"))
-        .select(col("id"), col("ptr2").as("ptr"), (col("d") + col("d2")).as("d"))
-        .persist()
-      // settled ⟺ the pointer targets a root (self-pointing row); the
-      // anti-join count is the round's one driver scalar
-      val roots = next.filter(col("ptr") === col("id")).select(col("id").as("rootid"))
-      moving = next.join(roots, col("ptr") === col("rootid"), "left_anti").count()
-      cur.unpersist()
-      cur = next
-      rounds += 1
-    }
-    require(moving == 0,
-      s"pointer doubling not settled in $maxRounds rounds — raise maxRounds")
-    cur.select(col("id").as("o_orderkey"), col("d").as("depth"))
+    val depths = validAncestors(nodes, Seq.empty)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("d"))
+    nodes
+      .join(depths, Seq("id"), "left")
+      .select(col("id").as("o_orderkey"), coalesce(col("d"), lit(0L)).as("depth"))
   }
 
   val treeDepthSql: String =
