@@ -165,8 +165,18 @@ object SequentialQueries {
     * same 20 rounds over the ≤4×5 matrix with value-ordered ≤4-term
     * folds, so every iterate is bit-identical.
     *
-    * Scale: one user-partitioned lead() pass builds transitions; all
-    * 20 rounds run on the state-vocabulary-bounded matrix.
+    * Scale: one user-partitioned lead() pass builds transitions — that
+    * is the distributed work, and ALL of it. The 20-round recursion
+    * then runs on the REDUCED statistics: the row-normalized matrix is
+    * |event-type vocabulary|²-bounded (≤ ~25 entries at ANY corpus
+    * size — it is an aggregate, not data), so it is collected and
+    * iterated in Scala with exactly the oracle's value-ordered fold
+    * (terms sorted ascending before summation; inserting/removing 0.0
+    * terms cannot change an IEEE sum, and join-missing states are
+    * skipped, mirroring the SQL inner join). The r12 shape built the
+    * recursion as 40 nested Spark joins over ≤4-row frames — ~3 s of
+    * pure plan/scheduling overhead for 25 numbers. Quantization stays
+    * in Spark (q6 on the result frame) for engine parity.
     */
   def absorbingMarkov(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -177,47 +187,42 @@ object SequentialQueries {
       .filter(col("event_type") =!= "purchase") // absorbing: no outgoing edges
       .groupBy(col("event_type").as("a"), col("next_type").as("b"))
       .agg(count(lit(1)).as("n"))
-      .persist()
-    val rowTot = trans.groupBy(col("a")).agg(sum(col("n")).as("ca"))
-    val prob = trans
-      .join(rowTot, "a")
-      .select(col("a"), col("b"), (col("n").cast("double") / col("ca").cast("double")).as("p"))
-    val q = prob.filter(col("b") =!= "purchase" && col("b") =!= "END")
-    val rp = prob.filter(col("b") === "purchase").select(col("a"), col("p").as("r"))
-    val states = rowTot.select(col("a"), col("ca"))
-    val foldSum = (c: Column) =>
-      aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)
-    var t = states.select(col("a"), lit(0.0).as("t"))
-    var bb = states.select(col("a"), lit(0.0).as("bb"))
+    // ONE tiny collect of the vocabulary-bounded transition counts;
+    // row totals and probabilities derive locally (same n/ca division,
+    // binary64 either way)
+    val counts = trans.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val ca: Map[String, Long] =
+      counts.groupBy(_._1).map { case (a, rs) => a -> rs.map(_._3).sum }
+    val prob = counts.map { case (a, b, n) => (a, b, n.toDouble / ca(a).toDouble) }
+    val q = prob.filter { case (_, b, _) => b != "purchase" && b != "END" }
+    val rp: Map[String, Double] =
+      prob.collect { case (a, b, p) if b == "purchase" => a -> p }.toMap
+    val statesSorted = ca.keys.toSeq.sorted
+    // the oracle's fold: terms value-sorted ascending, then summed
+    def foldSum(terms: Seq[Double]): Double = terms.sorted.foldLeft(0.0)(_ + _)
+    var t: Map[String, Double] = statesSorted.map(_ -> 0.0).toMap
+    var bb: Map[String, Double] = statesSorted.map(_ -> 0.0).toMap
     for (_ <- 1 to 20) {
       val qt = q
-        .join(t.withColumnRenamed("a", "b").withColumnRenamed("t", "tb"), "b")
-        .groupBy(col("a"))
-        .agg(foldSum(col("p") * col("tb")).as("qt"))
-      t = states
-        .join(qt, Seq("a"), "left")
-        .select(col("a"), (lit(1.0) + coalesce(col("qt"), lit(0.0))).as("t"))
+        .collect { case (a, b, p) if t.contains(b) => (a, p * t(b)) }
+        .groupBy(_._1).map { case (a, xs) => a -> foldSum(xs.map(_._2).toSeq) }
+      val tNew = statesSorted.map(a => a -> (1.0 + qt.getOrElse(a, 0.0))).toMap
       val qb = q
-        .join(bb.withColumnRenamed("a", "b").withColumnRenamed("bb", "bv"), "b")
-        .groupBy(col("a"))
-        .agg(foldSum(col("p") * col("bv")).as("qb"))
-      bb = states
-        .join(rp, Seq("a"), "left")
-        .join(qb, Seq("a"), "left")
-        .select(
-          col("a"),
-          (coalesce(col("r"), lit(0.0)) + coalesce(col("qb"), lit(0.0))).as("bb"))
+        .collect { case (a, b, p) if bb.contains(b) => (a, p * bb(b)) }
+        .groupBy(_._1).map { case (a, xs) => a -> foldSum(xs.map(_._2).toSeq) }
+      bb = statesSorted
+        .map(a => a -> (rp.getOrElse(a, 0.0) + qb.getOrElse(a, 0.0))).toMap
+      t = tNew
     }
-    val out = states
-      .join(t, "a")
-      .join(bb, "a")
+    import s.implicits._
+    statesSorted
+      .map(a => (a, ca(a), t(a), bb(a)))
+      .toDF("state", "n_out", "t", "bb")
       .select(
-        col("a").as("state"),
-        col("ca").as("n_out"),
+        col("state"),
+        col("n_out"),
         q6(col("t")).as("exp_steps"),
         q6(col("bb")).as("p_convert"))
-    trans.unpersist()
-    out
   }
 
   val absorbingMarkovSql: String = {
