@@ -836,13 +836,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("dynamicpruning"), "fact scan must carry a dynamicpruning filter\n" + p.take(3000))
   }
 
-  test("q_assoc_rules: frequent-item prune broadcasts; pair self-join keyed on basket") {
+  test("q_assoc_rules: one basket shuffle; pairs expand in-row; supports broadcast") {
     val p = plan("q_assoc_rules")
     assert(!p.contains("CartesianProduct"), p.take(2000))
-    // the Apriori frequent set and the order-count scalar join as broadcasts
+    // the Apriori frequent set and the per-item supports join as broadcasts
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
-    // the pair join runs on the l_orderkey equi-key, never a product of baskets
-    assert(p.contains("hashpartitioning(l_orderkey"), p.take(2000))
+    // pairs expand IN-ROW from the basket array (the r12 shape's
+    // order-keyed self-join — a second corpus-sized shuffle — is the
+    // regression this guards against): explode present, and NO
+    // shuffle-keyed join anywhere in the plan — every join is broadcast
+    assert(p.contains("Generate explode"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "pair generation must not shuffle-join the corpus\n" + p.take(3000))
+    // pair counts partial-aggregate map-side before the tiny pair exchange
+    assert(p.contains("partial_count"), p.take(2000))
   }
 
   test("q_drift_psi: reference edges join as a broadcast dimension") {
