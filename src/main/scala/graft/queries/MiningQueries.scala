@@ -571,29 +571,41 @@ object MiningQueries {
     * Amazon-style "customers also bought" neighbor table, materialized
     * offline exactly like production recommenders do.
     *
-    * Scale design: baskets reduce to DISTINCT (order, item) first; the
-    * directed pair generation is a keyed self-join on the basket key
-    * (pair volume bounded by Σ basket², AQE-splittable); supports join
-    * back keyed on the item; similarity is pure integer arithmetic in
-    * identical expression shape both engines (bit-identical doubles, so
-    * the rank cut is deterministic with the item tiebreak); the top-5
-    * rank filter plans as map-side WindowGroupLimit — only ≤ 5 rows per
-    * item reach the final exchange (the q_top_per_group machinery).
+    * Scale design: baskets collapse to a sorted distinct-item array per
+    * order (ONE corpus-keyed shuffle, amplification bounded by
+    * lines/order); co-occurrence pairs expand IN-ROW as the array's
+    * upper triangle (≤ C(items-per-order, 2) per basket), aggregate
+    * UNORDERED, and symmetrize after — halving the pair exchange vs the
+    * directed self-join the r12 shape paid (which also re-shuffled the
+    * corpus a second time); supports join back keyed on the item;
+    * similarity is pure integer arithmetic in identical expression
+    * shape both engines (bit-identical doubles, so the rank cut is
+    * deterministic with the item tiebreak); the top-5 rank filter plans
+    * as map-side WindowGroupLimit — only ≤ 5 rows per item reach the
+    * final exchange (the q_top_per_group machinery).
     */
   def itemKnn(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val oi = Tables
+    val baskets = Tables
       .lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey").as("item"))
-      .distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("item"))).as("items"))
       .persist() // pinned for the session (minhashPairs storage contract)
-    val sup = oi.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
-    val a = oi.select(col("l_orderkey"), col("item").as("item_a"))
-    val b = oi.select(col("l_orderkey"), col("item").as("item_b"))
-    val co = a
-      .join(b, Seq("l_orderkey"))
-      .filter(col("item_a") =!= col("item_b"))
-      .groupBy(col("item_a"), col("item_b"))
+    val sup = baskets
+      .select(explode(col("items")).as("item"))
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("n_i"))
+    val undirected = baskets
+      .select(explode(expr(
+        """flatten(transform(items,
+          |  (x, i) -> transform(slice(items, i + 2, size(items)),
+          |                      y -> struct(x AS pa, y AS pb))))""".stripMargin)).as("pr"))
+      .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
       .agg(count(lit(1)).as("n_co"))
+    val co = undirected
+      .select(col("pa").as("item_a"), col("pb").as("item_b"), col("n_co"))
+      .unionByName(undirected
+        .select(col("pb").as("item_a"), col("pa").as("item_b"), col("n_co")))
     val w = Window
       .partitionBy(col("item"))
       .orderBy(col("sim").desc, col("neighbor"))

@@ -859,11 +859,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), "bin counts must partial-agg map-side")
   }
 
-  test("q_item_knn: top-5 rank filter plans as map-side WindowGroupLimit; pair join keyed") {
+  test("q_item_knn: top-5 rank filter plans as map-side WindowGroupLimit; pairs in-row") {
     val p = plan("q_item_knn")
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(p.contains("WindowGroupLimit"), "rank<=k must plan the group-limit pushdown\n" + p.take(2000))
+    // the one corpus-keyed exchange is the basket collect_set; pair
+    // expansion is the in-row upper triangle, never a corpus self-join
     assert(p.contains("hashpartitioning(l_orderkey"), p.take(2000))
+    assert(p.contains("Generate explode"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "co-occurrence must not shuffle-join the corpus\n" + p.take(3000))
   }
 
   test("q_mannwhitney: rank windows partition by bucket — no full-domain sort") {
