@@ -51,22 +51,23 @@ object TreeQueries {
 
   private def validAncestors(nodes: DataFrame, carry: Seq[String]): DataFrame = {
     val carried = carry.map(col)
-    // a_j = id div 7^j in closed form off the literal powers array — a
-    // nested aggregate(sequence(1, j), …) computes the same value but
-    // costs ~2.5× wall at sf0.1 (per-element sequence allocation)
+    // hop count in closed form: J(id) = 1 + #{j in 1..22 : id ≥ 7^j}
+    // (hop j exists iff a_{j-1} = id div 7^{j-1} ≥ 1). A chain of
+    // codegen'd comparisons — an equivalent filter(transform(…)) HOF
+    // pipeline is INTERPRETED per row in Spark and measured ~6× slower
+    // at sf1 (nested lambdas allocate per element; Generate + plain
+    // expressions stay inside whole-stage codegen).
+    val hops = (1 to 22)
+      .map(j => when(col("id") >= Pow7(j - 1), 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
     val chain = nodes
+      .filter(col("id") >= 1) // id 0 has no parent (and sequence(1, 0) counts DOWN)
+      .withColumn("maxj", hops)
+      .select(
+        (col("id") +: carried) :+ explode(expr("sequence(1, maxj)")).as("j"): _*)
       .withColumn("pows", typedlit(Pow7))
-      .select(
-        (col("id") +: carried) :+
-          explode(expr(
-            """filter(transform(sequence(1, 23),
-              |        j -> struct(j AS j,
-              |                    id div element_at(pows, j) AS anc,
-              |                    CASE WHEN j = 1 THEN id
-              |                         ELSE id div element_at(pows, j - 1) END AS prev)),
-              |        x -> x.prev >= 1)""".stripMargin)).as("e"): _*)
-      .select(
-        (col("id") +: carried) :+ col("e.j").as("j") :+ col("e.anc").as("anc"): _*)
+      .withColumn("anc", expr("id div element_at(pows, j)")) // exact integer div
+      .select((col("id") +: carried) :+ col("j") :+ col("anc"): _*)
     val w = Window.partitionBy(col("id"))
     chain
       .join(nodes.select(col("id").as("anc"), lit(1).as("ex")), Seq("anc"), "left")
