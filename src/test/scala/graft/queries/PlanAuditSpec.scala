@@ -624,13 +624,17 @@ class PlanAuditSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
-  test("q_data_profile: ONE scan serves every per-column aggregate (Expand, not re-reads)") {
+  test("q_data_profile: ONE scan, one aggregation pass — no Expand, no re-reads") {
     val df = graft.SparkEntry.queries("q_data_profile")(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    // multi-distinct plans as a single pass through Expand — per-column
-    // re-scans would multiply IO by the column count at 100 TB
-    assert(p.contains("Expand"), p.take(2000))
+    // exact distincts ride size(collect_set(c)) since r13 — one plain
+    // partial-aggregation pass; the 12-way Expand (12x row blow-up
+    // through the first aggregate) is the regression this guards
+    // against, and per-column re-scans would multiply IO by the column
+    // count at 100 TB
+    assert(!p.contains("Expand"), p.take(2000))
+    assert(p.contains("ObjectHashAggregate"), "collect_set tier expected\n" + p.take(2000))
     assert(uncachedFileScans(df.queryExecution.executedPlan) == 1,
       "profiling must read lineitem exactly once")
   }
