@@ -103,6 +103,15 @@ object ConnectedComponents {
       h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
       (h ^ (h >>> 31)).toInt & (cap - 1)
     }
+    def containsKey(k: Long): Boolean = {
+      if (k == 0L) return hasZero
+      var i = idx(k)
+      while (keys(i) != 0L) {
+        if (keys(i) == k) return true
+        i = (i + 1) & (cap - 1)
+      }
+      false
+    }
     def getOrDefault(k: Long, dflt: Long): Long = {
       if (k == 0L) return if (hasZero) zeroVal else dflt
       var i = idx(k)
@@ -156,8 +165,11 @@ object ConnectedComponents {
       while (c != r) { val nx = parent.getOrDefault(c, c); parent.put(c, r); c = nx }
       r
     }
+    // Membership must be an explicit probe: a value sentinel (e.g.
+    // Long.MinValue) would silently drop a vertex whose id IS the
+    // sentinel from `entries` even though its neighbors label fine.
     def add(x: Long): Unit =
-      if (parent.getOrDefault(x, Long.MinValue) == Long.MinValue) parent.put(x, x)
+      if (!parent.containsKey(x)) parent.put(x, x)
     def union(a: Long, b: Long): Unit = {
       add(a); add(b)
       val ra = find(a); val rb = find(b)

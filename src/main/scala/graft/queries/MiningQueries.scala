@@ -576,9 +576,13 @@ object MiningQueries {
     * order (ONE corpus-keyed shuffle, amplification bounded by
     * lines/order); co-occurrence pairs expand IN-ROW as the array's
     * upper triangle (≤ C(items-per-order, 2) per basket), aggregate
-    * UNORDERED, and symmetrize after — halving the pair exchange vs the
-    * directed self-join the r12 shape paid (which also re-shuffled the
-    * corpus a second time); supports join back keyed on the item;
+    * UNORDERED, and symmetrize after via an in-row 2-struct explode
+    * over the AGGREGATE OUTPUT (one reference, one shuffle — the r13
+    * self-union referenced the aggregate twice and, measured, AQE's
+    * ReuseExchange did not deduplicate it) — halving the pair exchange
+    * vs the directed self-join the r12 shape paid (which also
+    * re-shuffled the corpus a second time); supports join back keyed
+    * on the item;
     * similarity is pure integer arithmetic in identical expression
     * shape both engines (bit-identical doubles, so the rank cut is
     * deterministic with the item tiebreak); the top-5 rank filter plans
@@ -600,7 +604,7 @@ object MiningQueries {
     // explode of the suffix slice) — both stay inside whole-stage
     // codegen; the equivalent flatten(transform(…, transform(…)))
     // nested-HOF expression is INTERPRETED per row and measured ~6×
-    // slower at sf1
+    // slower at sf1.
     val undirected = baskets
       .select(col("items"), posexplode(col("items")).as(Seq("i", "pa")))
       .select(
@@ -608,10 +612,18 @@ object MiningQueries {
         explode(slice(col("items"), col("i") + lit(2), size(col("items")))).as("pb"))
       .groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("n_co"))
+    // symmetrize IN-ROW (explode a 2-struct array) instead of a
+    // self-union: the union referenced the aggregate subtree twice and
+    // — measured on the r13 adaptive plan — ReuseExchange did NOT
+    // deduplicate it (two ShuffleQueryStages each ran the full
+    // explode+partial-agg). A single Generate over the aggregate output
+    // keeps exactly one pair exchange in the plan (locked in
+    // PlanAuditSpec) at the cost of one codegen'd array alloc per pair.
     val co = undirected
-      .select(col("pa").as("item_a"), col("pb").as("item_b"), col("n_co"))
-      .unionByName(undirected
-        .select(col("pb").as("item_a"), col("pa").as("item_b"), col("n_co")))
+      .select(explode(array(
+        struct(col("pa").as("item_a"), col("pb").as("item_b"), col("n_co")),
+        struct(col("pb").as("item_a"), col("pa").as("item_b"), col("n_co")))).as("e"))
+      .select(col("e.item_a"), col("e.item_b"), col("e.n_co"))
     val w = Window
       .partitionBy(col("item"))
       .orderBy(col("sim").desc, col("neighbor"))

@@ -1935,6 +1935,20 @@ object RelationalQueries {
       "l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val strings = Seq("l_returnflag", "l_linestatus")
     val ts = Seq("l_shipdate")
+    val li = Tables.lineitem(s, dir)
+    // collect_set dedups with BOXED equality, under which -0.0 != 0.0
+    // (and countDistinct's grouping normalizes -0.0 to 0.0), so the
+    // exact mode must pre-normalize floating columns: `x + 0.0` maps
+    // -0.0 to +0.0 and is identity elsewhere (NaN stays a single boxed
+    // NaN — java.lang.Double.equals is reflexive on NaN, matching the
+    // grouping normalization). Integer/decimal columns are left alone:
+    // a double cast would collide distinct longs beyond 2^53.
+    val floatCols: Set[String] = li.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.DoubleType ||
+        f.dataType == org.apache.spark.sql.types.FloatType => f.name
+    }.toSet
+    def exactDistinctArg(c: String): Column =
+      if (floatCols(c)) col(c) + lit(0.0) else col(c)
     val aggs: Seq[Column] =
       Seq(count(lit(1)).as("n_rows")) ++
         (numeric ++ strings ++ ts).flatMap { c =>
@@ -1943,7 +1957,8 @@ object RelationalQueries {
             (if (approxDistinct) approx_count_distinct(col(c))
              // size(collect_set) = exact distinct (both skip nulls) with
              // no Expand — see the mode trade in the Scaladoc above
-             else size(collect_set(col(c))).cast("long")).as(s"${c}_distinct"))
+             else size(collect_set(exactDistinctArg(c))).cast("long"))
+              .as(s"${c}_distinct"))
         } ++
         numeric.flatMap { c =>
           Seq(
@@ -1962,7 +1977,7 @@ object RelationalQueries {
             min(length(col(c))).cast("double").as(s"${c}_min"),
             max(length(col(c))).cast("double").as(s"${c}_max"))
         }
-    val one = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+    val one = li.agg(aggs.head, aggs.tail: _*)
     val cols = numeric ++ ts ++ strings
     val stackArgs = cols
       .map(c => s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max")

@@ -177,6 +177,15 @@ object SequentialQueries {
     * recursion as 40 nested Spark joins over ≤4-row frames — ~3 s of
     * pure plan/scheduling overhead for 25 numbers. Quantization stays
     * in Spark (q6 on the result frame) for engine parity.
+    *
+    * EAGER CONSTRUCTION (deliberate, unique on the board): unlike every
+    * other query builder, calling this function runs Spark jobs (the
+    * vocabulary-bounded `trans.collect()`) BEFORE any action on the
+    * returned frame — plan-only tooling that constructs the map entry
+    * pays one scan of `events`. Accepted trade: the alternative (the
+    * r12 40-join lazy plan) costs ~3 s at EVERY execution, and no
+    * dry-run path in this repo constructs q_absorbing_markov without
+    * executing it.
     */
   def absorbingMarkov(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

@@ -42,9 +42,11 @@ object TreeQueries {
     * never repeats. 23 hops reach 0 from any positive 64-bit key
     * (7²³ > 2⁶³). `nodes` must carry an `id` column.
     */
-  /** 7^1..7^23, the last entry saturated at Long.MaxValue — for any id,
-    * `id div sat` = 0, exactly what the true (overflowed) power would
-    * yield, so the chain semantics survive the saturation.
+  /** 7^1..7^23, the last entry saturated at Long.MaxValue. For any
+    * id < Long.MaxValue, `id div sat` = 0, exactly what the true
+    * (overflowed) power would yield. The ONE exempt key is
+    * id == Long.MaxValue itself (MaxValue div MaxValue = 1, true
+    * id div 7^23 = 0) — guarded explicitly at the `anc` computation.
     */
   private val Pow7: Seq[Long] =
     Array.iterate(7L, 23)(p => if (p > Long.MaxValue / 7) Long.MaxValue else p * 7).toSeq
@@ -66,7 +68,12 @@ object TreeQueries {
       .select(
         (col("id") +: carried) :+ explode(expr("sequence(1, maxj)")).as("j"): _*)
       .withColumn("pows", typedlit(Pow7))
-      .withColumn("anc", expr("id div element_at(pows, j)")) // exact integer div
+      // exact integer div; the j=23 saturated power is only wrong for
+      // id == Long.MaxValue (would yield a phantom ancestor 1) — guard it
+      .withColumn(
+        "anc",
+        when(col("id") === Long.MaxValue && col("j") === lit(23), lit(0L))
+          .otherwise(expr("id div element_at(pows, j)")))
       .select((col("id") +: carried) :+ col("j") :+ col("anc"): _*)
     val w = Window.partitionBy(col("id"))
     chain

@@ -873,6 +873,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Generate explode"), p.take(2000))
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       "co-occurrence must not shuffle-join the corpus\n" + p.take(3000))
+    // r14 lock: the pair aggregate must materialize in EXACTLY ONE
+    // shuffle stage. The r13 shape symmetrized via self-union and relied
+    // on ReuseExchange, which the adaptive plan did NOT apply — the
+    // explode+partial-agg ran twice (ShuffleQueryStage 4 AND 5). The
+    // in-row 2-struct explode keeps a single (pa, pb) exchange.
+    val paStages =
+      """ShuffleQueryStage \d+[^\n]*\n[^\n]*Exchange hashpartitioning\(pa""".r
+        .findAllIn(p).size
+    assert(paStages == 1,
+      s"pair aggregate must shuffle exactly once, saw $paStages stages\n" + p.take(3000))
   }
 
   test("q_mannwhitney: rank windows partition by bucket — no full-domain sort") {
