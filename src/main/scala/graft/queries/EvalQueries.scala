@@ -280,6 +280,146 @@ object EvalQueries {
   }
 
   // --------------------------------------------------------------------
+  // q_bleu_coded / q_rouge_coded — the dictionary-encoded in-row plans
+  // --------------------------------------------------------------------
+
+  /** Pairs with token arrays DICTIONARY-ENCODED to long ids — the r14
+    * A/B probing whether the chrF lesson (in-row two-pointer clip wins
+    * on primitive gram codes, loses on string grams — SCALE.md r13)
+    * transfers to the word-gram eval queries once the grams are coded.
+    *
+    * The vocab is ONE corpus aggregate (distinct tokens), given dense
+    * ids by a vocabulary-bounded global sort (the same bounded-window
+    * pattern as the BPE vocab), and BROADCAST into the token encode —
+    * a real-corpus vocabulary (10⁶ tokens ≈ 16 MB) still broadcasts; a
+    * web-scale one would flip the encode join to a shuffle, leaving the
+    * rest of the plan unchanged. Encode is then one narrow
+    * posexplode→join→regroup: ONE corpus-keyed exchange carrying
+    * (doc_id, pos, tid) longs instead of the gram plans' 4·len
+    * gram-string rows through three.
+    */
+  private def codedPairedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ", -1).as("w"))
+    // vocabulary-bounded global window (the corpus collapses to its
+    // distinct tokens first) — the accepted bounded-window pattern
+    val vocab = d
+      .select(explode(col("w")).as("tok"))
+      .distinct()
+      .withColumn(
+        "tid",
+        (row_number().over(Window.orderBy(col("tok"))) - 1).cast("long"))
+    val enc = d
+      .select(col("doc_id"), col("source"), posexplode(col("w")).as(Seq("pos", "tok")))
+      .join(broadcast(vocab), "tok")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("tid")))),
+          x => x.getField("tid")).as("ids"))
+    val cand = enc.select(col("doc_id").as("pair_id"), col("source"), col("ids").as("cids"))
+    val ref = enc.select((col("doc_id") - 20).as("pair_id"), col("ids").as("rids"))
+    cand.join(ref, "pair_id")
+  }
+
+  /** Sorted n-gram codes of one id array, each gram packed into a
+    * struct of two longs with base 2³¹: `a = t₁·2³¹ + t₂`,
+    * `b = t₃·2³¹ + t₄`, missing positions padded with the reserved id
+    * 2³¹−1 (dense row_number ids stay far below it for any realistic
+    * vocabulary; the packing is injective while ids < 2³¹−1, so struct
+    * equality ⟺ gram equality and the two-pointer clip is exact). No
+    * vocab-size literal is needed, which keeps construction lazy.
+    */
+  private def codedGramsExpr(ids: String, n: Int): String = {
+    val pad = "2147483647L"
+    def t(k: Int) = if (k < n) s"element_at($ids, i + $k)" else pad
+    s"""array_sort(transform(
+          slice(sequence(1, size($ids)), 1, greatest(size($ids) - ${n - 1}, 0)),
+          i -> named_struct(
+            'a', ${t(0)} * 2147483648L + ${t(1)},
+            'b', ${t(2)} * 2147483648L + ${t(3)})))"""
+  }
+
+  /** [[bleuCorpus]] re-planned chrF-style: per-pair clipped matches as
+    * in-row two-pointer merges over SORTED packed-gram arrays — the
+    * only corpus-scale exchanges are the encode regroup and the pair
+    * join; the gram stream never shuffles. Bit-identical output (the
+    * clip counts are the same integers; the final double expressions
+    * are shared with [[bleuCorpus]]), so the DuckDB oracle is reused
+    * verbatim.
+    */
+  def bleuCorpusCoded(s: SparkSession, dir: String): DataFrame = {
+    val pairs = codedPairedDocs(s, dir)
+    // staged projections so each gram array materializes exactly once
+    val withGrams = pairs.select(
+      Seq(col("source"), size(col("cids")).cast("long").as("clen"),
+        size(col("rids")).cast("long").as("rlen")) ++
+        (1 to 4).flatMap(n => Seq(
+          expr(codedGramsExpr("cids", n)).as(s"gc$n"),
+          expr(codedGramsExpr("rids", n)).as(s"gr$n"))): _*)
+    val perPair = withGrams.select(
+      Seq(col("source"), col("clen"), col("rlen")) ++
+        (1 to 4).flatMap(n => Seq(
+          expr(multisetClipExpr(s"gc$n", s"gr$n")).as(s"pm$n"),
+          expr(s"size(gc$n)").cast("long").as(s"pt$n"))): _*)
+    val wide = perPair
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("clen")).as("clen"),
+        sum(col("rlen")).as("rlen"),
+        sum(col("pm1")).as("m1"), sum(col("pt1")).as("t1"),
+        sum(col("pm2")).as("m2"), sum(col("pt2")).as("t2"),
+        sum(col("pm3")).as("m3"), sum(col("pt3")).as("t3"),
+        sum(col("pm4")).as("m4"), sum(col("pt4")).as("t4"))
+    def p(n: Int): Column = col(s"m$n").cast("double") / col(s"t$n").cast("double")
+    val bp = when(col("clen") >= col("rlen"), lit(1.0))
+      .otherwise(exp(lit(1.0) - col("rlen").cast("double") / col("clen").cast("double")))
+    val bleu = when(
+      col("m1") > 0 && col("m2") > 0 && col("m3") > 0 && col("m4") > 0,
+      bp * exp((log(p(1)) + log(p(2)) + log(p(3)) + log(p(4))) / lit(4.0)))
+      .otherwise(lit(0.0))
+    wide.select(
+      col("source"), col("n_pairs"), col("clen"), col("rlen"),
+      q6(p(1)).as("p1"), q6(p(2)).as("p2"), q6(p(3)).as("p3"), q6(p(4)).as("p4"),
+      q6(bp).as("bp"), q6(bleu).as("bleu"))
+  }
+
+  /** [[rougeScores]] on the coded in-row plan (see [[bleuCorpusCoded]]);
+    * the per-order rows are unpivoted from one wide per-source aggregate
+    * with `stack`. Same oracle as q_rouge.
+    */
+  def rougeScoresCoded(s: SparkSession, dir: String): DataFrame = {
+    val pairs = codedPairedDocs(s, dir)
+    val withGrams = pairs.select(
+      Seq(col("source")) ++
+        (1 to 2).flatMap(n => Seq(
+          expr(codedGramsExpr("cids", n)).as(s"gc$n"),
+          expr(codedGramsExpr("rids", n)).as(s"gr$n"))): _*)
+    val perPair = withGrams.select(
+      Seq(col("source")) ++
+        (1 to 2).flatMap(n => Seq(
+          expr(multisetClipExpr(s"gc$n", s"gr$n")).as(s"pm$n"),
+          expr(s"size(gc$n)").cast("long").as(s"pc$n"),
+          expr(s"size(gr$n)").cast("long").as(s"pr$n"))): _*)
+    val wide = perPair
+      .groupBy(col("source"))
+      .agg(
+        sum(col("pm1")).as("m1"), sum(col("pc1")).as("ct1"), sum(col("pr1")).as("rt1"),
+        sum(col("pm2")).as("m2"), sum(col("pc2")).as("ct2"), sum(col("pr2")).as("rt2"))
+    val tall = wide.select(
+      col("source"),
+      expr("stack(2, 1L, m1, ct1, rt1, 2L, m2, ct2, rt2) AS (n, m, ct, rt)"))
+    val prec = col("m").cast("double") / col("ct").cast("double")
+    val rec = col("m").cast("double") / col("rt").cast("double")
+    val f1 = when(col("m") > 0, lit(2.0) * prec * rec / (prec + rec)).otherwise(lit(0.0))
+    tall.select(
+      col("source"), col("n"), col("m"), col("ct"), col("rt"),
+      q6(prec).as("prec"), q6(rec).as("rec"), q6(f1).as("f1"))
+  }
+
+  // --------------------------------------------------------------------
   // q_bh_fdr — Benjamini–Hochberg over a family of Welch z-tests
   // --------------------------------------------------------------------
 

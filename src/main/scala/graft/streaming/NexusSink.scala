@@ -181,6 +181,19 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
     */
   private val finalizedGens = scala.collection.mutable.Set.empty[(String, Long)]
 
+  /** Cumulative compaction outcomes for this sink instance — the
+    * lifecycle job invokes [[compactCompleted]] inside its own
+    * foreachBatch and discards the return, so an operator auditing
+    * write amplification (e.g. the chain soak) reads the history here.
+    * Bounded: one entry per generation×table per compaction pass.
+    */
+  private val compactionHistory =
+    scala.collection.mutable.ArrayBuffer.empty[NexusSink.CompactionStat]
+
+  /** Snapshot of every compaction this instance has performed. */
+  def compactionStats: Seq[NexusSink.CompactionStat] =
+    compactionHistory.synchronized(compactionHistory.toVector)
+
   private def onDiskEventCounts(
       spark: SparkSession,
       runKeys: Set[(String, Long)],
@@ -484,6 +497,8 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
                 .foreach { start =>
                   recoverInterruptedCompaction(genDir)
                   val before = parquetFilesUnder(genDir)
+                  val bytesBefore = before.map(f =>
+                    try Files.size(f) catch { case _: java.io.IOException => 0L }).sum
                   val batchDirs = listChildren(genDir)
                     .filter(_.getFileName.toString.startsWith("batch_id="))
                   val alreadyCompacted = Files.exists(genDir.resolve(".compacted"))
@@ -555,13 +570,21 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
                       heartbeat.cancel(false)
                       liveScratch.remove(tmp)
                     }
-                    if (swapped)
-                      stats += NexusSink.CompactionStat(
+                    if (swapped) {
+                      val after = parquetFilesUnder(genDir)
+                      val stat = NexusSink.CompactionStat(
                         table,
                         name,
                         start,
                         before.length,
-                        parquetFilesUnder(genDir).length)
+                        after.length,
+                        bytesBefore,
+                        after.map(f =>
+                          try Files.size(f)
+                          catch { case _: java.io.IOException => 0L }).sum)
+                      stats += stat
+                      compactionHistory.synchronized(compactionHistory += stat)
+                    }
                   }
                 }
             }
@@ -841,13 +864,19 @@ object NexusSink {
       nextEventIndex: Long,
       maxBatchId: Option[Long])
 
-  /** One generation×table compaction outcome (file counts pre/post). */
+  /** One generation×table compaction outcome (file counts and bytes
+    * pre/post — the bytes are what a write-amplification audit sums:
+    * `bytesBefore` was written once by the micro-batches and
+    * `bytesAfter` a second time by the rewrite).
+    */
   final case class CompactionStat(
       table: String,
       runName: String,
       runStartNs: Long,
       filesBefore: Int,
-      filesAfter: Int)
+      filesAfter: Int,
+      bytesBefore: Long,
+      bytesAfter: Long)
 
   /** Wire an assembled-frame stream through run assignment into the sink:
     * `stream.writeStream.foreachBatch(NexusSink.pipe(sink, runs))`.
