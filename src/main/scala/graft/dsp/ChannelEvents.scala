@@ -44,59 +44,55 @@ object ChannelEvents {
   private def toIntensityU16(v: Double): Int =
     if (v.isNaN) 0 else math.min(math.max(v, 0.0), 65535.0).toInt
 
-  private def normalised(
-      voltage: Array[Int],
-      sampleTimeNs: Double,
-      settings: DetectorSettings): Iterator[(Double, Double)] = {
-    val sign = if (settings.positivePolarity) 1.0 else -1.0
-    voltage.iterator.zipWithIndex.map { case (v, i) =>
-      (i * sampleTimeNs, sign * (v.toDouble - settings.baseline))
-    }
-  }
-
   /** Detect events on one channel trace; returns parallel (times, intensities).
     * `sampleTimeNs = 1e9 / sample_rate` (`processing.rs:31`).
+    *
+    * Runs on the [[DetectorKernels]] loop skin (r14): identical
+    * push/signal/assemble call order to the iterator composition — which
+    * DspSpec still locks it against on randomized traces — minus the
+    * boxed per-sample tuple the iterator chain allocates (the measured
+    * bottleneck of the formation envelope, FormationBench r14). The
+    * double trace is materialized once up front; normalization folds
+    * into the kernel loop.
     */
   def findChannelEvents(
       voltage: Array[Int],
       sampleTimeNs: Double,
       settings: DetectorSettings): (Array[Long], Array[Int]) = {
-    val raw = normalised(voltage, sampleTimeNs, settings)
-    val events: Iterator[(Double, Double)] = settings.mode match {
+    val trace = new Array[Double](voltage.length)
+    var i = 0
+    while (i < voltage.length) { trace(i) = voltage(i).toDouble; i += 1 }
+    val sign = if (settings.positivePolarity) 1.0 else -1.0
+    val times = Array.newBuilder[Long]
+    val intensities = Array.newBuilder[Int]
+    def emit(t: Double, v: Double): Unit = {
+      times += toTimeU32(t)
+      intensities += toIntensityU16(v)
+    }
+    settings.mode match {
       case FixedThreshold(threshold, duration, coolOff) =>
-        DetectorFn
-          .over(raw, new ThresholdDetector(threshold, duration, coolOff))
-          .map(e => (e.time, e.pulseHeight))
+        DetectorKernels.threshold(
+          trace, sampleTimeNs, sign, settings.baseline, threshold, duration, coolOff)(emit)
 
       case DifferentialThreshold(threshold, duration, coolOff, constantMultiple) =>
-        DetectorFn
-          .over(
-            WindowFn.over(raw, new FiniteDifferencesWindow(2)),
-            new DifferentialThresholdDetector(threshold, duration, coolOff, constantMultiple))
-          .map(e => (e.time, e.pulseHeight))
+        DetectorKernels.differential(
+          trace, sampleTimeNs, sign, settings.baseline,
+          threshold, duration, coolOff, constantMultiple)(emit)
 
       case AdvancedMuon(onset, fall, termination, duration, baselineLength,
             smoothingSize, minAmp, maxAmp) =>
-        val smoothed = WindowFn
-          .over(
-            WindowFn.over(raw, new BaselineWindow(baselineLength.getOrElse(0), 0.1)),
-            new SmoothingWindow(smoothingSize.getOrElse(1)))
-          .map { case (t, stats) => (t, stats.mean) }
-        val events = DetectorFn.over(
-          WindowFn.over(smoothed, new FiniteDifferencesWindow(2)),
-          new AdvancedMuonDetector(onset, fall, termination, duration))
-        AdvancedMuonAssembler
-          .over(events)
-          .filter(p => minAmp.forall(min => p.peak.forall(min <= _.value)))
-          .filter(p => maxAmp.forall(max => p.peak.forall(max >= _.value)))
-          .map(p =>
-            (p.steepestRise.map(_.time).getOrElse(0.0), p.peak.map(_.value).getOrElse(0.0)))
-    }
-    val times = Array.newBuilder[Long]
-    val intensities = Array.newBuilder[Int]
-    events.foreach { case (t, v) =>
-      times += toTimeU32(t)
-      intensities += toIntensityU16(v)
+        DetectorKernels.advanced(
+          trace, sampleTimeNs, sign, settings.baseline,
+          onset, fall, termination, duration,
+          baselineLength.getOrElse(0), smoothingSize.getOrElse(1)) { p =>
+          val ampOk =
+            minAmp.forall(min => p.peak.forall(min <= _.value)) &&
+              maxAmp.forall(max => p.peak.forall(max >= _.value))
+          if (ampOk)
+            emit(
+              p.steepestRise.map(_.time).getOrElse(0.0),
+              p.peak.map(_.value).getOrElse(0.0))
+        }
     }
     (times.result(), intensities.result())
   }

@@ -55,6 +55,12 @@ final class BaselineWindow(warmUp: Int, alpha: Double) extends WindowFn[Double, 
 
   def output: Option[Double] = if (seen == warmUp) Some(corrected) else None
 
+  /** Allocation-free twin of `output.get` for the loop kernels —
+    * valid only when the last `push` returned true; must stay equal to
+    * `output`'s payload.
+    */
+  private[dsp] def currentCorrected: Double = corrected
+
   def timeShift(time: Double): Double = time - warmUp.toDouble
 }
 
@@ -93,6 +99,12 @@ final class SmoothingWindow(size: Int) extends WindowFn[Double, Stats] {
     else if (isFull)
       Some(Stats(last, sum / size, (sumSq - sum * sum / size) / (size - 1.0)))
     else None
+
+  /** Allocation-free twin of `output.get.mean` for the loop kernels —
+    * valid only when the last `push` returned true; the expression must
+    * stay identical to `output`'s mean field.
+    */
+  private[dsp] def currentMean: Double = if (size == 1) last else sum / size
 
   def timeShift(time: Double): Double = time - (size - 1.0) / 2.0
 }
@@ -135,13 +147,24 @@ final class FiniteDifferencesWindow(n: Int) extends WindowFn[Double, Array[Doubl
       false
     } else {
       values.prepend(value)
-      diffs = Array.tabulate(n)(nthDifference)
+      // in-place fill (r14): the buffer is reused across pushes —
+      // `output` still hands out clones, and the loop kernels'
+      // `currentDiffs` readers clone before storing, so no caller can
+      // observe the mutation
+      var d = 0
+      while (d < n) { diffs(d) = nthDifference(d); d += 1 }
       values.removeLast()
       true
     }
 
   def output: Option[Array[Double]] =
     if (values.length + 1 == n) Some(diffs.clone()) else None
+
+  /** Uncloned internal buffer for the loop kernels — valid only until
+    * the next `push`; callers must not retain it (both downstream
+    * discriminators clone before storing).
+    */
+  private[dsp] def currentDiffs: Array[Double] = diffs
 
   def timeShift(time: Double): Double = time
 }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.dsp.{DetectorFn, ThresholdDetector}
+import graft.dsp.DetectorKernels
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
@@ -33,15 +33,14 @@ case class DetectPulses(
 
   override protected def nullSafeEval(s: Any, th: Any, dur: Any, cool: Any): Any = {
     val trace = s.asInstanceOf[ArrayData].toDoubleArray()
-    val detector = new ThresholdDetector(
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    // loop kernel (r14): same FSM, same call order as the iterator
+    // composition, no per-sample tuple boxing (FormationBench)
+    DetectorKernels.threshold(
+      trace, 1.0, 1.0, 0.0,
       th.asInstanceOf[Double],
       dur.asInstanceOf[Int],
-      cool.asInstanceOf[Int])
-    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-    val it = DetectorFn.over(
-      trace.iterator.zipWithIndex.map { case (v, i) => (i.toDouble, v) },
-      detector)
-    it.foreach(e => out += InternalRow(e.time, e.pulseHeight))
+      cool.asInstanceOf[Int]) { (t, v) => out += InternalRow(t, v) }
     new GenericArrayData(out.toArray[Any])
   }
 

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.dsp.{AdvancedMuonAssembler, AdvancedMuonDetector, BaselineWindow, DetectorFn, FiniteDifferencesWindow, SmoothingWindow, WindowFn}
+import graft.dsp.DetectorKernels
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
@@ -97,18 +97,11 @@ case class DetectPulsesAdvanced(
     val du = duV.asInstanceOf[Double]
     val bl = blV.asInstanceOf[Int]
     val sm = smV.asInstanceOf[Int]
-    // the typed path's window→detector→assembler chain, verbatim
-    // (ChannelEvents.findChannelEvents AdvancedMuon branch) — one
-    // implementation, two execution skins
-    val raw = trace.iterator.zipWithIndex.map { case (v, i) => (i.toDouble, v) }
-    val smoothed = WindowFn
-      .over(WindowFn.over(raw, new BaselineWindow(bl, 0.1)), new SmoothingWindow(sm))
-      .map { case (t, stats) => (t, stats.mean) }
-    val events = DetectorFn.over(
-      WindowFn.over(smoothed, new FiniteDifferencesWindow(2)),
-      new AdvancedMuonDetector(on, fa, te, du))
+    // the typed path's window→detector→assembler chain through the
+    // shared loop kernel (r14) — one implementation, two execution
+    // skins, no per-sample tuple boxing (FormationBench)
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-    AdvancedMuonAssembler.over(events).foreach { p =>
+    DetectorKernels.advanced(trace, 1.0, 1.0, 0.0, on, fa, te, du, bl, sm) { p =>
       out += InternalRow(
         p.steepestRise.map(_.time).getOrElse(0.0),
         p.peak.map(_.value).getOrElse(0.0))

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.dsp.{DetectorFn, DifferentialThresholdDetector}
+import graft.dsp.DetectorKernels
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
@@ -35,16 +35,17 @@ case class DetectPulsesDifferential(
 
   override protected def nullSafeEval(s: Any, th: Any, dur: Any, cool: Any): Any = {
     val trace = s.asInstanceOf[ArrayData].toDoubleArray()
-    val detector = new DifferentialThresholdDetector(
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    // loop kernel (r14): the W3 N=2 window emits [v_i, v_i − v_{i−1}]
+    // from index 1 with identity time shift — identical to the fused
+    // derivative this expression used to hand-roll, now shared with the
+    // typed path through DetectorKernels (no per-sample allocation)
+    DetectorKernels.differential(
+      trace, 1.0, 1.0, 0.0,
       th.asInstanceOf[Double],
       dur.asInstanceOf[Int],
       cool.asInstanceOf[Int],
-      constantMultiple = None)
-    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-    val samplesIt = (1 until trace.length).iterator.map { i =>
-      (i.toDouble, Array(trace(i), trace(i) - trace(i - 1)))
-    }
-    DetectorFn.over(samplesIt, detector).foreach(e => out += InternalRow(e.time, e.pulseHeight))
+      constantMultiple = None) { (t, v) => out += InternalRow(t, v) }
     new GenericArrayData(out.toArray[Any])
   }
 

@@ -116,4 +116,86 @@ class DspPropertySpec extends AnyFunSuite {
       assert(total === perDig.sum)
     }
   }
+
+  // ------------------------------------------------------------------
+  // r14: loop-kernel ≡ iterator-composition parity (DetectorKernels)
+  // ------------------------------------------------------------------
+
+  test("DetectorKernels.threshold ≡ DetectorFn.over on random traces") {
+    val rng = new Random(14)
+    for (_ <- 0 until 200) {
+      val data = randomTrace(rng).toArray
+      val th = rng.nextDouble() * 100.0
+      val duration = 1 + rng.nextInt(4)
+      val coolOff = rng.nextInt(6)
+      val viaIter = DetectorFn
+        .over(
+          data.iterator.zipWithIndex.map { case (v, i) => (i.toDouble, v) },
+          new ThresholdDetector(th, duration, coolOff))
+        .map(e => (e.time, e.pulseHeight))
+        .toList
+      val viaLoop = scala.collection.mutable.ListBuffer.empty[(Double, Double)]
+      DetectorKernels.threshold(data, 1.0, 1.0, 0.0, th, duration, coolOff) {
+        (t, v) => viaLoop += ((t, v))
+      }
+      assert(viaLoop.toList === viaIter)
+    }
+  }
+
+  test("DetectorKernels.differential ≡ window+detector iterators on random traces") {
+    val rng = new Random(15)
+    for (_ <- 0 until 200) {
+      val data = randomTrace(rng).toArray
+      val th = rng.nextDouble() * 20.0
+      val duration = 1 + rng.nextInt(3)
+      val coolOff = rng.nextInt(5)
+      val cm = if (rng.nextBoolean()) Some(rng.nextDouble() * 3.0) else None
+      val viaIter = DetectorFn
+        .over(
+          WindowFn.over(
+            data.iterator.zipWithIndex.map { case (v, i) => (i.toDouble, v) },
+            new FiniteDifferencesWindow(2)),
+          new DifferentialThresholdDetector(th, duration, coolOff, cm))
+        .map(e => (e.time, e.pulseHeight))
+        .toList
+      val viaLoop = scala.collection.mutable.ListBuffer.empty[(Double, Double)]
+      DetectorKernels.differential(data, 1.0, 1.0, 0.0, th, duration, coolOff, cm) {
+        (t, v) => viaLoop += ((t, v))
+      }
+      assert(viaLoop.toList === viaIter)
+    }
+  }
+
+  test("DetectorKernels.advanced ≡ full iterator chain on random traces") {
+    val rng = new Random(16)
+    for (_ <- 0 until 200) {
+      val data = randomTrace(rng).toArray
+      val onset = rng.nextDouble() * 5.0
+      val fall = -rng.nextDouble() * 5.0
+      val term = -rng.nextDouble()
+      val duration = rng.nextInt(3).toDouble
+      val bl = rng.nextInt(4)
+      val sm = 1 + rng.nextInt(4)
+      val raw = data.iterator.zipWithIndex.map { case (v, i) => (i.toDouble, v) }
+      val smoothed = WindowFn
+        .over(WindowFn.over(raw, new BaselineWindow(bl, 0.1)), new SmoothingWindow(sm))
+        .map { case (t, stats) => (t, stats.mean) }
+      val viaIter = AdvancedMuonAssembler
+        .over(DetectorFn.over(
+          WindowFn.over(smoothed, new FiniteDifferencesWindow(2)),
+          new AdvancedMuonDetector(onset, fall, term, duration)))
+        .map(p => (
+          p.steepestRise.map(_.time).getOrElse(0.0),
+          p.peak.map(_.value).getOrElse(0.0)))
+        .toList
+      val viaLoop = scala.collection.mutable.ListBuffer.empty[(Double, Double)]
+      DetectorKernels.advanced(
+        data, 1.0, 1.0, 0.0, onset, fall, term, duration, bl, sm) { p =>
+        viaLoop += ((
+          p.steepestRise.map(_.time).getOrElse(0.0),
+          p.peak.map(_.value).getOrElse(0.0)))
+      }
+      assert(viaLoop.toList === viaIter)
+    }
+  }
 }
