@@ -54,28 +54,6 @@ object EvalQueries {
        p AS (SELECT c.doc_id AS pair_id, c.source, c.w AS cw, r.w AS rw
              FROM d c JOIN d r ON r.doc_id = c.doc_id + 20)"""
 
-  /** All n-grams for n in 1..maxN of token array `arr`, as
-    * (n, gram) structs. `slice(sequence(1, size), 1, greatest(len-n+1, 0))`
-    * instead of `sequence(1, len-n+1)` because Spark's `sequence(1, 0)`
-    * counts DOWN ([1, 0]) rather than returning empty.
-    */
-  private def gramsExpr(arr: String, maxN: Int): String =
-    s"""flatten(transform(sequence(1, $maxN), n ->
-          transform(slice(sequence(1, size($arr)), 1, greatest(size($arr) - n + 1, 0)),
-                    i -> named_struct('n', n, 'gram', concat_ws(' ', slice($arr, i, n))))))"""
-
-  /** Sorted word n-grams of one side as an in-row array — the building
-    * block of the WITHIN-ROW clipped-match plan shared by BLEU, ROUGE
-    * and chrF (r13): both texts of a pair sit on the same row, so
-    * per-pair clipping needs no (pair, gram)-keyed shuffle at all. The
-    * slice guard keeps texts shorter than n at an EMPTY array, never a
-    * descending sequence.
-    */
-  private def sortedGramsExpr(arr: String, n: Int): String =
-    s"""array_sort(transform(
-          slice(sequence(1, size($arr)), 1, greatest(size($arr) - $n + 1, 0)),
-          i -> concat_ws(' ', slice($arr, i, $n))))"""
-
   /** Σ_g min(count_a(g), count_b(g)) over two SORTED multiset arrays: a
     * two-pointer merge as a bounded fold (one pointer advances per
     * step, so size(a)+size(b) steps always suffice); greatest(…, 1)
@@ -113,59 +91,15 @@ object EvalQueries {
     * exp(min(0, 1 − rlen/clen)), BLEU = BP · exp(¼ Σ ln p_n) (0 when
     * any p_n is 0).
     *
-    * Scale: the gram stream aggregates map-side on (pair, n, gram)
-    * before the one corpus-sized shuffle; the candidate↔reference clip
-    * join is an equi-join on the same key (co-partitioned with the
-    * aggregate — AQE reuses the exchange); everything after the
-    * per-(source, n) rollup is a 20-row table. All ratios are ratios of
+    * Since r14 this IS the dictionary-coded in-row plan
+    * ([[bleuCorpusCoded]]): the r13 A/B found string-gram in-row clips
+    * LOSE to the (pair, n, gram) shuffle plan, but dictionary-encoding
+    * tokens first flips it — measured 14.1 → 3.0 s at sf1 (SCALE.md
+    * r14), same exact output, same oracle. All ratios are ratios of
     * exact BIGINT sums; ln/exp run once per source on those ratios with
     * the operand order fixed by the expression text.
     */
-  def bleuCorpus(s: SparkSession, dir: String): DataFrame = {
-    val pairs = pairedDocs(s, dir)
-    val cg = pairs
-      .select(col("pair_id"), col("source"), explode(expr(gramsExpr("cw", 4))).as("g"))
-      .groupBy(col("pair_id"), col("source"), col("g.n").as("n"), col("g.gram").as("gram"))
-      .agg(count(lit(1)).as("c_cnt"))
-    val rg = pairs
-      .select(col("pair_id"), explode(expr(gramsExpr("rw", 4))).as("g"))
-      .groupBy(col("pair_id"), col("g.n").as("n"), col("g.gram").as("gram"))
-      .agg(count(lit(1)).as("r_cnt"))
-    val clip = cg
-      .join(rg, Seq("pair_id", "n", "gram"), "left")
-      .groupBy(col("source"), col("n"))
-      .agg(
-        sum(least(col("c_cnt"), coalesce(col("r_cnt"), lit(0L)))).as("m"),
-        sum(col("c_cnt")).as("t"))
-    def pick(n: Int, c: String): Column =
-      sum(when(col("n") === n, col(c)).otherwise(lit(0L)))
-    val wide = clip
-      .groupBy(col("source"))
-      .agg(
-        pick(1, "m").as("m1"), pick(1, "t").as("t1"),
-        pick(2, "m").as("m2"), pick(2, "t").as("t2"),
-        pick(3, "m").as("m3"), pick(3, "t").as("t3"),
-        pick(4, "m").as("m4"), pick(4, "t").as("t4"))
-    val lens = pairs
-      .groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("n_pairs"),
-        sum(size(col("cw")).cast("long")).as("clen"),
-        sum(size(col("rw")).cast("long")).as("rlen"))
-    def p(n: Int): Column = col(s"m$n").cast("double") / col(s"t$n").cast("double")
-    val bp = when(col("clen") >= col("rlen"), lit(1.0))
-      .otherwise(exp(lit(1.0) - col("rlen").cast("double") / col("clen").cast("double")))
-    val bleu = when(
-      col("m1") > 0 && col("m2") > 0 && col("m3") > 0 && col("m4") > 0,
-      bp * exp((log(p(1)) + log(p(2)) + log(p(3)) + log(p(4))) / lit(4.0)))
-      .otherwise(lit(0.0))
-    lens
-      .join(wide, "source")
-      .select(
-        col("source"), col("n_pairs"), col("clen"), col("rlen"),
-        q6(p(1)).as("p1"), q6(p(2)).as("p2"), q6(p(3)).as("p3"), q6(p(4)).as("p4"),
-        q6(bp).as("bp"), q6(bleu).as("bleu"))
-  }
+  def bleuCorpus(s: SparkSession, dir: String): DataFrame = bleuCorpusCoded(s, dir)
 
   val bleuCorpusSql: String = {
     def p(n: Int) = s"(CAST(m$n AS DOUBLE) / CAST(t$n AS DOUBLE))"
@@ -223,36 +157,12 @@ object EvalQueries {
     * the harmonic mean. Micro-averaging keeps every numerator and
     * denominator an exact BIGINT sum; a mean of per-pair float F1s
     * would be summation-order-dependent.
+    *
+    * Since r14 this IS the dictionary-coded in-row plan
+    * ([[rougeScoresCoded]]): 8.6 → 5.8 s at sf1 (SCALE.md r14), same
+    * exact output, same oracle.
     */
-  def rougeScores(s: SparkSession, dir: String): DataFrame = {
-    val pairs = pairedDocs(s, dir)
-    val cg = pairs
-      .select(col("pair_id"), col("source"), explode(expr(gramsExpr("cw", 2))).as("g"))
-      .groupBy(col("pair_id"), col("source"), col("g.n").as("n"), col("g.gram").as("gram"))
-      .agg(count(lit(1)).as("c_cnt"))
-    val rg = pairs
-      .select(col("pair_id"), col("source"), explode(expr(gramsExpr("rw", 2))).as("g"))
-      .groupBy(col("pair_id"), col("source"), col("g.n").as("n"), col("g.gram").as("gram"))
-      .agg(count(lit(1)).as("r_cnt"))
-    val matches = cg
-      .join(rg.drop("source"), Seq("pair_id", "n", "gram"), "left")
-      .groupBy(col("source"), col("n"))
-      .agg(
-        sum(least(col("c_cnt"), coalesce(col("r_cnt"), lit(0L)))).as("m"),
-        sum(col("c_cnt")).as("ct"))
-    val refTot = rg
-      .groupBy(col("source"), col("n"))
-      .agg(sum(col("r_cnt")).as("rt"))
-    val prec = col("m").cast("double") / col("ct").cast("double")
-    val rec = col("m").cast("double") / col("rt").cast("double")
-    val f1 = when(col("m") > 0, lit(2.0) * prec * rec / (prec + rec)).otherwise(lit(0.0))
-    matches
-      .join(refTot, Seq("source", "n"))
-      .select(
-        col("source"), col("n").cast("long").as("n"),
-        col("m"), col("ct"), col("rt"),
-        q6(prec).as("prec"), q6(rec).as("rec"), q6(f1).as("f1"))
-  }
+  def rougeScores(s: SparkSession, dir: String): DataFrame = rougeScoresCoded(s, dir)
 
   val rougeScoresSql: String = {
     val prec = "(CAST(m AS DOUBLE) / CAST(ct AS DOUBLE))"
