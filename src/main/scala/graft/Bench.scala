@@ -43,9 +43,18 @@ object Bench {
     def fmtLoad(v: Seq[Double]): String = v.mkString("[", ",", "]")
     val loadBeforeVals = loadavgVals()
     val loadBefore = fmtLoad(loadBeforeVals)
+    // SPARK_GRAFT_PASSES=1 skips the second pass — for LAW probes at
+    // big scale factors (sf2/sf10 scaling sweeps), where a second pass
+    // doubles a multi-minute run and the question is order-of-growth,
+    // not the minimum. The spread then reads 0 and the contention guard
+    // falls back to the loadavg check alone; comparable-minimum claims
+    // still require the default two passes.
+    val onePass = sys.env.get("SPARK_GRAFT_PASSES").contains("1")
     val pass1 = ordered.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
     graft.queries.DedupQueries.clearClusterMemo(spark)
-    val pass2 = ordered.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
+    val pass2 =
+      if (onePass) pass1
+      else ordered.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
     val loadAfter = fmtLoad(loadavgVals())
     val results = pass1.map { case (name, t1) => name -> math.min(t1, pass2(name)) }
     // per-query spread = |pass1 − pass2|: a large spread flags a timing

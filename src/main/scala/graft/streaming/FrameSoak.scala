@@ -114,6 +114,13 @@ object FrameSoak {
     // (batchMs, inputRows, frames, complete, stateRows, rocksMem, sstBytes)
     val batches = scala.collection.mutable.ArrayBuffer.empty[
       (Long, Long, Long, Long, Long, Long, Long)]
+    // r14 (VERDICT ask #6): split the event-time twin's cost to
+    // mechanism — per-batch state-op walls and timer-CF work summed
+    // into the artifact so the processing/event A/B reads from JSON,
+    // not from eyeballing SOAK_DEBUG_METRICS lines.
+    // (updMs, rmMs, commitMs, timerMs, registered, expired, deleted)
+    val stateCost = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Long, Long, Long, Long, Long, Long)]
     val listener = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
@@ -147,6 +154,14 @@ object FrameSoak {
             so.map(_.numRowsTotal).getOrElse(0L),
             custom("rocksdbPinnedBlocksMemoryUsage"),
             custom("rocksdbSstFileSize")))
+          stateCost += ((
+            so.map(_.allUpdatesTimeMs).getOrElse(0L),
+            so.map(_.allRemovalsTimeMs).getOrElse(0L),
+            so.map(_.commitTimeMs).getOrElse(0L),
+            custom("timerProcessingTimeMs"),
+            custom("numRegisteredTimers"),
+            custom("numExpiredTimers"),
+            custom("numDeletedTimers")))
         }
       }
     }
@@ -195,7 +210,16 @@ object FrameSoak {
         s""""rocksdb_mem_peak_bytes":${if (snap.isEmpty) 0L else snap.map(_._6).max},""" +
         s""""rocksdb_sst_peak_bytes":${if (snap.isEmpty) 0L else snap.map(_._7).max},""" +
         s""""ttl_ms":$ttlMs,"digitizers":$nDig,"events_per_msg":$eventsPerMsg,""" +
-        s""""rows_per_batch":$rowsPerBatch,""" +
+        s""""rows_per_batch":$rowsPerBatch,""" + {
+          val sc = batches.synchronized(stateCost.toVector)
+          s""""state_update_ms_total":${sc.map(_._1).sum},""" +
+            s""""state_removal_ms_total":${sc.map(_._2).sum},""" +
+            s""""state_commit_ms_total":${sc.map(_._3).sum},""" +
+            s""""timer_processing_ms_total":${sc.map(_._4).sum},""" +
+            s""""timers_registered":${sc.map(_._5).sum},""" +
+            s""""timers_expired":${sc.map(_._6).sum},""" +
+            s""""timers_deleted":${sc.map(_._7).sum},"""
+        } +
         s""""mode":"${if (eventTimeMode) "event" else "processing"}"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
     println(json)
