@@ -44,11 +44,27 @@ object MultimodalQueries {
     header.array() ++ content
   }
 
+  /** Distribute a CPU-bound per-doc payload stage across the cluster:
+    * the documents scan is KB-per-row, so `maxPartitionBytes` hands a
+    * whole SF's doc ids to a HANDFUL of tasks — and every core but
+    * those sits idle through the synth + container-decode work that
+    * dominates these queries (measured r14: q_media_wav_decode ran its
+    * 500k decodes in ONE task at sf10 — 109 s, 22× the sf1 wall on 10×
+    * docs). One explicit exchange of the slim (doc_id, …) projection
+    * BEFORE the payload UDF restores decode parallelism at every SF;
+    * at real scale the same holds — a CPU-bound decode wants
+    * max-parallel distribution regardless of scan granularity.
+    */
+  private[queries] def decodeParallel(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** The media table: binary payload + typed metadata columns. */
   def mediaTable(s: SparkSession, dir: String): DataFrame = {
     val synth = udf { (docId: Long) => synthMedia(docId) }
-    Tables
-      .documents(s, dir)
+    decodeParallel(
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), col("source")))
       .select(
         col("doc_id"),
         col("source"),
@@ -496,8 +512,8 @@ object MediaCodecQueries {
       StructField("wdigest", LongType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     val synth = udf { (docId: Long) => pngFor(docId) }
-    Tables
-      .documents(s, dir)
+    MultimodalQueries.decodeParallel(
+      Tables.documents(s, dir).select(col("doc_id")))
       .select(col("doc_id"), synth(col("doc_id")).as("png"))
       .mapPartitions { rows =>
         imageIOHeapOnly()
@@ -555,6 +571,66 @@ object MediaCodecQueries {
   private val WavSamples = 256
   private val WavRate = 8000f
 
+  /** Cached `javax.sound.sampled.spi` providers, materialized ONCE per
+    * JVM. Every `AudioSystem.write`/`getAudioInputStream` call goes
+    * through the JDK's `JDK13Services.getProviders` — a STATIC
+    * SYNCHRONIZED provider lookup — so under 32 decode tasks the whole
+    * stage convoys on one global lock: measured r14 at sf10, the
+    * repartition fix that gave PNG its 4× did NOTHING for WAV (≈107 s
+    * before and after; per-doc cost 2× its single-thread wall — the
+    * signature of a lock convoy). Resolving the providers once through
+    * the public SPI and running the same try-each-reader loop
+    * `AudioSystem` runs keeps behavior identical and makes the stage
+    * actually parallel (sf10: 106.7 → measured below in SCALE.md).
+    */
+  private lazy val wavReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toList
+  }
+  private lazy val wavWriters: List[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala.toList
+      .filter(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+  }
+
+  /** `AudioSystem.getAudioInputStream` minus the global provider lock:
+    * first reader that accepts the stream wins (the JDK loops the same
+    * way, `AudioSystem.java`). The last SUCCESSFUL reader is tried
+    * first on the next call: the jstack of the first fix attempt showed
+    * all 32 tasks still convoyed — the loop reached
+    * `SoftMidiAudioFileReader` before the WAVE reader, and that
+    * reader's REJECTION path itself takes the same global
+    * `JSSecurityManager` lock (`MidiSystem.getSequence` →
+    * `JDK13Services.getProviders`). Result identity is unaffected:
+    * readers either parse a container or throw, so reordering cannot
+    * change which one accepts.
+    */
+  @volatile private var preferredWavReader: javax.sound.sampled.spi.AudioFileReader = _
+  private[queries] def readWav(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val pref = preferredWavReader
+    if (pref != null) {
+      try return pref.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    val it = wavReaders.iterator
+    while (it.hasNext) {
+      val r = it.next()
+      if (r ne pref) {
+        try {
+          val ais = r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+          preferredWavReader = r
+          return ais
+        } catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+      }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "no cached provider accepted the stream")
+  }
+
   private[queries] def wavFor(docId: Long): Array[Byte] = {
     val pcm = new Array[Byte](WavSamples * 2)
     var i = 0
@@ -568,8 +644,9 @@ object MediaCodecQueries {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, WavSamples.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    // cached SPI writer — AudioSystem.write pays the global provider
+    // lock per call (see wavReaders)
+    wavWriters.head.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 
@@ -587,14 +664,13 @@ object MediaCodecQueries {
       StructField("zero_crossings", LongType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     val synth = udf { (docId: Long) => wavFor(docId) }
-    Tables
-      .documents(s, dir)
+    MultimodalQueries.decodeParallel(
+      Tables.documents(s, dir).select(col("doc_id")))
       .select(col("doc_id"), synth(col("doc_id")).as("wav"))
       .mapPartitions { rows =>
         rows.map { row =>
           val docId = row.getLong(0)
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](1)))
+          val ais = MediaCodecQueries.readWav(row.getAs[Array[Byte]](1))
           val fmt = ais.getFormat
           require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
             s"unexpected decoded format $fmt")
