@@ -54,6 +54,28 @@ object EvalQueries {
        p AS (SELECT c.doc_id AS pair_id, c.source, c.w AS cw, r.w AS rw
              FROM d c JOIN d r ON r.doc_id = c.doc_id + 20)"""
 
+  /** All n-grams for n in 1..maxN of token array `arr`, as
+    * (n, gram) structs. `slice(sequence(1, size), 1, greatest(len-n+1, 0))`
+    * instead of `sequence(1, len-n+1)` because Spark's `sequence(1, 0)`
+    * counts DOWN ([1, 0]) rather than returning empty.
+    */
+  private def gramsExpr(arr: String, maxN: Int): String =
+    s"""flatten(transform(sequence(1, $maxN), n ->
+          transform(slice(sequence(1, size($arr)), 1, greatest(size($arr) - n + 1, 0)),
+                    i -> named_struct('n', n, 'gram', concat_ws(' ', slice($arr, i, n))))))"""
+
+  /** Sorted word n-grams of one side as an in-row array — the building
+    * block of the WITHIN-ROW clipped-match plan shared by BLEU, ROUGE
+    * and chrF (r13): both texts of a pair sit on the same row, so
+    * per-pair clipping needs no (pair, gram)-keyed shuffle at all. The
+    * slice guard keeps texts shorter than n at an EMPTY array, never a
+    * descending sequence.
+    */
+  private def sortedGramsExpr(arr: String, n: Int): String =
+    s"""array_sort(transform(
+          slice(sequence(1, size($arr)), 1, greatest(size($arr) - $n + 1, 0)),
+          i -> concat_ws(' ', slice($arr, i, $n))))"""
+
   /** Σ_g min(count_a(g), count_b(g)) over two SORTED multiset arrays: a
     * two-pointer merge as a bounded fold (one pointer advances per
     * step, so size(a)+size(b) steps always suffice); greatest(…, 1)
@@ -158,11 +180,42 @@ object EvalQueries {
     * denominator an exact BIGINT sum; a mean of per-pair float F1s
     * would be summation-order-dependent.
     *
-    * Since r14 this IS the dictionary-coded in-row plan
-    * ([[rougeScoresCoded]]): 8.6 → 5.8 s at sf1 (SCALE.md r14), same
-    * exact output, same oracle.
+    * Plan note (r14 A/B, SCALE.md): a dictionary-coded in-row twin of
+    * [[bleuCorpusCoded]] was built and MEASURED A WASH at sf1 (8.2 vs
+    * 8.8 s isolated) and a loss at sf0.1 (2.85 vs 1.35 s) — ROUGE's
+    * n ≤ 2 gram volume is too small for the encode stages to pay off,
+    * so the gram-shuffle plan stays (the BLEU-side win came from the
+    * 4-gram volume). Recorded like the r13 string-clip revert.
     */
-  def rougeScores(s: SparkSession, dir: String): DataFrame = rougeScoresCoded(s, dir)
+  def rougeScores(s: SparkSession, dir: String): DataFrame = {
+    val pairs = pairedDocs(s, dir)
+    val cg = pairs
+      .select(col("pair_id"), col("source"), explode(expr(gramsExpr("cw", 2))).as("g"))
+      .groupBy(col("pair_id"), col("source"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .agg(count(lit(1)).as("c_cnt"))
+    val rg = pairs
+      .select(col("pair_id"), col("source"), explode(expr(gramsExpr("rw", 2))).as("g"))
+      .groupBy(col("pair_id"), col("source"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .agg(count(lit(1)).as("r_cnt"))
+    val matches = cg
+      .join(rg.drop("source"), Seq("pair_id", "n", "gram"), "left")
+      .groupBy(col("source"), col("n"))
+      .agg(
+        sum(least(col("c_cnt"), coalesce(col("r_cnt"), lit(0L)))).as("m"),
+        sum(col("c_cnt")).as("ct"))
+    val refTot = rg
+      .groupBy(col("source"), col("n"))
+      .agg(sum(col("r_cnt")).as("rt"))
+    val prec = col("m").cast("double") / col("ct").cast("double")
+    val rec = col("m").cast("double") / col("rt").cast("double")
+    val f1 = when(col("m") > 0, lit(2.0) * prec * rec / (prec + rec)).otherwise(lit(0.0))
+    matches
+      .join(refTot, Seq("source", "n"))
+      .select(
+        col("source"), col("n").cast("long").as("n"),
+        col("m"), col("ct"), col("rt"),
+        q6(prec).as("prec"), q6(rec).as("rec"), q6(f1).as("f1"))
+  }
 
   val rougeScoresSql: String = {
     val prec = "(CAST(m AS DOUBLE) / CAST(ct AS DOUBLE))"
@@ -294,39 +347,6 @@ object EvalQueries {
       col("source"), col("n_pairs"), col("clen"), col("rlen"),
       q6(p(1)).as("p1"), q6(p(2)).as("p2"), q6(p(3)).as("p3"), q6(p(4)).as("p4"),
       q6(bp).as("bp"), q6(bleu).as("bleu"))
-  }
-
-  /** [[rougeScores]] on the coded in-row plan (see [[bleuCorpusCoded]]);
-    * the per-order rows are unpivoted from one wide per-source aggregate
-    * with `stack`. Same oracle as q_rouge.
-    */
-  def rougeScoresCoded(s: SparkSession, dir: String): DataFrame = {
-    val pairs = codedPairedDocs(s, dir)
-    val withGrams = pairs.select(
-      Seq(col("source")) ++
-        (1 to 2).flatMap(n => Seq(
-          expr(codedGramsExpr("cids", n)).as(s"gc$n"),
-          expr(codedGramsExpr("rids", n)).as(s"gr$n"))): _*)
-    val perPair = withGrams.select(
-      Seq(col("source")) ++
-        (1 to 2).flatMap(n => Seq(
-          expr(multisetClipExpr(s"gc$n", s"gr$n")).as(s"pm$n"),
-          expr(s"size(gc$n)").cast("long").as(s"pc$n"),
-          expr(s"size(gr$n)").cast("long").as(s"pr$n"))): _*)
-    val wide = perPair
-      .groupBy(col("source"))
-      .agg(
-        sum(col("pm1")).as("m1"), sum(col("pc1")).as("ct1"), sum(col("pr1")).as("rt1"),
-        sum(col("pm2")).as("m2"), sum(col("pc2")).as("ct2"), sum(col("pr2")).as("rt2"))
-    val tall = wide.select(
-      col("source"),
-      expr("stack(2, 1L, m1, ct1, rt1, 2L, m2, ct2, rt2) AS (n, m, ct, rt)"))
-    val prec = col("m").cast("double") / col("ct").cast("double")
-    val rec = col("m").cast("double") / col("rt").cast("double")
-    val f1 = when(col("m") > 0, lit(2.0) * prec * rec / (prec + rec)).otherwise(lit(0.0))
-    tall.select(
-      col("source"), col("n"), col("m"), col("ct"), col("rt"),
-      q6(prec).as("prec"), q6(rec).as("rec"), q6(f1).as("f1"))
   }
 
   // --------------------------------------------------------------------
