@@ -243,12 +243,26 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
       spark: SparkSession,
       cached: DataFrame,
       batchId: Long): Unit = {
-    val batchCounts: Map[(String, Long), Long] = cached
-      .groupBy(col("run_name"), col("run_start_ns"))
-      .agg(sum(size(col("time")).cast("long")).as("n"))
+    // ONE bounded aggregate serves double duty (r14 — the chain soak
+    // named the sink's per-batch job count as the bottleneck stage):
+    // the per-(run, period) rows ARE the periods plane, and their
+    // per-run rollup IS the event count the offset cache needs — the
+    // r13 shape paid a separate groupBy+collect job for the latter.
+    // Bounded: |runs in batch| × |periods| rows (the reference's period
+    // list is a handful per run).
+    val periodRows: Array[(String, Long, Long, Long, Long)] = cached
+      .groupBy(
+        col("run_name"),
+        col("run_start_ns"),
+        col("metadata.periodNumber").as("period_number"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(size(col("time")).cast("long")).as("n_events"))
       .collect()
-      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
-      .toMap
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val batchCounts: Map[(String, Long), Long] = periodRows
+      .groupBy(r => (r._1, r._2))
+      .map { case (k, rs) => k -> rs.map(_._5).sum }
     // empty micro-batch (the lifecycle job's finalization poll): nothing
     // to write, and dynamic overwrite of zero partitions is a no-op —
     // skip the write jobs entirely
@@ -278,16 +292,13 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
       .partitionBy("run_name", "run_start_ns", "batch_id")
       .parquet(local.resolve("frames").toString)
     // periods group: per-period accumulation from frame metadata
-    // (period.rs:23-55, UpdatePeriodList) — tiny (one row per period per
-    // batch), aggregated at read time
-    cached
-      .groupBy(
-        col("run_name"),
-        col("run_start_ns"),
-        col("metadata.periodNumber").as("period_number"))
-      .agg(
-        count(lit(1)).as("n_frames"),
-        sum(size(col("time")).cast("long")).as("n_events"))
+    // (period.rs:23-55, UpdatePeriodList) — written from the ALREADY
+    // COLLECTED rows (tiny, driver-local) instead of re-running the
+    // aggregate as a fourth distributed job; identical schema and
+    // partition layout to the r13 shape
+    import spark.implicits._
+    periodRows.toSeq
+      .toDF("run_name", "run_start_ns", "period_number", "n_frames", "n_events")
       .withColumn("batch_id", lit(batchId))
       .write
       .mode(SaveMode.Overwrite)
