@@ -148,9 +148,8 @@ final class FiniteDifferencesWindow(n: Int) extends WindowFn[Double, Array[Doubl
     } else {
       values.prepend(value)
       // in-place fill (r14): the buffer is reused across pushes —
-      // `output` still hands out clones, and the loop kernels'
-      // `currentDiffs` readers clone before storing, so no caller can
-      // observe the mutation
+      // `output` hands out clones, so no caller can observe the
+      // mutation
       var d = 0
       while (d < n) { diffs(d) = nthDifference(d); d += 1 }
       values.removeLast()
@@ -159,12 +158,6 @@ final class FiniteDifferencesWindow(n: Int) extends WindowFn[Double, Array[Doubl
 
   def output: Option[Array[Double]] =
     if (values.length + 1 == n) Some(diffs.clone()) else None
-
-  /** Uncloned internal buffer for the loop kernels — valid only until
-    * the next `push`; callers must not retain it (both downstream
-    * discriminators clone before storing).
-    */
-  private[dsp] def currentDiffs: Array[Double] = diffs
 
   def timeShift(time: Double): Double = time
 }

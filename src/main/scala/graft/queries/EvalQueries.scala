@@ -273,7 +273,7 @@ object EvalQueries {
       .withColumn(
         "tid",
         (row_number().over(Window.orderBy(col("tok"))) - 1).cast("long"))
-    val enc = d
+    val grouped = d
       .select(col("doc_id"), col("source"), posexplode(col("w")).as(Seq("pos", "tok")))
       .join(broadcast(vocab), "tok")
       .groupBy(col("doc_id"), col("source"))
@@ -281,6 +281,18 @@ object EvalQueries {
         transform(
           array_sort(collect_list(struct(col("pos"), col("tid")))),
           x => x.getField("tid")).as("ids"))
+    // retention parity with pairedDocs (ADVICE r14): a NULL-text doc has
+    // a NULL token array there (split(NULL) = NULL), but posexplode over
+    // a NULL array emits no rows, so the doc would vanish from `grouped`
+    // and its pair from the output — while the gram plans and the DuckDB
+    // oracle keep the pair with NULL-skipping stats. Left-joining the
+    // encode back onto the doc keys restores such docs with ids = NULL,
+    // which downstream treats exactly like a NULL gram array. The join
+    // is doc-keyed and `grouped` is already hash-partitioned on the key
+    // by its aggregate, so only the (doc_id, source)-only side shuffles.
+    val enc = d
+      .select(col("doc_id"), col("source"))
+      .join(grouped, Seq("doc_id", "source"), "left")
     val cand = enc.select(col("doc_id").as("pair_id"), col("source"), col("ids").as("cids"))
     val ref = enc.select((col("doc_id") - 20).as("pair_id"), col("ids").as("rids"))
     cand.join(ref, "pair_id")

@@ -597,34 +597,48 @@ object MediaCodecQueries {
       .filter(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
   }
 
-  /** `AudioSystem.getAudioInputStream` minus the global provider lock:
-    * first reader that accepts the stream wins (the JDK loops the same
-    * way, `AudioSystem.java`). The last SUCCESSFUL reader is tried
-    * first on the next call: the jstack of the first fix attempt showed
-    * all 32 tasks still convoyed — the loop reached
-    * `SoftMidiAudioFileReader` before the WAVE reader, and that
-    * reader's REJECTION path itself takes the same global
-    * `JSSecurityManager` lock (`MidiSystem.getSequence` →
-    * `JDK13Services.getProviders`). Result identity is unaffected:
-    * readers either parse a container or throw, so reordering cannot
-    * change which one accepts.
+  /** The WAVE-capable reader, resolved ONCE per JVM against a fixed
+    * canonical WAVE probe (like `wavWriters` filters on file type —
+    * `AudioFileReader` has no `isFileTypeSupported`, so the probe is
+    * the filter). Resolution is order-INDEPENDENT: the winner depends
+    * only on the fixed probe bytes, never on prior workload inputs —
+    * the r14 mutable last-successful-reader cache could, in principle,
+    * pick different lenient readers for the same bytes depending on
+    * what was decoded earlier (ADVICE r14). The workload is WAVE-only;
+    * bytes the resolved reader rejects fall back to the JDK's own
+    * fixed provider order below.
     */
-  @volatile private var preferredWavReader: javax.sound.sampled.spi.AudioFileReader = _
+  private lazy val waveReader: Option[javax.sound.sampled.spi.AudioFileReader] = {
+    val probe = wavFor(0L)
+    wavReaders.find { r =>
+      try {
+        r.getAudioInputStream(new java.io.ByteArrayInputStream(probe)).close()
+        true
+      } catch { case _: Exception => false }
+    }
+  }
+
+  /** `AudioSystem.getAudioInputStream` minus the global provider lock:
+    * the pre-resolved WAVE reader is tried first (the jstack of the
+    * first fix attempt showed all 32 tasks still convoyed — the
+    * fixed-order loop reached `SoftMidiAudioFileReader` before the
+    * WAVE reader, and that reader's REJECTION path itself takes the
+    * same global `JSSecurityManager` lock, `MidiSystem.getSequence` →
+    * `JDK13Services.getProviders`); non-WAVE bytes fall back to the
+    * JDK's own fixed provider order, so acceptance matches
+    * `AudioSystem.java`'s loop deterministically.
+    */
   private[queries] def readWav(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
-    val pref = preferredWavReader
-    if (pref != null) {
-      try return pref.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+    waveReader.foreach { r =>
+      try return r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
       catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
     }
     val it = wavReaders.iterator
     while (it.hasNext) {
       val r = it.next()
-      if (r ne pref) {
-        try {
-          val ais = r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
-          preferredWavReader = r
-          return ais
-        } catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+      if (!waveReader.contains(r)) {
+        try return r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
       }
     }
     throw new javax.sound.sampled.UnsupportedAudioFileException(

@@ -8,12 +8,21 @@ copies of the driver's sf0.1 tables.
 
 - fact/entity keys shift by copy*stride (stride = the table's dense key
   count), so copies never collide: orders/lineitem (o_orderkey),
-  customer (c_custkey, and the name gets a per-copy "_k" suffix — the
-  cross-copy distance-1 cliques the fuzzy-match study measures),
+  customer (c_custkey, and the name gets a per-copy suffix — the
+  cross-copy cliques the fuzzy-match study measures),
   events (event_id, user_id), documents (doc_id), embeddings (vec_id);
-- document text is token-suffixed per copy ("tok" -> "tok_k", empty
-  tokens left alone) so vocabulary, dedup, BPE and novelty workloads
-  scale honestly instead of collapsing onto exact clones;
+- document text is token-suffixed per copy so vocabulary, dedup, BPE
+  and novelty workloads scale honestly instead of collapsing onto
+  exact clones;
+- suffixes are FIXED-WIDTH zero-padded ("_007"), the same width at
+  every factor (VERDICT r14 ask #4): the r14 scheme's variable-width
+  "_k" made copies k >= 10 carry longer names/tokens than copies 0-9,
+  shifting the name-length distribution (and the entropy-balanced
+  blocking-class profile fuzzy-match/entity-resolution key on)
+  BETWEEN factors — so the sf2/sf10 pair-law readings measured the
+  generator, not the plan. With a constant width, every copy of every
+  factor transforms names identically and the length distribution is
+  factor-invariant;
 - embeddings are perturbed per copy (component * (1 + k/1000), cast
   back to FLOAT) so IVF/LSH cells stay geometrically distinct; copy 0
   is pristine — the vec_id < 8 probe set keeps its original geometry;
@@ -21,7 +30,7 @@ copies of the driver's sf0.1 tables.
 
 Copy 0 keeps the source KEYS (shift 0), so "doc_id < N"-style fixture
 bounds select the same rows at both scales; its text/name suffix is
-the uniform "_0", which preserves within-copy similarity structure
+the uniform "_000", which preserves within-copy similarity structure
 (every token of every doc transforms identically, so common-word
 counts between copy-0 documents are unchanged), and its embeddings
 are exactly pristine (x * 1.0 is identity in IEEE float).
@@ -35,6 +44,13 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
 FACTOR = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+# factor-INVARIANT suffix width (supports FACTOR <= 1000): "_007" at
+# sf1 and at sf10 alike, so name/token lengths never depend on the
+# factor being generated
+assert FACTOR <= 1000, "raise the fixed suffix width for larger factors"
+def sfx(k):
+    return f"_{k:03d}"
 
 STRIDES = {
     "o_orderkey": None,  # filled from data below
@@ -92,7 +108,7 @@ def main():
 
     gen("customer", lambda k: f"""
         SELECT c_custkey + {k * sc} AS c_custkey,
-               c_name || '_{k}' AS c_name,
+               c_name || '{sfx(k)}' AS c_name,
                c_nationkey, c_acctbal, c_mktsegment
         FROM '{SRC}/customer.parquet'""")
 
@@ -105,10 +121,10 @@ def main():
     gen("documents", lambda k: f"""
         SELECT doc_id + {k * sd} AS doc_id,
                array_to_string(list_transform(string_split(text, ' '),
-                   x -> CASE WHEN x = '' THEN x ELSE x || '_{k}' END), ' ') AS text,
+                   x -> CASE WHEN x = '' THEN x ELSE x || '{sfx(k)}' END), ' ') AS text,
                lang, source,
                length(array_to_string(list_transform(string_split(text, ' '),
-                   x -> CASE WHEN x = '' THEN x ELSE x || '_{k}' END), ' ')) AS n_chars
+                   x -> CASE WHEN x = '' THEN x ELSE x || '{sfx(k)}' END), ' ')) AS n_chars
         FROM '{SRC}/documents.parquet'""")
 
     gen("embeddings", lambda k: f"""
