@@ -9,6 +9,11 @@ object Bench {
     // query doesn't absorb session warm-up costs
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => }
+    // fixed host-speed calibration (~8 s, VERDICT r14 ask #2): lands in
+    // the JSON so cross-round totals can be drift-normalized
+    // (tools/bench_ratio.py --calibrate) — the r14 forensic measured
+    // 1.6–2.3× pure host drift on unchanged code between rounds
+    val calibration = Calibrate.run(spark)
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -82,7 +87,7 @@ object Bench {
           f"spread_total=$spreadTotalAll%.1f s vs total=$total%.1f s) — " +
           "timings unreliable; re-run on a quiet host")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","contended":$contended,"queries":$qs,"spread":$sp,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","contended":$contended,"calibration":${calibration.json},"queries":$qs,"spread":$sp,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir"}"""
     // The full per-query JSON (~5 KB at 166 queries) exceeds the 2000-char
     // stdout tail a capture harness keeps, so a full-map println can never
     // parse from the tail. Persist the complete JSON to a file, then print
@@ -99,7 +104,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP) }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","n_queries":${results.size},"contended":$contended,"spread_total":${BigDecimal(spreadTotalAll).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"queries":$slowest,"queries_full":"${out.toString}","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","n_queries":${results.size},"contended":$contended,"calibration":${calibration.json},"spread_total":${BigDecimal(spreadTotalAll).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"queries":$slowest,"queries_full":"${out.toString}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

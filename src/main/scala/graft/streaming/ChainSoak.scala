@@ -324,6 +324,9 @@ object ChainSoak {
         } finally {
           dataQuery.stop()
           controlQuery.stop()
+          // a compaction/archive pass in flight at stop time finishes on
+          // its own thread — join it, or the audit reads race the moves
+          PipelineJobs.awaitMaintenance(dataQuery)
         }
 
         // ---- end-state audit (after the queries stopped) ----

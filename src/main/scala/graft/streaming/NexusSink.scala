@@ -30,12 +30,24 @@ import scala.jdk.CollectionConverters._
   * `(run, batch_id)` subdirectories, making the sink idempotent per
   * micro-batch.
   *
-  * Scale: the per-run layout is written with one
-  * `partitionBy(run_name, run_start_ns, batch_id)` append — executors
-  * write partition dirs directly, the driver never touches row data;
-  * `event_index` windows are per run generation (bounded).
+  * Scale: the event plane (the corpus) is written with one
+  * `partitionBy(run_name, run_start_ns, batch_id)` job — executors
+  * write partition dirs directly, the driver never touches event rows.
+  * The frame and period planes are DERIVED driver-side from one narrow
+  * per-frame scalar pass (bounded by `maxDriverFramesPerBatch`, with a
+  * fully distributed fallback above it), so the batch's corpus is
+  * scanned by exactly one write job instead of three.
   */
-final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
+final class NexusSink(
+    outputDir: String,
+    scratchStaleMs: Long = 15L * 60 * 1000,
+    // frames-per-micro-batch bound for the driver-derived frame/period
+    // planes (see writeBatchCached): above it the batch falls back to
+    // the fully distributed writes. Frames per batch is an
+    // ENGINE-CONTROLLED quantity (maxOffsetsPerTrigger & co.), so the
+    // default covers any sanely configured trigger with margin; the
+    // ~80 B/frame driver footprint at the cap is ~40 MB transient.
+    maxDriverFramesPerBatch: Long = 500000L)
     extends Serializable {
 
   private val local = Paths.get(outputDir, "local")
@@ -199,13 +211,24 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
       runKeys: Set[(String, Long)],
       beforeBatchId: Long): Map[(String, Long), Long] = {
     val eventsDir = local.resolve("events")
-    if (!Files.exists(eventsDir)) Map.empty
+    // a run first seen in THIS batch has no partitions on disk unless
+    // the process is replaying after a crash — probe the generation
+    // dirs before paying a Spark scan job, so steady-state operation
+    // (where new runs arrive constantly) never reads the events plane
+    // just to learn the base offset is 0 (r15: this scan fired every
+    // couple of batches in the chain soak, one full local/events read
+    // each)
+    val replayed = runKeys.filter { case (n, s) =>
+      Files.isDirectory(
+        eventsDir.resolve(s"run_name=${escName(n)}").resolve(s"run_start_ns=$s"))
+    }
+    if (!Files.exists(eventsDir) || replayed.isEmpty) Map.empty
     else
       try {
         spark.read
           .parquet(eventsDir.toString)
           .filter(col("batch_id") < beforeBatchId &&
-            col("run_name").isin(runKeys.map(_._1).toSeq: _*))
+            col("run_name").isin(replayed.map(_._1).toSeq: _*))
           // partition-column inference types small values as INT (and a
           // numeric-looking run name as INT too) — cast BOTH partition
           // columns so getString/getLong never hit a ClassCastException
@@ -243,14 +266,165 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
       spark: SparkSession,
       cached: DataFrame,
       batchId: Long): Unit = {
-    // ONE bounded aggregate serves double duty (r14 — the chain soak
-    // named the sink's per-batch job count as the bottleneck stage):
-    // the per-(run, period) rows ARE the periods plane, and their
-    // per-run rollup IS the event count the offset cache needs — the
-    // r13 shape paid a separate groupBy+collect job for the latter.
-    // Bounded: |runs in batch| × |periods| rows (the reference's period
-    // list is a handful per run).
-    val periodRows: Array[(String, Long, Long, Long, Long)] = cached
+    // ONE narrow pass serves the whole metadata side (r15 — the r14
+    // chain soak named the sink stage as the end-to-end bottleneck:
+    // TWO corpus-bearing scans per batch, the frames plane re-scanning
+    // the cached batch through a window shuffle the events plane had
+    // already paid for). The per-frame scalars are collected once —
+    // this job also materializes the persist, so the expensive part
+    // (formation + assembly + state commit upstream) runs exactly once
+    // — and the frame plane (event_index cumsum), the periods plane,
+    // and the offset-cache counts are all derived driver-side from it.
+    // Bounded: one row of 9 scalars per ASSEMBLED FRAME in the batch
+    // (~1/|digitisers| of the input rows), with [[maxDriverFramesPerBatch]]
+    // as the validated cap — an over-cap batch (a giant backlog-replay
+    // trigger) falls back to the fully distributed r13-shaped writes
+    // below, so the driver never keeps an unbounded batch resident
+    // (ADVICE r14 on the periods collect: period rows are ≤ frame rows,
+    // so the same cap now bounds them too).
+    val frameMeta: Array[NexusSink.FrameMeta] = cached
+      .select(
+        col("run_name"),
+        col("run_start_ns"),
+        col("metadata.timestampNs"),
+        col("metadata.periodNumber"),
+        col("metadata.frameNumber"),
+        col("complete"),
+        col("metadata.running"),
+        col("metadata.vetoFlags"),
+        size(col("time")).cast("long"))
+      .collect()
+      .map(r => NexusSink.FrameMeta(
+        r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getBoolean(6), r.getInt(7),
+        r.getLong(8)))
+    // empty micro-batch (the lifecycle job's finalization poll): nothing
+    // to write, and dynamic overwrite of zero partitions is a no-op —
+    // skip the write jobs entirely
+    if (frameMeta.isEmpty) return
+    if (frameMeta.length > maxDriverFramesPerBatch) {
+      writeBatchDistributed(spark, cached, batchId)
+      return
+    }
+    val batchCounts: Map[(String, Long), Long] = frameMeta
+      .groupBy(m => (m.runName, m.runStartNs))
+      .map { case (k, ms) => k -> ms.iterator.map(_.nEvents).sum }
+    val newRuns = batchCounts.keySet.diff(eventBase.keySet)
+    if (newRuns.nonEmpty) {
+      val onDisk = onDiskEventCounts(spark, newRuns, batchId)
+      newRuns.foreach(r => eventBase(r) = onDisk.getOrElse(r, 0L))
+    }
+    // frame plane rows, driver-derived: per-generation sort by frame
+    // timestamp (the same ordering NexusTables.frameTable's window
+    // declares) and a running cumsum seeded from the offset cache —
+    // identical schema and partition layout to the distributed plane
+    val frameRows = new java.util.ArrayList[org.apache.spark.sql.Row](frameMeta.length)
+    frameMeta
+      .groupBy(m => (m.runName, m.runStartNs))
+      .foreach { case ((name, start), ms) =>
+        var idx = eventBase((name, start))
+        ms.sortBy(_.tsNs).foreach { m =>
+          frameRows.add(org.apache.spark.sql.Row(
+            name, start, m.tsNs - start, idx, m.periodNumber,
+            m.frameNumber, m.complete, m.running, m.vetoFlags, batchId))
+          idx += m.nEvents
+        }
+      }
+    val periodRows: Seq[(String, Long, Long, Long, Long)] = frameMeta
+      .groupBy(m => (m.runName, m.runStartNs, m.periodNumber))
+      .map { case ((n, s, p), ms) =>
+        (n, s, p, ms.length.toLong, ms.iterator.map(_.nEvents).sum)
+      }
+      .toSeq
+    // the events plane is now the ONLY distributed write; it reads the
+    // already-materialized cache, so it runs concurrently with the two
+    // tiny driver-local plane writes below (independent Spark jobs —
+    // the local writes are single-task and slot in beside the events
+    // tasks). Failure of any write fails the batch, and replay rewrites
+    // all three planes' (run, batch_id) partitions idempotently.
+    val eventsFailure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val eventsThread = new Thread(
+      () =>
+        try
+          NexusTables
+            .eventTable(cached)
+            .withColumn("batch_id", lit(batchId))
+            .write
+            .mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("run_name", "run_start_ns", "batch_id")
+            .parquet(local.resolve("events").toString)
+        catch { case t: Throwable => eventsFailure.set(t) },
+      "nexus-events-write")
+    eventsThread.setDaemon(true)
+    eventsThread.start()
+    try {
+      import spark.implicits._
+      // dynamic partition OVERWRITE, not append: replaying a micro-batch
+      // after restart must replace its (run, batch_id) partitions — a
+      // blind append would duplicate every row of the replayed batch
+      spark
+        .createDataFrame(frameRows, NexusSink.frameplaneSchema)
+        .write
+        .mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("run_name", "run_start_ns", "batch_id")
+        .parquet(local.resolve("frames").toString)
+      // periods group: per-period accumulation from frame metadata
+      // (period.rs:23-55, UpdatePeriodList) — same derived-plane shape
+      periodRows
+        .toDF("run_name", "run_start_ns", "period_number", "n_frames", "n_events")
+        .withColumn("batch_id", lit(batchId))
+        .write
+        .mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("run_name", "run_start_ns", "batch_id")
+        .parquet(local.resolve("periods").toString)
+    } finally eventsThread.join()
+    val failure = eventsFailure.get()
+    if (failure != null) throw failure
+    batchCounts.foreach { case (r, n) => eventBase(r) = eventBase(r) + n }
+  }
+
+  /** The r13-shaped fully distributed write path, kept as the fallback
+    * for batches larger than [[maxDriverFramesPerBatch]] (e.g. one giant
+    * backlog-replay trigger): per-run counts from a bounded aggregate,
+    * then distributed events/frames/periods plane writes. Identical
+    * on-disk layout to the driver-derived path.
+    */
+  private def writeBatchDistributed(
+      spark: SparkSession,
+      cached: DataFrame,
+      batchId: Long): Unit = {
+    // bounded by |runs in batch| — the run catalog is a tiny dimension
+    val batchCounts: Map[(String, Long), Long] = cached
+      .groupBy(col("run_name"), col("run_start_ns"))
+      .agg(sum(size(col("time")).cast("long")).as("n_events"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val newRuns = batchCounts.keySet.diff(eventBase.keySet)
+    if (newRuns.nonEmpty) {
+      val onDisk = onDiskEventCounts(spark, newRuns, batchId)
+      newRuns.foreach(r => eventBase(r) = onDisk.getOrElse(r, 0L))
+    }
+    NexusTables
+      .eventTable(cached)
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("run_name", "run_start_ns", "batch_id")
+      .parquet(local.resolve("events").toString)
+    NexusTables
+      .frameTable(cached, eventBase.toMap)
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("run_name", "run_start_ns", "batch_id")
+      .parquet(local.resolve("frames").toString)
+    cached
       .groupBy(
         col("run_name"),
         col("run_start_ns"),
@@ -258,47 +432,6 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
       .agg(
         count(lit(1)).as("n_frames"),
         sum(size(col("time")).cast("long")).as("n_events"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-    val batchCounts: Map[(String, Long), Long] = periodRows
-      .groupBy(r => (r._1, r._2))
-      .map { case (k, rs) => k -> rs.map(_._5).sum }
-    // empty micro-batch (the lifecycle job's finalization poll): nothing
-    // to write, and dynamic overwrite of zero partitions is a no-op —
-    // skip the write jobs entirely
-    if (batchCounts.isEmpty) return
-    val newRuns = batchCounts.keySet.diff(eventBase.keySet)
-    if (newRuns.nonEmpty) {
-      val onDisk = onDiskEventCounts(spark, newRuns, batchId)
-      newRuns.foreach(r => eventBase(r) = onDisk.getOrElse(r, 0L))
-    }
-    val events = NexusTables
-      .eventTable(cached)
-      .withColumn("batch_id", lit(batchId))
-    val frames = NexusTables
-      .frameTable(cached, eventBase.toMap)
-      .withColumn("batch_id", lit(batchId))
-    // dynamic partition OVERWRITE, not append: replaying a micro-batch
-    // after restart must replace its (run, batch_id) partitions — a
-    // blind append would duplicate every row of the replayed batch
-    events.write
-      .mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("run_name", "run_start_ns", "batch_id")
-      .parquet(local.resolve("events").toString)
-    frames.write
-      .mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("run_name", "run_start_ns", "batch_id")
-      .parquet(local.resolve("frames").toString)
-    // periods group: per-period accumulation from frame metadata
-    // (period.rs:23-55, UpdatePeriodList) — written from the ALREADY
-    // COLLECTED rows (tiny, driver-local) instead of re-running the
-    // aggregate as a fourth distributed job; identical schema and
-    // partition layout to the r13 shape
-    import spark.implicits._
-    periodRows.toSeq
-      .toDF("run_name", "run_start_ns", "period_number", "n_frames", "n_events")
       .withColumn("batch_id", lit(batchId))
       .write
       .mode(SaveMode.Overwrite)
@@ -844,6 +977,40 @@ final class NexusSink(outputDir: String, scratchStaleMs: Long = 15L * 60 * 1000)
 }
 
 object NexusSink {
+
+  /** Per-frame scalars collected once per micro-batch — everything the
+    * frame and period planes plus the offset cache need, with the event
+    * payload (time/voltage/channel arrays) left on the executors.
+    */
+  private final case class FrameMeta(
+      runName: String,
+      runStartNs: Long,
+      tsNs: Long,
+      periodNumber: Long,
+      frameNumber: Long,
+      complete: Boolean,
+      running: Boolean,
+      vetoFlags: Int,
+      nEvents: Long)
+
+  /** Schema of the frame plane as written (NexusTables.frameTable's
+    * column order and types plus the trailing batch_id) — the
+    * driver-derived and distributed paths must stay byte-compatible.
+    */
+  private val frameplaneSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("run_name", StringType),
+      StructField("run_start_ns", LongType, nullable = false),
+      StructField("event_time_zero", LongType, nullable = false),
+      StructField("event_index", LongType, nullable = false),
+      StructField("period_number", LongType, nullable = false),
+      StructField("frame_number", LongType, nullable = false),
+      StructField("frame_complete", BooleanType, nullable = false),
+      StructField("running", BooleanType, nullable = false),
+      StructField("veto_flags", IntegerType, nullable = false),
+      StructField("batch_id", LongType, nullable = false)))
+  }
 
   /** Recursive delete for scratch/layout dirs — shared with the
     * fixture queries that stand up a throwaway sink layout.

@@ -311,8 +311,8 @@ object PipelineJobs {
     // already-stopped runs until new data arrived.
     @scala.annotation.nowarn("cat=deprecation")
     val aev2 = FrameAssemblyStream.assemble(dev2, expectedDigitizers, ttlMs)
-    var lastArchiveNs = Option.empty[Long]
-    aev2.writeStream
+    val maintenanceSpark = traces.sparkSession
+    val query = aev2.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
@@ -333,23 +333,60 @@ object PipelineJobs {
         sink
           .finalizeRuns(catalog.entries, now, lingerMs)
           .foreach { case (n, s) => catalog.remove(n, s) }
-        // archiver tier poll (flush_to_archive.rs): interval-gated so a
-        // fast trigger doesn't hammer the filesystem scan
-        if (archiveIntervalMs > 0L &&
-          lastArchiveNs.forall(l => now - l >= archiveIntervalMs * 1000000L)) {
-          lastArchiveNs = Some(now)
-          // compaction first, so generations land in archive/ as few
-          // right-sized files instead of one file per micro-batch; a
-          // maintenance failure must not take the pipeline down (same
-          // stance as flushToArchive's per-generation tolerance) — the
-          // swap is crash-safe, so the next poll simply retries
-          if (compactBeforeArchive)
-            try sink.compactCompleted(spark)
-            catch { case scala.util.control.NonFatal(_) => () }
-          sink.flushToArchive()
-        }
         ()
       }
       .start()
+    // archiver tier (flush_to_archive.rs, polled by main.rs:101-103 on
+    // its own wall-clock interval): a MAINTENANCE THREAD, not a
+    // foreachBatch step (r15) — the r14 shape ran compaction + archive
+    // inside the data batch, so a generation's compaction rewrite
+    // (reading and re-writing its whole corpus) stalled the hot path
+    // for its full duration every poll. Completed generations are
+    // immutable and the sink's swap/recovery protocol is already
+    // multi-thread safe under moveLock (it was built for an archiver
+    // poll racing the writers), so the tier runs beside the stream
+    // exactly like the reference's separate poll loop. A maintenance
+    // failure never takes the pipeline down (same stance as
+    // flushToArchive's per-generation tolerance); the thread exits with
+    // the query.
+    if (archiveIntervalMs > 0L) {
+      val archiver = new Thread(
+        () =>
+          try while (query.isActive) {
+            try {
+              // compaction first, so generations land in archive/ as
+              // few right-sized files instead of one per micro-batch
+              if (compactBeforeArchive) sink.compactCompleted(maintenanceSpark)
+              sink.flushToArchive()
+            } catch { case scala.util.control.NonFatal(_) => () }
+            val next = System.currentTimeMillis() + math.max(archiveIntervalMs, 10L)
+            while (query.isActive && System.currentTimeMillis() < next)
+              Thread.sleep(10L)
+          } finally maintenanceThreads.remove(query.id),
+        "nexus-archiver")
+      archiver.setDaemon(true)
+      maintenanceThreads.put(query.id, archiver)
+      archiver.start()
+    }
+    query
+  }
+
+  /** Maintenance (compaction + archive) threads by lifecycle query id —
+    * a pass in flight when the query stops runs to completion (the swap
+    * protocol is crash-safe, so that is always sound for the LAYOUT),
+    * but a same-process caller that stops the query and then reads the
+    * sink tiers must [[awaitMaintenance]] first or its reads race the
+    * tail of that pass.
+    */
+  private val maintenanceThreads =
+    new java.util.concurrent.ConcurrentHashMap[java.util.UUID, Thread]()
+
+  /** Block until the lifecycle query's maintenance thread (if any) has
+    * exited — call after `query.stop()` and before reading the sink
+    * layout from the same process.
+    */
+  def awaitMaintenance(query: StreamingQuery): Unit = {
+    val t = maintenanceThreads.get(query.id)
+    if (t != null) t.join()
   }
 }

@@ -10,6 +10,14 @@ sorted descending, flagging ratios above --flag (default 3.0) — the
 SCALE.md adjudication input: on a 10x data step, a ratio well above
 ~10x means the plan is superlinear and needs a mechanism writeup.
 Queries present in only one file are listed separately (board drift).
+
+--calibrate additionally drift-normalizes the ratios using the fixed
+host-speed probe each Bench run embeds ("calibration": cpu_1t_sec /
+cpu_mt_sec / shuffle_sec — see graft.Calibrate). The correction factor
+is the geometric mean of the three probe ratios big/small: a CROSS-
+ROUND comparison on a drifted host (r14 forensics: 1.6-2.3x uniform
+slowdown on unchanged code) then reads ~1.0x for unchanged plans
+instead of the raw host ratio. Within-session A/Bs don't need it.
 """
 import argparse
 import json
@@ -26,6 +34,8 @@ def main():
     ap.add_argument("big")
     ap.add_argument("small")
     ap.add_argument("--flag", type=float, default=3.0)
+    ap.add_argument("--calibrate", action="store_true",
+                    help="drift-correct using the embedded host probe")
     args = ap.parse_args()
     big, bmeta = load(args.big)
     small, smeta = load(args.small)
@@ -33,6 +43,23 @@ def main():
         if meta.get("contended"):
             print(f"WARNING: {name} bench self-reports contended:true — "
                   "ratios unreliable")
+    drift = 1.0
+    if args.calibrate:
+        cb, cs = bmeta.get("calibration"), smeta.get("calibration")
+        if not cb or not cs:
+            print("WARNING: --calibrate requested but a file has no "
+                  "calibration field (pre-r15 bench) — using drift=1.0")
+        else:
+            axes = ("cpu_1t_sec", "cpu_mt_sec", "shuffle_sec")
+            ratios = [cb[a] / cs[a] for a in axes if cs.get(a)]
+            drift = 1.0
+            for r in ratios:
+                drift *= r
+            drift **= 1.0 / len(ratios)
+            per_axis = ", ".join(f"{a}={cb[a] / cs[a]:.2f}" for a in axes)
+            print(f"calibration drift big/small: {drift:.3f} ({per_axis}) — "
+                  "big walls divided by this below")
+        big = {q: v / drift for q, v in big.items()}
     shared = sorted(set(big) & set(small),
                     key=lambda q: big[q] / max(small[q], 1e-9), reverse=True)
     flagged = 0
