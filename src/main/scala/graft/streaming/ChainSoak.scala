@@ -66,7 +66,9 @@ import java.util.concurrent.atomic.AtomicLong
   * the separate event-formation envelope bench), SOAK_ROWS_PER_BATCH
   * (20000), RUN_FRAMES (50000), SOAK_STAGE (full), SOAK_OUT
   * (/tmp/chain_soak.json), SOAK_SINK_DIR (/tmp/chain_soak_sink),
-  * SOAK_ARCHIVE_MS (5000). Results in SCALE.md §Streaming.
+  * SOAK_ARCHIVE_MS (5000 — the maintenance THREAD's wall-clock poll
+  * interval since r15; it was a data-clock gate when the tier ran
+  * inside foreachBatch). Results in SCALE.md §Streaming.
   */
 object ChainSoak {
 

@@ -181,7 +181,10 @@ object FrameSoak {
     def totals: (Long, Long) = batches.synchronized {
       (batches.iterator.map(_._3).sum, batches.iterator.map(_._4).sum)
     }
-    val deadline = System.currentTimeMillis() + 15 * 60 * 1000L
+    // SOAK_DEADLINE_MIN: the r15 long-horizon soak (10⁷ frames) needs
+    // more than the default 15-minute cap
+    val deadline = System.currentTimeMillis() +
+      sys.env.getOrElse("SOAK_DEADLINE_MIN", "15").toLong * 60 * 1000L
     try {
       while (totals._1 < targetFrames && System.currentTimeMillis() < deadline &&
         query.isActive) {
@@ -211,6 +214,26 @@ object FrameSoak {
         s""""rocksdb_sst_peak_bytes":${if (snap.isEmpty) 0L else snap.map(_._7).max},""" +
         s""""ttl_ms":$ttlMs,"digitizers":$nDig,"events_per_msg":$eventsPerMsg,""" +
         s""""rows_per_batch":$rowsPerBatch,""" + {
+          // per-decile trend over the run IN BATCH ORDER (r15, VERDICT
+          // ask #6): a long-horizon soak is healthy iff batch time,
+          // commit time, and the RocksDB SST footprint stay ~flat from
+          // the first decile to the last — linear growth here is the
+          // changelog tombstone-decay signature the r13 study found
+          val ordered = snap.filter(_._2 > 0)
+          val orderedCost = batches.synchronized(stateCost.toVector)
+            .zip(snap).filter(_._2._2 > 0).map(_._1)
+          def decileMeans(xs: Vector[Long]): String =
+            if (xs.isEmpty) "[]"
+            else (0 until 10).map { d =>
+              val lo = d * xs.size / 10
+              val hi = math.max(lo + 1, (d + 1) * xs.size / 10)
+              val s = xs.slice(lo, hi)
+              f"${s.sum.toDouble / s.size}%.0f"
+            }.mkString("[", ",", "]")
+          s""""batch_ms_decile_means":${decileMeans(ordered.map(_._1))},""" +
+            s""""commit_ms_decile_means":${decileMeans(orderedCost.map(_._3))},""" +
+            s""""sst_bytes_decile_means":${decileMeans(ordered.map(_._7))},"""
+        } + {
           val sc = batches.synchronized(stateCost.toVector)
           s""""state_update_ms_total":${sc.map(_._1).sum},""" +
             s""""state_removal_ms_total":${sc.map(_._2).sum},""" +
