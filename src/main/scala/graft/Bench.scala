@@ -35,8 +35,13 @@ object Bench {
     // optional name filter (comma-separated) for A/B runs on a family of
     // queries without paying the full suite; default = all
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // SPARK_GRAFT_SKIP (r15): exclusion list for big-SF law sweeps —
+    // the quadratic-BY-CONTRACT pair queries (documented output law:
+    // ~100× wall on a 10× step) are skipped at sf10 rather than paid;
+    // any skip must be named in the SCALE.md adjudication
+    val skip = sys.env.get("SPARK_GRAFT_SKIP").map(_.split(",").toSet).getOrElse(Set.empty)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filter { case (n, _) => only.forall(_.contains(n)) && !skip.contains(n) }
     // host-load markers: round deltas have measured ~24% host-noise
     // spread (r10: 195 s vs 242 s for the same board), so the artifact
     // records the 1/5/15-min loadavg at both ends of the run — a judge
