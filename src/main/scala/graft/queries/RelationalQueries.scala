@@ -1802,19 +1802,31 @@ object RelationalQueries {
     * scale study can count candidates without running the verify DP).
     * Columns: block, cust_a < cust_b, name_a, name_b.
     */
-  def fuzzyCandidates(s: SparkSession, dir: String): DataFrame = {
-    val c = Tables
-      .customer(s, dir)
-      .select(
-        col("c_nationkey").as("block"),
-        col("c_custkey").as("ck"),
-        col("c_name").as("nm"),
-        length(col("c_name")).as("len"))
-    // the per-length class profile doubles as the distinct-length set
-    // for the leg-activation precheck: depth-2 neighborhoods only
-    // matter when two present name lengths differ by 1 or 2. Both are
-    // dimension-sized driver decisions, not data-sized collects.
-    val profiles = fuzzyClassProfiles(s, dir)
+  def fuzzyCandidates(s: SparkSession, dir: String): DataFrame =
+    fuzzyCandidatesOn(
+      s,
+      Tables
+        .customer(s, dir)
+        .select(
+          col("c_nationkey").as("block"),
+          col("c_custkey").as("ck"),
+          col("c_name").as("nm"),
+          length(col("c_name")).as("len")),
+      fuzzyClassProfiles(s, dir))
+
+  /** [[fuzzyCandidates]] generalized over the blocking key: `c` carries
+    * (block, ck, nm, len) with `block` of ANY equatable type — the
+    * exactness theorem only needs both sides of a pair to share the
+    * block value, so a caller may pass a composite key (e.g.
+    * [[entityResolution]]'s nation#band string) and every leg's join
+    * gets the tighter bucket for free. `profiles` is the per-length
+    * class assignment ([[fuzzyClassProfiles]]) — a pure function of the
+    * corpus, shared across block schemes.
+    */
+  private[queries] def fuzzyCandidatesOn(
+      s: SparkSession,
+      c: DataFrame,
+      profiles: Seq[FuzzyClassProfile]): DataFrame = {
     val lens = profiles.map(_.len).toSet
     val needDepth2 = lens.exists(l => lens.contains(l + 1) || lens.contains(l + 2))
 
@@ -3621,30 +3633,47 @@ object RelationalQueries {
     * CC is the repo's scalar-driver-traffic loop, and the
     * canonical-name join keys on the entity id. The oracle replays the
     * closure recursively.
+    *
+    * r15: the match edges ride [[fuzzyCandidatesOn]] — the same exact
+    * composite candidate generator as [[fuzzyMatch]] — keyed on the
+    * nation#band block instead of a naive in-block all-pairs join. The
+    * old shape enumerated Σ block² pairs and paid a bounded-lev call on
+    * every one (the r11 fuzzyMatch regression, re-created here); the
+    * generator's pigeonhole/deletion-neighborhood keys bound candidates
+    * by key selectivity, and the two-key block makes every bucket
+    * ~|bands|× tighter than fuzzyMatch's own. Exactness carries over
+    * verbatim: the theorem holds for any fixed per-pair-shared block
+    * value, and the string key can never collide two distinct
+    * (nation, band) blocks.
     */
-  def entityResolution(s: SparkSession, dir: String): DataFrame = {
+  /** [[entityResolution]]'s match edges, exposed so the plan audit can
+    * lock the candidate-join shape (the CC operator materializes edges
+    * through an RDD barrier, hiding these joins from the final plan).
+    */
+  private[graft] def entityResolutionPairs(s: SparkSession, dir: String): DataFrame = {
     graft.plans.BoundedLev.register(s)
     // two-key blocking (nation × acctbal band): with sequential
     // synthetic names, nation-only blocking chains every record in a
     // block into one entity through dist-1 neighbor links — the classic
     // transitive over-merge. The band key keeps candidate groups small
     // the way a real blocking key would.
-    val c = Tables
+    val cust = Tables
       .customer(s, dir)
       .select(
-        col("c_custkey"),
-        col("c_name"),
-        col("c_nationkey"),
-        floor(col("c_acctbal") / 1000.0).cast("long").as("band"))
-    val a = c.select(col("c_nationkey").as("bn"), col("band").as("bb"),
-      col("c_custkey").as("cust_a"), col("c_name").as("name_a"))
-    val b = c.select(col("c_nationkey").as("bn"), col("band").as("bb"),
-      col("c_custkey").as("cust_b"), col("c_name").as("name_b"))
-    val pairs = a
-      .join(b, Seq("bn", "bb"))
-      .filter(col("cust_a") < col("cust_b"))
+        concat_ws(
+          "#",
+          col("c_nationkey"),
+          floor(col("c_acctbal") / 1000.0).cast("long")).as("block"),
+        col("c_custkey").as("ck"),
+        col("c_name").as("nm"),
+        length(col("c_name")).as("len"))
+    fuzzyCandidatesOn(s, cust, fuzzyClassProfiles(s, dir))
       .filter(expr("bounded_lev(name_a, name_b, 2)").between(0, 2))
       .select(col("cust_a").as("src"), col("cust_b").as("dst"))
+  }
+
+  def entityResolution(s: SparkSession, dir: String): DataFrame = {
+    val pairs = entityResolutionPairs(s, dir)
     val comp = graft.operators.ConnectedComponents
       .components(pairs)
       .select(col("id").as("c_custkey"), col("component").as("entity"))

@@ -542,6 +542,33 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_entity_resolution: match edges ride the composite candidate generator") {
+    // audit the edge plan directly: the CC operator materializes edges
+    // through an RDD barrier, so the full query's final plan no longer
+    // shows the candidate joins
+    val df = graft.queries.RelationalQueries.entityResolutionPairs(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation degenerated to an unkeyed product")
+    // the r15 rework this locks: the naive (nation, band)-block all-pairs
+    // join re-created the r11 Σ block² regression inside entity
+    // resolution. Every pair join keyed on the block must also carry a
+    // selective composite key (pigeonhole class chars or a deletion
+    // variant) — block-alone joins are exactly the shape that dies at
+    // 100 TB.
+    val joinKeys =
+      """(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[([^\]]*)\]""".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+    val blockKeyed = joinKeys.filter(_.contains("block#"))
+    assert(blockKeyed.nonEmpty, p.take(2000))
+    blockKeyed.foreach { ks =>
+      assert(ks.contains("cls_chars") || ks.contains("u#"),
+        s"pair join keyed on [$ks] lacks a selective composite key")
+    }
+  }
+
   test("q_fuzzy_match: pigeonhole classes are entropy-balanced on the profile") {
     // the r12 residual this locks against: a FIXED position→class map
     // (round-robin mod 3) left one class holding only the corpus's
