@@ -537,7 +537,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val blockKeyed = joinKeys.filter(_.contains("block#"))
     assert(blockKeyed.nonEmpty, p.take(2000))
     blockKeyed.foreach { ks =>
-      assert(ks.contains("cls_chars") || ks.contains("u#"),
+      assert(ks.contains("cand_key"),
         s"pair join keyed on [$ks] lacks a selective composite key")
     }
   }
@@ -564,7 +564,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val blockKeyed = joinKeys.filter(_.contains("block#"))
     assert(blockKeyed.nonEmpty, p.take(2000))
     blockKeyed.foreach { ks =>
-      assert(ks.contains("cls_chars") || ks.contains("u#"),
+      assert(ks.contains("cand_key"),
         s"pair join keyed on [$ks] lacks a selective composite key")
     }
   }
