@@ -55,6 +55,47 @@ class SpatialSpec extends AnyFunSuite {
           ((r.getAs[Long]("n_neighbors"), r.getAs[Long]("min_d2")))).toMap == model.toMap)
   }
 
+  test("neighbor pairs: half-neighborhood equals brute force on a dense corpus, all offsets exercised") {
+    // the sf0.001 fixture yields only a couple of within-radius pairs,
+    // which cannot distinguish the directed half-neighborhood from the
+    // full 3×3 probe (the r15 rewrite) — a dense synthetic corpus
+    // produces thousands of pairs spanning same-cell and every
+    // cross-cell offset direction, and the pair SET must still equal
+    // the all-pairs model exactly (no duplicate, no missing pair)
+    import org.apache.spark.sql.functions._
+    val n = 12000
+    val keys = (1 to n).map(_.toLong)
+    val tmp = java.nio.file.Files.createTempDirectory("spatial-spec").toString
+    spark
+      .createDataFrame(keys.map(Tuple1(_)))
+      .toDF("c_custkey")
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    val got = SpatialQueries
+      .neighborPairs(spark, tmp)
+      .collect()
+      .map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib"), r.getAs[Long]("d2")))
+    // exact-set equality: collect() yielding a duplicate pair would
+    // differ from the model SET in size even if the distinct sets match
+    assert(got.length == got.toSet.size, "a pair was emitted twice")
+    val xs = keys.map(k => coord(k, "x")).toArray
+    val ys = keys.map(k => coord(k, "y")).toArray
+    val model = (for {
+      i <- (0 until n).iterator
+      j <- (i + 1) until n
+      d2 = (xs(i) - xs(j)) * (xs(i) - xs(j)) + (ys(i) - ys(j)) * (ys(i) - ys(j))
+      if d2 <= 490000L
+    } yield (keys(i), keys(j), d2)).toSet
+    assert(got.toSet == model)
+    // non-vacuity: enough pairs, and they straddle cells in several
+    // relative directions (otherwise a broken diagonal offset could pass)
+    assert(model.size > 1000, s"only ${model.size} pairs — corpus too sparse to exercise the cover")
+    val deltas = got.map { case (a, b, _) =>
+      val (ia, ib) = (a.toInt - 1, b.toInt - 1)
+      ((xs(ib) / 1000L - xs(ia) / 1000L), (ys(ib) / 1000L - ys(ia) / 1000L))
+    }.toSet
+    assert(deltas.size >= 5, s"only cell offsets $deltas exercised")
+  }
+
   test("spatial_knn: matches the exhaustive per-probe ranking") {
     val rows = SpatialQueries.spatialKnn(spark, dir).collect()
     val probes = graft.Tables
