@@ -281,11 +281,27 @@ object DecisionSupportQueries {
     * sort-merge — and paid a countDistinct Expand on the corpus;
     * measured 82.5 → 26.7 s at sf10, identical results). The pair
     * table makes every countDistinct a plain count: (ok, sk) rows are
-    * distinct by construction.
+    * distinct by construction. "One join total" holds via
+    * ReusedExchange, which needs the explicit null filter below —
+    * without it the branches' inferred scan filters diverge and the
+    * pair subtree still ran twice (second r15 fix: 36.3 → 22.1 s at
+    * sf10, contended back-to-back A/B).
     */
   def waitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    // The explicit null filter keeps BOTH consumers of `pairs`
+    // canonically identical up to the pair exchange: without it the
+    // late→numwait branch infers IsNotNull(l_suppkey) from its supplier
+    // join while the per-order branch does not, the pushed scan filters
+    // diverge, and ReuseExchange no longer dedups the two subtrees —
+    // the corpus join and pair aggregate then run TWICE (visible at
+    // sf10 where orders is past the broadcast tier and each evaluation
+    // is a full sort-merge). With the filter shared, the pair shuffle
+    // is computed once and both branches read its shuffle files — the
+    // scale-right materialization (no corpus-sized persist needed).
+    // Locked by the PlanAuditSpec single-lineitem-scan assert.
     val pairs = Tables
       .lineitem(s, dir)
+      .filter(col("l_orderkey").isNotNull && col("l_suppkey").isNotNull)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"), expr(Late).as("late"))
       .groupBy(col("l_orderkey"), col("l_suppkey"))

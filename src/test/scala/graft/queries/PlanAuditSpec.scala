@@ -1046,6 +1046,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(p.contains("hashpartitioning(l_orderkey") || p.contains("hashpartitioning(ok"),
       "per-order aggregate must key on the orderkey\n" + p.take(2000))
+    // r15 collapse locks: the pre-r15 shape evaluated the
+    // lineitem⋈orders join TWICE (two lineitem scans — a full sort-merge
+    // each at sf10) and planned a countDistinct Expand over the corpus;
+    // the pair-table shape scans lineitem once and needs no Expand
+    // (pairs are distinct by construction, so every countDistinct is a
+    // plain count)
+    assert(!p.contains("Expand"),
+      "a countDistinct Expand crept back into the corpus aggregate\n" + p.take(2000))
+    // count scans in the FINAL adaptive plan only (the Initial Plan
+    // section re-prints pre-reuse subtrees); the two pair-table
+    // consumers must dedup to one evaluation via ReusedExchange
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("lineitem\\.parquet".r.findAllIn(finalPlan).size <= 1,
+      "the corpus join is being evaluated more than once\n" + finalPlan.take(2000))
+    assert(finalPlan.contains("ReusedExchange"),
+      "the pair-table exchange is not shared between its two consumers\n" +
+        finalPlan.take(2000))
   }
 
   test("q_dormant_customers: scalar average broadcasts; recency check is left-anti") {
