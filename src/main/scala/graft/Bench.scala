@@ -9,11 +9,53 @@ object Bench {
     // query doesn't absorb session warm-up costs
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => }
-    // fixed host-speed calibration (~8 s, VERDICT r14 ask #2): lands in
-    // the JSON so cross-round totals can be drift-normalized
-    // (tools/bench_ratio.py --calibrate) — the r14 forensic measured
-    // 1.6–2.3× pure host drift on unchanged code between rounds
-    val calibration = Calibrate.run(spark)
+    def loadavg1(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ").head.toDouble
+      catch { case _: Throwable => 0.0 }
+    // Quiet-host gate (VERDICT r15 ask #1): the driver's sf0.1 artifact
+    // self-reported contended three rounds running — the guard detected
+    // the contamination but nothing avoided it. Before the measured
+    // passes, check the 1-min loadavg (cheap) and then the fixed
+    // calibration probe (~8 s) against the recorded quiet band
+    // (bench_sf1_r15b on a settled host: cpu_mt 3.23 s / shuffle 3.26 s;
+    // contended runs read 4.6+ / 7.0+); sleep-and-retry until both pass
+    // or the attempt budget runs out, then proceed regardless with the
+    // gate outcome stamped in the JSON. The calibration that lands in
+    // the artifact is the probe from the accepted (or final) attempt.
+    // Knobs: SPARK_GRAFT_GATE=off disables (for self-managed law
+    // sweeps); SPARK_GRAFT_GATE_TRIES / SPARK_GRAFT_GATE_SLEEP_SEC
+    // size the retry loop (defaults 8 × 45 s — bounded so a driver
+    // timeout cannot starve the measured passes).
+    val gateOn = !sys.env.get("SPARK_GRAFT_GATE").contains("off")
+    val gateTries = sys.env.getOrElse("SPARK_GRAFT_GATE_TRIES", "8").toInt
+    val gateSleepSec = sys.env.getOrElse("SPARK_GRAFT_GATE_SLEEP_SEC", "45").toInt
+    val (gateLoadMax, gateCpuMtMax, gateShuffleMax) = (4.0, 4.2, 5.0)
+    var calibration: Calibrate.Result = null
+    var gateAttempts = 0
+    var gatePassed = false
+    var gateLoad1 = loadavg1()
+    while (calibration == null ||
+      (gateOn && !gatePassed && gateAttempts < gateTries)) {
+      if (gateAttempts > 0) Thread.sleep(gateSleepSec * 1000L)
+      gateAttempts += 1
+      gateLoad1 = loadavg1()
+      if (!gateOn || gateLoad1 <= gateLoadMax) {
+        calibration = Calibrate.run(spark)
+        gatePassed = calibration.cpuMtSec <= gateCpuMtMax &&
+          calibration.shuffleSec <= gateShuffleMax
+      } else if (gateAttempts >= gateTries)
+        // out of budget with the load still high: still embed a probe so
+        // the artifact carries the drift evidence for this (contended) run
+        calibration = Calibrate.run(spark)
+    }
+    if (gateOn && !gatePassed)
+      System.err.println(
+        f"WARNING: quiet-host gate NOT passed after $gateAttempts attempts " +
+          f"(loadavg1=$gateLoad1%.2f, cpu_mt=${calibration.cpuMtSec}%.2f, " +
+          f"shuffle=${calibration.shuffleSec}%.2f) — proceeding; treat timings with care")
+    val gateJson =
+      f"""{"enabled":$gateOn,"passed":$gatePassed,"attempts":$gateAttempts,"loadavg1":$gateLoad1%.2f,"thresholds":{"loadavg1_max":$gateLoadMax,"cpu_mt_sec_max":$gateCpuMtMax,"shuffle_sec_max":$gateShuffleMax}}"""
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -35,13 +77,37 @@ object Bench {
     // optional name filter (comma-separated) for A/B runs on a family of
     // queries without paying the full suite; default = all
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // SPARK_GRAFT_SKIP (r15): exclusion list for big-SF law sweeps —
-    // the quadratic-BY-CONTRACT pair queries (documented output law:
-    // ~100× wall on a 10× step) are skipped at sf10 rather than paid;
-    // any skip must be named in the SCALE.md adjudication
-    val skip = sys.env.get("SPARK_GRAFT_SKIP").map(_.split(",").toSet).getOrElse(Set.empty)
+    // Sweep mode (VERDICT r15 ask #5): SPARK_GRAFT_SWEEP=1 derives the
+    // big-SF exclusion set from the contract manifest
+    // (SparkEntry.sweepSkip — exactly the by-contract quadratic pair
+    // lists, each with its adjudication in Contract.note) instead of a
+    // hand-typed list. SPARK_GRAFT_SKIP remains as a manual extra for
+    // one-off A/Bs. The effective skip set is recorded in the bench
+    // JSON ("skipped", ADVICE r15) so a filtered-board total can never
+    // silently be compared against a full-board total — bench_ratio.py
+    // warns when the boards differ.
+    val sweepMode = sys.env.get("SPARK_GRAFT_SWEEP").contains("1")
+    val envSkip =
+      sys.env.get("SPARK_GRAFT_SKIP").map(_.split(",").toSet).getOrElse(Set.empty)
+    val skip = envSkip ++ (if (sweepMode) SparkEntry.sweepSkip else Set.empty)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) && !skip.contains(n) }
+    val skippedNames = SparkEntry.queries.keySet.intersect(skip).toSeq.sorted
+    val skippedJson = skippedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // each skipped query's contract entry rides along, so a sweep
+    // artifact is self-contained: the exclusion REASON (and the in-sweep
+    // sampled sibling that keeps its law measurable) is in the JSON, not
+    // just in SCALE.md prose (VERDICT r15 ask #2)
+    def jstr(v: String) = "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val excludedJson = skippedNames.map { n =>
+      val c = SparkEntry.contracts(n)
+      jstr(n) + ":{" +
+        s""""class":${jstr(c.cls)},"sibling":${c.sibling.map(jstr).getOrElse("null")},""" +
+        s""""note":${jstr(c.note)}}"""
+    }.mkString("{", ",", "}")
+    val onlyJson = only
+      .map(_.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"))
+      .getOrElse("null")
     // host-load markers: round deltas have measured ~24% host-noise
     // spread (r10: 195 s vs 242 s for the same board), so the artifact
     // records the 1/5/15-min loadavg at both ends of the run — a judge
@@ -92,7 +158,7 @@ object Bench {
           f"spread_total=$spreadTotalAll%.1f s vs total=$total%.1f s) — " +
           "timings unreliable; re-run on a quiet host")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","contended":$contended,"calibration":${calibration.json},"queries":$qs,"spread":$sp,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","contended":$contended,"calibration":${calibration.json},"gate":$gateJson,"skipped":$skippedJson,"excluded":$excludedJson,"only":$onlyJson,"queries":$qs,"spread":$sp,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir"}"""
     // The full per-query JSON (~5 KB at 166 queries) exceeds the 2000-char
     // stdout tail a capture harness keeps, so a full-map println can never
     // parse from the tail. Persist the complete JSON to a file, then print
@@ -109,7 +175,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP) }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","n_queries":${results.size},"contended":$contended,"calibration":${calibration.json},"spread_total":${BigDecimal(spreadTotalAll).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"queries":$slowest,"queries_full":"${out.toString}","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","n_queries":${results.size},"n_skipped":${skippedNames.size},"contended":$contended,"calibration":${calibration.json},"gate":$gateJson,"spread_total":${BigDecimal(spreadTotalAll).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"queries":$slowest,"queries_full":"${out.toString}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

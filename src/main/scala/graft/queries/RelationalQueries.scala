@@ -1801,6 +1801,12 @@ object RelationalQueries {
   /** Deduplicated candidate pairs for [[fuzzyMatch]] (exposed so the
     * scale study can count candidates without running the verify DP).
     * Columns: block, cust_a < cust_b, name_a, name_b.
+    *
+    * Note (ADVICE r15): with xxhash64 cand_keys the candidate set is an
+    * UPPER BOUND modulo within-block 64-bit hash collisions — a
+    * collision can admit a pair the brute in-block enumeration would
+    * not. Exactness holds only after the bounded-Levenshtein verify,
+    * which every registered query consumer applies.
     */
   def fuzzyCandidates(s: SparkSession, dir: String): DataFrame =
     fuzzyCandidatesOn(

@@ -469,6 +469,23 @@ object ChainSoak {
     val steadyFps =
       if (steady.isEmpty || steady.map(_._1).sum == 0) 0.0
       else steady.map(_._2).sum.toDouble / nDig / (steady.map(_._1).sum / 1000.0)
+    // chronological decile trend (VERDICT r15 ask #4): ten consecutive
+    // slices of the non-empty batch sequence, median per slice, for
+    // batch duration, state-commit time, and state rows — a FLAT array
+    // is the long-horizon no-degradation evidence (a single p50/p95 can
+    // hide a ramp that only the tail pays)
+    val chron = snap.filter(_._2 > 0)
+    def decile(f: ((Long, Long, Long, Long, Long, Long, Long)) => Long): String =
+      if (chron.size < 10) "[]"
+      else (0 until 10).map { d =>
+        val slice = chron.slice(d * chron.size / 10, (d + 1) * chron.size / 10)
+          .map(f).sorted
+        slice(slice.size / 2)
+      }.mkString("[", ",", "]")
+    val decileJson =
+      s""","batch_ms_decile_p50":${decile(_._1)}""" +
+        s""","state_commit_ms_decile_p50":${decile(_._6)}""" +
+        s""","state_rows_decile_p50":${decile(_._3)}"""
     val json =
       f"""{"metric":"chain_soak","stage":"$stage","frames":$frames,""" +
         f""""elapsed_sec":$elapsedSec%.1f,"frames_per_sec":${frames / elapsedSec}%.0f,""" +
@@ -484,7 +501,7 @@ object ChainSoak {
         s""""add_batch_ms_total":${snap.map(_._7).sum},""" +
         s""""digitizers":$nDig,"channels":$nChan,"samples":$nSamples,""" +
         s""""events_per_msg":${nChan * eventsPerChannel},"rows_per_batch":$rowsPerBatch,""" +
-        s""""run_frames":$runFrames,"ttl_ms":$ttlMs,"linger_ms":$lingerMs$extra}"""
+        s""""run_frames":$runFrames,"ttl_ms":$ttlMs,"linger_ms":$lingerMs$decileJson$extra}"""
     Files.writeString(Paths.get(outPath), json)
     println(json)
     spark.stop()

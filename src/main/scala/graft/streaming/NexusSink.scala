@@ -278,10 +278,24 @@ final class NexusSink(
     // Bounded: one row of 9 scalars per ASSEMBLED FRAME in the batch
     // (~1/|digitisers| of the input rows), with [[maxDriverFramesPerBatch]]
     // as the validated cap — an over-cap batch (a giant backlog-replay
-    // trigger) falls back to the fully distributed r13-shaped writes
-    // below, so the driver never keeps an unbounded batch resident
+    // trigger) falls back to the fully distributed r13-shaped writes,
+    // and the cap is checked with a count() BEFORE anything is collected
+    // (ADVICE r15: the old order collected first and gated second, so
+    // the one batch the fallback exists for was still materialized
+    // driver-side as boxed Rows). The count() job also materializes the
+    // persist, so the expensive upstream work still runs exactly once;
+    // every later pass in this batch reads the cache.
     // (ADVICE r14 on the periods collect: period rows are ≤ frame rows,
-    // so the same cap now bounds them too).
+    // so the same cap now bounds them too.)
+    val nFrames = cached.count()
+    // empty micro-batch (the lifecycle job's finalization poll): nothing
+    // to write, and dynamic overwrite of zero partitions is a no-op —
+    // skip the write jobs entirely
+    if (nFrames == 0L) return
+    if (nFrames > maxDriverFramesPerBatch) {
+      writeBatchDistributed(spark, cached, batchId)
+      return
+    }
     val frameMeta: Array[NexusSink.FrameMeta] = cached
       .select(
         col("run_name"),
@@ -298,14 +312,6 @@ final class NexusSink(
         r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getBoolean(5), r.getBoolean(6), r.getInt(7),
         r.getLong(8)))
-    // empty micro-batch (the lifecycle job's finalization poll): nothing
-    // to write, and dynamic overwrite of zero partitions is a no-op —
-    // skip the write jobs entirely
-    if (frameMeta.isEmpty) return
-    if (frameMeta.length > maxDriverFramesPerBatch) {
-      writeBatchDistributed(spark, cached, batchId)
-      return
-    }
     val batchCounts: Map[(String, Long), Long] = frameMeta
       .groupBy(m => (m.runName, m.runStartNs))
       .map { case (k, ms) => k -> ms.iterator.map(_.nEvents).sum }

@@ -26,6 +26,48 @@ class DocLintSpec extends AnyFunSuite {
     assert(unoracled.isEmpty, s"unexpected unoracled queries: $unoracled")
   }
 
+  test("contract manifest is consistent with the query registry") {
+    val contracts = SparkEntry.contracts
+    // total coverage: exactly one contract per registered query
+    assert(contracts.keySet == SparkEntry.queries.keySet)
+    // overrides must name real queries (a rename must not silently
+    // revert a quadratic to the linear default)
+    val orphanOverrides =
+      SparkEntry.contractOverrides.keySet.diff(SparkEntry.queries.keySet)
+    assert(orphanOverrides.isEmpty, s"contract overrides without a query: $orphanOverrides")
+    // classes are from the closed vocabulary; siblings are real queries
+    contracts.foreach { case (name, c) =>
+      assert(Contract.classes.contains(c.cls), s"$name: unknown contract class ${c.cls}")
+      c.sibling.foreach(sib =>
+        assert(SparkEntry.queries.contains(sib), s"$name: sibling $sib is not a query"))
+    }
+    // the big-SF sweep exclusion set is EXACTLY the by-contract
+    // quadratics — nothing else may quietly drop off the law sweep,
+    // and every exclusion must carry a sampled sibling that stays on it
+    val quadratics = contracts.collect {
+      case (n, c) if c.cls == Contract.QuadraticByContract => n
+    }.toSet
+    assert(SparkEntry.sweepSkip == quadratics,
+      s"sweep skip ${SparkEntry.sweepSkip} != quadratic set $quadratics")
+    assert(quadratics ==
+      Set("q_dedup_embedding", "q_media_dedup", "q_simhash_pairs"),
+      "by-contract quadratic set changed — update the SCALE.md adjudication first")
+    quadratics.foreach { n =>
+      val sib = contracts(n).sibling
+      assert(sib.isDefined && contracts(sib.get).sweepBigSf,
+        s"$n: excluded from the sweep without an in-sweep sampled sibling")
+    }
+    // sampled siblings point at their exact kernel and vice versa
+    contracts.collect { case (n, c) if c.cls == Contract.SampledSibling => (n, c) }
+      .foreach { case (n, c) =>
+        assert(c.sibling.isDefined, s"$n: sampled sibling without a parent")
+      }
+    // every q_stream_* rides the streaming class (floor-bounded walls)
+    SparkEntry.queries.keySet.filter(_.startsWith("q_stream_")).foreach { n =>
+      assert(contracts(n).cls == Contract.Streaming, s"$n not tagged streaming")
+    }
+  }
+
   test("README.md carries the current query/oracle counts") {
     val readme = read("README.md")
     val want = s"currently $total queries, $oracled with\n  exact DuckDB oracles"

@@ -43,6 +43,23 @@ def main():
         if meta.get("contended"):
             print(f"WARNING: {name} bench self-reports contended:true — "
                   "ratios unreliable")
+        if meta.get("gate") and meta["gate"].get("enabled") \
+                and not meta["gate"].get("passed"):
+            print(f"WARNING: {name} bench ran with the quiet-host gate "
+                  f"unmet after {meta['gate'].get('attempts')} attempts")
+    # board-mismatch guard (ADVICE r15): a filtered board's TOTAL must
+    # never be read against a full board's — the skip/only sets now land
+    # in the JSON, so diverging boards warn loudly here
+    bskip = set(bmeta.get("skipped") or [])
+    sskip = set(smeta.get("skipped") or [])
+    if bskip != sskip:
+        print(f"WARNING: boards differ — skipped(big)={sorted(bskip)} vs "
+              f"skipped(small)={sorted(sskip)}; compare per-query ratios "
+              "and the shared-total line only, never the headline totals")
+    for name, meta in (("big", bmeta), ("small", smeta)):
+        if meta.get("only"):
+            print(f"NOTE: {name} is a SPARK_GRAFT_ONLY family run "
+                  f"({len(meta['only'])} queries)")
     drift = 1.0
     if args.calibrate:
         cb, cs = bmeta.get("calibration"), smeta.get("calibration")
