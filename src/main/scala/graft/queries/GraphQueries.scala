@@ -196,6 +196,28 @@ object GraphQueries {
       iters: Int = 4,
       minCommon: Int = 12): DataFrame = {
     val edges = symmetricEdges(s, dir, minCommon)
+    // persisted: the final label table is consumed TWICE (the sizes
+    // aggregate and the join back), and — measured r16 — exchange reuse
+    // does NOT dedup the two references (the broadcast branch re-ran the
+    // whole 4-iteration chain: 41 jobs vs 29 for the same chain inside
+    // modularity, whose labels are cached). Node-sized state, the same
+    // bound as the rank/label tables; the session contract clears it.
+    val labels = labelPropagationFrom(edges, iters).persist()
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+    labels
+      .join(broadcast(sizes), "label")
+      .select(col("node").as("doc_id"), col("label").as("community"), col("n_members"))
+  }
+
+  /** The LPA round loop on an ALREADY-BUILT edge table — shared by
+    * [[labelPropagation]] and [[modularity]] so the community derivation
+    * has exactly one definition AND one edge construction: before r16,
+    * [[modularity]] built its own `symmetricEdges` and then called
+    * [[labelPropagation]], which built (and separately materialized) a
+    * second identical cache of the words self-join — the most expensive
+    * subtree of every tiny-graph query, paid twice per run.
+    */
+  private def labelPropagationFrom(edges: DataFrame, iters: Int): DataFrame = {
     val nodes = edges.select(col("src").as("node")).distinct()
     var labels = nodes.select(col("node"), col("node").as("label"))
     for (_ <- 1 to iters) {
@@ -208,10 +230,7 @@ object GraphQueries {
         .agg(max_by(col("label"), struct(col("cnt"), -col("label"))).as("label"))
         .withColumnRenamed("dst", "node")
     }
-    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
     labels
-      .join(broadcast(sizes), "label")
-      .select(col("node").as("doc_id"), col("label").as("community"), col("n_members"))
   }
 
   /** Exact DuckDB oracle for [[labelPropagation]]: all rounds unrolled,
@@ -264,14 +283,26 @@ object GraphQueries {
     */
   def neighborhood(s: SparkSession, dir: String, minCommon: Int = 12): DataFrame = {
     val edges = symmetricEdges(s, dir, minCommon)
-    // ball(h) = distinct nodes reachable in EXACTLY <= h hops, self excluded
-    val r1 = edges.select(col("src").as("node"), col("dst").as("reach")).distinct()
+    // ball(h) = distinct nodes reachable in EXACTLY <= h hops, self excluded.
+    // r1/r2 are each consumed by THREE subtrees (the next hop's expand
+    // branch, its union branch, and their own size aggregate) — measured
+    // r16: unpersisted, exchange reuse deduped only 23 of the plan's 172
+    // exchanges (r1 evaluated 4×, r2 3×; 3,104-line adaptive plan).
+    // Persisting both bounds the plan to one evaluation each; their state
+    // is exactly the Σ|ball(v)| rows the Scaladoc above already names as
+    // this exact operator's scale bound (HyperANF registers replace it at
+    // 100 TB), so the persist adds no new scale liability.
+    val r1 = edges
+      .select(col("src").as("node"), col("dst").as("reach"))
+      .distinct()
+      .persist()
     val r2 = r1
       .join(edges.withColumnRenamed("src", "reach"), "reach")
       .select(col("node"), col("dst").as("reach"))
       .filter(col("reach") =!= col("node"))
       .unionByName(r1)
       .distinct()
+      .persist()
     val r3 = r2
       .join(edges.withColumnRenamed("src", "reach"), "reach")
       .select(col("node"), col("dst").as("reach"))
@@ -544,8 +575,11 @@ object GraphQueries {
       iters: Int = 4,
       minCommon: Int = 12): DataFrame = {
     val edges = symmetricEdges(s, dir, minCommon)
-    val labels = labelPropagation(s, dir, iters, minCommon)
-      .select(col("doc_id").as("node"), col("community"))
+    // ride the SAME persisted edge table for the label derivation — the
+    // pre-r16 shape built a second identical edge cache inside
+    // labelPropagation() and materialized the words self-join twice
+    val labels = labelPropagationFrom(edges, iters)
+      .select(col("node"), col("label").as("community"))
       .persist()
     val m2 = edges.agg(count(lit(1)).as("m2")) // = 2M (symmetric list)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -810,7 +844,18 @@ object GraphQueries {
       s"Brandes frontier still growing after $maxHops hops — raise maxHops " +
         "(and regenerate the unrolled oracle) for this graph")
     var bwd = fw.withColumn("dl", lit(0.0)).localCheckpoint()
-    var lev = maxHops
+    // Start the accumulation at the CONVERGED depth, not the maxHops
+    // budget: after the forward loop, max d = round − 1 (the final round
+    // added nothing), so every level above it has an empty successor set
+    // and its pass is the identity (term is empty; the only rows it
+    // rewrites, d = lev − 1, get coalesce(null, 0.0) = their initial dl).
+    // Each identity level still paid a full join + localCheckpoint job —
+    // measured r16 (sf0.1): the demo graph converges at depth 2, so 6 of
+    // 8 backward levels were pure fixed cost (q_betweenness ~6.0 s →
+    // ~2.6 s, the family's largest wall). The unrolled oracle keeps all
+    // maxHops levels — extra rounds past the fixpoint are identity there
+    // too, so results agree bit-for-bit (re-verified at sf0.01 + sf0.1).
+    var lev = round - 1
     while (lev >= 1) {
       val succ = bwd
         .filter(col("d") === lev)
