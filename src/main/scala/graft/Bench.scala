@@ -54,6 +54,15 @@ object Bench {
         f"WARNING: quiet-host gate NOT passed after $gateAttempts attempts " +
           f"(loadavg1=$gateLoad1%.2f, cpu_mt=${calibration.cpuMtSec}%.2f, " +
           f"shuffle=${calibration.shuffleSec}%.2f) — proceeding; treat timings with care")
+    // launch-load marker for the contended heuristic: the LAST PRE-PROBE
+    // reading (gateLoad1). The ~8 s 32-thread calibration probe itself
+    // pushes the 1-min loadavg to ~6–10 on an otherwise idle host, so a
+    // fresh /proc/loadavg read AFTER the gate (what r15 compared against
+    // the 4.0 threshold) flags every gated run contended — self-inflicted
+    // (measured r16: gate passed at loadavg 2.42, post-probe read 6.96).
+    // The raw pre-pass1 triple still lands in the JSON as loadavg_before
+    // for cross-round continuity.
+    val launchLoad1 = gateLoad1
     val gateJson =
       f"""{"enabled":$gateOn,"passed":$gatePassed,"attempts":$gateAttempts,"loadavg1":$gateLoad1%.2f,"thresholds":{"loadavg1_max":$gateLoadMax,"cpu_mt_sec_max":$gateCpuMtMax,"shuffle_sec_max":$gateShuffleMax}}"""
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -131,12 +140,42 @@ object Bench {
     val pass2 =
       if (onePass) pass1
       else ordered.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
+    // Targeted third timing for SPIKED queries only (r16): one external
+    // churn episode hitting one pass of one query (measured: a 27.6 s
+    // pass-1 spike on q_als_rank1 against a 2.0 s pass-2) inflates the
+    // spread guard past its 25% threshold and flags the whole artifact
+    // contended. A query whose two passes disagree by more than
+    // max(0.5 s, 50% of the min) gets ONE re-timing; the reported value
+    // stays the per-query MINIMUM over all timings (each timing is a
+    // complete cold-cache execution, so the min can never understate the
+    // plan's true cost) and the spread is recomputed over the two
+    // CLOSEST timings (the spike, once out-voted 2-to-1, is evidence of
+    // host churn, not of the plan). The re-measured set is recorded in
+    // the JSON; bounded to 40 queries so churn cannot stretch the run.
+    val spiked =
+      if (onePass) Seq.empty
+      else ordered.map(_._1).filter { n =>
+        val lo = math.min(pass1(n), pass2(n))
+        math.abs(pass1(n) - pass2(n)) > math.max(0.5, 0.5 * lo)
+      }.take(40)
+    val pass3 = spiked.map { n =>
+      graft.queries.DedupQueries.clearClusterMemo(spark)
+      n -> timeOnce(n, ordered.toMap.apply(n))
+    }.toMap
     val loadAfter = fmtLoad(loadavgVals())
-    val results = pass1.map { case (name, t1) => name -> math.min(t1, pass2(name)) }
-    // per-query spread = |pass1 − pass2|: a large spread flags a timing
-    // contaminated by a one-off spike, so cross-round per-query deltas
-    // smaller than the spread are noise, not plan changes
-    val spreads = pass1.map { case (name, t1) => name -> math.abs(t1 - pass2(name)) }
+    val results = pass1.map { case (name, t1) =>
+      name -> math.min(math.min(t1, pass2(name)), pass3.getOrElse(name, Double.MaxValue))
+    }
+    // per-query spread = gap between the two CLOSEST timings: a large
+    // spread flags a timing contaminated by a one-off spike, so
+    // cross-round per-query deltas smaller than the spread are noise,
+    // not plan changes
+    val spreads = pass1.map { case (name, t1) =>
+      val ts = Seq(t1, pass2(name)) ++ pass3.get(name)
+      val sorted = ts.sorted
+      name -> (if (sorted.size < 2) 0.0
+               else sorted.sliding(2).map(w => w(1) - w(0)).min)
+    }
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val sp = spreads.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
@@ -149,16 +188,20 @@ object Bench {
     // requiring loadavg/spread forensics after the fact. Thresholds
     // documented in SCALE.md (Bench contention guard).
     val spreadTotalAll = spreads.values.sum
+    // launch-load leg reads the PRE-PROBE gate value (launchLoad1) — see
+    // the self-inflicted-probe note above; the spread leg uses the
+    // closest-pair spreads, so a single out-voted spike no longer flags
+    // the artifact
     val contended =
-      loadBeforeVals.headOption.exists(_ > 4.0) ||
-        (total > 0.0 && spreadTotalAll > 0.25 * total)
+      launchLoad1 > 4.0 || (total > 0.0 && spreadTotalAll > 0.25 * total)
     if (contended)
       System.err.println(
-        s"WARNING: bench run contended (loadavg_before=$loadBefore, " +
+        f"WARNING: bench run contended (loadavg_launch=$launchLoad1%.2f, " +
           f"spread_total=$spreadTotalAll%.1f s vs total=$total%.1f s) — " +
           "timings unreliable; re-run on a quiet host")
+    val remeasuredJson = spiked.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","contended":$contended,"calibration":${calibration.json},"gate":$gateJson,"skipped":$skippedJson,"excluded":$excludedJson,"only":$onlyJson,"queries":$qs,"spread":$sp,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","contended":$contended,"calibration":${calibration.json},"gate":$gateJson,"skipped":$skippedJson,"excluded":$excludedJson,"only":$onlyJson,"remeasured":$remeasuredJson,"queries":$qs,"spread":$sp,"loadavg_launch":$launchLoad1,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir"}"""
     // The full per-query JSON (~5 KB at 166 queries) exceeds the 2000-char
     // stdout tail a capture harness keeps, so a full-map println can never
     // parse from the tail. Persist the complete JSON to a file, then print
@@ -175,7 +218,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP) }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","n_queries":${results.size},"n_skipped":${skippedNames.size},"contended":$contended,"calibration":${calibration.json},"gate":$gateJson,"spread_total":${BigDecimal(spreadTotalAll).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"queries":$slowest,"queries_full":"${out.toString}","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","n_queries":${results.size},"n_skipped":${skippedNames.size},"n_remeasured":${spiked.size},"contended":$contended,"calibration":${calibration.json},"gate":$gateJson,"spread_total":${BigDecimal(spreadTotalAll).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"loadavg_launch":$launchLoad1,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"queries":$slowest,"queries_full":"${out.toString}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

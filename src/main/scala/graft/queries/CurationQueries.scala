@@ -1670,57 +1670,72 @@ object CurationQueries {
           lit(" ")).as("toks"),
         col("cnt"))
       .persist()
+    // Per-round control plane, ONE action per round (r16): the round's
+    // best pair and the previous round's vocab size are BOTH aggregates
+    // over the same tokenization table, so they ride one tagged-union
+    // collect (≤ 2 one-row subtrees over the persisted table) instead of
+    // two driver round-trips — bpeTrain drops from 2 jobs/step to
+    // 1 job/step + 1 seed job. The encoder (needVocab = false) was
+    // already at 1 job/step; its shape is unchanged.
+    def bestPair(t: DataFrame): DataFrame = t
+      .select(col("cnt"), split(trim(col("toks")), " ").as("arr"))
+      .filter(size(col("arr")) >= 2)
+      .select(
+        col("cnt"),
+        explode(expr(
+          "transform(sequence(0, size(arr) - 2), j -> concat(element_at(arr, j + 1), ' ', element_at(arr, j + 2)))"))
+          .as("p"))
+      .groupBy(col("p"))
+      .agg(sum(col("cnt")).as("total"))
+      .orderBy(col("total").desc, col("p").asc)
+      .limit(1)
+      .select(lit("best").as("tag"), col("p"), col("total"))
+    def vocabCount(t: DataFrame): DataFrame = t
+      .select(explode(split(trim(col("toks")), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+      .select(lit("vocab").as("tag"), lit("").as("p"), col("v").as("total"))
+    // tagged one-action collect: best pair of `t`, plus its vocab size
+    // when the caller needs it (the union keeps the vocab row even when
+    // no pair remains, which a crossJoin of the two would lose)
+    def stats(t: DataFrame, withVocab: Boolean): (Option[(String, Long)], Long) = {
+      val df = if (withVocab) bestPair(t).unionAll(vocabCount(t)) else bestPair(t)
+      val got = df.collect()
+      val best = got.find(_.getString(0) == "best").map(r => (r.getString(1), r.getLong(2)))
+      val vocab = got.find(_.getString(0) == "vocab").map(_.getLong(2)).getOrElse(0L)
+      (best, vocab)
+    }
     val rows = Seq.newBuilder[(Int, String, String, String, Long, Long)]
     var step = 1
-    var exhausted = false
-    while (step <= steps && !exhausted) {
-      val best = toks
-        .select(col("cnt"), split(trim(col("toks")), " ").as("arr"))
-        .filter(size(col("arr")) >= 2)
-        .select(
-          col("cnt"),
-          explode(expr(
-            "transform(sequence(0, size(arr) - 2), j -> concat(element_at(arr, j + 1), ' ', element_at(arr, j + 2)))"))
-            .as("p"))
-        .groupBy(col("p"))
-        .agg(sum(col("cnt")).as("total"))
-        .orderBy(col("total").desc, col("p").asc)
-        .limit(1)
-        .collect()
-        .headOption
-      best match {
-        case None =>
-          // every word is a single symbol — nothing left to merge;
-          // return the merges learned so far instead of crashing
-          exhausted = true
-        case Some(row) =>
-          val pair = row.getString(0)
-          val total = row.getLong(1)
-          val Array(l, r) = pair.split(" ")
-          // merge tokens are corpus-derived strings heading into a SQL
-          // literal — escape the literal delimiters (quote, backslash)
-          // so an apostrophe-bearing word cannot break the expression
-          def esc(t: String) = t.replace("\\", "\\\\").replace("'", "\\'")
-          val pat = s" ${esc(l)} ${esc(r)} "
-          val rep = s" ${esc(l)}${esc(r)} "
-          val applied = (1 to BpeReplacePasses)
-            .foldLeft("toks")((acc, _) => s"replace($acc, '$pat', '$rep')")
-          val next = toks.select(col("w"), expr(applied).as("toks"), col("cnt")).persist()
-          // the vocab-size job is a per-step scalar only the TRAIN output
-          // reports; the encoder skips it (halves its driver round-trips)
-          val vocab =
-            if (!needVocab) 0L
-            else
-              next
-                .select(explode(split(trim(col("toks")), " ")).as("tok"))
-                .agg(countDistinct(col("tok")))
-                .head()
-                .getLong(0)
-          toks.unpersist()
-          toks = next
-          rows += ((step, l, r, l + r, total, vocab))
-          step += 1
-      }
+    // seed: the first round's best pair (the initial table's vocab is
+    // not reported, so no vocab leg here)
+    var pending = stats(toks, withVocab = false)._1
+    while (step <= steps && pending.nonEmpty) {
+      val (pair, total) = pending.get
+      val Array(l, r) = pair.split(" ")
+      // merge tokens are corpus-derived strings heading into a SQL
+      // literal — escape the literal delimiters (quote, backslash)
+      // so an apostrophe-bearing word cannot break the expression
+      def esc(t: String) = t.replace("\\", "\\\\").replace("'", "\\'")
+      val pat = s" ${esc(l)} ${esc(r)} "
+      val rep = s" ${esc(l)}${esc(r)} "
+      val applied = (1 to BpeReplacePasses)
+        .foldLeft("toks")((acc, _) => s"replace($acc, '$pat', '$rep')")
+      val next = toks.select(col("w"), expr(applied).as("toks"), col("cnt")).persist()
+      // one action on the merged table: next round's best pair + (train
+      // only) this round's vocab size. A None best ends the loop — every
+      // word is a single symbol, return the merges learned so far. After
+      // the FINAL merge no next pair is needed: the trainer collects just
+      // the vocab leg, the encoder skips the action entirely.
+      val (nextBest, vocab) =
+        if (step < steps) stats(next, withVocab = needVocab)
+        else if (needVocab)
+          (None, vocabCount(next).collect().headOption.map(_.getLong(2)).getOrElse(0L))
+        else (None, 0L)
+      toks.unpersist()
+      toks = next
+      rows += ((step, l, r, l + r, total, vocab))
+      pending = nextBest
+      step += 1
     }
     (rows.result(), toks)
   }

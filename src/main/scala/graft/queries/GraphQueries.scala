@@ -87,8 +87,15 @@ object GraphQueries {
       iters: Int = 5,
       minCommon: Int = 12): DataFrame = {
     val edges = symmetricEdges(s, dir, minCommon)
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
-    val nodes = edges.select(col("src").as("node")).distinct()
+    // deg and nodes are node-sized and consumed EVERY iteration (deg by
+    // the contribution join, nodes by the rank rebuild + the teleport
+    // count) — measured r16: unpersisted, the 5-iteration adaptive plan
+    // carried 367 exchanges with only 47 reused, re-aggregating both from
+    // the cached edge table each reference. Persisting them bounds each
+    // to one evaluation; state is the same node-sized bound the rank
+    // table already carries.
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg")).persist()
+    val nodes = edges.select(col("src").as("node")).distinct().persist()
     val nn = nodes.agg(count(lit(1)).as("n_nodes"))
     var rank = nodes
       .crossJoin(broadcast(nn))
@@ -110,6 +117,11 @@ object GraphQueries {
           col("node"),
           (lit(0.15) / col("n_nodes").cast("double") +
             lit(0.85) * coalesce(col("s"), lit(0.0))).as("rank"))
+      // NO per-iteration checkpoint here, deliberately (r16 A/B): with
+      // deg/nodes persisted the lazy 5-iteration plan runs 14 jobs /
+      // ~1.55 s warm at sf0.1; eager per-round localCheckpoints made it
+      // 50 jobs / ~2.4 s. (textRank/labelPropagation measured the
+      // OPPOSITE — their loops re-evaluated under multi-consumer tails.)
     }
     rank
       .join(deg.withColumnRenamed("src", "node"), "node")
@@ -196,13 +208,14 @@ object GraphQueries {
       iters: Int = 4,
       minCommon: Int = 12): DataFrame = {
     val edges = symmetricEdges(s, dir, minCommon)
-    // persisted: the final label table is consumed TWICE (the sizes
-    // aggregate and the join back), and — measured r16 — exchange reuse
-    // does NOT dedup the two references (the broadcast branch re-ran the
-    // whole 4-iteration chain: 41 jobs vs 29 for the same chain inside
-    // modularity, whose labels are cached). Node-sized state, the same
-    // bound as the rank/label tables; the session contract clears it.
-    val labels = labelPropagationFrom(edges, iters).persist()
+    // the final label table is consumed TWICE (the sizes aggregate and
+    // the join back) — measured r16: unpersisted AND un-checkpointed,
+    // exchange reuse did NOT dedup the two references and the broadcast
+    // branch re-ran the whole 4-iteration chain (41 jobs vs 29 for the
+    // same chain inside modularity). The per-round localCheckpoint in
+    // labelPropagationFrom truncates the lineage, so both consumers now
+    // read the checkpointed node-sized table.
+    val labels = labelPropagationFrom(edges, iters)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
     labels
       .join(broadcast(sizes), "label")
@@ -229,6 +242,9 @@ object GraphQueries {
         .groupBy(col("dst"))
         .agg(max_by(col("label"), struct(col("cnt"), -col("label"))).as("label"))
         .withColumnRenamed("dst", "node")
+        // lineage truncation per round (the pagerank/textRank idiom,
+        // measured r16): node-sized table, one eager job per round
+        .localCheckpoint()
     }
     labels
   }

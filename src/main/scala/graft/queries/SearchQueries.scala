@@ -981,6 +981,7 @@ object SearchQueries {
           col("node"),
           (lit(0.15) / col("n_nodes").cast("double") +
             lit(0.85) * coalesce(col("s"), lit(0.0))).as("rank"))
+        .localCheckpoint()
     }
     ranks
       .select(col("node").as("word"), round(col("rank"), 6).as("textrank"))
