@@ -144,8 +144,7 @@ object CurationQueries {
   val BoilerplateMinDocs = 3
 
   def boilerplateNgrams(s: SparkSession, dir: String): DataFrame = {
-    val tokens = Tables
-      .documents(s, dir)
+    val tokens = Tables.spread(Tables.documents(s, dir)) // 1-row-group scan; gram explode otherwise 1-core
       .select(col("doc_id"), toks.as("w"))
       .persist()
     val grams = tokens.select(col("doc_id"), explode(expr(gramsExpr(4))).as("g"))
@@ -313,8 +312,7 @@ object CurationQueries {
     * corpus); final per-doc rank window shuffles on doc_id.
     */
   def tfidfTerms(s: SparkSession, dir: String): DataFrame = {
-    val tf = Tables
-      .documents(s, dir)
+    val tf = Tables.spread(Tables.documents(s, dir)) // 1-row-group scan; explode otherwise 1-core
       .select(col("doc_id"), explode(toks).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -704,8 +702,7 @@ object CurationQueries {
     * gram text.
     */
   def topNgrams(s: SparkSession, dir: String): DataFrame =
-    Tables
-      .documents(s, dir)
+    Tables.spread(Tables.documents(s, dir)) // 1-row-group scan; gram explode otherwise 1-core
       .select(col("doc_id"), toks.as("w"))
       .select(col("doc_id"), explode(expr(gramsExpr(4))).as("gram"))
       .groupBy(col("gram"))
@@ -748,8 +745,7 @@ object CurationQueries {
 
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val L = DecontGramTokens
-    val tokens = Tables
-      .documents(s, dir)
+    val tokens = Tables.spread(Tables.documents(s, dir)) // 1-row-group scan; gram explode otherwise 1-core
       .select(col("doc_id"), toks.as("w"))
       .persist()
     val grams = tokens
@@ -824,8 +820,7 @@ object CurationQueries {
     val bUdf = udf { (g: String, j: Int) =>
       TextHash.permHash(TextHash.polyHash(g), 500L + j) % BloomBits
     }
-    val tokens = Tables
-      .documents(s, dir)
+    val tokens = Tables.spread(Tables.documents(s, dir)) // 1-row-group scan; gram explode otherwise 1-core
       .select(col("doc_id"), toks.as("w"))
       .persist()
     val grams = tokens
@@ -1413,8 +1408,7 @@ object CurationQueries {
     // persist point. Both consumers still read one file scan
     // (plan-audit-locked); the per-consumer recompute is the explode +
     // map-side partial agg only.
-    val tokens = Tables
-      .documents(s, dir)
+    val tokens = Tables.spread(Tables.documents(s, dir)) // 1-row-group scan; gram explode otherwise 1-core
       .select(col("doc_id"), toks.as("w"))
       .persist()
     val grams = tokens.select(col("doc_id"), explode(expr(gramsExpr(4))).as("g"))

@@ -57,8 +57,12 @@ object DedupQueries {
     // token-less documents (empty/space-only text) have no shingle set —
     // excluded on BOTH sides (the SQL's NULL-vs-zero-signature semantics
     // would otherwise diverge from Scala's all-zero signature)
-    val docs = docs0
-      .filter(length(regexp_replace(col("text"), lit(" "), lit(""))) > 0)
+    // spread BEFORE the 128-permutation signature UDF: the corpus scan is
+    // one unsplittable row group, so the sketch otherwise computes on one
+    // core (the [[MultimodalQueries.decodeParallel]] lesson, conditional
+    // form — identity whenever the scan already has ≥ cores partitions)
+    val docs = Tables.spread(docs0
+      .filter(length(regexp_replace(col("text"), lit(" "), lit(""))) > 0))
       .select(col("doc_id"), sigUdf(col("text")).as("sig"))
       .withColumn("band", explode(bandUdf(col("sig"))))
       .persist()
@@ -203,10 +207,10 @@ object DedupQueries {
     }
     // the sketch artifact computes ONCE and feeds all three bandings —
     // same clearCache() session contract as the other sketch tables
-    val sigs = Tables
+    val sigs = Tables.spread(Tables
       .documents(s, dir)
-      .filter(length(regexp_replace(col("text"), lit(" "), lit(""))) > 0)
-      .select(col("doc_id"), sigUdf(col("text")).as("sig"))
+      .filter(length(regexp_replace(col("text"), lit(" "), lit(""))) > 0))
+      .select(col("doc_id"), sigUdf(col("text")).as("sig")) // spread: 1-row-group scan, heavy UDF
       .persist()
     def one(bands: Int): DataFrame = {
       val bandUdf = udf { (sig: Seq[Long]) => TextHash.bandKeys(sig.toArray, bands) }
@@ -308,10 +312,10 @@ object DedupQueries {
     }
     // one signature pass over the corpus feeds both sides of the split —
     // same clearCache() session contract as the other sketch tables
-    val all = Tables
+    val all = Tables.spread(Tables
       .documents(s, dir)
-      .filter(length(regexp_replace(col("text"), lit(" "), lit(""))) > 0)
-      .select(
+      .filter(length(regexp_replace(col("text"), lit(" "), lit(""))) > 0))
+      .select( // spread: 1-row-group scan, heavy signature UDF
         col("doc_id"),
         sigUdf(col("text")).as("sig"),
         (expr(OracleHash.bucketExpr("cast(doc_id as string)"))
@@ -399,11 +403,11 @@ object DedupQueries {
     */
   def simhashDocs(s: SparkSession, dir: String): DataFrame = {
     val shUdf = udf { (text: String) => TextHash.simhash32(text) }
-    Tables
+    Tables.spread(Tables
       .documents(s, dir)
       // token-less docs excluded on both sides (see minhashPairs)
-      .filter(length(regexp_replace(col("text"), lit(" "), lit(""))) > 0)
-      .select(col("doc_id"), shUdf(col("text")).as("simhash"))
+      .filter(length(regexp_replace(col("text"), lit(" "), lit(""))) > 0))
+      .select(col("doc_id"), shUdf(col("text")).as("simhash")) // spread: heavy sketch UDF
       .select(
         col("doc_id"),
         col("simhash"),

@@ -214,7 +214,8 @@ object SearchQueries {
     * window is over the bounded bucket table, never the corpus.
     */
   def vocabGrowth(s: SparkSession, dir: String, nBuckets: Int = 20): DataFrame = {
-    val d = Tables.documents(s, dir).select(col("doc_id"), toks.as("w"))
+    val d = Tables.spread(Tables.documents(s, dir)) // 1-row-group scan; tokenize otherwise 1-core
+      .select(col("doc_id"), toks.as("w"))
     val nid = d.agg((max(col("doc_id")) + 1).as("n_ids"))
     val db = d
       .crossJoin(broadcast(nid))
@@ -280,8 +281,7 @@ object SearchQueries {
     * in-group (bounded), never globally.
     */
   def invertedIndex(s: SparkSession, dir: String): DataFrame =
-    Tables
-      .documents(s, dir)
+    Tables.spread(Tables.documents(s, dir)) // 1-row-group scan; explode otherwise 1-core
       .select(col("doc_id"), explode(array_distinct(toks)).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"), collect_list(col("doc_id")).as("ps"))
@@ -330,8 +330,7 @@ object SearchQueries {
     *    only collect_list holds ≤63 structs.
     */
   def zipfSlope(s: SparkSession, dir: String): DataFrame = {
-    val tf = Tables
-      .documents(s, dir)
+    val tf = Tables.spread(Tables.documents(s, dir)) // 1-row-group scan; explode otherwise 1-core
       .select(explode(toks).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("freq"))
@@ -465,8 +464,7 @@ object SearchQueries {
     * despite ~n_tokens `ln` terms per document.
     */
   def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables
-      .documents(s, dir)
+    val docs = Tables.spread(Tables.documents(s, dir)) // 1-row-group scan; tokenize otherwise 1-core
       .select(col("doc_id"), toks.as("ws"))
       .filter(size(col("ws")) >= 2)
     val bigrams = docs
@@ -681,8 +679,7 @@ object SearchQueries {
     * per-partition heaps, no global sort.
     */
   def collocations(s: SparkSession, dir: String, minCount: Int = 5, k: Int = 100): DataFrame = {
-    val docs = Tables
-      .documents(s, dir)
+    val docs = Tables.spread(Tables.documents(s, dir)) // 1-row-group scan; tokenize otherwise 1-core
       .select(col("doc_id"), toks.as("ws"))
     val tokens = docs.select(explode(col("ws")).as("w"))
     val uni = tokens.groupBy(col("w")).agg(count(lit(1)).as("cw")).persist()

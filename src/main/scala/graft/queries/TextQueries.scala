@@ -266,8 +266,7 @@ object TextQueries {
     */
   def yuleK(s: SparkSession, dir: String): DataFrame = {
     val q6c = (c: org.apache.spark.sql.Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
-    Tables
-      .documents(s, dir)
+    Tables.spread(Tables.documents(s, dir)) // 1-row-group scan; explode otherwise 1-core
       .select(col("source"), explode(split(col("text"), " ", -1)).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("source"), col("w"))
@@ -322,8 +321,7 @@ object TextQueries {
     */
   def hellinger(s: SparkSession, dir: String): DataFrame = {
     val q6c = (c: org.apache.spark.sql.Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
-    val cells = Tables
-      .documents(s, dir)
+    val cells = Tables.spread(Tables.documents(s, dir)) // 1-row-group scan; explode otherwise 1-core
       .select(col("source"), explode(split(col("text"), " ", -1)).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("source"), col("w"))
@@ -396,8 +394,7 @@ object TextQueries {
     */
   def keywordLlr(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cells = Tables
-      .documents(s, dir)
+    val cells = Tables.spread(Tables.documents(s, dir)) // 1-row-group scan; explode otherwise 1-core
       .select(col("source"), explode(split(col("text"), " ", -1)).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("source"), col("w"))
