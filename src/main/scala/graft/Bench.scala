@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,14 +66,24 @@ object Bench {
     val launchLoad1 = gateLoad1
     val gateJson =
       f"""{"enabled":$gateOn,"passed":$gatePassed,"attempts":$gateAttempts,"loadavg1":$gateLoad1%.2f,"thresholds":{"loadavg1_max":$gateLoadMax,"cpu_mt_sec_max":$gateCpuMtMax,"shuffle_sec_max":$gateShuffleMax}}"""
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // failed timings are tracked per query (ADVICE r16): a transient
+    // failure during any pass (e.g. OOM under churn) must not land its
+    // short failure wall-clock as the official per-query minimum. The
+    // timing still returns a wall (so a query that fails EVERY pass keeps
+    // a number rather than vanishing) but failed timings are excluded
+    // from the min/spread whenever at least one timing succeeded, and the
+    // failing queries are stamped in the JSON.
+    val failedTimings = mutable.Map[String, Int]().withDefaultValue(0)
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => failedTimings(name) += 1; false }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop anything a query cached/registered so the next measurement
       // starts from the same cold-cache state
       spark.catalog.clearCache()
-      dt
+      (dt, ok)
     }
     // two passes, report the per-query minimum: a single pass is exposed
     // to one-off JIT/GC/host-contention spikes that say nothing about the
@@ -155,24 +166,32 @@ object Bench {
     val spiked =
       if (onePass) Seq.empty
       else ordered.map(_._1).filter { n =>
-        val lo = math.min(pass1(n), pass2(n))
-        math.abs(pass1(n) - pass2(n)) > math.max(0.5, 0.5 * lo)
+        val lo = math.min(pass1(n)._1, pass2(n)._1)
+        math.abs(pass1(n)._1 - pass2(n)._1) > math.max(0.5, 0.5 * lo) ||
+          // a failed timing always earns the re-timing slot: its wall is
+          // meaningless, so the query needs a second SUCCESSFUL sample
+          !pass1(n)._2 || !pass2(n)._2
       }.take(40)
     val pass3 = spiked.map { n =>
       graft.queries.DedupQueries.clearClusterMemo(spark)
       n -> timeOnce(n, ordered.toMap.apply(n))
     }.toMap
     val loadAfter = fmtLoad(loadavgVals())
-    val results = pass1.map { case (name, t1) =>
-      name -> math.min(math.min(t1, pass2(name)), pass3.getOrElse(name, Double.MaxValue))
+    // per-query timing pool: successful timings only, unless every timing
+    // failed (then keep all so the query still reports a number and the
+    // failure is visible via failed_timings)
+    def pool(name: String): Seq[Double] = {
+      val all = Seq(pass1(name), pass2(name)) ++ pass3.get(name)
+      val okOnly = all.filter(_._2)
+      (if (okOnly.nonEmpty) okOnly else all).map(_._1)
     }
+    val results = pass1.map { case (name, _) => name -> pool(name).min }
     // per-query spread = gap between the two CLOSEST timings: a large
     // spread flags a timing contaminated by a one-off spike, so
     // cross-round per-query deltas smaller than the spread are noise,
     // not plan changes
-    val spreads = pass1.map { case (name, t1) =>
-      val ts = Seq(t1, pass2(name)) ++ pass3.get(name)
-      val sorted = ts.sorted
+    val spreads = pass1.map { case (name, _) =>
+      val sorted = pool(name).sorted
       name -> (if (sorted.size < 2) 0.0
                else sorted.sliding(2).map(w => w(1) - w(0)).min)
     }
@@ -192,16 +211,26 @@ object Bench {
     // the self-inflicted-probe note above; the spread leg uses the
     // closest-pair spreads, so a single out-voted spike no longer flags
     // the artifact
+    // load legs: the PRE-PROBE 1-min sample (launchLoad1) catches a busy
+    // launch; the POST-PROBE 5-min field (loadBeforeVals, read just
+    // before pass 1) catches external load that arrived during the
+    // gate/probe window, which the pre-probe sample cannot see (ADVICE
+    // r16) — the ~8 s probe itself barely moves the 5-min field
+    // (measured r16 driver run: post-probe triple [2.28,2.95,3.14]).
+    val launchLoad5 = loadBeforeVals.drop(1).headOption.getOrElse(0.0)
     val contended =
-      launchLoad1 > 4.0 || (total > 0.0 && spreadTotalAll > 0.25 * total)
+      launchLoad1 > 4.0 || launchLoad5 > 4.0 ||
+        (total > 0.0 && spreadTotalAll > 0.25 * total)
     if (contended)
       System.err.println(
         f"WARNING: bench run contended (loadavg_launch=$launchLoad1%.2f, " +
           f"spread_total=$spreadTotalAll%.1f s vs total=$total%.1f s) — " +
           "timings unreliable; re-run on a quiet host")
     val remeasuredJson = spiked.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failedTimings.toSeq.sortBy(_._1)
+      .map { case (n, c) => "\"" + n + "\":" + c }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","contended":$contended,"calibration":${calibration.json},"gate":$gateJson,"skipped":$skippedJson,"excluded":$excludedJson,"only":$onlyJson,"remeasured":$remeasuredJson,"queries":$qs,"spread":$sp,"loadavg_launch":$launchLoad1,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","contended":$contended,"calibration":${calibration.json},"gate":$gateJson,"skipped":$skippedJson,"excluded":$excludedJson,"only":$onlyJson,"remeasured":$remeasuredJson,"failed_timings":$failedJson,"queries":$qs,"spread":$sp,"loadavg_launch":$launchLoad1,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir"}"""
     // The full per-query JSON (~5 KB at 166 queries) exceeds the 2000-char
     // stdout tail a capture harness keeps, so a full-map println can never
     // parse from the tail. Persist the complete JSON to a file, then print
@@ -218,7 +247,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP) }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","n_queries":${results.size},"n_skipped":${skippedNames.size},"n_remeasured":${spiked.size},"contended":$contended,"calibration":${calibration.json},"gate":$gateJson,"spread_total":${BigDecimal(spreadTotalAll).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"loadavg_launch":$launchLoad1,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"queries":$slowest,"queries_full":"${out.toString}","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","n_queries":${results.size},"n_skipped":${skippedNames.size},"n_remeasured":${spiked.size},"n_failed_timings":${failedTimings.size},"contended":$contended,"calibration":${calibration.json},"gate":$gateJson,"spread_total":${BigDecimal(spreadTotalAll).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"loadavg_launch":$launchLoad1,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"queries":$slowest,"queries_full":"${out.toString}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -20,8 +20,13 @@ object Profile {
     val rows = mutable.ArrayBuffer[(Int, Double, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
+        // js.properties can be NULL for some job submissions (ADVICE r16);
+        // an NPE here is swallowed by the listener bus and silently drops
+        // the job's row from the profile
         starts(js.jobId) =
-          (js.time, Option(js.properties.getProperty("spark.job.description")).getOrElse(""))
+          (js.time, Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .getOrElse(""))
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
         starts.get(je.jobId).foreach { case (t0, desc) =>
           rows += ((je.jobId, (je.time - t0) / 1e3, desc))

@@ -94,6 +94,11 @@ object GraphQueries {
     // the cached edge table each reference. Persisting them bounds each
     // to one evaluation; state is the same node-sized bound the rank
     // table already carries.
+    // Session contract (ADVICE r16, same as the dedup sketch tables):
+    // these persists are released by the harness's per-query
+    // spark.catalog.clearCache(); a long-lived interactive session that
+    // calls this repeatedly should clearCache()/unpersist between calls
+    // or the node-sized cached tables accumulate.
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg")).persist()
     val nodes = edges.select(col("src").as("node")).distinct().persist()
     val nn = nodes.agg(count(lit(1)).as("n_nodes"))
@@ -308,6 +313,9 @@ object GraphQueries {
     // is exactly the Σ|ball(v)| rows the Scaladoc above already names as
     // this exact operator's scale bound (HyperANF registers replace it at
     // 100 TB), so the persist adds no new scale liability.
+    // Session contract (ADVICE r16): released by the harness's per-query
+    // spark.catalog.clearCache(); long-lived sessions calling this
+    // repeatedly should clearCache()/unpersist between calls.
     val r1 = edges
       .select(col("src").as("node"), col("dst").as("reach"))
       .distinct()
