@@ -1986,6 +1986,19 @@ object RelationalQueries {
       case f if f.dataType == org.apache.spark.sql.types.DoubleType ||
         f.dataType == org.apache.spark.sql.types.FloatType => f.name
     }.toSet
+    // integral columns take the paged-bitmap exact-distinct aggregate
+    // instead of collect_set (r17, guide §"per-task work"): the whole
+    // 45-function aggregate runs in ObjectHashAggregateExec (interpreted
+    // — collect_set forces the object tier), and the per-row cost of the
+    // high-cardinality id columns was a BOXED HashSet insert with a
+    // single-threaded boxed re-insert merge at the final stage. A bitmap
+    // add is a word OR and its merge a page OR (exact same counts: both
+    // skip nulls, both exact) — measured sf0.1 A/B in OPTIMIZATION_r17.
+    val intCols: Set[String] = li.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType => f.name
+    }.toSet
+    if (!approxDistinct) graft.functions.BitmapAgg.register(s)
     def exactDistinctArg(c: String): Column =
       if (floatCols(c)) col(c) + lit(0.0) else col(c)
     val aggs: Seq[Column] =
@@ -1994,6 +2007,7 @@ object RelationalQueries {
           Seq(
             (count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
             (if (approxDistinct) approx_count_distinct(col(c))
+             else if (intCols(c)) expr(s"bitmap_distinct($c)")
              // size(collect_set) = exact distinct (both skip nulls) with
              // no Expand — see the mode trade in the Scaladoc above
              else size(collect_set(exactDistinctArg(c))).cast("long"))

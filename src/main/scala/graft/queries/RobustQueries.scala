@@ -47,7 +47,16 @@ object RobustQueries {
   // shared per-nation monthly revenue series (exact 1e-4-dollar units)
   // --------------------------------------------------------------------
 
-  private[queries] def nationMonthlySeries(s: SparkSession, dir: String): DataFrame = {
+  /** `persist = false` callers (dtw, mannKendall): their consumer
+    * branches canonicalize identically, so plain exchange reuse already
+    * bounds the corpus work to one scan — measured r17, the persist only
+    * ADDED a materialization barrier there (dtw 0.96 → 1.42 s). The
+    * persist is for consumers whose branches diverge (see below).
+    */
+  private[queries] def nationMonthlySeries(
+      s: SparkSession,
+      dir: String,
+      persist: Boolean = true): DataFrame = {
     val supNation = Tables
       .supplier(s, dir)
       .select(col("s_suppkey"), col("s_nationkey"))
@@ -55,7 +64,7 @@ object RobustQueries {
         broadcast(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name"))
-    Tables
+    val base = Tables
       .lineitem(s, dir)
       .select(
         col("l_suppkey"),
@@ -69,6 +78,25 @@ object RobustQueries {
       .join(supNation, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("n_name"), col("m"))
       .agg(sum(col("rev4")).as("y"))
+    // persisted (r17) for consumers that reference the series 2–3× in
+    // branches that canonicalize DIFFERENTLY (theilSen a/b/resid,
+    // granger y/y1/x1, kendallW months/filled): measured, plans/r17,
+    // theilSen's FINAL adaptive plan carried TWO full lineitem scans
+    // (the resid branch's pruned scan canonicalizes apart, the
+    // waiting-suppliers lesson), so the corpus join + aggregate ran
+    // once per divergent branch. The series is |nation|×|months| rows
+    // (~1.2k at any SF — the bound the object Scaladoc above names), so
+    // persisting bounds the corpus work to ONE scan at no scale cost.
+    // coalesce(1) first: the cached plan keeps its shuffle-partition
+    // layout (AQE may not re-coalesce under a cache by default), so
+    // without it every downstream stage over the ~1.2k-row cache pays
+    // one task per shuffle partition — measured r17, 1.2–1.6×
+    // regressions from exactly that. One partition is the right layout
+    // for a table whose row bound is |nation|×|months| at any SF.
+    // Session contract (same as pagerank deg/nodes): released by the
+    // harness's per-query spark.catalog.clearCache(); long-lived
+    // sessions calling these repeatedly should clearCache between.
+    if (persist) base.coalesce(1).persist() else base
   }
 
   private[queries] val seriesCteSql: String =
@@ -182,7 +210,9 @@ object RobustQueries {
     * join as Theil–Sen.
     */
   def mannKendall(s: SparkSession, dir: String): DataFrame = {
-    val ser = nationMonthlySeries(s, dir)
+    // persist = false: all four branches reuse the series exchange as-is
+    // (measured r17 — the persist regressed this query 1.2×)
+    val ser = nationMonthlySeries(s, dir, persist = false)
     val a = ser.select(col("n_name"), col("m").as("x1"), col("y").as("y1"))
     val b = ser.select(col("n_name"), col("m").as("x2"), col("y").as("y2"))
     val sStat = a

@@ -345,8 +345,10 @@ object RobustQueries2 {
     */
   def dtw(s: SparkSession, dir: String): DataFrame = {
     graft.plans.DtwDistance.register(s)
+    // persist = false: the a/b self-join branches reuse the series
+    // exchange as-is (measured r17 — the persist regressed dtw 1.5×)
     val arr = RobustQueries
-      .nationMonthlySeries(s, dir)
+      .nationMonthlySeries(s, dir, persist = false)
       .groupBy(col("n_name"))
       .agg(
         transform(
