@@ -159,6 +159,27 @@ object Sessions {
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Scale-adaptive partition sizing knobs (guide §2.2), parameterised
+      // for deployment A/Bs; measured r17 (OPTIMIZATION_r17.md §AQE
+      // cached-plan A/B):
+      // - cached-plan repartitioning lets AQE coalesce the tiny shuffles
+      //   UNDER a .persist() — without it a cached bounded aggregate
+      //   keeps one sub-MB partition per shuffle partition and every
+      //   downstream stage pays that task count. The r17 sweep read
+      //   AMBIGUOUS at sf0.1 (graph loops ~10% faster ON in paired runs;
+      //   the one quiet full-suite comparison read worse ON), so the
+      //   default stays Spark's (false) and bounded caches coalesce
+      //   explicitly at their persist sites instead; flip per deployment.
+      .config(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("GRAFT_AQE_CACHED_REPART", "false"))
+      // - parallelismFirst=true (Spark default) targets partition count ≈
+      //   cores for small shuffles; false targets advisoryPartitionSize
+      //   (fewer, larger partitions — the §2.2 posture). Kept env-
+      //   flippable because the right answer is deployment-dependent.
+      .config(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("GRAFT_AQE_PARALLELISM_FIRST", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

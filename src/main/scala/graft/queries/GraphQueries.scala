@@ -52,6 +52,13 @@ object GraphQueries {
       // vocabulary — counting "" as a common word could push a pair
       // over minCommon (the sibling text queries all filter it)
       .filter(col("w") =!= "")
+      // persisted (r17): the a/b sides of the self-join below each
+      // evaluated the scan+explode independently (two documents scans in
+      // every graph query's final plan — the text column decodes twice).
+      // The word table is bounded by the graph's node contract (doc_id <
+      // 80 at any SF), so caching it is constant-size; released by the
+      // harness's per-query clearCache (session contract).
+      .persist()
     val a = words.select(col("doc_id").as("doc_a"), col("lang"), col("w"))
     val b = words.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("w"))
     a.join(b, Seq("w"))
@@ -69,9 +76,21 @@ object GraphQueries {
     */
   private def symmetricEdges(s: SparkSession, dir: String, minCommon: Int): DataFrame = {
     val pairs = similarityPairs(s, dir, minCommon)
+    // symmetrize IN-ROW (explode a 2-struct array) instead of a
+    // self-union: the union referenced the pairs subtree twice and —
+    // measured r17, plans/r17/q_pagerank_before — ReuseExchange did NOT
+    // dedup the two branches, so every graph query paid the word-overlap
+    // self-join + aggregate TWICE (two full documents scans in the final
+    // adaptive plan). One Generate over the single pairs evaluation
+    // keeps exactly one candidate join in the plan — the same fix
+    // itemKnn's symmetrization records (r13). Row ORDER differs from the
+    // union form; every consumer groups/joins, so the edge SET is what
+    // matters (and the SQL mirror's UNION ALL produces the same set).
     pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
   }
 

@@ -57,12 +57,20 @@ object LearnQueries {
     val trainTok = train
       .select(col("lang"), explode(split(col("text"), " ", -1)).as("w"))
       .filter(col("w") =!= "")
-    val cnts = trainTok.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+    // persisted (r17): cnts is the vocab-bounded (lang, word) count table
+    // and feeds THREE consumers (lstat, the vocab scalar below, and the
+    // scored join) — unpersisted, each consumer re-ran the train
+    // tokenization (the final plan carried 6 documents scans, 3 of them
+    // text-decoding). Session contract: released by the harness's
+    // per-query clearCache.
+    val cnts = trainTok.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c")).persist()
     // bounded per-language stats (languages are a semantic constant):
     // token totals, doc priors, and the global vocab/doc scalars
     val lstat = cnts.groupBy(col("lang")).agg(sum(col("c")).as("tl"))
     val prior = train.groupBy(col("lang")).agg(count(lit(1)).as("dl"))
-    val scalars = trainTok
+    // v = distinct train words — derived from cnts (one row per
+    // (lang, w)) instead of re-tokenizing the corpus a third time
+    val scalars = cnts
       .agg(countDistinct(col("w")).as("v"))
       .crossJoin(train.agg(count(lit(1)).as("d")))
     val langDim = broadcast(

@@ -295,12 +295,18 @@ object RobustQueries {
     * aggregation.
     */
   def ndcgAtK(s: SparkSession, dir: String): DataFrame = {
+    // persisted (r17): ev is referenced by both the popularity and the
+    // relevance legs — unpersisted, the events scan AND the per-row JSON
+    // item extraction ran twice (5 events scans in the final plan with
+    // rel's four consumers). 3-column projection, itemKnn storage
+    // contract (released by the harness's per-query clearCache).
     val ev = Tables
       .events(s, dir)
       .select(
         col("user_id"),
         get_json_object(col("props"), "$.k").cast("long").as("item"),
         col("event_type"))
+      .persist()
     val pop = ev
       .filter(col("event_type") === "view")
       .groupBy(col("item"))
@@ -310,10 +316,14 @@ object RobustQueries {
     val top10 = rankedAll.filter(col("pos") <= 10)
     val gain = (relCol: Column) =>
       when(relCol === 1, 1.0).when(relCol === 2, 3.0).when(relCol === 3, 7.0).otherwise(0.0)
+    // persisted (r17): rel feeds FOUR consumers (users, the dcg join,
+    // idcg, rr) — bounded by distinct (user, purchased item) pairs;
+    // same session contract as ev above
     val rel = ev
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"), col("item"))
       .agg(least(count(lit(1)), lit(3L)).as("rel"))
+      .persist()
     val users = rel.select(col("user_id")).distinct()
     val dcg = users
       .crossJoin(broadcast(top10.select(col("item"), col("pos"))))
@@ -407,12 +417,20 @@ object RobustQueries {
     * integer to the same double at the end.
     */
   def conformalInterval(s: SparkSession, dir: String): DataFrame = {
+    // persisted (r17): the split-conformal recipe is inherently
+    // sequential (fit -> calibrate -> rank -> test), and each stage
+    // re-referenced this projection — FOUR full lineitem scans in the
+    // final adaptive plan. Pinning the 3-column integer projection for
+    // the session (the itemKnn/negativeSampling storage contract;
+    // released by the harness's per-query clearCache) bounds it to one
+    // scan; the cached footprint is the projection, not the table.
     val li = Tables
       .lineitem(s, dir)
       .select(
         round(col("l_quantity")).cast("long").as("x"),
         round(col("l_extendedprice") * 100).cast("long").as("y"),
         ((col("l_orderkey") * 31 + col("l_linenumber")) % 4).as("h"))
+      .persist()
     val train = li.filter(col("h") <= 1)
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val fit = train
